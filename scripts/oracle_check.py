@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the same parquet
+tables, and compares: schema (sorted column names), row count, and values
+(columns sorted by name, rows sorted by all columns).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        # normalize nullable ints / object ints to float for NaN-safe compare
+        if str(df[c].dtype) in ("Int64", "Int32", "Int16", "int16", "int32"):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype) in ("int64",):
+            df[c] = df[c].astype("int64")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    errs = []
+    if sorted(got.columns) != sorted(want.columns):
+        errs.append(f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}")
+        return errs
+    if len(got) != len(want):
+        errs.append(f"row count differs: spark={len(got)} oracle={len(want)}")
+        return errs
+    g, w = norm(got), norm(want)
+    for c in g.columns:
+        gv, wv = g[c], w[c]
+        if str(gv.dtype) == "float64" or str(wv.dtype) == "float64":
+            gv = gv.astype("float64")
+            wv = wv.astype("float64")
+            both_nan = gv.isna() & wv.isna()
+            neq = ~both_nan & (gv != wv)
+            if neq.any():
+                i = neq.idxmax()
+                errs.append(f"col {c}: {int(neq.sum())} mismatches, first at row {i}: "
+                            f"spark={gv[i]!r} oracle={wv[i]!r} (diff={gv[i]-wv[i]!r})")
+        else:
+            gv2, wv2 = gv.astype(str), wv.astype(str)
+            neq = gv2 != wv2
+            if neq.any():
+                i = neq.idxmax()
+                errs.append(f"col {c} ({gv.dtype} vs {wv.dtype}): {int(neq.sum())} mismatches, "
+                            f"first at row {i}: spark={gv[i]!r} oracle={wv[i]!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        errs = compare(name, got, want)
+        if errs:
+            n_fail += 1
+            print(f"FAIL {name}:")
+            for e in errs[:4]:
+                print(f"  - {e}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{GraftQuery, RelationalQueries}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** Session configs every entry point needs (see GraftSession). */
+  def applySessionDefaults(spark: SparkSession): Unit = {
+    // null-on-error parse semantics (reference safeParse*, SURVEY §1.3)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // events.parquet carries nanosecond timestamps (TESTDATA)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  /** Full registry: every implemented operator from SURVEY.md §2. */
+  def registry: Map[String, GraftQuery] =
+    RelationalQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    applySessionDefaults(spark)
+    registry("q04_join_star").build(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, q) =>
+      name -> { (s: SparkSession, dir: String) =>
+        applySessionDefaults(s)
+        q.build(s, dir)
+      }
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, q) if q.oracle.isDefined =>
+      name -> q.oracle.get.trim.replaceAll("\n\\s*", " ")
+    }
+
+  /** Headline subset benchmarked per-round (Bench.scala). */
+  def headlineQueries: Seq[String] =
+    registry.collect { case (name, q) if q.headline => name }.toSeq.sorted
 }

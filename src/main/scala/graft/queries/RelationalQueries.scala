@@ -1,0 +1,504 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/**
+ * The relational query surface of the engine — the analytics layer the
+ * reference delegates entirely to TimescaleDB (SURVEY.md §2.2: joins,
+ * aggregations, window functions, sorts, set ops are absent from the
+ * reference's 423 lines and must be provided by the Spark engine to cover
+ * the intended query surface revealed by the DDL's indexes,
+ * run/init.sql:78-85).
+ *
+ * Implemented with the declarative DataFrame API so Catalyst owns the
+ * physical strategy: filters/projections push into the parquet scan, small
+ * dimension tables are broadcast, aggregates get map-side partial
+ * combining, AQE re-plans shuffles at runtime. Scale notes per query are
+ * inline.
+ */
+object RelationalQueries {
+
+  /** Exact-arithmetic operand cast: see GraftQuery determinism rules. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private val one = lit(1).cast(DecimalType(18, 4))
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------------------
+    // q01 — full-scan hash aggregation (TPC-H Q1 shape). Map-side partial
+    // agg over 4 groups → a 4-row shuffle: scan-bound at any scale.
+    // ------------------------------------------------------------------
+    "q01_agg_pricing_summary" -> GraftQuery(
+      build = (s, d) => {
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampNTZType))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+              .cast(DoubleType).as("sum_disc_price"),
+            count(lit(1)).as("count_order"),
+            (sum(dec(col("l_quantity"))).cast(DoubleType) /
+              count(lit(1)).cast(DoubleType)).as("avg_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+          COUNT(*) AS count_order,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q02 — filter + projection. Both predicate and the 4-column read
+    // schema push into the parquet scan (PushedFilters / ReadSchema).
+    // ------------------------------------------------------------------
+    "q02_filter_project" -> GraftQuery(
+      build = (s, d) => {
+        lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1995-01-01").cast(TimestampNTZType) &&
+            col("l_shipdate") < lit("1995-04-01").cast(TimestampNTZType) &&
+            col("l_discount") >= lit(0.05) && col("l_quantity") < lit(10.0))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            (dec(col("l_extendedprice")) * dec(col("l_discount")))
+              .cast(DoubleType).as("disc_amount"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DOUBLE) AS disc_amount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+          AND l_discount >= 0.05 AND l_quantity < 10.0
+        ORDER BY l_orderkey, l_linenumber"""),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q03 — broadcast hash join: customer is the small dimension side,
+    // broadcast() avoids shuffling the orders fact table entirely.
+    // ------------------------------------------------------------------
+    "q03_join_broadcast" -> GraftQuery(
+      build = (s, d) => {
+        orders(s, d)
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q04 — 5-table star join. lineitem⋈orders is the only big-big join
+    // (shuffle on orderkey); customer/nation/region are broadcast so the
+    // fact table is shuffled exactly once.
+    // ------------------------------------------------------------------
+    "q04_join_star" -> GraftQuery(
+      build = (s, d) => {
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+          .orderBy("r_name", "n_name")
+      },
+      oracle = Some("""
+        SELECT r_name, n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lineitems
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q05 — left-semi join (EXISTS). Semi join keeps the build side
+    // key-only: no payload duplication, broadcastable when filtered.
+    // ------------------------------------------------------------------
+    "q05_semi_join" -> GraftQuery(
+      build = (s, d) => {
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_totalprice") > lit(150000.0)),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // q06 — left-anti join (NOT EXISTS): customers with no large order.
+    // ------------------------------------------------------------------
+    "q06_anti_join" -> GraftQuery(
+      build = (s, d) => {
+        customer(s, d)
+          .join(orders(s, d).filter(col("o_totalprice") > lit(400000.0)),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_nationkey")
+      },
+      oracle = Some("""
+        SELECT c_nationkey, COUNT(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // q07 — window function lag: inter-event gap per user. Single shuffle
+    // on user_id; at 100 TB this is the per-vehicle analytics pattern
+    // (partitionBy unique_vehicle_id ORDER BY tst — run/init.sql:72).
+    // ------------------------------------------------------------------
+    "q07_window_lag" -> GraftQuery(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("sec", expr("ts div 1000000000"))
+          .withColumn("gap_s", col("sec") - lag(col("sec"), 1).over(w))
+          .select(col("event_id"), col("user_id"), col("gap_s"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT)
+            - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        FROM events ORDER BY event_id"""),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q08 — per-group top-k via row_number window (deterministic
+    // tie-break on orderkey). At scale: a single shuffle on the group
+    // key; no global sort.
+    // ------------------------------------------------------------------
+    "q08_topk_per_group" -> GraftQuery(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "rk")
+      },
+      oracle = Some("""
+        SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) t
+        WHERE rk <= 3 ORDER BY o_custkey, rk""")),
+
+    // ------------------------------------------------------------------
+    // q09 — global top-N: orderBy+limit compiles to TakeOrderedAndProject
+    // (per-partition heaps + driver merge), not a full sort.
+    // ------------------------------------------------------------------
+    "q09_sort_limit" -> GraftQuery(
+      build = (s, d) => {
+        orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // q10 — distinct (shuffle-dedup on the pair key).
+    // ------------------------------------------------------------------
+    "q10_distinct" -> GraftQuery(
+      build = (s, d) => {
+        events(s, d)
+          .select(col("user_id"), col("event_type"))
+          .distinct()
+          .orderBy("user_id", "event_type")
+      },
+      oracle = Some("""
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""")),
+
+    // ------------------------------------------------------------------
+    // q11 — union + distinct/exact-distinct aggregate in one pass.
+    // ------------------------------------------------------------------
+    "q11_union_distinct" -> GraftQuery(
+      build = (s, d) => {
+        customer(s, d).select(col("c_custkey").as("key"))
+          .union(orders(s, d).select(col("o_custkey").as("key")))
+          .agg(
+            count(lit(1)).as("n_all"),
+            countDistinct(col("key")).as("n_distinct"),
+            min(col("key")).as("min_key"),
+            max(col("key")).as("max_key"))
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n_all, COUNT(DISTINCT key) AS n_distinct,
+               MIN(key) AS min_key, MAX(key) AS max_key
+        FROM (SELECT c_custkey AS key FROM customer
+              UNION ALL SELECT o_custkey FROM orders) t""")),
+
+    // ------------------------------------------------------------------
+    // q12 — rollup (hierarchical grand-totals); Spark expands grouping
+    // sets in one aggregation pass.
+    // ------------------------------------------------------------------
+    "q12_rollup" -> GraftQuery(
+      build = (s, d) => {
+        customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(dec(col("c_acctbal"))).cast(DoubleType).as("sum_acctbal"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region_name"),
+            coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+            col("n_customers"), col("sum_acctbal"))
+          .orderBy("region_name", "nation_name")
+      },
+      oracle = Some("""
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(n_name, 'ALL') AS nation_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region_name, nation_name""")),
+
+    // ------------------------------------------------------------------
+    // q13 — exact count-distinct per group (expand + two-phase agg).
+    // ------------------------------------------------------------------
+    "q13_count_distinct" -> GraftQuery(
+      build = (s, d) => {
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q14 — semi-structured extraction: JSON field from the props column
+    // (the raw-HFP payload envelope is JSON of exactly this shape).
+    // ------------------------------------------------------------------
+    "q14_json_extract" -> GraftQuery(
+      build = (s, d) => {
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("k")).as("sum_k"),
+            count(col("k")).as("n_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type,
+          CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k, MAX(k) AS max_k
+        FROM (SELECT event_type,
+                TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+              FROM events) t
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q15 — scalar function suite (date parts, string ops, conditionals)
+    // — the O7/O8 expression classes over a relational table.
+    // ------------------------------------------------------------------
+    "q15_scalar_functions" -> GraftQuery(
+      build = (s, d) => {
+        orders(s, d)
+          .filter(col("o_orderkey") <= 500)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+            length(col("o_orderpriority")).as("prio_len"),
+            concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+            when(col("o_totalprice") > 100000.0, lit("big"))
+              .otherwise(lit("small")).as("size_class"),
+            floor(col("o_totalprice") / lit(1000.0)).as("price_k"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+          CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+          CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+          CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dom,
+          UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS prio3,
+          CAST(LENGTH(o_orderpriority) AS INTEGER) AS prio_len,
+          o_orderstatus || '-' || o_orderpriority AS tag,
+          CASE WHEN o_totalprice > 100000.0 THEN 'big' ELSE 'small' END AS size_class,
+          CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS price_k
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // q16 — set ops: intersect & except on user sets.
+    // ------------------------------------------------------------------
+    "q16_set_ops" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+        def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+        val both = users("click").intersect(users("purchase"))
+          .withColumn("set_name", lit("click_and_purchase"))
+        val only = users("click").except(users("error"))
+          .withColumn("set_name", lit("click_not_error"))
+        both.union(only).orderBy("set_name", "user_id")
+          .select(col("set_name"), col("user_id"))
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'click_and_purchase' AS set_name, user_id FROM
+            (SELECT user_id FROM events WHERE event_type = 'click'
+             INTERSECT
+             SELECT user_id FROM events WHERE event_type = 'purchase') a
+          UNION ALL
+          SELECT 'click_not_error' AS set_name, user_id FROM
+            (SELECT user_id FROM events WHERE event_type = 'click'
+             EXCEPT
+             SELECT user_id FROM events WHERE event_type = 'error') b) t
+        ORDER BY set_name, user_id""")),
+
+    // ------------------------------------------------------------------
+    // q17 — correlated EXISTS over the fact table (semi join on a
+    // filtered probe side).
+    // ------------------------------------------------------------------
+    "q17_exists_subquery" -> GraftQuery(
+      build = (s, d) => {
+        orders(s, d)
+          .join(
+            lineitem(s, d).filter(col("l_quantity") >= 49.0),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // q18 — group + having (post-aggregation filter).
+    // ------------------------------------------------------------------
+    "q18_having" -> GraftQuery(
+      build = (s, d) => {
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("spend"))
+          .filter(col("n_orders") >= 8)
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+        ORDER BY o_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q19 — pivot / conditional aggregation: one row per user bucket,
+    // one revenue column per event type.
+    // ------------------------------------------------------------------
+    "q19_pivot" -> GraftQuery(
+      build = (s, d) => {
+        events(s, d)
+          .withColumn("bucket", pmod(col("user_id"), lit(10L)))
+          .groupBy(col("bucket"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(sum(dec(col("value"))).cast(DoubleType))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        SELECT user_id % 10 AS bucket,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase,
+          CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS "view"
+        FROM events GROUP BY user_id % 10 ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // q20 — sessionization: 30-min-gap sessions per user via lag +
+    // running sum. The batch twin of streaming session_window; one
+    // shuffle on user_id.
+    // ------------------------------------------------------------------
+    "q20_sessionize" -> GraftQuery(
+      build = (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("sec", expr("ts div 1000000000"))
+          .withColumn("new_session",
+            when(col("sec") - lag(col("sec"), 1).over(byUser) > 1800 ||
+              lag(col("sec"), 1).over(byUser).isNull, lit(1)).otherwise(lit(0)))
+          .withColumn("session_id", sum(col("new_session")).over(run))
+          .groupBy(col("user_id"))
+          .agg(
+            max(col("session_id")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+              CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                        - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   THEN 1 ELSE 0 END AS new_session
+            FROM events) a) b
+        GROUP BY user_id ORDER BY user_id"""),
+      headline = true)
+  )
+}
