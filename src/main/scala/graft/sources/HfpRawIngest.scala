@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.HfpModel
+
+/**
+ * Raw-wire ingest: build the `{topic, payload}` envelope straight from the
+ * public HFP MQTT format, without the upstream protobuf pre-parser the
+ * reference depends on (`fi.hsl:transitdata-common`, pom.xml:30-34 — its
+ * `Hfp.Topic` is itself parsed from this same topic string upstream).
+ *
+ * Public wire format (HSL/Digitransit HFP v2 docs):
+ *
+ *   topic:   /<prefix>/<version>/<journey_type>/<temporal_type>/<event_type>
+ *            /<transport_mode>/<operator_id>/<vehicle_number>/<route_id>
+ *            /<direction_id>/<headsign>/<start_time>/<next_stop>
+ *            /<geohash_level>/<lat;long>/<d1>/<d2>/<d3>
+ *   payload: {"VP": {"desi":"550","dir":"2","oper":22,"veh":854,"tst":...}}
+ *
+ * e.g. `/hfp/v2/journey/ongoing/vp/bus/0022/00854/2550/2/Itäkeskus(M)/08:29
+ * /1362148/4/60;24/28/65/06`.
+ *
+ * Everything is built-in expression composition (split / element_at /
+ * from_json) — stays in whole-stage codegen, no UDFs.
+ */
+object HfpRawIngest {
+
+  /** Raw HFP JSON payload schema: numeric fields arrive as JSON numbers,
+    * `dir`/`oday`/`start`/`tst` as strings, `drst` as 0/1 number. */
+  val rawPayloadJsonSchema: StructType = StructType(Seq(
+    StructField("desi", StringType), StructField("dir", StringType),
+    StructField("oper", IntegerType), StructField("veh", IntegerType),
+    StructField("tst", StringType), StructField("tsi", LongType),
+    StructField("spd", DoubleType), StructField("hdg", IntegerType),
+    StructField("lat", DoubleType), StructField("long", DoubleType),
+    StructField("acc", DoubleType), StructField("dl", IntegerType),
+    StructField("odo", DoubleType), StructField("drst", IntegerType),
+    StructField("oday", StringType), StructField("jrn", IntegerType),
+    StructField("line", IntegerType), StructField("start", StringType),
+    StructField("loc", StringType), StructField("stop", IntegerType),
+    StructField("route", StringType), StructField("occu", IntegerType)
+  ))
+
+  private def seg(parts: Column, i: Int): Column = {
+    val v = element_at(parts, i)
+    when(v === "", lit(null).cast(StringType)).otherwise(v)
+  }
+
+  /**
+   * Topic-string → `topic` struct (the nested half of the envelope).
+   * Segment indexes are 1-based into split(topic, '/'); index 1 is the
+   * empty string before the leading slash.
+   *
+   * The geohash tail encodes coarse position: `<lat;long>` integer parts,
+   * then up to 3 segments of interleaved decimal digit pairs — digit i of
+   * latitude and longitude respectively.
+   */
+  def parseTopic(topic: Column, receivedAtMillis: Column): Column = {
+    val p = split(topic, "/")
+    val eventTypeRaw = seg(p, 6)
+    val operatorId = seg(p, 8).cast(IntegerType)
+    val vehicleNumber = seg(p, 9).cast(IntegerType)
+    // geohash head "60;24" → integer degrees; tails "28","65","06" →
+    // interleaved decimal digits (lat digit, long digit)
+    val head = seg(p, 16)
+    val latInt = split(head, ";").getItem(0).cast(StringType)
+    val lonInt = split(head, ";").getItem(1).cast(StringType)
+    def digit(i: Int, which: Int): Column =
+      coalesce(substring(seg(p, 16 + i), which, 1), lit(""))
+    val latStr = concat(latInt, lit("."), digit(1, 1), digit(2, 1), digit(3, 1))
+    val lonStr = concat(lonInt, lit("."), digit(1, 2), digit(2, 2), digit(3, 2))
+    struct(
+      receivedAtMillis.as("received_at"),
+      concat(lit("/"), seg(p, 2), lit("/")).as("topic_prefix"),
+      seg(p, 3).as("topic_version"),
+      seg(p, 4).as("journey_type"),
+      seg(p, 5).as("temporal_type"),
+      upper(eventTypeRaw).as("event_type"),
+      seg(p, 7).as("transport_mode"),
+      operatorId.as("operator_id"),
+      vehicleNumber.as("vehicle_number"),
+      // "0022"/"00854" → "22/854": zero-padding stripped via int round-trip
+      concat(operatorId.cast(StringType), lit("/"), vehicleNumber.cast(StringType))
+        .as("unique_vehicle_id"),
+      seg(p, 10).as("route_id"),
+      seg(p, 11).cast(IntegerType).as("direction_id"),
+      seg(p, 12).as("headsign"),
+      seg(p, 13).as("start_time"),
+      seg(p, 14).as("next_stop"),
+      seg(p, 15).cast(IntegerType).as("geohash_level"),
+      latStr.cast(DoubleType).as("latitude"),
+      lonStr.cast(DoubleType).as("longitude")
+    ).as("topic")
+  }
+
+  /**
+   * Raw payload JSON → `payload` struct. The JSON body nests the fields
+   * under the uppercase event-type key (`{"VP": {...}}`); parsing as
+   * map<string,struct> then taking the single value is event-type-agnostic.
+   */
+  def parsePayload(json: Column): Column = {
+    val parsed = from_json(json, MapType(StringType, rawPayloadJsonSchema))
+    val body = element_at(map_values(parsed), 1)
+    struct(
+      body.getField("desi").as("desi"),
+      body.getField("dir").as("dir"),
+      body.getField("oper").as("oper"),
+      body.getField("veh").as("veh"),
+      body.getField("tst").as("tst"),
+      body.getField("tsi").as("tsi"),
+      body.getField("spd").as("spd"),
+      body.getField("hdg").as("hdg"),
+      body.getField("lat").as("lat"),
+      body.getField("long").as("long"),
+      body.getField("acc").as("acc"),
+      body.getField("dl").as("dl"),
+      body.getField("odo").as("odo"),
+      body.getField("drst").cast(StringType).as("drst"),
+      body.getField("oday").as("oday"),
+      body.getField("jrn").as("jrn"),
+      body.getField("line").as("line"),
+      body.getField("start").as("start"),
+      body.getField("loc").as("loc"),
+      body.getField("stop").as("stop"),
+      body.getField("route").as("route"),
+      body.getField("occu").as("occu")
+    ).as("payload")
+  }
+
+  /**
+   * Raw frame (`topic` string, `payload` JSON string, `received_at` epoch
+   * millis) → nested envelope frame, ready for HfpFlatten.flatten.
+   */
+  def toEnvelope(raw: DataFrame,
+      topicCol: String = "topic",
+      payloadCol: String = "payload",
+      receivedAtCol: String = "received_at"): DataFrame =
+    raw.select(
+      parseTopic(col(topicCol), col(receivedAtCol)),
+      parsePayload(col(payloadCol)))
+
+  /** Envelope rows must carry the expected schema version; mirror of the
+    * reference's schema-tag check (MessageProcessor.java:118). */
+  def filterTopicVersion(env: DataFrame, versions: Seq[String] = Seq("v1", "v2")): DataFrame =
+    env.filter(col("topic.topic_version").isin(versions.map(lit): _*))
+}
