@@ -27,15 +27,29 @@ object parsers {
 
   private val intRe = "^[+-]?\\d{1,18}$"
 
-  /** string → int, NULL on malformed (ref: safeParseInt, QueueWriter.java:100-102). */
+  /**
+   * Shape-guarded string → long, then range-guarded narrowing. The range
+   * guard BEFORE the narrowing cast is essential: under
+   * `spark.sql.ansi.enabled=false` a Long→Int/Short cast silently WRAPS on
+   * overflow ("3000000000" → -1294967296), whereas the reference's
+   * `Integer.parseInt` inside an Optional (QueueWriter.java:100-102) yields
+   * empty → NULL. Overflow must be NULL, never a wrapped wrong value.
+   */
+  private def boundedIntegral(c: Column, lo: Long, hi: Long, t: DataType): Column = {
+    val l = when(c.rlike(intRe), c.cast(LongType))
+    when(l.between(lo, hi), l.cast(t)).otherwise(lit(null).cast(t))
+  }
+
+  /** string → int, NULL on malformed or out-of-range (ref: safeParseInt, QueueWriter.java:100-102). */
   def tryInt(c: Column): Column =
-    when(c.rlike(intRe), c.cast(LongType).cast(IntegerType)).otherwise(lit(null).cast(IntegerType))
+    boundedIntegral(c, Int.MinValue, Int.MaxValue, IntegerType)
 
-  /** string → short, NULL on malformed; for SMALLINT columns like `dir`. */
+  /** string → short, NULL on malformed or out-of-range; for SMALLINT columns like `dir`. */
   def tryShort(c: Column): Column =
-    when(c.rlike(intRe), c.cast(LongType).cast(ShortType)).otherwise(lit(null).cast(ShortType))
+    boundedIntegral(c, Short.MinValue, Short.MaxValue, ShortType)
 
-  /** string → long, NULL on malformed. */
+  /** string → long, NULL on malformed. The 18-digit shape guard keeps every
+    * admitted value inside Long range, so no further bound check is needed. */
   def tryLong(c: Column): Column =
     when(c.rlike(intRe), c.cast(LongType)).otherwise(lit(null).cast(LongType))
 

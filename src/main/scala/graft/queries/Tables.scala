@@ -16,13 +16,12 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = tbl(s, d, "region")
   /**
    * events.parquet carries nanosecond timestamps, which Spark's parquet
-   * reader rejects; `nanosAsLong` reads `ts` as a LongType of epoch nanos
+   * reader rejects; `spark.sql.legacy.parquet.nanosAsLong` (set at session
+   * construction by every entry point — SparkEntry.applySessionDefaults,
+   * Bench, Verify, SparkSuite) reads `ts` as a LongType of epoch nanos
    * (queries derive seconds/micros from it with integer arithmetic).
    */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, d, "events")
-  }
+  def events(s: SparkSession, d: String): DataFrame = tbl(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }
