@@ -146,4 +146,21 @@ object HfpRawIngest {
     * reference's schema-tag check (MessageProcessor.java:118). */
   def filterTopicVersion(env: DataFrame, versions: Seq[String] = Seq("v1", "v2")): DataFrame =
     env.filter(col("topic.topic_version").isin(versions.map(lit): _*))
+
+  /**
+   * Dead-letter split on the payload's required-field contract: `veh`,
+   * `tst`, `tsi` are NOT NULL in the reference schema (init.sql:49-51), and
+   * a malformed payload JSON (from_json → null) surfaces as exactly these
+   * fields being NULL. The reference instead rejects wrong-schema messages
+   * before write (MessageProcessor.java:118) and would crash on a missing
+   * `tst` (QueueWriter.java:106); routing to a dead-letter frame keeps the
+   * batch alive without silently shipping contract-violating rows.
+   *
+   * @return (good, deadLetter)
+   */
+  def splitInvalidPayload(env: DataFrame): (DataFrame, DataFrame) = {
+    val bad = col("payload.veh").isNull || col("payload.tst").isNull ||
+      col("payload.tsi").isNull
+    (env.filter(!bad), env.filter(bad))
+  }
 }
