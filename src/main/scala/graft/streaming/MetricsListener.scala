@@ -1,0 +1,55 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import org.slf4j.LoggerFactory
+
+/**
+ * Operational metrics (reference O13): the reference logs per-dump ingress
+ * rate and per-batch write rate/size/duration as JSON lines
+ * (MessageProcessor.java:82-89, QueueWriter.java:149-158). Structured
+ * Streaming computes every one of those natively per micro-batch; this
+ * listener surfaces them in the same shape and retains them for
+ * programmatic assertion.
+ */
+final class MetricsListener extends StreamingQueryListener {
+
+  /** One reference-shaped metrics record per micro-batch. */
+  final case class BatchMetrics(
+      batchId: Long, numInputRows: Long,
+      inputRowsPerSecond: Double, processedRowsPerSecond: Double,
+      batchDurationMs: Long)
+
+  private val log = LoggerFactory.getLogger(getClass)
+  private val buf = ArrayBuffer.empty[BatchMetrics]
+
+  def batches: Seq[BatchMetrics] = synchronized(buf.toSeq)
+
+  /** Input rows summed once per batch — Spark may re-emit a progress event
+    * for the same batchId (e.g. at query termination). */
+  def totalInputRows: Long =
+    batches.groupBy(_.batchId).values.map(_.head.numInputRows).sum
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    log.info(s"""{"event":"started","id":"${event.id}","name":"${event.name}"}""")
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    val m = BatchMetrics(
+      batchId = p.batchId,
+      numInputRows = p.numInputRows,
+      inputRowsPerSecond = p.inputRowsPerSecond,
+      processedRowsPerSecond = p.processedRowsPerSecond,
+      batchDurationMs = p.batchDuration)
+    synchronized(buf += m)
+    // msgRateIn / rows-written-rate parity (MessageProcessor.java:87,
+    // QueueWriter.java:149-154)
+    log.info(s"""{"event":"progress","batchId":${m.batchId},"rows":${m.numInputRows},""" +
+      s""""rowsPerSec":${m.processedRowsPerSecond},"durationMs":${m.batchDurationMs}}""")
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    log.info(s"""{"event":"terminated","id":"${event.id}","error":${event.exception.isDefined}}""")
+}
