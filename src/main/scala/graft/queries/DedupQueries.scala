@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+import graft.operators.TextDedup
+import graft.operators.TextDedup._
+
+/**
+ * Dedup operator queries over the `documents` table, each oracle-gated.
+ * The DuckDB side is GENERATED from the same constants (prime, permutation
+ * table, band geometry) as the Spark side — the two engines independently
+ * implement the same algorithm and must agree bit-for-bit.
+ *
+ * The driver's corpus has no native duplicates at sf0.01, so each query
+ * unions in a deterministic duplicated/mutated slice of the corpus itself:
+ * the dedup logic is then verified against duplicates it provably must
+ * find.
+ */
+object DedupQueries {
+
+  private val P = TextDedup.Prime
+
+  /** DuckDB twin of TextDedup.hash64 / hashMod. */
+  private def sqlHash(c: String) = s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT)"
+  private def sqlHashMod(c: String) = s"${sqlHash(c)} % $P"
+
+  /** DuckDB twin of TextDedup.shingles (word n-grams w/ short-doc fallback). */
+  private def sqlShingles(t: String, n: Int): String =
+    s"""CASE WHEN len($t) >= $n
+        THEN list_transform(range(1, len($t) - ${n - 2}), i -> array_to_string($t[i:i+${n - 1}], ' '))
+        ELSE [array_to_string($t, ' ')] END"""
+
+  private def sqlTokens(text: String) = s"string_split_regex(lower($text), '\\s+')"
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------------------
+    // q22 — exact dedup by content hash. Only (hash, id) pairs cross the
+    // shuffle; the grouped hash distributes uniformly, so no skew at any
+    // scale. The duplicated slice (every 10th doc re-inserted under a new
+    // id) must collapse to n_copies=2 groups.
+    // ------------------------------------------------------------------
+    "q22_exact_dedup" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        exactDupGroups(docs.union(dup), "text", "doc_id")
+          .select(col("rep_id"), col("n_copies"), col("content_hash"))
+          .orderBy("rep_id")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
+               ${sqlHash("text")} AS content_hash
+        FROM base GROUP BY 3 ORDER BY rep_id"""),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q23 — MinHash + banded-LSH near-duplicate candidate pairs, reranked
+    // with exact word-bigram Jaccard. Candidates come from an equality
+    // join on band keys (cost ∝ Σ bucket²) — NEVER an all-pairs product.
+    // The mutated slice (every 20th doc + two appended tokens) guarantees
+    // high-similarity pairs the banding provably catches.
+    // ------------------------------------------------------------------
+    "q23_minhash_lsh_dedup" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val mut = docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zz qq")).as("text"))
+        minhashCandidatePairs(docs.union(mut), "text", "doc_id")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        val sigExprs = perms.map { case (a, b) =>
+          s"list_min(list_transform(hv, h -> ($a * h + $b) % $P))"
+        }.mkString(",\n            ")
+        val bandExprs = (0 until Bands).map { bnd =>
+          val comps = (0 until RowsPerBand)
+            .map(r => s"sig[${bnd * RowsPerBand + r + 1}]").mkString(", ")
+          s"concat_ws('_', '$bnd', $comps)"
+        }.mkString(",\n            ")
+        s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zz qq' FROM documents WHERE doc_id % 20 = 0),
+        tok AS (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM base),
+        sh AS (SELECT doc_id, text, ${sqlShingles("t", 3)} AS sh FROM tok),
+        hs AS (SELECT doc_id, text,
+          list_transform(sh, s -> ${sqlHashMod("s")}) AS hv FROM sh),
+        sig AS (SELECT doc_id, text,
+          [ $sigExprs ] AS sig FROM hs),
+        bands AS (SELECT doc_id, unnest([
+            $bandExprs ]) AS band_key FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        joined AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b,
+            ${sqlTokens("sa.text")} AS ta, ${sqlTokens("sb.text")} AS tb
+          FROM cand
+          JOIN sig sa ON cand.doc_a = sa.doc_id
+          JOIN sig sb ON cand.doc_b = sb.doc_id),
+        gram AS (SELECT doc_a, doc_b, sig_a, sig_b,
+            list_distinct(${sqlShingles("ta", 2)}) AS ga,
+            list_distinct(${sqlShingles("tb", 2)}) AS gb
+          FROM joined),
+        scored AS (SELECT doc_a, doc_b,
+            CAST(list_sum(list_transform(range(1, ${K + 1}),
+              i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+              / ${K.toDouble} AS est_sim,
+            CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+              / CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE) AS jaccard
+          FROM gram)
+        SELECT doc_a, doc_b, est_sim, jaccard FROM scored
+        WHERE est_sim >= 0.3 ORDER BY doc_a, doc_b"""
+      },
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q24 — 16-bit SimHash fingerprint per document: explode tokens, one
+    // conditional aggregation per bit (generated, not hand-written), sign
+    // of the sum sets the bit. One shuffle on doc_id; at scale the
+    // explode+agg is map-side combined.
+    // ------------------------------------------------------------------
+    "q24_simhash_fingerprint" -> GraftQuery(
+      build = (s, d) =>
+        simhashFingerprint(documents(s, d), "text", "doc_id")
+          .orderBy("doc_id"),
+      oracle = Some {
+        val bitSums = (0 until 16)
+          .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(",\n            ")
+        val bitVal = (0 until 16)
+          .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token
+          FROM documents),
+        h AS (SELECT doc_id, ${sqlHash("token")} AS h FROM tok),
+        s AS (SELECT doc_id, count(*) AS n_tokens,
+            $bitSums
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($bitVal AS BIGINT) AS simhash, n_tokens
+        FROM s ORDER BY doc_id"""
+      })
+  )
+}

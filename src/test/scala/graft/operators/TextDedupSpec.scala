@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.queries.Tables
+
+/**
+ * Semantic properties of the dedup operators beyond the hash-level oracle
+ * gate (q22-q24): seeded duplicates are provably found, and the LSH plan
+ * generates candidates via an equality join — never a cartesian product.
+ */
+class TextDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("exactDupGroups collapses identical content to one representative") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val groups = TextDedup.exactDupGroups(df, "text", "doc_id")
+      .orderBy("rep_id").collect()
+    assert(groups.length === 2)
+    assert(groups.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical docs have est_sim 1.0; seeded near-dups are all found") {
+    val docs = Tables.documents(spark, sf("0.01")).select(col("doc_id"), col("text"))
+    val mut = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz qq")).as("text"))
+    val pairs = TextDedup.minhashCandidatePairs(docs.union(mut), "text", "doc_id")
+    val seeded = pairs.filter(col("doc_b") === col("doc_a") + 100000)
+    // every 20th doc was mutated: all 25 seeded pairs must surface as candidates
+    assert(seeded.count() === 25)
+    // appended 2 tokens on ~100+ token docs: exact bigram jaccard stays high
+    assert(seeded.filter(col("jaccard") < 0.8).count() === 0)
+    // a doc is trivially a near-duplicate of itself
+    val self = TextDedup.minhashCandidatePairs(
+      docs.union(docs.select(col("doc_id") + 100000 as "doc_id", col("text"))),
+      "text", "doc_id")
+      .filter(col("doc_b") === col("doc_a") + 100000)
+    assert(self.filter(col("est_sim") =!= 1.0).count() === 0)
+  }
+
+  test("LSH candidate generation plan contains no cartesian product") {
+    val docs = Tables.documents(spark, sf("0.01")).select(col("doc_id"), col("text"))
+    val plan = TextDedup.minhashCandidatePairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("simhash: fingerprint is stable under duplication and differs across docs") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val fp = TextDedup.simhashFingerprint(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(fp(0).getLong(1) === fp(1).getLong(1))
+    assert(fp(0).getLong(1) !== fp(2).getLong(1))
+    assert(fp(0).getLong(2) === 4L) // n_tokens
+  }
+}
