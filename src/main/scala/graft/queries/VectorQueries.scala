@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import Tables._
+import graft.operators.VectorSearch
+import graft.operators.VectorSearch._
+
+/**
+ * Similarity-search queries over the `embeddings` table, oracle-gated.
+ * The DuckDB side is generated from the same hyperplane constants and
+ * implements the identical double-precision in-order arithmetic, so
+ * cosines match bit-for-bit (see VectorSearch numeric-determinism note).
+ */
+object VectorQueries {
+
+  /** DuckDB twin of VectorSearch.toDouble. */
+  private def sqlToDouble(c: String) =
+    s"list_transform(range(1, len($c) + 1), i -> CAST($c[i] AS DOUBLE))"
+
+  /** DuckDB twin of VectorSearch.dotD over double arrays (in-order fold;
+    * no-seed list_reduce ≡ 0.0-seeded fold since 0.0+x == x). */
+  private def sqlDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** DuckDB twin of VectorSearch.rhpBucket: the same ±1 hyperplanes as
+    * inline list literals. */
+  private def sqlBucket(v: String): String =
+    hyperplanes.zipWithIndex.map { case (hp, j) =>
+      val lits = hp.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+      s"""CASE WHEN list_reduce(list_transform(range(1, len($v) + 1),
+            i -> $v[i] * ([$lits])[i]), (x, y) -> x + y) > 0
+          THEN ${1 << j} ELSE 0 END"""
+    }.mkString("\n          + ")
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------------------
+    // q25 — exact cosine top-5 for a bounded query set (every 100th
+    // vector) against the whole corpus. The query side is broadcast: one
+    // corpus scan, linear cost, no shuffle of vectors. This is the
+    // audit baseline for the LSH path (q26), not the scale path itself.
+    // ------------------------------------------------------------------
+    "q25_knn_cosine_brute" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        knnBrute(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding")
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
+        nb AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM base),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nb WHERE vec_id % 100 = 0),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+            ${sqlDot("b.v", "qv")} / (b.nrm * qn) AS cosine
+          FROM nb b CROSS JOIN q WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q26 — LSH-bucketed near-duplicate pairs: 8-bit random-hyperplane
+    // signature → equality join on bucket → exact cosine rerank ≥ 0.99.
+    // Candidates cost ∝ Σ bucket² — never an all-pairs product. Seeded
+    // near-identical mutants (every 100th vector, alternate dims scaled
+    // by 1.002) guarantee pairs the banding provably catches.
+    // ------------------------------------------------------------------
+    "q26_ann_lsh_cosine" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        val orig = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val mut = emb.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast(DoubleType) * (lit(1.0) + lit(0.002) * (i % 2).cast(DoubleType)))
+              .as("v"))
+        VectorSearch.bucketedNearDupPairs(orig.union(mut), "vec_id", minCosine = 0.99)
+          .orderBy("vec_a", "vec_b")
+      },
+      oracle = Some(s"""
+        WITH orig AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
+        mut AS (SELECT vec_id + 100000 AS vec_id,
+            list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * (1.0 + 0.002 * CAST((i - 1) % 2 AS DOUBLE))) AS v
+          FROM embeddings WHERE vec_id % 100 = 0),
+        allv AS (SELECT * FROM orig UNION ALL SELECT * FROM mut),
+        sigs AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm,
+            ${sqlBucket("v")} AS bucket
+          FROM allv),
+        pairs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+            ${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
+          FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b, cosine FROM pairs
+        WHERE cosine >= 0.99 ORDER BY vec_a, vec_b"""),
+      headline = true)
+  )
+}
