@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text analysis operators for training-data pipelines: language ID,
+ * quality scoring, token counting, and rolling-hash fingerprinting
+ * (builder brief; absent from the reference, SURVEY §2.2).
+ *
+ * All pure column expressions — per-row, shuffle-free, codegen'd; at
+ * 100 TB these run at scan speed and the only shuffles are the explicit
+ * aggregations a caller adds on top.
+ */
+object TextAnalysis {
+
+  /** Per-language stopword lists for the scoring heuristic (shared with
+    * the generated DuckDB oracle — TextQueries). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "uno", "una", "en", "que", "por"))
+
+  /** Langs scored by stopwords, in deterministic tie-break priority. */
+  val scoredLangs: Seq[String] = Seq("en", "de", "fr", "es")
+
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Multiset count of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Count of CJK characters (Java regex unicode block). */
+  def cjkChars(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))
+
+  /**
+   * Language prediction: CJK-ratio gate for zh, then argmax of stopword
+   * hit counts with fixed priority (en > de > fr > es) on ties; "und" when
+   * no stopword hits at all.
+   */
+  def predictedLang(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = scoredLangs.map(l => l -> stopwordHits(toks, stopwords(l)))
+    val m = greatest(scores.map(_._2): _*)
+    val argmax = scores.init.foldRight(lit(scoredLangs.last)) { case ((l, s), els) =>
+      when(s === m, lit(l)).otherwise(els)
+    }
+    when(cjkChars(text) > length(text) * 0.05, "zh")
+      .when(m === 0, "und")
+      .otherwise(argmax)
+  }
+
+  /** Count of chars matched by a (both-engine-compatible) char class. */
+  def charClassCount(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
+
+  /**
+   * Per-document quality features + composite score: the standard
+   * length / punctuation / stopword-ratio heature set used for corpus
+   * filtering. Ratios are double divisions of integer counts —
+   * bit-deterministic cross-engine.
+   */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("toks", tokens(t))
+      .withColumn("n_chars_m", length(t).cast(LongType))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("avg_token_len",
+        (col("n_chars_m") - charClassCount(t, "\\s")).cast(DoubleType)
+          / col("n_tokens").cast(DoubleType))
+      .withColumn("punct_ratio",
+        charClassCount(t, "[.,!?;:]").cast(DoubleType) / col("n_chars_m").cast(DoubleType))
+      .withColumn("digit_ratio",
+        charClassCount(t, "[0-9]").cast(DoubleType) / col("n_chars_m").cast(DoubleType))
+      .withColumn("stopword_ratio",
+        stopwordHits(col("toks"), stopwords("en")).cast(DoubleType)
+          / col("n_tokens").cast(DoubleType))
+      .withColumn("quality_score",
+        lit(0.4) * col("stopword_ratio")
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.2) * when(col("n_tokens") >= 10, 1.0).otherwise(0.0)
+          + lit(0.1) * (lit(1.0) - col("digit_ratio")))
+      .drop("toks")
+  }
+
+  /** Whitespace token count (the trivial estimator). */
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish wordpiece count: alnum runs are pieces, everything else
+    * separates (the regex stand-in for a learned BPE vocab). */
+  def wordpieceCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), p => length(p) > 0)).cast(LongType)
+
+  /** chars/4 BPE token estimate (the usual budgeting rule of thumb). */
+  def bpeEstimate(nChars: Column): Column =
+    floor((nChars + lit(3)).cast(DoubleType) / lit(4.0)).cast(LongType)
+
+  /** Rolling polynomial hash over characters: h = (h·31 + codepoint) mod P.
+    * Strict left fold — identical in the DuckDB oracle. */
+  val FingerprintMod = 1000000007L
+  def rollingFingerprint(text: Column): Column = {
+    val chars = filter(split(text, ""), c => length(c) > 0)
+    when(size(chars) === 0, lit(0L))
+      .otherwise(aggregate(chars, lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % FingerprintMod))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+import graft.operators.TextAnalysis
+import graft.operators.TextAnalysis._
+
+/**
+ * Text-analysis queries over `documents`, oracle-gated. Stopword lists,
+ * tie-break priority, quality weights and the fingerprint modulus are
+ * single Scala constants shared with the generated DuckDB SQL.
+ *
+ * Note: the synthetic corpus is English-ish word soup under every `lang`
+ * label, so q27 verifies the DETERMINISM of the heuristic across engines,
+ * not NLP accuracy — accuracy over this corpus is meaningless by
+ * construction (its `is_match` column records exactly that).
+ */
+object TextQueries {
+
+  private def sqlTokens(text: String) = s"string_split_regex(lower($text), '\\s+')"
+
+  /** DuckDB twin of TextAnalysis.stopwordHits (multiset semantics). */
+  private def sqlHits(toks: String, words: Seq[String]) = {
+    val lits = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toks, t -> list_contains([$lits], t)))"
+  }
+
+  /** DuckDB twin of charClassCount; DuckDB needs the 'g' flag for
+    * replace-all, Spark replaces all by default. */
+  private def sqlClassCount(text: String, cls: String) =
+    s"(length($text) - length(regexp_replace($text, '$cls', '', 'g')))"
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------------------
+    // q27 — language ID: CJK-char gate, then argmax of per-language
+    // stopword hit counts with fixed tie-break priority. Pure per-row
+    // expressions; the only shuffle is the final presentation sort.
+    // ------------------------------------------------------------------
+    "q27_lang_id" -> GraftQuery(
+      build = (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            predictedLang(col("text")).as("predicted_lang"))
+          .withColumn("is_match",
+            (col("predicted_lang") === col("labeled_lang")).cast(IntegerType))
+          .orderBy("doc_id"),
+      oracle = Some {
+        val scores = scoredLangs.map(l => s"${sqlHits("toks", stopwords(l))} AS s_$l")
+          .mkString(",\n            ")
+        val m = scoredLangs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val argmax = scoredLangs.init.foldRight(s"'${scoredLangs.last}'") {
+          case (l, els) => s"CASE WHEN s_$l = m THEN '$l' ELSE $els END"
+        }
+        s"""
+        WITH toks AS (SELECT doc_id, lang, text, ${sqlTokens("text")} AS toks
+          FROM documents),
+        scored AS (SELECT doc_id, lang, text,
+            $scores
+          FROM toks),
+        m AS (SELECT *, $m AS m FROM scored),
+        pred AS (SELECT doc_id, lang AS labeled_lang,
+            CASE WHEN ${sqlClassCount("text", "[\\x{4e00}-\\x{9fff}]")} > length(text) * 0.05
+                 THEN 'zh'
+                 WHEN m = 0 THEN 'und'
+                 ELSE $argmax END AS predicted_lang
+          FROM m)
+        SELECT doc_id, labeled_lang, predicted_lang,
+          CAST(predicted_lang = labeled_lang AS INT) AS is_match
+        FROM pred ORDER BY doc_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q28 — per-document quality features + composite score (the corpus-
+    // filtering feature set). Integer counts divided as doubles:
+    // bit-deterministic cross-engine.
+    // ------------------------------------------------------------------
+    "q28_text_quality" -> GraftQuery(
+      build = (s, d) =>
+        qualityFeatures(documents(s, d), "text")
+          .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+            col("avg_token_len"), col("punct_ratio"), col("digit_ratio"),
+            col("stopword_ratio"), col("quality_score"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH f AS (SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_m,
+            CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens,
+            ${sqlClassCount("text", "\\s")} AS ws_chars,
+            ${sqlClassCount("text", "[.,!?;:]")} AS punct_chars,
+            ${sqlClassCount("text", "[0-9]")} AS digit_chars,
+            ${sqlHits(sqlTokens("text"), stopwords("en"))} AS sw_hits
+          FROM documents)
+        SELECT doc_id, n_chars_m, n_tokens,
+          CAST(n_chars_m - ws_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+          CAST(punct_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio,
+          CAST(digit_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS digit_ratio,
+          CAST(sw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+          0.4 * (CAST(sw_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+            + 0.3 * (1.0 - CAST(punct_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE))
+            + 0.2 * (CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END)
+            + 0.1 * (1.0 - CAST(digit_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) AS quality_score
+        FROM f ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q29 — corpus token budgeting per (lang, source): whitespace tokens,
+    // BPE-ish wordpieces, chars/4 BPE estimate. Per-row counting at scan
+    // speed, one map-side-combined aggregation.
+    // ------------------------------------------------------------------
+    "q29_token_stats" -> GraftQuery(
+      build = (s, d) =>
+        documents(s, d)
+          .select(col("lang"), col("source"),
+            wsTokenCount(col("text")).as("ws_toks"),
+            wordpieceCount(col("text")).as("pieces"),
+            bpeEstimate(col("n_chars")).as("bpe_est"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws_toks")).as("sum_ws_tokens"),
+            sum(col("pieces")).as("sum_wordpieces"),
+            sum(col("bpe_est")).as("sum_bpe_est"),
+            (sum(col("ws_toks")).cast(DoubleType)
+              / count(lit(1)).cast(DoubleType)).as("avg_tokens_per_doc"))
+          .orderBy("lang", "source"),
+      oracle = Some(s"""
+        WITH f AS (SELECT lang, source,
+            CAST(len(${sqlTokens("text")}) AS BIGINT) AS ws_toks,
+            CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+              p -> length(p) > 0)) AS BIGINT) AS pieces,
+            CAST(floor(CAST(n_chars + 3 AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est
+          FROM documents)
+        SELECT lang, source, count(*) AS n_docs,
+          sum(ws_toks) AS sum_ws_tokens, sum(pieces) AS sum_wordpieces,
+          sum(bpe_est) AS sum_bpe_est,
+          CAST(sum(ws_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens_per_doc
+        FROM f GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ------------------------------------------------------------------
+    // q30 — rolling polynomial fingerprint: strict left fold of
+    // (h·31 + codepoint) mod P over characters. Shuffle-free per-row.
+    // ------------------------------------------------------------------
+    "q30_doc_fingerprint" -> GraftQuery(
+      build = (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), rollingFingerprint(col("text")).as("fingerprint"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id,
+          CASE WHEN length(text) = 0 THEN 0
+               ELSE list_reduce(
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                 (acc, c) -> (acc * 31 + c) % $FingerprintMod) END AS fingerprint
+        FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Unit checks of the text-analysis expressions beyond the oracle gate
+  * (q27-q30), including branches the synthetic corpus never hits (real
+  * CJK text, empty strings, punctuation-heavy docs). */
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq(text).toDF("text").select(c).head()
+
+  test("predictedLang: stopword argmax with priority ties; CJK gate; und fallback") {
+    assert(one("the cat and the dog", TextAnalysis.predictedLang($"text")).getString(0) === "en")
+    assert(one("der hund und die katze ist", TextAnalysis.predictedLang($"text")).getString(0) === "de")
+    assert(one("le chat est dans la maison", TextAnalysis.predictedLang($"text")).getString(0) === "fr")
+    assert(one("el perro y los gatos es", TextAnalysis.predictedLang($"text")).getString(0) === "es")
+    assert(one("你好世界 这是中文文本 完全没有空格词", TextAnalysis.predictedLang($"text")).getString(0) === "zh")
+    assert(one("xyzzy plugh qwerty", TextAnalysis.predictedLang($"text")).getString(0) === "und")
+    // tie between en and de resolves to en (priority order)
+    assert(one("the der", TextAnalysis.predictedLang($"text")).getString(0) === "en")
+  }
+
+  test("quality features: ratios and bounds on a crafted doc") {
+    val df = Seq((1L, "the quick brown fox, it jumps; over 42 dogs!"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") === 9L)
+    assert(r.getAs[Double]("punct_ratio") > 0.0)
+    assert(r.getAs[Double]("digit_ratio") > 0.0)
+    val score = r.getAs[Double]("quality_score")
+    assert(score > 0.0 && score <= 1.0)
+  }
+
+  test("token counts: whitespace vs wordpiece vs BPE estimate") {
+    assert(one("hello world", TextAnalysis.wsTokenCount($"text")).getLong(0) === 2L)
+    assert(one("hello, world! x-2", TextAnalysis.wordpieceCount($"text")).getLong(0) === 4L)
+    assert(Seq(10L).toDF("n").select(TextAnalysis.bpeEstimate($"n")).head().getLong(0) === 3L)
+  }
+
+  test("rolling fingerprint: known value, order-sensitivity, empty-string guard") {
+    // "ab" -> ((0*31+97)%P*31+98)%P = 97*31+98 = 3105
+    assert(one("ab", TextAnalysis.rollingFingerprint($"text")).getLong(0) === 3105L)
+    val fAb = one("ab", TextAnalysis.rollingFingerprint($"text")).getLong(0)
+    val fBa = one("ba", TextAnalysis.rollingFingerprint($"text")).getLong(0)
+    assert(fAb !== fBa)
+    assert(one("", TextAnalysis.rollingFingerprint($"text")).getLong(0) === 0L)
+  }
+}
