@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.HfpFlatten
+import graft.sources.HfpRawIngest
+
+import graft.SparkSuite
+
+/**
+ * Event-time streaming semantics: watermark advancement, append-mode
+ * window emission, late-data dropping, and key-dedup within the
+ * watermark. Each scenario drives the real wire→envelope→flatten stream
+ * through SEVERAL AvailableNow runs sharing one checkpoint: the watermark
+ * persists in the checkpoint between runs, so emission/ eviction points
+ * are fully deterministic (no sleeps, no trigger races).
+ */
+class EventTimeStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
+
+  private val topic =
+    "/hfp/v2/journey/ongoing/vp/bus/0022/00854/2550/2/X/08:00/1/4/60;24/28/65/06"
+
+  /** One wire record with the given event time (tst) and vehicle. */
+  private def rec(tst: String, veh: Int = 854, spd: Double = 10.0): (String, String, Long) =
+    (topic.replace("/00854/", f"/$veh%05d/"),
+      s"""{"VP":{"dir":"2","oper":22,"veh":$veh,"tst":"$tst","tsi":1,"spd":$spd,"route":"2550"}}""",
+      1717574400000L)
+
+  /** Write one file of wire records into the streaming input dir. */
+  private def writeFile(dir: String, n: Int, recs: Seq[(String, String, Long)]): Unit =
+    recs.toDF("topic", "payload", "received_at")
+      .coalesce(1).write.mode("append").json(dir)
+
+  private def vehiclesStream(in: String): DataFrame =
+    HfpFlatten.flatten(
+      HfpRawIngest.toEnvelope(
+        spark.readStream.schema(HfpStreamPipeline.wireSchema).json(in)),
+      strictTst = false)
+
+  /** One AvailableNow run of `df` into a parquet sink, shared checkpoint. */
+  private def runOnce(df: DataFrame, out: String, ckpt: String): Unit =
+    df.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+
+  private def outRows(out: String): Array[org.apache.spark.sql.Row] =
+    try spark.read.parquet(out).collect() catch { case _: Throwable => Array.empty }
+
+  test("tumbling window: emits only when watermark passes window end; late rows dropped") {
+    val in = tmp("et_in_"); val out = tmp("et_out_"); val ckpt = tmp("et_ck_")
+    def agg = EventTimeOps.tumblingRouteCounts(vehiclesStream(in),
+      watermarkDelay = "2 minutes", windowDuration = "1 minute")
+
+    // run 1: three events in windows [08:00) and [08:01) → watermark ends
+    // at 08:01:10-2m = 07:59:10 → nothing emitted yet
+    writeFile(in, 1, Seq(
+      rec("2024-06-05T08:00:10Z"), rec("2024-06-05T08:00:20Z"), rec("2024-06-05T08:01:10Z")))
+    runOnce(agg, out, ckpt)
+    assert(outRows(out).isEmpty)
+
+    // run 2: event at 08:05 advances the watermark to 08:03; AvailableNow
+    // then runs one more (empty) batch against the new watermark, which
+    // closes and emits [08:00) and [08:01) within the same run
+    writeFile(in, 2, Seq(rec("2024-06-05T08:05:00Z")))
+    runOnce(agg, out, ckpt)
+    val w0800 = 1717574400000000L // 2024-06-05T08:00:00Z in epoch micros
+    def emitted = outRows(out).map(r => (r.getAs[Long]("window_start_us"),
+      r.getAs[Long]("n_events"))).sorted.toSeq
+    assert(emitted === Seq((w0800, 2L), (w0800 + 60000000L, 1L)))
+
+    // run 3: fresh event at 08:10 (watermark → 08:08, closing [08:05))
+    // AND a too-late event at 08:00:30 — behind the 08:03 watermark, so it
+    // is dropped and the already-emitted [08:00) count stays 2
+    writeFile(in, 3, Seq(rec("2024-06-05T08:10:00Z"), rec("2024-06-05T08:00:30Z")))
+    runOnce(agg, out, ckpt)
+    assert(emitted === Seq((w0800, 2L), (w0800 + 60000000L, 1L), (w0800 + 300000000L, 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark: duplicate key suppressed within the horizon") {
+    val in = tmp("dd_in_"); val out = tmp("dd_out_"); val ckpt = tmp("dd_ck_")
+    def dedup = EventTimeOps.dedupWithinWatermark(vehiclesStream(in), "10 minutes")
+      .select("unique_vehicle_id", "tst", "event_type")
+
+    // run 1: the same (vehicle, tst, event_type) twice in one batch plus a
+    // distinct second vehicle → 2 rows out
+    writeFile(in, 1, Seq(
+      rec("2024-06-05T08:00:00Z"), rec("2024-06-05T08:00:00Z"), rec("2024-06-05T08:00:05Z", veh = 900)))
+    runOnce(dedup, out, ckpt)
+    assert(outRows(out).length === 2)
+
+    // run 2: the same key AGAIN in a later batch, still within the 10 min
+    // horizon → suppressed by checkpointed state; one genuinely new key
+    writeFile(in, 2, Seq(
+      rec("2024-06-05T08:00:00Z"), rec("2024-06-05T08:02:00Z", veh = 901)))
+    runOnce(dedup, out, ckpt)
+    assert(outRows(out).length === 3)
+  }
+
+  test("session window: closes only when the watermark passes end+gap, merges within gap") {
+    val in = tmp("sw_in_"); val out = tmp("sw_out_"); val ckpt = tmp("sw_ck_")
+    def sessions = EventTimeOps.vehicleSessions(vehiclesStream(in),
+      watermarkDelay = "1 minute", gap = "2 minutes")
+
+    // one vehicle: events at 08:00:00 and 08:01:00 (same session, gap<2m);
+    // second vehicle far later advances the watermark in the next run
+    writeFile(in, 1, Seq(rec("2024-06-05T08:00:00Z"), rec("2024-06-05T08:01:00Z")))
+    runOnce(sessions, out, ckpt)
+    assert(outRows(out).isEmpty)
+
+    // run 2: 08:30 event advances the watermark to 08:29 > 08:01+2m gap →
+    // the merged two-event session emits within this run
+    writeFile(in, 2, Seq(rec("2024-06-05T08:30:00Z", veh = 950)))
+    runOnce(sessions, out, ckpt)
+    val rows2 = outRows(out)
+    assert(rows2.length === 1)
+    assert(rows2.head.getAs[Long]("n_events") === 2L)
+    assert(rows2.head.getAs[Long]("session_end_us")
+      - rows2.head.getAs[Long]("session_start_us") === 180000000L) // 1 min span + 2 min gap
+
+    // run 3: 08:40 closes vehicle 950's singleton; 951's own session stays
+    // open (watermark 08:39 < its end+gap)
+    writeFile(in, 3, Seq(rec("2024-06-05T08:40:00Z", veh = 951)))
+    runOnce(sessions, out, ckpt)
+    val byVeh = outRows(out).map(r =>
+      r.getAs[String]("unique_vehicle_id") -> r.getAs[Long]("n_events")).toMap
+    assert(byVeh === Map("22/854" -> 2L, "22/950" -> 1L))
+  }
+}
