@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/**
+ * Placeholder dialect for the INSERT statement. The reference relies on
+ * PostgreSQL server-side enum casts in its prepared statement
+ * (`?::JOURNEY_TYPE`, `?::EVENT_TYPE`, `?::TRANSPORT_MODE`,
+ * `?::LOCATION_QUALITY_METHOD` — QueueWriter.java:45-46); a plain target
+ * (Derby, generic JDBC) binds bare `?`.
+ */
+trait SqlDialect extends Serializable {
+  def placeholder(column: String): String
+  /** Quoted identifier — `long` and `start` are reserved words
+    * (SURVEY §7.4), so every column is quoted. */
+  def quote(column: String): String = "\"" + column + "\""
+}
+
+object GenericDialect extends SqlDialect {
+  override def placeholder(column: String): String = "?"
+}
+
+/** PostgreSQL/TimescaleDB parity: enum-typed columns cast server-side,
+  * exactly the reference's statement shape (QueueWriter.java:36-48). */
+object PostgresHfpDialect extends SqlDialect {
+  private val enumCasts = Map(
+    "journey_type" -> "JOURNEY_TYPE",
+    "event_type" -> "EVENT_TYPE",
+    "mode" -> "TRANSPORT_MODE",
+    "loc" -> "LOCATION_QUALITY_METHOD")
+  override def placeholder(column: String): String =
+    enumCasts.get(column).map(t => s"?::$t").getOrElse("?")
+}
+
+/**
+ * Transactional JDBC batch sink (reference O10, QueueWriter.java:50-165):
+ * per partition, one connection with autocommit off, `addBatch` per row,
+ * one `executeBatch` + `commit`; any error rolls the partition back and
+ * rethrows, failing the micro-batch so the checkpoint does not advance
+ * (at-least-once redelivery, O11).
+ *
+ * Atomicity scope: the reference commits ONE transaction per dump of up
+ * to 250k rows (QueueWriter.java:31,141). Spark parallelizes the write,
+ * so the native unit is one transaction PER PARTITION;
+ * `singleTransaction = true` coalesces to one partition for strict parity
+ * (fine at the reference's scale, a deliberate bottleneck at 100 TB —
+ * leave it off and accept partition-level atomicity there).
+ */
+final class JdbcVehiclesSink(
+    url: String, table: String,
+    dialect: SqlDialect = GenericDialect,
+    singleTransaction: Boolean = false,
+    connectionProps: Map[String, String] = Map.empty)
+    extends BatchSink {
+
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    val df = if (singleTransaction) batch.coalesce(1) else batch
+    val schema = df.schema
+    val sql = JdbcVehiclesSink.insertSql(table, schema, dialect)
+    val (u, props) = (url, connectionProps)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val p = new Properties()
+        props.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = DriverManager.getConnection(u, p)
+        JdbcVehiclesSink.writePartition(conn, sql, schema, rows)
+      }
+    }
+  }
+}
+
+object JdbcVehiclesSink {
+
+  /** INSERT statement with dialect placeholders, every identifier quoted. */
+  def insertSql(table: String, schema: StructType, dialect: SqlDialect): String = {
+    val cols = schema.fieldNames.map(dialect.quote).mkString(", ")
+    val phs = schema.fieldNames.map(dialect.placeholder).mkString(", ")
+    s"""INSERT INTO $table ($cols) VALUES ($phs)"""
+  }
+
+  /** One transaction for one partition's rows; rollback + rethrow on error. */
+  def writePartition(conn: Connection, sql: String, schema: StructType,
+      rows: Iterator[Row]): Unit = {
+    conn.setAutoCommit(false)
+    try {
+      val stmt = conn.prepareStatement(sql)
+      try {
+        rows.foreach { row =>
+          bindRow(stmt, schema, row)
+          stmt.addBatch()
+        }
+        stmt.executeBatch()
+        conn.commit()
+      } finally stmt.close()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => }
+        throw e
+    } finally conn.close()
+  }
+
+  /** Typed bind with explicit setNull — the Spark restatement of the
+    * reference's 7-case JDBC type dispatch (QueueWriter.java:174-214). */
+  def bindRow(stmt: PreparedStatement, schema: StructType, row: Row): Unit =
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val idx = i + 1
+      if (row.isNullAt(i)) stmt.setNull(idx, jdbcType(f.dataType))
+      else f.dataType match {
+        case StringType => stmt.setString(idx, row.getString(i))
+        case IntegerType => stmt.setInt(idx, row.getInt(i))
+        case LongType => stmt.setLong(idx, row.getLong(i))
+        case ShortType => stmt.setShort(idx, row.getShort(i))
+        case DoubleType => stmt.setDouble(idx, row.getDouble(i))
+        case BooleanType => stmt.setBoolean(idx, row.getBoolean(i))
+        case TimestampType => stmt.setTimestamp(idx, row.getTimestamp(i))
+        case DateType => stmt.setDate(idx, row.getDate(i))
+        case t => throw new IllegalArgumentException(s"unsupported sink type $t for ${f.name}")
+      }
+    }
+
+  def jdbcType(t: DataType): Int = t match {
+    case StringType => Types.VARCHAR
+    case IntegerType => Types.INTEGER
+    case LongType => Types.BIGINT
+    case ShortType => Types.SMALLINT
+    case DoubleType => Types.DOUBLE
+    case BooleanType => Types.BOOLEAN
+    case TimestampType => Types.TIMESTAMP
+    case DateType => Types.DATE
+    case other => throw new IllegalArgumentException(s"unsupported sink type $other")
+  }
+}
