@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+import graft.operators.Multimodal._
+
+/**
+ * Multimodal-column queries over `documents`, oracle-gated. The payload
+ * is the UTF-8 bytes of `text` (the corpus is pure ASCII at every scale
+ * factor — verified — so DuckDB's char-indexed `substring(text, …)`
+ * slices the same bytes Spark's binary `substr(payload, …)` does, and
+ * `length(text) = octet_length(encode(text))`). Hex is lower-cased on
+ * both sides to erase the engines' case choice.
+ */
+object MultimodalQueries {
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------------------
+    // q36 — metadata aggregation over opaque media payloads: binary
+    // payload + typed meta struct (n_bytes, md5 checksum), rolled up per
+    // modality. Only the metadata struct crosses the shuffle — payload
+    // bytes stay at the scan.
+    // ------------------------------------------------------------------
+    "q36_media_meta" -> GraftQuery(
+      build = (s, d) =>
+        attachPayload(documents(s, d))
+          .groupBy(col("media_type"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("meta.n_bytes")).as("total_bytes"),
+            max(col("meta.n_bytes")).as("max_bytes"),
+            countDistinct(col("meta.checksum")).as("n_distinct_payloads"))
+          .orderBy("media_type"),
+      oracle = Some("""
+        WITH p AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS media_type,
+            CAST(length(text) AS BIGINT) AS n_bytes,
+            md5(text) AS checksum
+          FROM documents)
+        SELECT media_type, count(*) AS n_files,
+          CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+          max(n_bytes) AS max_bytes,
+          count(DISTINCT checksum) AS n_distinct_payloads
+        FROM p GROUP BY media_type ORDER BY media_type""")),
+
+    // ------------------------------------------------------------------
+    // q37 — frame sampling: 16-byte frames, every 4th kept, emitted as
+    // lower-hex. Binary substr/hex are codegen'd; un-kept frames are
+    // never materialized. Bounded to doc_id < 64 to keep the verified
+    // output small while exercising the full fan-out shape.
+    // ------------------------------------------------------------------
+    "q37_frame_sample" -> GraftQuery(
+      build = (s, d) =>
+        sampleFrames(
+          attachPayload(documents(s, d)).filter(col("doc_id") < 64),
+          frameBytes = 16, every = 4)
+          .select(col("doc_id"), col("frame_idx"),
+            octet_length(col("frame")).cast(LongType).as("frame_bytes"),
+            lower(hex(col("frame"))).as("frame_hex"))
+          .orderBy("doc_id", "frame_idx"),
+      oracle = Some("""
+        WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
+        f AS (SELECT doc_id, text,
+            unnest(range(0, greatest(CAST(ceil(length(text) / 16.0) AS BIGINT), 1))) AS frame_idx
+          FROM p)
+        SELECT doc_id, frame_idx,
+          CAST(length(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS BIGINT) AS frame_bytes,
+          lower(hex(encode(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)))) AS frame_hex
+        FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx"""))
+  )
+}

@@ -132,8 +132,9 @@ object TextQueries {
             CAST(floor(CAST(n_chars + 3 AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est
           FROM documents)
         SELECT lang, source, count(*) AS n_docs,
-          sum(ws_toks) AS sum_ws_tokens, sum(pieces) AS sum_wordpieces,
-          sum(bpe_est) AS sum_bpe_est,
+          CAST(sum(ws_toks) AS BIGINT) AS sum_ws_tokens,
+          CAST(sum(pieces) AS BIGINT) AS sum_wordpieces,
+          CAST(sum(bpe_est) AS BIGINT) AS sum_bpe_est,
           CAST(sum(ws_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens_per_doc
         FROM f GROUP BY lang, source ORDER BY lang, source""")),
 
