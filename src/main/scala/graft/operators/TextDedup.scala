@@ -111,45 +111,144 @@ object TextDedup {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
   /**
+   * Per-document MinHash signatures: (doc_id, sig).
+   *
+   * Shape: explode shingles → one codegen'd md5 per shingle → ONE
+   * HashAggregate with K `min` columns. Chosen over the per-row
+   * higher-order-function form (`transform`+`array_min` K times over a
+   * shared hash array) for two scale reasons:
+   *  - HOF lambdas evaluate interpreted (boxed per element) and their
+   *    shared input is re-inlined by Catalyst wherever the projection is
+   *    referenced from a join/generate — measured as the dominant cost of
+   *    the whole dedup at sf0.1;
+   *  - the aggregate is whole-stage-codegen'd with map-side partial min,
+   *    so the shuffle carries one partially-aggregated row per (doc,
+   *    partition) — the same weight as the signature itself — and the
+   *    Aggregate node is a hard boundary no downstream consumer can
+   *    inline expression trees through.
+   */
+  def signatures(texts: DataFrame, shingleN: Int): DataFrame = {
+    val hashed = texts
+      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("s"))
+      .select(col("doc_id"), hashMod(col("s")).as("h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), k) =>
+      min((lit(a) * col("h") + lit(b)) % Prime).as(s"m$k")
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
+  }
+
+  /**
+   * Small-input parallelism guard for CPU-bound per-row stages (md5 per
+   * shingle): Spark's scan splitter sizes partitions for I/O
+   * (`maxPartitionBytes`/`openCostInBytes`), so a few-MB parquet file
+   * arrives as 1-2 partitions and the hashing runs on 1-2 cores. When the
+   * scan offers fewer partitions than the cluster has slots, spread it;
+   * the explicit partition count keeps AQE from coalescing the exchange
+   * back down (AQE only coalesces counts it chose itself). At real scale
+   * the scan has ≫ slots partitions and this is a no-op — document bodies
+   * then never cross a shuffle.
+   */
+  def spreadSmallInput(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
+  /** LSH band rows (doc_id, band_key) from a signature frame.
+    *
+    * The generator explodes a LITERAL band-index array and the band key is
+    * assembled ABOVE the Generate from the materialized `sig` attribute.
+    * The direct form `explode(bandKeys(sig))` lets Catalyst inline the
+    * whole signature expression into the generator, where `hv` is no
+    * longer a shared projection — every md5 is recomputed K times per
+    * band (measured 28× slower at sf0.1: 4.5 s vs 0.16 s for this stage). */
+  def bandRows(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"), col("sig"),
+        explode(typedlit((0 until Bands).toArray)).as("band"))
+      .select(col("doc_id"),
+        concat_ws("_",
+          col("band").cast(StringType) +: (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), col("band") * RowsPerBand + r + 1)
+              .cast(StringType)): _*)
+          .as("band_key"))
+
+  /** Band-key bucket sizes over a (doc_id, band_key) frame — the skew
+    * diagnostic for [[minhashCandidatePairs]]'s `maxBandBucket` cap: a
+    * caller that wants drop accounting filters this on
+    * `bucket_size > cap` and counts/logs before running the dedup. */
+  def bandBucketSizes(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band_key")).agg(count(lit(1)).as("bucket_size"))
+
+  /**
    * MinHash/LSH candidate pairs with exact rerank columns. Input must have
    * (idCol, textCol); output: (doc_a, doc_b, est_sim, jaccard) for every
    * candidate pair sharing ≥1 band key, est_sim ≥ minEstSim.
+   *
+   * Shape (each stage exchanges the minimum possible width):
+   *  1. band self-join emits BARE (doc_a, doc_b) pairs — two longs, no
+   *     signatures ride along — and `.distinct()` collapses the per-band
+   *     multiplicity BEFORE any similarity arithmetic, so a pair sharing
+   *     b band keys is scored once, not b times;
+   *  2. signatures join back onto the deduped pairs (16 longs per doc,
+   *     joined once per side);
+   *  3. cheap signature-similarity gate, THEN the O(tokens) exact-Jaccard
+   *     rerank on survivors only (pre-filter rerank measured ~10× slower
+   *     at sf0.1), with the bigram intersection computed once per pair in
+   *     a staged projection.
+   *
+   * @param maxBandBucket skew guard: band buckets larger than this are
+   *        dropped before the self-join. On a boilerplate-heavy corpus one
+   *        hot band key (e.g. an empty-page template) otherwise
+   *        degenerates to a bucket² pair explosion. Dropping a bucket of
+   *        size m only loses pairs whose EVERY shared band is hot —
+   *        candidates usually share a non-hot band too. Account for drops
+   *        via [[bandBucketSizes]] (`bucket_size > maxBandBucket`).
    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, minEstSim: Double = 0.3): DataFrame = {
-    val texts = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // signatures only — the text column must NOT ride along: bands, the
-    // candidate join and the est_sim join exchange 16 ints per doc, never
-    // document bodies. Two-step projection: Catalyst keeps `hv` as a
-    // single computed column because it is non-cheap and referenced K
-    // times (CollapseProject declines to inline it).
-    val sigs = texts
-      .select(col("doc_id"), shingleHashes(col("text"), shingleN).as("hv"))
-      .select(col("doc_id"), signatureFromHashes(col("hv")).as("sig"))
-    // the signature rides along with its band rows (16 longs × Bands rows
-    // per doc — trivial exchange weight) so est_sim is computable at the
-    // moment a bucket pair is found, with no extra join back to sigs
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      explode(bandKeys(col("sig"))).as("band_key"))
-    // cheap signature-similarity gate FIRST: candidate buckets produce far
-    // more pairs than survive est_sim, and the exact-Jaccard rerank costs
-    // O(tokens) per pair — running it pre-filter made the whole operator
-    // ~10× slower at sf0.1
-    val estimated = bands.as("x")
-      .join(bands.as("y"), col("x.band_key") === col("y.band_key")
+      shingleN: Int = 3, minEstSim: Double = 0.3,
+      maxBandBucket: Int = 100000): DataFrame = {
+    val texts = spreadSmallInput(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    val sigs = signatures(texts, shingleN)
+    val bands = bandRows(sigs)
+    val kept =
+      if (maxBandBucket == Int.MaxValue) bands
+      else bands.join(
+        broadcast(bandBucketSizes(bands)
+          .filter(col("bucket_size") > maxBandBucket)
+          .select(col("band_key"))),
+        Seq("band_key"), "left_anti")
+    val cand = kept.as("x")
+      .join(kept.as("y"), col("x.band_key") === col("y.band_key")
         && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        signatureSimilarity(col("x.sig"), col("y.sig")).as("est_sim"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    val estimated = cand
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        signatureSimilarity(col("sig_a"), col("sig_b")).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
-    // exact rerank on the survivors only
+    // exact rerank on the survivors only; intersection sized once
     estimated
       .join(texts.select(col("doc_id"), col("text").as("text_a")),
         col("doc_a") === col("doc_id")).drop("doc_id")
       .join(texts.select(col("doc_id"), col("text").as("text_b")),
         col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
-        ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+        array_distinct(shingles(col("text_a"), 2)).as("ga"),
+        array_distinct(shingles(col("text_b"), 2)).as("gb"))
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        size(array_intersect(col("ga"), col("gb"))).cast(DoubleType).as("inter"),
+        size(col("ga")).cast(DoubleType).as("na"),
+        size(col("gb")).cast(DoubleType).as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
   /**

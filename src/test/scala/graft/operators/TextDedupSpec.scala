@@ -40,6 +40,31 @@ class TextDedupSpec extends SparkSuite {
     assert(self.filter(col("est_sim") =!= 1.0).count() === 0)
   }
 
+  test("maxBandBucket cap drops hot-bucket pairs and accounts for them") {
+    // 30 copies of one boilerplate doc -> every band bucket it occupies is
+    // hot; 2 distinct near-dup docs stay under the cap
+    val boiler = (1L to 30L).map(i => (i, "the same boilerplate page text over and over"))
+    val longDoc = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val real = Seq((100L, longDoc + " zeta"), (200L, longDoc + " eta"))
+    val df = (boiler ++ real).toDF("doc_id", "text")
+    val uncapped = TextDedup.minhashCandidatePairs(df, "text", "doc_id",
+      maxBandBucket = Int.MaxValue)
+    // 30 identical docs alone produce C(30,2)=435 pairs
+    assert(uncapped.filter(col("doc_a") <= 30).count() === 435)
+    val capped = TextDedup.minhashCandidatePairs(df, "text", "doc_id",
+      maxBandBucket = 10)
+    // hot boilerplate buckets dropped; the under-cap pair survives
+    assert(capped.filter(col("doc_a") <= 30).count() === 0)
+    assert(capped.filter(col("doc_a") === 100 && col("doc_b") === 200).count() === 1)
+    // drop accounting: the diagnostic frame reports every hot bucket
+    val texts = df.select(col("doc_id"), col("text"))
+    val hot = TextDedup.bandBucketSizes(
+      TextDedup.bandRows(TextDedup.signatures(texts, 3)))
+      .filter(col("bucket_size") > 10)
+    assert(hot.count() === TextDedup.Bands) // all 4 boilerplate band buckets
+    assert(hot.agg(max(col("bucket_size"))).head.getLong(0) === 30L)
+  }
+
   test("LSH candidate generation plan contains no cartesian product") {
     val docs = Tables.documents(spark, sf("0.01")).select(col("doc_id"), col("text"))
     val plan = TextDedup.minhashCandidatePairs(docs, "text", "doc_id")
