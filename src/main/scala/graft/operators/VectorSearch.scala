@@ -14,20 +14,46 @@ import org.apache.spark.sql.types._
  *  - [[knnBrute]]: exact top-k for a BOUNDED query set — broadcast the
  *    queries, scan the corpus once. Linear in corpus size, never an
  *    all-pairs product; the baseline every ANN result is audited against.
- *  - [[bucketedNearDupPairs]]: random-hyperplane LSH — vectors whose
- *    signature bits (sign of the dot with B fixed ±1 hyperplanes) agree
- *    land in the same bucket; pairs are generated by an equality join on
- *    the bucket id (cost ∝ Σ bucket², the IVF/LSH scale path) and reranked
- *    with exact cosine.
+ *  - [[bucketedNearDupPairs]]: random-hyperplane LSH with BANDED
+ *    signatures — [[SigBits]] sign bits split into [[VecBands]] band keys
+ *    of [[VecRowsPerBand]] bits each; two vectors are candidates iff they
+ *    agree on EVERY bit of at least one band. Pairs come from an equality
+ *    join on (band, band_value) and are reranked with exact cosine.
+ *
+ * 100 TB design: with banding, the candidate count is Σ over buckets of
+ * bucket², where each band partitions the corpus into 2^[[VecRowsPerBand]]
+ * buckets *per band* and near-duplicates concentrate together while the
+ * bulk spreads. Growing the corpus 100× should grow [[SigBits]] by
+ * ~log2(100)≈7 bits (add a band, or widen bands) to keep bucket occupancy
+ * constant — see [[recommendedSigBits]]. A single fixed bucket id (the
+ * round-2 design: 8 bits, 256 buckets, candidates ≈ N²/256) stays
+ * quadratic in N; banding with size-tuned bits is the scale path, exactly
+ * the [[TextDedup]] band-key pattern.
  *
  * Numeric determinism (DuckDB-oracle bit-equality): every dot product
  * casts elements to double BEFORE multiplying and folds strictly
  * left-to-right (`aggregate` with a 0.0 seed ≡ DuckDB `list_reduce`,
- * since 0.0+x == x). No UDFs — all higher-order built-ins, codegen'd.
+ * since 0.0+x == x). No UDFs — all higher-order built-ins.
  */
 object VectorSearch {
 
-  val SigBits = 8
+  /** Total hyperplane sign bits = VecBands × VecRowsPerBand. */
+  val VecBands = 4
+  val VecRowsPerBand = 8
+  val SigBits: Int = VecBands * VecRowsPerBand
+
+  /** Bits needed to keep expected band-bucket occupancy ≈ constant as the
+    * corpus grows: one extra bit per doubling. For corpusSize = n with
+    * target per-band bucket occupancy c, each band wants ~log2(n/c) bits.
+    * Callers running far beyond the 2^VecRowsPerBand × VecBands design
+    * point should widen the geometry rather than accept hot buckets. */
+  def recommendedSigBits(corpusSize: Long, bands: Int = VecBands,
+      targetBucketOccupancy: Long = 1024): Int = {
+    val perBand = math.max(VecRowsPerBand,
+      math.ceil(math.log(math.max(corpusSize / targetBucketOccupancy, 2L).toDouble)
+        / math.log(2.0)).toInt)
+    bands * perBand
+  }
 
   /** Deterministic ±1 hyperplanes (seeded), identical in the generated
     * DuckDB oracle (VectorQueries embeds the same literals). */
@@ -48,11 +74,17 @@ object VectorSearch {
 
   def norm(v: Column): Column = sqrt(dotD(v, v))
 
-  /** Random-hyperplane signature packed into an int bucket id. */
-  def rhpBucket(v: Column): Column =
-    hyperplanes.zipWithIndex.map { case (hp, j) =>
-      when(dotD(v, typedlit(hp)) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Band values: element b is the VecRowsPerBand sign bits of band b
+    * packed into an int. Materialize this array ONCE per row (its own
+    * projection) before any explode/join fans out — the 32 hyperplane
+    * dots are the expensive part. */
+  def bandValues(v: Column): Column =
+    array((0 until VecBands).map { b =>
+      (0 until VecRowsPerBand).map { r =>
+        when(dotD(v, typedlit(hyperplanes(b * VecRowsPerBand + r))) > 0,
+          lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
 
   /**
    * Exact cosine top-k: every corpus vector scored against every QUERY
@@ -64,7 +96,7 @@ object VectorSearch {
     def prepared(df: DataFrame) =
       df.select(col(idCol), toDouble(col(vecCol)).as("v"))
         .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
-    val b = prepared(base)
+    val b = prepared(TextDedup.spreadSmallInput(base))
     val q = prepared(queries).select(
       col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id")
@@ -77,19 +109,43 @@ object VectorSearch {
   }
 
   /**
-   * LSH-bucketed near-duplicate pairs: equality join on the signature
-   * bucket, exact cosine rerank, threshold filter. Input: (idCol, v) with
-   * v already a DOUBLE array (see [[toDouble]]).
+   * Banded-LSH near-duplicate pairs. Input: (idCol, v) with v already a
+   * DOUBLE array (see [[toDouble]]). Output: (vec_a, vec_b, cosine) for
+   * every pair sharing at least one full band, cosine ≥ minCosine.
+   *
+   * Stage shapes (the [[TextDedup.minhashCandidatePairs]] discipline):
+   *  - per-vector prep computes v, nrm and the band-value array in one
+   *    projection;
+   *  - band rows explode a LITERAL band-index array and read the
+   *    materialized band-value array above the Generate, so the 32-dot
+   *    signature is never inlined into the generator;
+   *  - the band self-join emits BARE (vec_a, vec_b) pairs and `.distinct()`
+   *    collapses multi-band hits BEFORE the exact-cosine rerank, which
+   *    joins the vectors back once per side.
    */
   def bucketedNearDupPairs(df: DataFrame, idCol: String, minCosine: Double): DataFrame = {
-    // norm + 8 hyperplane dots reference v: keep v materialized upstream
-    // so the 9 folds share one computed array per row
-    val vs = df.select(col(idCol).as("vec_id"), col("v"),
-      norm(col("v")).as("nrm"), rhpBucket(col("v")).as("bucket"))
-    vs.as("x").join(vs.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        (dotD(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+    val vs = TextDedup.spreadSmallInput(df)
+      .select(col(idCol).as("vec_id"), col("v"))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
+        bandValues(col("v")).as("bvals"))
+    val bands = vs
+      .select(col("vec_id"), col("bvals"),
+        explode(typedlit((0 until VecBands).toArray)).as("band"))
+      .select(col("vec_id"), col("band"),
+        element_at(col("bvals"), col("band") + 1).as("bval"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(vs.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")),
+        col("vec_a") === col("vec_id")).drop("vec_id")
+      .join(vs.select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb")),
+        col("vec_b") === col("vec_id")).drop("vec_id")
+      .select(col("vec_a"), col("vec_b"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -24,14 +24,15 @@ object VectorQueries {
   private def sqlDot(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
-  /** DuckDB twin of VectorSearch.rhpBucket: the same ±1 hyperplanes as
-    * inline list literals. */
-  private def sqlBucket(v: String): String =
-    hyperplanes.zipWithIndex.map { case (hp, j) =>
+  /** DuckDB twin of VectorSearch.bandValues for one band: the same ±1
+    * hyperplanes as inline list literals, sign bits packed into an int. */
+  private def sqlBandValue(v: String, band: Int): String =
+    (0 until VecRowsPerBand).map { r =>
+      val hp = hyperplanes(band * VecRowsPerBand + r)
       val lits = hp.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
       s"""CASE WHEN list_reduce(list_transform(range(1, len($v) + 1),
             i -> $v[i] * ([$lits])[i]), (x, y) -> x + y) > 0
-          THEN ${1 << j} ELSE 0 END"""
+          THEN ${1 << r} ELSE 0 END"""
     }.mkString("\n          + ")
 
   val all: Map[String, GraftQuery] = Map(
@@ -63,11 +64,15 @@ object VectorQueries {
         WHERE rnk <= 5 ORDER BY query_id, rnk""")),
 
     // ------------------------------------------------------------------
-    // q26 — LSH-bucketed near-duplicate pairs: 8-bit random-hyperplane
-    // signature → equality join on bucket → exact cosine rerank ≥ 0.99.
-    // Candidates cost ∝ Σ bucket² — never an all-pairs product. Seeded
-    // near-identical mutants (every 100th vector, alternate dims scaled
-    // by 1.002) guarantee pairs the banding provably catches.
+    // q26 — banded-LSH near-duplicate pairs: 32 random-hyperplane sign
+    // bits as 4 bands × 8 bits; candidates = pairs agreeing on a full
+    // band (equality join on (band, band_value)), bare-pair distinct,
+    // exact cosine rerank ≥ 0.99. Candidates cost Σ bucket² per band with
+    // 2^8 buckets/band — and the bit count scales with log(corpus) (see
+    // VectorSearch.recommendedSigBits), unlike a fixed single bucket id
+    // which stays ∝ N². Seeded near-identical mutants (every 100th
+    // vector, alternate dims scaled by 1.002) guarantee pairs the
+    // banding provably catches.
     // ------------------------------------------------------------------
     "q26_ann_lsh_cosine" -> GraftQuery(
       build = (s, d) => {
@@ -81,7 +86,13 @@ object VectorQueries {
         VectorSearch.bucketedNearDupPairs(orig.union(mut), "vec_id", minCosine = 0.99)
           .orderBy("vec_a", "vec_b")
       },
-      oracle = Some(s"""
+      oracle = Some {
+        val bandSelects = (0 until VecBands).map(b =>
+          s"SELECT vec_id, $b AS band, bv$b AS bval FROM sigs")
+          .mkString("\n          UNION ALL ")
+        val bandCols = (0 until VecBands).map(b =>
+          s"${sqlBandValue("v", b)} AS bv$b").mkString(",\n            ")
+        s"""
         WITH orig AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
         mut AS (SELECT vec_id + 100000 AS vec_id,
             list_transform(range(1, len(embedding) + 1),
@@ -89,13 +100,20 @@ object VectorQueries {
           FROM embeddings WHERE vec_id % 100 = 0),
         allv AS (SELECT * FROM orig UNION ALL SELECT * FROM mut),
         sigs AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm,
-            ${sqlBucket("v")} AS bucket
+            $bandCols
           FROM allv),
-        pairs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-            ${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) AS cosine
-          FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-        SELECT vec_a, vec_b, cosine FROM pairs
-        WHERE cosine >= 0.99 ORDER BY vec_a, vec_b"""),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bval = y.bval AND x.vec_id < y.vec_id),
+        scored AS (SELECT vec_a, vec_b,
+            ${sqlDot("sa.v", "sb.v")} / (sa.nrm * sb.nrm) AS cosine
+          FROM cand
+          JOIN sigs sa ON cand.vec_a = sa.vec_id
+          JOIN sigs sb ON cand.vec_b = sb.vec_id)
+        SELECT vec_a, vec_b, cosine FROM scored
+        WHERE cosine >= 0.99 ORDER BY vec_a, vec_b"""
+      },
       headline = true)
   )
 }

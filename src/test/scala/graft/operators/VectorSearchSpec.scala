@@ -45,11 +45,46 @@ class VectorSearchSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("rhp signature distributes the corpus across buckets") {
+  test("band values distribute the corpus across each band's bucket space") {
     val vs = emb.select(VectorSearch.toDouble(col("embedding")).as("v"))
-      .select(VectorSearch.rhpBucket(col("v")).as("bucket"))
-    val n = vs.select(countDistinct(col("bucket"))).head().getLong(0)
-    // 500 random unit vectors over 8 sign bits: expect most of 256 buckets hit
-    assert(n > 100, s"only $n distinct buckets")
+      .select(VectorSearch.bandValues(col("v")).as("bvals"))
+    for (b <- 0 until VectorSearch.VecBands) {
+      val n = vs.select(countDistinct(element_at(col("bvals"), b + 1))).head().getLong(0)
+      // 500 random vectors over 8 sign bits per band: most of 256 buckets hit
+      assert(n > 100, s"band $b: only $n distinct buckets")
+    }
+  }
+
+  test("banded LSH recall: finds every exact near-duplicate pair (mutant set)") {
+    val orig = emb.select(col("vec_id"), VectorSearch.toDouble(col("embedding")).as("v"))
+    val mut = emb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast(DoubleType) * (lit(1.0) + lit(0.002) * (i % 2).cast(DoubleType)))
+          .as("v"))
+    val all = orig.union(mut)
+    // ground truth: brute-force all-pairs at this test scale
+    val vs = all.select(col("vec_id"), col("v"),
+      VectorSearch.norm(col("v")).as("nrm"))
+    val exact = vs.as("x").join(vs.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (VectorSearch.dotD(col("x.v"), col("y.v"))
+          / (col("x.nrm") * col("y.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.99)
+      .select(col("vec_a"), col("vec_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = VectorSearch.bucketedNearDupPairs(all, "vec_id", 0.99)
+      .select(col("vec_a"), col("vec_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // banded output can only contain true pairs (rerank is exact)...
+    assert(banded.subsetOf(exact))
+    // ...and with near-identical mutants the banding must catch them all
+    assert(banded === exact, s"missed: ${exact -- banded}")
+  }
+
+  test("recommendedSigBits grows logarithmically with corpus size") {
+    val base = VectorSearch.recommendedSigBits(100000L)
+    val x100 = VectorSearch.recommendedSigBits(10000000L)
+    assert(x100 > base)
+    assert(x100 - base <= VectorSearch.VecBands * 8) // ~log2(100)≈7 bits/band
   }
 }
