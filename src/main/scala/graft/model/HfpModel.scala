@@ -155,7 +155,10 @@ object HfpModel {
 }
 
 // Typed API: case classes for Dataset[HfpRecord] users. Option[_] mirrors
-// column nullability; `start` / `long` keep reference names.
+// column nullability; `start` keeps the reference name, but the payload's
+// `long` column must be `lng` here — Spark encoders reject Java keywords
+// as field names — and is mapped back at the DataFrame boundary
+// (HfpProtobuf.asEnvelopes / decodeDataFrame).
 case class HfpTopic(
     received_at: Long,
     topic_prefix: String,
@@ -186,7 +189,7 @@ case class HfpPayload(
     spd: Option[Double],
     hdg: Option[Int],
     lat: Option[Double],
-    long: Option[Double],
+    lng: Option[Double],
     acc: Option[Double],
     dl: Option[Int],
     odo: Option[Double],

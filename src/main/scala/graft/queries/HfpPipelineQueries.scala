@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.operators.HfpFlatten
-import graft.sources.HfpRawIngest
+import graft.sources.{HfpProtobuf, HfpRawIngest}
 
 /**
  * q21 — the HFP raw-ingest → flatten pipeline under the DuckDB oracle gate.
@@ -41,16 +41,51 @@ import graft.sources.HfpRawIngest
 object HfpPipelineQueries {
 
   /** One raw wire record: 18 topic segments (s2..s19), payload JSON, received_at millis. */
-  private final case class RawFixture(segments: Seq[String], payload: String, receivedAt: Long) {
+  private[graft] final case class RawFixture(segments: Seq[String], payload: String, receivedAt: Long) {
     def topic: String = "/" + segments.mkString("/")
   }
+
+  /** Raw fixture frame → good-side nested envelope (shared by q21/q41). */
+  private[graft] def goodEnvelope(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val raw = fixtures.map(f => (f.topic, f.payload, f.receivedAt))
+      .toDF("topic", "payload", "received_at")
+    val env = HfpRawIngest.toEnvelope(raw)
+    HfpRawIngest.splitInvalidPayload(env)._1
+  }
+
+  /** The 40-column flatten + cross-engine output shaping (shared by q21/q41). */
+  private def flatSelect(env: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    HfpFlatten.flatten(env, strictTst = false)
+      .select(
+        unix_millis(col("received_at")).as("received_at_ms"),
+        col("topic_prefix"), col("topic_version"), col("journey_type"),
+        col("is_ongoing"), col("event_type"), col("mode"),
+        col("owner_operator_id"), col("vehicle_number"), col("unique_vehicle_id"),
+        col("route_id"), col("direction_id"), col("headsign"),
+        col("journey_start_time"), col("next_stop_id"), col("geohash_level"),
+        col("topic_latitude"), col("topic_longitude"),
+        col("desi"), col("dir"), col("oper"), col("veh"),
+        unix_micros(col("tst")).as("tst_us"),
+        col("tsi"), col("spd"), col("hdg"), col("lat"),
+        col("long").as("lng"), col("acc"), col("dl"), col("odo"),
+        // drst as 0/1 int and oday as yyyy-MM-dd string: nullable
+        // BOOLEAN/DATE round-trip through pandas with engine-specific
+        // null markers (None vs NaN/NaT), breaking the value compare
+        // even when semantically equal
+        col("drst").cast(IntegerType).as("drst"),
+        col("oday").cast(StringType).as("oday"),
+        col("jrn"), col("line"),
+        col("start").as("start_sec"), col("loc"), col("stop"),
+        col("route"), col("occu"))
+      .orderBy("received_at_ms", "veh")
 
   private def seg(version: String, jt: String, tt: String, et: String, mode: String,
       oper: String, veh: String, route: String, dir: String, hs: String, start: String,
       nextStop: String, gl: String, gh: String, g1: String, g2: String, g3: String): Seq[String] =
     Seq("hfp", version, jt, tt, et, mode, oper, veh, route, dir, hs, start, nextStop, gl, gh, g1, g2, g3)
 
-  private val fixtures: Seq[RawFixture] = {
+  private[graft] val fixtures: Seq[RawFixture] = {
     val f1 = RawFixture(
       seg("v2", "journey", "ongoing", "vp", "bus", "0022", "00854", "2550", "2",
         "Itakeskus(M)", "08:29", "1362148", "4", "60;24", "28", "65", "06"),
@@ -119,39 +154,7 @@ object HfpPipelineQueries {
             AND try_cast($c AS BIGINT) BETWEEN -32768 AND 32767
        THEN CAST(try_cast($c AS BIGINT) AS SMALLINT) END"""
 
-  val all: Map[String, GraftQuery] = Map(
-    "q21_hfp_pipeline" -> GraftQuery(
-      build = (s, _) => {
-        import s.implicits._
-        val raw = fixtures.map(f => (f.topic, f.payload, f.receivedAt))
-          .toDF("topic", "payload", "received_at")
-        val env = HfpRawIngest.toEnvelope(raw)
-        val (good, _) = HfpRawIngest.splitInvalidPayload(env)
-        HfpFlatten.flatten(good, strictTst = false)
-          .select(
-            unix_millis(col("received_at")).as("received_at_ms"),
-            col("topic_prefix"), col("topic_version"), col("journey_type"),
-            col("is_ongoing"), col("event_type"), col("mode"),
-            col("owner_operator_id"), col("vehicle_number"), col("unique_vehicle_id"),
-            col("route_id"), col("direction_id"), col("headsign"),
-            col("journey_start_time"), col("next_stop_id"), col("geohash_level"),
-            col("topic_latitude"), col("topic_longitude"),
-            col("desi"), col("dir"), col("oper"), col("veh"),
-            unix_micros(col("tst")).as("tst_us"),
-            col("tsi"), col("spd"), col("hdg"), col("lat"),
-            col("long").as("lng"), col("acc"), col("dl"), col("odo"),
-            // drst as 0/1 int and oday as yyyy-MM-dd string: nullable
-            // BOOLEAN/DATE round-trip through pandas with engine-specific
-            // null markers (None vs NaN/NaT), breaking the value compare
-            // even when semantically equal
-            col("drst").cast(IntegerType).as("drst"),
-            col("oday").cast(StringType).as("oday"),
-            col("jrn"), col("line"),
-            col("start").as("start_sec"), col("loc"), col("stop"),
-            col("route"), col("occu"))
-          .orderBy("received_at_ms", "veh")
-      },
-      oracle = Some(s"""
+  private val pipelineOracle: String = s"""
         WITH raw(topic, payload, received_at) AS (VALUES
         $oracleValues
         ),
@@ -250,6 +253,29 @@ object HfpPipelineQueries {
           CAST(try_cast(p_occu AS INT) AS SMALLINT) AS occu
         FROM fields
         WHERE p_veh IS NOT NULL AND p_tst IS NOT NULL AND p_tsi IS NOT NULL
-        ORDER BY received_at_ms, veh"""))
+        ORDER BY received_at_ms, veh"""
+
+  val all: Map[String, GraftQuery] = Map(
+    "q21_hfp_pipeline" -> GraftQuery(
+      build = (s, _) => flatSelect(goodEnvelope(s)),
+      oracle = Some(pipelineOracle)),
+
+    // ------------------------------------------------------------------
+    // q41 — the same pipeline over the PROTOBUF wire path: the good-side
+    // envelope is encoded to Hfp.Data wire bytes (standing in for the
+    // upstream producer, reference MessageProcessor.java:119) and decoded
+    // back by HfpProtobuf before the shared flatten. The oracle is the
+    // SAME SQL as q21: a hash match proves the protobuf round-trip is
+    // byte-exact on every fixture branch (nulls, doubles, negative ints,
+    // multi-byte varints).
+    // ------------------------------------------------------------------
+    "q41_hfp_protobuf_pipeline" -> GraftQuery(
+      build = (s, _) => {
+        import s.implicits._
+        val wire = HfpProtobuf.asEnvelopes(goodEnvelope(s))
+          .map(HfpProtobuf.encode)
+        flatSelect(HfpProtobuf.decodeDataFrame(wire))
+      },
+      oracle = Some(pipelineOracle))
   )
 }

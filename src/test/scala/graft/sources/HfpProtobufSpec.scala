@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.model.{HfpEnvelope, HfpPayload, HfpTopic}
+import graft.operators.HfpFlatten
+import graft.queries.HfpPipelineQueries
+
+/**
+ * Protobuf wire-path parity (reference O3, MessageProcessor.java:119):
+ * the decoder is exercised against hand-assembled wire bytes (spec-level
+ * golden test, independent of our encoder), the encoder→decoder
+ * round-trip on every q21 fixture, and flatten-output equivalence of the
+ * JSON and protobuf paths.
+ */
+class HfpProtobufSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val topic = HfpTopic(1717574401500L, "/hfp/", "v2", "journey",
+    "ongoing", Some("VP"), Some("bus"), 22, 854, "22/854", Some("2550"),
+    Some(2), Some("Itakeskus(M)"), Some("08:29"), Some("1362148"), Some(4),
+    Some(60.2), Some(25.0))
+  private val payload = HfpPayload(Some("550"), Some("2"), Some(22), 854,
+    "2024-06-05T08:00:01.412Z", 1717574401L, Some(8.49), Some(72),
+    Some(60.229214), Some(25.007964), Some(0.63), Some(-25), Some(4927.0),
+    Some("0"), Some("2024-06-05"), Some(812), Some(261), Some("08:29"),
+    Some("GPS"), Some(1362148), Some("2550"), Some(0))
+
+  test("golden bytes: hand-assembled wire record decodes per the public spec") {
+    // Topic { received_at=1; operator_id=22; unique_vehicle_id="22/854" }
+    // assembled by hand from the encoding spec:
+    //   field 1, varint:  tag = 1<<3|0 = 0x08; 1 encodes as 0x01
+    //   field 8, varint:  tag = 8<<3|0 = 0x40; 22 = 0x16
+    //   field 10, len:    tag = 10<<3|2 = 0x52; len 6; "22/854"
+    val topicBytes = Array[Byte](0x08, 0x01, 0x40, 0x16, 0x52, 0x06,
+      '2', '2', '/', '8', '5', '4')
+    // Payload { veh=4; tst=5; tsi=6 } with veh=300 (multi-byte varint
+    // 0xAC 0x02), tst="t", tsi=1
+    val payloadBytes = Array[Byte](0x20, 0xAC.toByte, 0x02, 0x2A, 0x01, 't',
+      0x30, 0x01)
+    // Data { topic=1 (len), payload=2 (len) }
+    val data = Array[Byte](0x0A, topicBytes.length.toByte) ++ topicBytes ++
+      Array[Byte](0x12, payloadBytes.length.toByte) ++ payloadBytes
+    val env = HfpProtobuf.decode(data)
+    assert(env.topic.received_at === 1L)
+    assert(env.topic.operator_id === 22)
+    assert(env.topic.unique_vehicle_id === "22/854")
+    assert(env.topic.route_id === None)
+    assert(env.payload.veh === 300)
+    assert(env.payload.tst === "t")
+    assert(env.payload.tsi === 1L)
+    assert(env.payload.desi === None)
+  }
+
+  test("round-trip: encode then decode is identity on a fully-populated envelope") {
+    val env = HfpEnvelope(topic, payload)
+    assert(HfpProtobuf.decode(HfpProtobuf.encode(env)) === env)
+  }
+
+  test("round-trip preserves negative ints, doubles bit-exactly, and UTF-8") {
+    val env = HfpEnvelope(
+      topic.copy(headsign = Some("Itäkeskus(M) – täältä"), latitude = Some(-0.0)),
+      payload.copy(dl = Some(-2147483648), acc = Some(java.lang.Double.MIN_VALUE),
+        spd = Some(Double.NaN)))
+    val back = HfpProtobuf.decode(HfpProtobuf.encode(env))
+    assert(back.topic.headsign === Some("Itäkeskus(M) – täältä"))
+    assert(java.lang.Double.doubleToRawLongBits(back.topic.latitude.get)
+      === java.lang.Double.doubleToRawLongBits(-0.0))
+    assert(back.payload.dl === Some(-2147483648))
+    assert(back.payload.acc === Some(java.lang.Double.MIN_VALUE))
+    assert(back.payload.spd.get.isNaN)
+  }
+
+  test("unknown fields are skipped (forward compatibility)") {
+    val base = HfpProtobuf.encode(HfpEnvelope(topic, payload))
+    // unknown field 99, varint:        tag = 99<<3|0 = 792 → varint 0x98 0x06
+    // unknown field 98, len-delimited: tag = 98<<3|2 = 786 → varint 0x92 0x06
+    val w = base ++ Array[Byte](0x98.toByte, 0x06, 0x07) ++
+      Array[Byte](0x92.toByte, 0x06, 0x02, 'x', 'x')
+    assert(HfpProtobuf.decode(w) === HfpEnvelope(topic, payload))
+  }
+
+  test("malformed records are dropped by decodeEnvelopes, valid ones survive") {
+    val good = HfpProtobuf.encode(HfpEnvelope(topic, payload))
+    val bad = Array[Byte](0x0A, 0x7F, 0x01) // declares 127-byte submessage, has 1
+    val out = HfpProtobuf.decodeEnvelopes(
+      spark.createDataset(Seq(good, bad, good))).collect()
+    assert(out.length === 2)
+    assert(out.forall(_ === HfpEnvelope(topic, payload)))
+  }
+
+  test("JSON path and protobuf path produce identical envelopes and flat rows on q21 fixtures") {
+    val envJson = HfpPipelineQueries.goodEnvelope(spark)
+    val envProto = HfpProtobuf.decodeDataFrame(
+      HfpProtobuf.asEnvelopes(envJson).map(HfpProtobuf.encode))
+    val a = HfpProtobuf.asEnvelopes(envJson).collect().sortBy(_.topic.received_at)
+    val b = HfpProtobuf.asEnvelopes(envProto).collect().sortBy(_.topic.received_at)
+    assert(a.toSeq === b.toSeq)
+    val flatA = HfpFlatten.flatten(envJson, strictTst = false)
+      .orderBy("received_at", "veh").collect()
+    val flatB = HfpFlatten.flatten(envProto, strictTst = false)
+      .orderBy("received_at", "veh").collect()
+    assert(flatA.toSeq === flatB.toSeq)
+  }
+}
