@@ -255,10 +255,87 @@ object HfpPipelineQueries {
         WHERE p_veh IS NOT NULL AND p_tst IS NOT NULL AND p_tsi IS NOT NULL
         ORDER BY received_at_ms, veh"""
 
+  /** Enum-domain fixtures for q38: one in-domain row, one all-NULL-enums
+    * deadrun (nullable enums are VALID — init.sql:32-34), and one
+    * out-of-domain row per guarded column. */
+  private val enumFixtures: Seq[RawFixture] = {
+    def pl(et: String, veh: Int, tsi: Long, loc: String): String = {
+      val locField = if (loc == null) "" else s""","loc":"$loc""""
+      s"""{"$et":{"veh":$veh,"tst":"2024-06-05T08:00:00.000Z","tsi":$tsi$locField}}"""
+    }
+    Seq(
+      RawFixture(seg("v2", "journey", "ongoing", "vp", "bus", "0022", "00001", "2550", "2",
+        "A", "08:00", "1", "4", "60;24", "28", "65", "06"), pl("VP", 1, 1717574400L, "GPS"), 1717574400001L),
+      RawFixture(seg("v2", "deadrun", "upcoming", "", "", "0022", "00002", "", "",
+        "", "", "", "", "", "", "", ""), pl("DUE", 2, 1717574401L, null), 1717574400002L),
+      RawFixture(seg("v2", "ghost", "ongoing", "vp", "bus", "0022", "00003", "2550", "2",
+        "A", "08:00", "1", "4", "60;24", "28", "65", "06"), pl("VP", 3, 1717574402L, "GPS"), 1717574400003L),
+      RawFixture(seg("v2", "journey", "ongoing", "zz", "bus", "0022", "00004", "2550", "2",
+        "A", "08:00", "1", "4", "60;24", "28", "65", "06"), pl("ZZ", 4, 1717574403L, "GPS"), 1717574400004L),
+      RawFixture(seg("v2", "journey", "ongoing", "vp", "hovercraft", "0022", "00005", "2550", "2",
+        "A", "08:00", "1", "4", "60;24", "28", "65", "06"), pl("VP", 5, 1717574404L, "GPS"), 1717574400005L),
+      RawFixture(seg("v2", "journey", "ongoing", "vp", "bus", "0022", "00006", "2550", "2",
+        "A", "08:00", "1", "4", "60;24", "28", "65", "06"), pl("VP", 6, 1717574405L, "XYZ"), 1717574400006L))
+  }
+
   val all: Map[String, GraftQuery] = Map(
     "q21_hfp_pipeline" -> GraftQuery(
       build = (s, _) => flatSelect(goodEnvelope(s)),
       oracle = Some(pipelineOracle)),
+
+    // ------------------------------------------------------------------
+    // q38 — enum dead-letter split (HfpFlatten.splitInvalidEnums): rows
+    // whose enum-ish columns fall outside the DDL domains
+    // (run/init.sql:21-24) route to a dead-letter side instead of
+    // poisoning the batch — the reference instead ships the raw value and
+    // lets PostgreSQL's `?::ENUM` cast reject it, rolling back the WHOLE
+    // batch (QueueWriter.java:45-46,146). NULL enums are valid (the DDL
+    // columns are nullable). Oracle: same generated VALUES with IN-list
+    // CASE over domains generated from the same HfpModel constants.
+    // ------------------------------------------------------------------
+    "q38_enum_dead_letter" -> GraftQuery(
+      build = (s, _) => {
+        import s.implicits._
+        val raw = enumFixtures.map(f => (f.topic, f.payload, f.receivedAt))
+          .toDF("topic", "payload", "received_at")
+        val env = HfpRawIngest.toEnvelope(raw)
+        val (good, _) = HfpRawIngest.splitInvalidPayload(env)
+        val flat = HfpFlatten.flatten(good, strictTst = false)
+        val (ok, dead) = HfpFlatten.splitInvalidEnums(flat)
+        def pick(df: org.apache.spark.sql.DataFrame, side: String) = df.select(
+          unix_millis(col("received_at")).as("received_at_ms"), col("veh"),
+          col("journey_type"), col("event_type"), col("mode"), col("loc"),
+          lit(side).as("side"))
+        pick(ok, "ok").unionAll(pick(dead, "dead"))
+          .orderBy("received_at_ms", "veh")
+      },
+      oracle = Some {
+        def inList(vals: Seq[String]) = vals.map(v => s"'$v'").mkString(", ")
+        val values = enumFixtures
+          .map(f => s"(${sqlLit(f.topic)}, ${sqlLit(f.payload)}, ${f.receivedAt})")
+          .mkString(",\n        ")
+        s"""
+        WITH raw(topic, payload, received_at) AS (VALUES
+        $values
+        ),
+        seg AS (SELECT received_at, payload, string_split(topic, '/') AS t FROM raw),
+        f AS (SELECT received_at,
+            nullif(t[4], '') AS journey_type,
+            upper(nullif(t[6], '')) AS event_type,
+            nullif(t[7], '') AS mode,
+            json_extract_string(json_extract(payload, '$$.' || json_keys(payload)[1]), '$$.loc') AS loc,
+            try_cast(json_extract_string(json_extract(payload, '$$.' || json_keys(payload)[1]), '$$.veh') AS INT) AS veh
+          FROM seg),
+        flagged AS (SELECT *,
+            (journey_type IS NOT NULL AND journey_type NOT IN (${inList(graft.model.HfpModel.JourneyTypes)}))
+            OR (event_type IS NOT NULL AND event_type NOT IN (${inList(graft.model.HfpModel.EventTypes)}))
+            OR (mode IS NOT NULL AND mode NOT IN (${inList(graft.model.HfpModel.TransportModes)}))
+            OR (loc IS NOT NULL AND loc NOT IN (${inList(graft.model.HfpModel.LocationQualityMethods)})) AS bad
+          FROM f)
+        SELECT received_at AS received_at_ms, veh, journey_type, event_type,
+          mode, loc, CASE WHEN bad THEN 'dead' ELSE 'ok' END AS side
+        FROM flagged ORDER BY received_at_ms, veh"""
+      }),
 
     // ------------------------------------------------------------------
     // q41 — the same pipeline over the PROTOBUF wire path: the good-side

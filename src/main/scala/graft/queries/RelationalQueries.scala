@@ -506,6 +506,86 @@ object RelationalQueries {
                    THEN 1 ELSE 0 END AS new_session
             FROM events) a) b
         GROUP BY user_id ORDER BY user_id"""),
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q39 — CUBE aggregation + approx_count_distinct (SURVEY §2.2
+    // aggregation residuals). The cube's exact aggregates are hash-gated
+    // directly; the HLL++ estimate cannot be bit-paired with DuckDB's
+    // sketch, so it is gated as a TOLERANCE BOOLEAN: Spark emits
+    // |approx−exact|/exact ≤ 5% (rsd=2%), the oracle emits literal TRUE —
+    // an estimate drifting out of tolerance becomes a hash mismatch.
+    // ------------------------------------------------------------------
+    "q39_cube_approx_distinct" -> GraftQuery(
+      build = (s, d) => {
+        orders(s, d)
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_total"),
+            countDistinct(col("o_custkey")).as("n_cust_exact"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("apx"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("order_priority"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
+            col("n_orders"), col("sum_total"), col("n_cust_exact"),
+            (abs(col("apx") - col("n_cust_exact")).cast(DoubleType)
+              / col("n_cust_exact").cast(DoubleType) <= 0.05).as("approx_ok"))
+          .orderBy("order_priority", "order_status")
+      },
+      oracle = Some("""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS order_priority,
+               COALESCE(o_orderstatus, 'ALL') AS order_status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+               COUNT(DISTINCT o_custkey) AS n_cust_exact,
+               TRUE AS approx_ok
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY order_priority, order_status""")),
+
+    // ------------------------------------------------------------------
+    // q40 — product-profit star (TPC-H Q9 shape): lineitem ⋈ part ⋈
+    // supplier ⋈ nation ⋈ orders. Two big-big shuffle joins (partkey,
+    // orderkey) that AQE sizes at runtime; `part` is filtered BEFORE the
+    // join so the selective predicate pushes into its scan and the
+    // post-filter side can be broadcast when small; constant-size nation
+    // is broadcast-hinted. This is the plan shape that survives 100×:
+    // no dimension hint on mid-size tables, no cartesian, partial aggs
+    // before the final group shuffle.
+    // ------------------------------------------------------------------
+    "q40_part_supplier_profit" -> GraftQuery(
+      build = (s, d) => {
+        val l = lineitem(s, d)
+        val p = part(s, d).filter(col("p_size") <= 15)
+        val sup = supplier(s, d)
+        val n = nation(s, d)
+        val o = orders(s, d)
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"),
+            col("p_brand"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+              .cast(DoubleType).as("profit"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("n_name", "o_year", "p_brand")
+      },
+      oracle = Some("""
+        SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS profit,
+               COUNT(*) AS n_lines
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_size <= 15
+        GROUP BY n_name, year(o_orderdate), p_brand
+        ORDER BY n_name, o_year, p_brand"""),
       headline = true)
   )
 }
