@@ -3,6 +3,8 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /**
  * Per-micro-batch sink contract used from `foreachBatch` — the Spark
@@ -27,6 +29,47 @@ final class ParquetBatchSink(path: String, partitionColumns: Seq[String] = Nil)
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(path)
   }
+}
+
+/**
+ * At-rest layout parity with the reference hypertable (run/init.sql:70-73):
+ * TimescaleDB chunks `vehicles` into 1-HOUR time slices
+ * (`chunk_time_interval => 3600000000` µs) and space-partitions each slice
+ * by `unique_vehicle_id`. The parquet twin is Hive-style directory
+ * partitioning on a derived hour string + a stable vehicle-hash bucket:
+ * a time-range or vehicle predicate then prunes whole directories at
+ * planning time (`PartitionFilters` on the scan) exactly like Timescale's
+ * chunk exclusion — at 100 TB the difference between scanning an hour and
+ * scanning a year.
+ *
+ * The bucket count bounds files-per-hour (files ≈ buckets × writers); keep
+ * it small — the DDL uses 4 space partitions, and over-bucketing small
+ * hours produces the classic tiny-file problem.
+ */
+object AtRestLayout {
+  val HourColumn = "received_hour"
+  val BucketColumn = "vehicle_bucket"
+  val DefaultBuckets = 4
+
+  val partitionColumns: Seq[String] = Seq(HourColumn, BucketColumn)
+
+  /** Derive the layout columns from the 40-column vehicles frame.
+    * xxhash64 (not the enum-sensitive value itself) gives a stable,
+    * uniform bucket — the analogue of Timescale's space-partition hash. */
+  def addColumns(vehicles: DataFrame, buckets: Int = DefaultBuckets): DataFrame =
+    vehicles
+      .withColumn(HourColumn, date_format(col("received_at"), "yyyy-MM-dd-HH"))
+      .withColumn(BucketColumn,
+        pmod(xxhash64(col("unique_vehicle_id")), lit(buckets.toLong)).cast(IntegerType))
+}
+
+/** Parquet landing with the reference's at-rest layout: 1-hour time
+  * chunks × vehicle-hash space buckets (see [[AtRestLayout]]). */
+final class PartitionedVehiclesSink(path: String,
+    buckets: Int = AtRestLayout.DefaultBuckets) extends BatchSink {
+  private val inner = new ParquetBatchSink(path, AtRestLayout.partitionColumns)
+  override def write(batch: DataFrame, batchId: Long): Unit =
+    inner.write(AtRestLayout.addColumns(batch, buckets), batchId)
 }
 
 /**

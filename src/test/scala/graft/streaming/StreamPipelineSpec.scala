@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSuite
 
@@ -63,6 +64,53 @@ class StreamPipelineSpec extends SparkSuite {
       assert(listener.totalInputRows === 21)      // 20 good + 1 poison entered the query
       assert(listener.batches.forall(_.batchDurationMs >= 0))
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("at-rest layout: hour+vehicle partitioned landing prunes on the scan (init.sql:70-73)") {
+    val in = tmp("hfp_in_")
+    // two observation hours, two vehicles
+    val rows = for {
+      (veh, topicVeh) <- Seq((854, "00854"), (855, "00855"))
+      hour <- Seq(0, 1)
+      i <- 1 to 5
+    } yield {
+      val topic = s"/hfp/v2/journey/ongoing/vp/bus/0022/$topicVeh/2550/2/A/08:29/1/4/60;24/28/65/06"
+      (topic, goodPayload(veh, 1717574400L + hour * 3600 + i),
+        1717574400000L + hour * 3600000L + i * 1000L)
+    }
+    rows.toDF("topic", "payload", "received_at")
+      .repartition(2).write.mode("overwrite").json(in)
+    val out = tmp("hfp_out_")
+    val cfg = HfpStreamPipeline.Config(
+      inputDir = in, checkpointDir = tmp("hfp_ckpt_"), availableNow = true)
+    val q = HfpStreamPipeline.start(spark, cfg, new PartitionedVehiclesSink(out))
+    q.awaitTermination()
+
+    // physical layout: received_hour=yyyy-MM-dd-HH/vehicle_bucket=N dirs
+    val hourDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith(s"${AtRestLayout.HourColumn}=")).map(_.getName).sorted
+    assert(hourDirs.toSeq === Seq(
+      s"${AtRestLayout.HourColumn}=2024-06-05-08", s"${AtRestLayout.HourColumn}=2024-06-05-09"))
+
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === 20)
+    // an hour predicate must reach the scan as a PartitionFilter (the
+    // chunk-exclusion twin) and read only that hour's rows
+    val oneHour = landed.filter(col(AtRestLayout.HourColumn) === "2024-06-05-08")
+    val scanPlan = oneHour.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") &&
+      scanPlan.contains(AtRestLayout.HourColumn), scanPlan)
+    assert(oneHour.count() === 10)
+    // pruning is visible in the partitions the scan actually selects
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def selectedParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .map(_.selectedPartitions.partitionCount).sum
+    val pruned = selectedParts(oneHour)
+    val all = selectedParts(landed)
+    assert(pruned > 0 && pruned < all, s"pruned=$pruned all=$all")
+    assert(landed.inputFiles.forall(_.contains(s"${AtRestLayout.BucketColumn}=")))
   }
 
   /** Sink failing `failures` times before ever writing, then healthy. */
