@@ -64,7 +64,58 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val (ingestRows, ingestRate) = ingestSlice(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
+      s""""ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,""" +
+      s""""ingest_reference_ceiling_rows_per_sec":250000,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /**
+   * Ingest-slice throughput: synthetic raw HFP wire rows → topic/payload
+   * parse → envelope → dead-letter split → 40-column flatten → parquet
+   * landing, timed end to end in rows/s. Reported against the reference's
+   * DESIGNED ceiling — a 250k-message buffer drained every 1 s
+   * (MessageProcessor.java:26-28, environment.conf:18), i.e. 250k msg/s —
+   * the only quantitative envelope BASELINE.md defines. Raw rows are
+   * generated from spark.range (cheap concat of constants) so the measured
+   * cost is the parse+flatten+sink, not fixture I/O; a warm-up pass
+   * precedes the timed one like every other bench entry.
+   */
+  private def ingestSlice(spark: SparkSession, n: Long = 8000000L): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.HfpFlatten
+    import graft.sources.HfpRawIngest
+    def rawFrame = spark.range(n).select(
+      concat(lit("/hfp/v2/journey/ongoing/vp/bus/0022/"),
+        lpad(pmod(col("id"), lit(100000L)).cast("string"), 5, "0"),
+        lit("/2550/2/Itakeskus(M)/08:29/1362148/4/60;24/28/65/06")).as("topic"),
+      concat(lit("""{"VP":{"desi":"550","dir":"2","oper":22,"veh":"""),
+        pmod(col("id"), lit(100000L)).cast("string"),
+        lit(""","tst":"2024-06-05T08:00:01.412Z","tsi":"""),
+        (lit(1717574400L) + col("id") % 86400L).cast("string"),
+        lit(""","spd":8.49,"hdg":72,"lat":60.229214,"long":25.007964,"drst":0,"oday":"2024-06-05","start":"08:29","loc":"GPS","occu":0}}"""))
+        .as("payload"),
+      (lit(1717574400000L) + col("id")).as("received_at"))
+    def runOnce(): Double = {
+      val out = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+      val (good, _) = HfpRawIngest.splitInvalidPayload(
+        HfpRawIngest.toEnvelope(rawFrame))
+      val t0 = System.nanoTime()
+      HfpFlatten.flatten(good, strictTst = false)
+        .write.mode("overwrite").parquet(out)
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+      secs
+    }
+    try {
+      runOnce() // warm-up
+      val secs = runOnce()
+      (n, n / secs)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ingest slice FAILED: ${e.getMessage}")
+        (n, -1.0)
+    }
   }
 }
