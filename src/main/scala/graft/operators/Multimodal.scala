@@ -85,16 +85,22 @@ object Multimodal {
 
   /**
    * Frame sampling, pure expressions: fixed `frameBytes` frames, keep
-   * every `every`-th. The payload is sliced per emitted row (binary
-   * substr is codegen'd); un-kept frames are never materialized.
+   * every `every`-th. The step-form `sequence(0, nFrames-1, every)`
+   * generates ONLY the kept indices — un-kept frames are never
+   * materialized, even as index rows — and the payload is sliced per
+   * emitted row (binary substr is codegen'd). An empty payload yields
+   * zero frames, the same convention as [[decodeFrames]]/
+   * [[MediaCodec.decode]] (empty iterator from `grouped`).
    */
   def sampleFrames(withPayload: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(every > 0, s"every must be positive, got $every")
     val nFrames = ceil(octet_length(col("payload")).cast(DoubleType) / frameBytes)
       .cast(LongType)
     withPayload
       .select(col("doc_id"), col("payload"),
-        explode(sequence(lit(0L), greatest(nFrames, lit(1L)) - 1)).as("frame_idx"))
-      .filter(col("frame_idx") % every === 0)
+        explode(when(nFrames > 0,
+          sequence(lit(0L), nFrames - 1, lit(every.toLong)))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         col("payload").substr(
           (col("frame_idx") * frameBytes + 1).cast(IntegerType), lit(frameBytes))
@@ -104,9 +110,11 @@ object Multimodal {
   /**
    * Decode stage: typed mapPartitions over media files → frames. Narrow
    * (no shuffle), batch-shaped (whole-partition iterator), encoder-typed;
-   * the codec is the [[MediaCodec]] stub.
+   * the codec is the [[MediaCodec]] stub. Empty payloads produce zero
+   * frames (same convention as [[sampleFrames]]).
    */
   def decodeFrames(files: Dataset[MediaFile], frameBytes: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
     import files.sparkSession.implicits._
     files.mapPartitions { batch =>
       batch.flatMap { f =>

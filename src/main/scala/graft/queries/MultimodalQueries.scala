@@ -41,7 +41,9 @@ object MultimodalQueries {
                  ELSE 'video' END AS media_type,
             CAST(length(text) AS BIGINT) AS n_bytes,
             md5(text) AS checksum
-          FROM documents)
+          FROM documents
+          WHERE CASE WHEN octet_length(encode(text)) = length(text) THEN TRUE
+                ELSE error('non-ASCII corpus: byte/char oracle equivalence broken') END)
         SELECT media_type, count(*) AS n_files,
           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
           max(n_bytes) AS max_bytes,
@@ -64,13 +66,15 @@ object MultimodalQueries {
             lower(hex(col("frame"))).as("frame_hex"))
           .orderBy("doc_id", "frame_idx"),
       oracle = Some("""
-        WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
+        WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 64
+          AND CASE WHEN octet_length(encode(text)) = length(text) THEN TRUE
+              ELSE error('non-ASCII corpus: byte/char oracle equivalence broken') END),
         f AS (SELECT doc_id, text,
-            unnest(range(0, greatest(CAST(ceil(length(text) / 16.0) AS BIGINT), 1))) AS frame_idx
+            unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 4)) AS frame_idx
           FROM p)
         SELECT doc_id, frame_idx,
           CAST(length(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS BIGINT) AS frame_bytes,
           lower(hex(encode(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)))) AS frame_hex
-        FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx"""))
+        FROM f ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -88,6 +88,32 @@ class MultimodalSpec extends SparkSuite {
     assert(knn.count() == 3)
   }
 
+  test("empty payload yields zero frames on both paths; non-positive frameBytes rejected") {
+    import spark.implicits._
+    val files = Seq(MediaFile(1L, "image", Array.empty[Byte])).toDS()
+    assert(decodeFrames(files, 16).count() === 0)
+    val df = files.toDF().select(col("doc_id"), col("content").as("payload"))
+    assert(sampleFrames(df, 16, 4).count() === 0)
+    intercept[IllegalArgumentException](sampleFrames(df, 0, 4))
+    intercept[IllegalArgumentException](decodeFrames(files, -1))
+  }
+
+  test("media -> features -> ANN end to end: duplicated payload's top-1 is its original at cosine 1") {
+    import spark.implicits._
+    val dups = mediaFiles.filter(_.doc_id % 100 == 0)
+      .map(f => f.copy(doc_id = f.doc_id + 100000))
+    val feats = byteHistogramFeatures(mediaFiles.union(dups), bins = 64).toDF()
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val queries = feats.filter(col("vec_id") >= 100000)
+    val top1 = VectorSearch.knnBrute(feats, queries, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(top1.length === queries.count())
+    top1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 100000)
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
   test("MediaCodec.resize stub: fixed-size deterministic output") {
     val in = Array[Byte](1, 2, 3)
     assert(MediaCodec.resize(in, 5).toSeq == Seq[Byte](1, 2, 3, 0, 0))
