@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * O1 source seam: every supported wire-record source produces the SAME
+ * three-column frame (`topic`, `payload`, `received_at` — the raw MQTT
+ * record shape `HfpRawIngest` consumes), so the transform/sink plan below
+ * is source-agnostic by construction. The reference's source is an Apache
+ * Pulsar consumer (`PulsarApplication`, reference Main.java:15-23,
+ * environment.conf:4-9); this offline environment has no broker and no
+ * connector jar, so the pipeline is built against this seam instead of a
+ * concrete source.
+ *
+ *  - [[SourceSpec.FileJson]]: JSON-lines directory stream — the test /
+ *    backfill source. Rate-limited with `maxFilesPerTrigger` (the O4
+ *    stand-in).
+ *  - [[SourceSpec.Rate]]: Spark's built-in `rate` source with synthesized
+ *    deterministic wire records — load-testing the pipeline without any
+ *    input data.
+ *  - [[SourceSpec.Pulsar]]: the production source. Requires the
+ *    StreamNative `pulsar-spark` connector (`format("pulsar")` with
+ *    `service.url`/`admin.url`/`topic` options) on the classpath; absent
+ *    here, so construction fails with an actionable message rather than a
+ *    ClassNotFoundException from deep inside DataSource resolution.
+ */
+object SourceFactory {
+
+  /** Wire-record schema for every source (one record per message):
+    * schema'd, never inferred (SURVEY §1.1). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("payload", StringType, nullable = true),
+    StructField("received_at", LongType, nullable = false)))
+
+  sealed trait SourceSpec
+  object SourceSpec {
+    final case class FileJson(dir: String, maxFilesPerTrigger: Option[Int] = None)
+        extends SourceSpec
+    final case class Rate(rowsPerSecond: Long) extends SourceSpec
+    final case class Pulsar(serviceUrl: String, adminUrl: String, topic: String)
+        extends SourceSpec
+  }
+  import SourceSpec._
+
+  private val PulsarSourceClass = "org.apache.spark.sql.pulsar.PulsarProvider"
+
+  def rawStream(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
+    case FileJson(dir, maxFiles) =>
+      val r = spark.readStream.schema(wireSchema)
+      maxFiles.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.json(dir)
+
+    case Rate(rps) =>
+      // deterministic synthetic wire records keyed by the rate source's
+      // monotonically increasing `value`
+      val raw = spark.readStream.format("rate")
+        .option("rowsPerSecond", rps).load()
+      raw.select(
+        concat(lit("/hfp/v2/journey/ongoing/vp/bus/0022/"),
+          lpad(pmod(col("value"), lit(100000L)).cast(StringType), 5, "0"),
+          lit("/2550/2/Itakeskus(M)/08:29/1362148/4/60;24/28/65/06")).as("topic"),
+        concat(lit("""{"VP":{"desi":"550","dir":"2","oper":22,"veh":"""),
+          pmod(col("value"), lit(100000L)).cast(StringType),
+          lit(""","tst":"2024-06-05T08:00:01.412Z","tsi":"""),
+          (lit(1717574400L) + pmod(col("value"), lit(86400L))).cast(StringType),
+          lit(""","spd":8.49,"drst":0,"oday":"2024-06-05","start":"08:29","loc":"GPS"}}"""))
+          .as("payload"),
+        unix_millis(col("timestamp")).as("received_at"))
+
+    case Pulsar(serviceUrl, adminUrl, topic) =>
+      if (!pulsarConnectorAvailable(spark))
+        throw new IllegalStateException(
+          "Pulsar source requested but the pulsar-spark connector is not on " +
+            "the classpath; add the StreamNative pulsar-spark-connector jar " +
+            s"(provides $PulsarSourceClass) to use SourceSpec.Pulsar")
+      // the connector delivers the raw message bytes in `value` plus the
+      // MQTT topic in message properties; the select below normalizes to
+      // the wire schema (property names per the public HFP/Pulsar feed)
+      spark.readStream.format("pulsar")
+        .option("service.url", serviceUrl)
+        .option("admin.url", adminUrl)
+        .option("topic", topic)
+        .load()
+        .select(
+          col("__properties").getItem("mqttTopic").cast(StringType).as("topic"),
+          col("value").cast(StringType).as("payload"),
+          unix_millis(col("__eventTime")).as("received_at"))
+  }
+
+  private[sources] def pulsarConnectorAvailable(spark: SparkSession): Boolean =
+    try { Class.forName(PulsarSourceClass); true }
+    catch { case _: ClassNotFoundException => false }
+}

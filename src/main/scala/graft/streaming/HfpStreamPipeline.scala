@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.HfpFlatten
-import graft.sources.HfpRawIngest
+import graft.sources.{HfpRawIngest, SourceFactory}
 
 /**
  * The streaming ETL pipeline that IS the reference (SURVEY.md §0): one
@@ -22,9 +22,11 @@ import graft.sources.HfpRawIngest
  *   checkpointLocation.
  *
  * Operator mapping (SURVEY §2.1):
- *  - O1 source: a schema'd file stream stands in for the Pulsar consumer in
- *    this offline environment; the transform/sink plan is source-agnostic,
- *    so a real connector source drops in without touching anything below.
+ *  - O1 source: built against the [[graft.sources.SourceFactory]] seam
+ *    (file | rate | pulsar-when-available) — the transform/sink plan is
+ *    source-agnostic BY CONSTRUCTION; the Pulsar connector drops in as a
+ *    [[graft.sources.SourceFactory.SourceSpec.Pulsar]] spec without
+ *    touching anything below.
  *  - O4 buffer/load-shed: subsumed by source rate limiting (`maxFilesPerTrigger`)
  *    + backpressure — no data drop, a semantic improvement over the
  *    reference's silent overflow (MessageProcessor.java:103-110).
@@ -45,27 +47,26 @@ import graft.sources.HfpRawIngest
  */
 object HfpStreamPipeline {
 
-  /** Wire-record schema for the file-stream stand-in (one JSON object per
-    * line): the raw MQTT record shape HfpRawIngest consumes. */
-  val wireSchema: StructType = StructType(Seq(
-    StructField("topic", StringType, nullable = false),
-    StructField("payload", StringType, nullable = true),
-    StructField("received_at", LongType, nullable = false)))
+  /** Wire-record schema (see [[SourceFactory.wireSchema]]). */
+  val wireSchema: StructType = SourceFactory.wireSchema
 
   final case class Config(
-      inputDir: String,
-      checkpointDir: String,
+      inputDir: String = "",
+      checkpointDir: String = "",
       dumpInterval: String = "1 second",          // environment.conf:18
       availableNow: Boolean = false,              // drain-and-stop (tests/backfill)
       maxFilesPerTrigger: Option[Int] = None,     // O4 rate limit stand-in
-      deadLetterDir: Option[String] = None)
-
-  /** O1: the streaming source — schema'd, never inferred (SURVEY §1.1). */
-  def rawStream(spark: SparkSession, cfg: Config): DataFrame = {
-    val r = spark.readStream.schema(wireSchema)
-    cfg.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.json(cfg.inputDir)
+      deadLetterDir: Option[String] = None,
+      source: Option[SourceFactory.SourceSpec] = None) {
+    /** Resolved source spec: explicit `source` wins; otherwise the
+      * file-stream stand-in over `inputDir`. */
+    def sourceSpec: SourceFactory.SourceSpec = source.getOrElse(
+      SourceFactory.SourceSpec.FileJson(inputDir, maxFilesPerTrigger))
   }
+
+  /** O1: the streaming source, resolved through the [[SourceFactory]] seam. */
+  def rawStream(spark: SparkSession, cfg: Config): DataFrame =
+    SourceFactory.rawStream(spark, cfg.sourceSpec)
 
   /**
    * Wire the full query and start it. The foreachBatch body is the
