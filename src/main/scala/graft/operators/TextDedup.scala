@@ -140,22 +140,6 @@ object TextDedup {
         array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
   }
 
-  /**
-   * Small-input parallelism guard for CPU-bound per-row stages (md5 per
-   * shingle): Spark's scan splitter sizes partitions for I/O
-   * (`maxPartitionBytes`/`openCostInBytes`), so a few-MB parquet file
-   * arrives as 1-2 partitions and the hashing runs on 1-2 cores. When the
-   * scan offers fewer partitions than the cluster has slots, spread it;
-   * the explicit partition count keeps AQE from coalescing the exchange
-   * back down (AQE only coalesces counts it chose itself). At real scale
-   * the scan has ≫ slots partitions and this is a no-op — document bodies
-   * then never cross a shuffle.
-   */
-  def spreadSmallInput(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
-  }
-
   /** LSH band rows (doc_id, band_key) from a signature frame.
     *
     * The generator explodes a LITERAL band-index array and the band key is
@@ -210,7 +194,7 @@ object TextDedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minEstSim: Double = 0.3,
       maxBandBucket: Int = 100000): DataFrame = {
-    val texts = spreadSmallInput(
+    val texts = ScanOps.spreadSmallInput(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     val sigs = signatures(texts, shingleN)
     val bands = bandRows(sigs)

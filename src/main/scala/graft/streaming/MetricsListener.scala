@@ -18,7 +18,7 @@ final class MetricsListener extends StreamingQueryListener {
 
   /** One reference-shaped metrics record per micro-batch. */
   final case class BatchMetrics(
-      batchId: Long, numInputRows: Long,
+      queryRunId: String, batchId: Long, numInputRows: Long,
       inputRowsPerSecond: Double, processedRowsPerSecond: Double,
       batchDurationMs: Long)
 
@@ -27,10 +27,15 @@ final class MetricsListener extends StreamingQueryListener {
 
   def batches: Seq[BatchMetrics] = synchronized(buf.toSeq)
 
-  /** Input rows summed once per batch — Spark may re-emit a progress event
-    * for the same batchId (e.g. at query termination). */
+  /** Input rows summed once per batch. Keyed by (query run, batchId) —
+    * the listener is registered session-wide, so bare batchIds collide
+    * across queries — and resolved by `max`: Spark may re-emit a progress
+    * event for the same batchId (e.g. an empty re-emission at query
+    * termination), and the largest observation is the one that carried
+    * the batch's rows. */
   def totalInputRows: Long =
-    batches.groupBy(_.batchId).values.map(_.head.numInputRows).sum
+    batches.groupBy(m => (m.queryRunId, m.batchId)).values
+      .map(_.map(_.numInputRows).max).sum
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     log.info(s"""{"event":"started","id":"${event.id}","name":"${event.name}"}""")
@@ -38,6 +43,7 @@ final class MetricsListener extends StreamingQueryListener {
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     val m = BatchMetrics(
+      queryRunId = p.runId.toString,
       batchId = p.batchId,
       numInputRows = p.numInputRows,
       inputRowsPerSecond = p.inputRowsPerSecond,
