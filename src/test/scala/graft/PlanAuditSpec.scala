@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/**
+ * Engine-wide physical-plan invariants — the scale properties that must
+ * hold for every registered query, asserted instead of hand-audited:
+ * no accidental cartesian products, pushdown reaching the parquet scan,
+ * constant-size dimensions broadcast.
+ */
+class PlanAuditSpec extends SparkSuite {
+
+  /** q25's broadcast nested-loop is deliberate: a BOUNDED query set is
+    * broadcast against the corpus scan with a non-equi (self-exclusion)
+    * condition — linear in corpus size. Everything else must plan
+    * hash/sort-merge joins. */
+  private val allowedNestedLoop = Set("q25_knn_cosine_brute")
+
+  test("no registered query plans a cartesian product; nested-loop only where deliberate") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf()).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      if (!allowedNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("q02: filter and projection push into the parquet scan") {
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec does not expose
+    // its tree to collect() before execution
+    val scans = SparkEntry.queries("q02_filter_project")(spark, sf())
+      .queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val meta = scans.head.metadata
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual"), meta("PushedFilters"))
+    val readSchema = meta("ReadSchema")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_partkey"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("q04/q40: constant-size dimensions broadcast, big-big joins shuffle") {
+    for (q <- Seq("q04_join_star", "q40_part_supplier_profit")) {
+      val plan = SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast for dims")
+    }
+  }
+
+  test("every scan in the registry reads parquet batched (columnar)") {
+    val unbatched = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf()).queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec if !f.supportsColumnar => name }
+    }
+    assert(unbatched.isEmpty, s"non-columnar scans in: ${unbatched.distinct}")
+  }
+}
