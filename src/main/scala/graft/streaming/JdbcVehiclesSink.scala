@@ -49,11 +49,23 @@ object PostgresHfpDialect extends SqlDialect {
  * `singleTransaction = true` coalesces to one partition for strict parity
  * (fine at the reference's scale, a deliberate bottleneck at 100 TB —
  * leave it off and accept partition-level atomicity there).
+ *
+ * `idempotent = true` upgrades at-least-once to EFFECTIVELY-ONCE: each
+ * partition records (table, batchId, partitionId) in a commit-ledger
+ * table inside the SAME transaction as its rows, and a replayed
+ * partition that finds its ledger row skips silently. This closes the
+ * duplicate window the reference shares (crash between DB commit and
+ * Pulsar ack redelivers the batch — MessageProcessor.java:90-95,131-143;
+ * SURVEY §2.1 O11 note). The ledger read-and-insert races only with the
+ * same (batch, partition) replaying concurrently, which Structured
+ * Streaming's task re-attempt rules already serialize through the
+ * rollback path.
  */
 final class JdbcVehiclesSink(
     url: String, table: String,
     dialect: SqlDialect = GenericDialect,
     singleTransaction: Boolean = false,
+    idempotent: Boolean = false,
     connectionProps: Map[String, String] = Map.empty)
     extends BatchSink {
 
@@ -61,13 +73,17 @@ final class JdbcVehiclesSink(
     val df = if (singleTransaction) batch.coalesce(1) else batch
     val schema = df.schema
     val sql = JdbcVehiclesSink.insertSql(table, schema, dialect)
-    val (u, props) = (url, connectionProps)
+    val (u, props, tbl, idem) = (url, connectionProps, table, idempotent)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val p = new Properties()
         props.foreach { case (k, v) => p.setProperty(k, v) }
         val conn = DriverManager.getConnection(u, p)
-        JdbcVehiclesSink.writePartition(conn, sql, schema, rows)
+        val ledger =
+          if (idem) Some(JdbcVehiclesSink.LedgerKey(
+            tbl, batchId, org.apache.spark.TaskContext.getPartitionId()))
+          else None
+        JdbcVehiclesSink.writePartition(conn, sql, schema, rows, ledger)
       }
     }
   }
@@ -82,20 +98,68 @@ object JdbcVehiclesSink {
     s"""INSERT INTO $table ($cols) VALUES ($phs)"""
   }
 
-  /** One transaction for one partition's rows; rollback + rethrow on error. */
-  def writePartition(conn: Connection, sql: String, schema: StructType,
-      rows: Iterator[Row]): Unit = {
-    conn.setAutoCommit(false)
+  /** Identity of one (sink table, micro-batch, partition) commit. */
+  final case class LedgerKey(table: String, batchId: Long, partitionId: Int)
+
+  /** Commit-ledger table name for a sink table. */
+  def ledgerTable(table: String): String = s"${table}_commits"
+
+  /** Create the ledger if absent (DDL is portable ANSI; an
+    * already-exists error from a concurrent creator is swallowed). */
+  def ensureLedger(conn: Connection, table: String): Unit = {
+    val stmt = conn.createStatement()
+    try stmt.executeUpdate(
+      s"""CREATE TABLE ${ledgerTable(table)} (
+         |  sink_table VARCHAR(128) NOT NULL,
+         |  batch_id BIGINT NOT NULL,
+         |  partition_id INT NOT NULL,
+         |  PRIMARY KEY (sink_table, batch_id, partition_id))""".stripMargin)
+    catch { case _: java.sql.SQLException => /* exists */ }
+    finally stmt.close()
+  }
+
+  private def ledgerHas(conn: Connection, key: LedgerKey): Boolean = {
+    val q = conn.prepareStatement(
+      s"SELECT 1 FROM ${ledgerTable(key.table)} WHERE sink_table = ? AND batch_id = ? AND partition_id = ?")
     try {
-      val stmt = conn.prepareStatement(sql)
-      try {
-        rows.foreach { row =>
-          bindRow(stmt, schema, row)
-          stmt.addBatch()
-        }
-        stmt.executeBatch()
-        conn.commit()
-      } finally stmt.close()
+      q.setString(1, key.table); q.setLong(2, key.batchId); q.setInt(3, key.partitionId)
+      val rs = q.executeQuery()
+      try rs.next() finally rs.close()
+    } finally q.close()
+  }
+
+  private def ledgerInsert(conn: Connection, key: LedgerKey): Unit = {
+    val ins = conn.prepareStatement(
+      s"INSERT INTO ${ledgerTable(key.table)} (sink_table, batch_id, partition_id) VALUES (?, ?, ?)")
+    try {
+      ins.setString(1, key.table); ins.setLong(2, key.batchId); ins.setInt(3, key.partitionId)
+      ins.executeUpdate(); ()
+    } finally ins.close()
+  }
+
+  /** One transaction for one partition's rows; rollback + rethrow on
+    * error. With a ledger key: skip if this (batch, partition) already
+    * committed, else commit the ledger row atomically with the data. */
+  def writePartition(conn: Connection, sql: String, schema: StructType,
+      rows: Iterator[Row], ledger: Option[LedgerKey] = None): Unit = {
+    try {
+      ledger.foreach(k => ensureLedger(conn, k.table)) // own implicit txn
+      conn.setAutoCommit(false)
+      val alreadyCommitted = ledger.exists(k => ledgerHas(conn, k))
+      if (alreadyCommitted) {
+        conn.rollback() // end the read-only ledger-check transaction
+      } else {
+        val stmt = conn.prepareStatement(sql)
+        try {
+          rows.foreach { row =>
+            bindRow(stmt, schema, row)
+            stmt.addBatch()
+          }
+          stmt.executeBatch()
+          ledger.foreach(k => ledgerInsert(conn, k))
+          conn.commit()
+        } finally stmt.close()
+      }
     } catch {
       case e: Throwable =>
         try conn.rollback() catch { case _: Throwable => }

@@ -98,6 +98,30 @@ class JdbcSinkSpec extends SparkSuite {
     assert(query(url, "SELECT COUNT(*) FROM vehicles")(_.getInt(1)) === 0)
   }
 
+  test("idempotent mode: a replayed batch writes nothing; new batches still land") {
+    val in = tmp("jdbc_in_")
+    Seq((topic, payload(854), 1L), (topic, payload(855), 2L))
+      .toDF("topic", "payload", "received_at")
+      .coalesce(1).write.mode("append").json(in)
+    val url = createDb("sink_idem")
+    val sink = new JdbcVehiclesSink(url, "vehicles", idempotent = true)
+    val cfg = HfpStreamPipeline.Config(inputDir = in, checkpointDir = tmp("jdbc_ck_"),
+      availableNow = true)
+    HfpStreamPipeline.start(spark, cfg, sink).awaitTermination()
+    assert(query(url, "SELECT COUNT(*) FROM vehicles")(_.getInt(1)) === 2)
+    // simulate the redelivery window (crash between commit and checkpoint
+    // advance): the SAME batchId replays against the sink directly
+    val env = graft.sources.HfpRawIngest.toEnvelope(
+      spark.read.schema(HfpStreamPipeline.wireSchema).json(in))
+    val flat = graft.operators.HfpFlatten.flatten(env, strictTst = false).coalesce(1)
+    sink.write(flat, batchId = 0L) // replay of batch 0 → ledger hit, no-op
+    assert(query(url, "SELECT COUNT(*) FROM vehicles")(_.getInt(1)) === 2)
+    sink.write(flat, batchId = 1L) // genuinely new batch → lands
+    assert(query(url, "SELECT COUNT(*) FROM vehicles")(_.getInt(1)) === 4)
+    assert(query(url,
+      "SELECT COUNT(*) FROM vehicles_commits")(_.getInt(1)) === 2)
+  }
+
   test("PostgresHfpDialect reproduces the reference's enum-cast statement shape") {
     val sql = JdbcVehiclesSink.insertSql("vehicles",
       graft.model.HfpModel.vehiclesSchema, PostgresHfpDialect)
