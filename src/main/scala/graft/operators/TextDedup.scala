@@ -198,17 +198,21 @@ object TextDedup {
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     val sigs = signatures(texts, shingleN)
     val bands = bandRows(sigs)
-    val kept =
-      if (maxBandBucket == Int.MaxValue) bands
-      else bands.join(
-        broadcast(bandBucketSizes(bands)
-          .filter(col("bucket_size") > maxBandBucket)
-          .select(col("band_key"))),
-        Seq("band_key"), "left_anti")
-    val cand = kept.as("x")
-      .join(kept.as("y"), col("x.band_key") === col("y.band_key")
-        && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // candidate generation by bucket aggregation, not a self-join: ONE
+    // shuffle on band_key collects each bucket's ids; singleton buckets
+    // (the overwhelming majority) are dropped by the n >= 2 filter before
+    // any pair is formed, and the skew cap is a HAVING-style n <= cap on
+    // the same aggregate. Pair expansion is an expression over the sorted
+    // id list — bounded by cap² per bucket, never joined.
+    val cand = bands
+      .groupBy(col("band_key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBandBucket)
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     val estimated = cand
       .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
