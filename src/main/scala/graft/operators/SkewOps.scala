@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/**
+ * Skew mitigation for equi-joins — the manual fallback when AQE's runtime
+ * skew-join splitting (`spark.sql.adaptive.skewJoin.*`) cannot apply
+ * (e.g. a build side too large to split, or a deliberately static plan).
+ *
+ * A hot key floods one shuffle partition with all of its rows; salting
+ * splits that key's probe rows across `salts` sub-partitions and
+ * replicates the build side once per salt, so the hot partition's work
+ * fans out `salts`-ways. The result set is EXACTLY the plain join's —
+ * the salt participates only in routing — which is what lets the q42
+ * oracle gate this against an unsalted SQL join.
+ *
+ * Cost model: build side inflates ×`salts` (shuffle + memory), probe side
+ * is unchanged. Worth it only when one key's row count ≫ the average —
+ * size `salts` ≈ hot-key rows ÷ target partition rows.
+ */
+object SkewOps {
+
+  /**
+   * Inner equi-join on `key` with `salts`-way salting of the left (probe)
+   * side. The per-row salt only needs to spread rows of the SAME key, so
+   * any row-varying source works; `monotonically_increasing_id` is cheap
+   * and partition-local (its values differ across runs — irrelevant, the
+   * salt never reaches the output).
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val l = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast(IntegerType))
+    val r = right.withColumn("__salt",
+      explode(typedlit((0 until salts).toArray)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

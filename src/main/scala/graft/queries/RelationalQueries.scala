@@ -586,6 +586,35 @@ object RelationalQueries {
         WHERE p_size <= 15
         GROUP BY n_name, year(o_orderdate), p_brand
         ORDER BY n_name, o_year, p_brand"""),
-      headline = true)
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q42 — salted big-big join (SkewOps): lineitem ⋈ orders on orderkey
+    // with 8-way salting of the probe side and ×8 replication of the
+    // build side. The salt is pure routing — the oracle is the PLAIN SQL
+    // join, so the hash gate proves salting is result-invariant. This is
+    // the manual skew fallback for when AQE's runtime skew splitting
+    // cannot apply (SURVEY §2.2 / builder brief: salting for skew).
+    // ------------------------------------------------------------------
+    "q42_salted_join" -> GraftQuery(
+      build = (s, d) => {
+        graft.operators.SkewOps.saltedJoin(
+            lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+              col("l_quantity"), col("l_extendedprice")),
+            orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+            key = "o_orderkey", salts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
