@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Scan-side helpers shared by the CPU-heavy per-row operators. */
 object ScanOps {
@@ -15,9 +15,17 @@ object ScanOps {
    * from coalescing the exchange back down (AQE only coalesces counts it
    * chose itself). At real scale the scan has ≫ slots partitions and this
    * is a no-op — row bodies then never cross a shuffle.
+   *
+   * Pass the frame's id column(s) as `keys` whenever the frame is
+   * consumed from several places in one plan: a keyed (hash) exchange is
+   * deterministic, so ReuseExchange can compute it ONCE and fan it out,
+   * where the keyless round-robin exchange is non-deterministic and every
+   * consumer recomputes the whole subtree below it.
    */
-  def spreadSmallInput(df: DataFrame): DataFrame = {
+  def spreadSmallInput(df: DataFrame, keys: Column*): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    if (df.rdd.getNumPartitions >= slots) df
+    else if (keys.nonEmpty) df.repartition(slots, keys: _*)
+    else df.repartition(slots)
   }
 }

@@ -195,7 +195,7 @@ object TextDedup {
       shingleN: Int = 3, minEstSim: Double = 0.3,
       maxBandBucket: Int = 100000): DataFrame = {
     val texts = ScanOps.spreadSmallInput(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), col("doc_id"))
     val sigs = signatures(texts, shingleN)
     val bands = bandRows(sigs)
     // candidate generation by bucket aggregation, not a self-join: ONE

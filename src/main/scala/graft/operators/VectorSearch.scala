@@ -96,7 +96,7 @@ object VectorSearch {
     def prepared(df: DataFrame) =
       df.select(col(idCol), toDouble(col(vecCol)).as("v"))
         .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
-    val b = prepared(ScanOps.spreadSmallInput(base))
+    val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
     val q = prepared(queries).select(
       col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id")
@@ -124,7 +124,7 @@ object VectorSearch {
    *    joins the vectors back once per side.
    */
   def bucketedNearDupPairs(df: DataFrame, idCol: String, minCosine: Double): DataFrame = {
-    val vs = ScanOps.spreadSmallInput(df)
+    val vs = ScanOps.spreadSmallInput(df, col(idCol))
       .select(col(idCol).as("vec_id"), col("v"))
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
         bandValues(col("v")).as("bvals"))

@@ -41,7 +41,7 @@ object TextQueries {
     // ------------------------------------------------------------------
     "q27_lang_id" -> GraftQuery(
       build = (s, d) =>
-        graft.operators.ScanOps.spreadSmallInput(documents(s, d))
+        graft.operators.ScanOps.spreadSmallInput(documents(s, d), col("doc_id"))
           .select(col("doc_id"), col("lang").as("labeled_lang"),
             predictedLang(col("text")).as("predicted_lang"))
           .withColumn("is_match",
@@ -79,7 +79,7 @@ object TextQueries {
     // ------------------------------------------------------------------
     "q28_text_quality" -> GraftQuery(
       build = (s, d) =>
-        qualityFeatures(graft.operators.ScanOps.spreadSmallInput(documents(s, d)), "text")
+        qualityFeatures(graft.operators.ScanOps.spreadSmallInput(documents(s, d), col("doc_id")), "text")
           .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
             col("avg_token_len"), col("punct_ratio"), col("digit_ratio"),
             col("stopword_ratio"), col("quality_score"))
@@ -111,7 +111,7 @@ object TextQueries {
     // ------------------------------------------------------------------
     "q29_token_stats" -> GraftQuery(
       build = (s, d) =>
-        graft.operators.ScanOps.spreadSmallInput(documents(s, d))
+        graft.operators.ScanOps.spreadSmallInput(documents(s, d), col("doc_id"))
           .select(col("lang"), col("source"),
             wsTokenCount(col("text")).as("ws_toks"),
             wordpieceCount(col("text")).as("pieces"),
@@ -144,7 +144,7 @@ object TextQueries {
     // ------------------------------------------------------------------
     "q30_doc_fingerprint" -> GraftQuery(
       build = (s, d) =>
-        graft.operators.ScanOps.spreadSmallInput(documents(s, d))
+        graft.operators.ScanOps.spreadSmallInput(documents(s, d), col("doc_id"))
           .select(col("doc_id"), rollingFingerprint(col("text")).as("fingerprint"))
           .orderBy("doc_id"),
       oracle = Some(s"""
