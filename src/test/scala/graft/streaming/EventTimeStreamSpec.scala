@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, unix_seconds}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.HfpFlatten
@@ -101,6 +102,41 @@ class EventTimeStreamSpec extends SparkSuite {
       rec("2024-06-05T08:00:00Z"), rec("2024-06-05T08:02:00Z", veh = 901)))
     runOnce(dedup, out, ckpt)
     assert(outRows(out).length === 3)
+  }
+
+  test("flatMapGroupsWithState trips: state survives micro-batches; equals the batch twin") {
+    val in = tmp("tr_in_"); val out = tmp("tr_out_"); val ckpt = tmp("tr_ck_")
+    // the fixture's tsi field is constant; trip-time is the tst event time
+    def withEventSec(df: DataFrame) =
+      df.withColumn("tsi", unix_seconds(col("tst")))
+    def trips = StatefulOps.assignTrips(withEventSec(vehiclesStream(in)), gapSec = 600).toDF()
+
+    // batch 1: two events 08:00/08:05 (one trip, gap < 10 min)
+    writeFile(in, 1, Seq(rec("2024-06-05T08:00:00Z"), rec("2024-06-05T08:05:00Z")))
+    runOnce(trips, out, ckpt)
+    // batch 2: 08:10 continues trip 0 ACROSS the batch boundary;
+    // 09:00 opens trip 1 (gap 50 min); second vehicle starts its own trip 0
+    writeFile(in, 2, Seq(rec("2024-06-05T08:10:00Z"),
+      rec("2024-06-05T09:00:00Z"), rec("2024-06-05T09:00:00Z", veh = 950)))
+    runOnce(trips, out, ckpt)
+
+    val got = outRows(out)
+      .map(r => (r.getAs[String]("unique_vehicle_id"), r.getAs[Long]("tsi"),
+        r.getAs[Long]("trip_id"))).toSet
+    // cross-batch continuity: 08:10 is still trip 0; 09:00 is trip 1
+    assert(got.count(_._1 == "22/854") === 4)
+    assert(got.filter(_._1 == "22/854").map(_._3) === Set(0L, 1L))
+    assert(got.filter(t => t._1 == "22/854" && t._3 == 1L).size === 1)
+    assert(got.filter(_._1 == "22/950").map(_._3) === Set(0L))
+
+    // equals the batch twin over the full input
+    val batch = StatefulOps.assignTripsBatch(
+      withEventSec(HfpFlatten.flatten(HfpRawIngest.toEnvelope(
+        spark.read.schema(HfpStreamPipeline.wireSchema).json(in)), strictTst = false)),
+      gapSec = 600)
+      .collect().map(r => (r.getAs[String]("unique_vehicle_id"),
+        r.getAs[Long]("tsi"), r.getAs[Long]("trip_id"))).toSet
+    assert(got === batch)
   }
 
   test("session window: closes only when the watermark passes end+gap, merges within gap") {
