@@ -63,27 +63,23 @@ object TextDedup {
   }
 
   /** Shingle-hash array: one md5 per shingle, reduced into the MinHash
-    * universe. Materialize this ONCE per row (its own projection) before
-    * fanning out to the K permutations — inlining it into
-    * [[signatureFromHashes]]'s K expressions recomputes every md5 K times
-    * (measured 16× slowdown at sf0.1). */
+    * universe. Per-row COLUMN form of the signature path — use only for
+    * single-column enrichment; the dedup pipeline uses [[signatures]]
+    * (aggregate-shaped, codegen'd, inline-proof). Materialize this ONCE
+    * per row (its own projection) before fanning out to the K
+    * permutations — inlining it into [[signatureFromHashes]]'s K
+    * expressions recomputes every md5 K times (measured 16× slowdown at
+    * sf0.1). */
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => hashMod(s))
 
   /** MinHash signature from a materialized shingle-hash array: K minima of
-    * the permuted hashes — pure arithmetic, no hashing. */
+    * the permuted hashes — pure arithmetic, no hashing. Must agree
+    * value-for-value with [[signatures]] (asserted by spec: two
+    * independent implementations of the same definition). */
   def signatureFromHashes(hv: Column): Column =
     array(perms.map { case (a, b) =>
       array_min(transform(hv, h => (lit(a) * h + lit(b)) % Prime))
-    }: _*)
-
-  /** LSH band keys: Bands strings, each "b_m1_m2_…_mr" over one signature
-    * band. Two documents sharing any band key are candidates. */
-  def bandKeys(sig: Column): Column =
-    array((0 until Bands).map { b =>
-      concat_ws("_",
-        lit(b.toString) +: (0 until RowsPerBand).map(r =>
-          element_at(sig, b * RowsPerBand + r + 1).cast(StringType)): _*)
     }: _*)
 
   /** Estimated Jaccard from two signatures: fraction of equal components. */

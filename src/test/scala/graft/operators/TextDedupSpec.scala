@@ -65,6 +65,18 @@ class TextDedupSpec extends SparkSuite {
     assert(hot.agg(max(col("bucket_size"))).head.getLong(0) === 30L)
   }
 
+  test("column-form and aggregate-form MinHash signatures agree on the corpus") {
+    val texts = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val viaAgg = TextDedup.signatures(texts, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCols = texts
+      .select(col("doc_id"), TextDedup.shingleHashes(col("text"), 3).as("hv"))
+      .select(col("doc_id"), TextDedup.signatureFromHashes(col("hv")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg.nonEmpty)
+    assert(viaAgg === viaCols)
+  }
+
   test("LSH candidate generation plan contains no cartesian product") {
     val docs = Tables.documents(spark, sf("0.01")).select(col("doc_id"), col("text"))
     val plan = TextDedup.minhashCandidatePairs(docs, "text", "doc_id")
