@@ -52,7 +52,7 @@ object AsofQueries {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_us"), col("is_left"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        left.unionByName(right.select(left.columns.map(col): _*))
+        left.unionByName(right.select(left.columns.toIndexedSeq.map(col): _*))
           .withColumn("asof_signup_event_id",
             last(col("signup_event_id"), ignoreNulls = true).over(w))
           .withColumn("asof_signup_ts_us",

@@ -14,13 +14,16 @@ import org.slf4j.LoggerFactory
  * listener surfaces them in the same shape and retains them for
  * programmatic assertion.
  */
-final class MetricsListener extends StreamingQueryListener {
-
+object MetricsListener {
   /** One reference-shaped metrics record per micro-batch. */
   final case class BatchMetrics(
       queryRunId: String, batchId: Long, numInputRows: Long,
       inputRowsPerSecond: Double, processedRowsPerSecond: Double,
       batchDurationMs: Long)
+}
+
+final class MetricsListener extends StreamingQueryListener {
+  import MetricsListener.BatchMetrics
 
   private val log = LoggerFactory.getLogger(getClass)
   private val buf = ArrayBuffer.empty[BatchMetrics]
