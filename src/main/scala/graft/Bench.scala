@@ -64,7 +64,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val (ingestRows, ingestRate) = ingestSlice(spark)
+    // the ingest slice obeys the SPARK_GRAFT_ONLY filter too (name it
+    // "ingest" to run it alone); -1 marks "not run" vs a failure's -1
+    // being accompanied by a stderr line
+    val (ingestRows, ingestRate) =
+      if (only.forall(f => f.exists(p => "ingest".startsWith(p))))
+        ingestSlice(spark)
+      else (0L, -1.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
       s""""ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,""" +
       s""""ingest_reference_ceiling_rows_per_sec":250000,"sf":"$sfDir"}""")
@@ -85,18 +91,10 @@ object Bench {
   private def ingestSlice(spark: SparkSession, n: Long = 8000000L): (Long, Double) = {
     import org.apache.spark.sql.functions._
     import graft.operators.HfpFlatten
-    import graft.sources.HfpRawIngest
+    import graft.sources.{HfpRawIngest, SourceFactory}
     def rawFrame = spark.range(n).select(
-      concat(lit("/hfp/v2/journey/ongoing/vp/bus/0022/"),
-        lpad(pmod(col("id"), lit(100000L)).cast("string"), 5, "0"),
-        lit("/2550/2/Itakeskus(M)/08:29/1362148/4/60;24/28/65/06")).as("topic"),
-      concat(lit("""{"VP":{"desi":"550","dir":"2","oper":22,"veh":"""),
-        pmod(col("id"), lit(100000L)).cast("string"),
-        lit(""","tst":"2024-06-05T08:00:01.412Z","tsi":"""),
-        (lit(1717574400L) + col("id") % 86400L).cast("string"),
-        lit(""","spd":8.49,"hdg":72,"lat":60.229214,"long":25.007964,"drst":0,"oday":"2024-06-05","start":"08:29","loc":"GPS","occu":0}}"""))
-        .as("payload"),
-      (lit(1717574400000L) + col("id")).as("received_at"))
+      SourceFactory.syntheticWireColumns(col("id"),
+        lit(1717574400000L) + col("id")): _*)
     def runOnce(): Double = {
       val out = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
       val (good, _) = HfpRawIngest.splitInvalidPayload(

@@ -180,30 +180,44 @@ object TextDedup {
    *     a staged projection.
    *
    * @param maxBandBucket skew guard: band buckets larger than this are
-   *        dropped before the self-join. On a boilerplate-heavy corpus one
-   *        hot band key (e.g. an empty-page template) otherwise
-   *        degenerates to a bucket² pair explosion. Dropping a bucket of
-   *        size m only loses pairs whose EVERY shared band is hot —
-   *        candidates usually share a non-hot band too. Account for drops
-   *        via [[bandBucketSizes]] (`bucket_size > maxBandBucket`).
+   *        dropped BEFORE their ids are ever collected. On a
+   *        boilerplate-heavy corpus one hot band key (e.g. an empty-page
+   *        template) otherwise degenerates to a bucket² pair explosion.
+   *        Dropping a bucket of size m only loses pairs whose EVERY
+   *        shared band is hot — candidates usually share a non-hot band
+   *        too. Account for drops via [[bandBucketSizes]]
+   *        (`bucket_size > maxBandBucket`). Bounded at 10000 because a
+   *        kept bucket expands C(cap, 2) pair structs inside one row
+   *        (~5·10⁷ at the bound); raise only with the row-size math done.
    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minEstSim: Double = 0.3,
-      maxBandBucket: Int = 100000): DataFrame = {
+      maxBandBucket: Int = 1000): DataFrame = {
+    require(maxBandBucket >= 2 && maxBandBucket <= 10000,
+      s"maxBandBucket must be in [2, 10000], got $maxBandBucket")
     val texts = ScanOps.spreadSmallInput(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), col("doc_id"))
     val sigs = signatures(texts, shingleN)
     val bands = bandRows(sigs)
+    // skew cap FIRST, from a count-only aggregate: hot keys are few by
+    // construction (each holds > cap docs, so there are at most N/cap of
+    // them) → the broadcast is bounded at any corpus size, and a hot
+    // bucket's ids are never collected into a row
+    val kept = bands.join(
+      broadcast(bandBucketSizes(bands)
+        .filter(col("bucket_size") > maxBandBucket)
+        .select(col("band_key"))),
+      Seq("band_key"), "left_anti")
     // candidate generation by bucket aggregation, not a self-join: ONE
-    // shuffle on band_key collects each bucket's ids; singleton buckets
-    // (the overwhelming majority) are dropped by the n >= 2 filter before
-    // any pair is formed, and the skew cap is a HAVING-style n <= cap on
-    // the same aggregate. Pair expansion is an expression over the sorted
-    // id list — bounded by cap² per bucket, never joined.
-    val cand = bands
+    // more shuffle on band_key collects each surviving bucket's ids
+    // (every list ≤ cap); singleton buckets (the overwhelming majority)
+    // are dropped by the n >= 2 filter before any pair is formed. Pair
+    // expansion is an expression over the sorted id list — ≤ C(cap, 2)
+    // structs per bucket row, never joined.
+    val cand = kept
       .groupBy(col("band_key"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBandBucket)
+      .filter(size(col("ids")) >= 2)
       .select(array_sort(col("ids")).as("ids"))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),

@@ -513,8 +513,11 @@ object RelationalQueries {
     // aggregation residuals). The cube's exact aggregates are hash-gated
     // directly; the HLL++ estimate cannot be bit-paired with DuckDB's
     // sketch, so it is gated as a TOLERANCE BOOLEAN: Spark emits
-    // |approx−exact|/exact ≤ 5% (rsd=2%), the oracle emits literal TRUE —
-    // an estimate drifting out of tolerance becomes a hash mismatch.
+    // |approx−exact|/exact ≤ 10% (5σ at rsd=2% — per-group excursion
+    // probability ~3e-7, so the gate cannot trip on a legitimately
+    // behaving sketch at any scale factor), the oracle emits literal
+    // TRUE — an estimator drifting out of tolerance becomes a hash
+    // mismatch.
     // ------------------------------------------------------------------
     "q39_cube_approx_distinct" -> GraftQuery(
       build = (s, d) => {
@@ -530,7 +533,7 @@ object RelationalQueries {
             coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
             col("n_orders"), col("sum_total"), col("n_cust_exact"),
             (abs(col("apx") - col("n_cust_exact")).cast(DoubleType)
-              / col("n_cust_exact").cast(DoubleType) <= 0.05).as("approx_ok"))
+              / col("n_cust_exact").cast(DoubleType) <= 0.10).as("approx_ok"))
           .orderBy("order_priority", "order_status")
       },
       oracle = Some("""

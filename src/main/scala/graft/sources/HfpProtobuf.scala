@@ -162,9 +162,16 @@ object HfpProtobuf {
   private final class Reader(buf: Array[Byte], start: Int, end: Int) {
     private var pos = start
     def hasNext: Boolean = pos < end
+    /** Every read is bounded by the ENCLOSING message's end — a length
+      * prefix pointing past it is malformed, never a licence to read the
+      * next sibling field's bytes. */
+    private def bound(n: Int): Unit =
+      if (pos + n > end) throw new IllegalArgumentException(
+        s"truncated field: need $n bytes at $pos, message ends at $end")
     def varint(): Long = {
       var shift = 0; var result = 0L
       while (true) {
+        bound(1)
         val b = buf(pos); pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
@@ -174,12 +181,15 @@ object HfpProtobuf {
       result // unreachable
     }
     def fixed64(): Long = {
+      bound(8)
       var v = 0L; var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def lenDelimited(): (Int, Int) = {
       val len = varint().toInt
+      if (len < 0) throw new IllegalArgumentException(s"negative length $len")
+      bound(len)
       val s = pos; pos += len; (s, s + len)
     }
     def string(): String = {
@@ -189,9 +199,9 @@ object HfpProtobuf {
     /** Skip a field of the given wire type (unknown-field tolerance). */
     def skip(wt: Int): Unit = wt match {
       case WtVarint => varint(); ()
-      case WtFixed64 => pos += 8
+      case WtFixed64 => bound(8); pos += 8
       case WtLen => lenDelimited(); () // advances past the payload
-      case WtFixed32 => pos += 4
+      case WtFixed32 => bound(4); pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
     /** Iterate fields: calls f(fieldNumber, wireType, reader). */
@@ -200,6 +210,14 @@ object HfpProtobuf {
         val t = varint()
         f((t >>> 3).toInt, (t & 7).toInt)
       }
+    /** A KNOWN field read with the wrong wire type is a malformed record
+      * (it would silently misalign every later field) — throw so the
+      * codec's dead-letter contract applies, instead of decoding garbage. */
+    def checked[A](wt: Int, expected: Int, field: Int)(read: => A): A = {
+      if (wt != expected) throw new IllegalArgumentException(
+        s"field $field has wire type $wt, expected $expected")
+      read
+    }
   }
 
   def decodeTopic(buf: Array[Byte], s: Int, e: Int): HfpTopic = {
@@ -213,25 +231,29 @@ object HfpProtobuf {
     var lat: Option[Double] = None; var lon: Option[Double] = None
     val r = new Reader(buf, s, e)
     r.fields { (fld, wt) =>
+      def vint(): Long = r.checked(wt, WtVarint, fld)(r.varint())
+      def str(): String = r.checked(wt, WtLen, fld)(r.string())
+      def dbl(): Double = r.checked(wt, WtFixed64, fld)(
+        java.lang.Double.longBitsToDouble(r.fixed64()))
       fld match {
-        case ReceivedAt => receivedAt = r.varint()
-        case TopicPrefix => prefix = r.string()
-        case TopicVersion => version = r.string()
-        case JourneyType => jt = r.string()
-        case TemporalType => tt = r.string()
-        case EventType => et = Some(r.string())
-        case TransportMode => tm = Some(r.string())
-        case OperatorId => operId = r.varint().toInt
-        case VehicleNumber => vehNum = r.varint().toInt
-        case UniqueVehicleId => uvid = r.string()
-        case RouteId => route = Some(r.string())
-        case DirectionId => dir = Some(r.varint().toInt)
-        case Headsign => hs = Some(r.string())
-        case StartTime => st = Some(r.string())
-        case NextStop => ns = Some(r.string())
-        case GeohashLevel => gl = Some(r.varint().toInt)
-        case Latitude => lat = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
-        case Longitude => lon = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case ReceivedAt => receivedAt = vint()
+        case TopicPrefix => prefix = str()
+        case TopicVersion => version = str()
+        case JourneyType => jt = str()
+        case TemporalType => tt = str()
+        case EventType => et = Some(str())
+        case TransportMode => tm = Some(str())
+        case OperatorId => operId = vint().toInt
+        case VehicleNumber => vehNum = vint().toInt
+        case UniqueVehicleId => uvid = str()
+        case RouteId => route = Some(str())
+        case DirectionId => dir = Some(vint().toInt)
+        case Headsign => hs = Some(str())
+        case StartTime => st = Some(str())
+        case NextStop => ns = Some(str())
+        case GeohashLevel => gl = Some(vint().toInt)
+        case Latitude => lat = Some(dbl())
+        case Longitude => lon = Some(dbl())
         case _ => r.skip(wt)
       }
     }
@@ -253,29 +275,33 @@ object HfpProtobuf {
     var route: Option[String] = None; var occu: Option[Int] = None
     val r = new Reader(buf, s, e)
     r.fields { (fld, wt) =>
+      def vint(): Long = r.checked(wt, WtVarint, fld)(r.varint())
+      def str(): String = r.checked(wt, WtLen, fld)(r.string())
+      def dbl(): Double = r.checked(wt, WtFixed64, fld)(
+        java.lang.Double.longBitsToDouble(r.fixed64()))
       fld match {
-        case Desi => desi = Some(r.string())
-        case Dir => dir = Some(r.string())
-        case Oper => oper = Some(r.varint().toInt)
-        case Veh => veh = r.varint().toInt
-        case Tst => tst = r.string()
-        case Tsi => tsi = r.varint()
-        case Spd => spd = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
-        case Hdg => hdg = Some(r.varint().toInt)
-        case Lat => lat = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
-        case Long => lng = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
-        case Acc => acc = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
-        case Dl => dl = Some(r.varint().toInt)
-        case Odo => odo = Some(java.lang.Double.longBitsToDouble(r.fixed64()))
-        case Drst => drst = Some(r.string())
-        case Oday => oday = Some(r.string())
-        case Jrn => jrn = Some(r.varint().toInt)
-        case Line => line = Some(r.varint().toInt)
-        case Start => start = Some(r.string())
-        case Loc => loc = Some(r.string())
-        case Stop => stop = Some(r.varint().toInt)
-        case Route => route = Some(r.string())
-        case Occu => occu = Some(r.varint().toInt)
+        case Desi => desi = Some(str())
+        case Dir => dir = Some(str())
+        case Oper => oper = Some(vint().toInt)
+        case Veh => veh = vint().toInt
+        case Tst => tst = str()
+        case Tsi => tsi = vint()
+        case Spd => spd = Some(dbl())
+        case Hdg => hdg = Some(vint().toInt)
+        case Lat => lat = Some(dbl())
+        case Long => lng = Some(dbl())
+        case Acc => acc = Some(dbl())
+        case Dl => dl = Some(vint().toInt)
+        case Odo => odo = Some(dbl())
+        case Drst => drst = Some(str())
+        case Oday => oday = Some(str())
+        case Jrn => jrn = Some(vint().toInt)
+        case Line => line = Some(vint().toInt)
+        case Start => start = Some(str())
+        case Loc => loc = Some(str())
+        case Stop => stop = Some(vint().toInt)
+        case Route => route = Some(str())
+        case Occu => occu = Some(vint().toInt)
         case _ => r.skip(wt)
       }
     }
@@ -292,9 +318,11 @@ object HfpProtobuf {
     r.fields { (fld, wt) =>
       fld match {
         case DataFields.Topic =>
-          val (s, e) = r.lenDelimited(); topic = decodeTopic(bytes, s, e)
+          val (s, e) = r.checked(wt, 2, fld)(r.lenDelimited())
+          topic = decodeTopic(bytes, s, e)
         case DataFields.Payload =>
-          val (s, e) = r.lenDelimited(); payload = decodePayload(bytes, s, e)
+          val (s, e) = r.checked(wt, 2, fld)(r.lenDelimited())
+          payload = decodePayload(bytes, s, e)
         case _ => r.skip(wt)
       }
     }

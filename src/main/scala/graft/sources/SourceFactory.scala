@@ -56,19 +56,10 @@ object SourceFactory {
     case Rate(rps) =>
       // deterministic synthetic wire records keyed by the rate source's
       // monotonically increasing `value`
-      val raw = spark.readStream.format("rate")
+      spark.readStream.format("rate")
         .option("rowsPerSecond", rps).load()
-      raw.select(
-        concat(lit("/hfp/v2/journey/ongoing/vp/bus/0022/"),
-          lpad(pmod(col("value"), lit(100000L)).cast(StringType), 5, "0"),
-          lit("/2550/2/Itakeskus(M)/08:29/1362148/4/60;24/28/65/06")).as("topic"),
-        concat(lit("""{"VP":{"desi":"550","dir":"2","oper":22,"veh":"""),
-          pmod(col("value"), lit(100000L)).cast(StringType),
-          lit(""","tst":"2024-06-05T08:00:01.412Z","tsi":"""),
-          (lit(1717574400L) + pmod(col("value"), lit(86400L))).cast(StringType),
-          lit(""","spd":8.49,"drst":0,"oday":"2024-06-05","start":"08:29","loc":"GPS"}}"""))
-          .as("payload"),
-        unix_millis(col("timestamp")).as("received_at"))
+        .select(syntheticWireColumns(col("value"),
+          unix_millis(col("timestamp"))): _*)
 
     case Pulsar(serviceUrl, adminUrl, topic) =>
       if (!pulsarConnectorAvailable(spark))
@@ -89,6 +80,23 @@ object SourceFactory {
           col("value").cast(StringType).as("payload"),
           unix_millis(col("__eventTime")).as("received_at"))
   }
+
+  /** Deterministic synthetic wire-record columns keyed by a monotonically
+    * increasing id — ONE generator shared by the rate source and the
+    * bench's ingest slice, so both exercise the same record shape (a
+    * wire-format change updates exactly one site). */
+  def syntheticWireColumns(id: org.apache.spark.sql.Column,
+      receivedAtMillis: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    concat(lit("/hfp/v2/journey/ongoing/vp/bus/0022/"),
+      lpad(pmod(id, lit(100000L)).cast(StringType), 5, "0"),
+      lit("/2550/2/Itakeskus(M)/08:29/1362148/4/60;24/28/65/06")).as("topic"),
+    concat(lit("""{"VP":{"desi":"550","dir":"2","oper":22,"veh":"""),
+      pmod(id, lit(100000L)).cast(StringType),
+      lit(""","tst":"2024-06-05T08:00:01.412Z","tsi":"""),
+      (lit(1717574400L) + pmod(id, lit(86400L))).cast(StringType),
+      lit(""","spd":8.49,"hdg":72,"lat":60.229214,"long":25.007964,"drst":0,"oday":"2024-06-05","start":"08:29","loc":"GPS","occu":0}}"""))
+      .as("payload"),
+    receivedAtMillis.as("received_at"))
 
   private[sources] def pulsarConnectorAvailable(spark: SparkSession): Boolean =
     try { Class.forName(PulsarSourceClass); true }

@@ -54,11 +54,19 @@ object AtRestLayout {
   val partitionColumns: Seq[String] = Seq(HourColumn, BucketColumn)
 
   /** Derive the layout columns from the 40-column vehicles frame.
-    * xxhash64 (not the enum-sensitive value itself) gives a stable,
-    * uniform bucket — the analogue of Timescale's space-partition hash. */
+    * The hour renders from a UTC-converted wall time (`convert_timezone`
+    * → TIMESTAMP_NTZ, which `date_format` prints verbatim), NOT from the
+    * session-timezone rendering of the instant — otherwise the physical
+    * layout would shift with `spark.sql.session.timeZone`, breaking both
+    * parity with Timescale's UTC-epoch chunking and cross-session
+    * directory stability. xxhash64 (not the enum-sensitive value itself)
+    * gives a stable, uniform bucket — the analogue of Timescale's
+    * space-partition hash. */
   def addColumns(vehicles: DataFrame, buckets: Int = DefaultBuckets): DataFrame =
     vehicles
-      .withColumn(HourColumn, date_format(col("received_at"), "yyyy-MM-dd-HH"))
+      .withColumn(HourColumn,
+        date_format(convert_timezone(lit("UTC"), col("received_at")),
+          "yyyy-MM-dd-HH"))
       .withColumn(BucketColumn,
         pmod(xxhash64(col("unique_vehicle_id")), lit(buckets.toLong)).cast(IntegerType))
 }

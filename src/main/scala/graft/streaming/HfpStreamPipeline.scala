@@ -74,6 +74,11 @@ object HfpStreamPipeline {
    * contract-violating rows, flatten the rest, hand one batch to the sink.
    */
   def start(spark: SparkSession, cfg: Config, sink: BatchSink): StreamingQuery = {
+    require(cfg.checkpointDir.nonEmpty,
+      "checkpointDir is required: without it offsets are not tracked and " +
+        "at-least-once delivery (O11) does not hold")
+    require(cfg.source.isDefined || cfg.inputDir.nonEmpty,
+      "either an explicit SourceSpec or a non-empty inputDir is required")
     val envelope = HfpRawIngest.toEnvelope(rawStream(spark, cfg))
     val trigger =
       if (cfg.availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(cfg.dumpInterval)

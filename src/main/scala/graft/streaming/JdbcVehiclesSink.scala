@@ -56,21 +56,33 @@ object PostgresHfpDialect extends SqlDialect {
  * partition that finds its ledger row skips silently. This closes the
  * duplicate window the reference shares (crash between DB commit and
  * Pulsar ack redelivers the batch — MessageProcessor.java:90-95,131-143;
- * SURVEY §2.1 O11 note). The ledger read-and-insert races only with the
- * same (batch, partition) replaying concurrently, which Structured
- * Streaming's task re-attempt rules already serialize through the
- * rollback path.
+ * SURVEY §2.1 O11 note). For the ledger key to be meaningful the
+ * partition CONTENTS must be reproducible on replay, so idempotent mode
+ * hash-repartitions the batch to a FIXED partition count on a stable key
+ * column (`idempotentKey`) — Spark's murmur3 hash partitioning of the
+ * same rows with the same count assigns identically on any cluster,
+ * where the scan's own splits shift with cores/`maxPartitionBytes`.
+ * The ledger read-and-insert races only with the same (batch, partition)
+ * replaying concurrently, which Structured Streaming's task re-attempt
+ * rules already serialize through the rollback path.
  */
 final class JdbcVehiclesSink(
     url: String, table: String,
     dialect: SqlDialect = GenericDialect,
     singleTransaction: Boolean = false,
     idempotent: Boolean = false,
+    idempotentKey: String = "unique_vehicle_id",
+    idempotentPartitions: Int = 8,
     connectionProps: Map[String, String] = Map.empty)
     extends BatchSink {
 
   override def write(batch: DataFrame, batchId: Long): Unit = {
-    val df = if (singleTransaction) batch.coalesce(1) else batch
+    val df =
+      if (singleTransaction) batch.coalesce(1)
+      else if (idempotent)
+        batch.repartition(idempotentPartitions,
+          org.apache.spark.sql.functions.col(idempotentKey))
+      else batch
     val schema = df.schema
     val sql = JdbcVehiclesSink.insertSql(table, schema, dialect)
     val (u, props, tbl, idem) = (url, connectionProps, table, idempotent)

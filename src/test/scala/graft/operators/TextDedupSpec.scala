@@ -48,7 +48,7 @@ class TextDedupSpec extends SparkSuite {
     val real = Seq((100L, longDoc + " zeta"), (200L, longDoc + " eta"))
     val df = (boiler ++ real).toDF("doc_id", "text")
     val uncapped = TextDedup.minhashCandidatePairs(df, "text", "doc_id",
-      maxBandBucket = Int.MaxValue)
+      maxBandBucket = 10000)
     // 30 identical docs alone produce C(30,2)=435 pairs
     assert(uncapped.filter(col("doc_a") <= 30).count() === 435)
     val capped = TextDedup.minhashCandidatePairs(df, "text", "doc_id",

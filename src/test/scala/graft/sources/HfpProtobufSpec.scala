@@ -81,6 +81,22 @@ class HfpProtobufSpec extends SparkSuite {
     assert(HfpProtobuf.decode(w) === HfpEnvelope(topic, payload))
   }
 
+  test("a known field with the wrong wire type is rejected, not mis-decoded") {
+    // Topic.received_at (field 1) encoded as fixed64 instead of varint:
+    // tag = 1<<3|1 = 0x09 + 8 bytes. Silent acceptance would misalign
+    // every subsequent field.
+    val badTopic = Array[Byte](0x09, 1, 0, 0, 0, 0, 0, 0, 0)
+    val data = Array[Byte](0x0A, badTopic.length.toByte) ++ badTopic ++
+      Array[Byte](0x12, 0x00) // empty payload submessage
+    intercept[IllegalArgumentException](HfpProtobuf.decode(data))
+  }
+
+  test("a submessage length past the record end is rejected (bounds check)") {
+    // Data.topic declares 100 bytes, record has 2
+    val data = Array[Byte](0x0A, 100, 0x08, 0x01)
+    intercept[IllegalArgumentException](HfpProtobuf.decode(data))
+  }
+
   test("malformed records are dropped by decodeEnvelopes, valid ones survive") {
     val good = HfpProtobuf.encode(HfpEnvelope(topic, payload))
     val bad = Array[Byte](0x0A, 0x7F, 0x01) // declares 127-byte submessage, has 1

@@ -111,6 +111,17 @@ class StreamPipelineSpec extends SparkSuite {
     val all = selectedParts(landed)
     assert(pruned > 0 && pruned < all, s"pruned=$pruned all=$all")
     assert(landed.inputFiles.forall(_.contains(s"${AtRestLayout.BucketColumn}=")))
+
+    // the hour column is session-timezone invariant (UTC rendering)
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Europe/Helsinki")
+      val hours = AtRestLayout.addColumns(spark.read.parquet(out)
+          .drop(AtRestLayout.HourColumn, AtRestLayout.BucketColumn))
+        .select(AtRestLayout.HourColumn).distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(hours.toSeq === Seq("2024-06-05-08", "2024-06-05-09"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
   }
 
   /** Sink failing `failures` times before ever writing, then healthy. */
