@@ -109,6 +109,59 @@ object VectorSearch {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: the OTHER classic ANN scale
+   * path next to LSH banding. A deterministic coarse quantizer (every
+   * `centroidEvery`-th corpus vector) partitions the corpus into C
+   * inverted lists by nearest-centroid assignment; a query probes only
+   * its `nprobe` nearest centroids' lists. With C ≈ √N the build costs
+   * N·√N dots and each query √N·nprobe — sub-quadratic, and the
+   * centroid set is broadcast (bounded) while the corpus only shuffles
+   * on its centroid id.
+   *
+   * Everything is deterministic double arithmetic (in-order dots,
+   * cosine-desc + id tie-breaks), so the DuckDB oracle (q43) reproduces
+   * it bit-for-bit. Swap the modulo-sampled centroids for k-means in
+   * production; the plan shape is identical.
+   *
+   * Input frames carry (idCol, vecCol float array); output
+   * (query_id, neighbor_id, cosine, rnk ≤ k).
+   */
+  def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
+    def prepared(df: DataFrame) =
+      df.select(col(idCol), toDouble(col(vecCol)).as("v"))
+        .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
+    val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
+    val cents = prepared(base.filter(col(idCol) % centroidEvery === 0))
+      .select(col(idCol).as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCents(df: DataFrame, idName: String, keep: Int) = {
+      val w = Window.partitionBy(idName)
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      df.join(broadcast(cents))
+        .withColumn("cent_cos",
+          dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("cent_rnk", row_number().over(w))
+        .filter(col("cent_rnk") <= keep)
+        .drop("cv", "cn", "cent_cos", "cent_rnk")
+    }
+    // inverted lists: each corpus vector on its single nearest centroid
+    val assigned = nearestCents(b, idCol, keep = 1)
+    // probe: each query fans out to its nprobe nearest lists
+    val probes = nearestCents(
+      prepared(queries).select(col(idCol).as("query_id"), col("v"), col("nrm")),
+      "query_id", keep = nprobe)
+      .select(col("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cent_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /**
    * Banded-LSH near-duplicate pairs. Input: (idCol, v) with v already a
    * DOUBLE array (see [[toDouble]]). Output: (vec_a, vec_b, cosine) for
    * every pair sharing at least one full band, cosine ≥ minCosine.

@@ -114,6 +114,49 @@ object VectorQueries {
         SELECT vec_a, vec_b, cosine FROM scored
         WHERE cosine >= 0.99 ORDER BY vec_a, vec_b"""
       },
-      headline = true)
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q43 — IVF approximate top-k: deterministic coarse quantizer (every
+    // 50th vector), nearest-centroid inverted lists, nprobe=2 probing,
+    // exact cosine rank within the probed lists. The other classic ANN
+    // scale path next to q26's banded LSH: build N·C dots, query C +
+    // list·nprobe — sub-quadratic with C ≈ √N. Same in-order double
+    // arithmetic as q25/q26, so the oracle matches bit-for-bit.
+    // ------------------------------------------------------------------
+    "q43_ivf_ann" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5, centroidEvery = 50, nprobe = 2)
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
+        nb AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM base),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb
+          WHERE vec_id % 50 = 0),
+        assigned AS (SELECT vec_id, v, nrm, cent_id FROM (
+            SELECT nb.vec_id, nb.v, nb.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY nb.vec_id
+                ORDER BY ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) DESC, c.cent_id) AS crnk
+            FROM nb CROSS JOIN cents c) t WHERE crnk = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nb
+          WHERE vec_id % 100 = 0),
+        probes AS (SELECT query_id, qv, qn, cent_id FROM (
+            SELECT q.query_id, q.qv, q.qn, c.cent_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY ${sqlDot("q.qv", "c.cv")} / (q.qn * c.cn) DESC, c.cent_id) AS crnk
+            FROM q CROSS JOIN cents c) t WHERE crnk <= 2),
+        scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+            ${sqlDot("a.v", "qv")} / (a.nrm * qn) AS cosine
+          FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+          WHERE a.vec_id <> p.query_id),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""))
   )
 }

@@ -81,6 +81,29 @@ class VectorSearchSpec extends SparkSuite {
     assert(banded === exact, s"missed: ${exact -- banded}")
   }
 
+  test("IVF: a near-identical mutant query finds its original at rank 1") {
+    val orig = emb.select(col("vec_id"), col("embedding"))
+    val mut = emb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast(DoubleType) * (lit(1.0) + lit(0.002) * (i % 2).cast(DoubleType)))
+            .cast("float")).as("embedding"))
+    val top1 = VectorSearch.ivfTopK(orig.union(mut), mut, "vec_id", "embedding",
+      k = 1, centroidEvery = 50, nprobe = 2).collect()
+    // a mutant lands in (or probes into) its original's inverted list:
+    // near-identical vectors share a nearest centroid
+    assert(top1.length === 5)
+    assert(top1.forall(r => r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 100000))
+    assert(top1.forall(_.getAs[Double]("cosine") > 0.999))
+  }
+
+  test("IVF plan: centroids broadcast, corpus never shuffles on itself") {
+    val plan = VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("recommendedSigBits grows logarithmically with corpus size") {
     val base = VectorSearch.recommendedSigBits(100000L)
     val x100 = VectorSearch.recommendedSigBits(10000000L)
