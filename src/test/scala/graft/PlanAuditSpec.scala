@@ -10,11 +10,13 @@ import org.apache.spark.sql.execution.FileSourceScanExec
  */
 class PlanAuditSpec extends SparkSuite {
 
-  /** q25's broadcast nested-loop is deliberate: a BOUNDED query set is
-    * broadcast against the corpus scan with a non-equi (self-exclusion)
-    * condition — linear in corpus size. Everything else must plan
-    * hash/sort-merge joins. */
-  private val allowedNestedLoop = Set("q25_knn_cosine_brute")
+  /** Deliberate nested-loop joins, each with a BOUNDED broadcast side:
+    * q25 broadcasts the query set against the corpus scan (non-equi
+    * self-exclusion condition); q43 broadcasts the centroid set for the
+    * IVF coarse-quantizer assignment (every vector scores every
+    * centroid — C ≈ √N by construction). Both are linear scans of the
+    * big side. Everything else must plan hash/sort-merge joins. */
+  private val allowedNestedLoop = Set("q25_knn_cosine_brute", "q43_ivf_ann")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
