@@ -34,6 +34,12 @@ object TextDedup {
   val Bands = 4
   val RowsPerBand = 4
 
+  /** Default [[minhashCandidatePairs]] skew cap. A named constant because
+    * the q23 DuckDB oracle must model the SAME cap (DedupQueries embeds
+    * it in a HAVING clause) — if the cap ever trips on a corpus, both
+    * engines drop the same buckets instead of silently diverging. */
+  val DefaultMaxBandBucket = 1000
+
   /** Deterministic permutation constants, identical in the DuckDB oracle
     * (DedupQueries generates both sides from this list). */
   val perms: Seq[(Long, Long)] = {
@@ -192,7 +198,7 @@ object TextDedup {
    */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minEstSim: Double = 0.3,
-      maxBandBucket: Int = 1000): DataFrame = {
+      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     require(maxBandBucket >= 2 && maxBandBucket <= 10000,
       s"maxBandBucket must be in [2, 10000], got $maxBandBucket")
     val texts = ScanOps.spreadSmallInput(
@@ -246,7 +252,15 @@ object TextDedup {
         size(col("ga")).cast(DoubleType).as("na"),
         size(col("gb")).cast(DoubleType).as("nb"))
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        // guard the 0/0 corner (DuckDB yields NaN for 0/0, Spark NULL —
+        // either breaks the cross-engine hash): two empty shingle sets
+        // are a perfect match. Unreachable with [[shingles]]'s short-doc
+        // fallback (never an empty set), kept so a future tokenizer
+        // change cannot reintroduce engine divergence; the oracle
+        // carries the mirrored CASE.
+        when(col("na") + col("nb") - col("inter") > 0,
+          col("inter") / (col("na") + col("nb") - col("inter")))
+          .otherwise(lit(1.0)).as("jaccard"))
   }
 
   /**

@@ -161,22 +161,70 @@ object VectorSearch {
       .filter(col("rnk") <= k)
   }
 
+  /** Default [[bucketedNearDupPairs]] skew cap, mirrored by the q26
+    * DuckDB oracle (VectorQueries embeds it in the kept-bucket filter) so
+    * a tripped cap drops the SAME buckets in both engines instead of
+    * silently diverging. Shared bound rationale with
+    * [[TextDedup.DefaultMaxBandBucket]]: a kept bucket expands ≤
+    * C(cap, 2) pair structs inside one row. */
+  val DefaultMaxBandBucket = 1000
+
+  /** (band, bval) bucket sizes over a band-rows frame — the skew
+    * diagnostic for [[bucketedNearDupPairs]]'s `maxBandBucket` cap: for
+    * drop accounting, filter on `bucket_size > cap` and count/log before
+    * running the dedup. */
+  def vecBandBucketSizes(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("bucket_size"))
+
+  /** Band rows (vec_id, band, bval) for a (idCol, v: double array)
+    * frame. The generator explodes a LITERAL band index array and reads
+    * the materialized band-value array ABOVE the Generate — the direct
+    * `explode(bandValues(v))` form would let Catalyst inline all 32
+    * hyperplane dots into the generator (the [[TextDedup.bandRows]]
+    * measured pitfall). */
+  def vecBandRows(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), bandValues(col("v")).as("bvals"))
+      .select(col("vec_id"), col("bvals"),
+        explode(typedlit((0 until VecBands).toArray)).as("band"))
+      .select(col("vec_id"), col("band"),
+        element_at(col("bvals"), col("band") + 1).as("bval"))
+
   /**
    * Banded-LSH near-duplicate pairs. Input: (idCol, v) with v already a
    * DOUBLE array (see [[toDouble]]). Output: (vec_a, vec_b, cosine) for
-   * every pair sharing at least one full band, cosine ≥ minCosine.
+   * every pair sharing at least one full NON-HOT band bucket,
+   * cosine ≥ minCosine.
    *
-   * Stage shapes (the [[TextDedup.minhashCandidatePairs]] discipline):
+   * Stage shapes (the [[TextDedup.minhashCandidatePairs]] discipline,
+   * ported verbatim to the vector path):
    *  - per-vector prep computes v, nrm and the band-value array in one
    *    projection;
    *  - band rows explode a LITERAL band-index array and read the
    *    materialized band-value array above the Generate, so the 32-dot
    *    signature is never inlined into the generator;
-   *  - the band self-join emits BARE (vec_a, vec_b) pairs and `.distinct()`
-   *    collapses multi-band hits BEFORE the exact-cosine rerank, which
-   *    joins the vectors back once per side.
+   *  - the skew cap comes FIRST, from a count-only aggregate: hot
+   *    (band, bval) buckets (> maxBandBucket rows — a degenerate corpus
+   *    of near-zero or template vectors collapsing onto one sign
+   *    pattern) are anti-joined away via a BOUNDED broadcast (at most
+   *    N/cap hot keys exist) before any id is collected, so a hot
+   *    bucket can never do bucket² work;
+   *  - candidates come from bucket AGGREGATION, not a row self-join:
+   *    one shuffle on (band, bval) collects each surviving bucket's ids
+   *    (≤ cap), pair expansion is an in-row expression over the sorted
+   *    id list, and `.distinct()` collapses multi-band hits BEFORE the
+   *    exact-cosine rerank, which joins the vectors back once per side.
+   *
+   * @param maxBandBucket skew guard; dropped buckets are observable via
+   *        [[vecBandBucketSizes]] (`bucket_size > maxBandBucket`).
+   *        Dropping a bucket only loses pairs whose EVERY shared band
+   *        is hot — true near-duplicates usually share a non-hot band
+   *        too (and identical-vector floods, the common degenerate, are
+   *        exact-dedup's job, not ANN's).
    */
-  def bucketedNearDupPairs(df: DataFrame, idCol: String, minCosine: Double): DataFrame = {
+  def bucketedNearDupPairs(df: DataFrame, idCol: String, minCosine: Double,
+      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    require(maxBandBucket >= 2 && maxBandBucket <= 10000,
+      s"maxBandBucket must be in [2, 10000], got $maxBandBucket")
     val vs = ScanOps.spreadSmallInput(df, col(idCol))
       .select(col(idCol).as("vec_id"), col("v"))
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
@@ -186,11 +234,20 @@ object VectorSearch {
         explode(typedlit((0 until VecBands).toArray)).as("band"))
       .select(col("vec_id"), col("band"),
         element_at(col("bvals"), col("band") + 1).as("bval"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val kept = bands.join(
+      broadcast(vecBandBucketSizes(bands)
+        .filter(col("bucket_size") > maxBandBucket)
+        .select(col("band"), col("bval"))),
+      Seq("band", "bval"), "left_anti")
+    val cand = kept
+      .groupBy(col("band"), col("bval"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("vec_a"), b.as("vec_b")))))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
       .distinct()
     cand
       .join(vs.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")),

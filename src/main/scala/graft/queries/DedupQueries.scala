@@ -98,8 +98,11 @@ object DedupQueries {
           [ $sigExprs ] AS sig FROM hs),
         bands AS (SELECT doc_id, unnest([
             $bandExprs ]) AS band_key FROM sig),
+        kept AS (SELECT doc_id, band_key FROM bands
+          WHERE band_key IN (SELECT band_key FROM bands
+            GROUP BY band_key HAVING count(*) <= ${TextDedup.DefaultMaxBandBucket})),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM bands x JOIN bands y
+          FROM kept x JOIN kept y
             ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
         joined AS (SELECT doc_a, doc_b, sa.sig AS sig_a, sb.sig AS sig_b,
             ${sqlTokens("sa.text")} AS ta, ${sqlTokens("sb.text")} AS tb
@@ -114,8 +117,10 @@ object DedupQueries {
             CAST(list_sum(list_transform(range(1, ${K + 1}),
               i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
               / ${K.toDouble} AS est_sim,
-            CAST(len(list_intersect(ga, gb)) AS DOUBLE)
-              / CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE) AS jaccard
+            CASE WHEN len(ga) + len(gb) - len(list_intersect(ga, gb)) > 0
+              THEN CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+                / CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE)
+              ELSE 1.0 END AS jaccard
           FROM gram)
         SELECT doc_a, doc_b, est_sim, jaccard FROM scored
         WHERE est_sim >= 0.3 ORDER BY doc_a, doc_b"""

@@ -38,21 +38,28 @@ object VectorQueries {
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
-    // q25 — exact cosine top-5 for a bounded query set (every 100th
-    // vector) against the whole corpus. The query side is broadcast: one
-    // corpus scan, linear cost, no shuffle of vectors. This is the
+    // q25 — exact cosine top-5 for a FIXED-SIZE query set (5 ids: every
+    // 100th vector below 500, present at every sf) against the whole
+    // corpus. The query side is broadcast: one corpus scan, linear cost,
+    // no shuffle of vectors — and because the id predicate is
+    // corpus-independent, the broadcast stays the same bytes at any
+    // scale factor (a `% 100` alone would grow the "bounded" side with
+    // N, quietly violating knnBrute's contract at 100×). This is the
     // audit baseline for the LSH path (q26), not the scale path itself.
     // ------------------------------------------------------------------
     "q25_knn_cosine_brute" -> GraftQuery(
       build = (s, d) => {
         val emb = embeddings(s, d)
-        knnBrute(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding")
+        knnBrute(emb,
+          emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500),
+          "vec_id", "embedding")
           .orderBy("query_id", "rnk")
       },
       oracle = Some(s"""
         WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
         nb AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM base),
-        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nb WHERE vec_id % 100 = 0),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nb
+          WHERE vec_id % 100 = 0 AND vec_id < 500),
         scored AS (SELECT query_id, b.vec_id AS neighbor_id,
             ${sqlDot("b.v", "qv")} / (b.nrm * qn) AS cosine
           FROM nb b CROSS JOIN q WHERE b.vec_id <> query_id),
@@ -70,15 +77,17 @@ object VectorQueries {
     // exact cosine rerank ≥ 0.99. Candidates cost Σ bucket² per band with
     // 2^8 buckets/band — and the bit count scales with log(corpus) (see
     // VectorSearch.recommendedSigBits), unlike a fixed single bucket id
-    // which stays ∝ N². Seeded near-identical mutants (every 100th
-    // vector, alternate dims scaled by 1.002) guarantee pairs the
-    // banding provably catches.
+    // which stays ∝ N². Hot (band, bval) buckets above the skew cap are
+    // dropped identically in both engines. Seeded near-identical mutants
+    // (a FIXED 5-id slice present at every sf, alternate dims scaled by
+    // 1.002) guarantee pairs the banding provably catches without the
+    // seeded slice growing with the corpus.
     // ------------------------------------------------------------------
     "q26_ann_lsh_cosine" -> GraftQuery(
       build = (s, d) => {
         val emb = embeddings(s, d)
         val orig = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        val mut = emb.filter(col("vec_id") % 100 === 0)
+        val mut = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
           .select((col("vec_id") + 100000).as("vec_id"),
             transform(col("embedding"), (x, i) =>
               x.cast(DoubleType) * (lit(1.0) + lit(0.002) * (i % 2).cast(DoubleType)))
@@ -97,14 +106,19 @@ object VectorQueries {
         mut AS (SELECT vec_id + 100000 AS vec_id,
             list_transform(range(1, len(embedding) + 1),
               i -> CAST(embedding[i] AS DOUBLE) * (1.0 + 0.002 * CAST((i - 1) % 2 AS DOUBLE))) AS v
-          FROM embeddings WHERE vec_id % 100 = 0),
+          FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 500),
         allv AS (SELECT * FROM orig UNION ALL SELECT * FROM mut),
         sigs AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm,
             $bandCols
           FROM allv),
         bands AS ($bandSelects),
+        bsizes AS (SELECT band, bval, count(*) AS n FROM bands
+          GROUP BY band, bval),
+        kept AS (SELECT b.vec_id, b.band, b.bval FROM bands b
+          JOIN bsizes s ON b.band = s.band AND b.bval = s.bval
+          WHERE s.n <= ${VectorSearch.DefaultMaxBandBucket}),
         cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-          FROM bands x JOIN bands y
+          FROM kept x JOIN kept y
             ON x.band = y.band AND x.bval = y.bval AND x.vec_id < y.vec_id),
         scored AS (SELECT vec_a, vec_b,
             ${sqlDot("sa.v", "sb.v")} / (sa.nrm * sb.nrm) AS cosine
@@ -127,7 +141,8 @@ object VectorQueries {
     "q43_ivf_ann" -> GraftQuery(
       build = (s, d) => {
         val emb = embeddings(s, d)
-        VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        VectorSearch.ivfTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500),
           "vec_id", "embedding", k = 5, centroidEvery = 50, nprobe = 2)
           .orderBy("query_id", "rnk")
       },
@@ -142,7 +157,7 @@ object VectorQueries {
                 ORDER BY ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) DESC, c.cent_id) AS crnk
             FROM nb CROSS JOIN cents c) t WHERE crnk = 1),
         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nb
-          WHERE vec_id % 100 = 0),
+          WHERE vec_id % 100 = 0 AND vec_id < 500),
         probes AS (SELECT query_id, qv, qn, cent_id FROM (
             SELECT q.query_id, q.qv, q.qn, c.cent_id,
               row_number() OVER (PARTITION BY q.query_id

@@ -187,8 +187,13 @@ object HfpProtobuf {
       pos += 8; v
     }
     def lenDelimited(): (Int, Int) = {
-      val len = varint().toInt
-      if (len < 0) throw new IllegalArgumentException(s"negative length $len")
+      // check the FULL 64-bit varint before narrowing: a length like
+      // 2^32+5 would otherwise truncate to 5, pass every bounds check and
+      // silently mis-decode the record instead of dead-lettering it
+      val len64 = varint()
+      if (len64 < 0 || len64 > Int.MaxValue)
+        throw new IllegalArgumentException(s"bad field length $len64")
+      val len = len64.toInt
       bound(len)
       val s = pos; pos += len; (s, s + len)
     }

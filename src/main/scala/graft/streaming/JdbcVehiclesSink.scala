@@ -65,6 +65,13 @@ object PostgresHfpDialect extends SqlDialect {
  * The ledger read-and-insert races only with the same (batch, partition)
  * replaying concurrently, which Structured Streaming's task re-attempt
  * rules already serialize through the rollback path.
+ *
+ * The two flags COMPOSE: with `singleTransaction && idempotent` the batch
+ * coalesces to one partition (stable partition id 0, trivially
+ * reproducible contents) and the ledger check/insert still runs inside
+ * that single transaction — strict-parity atomicity AND effectively-once
+ * together. The `idempotentKey` repartition is only needed when the write
+ * is parallel, so the branches below order singleTransaction first.
  */
 final class JdbcVehiclesSink(
     url: String, table: String,

@@ -104,6 +104,36 @@ class VectorSearchSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("hot-bucket skew cap: an identical-vector flood yields no pair explosion") {
+    import spark.implicits._
+    // 60 identical vectors collapse onto ONE sign pattern in every band —
+    // the degenerate corpus the cap exists for — plus one seeded
+    // near-duplicate pair that must still be found
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(64)(rnd.nextDouble() - 0.5)
+    val mutv = base.zipWithIndex.map { case (x, i) => if (i % 2 == 0) x else x * 1.0002 }
+    val seeds = Seq((1L, base), (2L, mutv)).toDF("vec_id", "v")
+    val flood = spark.range(1000, 1060)
+      .select(col("id").as("vec_id"), typedlit(Seq.fill(64)(0.5)).as("v"))
+    val all = seeds.union(flood)
+    // capped: the flood's buckets (60 > 50) are dropped BEFORE pairing —
+    // candidates are bounded to the seeded pair, not C(60,2) = 1770
+    val capped = VectorSearch.bucketedNearDupPairs(all, "vec_id", 0.99,
+      maxBandBucket = 50).collect()
+    assert(capped.length === 1)
+    assert((capped.head.getLong(0), capped.head.getLong(1)) === (1L, 2L))
+    // uncapped control: the same input does the bucket² work the cap prevents
+    val uncapped = VectorSearch.bucketedNearDupPairs(all, "vec_id", 0.99,
+      maxBandBucket = 10000).count()
+    assert(uncapped === 60L * 59 / 2 + 1)
+    // drop accounting: the diagnostic surfaces exactly the flood's buckets
+    val hot = VectorSearch.vecBandBucketSizes(
+      VectorSearch.vecBandRows(all, "vec_id"))
+      .filter(col("bucket_size") > 50).collect()
+    assert(hot.length === VectorSearch.VecBands)
+    assert(hot.forall(_.getAs[Long]("bucket_size") >= 60L))
+  }
+
   test("recommendedSigBits grows logarithmically with corpus size") {
     val base = VectorSearch.recommendedSigBits(100000L)
     val x100 = VectorSearch.recommendedSigBits(10000000L)

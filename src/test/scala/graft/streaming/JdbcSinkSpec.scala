@@ -122,6 +122,31 @@ class JdbcSinkSpec extends SparkSuite {
       "SELECT COUNT(*) FROM vehicles_commits")(_.getInt(1)) === 2)
   }
 
+  test("singleTransaction + idempotent compose: one txn per batch, ledger consulted on replay") {
+    val in = tmp("jdbc_in_")
+    Seq((topic, payload(854), 1L), (topic, payload(855), 2L))
+      .toDF("topic", "payload", "received_at")
+      .coalesce(1).write.mode("append").json(in)
+    val url = createDb("sink_both")
+    val sink = new JdbcVehiclesSink(url, "vehicles",
+      singleTransaction = true, idempotent = true)
+    val cfg = HfpStreamPipeline.Config(inputDir = in, checkpointDir = tmp("jdbc_ck_"),
+      availableNow = true)
+    HfpStreamPipeline.start(spark, cfg, sink).awaitTermination()
+    assert(query(url, "SELECT COUNT(*) FROM vehicles")(_.getInt(1)) === 2)
+    // coalesce(1) yields the stable partition id 0, so a replayed batch
+    // still hits its ledger row inside the single transaction (ADVICE r3)
+    val env = graft.sources.HfpRawIngest.toEnvelope(
+      spark.read.schema(HfpStreamPipeline.wireSchema).json(in))
+    val flat = graft.operators.HfpFlatten.flatten(env, strictTst = false)
+    sink.write(flat, batchId = 0L)
+    assert(query(url, "SELECT COUNT(*) FROM vehicles")(_.getInt(1)) === 2)
+    sink.write(flat, batchId = 1L)
+    assert(query(url, "SELECT COUNT(*) FROM vehicles")(_.getInt(1)) === 4)
+    // one partition per batch → exactly one ledger row per landed batch
+    assert(query(url, "SELECT COUNT(*) FROM vehicles_commits")(_.getInt(1)) === 2)
+  }
+
   test("PostgresHfpDialect reproduces the reference's enum-cast statement shape") {
     val sql = JdbcVehiclesSink.insertSql("vehicles",
       graft.model.HfpModel.vehiclesSchema, PostgresHfpDialect)
