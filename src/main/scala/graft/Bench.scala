@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
  *    every output column and keeps final sorts in the plan — `.count()`
  *    would let Catalyst eliminate sorts (EliminateSorts) and prune all
  *    projected columns, timing less work than Verify checks;
+ *  - every query is timed THREE times back-to-back and the `queries` map
+ *    reports the MEDIAN (VERDICT r3: a single co-tenant-noise-corrupted
+ *    run masqueraded as a 5× regression across unchanged queries); the
+ *    min/max spread ships alongside in `queries_stats` so a noisy box is
+ *    visible as spread instead of polluting the point estimate;
  *  - a crashed query is reported as -1 with its name in `failed`, never as
  *    a normal-looking wall time.
  */
@@ -49,21 +54,33 @@ object Bench {
     names.foreach { n => try materialize(n) catch { case _: Throwable => } }
 
     var failed = List.empty[String]
+    val Reps = 3
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(name); true }
+      // three back-to-back timed runs; a failure aborts the remaining
+      // reps (a deterministic crash shouldn't be paid for three times)
+      val times = Iterator.continually(()).take(Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { materialize(name); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          false
+          None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.takeWhile(_.isDefined).flatten.toVector
+      if (times.size < Reps) failed ::= name
+      name -> times.sorted
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.size == Reps) ts(Reps / 2) else -1.0)
+    }.mkString("{", ",", "}")
+    val stats = results.map { case (k, ts) =>
+      if (ts.size == Reps)
+        s""""$k":{"median":${ts(Reps / 2)},"min":${ts.head},"max":${ts.last}}"""
+      else s""""$k":{"median":-1.0,"min":-1.0,"max":-1.0}"""
+    }.mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect {
+      case (_, ts) if ts.size == Reps => ts(Reps / 2)
+    }.sum
     // the ingest slice obeys the SPARK_GRAFT_ONLY filter too (name it
     // "ingest" to run it alone); -1 marks "not run" vs a failure's -1
     // being accompanied by a stderr line
@@ -71,7 +88,8 @@ object Bench {
       if (only.forall(f => f.exists(p => "ingest".startsWith(p))))
         ingestSlice(spark)
       else (0L, -1.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_stats":$stats,"failed":$failedJson,""" +
       s""""ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,""" +
       s""""ingest_reference_ceiling_rows_per_sec":250000,"sf":"$sfDir"}""")
     spark.stop()
@@ -97,14 +115,16 @@ object Bench {
         lit(1717574400000L) + col("id")): _*)
     def runOnce(): Double = {
       val out = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
-      val (good, _) = HfpRawIngest.splitInvalidPayload(
-        HfpRawIngest.toEnvelope(rawFrame))
-      val t0 = System.nanoTime()
-      HfpFlatten.flatten(good, strictTst = false)
-        .write.mode("overwrite").parquet(out)
-      val secs = (System.nanoTime() - t0) / 1e9
-      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
-      secs
+      try {
+        val (good, _) = HfpRawIngest.splitInvalidPayload(
+          HfpRawIngest.toEnvelope(rawFrame))
+        val t0 = System.nanoTime()
+        HfpFlatten.flatten(good, strictTst = false)
+          .write.mode("overwrite").parquet(out)
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out)); ()
+      }
     }
     try {
       runOnce() // warm-up
