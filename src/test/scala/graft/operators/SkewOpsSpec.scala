@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
@@ -33,5 +34,41 @@ class SkewOpsSpec extends SparkSuite {
 
   test("non-positive salts rejected") {
     intercept[IllegalArgumentException](SkewOps.saltedJoin(skewedLeft, right, "k", 0))
+  }
+
+  test("salting's benefit: hot-key max shuffle-partition row count drops several-fold") {
+    // q42 gates result invariance on a UNIFORM key set, which only ever
+    // shows salting's cost (VERDICT r3 #6); this asserts the benefit on a
+    // genuinely hot key. Broadcast and AQE are disabled so both joins
+    // shuffle on their keys with a fixed partition count — the situation
+    // salting exists for (AQE skew split unavailable or inapplicable).
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.get(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    // enough salts × partitions that hash collisions of (key, salt)
+    // routing average out — with 8 salts into 8 partitions a single
+    // 3-salt bin kept the straggler at ~3/8 of the hot key
+    conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val salts = 32
+      val hotLeft = ((1 to 10000).map(i => (1L, i)) ++
+        (2 to 50).map(k => (k.toLong, k))).toDF("k", "lv")
+      // rows per output partition of the join's own shuffle: the
+      // partition id is read BEFORE the diagnostic count's exchange
+      def maxPartRows(joined: DataFrame): Long =
+        joined.groupBy(spark_partition_id().as("pid")).count()
+          .agg(max("count")).head().getLong(0)
+      val plainMax = maxPartRows(hotLeft.join(right, Seq("k")))
+      val saltedMax = maxPartRows(SkewOps.saltedJoin(hotLeft, right, "k", salts))
+      // plain: every hot-key row lands in ONE partition
+      assert(plainMax >= 10000L, s"plain join max-partition $plainMax")
+      // salted: the hot key fans out across the salt space — with 8
+      // salts over 8 partitions the straggler shrinks several-fold
+      assert(saltedMax <= plainMax / 3,
+        s"salted max-partition $saltedMax vs plain $plainMax — no spread")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 }
