@@ -154,7 +154,10 @@ object HfpPipelineQueries {
             AND try_cast($c AS BIGINT) BETWEEN -32768 AND 32767
        THEN CAST(try_cast($c AS BIGINT) AS SMALLINT) END"""
 
-  private val pipelineOracle: String = s"""
+  /** Shared CTE prefix (raw VALUES → topic segments → payload fields);
+    * q21/q41 append the flat select directly, q44 wraps it for the
+    * bounding-box predicate. */
+  private val pipelineCtes: String = s"""
         WITH raw(topic, payload, received_at) AS (VALUES
         $oracleValues
         ),
@@ -202,7 +205,11 @@ object HfpPipelineQueries {
             json_extract_string(body, '$$.route') AS p_route,
             json_extract_string(body, '$$.occu')  AS p_occu
           FROM ex
-        )
+        )"""
+
+  /** The 40-column flat select over the CTEs (no ORDER BY — callers add
+    * their own, so q44 can wrap it as a subquery). */
+  private val flatSelectSql: String = s"""
         SELECT
           received_at AS received_at_ms,
           '/' || s2 || '/' AS topic_prefix,
@@ -252,8 +259,10 @@ object HfpPipelineQueries {
           p_route AS route,
           CAST(try_cast(p_occu AS INT) AS SMALLINT) AS occu
         FROM fields
-        WHERE p_veh IS NOT NULL AND p_tst IS NOT NULL AND p_tsi IS NOT NULL
-        ORDER BY received_at_ms, veh"""
+        WHERE p_veh IS NOT NULL AND p_tst IS NOT NULL AND p_tsi IS NOT NULL"""
+
+  private val pipelineOracle: String =
+    s"$pipelineCtes $flatSelectSql ORDER BY received_at_ms, veh"
 
   /** Enum-domain fixtures for q38: one in-domain row, one all-NULL-enums
     * deadrun (nullable enums are VALID — init.sql:32-34), and one
@@ -353,6 +362,37 @@ object HfpPipelineQueries {
           .map(HfpProtobuf.encode)
         flatSelect(HfpProtobuf.decodeDataFrame(wire))
       },
-      oracle = Some(pipelineOracle))
+      oracle = Some(pipelineOracle)),
+
+    // ------------------------------------------------------------------
+    // q44 — spatial bounding-box query over the landed vehicles relation:
+    // the workload the reference's lat/long B-tree indexes imply
+    // (run/init.sql:83-84; SURVEY §1.4 maps them to parquet min/max
+    // stats + predicate pushdown). The flattened fixture rows are landed
+    // to parquet first and read back, so the range predicates reach the
+    // SCAN as PushedFilters (asserted by PlanAuditSpec) — row groups
+    // wholly outside the box are skipped by footer stats alone, the
+    // Spark equivalent of the B-tree/BRIN index walk. At 100 TB the same
+    // plan prunes whole files when the landing is written
+    // sortWithinPartitions(lat) or geo-bucketed.
+    // ------------------------------------------------------------------
+    "q44_bbox_vehicles" -> GraftQuery(
+      build = (s, _) => {
+        val landing = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_q44_landing").toString
+        HfpFlatten.flatten(goodEnvelope(s), strictTst = false)
+          .write.mode("overwrite").parquet(landing)
+        s.read.parquet(landing)
+          .filter(col("lat") >= 60.15 && col("lat") <= 60.25
+            && col("long") >= 24.9 && col("long") <= 25.05)
+          .select(col("veh"), unix_micros(col("tst")).as("tst_us"),
+            col("lat"), col("long").as("lng"), col("spd"))
+          .orderBy("veh")
+      },
+      oracle = Some(s"""
+        $pipelineCtes, flat AS ($flatSelectSql)
+        SELECT veh, tst_us, lat, lng, spd FROM flat
+        WHERE lat >= 60.15 AND lat <= 60.25 AND lng >= 24.9 AND lng <= 25.05
+        ORDER BY veh"""))
   )
 }

@@ -42,6 +42,19 @@ class PlanAuditSpec extends SparkSuite {
       s"projection not pruned: $readSchema")
   }
 
+  test("q44: bounding-box range predicates push into the landed parquet scan") {
+    val scans = SparkEntry.queries("q44_bbox_vehicles")(spark, sf())
+      .queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    // both bounds of both axes reach the scan — run/init.sql:83-84's
+    // lat/long B-trees restated as parquet row-group stat skipping
+    for (f <- Seq("GreaterThanOrEqual(lat,60.15", "LessThanOrEqual(lat,60.25",
+        "GreaterThanOrEqual(long,24.9", "LessThanOrEqual(long,25.05"))
+      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed")
+  }
+
   test("q04/q40: constant-size dimensions broadcast, big-big joins shuffle") {
     for (q <- Seq("q04_join_star", "q40_part_supplier_profit")) {
       val plan = SparkEntry.queries(q)(spark, sf())
