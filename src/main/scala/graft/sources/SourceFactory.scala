@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
  *  - [[SourceSpec.FileJson]]: JSON-lines directory stream — the test /
  *    backfill source. Rate-limited with `maxFilesPerTrigger` (the O4
  *    stand-in).
+ *  - [[SourceSpec.FileBinary]]: parquet directory stream of BINARY wire
+ *    records (`value: binary`, the shape a Pulsar/Kafka source delivers)
+ *    feeding the protobuf decode path — the reference's actual hot path
+ *    is protobuf-in-stream (`Hfp.Data.parseFrom(message.getData())`,
+ *    MessageProcessor.java:119); this spec exercises that wire shape
+ *    end-to-end without a broker.
  *  - [[SourceSpec.Rate]]: Spark's built-in `rate` source with synthesized
  *    deterministic wire records — load-testing the pipeline without any
  *    input data.
@@ -24,24 +30,40 @@ import org.apache.spark.sql.types._
  *    StreamNative `pulsar-spark` connector (`format("pulsar")` with
  *    `service.url`/`admin.url`/`topic` options) on the classpath; absent
  *    here, so construction fails with an actionable message rather than a
- *    ClassNotFoundException from deep inside DataSource resolution.
+ *    ClassNotFoundException from deep inside DataSource resolution. With a
+ *    live broker carrying protobuf messages, set `binary = true`: the raw
+ *    `value` bytes pass through as the binary wire shape and the pipeline
+ *    routes them through [[HfpProtobuf.decodeDataFrame]].
  */
 object SourceFactory {
 
-  /** Wire-record schema for every source (one record per message):
-    * schema'd, never inferred (SURVEY §1.1). */
+  /** Text wire-record schema (one record per message): schema'd, never
+    * inferred (SURVEY §1.1). */
   val wireSchema: StructType = StructType(Seq(
     StructField("topic", StringType, nullable = false),
     StructField("payload", StringType, nullable = true),
     StructField("received_at", LongType, nullable = false)))
 
+  /** Binary wire-record schema: one protobuf `Hfp.Data` message per row,
+    * the message-bus `value` column shape. `received_at` needs no wire
+    * column — the protobuf Topic submessage carries it. */
+  val binaryWireSchema: StructType = StructType(Seq(
+    StructField("value", BinaryType, nullable = false)))
+
+  /** True when a source frame carries binary wire records (the protobuf
+    * decode path) rather than text ones. */
+  def isBinaryWire(schema: StructType): Boolean =
+    schema.fields.exists(f => f.name == "value" && f.dataType == BinaryType)
+
   sealed trait SourceSpec
   object SourceSpec {
     final case class FileJson(dir: String, maxFilesPerTrigger: Option[Int] = None)
         extends SourceSpec
-    final case class Rate(rowsPerSecond: Long) extends SourceSpec
-    final case class Pulsar(serviceUrl: String, adminUrl: String, topic: String)
+    final case class FileBinary(dir: String, maxFilesPerTrigger: Option[Int] = None)
         extends SourceSpec
+    final case class Rate(rowsPerSecond: Long) extends SourceSpec
+    final case class Pulsar(serviceUrl: String, adminUrl: String, topic: String,
+        binary: Boolean = false) extends SourceSpec
   }
   import SourceSpec._
 
@@ -53,6 +75,11 @@ object SourceFactory {
       maxFiles.foreach(n => r.option("maxFilesPerTrigger", n))
       r.json(dir)
 
+    case FileBinary(dir, maxFiles) =>
+      val r = spark.readStream.schema(binaryWireSchema)
+      maxFiles.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(dir)
+
     case Rate(rps) =>
       // deterministic synthetic wire records keyed by the rate source's
       // monotonically increasing `value`
@@ -61,21 +88,26 @@ object SourceFactory {
         .select(syntheticWireColumns(col("value"),
           unix_millis(col("timestamp"))): _*)
 
-    case Pulsar(serviceUrl, adminUrl, topic) =>
+    case Pulsar(serviceUrl, adminUrl, topic, binary) =>
       if (!pulsarConnectorAvailable(spark))
         throw new IllegalStateException(
           "Pulsar source requested but the pulsar-spark connector is not on " +
             "the classpath; add the StreamNative pulsar-spark-connector jar " +
             s"(provides $PulsarSourceClass) to use SourceSpec.Pulsar")
-      // the connector delivers the raw message bytes in `value` plus the
-      // MQTT topic in message properties; the select below normalizes to
-      // the wire schema (property names per the public HFP/Pulsar feed)
-      spark.readStream.format("pulsar")
+      val loaded = spark.readStream.format("pulsar")
         .option("service.url", serviceUrl)
         .option("admin.url", adminUrl)
         .option("topic", topic)
         .load()
-        .select(
+      if (binary)
+        // protobuf messages (the reference's production wire,
+        // MessageProcessor.java:119): raw bytes pass through untouched
+        // and HfpStreamPipeline routes them through HfpProtobuf
+        loaded.select(col("value").cast(BinaryType).as("value"))
+      else
+        // text wire: message bytes are the JSON payload, the MQTT topic
+        // rides in message properties (public HFP/Pulsar feed shape)
+        loaded.select(
           col("__properties").getItem("mqttTopic").cast(StringType).as("topic"),
           col("value").cast(StringType).as("payload"),
           unix_millis(col("__eventTime")).as("received_at"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.HfpFlatten
-import graft.sources.{HfpRawIngest, SourceFactory}
+import graft.sources.{HfpProtobuf, HfpRawIngest, SourceFactory}
 
 /**
  * The streaming ETL pipeline that IS the reference (SURVEY.md §0): one
@@ -69,6 +69,26 @@ object HfpStreamPipeline {
     SourceFactory.rawStream(spark, cfg.sourceSpec)
 
   /**
+   * Wire records → nested envelope, wire-shape-aware (O3): binary frames
+   * (`value: binary` — a protobuf message per row, the reference's
+   * production hot path, MessageProcessor.java:119) decode through
+   * [[HfpProtobuf.decodeDataFrame]]; text frames parse through
+   * [[HfpRawIngest.toEnvelope]]. Both produce the SAME envelope schema,
+   * so everything downstream (dead-letter split, flatten, sink) is
+   * wire-format-agnostic. Undecodable protobuf records are dropped
+   * inside the decode stage (the reference's warn-and-skip,
+   * MessageProcessor.java:121-127); decoded records missing required
+   * payload fields still route through the dead-letter split like any
+   * JSON-path row.
+   */
+  def toEnvelope(raw: DataFrame): DataFrame =
+    if (SourceFactory.isBinaryWire(raw.schema)) {
+      import raw.sparkSession.implicits._
+      HfpProtobuf.decodeDataFrame(
+        raw.select(org.apache.spark.sql.functions.col("value")).as[Array[Byte]])
+    } else HfpRawIngest.toEnvelope(raw)
+
+  /**
    * Wire the full query and start it. The foreachBatch body is the
    * reference's dump-cycle (MessageProcessor.java:72-99): split off
    * contract-violating rows, flatten the rest, hand one batch to the sink.
@@ -79,7 +99,7 @@ object HfpStreamPipeline {
         "at-least-once delivery (O11) does not hold")
     require(cfg.source.isDefined || cfg.inputDir.nonEmpty,
       "either an explicit SourceSpec or a non-empty inputDir is required")
-    val envelope = HfpRawIngest.toEnvelope(rawStream(spark, cfg))
+    val envelope = toEnvelope(rawStream(spark, cfg))
     val trigger =
       if (cfg.availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(cfg.dumpInterval)
     envelope.writeStream

@@ -124,6 +124,38 @@ class StreamPipelineSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", tz)
   }
 
+  test("protobuf wire path streams to the same landed rows as the JSON path (MessageProcessor.java:119)") {
+    import graft.sources.{HfpProtobuf, HfpRawIngest, SourceFactory}
+    // the SAME wire records through both paths: text JSON-lines, and
+    // protobuf Hfp.Data bytes encoded from the identical envelopes
+    val jsonIn = writeInput(n = 12, poison = false)
+    val outJson = tmp("hfp_out_json_")
+    HfpStreamPipeline.start(spark,
+      HfpStreamPipeline.Config(inputDir = jsonIn,
+        checkpointDir = tmp("hfp_ckpt_"), availableNow = true),
+      new ParquetBatchSink(outJson)).awaitTermination()
+
+    val binIn = tmp("hfp_bin_in_")
+    val env = HfpRawIngest.toEnvelope(
+      spark.read.schema(HfpStreamPipeline.wireSchema).json(jsonIn))
+    HfpProtobuf.asEnvelopes(env).map(HfpProtobuf.encode).toDF("value")
+      .repartition(2).write.mode("overwrite").parquet(binIn)
+    // plus one undecodable record: warn-and-skip, never a poison batch
+    Seq(Array[Byte](0x7f, 0x00, 0x12, 0x34)).toDF("value")
+      .write.mode("append").parquet(binIn)
+
+    val outPb = tmp("hfp_out_pb_")
+    HfpStreamPipeline.start(spark,
+      HfpStreamPipeline.Config(checkpointDir = tmp("hfp_ckpt_"), availableNow = true,
+        source = Some(SourceFactory.SourceSpec.FileBinary(binIn))),
+      new ParquetBatchSink(outPb)).awaitTermination()
+
+    val a = spark.read.parquet(outJson).orderBy("veh").collect()
+    val b = spark.read.parquet(outPb).orderBy("veh").collect()
+    assert(a.length === 12)
+    assert(b.toSeq === a.toSeq) // byte-identical 40-column rows, both wires
+  }
+
   /** Sink failing `failures` times before ever writing, then healthy. */
   private final class FlakySink(inner: BatchSink, failures: Int) extends BatchSink {
     val attempts = new AtomicInteger(0)
