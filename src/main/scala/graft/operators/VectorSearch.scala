@@ -108,32 +108,87 @@ object VectorSearch {
       .filter(col("rnk") <= k)
   }
 
+  /** Fixed-point scale for the k-means centroid mean: element sums go
+    * through `floor(x · 2^20)` longs — exact, order-independent integer
+    * addition — so Spark's partial aggregation order and DuckDB's
+    * sequential fold produce the SAME centroid, where a naive double sum
+    * would differ in the last bits and flip assignments. 20 fraction
+    * bits on unit-scale embeddings keep |sum| ≪ 2^53, so the final
+    * long→double division is exact in both engines. */
+  val KmeansScale: Double = 1048576.0
+
+  /**
+   * Deterministic spherical k-means refinement of an initial centroid
+   * set: `iters` rounds of (assign every corpus vector to its nearest
+   * centroid by cosine, tie-break on centroid id) → (new centroid =
+   * fixed-point element-wise mean of its members). Clusters that lose
+   * all members drop out (both engines agree by construction). The
+   * centroid set stays broadcast-sized (≤ C rows) and the corpus is
+   * re-scanned once per iteration — training cost iters·N·C dots, the
+   * textbook k-means shape with C ≈ √N.
+   *
+   * `b` carries (idCol, v: double array, nrm); `init` carries
+   * (cent_id, cv, cn). Returns the same (cent_id, cv, cn) shape.
+   */
+  def trainCentroids(b: DataFrame, init: DataFrame, idCol: String,
+      iters: Int, dims: Int): DataFrame = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = b.join(broadcast(cents))
+        .withColumn("cent_cos",
+          dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("cent_rnk", row_number().over(w))
+        .filter(col("cent_rnk") === 1)
+        .select(col("cent_id"), col("v"))
+      // one map-side-combined aggregate: dims exact long sums + a count,
+      // then the only double op is a single division per element
+      val dimSums = (0 until dims).map(j =>
+        sum(floor(element_at(col("v"), j + 1) * KmeansScale)).as(s"s$j"))
+      cents = assigned.groupBy(col("cent_id"))
+        .agg(dimSums.head, dimSums.tail :+ count(lit(1)).as("n"): _*)
+        .select(col("cent_id"),
+          array((0 until dims).map(j =>
+            col(s"s$j").cast(DoubleType) / (col("n") * KmeansScale)): _*).as("cv"))
+        .select(col("cent_id"), col("cv"), norm(col("cv")).as("cn"))
+    }
+    cents
+  }
+
   /**
    * IVF (inverted-file) approximate top-k: the OTHER classic ANN scale
-   * path next to LSH banding. A deterministic coarse quantizer (every
-   * `centroidEvery`-th corpus vector) partitions the corpus into C
-   * inverted lists by nearest-centroid assignment; a query probes only
-   * its `nprobe` nearest centroids' lists. With C ≈ √N the build costs
-   * N·√N dots and each query √N·nprobe — sub-quadratic, and the
-   * centroid set is broadcast (bounded) while the corpus only shuffles
-   * on its centroid id.
+   * path next to LSH banding. A deterministic coarse quantizer —
+   * every `centroidEvery`-th corpus vector, optionally refined by
+   * `kmeansIters` rounds of [[trainCentroids]] — partitions the corpus
+   * into C inverted lists by nearest-centroid assignment; a query
+   * probes only its `nprobe` nearest centroids' lists. With C ≈ √N the
+   * build costs N·√N dots and each query √N·nprobe — sub-quadratic,
+   * and the centroid set is broadcast (bounded) while the corpus only
+   * shuffles on its centroid id.
    *
-   * Everything is deterministic double arithmetic (in-order dots,
-   * cosine-desc + id tie-breaks), so the DuckDB oracle (q43) reproduces
-   * it bit-for-bit. Swap the modulo-sampled centroids for k-means in
-   * production; the plan shape is identical.
+   * Everything is deterministic arithmetic (in-order double dots,
+   * fixed-point k-means means, cosine-desc + id tie-breaks), so the
+   * DuckDB oracle (q43) reproduces it bit-for-bit — INCLUDING the
+   * trained centroids. kmeansIters = 0 gives the raw modulo sample
+   * (the recall baseline the trained quantizer must beat, asserted by
+   * VectorSearchSpec).
    *
    * Input frames carry (idCol, vecCol float array); output
    * (query_id, neighbor_id, cosine, rnk ≤ k).
    */
   def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
+      k: Int = 5, centroidEvery: Int = 50, nprobe: Int = 2,
+      kmeansIters: Int = 0, dims: Int = 64): DataFrame = {
     def prepared(df: DataFrame) =
       df.select(col(idCol), toDouble(col(vecCol)).as("v"))
         .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
     val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
-    val cents = prepared(base.filter(col(idCol) % centroidEvery === 0))
+    val sampled = prepared(base.filter(col(idCol) % centroidEvery === 0))
       .select(col(idCol).as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents =
+      if (kmeansIters <= 0) sampled
+      else trainCentroids(b, sampled, idCol, kmeansIters, dims)
     def nearestCents(df: DataFrame, idName: String, keep: Int) = {
       val w = Window.partitionBy(idName)
         .orderBy(col("cent_cos").desc, col("cent_id"))

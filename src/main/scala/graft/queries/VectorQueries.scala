@@ -131,26 +131,50 @@ object VectorQueries {
       headline = true),
 
     // ------------------------------------------------------------------
-    // q43 — IVF approximate top-k: deterministic coarse quantizer (every
-    // 50th vector), nearest-centroid inverted lists, nprobe=2 probing,
-    // exact cosine rank within the probed lists. The other classic ANN
-    // scale path next to q26's banded LSH: build N·C dots, query C +
-    // list·nprobe — sub-quadratic with C ≈ √N. Same in-order double
-    // arithmetic as q25/q26, so the oracle matches bit-for-bit.
+    // q43 — IVF approximate top-k with a TRAINED coarse quantizer: the
+    // every-50th-vector sample seeds two deterministic spherical
+    // k-means iterations (fixed-point element means — floor(x·2^20)
+    // BIGINT sums, exact and order-independent in both engines — so
+    // the trained centroids are bit-identical cross-engine), then
+    // nearest-centroid inverted lists, nprobe=2 probing, exact cosine
+    // rank within the probed lists. The other classic ANN scale path
+    // next to q26's banded LSH: train iters·N·C dots, build N·C,
+    // query C + list·nprobe — sub-quadratic with C ≈ √N.
     // ------------------------------------------------------------------
     "q43_ivf_ann" -> GraftQuery(
       build = (s, d) => {
         val emb = embeddings(s, d)
         VectorSearch.ivfTopK(emb,
           emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500),
-          "vec_id", "embedding", k = 5, centroidEvery = 50, nprobe = 2)
+          "vec_id", "embedding", k = 5, centroidEvery = 50, nprobe = 2,
+          kmeansIters = 2)
           .orderBy("query_id", "rnk")
       },
-      oracle = Some(s"""
+      oracle = Some {
+        // one k-means iteration: assign to nearest prev centroid, then
+        // fixed-point element-wise mean per surviving cluster — the
+        // DuckDB twin of VectorSearch.trainCentroids
+        def kmeansIter(i: Int, prev: String): String = s"""
+        a$i AS (SELECT vec_id, v, cent_id FROM (
+            SELECT nb.vec_id, nb.v, c.cent_id,
+              row_number() OVER (PARTITION BY nb.vec_id
+                ORDER BY ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) DESC, c.cent_id) AS crnk
+            FROM nb CROSS JOIN $prev c) t WHERE crnk = 1),
+        u$i AS (SELECT cent_id, dim,
+            CAST(sum(CAST(floor(v[dim] * ${VectorSearch.KmeansScale}) AS BIGINT)) AS DOUBLE)
+              / (count(*) * ${VectorSearch.KmeansScale}) AS cx
+          FROM (SELECT cent_id, v, unnest(range(1, 65)) AS dim FROM a$i)
+          GROUP BY cent_id, dim),
+        c$i AS (SELECT cent_id, list(cx ORDER BY dim) AS cv FROM u$i GROUP BY cent_id),
+        k$i AS (SELECT cent_id, cv, sqrt(${sqlDot("cv", "cv")}) AS cn FROM c$i),"""
+        s"""
         WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
         nb AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM base),
-        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb
+        k0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb
           WHERE vec_id % 50 = 0),
+        ${kmeansIter(1, "k0")}
+        ${kmeansIter(2, "k1")}
+        cents AS (SELECT cent_id, cv, cn FROM k2),
         assigned AS (SELECT vec_id, v, nrm, cent_id FROM (
             SELECT nb.vec_id, nb.v, nb.nrm, c.cent_id,
               row_number() OVER (PARTITION BY nb.vec_id
@@ -172,6 +196,7 @@ object VectorQueries {
               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
           FROM scored)
         SELECT query_id, neighbor_id, cosine, rnk FROM ranked
-        WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+      })
   )
 }

@@ -97,6 +97,26 @@ class VectorSearchSpec extends SparkSuite {
     assert(top1.forall(_.getAs[Double]("cosine") > 0.999))
   }
 
+  test("trained IVF centroids: mutant-set recall >= the modulo quantizer's") {
+    val orig = emb.select(col("vec_id"), col("embedding"))
+    val mut = emb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast(DoubleType) * (lit(1.0) + lit(0.002) * (i % 2).cast(DoubleType)))
+            .cast("float")).as("embedding"))
+    // recall proxy: how many mutants find their original at rank 1 —
+    // k-means refinement may move list boundaries but must never lose
+    // a near-identical pair the raw sample catches
+    def hits(iters: Int): Long =
+      VectorSearch.ivfTopK(orig.union(mut), mut, "vec_id", "embedding",
+        k = 1, centroidEvery = 50, nprobe = 2, kmeansIters = iters)
+        .filter(col("neighbor_id") === col("query_id") - 100000).count()
+    val modulo = hits(0)
+    val trained = hits(2)
+    assert(trained >= modulo, s"trained recall $trained < modulo $modulo")
+    assert(trained === 5L)
+  }
+
   test("IVF plan: centroids broadcast, corpus never shuffles on itself") {
     val plan = VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0),
       "vec_id", "embedding").queryExecution.executedPlan.toString
