@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-assembly operators for training-data pipelines: deterministic
+ * stratified sampling (domain/language mixing) and context-window
+ * sequence packing (builder brief; absent from the reference,
+ * SURVEY §2.2 — these sit downstream of dedup/quality filtering in a
+ * real data pipeline).
+ *
+ * Everything is built-in expression composition — no UDFs, no
+ * randomness: sampling decisions derive from a content hash, so a re-run
+ * on any cluster keeps EXACTLY the same documents (`rand()`-based
+ * sampling is irreproducible and partitioning-dependent), and packing
+ * derives from a windowed cumulative sum.
+ */
+object CorpusAssembly {
+
+  /** Sampling-rate denominator: rates are expressed per-mille. */
+  val RateDenominator = 1000
+
+  /** Deterministic per-mille bucket of a content key: the md5-derived
+    * 60-bit [[TextDedup.hash64]] mod 1000 — uniform, reproducible
+    * cross-engine (the DuckDB oracle computes the identical bucket). */
+  def hashBucket(key: Column): Column =
+    pmod(TextDedup.hash64(key), lit(RateDenominator.toLong))
+
+  /**
+   * Stratified deterministic sample: keep a row iff its content-hash
+   * bucket falls below its stratum's per-mille rate; strata absent from
+   * `ratesPerMille` drop entirely. Per-row filter — shuffle-free,
+   * codegen'd, scan-speed at 100 TB — and NESTED by construction: the
+   * rate-250 sample is a subset of the rate-500 sample of the same
+   * corpus, so a mix can be dialed down without resampling the world.
+   */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      ratesPerMille: Map[String, Int]): DataFrame = {
+    require(ratesPerMille.values.forall(r => r >= 0 && r <= RateDenominator),
+      s"rates must be in [0, $RateDenominator]: $ratesPerMille")
+    // deterministic CASE order (sorted keys): rates are disjoint equality
+    // arms, but a stable expression keeps plans reusable across calls
+    val rate = ratesPerMille.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (els, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(els)
+    }
+    df.withColumn("hash_bucket", hashBucket(col(keyCol)))
+      .filter(col("hash_bucket") < rate)
+  }
+
+  /**
+   * Next-fit context-window packing: documents ordered by `idCol` within
+   * a shard fill training sequences ("bins") of `budget` tokens; a
+   * document lands in the bin where its cumulative span STARTS
+   * (`bin = floor(tokens_before / budget)`), so bins can overflow by at
+   * most one document — the standard greedy packing used to assemble
+   * LLM context windows without splitting documents.
+   *
+   * Scale shape: the window is PARTITIONED BY `shardCol`, so each shard
+   * sorts and packs independently — at 100 TB the sort never becomes a
+   * single-partition global order-by; shards map 1:1 to the corpus's
+   * natural write units (source file, date, bucket). Output adds
+   * (cum_before, bin) to the input rows.
+   */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String,
+      shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      // exact for cum < 2^53; floor-div matches the oracle's
+      // floor(CAST ... AS DOUBLE) form bit-for-bit
+      .withColumn("bin",
+        floor(col("cum_before").cast(DoubleType) / lit(budget.toDouble))
+          .cast(LongType))
+  }
+
+  /** Per-bin packing summary over a [[packBins]] frame. */
+  def binStats(packed: DataFrame, shardCol: String, tokenCol: String,
+      idCol: String): DataFrame =
+    packed.groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("tokens_packed"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+}

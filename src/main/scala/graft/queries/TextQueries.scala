@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import Tables._
-import graft.operators.TextAnalysis
+import graft.operators.{CorpusAssembly, TextAnalysis}
 import graft.operators.TextAnalysis._
 
 /**
@@ -31,6 +31,12 @@ object TextQueries {
     * replace-all, Spark replaces all by default. */
   private def sqlClassCount(text: String, cls: String) =
     s"(length($text) - length(regexp_replace($text, '$cls', '', 'g')))"
+
+  /** q46 per-mille mix rates, shared with the generated oracle CASE.
+    * (Declared before `all` — its oracle is generated from this map at
+    * object initialization.) */
+  val SampleRates: Map[String, Int] =
+    Map("en" -> 500, "de" -> 250, "es" -> 250, "fr" -> 125, "zh" -> 100)
 
   val all: Map[String, GraftQuery] = Map(
 
@@ -153,6 +159,68 @@ object TextQueries {
                ELSE list_reduce(
                  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
                  (acc, c) -> (acc * 31 + c) % $FingerprintMod) END AS fingerprint
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q45 — context-window packing: documents fill 512-token training
+    // sequences by cumulative whitespace-token count, next-fit within a
+    // shard (bin = floor(tokens_before / budget)). The window partitions
+    // by shard so packing never needs a global sort — each shard packs
+    // independently at any scale. One window + one aggregation.
+    // ------------------------------------------------------------------
+    "q45_context_packing" -> GraftQuery(
+      build = (s, d) => {
+        val docs = graft.operators.ScanOps
+          .spreadSmallInput(documents(s, d), col("doc_id"))
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            wsTokenCount(col("text")).as("n_tokens"))
+        CorpusAssembly.binStats(
+          CorpusAssembly.packBins(docs, "doc_id", "n_tokens", "shard", 512L),
+          "shard", "n_tokens", "doc_id")
+          .orderBy("shard", "bin")
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+            CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, shard, n_tokens,
+            coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t),
+        b AS (SELECT shard, doc_id, n_tokens,
+            CAST(floor(CAST(cum_before AS DOUBLE) / 512.0) AS BIGINT) AS bin
+          FROM c)
+        SELECT shard, bin, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
+
+    // ------------------------------------------------------------------
+    // q46 — deterministic stratified sampling (corpus mixing): keep a
+    // document iff its content-hash per-mille bucket falls under its
+    // language's rate. Hash-keyed (not rand()): the sample is exactly
+    // reproducible on any cluster, and lowering a rate yields a strict
+    // subset. Per-row filter at scan speed; the rates here mimic a
+    // typical mix (upweight en, downweight zh).
+    // ------------------------------------------------------------------
+    "q46_stratified_sample" -> GraftQuery(
+      build = (s, d) =>
+        CorpusAssembly.stratifiedSample(
+          graft.operators.ScanOps.spreadSmallInput(documents(s, d), col("doc_id"))
+            .select(col("doc_id"), col("lang"), col("text")),
+          "text", "lang", SampleRates)
+          .select(col("doc_id"), col("lang"), col("hash_bucket"))
+          .orderBy("doc_id"),
+      oracle = Some {
+        val rateCase = SampleRates.toSeq.sortBy(_._1)
+          .map { case (l, r) => s"WHEN '$l' THEN $r" }
+          .mkString("CASE lang ", " ", " ELSE 0 END")
+        s"""
+        WITH h AS (SELECT doc_id, lang,
+            (CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % ${CorpusAssembly.RateDenominator} AS hash_bucket
+          FROM documents)
+        SELECT doc_id, lang, hash_bucket FROM h
+        WHERE hash_bucket < $rateCase
+        ORDER BY doc_id"""
+      })
   )
 }
