@@ -62,12 +62,30 @@ object VectorSearch {
     Seq.fill(SigBits)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** Float array → double array (exact widening; all arithmetic after this
-    * point is double, matching the oracle's CAST-first order). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+  /** Float array → double array (exact widening; all arithmetic after
+    * this point is double, matching the oracle's CAST-first order).
+    * A built-in array CAST, not `transform(v, _.cast(double))`: the
+    * element-wise result is identical, but a higher-order function is a
+    * CodegenFallback expression that drags its WHOLE projection out of
+    * whole-stage codegen — with the cast, prep + signature + dot
+    * projections compile into one generated stage. */
+  def toDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
 
-  /** In-order double dot product. */
+  /** In-order double dot product — a native codegen'd Catalyst
+    * expression ([[graft.functions.DoubleDotProduct]]): higher-order
+    * functions evaluate interpreted per element, and this is the
+    * engine's hottest arithmetic (32 hyperplane dots per row in the LSH
+    * signature, one dot per candidate pair in kNN/IVF/rerank). Callers
+    * pass double arrays (see [[toDouble]]); the result is bit-identical
+    * to the HOF form — strict left-to-right summation from a 0.0 seed —
+    * which the equivalence spec asserts against [[dotDReference]]. */
   def dotD(a: Column, b: Column): Column =
+    graft.functions.DoubleDotProduct.dot(a, b)
+
+  /** The higher-order-function form of [[dotD]], kept as the executable
+    * specification the native expression is asserted against (zip_with
+    * casts make it total over float arrays too). */
+  private[graft] def dotDReference(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
