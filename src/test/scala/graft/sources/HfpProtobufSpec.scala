@@ -97,6 +97,17 @@ class HfpProtobufSpec extends SparkSuite {
     intercept[IllegalArgumentException](HfpProtobuf.decode(data))
   }
 
+  test("a 64-bit length that would truncate to a small int is rejected (ADVICE r3)") {
+    // Data.topic length = 2^32 + 5 as varint (0x85 0x80 0x80 0x80 0x10):
+    // a 32-bit truncation would read it as 5 and mis-decode garbage
+    // instead of dead-lettering the record
+    val data = Array[Byte](0x0A,
+      0x85.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x10,
+      1, 2, 3, 4, 5)
+    val e = intercept[IllegalArgumentException](HfpProtobuf.decode(data))
+    assert(e.getMessage.contains("bad field length"), e.getMessage)
+  }
+
   test("malformed records are dropped by decodeEnvelopes, valid ones survive") {
     val good = HfpProtobuf.encode(HfpEnvelope(topic, payload))
     val bad = Array[Byte](0x0A, 0x7F, 0x01) // declares 127-byte submessage, has 1
