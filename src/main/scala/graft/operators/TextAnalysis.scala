@@ -98,6 +98,32 @@ object TextAnalysis {
   def bpeEstimate(nChars: Column): Column =
     floor((nChars + lit(3)).cast(DoubleType) / lit(4.0)).cast(LongType)
 
+  /**
+   * Repetition / boilerplate metrics per document (the Gopher-rule
+   * family): word n-gram multiset statistics — the fraction of the
+   * document covered by its single most frequent n-gram, and the
+   * duplicate-gram fraction (1 − distinct/total). Shape: explode grams →
+   * one (doc, gram) count aggregate → one per-doc aggregate, both
+   * map-side combined; only (doc_id, gram) pairs shuffle. Ratios are
+   * integer-count divisions — bit-deterministic cross-engine.
+   */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextDedup.shingles(col(textCol), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("top_gram_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        (col("top_gram_count").cast(DoubleType)
+          / col("n_grams").cast(DoubleType)).as("top_gram_fraction"),
+        (lit(1.0) - col("n_distinct_grams").cast(DoubleType)
+          / col("n_grams").cast(DoubleType)).as("dup_gram_fraction"))
+  }
+
   /** Rolling polynomial hash over characters: h = (h·31 + codepoint) mod P.
     * Strict left fold — identical in the DuckDB oracle. */
   val FingerprintMod = 1000000007L

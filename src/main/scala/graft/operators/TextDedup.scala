@@ -264,6 +264,54 @@ object TextDedup {
   }
 
   /**
+   * Benchmark decontamination: which corpus documents share enough
+   * word n-grams with an evaluation/benchmark set that they would leak
+   * test data into training (the standard pre-training hygiene pass).
+   *
+   * Shape: distinct shingle hashes per document on BOTH sides (two
+   * explode+distinct scans), then an equality join on the 60-bit hash —
+   * never a doc×bench text comparison. Scale discipline:
+   *  - a shingle's corpus document frequency is capped
+   *    (`maxShingleDf`): shingles in more than that many documents are
+   *    non-discriminative boilerplate ("in the world" phrases) and are
+   *    anti-joined away via a BOUNDED broadcast (at most
+   *    totalShingles/cap hot hashes exist) BEFORE the join — the same
+   *    hot-key guard as [[minhashCandidatePairs]], preventing a
+   *    stopword trigram from exploding the join;
+   *  - only (id, hash) pairs shuffle; document bodies stay at the scan.
+   *
+   * Output: (doc_id, bench_id, n_shared, n_doc_shingles,
+   * overlap_ratio) for pairs sharing ≥ `minShared` capped shingles;
+   * `overlap_ratio` is against the document's FULL distinct shingle
+   * count (pre-cap), so boilerplate removal can only lower recall of
+   * the ratio, never inflate it.
+   */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, shingleN: Int = 3,
+      maxShingleDf: Int = 100, minShared: Long = 3): DataFrame = {
+    def sh(df: DataFrame, idName: String) =
+      df.select(col(idCol).as(idName),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+        .select(col(idName), hashMod(col("s")).as("h"))
+    val cs = sh(ScanOps.spreadSmallInput(corpus, col(idCol)), "doc_id")
+    val bs = sh(bench, "bench_id")
+    val docTotals = cs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_doc_shingles"))
+    val hot = cs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select(col("h"))
+    cs.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(bs, Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(docTotals, Seq("doc_id"))
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        col("n_doc_shingles"),
+        (col("n_shared").cast(DoubleType)
+          / col("n_doc_shingles").cast(DoubleType)).as("overlap_ratio"))
+  }
+
+  /**
    * 16-bit SimHash fingerprint via conditional aggregation: explode tokens,
    * per document sum ±1 per bit of the token hash, positive sums set the
    * bit. 16 bits keeps the oracle SQL tractable; widen by raising `bits`

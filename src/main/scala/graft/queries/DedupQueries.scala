@@ -128,6 +128,49 @@ object DedupQueries {
       headline = true),
 
     // ------------------------------------------------------------------
+    // q47 — benchmark decontamination: corpus docs sharing ≥3 distinct
+    // word trigrams with the held-out "benchmark" slice (every 50th
+    // doc, excluded from the corpus side). A leaked slice (benchmark
+    // texts re-inserted under new ids with a 2-token tail) guarantees
+    // contamination the pass provably catches; shingles in >100 corpus
+    // docs are capped away pre-join (boilerplate guard, bounded
+    // broadcast — the minhash skew discipline applied to the join key).
+    // ------------------------------------------------------------------
+    "q47_decontamination" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val leaked = bench.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zz zz")).as("text"))
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0).union(leaked)
+        TextDedup.contaminationPairs(corpus,
+          bench.select(col("doc_id"), col("text")), "text", "doc_id")
+          .orderBy("doc_id", "bench_id")
+      },
+      oracle = Some(s"""
+        WITH bench AS (SELECT doc_id AS bench_id, text FROM documents
+          WHERE doc_id % 50 = 0),
+        corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+          UNION ALL
+          SELECT doc_id + 200000, text || ' zz zz' FROM documents
+          WHERE doc_id % 50 = 0),
+        ct AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM corpus),
+        csh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles("t", 3)})) AS s FROM ct),
+        cs AS (SELECT doc_id, ${sqlHashMod("s")} AS h FROM csh),
+        bt AS (SELECT bench_id, ${sqlTokens("text")} AS t FROM bench),
+        bsh AS (SELECT bench_id, unnest(list_distinct(${sqlShingles("t", 3)})) AS s FROM bt),
+        bs AS (SELECT bench_id, ${sqlHashMod("s")} AS h FROM bsh),
+        nd AS (SELECT doc_id, count(*) AS n_doc_shingles FROM cs GROUP BY doc_id),
+        hot AS (SELECT h FROM cs GROUP BY h HAVING count(*) > 100),
+        kept AS (SELECT doc_id, h FROM cs WHERE h NOT IN (SELECT h FROM hot)),
+        ov AS (SELECT kept.doc_id, bs.bench_id, count(*) AS n_shared
+          FROM kept JOIN bs ON kept.h = bs.h GROUP BY 1, 2)
+        SELECT ov.doc_id, bench_id, n_shared, n_doc_shingles,
+          CAST(n_shared AS DOUBLE) / CAST(n_doc_shingles AS DOUBLE) AS overlap_ratio
+        FROM ov JOIN nd ON ov.doc_id = nd.doc_id
+        WHERE n_shared >= 3 ORDER BY ov.doc_id, bench_id""")),
+
+    // ------------------------------------------------------------------
     // q24 — 16-bit SimHash fingerprint per document: explode tokens, one
     // conditional aggregation per bit (generated, not hand-written), sign
     // of the sum sets the bit. One shuffle on doc_id; at scale the

@@ -38,6 +38,17 @@ object TextQueries {
   val SampleRates: Map[String, Int] =
     Map("en" -> 500, "de" -> 250, "es" -> 250, "fr" -> 125, "zh" -> 100)
 
+  /** q48 seeded repetitive document (one phrase 30×), shared verbatim by
+    * both engines. No quote characters — embedded as a SQL literal. */
+  val RepetitionFixtureText: String = Seq.fill(30)("spam ham eggs").mkString(" ")
+
+  /** DuckDB twin of TextDedup.shingles for word bigrams (the q48 gram
+    * unit; mirrors DedupQueries' general-n helper at n = 2). */
+  private def sqlBigrams(t: String): String =
+    s"""CASE WHEN len($t) >= 2
+        THEN list_transform(range(1, len($t)), i -> array_to_string($t[i:i+1], ' '))
+        ELSE [array_to_string($t, ' ')] END"""
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -193,6 +204,48 @@ object TextQueries {
           CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM b GROUP BY shard, bin ORDER BY shard, bin""")),
+
+    // ------------------------------------------------------------------
+    // q48 — repetition / boilerplate metrics (the Gopher-rule family):
+    // top-bigram fraction and duplicate-gram fraction per document,
+    // with the keep/drop verdict of the standard thresholds. A seeded
+    // slice of one phrase repeated 30× (every 25th doc, re-inserted)
+    // must be flagged. Two map-side-combined aggregations; only
+    // (doc_id, gram) pairs shuffle.
+    // ------------------------------------------------------------------
+    "q48_repetition_filter" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val rep = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            lit(RepetitionFixtureText).as("text"))
+        TextAnalysis.repetitionMetrics(
+          graft.operators.ScanOps.spreadSmallInput(docs.union(rep), col("doc_id")),
+          "text", "doc_id")
+          .withColumn("keep",
+            (col("top_gram_fraction") <= 0.2 && col("dup_gram_fraction") <= 0.3)
+              .cast(IntegerType))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, '$RepetitionFixtureText' FROM documents
+          WHERE doc_id % 25 = 0),
+        tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM base),
+        g AS (SELECT doc_id, unnest(${sqlBigrams("t")}) AS g FROM tok),
+        counts AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+            count(*) AS n_distinct_grams, CAST(max(c) AS BIGINT) AS top_c
+          FROM counts GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_distinct_grams,
+          CAST(top_c AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_fraction,
+          1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_fraction,
+          CAST(CAST(top_c AS DOUBLE) / CAST(n_grams AS DOUBLE) <= 0.2
+            AND 1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) <= 0.3
+            AS INT) AS keep
+        FROM m ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // q46 — deterministic stratified sampling (corpus mixing): keep a

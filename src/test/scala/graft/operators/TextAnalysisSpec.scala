@@ -49,4 +49,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fAb !== fBa)
     assert(one("", TextAnalysis.rollingFingerprint($"text")).getLong(0) === 0L)
   }
+
+  test("repetition metrics: known bigram counts; repeated phrase flagged, varied text not") {
+    val rep = Seq.fill(20)("spam ham").mkString(" ")      // "spam ham spam ham ..."
+    val varied = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, rep), (2L, varied)).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // 40 tokens -> 39 bigrams: 20× "spam ham" + 19× "ham spam"
+    assert(m(0).getAs[Long]("n_grams") === 39L)
+    assert(m(0).getAs[Long]("n_distinct_grams") === 2L)
+    assert(m(0).getAs[Double]("top_gram_fraction") === 20.0 / 39.0)
+    // varied text: every bigram unique
+    assert(m(1).getAs[Long]("n_grams") === 9L)
+    assert(m(1).getAs[Double]("dup_gram_fraction") === 0.0)
+    assert(m(1).getAs[Double]("top_gram_fraction") === 1.0 / 9.0)
+  }
 }

@@ -85,6 +85,32 @@ class TextDedupSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("decontamination finds every leaked benchmark doc; boilerplate shingles are capped") {
+    val docs = Tables.documents(spark, sf("0.01")).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val leaked = bench.select((col("doc_id") + 200000).as("doc_id"),
+      concat(col("text"), lit(" zz zz")).as("text"))
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0).union(leaked)
+    val hits = TextDedup.contaminationPairs(corpus, bench, "text", "doc_id")
+      .collect()
+    // every leaked doc is caught against exactly its source, ratio ≫ noise
+    val leakedHits = hits.filter(_.getAs[Long]("doc_id") >= 200000)
+    assert(leakedHits.length === bench.count())
+    assert(leakedHits.forall(r =>
+      r.getAs[Long]("bench_id") === r.getAs[Long]("doc_id") - 200000))
+    assert(leakedHits.forall(_.getAs[Double]("overlap_ratio") > 0.8))
+    // a shingle present in MORE docs than the cap contributes nothing:
+    // stamp a shared phrase on every corpus doc and on one bench doc —
+    // with the cap at 10 the stamped trigrams must not create pairs
+    val stamped = corpus.select(col("doc_id"),
+      concat(lit("aa bb cc dd "), col("text")).as("text"))
+    val benchStamped = bench.limit(1).select(col("doc_id"),
+      lit("aa bb cc dd").as("text"))
+    val capped = TextDedup.contaminationPairs(stamped, benchStamped,
+      "text", "doc_id", maxShingleDf = 10, minShared = 1).collect()
+    assert(capped.isEmpty, s"capped boilerplate still paired: ${capped.toSeq}")
+  }
+
   test("simhash: fingerprint is stable under duplication and differs across docs") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "one two three four five")).toDF("doc_id", "text")
