@@ -30,6 +30,52 @@ object RelationalQueries {
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
+    // q49 — the SQL API surface: the same engine through temp views +
+    // spark.sql (TPC-H Q3 shape — selective dim filter, two big joins,
+    // grouped revenue, top-10). Catalyst plans the SQL text and the
+    // DataFrame API identically (one parser away from the same logical
+    // plan), so this gates the registration/parser path, with the usual
+    // DECIMAL(18,4) determinism casts in both engines.
+    // ------------------------------------------------------------------
+    "q49_sql_api" -> GraftQuery(
+      build = (s, d) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(t => tbl(s, d, t).createOrReplaceTempView(t))
+        s.sql("""
+          SELECT l_orderkey,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+              AS revenue,
+            unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_ms,
+            o_orderpriority
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1995-03-15'
+            AND l_shipdate > TIMESTAMP '1995-03-15'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey
+          LIMIT 10""")
+      },
+      oracle = Some("""
+        SELECT l_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+            AS revenue,
+          epoch_ms(o_orderdate) AS o_orderdate_ms,
+          o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    // ------------------------------------------------------------------
     // q01 — full-scan hash aggregation (TPC-H Q1 shape). Map-side partial
     // agg over 4 groups → a 4-row shuffle: scan-bound at any scale.
     // ------------------------------------------------------------------
