@@ -13,6 +13,8 @@ object SparkEntry {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     // events.parquet carries nanosecond timestamps (TESTDATA)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // native engine functions available from SQL text (graft_dot, …)
+    graft.functions.GraftFunctions.register(spark)
   }
 
   /** Full registry: every implemented operator from SURVEY.md §2. */

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Registration of the engine's native Catalyst expressions as SQL
+ * functions, two ways:
+ *
+ *  - [[GraftFunctions.register]] adds them to an EXISTING session's
+ *    function registry (what [[graft.SparkEntry.applySessionDefaults]]
+ *    calls, so the driver's session can `spark.sql("... graft_dot(a, b)
+ *    ...")`);
+ *  - [[GraftSparkExtensions]] is the `spark.sql.extensions` entry point
+ *    for cluster deployments (`--conf spark.sql.extensions=
+ *    graft.functions.GraftSparkExtensions`), injecting the same
+ *    functions at session build — the standard way a Spark library
+ *    ships Catalyst extensions.
+ */
+object GraftFunctions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DoubleDotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
+        DoubleDotProduct(exprs.head, exprs(1))
+      }))
+
+  /** Idempotent registration into a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` hook: injects every engine function at session
+  * construction. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -52,6 +52,18 @@ class DoubleDotProductSpec extends SparkSuite {
     assert(withNullElem.isNullAt(0))
   }
 
+  test("graft_dot is callable from SQL text after registration") {
+    GraftFunctions.register(spark)
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(v === 11.0)
+    // idempotent re-registration, and arity is enforced
+    GraftFunctions.register(spark)
+    intercept[Exception](
+      spark.sql("SELECT graft_dot(array(1.0d))").collect())
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val plan = vectors.select(VectorSearch.dotD(col("v"), hyper).as("d"))
