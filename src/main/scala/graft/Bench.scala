@@ -66,20 +66,26 @@ object Bench {
           None
         }
       }.takeWhile(_.isDefined).flatten.toVector
-      if (times.size < Reps) failed ::= name
+      // a transient crash on rep 2/3 must not discard the completed
+      // measurements (tripling the reps tripled the exposure to the
+      // co-tenant noise they exist to absorb): report the median of
+      // whatever completed, fail only a query with ZERO good reps;
+      // `reps` in queries_stats makes partial data visible
+      if (times.isEmpty) failed ::= name
       name -> times.sorted
     }
+    def median(ts: Vector[Double]): Double = ts(ts.size / 2)
     val qs = results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.size == Reps) ts(Reps / 2) else -1.0)
+      "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
     }.mkString("{", ",", "}")
     val stats = results.map { case (k, ts) =>
-      if (ts.size == Reps)
-        s""""$k":{"median":${ts(Reps / 2)},"min":${ts.head},"max":${ts.last}}"""
-      else s""""$k":{"median":-1.0,"min":-1.0,"max":-1.0}"""
+      if (ts.nonEmpty)
+        s""""$k":{"median":${median(ts)},"min":${ts.head},"max":${ts.last},"reps":${ts.size}}"""
+      else s""""$k":{"median":-1.0,"min":-1.0,"max":-1.0,"reps":0}"""
     }.mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect {
-      case (_, ts) if ts.size == Reps => ts(Reps / 2)
+      case (_, ts) if ts.nonEmpty => median(ts)
     }.sum
     // the ingest slices obey the SPARK_GRAFT_ONLY filter too ("ingest"
     // runs both, "ingest_pb" the protobuf one alone); -1 marks "not run"

@@ -48,7 +48,10 @@ case class DoubleDotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
-  private def mayHaveNullElements: Boolean =
+  // lazy val, not def: nullSafeEval reads it per element in the
+  // interpreted loop — a def would allocate and walk both dataTypes
+  // thousands of times per row
+  private lazy val mayHaveNullElements: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, containsNull) => containsNull
       case _ => true

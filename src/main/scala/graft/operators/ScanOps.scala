@@ -32,6 +32,14 @@ object ScanOps {
    * deterministic, so ReuseExchange can compute it ONCE and fan it out,
    * where the keyless round-robin exchange is non-deterministic and every
    * consumer recomputes the whole subtree below it.
+   *
+   * CONTRACT: call this on SCAN-ROOTED frames (reads + per-row
+   * projections/filters/unions), where the byte estimate tracks the
+   * actual scan split count. A frame already shaped by an upstream
+   * exchange (aggregate, repartition) should not be re-spread — its
+   * partition count is not derivable from plan statistics without the
+   * physical `.rdd` probe this helper deliberately avoids (VERDICT r3
+   * #8: per-call physical planning, streaming-unsafe).
    */
   def spreadSmallInput(df: DataFrame, keys: Column*): DataFrame = {
     if (df.isStreaming) df

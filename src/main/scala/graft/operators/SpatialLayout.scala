@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /**
  * Spatial file layout for bounding-box workloads (the reference's
@@ -21,18 +21,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object SpatialLayout {
 
   /** Value → `bits`-bit cell index over [min, max], clamped at the
-    * edges (out-of-range points land in the boundary cells). */
-  def quantize(c: Column, min: Double, max: Double, bits: Int): Column =
-    least(lit((1 << bits) - 1), greatest(lit(0),
-      floor((c - lit(min)) / lit(max - min) * lit(1 << bits))
-        .cast(IntegerType)))
+    * edges (out-of-range points land in the boundary cells). Long
+    * literals: `1 << 31` as an Int is negative and would silently
+    * collapse every point to cell 0. */
+  def quantize(c: Column, min: Double, max: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    least(lit((1L << bits) - 1), greatest(lit(0L),
+      floor((c - lit(min)) / lit(max - min) * lit(1L << bits))
+        .cast(LongType)))
+  }
 
   /** Morton (Z-order) code: bit i of the quantized latitude goes to
     * output bit 2i+1, of longitude to bit 2i. WGS84 domains. */
   def mortonCode(lat: Column, lng: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val la = quantize(lat, -90.0, 90.0, bits).cast(LongType)
-    val lo = quantize(lng, -180.0, 180.0, bits).cast(LongType)
+    val la = quantize(lat, -90.0, 90.0, bits)
+    val lo = quantize(lng, -180.0, 180.0, bits)
     (0 until bits).map { i =>
       shiftright(la, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
         shiftright(lo, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))

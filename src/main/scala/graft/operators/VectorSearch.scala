@@ -150,6 +150,13 @@ object VectorSearch {
    */
   def trainCentroids(b: DataFrame, init: DataFrame, idCol: String,
       iters: Int, dims: Int): DataFrame = {
+    // fail fast on a dims mismatch: with ANSI off, element_at past the
+    // array end is null and the training would silently degrade to
+    // null centroids. One tiny probe job; training is multi-job anyway.
+    b.select(size(col("v"))).head(1).foreach { r =>
+      require(r.getInt(0) == dims,
+        s"dims=$dims but vectors have ${r.getInt(0)} elements")
+    }
     var cents = init
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(idCol)

@@ -378,8 +378,11 @@ object HfpPipelineQueries {
     // ------------------------------------------------------------------
     "q44_bbox_vehicles" -> GraftQuery(
       build = (s, _) => {
-        val landing = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_q44_landing").toString
+        // per-invocation temp dir: a fixed shared path would race a
+        // concurrent Bench/Verify JVM on the same box (overwrite deletes
+        // part files under the other process's scan)
+        val landing = java.nio.file.Files
+          .createTempDirectory("graft_q44_landing_").toString
         HfpFlatten.flatten(goodEnvelope(s), strictTst = false)
           .write.mode("overwrite").parquet(landing)
         s.read.parquet(landing)
