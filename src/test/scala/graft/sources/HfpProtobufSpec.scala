@@ -108,6 +108,47 @@ class HfpProtobufSpec extends SparkSuite {
     assert(e.getMessage.contains("bad field length"), e.getMessage)
   }
 
+  test("property: decode after encode is identity over generated envelopes (SURVEY §5)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // NaN excluded: the wire canonicalizes NaN bit patterns and NaN != NaN
+    // breaks case-class equality; every other double round-trips bit-exactly
+    val strG = Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.const(""), Gen.const("ä ö 漢字 🚌"), Gen.const("/hfp/v2/ä"))
+    val dblG = Gen.oneOf(Gen.chooseNum(-1e12, 1e12), Gen.const(0.0),
+      Gen.const(-0.0), Gen.const(Double.MaxValue),
+      Gen.const(Double.MinPositiveValue), Gen.const(Double.NegativeInfinity))
+    val intG = Gen.chooseNum(Int.MinValue, Int.MaxValue) // negative → 10-byte varint
+    val longG = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    val topicG = for {
+      ra <- longG; pre <- strG; ver <- strG; jt <- strG; tt <- strG
+      et <- Gen.option(strG); tm <- Gen.option(strG)
+      op <- intG; vn <- intG; uv <- strG
+      ri <- Gen.option(strG); di <- Gen.option(intG); hs <- Gen.option(strG)
+      st <- Gen.option(strG); ns <- Gen.option(strG); gl <- Gen.option(intG)
+      la <- Gen.option(dblG); lo <- Gen.option(dblG)
+    } yield graft.model.HfpTopic(ra, pre, ver, jt, tt, et, tm, op, vn, uv,
+      ri, di, hs, st, ns, gl, la, lo)
+    val payloadG = for {
+      de <- Gen.option(strG); di <- Gen.option(strG); op <- Gen.option(intG)
+      veh <- intG; tst <- strG; tsi <- longG
+      spd <- Gen.option(dblG); hdg <- Gen.option(intG); la <- Gen.option(dblG)
+      lo <- Gen.option(dblG); acc <- Gen.option(dblG); dl <- Gen.option(intG)
+      odo <- Gen.option(dblG); dr <- Gen.option(strG); od <- Gen.option(strG)
+      jr <- Gen.option(intG); li <- Gen.option(intG); st <- Gen.option(strG)
+      lc <- Gen.option(strG); sp <- Gen.option(intG); rt <- Gen.option(strG)
+      oc <- Gen.option(intG)
+    } yield graft.model.HfpPayload(de, di, op, veh, tst, tsi, spd, hdg, la,
+      lo, acc, dl, odo, dr, od, jr, li, st, lc, sp, rt, oc)
+    val envG = for { t <- topicG; p <- payloadG } yield HfpEnvelope(t, p)
+    val envs = (0 until 300).flatMap(i =>
+      envG.apply(Gen.Parameters.default, Seed(7L + i)))
+    assert(envs.size > 250) // the generator rarely discards
+    envs.foreach { e =>
+      assert(HfpProtobuf.decode(HfpProtobuf.encode(e)) === e)
+    }
+  }
+
   test("malformed records are dropped by decodeEnvelopes, valid ones survive") {
     val good = HfpProtobuf.encode(HfpEnvelope(topic, payload))
     val bad = Array[Byte](0x0A, 0x7F, 0x01) // declares 127-byte submessage, has 1
