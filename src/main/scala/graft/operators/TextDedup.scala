@@ -285,6 +285,13 @@ object TextDedup {
    * `overlap_ratio` is against the document's FULL distinct shingle
    * count (pre-cap), so boilerplate removal can only lower recall of
    * the ratio, never inflate it.
+   *
+   * Single-query demo note: the corpus shingle frame feeds THREE
+   * aggregations (doc totals, df cap, the join) on different keys, so
+   * the md5 hashing runs once per consumer here. At warehouse scale,
+   * land the (doc_id, h) shingle index as a table once — it is the
+   * same index exact-dedup and MinHash build — and feed all three from
+   * the stored copy.
    */
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, shingleN: Int = 3,

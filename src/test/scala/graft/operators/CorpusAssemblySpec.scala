@@ -41,6 +41,27 @@ class CorpusAssemblySpec extends SparkSuite {
     assert(stats.forall(_.getAs[Long]("tokens_packed") <= budget - 1 + maxDoc))
   }
 
+  test("property: packing conserves tokens and respects the overflow bound on generated inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val rowsG = Gen.listOfN(60, for {
+      shard <- Gen.chooseNum(0L, 3L)
+      toks <- Gen.chooseNum(1L, 400L) // docs can exceed the 256 budget
+    } yield (shard, toks))
+    for (seed <- 0 until 5) {
+      val rows = rowsG(Gen.Parameters.default, Seed(seed.toLong)).get
+        .zipWithIndex.map { case ((sh, tk), i) => (i.toLong, sh, tk) }
+      val df = rows.toDF("doc_id", "shard", "n_tokens")
+      val stats = CorpusAssembly.binStats(
+        CorpusAssembly.packBins(df, "doc_id", "n_tokens", "shard", 256L),
+        "shard", "n_tokens", "doc_id").collect()
+      assert(stats.map(_.getAs[Long]("tokens_packed")).sum === rows.map(_._3).sum)
+      val maxDoc = rows.map(_._3).max
+      assert(stats.forall(_.getAs[Long]("tokens_packed") <= 255 + maxDoc))
+    }
+  }
+
   test("stratified sample is deterministic and nested across rates") {
     def ids(perMille: Int): Set[Long] =
       CorpusAssembly.stratifiedSample(docs, "text", "lang",
