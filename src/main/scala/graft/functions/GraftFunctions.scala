@@ -31,10 +31,14 @@ object GraftFunctions {
         DoubleDotProduct(exprs.head, exprs(1))
       }))
 
-  /** Idempotent registration into a live session. */
+  /** Idempotent registration into a live session. The existence check
+    * matters: this runs on every SparkEntry query invocation, and an
+    * unconditional re-register logs a replaced-function warning per
+    * call. */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
 
