@@ -17,6 +17,7 @@ object EventTimeQueries {
 
   private val GapUs = 30L * 60 * 1000000       // 30-minute session gap
   private val WindowUs = 6L * 3600 * 1000000   // 6-hour tumbling window
+  private val SlideUs = 3L * 3600 * 1000000    // 3-hour slide (q50)
 
   val all: Map[String, GraftQuery] = Map(
 
@@ -43,6 +44,34 @@ object EventTimeQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM e GROUP BY 1, 2 ORDER BY 1, 2"""),
       headline = true),
+
+    // ------------------------------------------------------------------
+    // q50 — SLIDING event-time windows (the third window family next to
+    // q31 tumbling / q32 session): 6 h windows every 3 h, so each event
+    // contributes to exactly two windows. Spark's window() generates
+    // the per-event window set inline (a 2-row expansion, not a join);
+    // the oracle unnests the same two aligned starts per event.
+    // ------------------------------------------------------------------
+    "q50_sliding_window" -> GraftQuery(
+      build = (s, d) =>
+        events(s, d)
+          .select(timestamp_micros(expr("ts div 1000")).as("tsc"),
+            col("event_type"), col("value"))
+          .groupBy(window(col("tsc"), "6 hours", "3 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("window_start_us", "event_type"),
+      oracle = Some(s"""
+        WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        w AS (SELECT unnest([us - us % $SlideUs, us - us % $SlideUs - $SlideUs])
+            AS window_start_us, us, event_type, value FROM e)
+        SELECT window_start_us, event_type, count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM w
+        WHERE us >= window_start_us AND us < window_start_us + $WindowUs
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ------------------------------------------------------------------
     // q32 — session windows (batch twin of EventTimeOps.vehicleSessions)
