@@ -40,6 +40,26 @@ object EventTimeOps {
         col("route_id"), col("n_events"), col("sum_spd"))
 
   /**
+   * Sliding per-route counts: like [[tumblingRouteCounts]] but windows
+   * overlap (`slideDuration` < `windowDuration`), so each event lands in
+   * windowDuration/slideDuration windows — the moving-average shape.
+   * State stays bounded the same way: open windows × routes. Batch twin
+   * q50 (EventTimeQueries).
+   */
+  def slidingRouteCounts(vehicles: DataFrame,
+      watermarkDelay: String = "2 minutes",
+      windowDuration: String = "2 minutes",
+      slideDuration: String = "1 minute"): DataFrame =
+    vehicles
+      .withWatermark("tst", watermarkDelay)
+      .groupBy(window(col("tst"), windowDuration, slideDuration), col("route_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("spd")).as("sum_spd"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        unix_micros(col("window.end")).as("window_end_us"),
+        col("route_id"), col("n_events"), col("sum_spd"))
+
+  /**
    * Session windows per vehicle: a session extends while successive events
    * arrive within `gap` of the previous one; closes (and emits, in append
    * mode) when the watermark passes session end + gap.

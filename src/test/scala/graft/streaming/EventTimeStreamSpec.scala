@@ -84,6 +84,29 @@ class EventTimeStreamSpec extends SparkSuite {
     assert(emitted === Seq((w0800, 2L), (w0800 + 60000000L, 1L), (w0800 + 300000000L, 1L)))
   }
 
+  test("sliding window: each event counts in two overlapping windows; append on watermark") {
+    val in = tmp("sl_in_"); val out = tmp("sl_out_"); val ckpt = tmp("sl_ck_")
+    def agg = EventTimeOps.slidingRouteCounts(vehiclesStream(in),
+      watermarkDelay = "2 minutes", windowDuration = "2 minutes",
+      slideDuration = "1 minute")
+
+    // run 1: two events inside 08:00 — they belong to BOTH [07:59, 08:01)
+    // and [08:00, 08:02); watermark 07:58:20 → nothing emitted yet
+    writeFile(in, 1, Seq(
+      rec("2024-06-05T08:00:10Z"), rec("2024-06-05T08:00:20Z")))
+    runOnce(agg, out, ckpt)
+    assert(outRows(out).isEmpty)
+
+    // run 2: 08:05 advances the watermark to 08:03, closing both
+    // overlapping windows — the same two events appear in each
+    writeFile(in, 2, Seq(rec("2024-06-05T08:05:00Z")))
+    runOnce(agg, out, ckpt)
+    val w0800 = 1717574400000000L
+    val emitted = outRows(out).map(r => (r.getAs[Long]("window_start_us"),
+      r.getAs[Long]("n_events"))).sorted.toSeq
+    assert(emitted === Seq((w0800 - 60000000L, 2L), (w0800, 2L)))
+  }
+
   test("dropDuplicatesWithinWatermark: duplicate key suppressed within the horizon") {
     val in = tmp("dd_in_"); val out = tmp("dd_out_"); val ckpt = tmp("dd_ck_")
     def dedup = EventTimeOps.dedupWithinWatermark(vehiclesStream(in), "10 minutes")
