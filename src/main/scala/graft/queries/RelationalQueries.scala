@@ -76,6 +76,34 @@ object RelationalQueries {
         LIMIT 10""")),
 
     // ------------------------------------------------------------------
+    // q51 — arbitrary GROUPING SETS (the aggregation shape rollup/cube
+    // can't express: a non-hierarchical set list), via Spark 4's
+    // Dataset.groupingSets API. grouping() flags disambiguate NULL group
+    // values; ORDER BY spells NULLS FIRST because the engines' default
+    // null ordering differs.
+    // ------------------------------------------------------------------
+    "q51_grouping_sets" -> GraftQuery(
+      build = (s, d) =>
+        lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).as("g_rf"),
+            grouping(col("l_linestatus")).as("g_ls"),
+            count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("g_rf"), col("g_ls"),
+            col("l_returnflag").asc_nulls_first, col("l_linestatus")),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+          GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus""")),
+
+    // ------------------------------------------------------------------
     // q01 — full-scan hash aggregation (TPC-H Q1 shape). Map-side partial
     // agg over 4 groups → a 4-row shuffle: scan-bound at any scale.
     // ------------------------------------------------------------------
