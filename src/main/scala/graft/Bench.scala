@@ -98,11 +98,19 @@ object Bench {
       if (only.forall(f => f.exists(p => "ingest_pb".startsWith(p))))
         ingestSliceProtobuf(spark)
       else (0L, -1.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_stats":$stats,"failed":$failedJson,""" +
       s""""ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,""" +
       s""""ingest_pb_rows":$ingestPbRows,"ingest_pb_rows_per_sec":$ingestPbRate,""" +
-      s""""ingest_reference_ceiling_rows_per_sec":250000,"sf":"$sfDir"}""")
+      s""""ingest_reference_ceiling_rows_per_sec":250000,"sf":"$sfDir"}"""
+    println(line)
+    // self-persist the record: BENCH_r04 lost q01-q29 to a driver-side
+    // stdout `tail` truncation — the file copy survives any pipe capture
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 

@@ -108,9 +108,65 @@ object TextDedup {
    * shuffle; document bodies stay at the scan.
    */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(hash64(col(textCol)).as("content_hash"), col(idCol))
+    exactDupGroupsFromIndex(docHashRows(df, textCol, idCol))
+
+  /** [[exactDupGroups]] fed from a landed doc index (doc_id,
+    * content_hash) — zero hashing in the plan; the grouped aggregate is
+    * the whole query. */
+  def exactDupGroupsFromIndex(docIndex: DataFrame): DataFrame =
+    docIndex
       .groupBy(col("content_hash"))
-      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------------
+  // The shared shingle index (VERDICT r4 #1). Exact dedup, MinHash/LSH
+  // and decontamination all start from the same two per-document hash
+  // frames; at warehouse scale the md5 pass over the corpus is the
+  // dominant CPU cost and must run ONCE, not once per consumer. The
+  // index is landed as two parquet tables and every consumer has a
+  // *FromIndex / *FromHashRows variant that reads the stored copy —
+  // hash-identical to the text path (asserted by ShingleIndexSpec and
+  // the unchanged q22/q23/q47 oracle gates).
+  // ------------------------------------------------------------------
+
+  /** Per-document index rows (doc_id, content_hash) — the exact-dedup
+    * slice of the shingle index. */
+  def docHashRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), hash64(col(textCol)).as("content_hash"))
+
+  /** Distinct shingle-hash rows (doc_id, h): one row per DISTINCT word
+    * n-gram STRING per document (distinct BEFORE hashing, so a 60-bit
+    * collision between two distinct shingles still contributes two rows —
+    * the exact frame [[contaminationPairs]] counts and the DuckDB oracle
+    * mirrors). MinHash minima are unchanged by the distinct (min over a
+    * set = min over its multiset), so [[signaturesFromHashRows]] accepts
+    * this frame too. */
+  def shingleHashRows(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+      .select(col("doc_id"), hashMod(col("s")).as("h"))
+
+  /** Land the shingle index for a corpus: `dir/docs` = (doc_id,
+    * content_hash), `dir/shingles` = (doc_id, h) distinct. One pass of
+    * content hashing and one of shingle hashing, total — every consumer
+    * reads the stored copy via [[readDocIndex]]/[[readShingleIndex]].
+    * Plain parquet, no global ordering: the consumers re-key on doc_id
+    * (signatures) or h (decontamination join) anyway, and at scale the
+    * landing would be bucketed by the dominant consumer's key. */
+  def landShingleIndex(df: DataFrame, textCol: String, idCol: String,
+      dir: String, shingleN: Int = 3): Unit = {
+    docHashRows(df, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    shingleHashRows(df, textCol, idCol, shingleN)
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  def readDocIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/docs")
+
+  def readShingleIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/shingles")
 
   /**
    * Per-document MinHash signatures: (doc_id, sig).
@@ -129,10 +185,15 @@ object TextDedup {
    *    Aggregate node is a hard boundary no downstream consumer can
    *    inline expression trees through.
    */
-  def signatures(texts: DataFrame, shingleN: Int): DataFrame = {
-    val hashed = texts
+  def signatures(texts: DataFrame, shingleN: Int): DataFrame =
+    signaturesFromHashRows(texts
       .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("s"))
-      .select(col("doc_id"), hashMod(col("s")).as("h"))
+      .select(col("doc_id"), hashMod(col("s")).as("h")))
+
+  /** The aggregate half of [[signatures]], over an already-hashed
+    * (doc_id, h) frame — the landed shingle index slots in directly
+    * (distinct vs multiset shingle hashes give the same minima). */
+  def signaturesFromHashRows(hashed: DataFrame): DataFrame = {
     val minCols = perms.zipWithIndex.map { case ((a, b), k) =>
       min((lit(a) * col("h") + lit(b)) % Prime).as(s"m$k")
     }
@@ -199,11 +260,31 @@ object TextDedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, minEstSim: Double = 0.3,
       maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
-    require(maxBandBucket >= 2 && maxBandBucket <= 10000,
-      s"maxBandBucket must be in [2, 10000], got $maxBandBucket")
     val texts = ScanOps.spreadSmallInput(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")), col("doc_id"))
-    val sigs = signatures(texts, shingleN)
+    minhashCandidatePairsFromHashRows(
+      texts.select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("s"))
+        .select(col("doc_id"), hashMod(col("s")).as("h")),
+      texts, minEstSim, maxBandBucket)
+  }
+
+  /**
+   * [[minhashCandidatePairs]] fed from an already-hashed (doc_id, h)
+   * shingle frame — the landed index path. `texts` (doc_id, text) is
+   * still needed, but ONLY for the exact-Jaccard rerank of surviving
+   * candidates (a vanishing fraction of the corpus); all signature
+   * hashing comes from `hashRows`. Same output, same oracle.
+   *
+   * Parallelism is the CALLER's job ([[ScanOps.spreadSmallInput]] on
+   * scan-rooted inputs): spreading here would re-exchange the text
+   * path's already-spread frames.
+   */
+  def minhashCandidatePairsFromHashRows(hashRows: DataFrame, texts: DataFrame,
+      minEstSim: Double = 0.3,
+      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    require(maxBandBucket >= 2 && maxBandBucket <= 10000,
+      s"maxBandBucket must be in [2, 10000], got $maxBandBucket")
+    val sigs = signaturesFromHashRows(hashRows)
     val bands = bandRows(sigs)
     // skew cap FIRST, from a count-only aggregate: hot keys are few by
     // construction (each holds > cap docs, so there are at most N/cap of
@@ -286,22 +367,30 @@ object TextDedup {
    * count (pre-cap), so boilerplate removal can only lower recall of
    * the ratio, never inflate it.
    *
-   * Single-query demo note: the corpus shingle frame feeds THREE
-   * aggregations (doc totals, df cap, the join) on different keys, so
-   * the md5 hashing runs once per consumer here. At warehouse scale,
-   * land the (doc_id, h) shingle index as a table once — it is the
-   * same index exact-dedup and MinHash build — and feed all three from
-   * the stored copy.
+   * Text-path note: the corpus shingle frame feeds THREE aggregations
+   * (doc totals, df cap, the join) on different keys, so this form
+   * re-hashes once per consumer. The warehouse path is
+   * [[contaminationPairsFromHashRows]] over the LANDED index
+   * ([[landShingleIndex]]) — the stored (doc_id, h) table is scanned
+   * three times but hashed zero times (q47 runs that way).
    */
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, shingleN: Int = 3,
+      maxShingleDf: Int = 100, minShared: Long = 3): DataFrame =
+    contaminationPairsFromHashRows(
+      shingleHashRows(ScanOps.spreadSmallInput(corpus, col(idCol)),
+        textCol, idCol, shingleN),
+      shingleHashRows(bench, textCol, idCol, shingleN)
+        .withColumnRenamed("doc_id", "bench_id"),
+      maxShingleDf, minShared)
+
+  /** [[contaminationPairs]] over pre-hashed frames: corpus (doc_id, h)
+    * and bench (bench_id, h), both DISTINCT per document (the
+    * [[shingleHashRows]] / landed-index shape). No hashing in the plan. */
+  def contaminationPairsFromHashRows(corpusRows: DataFrame, benchRows: DataFrame,
       maxShingleDf: Int = 100, minShared: Long = 3): DataFrame = {
-    def sh(df: DataFrame, idName: String) =
-      df.select(col(idCol).as(idName),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-        .select(col(idName), hashMod(col("s")).as("h"))
-    val cs = sh(ScanOps.spreadSmallInput(corpus, col(idCol)), "doc_id")
-    val bs = sh(bench, "bench_id")
+    val cs = corpusRows
+    val bs = benchRows
     val docTotals = cs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_doc_shingles"))
     val hot = cs.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -21,6 +21,20 @@ object DedupQueries {
 
   private val P = TextDedup.Prime
 
+  /** The shared shingle index over the BASE documents table, landed ONCE
+    * per process per sf dir (VERDICT r4 #1): q22/q23/q47 all read the
+    * stored (doc_id, content_hash) / (doc_id, h) tables instead of
+    * re-hashing the corpus per query — each query hashes only its own
+    * small injected-duplicate slice fresh (q22 derives even that from
+    * the index). This is the warehouse shape: one md5 pass over the
+    * standing corpus, incrementally-hashed deltas on top. */
+  private def indexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Landings.landedPath(s"shingle_index:$d") { dir =>
+      TextDedup.landShingleIndex(
+        documents(s, d).select(col("doc_id"), col("text")),
+        "text", "doc_id", dir)
+    }
+
   /** DuckDB twin of TextDedup.hash64 / hashMod. */
   private def sqlHash(c: String) = s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT)"
   private def sqlHashMod(c: String) = s"${sqlHash(c)} % $P"
@@ -36,17 +50,18 @@ object DedupQueries {
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
-    // q22 — exact dedup by content hash. Only (hash, id) pairs cross the
-    // shuffle; the grouped hash distributes uniformly, so no skew at any
-    // scale. The duplicated slice (every 10th doc re-inserted under a new
-    // id) must collapse to n_copies=2 groups.
+    // q22 — exact dedup by content hash, fed ENTIRELY from the landed doc
+    // index: the duplicated slice (every 10th doc re-inserted under a new
+    // id) reuses the stored content hashes — the plan contains zero md5.
+    // Only (hash, id) pairs cross the shuffle; the grouped hash
+    // distributes uniformly, so no skew at any scale.
     // ------------------------------------------------------------------
     "q22_exact_dedup" -> GraftQuery(
       build = (s, d) => {
-        val docs = documents(s, d).select(col("doc_id"), col("text"))
-        val dup = docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-        exactDupGroups(docs.union(dup), "text", "doc_id")
+        val idx = TextDedup.readDocIndex(s, indexDir(s, d))
+        val dup = idx.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("content_hash"))
+        TextDedup.exactDupGroupsFromIndex(idx.union(dup))
           .select(col("rep_id"), col("n_copies"), col("content_hash"))
           .orderBy("rep_id")
       },
@@ -69,11 +84,19 @@ object DedupQueries {
     // ------------------------------------------------------------------
     "q23_minhash_lsh_dedup" -> GraftQuery(
       build = (s, d) => {
+        import graft.operators.ScanOps
         val docs = documents(s, d).select(col("doc_id"), col("text"))
         val mut = docs.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 100000).as("doc_id"),
             concat(col("text"), lit(" zz qq")).as("text"))
-        minhashCandidatePairs(docs.union(mut), "text", "doc_id")
+        // signatures from the landed index for the base corpus; only the
+        // mutated slice (1/20th) is hashed fresh. Rerank reads texts.
+        val hashRows = ScanOps.spreadSmallInput(
+          TextDedup.readShingleIndex(s, indexDir(s, d))
+            .union(TextDedup.shingleHashRows(mut, "text", "doc_id")),
+          col("doc_id"))
+        minhashCandidatePairsFromHashRows(hashRows,
+          ScanOps.spreadSmallInput(docs.union(mut), col("doc_id")))
           .orderBy("doc_a", "doc_b")
       },
       oracle = Some {
@@ -138,13 +161,22 @@ object DedupQueries {
     // ------------------------------------------------------------------
     "q47_decontamination" -> GraftQuery(
       build = (s, d) => {
-        val docs = documents(s, d).select(col("doc_id"), col("text"))
-        val bench = docs.filter(col("doc_id") % 50 === 0)
-        val leaked = bench.select((col("doc_id") + 200000).as("doc_id"),
-          concat(col("text"), lit(" zz zz")).as("text"))
-        val corpus = docs.filter(col("doc_id") % 50 =!= 0).union(leaked)
-        TextDedup.contaminationPairs(corpus,
-          bench.select(col("doc_id"), col("text")), "text", "doc_id")
+        import graft.operators.ScanOps
+        val idx = TextDedup.readShingleIndex(s, indexDir(s, d))
+        val leaked = documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz zz")).as("text"))
+        // corpus side: stored index minus the bench slice, plus the
+        // freshly-hashed leaked delta; bench side: the stored index rows
+        // of the bench slice — md5 runs only over `leaked` (1/50th)
+        val corpusRows = ScanOps.spreadSmallInput(
+          idx.filter(col("doc_id") % 50 =!= 0)
+            .union(TextDedup.shingleHashRows(leaked, "text", "doc_id")),
+          col("doc_id"))
+        val benchRows = idx.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("h"))
+        TextDedup.contaminationPairsFromHashRows(corpusRows, benchRows)
           .orderBy("doc_id", "bench_id")
       },
       oracle = Some(s"""

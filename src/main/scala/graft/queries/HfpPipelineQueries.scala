@@ -378,13 +378,13 @@ object HfpPipelineQueries {
     // ------------------------------------------------------------------
     "q44_bbox_vehicles" -> GraftQuery(
       build = (s, _) => {
-        // per-invocation temp dir: a fixed shared path would race a
-        // concurrent Bench/Verify JVM on the same box (overwrite deletes
-        // part files under the other process's scan)
-        val landing = java.nio.file.Files
-          .createTempDirectory("graft_q44_landing_").toString
-        HfpFlatten.flatten(goodEnvelope(s), strictTst = false)
-          .write.mode("overwrite").parquet(landing)
+        // landed ONCE per process (Landings): every timed Bench rep after
+        // the first reads parquet only, so the q44 number measures the
+        // pruned scan, not flatten+write (VERDICT r4 #7)
+        val landing = Landings.landedPath("q44_landing") { dir =>
+          HfpFlatten.flatten(goodEnvelope(s), strictTst = false)
+            .write.mode("overwrite").parquet(dir)
+        }
         s.read.parquet(landing)
           .filter(col("lat") >= 60.15 && col("lat") <= 60.25
             && col("long") >= 24.9 && col("long") <= 25.05)
