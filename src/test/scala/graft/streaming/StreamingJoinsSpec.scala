@@ -74,4 +74,52 @@ class StreamingJoinsSpec extends SparkSuite {
     assert(rows.head.getAs[String]("unique_vehicle_id") === "22/854")
     assert(rows.head.getAs[Long]("dwell_us") === 45000000L)
   }
+
+  test("left-outer interval join: unmatched open emits null dwell at watermark eviction") {
+    val inO = tmp("dwo_o_"); val inC = tmp("dwo_c_")
+    val out = tmp("dwo_out_"); val ckpt = tmp("dwo_ck_")
+    def dwell = StreamingJoins.doorDwell(
+      vehiclesStream(inO), vehiclesStream(inC),
+      withinMinutes = 10, joinType = "left_outer")
+
+    // run 1: veh 854 open 08:00:00 + close 08:00:45 (matched pair emits
+    // immediately); veh 900 open 08:01:00 with NO close — watermark
+    // (min over both inputs ≈ 07:51) is far before 900's interval bound
+    // (08:11), so it sits in state, not in the output
+    writeFile(inO, Seq(
+      rec("doo", "2024-06-05T08:00:00Z", 854),
+      rec("doo", "2024-06-05T08:01:00Z", 900)))
+    writeFile(inC, Seq(rec("doc", "2024-06-05T08:00:45Z", 854)))
+    runOnce(dwell, out, ckpt)
+    val rows1 = spark.read.parquet(out).collect()
+    assert(rows1.length === 1)
+    assert(rows1.head.getAs[String]("unique_vehicle_id") === "22/854")
+
+    // run 2: 09:00 events on BOTH inputs push the global watermark to
+    // 08:50 — past 900's 08:11 bound — so eviction EMITS the unmatched
+    // open with null dwell. The 09:00 open itself (veh 999) stays in
+    // state: the watermark has not passed ITS interval.
+    writeFile(inO, Seq(rec("doo", "2024-06-05T09:00:00Z", 999)))
+    writeFile(inC, Seq(rec("doc", "2024-06-05T09:00:00Z", 998)))
+    runOnce(dwell, out, ckpt)
+    val byVeh = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("unique_vehicle_id") ->
+        Option(r.getAs[java.lang.Long]("dwell_us"))).toMap
+    assert(byVeh.keySet === Set("22/854", "22/900"))
+    assert(byVeh("22/854") === Some(45000000L))
+    assert(byVeh("22/900") === None)
+
+    // the batch twin over the SAME inputs agrees row-for-row
+    val batch = StreamingJoins.doorDwell(
+      HfpFlatten.flatten(HfpRawIngest.toEnvelope(
+        spark.read.schema(HfpStreamPipeline.wireSchema).json(inO)), strictTst = false),
+      HfpFlatten.flatten(HfpRawIngest.toEnvelope(
+        spark.read.schema(HfpStreamPipeline.wireSchema).json(inC)), strictTst = false),
+      withinMinutes = 10, joinType = "left_outer")
+      .collect()
+      .map(r => r.getAs[String]("unique_vehicle_id") ->
+        Option(r.getAs[java.lang.Long]("dwell_us"))).toMap
+    // batch has no watermark: veh 999's unmatched open ALSO surfaces
+    assert(batch === byVeh + ("22/999" -> None))
+  }
 }
