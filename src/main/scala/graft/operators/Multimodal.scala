@@ -39,27 +39,142 @@ object Multimodal {
   case class MediaFeature(doc_id: Long, media_type: String, n_bytes: Long,
       features: Array[Float])
 
+  /** Per-image decoded pixel statistics (q53): exact long channel sums
+    * divided once into doubles — bit-reproducible by integer-arithmetic
+    * oracles. width/height as Long to match SQL BIGINT arithmetic. */
+  case class ImageStats(doc_id: Long, width: Long, height: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** One decoded raster image: RGB-interleaved bytes, maxval 255. */
+  case class DecodedImage(width: Int, height: Int, pixels: Array[Byte])
+
   /**
    * Codec boundary — the ONLY place that interprets payload bytes.
    *
-   * STUB: real image/audio/video codecs (javax.imageio, ffmpeg bindings,
-   * …) are not available in this environment. `decode` is a deterministic
-   * fake — fixed-size chunking standing in for frame extraction — so the
-   * Spark-side plumbing (schema, batch shape, partitioning, encoders) is
-   * real and tested end-to-end; swap this object for a real codec in
-   * production without touching any operator.
+   * `image/ppm` decodes FOR REAL: binary PPM (the netpbm P6 format —
+   * ASCII header `P6 <w> <h> <maxval>` with `#` comments, then raw RGB
+   * triplets) is simple enough to parse in pure Scala with no codec
+   * jars, so the decode→features→ANN chain runs on genuinely decoded
+   * pixel bytes end to end. Malformed payloads THROW — callers route
+   * them through the dead-letter discipline like every other parse
+   * boundary in the engine.
+   *
+   * Other modalities (JPEG, audio, video) still fall back to
+   * deterministic fixed-size chunking: their codecs (javax.imageio,
+   * ffmpeg bindings) are not available offline. The plumbing — schema,
+   * batch shape, partitioning, encoders — is identical either way; swap
+   * the fallback for a real codec in production without touching any
+   * operator.
    */
   object MediaCodec {
-    /** Fake decode: split the payload into `frameBytes` chunks (the last
-      * chunk may be short). A real codec returns decoded frames here. */
-    def decode(mediaType: String, content: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
-      content.grouped(frameBytes)
 
-    /** Fake resize: deterministic truncate-or-zero-pad to `outBytes`. A
-      * real implementation resamples pixels; the contract (fixed-size
-      * output, pure function of input) is identical. */
+    /** Decode: real PPM parse for `image/ppm` (the pixel plane is the
+      * single frame); fixed-size chunking for still-opaque modalities. */
+    def decode(mediaType: String, content: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
+      if (mediaType == "image/ppm") Iterator.single(decodePpm(content).pixels)
+      else content.grouped(frameBytes)
+
+    private def isSpace(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+    /** Strict binary-PPM (P6) parser: magic, three header ints with
+      * whitespace/comment handling, maxval 255 only, exactly one
+      * terminator byte, pixel payload sized w·h·3 with no trailing
+      * garbage. Throws IllegalArgumentException on any violation. */
+    def decodePpm(content: Array[Byte]): DecodedImage = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed PPM: $msg")
+      if (content.length < 2 || content(0) != 'P' || content(1) != '6')
+        fail("missing P6 magic")
+      var pos = 2
+      def skipSpace(): Unit = {
+        var more = true
+        while (more && pos < content.length) {
+          val c = content(pos)
+          if (c == '#') { while (pos < content.length && content(pos) != '\n') pos += 1 }
+          else if (isSpace(c)) pos += 1
+          else more = false
+        }
+      }
+      def headerInt(): Int = {
+        skipSpace()
+        val start = pos
+        var v = 0L
+        while (pos < content.length && content(pos) >= '0' && content(pos) <= '9') {
+          v = v * 10 + (content(pos) - '0')
+          if (v > Int.MaxValue) fail("header int overflow")
+          pos += 1
+        }
+        if (pos == start) fail("expected integer in header")
+        v.toInt
+      }
+      val w = headerInt(); val h = headerInt(); val maxval = headerInt()
+      if (w <= 0 || h <= 0) fail(s"non-positive dims ${w}x$h")
+      if (maxval != 255) fail(s"unsupported maxval $maxval")
+      if (pos >= content.length || !isSpace(content(pos)))
+        fail("missing header terminator")
+      pos += 1
+      val n = w.toLong * h * 3
+      if (n > Int.MaxValue - pos) fail("pixel payload exceeds 2 GiB")
+      if (content.length - pos != n) fail(
+        s"pixel payload is ${content.length - pos} bytes, expected $n")
+      DecodedImage(w, h,
+        java.util.Arrays.copyOfRange(content, pos, pos + n.toInt))
+    }
+
+    /** Binary-PPM (P6) encoder, the parser's exact inverse. */
+    def encodePpm(img: DecodedImage): Array[Byte] = {
+      require(img.pixels.length == img.width * img.height * 3,
+        s"pixel array ${img.pixels.length} != ${img.width}x${img.height}x3")
+      s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII") ++ img.pixels
+    }
+
+    /** Real nearest-neighbor image resize (pure, deterministic): output
+      * pixel (x, y) samples source (⌊x·w/outW⌋, ⌊y·h/outH⌋). */
+    def resizeImage(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+      require(outW > 0 && outH > 0, s"bad output dims ${outW}x$outH")
+      val out = new Array[Byte](outW * outH * 3)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * img.height / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val si = (sy * img.width + (x.toLong * img.width / outW).toInt) * 3
+          val di = (y * outW + x) * 3
+          out(di) = img.pixels(si)
+          out(di + 1) = img.pixels(si + 1)
+          out(di + 2) = img.pixels(si + 2)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(outW, outH, out)
+    }
+
+    /** Chunk resize for still-opaque modalities: deterministic
+      * truncate-or-zero-pad to `outBytes` (contract stand-in; images use
+      * [[resizeImage]]). */
     def resize(frame: Array[Byte], outBytes: Int): Array[Byte] =
       java.util.Arrays.copyOf(frame, outBytes)
+
+    /** Deterministic synthetic image for docId — the upstream producer
+      * stand-in, arithmetic simple enough for the q53 DuckDB oracle to
+      * mirror exactly: w = 4 + id%5, h = 3 + id%4, pixel i channels
+      * (7id+3i, 11id+5i, 13id+7i) mod 256. */
+    def syntheticImage(docId: Long): DecodedImage = {
+      require(docId >= 0, s"docId must be non-negative, got $docId")
+      val w = (4 + docId % 5).toInt
+      val h = (3 + docId % 4).toInt
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        px(3 * i) = ((docId * 7 + i.toLong * 3) % 256).toByte
+        px(3 * i + 1) = ((docId * 11 + i.toLong * 5) % 256).toByte
+        px(3 * i + 2) = ((docId * 13 + i.toLong * 7) % 256).toByte
+        i += 1
+      }
+      DecodedImage(w, h, px)
+    }
   }
 
   /** Deterministic modality tag for the synthetic corpus (doc_id mod 3). */
@@ -121,6 +236,54 @@ object Multimodal {
         MediaCodec.decode(f.media_type, f.content, frameBytes).zipWithIndex.map {
           case (frame, i) => FrameRow(f.doc_id, i, frame.length, frame)
         }
+      }
+    }
+  }
+
+  /**
+   * Decode images and emit per-channel pixel statistics — the REAL
+   * decode path (mapPartitions over [[MediaCodec.decodePpm]]'d bytes),
+   * narrow and shuffle-free like [[decodeFrames]]. Channel sums are
+   * exact longs (≤ 255·w·h ≪ 2^53); the single double division per
+   * channel is bit-reproducible by any engine doing the same integer
+   * arithmetic, which is what lets q53 oracle-gate a binary decoder.
+   */
+  def imageStats(files: Dataset[MediaFile]): Dataset[ImageStats] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { batch =>
+      batch.map { f =>
+        val img = MediaCodec.decodePpm(f.content)
+        val n = img.width * img.height
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < n) {
+          sr += img.pixels(3 * i) & 0xff
+          sg += img.pixels(3 * i + 1) & 0xff
+          sb += img.pixels(3 * i + 2) & 0xff
+          i += 1
+        }
+        ImageStats(f.doc_id, img.width.toLong, img.height.toLong,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }
+  }
+
+  /**
+   * Decoded-pixel features for the ANN path: resize to a fixed raster
+   * (nearest-neighbor, [[MediaCodec.resizeImage]]) so every image yields
+   * the same-length vector, then scale bytes to [0, 1) floats. Real
+   * decode → real resample → VectorSearch-composable vector.
+   */
+  def imagePixelFeatures(files: Dataset[MediaFile], outW: Int = 8,
+      outH: Int = 8): Dataset[MediaFeature] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { batch =>
+      batch.map { f =>
+        val img = MediaCodec.resizeImage(MediaCodec.decodePpm(f.content), outW, outH)
+        val v = new Array[Float](outW * outH * 3)
+        var i = 0
+        while (i < v.length) { v(i) = (img.pixels(i) & 0xff) / 256f; i += 1 }
+        MediaFeature(f.doc_id, f.media_type, f.content.length.toLong, v)
       }
     }
   }

@@ -19,6 +19,22 @@ import org.apache.spark.sql.types.IntegerType
  * Cost model: build side inflates ×`salts` (shuffle + memory), probe side
  * is unchanged. Worth it only when one key's row count ≫ the average —
  * size `salts` ≈ hot-key rows ÷ target partition rows.
+ *
+ * DECISION RULE vs AQE (`spark.sql.adaptive.skewJoin.*`, the zero-code
+ * path a real cluster tries FIRST — SkewOpsSpec runs both on the same
+ * synthesized hot key): AQE splits a skewed shuffle partition into
+ * mapper-range chunks at runtime and handles even a single monster key
+ * with no build-side inflation, so PREFER IT when it applies. Salting
+ * remains the tool when AQE's skew split cannot fire:
+ *  - STREAMING plans (AQE is disabled for stateful streaming queries;
+ *    a skewed stream-stream or stream-static shuffle needs the manual
+ *    operator);
+ *  - AGGREGATE skew (AQE's skew optimization is join-only; a hot
+ *    groupBy key needs two-phase salted aggregation);
+ *  - plans that must stay STATIC (a downstream operator relies on the
+ *    exact output partitioning, or `skewJoin` is off fleet-wide);
+ *  - a skewed BUILD side too large to replicate per split chunk, where
+ *    sizing `salts` by the hot key's row count is the finer control.
  */
 object SkewOps {
 

@@ -75,6 +75,36 @@ object MultimodalQueries {
         SELECT doc_id, frame_idx,
           CAST(length(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS BIGINT) AS frame_bytes,
           lower(hex(encode(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)))) AS frame_hex
-        FROM f ORDER BY doc_id, frame_idx"""))
+        FROM f ORDER BY doc_id, frame_idx""")),
+
+    // ------------------------------------------------------------------
+    // q53 — REAL image decode: deterministic binary PPM files (header +
+    // raw RGB payload, generated per doc_id by the producer stand-in)
+    // are parsed by the pure-Scala P6 codec inside a narrow typed
+    // mapPartitions, and per-channel means come from the DECODED pixel
+    // bytes. The oracle never sees the binary — it recomputes the same
+    // channel sums from the generating arithmetic, so a hash match
+    // proves header parse, payload slicing and byte decode are all
+    // exact. Long sums, one double division: bit-equal across engines.
+    // ------------------------------------------------------------------
+    "q53_image_decode_stats" -> GraftQuery(
+      build = (s, d) => {
+        import s.implicits._
+        val files = documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaFile(id, "image/ppm",
+            MediaCodec.encodePpm(MediaCodec.syntheticImage(id))))
+        imageStats(files).toDF().orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS width,
+            3 + doc_id % 4 AS height FROM documents)
+        SELECT doc_id, width, height,
+          CAST(list_sum(list_transform(range(0, width * height),
+            i -> (doc_id * 7 + i * 3) % 256)) AS DOUBLE) / (width * height) AS mean_r,
+          CAST(list_sum(list_transform(range(0, width * height),
+            i -> (doc_id * 11 + i * 5) % 256)) AS DOUBLE) / (width * height) AS mean_g,
+          CAST(list_sum(list_transform(range(0, width * height),
+            i -> (doc_id * 13 + i * 7) % 256)) AS DOUBLE) / (width * height) AS mean_b
+        FROM g ORDER BY doc_id"""))
   )
 }

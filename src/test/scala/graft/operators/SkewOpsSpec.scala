@@ -71,4 +71,71 @@ class SkewOpsSpec extends SparkSuite {
         s"salted max-partition $saltedMax vs plain $plainMax — no spread")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("AQE skew-join splits the same hot key with zero code (the decision-rule twin)") {
+    // head-to-head with saltedJoin on the same synthesized hot key
+    // (VERDICT r4 #5): AQE's runtime skew split is the zero-code path a
+    // real cluster tries FIRST; SkewOps documents when salting still
+    // wins (streaming plans, aggregate skew, static partitioning).
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // partition COALESCING is the orthogonal AQE rule that would fold
+      // the salted join's deliberately-small partitions back into one at
+      // this toy scale and hide the spread being measured; off for both
+      // sides of the comparison (the skew-split rule is independent)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scale the knobs to fixture size: a partition is skewed when over
+      // 2x median AND 16 KB; split chunks target 16 KB
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      val hotLeft = ((1 to 20000).map(i => (1L, s"payload_padding_$i")) ++
+        (2 to 50).map(k => (k.toLong, s"cold$k"))).toDF("k", "lv")
+      val joined = hotLeft.join(right, Seq("k"))
+      // execute THIS dataset's own QueryExecution (a write would plan a
+      // fresh one and leave this plan un-finalized)
+      assert(joined.collect().length === 20049)
+      // the FINAL adaptive plan replanned the join as a skew join
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"), plan)
+      // and the hot key's 20000 rows no longer sit in one partition.
+      // Partition sizes come from the dataset's OWN finalized plan (a
+      // groupBy(spark_partition_id) probe would be a fresh
+      // QueryExecution whose replan need not skew-split the same way)
+      def maxPartRows(df: DataFrame): Long = {
+        val sizes = df.queryExecution.executedPlan.execute()
+          .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+          .collect()
+        if (sizes.isEmpty) 0L else sizes.max
+      }
+      val aqeMax = maxPartRows(joined)
+      assert(aqeMax <= 20000L / 3,
+        s"AQE max-partition $aqeMax — hot partition not split")
+      // the manual operator achieves the same spread under the same conf
+      // (its salted key is uniform, so AQE finds nothing left to split)
+      val saltedMax = maxPartRows(SkewOps.saltedJoin(hotLeft, right, "k", 32))
+      assert(saltedMax <= 20000L / 3,
+        s"salted max-partition $saltedMax — no spread")
+      // result sets agree exactly, zero-code and manual
+      assert(SkewOps.saltedJoin(hotLeft, right, "k", 32)
+        .select("k", "lv", "rv").collect().toSet ===
+        joined.select("k", "lv", "rv").collect().toSet)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
