@@ -54,4 +54,56 @@ object SkewOps {
       explode(typedlit((0 until salts).toArray)))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /**
+   * Two-phase salted AGGREGATION for a skewed groupBy key — the
+   * aggregate-side counterpart of [[saltedJoin]] (the decision rule
+   * above: AQE's skew optimization is join-only).
+   *
+   * When it pays: NOT for algebraic aggregates (sum/count/min/max) —
+   * their map-side partial aggregation already shrinks a hot key to one
+   * row per map task, and salting would only add a shuffle. It pays for
+   * BUFFERING aggregates (collect_set/collect_list, percentile-style
+   * TypedImperativeAggregate): their partials are as large as the data,
+   * so every hot-key buffer converges on ONE reducer for the final
+   * merge. Salting splits that merge `salts` ways — phase 1 merges
+   * per (key, salt) in parallel, phase 2 merges `salts`
+   * already-reduced buffers per key.
+   *
+   * `partial` aggregates run per (key, salt); `merge` aggregates run
+   * per key over phase-1's output and must be the matching combine
+   * functions (e.g. collect_set → flatten + array_distinct). The salt
+   * never reaches the output, so results are exactly the unsalted
+   * aggregation's — which is what lets q54 oracle-gate this against
+   * plain GROUP BY SQL.
+   */
+  def saltedAggregate(df: DataFrame, key: String, salts: Int,
+      partial: Seq[org.apache.spark.sql.Column],
+      merge: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(partial.nonEmpty && merge.nonEmpty, "need aggregates for both phases")
+    df.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(salts.toLong)).cast(IntegerType))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /**
+   * Skew-safe EXACT distinct count per key via salted set union — the
+   * canonical buffering-aggregate instance of [[saltedAggregate]]:
+   * phase 1 builds `salts` bounded-size distinct sets per hot key in
+   * parallel, phase 2 unions `salts` deduplicated sets instead of
+   * merging every raw row on one reducer. (HLL sketches are the
+   * approximate alternative; this is the exact path.)
+   */
+  def saltedDistinctCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    saltedAggregate(df, key, salts,
+      partial = Seq(collect_set(col(valueCol)).as("__partial_set")),
+      merge = Seq(size(array_distinct(flatten(collect_list(col("__partial_set")))))
+        .cast(LongType).as("n_distinct")))
+  }
 }

@@ -220,16 +220,9 @@ object VectorSearch {
     val cents =
       if (kmeansIters <= 0) sampled
       else trainCentroids(b, sampled, idCol, kmeansIters, dims)
-    def nearestCents(df: DataFrame, idName: String, keep: Int) = {
-      val w = Window.partitionBy(idName)
-        .orderBy(col("cent_cos").desc, col("cent_id"))
-      df.join(broadcast(cents))
-        .withColumn("cent_cos",
-          dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("cent_rnk", row_number().over(w))
-        .filter(col("cent_rnk") <= keep)
+    def nearestCents(df: DataFrame, idName: String, keep: Int) =
+      nearestCentroids(df, cents, idName, keep)
         .drop("cv", "cn", "cent_cos", "cent_rnk")
-    }
     // inverted lists: each corpus vector on its single nearest centroid
     val assigned = nearestCents(b, idCol, keep = 1)
     // probe: each query fans out to its nprobe nearest lists
@@ -245,6 +238,45 @@ object VectorSearch {
         (dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
+  }
+
+  /** Rank each row's cosine-nearest centroids (ties broken by cent_id),
+    * keeping the top `keep`. `df` carries (idName, v, nrm); `cents`
+    * carries (cent_id, cv, cn) and is broadcast — the shared kernel of
+    * [[ivfTopK]] (inverted lists + query probes) and [[kmeansAssign]]. */
+  private def nearestCentroids(df: DataFrame, cents: DataFrame,
+      idName: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(idName)
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    df.join(broadcast(cents))
+      .withColumn("cent_cos",
+        dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("cent_rnk", row_number().over(w))
+      .filter(col("cent_rnk") <= keep)
+  }
+
+  /**
+   * Document clustering: assign EVERY corpus vector to its nearest
+   * trained k-means centroid — [[ivfTopK]]'s quantizer exposed as the
+   * clustering operator itself (corpus segmentation, topic bucketing,
+   * per-cluster sampling quotas are all this one output). Same
+   * deterministic machinery: fixed-point training, broadcast centroids,
+   * one corpus scan to assign; only (id, cent_id, cos) leave the scan.
+   * Output: (idCol, cent_id, cent_cos), one row per input vector.
+   */
+  def kmeansAssign(base: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int = 50, kmeansIters: Int = 2, dims: Int = 64): DataFrame = {
+    def prepared(df: DataFrame) =
+      df.select(col(idCol), toDouble(col(vecCol)).as("v"))
+        .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
+    val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
+    val sampled = prepared(base.filter(col(idCol) % centroidEvery === 0))
+      .select(col(idCol).as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents =
+      if (kmeansIters <= 0) sampled
+      else trainCentroids(b, sampled, idCol, kmeansIters, dims)
+    nearestCentroids(b, cents, idCol, keep = 1)
+      .select(col(idCol), col("cent_id"), col("cent_cos"))
   }
 
   /** Default [[bucketedNearDupPairs]] skew cap, mirrored by the q26

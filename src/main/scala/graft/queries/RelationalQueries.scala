@@ -692,6 +692,85 @@ object RelationalQueries {
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // q54 — salted two-phase EXACT distinct count (SkewOps
+    // .saltedDistinctCount): l_returnflag is a genuinely hot key (3
+    // values over the whole table), and collect_set is a buffering
+    // aggregate whose hot-key merge otherwise lands on one reducer.
+    // Phase 1 builds 16 parallel distinct sets per flag, phase 2 unions
+    // 16 deduplicated sets. The salt is pure routing — the oracle is
+    // plain COUNT(DISTINCT) SQL, so the hash gate proves the two-phase
+    // rewrite is result-invariant (the aggregate-side q42).
+    // ------------------------------------------------------------------
+    "q54_salted_distinct_agg" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.SkewOps.saltedDistinctCount(
+          lineitem(s, d).select(col("l_returnflag"), col("l_partkey")),
+          key = "l_returnflag", valueCol = "l_partkey", salts = 16)
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // q55 — UNPIVOT (wide→long reshape, the Dataset.unpivot API): four
+    // same-typed measure columns melt into (measure, value) rows. A
+    // per-row Expand, no shuffle until the final sort; values are
+    // copied, never computed, so the gate is exact by construction.
+    // ------------------------------------------------------------------
+    "q55_unpivot" -> GraftQuery(
+      build = (s, d) =>
+        lineitem(s, d).filter(col("l_orderkey") < 200)
+          .unpivot(
+            ids = Array(col("l_orderkey"), col("l_linenumber")),
+            values = Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            variableColumnName = "measure", valueColumnName = "value")
+          .orderBy("l_orderkey", "l_linenumber", "measure"),
+      oracle = Some("""
+        WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 200)
+        SELECT l_orderkey, l_linenumber, measure, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+            l_quantity AS value FROM src
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+            l_extendedprice FROM src
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+            l_discount FROM src
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
+        ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    // ------------------------------------------------------------------
+    // q57 — ranking window trio (ntile / percent_rank / cume_dist +
+    // dense_rank), completing the window-function family beyond
+    // lag/row_number/range frames (q07/q08/q35). The window order is
+    // total (price, then unique orderkey), so the rational arithmetic
+    // ((rank-1)/(n-1), rn/n) is tie-free and bit-identical across
+    // engines.
+    // ------------------------------------------------------------------
+    "q57_ranking_windows" -> GraftQuery(
+      build = (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders(s, d).filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("quartile", ntile(4).over(w).cast(LongType))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("drnk", dense_rank().over(w).cast(LongType))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume,
+          CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }

@@ -35,6 +35,35 @@ object VectorQueries {
           THEN ${1 << r} ELSE 0 END"""
     }.mkString("\n          + ")
 
+  /** One DuckDB k-means iteration — the twin of
+    * VectorSearch.trainCentroids' loop body (assign to nearest prev
+    * centroid, fixed-point element-wise mean per surviving cluster).
+    * Shared by q43 (IVF) and q56 (clustering). */
+  private def kmeansIterSql(i: Int, prev: String): String = s"""
+        a$i AS (SELECT vec_id, v, cent_id FROM (
+            SELECT nb.vec_id, nb.v, c.cent_id,
+              row_number() OVER (PARTITION BY nb.vec_id
+                ORDER BY ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) DESC, c.cent_id) AS crnk
+            FROM nb CROSS JOIN $prev c) t WHERE crnk = 1),
+        u$i AS (SELECT cent_id, dim,
+            CAST(sum(CAST(floor(v[dim] * ${VectorSearch.KmeansScale}) AS BIGINT)) AS DOUBLE)
+              / (count(*) * ${VectorSearch.KmeansScale}) AS cx
+          FROM (SELECT cent_id, v, unnest(range(1, 65)) AS dim FROM a$i)
+          GROUP BY cent_id, dim),
+        c$i AS (SELECT cent_id, list(cx ORDER BY dim) AS cv FROM u$i GROUP BY cent_id),
+        k$i AS (SELECT cent_id, cv, sqrt(${sqlDot("cv", "cv")}) AS cn FROM c$i),"""
+
+  /** CTE prolog shared by q43/q56: corpus + norms, every-50th seed, two
+    * training iterations, trained centroid set `cents`. */
+  private def kmeansPrologSql: String = s"""
+        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
+        nb AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM base),
+        k0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb
+          WHERE vec_id % 50 = 0),
+        ${kmeansIterSql(1, "k0")}
+        ${kmeansIterSql(2, "k1")}
+        cents AS (SELECT cent_id, cv, cn FROM k2)"""
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -151,30 +180,8 @@ object VectorQueries {
           .orderBy("query_id", "rnk")
       },
       oracle = Some {
-        // one k-means iteration: assign to nearest prev centroid, then
-        // fixed-point element-wise mean per surviving cluster — the
-        // DuckDB twin of VectorSearch.trainCentroids
-        def kmeansIter(i: Int, prev: String): String = s"""
-        a$i AS (SELECT vec_id, v, cent_id FROM (
-            SELECT nb.vec_id, nb.v, c.cent_id,
-              row_number() OVER (PARTITION BY nb.vec_id
-                ORDER BY ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) DESC, c.cent_id) AS crnk
-            FROM nb CROSS JOIN $prev c) t WHERE crnk = 1),
-        u$i AS (SELECT cent_id, dim,
-            CAST(sum(CAST(floor(v[dim] * ${VectorSearch.KmeansScale}) AS BIGINT)) AS DOUBLE)
-              / (count(*) * ${VectorSearch.KmeansScale}) AS cx
-          FROM (SELECT cent_id, v, unnest(range(1, 65)) AS dim FROM a$i)
-          GROUP BY cent_id, dim),
-        c$i AS (SELECT cent_id, list(cx ORDER BY dim) AS cv FROM u$i GROUP BY cent_id),
-        k$i AS (SELECT cent_id, cv, sqrt(${sqlDot("cv", "cv")}) AS cn FROM c$i),"""
         s"""
-        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
-        nb AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM base),
-        k0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb
-          WHERE vec_id % 50 = 0),
-        ${kmeansIter(1, "k0")}
-        ${kmeansIter(2, "k1")}
-        cents AS (SELECT cent_id, cv, cn FROM k2),
+        $kmeansPrologSql,
         assigned AS (SELECT vec_id, v, nrm, cent_id FROM (
             SELECT nb.vec_id, nb.v, nb.nrm, c.cent_id,
               row_number() OVER (PARTITION BY nb.vec_id
@@ -197,6 +204,30 @@ object VectorQueries {
           FROM scored)
         SELECT query_id, neighbor_id, cosine, rnk FROM ranked
         WHERE rnk <= 5 ORDER BY query_id, rnk"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q56 — k-means document CLUSTERING (VectorSearch.kmeansAssign):
+    // the q43 quantizer exposed as the corpus-segmentation operator —
+    // every embedding assigned to its nearest trained centroid, one row
+    // per vector. The oracle re-runs the identical fixed-point training
+    // (shared CTE prolog with q43) and the identical assignment, so a
+    // hash match proves both the trained centroids AND the full-corpus
+    // assignment are bit-equal cross-engine.
+    // ------------------------------------------------------------------
+    "q56_kmeans_clusters" -> GraftQuery(
+      build = (s, d) =>
+        VectorSearch.kmeansAssign(embeddings(s, d), "vec_id", "embedding",
+          centroidEvery = 50, kmeansIters = 2)
+          .orderBy("vec_id"),
+      oracle = Some(s"""
+        $kmeansPrologSql
+        SELECT vec_id, cent_id, cent_cos FROM (
+          SELECT nb.vec_id, c.cent_id,
+            ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) AS cent_cos,
+            row_number() OVER (PARTITION BY nb.vec_id
+              ORDER BY ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) DESC, c.cent_id) AS crnk
+          FROM nb CROSS JOIN cents c) t
+        WHERE crnk = 1 ORDER BY vec_id"""))
   )
 }

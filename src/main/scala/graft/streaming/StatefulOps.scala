@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /**
  * Arbitrary-state streaming operator (SURVEY §2.2 "stateful streaming
@@ -56,6 +56,54 @@ object StatefulOps {
           if (times.nonEmpty) state.update(TripState(last, trip))
           out.iterator
       }
+  }
+
+  /**
+   * The SAME trip segmentation on Spark 4's `transformWithState` API —
+   * the successor to `flatMapGroupsWithState` (typed keyed state
+   * handles, timers, TTL, and the RocksDB store's column families
+   * underneath). Kept beside [[assignTrips]] as the same algorithm on
+   * both stateful APIs: the spec asserts they and the batch twin agree
+   * row-for-row across micro-batch boundaries.
+   *
+   * Requires the RocksDB state store provider
+   * (`spark.sql.streaming.stateStore.providerClass` →
+   * `...state.RocksDBStateStoreProvider`) — the HDFS-backed default
+   * does not implement the multi-column-family layout the API needs.
+   */
+  class TripProcessor(gapSec: Long)
+      extends StatefulProcessor[String, (String, Long), TripRow] {
+    @transient private var trip: ValueState[TripState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      trip = getHandle.getValueState[TripState]("trip",
+        Encoders.product[TripState], TTLConfig.NONE)
+
+    override def handleInputRows(veh: String, rows: Iterator[(String, Long)],
+        timers: TimerValues): Iterator[TripRow] = {
+      val times = rows.map(_._2).toArray.sorted
+      var (last, cur) =
+        if (trip.exists()) (trip.get().lastTsi, trip.get().tripId)
+        else (Long.MinValue, 0L)
+      val out = times.map { t =>
+        if (last != Long.MinValue && t - last > gapSec) cur += 1
+        last = t
+        TripRow(veh, t, cur)
+      }
+      if (times.nonEmpty) trip.update(TripState(last, cur))
+      out.iterator
+    }
+  }
+
+  /** [[assignTrips]] on the transformWithState API (see
+    * [[TripProcessor]]); identical output by construction. */
+  def assignTripsTws(vehicles: DataFrame, gapSec: Long): Dataset[TripRow] = {
+    import vehicles.sparkSession.implicits._
+    vehicles.select(col("unique_vehicle_id"), col("tsi"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TripProcessor(gapSec),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Batch twin of [[assignTrips]]: cumulative gap count over an ordered

@@ -12,11 +12,12 @@ class PlanAuditSpec extends SparkSuite {
 
   /** Deliberate nested-loop joins, each with a BOUNDED broadcast side:
     * q25 broadcasts the query set against the corpus scan (non-equi
-    * self-exclusion condition); q43 broadcasts the centroid set for the
-    * IVF coarse-quantizer assignment (every vector scores every
-    * centroid — C ≈ √N by construction). Both are linear scans of the
-    * big side. Everything else must plan hash/sort-merge joins. */
-  private val allowedNestedLoop = Set("q25_knn_cosine_brute", "q43_ivf_ann")
+    * self-exclusion condition); q43/q56 broadcast the centroid set for
+    * the k-means assignment (every vector scores every centroid —
+    * C ≈ √N by construction). All are linear scans of the big side.
+    * Everything else must plan hash/sort-merge joins. */
+  private val allowedNestedLoop =
+    Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

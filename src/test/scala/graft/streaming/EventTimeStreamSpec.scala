@@ -162,6 +162,52 @@ class EventTimeStreamSpec extends SparkSuite {
     assert(got === batch)
   }
 
+  test("transformWithState trips: the Spark 4 stateful API matches fMGWS and the batch twin") {
+    val in = tmp("tw_in_"); val out = tmp("tw_out_"); val ckpt = tmp("tw_ck_")
+    // transformWithState needs the RocksDB provider (multi-column-family
+    // state layout); scoped to this test, restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def withEventSec(df: DataFrame) =
+        df.withColumn("tsi", unix_seconds(col("tst")))
+      def trips = StatefulOps.assignTripsTws(
+        withEventSec(vehiclesStream(in)), gapSec = 600).toDF()
+
+      // same fixture as the fMGWS test: trip 0 spans the batch boundary,
+      // the 50-min gap opens trip 1, a second vehicle starts its own 0
+      writeFile(in, 1, Seq(rec("2024-06-05T08:00:00Z"), rec("2024-06-05T08:05:00Z")))
+      runOnce(trips, out, ckpt)
+      writeFile(in, 2, Seq(rec("2024-06-05T08:10:00Z"),
+        rec("2024-06-05T09:00:00Z"), rec("2024-06-05T09:00:00Z", veh = 950)))
+      runOnce(trips, out, ckpt)
+
+      val got = outRows(out)
+        .map(r => (r.getAs[String]("unique_vehicle_id"), r.getAs[Long]("tsi"),
+          r.getAs[Long]("trip_id"))).toSet
+      assert(got.count(_._1 == "22/854") === 4)
+      assert(got.filter(_._1 == "22/854").map(_._3) === Set(0L, 1L))
+      assert(got.filter(_._1 == "22/950").map(_._3) === Set(0L))
+
+      val full = withEventSec(HfpFlatten.flatten(HfpRawIngest.toEnvelope(
+        spark.read.schema(HfpStreamPipeline.wireSchema).json(in)), strictTst = false))
+      // equals the OTHER stateful API run over the same stream history…
+      val viaFmgws = StatefulOps.assignTrips(full, gapSec = 600)
+        .collect().map(t => (t.unique_vehicle_id, t.tsi, t.trip_id)).toSet
+      assert(got === viaFmgws)
+      // …and the declarative batch twin
+      val batch = StatefulOps.assignTripsBatch(full, gapSec = 600)
+        .collect().map(r => (r.getAs[String]("unique_vehicle_id"),
+          r.getAs[Long]("tsi"), r.getAs[Long]("trip_id"))).toSet
+      assert(got === batch)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("session window: closes only when the watermark passes end+gap, merges within gap") {
     val in = tmp("sw_in_"); val out = tmp("sw_out_"); val ckpt = tmp("sw_ck_")
     def sessions = EventTimeOps.vehicleSessions(vehiclesStream(in),
