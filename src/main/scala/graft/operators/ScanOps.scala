@@ -1,9 +1,59 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Scan-side helpers shared by the CPU-heavy per-row operators. */
 object ScanOps {
+
+  /** ~128 MiB: one comfortable parquet row group / scan split per file. */
+  val DefaultTargetFileBytes: Long = 128L << 20
+
+  /**
+   * Small-file compaction — the table-maintenance pass every streaming
+   * landing zone needs. A per-trigger parquet sink (BatchSinks.landing,
+   * the reference's 1 s dump cadence, MessageProcessor.java:57-70) emits
+   * one file per partition per trigger; after a day that is thousands of
+   * KB-sized files, and at 100 TB the scan dies on file listing + footer
+   * reads + `openCostInBytes` before a single row is read. Compaction
+   * rewrites the data as ceil(totalBytes / targetFileBytes) files.
+   *
+   * Shape: the UNPARTITIONED path uses `coalesce` — a narrow merge of
+   * scan splits, NO shuffle; the rewrite is pure I/O. (`coalesce` can
+   * only merge, never split, so the result has min(scan splits, target)
+   * files — exactly right for compaction.) The PARTITIONED path hash-
+   * repartitions on the partition columns so each partition value lands
+   * in one task and therefore one file per partition directory; the
+   * shuffle moves each row once, and hive-style subdirs are preserved
+   * for downstream partition pruning. Runs happily per-partition-subdir
+   * too (pass the subdir as inDir) so a 1000-executor cluster compacts
+   * yesterday's partitions in parallel without touching today's.
+   *
+   * Returns the planned file count (upper bound for the unpartitioned
+   * path, per-partition-value count for the partitioned one).
+   */
+  def compactParquet(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      partitionCols: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val inPath = new Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(inPath).getLength
+    val nFiles =
+      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+        .min(Int.MaxValue).toInt
+    val df = spark.read.parquet(inDir)
+    if (partitionCols.isEmpty)
+      df.coalesce(nFiles).write.mode("overwrite").parquet(outDir)
+    else
+      df.repartition(partitionCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+    nFiles
+  }
 
   /**
    * Small-input parallelism guard for CPU-bound per-row stages (hashing,

@@ -771,6 +771,78 @@ object RelationalQueries {
           CAST(dense_rank() OVER w AS BIGINT) AS drnk
         FROM orders WHERE o_custkey < 200
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // q58 — exact grouped percentiles (the quartile trio). Spark's
+    // `percentile` and DuckDB's `quantile_cont` both use the type-7
+    // (R/NumPy default) positioning p·(n-1) with linear interpolation;
+    // l_quantity holds small integers, so lower + (upper-lower)·{.25,.5,
+    // .75} is exact in binary and the gate is bit-deterministic without
+    // decimal casts. One map-side-combined shuffle on the 6-key group.
+    // At 100 TB the scale path is approx_percentile (t-digest-style GK
+    // sketch, mergeable, bounded memory) — PercentileSpec asserts the
+    // approx answer lands within its accuracy bound of this exact gate.
+    // ------------------------------------------------------------------
+    "q58_percentiles" -> GraftQuery(
+      build = (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            percentile(col("l_quantity"), lit(0.25)).as("q25"),
+            percentile(col("l_quantity"), lit(0.5)).as("q50"),
+            percentile(col("l_quantity"), lit(0.75)).as("q75"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+          quantile_cont(l_quantity, 0.25) AS q25,
+          quantile_cont(l_quantity, 0.5) AS q50,
+          quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    // q59 — correlated scalar subqueries: the UNIQUE top-balance supplier
+    // per nation (balance equals the nation max AND nobody ties it).
+    // Exercises Catalyst decorrelation: both correlated aggregates are
+    // rewritten to grouped Aggregates + hash joins
+    // (RewriteCorrelatedScalarSubquery), never a per-row re-execution —
+    // PlanAuditSpec asserts the physical plan. Correlation is kept
+    // EQUALITY-ONLY deliberately: a non-equality correlated predicate
+    // (e.g. `s2.s_suppkey <> s.s_suppkey`) decorrelates into a DOMAIN
+    // nested-loop join of the distinct outer keys against the inner
+    // table — O(S²) at scale (measured: BroadcastNestedLoopJoin with an
+    // unbounded build side) — so the same semantics are expressed as
+    // max-equality + tie-count instead. max/count over doubles is
+    // comparison-only (no FP arithmetic): exact by construction.
+    // ------------------------------------------------------------------
+    "q59_correlated_subquery" -> GraftQuery(
+      build = (s, d) => {
+        supplier(s, d).createOrReplaceTempView("supplier")
+        nation(s, d).createOrReplaceTempView("nation")
+        s.sql("""
+          SELECT s_suppkey, s_name, n_name, s_acctbal
+          FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE s_acctbal = (
+              SELECT max(s2.s_acctbal) FROM supplier s2
+              WHERE s2.s_nationkey = s.s_nationkey)
+            AND 1 = (
+              SELECT count(*) FROM supplier s3
+              WHERE s3.s_nationkey = s.s_nationkey
+                AND s3.s_acctbal = s.s_acctbal)
+          ORDER BY s_suppkey""")
+      },
+      oracle = Some("""
+        SELECT s_suppkey, s_name, n_name, s_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s_acctbal = (
+            SELECT max(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey)
+          AND 1 = (
+            SELECT count(*) FROM supplier s3
+            WHERE s3.s_nationkey = s.s_nationkey
+              AND s3.s_acctbal = s.s_acctbal)
+        ORDER BY s_suppkey"""))
   )
 }

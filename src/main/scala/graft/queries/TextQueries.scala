@@ -274,6 +274,50 @@ object TextQueries {
         SELECT doc_id, lang, hash_bucket FROM h
         WHERE hash_bucket < $rateCase
         ORDER BY doc_id"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q60 — generator (lateral/explode) as a first-class relational op:
+    // per-language top-10 terms by frequency. `explode(split(...))` is
+    // Spark's UNNEST — a Generate node feeding a hash aggregate, so the
+    // token stream is map-side combined and only (lang, term, count)
+    // rows ever shuffle; document bodies stay at the scan. Tokenization
+    // is ASCII-letter runs (split on '[^A-Za-z]+') and lower() is applied
+    // to the pure-ASCII token AFTER splitting — identical across Java
+    // and RE2/DuckDB regex semantics, no locale-sensitive casefolding of
+    // raw text. Tie-break (count desc, term asc) makes the top-10 total.
+    // ------------------------------------------------------------------
+    "q60_top_terms" -> GraftQuery(
+      build = (s, d) => {
+        val toks = graft.operators.ScanOps
+          .spreadSmallInput(
+            documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+            col("doc_id"))
+          .select(col("lang"),
+            explode(split(col("text"), "[^A-Za-z]+")).as("raw"))
+          .filter(length(col("raw")) >= 3)
+          .select(col("lang"), lower(col("raw")).as("term"))
+        val counts = toks.groupBy("lang", "term")
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+        counts
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 10)
+          .orderBy("lang", "rnk")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT lang, lower(t) AS term FROM (
+            SELECT lang, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM documents)
+          WHERE length(t) >= 3),
+        c AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY lang, term),
+        r AS (SELECT lang, term, cnt,
+            CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term)
+              AS BIGINT) AS rnk
+          FROM c)
+        SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 10
+        ORDER BY lang, rnk"""))
   )
 }

@@ -64,6 +64,18 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q59: the correlated scalar subquery decorrelates to an aggregate + join") {
+    val qe = SparkEntry.queries("q59_correlated_subquery")(spark, sf())
+      .queryExecution
+    // RewriteCorrelatedScalarSubquery must leave no per-row subquery —
+    // the optimized plan holds a grouped Aggregate joined back to the
+    // outer side, and the physical plan has no scalar-subquery node.
+    assert(!qe.optimizedPlan.toString.contains("scalar-subquery"),
+      s"subquery survived optimization:\n${qe.optimizedPlan}")
+    val physical = qe.executedPlan.toString
+    assert(!physical.contains("Subquery"), s"per-row subquery exec:\n$physical")
+  }
+
   test("every scan in the registry reads parquet batched (columnar)") {
     val unbatched = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       SparkEntry.queries(name)(spark, sf()).queryExecution.sparkPlan
