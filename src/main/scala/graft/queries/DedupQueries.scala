@@ -228,6 +228,60 @@ object DedupQueries {
           FROM h GROUP BY doc_id)
         SELECT doc_id, CAST($bitVal AS BIGINT) AS simhash, n_tokens
         FROM s ORDER BY doc_id"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q61 — near-dup pairs → dedup CLUSTERS: connected components by
+    // min-label propagation (GraphOps), the step that turns pairwise
+    // similarity into "keep one canonical doc per cluster". The fixture
+    // builds CHAINS (A~B, B~C with A~C never emitted, plus a branch
+    // every 3rd chain) so the gate fails unless labels genuinely
+    // propagate transitively — grouping by pair endpoints cannot pass
+    // it. The oracle computes the same fixpoint with a recursive CTE
+    // (reachability closure + min per node). `keep` marks the canonical
+    // (min-id) member; DedupClusterSpec wires the same operator to the
+    // real MinHash-LSH pairs.
+    // ------------------------------------------------------------------
+    "q61_dedup_clusters" -> GraftQuery(
+      build = (s, d) => {
+        val ids = documents(s, d).select(col("doc_id"))
+        val tenth = ids.filter(col("doc_id") % 10 === 0)
+        val pairs = tenth
+          .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+          .union(tenth.select((col("doc_id") + 100000).as("a"),
+            (col("doc_id") + 200000).as("b")))
+          .union(ids.filter(col("doc_id") % 30 === 0)
+            .select(col("doc_id").as("a"), (col("doc_id") + 300000).as("b")))
+        val cc = graft.operators.GraphOps.connectedComponents(pairs, "a", "b")
+        val sizes = cc.groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "component")
+          .select(col("node"), col("component"), col("cluster_size"),
+            (col("node") === col("component"))
+              .cast(org.apache.spark.sql.types.IntegerType).as("keep"))
+          .orderBy("node")
+      },
+      oracle = Some("""
+        WITH RECURSIVE pairs(a, b) AS (
+          SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 100000, doc_id + 200000 FROM documents
+          WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 300000 FROM documents WHERE doc_id % 30 = 0),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        reach(n, l) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n),
+        cc AS (SELECT n AS node, min(l) AS component FROM reach GROUP BY n),
+        sz AS (SELECT component, count(*) AS cluster_size FROM cc
+          GROUP BY component)
+        SELECT node, cc.component, cluster_size,
+          CAST(node = cc.component AS INT) AS keep
+        FROM cc JOIN sz ON cc.component = sz.component
+        ORDER BY node"""))
   )
 }
