@@ -430,4 +430,90 @@ object TextDedup {
           .reduce(_ + _).as("simhash"),
         col("n_tokens"))
   }
+
+  /**
+   * SimHash near-duplicate pairs — the Hamming-distance dedup family
+   * beside MinHash/Jaccard ([[minhashCandidatePairs]]): fingerprint every
+   * document ([[simhashFingerprint]], default widened to 32 bits here),
+   * generate candidates by BLOCK PROBING, exact-rerank by Hamming
+   * distance.
+   *
+   * Block probing is the pigeonhole guarantee of the Manku/Charikar
+   * near-dup scheme: split the `bits`-bit fingerprint into `blocks`
+   * equal blocks; any pair within Hamming distance `blocks - 1` must
+   * agree EXACTLY on at least one block, so equality-joining per-block
+   * values finds every such pair without an all-pairs scan. Pairs at
+   * distance ≥ `blocks` may or may not surface (only via a luckily-clean
+   * block) — both engines model the identical candidate set, so the gate
+   * stays exact either way.
+   *
+   * Scale shape mirrors the MinHash path stage for stage:
+   *  - only (doc_id, 1 long) cross the shuffles — no texts, no token
+   *    arrays;
+   *  - hot block values (a common bit pattern in a boilerplate-heavy
+   *    corpus) are dropped via the same bounded-broadcast anti-join
+   *    BEFORE ids are collected (`maxBlockBucket`, mirrored in the q62
+   *    oracle's HAVING so a trip can never diverge engines);
+   *  - candidate pairs come from bucket aggregation (≤ C(cap, 2) structs
+   *    per bucket row), never a row self-join;
+   *  - the rerank is one XOR + popcount per candidate — codegen'd
+   *    integer ops, no text ever re-read.
+   *
+   * Production setting: 64-bit fingerprints with 4 × 16-bit blocks (the
+   * standard web-dedup geometry). 32/4 here keeps the generated oracle
+   * SQL (32 conditional sums) tractable; the shape is parameterized, not
+   * hand-written.
+   *
+   * Output: (doc_a, doc_b, hamming) for candidate pairs with
+   * hamming ≤ `maxHamming`, doc_a < doc_b.
+   */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 32, blocks: Int = 4, maxHamming: Int = 3,
+      maxBlockBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    require(bits % blocks == 0, s"blocks ($blocks) must divide bits ($bits)")
+    require(bits < 64, s"bits must fit a positive Long, got $bits")
+    require(maxBlockBucket >= 2 && maxBlockBucket <= 10000,
+      s"maxBlockBucket must be in [2, 10000], got $maxBlockBucket")
+    val blockBits = bits / blocks
+    val mask = (1L << blockBits) - 1
+    val fps = simhashFingerprint(df, textCol, idCol, bits)
+      .select(col("doc_id"), col("simhash"))
+    // literal-array explode with the key assembled ABOVE the Generate —
+    // same inlining discipline as [[bandRows]]; the fingerprint sits
+    // behind an Aggregate (hard codegen boundary), so nothing heavy can
+    // be re-inlined per block anyway
+    val blockRows = fps
+      .select(col("doc_id"), col("simhash"),
+        explode(typedlit((0 until blocks).toArray)).as("blk"))
+      .select(col("doc_id"),
+        concat_ws("_", col("blk").cast(StringType),
+          array((0 until blocks).map(j =>
+            shiftright(col("simhash"), j * blockBits).bitwiseAND(lit(mask))): _*)
+            .getItem(col("blk")).cast(StringType)).as("block_key"))
+    val kept = blockRows.join(
+      broadcast(blockRows.groupBy(col("block_key"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .filter(col("bucket_size") > maxBlockBucket)
+        .select(col("block_key"))),
+      Seq("block_key"), "left_anti")
+    val cand = kept
+      .groupBy(col("block_key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cand
+      .join(fps.select(col("doc_id"), col("simhash").as("sh_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(fps.select(col("doc_id"), col("simhash").as("sh_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType)
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

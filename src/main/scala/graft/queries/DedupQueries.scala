@@ -231,6 +231,65 @@ object DedupQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q62 — SimHash NEAR-DUP PAIRS (q24 only fingerprints): 32-bit
+    // simhash, candidate pairs by pigeonhole block probing (4 × 8-bit
+    // blocks ⇒ every pair within Hamming 3 shares a block exactly),
+    // exact XOR+popcount rerank. The mutated slice (every 25th doc with
+    // one appended token) flips only the bit-sums sitting near zero, so
+    // the injected pairs land at small Hamming distance and the pass
+    // provably finds them. The oracle reproduces fingerprints, blocks,
+    // the skew-cap HAVING, and the popcount bit-for-bit.
+    // ------------------------------------------------------------------
+    "q62_simhash_near_dup" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val mut = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" qq")).as("text"))
+        TextDedup.simhashNearDupPairs(docs.union(mut), "text", "doc_id")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some {
+        val bits = 32
+        val bitSums = (0 until bits)
+          .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(",\n            ")
+        val bitVal = (0 until bits)
+          .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        val blockExprs = (0 until 4)
+          .map(j => s"concat_ws('_', '$j', CAST((simhash >> ${j * 8}) & 255 AS VARCHAR))")
+          .mkString(",\n            ")
+        val hamming = (0 until bits)
+          .map(j => s"CASE WHEN ((a.simhash >> $j) & 1) <> ((b.simhash >> $j) & 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, text || ' qq' FROM documents WHERE doc_id % 25 = 0),
+        tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token FROM base),
+        hh AS (SELECT doc_id, ${sqlHash("token")} AS h FROM tok),
+        fp AS (SELECT doc_id, CAST($bitVal AS BIGINT) AS simhash
+          FROM (SELECT doc_id,
+            $bitSums
+          FROM hh GROUP BY doc_id)),
+        blk AS (SELECT doc_id, unnest([
+            $blockExprs ]) AS block_key FROM fp),
+        kept AS (SELECT doc_id, block_key FROM blk
+          WHERE block_key IN (SELECT block_key FROM blk
+            GROUP BY block_key HAVING count(*) <= ${TextDedup.DefaultMaxBandBucket})),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM kept x JOIN kept y
+            ON x.block_key = y.block_key AND x.doc_id < y.doc_id),
+        scored AS (SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
+          FROM cand JOIN fp a ON cand.doc_a = a.doc_id
+                    JOIN fp b ON cand.doc_b = b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM scored
+        WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+      }),
+
+    // ------------------------------------------------------------------
     // q61 — near-dup pairs → dedup CLUSTERS: connected components by
     // min-label propagation (GraphOps), the step that turns pairwise
     // similarity into "keep one canonical doc per cluster". The fixture

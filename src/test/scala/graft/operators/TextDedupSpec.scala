@@ -120,4 +120,42 @@ class TextDedupSpec extends SparkSuite {
     assert(fp(0).getLong(1) !== fp(2).getLong(1))
     assert(fp(0).getLong(2) === 4L) // n_tokens
   }
+
+  test("simhash near-dup: exact copies always pair at hamming 0; mutants pair small") {
+    val docs = Tables.documents(spark, sf("0.001")).select(col("doc_id"), col("text"))
+    // exact copies share every block — the pigeonhole guarantee is total,
+    // so EVERY copy pair must surface, at distance exactly 0
+    val copies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val copyPairs = TextDedup.simhashNearDupPairs(
+      docs.union(copies), "text", "doc_id")
+      .filter(col("doc_b") === col("doc_a") + 500000).collect()
+    assert(copyPairs.length === copies.count())
+    assert(copyPairs.forall(_.getAs[Long]("hamming") === 0L))
+    // one appended token flips only near-zero bit sums: most single-token
+    // mutants stay within the hamming<=3 window (guaranteed recall there)
+    val mut = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" qq")).as("text"))
+    val nMut = mut.count()
+    val mutFound = TextDedup.simhashNearDupPairs(
+      docs.union(mut), "text", "doc_id")
+      .filter(col("doc_b") === col("doc_a") + 500000).count()
+    assert(mutFound >= nMut / 2,
+      s"only $mutFound of $nMut single-token mutants found at hamming<=3")
+  }
+
+  test("simhash near-dup: hot block buckets are capped away before pairing") {
+    // 5 identical docs: every block bucket has size 5 > cap 4, so the cap
+    // must drop all of them and no pair may form
+    val same = (1L to 5L).map(i => (i, "common boilerplate page text here"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.simhashNearDupPairs(same, "text", "doc_id",
+      maxBlockBucket = 4)
+    assert(pairs.count() === 0)
+    // with the cap above the bucket size all C(5,2) pairs surface
+    val uncapped = TextDedup.simhashNearDupPairs(same, "text", "doc_id",
+      maxBlockBucket = 5)
+    assert(uncapped.count() === 10)
+  }
 }
