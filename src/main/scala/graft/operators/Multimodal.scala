@@ -48,6 +48,12 @@ object Multimodal {
   /** One decoded raster image: RGB-interleaved bytes, maxval 255. */
   case class DecodedImage(width: Int, height: Int, pixels: Array[Byte])
 
+  /** Per-clip decoded PCM statistics (q63): exact long sums divided once
+    * into doubles; `rms` is one IEEE-correctly-rounded sqrt of that — all
+    * bit-reproducible by integer-arithmetic oracles. */
+  case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
+      mean_amp: Double, peak_amp: Long, rms: Double, zero_crossings: Long)
+
   /**
    * Codec boundary — the ONLY place that interprets payload bytes.
    *
@@ -157,6 +163,107 @@ object Multimodal {
     def resize(frame: Array[Byte], outBytes: Int): Array[Byte] =
       java.util.Arrays.copyOf(frame, outBytes)
 
+    /** One decoded PCM clip: rate, interleaved 16-bit samples (mono here). */
+    case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+    /** Strict RIFF/WAVE parser for 16-bit mono PCM — the audio analogue
+      * of [[decodePpm]], pure Scala, no codec jars: RIFF magic + size,
+      * WAVE tag, chunk walk tolerating extra chunks (LIST etc.), `fmt `
+      * must say PCM (format 1), 1 channel, 16 bits; `data` length must
+      * be even and match the remaining payload. Little-endian
+      * throughout. Throws IllegalArgumentException on any violation —
+      * callers dead-letter like every other parse boundary. */
+    def decodeWav(content: Array[Byte]): DecodedAudio = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed WAV: $msg")
+      def u16(p: Int): Int = (content(p) & 0xff) | ((content(p + 1) & 0xff) << 8)
+      def u32(p: Int): Long = (u16(p).toLong) | (u16(p + 2).toLong << 16)
+      def tag(p: Int): String =
+        if (p + 4 > content.length) fail("truncated chunk tag")
+        else new String(content, p, 4, "US-ASCII")
+      if (content.length < 12 || tag(0) != "RIFF") fail("missing RIFF magic")
+      if (u32(4) != content.length - 8)
+        fail(s"RIFF size ${u32(4)} != payload ${content.length - 8}")
+      if (tag(8) != "WAVE") fail("missing WAVE tag")
+      var pos = 12
+      var rate = -1
+      var samples: Array[Short] = null
+      while (pos < content.length) {
+        if (pos + 8 > content.length) fail("truncated chunk header")
+        val id = tag(pos); val len = u32(pos + 4)
+        if (len > content.length - pos - 8) fail(s"chunk $id overruns payload")
+        val body = pos + 8
+        id match {
+          case "fmt " =>
+            if (len < 16) fail(s"fmt chunk too short ($len)")
+            if (u16(body) != 1) fail(s"not PCM (format ${u16(body)})")
+            if (u16(body + 2) != 1) fail(s"not mono (${u16(body + 2)} channels)")
+            if (u16(body + 14) != 16) fail(s"not 16-bit (${u16(body + 14)})")
+            rate = u32(body + 4).toInt
+            if (rate <= 0) fail(s"non-positive sample rate $rate")
+          case "data" =>
+            if (rate < 0) fail("data chunk before fmt")
+            if (len % 2 != 0) fail(s"odd data length $len")
+            val n = (len / 2).toInt
+            samples = new Array[Short](n)
+            var i = 0
+            while (i < n) { samples(i) = u16(body + 2 * i).toShort; i += 1 }
+          case _ => () // unknown chunks (LIST, fact, …) are legal; skip
+        }
+        pos = body + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      }
+      if (samples == null) fail("no data chunk")
+      DecodedAudio(rate, samples)
+    }
+
+    /** Canonical 44-byte-header WAV encoder (16-bit mono PCM), the
+      * parser's exact inverse. */
+    def encodeWav(audio: DecodedAudio): Array[Byte] = {
+      require(audio.sampleRate > 0, s"bad sample rate ${audio.sampleRate}")
+      val dataLen = audio.samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(audio.sampleRate).putInt(audio.sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      audio.samples.foreach(out.putShort)
+      out.array()
+    }
+
+    /** Real nearest-neighbor audio resample (the 1-D [[resizeImage]]):
+      * output sample i takes source ⌊i·n/outN⌋. */
+    def resampleAudio(audio: DecodedAudio, outN: Int, outRate: Int): DecodedAudio = {
+      require(outN > 0 && outRate > 0, s"bad resample target $outN@$outRate")
+      val n = audio.samples.length
+      require(n > 0, "cannot resample empty clip")
+      val out = new Array[Short](outN)
+      var i = 0
+      while (i < outN) {
+        out(i) = audio.samples((i.toLong * n / outN).toInt)
+        i += 1
+      }
+      DecodedAudio(outRate, out)
+    }
+
+    /** Deterministic synthetic clip for docId — the audio producer
+      * stand-in, mirrored by the q63 oracle: 8 kHz mono,
+      * n = 64 + id%49 samples, sample i = (31·id + 17·i) mod 4001 − 2000. */
+    def syntheticAudio(docId: Long): DecodedAudio = {
+      require(docId >= 0, s"docId must be non-negative, got $docId")
+      val n = (64 + docId % 49).toInt
+      val s = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        s(i) = ((docId * 31 + i.toLong * 17) % 4001 - 2000).toShort
+        i += 1
+      }
+      DecodedAudio(8000, s)
+    }
+
     /** Deterministic synthetic image for docId — the upstream producer
       * stand-in, arithmetic simple enough for the q53 DuckDB oracle to
       * mirror exactly: w = 4 + id%5, h = 3 + id%4, pixel i channels
@@ -264,6 +371,58 @@ object Multimodal {
         }
         ImageStats(f.doc_id, img.width.toLong, img.height.toLong,
           sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }
+  }
+
+  /**
+   * Decode WAV clips and emit per-clip PCM statistics — the audio twin of
+   * [[imageStats]]: narrow typed mapPartitions over
+   * [[MediaCodec.decodeWav]]'d bytes, shuffle-free. Sums are exact longs
+   * (|sample| ≤ 32768 ⇒ sums ≪ 2^53 at any clip length that fits memory);
+   * each mean is one double division and `rms` one sqrt — IEEE
+   * correctly-rounded in every engine, which is what lets q63 oracle-gate
+   * a binary audio decoder. A zero-crossing is a sign change
+   * (`sample ≥ 0` vs `< 0`) between consecutive samples.
+   */
+  def audioStats(files: Dataset[MediaFile]): Dataset[AudioStats] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { batch =>
+      batch.map { f =>
+        val clip = MediaCodec.decodeWav(f.content)
+        val n = clip.samples.length
+        var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+        var i = 0
+        while (i < n) {
+          val s = clip.samples(i).toLong
+          sum += s; sumSq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && (s >= 0) != (clip.samples(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        AudioStats(f.doc_id, clip.sampleRate.toLong, n.toLong,
+          sum.toDouble / n, peak,
+          math.sqrt(sumSq.toDouble / n), zc)
+      }
+    }
+  }
+
+  /**
+   * Decoded-PCM features for the ANN path — the audio twin of
+   * [[imagePixelFeatures]]: nearest-neighbor resample to a fixed length
+   * ([[MediaCodec.resampleAudio]]) so every clip yields the same-length
+   * vector, then scale to [-1, 1) floats. Plugs into VectorSearch
+   * unchanged.
+   */
+  def audioPcmFeatures(files: Dataset[MediaFile], outN: Int = 64): Dataset[MediaFeature] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { batch =>
+      batch.map { f =>
+        val clip = MediaCodec.resampleAudio(MediaCodec.decodeWav(f.content), outN, 8000)
+        val v = new Array[Float](outN)
+        var i = 0
+        while (i < outN) { v(i) = clip.samples(i) / 32768f; i += 1 }
+        MediaFeature(f.doc_id, f.media_type, f.content.length.toLong, v)
       }
     }
   }

@@ -105,6 +105,41 @@ object MultimodalQueries {
             i -> (doc_id * 11 + i * 5) % 256)) AS DOUBLE) / (width * height) AS mean_g,
           CAST(list_sum(list_transform(range(0, width * height),
             i -> (doc_id * 13 + i * 7) % 256)) AS DOUBLE) / (width * height) AS mean_b
-        FROM g ORDER BY doc_id"""))
+        FROM g ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q63 — REAL audio decode: deterministic RIFF/WAVE files (44-byte
+    // header + little-endian 16-bit PCM, generated per doc_id by the
+    // producer stand-in) are parsed by the pure-Scala WAV codec inside a
+    // narrow typed mapPartitions, and the per-clip amplitude stats come
+    // from the DECODED samples. As with q53, the oracle never sees the
+    // binary — it recomputes the same sums from the generating
+    // arithmetic, so a hash match proves chunk walk, header fields and
+    // sample decode are all exact. Long sums; mean/rms are one double
+    // division (+ one correctly-rounded sqrt): bit-equal across engines.
+    // ------------------------------------------------------------------
+    "q63_audio_decode_stats" -> GraftQuery(
+      build = (s, d) => {
+        import s.implicits._
+        val files = documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaFile(id, "audio/wav",
+            MediaCodec.encodeWav(MediaCodec.syntheticAudio(id))))
+        audioStats(files).toDF().orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT doc_id, 64 + doc_id % 49 AS n FROM documents),
+        s AS (SELECT doc_id, n,
+            list_transform(range(0, n),
+              i -> (doc_id * 31 + i * 17) % 4001 - 2000) AS smp
+          FROM g)
+        SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(n AS BIGINT) AS n_samples,
+          CAST(list_sum(smp) AS DOUBLE) / n AS mean_amp,
+          CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak_amp,
+          sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n) AS rms,
+          CAST(list_sum(list_transform(range(1, n),
+            i -> CASE WHEN (smp[i + 1] >= 0) <> (smp[i] >= 0)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+        FROM s ORDER BY doc_id"""))
   )
 }

@@ -181,4 +181,70 @@ class MultimodalSpec extends SparkSuite {
     assert(st.width === img.width.toLong)
     assert(st.mean_r === sr.toDouble / n)
   }
+
+  test("WAV codec: encode/decode round-trip, extra chunks skipped, malformed rejected") {
+    import MediaCodec._
+    val clip = DecodedAudio(8000, Array[Short](0, 100, -200, 32767, -32768, 5))
+    val wav = encodeWav(clip)
+    val back = decodeWav(wav)
+    assert(back.sampleRate === 8000)
+    assert(back.samples.toSeq === clip.samples.toSeq)
+    // an unknown chunk between fmt and data is legal RIFF and must be
+    // skipped (with word alignment for odd-length bodies)
+    val extra = java.nio.ByteBuffer.allocate(wav.length + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 36) // RIFF..fmt chunk (size patched below)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // 3-byte body + pad byte
+    extra.put(wav, 36, wav.length - 36)
+    val withExtra = extra.array()
+    val newSize = withExtra.length - 8
+    withExtra(4) = (newSize & 0xff).toByte
+    withExtra(5) = ((newSize >> 8) & 0xff).toByte
+    withExtra(6) = ((newSize >> 16) & 0xff).toByte
+    withExtra(7) = ((newSize >> 24) & 0xff).toByte
+    assert(decodeWav(withExtra).samples.toSeq === clip.samples.toSeq)
+    // malformed payloads throw (the dead-letter contract)
+    def rejects(mutate: Array[Byte] => Array[Byte]): Unit =
+      intercept[IllegalArgumentException](decodeWav(mutate(wav.clone())))
+    rejects { b => b(0) = 'X'; b }                         // bad magic
+    rejects { b => b(20) = 3; b }                          // non-PCM format
+    rejects { b => b(22) = 2; b }                          // stereo
+    rejects { b => b(34) = 8; b }                          // 8-bit
+    rejects(b => java.util.Arrays.copyOf(b, b.length - 1)) // truncated (RIFF size mismatch)
+    rejects(_ => encodeWav(clip).take(44))                 // header only, data chunk overruns
+  }
+
+  test("audioStats decodes real WAV bytes and reproduces the generator arithmetic") {
+    import spark.implicits._
+    val files = spark.range(0, 100).as[Long]
+      .map(id => MediaFile(id, "audio/wav",
+        MediaCodec.encodeWav(MediaCodec.syntheticAudio(id))))
+    val st = audioStats(files).filter(_.doc_id == 7L).head()
+    val clip = MediaCodec.syntheticAudio(7L)
+    val n = clip.samples.length
+    assert(st.n_samples === n.toLong)
+    assert(st.mean_amp === clip.samples.map(_.toLong).sum.toDouble / n)
+    assert(st.peak_amp === clip.samples.map(s => math.abs(s.toLong)).max)
+    assert(st.zero_crossings === (1 until n).count(i =>
+      (clip.samples(i) >= 0) != (clip.samples(i - 1) >= 0)).toLong)
+  }
+
+  test("audio decode chain: resampled PCM features -> ANN finds the duplicated clip at cosine 1") {
+    import spark.implicits._
+    val ids = spark.range(0, 200).as[Long]
+    val files = ids.map(id => MediaFile(id, "audio/wav",
+      MediaCodec.encodeWav(MediaCodec.syntheticAudio(id))))
+    val dups = ids.filter(_ % 20 == 0).map(id => MediaFile(id + 100000, "audio/wav",
+      MediaCodec.encodeWav(MediaCodec.syntheticAudio(id))))
+    val feats = audioPcmFeatures(files.union(dups)).toDF()
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val top1 = VectorSearch.knnBrute(feats, feats.filter(col("vec_id") >= 100000),
+      "vec_id", "embedding", k = 1).collect()
+    assert(top1.length === 10)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 100000)
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
 }
