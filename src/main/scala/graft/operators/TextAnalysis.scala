@@ -133,4 +133,33 @@ object TextAnalysis {
       .otherwise(aggregate(chars, lit(0L),
         (acc, c) => (acc * 31 + ascii(c)) % FingerprintMod))
   }
+
+  /**
+   * BPE vocabulary-induction primitive: corpus-weighted adjacent
+   * symbol-pair frequencies at the character stage — the statistic a BPE
+   * trainer maximizes on every merge iteration. Words are ASCII-letter
+   * runs (the q60 tokenizer, lowered AFTER splitting for cross-engine
+   * casefold parity); word frequencies are aggregated FIRST so pair
+   * explosion runs over the DISTINCT vocabulary, not the corpus — the
+   * standard trainer rewrite (vocab ≪ corpus by orders of magnitude at
+   * 100 TB), and why only (word, n) then (pair, n) rows ever shuffle.
+   * Full BPE training is K sequential iterations of this primitive with
+   * the winning pair merged into one symbol; this per-iteration statistic
+   * is the part that must scale.
+   */
+  def bpePairFrequencies(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df
+      .select(explode(split(col(textCol), "[^A-Za-z]+")).as("raw"))
+      .filter(length(col("raw")) >= 2)
+      .select(lower(col("raw")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+    // `word` sits behind the Aggregate boundary, so the pair expressions
+    // below cannot be re-inlined into anything heavier than themselves
+    vocab
+      .select(col("n_word"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n_word")).as("n_pair"))
+  }
 }

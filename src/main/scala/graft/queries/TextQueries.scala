@@ -318,6 +318,32 @@ object TextQueries {
               AS BIGINT) AS rnk
           FROM c)
         SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 10
-        ORDER BY lang, rnk"""))
+        ORDER BY lang, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q64 — BPE pair statistics (TextAnalysis.bpePairFrequencies): the
+    // merge-selection statistic of byte-pair-encoding vocabulary
+    // training, top-50 by corpus-weighted frequency. Two map-side
+    // combined aggregates (corpus -> vocab, vocab -> pairs); the global
+    // top-k is a TakeOrderedAndProject, never a full sort. Tie-break
+    // (count desc, pair asc) makes the cut deterministic.
+    // ------------------------------------------------------------------
+    "q64_bpe_pair_freq" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.TextAnalysis.bpePairFrequencies(
+          graft.operators.ScanOps.spreadSmallInput(
+            documents(s, d).select(col("doc_id"), col("text")), col("doc_id")),
+          "text")
+          .orderBy(col("n_pair").desc, col("pair")).limit(50),
+      oracle = Some("""
+        WITH w AS (SELECT lower(t) AS word, count(*) AS n_word FROM (
+            SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM documents)
+          WHERE length(t) >= 2 GROUP BY 1),
+        p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, n_word
+          FROM (SELECT word, n_word,
+              unnest(range(1, length(word))) AS i FROM w))
+        SELECT pair, CAST(sum(n_word) AS BIGINT) AS n_pair
+        FROM p GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50"""))
   )
 }

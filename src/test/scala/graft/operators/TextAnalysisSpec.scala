@@ -65,4 +65,13 @@ class TextAnalysisSpec extends SparkSuite {
     assert(m(1).getAs[Double]("dup_gram_fraction") === 0.0)
     assert(m(1).getAs[Double]("top_gram_fraction") === 1.0 / 9.0)
   }
+
+  test("bpePairFrequencies: corpus-weighted character pairs over the distinct vocab") {
+    // words: "the"×3 (one via casefold), "then"×1, "a" dropped (<2 chars)
+    val df = Seq((1L, "the THE a"), (2L, "the then!")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.bpePairFrequencies(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "the"×3 contributes th,he; "then"×1 contributes th,he,en
+    assert(pairs === Map("th" -> 4L, "he" -> 4L, "en" -> 1L))
+  }
 }
