@@ -42,9 +42,12 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` hook: injects every engine function at session
-  * construction. */
+/** `spark.sql.extensions` hook: injects every engine function AND the
+  * planner strategy for the engine's own plan nodes
+  * (graft.plans.AsofJoin) at session construction. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/**
+ * Logical AS-OF join: for every left row, the single right row with the
+ * same key and the greatest `rightTime <= leftTime` (left-outer: no such
+ * row ⇒ nulls). The operator Spark's join menu lacks (SURVEY §2.2;
+ * q34's window-over-union formulation is the composition fallback) —
+ * implemented here at the brief's tier (c): a custom `LogicalPlan` +
+ * `SparkStrategy` + `SparkPlan`, because whole-operator semantics can't
+ * be a scalar expression and the composition can't expose a merge-scan
+ * physical plan to EXPLAIN or reuse child partitioning.
+ *
+ * The node is built from ANALYZED children with resolved key/time
+ * attributes ([[AsofOps.asofJoin]] handles name resolution and self-join
+ * attribute dedup), so it passes the analyzer untouched and flows to
+ * [[GraftStrategies]] at planning time.
+ */
+case class AsofJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    s"as-of join needs matching non-empty key lists, " +
+      s"got ${leftKeys.length}/${rightKeys.length}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time columns must agree in type: " +
+      s"${leftTime.dataType} vs ${rightTime.dataType}")
+
+  /** Left rows always survive; right columns are match-dependent. */
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Planner strategy mapping [[AsofJoin]] to [[AsofJoinExec]]. Injected two
+ * ways, mirroring the function registration pattern
+ * (graft.functions.GraftFunctions): `spark.sql.extensions` for session
+ * build ([[graft.functions.GraftSparkExtensions]]) and
+ * `spark.experimental.extraStrategies` for live sessions
+ * ([[AsofOps.ensureStrategy]]).
+ */
+object GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/**
+ * Physical AS-OF join: co-partition both sides on the join keys, sort
+ * each partition by (keys…, time), then ONE linear merge scan — the
+ * textbook time-series as-of plan (DuckDB/kdb execute the same shape;
+ * the q65 oracle IS DuckDB's `ASOF LEFT JOIN`).
+ *
+ * Scale contract, declared to the planner rather than hand-built:
+ *  - `requiredChildDistribution` = ClusteredDistribution per side — the
+ *    exact contract SortMergeJoinExec declares, so EnsureRequirements
+ *    inserts co-partitioned exchanges (or reuses existing ones: an
+ *    already-bucketed child plans ZERO new shuffles) and AQE remains
+ *    free to re-plan them;
+ *  - `requiredChildOrdering` = (keys…, time) ascending — satisfied
+ *    orderings are reused, otherwise a partition-local sort is added;
+ *  - the merge itself is O(|L| + |R|) per partition with O(1) state
+ *    (ONE buffered right row per key group) — no window buffering, no
+ *    per-key hash map, nothing driver-side, arbitrarily wide time
+ *    ranges at constant memory. The window-over-union composition (q34)
+ *    computes the same answer but carries every right column through a
+ *    running `last(ignoreNulls)` frame; this node ships rows once and
+ *    compares three projections per step.
+ *
+ * Semantics notes (asserted by AsofJoinSpec):
+ *  - inclusive match: the right row with the greatest time <= left time
+ *    within the key group; among right rows tied on (key, time) the
+ *    last in sort order wins — pre-aggregate the right side for a
+ *    deterministic pick, as q65 does;
+ *  - left-outer: unmatched left rows emit null right columns;
+ *  - keys compare null-safely (a null right key can match a null left
+ *    key, like Spark's `<=>`): filter null keys upstream when SQL
+ *    equality semantics are required.
+ */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** One row out per left row, in left's partition layout. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def ordering(keys: Seq[Expression], time: Expression): Seq[SortOrder] =
+    (keys :+ time).map(SortOrder(_, Ascending))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(ordering(leftKeys, leftTime), ordering(rightKeys, rightTime))
+
+  /** The merge emits left rows in their sorted order. */
+  override def outputOrdering: Seq[SortOrder] = ordering(leftKeys, leftTime)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime; val rTimeExpr = rightTime
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // per-partition, executor-side: codegen'd projections + ordering
+      val lKey = UnsafeProjection.create(lKeyExprs, leftOut)
+      val rKey = UnsafeProjection.create(rKeyExprs, rightOut)
+      val lTime = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
+      val rTime = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      // bind against NULLABLE right attrs: the unmatched-row null fields
+      // must be read with a null check, not unboxed to zero
+      val result = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.length)
+      // ONE buffered candidate: the latest right row at or before the
+      // current left time within the current key group
+      var candidate: InternalRow = null
+      var candidateKey: UnsafeRow = null
+      var rHead: InternalRow = null
+      lIter.map { lRow =>
+        val lk = lKey(lRow)
+        var advancing = true
+        while (advancing && (rHead != null || rIter.hasNext)) {
+          if (rHead == null) rHead = rIter.next()
+          val cmp = keyOrd.compare(rKey(rHead), lk)
+          if (cmp < 0) {
+            rHead = null // right key group already passed: discard
+          } else if (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(lRow)) <= 0) {
+            // match candidate; later rows in the group can only be better
+            candidate = rHead.copy()
+            candidateKey = rKey(rHead).copy()
+            rHead = null
+          } else {
+            advancing = false // right is ahead of this left row: stop
+          }
+        }
+        val matched =
+          candidate != null && keyOrd.compare(candidateKey, lk) == 0
+        result(joined(lRow, if (matched) candidate else nullRight))
+      }
+    }
+  }
+}

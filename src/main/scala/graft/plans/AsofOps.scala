@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.graft.Bridge
+
+/**
+ * User-facing API over the native [[AsofJoin]] plan node. Columns are
+ * named by string (resolved against each side's analyzed output) so the
+ * call site reads like the other operator entry points; self-joins are
+ * legal — right-side attributes colliding with left exprIds are
+ * re-aliased under fresh ids before the node is built.
+ */
+object AsofOps {
+
+  /** Make [[GraftStrategies]] active on a live session (idempotent).
+    * Cluster deployments get it at session build via
+    * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
+  def ensureStrategy(spark: SparkSession): Unit =
+    Bridge.addStrategy(spark, GraftStrategies)
+
+  private def resolve(out: Seq[Attribute], name: String): Attribute =
+    out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"as-of column '$name' not in [${out.map(_.name).mkString(", ")}]"))
+
+  /**
+   * Left-outer AS-OF join: every `left` row paired with the `right` row
+   * sharing `keys` that has the greatest `rightTimeCol <= leftTimeCol`
+   * (nulls when none). Output = left columns ++ right columns (right
+   * nullable); disambiguate shared names by renaming on the inputs.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lp = Bridge.analyzed(left)
+    val rp0 = Bridge.analyzed(right)
+    // self-join hygiene: if any right attribute id collides with a left
+    // one, re-alias the whole right output under fresh ids
+    val rp =
+      if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
+      else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    Bridge.ofRows(spark, AsofJoin(lp, rp,
+      keys.map(k => resolve(lp.output, k._1)),
+      keys.map(k => resolve(rp.output, k._2)),
+      resolve(lp.output, leftTimeCol), resolve(rp.output, rightTimeCol)))
+  }
+}

@@ -77,6 +77,46 @@ object AsofQueries {
       headline = true),
 
     // ------------------------------------------------------------------
+    // q65 — the SAME as-of semantics as q34 through the NATIVE plan node
+    // (graft.plans.AsofJoin → AsofJoinExec, brief tier (c)): co-partition
+    // + sort declared to EnsureRequirements, one O(|L|+|R|) merge scan
+    // per partition with a single buffered right row — no union, no
+    // running window frame. Identical oracle to q34: two engine-side
+    // implementations (composition vs custom operator) and DuckDB's
+    // native ASOF JOIN must all agree bit-for-bit.
+    // ------------------------------------------------------------------
+    "q65_asof_join_native" -> GraftQuery(
+      build = (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        val leftDf = e.filter(col("event_type") =!= "signup")
+        val rightDf = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as("signup_event_id"))
+          .select(col("user_id").as("r_user_id"), col("ts_us").as("r_ts_us"),
+            col("signup_event_id"))
+        graft.plans.AsofOps.asofJoin(leftDf, rightDf,
+            Seq("user_id" -> "r_user_id"), "ts_us", "r_ts_us")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+            col("signup_event_id").as("asof_signup_event_id"),
+            col("r_ts_us").as("asof_signup_ts_us"),
+            (col("ts_us") - col("r_ts_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+            FROM events WHERE event_type <> 'signup'),
+        r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_event_id
+            FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts_us, l.event_type,
+          r.signup_event_id AS asof_signup_event_id,
+          r.ts_us AS asof_signup_ts_us,
+          l.ts_us - r.ts_us AS gap_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        ORDER BY l.event_id"""),
+      headline = true),
+
+    // ------------------------------------------------------------------
     // q35 — range enrichment: events in the preceding hour per user,
     // restated as a value-RANGE window frame (the scalable twin of a
     // range self-join — no pair explosion, one sort per user).

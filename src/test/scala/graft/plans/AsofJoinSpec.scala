@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.queries.{AsofQueries, GraftQuery}
+
+/**
+ * The native AS-OF plan node: semantics on hand-built cases (inclusive
+ * ties, unmatched lefts, key groups with no right rows, self-join
+ * attribute dedup), agreement with the window-over-union composition
+ * (q34) on the real events table, and the physical plan shape (the
+ * custom exec node present; no window, no union).
+ */
+class AsofJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def trades = Seq(
+    // (id, key, t)
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+    (4L, "b", 5L), (5L, "c", 50L)
+  ).toDF("trade_id", "sym", "t")
+
+  private def quotes = Seq(
+    // (key, t, px): b has no quotes at all; a has an exact-tie quote
+    ("a", 10L, 100L), ("a", 15L, 101L), ("a", 25L, 102L),
+    ("c", 60L, 300L)
+  ).toDF("q_sym", "q_t", "px")
+
+  test("semantics: inclusive tie, carry-forward, unmatched key and too-early left") {
+    val out = AsofOps.asofJoin(trades, quotes,
+        Seq("sym" -> "q_sym"), "t", "q_t")
+      .select(col("trade_id"), col("px")).orderBy("trade_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq === Seq(
+      1L -> 100L, // exact tie t=10 matches inclusively
+      2L -> 101L, // carry-forward of t=15 quote
+      3L -> 102L, // latest at-or-before t=30
+      4L -> -1L,  // key with no right rows -> null
+      5L -> -1L)) // right rows exist but all AFTER the left time -> null
+  }
+
+  test("among right rows tied on (key, time) the last in sort order wins") {
+    val dupQuotes = Seq(("a", 10L, 1L), ("a", 10L, 2L), ("a", 10L, 3L))
+      .toDF("q_sym", "q_t", "px")
+    val out = AsofOps.asofJoin(trades.filter(col("trade_id") === 1), dupQuotes,
+        Seq("sym" -> "q_sym"), "t", "q_t")
+      .select(col("px")).collect()
+    assert(out.length === 1)
+    // ties are resolved by sort position (px ascending here because it is
+    // the only differing column) — pre-aggregate for a semantic pick
+    assert(out.head.getLong(0) === 3L)
+  }
+
+  test("self-join: colliding attribute ids are re-aliased, result is correct") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "k", "t")
+    val out = AsofOps.asofJoin(
+        df, df.select(col("k").as("rk"), col("t").as("rt"), col("id").as("rid")),
+        Seq("k" -> "rk"), "t", "rt")
+      .select(col("id"), col("rid")).orderBy("id").collect()
+    // each row as-of-matches itself (inclusive) or the later of the two
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("native q65 and window-composition q34 agree row-for-row on real events") {
+    val q34 = AsofQueries.all("q34_asof_join").build(spark, sf("0.001")).collect()
+    val q65 = AsofQueries.all("q65_asof_join_native").build(spark, sf("0.001")).collect()
+    assert(q65.length === q34.length)
+    q34.zip(q65).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("plan shape: AsofJoinExec present; no window, union or cartesian anywhere") {
+    val df = AsofQueries.all("q65_asof_join_native").build(spark, sf("0.001"))
+    df.noop() // force planning through AQE
+    val plan = df.queryExecution.executedPlan
+    assert(collectFirst(plan) {
+      case e: AsofJoinExec => e
+    }.isDefined, s"no AsofJoinExec in:\n$plan")
+    val banned = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+      case u: org.apache.spark.sql.execution.UnionExec => u.nodeName
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c.nodeName
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b.nodeName
+    }
+    assert(banned.isEmpty, s"banned nodes in native as-of plan: $banned")
+  }
+
+  implicit class NoopWriter(df: org.apache.spark.sql.DataFrame) {
+    def noop(): Unit = df.write.format("noop").mode("overwrite").save()
+  }
+}
