@@ -14,11 +14,13 @@ import org.apache.spark.sql.graft.Bridge
  */
 object AsofOps {
 
-  /** Make [[GraftStrategies]] active on a live session (idempotent).
-    * Cluster deployments get it at session build via
-    * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
-  def ensureStrategy(spark: SparkSession): Unit =
+  /** Make [[GraftStrategies]] + [[AsofFilterPushdown]] active on a live
+    * session (idempotent). Cluster deployments get both at session build
+    * via `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
+  def ensureStrategy(spark: SparkSession): Unit = {
     Bridge.addStrategy(spark, GraftStrategies)
+    Bridge.addOptimization(spark, AsofFilterPushdown)
+  }
 
   private def resolve(out: Seq[Attribute], name: String): Attribute =
     out.find(_.name == name).getOrElse(throw new IllegalArgumentException(

@@ -87,6 +87,45 @@ class AsofJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(banned.isEmpty, s"banned nodes in native as-of plan: $banned")
   }
 
+  test("AsofFilterPushdown: left-only predicates reach the parquet scan; right-side stay above") {
+    val e = graft.queries.Tables.events(spark, sf("0.001"))
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    val leftDf = e.filter(col("event_type") =!= "signup")
+    val rightDf = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("r_user_id"), col("ts_us").as("r_ts_us"),
+        col("event_id").as("signup_event_id"))
+    val joined = AsofOps.asofJoin(leftDf, rightDf,
+      Seq("user_id" -> "r_user_id"), "ts_us", "r_ts_us")
+    // left-side predicate: must sink below the custom node into the scan
+    val filtered = joined.filter(col("user_id") < 100)
+    filtered.noop()
+    val scans = collect(filtered.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("LessThan(user_id,100)")),
+      s"user_id<100 not pushed to any scan:\n${scans.map(_.metadata).mkString("\n")}")
+    // the optimized plan keeps the custom node with the filter BELOW it
+    val opt = filtered.queryExecution.optimizedPlan
+    assert(opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("user_id")
+          && f.find(_.isInstanceOf[AsofJoin]).isDefined => f
+    }.isEmpty, "left-only filter stayed ABOVE AsofJoin")
+    // right-side predicate: a match-result filter must NOT move below
+    val rightFiltered = joined.filter(col("signup_event_id").isNotNull)
+    val optR = rightFiltered.queryExecution.optimizedPlan
+    assert(optR.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.find(_.isInstanceOf[AsofJoin]).isDefined => f
+    }.isDefined, "right-side filter was pushed below AsofJoin (unsound)")
+    // and the results agree with the equivalent filter on the composition
+    val expect = AsofQueries.all("q34_asof_join").build(spark, sf("0.001"))
+      .filter(col("user_id") < 100).count()
+    assert(filtered.count() === expect)
+  }
+
   implicit class NoopWriter(df: org.apache.spark.sql.DataFrame) {
     def noop(): Unit = df.write.format("noop").mode("overwrite").save()
   }
