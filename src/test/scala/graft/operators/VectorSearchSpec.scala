@@ -177,4 +177,35 @@ class VectorSearchSpec extends SparkSuite {
     assert(x100 > base)
     assert(x100 - base <= VectorSearch.VecBands * 8) // ~log2(100)≈7 bits/band
   }
+
+  test("int8 quantization: codes bounded, zero vector safe, high recall vs float top-5") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf("0.001"))
+    val q = VectorSearch.quantizeInt8(emb, "vec_id", "embedding")
+    // every code in the int8 envelope (floor can reach ±127±1 only via
+    // FP slack on the extreme element; assert the true storable range)
+    val bounds = q.select(
+      min(array_min(col("qv"))).as("lo"), max(array_max(col("qv"))).as("hi"),
+      min(col("scale")).as("ms")).head()
+    assert(bounds.getLong(0) >= -128L && bounds.getLong(1) <= 127L,
+      s"codes out of int8 range: $bounds")
+    assert(bounds.getDouble(2) > 0.0)
+    // an all-zero vector quantizes to all-zero codes, no NaN/Inf
+    val z = VectorSearch.quantizeInt8(
+      Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .head()
+    assert(z.getDouble(1) === 1.0)
+    assert(z.getSeq[Long](2).forall(_ === 0L))
+    // serving quality: quantized top-5 keeps >= 4 of the float top-5 on
+    // average (deterministic on the fixed corpus + query set)
+    val queries = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+    val exact = VectorSearch.knnBrute(emb, queries, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = VectorSearch.quantizedTopK(emb, queries, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = quant.count(exact).toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@5 degraded to $recall")
+  }
 }
