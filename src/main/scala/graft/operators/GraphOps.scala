@@ -77,4 +77,69 @@ object GraphOps {
     edges.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** Fixed-point PageRank scale: ranks are longs in units of 1e-9. */
+  val PageRankScale = 1000000000L
+
+  /**
+   * PageRank in FIXED-POINT arithmetic — every operation on scaled longs
+   * (integer division for the per-edge contribution, exact long sums, a
+   * damping step of integer multiply/divide), so the result is
+   * bit-identical regardless of partitioning, summation order, or
+   * engine: the same determinism discipline as the k-means trainer
+   * (VectorSearch.KmeansScale), and what lets q67 gate a 3-iteration
+   * rank against a generated DuckDB twin. Floating-point PageRank sums
+   * in corpus order — irreproducible across engines BY CONSTRUCTION;
+   * fixed-point costs one integer divide per edge and buys a
+   * hash-gateable result.
+   *
+   * Per iteration: rank r(v) ← base + d·Σ_{u→v} (r(u) div outdeg(u)),
+   * with base = (1−d)·SCALE and the damping product evaluated as
+   * (dNum·sum) div dDen. Nodes with no in-edges keep the base rank;
+   * dangling mass (no out-edges) is dropped — the standard simplification,
+   * identical in the oracle. Overflow headroom: Σ ranks ≈ N·SCALE, so
+   * dNum·sum stays under 2^63 for N up to ~10^8 per component; raise
+   * dDen precision or rescale beyond that.
+   *
+   * Scale shape: each iteration is one equality join (ranks ⋈ edges on
+   * src) + one sum-aggregate on dst — the same (key, long) shuffle
+   * width as [[connectedComponents]], AQE-reusable partitioning, K
+   * iterations deep with lineage truncated by persist.
+   *
+   * Input: directed edge frame (srcCol, dstCol). Output: (id, rank_fp)
+   * for every node appearing as a src or dst.
+   */
+  def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must be a proper fraction, got $dampNum/$dampDen")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val base = (dampDen - dampNum) * PageRankScale / dampDen
+    var ranks = nodes.withColumn("rank_fp", lit(PageRankScale)).persist()
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(deg, Seq("src"))
+        .join(ranks.select(col("id").as("src"), col("rank_fp")), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("rank_fp div outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"$dampNum * coalesce(s, 0L) div $dampDen"))
+            .as("rank_fp"))
+        .persist()
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    ranks
+  }
 }

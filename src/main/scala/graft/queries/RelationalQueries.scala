@@ -843,6 +843,51 @@ object RelationalQueries {
             SELECT count(*) FROM supplier s3
             WHERE s3.s_nationkey = s.s_nationkey
               AND s3.s_acctbal = s.s_acctbal)
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // q67 — fixed-point PageRank (GraphOps.pageRankFixed) over the REAL
+    // part<->supplier bipartite graph from lineitem (suppliers carried
+    // as negated ids: collision-free at any scale factor). Every
+    // arithmetic step is on scaled longs — integer contribution
+    // division, exact sums, integer damping — so 3 iterations
+    // hash-match a generated DuckDB twin; float PageRank could never
+    // gate (summation order). Iterations are joins + aggregates on the
+    // same key; only (id, long) rows shuffle.
+    // ------------------------------------------------------------------
+    "q67_pagerank_bipartite" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        val fwd = li.select(col("l_partkey").as("src"), (-col("l_suppkey")).as("dst"))
+        val rev = li.select((-col("l_suppkey")).as("src"), col("l_partkey").as("dst"))
+        graft.operators.GraphOps.pageRankFixed(fwd.union(rev), "src", "dst",
+          iterations = 3)
+          .orderBy("id")
+      },
+      oracle = Some {
+        val scale = graft.operators.GraphOps.PageRankScale
+        val base = 15L * scale / 100
+        val iters = (1 to 3).map { i =>
+          val prev = s"r${i - 1}"
+          s"""c$i AS (SELECT e.dst AS id, sum(r.rank_fp // d.outdeg) AS s
+            FROM e JOIN deg d ON e.src = d.src
+            JOIN $prev r ON e.src = r.id GROUP BY e.dst),
+          r$i AS (SELECT n.id, $base + (85 * coalesce(c.s, 0)) // 100 AS rank_fp
+            FROM nodes n LEFT JOIN c$i c ON n.id = c.id)"""
+        }.mkString(",\n          ")
+        s"""
+        WITH e AS (
+          SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+            CAST(-l_suppkey AS BIGINT) AS dst FROM lineitem
+          UNION
+          SELECT DISTINCT CAST(-l_suppkey AS BIGINT), CAST(l_partkey AS BIGINT)
+          FROM lineitem),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        r0 AS (SELECT id, CAST($scale AS BIGINT) AS rank_fp FROM nodes),
+        $iters
+        SELECT id, rank_fp FROM r3 ORDER BY id"""
+      })
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Hand-computable semantics of the graph primitives beyond their oracle
+  * gates (q61 clusters, q67 PageRank). */
+class GraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val S = GraphOps.PageRankScale
+
+  test("connectedComponents: a chain plus an isolated edge labels by min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("pageRankFixed: a 2-cycle is a fixed point at exactly SCALE") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = GraphOps.pageRankFixed(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contribution = rank div 1; rank' = 0.15·S + 0.85·S = S, every round
+    assert(got === Map(1L -> S, 2L -> S))
+  }
+
+  test("pageRankFixed: in-star concentrates rank; sources keep the base; exact longs") {
+    // 1 -> 2 <- 3 : node 2 is dangling (mass dropped), sources get base
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val base = 15L * S / 100
+    // replay the integer recurrence exactly
+    var r1 = S; var r2 = S
+    for (_ <- 1 to 3) {
+      val next2 = base + 85L * (r1 + r1) / 100 // both sources share rank r1
+      r1 = base
+      r2 = next2
+    }
+    val got = GraphOps.pageRankFixed(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> base, 3L -> base, 2L -> r2))
+    assert(r2 > base) // sink genuinely accumulated
+  }
+
+  test("pageRankFixed is partitioning-invariant (bit-identical ranks)") {
+    val edges = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("src", "dst")
+    val a = GraphOps.pageRankFixed(edges.repartition(1), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pageRankFixed(edges.repartition(13, col("dst")), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}
