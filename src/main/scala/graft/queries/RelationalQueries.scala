@@ -887,7 +887,7 @@ object RelationalQueries {
           (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
         r0 AS (SELECT id, CAST($scale AS BIGINT) AS rank_fp FROM nodes),
         $iters
-        SELECT id, rank_fp FROM r3 ORDER BY id"""
+        SELECT id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r3 ORDER BY id"""
       })
   )
 }

@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSuite {
     * C ≈ √N by construction). All are linear scans of the big side.
     * Everything else must plan hash/sort-merge joins. */
   private val allowedNestedLoop =
-    Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters")
+    Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters",
+      "q66_int8_quantized_knn")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
