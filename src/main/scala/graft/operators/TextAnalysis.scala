@@ -162,4 +162,47 @@ object TextAnalysis {
       .groupBy(col("pair"))
       .agg(sum(col("n_word")).as("n_pair"))
   }
+
+  /** Fixed-point quality-classifier weights/threshold (milli-units). */
+  val QcWeightStopword = 400L
+  val QcWeightCleanliness = 300L
+  val QcWeightLength = 300L
+  val QcLengthSaturation = 200L
+  val QcKeepThresholdMilli = 450L
+
+  /**
+   * Model-based corpus filtering — the fastText-style quality-classifier
+   * stage of a pretraining pipeline, as a FIXED-POINT linear model so the
+   * decision is bit-identical cross-engine (q70's hash gate): every
+   * feature is a milli-scaled integer rational of exact counts
+   * (stopword ratio, digit cleanliness, saturating length), the score one
+   * integer dot product, the keep decision one threshold compare. The
+   * float path (qualityFeatures' composite) stays for human inspection;
+   * THIS is the one a 100 TB filter job gates on — pure per-row
+   * projection, no shuffle, codegen-friendly integer ops.
+   */
+  def qualityClassify(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("toks", tokens(t))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("sw_hits",
+        stopwordHits(col("toks"), stopwords("en")).cast(LongType))
+      .withColumn("digit_chars", charClassCount(t, "[0-9]").cast(LongType))
+      .withColumn("n_chars", length(t).cast(LongType))
+      .withColumn("sw_ratio_m",
+        when(col("n_tokens") > 0, expr("(1000 * sw_hits) div n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("clean_m",
+        when(col("n_chars") > 0,
+          lit(1000L) - expr("(1000 * digit_chars) div n_chars"))
+          .otherwise(lit(0L)))
+      .withColumn("len_m",
+        least(lit(1000L), expr(s"(1000 * n_tokens) div $QcLengthSaturation")))
+      .withColumn("score_m",
+        expr(s"($QcWeightStopword * sw_ratio_m + " +
+          s"$QcWeightCleanliness * clean_m + " +
+          s"$QcWeightLength * len_m) div 1000"))
+      .withColumn("keep", col("score_m") >= QcKeepThresholdMilli)
+      .drop("toks")
+  }
 }

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+import graft.operators.{Relevance, ScanOps, TextAnalysis, TextPrivacy}
+
+/**
+ * Corpus hygiene + retrieval queries: PII redaction (q69), model-based
+ * quality filtering (q70), fixed-point BM25 ranking (q71) and inverted
+ * indexing (q72). Regex patterns, classifier weights and BM25 constants
+ * are shared Scala constants interpolated into BOTH the Spark build and
+ * the generated DuckDB oracle — the engines run the same model and must
+ * agree bit-for-bit.
+ */
+object RetrievalQueries {
+
+  /** DuckDB twins of the engine-wide tokenizer/stopword helpers. */
+  private def sqlWsTokens(text: String) =
+    s"string_split_regex(lower($text), '\\s+')"
+  private def sqlHits(toks: String, words: Seq[String]) = {
+    val lits = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toks, t -> list_contains([$lits], t)))"
+  }
+  /** q69 deterministic PII injection: every doc gets one synthetic PII
+    * item by doc_id mod 3 (email / URL / phone) — the corpus itself is
+    * letters-only, so injection makes the redaction observable (the
+    * DedupQueries injected-duplicate discipline). */
+  private def injectedSpark(textCol: String) =
+    when(col("doc_id") % 3 === 0,
+      concat(col(textCol), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col(textCol), lit(" see https://site"), col("doc_id"),
+          lit(".example.org/a?b=1 ok")))
+      .otherwise(concat(col(textCol), lit(" call +358-40-"),
+        lit(1000000L) + col("doc_id") % 9000000L, lit(" end")))
+  private val injectedSql =
+    """CASE WHEN doc_id % 3 = 0 THEN
+         text || ' contact user' || doc_id || '@mail.example.com now'
+       WHEN doc_id % 3 = 1 THEN
+         text || ' see https://site' || doc_id || '.example.org/a?b=1 ok'
+       ELSE text || ' call +358-40-' || (1000000 + doc_id % 9000000)
+         || ' end' END"""
+
+  val Bm25QueryTerms = Seq("spark", "join", "window")
+  val Bm25K = 10
+  val PostingCap = 8
+  val IndexMinDf = 5L
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------------------
+    // q69 — PII redaction (TextPrivacy.redact): URL → email → phone
+    // masking with per-kind counts, gated on the md5 of the fully
+    // redacted text (so every masked byte is verified, not just the
+    // counts). Patterns live in the Java∩RE2 regex subset and are
+    // interpolated verbatim into both engines. Pure per-row projection —
+    // the 100 TB shape is "runs at the scan".
+    // ------------------------------------------------------------------
+    "q69_pii_redaction" -> GraftQuery(
+      build = (s, d) => {
+        val injected = documents(s, d)
+          .select(col("doc_id"), injectedSpark("text").as("pii_text"))
+        val (urls, emails, phones) = TextPrivacy.piiCounts(col("pii_text"))
+        ScanOps.spreadSmallInput(injected, col("doc_id"))
+          .select(col("doc_id"),
+            urls.cast("long").as("n_urls"),
+            emails.cast("long").as("n_emails"),
+            phones.cast("long").as("n_phones"),
+            md5(TextPrivacy.redact(col("pii_text")).cast("binary"))
+              .as("red_md5"),
+            length(TextPrivacy.redact(col("pii_text"))).cast("long")
+              .as("red_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        // DuckDB single-quoted literals are escape-free: the Scala-level
+        // `\.` / `\+` backslashes pass through to RE2 verbatim, exactly
+        // as Spark's Java regex sees them.
+        val u = TextPrivacy.UrlRe
+        val e = TextPrivacy.EmailRe
+        val p = TextPrivacy.PhoneRe
+        s"""
+        WITH inj AS (SELECT doc_id, $injectedSql AS pii_text FROM documents),
+        st AS (SELECT doc_id, pii_text,
+            regexp_replace(pii_text, '$u', '${TextPrivacy.UrlMask}', 'g')
+              AS no_url
+          FROM inj),
+        st2 AS (SELECT doc_id, pii_text, no_url,
+            regexp_replace(no_url, '$e', '${TextPrivacy.EmailMask}', 'g')
+              AS no_email
+          FROM st)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(pii_text, '$u')) AS BIGINT) AS n_urls,
+          CAST(len(regexp_extract_all(no_url, '$e')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(no_email, '$p')) AS BIGINT) AS n_phones,
+          md5(regexp_replace(no_email, '$p', '${TextPrivacy.PhoneMask}', 'g'))
+            AS red_md5,
+          CAST(length(regexp_replace(no_email, '$p',
+            '${TextPrivacy.PhoneMask}', 'g')) AS BIGINT) AS red_len
+        FROM st2 ORDER BY doc_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q70 — model-based quality filter (TextAnalysis.qualityClassify):
+    // the fastText-style classifier stage as a fixed-point linear model —
+    // milli-scaled integer features (stopword ratio, digit cleanliness,
+    // saturating length), one integer dot product, one threshold. The
+    // whole decision hash-gates cross-engine, which a float classifier
+    // never could. Per-row projection, no shuffle.
+    // ------------------------------------------------------------------
+    "q70_quality_classifier" -> GraftQuery(
+      build = (s, d) =>
+        TextAnalysis.qualityClassify(
+          ScanOps.spreadSmallInput(
+            documents(s, d).select(col("doc_id"), col("text")),
+            col("doc_id")),
+          "text")
+          .select(col("doc_id"), col("n_tokens"), col("sw_hits"),
+            col("sw_ratio_m"), col("clean_m"), col("len_m"), col("score_m"),
+            col("keep").cast("int").as("keep"))
+          .orderBy("doc_id"),
+      oracle = Some {
+        import TextAnalysis._
+        s"""
+        WITH f AS (SELECT doc_id,
+            CAST(len(${sqlWsTokens("text")}) AS BIGINT) AS n_tokens,
+            CAST(${sqlHits(sqlWsTokens("text"), stopwords("en"))} AS BIGINT)
+              AS sw_hits,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS digit_chars,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents),
+        m AS (SELECT doc_id, n_tokens, sw_hits,
+            CASE WHEN n_tokens > 0 THEN (1000 * sw_hits) // n_tokens
+              ELSE 0 END AS sw_ratio_m,
+            CASE WHEN n_chars > 0
+              THEN 1000 - (1000 * digit_chars) // n_chars
+              ELSE 0 END AS clean_m,
+            least(1000, (1000 * n_tokens) // $QcLengthSaturation) AS len_m
+          FROM f)
+        SELECT doc_id, n_tokens, sw_hits, sw_ratio_m, clean_m, len_m,
+          ($QcWeightStopword * sw_ratio_m + $QcWeightCleanliness * clean_m
+            + $QcWeightLength * len_m) // 1000 AS score_m,
+          CAST(($QcWeightStopword * sw_ratio_m + $QcWeightCleanliness * clean_m
+            + $QcWeightLength * len_m) // 1000 >= $QcKeepThresholdMilli
+            AS INTEGER) AS keep
+        FROM m ORDER BY doc_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q71 — fixed-point BM25 top-k (Relevance.bm25TopK): lexical
+    // retrieval over the corpus for a fixed query-term set. idf and
+    // length-norm are integer rationals of corpus counts (milli-units on
+    // longs) — rank-equivalent to ln-idf within a fixed corpus and
+    // bit-reproducible cross-engine. The term filter is pushed into the
+    // first tf aggregation; corpus constants ride a broadcast 1-row
+    // frame; per-term top-k is a WindowGroupLimit.
+    // ------------------------------------------------------------------
+    "q71_bm25" -> GraftQuery(
+      build = (s, d) =>
+        Relevance.bm25TopK(
+          ScanOps.spreadSmallInput(
+            documents(s, d).select(col("doc_id"), col("text")),
+            col("doc_id")),
+          "doc_id", "text", Bm25QueryTerms, Bm25K)
+          .orderBy("term", "rnk"),
+      oracle = Some {
+        val lits = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+        val M = Relevance.Milli
+        val K1 = Relevance.K1Milli
+        val B = Relevance.BMilli
+        s"""
+        WITH tok AS (SELECT doc_id, lower(t) AS term FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM documents)
+          WHERE length(t) >= ${Relevance.DefaultMinTermLen}),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+          FROM dl),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+          WHERE term IN ($lits) GROUP BY term, doc_id),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        s1 AS (SELECT t.term, t.doc_id, t.tf, x.df, l.dl, c.n_docs,
+            ($M * c.sum_dl) // c.n_docs AS avgdl_m
+          FROM tf t JOIN dl l USING (doc_id) JOIN dfx x USING (term)
+          CROSS JOIN corpus c),
+        s2 AS (SELECT *, ($M * (n_docs - df + 1)) // (df + 1) AS idf_m,
+            ${M - B} + ($B * dl * $M) // avgdl_m AS norm_m
+          FROM s1),
+        s3 AS (SELECT term, doc_id, tf, df, idf_m,
+            (tf * ${M + K1} * $M) // (tf * $M + ($K1 * norm_m) // $M) AS tfc_m
+          FROM s2),
+        s4 AS (SELECT term, doc_id, tf, df,
+            (idf_m * tfc_m) // $M AS score_m
+          FROM s3),
+        r AS (SELECT term, doc_id, tf, df, score_m,
+            CAST(row_number() OVER (PARTITION BY term
+              ORDER BY score_m DESC, doc_id) AS BIGINT) AS rnk
+          FROM s4)
+        SELECT term, doc_id, tf, df, score_m, rnk FROM r
+        WHERE rnk <= $Bm25K ORDER BY term, rnk"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q72 — inverted index (Relevance.invertedIndex): term → document
+    // frequency, total tf, and a CAPPED sorted posting sample emitted as
+    // CSV (array columns round-trip differently through the two engines'
+    // pandas paths). Two map-side-combined aggregates; the posting cap
+    // is the scale guard against O(corpus) stopword rows.
+    // ------------------------------------------------------------------
+    "q72_inverted_index" -> GraftQuery(
+      build = (s, d) =>
+        Relevance.invertedIndex(
+          ScanOps.spreadSmallInput(
+            documents(s, d).select(col("doc_id"), col("text")),
+            col("doc_id")),
+          "doc_id", "text", PostingCap, IndexMinDf)
+          .select(col("term"), col("df"), col("tf_total"),
+            array_join(col("posting_sample"), ",").as("posting_csv"))
+          .orderBy("term"),
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, lower(t) AS term FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM documents)
+          WHERE length(t) >= ${Relevance.DefaultMinTermLen}),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+          GROUP BY term, doc_id)
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+          array_to_string((list(doc_id ORDER BY doc_id))[1:$PostingCap], ',')
+            AS posting_csv
+        FROM tf GROUP BY term HAVING count(*) >= $IndexMinDf
+        ORDER BY term"""))
+  )
+}

@@ -16,9 +16,11 @@ class PlanAuditSpec extends SparkSuite {
     * the k-means assignment (every vector scores every centroid —
     * C ≈ √N by construction). All are linear scans of the big side.
     * Everything else must plan hash/sort-merge joins. */
+  /** q71's nested loop is the 1-row corpus-constants broadcast
+    * (N, avgdl) against the scored term rows — not a row-pair scan. */
   private val allowedNestedLoop =
     Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters",
-      "q66_int8_quantized_knn")
+      "q66_int8_quantized_knn", "q71_bm25")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
