@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series regularization over irregular telemetry — the resample /
+ * gap-fill step a vehicle-position feed (the reference's HFP data model:
+ * one row per vehicle per ~second, with radio dropouts) needs before any
+ * grid-aligned analytics (occupancy heatmaps, per-hour rollups, model
+ * training windows).
+ *
+ * Design notes (100 TB shape):
+ *  - The anchor pairs come from ONE keyed lag window (`lead` over the
+ *    per-key time order) — the same single shuffle every keyed window op
+ *    pays; no self-join on the timeline.
+ *  - Grid rows are GENERATED, not joined: `sequence()` + `explode` emits
+ *    exactly the missing grid instants per gap, so output volume is
+ *    proportional to the holes being filled, never to `keys × full grid`
+ *    (the naive calendar cross-join that kills at scale).
+ *  - `maxGapS` bounds the blow-up: a key that vanishes for a month does
+ *    not explode 2.6M interpolated seconds — beyond the cap the gap is
+ *    left open (the honest answer for telemetry: the vehicle was off).
+ *  - All interpolation arithmetic is integer (floor-division lerp), so
+ *    results are bit-identical across engines, partitionings and reruns —
+ *    the property every oracle-gated operator in this engine holds.
+ */
+object TemporalOps {
+
+  /**
+   * Floor division on integral columns via `pmod` (Spark's `div` and
+   * DuckDB's `//` both truncate toward zero, which differs from floor on
+   * negative operands — and lerp deltas ARE negative whenever the series
+   * descends). Requires b > 0. The subtraction makes the dividend an
+   * exact multiple of b, so the double-typed `/` is exact for
+   * |a| < 2^52 — callers keep operands within that bound (documented
+   * per call site).
+   */
+  def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /**
+   * Linear-interpolation gap fill onto a regular grid.
+   *
+   * Input: one row per (key, t, v) observation, `t` in epoch seconds
+   * (long), `v` an integer metric (e.g. fixed-point cents), `tie` a
+   * unique per-key tiebreaker making the time order total (duplicate
+   * timestamps: the LAST row in (t, tie) order anchors the gap to the
+   * next observation, matching "latest fix wins" telemetry semantics).
+   *
+   * Output: ONLY the interpolated rows — (key, grid_t, v_interp) for
+   * every grid instant `grid_t = k*gridStepS` strictly inside an
+   * observation gap of at most `maxGapS` seconds, with
+   * `v_interp = v0 + floor((v1-v0)*(grid_t-t0) / (t1-t0))`.
+   * Magnitude bound for the exact-arithmetic guarantee:
+   * |v1-v0| * maxGapS must stay below 2^52 (cents-scale metrics with
+   * day-scale caps are ~12 orders of magnitude inside it).
+   */
+  def gapFillInterpolate(
+      df: DataFrame,
+      key: String, t: String, tie: String, v: String,
+      gridStepS: Long, maxGapS: Long): DataFrame = {
+    require(gridStepS > 0 && maxGapS > 0)
+    // internal names are __-prefixed so no caller key/column name can
+    // collide with them (TemporalOpsSpec pins this with key = "k")
+    val w = Window.partitionBy(key).orderBy(col("__t0"), col("__tie0"))
+    val pairs = df
+      .select(col(key), col(t).as("__t0"), col(tie).as("__tie0"), col(v).as("__v0"))
+      .withColumn("__t1", lead("__t0", 1).over(w))
+      .withColumn("__v1", lead("__v0", 1).over(w))
+      .filter(col("__t1").isNotNull && col("__t1") > col("__t0") &&
+        col("__t1") - col("__t0") <= maxGapS)
+      // grid instants strictly inside (t0, t1): first multiple of the
+      // step after t0, last multiple before t1
+      .withColumn("__k0", floorDiv(col("__t0"), lit(gridStepS)) + 1)
+      .withColumn("__k1", floorDiv(col("__t1") - 1, lit(gridStepS)))
+      .filter(col("__k1") >= col("__k0"))
+    pairs
+      .select(col(key), col("__t0"), col("__v0"), col("__t1"), col("__v1"),
+        explode(expr("sequence(__k0, __k1)")).as("__grid_k"))
+      .select(
+        col(key),
+        (col("__grid_k") * gridStepS).as("grid_t"),
+        (col("__v0") + floorDiv(
+          (col("__v1") - col("__v0")) * (col("__grid_k") * gridStepS - col("__t0")),
+          col("__t1") - col("__t0"))).as("v_interp"))
+  }
+}

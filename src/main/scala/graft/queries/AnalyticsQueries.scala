@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+import graft.operators.{MergeOps, StatsOps, TemporalOps}
+
+/**
+ * Warehouse-analytics queries layered on round-7 operators: SCD2
+ * history (q75), time-series gap-fill (q76), histograms (q77),
+ * integer-exact anomaly flags (q78), funnel analysis (q79), single-pass
+ * profiling (q80) and incremental aggregation maintenance (q81).
+ *
+ * Cross-engine rules as everywhere in the registry: fixed-point
+ * integer/decimal arithmetic only, total ORDER BY, identical output
+ * aliases both sides.
+ */
+object AnalyticsQueries {
+
+  /** q75 version labels (strings — version metadata, not arithmetic). */
+  val D0 = "2024-01-01"; val Eff = "2024-06-01"; val High = "9999-12-31"
+  /** q75 source-only-key injection (q68's discipline: the corpus has no
+    * natural source-only keys, so a shifted key exercises the insert
+    * branch). */
+  val Scd2InsertMod = 13L; val Scd2InsertShift = 20000000L
+
+  /** q76 grid: hourly instants, gaps capped at 48 h (beyond the cap the
+    * series is honestly absent, not hallucinated). */
+  val GridStepS = 3600L; val MaxGapS = 48L * 3600L
+
+  /** q77 histogram: $10k-wide buckets over price cents. */
+  val HistLo = 0L; val HistWidth = 1000000L; val HistBuckets = 12
+
+  /** q78: deterministic spike injection (uniform data has |z| < √3, so
+    * unpolluted fixtures would gate nothing) + the z threshold. */
+  val SpikeMod = 97L; val SpikeFactor = 21L; val ZScoreK = 3
+
+  /** q81 incremental cut: 2024-01-15T00:00:00Z. */
+  val CutS = 1705276800L
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,4)") * 10000).cast("long")
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------------------
+    // q75 — SCD2 history MERGE (MergeOps.scd2Merge): urgent-order
+    // revenue rolls into the customer dimension WITH history — matched
+    // keys close their old version at Eff and open a VIP row with the
+    // rebalanced account, source-only (shifted) keys insert, untouched
+    // customers keep their open row. One full-outer join; the 1-or-2
+    // output versions per key come from an exploded 2-array, never a
+    // second dimension scan.
+    // ------------------------------------------------------------------
+    "q75_scd2_history" -> GraftQuery(
+      build = (s, d) => {
+        val delta = orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(
+            when(col("o_custkey") % Scd2InsertMod === 0,
+              col("o_custkey") + Scd2InsertShift)
+              .otherwise(col("o_custkey")).as("c_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("bal_add"))
+        // c_nationkey pre-cast long: the old/new version structs must
+        // agree field-by-field (the insert branch writes -1L), and the
+        // oracle casts to BIGINT for the same reason
+        MergeOps.scd2Merge(
+          customer(s, d)
+            .withColumn("c_nationkey", col("c_nationkey").cast("long")),
+          delta, Seq("c_custkey"),
+          tracked = Map(
+            "c_mktsegment" -> lit("VIP"),
+            "c_acctbal" -> (col("t.c_acctbal").cast("decimal(18,4)")
+              + col("s.bal_add")).cast("double")),
+          onInsert = Map(
+            "c_name" -> lit("NEW"),
+            "c_nationkey" -> lit(-1L),
+            "c_acctbal" -> col("s.bal_add").cast("double"),
+            "c_mktsegment" -> lit("INSERTED")),
+          outputCols = Seq("c_custkey", "c_name", "c_nationkey",
+            "c_acctbal", "c_mktsegment"),
+          currentFrom = lit(D0), effDate = Eff, highDate = High)
+          .orderBy("c_custkey", "valid_from")
+      },
+      oracle = Some(s"""
+        WITH delta AS (
+          SELECT CASE WHEN o_custkey % $Scd2InsertMod = 0
+              THEN o_custkey + $Scd2InsertShift ELSE o_custkey END AS c_custkey,
+            sum(CAST(o_totalprice AS DECIMAL(18,4))) AS bal_add
+          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        m AS (SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+            t.c_mktsegment, s.bal_add
+          FROM customer t JOIN delta s USING (c_custkey))
+        SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+            c_acctbal, c_mktsegment,
+            '$D0' AS valid_from, '$High' AS valid_to, true AS is_current
+          FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM delta)
+        UNION ALL
+        SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT), c_acctbal,
+            c_mktsegment, '$D0', '$Eff', false
+          FROM m
+        UNION ALL
+        SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT),
+            CAST(CAST(c_acctbal AS DECIMAL(18,4)) + bal_add AS DOUBLE),
+            'VIP', '$Eff', '$High', true
+          FROM m
+        UNION ALL
+        SELECT s.c_custkey, 'NEW', CAST(-1 AS BIGINT),
+            CAST(s.bal_add AS DOUBLE), 'INSERTED', '$Eff', '$High', true
+          FROM delta s
+          WHERE s.c_custkey NOT IN (SELECT c_custkey FROM customer)
+        ORDER BY c_custkey, valid_from""")),
+
+    // ------------------------------------------------------------------
+    // q76 — gap-fill interpolation (TemporalOps.gapFillInterpolate):
+    // per-user event values resampled onto an hourly grid — every grid
+    // instant strictly inside an observation gap of ≤ 48 h gets the
+    // integer-lerp value. Grid rows are GENERATED per gap (sequence +
+    // explode), proportional to holes, never keys × calendar.
+    // ------------------------------------------------------------------
+    "q76_gap_fill" -> GraftQuery(
+      build = (s, d) => {
+        val pts = events(s, d).select(
+          col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("t_s"),
+          cents(col("value")).as("v"))
+        TemporalOps.gapFillInterpolate(pts, "user_id", "t_s", "event_id",
+          "v", GridStepS, MaxGapS)
+          .orderBy("user_id", "grid_t")
+      },
+      oracle = Some(s"""
+        WITH p AS (SELECT user_id, event_id,
+            epoch_us(ts) // 1000000 AS s,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+          FROM events),
+        pr AS (SELECT user_id, s AS t0, v AS v0,
+            lead(s) OVER w AS t1, lead(v) OVER w AS v1
+          FROM p WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        g AS (SELECT user_id, t0, v0, t1, v1,
+            unnest(generate_series(t0 // $GridStepS + 1,
+              (t1 - 1) // $GridStepS)) AS k
+          FROM pr
+          WHERE t1 IS NOT NULL AND t1 > t0 AND t1 - t0 <= $MaxGapS),
+        l AS (SELECT user_id, k * $GridStepS AS grid_t, v0,
+            (v1 - v0) * (k * $GridStepS - t0) AS num, t1 - t0 AS den
+          FROM g)
+        SELECT user_id, grid_t,
+          v0 + (num - ((num % den + den) % den)) // den AS v_interp
+        FROM l ORDER BY user_id, grid_t""")),
+
+    // ------------------------------------------------------------------
+    // q77 — equi-width histogram (StatsOps.histogram) of price cents in
+    // $10k buckets with clamped edges: one map-side-combined aggregate
+    // on a computed bucket id.
+    // ------------------------------------------------------------------
+    "q77_histogram" -> GraftQuery(
+      build = (s, d) =>
+        StatsOps.histogram(lineitem(s, d), cents(col("l_extendedprice")),
+          HistLo, HistWidth, HistBuckets)
+          .orderBy("bucket"),
+      oracle = Some(s"""
+        WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+            AS BIGINT) AS v FROM lineitem),
+        b AS (SELECT least(greatest((v - $HistLo) // $HistWidth, 0),
+            ${HistBuckets - 1}) AS bucket, v FROM c)
+        SELECT bucket, count(*) AS n, min(v) AS lo_v, max(v) AS hi_v
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // q78 — integer-exact z-score anomalies (StatsOps.zscoreFlags):
+    // (n·x − Σx)² > k²·(n·Σx² − (Σx)²) in DECIMAL(38,0)/HUGEINT — the
+    // float-free form of |x − mean| > k·σ, deterministic to the bit.
+    // Deterministic spikes (event_id ≡ 0 mod 97 → ×21) give the uniform
+    // fixture real outliers. Group stats broadcast back; the fact side
+    // never shuffles.
+    // ------------------------------------------------------------------
+    "q78_anomaly_zscore" -> GraftQuery(
+      build = (s, d) => {
+        val vc = events(s, d).select(
+          col("event_id"), col("event_type"),
+          (cents(col("value")) *
+            when(col("event_id") % SpikeMod === 0, SpikeFactor)
+              .otherwise(1L)).as("v"))
+        StatsOps.zscoreFlags(vc, "event_type", "v", ZScoreK)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+            min(when(col("is_outlier"), col("event_id"))).as("min_outlier_id"),
+            max(when(col("is_outlier"), col("event_id"))).as("max_outlier_id"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT event_id, event_type,
+            CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) *
+              CASE WHEN event_id % $SpikeMod = 0 THEN $SpikeFactor ELSE 1 END
+              AS HUGEINT) AS v
+          FROM events),
+        st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS zn,
+            sum(v) AS zs, sum(v * v) AS zss
+          FROM v GROUP BY event_type),
+        f AS (SELECT v.event_id, v.event_type,
+            (st.zn * v.v - st.zs) * (st.zn * v.v - st.zs) >
+              ${ZScoreK * ZScoreK} * (st.zn * st.zss - st.zs * st.zs)
+              AS is_outlier
+          FROM v JOIN st USING (event_type))
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers,
+          min(CASE WHEN is_outlier THEN event_id END) AS min_outlier_id,
+          max(CASE WHEN is_outlier THEN event_id END) AS max_outlier_id
+        FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q79 — ordered funnel (signup → click → purchase, strictly
+    // increasing time): each stage's reach time is the min over rows
+    // AFTER the previous stage — three tiny per-user aggregates chained
+    // by key joins; the events table shuffles once per stage on the
+    // SAME key, so AQE/exchange-reuse co-locates them.
+    // ------------------------------------------------------------------
+    "q79_funnel" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"), col("event_type"), expr("ts div 1000").as("t_us"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("t_us").as("t_signup"))
+        val s2 = ev.filter(col("event_type") === "click").as("e")
+          .join(s1.as("a"), col("e.user_id") === col("a.user_id") &&
+            col("e.t_us") > col("a.t_signup"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min("e.t_us").as("t_click"))
+        val s3 = ev.filter(col("event_type") === "purchase").as("e")
+          .join(s2.as("b"), col("e.user_id") === col("b.user_id") &&
+            col("e.t_us") > col("b.t_click"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min("e.t_us").as("t_purchase"))
+        ev.select("user_id").distinct()
+          .join(s1, Seq("user_id"), "left")
+          .join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .withColumn("stage",
+            when(col("t_purchase").isNotNull, 3L)
+              .when(col("t_click").isNotNull, 2L)
+              .when(col("t_signup").isNotNull, 1L)
+              .otherwise(0L))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us
+          FROM events),
+        s1 AS (SELECT user_id, min(t_us) AS t_signup FROM ev
+          WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.t_us) AS t_click
+          FROM ev e JOIN s1 a ON e.user_id = a.user_id
+            AND e.t_us > a.t_signup
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.t_us) AS t_purchase
+          FROM ev e JOIN s2 b ON e.user_id = b.user_id
+            AND e.t_us > b.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT u.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+          CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+            WHEN s2.t_click IS NOT NULL THEN 2
+            WHEN s1.t_signup IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+        ORDER BY u.user_id""")),
+
+    // ------------------------------------------------------------------
+    // q80 — single-pass column profile (StatsOps.profile): every
+    // column's null/distinct/min/max in ONE Aggregate (multi-distinct
+    // plans as one Expand + shuffle) vs the naive scan-per-column loop.
+    // Numeric/time columns profile a canonical integral ord so min/max
+    // stringify identically across engines.
+    // ------------------------------------------------------------------
+    "q80_column_profile" -> GraftQuery(
+      build = (s, d) =>
+        StatsOps.profile(lineitem(s, d), Seq(
+          StatsOps.ProfileCol("l_returnflag", col("l_returnflag")),
+          StatsOps.ProfileCol("l_linestatus", col("l_linestatus")),
+          StatsOps.ProfileCol("l_quantity", cents(col("l_quantity"))),
+          StatsOps.ProfileCol("l_orderkey", col("l_orderkey")),
+          StatsOps.ProfileCol("l_shipdate",
+            expr("unix_millis(CAST(l_shipdate AS TIMESTAMP))"))))
+          .orderBy("col_name"),
+      oracle = Some("""
+        SELECT 'l_returnflag' AS col_name, count(*) AS n_rows,
+          CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
+          count(DISTINCT l_returnflag) AS n_distinct,
+          CAST(min(l_returnflag) AS VARCHAR) AS min_v,
+          CAST(max(l_returnflag) AS VARCHAR) AS max_v FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', count(*),
+          CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT l_linestatus),
+          CAST(min(l_linestatus) AS VARCHAR),
+          CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(*),
+          CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
+            AS BIGINT)),
+          CAST(min(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT))
+            AS VARCHAR),
+          CAST(max(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT))
+            AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_orderkey', count(*),
+          CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT l_orderkey),
+          CAST(min(l_orderkey) AS VARCHAR),
+          CAST(max(l_orderkey) AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', count(*),
+          CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT epoch_ms(l_shipdate)),
+          CAST(min(epoch_ms(l_shipdate)) AS VARCHAR),
+          CAST(max(epoch_ms(l_shipdate)) AS VARCHAR) FROM lineitem
+        ORDER BY col_name""")),
+
+    // ------------------------------------------------------------------
+    // q81 — incremental aggregation maintenance (MergeOps.
+    // mergeAggStates): merge(agg(before cut), agg(after cut)) must
+    // equal agg(everything) — the invariant that lets a standing state
+    // table absorb a daily delta instead of recomputing 100 TB. The
+    // oracle computes the full aggregate directly, so the gate IS the
+    // equivalence proof.
+    // ------------------------------------------------------------------
+    "q81_incremental_agg" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"), expr("ts div 1000000000").as("t_s"),
+          cents(col("value")).as("v"))
+        def state(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id").agg(
+            count(lit(1)).as("n_events"), sum("v").as("sum_cents"))
+        MergeOps.mergeAggStates(
+          state(ev.filter(col("t_s") < CutS)),
+          state(ev.filter(col("t_s") >= CutS)),
+          Seq("user_id"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        SELECT user_id, count(*) AS n_events,
+          CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+            AS BIGINT) AS sum_cents
+        FROM events GROUP BY user_id ORDER BY user_id"""))
+  )
+}

@@ -17,10 +17,12 @@ class PlanAuditSpec extends SparkSuite {
     * C ≈ √N by construction). All are linear scans of the big side.
     * Everything else must plan hash/sort-merge joins. */
   /** q71's nested loop is the 1-row corpus-constants broadcast
-    * (N, avgdl) against the scored term rows — not a row-pair scan. */
+    * (N, avgdl) against the scored term rows — not a row-pair scan.
+    * q80's are the per-column 1-row × 1-row stat joins (StatsOps
+    * .profile: global stats × distinct count). */
   private val allowedNestedLoop =
     Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters",
-      "q66_int8_quantized_knn", "q71_bm25")
+      "q66_int8_quantized_knn", "q71_bm25", "q80_column_profile")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -46,4 +46,65 @@ class MergeOpsSpec extends SparkSuite {
     assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
       Seq((1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0)))
   }
+
+  test("scd2Merge: change closes + opens, no-op delta keeps one row, " +
+      "insert opens, untouched survives") {
+    // deltas: id=1 real change (bal 10→15), id=2 recomputes the SAME
+    // value (must NOT version), id=4 is new
+    val delta = Seq((1L, 15.0), (2L, 20.0), (4L, 5.0)).toDF("id", "nbal")
+    val out = MergeOps.scd2Merge(
+      target, delta, Seq("id"),
+      tracked = Map("bal" -> col("s.nbal")),
+      onInsert = Map("name" -> lit("NEW"), "bal" -> col("s.nbal")),
+      outputCols = Seq("id", "name", "bal"),
+      currentFrom = lit("2024-01-01"), effDate = "2024-06-01")
+      .orderBy("id", "valid_from")
+      .select("id", "name", "bal", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+      .toSeq
+    assert(out == Seq(
+      (1L, "alice", 10.0, "2024-01-01", "2024-06-01", false),
+      (1L, "alice", 15.0, "2024-06-01", "9999-12-31", true),
+      (2L, "bob", 20.0, "2024-01-01", "9999-12-31", true),
+      (3L, "carol", 30.0, "2024-01-01", "9999-12-31", true),
+      (4L, "NEW", 5.0, "2024-06-01", "9999-12-31", true)))
+  }
+
+  test("scd2Merge: exactly one current row per key, never zero") {
+    val delta = Seq((1L, 15.0), (4L, 5.0)).toDF("id", "nbal")
+    val hist = MergeOps.scd2Merge(
+      target, delta, Seq("id"),
+      tracked = Map("bal" -> col("s.nbal")),
+      onInsert = Map("name" -> lit("NEW"), "bal" -> col("s.nbal")),
+      outputCols = Seq("id", "name", "bal"),
+      currentFrom = lit("2024-01-01"), effDate = "2024-06-01")
+    val perKey = hist.groupBy("id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("open"))
+      .collect()
+    assert(perKey.forall(_.getLong(1) == 1L),
+      perKey.map(r => (r.getLong(0), r.getLong(1))).mkString(","))
+  }
+
+  test("mergeAggStates: merge of split states equals the unsplit aggregate") {
+    val rows = (1L to 100L).map(i => (i % 7, i)).toDF("k", "v")
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val direct = st(rows).orderBy("k").collect().toSeq
+    val merged = MergeOps.mergeAggStates(
+      st(rows.filter(col("v") <= 40)), st(rows.filter(col("v") > 40)),
+      Seq("k")).orderBy("k").collect().toSeq
+    assert(merged.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      direct.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  test("mergeAggStates: keys exclusive to one state pass through with " +
+      "the other side as zero") {
+    val a = Seq((1L, 2L, 10L)).toDF("k", "n", "s")
+    val b = Seq((2L, 3L, 30L)).toDF("k", "n", "s")
+    val out = MergeOps.mergeAggStates(a, b, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 10L), (2L, 3L, 30L)))
+  }
 }

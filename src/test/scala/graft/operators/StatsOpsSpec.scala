@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class StatsOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("histogram: width boundaries land right, edges clamp into end buckets") {
+    // lo=0 width=10 buckets=3: -5→0(clamp), 0→0, 9→0, 10→1, 29→2, 35→2(clamp)
+    val df = Seq(-5L, 0L, 9L, 10L, 29L, 35L).toDF("v")
+    val out = StatsOps.histogram(df, col("v"), 0L, 10L, 3)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((0L, 3L, -5L, 9L), (1L, 1L, 10L, 10L), (2L, 2L, 29L, 35L)))
+  }
+
+  test("zscoreFlags: flags exactly the rows with |x - mean| > k·σ, " +
+      "integer form agrees with the float definition") {
+    // group of 10: nine at 100, one at 1000 — mean 190, σ = √72900 = 270;
+    // k=2 → threshold 540: only the 1000 row (|810|) flags
+    val df = ((1 to 9).map(i => (i.toLong, "a", 100L)) :+ (10L, "a", 1000L))
+      .toDF("id", "g", "v")
+    val out = StatsOps.zscoreFlags(df, "g", "v", 2)
+      .filter(col("is_outlier")).select("id").as[Long].collect().toSeq
+    assert(out == Seq(10L))
+  }
+
+  test("zscoreFlags: a constant group (zero variance) flags nothing") {
+    val df = (1 to 5).map(i => (i.toLong, "a", 7L)).toDF("id", "g", "v")
+    val out = StatsOps.zscoreFlags(df, "g", "v", 3)
+      .filter(col("is_outlier")).count()
+    assert(out == 0L)
+  }
+
+  test("zscoreFlags broadcasts the stats side (fact table never shuffles " +
+      "for the flag join)") {
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}", i.toLong))
+      .toDF("id", "g", "v")
+    val plan = StatsOps.zscoreFlags(df, "g", "v", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("profile: per-column stats from one pass, nulls counted, " +
+      "canonical ord stringified") {
+    val df = Seq(
+      (Some("x"), Some(10L)), (Some("y"), None), (None, Some(30L)),
+      (Some("x"), Some(10L)))
+      .toDF("s", "n")
+    val out = StatsOps.profile(df, Seq(
+      StatsOps.ProfileCol("s", col("s")),
+      StatsOps.ProfileCol("n", col("n"))))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    assert(out == Seq(
+      ("n", 4L, 1L, 2L, "10", "30"),
+      ("s", 4L, 1L, 2L, "x", "y")))
+  }
+
+  test("profile never Expands rows or sorts them (the multi-distinct " +
+      "formulation does both — see StatsOps.profile scaladoc)") {
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("a", "b")
+    val plan = StatsOps.profile(df, Seq(
+      StatsOps.ProfileCol("a", col("a")),
+      StatsOps.ProfileCol("b", col("b"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TemporalOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("floorDiv floors (Spark div and DuckDB // both truncate)") {
+    val out = Seq((-7L, 3L), (7L, 3L), (-6L, 3L), (0L, 3L), (-1L, 3L))
+      .toDF("a", "b")
+      .select(TemporalOps.floorDiv(col("a"), col("b")).as("fd"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(-3L, 2L, -2L, 0L, -1L))
+  }
+
+  test("gapFillInterpolate: hourly grid inside a gap, exact integer lerp") {
+    // one key, fixes at t=1800 (v=100) and t=9000 (v=460): grid hours
+    // 3600 and 7200 fall inside; lerp is exact (slope 0.05/s)
+    val df = Seq((1L, 1800L, 1L, 100L), (1L, 9000L, 2L, 460L))
+      .toDF("k", "t", "id", "v")
+    val out = TemporalOps.gapFillInterpolate(df, "k", "t", "id", "v", 3600L, 86400L)
+      .orderBy("grid_t").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // v(3600) = 100 + (360*1800)/7200 = 190; v(7200) = 100 + 360*5400/7200 = 370
+    assert(out == Seq((3600L, 190L), (7200L, 370L)))
+  }
+
+  test("gapFillInterpolate: descending series floors like the oracle") {
+    // v drops 100 → 3 over (0, 7200]: grid 3600 lerps to 100 + floor(-97*3600/7200)
+    // = 100 + floor(-48.5) = 100 - 49 = 51 (truncation would give 52)
+    val df = Seq((1L, 1L, 1L, 100L), (1L, 7200L, 2L, 3L)).toDF("k", "t", "id", "v")
+    val out = TemporalOps.gapFillInterpolate(df, "k", "t", "id", "v", 3600L, 86400L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((3600L, 51L)))
+  }
+
+  test("gapFillInterpolate: gaps over the cap are left open, " +
+      "grid-aligned fixes do not re-emit themselves") {
+    val df = Seq(
+      (1L, 3600L, 1L, 0L), (1L, 10800L, 2L, 100L), // 2h gap: emits 7200 only
+      (2L, 0L, 3L, 0L), (2L, 200000L, 4L, 1L)      // 55h gap: over 48h cap
+    ).toDF("k", "t", "id", "v")
+    val out = TemporalOps.gapFillInterpolate(df, "k", "t", "id", "v",
+      3600L, 48L * 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 7200L)))
+  }
+
+  test("gapFillInterpolate: duplicate timestamps anchor on the last row " +
+      "in tiebreak order") {
+    val df = Seq((1L, 0L, 1L, 10L), (1L, 0L, 2L, 50L), (1L, 7200L, 3L, 50L))
+      .toDF("k", "t", "id", "v")
+    val out = TemporalOps.gapFillInterpolate(df, "k", "t", "id", "v", 3600L, 86400L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // the (t=0,id=2,v=50) row anchors → flat series, v(3600)=50
+    assert(out == Seq((3600L, 50L)))
+  }
+
+  test("gapFillInterpolate generates rows, never joins a calendar " +
+      "(single keyed window + generate in the plan)") {
+    val df = Seq((1L, 0L, 1L, 0L), (1L, 7200L, 2L, 72L)).toDF("k", "t", "id", "v")
+    val plan = TemporalOps.gapFillInterpolate(df, "k", "t", "id", "v", 3600L, 86400L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
