@@ -22,7 +22,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: AsofDirection = AsofBackward,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     s"as-of join needs matching non-empty key lists, " +
@@ -30,6 +32,14 @@ case class AsofJoin(
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time columns must agree in type: " +
       s"${leftTime.dataType} vs ${rightTime.dataType}")
+  require(tolerance.forall(_ >= 0), s"negative as-of tolerance: $tolerance")
+  require(tolerance.isEmpty || (leftTime.dataType match {
+    case org.apache.spark.sql.types.LongType
+       | org.apache.spark.sql.types.TimestampType
+       | org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }), s"as-of tolerance needs a long/timestamp time column, " +
+    s"got ${leftTime.dataType}")
 
   /** Left rows always survive; right columns are match-dependent. */
   override def output: Seq[Attribute] =
@@ -50,8 +60,17 @@ case class AsofJoin(
  */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case j: AsofJoin =>
+      AsofJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+        planLater(j.left), planLater(j.right), j.direction, j.tolerance) :: Nil
     case _ => Nil
   }
 }
+
+/** Which temporal neighbor an as-of match takes: the latest right row at
+  * or before the left time ([[AsofBackward]], the classic state-lookup),
+  * or the earliest at or after it ([[AsofForward]], "next event within
+  * tolerance" — pandas `merge_asof(direction=...)` names). */
+sealed trait AsofDirection
+case object AsofBackward extends AsofDirection
+case object AsofForward extends AsofDirection

@@ -41,7 +41,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    direction: AsofDirection = AsofBackward,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -87,31 +89,69 @@ case class AsofJoinExec(
         leftOut ++ rightOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.length)
-      // ONE buffered candidate: the latest right row at or before the
-      // current left time within the current key group
-      var candidate: InternalRow = null
-      var candidateKey: UnsafeRow = null
-      var rHead: InternalRow = null
-      lIter.map { lRow =>
-        val lk = lKey(lRow)
-        var advancing = true
-        while (advancing && (rHead != null || rIter.hasNext)) {
-          if (rHead == null) rHead = rIter.next()
-          val cmp = keyOrd.compare(rKey(rHead), lk)
-          if (cmp < 0) {
-            rHead = null // right key group already passed: discard
-          } else if (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(lRow)) <= 0) {
-            // match candidate; later rows in the group can only be better
-            candidate = rHead.copy()
-            candidateKey = rKey(rHead).copy()
-            rHead = null
-          } else {
-            advancing = false // right is ahead of this left row: stop
-          }
+      // tolerance reads the time fields as raw longs — legal for the
+      // LongType/Timestamp(NTZ) types the logical node admits (both are
+      // long-backed in InternalRow)
+      val tol = tolerance.getOrElse(Long.MaxValue)
+      def withinTol(lRow: InternalRow, rRow: InternalRow): Boolean =
+        tolerance.isEmpty || {
+          val lt = lTime(lRow).getLong(0); val rt = rTime(rRow).getLong(0)
+          (if (lt >= rt) lt - rt else rt - lt) <= tol
         }
-        val matched =
-          candidate != null && keyOrd.compare(candidateKey, lk) == 0
-        result(joined(lRow, if (matched) candidate else nullRight))
+      direction match {
+        case AsofBackward =>
+          // ONE buffered candidate: the latest right row at or before
+          // the current left time within the current key group
+          var candidate: InternalRow = null
+          var candidateKey: UnsafeRow = null
+          var rHead: InternalRow = null
+          lIter.map { lRow =>
+            val lk = lKey(lRow)
+            var advancing = true
+            while (advancing && (rHead != null || rIter.hasNext)) {
+              if (rHead == null) rHead = rIter.next()
+              val cmp = keyOrd.compare(rKey(rHead), lk)
+              if (cmp < 0) {
+                rHead = null // right key group already passed: discard
+              } else if (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(lRow)) <= 0) {
+                // match candidate; later rows in the group can only be better
+                candidate = rHead.copy()
+                candidateKey = rKey(rHead).copy()
+                rHead = null
+              } else {
+                advancing = false // right is ahead of this left row: stop
+              }
+            }
+            val matched = candidate != null &&
+              keyOrd.compare(candidateKey, lk) == 0 &&
+              withinTol(lRow, candidate)
+            result(joined(lRow, if (matched) candidate else nullRight))
+          }
+        case AsofForward =>
+          // no buffering at all: the first right row with key == lk and
+          // time >= left time IS the match (it is the nearest future
+          // row), and it must NOT be consumed — the next left row may
+          // need the same one. Rows the advance discards are strictly
+          // in the past of every remaining left row.
+          var rHead: InternalRow = null
+          lIter.map { lRow =>
+            val lk = lKey(lRow)
+            var advancing = true
+            while (advancing && (rHead != null || rIter.hasNext)) {
+              if (rHead == null) rHead = rIter.next()
+              val cmp = keyOrd.compare(rKey(rHead), lk)
+              if (cmp < 0 ||
+                  (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(lRow)) < 0)) {
+                rHead = null // behind this (and every later) left row
+              } else {
+                advancing = false
+              }
+            }
+            val matched = rHead != null &&
+              keyOrd.compare(rKey(rHead), lk) == 0 &&
+              withinTol(lRow, rHead)
+            result(joined(lRow, if (matched) rHead else nullRight))
+          }
       }
     }
   }

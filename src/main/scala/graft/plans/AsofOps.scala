@@ -28,12 +28,20 @@ object AsofOps {
 
   /**
    * Left-outer AS-OF join: every `left` row paired with the `right` row
-   * sharing `keys` that has the greatest `rightTimeCol <= leftTimeCol`
-   * (nulls when none). Output = left columns ++ right columns (right
-   * nullable); disambiguate shared names by renaming on the inputs.
+   * sharing `keys` that is its nearest temporal neighbor — the greatest
+   * `rightTimeCol <= leftTimeCol` ([[AsofBackward]], default) or the
+   * least `rightTimeCol >= leftTimeCol` ([[AsofForward]]); nulls when
+   * none. `toleranceUs` (same units as the time columns, which must be
+   * long/timestamp when set) additionally bounds |left − right|: an
+   * out-of-tolerance nearest neighbor emits nulls — pandas
+   * `merge_asof(tolerance=...)` semantics. Output = left columns ++
+   * right columns (right nullable); disambiguate shared names by
+   * renaming on the inputs.
    */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      direction: AsofDirection = AsofBackward,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = Bridge.analyzed(left)
@@ -46,6 +54,7 @@ object AsofOps {
     Bridge.ofRows(spark, AsofJoin(lp, rp,
       keys.map(k => resolve(lp.output, k._1)),
       keys.map(k => resolve(rp.output, k._2)),
-      resolve(lp.output, leftTimeCol), resolve(rp.output, rightTimeCol)))
+      resolve(lp.output, leftTimeCol), resolve(rp.output, rightTimeCol),
+      direction, toleranceUs))
   }
 }

@@ -38,6 +38,10 @@ object AnalyticsQueries {
   /** q81 incremental cut: 2024-01-15T00:00:00Z. */
   val CutS = 1705276800L
 
+  /** q83 interval half-width (2 h in µs) and the matching bin size:
+    * bin ≈ interval length ⇒ ≤ 2 bins per interval. */
+  val IvalUs = 7200L * 1000000L
+
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast("decimal(18,4)") * 10000).cast("long")
 
@@ -321,6 +325,47 @@ object AnalyticsQueries {
           CAST(min(epoch_ms(l_shipdate)) AS VARCHAR),
           CAST(max(epoch_ms(l_shipdate)) AS VARCHAR) FROM lineitem
         ORDER BY col_name""")),
+
+    // ------------------------------------------------------------------
+    // q83 — interval-overlap join WITHOUT the cross product
+    // (IntervalJoin.overlapJoin): error windows × purchase windows per
+    // user — which purchases fell inside two hours of an error. The
+    // range predicate becomes an equality hash join on (user, time
+    // bin); each overlapping pair emits exactly once (first-common-bin
+    // rule), the exact predicate filters survivors. The oracle is the
+    // plain inequality join — same answer, quadratic plan only the
+    // oracle can afford.
+    // ------------------------------------------------------------------
+    "q83_interval_overlap_join" -> GraftQuery(
+      build = (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), expr("ts div 1000").as("t_us"))
+        val a = e.filter(col("event_type") === "error").select(
+          col("event_id").as("err_id"), col("user_id").as("a_user"),
+          col("t_us").as("a_start"), (col("t_us") + IvalUs).as("a_end"))
+        val b = e.filter(col("event_type") === "purchase").select(
+          col("event_id").as("pur_id"), col("user_id").as("b_user"),
+          col("t_us").as("b_start"), (col("t_us") + IvalUs).as("b_end"))
+        graft.operators.IntervalJoin.overlapJoin(a, b,
+            Seq("a_user" -> "b_user"),
+            "a_start", "a_end", "b_start", "b_end", binSize = IvalUs)
+          .select(col("err_id"), col("pur_id"), col("a_user").as("user_id"),
+            (least(col("a_end"), col("b_end")) -
+              greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+          .orderBy("err_id", "pur_id")
+      },
+      oracle = Some(s"""
+        WITH a AS (SELECT event_id AS err_id, user_id,
+            epoch_us(ts) AS a_start, epoch_us(ts) + $IvalUs AS a_end
+          FROM events WHERE event_type = 'error'),
+        b AS (SELECT event_id AS pur_id, user_id AS b_user,
+            epoch_us(ts) AS b_start, epoch_us(ts) + $IvalUs AS b_end
+          FROM events WHERE event_type = 'purchase')
+        SELECT err_id, pur_id, user_id,
+          least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+        FROM a JOIN b ON user_id = b_user
+          AND a_start <= b_end AND b_start <= a_end
+        ORDER BY err_id, pur_id""")),
 
     // ------------------------------------------------------------------
     // q81 — incremental aggregation maintenance (MergeOps.

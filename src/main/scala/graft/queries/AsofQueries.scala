@@ -117,6 +117,54 @@ object AsofQueries {
       headline = true),
 
     // ------------------------------------------------------------------
+    // q82 — FORWARD as-of with tolerance through the native node: every
+    // non-error event paired with the user's NEXT error event, but only
+    // within one hour — the "what broke soon after this" query
+    // (pandas merge_asof(direction='forward', tolerance=...)). The
+    // forward merge needs NO buffered candidate at all: the first
+    // not-yet-passed right row IS the nearest future neighbor, so the
+    // scan is O(|L|+|R|) with zero state. An out-of-tolerance neighbor
+    // nulls out — equivalent to DuckDB's forward ASOF plus a post-CASE,
+    // because any other future row is even further away.
+    // ------------------------------------------------------------------
+    "q82_asof_forward_tolerance" -> GraftQuery(
+      build = (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        val leftDf = e.filter(col("event_type") =!= "error")
+        val rightDf = e.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as("error_event_id"))
+          .select(col("user_id").as("r_user_id"), col("ts_us").as("r_ts_us"),
+            col("error_event_id"))
+        graft.plans.AsofOps.asofJoin(leftDf, rightDf,
+            Seq("user_id" -> "r_user_id"), "ts_us", "r_ts_us",
+            direction = graft.plans.AsofForward, toleranceUs = Some(HourUs))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("event_type"),
+            col("error_event_id").as("next_error_event_id"),
+            col("r_ts_us").as("next_error_ts_us"),
+            (col("r_ts_us") - col("ts_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+            FROM events WHERE event_type <> 'error'),
+        r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS error_event_id
+            FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        j AS (SELECT l.event_id, l.user_id, l.ts_us, l.event_type,
+            r.error_event_id, r.ts_us AS r_ts_us
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.ts_us)
+        SELECT event_id, user_id, ts_us, event_type,
+          CASE WHEN r_ts_us - ts_us <= $HourUs THEN error_event_id END
+            AS next_error_event_id,
+          CASE WHEN r_ts_us - ts_us <= $HourUs THEN r_ts_us END
+            AS next_error_ts_us,
+          CASE WHEN r_ts_us - ts_us <= $HourUs THEN r_ts_us - ts_us END
+            AS gap_us
+        FROM j ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // q35 — range enrichment: events in the preceding hour per user,
     // restated as a value-RANGE window frame (the scalable twin of a
     // range self-join — no pair explosion, one sort per user).

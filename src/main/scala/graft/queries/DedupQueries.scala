@@ -341,6 +341,34 @@ object DedupQueries {
         SELECT node, cc.component, cluster_size,
           CAST(node = cc.component AS INT) AS keep
         FROM cc JOIN sz ON cc.component = sz.component
-        ORDER BY node"""))
+        ORDER BY node""")),
+
+    // ------------------------------------------------------------------
+    // q84 — edit-distance-1 similarity join (StringSimilarity
+    // .editDistanceOnePairs, FastSS deletion neighborhoods): customer
+    // names within one typo of each other. The fuzzy predicate becomes
+    // an EQUALITY join on deletion variants (n+1 per string, linear),
+    // exact levenshtein only on surviving candidates — the same
+    // candidates-by-bucket discipline as MinHash (q23) and SimHash
+    // (q62), for the edit-distance metric those can't express. The
+    // oracle pays the quadratic levenshtein cross join the engine
+    // exists to avoid.
+    // ------------------------------------------------------------------
+    "q84_edit_distance_join" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.StringSimilarity.editDistanceOnePairs(
+          Tables.customer(s, d), "c_custkey", "c_name")
+          .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+            col("str_a").as("name_a"), col("str_b").as("name_b"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("custkey_a", "custkey_b"),
+      oracle = Some("""
+        SELECT c1.c_custkey AS custkey_a, c2.c_custkey AS custkey_b,
+          c1.c_name AS name_a, c2.c_name AS name_b,
+          CAST(levenshtein(c1.c_name, c2.c_name) AS BIGINT) AS dist
+        FROM customer c1 JOIN customer c2
+          ON c1.c_custkey < c2.c_custkey
+          AND levenshtein(c1.c_name, c2.c_name) <= 1
+        ORDER BY custkey_a, custkey_b"""))
   )
 }

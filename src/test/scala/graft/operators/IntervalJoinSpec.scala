@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class IntervalJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def a = Seq(
+    // (aid, key, start, end)
+    (1L, "k", 0L, 10L), (2L, "k", 25L, 40L), (3L, "k", 100L, 200L),
+    (4L, "other", 0L, 1000L)
+  ).toDF("aid", "ka", "a_s", "a_e")
+
+  private def b = Seq(
+    (10L, "k", 5L, 8L),     // inside a1
+    (11L, "k", 10L, 20L),   // touches a1's end (inclusive) only
+    (12L, "k", 41L, 50L),   // just misses a2
+    (13L, "k", 30L, 150L),  // spans a2 AND a3 — two pairs
+    (14L, "zzz", 0L, 999L)  // key matches nothing
+  ).toDF("bid", "kb", "b_s", "b_e")
+
+  private def pairs(binSize: Long) =
+    IntervalJoin.overlapJoin(a, b, Seq("ka" -> "kb"),
+      "a_s", "a_e", "b_s", "b_e", binSize)
+      .select("aid", "bid").orderBy("aid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private val expected = Seq((1L, 10L), (1L, 11L), (2L, 13L), (3L, 13L))
+
+  test("overlap pairs: inclusive endpoints, multi-bin spans, " +
+      "disjoint and wrong-key rows excluded") {
+    assert(pairs(16L) == expected)
+  }
+
+  test("every pair emits exactly once regardless of bin size " +
+      "(first-common-bin rule, no dedup shuffle)") {
+    for (bin <- Seq(1L, 3L, 7L, 64L, 1000L))
+      assert(pairs(bin) == expected, s"binSize=$bin")
+  }
+
+  test("the plan is an equality hash join, not a nested loop") {
+    val plan = IntervalJoin.overlapJoin(a, b, Seq("ka" -> "kb"),
+      "a_s", "a_e", "b_s", "b_e", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class StringSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "kitten"),  // vs 2: substitution (sitten)
+    (2L, "sitten"),
+    (3L, "kitte"),   // vs 1: deletion
+    (4L, "kittens"), // vs 1: insertion
+    (5L, "kitten"),  // vs 1: equal
+    (6L, "mitten"),  // vs 1/2: substitution
+    (7L, "bolero")   // far from everything
+  ).toDF("id", "s")
+
+  test("finds substitution, insertion, deletion and equality pairs; " +
+      "excludes distance >= 2") {
+    val out = StringSimilarity.editDistanceOnePairs(df, "id", "s")
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 5L), (2L, 6L),
+      (3L, 5L),
+      (4L, 5L),
+      (5L, 6L)))
+    // NOT present: (2,3) sitten/kitte = 2, (3,4) kitte/kittens = 2,
+    // (2,4) = 2, (3,6)/(4,6) = 2, anything with 7
+  }
+
+  test("false candidates sharing a variant at distance 2 are reranked away") {
+    // "ab" and "cb" share variant "b" (delete first char each side) at
+    // distance 1 — kept; "abc" and "cbc"? distance 1 too. Use "axb" vs
+    // "ayc": share nothing. True distance-2 sharing a variant: "ax" and
+    // "ya" share variant "a"; levenshtein(ax, ya) = 2 — must be gone.
+    val d2 = Seq((1L, "ax"), (2L, "ya")).toDF("id", "s")
+    assert(StringSimilarity.editDistanceOnePairs(d2, "id", "s").count() == 0)
+  }
+
+  test("the candidate join is an equality join on variants, never a " +
+      "cartesian levenshtein sweep") {
+    val plan = StringSimilarity.editDistanceOnePairs(df, "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -126,6 +126,53 @@ class AsofJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(filtered.count() === expect)
   }
 
+  test("forward direction: earliest at-or-after match, inclusive tie, " +
+      "first-in-sort-order on tied right rows") {
+    val out = AsofOps.asofJoin(trades, quotes,
+        Seq("sym" -> "q_sym"), "t", "q_t", direction = AsofForward)
+      .select(col("trade_id"), col("px")).orderBy("trade_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq === Seq(
+      1L -> 100L, // exact tie t=10 matches inclusively
+      2L -> 102L, // next future quote is t=25
+      3L -> -1L,  // no quote at/after t=30 -> null
+      4L -> -1L,  // key with no right rows -> null
+      5L -> 300L)) // t=60 quote is ahead of the t=50 trade
+    val dupQuotes = Seq(("a", 10L, 1L), ("a", 10L, 2L)).toDF("q_sym", "q_t", "px")
+    val tied = AsofOps.asofJoin(trades.filter(col("trade_id") === 1), dupQuotes,
+        Seq("sym" -> "q_sym"), "t", "q_t", direction = AsofForward)
+      .select(col("px")).collect()
+    assert(tied.map(_.getLong(0)).toSeq === Seq(1L)) // first in sort order
+  }
+
+  test("tolerance: an out-of-tolerance nearest neighbor emits nulls, " +
+      "both directions") {
+    // backward: trade t=30 matches quote t=25 (gap 5); tolerance 4 nulls it
+    val back = AsofOps.asofJoin(trades, quotes,
+        Seq("sym" -> "q_sym"), "t", "q_t", toleranceUs = Some(4L))
+      .select(col("trade_id"), col("px")).orderBy("trade_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(back.toSeq === Seq(
+      1L -> 100L, // gap 0 <= 4
+      2L -> -1L,  // nearest past quote t=15, gap 5 > 4
+      3L -> -1L,  // nearest past quote t=25, gap 5 > 4
+      4L -> -1L, 5L -> -1L))
+    // forward: trade t=50 vs quote t=60 (gap 10); tolerance 9 nulls it
+    val fwd = AsofOps.asofJoin(trades.filter(col("trade_id") === 5), quotes,
+        Seq("sym" -> "q_sym"), "t", "q_t",
+        direction = AsofForward, toleranceUs = Some(9L))
+      .select(col("px")).collect()
+    assert(fwd.head.isNullAt(0))
+  }
+
+  test("tolerance on a non-integral time column is rejected at build") {
+    val l = Seq(("a", "x")).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      AsofOps.asofJoin(l, l.select(col("k").as("rk"), col("t").as("rt")),
+        Seq("k" -> "rk"), "t", "rt", toleranceUs = Some(1L))
+    }
+  }
+
   implicit class NoopWriter(df: org.apache.spark.sql.DataFrame) {
     def noop(): Unit = df.write.format("noop").mode("overwrite").save()
   }
