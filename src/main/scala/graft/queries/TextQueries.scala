@@ -42,6 +42,10 @@ object TextQueries {
     * both engines. No quote characters — embedded as a SQL literal. */
   val RepetitionFixtureText: String = Seq.fill(30)("spam ham eggs").mkString(" ")
 
+  /** q85 quality gates (length floor + whitespace-token floor). */
+  val Q85MinChars = 200L
+  val Q85MinTokens = 30L
+
   /** DuckDB twin of TextDedup.shingles for word bigrams (the q48 gram
     * unit; mirrors DedupQueries' general-n helper at n = 2). */
   private def sqlBigrams(t: String): String =
@@ -274,6 +278,83 @@ object TextQueries {
         SELECT doc_id, lang, hash_bucket FROM h
         WHERE hash_bucket < $rateCase
         ORDER BY doc_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q85 — the END-TO-END corpus build: language gate → quality gate →
+    // exact dedup (keep-first) → stratified mix → context-window
+    // packing, one declarative plan. Every stage is an operator the
+    // registry already gates in isolation (q27/q28-family filters, q22
+    // dedup, q46 sampling, q45 packing); this query proves they COMPOSE
+    // — the thing a user actually runs nightly over 100 TB — and the
+    // oracle recomputes the whole chain as one CTE pipeline. An
+    // injected duplicate slice (every 10th doc re-labeled) must die at
+    // the dedup stage, never reach packing. Scale: filters at scan
+    // speed, ONE row shuffle on the content hash (dedup window), the
+    // sample filter per-row, packing per-shard — no stage re-reads the
+    // corpus.
+    // ------------------------------------------------------------------
+    "q85_corpus_pipeline" -> GraftQuery(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        val dup = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("lang"),
+            col("text"), col("n_chars"))
+        val corpus = graft.operators.ScanOps
+          .spreadSmallInput(base.unionByName(dup), col("doc_id"))
+        val gated = corpus
+          .filter(col("lang").isin("en", "de"))
+          .filter(col("n_chars") >= Q85MinChars &&
+            wsTokenCount(col("text")) >= Q85MinTokens)
+        val deduped = gated
+          .withColumn("__rep", min("doc_id")
+            .over(Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("__rep"))
+        val mixed = CorpusAssembly.stratifiedSample(
+          deduped.select(col("doc_id"), col("lang"), col("text")),
+          "text", "lang", SampleRates)
+        val docs = mixed.select(col("doc_id"),
+          (col("doc_id") % 8).as("shard"),
+          wsTokenCount(col("text")).as("n_tokens"))
+        CorpusAssembly.binStats(
+          CorpusAssembly.packBins(docs, "doc_id", "n_tokens", "shard", 512L),
+          "shard", "n_tokens", "doc_id")
+          .orderBy("shard", "bin")
+      },
+      oracle = Some {
+        val rateCase = SampleRates.toSeq.sortBy(_._1)
+          .map { case (l, r) => s"WHEN '$l' THEN $r" }
+          .mkString("CASE lang ", " ", " ELSE 0 END")
+        s"""
+        WITH base(doc_id, lang, text, n_chars) AS (
+          SELECT doc_id, lang, text, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 500000, lang, text, n_chars FROM documents
+          WHERE doc_id % 10 = 0),
+        gated AS (SELECT doc_id, lang, text FROM base
+          WHERE lang IN ('en', 'de') AND n_chars >= $Q85MinChars
+            AND len(${sqlTokens("text")}) >= $Q85MinTokens),
+        dd AS (SELECT doc_id, lang, text FROM (
+            SELECT gated.*, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+            FROM gated) WHERE doc_id = rep),
+        mixed AS (SELECT doc_id, lang, text FROM dd
+          WHERE (CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+            % ${CorpusAssembly.RateDenominator} < $rateCase),
+        t AS (SELECT doc_id, doc_id % 8 AS shard,
+            CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens FROM mixed),
+        c AS (SELECT doc_id, shard, n_tokens,
+            coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t),
+        b AS (SELECT shard, doc_id, n_tokens,
+            CAST(floor(CAST(cum_before AS DOUBLE) / 512.0) AS BIGINT) AS bin
+          FROM c)
+        SELECT shard, bin, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM b GROUP BY shard, bin ORDER BY shard, bin"""
       }),
 
     // ------------------------------------------------------------------
