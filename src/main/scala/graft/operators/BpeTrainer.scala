@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE merge-rule training as a declarative driver loop — the iterative
+ * fixed-point family (GraphOps.pageRankFixed, VectorSearch
+ * .trainCentroids) applied to the tokenizer-training step of an LLM
+ * data pipeline. Each round: count adjacent token pairs over the
+ * weighted vocabulary, pick the argmax pair (deterministic tie-break:
+ * weight desc, pair asc), rewrite the vocabulary with the merge, and
+ * record the rule — textbook Sennrich et al. 2016 BPE over a word
+ * vocabulary.
+ *
+ * Representation trick shared with the oracle: a word's token sequence
+ * is ONE delimited string `|t1||t2||t3|` — every token carries its own
+ * `|` on both sides, so the greedy-leftmost non-overlapping merge of
+ * pair (p,q) is exactly `regexp_replace(s, '\|p\|\|q\|', '|pq|')`
+ * scanning left to right. No lookahead needed (DuckDB's RE2 has none),
+ * and Java regex and RE2 agree on replace-all semantics. Tokens are
+ * lowercase-alpha by construction, so no other escaping exists.
+ *
+ * Scale shape: the vocabulary is a capped top-K word table (BPE trains
+ * on vocab+counts, not the corpus — the ONE heavy corpus scan is the
+ * word count that builds it). Each round shuffles only (pair, weight)
+ * rows; the argmax is a 1-row driver decision per round, same as the
+ * PageRank convergence probe. Rounds are inherently sequential — that
+ * is BPE, not a Spark limitation.
+ */
+object BpeTrainer {
+
+  /** Build the weighted vocabulary in delimited-token form from a word
+    * stream: top `vocabSize` (count desc, word asc) for a bounded,
+    * deterministic training set. */
+  def vocab(words: DataFrame, wordCol: String, vocabSize: Int): DataFrame =
+    words.groupBy(col(wordCol).as("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabSize)
+      .select(
+        concat(lit("|"),
+          array_join(expr(s"filter(split(word, ''), c -> c <> '')"), "||"),
+          lit("|")).as("s"),
+        col("cnt"))
+
+  /** One merge round: weighted adjacent-pair counts over the delimited
+    * vocabulary. Returns (pair "p q", weight). */
+  def pairCounts(v: DataFrame): DataFrame =
+    v.select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(split(substring(s, 2, length(s) - 2),
+           '\\|\\|')) - 1),
+           i -> concat(element_at(split(substring(s, 2, length(s) - 2),
+             '\\|\\|'), i), ' ',
+             element_at(split(substring(s, 2, length(s) - 2), '\\|\\|'),
+               i + 1)))""")).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("weight"))
+
+  /**
+   * Train `nMerges` rules. Returns (step, pair, weight) for each chosen
+   * rule (step 1..nMerges) plus, at step nMerges+1, the `topKAfter`
+   * strongest remaining pairs — the post-training pair table a gate can
+   * hash. Empty-pair rounds stop early.
+   */
+  def train(spark: SparkSession, words: DataFrame, wordCol: String,
+      vocabSize: Int, nMerges: Int, topKAfter: Int): DataFrame = {
+    import spark.implicits._
+    // cache the vocab base: every round's action re-derives its lineage,
+    // and without the pin the corpus-scale word count would re-run once
+    // per merge round; cached, rounds re-apply only their regex layers
+    // over `vocabSize` rows
+    var v = vocab(words, wordCol, vocabSize).cache()
+    var rules = List.empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = pairCounts(v)
+        .orderBy(col("weight").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        val weight = top.head.getLong(1)
+        rules ::= ((step, pair, weight))
+        val Array(p, q) = pair.split(" ", 2)
+        v = v.select(
+          regexp_replace(col("s"),
+            lit("\\|" + p + "\\|\\|" + q + "\\|"), lit("|" + p + q + "|"))
+            .as("s"),
+          col("cnt"))
+      }
+      step += 1
+    }
+    val ruleDf = rules.reverse.toDF("step", "pair", "weight")
+    val after = pairCounts(v)
+      .orderBy(col("weight").desc, col("pair")).limit(topKAfter)
+      .select(lit(nMerges + 1).as("step"), col("pair"), col("weight"))
+    ruleDf.unionByName(after)
+  }
+}

@@ -46,6 +46,12 @@ object TextQueries {
   val Q85MinChars = 200L
   val Q85MinTokens = 30L
 
+  /** q86 BPE training geometry: top-200 word vocab, 3 merge rounds,
+    * top-20 post-training pair table. */
+  val BpeVocab = 200
+  val BpeMerges = 3
+  val BpeTopK = 20
+
   /** DuckDB twin of TextDedup.shingles for word bigrams (the q48 gram
     * unit; mirrors DedupQueries' general-n helper at n = 2). */
   private def sqlBigrams(t: String): String =
@@ -355,6 +361,70 @@ object TextQueries {
           CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM b GROUP BY shard, bin ORDER BY shard, bin"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q86 — BPE merge-rule training (BpeTrainer.train): 3 rounds of
+    // count-pairs → argmax → rewrite over the top-200 word vocabulary —
+    // the iterative-driver-loop family (PageRank q67, k-means q43/q56)
+    // applied to tokenizer training. The vocabulary travels as
+    // double-delimited strings (|t1||t2||t3|) so the greedy-leftmost
+    // merge is ONE regexp_replace with identical Java/RE2 semantics;
+    // the oracle unrolls the three rounds as CTE stages and must
+    // reproduce every chosen rule and the post-training pair table
+    // bit-for-bit.
+    // ------------------------------------------------------------------
+    "q86_bpe_train" -> GraftQuery(
+      build = (s, d) => {
+        val words = documents(s, d)
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")).between(3, 12))
+        graft.operators.BpeTrainer
+          .train(s, words, "w", BpeVocab, BpeMerges, BpeTopK)
+          .orderBy(col("step"), col("weight").desc, col("pair"))
+      },
+      oracle = Some {
+        def pairsOf(v: String) = s"""
+          SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(substr(s, 2, length(s) - 2), '||')
+              AS t FROM $v))
+          GROUP BY pair"""
+        def merged(v: String, m: String) = s"""
+          SELECT regexp_replace($v.s,
+              '\\|' || split_part($m.pair, ' ', 1) || '\\|\\|'
+                || split_part($m.pair, ' ', 2) || '\\|',
+              '|' || replace($m.pair, ' ', '') || '|', 'g') AS s, $v.cnt
+          FROM $v, $m"""
+        s"""
+        WITH w AS (
+          SELECT w AS word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+          WHERE length(w) BETWEEN 3 AND 12
+          GROUP BY w ORDER BY cnt DESC, word LIMIT $BpeVocab),
+        v0 AS (SELECT '|' || array_to_string(
+            list_filter(string_split(word, ''), c -> c <> ''), '||') || '|'
+            AS s, cnt FROM w),
+        p1 AS (${pairsOf("v0")}),
+        m1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
+        v1 AS (${merged("v0", "m1")}),
+        p2 AS (${pairsOf("v1")}),
+        m2 AS (SELECT pair, weight FROM p2 ORDER BY weight DESC, pair LIMIT 1),
+        v2 AS (${merged("v1", "m2")}),
+        p3 AS (${pairsOf("v2")}),
+        m3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1),
+        v3 AS (${merged("v2", "m3")}),
+        p4 AS (${pairsOf("v3")})
+        SELECT CAST(step AS INT) AS step, pair, weight FROM (
+          SELECT 1 AS step, pair, weight FROM m1
+          UNION ALL SELECT 2, pair, weight FROM m2
+          UNION ALL SELECT 3, pair, weight FROM m3
+          UNION ALL SELECT * FROM (
+            SELECT ${BpeMerges + 1} AS step, pair, weight FROM p4
+            ORDER BY weight DESC, pair LIMIT $BpeTopK))
+        ORDER BY step, weight DESC, pair"""
       }),
 
     // ------------------------------------------------------------------
