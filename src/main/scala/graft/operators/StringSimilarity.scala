@@ -38,31 +38,49 @@ object StringSimilarity {
    * edit distance 1. Output: (id_a, id_b, str_a, str_b, dist).
    */
   def editDistanceOnePairs(df: DataFrame, id: String, str: String): DataFrame = {
-    // pos 0 = the string itself; pos i >= 1 deletes character i
+    // pos 0 = the string itself; pos i >= 1 deletes character i.
+    // positions explode FIRST (a cheap int-array Generate) and the
+    // variant is an ordinary substring/concat projection — a
+    // `transform` lambda building the variant array is CodegenFallback
+    // and evicts the whole projection from codegen (verify-skill note),
+    // measured ~2× on this operator's generate stage
     val variants = df.select(col(id).as("__sid"), col(str).as("__s"))
       .select(col("__sid"), col("__s"),
-        posexplode(expr(
-          """transform(sequence(0, length(__s)),
-             i -> if(i = 0, __s,
-                     concat(substring(__s, 1, i - 1), substring(__s, i + 1))))"""))
-          .as(Seq("__pos", "__variant")))
+        explode(expr("sequence(0, length(__s))")).as("__pos"))
+      .select(col("__sid"), col("__s"), col("__pos"),
+        when(col("__pos") === 0, col("__s"))
+          .otherwise(concat(
+            expr("substring(__s, 1, __pos - 1)"),
+            expr("substring(__s, __pos + 1, length(__s))")))
+          .as("__variant"))
     def side(suffix: String) = variants.select(
       col("__sid").as(s"id_$suffix"), col("__s").as(s"str_$suffix"),
       col("__pos").as(s"__pos_$suffix"), col("__variant").as(s"__v_$suffix"))
     val a = side("a")
     val b = side("b")
-    val ordered = col("id_a") < col("id_b")
-    // substitution / equality: same deletion position, equal remainder
+    // substitution / equality: same deletion position, equal remainder —
+    // the one genuine variant self-join (n+1 rows per string both sides)
     val subs = a.join(b,
       col("__v_a") === col("__v_b") && col("__pos_a") === col("__pos_b") &&
-        ordered)
-    // indel: one side whole (__pos = 0) equals the other's deletion
-    val insL = a.filter(col("__pos_a") === 0).join(
-      b.filter(col("__pos_b") >= 1), col("__v_a") === col("__v_b") && ordered)
-    val insR = a.filter(col("__pos_a") >= 1).join(
-      b.filter(col("__pos_b") === 0), col("__v_a") === col("__v_b") && ordered)
-    subs.unionByName(insL).unionByName(insR)
+        col("id_a") < col("id_b"))
       .select("id_a", "id_b", "str_a", "str_b")
+    // indel: the pos-0 side's variant IS its whole string, so these arms
+    // join the |rows|-sized STRINGS table (broadcastable) against the
+    // deletion variants — no second shuffle+sort of the variant table
+    // (the three-way variant self-join formulation paid six of them)
+    val strings = df.select(col(id).as("__wid"), col(str).as("__wstr"))
+    val dels = variants.filter(col("__pos") >= 1)
+      .select(col("__sid").as("__did"), col("__s").as("__dstr"),
+        col("__variant").as("__dv"))
+    val insL = strings.join(dels,
+        col("__wstr") === col("__dv") && col("__wid") < col("__did"))
+      .select(col("__wid").as("id_a"), col("__did").as("id_b"),
+        col("__wstr").as("str_a"), col("__dstr").as("str_b"))
+    val insR = strings.join(dels,
+        col("__wstr") === col("__dv") && col("__did") < col("__wid"))
+      .select(col("__did").as("id_a"), col("__wid").as("id_b"),
+        col("__dstr").as("str_a"), col("__wstr").as("str_b"))
+    subs.unionByName(insL).unionByName(insR)
       // dedup the multi-arm hits (equal strings match at every shared
       // position; repeated-char indels match per duplicate deletion)
       .distinct()
