@@ -427,4 +427,115 @@ object VectorSearch {
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — Jégou et al. 2011, the fourth classic
+  // ANN memory geometry beside brute/LSH/IVF: split each vector into
+  // [[PqSubspaces]] subvectors, encode every subvector as its nearest
+  // codeword from a per-subspace codebook (PqCodes entries), and answer
+  // queries by Asymmetric Distance Computation — the query precomputes
+  // its distance to every codeword once, and each corpus vector's
+  // approximate distance is M table lookups + M-1 adds.
+  // --------------------------------------------------------------------
+
+  /** PQ geometry: 64 dims = 4 × 16, 16 codewords per subspace → a
+    * 4-byte code per vector (16× smaller than int8, 64× than float32). */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+  val PqCodes = 16
+
+  /** Subvector s (0-based) of a double-array column. */
+  def pqSub(v: Column, s: Int): Column = slice(v, s * PqSubDim + 1, PqSubDim)
+
+  /** CASE over the exploded `sub` column: the matching literal-index
+    * subvector of `v` (a chained `when`, one arm per subspace). */
+  private def bySub(v: Column): Column =
+    (1 until PqSubspaces).foldLeft(when(col("sub") === 0, pqSub(v, 0))) {
+      (acc, s) => acc.when(col("sub") === s, pqSub(v, s))
+    }
+
+  /** Squared L2 distance with the FIXED evaluation order both engines
+    * reproduce: (dot(a,a) − 2·dot(a,b)) + dot(b,b). */
+  def sqDist(a: Column, b: Column): Column =
+    dotD(a, a) - lit(2.0) * dotD(a, b) + dotD(b, b)
+
+  /**
+   * Per-subspace codebooks from a deterministic scale-independent
+   * sample (`codebookIds` rows, code = rank by id): production would
+   * train each with [[trainCentroids]] — the training story is proven
+   * by q43/q56; the sampling keeps the q87 oracle tractable.
+   * Output: (sub, code, cv) — PqSubspaces × PqCodes rows.
+   */
+  def pqCodebooks(base: DataFrame, idCol: String, vecCol: String,
+      codebookIds: Column): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    val seeds = base.filter(codebookIds)
+      .select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("code", row_number().over(w).cast(LongType) - 1)
+      .filter(col("code") < PqCodes)
+    seeds.select(col("code"),
+        explode(typedlit((0 until PqSubspaces).toArray)).as("sub"),
+        col("v"))
+      .select(col("sub").cast(LongType).as("sub"), col("code"),
+        bySub(col("v")).as("cv"))
+  }
+
+  /** Encode the corpus: nearest codeword per (vector, subspace) —
+    * sub-exploded corpus equi-joined to the broadcast codebooks, argmin
+    * via a map-side-combined `min(struct(dist, code))`, then the M
+    * codes pivoted back to one row per vector. Only (id, M codes) come
+    * out — the 16×-compressed representation that is PQ's point. */
+  def pqEncode(base: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val subRows = base
+      .select(col(idCol), toDouble(col(vecCol)).as("v"),
+        explode(typedlit((0 until PqSubspaces).toArray)).as("sub"))
+      .select(col(idCol), col("sub").cast(LongType).as("sub"),
+        bySub(col("v")).as("sv"))
+    val pivots = (0 until PqSubspaces).map(s =>
+      max(when(col("sub") === s, col("best.code"))).as(s"c$s"))
+    subRows.join(broadcast(codebooks), Seq("sub"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(sqDist(col("sv"), col("cv")).as("d"),
+        col("code").as("code"))).as("best"))
+      .groupBy(col(idCol))
+      .agg(pivots.head, pivots.tail: _*)
+  }
+
+  /**
+   * ADC top-k: each query turns the codebooks into ONE flat distance
+   * table (PqSubspaces × PqCodes doubles, ordered (sub, code)), the
+   * 5-query frame broadcasts against the encoded corpus, and the
+   * approximate distance is M `element_at` lookups added LEFT TO RIGHT
+   * (deterministic — a group-sum over subspaces would add in shuffle
+   * order). The corpus side carries 4 small longs per row; nothing
+   * vector-sized shuffles.
+   */
+  def pqTopK(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebookIds: Column, k: Int = 5): DataFrame = {
+    val books = pqCodebooks(base, idCol, vecCol, codebookIds)
+    val codes = pqEncode(ScanOps.spreadSmallInput(base, col(idCol)),
+      idCol, vecCol, books)
+    val qsub = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(books))
+      .select(col("query_id"), col("sub"), col("code"),
+        sqDist(bySub(col("qv")), col("cv")).as("d2"))
+    val dtab = qsub.groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("sub") * PqCodes + col("code")).as("idx"), col("d2"))))
+        .as("dt"))
+      .select(col("query_id"),
+        expr("transform(dt, x -> x.d2)").as("dar"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes.join(broadcast(dtab), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (0 until PqSubspaces).map(s =>
+          element_at(col("dar"), (lit(s * PqCodes) + col(s"c$s") + 1)
+            .cast(IntegerType)))
+          .reduce(_ + _).as("adist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -264,6 +264,74 @@ object VectorQueries {
               ORDER BY qcosine DESC, neighbor_id) AS BIGINT) AS rnk
           FROM scored)
         SELECT query_id, neighbor_id, qcosine, rnk FROM ranked
-        WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+        WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q87 — PRODUCT QUANTIZATION ADC top-k (VectorSearch.pqTopK): the
+    // fourth classic ANN geometry (Jégou 2011) beside brute (q25),
+    // LSH (q26), IVF (q43) and scalar int8 (q66). 64 dims = 4 × 16-dim
+    // subspaces × 16 codewords → a 4-long code per vector; the query
+    // precomputes one flat 64-entry distance table and every corpus
+    // distance is 4 lookups added left-to-right (a group-sum would add
+    // in shuffle order — the one nondeterminism PQ invites). Codebooks
+    // come from a scale-independent deterministic sample (training is
+    // q43/q56's proven story); the oracle re-derives codebooks, codes
+    // and ADC distances bit-for-bit.
+    // ------------------------------------------------------------------
+    "q87_pq_adc_topk" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        VectorSearch.pqTopK(emb,
+          emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500),
+          "vec_id", "embedding",
+          codebookIds = col("vec_id") % 25 === 0 && col("vec_id") < 400)
+          .orderBy("query_id", "rnk")
+      },
+      oracle = Some {
+        def sq(a: String, b: String) =
+          s"(${sqlDot(a, a)} - 2.0 * ${sqlDot(a, b)} + ${sqlDot(b, b)})"
+        def subOf(v: String) = (0 until PqSubspaces).map { sIdx =>
+          s"WHEN $sIdx THEN $v[${sIdx * PqSubDim + 1}:${(sIdx + 1) * PqSubDim}]"
+        }.mkString("CASE sub ", " ", " ELSE NULL END")
+        s"""
+        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v
+          FROM embeddings),
+        subs(sub) AS (SELECT unnest(range(0, $PqSubspaces))),
+        seeds AS (SELECT vec_id, v, code FROM (
+            SELECT vec_id, v,
+              CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code
+            FROM base WHERE vec_id % 25 = 0 AND vec_id < 400)
+          WHERE code < $PqCodes),
+        books AS (SELECT sub, code, ${subOf("v")} AS cv FROM seeds, subs),
+        subrows AS (SELECT vec_id, sub, ${subOf("v")} AS sv FROM base, subs),
+        enc AS (SELECT vec_id, sub, code FROM (
+            SELECT sr.vec_id, sr.sub, b.code,
+              row_number() OVER (PARTITION BY sr.vec_id, sr.sub
+                ORDER BY ${sq("sr.sv", "b.cv")}, b.code) AS rk
+            FROM subrows sr JOIN books b USING (sub)) WHERE rk = 1),
+        codes AS (SELECT vec_id,
+            max(CASE WHEN sub = 0 THEN code END) AS c0,
+            max(CASE WHEN sub = 1 THEN code END) AS c1,
+            max(CASE WHEN sub = 2 THEN code END) AS c2,
+            max(CASE WHEN sub = 3 THEN code END) AS c3
+          FROM enc GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM base
+          WHERE vec_id % 100 = 0 AND vec_id < 500),
+        dt AS (SELECT query_id, sub, code, ${sq(s"(${subOf("qv")})", "cv")} AS d2
+          FROM q, books),
+        dar AS (SELECT query_id, list(d2 ORDER BY sub, code) AS dar
+          FROM dt GROUP BY query_id),
+        scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+            dar[c0 + 1] + dar[$PqCodes + c1 + 1]
+              + dar[${2 * PqCodes} + c2 + 1] + dar[${3 * PqCodes} + c3 + 1]
+              AS adist
+          FROM codes c, dar WHERE c.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, adist,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT query_id, neighbor_id, adist, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+      })
   )
 }

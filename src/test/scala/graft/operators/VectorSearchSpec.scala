@@ -208,4 +208,35 @@ class VectorSearchSpec extends SparkSuite {
     val recall = quant.count(exact).toDouble / exact.size
     assert(recall >= 0.8, s"quantized recall@5 degraded to $recall")
   }
+
+  test("PQ/ADC: a near-identical mutant query ranks its original first") {
+    val orig = emb.select(col("vec_id"), col("embedding"))
+    val mut = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast(DoubleType) * (lit(1.0) + lit(0.002) * (i % 2).cast(DoubleType)))
+            .cast("float")).as("embedding"))
+    val top1 = VectorSearch.pqTopK(orig.union(mut), mut, "vec_id", "embedding",
+      codebookIds = col("vec_id") % 25 === 0 && col("vec_id") < 400, k = 1)
+      .collect()
+    // the mutant's subvectors quantize to the same codewords as the
+    // original's, so its ADC distance to the original is the minimum
+    // (0 in code space)
+    assert(top1.length === 5)
+    assert(top1.forall(r =>
+      r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 100000))
+  }
+
+  test("PQ codes are 4 small ints per vector; nothing vector-sized " +
+      "shuffles in the ADC scan") {
+    val out = VectorSearch.pqEncode(emb, "vec_id", "embedding",
+      VectorSearch.pqCodebooks(emb, "vec_id", "embedding",
+        col("vec_id") % 25 === 0 && col("vec_id") < 400))
+    assert(out.columns.toSeq == Seq("vec_id", "c0", "c1", "c2", "c3"))
+    val codes = out.collect()
+    assert(codes.length === emb.count())
+    assert(codes.forall(r => (1 to 4).forall { i =>
+      val c = r.getLong(i); c >= 0 && c < VectorSearch.PqCodes
+    }))
+  }
 }
