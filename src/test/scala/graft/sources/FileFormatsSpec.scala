@@ -91,4 +91,51 @@ class FileFormatsSpec extends SparkSuite {
       .orderBy("received_at", "veh").collect().toSeq
     assert(got === want2)
   }
+
+  test("malformed file rows dead-letter instead of poisoning the read " +
+      "(PERMISSIVE corrupt-record capture; DROPMALFORMED; FAILFAST)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    // the reference's discipline for broker messages (invalid payload →
+    // dead-letter, pipeline keeps running) applied to its file-source
+    // twin: a landing directory where a producer wrote two broken lines
+    val dir = Files.createTempDirectory("veh_badjson_").toString
+    val lines = Seq(
+      """{"veh": 1, "spd": 10.5}""",
+      """{"veh": 2 "spd": 1.0}""", // missing comma — unparseable
+      """{"veh": 3, "spd": 7.25}""",
+      """not json at all""")
+    Files.write(java.nio.file.Paths.get(dir, "part-000.json"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("veh", LongType), StructField("spd", DoubleType),
+      StructField("_corrupt_record", StringType)))
+
+    // PERMISSIVE + corrupt-record column = split good rows from the
+    // dead-letter stream in ONE pass, both sides preserved
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    val good = permissive.filter(col("_corrupt_record").isNull)
+    val dead = permissive.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2)
+    assert(good.orderBy("veh").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // the dead letters carry the RAW text for replay/forensics
+    assert(dead.count() === 2)
+    assert(dead.collect().map(_.getAs[String]("_corrupt_record")).toSet ===
+      Set("""{"veh": 2 "spd": 1.0}""", "not json at all"))
+
+    // DROPMALFORMED: silent-drop variant (counts only)
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2)
+
+    // FAILFAST: corrupt input is an ERROR for pipelines that must halt
+    val failing = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST").json(dir)
+    intercept[org.apache.spark.SparkException] { failing.collect() }
+  }
 }
