@@ -117,4 +117,53 @@ object StatefulOps {
       .withColumn("trip_id", sum(col("gap")).over(w))
       .drop("gap")
   }
+
+  final case class SeenDoc(docId: Long)
+
+  /**
+   * STREAMING ingest-time exact dedup — the streaming twin of the q22
+   * batch operator (TextDedup.exactDupGroups): one ValueState marker per
+   * content hash; the first document carrying a hash is emitted (min id
+   * within the batch for determinism), every later copy is suppressed,
+   * across micro-batches through the checkpoint.
+   *
+   * The state is TTL'd (`TTLConfig`, processing-time): a corpus stream's
+   * hash space is UNBOUNDED — unlike the closed vehicle fleet of
+   * [[TripProcessor]] — so unexpiring markers would grow state forever.
+   * The TTL is the dedup horizon: re-occurrences beyond it re-admit,
+   * which is the standard at-scale contract (exact within the horizon,
+   * handed to the batch dedup beyond it).
+   */
+  class HashDedupProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, (String, Long), (String, Long)] {
+    @transient private var seen: ValueState[SeenDoc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[SeenDoc]("seen",
+        Encoders.product[SeenDoc],
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
+
+    override def handleInputRows(hash: String, rows: Iterator[(String, Long)],
+        timers: TimerValues): Iterator[(String, Long)] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        var minId = Long.MaxValue
+        rows.foreach(r => if (r._2 < minId) minId = r._2)
+        if (minId == Long.MaxValue) Iterator.empty
+        else { seen.update(SeenDoc(minId)); Iterator.single((hash, minId)) }
+      }
+    }
+  }
+
+  /** [[HashDedupProcessor]] over a (hashCol, idCol) frame; `ttlMs <= 0`
+    * keeps markers forever (closed hash spaces only). */
+  def streamDedupByHash(docs: DataFrame, hashCol: String, idCol: String,
+      ttlMs: Long): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(hashCol), col(idCol)).as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new HashDedupProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }
