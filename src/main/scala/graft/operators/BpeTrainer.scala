@@ -69,7 +69,8 @@ object BpeTrainer {
     // and without the pin the corpus-scale word count would re-run once
     // per merge round; cached, rounds re-apply only their regex layers
     // over `vocabSize` rows
-    var v = vocab(words, wordCol, vocabSize).cache()
+    val base = vocab(words, wordCol, vocabSize).cache()
+    var v = base
     var rules = List.empty[(Int, String, Long)]
     var step = 1
     var exhausted = false
@@ -91,10 +92,13 @@ object BpeTrainer {
       }
       step += 1
     }
-    val ruleDf = rules.reverse.toDF("step", "pair", "weight")
+    // materialize the post-training pair table while the cache is live,
+    // then RELEASE it — the result is pure driver data (≤ nMerges +
+    // topKAfter rows), so repeated train() calls leak no cached copies
     val after = pairCounts(v)
       .orderBy(col("weight").desc, col("pair")).limit(topKAfter)
-      .select(lit(nMerges + 1).as("step"), col("pair"), col("weight"))
-    ruleDf.unionByName(after)
+      .collect().map(r => (nMerges + 1, r.getString(0), r.getLong(1)))
+    base.unpersist()
+    (rules.reverse ++ after).toDF("step", "pair", "weight")
   }
 }
