@@ -85,4 +85,23 @@ object CorpusAssembly {
         sum(col(tokenCol)).as("tokens_packed"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
+
+  /**
+   * Deterministic IMPORTANCE sampling: keep a row iff its content-hash
+   * per-mille bucket falls under `weightPerMille` — a per-ROW integral
+   * rate column (0..1000), where [[stratifiedSample]] takes one rate per
+   * stratum. This is how a corpus mix upweights by a quality SCORE
+   * rather than a label: rate = f(quality), still hash-keyed, so the
+   * sample stays exactly reproducible, partition-independent, and
+   * monotone (raising a row's weight can only ADD it, never swap the
+   * rest — the property rate-based `rand()` sampling cannot give).
+   * Same per-row filter-at-scan-speed shape as the stratified variant.
+   */
+  def weightedSample(df: DataFrame, keyCol: String,
+      weightPerMille: Column): DataFrame =
+    df.withColumn("hash_bucket", hashBucket(col(keyCol)))
+      .withColumn("rate_pm",
+        least(greatest(weightPerMille.cast("long"), lit(0L)),
+          lit(RateDenominator.toLong)))
+      .filter(col("hash_bucket") < col("rate_pm"))
 }

@@ -42,6 +42,9 @@ object AnalyticsQueries {
     * bin ≈ interval length ⇒ ≤ 2 bins per interval. */
   val IvalUs = 7200L * 1000000L
 
+  /** q88 SCD2 version labels (ISO strings compare chronologically). */
+  val DimD0 = "2024-01-01"; val DimEff = "2024-01-15"
+
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast("decimal(18,4)") * 10000).cast("long")
 
@@ -366,6 +369,88 @@ object AnalyticsQueries {
         FROM a JOIN b ON user_id = b_user
           AND a_start <= b_end AND b_start <= a_end
         ORDER BY err_id, pur_id""")),
+
+    // ------------------------------------------------------------------
+    // q88 — POINT-IN-TIME lookup against SCD2 history: build a user
+    // dimension's history with scd2Merge (users with any error event
+    // flag to 'FLAGGED' at DimEff), then resolve EVERY event against
+    // the version valid at its date — composed through the NATIVE as-of
+    // join (q65/q82's exec) with an ISO-date STRING time axis
+    // (lexicographic == chronological; versions per key partition time,
+    // so "latest valid_from <= event date" IS the active version). The
+    // oracle is the textbook BETWEEN join. Two round-7 operators
+    // composing is the point: history production and history
+    // consumption in one plan.
+    // ------------------------------------------------------------------
+    "q88_temporal_dim_lookup" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          date_format(expr("timestamp_seconds(ts div 1000000000)"),
+            "yyyy-MM-dd").as("d"))
+        val dim = ev.select(col("user_id")).distinct()
+          .withColumn("segment", lit("STD"))
+        val delta = ev.filter(col("event_type") === "error")
+          .select(col("user_id")).distinct()
+        val hist = MergeOps.scd2Merge(
+          dim, delta, Seq("user_id"),
+          tracked = Map("segment" -> lit("FLAGGED")),
+          onInsert = Map("segment" -> lit("FLAGGED")),
+          outputCols = Seq("user_id", "segment"),
+          currentFrom = lit(DimD0), effDate = DimEff)
+          .select(col("user_id").as("h_user_id"), col("segment"),
+            col("valid_from"), col("valid_to"))
+        graft.plans.AsofOps.asofJoin(ev, hist,
+            Seq("user_id" -> "h_user_id"), "d", "valid_from")
+          .filter(col("d") < col("valid_to"))
+          .select(col("event_id"), col("user_id"), col("d"),
+            col("segment"), col("valid_from"))
+          .orderBy("event_id")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT event_id, user_id, event_type,
+            CAST(CAST(ts AS DATE) AS VARCHAR) AS d FROM events),
+        dim AS (SELECT DISTINCT user_id FROM ev),
+        flagged AS (SELECT DISTINCT user_id FROM ev
+          WHERE event_type = 'error'),
+        hist AS (
+          SELECT user_id, 'STD' AS segment, '$DimD0' AS valid_from,
+            '9999-12-31' AS valid_to FROM dim
+          WHERE user_id NOT IN (SELECT user_id FROM flagged)
+          UNION ALL
+          SELECT user_id, 'STD', '$DimD0', '$DimEff' FROM flagged
+          UNION ALL
+          SELECT user_id, 'FLAGGED', '$DimEff', '9999-12-31' FROM flagged)
+        SELECT e.event_id, e.user_id, e.d, h.segment, h.valid_from
+        FROM ev e JOIN hist h ON e.user_id = h.user_id
+          AND h.valid_from <= e.d AND e.d < h.valid_to
+        ORDER BY e.event_id""")),
+
+    // ------------------------------------------------------------------
+    // q89 — deterministic importance sampling (CorpusAssembly
+    // .weightedSample): keep-rate per ROW from a quality proxy
+    // (n_chars), hash-keyed like q46 — reproducible on any cluster and
+    // monotone in the weight (raising a doc's score can only admit it,
+    // never reshuffle the rest — rand()-sampling gives neither). Pure
+    // per-row filter at scan speed.
+    // ------------------------------------------------------------------
+    "q89_weighted_sample" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.CorpusAssembly.weightedSample(
+          graft.operators.ScanOps.spreadSmallInput(documents(s, d), col("doc_id"))
+            .select(col("doc_id"), col("lang"), col("text"), col("n_chars")),
+          "text", expr("n_chars div 2"))
+          .select(col("doc_id"), col("lang"), col("hash_bucket"), col("rate_pm"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH h AS (SELECT doc_id, lang,
+            (CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+              % ${graft.operators.CorpusAssembly.RateDenominator} AS hash_bucket,
+            least(greatest(n_chars // 2, 0),
+              ${graft.operators.CorpusAssembly.RateDenominator}) AS rate_pm
+          FROM documents)
+        SELECT doc_id, lang, hash_bucket, rate_pm FROM h
+        WHERE hash_bucket < rate_pm ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // q81 — incremental aggregation maintenance (MergeOps.
