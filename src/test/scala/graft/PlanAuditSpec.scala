@@ -82,6 +82,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!physical.contains("Subquery"), s"per-row subquery exec:\n$physical")
   }
 
+  test("q85: the corpus pipeline's language and length gates push into " +
+      "the documents scan") {
+    val scans = SparkEntry.queries("q85_corpus_pipeline")(spark, sf())
+      .queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // every stage after the gates works on the filtered corpus, so the
+    // gates must run AT the scan — In(lang) and the n_chars floor both
+    // appear in PushedFilters (the token-count gate is expression-level
+    // and correctly stays above)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    assert(pushed.contains("In(lang"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(n_chars,200)"), pushed)
+  }
+
   test("every scan in the registry reads parquet batched (columnar)") {
     val unbatched = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       SparkEntry.queries(name)(spark, sf()).queryExecution.sparkPlan
