@@ -480,6 +480,56 @@ object VectorSearch {
         bySub(col("v")).as("cv"))
   }
 
+  /** Sub-exploded corpus: one (id, sub, 16-dim subvector) row per
+    * vector × subspace — the frame both encoding and training consume. */
+  private def pqSubRows(base: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    base
+      .select(col(idCol), toDouble(col(vecCol)).as("v"),
+        explode(typedlit((0 until PqSubspaces).toArray)).as("sub"))
+      .select(col(idCol), col("sub").cast(LongType).as("sub"),
+        bySub(col("v")).as("sv"))
+
+  /**
+   * TRAIN the codebooks: per-subspace L2 k-means in the same
+   * deterministic fixed-point discipline as [[trainCentroids]] (exact
+   * long element sums at [[KmeansScale]], one double division per
+   * element — bit-identical at any partitioning; the q90 oracle unrolls
+   * the same iterations). Differences from the IVF trainer: the metric
+   * is squared L2 ([[sqDist]], what PQ minimizes) rather than cosine,
+   * and a codeword losing every assignment KEEPS its previous value
+   * (coalesce) — PQ codes are positional indices, so the codebook must
+   * never shrink.
+   */
+  def pqTrainCodebooks(base: DataFrame, idCol: String, vecCol: String,
+      codebookIds: Column, iters: Int = 2): DataFrame = {
+    var books = pqCodebooks(base, idCol, vecCol, codebookIds)
+    val subRows = pqSubRows(base, idCol, vecCol)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col(idCol), col("sub"))
+        .orderBy(col("d2"), col("code"))
+      val assigned = subRows.join(broadcast(books), Seq("sub"))
+        .withColumn("d2", sqDist(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("sub"), col("code"), col("sv"))
+      // exact integer element sums (floored fixed-point values are
+      // integer-valued doubles — sums below 2^53 are order-exact)
+      val dimSums = (0 until PqSubDim).map(j =>
+        sum(floor(element_at(col("sv"), j + 1) * KmeansScale)).as(s"s$j"))
+      val updated = assigned.groupBy(col("sub"), col("code"))
+        .agg(dimSums.head, dimSums.tail :+ count(lit(1)).as("n"): _*)
+        .select(col("sub"), col("code"),
+          array((0 until PqSubDim).map(j =>
+            col(s"s$j").cast(DoubleType) / (col("n") * KmeansScale)): _*)
+            .as("ncv"))
+      books = books.as("b").join(updated.as("u"), Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("ncv"), col("b.cv")).as("cv"))
+    }
+    books
+  }
+
   /** Encode the corpus: nearest codeword per (vector, subspace) —
     * sub-exploded corpus equi-joined to the broadcast codebooks, argmin
     * via a map-side-combined `min(struct(dist, code))`, then the M
@@ -487,11 +537,7 @@ object VectorSearch {
     * out — the 16×-compressed representation that is PQ's point. */
   def pqEncode(base: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame): DataFrame = {
-    val subRows = base
-      .select(col(idCol), toDouble(col(vecCol)).as("v"),
-        explode(typedlit((0 until PqSubspaces).toArray)).as("sub"))
-      .select(col(idCol), col("sub").cast(LongType).as("sub"),
-        bySub(col("v")).as("sv"))
+    val subRows = pqSubRows(base, idCol, vecCol)
     val pivots = (0 until PqSubspaces).map(s =>
       max(when(col("sub") === s, col("best.code"))).as(s"c$s"))
     subRows.join(broadcast(codebooks), Seq("sub"))
@@ -512,8 +558,14 @@ object VectorSearch {
    * vector-sized shuffles.
    */
   def pqTopK(base: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, codebookIds: Column, k: Int = 5): DataFrame = {
-    val books = pqCodebooks(base, idCol, vecCol, codebookIds)
+      vecCol: String, codebookIds: Column, k: Int = 5): DataFrame =
+    pqTopKWith(base, queries, idCol, vecCol,
+      pqCodebooks(base, idCol, vecCol, codebookIds), k)
+
+  /** [[pqTopK]] against caller-supplied codebooks (sampled or trained —
+    * q87 vs q90). */
+  def pqTopKWith(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, books: DataFrame, k: Int): DataFrame = {
     val codes = pqEncode(ScanOps.spreadSmallInput(base, col(idCol)),
       idCol, vecCol, books)
     val qsub = queries

@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSuite {
   private val allowedNestedLoop =
     Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters",
       "q66_int8_quantized_knn", "q71_bm25", "q80_column_profile",
-      "q87_pq_adc_topk")
+      "q87_pq_adc_topk", "q90_pq_trained_adc")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -227,6 +227,38 @@ class VectorSearchSpec extends SparkSuite {
       r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 100000))
   }
 
+  test("PQ training reduces quantization error vs the sampled codebooks " +
+      "(the metric k-means minimizes)") {
+    import org.apache.spark.sql.expressions.Window
+    val seedPred = col("vec_id") % 25 === 0 && col("vec_id") < 400
+    def totalerr(books: org.apache.spark.sql.DataFrame): Double = {
+      // Σ over (vector, subspace) of the min squared distance to any
+      // codeword — PQ's objective
+      val subRows = emb
+        .select(col("vec_id"), VectorSearch.toDouble(col("embedding")).as("v"),
+          explode(typedlit((0 until VectorSearch.PqSubspaces).toArray)).as("s"))
+        .select(col("vec_id"), col("s").cast("long").as("sub"),
+          (1 until VectorSearch.PqSubspaces).foldLeft(
+            when(col("sub") === 0, VectorSearch.pqSub(col("v"), 0))) {
+            (acc, i) => acc.when(col("sub") === i, VectorSearch.pqSub(col("v"), i))
+          }.as("sv"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
+      subRows.join(broadcast(books), Seq("sub"))
+        .withColumn("d2", VectorSearch.sqDist(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .agg(sum("d2")).head().getDouble(0)
+    }
+    val sampled = totalerr(
+      VectorSearch.pqCodebooks(emb, "vec_id", "embedding", seedPred))
+    val trained = totalerr(
+      VectorSearch.pqTrainCodebooks(emb, "vec_id", "embedding", seedPred,
+        iters = 2))
+    assert(trained <= sampled,
+      s"training worsened quantization error: $trained > $sampled")
+    assert(trained < sampled * 0.9,
+      s"training gained under 10%: $trained vs $sampled")
+  }
+
   test("PQ codes are 4 small ints per vector; nothing vector-sized " +
       "shuffles in the ADC scan") {
     val out = VectorSearch.pqEncode(emb, "vec_id", "embedding",
