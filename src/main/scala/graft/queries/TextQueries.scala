@@ -428,6 +428,99 @@ object TextQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q91 — BPE ENCODE: apply the q86-trained merge rules to the corpus
+    // and measure the compression — the train→apply loop a tokenizer
+    // pipeline actually runs. The rules are re-derived by the same
+    // 3-round trainer (a driver decision per round, like q86); encoding
+    // is per-word: chars → delimited string → one literal replace per
+    // rule IN TRAINING ORDER (left-to-right non-overlapping replacement
+    // ≡ greedy-leftmost merge, verified in both engines) → token count.
+    // Only (doc_id, counts) aggregate; the oracle re-trains and
+    // re-encodes the whole chain.
+    // ------------------------------------------------------------------
+    "q91_bpe_encode" -> GraftQuery(
+      build = (s, d) => {
+        val words = documents(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")).between(3, 12))
+        // same training as q86 (same corpus, same geometry) — the rules
+        // arrive as 3 driver-side strings, then encode is pure columnar
+        val rules = graft.operators.BpeTrainer
+          .train(s, words.select("w"), "w", BpeVocab, BpeMerges, 1)
+          .filter(col("step") <= BpeMerges)
+          .orderBy("step").collect().map(_.getString(1))
+        val delim = concat(lit("|"),
+          array_join(expr("filter(split(w, ''), c -> c <> '')"), "||"),
+          lit("|"))
+        val encoded = rules.foldLeft(delim) { (acc, pair) =>
+          val Array(p, q) = pair.split(" ", 2)
+          regexp_replace(acc,
+            lit("\\|" + p + "\\|\\|" + q + "\\|"), lit("|" + p + q + "|"))
+        }
+        words
+          .select(col("doc_id"), length(col("w")).as("n_chars_w"),
+            size(split(encoded, "\\|\\|")).as("n_toks"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_chars_w").as("n_char_tokens"),
+            sum("n_toks").as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        def pairsOf(v: String) = s"""
+          SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(substr(s, 2, length(s) - 2), '||')
+              AS t FROM $v))
+          GROUP BY pair"""
+        def merged(v: String, m: String) = s"""
+          SELECT regexp_replace($v.s,
+              '\\|' || split_part($m.pair, ' ', 1) || '\\|\\|'
+                || split_part($m.pair, ' ', 2) || '\\|',
+              '|' || replace($m.pair, ' ', '') || '|', 'g') AS s, $v.cnt
+          FROM $v, $m"""
+        def applyRule(inner: String, m: String) = s"""
+          replace($inner,
+            '|' || split_part($m.pair, ' ', 1) || '||'
+              || split_part($m.pair, ' ', 2) || '|',
+            '|' || replace($m.pair, ' ', '') || '|')"""
+        s"""
+        WITH w AS (
+          SELECT w AS word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+          WHERE length(w) BETWEEN 3 AND 12
+          GROUP BY w ORDER BY cnt DESC, word LIMIT $BpeVocab),
+        v0 AS (SELECT '|' || array_to_string(
+            list_filter(string_split(word, ''), c -> c <> ''), '||') || '|'
+            AS s, cnt FROM w),
+        p1 AS (${pairsOf("v0")}),
+        m1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
+        v1 AS (${merged("v0", "m1")}),
+        p2 AS (${pairsOf("v1")}),
+        m2 AS (SELECT pair, weight FROM p2 ORDER BY weight DESC, pair LIMIT 1),
+        v2 AS (${merged("v1", "m2")}),
+        p3 AS (${pairsOf("v2")}),
+        m3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1),
+        wr AS (SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
+              AS w FROM documents)
+          WHERE length(w) BETWEEN 3 AND 12),
+        ds AS (SELECT doc_id, w, '|' || array_to_string(
+            list_filter(string_split(w, ''), c -> c <> ''), '||') || '|'
+            AS s0 FROM wr),
+        enc AS (SELECT doc_id, w,
+            ${applyRule(applyRule(applyRule("s0", "m1"), "m2"), "m3")} AS s
+          FROM ds, m1, m2, m3)
+        SELECT doc_id, count(*) AS n_words,
+          CAST(sum(length(w)) AS BIGINT) AS n_char_tokens,
+          CAST(sum(len(string_split(s, '||'))) AS BIGINT) AS n_bpe_tokens
+        FROM enc GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
+    // ------------------------------------------------------------------
     // q60 — generator (lateral/explode) as a first-class relational op:
     // per-language top-10 terms by frequency. `explode(split(...))` is
     // Spark's UNNEST — a Generate node feeding a hash aggregate, so the
