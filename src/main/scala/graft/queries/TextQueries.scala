@@ -361,7 +361,8 @@ object TextQueries {
           CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM b GROUP BY shard, bin ORDER BY shard, bin"""
-      }),
+      },
+      headline = true),
 
     // ------------------------------------------------------------------
     // q86 — BPE merge-rule training (BpeTrainer.train): 3 rounds of
