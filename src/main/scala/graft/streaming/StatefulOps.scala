@@ -166,4 +166,69 @@ object StatefulOps {
       .transformWithState(new HashDedupProcessor(ttlMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  final case class Heartbeat(lastTsMs: Long)
+  final case class OfflineAlert(unique_vehicle_id: String, last_seen_ms: Long)
+
+  /**
+   * ABSENCE detection — the alert the per-row pipeline can never emit
+   * because no row arrives: a vehicle that stops reporting for `gapMs`
+   * of EVENT TIME is flagged offline. Every observation (re)arms an
+   * event-time timer at lastSeen + gap (the previous timer is deleted —
+   * one live timer per key); when the WATERMARK passes the deadline
+   * with no newer observation, [[StatefulProcessor.handleExpiredTimer]]
+   * fires and emits the alert. Event-time mode makes the semantics
+   * deterministic and replayable (the spec drives it through
+   * checkpointed AvailableNow runs — no wall clock anywhere), which is
+   * why this is not a processing-time poll.
+   *
+   * State per key: one long + one timer — fleet-sized, not
+   * stream-sized. This is the reference domain's real dropout monitor
+   * (a vehicle leaving coverage), and the streaming twin of
+   * [[graft.operators.TemporalOps.gapFillInterpolate]]'s gap cap: the
+   * batch side refuses to hallucinate through long gaps, the stream
+   * side RAISES them.
+   */
+  class OfflineDetector(gapMs: Long)
+      extends StatefulProcessor[String, (String, Long), OfflineAlert] {
+    @transient private var hb: ValueState[Heartbeat] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hb = getHandle.getValueState[Heartbeat]("hb",
+        Encoders.product[Heartbeat], TTLConfig.NONE)
+
+    override def handleInputRows(veh: String, rows: Iterator[(String, Long)],
+        timers: TimerValues): Iterator[OfflineAlert] = {
+      var maxTs = if (hb.exists()) hb.get().lastTsMs else Long.MinValue
+      val prev = maxTs
+      rows.foreach(r => if (r._2 > maxTs) maxTs = r._2)
+      if (maxTs > prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev + gapMs)
+        hb.update(Heartbeat(maxTs))
+        getHandle.registerTimer(maxTs + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(veh: String, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OfflineAlert] = {
+      // a stale timer (re-armed key) never matches the live deadline
+      val live = hb.exists() &&
+        expired.getExpiryTimeInMs() == hb.get().lastTsMs + gapMs
+      if (live) Iterator.single(OfflineAlert(veh, hb.get().lastTsMs))
+      else Iterator.empty
+    }
+  }
+
+  /** [[OfflineDetector]] over (vehicle, event-time ms) rows; the input
+    * must carry a watermark (event-time timers fire on its advance). */
+  def offlineAlerts(vehicles: DataFrame, tsMsCol: String,
+      gapMs: Long): Dataset[OfflineAlert] = {
+    import vehicles.sparkSession.implicits._
+    vehicles.select(col("unique_vehicle_id"), col(tsMsCol))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new OfflineDetector(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
