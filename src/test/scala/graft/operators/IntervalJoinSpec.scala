@@ -48,4 +48,17 @@ class IntervalJoinSpec extends SparkSuite {
       !plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
+
+  test("degenerate inputs: empty side, zero-length (point) intervals") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long, Long)].toDF("bid", "kb", "b_s", "b_e")
+    assert(IntervalJoin.overlapJoin(a, empty, Seq("ka" -> "kb"),
+      "a_s", "a_e", "b_s", "b_e", 16L).count() == 0)
+    // point interval [t, t] overlaps exactly the intervals containing t
+    val pt = Seq((20L, "k", 5L, 5L), (21L, "k", 24L, 24L)).toDF("bid", "kb", "b_s", "b_e")
+    val out = IntervalJoin.overlapJoin(a, pt, Seq("ka" -> "kb"),
+      "a_s", "a_e", "b_s", "b_e", 16L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 20L))) // t=5 inside a1; t=24 inside nothing
+  }
 }

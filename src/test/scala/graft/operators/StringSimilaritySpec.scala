@@ -46,4 +46,18 @@ class StringSimilaritySpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("degenerate strings: empty, single char, and identical singletons") {
+    val d = Seq((1L, ""), (2L, "a"), (3L, "b"), (4L, ""), (5L, "ab"))
+      .toDF("id", "s")
+    val out = StringSimilarity.editDistanceOnePairs(d, "id", "s")
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ""≡"" (ed 0); ""~"a"/"b" (insertion); "a"~"b" (substitution);
+    // "a"~"ab" and "b"~"ab"? "b"/"ab": delete 'a' from "ab" -> "b" (ed 1)
+    assert(out == Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (2L, 5L),
+      (3L, 4L), (3L, 5L)))
+  }
 }
