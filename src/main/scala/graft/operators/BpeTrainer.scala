@@ -45,16 +45,33 @@ object BpeTrainer {
         col("cnt"))
 
   /** One merge round: weighted adjacent-pair counts over the delimited
-    * vocabulary. Returns (pair "p q", weight). */
+    * vocabulary. Returns (pair "p q", weight).
+    *
+    * Entries whose word has FULLY merged into one token are filtered out
+    * before the pair transform: a 1-token word has no adjacent pairs —
+    * and mechanically, Spark's `sequence(1, 0)` is the DESCENDING
+    * [1, 0] (unlike DuckDB's `range(1, 1)` = empty), so the unguarded
+    * transform would hit `element_at(t, 0)` and throw. The filter gives
+    * exactly the oracle's empty-range contribution. */
   def pairCounts(v: DataFrame): DataFrame =
-    v.select(col("cnt"), explode(expr(
-        """transform(sequence(1, size(split(substring(s, 2, length(s) - 2),
-           '\\|\\|')) - 1),
-           i -> concat(element_at(split(substring(s, 2, length(s) - 2),
-             '\\|\\|'), i), ' ',
-             element_at(split(substring(s, 2, length(s) - 2), '\\|\\|'),
-               i + 1)))""")).as("pair"))
+    v.select(col("cnt"),
+        expr("""split(substring(s, 2, length(s) - 2), '\\|\\|')""").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
+        .as("pair"))
       .groupBy("pair").agg(sum("cnt").as("weight"))
+
+  /** Truncate the rewrite lineage every this many merge rounds: round k
+    * otherwise re-applies all k regex layers over the cached vocab
+    * (O(nMerges²) expression work) and the plan tree deepens with every
+    * rule. `localCheckpoint(eager = true)` pins the ≤`vocabSize`-row
+    * rewritten vocab and resets the lineage to a leaf — the same
+    * discipline as the connected-components loop (GraphOps) — so a
+    * production 30k-merge vocabulary trains at O(nMerges) regex
+    * applications with constant plan depth. */
+  val CheckpointEvery = 20
 
   /**
    * Train `nMerges` rules. Returns (step, pair, weight) for each chosen
@@ -89,6 +106,7 @@ object BpeTrainer {
             lit("\\|" + p + "\\|\\|" + q + "\\|"), lit("|" + p + q + "|"))
             .as("s"),
           col("cnt"))
+        if (step % CheckpointEvery == 0) v = v.localCheckpoint(true)
       }
       step += 1
     }
@@ -101,4 +119,21 @@ object BpeTrainer {
     base.unpersist()
     (rules.reverse ++ after).toDF("step", "pair", "weight")
   }
+
+  /** Land the trained merge rules as a MODEL ARTIFACT — the (step, pair,
+    * weight) table is the tokenizer file production ships to a model
+    * store. Training is the expensive step (a corpus-scale word count
+    * plus `nMerges` sequential rounds); encoding is a pure columnar
+    * replace chain — so the rules are trained ONCE and every encode
+    * consumer reads the stored copy via [[readRules]], the same
+    * discipline as the landed shingle index and the materialized PQ
+    * codebook. Rows at step ≤ nMerges are the rules in training order;
+    * step nMerges+1 is the post-training pair table. */
+  def landRules(spark: SparkSession, words: DataFrame, wordCol: String,
+      vocabSize: Int, nMerges: Int, topKAfter: Int, dir: String): Unit =
+    train(spark, words, wordCol, vocabSize, nMerges, topKAfter)
+      .write.mode("overwrite").parquet(dir)
+
+  def readRules(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 }

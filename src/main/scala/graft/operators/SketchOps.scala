@@ -44,10 +44,11 @@ object SketchOps {
 
   /**
    * Fold a delta batch's state into the standing state: full-outer on
-   * the key, sketches union (`hll_union`), counts add — the exact
+   * the key, sketches union (`hll_union` with `allowDifferentLgK` set,
+   * so a re-tuned delta geometry merges into an older state —
+   * DataSketches downgrades to the coarser K), counts add — the exact
    * mirror of [[MergeOps.mergeAggStates]] with union as the measure
-   * combiner. `allowDifferentLgK` lets a re-tuned delta geometry merge
-   * into an older state (DataSketches downgrades to the coarser K).
+   * combiner.
    */
   def mergeSketchStates(state: DataFrame, delta: DataFrame,
       keys: Seq[String]): DataFrame = {
@@ -58,7 +59,10 @@ object SketchOps {
       keys.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k)) ++ Seq(
         when(col("t.distinct_sketch").isNull, col("s.distinct_sketch"))
           .when(col("s.distinct_sketch").isNull, col("t.distinct_sketch"))
-          .otherwise(hll_union(col("t.distinct_sketch"), col("s.distinct_sketch")))
+          // the Scala functions API only exposes the strict 2-arg
+          // hll_union; the 3-arg allowDifferentLgK form is SQL-level
+          .otherwise(call_function("hll_union",
+            col("t.distinct_sketch"), col("s.distinct_sketch"), lit(true)))
           .as("distinct_sketch"),
         (coalesce(col("t.n_rows"), lit(0L)) + coalesce(col("s.n_rows"), lit(0L)))
           .as("n_rows")): _*)

@@ -277,11 +277,14 @@ object AnalyticsQueries {
         ORDER BY u.user_id""")),
 
     // ------------------------------------------------------------------
-    // q80 — single-pass column profile (StatsOps.profile): every
-    // column's null/distinct/min/max in ONE Aggregate (multi-distinct
-    // plans as one Expand + shuffle) vs the naive scan-per-column loop.
-    // Numeric/time columns profile a canonical integral ord so min/max
-    // stringify identically across engines.
+    // q80 — column profile (StatsOps.profile): every column's
+    // null/distinct/min/max from ONE table scan — per-column pruned
+    // sub-aggregates unioned at 1-row-each cost, deliberately NOT the
+    // multi-distinct single-Aggregate form (that plans as an Expand
+    // multiplying the scan by the column count; StatsOpsSpec asserts
+    // no Expand and no sort appear). Numeric/time columns profile a
+    // canonical integral ord so min/max stringify identically across
+    // engines.
     // ------------------------------------------------------------------
     "q80_column_profile" -> GraftQuery(
       build = (s, d) =>

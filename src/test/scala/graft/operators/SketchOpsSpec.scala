@@ -49,6 +49,23 @@ class SketchOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("a re-tuned delta geometry (different lgK) merges into older state " +
+      "(ADVICE r7: 2-arg hll_union was strict and would error)") {
+    val state = SketchOps.sketchState(
+      (1L to 400L).map(v => (1L, v)).toDF("k", "v"), Seq("k"), col("v"))
+    val delta = SketchOps.sketchState(
+      (301L to 600L).map(v => (1L, v)).toDF("k", "v"), Seq("k"), col("v"),
+      lgK = SketchOps.DefaultLgK + 2)
+    val out = SketchOps.estimate(
+      SketchOps.mergeSketchStates(state, delta, Seq("k")), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.size == 1)
+    val (k, est, n) = out.head
+    assert(k == 1L && n == 700L)
+    // union downgrades to the coarser K; still inside a loose envelope
+    assert(math.abs(est - 600L).toDouble / 600.0 <= 0.05, s"est $est")
+  }
+
   test("estimate stays within the published error envelope vs exact " +
       "(lgK=12 ⇒ ~1.6% RSE; assert 5%)") {
     val exact = rows.groupBy("k").agg(countDistinct("v").as("d"))

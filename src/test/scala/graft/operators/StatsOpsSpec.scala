@@ -68,6 +68,15 @@ class StatsOpsSpec extends SparkSuite {
       StatsOps.ProfileCol("b", col("b"))))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
-    assert(!plan.contains("Sort "), plan)
+    // a standalone Sort node renders "Sort [" — none may appear
+    assert(!plan.contains("Sort ["), plan)
+    // SortAggregate is legitimate ONLY keyless: string min/max buffers
+    // are not UnsafeRow-mutable so the global (key=[]) aggregate
+    // degrades to SortAggregate, but with no grouping key it imposes no
+    // child ordering and sorts nothing (see profile's scaladoc). A
+    // KEYED SortAggregate would mean full row sorts — the regression
+    // this spec exists to catch.
+    val keyedSortAggs = "SortAggregate\\(key=\\[[^\\]]".r.findAllIn(plan).toList
+    assert(keyedSortAggs.isEmpty, s"keyed SortAggregate in plan: $plan")
   }
 }
