@@ -97,6 +97,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(pushed.contains("GreaterThanOrEqual(n_chars,200)"), pushed)
   }
 
+  test("q84: FastSS pairs plan exactly three equality joins (variant " +
+      "self-join + two string-table arms), never a nested loop") {
+    val plan = SparkEntry.queries("q84_edit_distance_join")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the three arms of editDistanceOnePairs: substitution (variant
+    // self-join) + insL/insR (strings × deletion variants). A fourth
+    // join means someone reintroduced the three-way variant self-join
+    // (six shuffle-sorts); a nested-loop means a candidate arm lost its
+    // equality key and degenerated to a row-pair scan.
+    val equiJoins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(equiJoins == 3, s"expected 3 equality joins, got $equiJoins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q85: the corpus pipeline shuffles row data on the content hash " +
+      "exactly once") {
+    val plan = SparkEntry.queries("q85_corpus_pipeline")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // exactly THREE row shuffles end-to-end: the requested doc_id
+    // spread (spreadSmallInput), the dedup window keyed on the content
+    // hash (md5(text) pre-projects to a _w0 window key), and the shard
+    // re-key for packing. The sample filter is per-row. Any fourth
+    // hashpartitioning Exchange means a stage re-hashed the corpus —
+    // the N-consumer recompute trap this pipeline is built to avoid.
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashExchanges.size == 3,
+      s"expected exactly 3 hash Exchanges, got:\n${hashExchanges.mkString("\n")}\n$plan")
+    assert(hashExchanges.count(_.contains("_w0")) == 1,
+      s"expected exactly 1 content-hash (window-key) Exchange:\n$plan")
+    // renders as md5(cast(text#N as binary)) AS _w0
+    assert(plan.contains("md5(cast(text"), "the dedup stage lost its md5 content key")
+  }
+
   test("every scan in the registry reads parquet batched (columnar)") {
     val unbatched = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       SparkEntry.queries(name)(spark, sf()).queryExecution.sparkPlan
