@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
-import graft.operators.TextAnalysis
+import graft.operators.{TextAnalysis, TextDedup}
 
 /**
  * STREAMING twin of the q85 corpus-build front half: the scan-level
@@ -53,4 +54,79 @@ object StreamCorpus {
       gate(docs, langs, minChars, minTokens)
         .select(md5(col("text")).as("content_hash"), col("doc_id")),
       "content_hash", "doc_id", ttlMs)
+
+  /** A kept (first-seen-per-content-hash) document with the landed
+    * doc-index hash (TextDedup.hash64 — the 60-bit key the batch
+    * exact-dedup groups on, so first-wins here and min-id-per-hash
+    * there agree on the SAME key space, collisions included). */
+  final case class KeptDoc(doc_id: Long, content_hash: Long, text: String)
+
+  /** [[StatefulOps.HashDedupProcessor]]'s full-row sibling: the first
+    * document per content hash passes THROUGH (body and all), later
+    * copies are suppressed. State is still only the marker — document
+    * bodies never enter the state store, they ride the batch. */
+  private class KeepFirstDocProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, KeptDoc, KeptDoc] {
+    @transient private var seen: ValueState[StatefulOps.SeenDoc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[StatefulOps.SeenDoc]("seen",
+        Encoders.product[StatefulOps.SeenDoc],
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
+
+    override def handleInputRows(hash: Long, rows: Iterator[KeptDoc],
+        timers: TimerValues): Iterator[KeptDoc] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        var best: KeptDoc = null
+        rows.foreach(r => if (best == null || r.doc_id < best.doc_id) best = r)
+        if (best == null) Iterator.empty
+        else { seen.update(StatefulOps.SeenDoc(best.doc_id)); Iterator.single(best) }
+      }
+    }
+  }
+
+  /** Gate + dedup, keeping the full first-seen document row. */
+  def keptDocs(docs: DataFrame, langs: Seq[String], minChars: Long,
+      minTokens: Long, ttlMs: Long): Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    gate(docs, langs, minChars, minTokens)
+      .select(col("doc_id"), TextDedup.hash64(col("text")).as("content_hash"),
+        col("text"))
+      .as[KeptDoc]
+      .groupByKey(_.content_hash)
+      .transformWithState(new KeepFirstDocProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /**
+   * Maintain the LANDED SHINGLE INDEX incrementally — the streaming
+   * writer for the exact two-table layout every batch dedup consumer
+   * reads (`dir/docs` = (doc_id, content_hash), `dir/shingles` =
+   * (doc_id, h); TextDedup.landShingleIndex / readDocIndex /
+   * readShingleIndex). Each micro-batch appends only its KEPT
+   * documents' rows: the corpus-scale md5/shingle pass runs once per
+   * document ever, at ingest — the "standing corpus + incrementally-
+   * hashed deltas" shape the batch landing's scaladoc promises.
+   *
+   * Delivery: parquet append per batch is at-least-once under retry
+   * (same contract as the batch landing's overwrite — consumers
+   * dedup by key anyway: the doc index groups by content_hash, the
+   * shingle frame is consumed distinct-per-doc).
+   */
+  def maintainShingleIndex(docs: DataFrame, langs: Seq[String],
+      minChars: Long, minTokens: Long, ttlMs: Long, dir: String,
+      shingleN: Int = 3): DataStreamWriter[KeptDoc] =
+    keptDocs(docs, langs, minChars, minTokens, ttlMs)
+      .writeStream
+      .foreachBatch { (batch: Dataset[KeptDoc], _: Long) =>
+        val b = batch.persist() // two sinks below — compute the batch once
+        try {
+          b.toDF().select(col("doc_id"), col("content_hash"))
+            .write.mode("append").parquet(s"$dir/docs")
+          TextDedup.shingleHashRows(b.toDF(), "text", "doc_id", shingleN)
+            .write.mode("append").parquet(s"$dir/shingles")
+        } finally { b.unpersist(); () }
+      }
 }

@@ -106,6 +106,51 @@ class StreamCorpusSpec extends SparkSuite {
     }
   }
 
+  test("the stream-maintained shingle index ≡ the batch-landed index over " +
+      "the gated, deduped corpus (docs and shingles tables, as sets)") {
+    withRocksDb {
+      val in = tmp("si_in_"); val ckpt = tmp("si_ck_")
+      val streamDir = tmp("si_stream_"); val batchDir = tmp("si_batch_")
+
+      @annotation.nowarn("cat=deprecation")
+      def runIndexOnce(): Unit =
+        StreamCorpus.maintainShingleIndex(
+          spark.readStream.schema(schema).json(in),
+          Seq("en", "de"), TextQueries.Q85MinChars, TextQueries.Q85MinTokens,
+          ttlMs = 0L, dir = streamDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.Once()).start()
+          .awaitTermination()
+
+      base.coalesce(1).write.mode("append").json(in)
+      runIndexOnce()
+      dupSlice.coalesce(1).write.mode("append").json(in)
+      runIndexOnce()
+
+      // batch twin: same gates, min-id-per-hash64 dedup, one landing
+      val gated = StreamCorpus.gate(base.unionByName(dupSlice),
+        Seq("en", "de"), TextQueries.Q85MinChars, TextQueries.Q85MinTokens)
+      val deduped = gated
+        .withColumn("__rep", min("doc_id")
+          .over(Window.partitionBy(graft.operators.TextDedup.hash64(col("text")))))
+        .filter(col("doc_id") === col("__rep")).drop("__rep")
+      graft.operators.TextDedup.landShingleIndex(
+        deduped, "text", "doc_id", batchDir)
+
+      def docSet(dir: String) =
+        graft.operators.TextDedup.readDocIndex(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def shingleSet(dir: String) =
+        graft.operators.TextDedup.readShingleIndex(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      assert(docSet(streamDir) == docSet(batchDir),
+        "doc index diverged between stream maintenance and batch landing")
+      assert(shingleSet(streamDir) == shingleSet(batchDir),
+        "shingle index diverged between stream maintenance and batch landing")
+    }
+  }
+
   test("a gated-out document never enters dedup state (gates run before " +
       "the hash)") {
     withRocksDb {
