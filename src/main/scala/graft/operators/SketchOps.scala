@@ -59,10 +59,10 @@ object SketchOps {
       keys.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k)) ++ Seq(
         when(col("t.distinct_sketch").isNull, col("s.distinct_sketch"))
           .when(col("s.distinct_sketch").isNull, col("t.distinct_sketch"))
-          // the Scala functions API only exposes the strict 2-arg
-          // hll_union; the 3-arg allowDifferentLgK form is SQL-level
-          .otherwise(call_function("hll_union",
-            col("t.distinct_sketch"), col("s.distinct_sketch"), lit(true)))
+          // third arg = allowDifferentLgK (positional: the Scala API
+          // overload doesn't admit the named form)
+          .otherwise(hll_union(col("t.distinct_sketch"),
+            col("s.distinct_sketch"), true))
           .as("distinct_sketch"),
         (coalesce(col("t.n_rows"), lit(0L)) + coalesce(col("s.n_rows"), lit(0L)))
           .as("n_rows")): _*)

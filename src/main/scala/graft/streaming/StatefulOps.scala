@@ -123,9 +123,13 @@ object StatefulOps {
   /**
    * STREAMING ingest-time exact dedup — the streaming twin of the q22
    * batch operator (TextDedup.exactDupGroups): one ValueState marker per
-   * content hash; the first document carrying a hash is emitted (min id
-   * within the batch for determinism), every later copy is suppressed,
-   * across micro-batches through the checkpoint.
+   * key; the first row carrying a key is emitted (min id within the
+   * batch for determinism), every later copy is suppressed, across
+   * micro-batches through the checkpoint. Generic over the key and row
+   * types so the keep-list form ([[HashDedupProcessor]], rows ARE
+   * (hash, id)) and the full-row form (StreamCorpus, document bodies
+   * ride through while state holds only the marker) share ONE
+   * state machine — a TTL or re-admission change lands in both.
    *
    * The state is TTL'd (`TTLConfig`, processing-time): a corpus stream's
    * hash space is UNBOUNDED — unlike the closed vehicle fleet of
@@ -134,8 +138,8 @@ object StatefulOps {
    * which is the standard at-scale contract (exact within the horizon,
    * handed to the batch dedup beyond it).
    */
-  class HashDedupProcessor(ttlMs: Long)
-      extends StatefulProcessor[String, (String, Long), (String, Long)] {
+  class KeepFirstProcessor[K, R](id: R => Long, ttlMs: Long)
+      extends StatefulProcessor[K, R, R] {
     @transient private var seen: ValueState[SeenDoc] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -144,17 +148,25 @@ object StatefulOps {
         if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
         else TTLConfig.NONE)
 
-    override def handleInputRows(hash: String, rows: Iterator[(String, Long)],
-        timers: TimerValues): Iterator[(String, Long)] = {
+    override def handleInputRows(key: K, rows: Iterator[R],
+        timers: TimerValues): Iterator[R] = {
       if (seen.exists()) Iterator.empty
       else {
-        var minId = Long.MaxValue
-        rows.foreach(r => if (r._2 < minId) minId = r._2)
-        if (minId == Long.MaxValue) Iterator.empty
-        else { seen.update(SeenDoc(minId)); Iterator.single((hash, minId)) }
+        var best: R = null.asInstanceOf[R]
+        var bestId = Long.MaxValue
+        rows.foreach { r =>
+          val i = id(r)
+          if (i < bestId) { bestId = i; best = r }
+        }
+        if (bestId == Long.MaxValue) Iterator.empty
+        else { seen.update(SeenDoc(bestId)); Iterator.single(best) }
       }
     }
   }
+
+  /** The (hash, id) keep-list projection of [[KeepFirstProcessor]]. */
+  class HashDedupProcessor(ttlMs: Long)
+      extends KeepFirstProcessor[String, (String, Long)](_._2, ttlMs)
 
   /** [[HashDedupProcessor]] over a (hashCol, idCol) frame; `ttlMs <= 0`
     * keeps markers forever (closed hash spaces only). */

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, TimeMode}
 
 import graft.operators.{TextAnalysis, TextDedup}
 
@@ -47,7 +47,14 @@ object StreamCorpus {
   /** Gate + hash + ingest-time dedup: the streaming keep-list
     * (content_hash, doc_id), first document per content hash wins
     * across micro-batches through the checkpoint (TTL = dedup horizon,
-    * `ttlMs <= 0` keeps markers forever — closed replay fixtures). */
+    * `ttlMs <= 0` keeps markers forever — closed replay fixtures).
+    *
+    * Key space: the FULL 128-bit md5 hex string — stricter than the
+    * landed doc index's 60-bit `TextDedup.hash64` key. For the
+    * index-compatible path (same key space, same column layout as
+    * `TextDedup.landShingleIndex`) use [[keptDocs]] /
+    * [[maintainShingleIndex]]; joining THIS keep-list against a landed
+    * doc index would mismatch on type and key width. */
   def keepList(docs: DataFrame, langs: Seq[String], minChars: Long,
       minTokens: Long, ttlMs: Long): Dataset[(String, Long)] =
     StatefulOps.streamDedupByHash(
@@ -61,33 +68,10 @@ object StreamCorpus {
     * there agree on the SAME key space, collisions included). */
   final case class KeptDoc(doc_id: Long, content_hash: Long, text: String)
 
-  /** [[StatefulOps.HashDedupProcessor]]'s full-row sibling: the first
-    * document per content hash passes THROUGH (body and all), later
-    * copies are suppressed. State is still only the marker — document
-    * bodies never enter the state store, they ride the batch. */
-  private class KeepFirstDocProcessor(ttlMs: Long)
-      extends StatefulProcessor[Long, KeptDoc, KeptDoc] {
-    @transient private var seen: ValueState[StatefulOps.SeenDoc] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getValueState[StatefulOps.SeenDoc]("seen",
-        Encoders.product[StatefulOps.SeenDoc],
-        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
-        else TTLConfig.NONE)
-
-    override def handleInputRows(hash: Long, rows: Iterator[KeptDoc],
-        timers: TimerValues): Iterator[KeptDoc] = {
-      if (seen.exists()) Iterator.empty
-      else {
-        var best: KeptDoc = null
-        rows.foreach(r => if (best == null || r.doc_id < best.doc_id) best = r)
-        if (best == null) Iterator.empty
-        else { seen.update(StatefulOps.SeenDoc(best.doc_id)); Iterator.single(best) }
-      }
-    }
-  }
-
-  /** Gate + dedup, keeping the full first-seen document row. */
+  /** Gate + dedup, keeping the full first-seen document row: a
+    * [[StatefulOps.KeepFirstProcessor]] keyed on the landed doc-index
+    * hash. State is still only the marker — document bodies never
+    * enter the state store, they ride the batch. */
   def keptDocs(docs: DataFrame, langs: Seq[String], minChars: Long,
       minTokens: Long, ttlMs: Long): Dataset[KeptDoc] = {
     import docs.sparkSession.implicits._
@@ -96,37 +80,47 @@ object StreamCorpus {
         col("text"))
       .as[KeptDoc]
       .groupByKey(_.content_hash)
-      .transformWithState(new KeepFirstDocProcessor(ttlMs),
+      .transformWithState(
+        new StatefulOps.KeepFirstProcessor[Long, KeptDoc](_.doc_id, ttlMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /**
    * Maintain the LANDED SHINGLE INDEX incrementally — the streaming
-   * writer for the exact two-table layout every batch dedup consumer
-   * reads (`dir/docs` = (doc_id, content_hash), `dir/shingles` =
-   * (doc_id, h); TextDedup.landShingleIndex / readDocIndex /
-   * readShingleIndex). Each micro-batch appends only its KEPT
-   * documents' rows: the corpus-scale md5/shingle pass runs once per
-   * document ever, at ingest — the "standing corpus + incrementally-
-   * hashed deltas" shape the batch landing's scaladoc promises.
+   * writer for the two tables every batch dedup consumer reads
+   * (`dir/docs` = (doc_id, content_hash), `dir/shingles` = (doc_id, h);
+   * TextDedup.landShingleIndex / readDocIndex / readShingleIndex, plus
+   * a `batch_id=N` partition column readers ignore). Each micro-batch
+   * writes only its KEPT documents' rows: the corpus-scale md5/shingle
+   * pass runs once per document ever, at ingest — the "standing corpus
+   * + incrementally-hashed deltas" shape the batch landing's scaladoc
+   * promises.
    *
-   * Delivery: parquet append per batch is at-least-once under retry
-   * (same contract as the batch landing's overwrite — consumers
-   * dedup by key anyway: the doc index groups by content_hash, the
-   * shingle frame is consumed distinct-per-doc).
+   * Delivery is EFFECTIVELY ONCE: each epoch overwrites its own
+   * deterministic `batch_id=<epoch>` partition, so a foreachBatch retry
+   * (e.g. the shingles write failed after the docs write committed)
+   * rewrites the same partition instead of appending duplicate rows —
+   * duplicates would corrupt COUNTING consumers like
+   * `exactDupGroupsFromIndex` (n_copies) and `contaminationPairs`
+   * (overlap counts), which group by key but do not dedup rows.
+   *
+   * Semantics: this is the index of the DEDUPED stream — within the TTL
+   * horizon each content hash lands at most once, so `n_copies` read
+   * from it counts cross-horizon re-occurrences only. Full-history copy
+   * counts remain the batch operator's job (q22 over the raw corpus).
    */
   def maintainShingleIndex(docs: DataFrame, langs: Seq[String],
       minChars: Long, minTokens: Long, ttlMs: Long, dir: String,
       shingleN: Int = 3): DataStreamWriter[KeptDoc] =
     keptDocs(docs, langs, minChars, minTokens, ttlMs)
       .writeStream
-      .foreachBatch { (batch: Dataset[KeptDoc], _: Long) =>
+      .foreachBatch { (batch: Dataset[KeptDoc], batchId: Long) =>
         val b = batch.persist() // two sinks below — compute the batch once
         try {
           b.toDF().select(col("doc_id"), col("content_hash"))
-            .write.mode("append").parquet(s"$dir/docs")
+            .write.mode("overwrite").parquet(s"$dir/docs/batch_id=$batchId")
           TextDedup.shingleHashRows(b.toDF(), "text", "doc_id", shingleN)
-            .write.mode("append").parquet(s"$dir/shingles")
+            .write.mode("overwrite").parquet(s"$dir/shingles/batch_id=$batchId")
         } finally { b.unpersist(); () }
       }
 }

@@ -155,7 +155,7 @@ class StreamCorpusSpec extends SparkSuite {
       "the hash)") {
     withRocksDb {
       val in = tmp("scg_in_"); val out = tmp("scg_out_"); val ckpt = tmp("scg_ck_")
-      val longText = ("lorem ipsum dolor sit amet " * 20).trim // 33 tokens, >200 chars
+      val longText = ("lorem ipsum dolor sit amet " * 20).trim // 100 tokens, 539 chars
       Seq(
         (1L, "en", longText, longText.length.toLong),   // passes
         (2L, "fi", longText, longText.length.toLong),   // wrong lang
