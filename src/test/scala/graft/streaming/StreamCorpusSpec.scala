@@ -148,6 +148,20 @@ class StreamCorpusSpec extends SparkSuite {
         "doc index diverged between stream maintenance and batch landing")
       assert(shingleSet(streamDir) == shingleSet(batchDir),
         "shingle index diverged between stream maintenance and batch landing")
+
+      // batch consumers must tolerate the stream index's extra batch_id
+      // partition column: same dedup groups and same MinHash signatures
+      // from either copy
+      def groups(dir: String) =
+        graft.operators.TextDedup.exactDupGroupsFromIndex(
+          graft.operators.TextDedup.readDocIndex(spark, dir))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(groups(streamDir) == groups(batchDir))
+      def sigs(dir: String) =
+        graft.operators.TextDedup.signaturesFromHashRows(
+          graft.operators.TextDedup.readShingleIndex(spark, dir))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      assert(sigs(streamDir) == sigs(batchDir))
     }
   }
 
