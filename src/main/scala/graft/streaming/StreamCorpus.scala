@@ -108,6 +108,14 @@ object StreamCorpus {
    * horizon each content hash lands at most once, so `n_copies` read
    * from it counts cross-horizon re-occurrences only. Full-history copy
    * counts remain the batch operator's job (q22 over the raw corpus).
+   *
+   * Small files: one partition dir per micro-batch is the price of the
+   * effectively-once contract, and at production cadence (a batch per
+   * second, days of retention) it is a real file-count problem — fold
+   * old batches periodically with `ScanOps.compactParquet` (sized by
+   * filesystem stats, and safe here because compaction reads committed
+   * partitions only; StreamCorpusSpec asserts the compacted copy is
+   * consumer-identical).
    */
   def maintainShingleIndex(docs: DataFrame, langs: Seq[String],
       minChars: Long, minTokens: Long, ttlMs: Long, dir: String,

@@ -162,6 +162,16 @@ class StreamCorpusSpec extends SparkSuite {
           graft.operators.TextDedup.readShingleIndex(spark, dir))
           .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
       assert(sigs(streamDir) == sigs(batchDir))
+
+      // the small-files exit: folding the per-batch partition dirs with
+      // the standing compactor keeps the index consumer-identical
+      val compacted = tmp("si_compact_")
+      graft.operators.ScanOps.compactParquet(
+        spark, s"$streamDir/docs", s"$compacted/docs")
+      graft.operators.ScanOps.compactParquet(
+        spark, s"$streamDir/shingles", s"$compacted/shingles")
+      assert(docSet(compacted) == docSet(streamDir))
+      assert(shingleSet(compacted) == shingleSet(streamDir))
     }
   }
 
