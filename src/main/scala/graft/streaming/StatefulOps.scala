@@ -152,13 +152,16 @@ object StatefulOps {
         timers: TimerValues): Iterator[R] = {
       if (seen.exists()) Iterator.empty
       else {
+        // explicit found flag, not a MaxValue sentinel: an id that IS
+        // Long.MaxValue must still be kept and marked seen
+        var found = false
         var best: R = null.asInstanceOf[R]
-        var bestId = Long.MaxValue
+        var bestId = 0L
         rows.foreach { r =>
           val i = id(r)
-          if (i < bestId) { bestId = i; best = r }
+          if (!found || i < bestId) { found = true; bestId = i; best = r }
         }
-        if (bestId == Long.MaxValue) Iterator.empty
+        if (!found) Iterator.empty
         else { seen.update(SeenDoc(bestId)); Iterator.single(best) }
       }
     }

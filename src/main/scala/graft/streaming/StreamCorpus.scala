@@ -13,16 +13,21 @@ import graft.operators.{TextAnalysis, TextDedup}
  * a production corpus runs when documents arrive continuously instead
  * of as a nightly batch.
  *
- * Division of labor at scale (and in the spec's equivalence proof):
- * the stream maintains the KEEP-LIST — (content_hash, doc_id) of each
- * hash's first-seen document — which is exactly the landed doc-index
- * contract of the batch pipeline (TextDedup.landShingleIndex's `docs`
- * table). Only (hash, id) pairs ever cross the stateful shuffle; the
- * document bodies stay at the source, and the batch back half
- * (stratified mix → packing → bin stats, all corpus-order-insensitive)
- * runs over `corpus semi-join keep-list` whenever a training run is
- * cut. Gates run BEFORE the hash so suppressed languages/fragments
- * never enter dedup state.
+ * Division of labor at scale (and in the spec's equivalence proof) —
+ * two shapes with different shuffle costs:
+ *  - [[keepList]]: only (hash, id) pairs cross the stateful shuffle,
+ *    document bodies stay at the source; the batch back half
+ *    (stratified mix → packing → bin stats, all
+ *    corpus-order-insensitive) runs over `corpus semi-join keep-list`
+ *    whenever a training run is cut. The cheapest dedup-only path.
+ *  - [[keptDocs]]/[[maintainShingleIndex]]: gated document BODIES cross
+ *    the stateful shuffle once at ingest — the price of landing the
+ *    shingle index without a second source pass. Size the deployment
+ *    accordingly (shuffle ∝ gated corpus bytes per batch, not keys);
+ *    when that is too heavy, run keepList and land shingles from a
+ *    source-side semi-join instead.
+ * In both shapes gates run BEFORE the hash so suppressed
+ * languages/fragments never enter dedup state.
  *
  * Equivalence contract (asserted by StreamCorpusSpec): replaying a
  * corpus history in arrival order (originals before later re-inserts)
@@ -56,11 +61,14 @@ object StreamCorpus {
     * [[maintainShingleIndex]]; joining THIS keep-list against a landed
     * doc index would mismatch on type and key width. */
   def keepList(docs: DataFrame, langs: Seq[String], minChars: Long,
-      minTokens: Long, ttlMs: Long): Dataset[(String, Long)] =
+      minTokens: Long, ttlMs: Long): DataFrame =
     StatefulOps.streamDedupByHash(
       gate(docs, langs, minChars, minTokens)
         .select(md5(col("text")).as("content_hash"), col("doc_id")),
       "content_hash", "doc_id", ttlMs)
+      // name the tuple-encoder columns so consumers get the documented
+      // layout instead of _1/_2
+      .toDF("content_hash", "doc_id")
 
   /** A kept (first-seen-per-content-hash) document with the landed
     * doc-index hash (TextDedup.hash64 — the 60-bit key the batch
@@ -103,6 +111,14 @@ object StreamCorpus {
    * duplicates would corrupt COUNTING consumers like
    * `exactDupGroupsFromIndex` (n_copies) and `contaminationPairs`
    * (overlap counts), which group by key but do not dedup rows.
+   * The contract binds index and CHECKPOINT into one lineage: epoch
+   * numbers only identify partitions while the checkpoint lives. A
+   * fresh checkpoint restarts epochs at 0, and its batch 0 overwriting
+   * a standing index's `batch_id=0` would silently destroy landed
+   * history — and the fresh checkpoint has lost the dedup markers for
+   * that history anyway, so the pairing is invalid in both directions.
+   * The writer REFUSES that case (epoch 0 into a non-empty index dir):
+   * rebuild the index with the new checkpoint, or archive the old one.
    *
    * Semantics: this is the index of the DEDUPED stream — within the TTL
    * horizon each content hash lands at most once, so `n_copies` read
@@ -111,11 +127,13 @@ object StreamCorpus {
    *
    * Small files: one partition dir per micro-batch is the price of the
    * effectively-once contract, and at production cadence (a batch per
-   * second, days of retention) it is a real file-count problem — fold
-   * old batches periodically with `ScanOps.compactParquet` (sized by
-   * filesystem stats, and safe here because compaction reads committed
-   * partitions only; StreamCorpusSpec asserts the compacted copy is
-   * consumer-identical).
+   * second, days of retention) it is a real file-count problem. Fold
+   * old batches with `ScanOps.compactParquet` while the query is
+   * STOPPED (or against a snapshot): the compactor reads the whole
+   * directory with no commit filtering, so running it concurrently
+   * with an in-flight epoch write or retry can capture half-written
+   * partitions. StreamCorpusSpec asserts the stopped-stream compacted
+   * copy is consumer-identical.
    */
   def maintainShingleIndex(docs: DataFrame, langs: Seq[String],
       minChars: Long, minTokens: Long, ttlMs: Long, dir: String,
@@ -123,6 +141,12 @@ object StreamCorpus {
     keptDocs(docs, langs, minChars, minTokens, ttlMs)
       .writeStream
       .foreachBatch { (batch: Dataset[KeptDoc], batchId: Long) =>
+        if (batchId == 0L && indexNonEmpty(batch.sparkSession, dir))
+          throw new IllegalStateException(
+            s"refusing to write epoch 0 into non-empty index dir $dir: " +
+              "a fresh checkpoint cannot extend an index landed under a " +
+              "previous checkpoint (its dedup state is gone); rebuild or " +
+              "archive the standing index")
         val b = batch.persist() // two sinks below — compute the batch once
         try {
           b.toDF().select(col("doc_id"), col("content_hash"))
@@ -131,4 +155,17 @@ object StreamCorpus {
             .write.mode("overwrite").parquet(s"$dir/shingles/batch_id=$batchId")
         } finally { b.unpersist(); () }
       }
+
+  /** True iff the index dir already holds landed partitions BEYOND a
+    * possible epoch-0 of this same run (a retry of epoch 0 itself must
+    * stay idempotent, so batch_id=0 alone does not count). */
+  private def indexNonEmpty(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = new org.apache.hadoop.fs.Path(s"$dir/docs")
+    fs.exists(docs) && fs.listStatus(docs)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+        s.getPath.getName != "batch_id=0")
+  }
 }

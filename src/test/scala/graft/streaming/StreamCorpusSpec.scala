@@ -44,7 +44,6 @@ class StreamCorpusSpec extends SparkSuite {
       spark.readStream.schema(schema).json(in),
       Seq("en", "de"), TextQueries.Q85MinChars, TextQueries.Q85MinTokens,
       ttlMs = 0L) // closed replay fixture: markers never expire
-      .toDF("content_hash", "doc_id")
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.Once()).start()
@@ -172,6 +171,31 @@ class StreamCorpusSpec extends SparkSuite {
         spark, s"$streamDir/shingles", s"$compacted/shingles")
       assert(docSet(compacted) == docSet(streamDir))
       assert(shingleSet(compacted) == shingleSet(streamDir))
+    }
+  }
+
+  test("a fresh checkpoint refuses to write epoch 0 over a standing " +
+      "multi-batch index (its dedup markers are gone)") {
+    withRocksDb {
+      val in = tmp("sg_in_"); val ckpt = tmp("sg_ck_"); val dir = tmp("sg_ix_")
+      // a standing index landed under a PREVIOUS checkpoint lineage
+      Seq((1L, 42L)).toDF("doc_id", "content_hash")
+        .write.parquet(s"$dir/docs/batch_id=1")
+      base.limit(5).coalesce(1).write.mode("append").json(in)
+      @annotation.nowarn("cat=deprecation")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        StreamCorpus.maintainShingleIndex(
+          spark.readStream.schema(schema).json(in),
+          Seq("en", "de"), TextQueries.Q85MinChars, TextQueries.Q85MinTokens,
+          ttlMs = 0L, dir = dir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.Once()).start()
+          .awaitTermination()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.isInstanceOf[IllegalStateException]),
+        s"expected the epoch-0 refusal, got: $ex")
     }
   }
 

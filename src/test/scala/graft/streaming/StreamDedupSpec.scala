@@ -73,6 +73,20 @@ class StreamDedupSpec extends SparkSuite {
     }
   }
 
+  test("an id of Long.MaxValue is kept and marked seen (no sentinel " +
+      "conflation in KeepFirstProcessor)") {
+    withRocksDb {
+      val in = tmp("sdm_in_"); val out = tmp("sdm_out_"); val ckpt = tmp("sdm_ck_")
+      writeBatch(in, Seq(("M", Long.MaxValue)))
+      runOnce(dedupStream(in, ttlMs = 3600000L), out, ckpt)
+      assert(got(out) === Set(("M", Long.MaxValue)))
+      // the marker must exist: a later copy is suppressed, not admitted
+      writeBatch(in, Seq(("M", 1L)))
+      runOnce(dedupStream(in, ttlMs = 3600000L), out, ckpt)
+      assert(got(out) === Set(("M", Long.MaxValue)))
+    }
+  }
+
   test("the TTL is the dedup horizon: an expired hash re-admits") {
     withRocksDb {
       val in = tmp("sdt_in_"); val out = tmp("sdt_out_"); val ckpt = tmp("sdt_ck_")
