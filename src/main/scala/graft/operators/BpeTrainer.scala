@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
  * is ONE delimited string `|t1||t2||t3|` — every token carries its own
  * `|` on both sides, so the greedy-leftmost non-overlapping merge of
  * pair (p,q) is exactly `regexp_replace(s, '\|p\|\|q\|', '|pq|')`
- * scanning left to right. No lookahead needed (DuckDB's RE2 has none),
- * and Java regex and RE2 agree on replace-all semantics. Tokens are
- * lowercase-alpha by construction, so no other escaping exists.
+ * scanning left to right ([[applyMerge]], which regex-quotes the
+ * tokens so any non-structural character is safe). No lookahead needed
+ * (DuckDB's RE2 has none), and Java regex and RE2 agree on replace-all
+ * semantics. The two structural characters ('|', ' ') are excluded
+ * from the vocabulary by [[vocab]].
  *
  * Scale shape: the vocabulary is a capped top-K word table (BPE trains
  * on vocab+counts, not the corpus — the ONE heavy corpus scan is the
@@ -32,9 +34,18 @@ object BpeTrainer {
 
   /** Build the weighted vocabulary in delimited-token form from a word
     * stream: top `vocabSize` (count desc, word asc) for a bounded,
-    * deterministic training set. */
+    * deterministic training set.
+    *
+    * Words containing the two STRUCTURAL characters are dropped here —
+    * '|' delimits tokens inside `s` and ' ' separates the two tokens of
+    * a rule's "p q" encoding, so either would corrupt the
+    * representation no amount of regex escaping can fix. Every other
+    * character is safe: [[train]] regex-quotes the tokens it
+    * interpolates. */
   def vocab(words: DataFrame, wordCol: String, vocabSize: Int): DataFrame =
-    words.groupBy(col(wordCol).as("word"))
+    words
+      .filter(!(col(wordCol).contains("|") || col(wordCol).contains(" ")))
+      .groupBy(col(wordCol).as("word"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(vocabSize)
@@ -100,12 +111,7 @@ object BpeTrainer {
         val pair = top.head.getString(0)
         val weight = top.head.getLong(1)
         rules ::= ((step, pair, weight))
-        val Array(p, q) = pair.split(" ", 2)
-        v = v.select(
-          regexp_replace(col("s"),
-            lit("\\|" + p + "\\|\\|" + q + "\\|"), lit("|" + p + q + "|"))
-            .as("s"),
-          col("cnt"))
+        v = v.select(applyMerge(col("s"), pair).as("s"), col("cnt"))
         if (step % CheckpointEvery == 0) v = v.localCheckpoint(true)
       }
       step += 1
@@ -118,6 +124,23 @@ object BpeTrainer {
       .collect().map(r => (nMerges + 1, r.getString(0), r.getLong(1)))
     base.unpersist()
     (rules.reverse ++ after).toDF("step", "pair", "weight")
+  }
+
+  /** Greedy-leftmost non-overlapping application of ONE merge rule
+    * ("p q") to a delimited-token string column — the single
+    * `regexp_replace` the representation trick buys. Tokens are
+    * regex-QUOTED into the pattern and the replacement is quoted too
+    * ('$'/'\' are group references in Java replacements), so any
+    * non-structural character trains correctly; '|' and ' ' never
+    * reach here ([[vocab]] drops them). Encoders replaying trained
+    * rules ([[readRules]] consumers, q91) apply rules through this
+    * same expression. */
+  def applyMerge(s: Column, pair: String): Column = {
+    val Array(p, q) = pair.split(" ", 2)
+    regexp_replace(s,
+      lit("\\|" + java.util.regex.Pattern.quote(p) + "\\|\\|" +
+        java.util.regex.Pattern.quote(q) + "\\|"),
+      lit(java.util.regex.Matcher.quoteReplacement("|" + p + q + "|")))
   }
 
   /** Land the trained merge rules as a MODEL ARTIFACT — the (step, pair,

@@ -203,8 +203,11 @@ object Multimodal {
             if (rate <= 0) fail(s"non-positive sample rate $rate")
           case "data" =>
             if (rate < 0) fail("data chunk before fmt")
+            if (samples != null) fail("multiple data chunks")
             if (len % 2 != 0) fail(s"odd data length $len")
             val n = (len / 2).toInt
+            // n == 0 would silently NaN every downstream mean/rms
+            if (n == 0) fail("empty data chunk")
             samples = new Array[Short](n)
             var i = 0
             while (i < n) { samples(i) = u16(body + 2 * i).toShort; i += 1 }

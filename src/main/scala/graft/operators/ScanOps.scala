@@ -47,12 +47,18 @@ object ScanOps {
       math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
         .min(Int.MaxValue).toInt
     val df = spark.read.parquet(inDir)
-    if (partitionCols.isEmpty)
+    if (partitionCols.isEmpty) {
       df.coalesce(nFiles).write.mode("overwrite").parquet(outDir)
-    else
+      nFiles
+    } else {
       df.repartition(partitionCols.map(col): _*)
         .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
-    nFiles
+      // the write produces ~one file per partition value (the
+      // repartition co-locates each value); return that count, as
+      // documented — the bytes-derived nFiles has no relation to it
+      df.select(partitionCols.map(col): _*).distinct().count()
+        .min(Int.MaxValue).toInt
+    }
   }
 
   /**

@@ -468,11 +468,8 @@ object TextQueries {
         val delim = concat(lit("|"),
           array_join(expr("filter(split(w, ''), c -> c <> '')"), "||"),
           lit("|"))
-        val encoded = rules.foldLeft(delim) { (acc, pair) =>
-          val Array(p, q) = pair.split(" ", 2)
-          regexp_replace(acc,
-            lit("\\|" + p + "\\|\\|" + q + "\\|"), lit("|" + p + q + "|"))
-        }
+        val encoded = rules.foldLeft(delim)(
+          graft.operators.BpeTrainer.applyMerge)
         words
           .select(col("doc_id"), length(col("w")).as("n_chars_w"),
             size(split(encoded, "\\|\\|")).as("n_toks"))

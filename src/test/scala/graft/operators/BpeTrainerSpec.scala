@@ -66,6 +66,21 @@ class BpeTrainerSpec extends SparkSuite {
     assert(r50.take(3).toSeq == r3.toSeq)
   }
 
+  test("regex metacharacters in words train correctly; structural chars are dropped") {
+    // '.' would wildcard-match without Pattern.quote; '$'/'\\' would be
+    // group references in the replacement without quoteReplacement
+    val words = (Seq.fill(3)("a.c") ++ Seq.fill(2)("x$z")).toDF("w")
+    val rules = BpeTrainer.train(spark, words, "w", 10, 4, 0)
+      .filter(col("step") <= 4).orderBy("step").collect().map(_.getString(1))
+    // ". c" < "a ." and "$ z" < "x $" (tie-break pair asc at equal weight)
+    assert(rules.toSeq == Seq(". c", "a .c", "$ z", "x $z"))
+    // words carrying the structural chars never enter the vocabulary
+    val structural = (Seq("a|b", "a b") ++ Seq.fill(2)("ok")).toDF("w")
+    val v = BpeTrainer.vocab(structural, "w", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v == Seq(("|o||k|", 2L)))
+  }
+
   test("landRules/readRules round-trips the trained model artifact") {
     val words = (Seq.fill(4)("abc") ++ Seq.fill(2)("abd")).toDF("w")
     val dir = java.nio.file.Files.createTempDirectory("bpe_rules_").toString
