@@ -109,13 +109,31 @@ object VectorSearch {
    * (queries broadcast — the small side by construction), ranked per query.
    * Input frames: base (idCol, vecCol float array), queries likewise.
    */
+  /** (idCol, v: double array, nrm) — the shared vector prep every
+    * cosine operator starts from (quantizedTopK has its own int8
+    * variant; it is NOT this shape). */
+  private def prepNormed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
+
+  /** Seed centroids (every `centroidEvery`-th id), fixed-point trained
+    * for `kmeansIters` rounds over the prepped corpus `b` — the shared
+    * training setup of [[ivfTopK]] and [[kmeansAssign]]
+    * (`kmeansIters <= 0` returns the raw modulo sample). */
+  private def seededCents(base: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, centroidEvery: Int, kmeansIters: Int,
+      dims: Int): DataFrame = {
+    val sampled = prepNormed(base.filter(col(idCol) % centroidEvery === 0),
+      idCol, vecCol)
+      .select(col(idCol).as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    if (kmeansIters <= 0) sampled
+    else trainCentroids(b, sampled, idCol, kmeansIters, dims)
+  }
+
   def knnBrute(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 5): DataFrame = {
-    def prepared(df: DataFrame) =
-      df.select(col(idCol), toDouble(col(vecCol)).as("v"))
-        .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
-    val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
-    val q = prepared(queries).select(
+    val b = prepNormed(ScanOps.spreadSmallInput(base, col(idCol)), idCol, vecCol)
+    val q = prepNormed(queries, idCol, vecCol).select(
       col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -211,15 +229,8 @@ object VectorSearch {
   def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, centroidEvery: Int = 50, nprobe: Int = 2,
       kmeansIters: Int = 0, dims: Int = 64): DataFrame = {
-    def prepared(df: DataFrame) =
-      df.select(col(idCol), toDouble(col(vecCol)).as("v"))
-        .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
-    val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
-    val sampled = prepared(base.filter(col(idCol) % centroidEvery === 0))
-      .select(col(idCol).as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val cents =
-      if (kmeansIters <= 0) sampled
-      else trainCentroids(b, sampled, idCol, kmeansIters, dims)
+    val b = prepNormed(ScanOps.spreadSmallInput(base, col(idCol)), idCol, vecCol)
+    val cents = seededCents(base, b, idCol, vecCol, centroidEvery, kmeansIters, dims)
     def nearestCents(df: DataFrame, idName: String, keep: Int) =
       nearestCentroids(df, cents, idName, keep)
         .drop("cv", "cn", "cent_cos", "cent_rnk")
@@ -227,7 +238,8 @@ object VectorSearch {
     val assigned = nearestCents(b, idCol, keep = 1)
     // probe: each query fans out to its nprobe nearest lists
     val probes = nearestCents(
-      prepared(queries).select(col(idCol).as("query_id"), col("v"), col("nrm")),
+      prepNormed(queries, idCol, vecCol)
+        .select(col(idCol).as("query_id"), col("v"), col("nrm")),
       "query_id", keep = nprobe)
       .select(col("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cent_id"))
     val w = Window.partitionBy("query_id")
@@ -266,15 +278,8 @@ object VectorSearch {
    */
   def kmeansAssign(base: DataFrame, idCol: String, vecCol: String,
       centroidEvery: Int = 50, kmeansIters: Int = 2, dims: Int = 64): DataFrame = {
-    def prepared(df: DataFrame) =
-      df.select(col(idCol), toDouble(col(vecCol)).as("v"))
-        .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
-    val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
-    val sampled = prepared(base.filter(col(idCol) % centroidEvery === 0))
-      .select(col(idCol).as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val cents =
-      if (kmeansIters <= 0) sampled
-      else trainCentroids(b, sampled, idCol, kmeansIters, dims)
+    val b = prepNormed(ScanOps.spreadSmallInput(base, col(idCol)), idCol, vecCol)
+    val cents = seededCents(base, b, idCol, vecCol, centroidEvery, kmeansIters, dims)
     nearestCentroids(b, cents, idCol, keep = 1)
       .select(col(idCol), col("cent_id"), col("cent_cos"))
   }
@@ -301,8 +306,16 @@ object VectorSearch {
     * hyperplane dots into the generator (the [[TextDedup.bandRows]]
     * measured pitfall). */
   def vecBandRows(df: DataFrame, idCol: String): DataFrame =
-    df.select(col(idCol).as("vec_id"), bandValues(col("v")).as("bvals"))
-      .select(col("vec_id"), col("bvals"),
+    bandRowsFromBvals(
+      df.select(col(idCol).as("vec_id"), bandValues(col("v")).as("bvals")))
+
+  /** The literal-band-explode kernel over a frame already carrying
+    * `bvals` — shared by [[vecBandRows]] and [[bucketedNearDupPairs]]
+    * (whose prep computes bvals alongside nrm in ONE projection), so
+    * the band keying the diagnostic counts is BY CONSTRUCTION the one
+    * the dedup buckets on. */
+  private def bandRowsFromBvals(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("bvals"),
         explode(typedlit((0 until VecBands).toArray)).as("band"))
       .select(col("vec_id"), col("band"),
         element_at(col("bvals"), col("band") + 1).as("bval"))
@@ -347,11 +360,7 @@ object VectorSearch {
       .select(col(idCol).as("vec_id"), col("v"))
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
         bandValues(col("v")).as("bvals"))
-    val bands = vs
-      .select(col("vec_id"), col("bvals"),
-        explode(typedlit((0 until VecBands).toArray)).as("band"))
-      .select(col("vec_id"), col("band"),
-        element_at(col("bvals"), col("band") + 1).as("bval"))
+    val bands = bandRowsFromBvals(vs)
     val kept = bands.join(
       broadcast(vecBandBucketSizes(bands)
         .filter(col("bucket_size") > maxBandBucket)

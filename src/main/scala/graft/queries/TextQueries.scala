@@ -74,6 +74,43 @@ object TextQueries {
         s, bpeWords(s, d).select("w"), "w", BpeVocab, BpeMerges, BpeTopK, dir)
     }
 
+  /** DuckDB twins of BpeTrainer.pairCounts / applyMerge, and the shared
+    * training prolog both BPE oracles extend (q86 with the post-training
+    * pair table, q91 with the per-word encode chain) — ONE copy of the
+    * 3-round count→argmax→merge CTE chain, so a tie-break or geometry
+    * change cannot silently diverge the two gates. */
+  private def bpePairsOfSql(v: String) = s"""
+          SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(substr(s, 2, length(s) - 2), '||')
+              AS t FROM $v))
+          GROUP BY pair"""
+  private def bpeMergedSql(v: String, m: String) = s"""
+          SELECT regexp_replace($v.s,
+              '\\|' || split_part($m.pair, ' ', 1) || '\\|\\|'
+                || split_part($m.pair, ' ', 2) || '\\|',
+              '|' || replace($m.pair, ' ', '') || '|', 'g') AS s, $v.cnt
+          FROM $v, $m"""
+  private def bpeTrainPrologSql = s"""
+        WITH w AS (
+          SELECT w AS word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+          WHERE length(w) BETWEEN 3 AND 12
+          GROUP BY w ORDER BY cnt DESC, word LIMIT $BpeVocab),
+        v0 AS (SELECT '|' || array_to_string(
+            list_filter(string_split(word, ''), c -> c <> ''), '||') || '|'
+            AS s, cnt FROM w),
+        p1 AS (${bpePairsOfSql("v0")}),
+        m1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
+        v1 AS (${bpeMergedSql("v0", "m1")}),
+        p2 AS (${bpePairsOfSql("v1")}),
+        m2 AS (SELECT pair, weight FROM p2 ORDER BY weight DESC, pair LIMIT 1),
+        v2 AS (${bpeMergedSql("v1", "m2")}),
+        p3 AS (${bpePairsOfSql("v2")}),
+        m3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1)"""
+
   /** DuckDB twin of TextDedup.shingles for word bigrams (the q48 gram
     * unit; mirrors DedupQueries' general-n helper at n = 2). */
   private def sqlBigrams(t: String): String =
@@ -401,40 +438,10 @@ object TextQueries {
       build = (s, d) =>
         graft.operators.BpeTrainer.readRules(s, bpeModelDir(s, d))
           .orderBy(col("step"), col("weight").desc, col("pair")),
-      oracle = Some {
-        def pairsOf(v: String) = s"""
-          SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight FROM (
-            SELECT cnt, unnest(list_transform(range(1, len(t)),
-              i -> t[i] || ' ' || t[i + 1])) AS pair
-            FROM (SELECT cnt, string_split(substr(s, 2, length(s) - 2), '||')
-              AS t FROM $v))
-          GROUP BY pair"""
-        def merged(v: String, m: String) = s"""
-          SELECT regexp_replace($v.s,
-              '\\|' || split_part($m.pair, ' ', 1) || '\\|\\|'
-                || split_part($m.pair, ' ', 2) || '\\|',
-              '|' || replace($m.pair, ' ', '') || '|', 'g') AS s, $v.cnt
-          FROM $v, $m"""
-        s"""
-        WITH w AS (
-          SELECT w AS word, count(*) AS cnt FROM (
-            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-            FROM documents)
-          WHERE length(w) BETWEEN 3 AND 12
-          GROUP BY w ORDER BY cnt DESC, word LIMIT $BpeVocab),
-        v0 AS (SELECT '|' || array_to_string(
-            list_filter(string_split(word, ''), c -> c <> ''), '||') || '|'
-            AS s, cnt FROM w),
-        p1 AS (${pairsOf("v0")}),
-        m1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
-        v1 AS (${merged("v0", "m1")}),
-        p2 AS (${pairsOf("v1")}),
-        m2 AS (SELECT pair, weight FROM p2 ORDER BY weight DESC, pair LIMIT 1),
-        v2 AS (${merged("v1", "m2")}),
-        p3 AS (${pairsOf("v2")}),
-        m3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1),
-        v3 AS (${merged("v2", "m3")}),
-        p4 AS (${pairsOf("v3")})
+      oracle = Some(s"""
+        $bpeTrainPrologSql,
+        v3 AS (${bpeMergedSql("v2", "m3")}),
+        p4 AS (${bpePairsOfSql("v3")})
         SELECT CAST(step AS INT) AS step, pair, weight FROM (
           SELECT 1 AS step, pair, weight FROM m1
           UNION ALL SELECT 2, pair, weight FROM m2
@@ -442,8 +449,7 @@ object TextQueries {
           UNION ALL SELECT * FROM (
             SELECT ${BpeMerges + 1} AS step, pair, weight FROM p4
             ORDER BY weight DESC, pair LIMIT $BpeTopK))
-        ORDER BY step, weight DESC, pair"""
-      }),
+        ORDER BY step, weight DESC, pair""")),
 
     // ------------------------------------------------------------------
     // q91 — BPE ENCODE: apply the q86-trained merge rules to the corpus
@@ -480,42 +486,13 @@ object TextQueries {
           .orderBy("doc_id")
       },
       oracle = Some {
-        def pairsOf(v: String) = s"""
-          SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight FROM (
-            SELECT cnt, unnest(list_transform(range(1, len(t)),
-              i -> t[i] || ' ' || t[i + 1])) AS pair
-            FROM (SELECT cnt, string_split(substr(s, 2, length(s) - 2), '||')
-              AS t FROM $v))
-          GROUP BY pair"""
-        def merged(v: String, m: String) = s"""
-          SELECT regexp_replace($v.s,
-              '\\|' || split_part($m.pair, ' ', 1) || '\\|\\|'
-                || split_part($m.pair, ' ', 2) || '\\|',
-              '|' || replace($m.pair, ' ', '') || '|', 'g') AS s, $v.cnt
-          FROM $v, $m"""
         def applyRule(inner: String, m: String) = s"""
           replace($inner,
             '|' || split_part($m.pair, ' ', 1) || '||'
               || split_part($m.pair, ' ', 2) || '|',
             '|' || replace($m.pair, ' ', '') || '|')"""
         s"""
-        WITH w AS (
-          SELECT w AS word, count(*) AS cnt FROM (
-            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-            FROM documents)
-          WHERE length(w) BETWEEN 3 AND 12
-          GROUP BY w ORDER BY cnt DESC, word LIMIT $BpeVocab),
-        v0 AS (SELECT '|' || array_to_string(
-            list_filter(string_split(word, ''), c -> c <> ''), '||') || '|'
-            AS s, cnt FROM w),
-        p1 AS (${pairsOf("v0")}),
-        m1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
-        v1 AS (${merged("v0", "m1")}),
-        p2 AS (${pairsOf("v1")}),
-        m2 AS (SELECT pair, weight FROM p2 ORDER BY weight DESC, pair LIMIT 1),
-        v2 AS (${merged("v1", "m2")}),
-        p3 AS (${pairsOf("v2")}),
-        m3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1),
+        $bpeTrainPrologSql,
         wr AS (SELECT doc_id, w FROM (
             SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
               AS w FROM documents)

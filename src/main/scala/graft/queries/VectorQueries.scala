@@ -64,6 +64,63 @@ object VectorQueries {
         ${kmeansIterSql(2, "k1")}
         cents AS (SELECT cent_id, cv, cn FROM k2)"""
 
+  /** DuckDB twins shared by the PQ oracles (q87 sampled / q90 trained
+    * codebooks) — ONE copy of the squared-distance, subvector-slice,
+    * seed prolog, and encode→ADC→rank tail, so a geometry or seed-rule
+    * change cannot silently gate two different algorithms. */
+  private def pqSqSql(a: String, b: String) =
+    s"(${sqlDot(a, a)} - 2.0 * ${sqlDot(a, b)} + ${sqlDot(b, b)})"
+  private def pqSubOfSql(v: String) = (0 until PqSubspaces).map { sIdx =>
+    s"WHEN $sIdx THEN $v[${sIdx * PqSubDim + 1}:${(sIdx + 1) * PqSubDim}]"
+  }.mkString("CASE sub ", " ", " ELSE NULL END")
+
+  /** base corpus, subspace index table, every-25th seed vectors, the
+    * seed codebook `$seedBooks`, and the sub-exploded corpus. */
+  private def pqPrologSql(seedBooks: String) = s"""
+        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v
+          FROM embeddings),
+        subs(sub) AS (SELECT unnest(range(0, $PqSubspaces))),
+        seeds AS (SELECT vec_id, v, code FROM (
+            SELECT vec_id, v,
+              CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code
+            FROM base WHERE vec_id % 25 = 0 AND vec_id < 400)
+          WHERE code < $PqCodes),
+        $seedBooks AS (SELECT sub, code, ${pqSubOfSql("v")} AS cv FROM seeds, subs),
+        subrows AS (SELECT vec_id, sub, ${pqSubOfSql("v")} AS sv FROM base, subs)"""
+
+  /** Encode against codebook CTE `$books`, pivot codes, ADC-score the
+    * fixed query set, rank, top-5. */
+  private def pqAdcTailSql(books: String) = s"""
+        enc AS (SELECT vec_id, sub, code FROM (
+            SELECT sr.vec_id, sr.sub, b.code,
+              row_number() OVER (PARTITION BY sr.vec_id, sr.sub
+                ORDER BY ${pqSqSql("sr.sv", "b.cv")}, b.code) AS rk
+            FROM subrows sr JOIN $books b USING (sub)) WHERE rk = 1),
+        codes AS (SELECT vec_id,
+            max(CASE WHEN sub = 0 THEN code END) AS c0,
+            max(CASE WHEN sub = 1 THEN code END) AS c1,
+            max(CASE WHEN sub = 2 THEN code END) AS c2,
+            max(CASE WHEN sub = 3 THEN code END) AS c3
+          FROM enc GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM base
+          WHERE vec_id % 100 = 0 AND vec_id < 500),
+        dt AS (SELECT query_id, sub, code,
+            ${pqSqSql(s"(${pqSubOfSql("qv")})", "cv")} AS d2
+          FROM q, $books),
+        dar AS (SELECT query_id, list(d2 ORDER BY sub, code) AS dar
+          FROM dt GROUP BY query_id),
+        scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+            dar[c0 + 1] + dar[$PqCodes + c1 + 1]
+              + dar[${2 * PqCodes} + c2 + 1] + dar[${3 * PqCodes} + c3 + 1]
+              AS adist
+          FROM codes c, dar WHERE c.vec_id <> query_id),
+        ranked AS (SELECT query_id, neighbor_id, adist,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT query_id, neighbor_id, adist, rnk FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -287,52 +344,9 @@ object VectorQueries {
           codebookIds = col("vec_id") % 25 === 0 && col("vec_id") < 400)
           .orderBy("query_id", "rnk")
       },
-      oracle = Some {
-        def sq(a: String, b: String) =
-          s"(${sqlDot(a, a)} - 2.0 * ${sqlDot(a, b)} + ${sqlDot(b, b)})"
-        def subOf(v: String) = (0 until PqSubspaces).map { sIdx =>
-          s"WHEN $sIdx THEN $v[${sIdx * PqSubDim + 1}:${(sIdx + 1) * PqSubDim}]"
-        }.mkString("CASE sub ", " ", " ELSE NULL END")
-        s"""
-        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v
-          FROM embeddings),
-        subs(sub) AS (SELECT unnest(range(0, $PqSubspaces))),
-        seeds AS (SELECT vec_id, v, code FROM (
-            SELECT vec_id, v,
-              CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code
-            FROM base WHERE vec_id % 25 = 0 AND vec_id < 400)
-          WHERE code < $PqCodes),
-        books AS (SELECT sub, code, ${subOf("v")} AS cv FROM seeds, subs),
-        subrows AS (SELECT vec_id, sub, ${subOf("v")} AS sv FROM base, subs),
-        enc AS (SELECT vec_id, sub, code FROM (
-            SELECT sr.vec_id, sr.sub, b.code,
-              row_number() OVER (PARTITION BY sr.vec_id, sr.sub
-                ORDER BY ${sq("sr.sv", "b.cv")}, b.code) AS rk
-            FROM subrows sr JOIN books b USING (sub)) WHERE rk = 1),
-        codes AS (SELECT vec_id,
-            max(CASE WHEN sub = 0 THEN code END) AS c0,
-            max(CASE WHEN sub = 1 THEN code END) AS c1,
-            max(CASE WHEN sub = 2 THEN code END) AS c2,
-            max(CASE WHEN sub = 3 THEN code END) AS c3
-          FROM enc GROUP BY vec_id),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM base
-          WHERE vec_id % 100 = 0 AND vec_id < 500),
-        dt AS (SELECT query_id, sub, code, ${sq(s"(${subOf("qv")})", "cv")} AS d2
-          FROM q, books),
-        dar AS (SELECT query_id, list(d2 ORDER BY sub, code) AS dar
-          FROM dt GROUP BY query_id),
-        scored AS (SELECT query_id, c.vec_id AS neighbor_id,
-            dar[c0 + 1] + dar[$PqCodes + c1 + 1]
-              + dar[${2 * PqCodes} + c2 + 1] + dar[${3 * PqCodes} + c3 + 1]
-              AS adist
-          FROM codes c, dar WHERE c.vec_id <> query_id),
-        ranked AS (SELECT query_id, neighbor_id, adist,
-            CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY adist, neighbor_id) AS BIGINT) AS rnk
-          FROM scored)
-        SELECT query_id, neighbor_id, adist, rnk FROM ranked
-        WHERE rnk <= 5 ORDER BY query_id, rnk"""
-      }),
+      oracle = Some(s"""
+        ${pqPrologSql("books")},
+        ${pqAdcTailSql("books")}""")),
 
     // ------------------------------------------------------------------
     // q90 — PQ with TRAINED codebooks (VectorSearch.pqTrainCodebooks):
@@ -356,16 +370,11 @@ object VectorQueries {
           .orderBy("query_id", "rnk")
       },
       oracle = Some {
-        def sq(a: String, b: String) =
-          s"(${sqlDot(a, a)} - 2.0 * ${sqlDot(a, b)} + ${sqlDot(b, b)})"
-        def subOf(v: String) = (0 until PqSubspaces).map { sIdx =>
-          s"WHEN $sIdx THEN $v[${sIdx * PqSubDim + 1}:${(sIdx + 1) * PqSubDim}]"
-        }.mkString("CASE sub ", " ", " ELSE NULL END")
         def trainIter(i: Int, prev: String) = s"""
         asg$i AS (SELECT sub, code, sv FROM (
             SELECT sr.vec_id, sr.sub, b.code, sr.sv,
               row_number() OVER (PARTITION BY sr.vec_id, sr.sub
-                ORDER BY ${sq("sr.sv", "b.cv")}, b.code) AS rk
+                ORDER BY ${pqSqSql("sr.sv", "b.cv")}, b.code) AS rk
             FROM subrows sr JOIN $prev b USING (sub)) WHERE rk = 1),
         u$i AS (SELECT sub, code, dim,
             CAST(sum(CAST(floor(sv[dim] * ${VectorSearch.KmeansScale})
@@ -379,46 +388,10 @@ object VectorQueries {
         bk$i AS (SELECT b.sub, b.code, coalesce(n.ncv, b.cv) AS cv
           FROM $prev b LEFT JOIN nc$i n ON b.sub = n.sub AND b.code = n.code),"""
         s"""
-        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v
-          FROM embeddings),
-        subs(sub) AS (SELECT unnest(range(0, $PqSubspaces))),
-        seeds AS (SELECT vec_id, v, code FROM (
-            SELECT vec_id, v,
-              CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS code
-            FROM base WHERE vec_id % 25 = 0 AND vec_id < 400)
-          WHERE code < $PqCodes),
-        bk0 AS (SELECT sub, code, ${subOf("v")} AS cv FROM seeds, subs),
-        subrows AS (SELECT vec_id, sub, ${subOf("v")} AS sv FROM base, subs),
+        ${pqPrologSql("bk0")},
         ${trainIter(1, "bk0")}
         ${trainIter(2, "bk1")}
-        enc AS (SELECT vec_id, sub, code FROM (
-            SELECT sr.vec_id, sr.sub, b.code,
-              row_number() OVER (PARTITION BY sr.vec_id, sr.sub
-                ORDER BY ${sq("sr.sv", "b.cv")}, b.code) AS rk
-            FROM subrows sr JOIN bk2 b USING (sub)) WHERE rk = 1),
-        codes AS (SELECT vec_id,
-            max(CASE WHEN sub = 0 THEN code END) AS c0,
-            max(CASE WHEN sub = 1 THEN code END) AS c1,
-            max(CASE WHEN sub = 2 THEN code END) AS c2,
-            max(CASE WHEN sub = 3 THEN code END) AS c3
-          FROM enc GROUP BY vec_id),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM base
-          WHERE vec_id % 100 = 0 AND vec_id < 500),
-        dt AS (SELECT query_id, sub, code, ${sq(s"(${subOf("qv")})", "cv")} AS d2
-          FROM q, bk2),
-        dar AS (SELECT query_id, list(d2 ORDER BY sub, code) AS dar
-          FROM dt GROUP BY query_id),
-        scored AS (SELECT query_id, c.vec_id AS neighbor_id,
-            dar[c0 + 1] + dar[$PqCodes + c1 + 1]
-              + dar[${2 * PqCodes} + c2 + 1] + dar[${3 * PqCodes} + c3 + 1]
-              AS adist
-          FROM codes c, dar WHERE c.vec_id <> query_id),
-        ranked AS (SELECT query_id, neighbor_id, adist,
-            CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY adist, neighbor_id) AS BIGINT) AS rnk
-          FROM scored)
-        SELECT query_id, neighbor_id, adist, rnk FROM ranked
-        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+        ${pqAdcTailSql("bk2")}"""
       })
   )
 }
