@@ -26,6 +26,10 @@ import org.apache.spark.sql.types._
 object parsers {
 
   private val intRe = "^[+-]?\\d{1,18}$"
+  // long admits the full 19-digit range; the string→long CAST itself
+  // NULLs on overflow (string casts never wrap, unlike numeric
+  // narrowing), so shape + cast = exactly Long.parseLong-in-Optional
+  private val longRe = "^[+-]?\\d{1,19}$"
 
   /**
    * Shape-guarded string → long, then range-guarded narrowing. The range
@@ -48,10 +52,12 @@ object parsers {
   def tryShort(c: Column): Column =
     boundedIntegral(c, Short.MinValue, Short.MaxValue, ShortType)
 
-  /** string → long, NULL on malformed. The 18-digit shape guard keeps every
-    * admitted value inside Long range, so no further bound check is needed. */
+  /** string → long, NULL on malformed or overflowing — the full
+    * Long.parseLong domain: 19-digit values up to Long.MaxValue parse
+    * (the previous 18-digit guard silently rejected them), 19-digit
+    * overflows NULL at the cast. */
   def tryLong(c: Column): Column =
-    when(c.rlike(intRe), c.cast(LongType)).otherwise(lit(null).cast(LongType))
+    when(c.rlike(longRe), c.cast(LongType)).otherwise(lit(null).cast(LongType))
 
   /**
    * string → boolean, NULL on malformed (ref: safeParseBoolean,

@@ -29,6 +29,12 @@ case class AsofJoin(
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     s"as-of join needs matching non-empty key lists, " +
       s"got ${leftKeys.length}/${rightKeys.length}")
+  // the exec orders RIGHT key rows with an ordering built from the LEFT
+  // key types — mixed-width pairs (int vs long) would read garbage, so
+  // reject them here like the time-type check below
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key columns must agree in type pairwise: " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time columns must agree in type: " +
       s"${leftTime.dataType} vs ${rightTime.dataType}")

@@ -36,7 +36,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
  *  - left-outer: unmatched left rows emit null right columns;
  *  - keys compare null-safely (a null right key can match a null left
  *    key, like Spark's `<=>`): filter null keys upstream when SQL
- *    equality semantics are required.
+ *    equality semantics are required;
+ *  - a NULL TIME never matches, on either side (SQL comparison
+ *    semantics — `t <= NULL` is not true — and DuckDB's ASOF agrees):
+ *    a null-time left row emits null right columns, a null-time right
+ *    row is never a candidate.
  */
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
@@ -75,6 +79,11 @@ case class AsofJoinExec(
     val lKeyExprs = leftKeys; val rKeyExprs = rightKeys
     val lTimeExpr = leftTime; val rTimeExpr = rightTime
     val outAttrs = output
+    // locals, like every field above: referencing the case-class fields
+    // inside zipPartitions would capture `this` — the whole operator
+    // subtree — into every task closure
+    val dir = direction
+    val tolOpt = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-partition, executor-side: codegen'd projections + ordering
       val lKey = UnsafeProjection.create(lKeyExprs, leftOut)
@@ -91,14 +100,18 @@ case class AsofJoinExec(
       val nullRight = new GenericInternalRow(rightOut.length)
       // tolerance reads the time fields as raw longs — legal for the
       // LongType/Timestamp(NTZ) types the logical node admits (both are
-      // long-backed in InternalRow)
-      val tol = tolerance.getOrElse(Long.MaxValue)
+      // long-backed in InternalRow); both sides are non-null by the
+      // time withinTol runs (null times never reach a matched pair)
+      val tol = tolOpt.getOrElse(Long.MaxValue)
       def withinTol(lRow: InternalRow, rRow: InternalRow): Boolean =
-        tolerance.isEmpty || {
+        tolOpt.isEmpty || {
           val lt = lTime(lRow).getLong(0); val rt = rTime(rRow).getLong(0)
-          (if (lt >= rt) lt - rt else rt - lt) <= tol
+          val diff = if (lt >= rt) lt - rt else rt - lt
+          // a true |lt - rt| beyond Long.MaxValue wraps negative: that
+          // distance cannot be within any non-negative tolerance
+          diff >= 0 && diff <= tol
         }
-      direction match {
+      dir match {
         case AsofBackward =>
           // ONE buffered candidate: the latest right row at or before
           // the current left time within the current key group
@@ -107,50 +120,64 @@ case class AsofJoinExec(
           var rHead: InternalRow = null
           lIter.map { lRow =>
             val lk = lKey(lRow)
-            var advancing = true
-            while (advancing && (rHead != null || rIter.hasNext)) {
-              if (rHead == null) rHead = rIter.next()
-              val cmp = keyOrd.compare(rKey(rHead), lk)
-              if (cmp < 0) {
-                rHead = null // right key group already passed: discard
-              } else if (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(lRow)) <= 0) {
-                // match candidate; later rows in the group can only be better
-                candidate = rHead.copy()
-                candidateKey = rKey(rHead).copy()
-                rHead = null
-              } else {
-                advancing = false // right is ahead of this left row: stop
+            if (lTime(lRow).isNullAt(0)) {
+              // NULL left time matches nothing; no advance either — the
+              // buffered right rows belong to later left rows (null
+              // times sort first, so nothing behind them is needed)
+              result(joined(lRow, nullRight))
+            } else {
+              var advancing = true
+              while (advancing && (rHead != null || rIter.hasNext)) {
+                if (rHead == null) rHead = rIter.next()
+                val cmp = keyOrd.compare(rKey(rHead), lk)
+                if (cmp < 0) {
+                  rHead = null // right key group already passed: discard
+                } else if (cmp == 0 && rTime(rHead).isNullAt(0)) {
+                  rHead = null // NULL right time can never match any left
+                } else if (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(lRow)) <= 0) {
+                  // match candidate; later rows in the group can only be better
+                  candidate = rHead.copy()
+                  candidateKey = rKey(rHead).copy()
+                  rHead = null
+                } else {
+                  advancing = false // right is ahead of this left row: stop
+                }
               }
+              val matched = candidate != null &&
+                keyOrd.compare(candidateKey, lk) == 0 &&
+                withinTol(lRow, candidate)
+              result(joined(lRow, if (matched) candidate else nullRight))
             }
-            val matched = candidate != null &&
-              keyOrd.compare(candidateKey, lk) == 0 &&
-              withinTol(lRow, candidate)
-            result(joined(lRow, if (matched) candidate else nullRight))
           }
         case AsofForward =>
           // no buffering at all: the first right row with key == lk and
           // time >= left time IS the match (it is the nearest future
           // row), and it must NOT be consumed — the next left row may
           // need the same one. Rows the advance discards are strictly
-          // in the past of every remaining left row.
+          // in the past of every remaining left row (null right times
+          // sort first and compare < 0, so they are discarded here too).
           var rHead: InternalRow = null
           lIter.map { lRow =>
             val lk = lKey(lRow)
-            var advancing = true
-            while (advancing && (rHead != null || rIter.hasNext)) {
-              if (rHead == null) rHead = rIter.next()
-              val cmp = keyOrd.compare(rKey(rHead), lk)
-              if (cmp < 0 ||
-                  (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(lRow)) < 0)) {
-                rHead = null // behind this (and every later) left row
-              } else {
-                advancing = false
+            if (lTime(lRow).isNullAt(0)) {
+              result(joined(lRow, nullRight)) // NULL left time: no match
+            } else {
+              var advancing = true
+              while (advancing && (rHead != null || rIter.hasNext)) {
+                if (rHead == null) rHead = rIter.next()
+                val cmp = keyOrd.compare(rKey(rHead), lk)
+                if (cmp < 0 ||
+                    (cmp == 0 && timeOrd.compare(rTime(rHead), lTime(lRow)) < 0)) {
+                  rHead = null // behind this (and every later) left row
+                } else {
+                  advancing = false
+                }
               }
+              val matched = rHead != null &&
+                keyOrd.compare(rKey(rHead), lk) == 0 &&
+                withinTol(lRow, rHead)
+              result(joined(lRow, if (matched) rHead else nullRight))
             }
-            val matched = rHead != null &&
-              keyOrd.compare(rKey(rHead), lk) == 0 &&
-              withinTol(lRow, rHead)
-            result(joined(lRow, if (matched) rHead else nullRight))
           }
       }
     }

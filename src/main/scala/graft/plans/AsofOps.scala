@@ -16,15 +16,38 @@ object AsofOps {
 
   /** Make [[GraftStrategies]] + [[AsofFilterPushdown]] active on a live
     * session (idempotent). Cluster deployments get both at session build
-    * via `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
+    * via `spark.sql.extensions=graft.functions.GraftSparkExtensions`,
+    * where the rule composes inside the operator-optimization fixpoint.
+    * The live-session path runs extraOptimizations as the FINAL
+    * optimizer batch (also a fixpoint), after the standard pushdown has
+    * already run — so Spark's own PushDownPredicates is co-registered
+    * there: once AsofFilterPushdown moves a predicate below the AsofJoin,
+    * PushDownPredicates keeps pushing it through the left subtree's
+    * standard operators down to the scan, same end state as the
+    * extensions path. */
   def ensureStrategy(spark: SparkSession): Unit = {
     Bridge.addStrategy(spark, GraftStrategies)
     Bridge.addOptimization(spark, AsofFilterPushdown)
+    Bridge.addOptimization(spark,
+      org.apache.spark.sql.catalyst.optimizer.PushDownPredicates)
   }
 
-  private def resolve(out: Seq[Attribute], name: String): Attribute =
-    out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-      s"as-of column '$name' not in [${out.map(_.name).mkString(", ")}]"))
+  /** Resolve `name` with the session's resolver (case-insensitive
+    * unless spark.sql.caseSensitive), and REJECT ambiguity instead of
+    * silently binding the first duplicate — Spark's own column
+    * resolution rules, not a literal string match. */
+  private def resolve(spark: SparkSession, out: Seq[Attribute],
+      name: String): Attribute = {
+    val resolver = spark.sessionState.conf.resolver
+    out.filter(a => resolver(a.name, name)) match {
+      case collection.Seq(one) => one
+      case collection.Seq() => throw new IllegalArgumentException(
+        s"as-of column '$name' not in [${out.map(_.name).mkString(", ")}]")
+      case many => throw new IllegalArgumentException(
+        s"as-of column '$name' is ambiguous: matches " +
+          s"[${many.map(_.name).mkString(", ")}]")
+    }
+  }
 
   /**
    * Left-outer AS-OF join: every `left` row paired with the `right` row
@@ -52,9 +75,10 @@ object AsofOps {
       if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
       else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
     Bridge.ofRows(spark, AsofJoin(lp, rp,
-      keys.map(k => resolve(lp.output, k._1)),
-      keys.map(k => resolve(rp.output, k._2)),
-      resolve(lp.output, leftTimeCol), resolve(rp.output, rightTimeCol),
+      keys.map(k => resolve(spark, lp.output, k._1)),
+      keys.map(k => resolve(spark, rp.output, k._2)),
+      resolve(spark, lp.output, leftTimeCol),
+      resolve(spark, rp.output, rightTimeCol),
       direction, toleranceUs))
   }
 }

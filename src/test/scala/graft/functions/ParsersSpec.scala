@@ -40,6 +40,13 @@ class ParsersSpec extends SparkSuite {
     assert(one[Short](P.tryShort($"v"), "32767").contains(Short.MaxValue))
     assert(one[Short](P.tryShort($"v"), "-32768").contains(Short.MinValue))
     assert(one[Long](P.tryLong($"v"), "999999999999999999").contains(999999999999999999L))
+    // the full parseLong domain: 19-digit in-range values parse...
+    assert(one[Long](P.tryLong($"v"), Long.MaxValue.toString)
+      .contains(Long.MaxValue))
+    assert(one[Long](P.tryLong($"v"), Long.MinValue.toString)
+      .contains(Long.MinValue))
+    // ...19-digit overflows NULL at the cast, longer shapes at the regex
+    assert(one[Long](P.tryLong($"v"), "9999999999999999999").isEmpty)
     assert(one[Long](P.tryLong($"v"), "-99999999999999999999").isEmpty)
     assert(one[Long](P.tryLong($"v"), "9999999999999999999999").isEmpty)
   }

@@ -41,6 +41,55 @@ class AsofJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       5L -> -1L)) // right rows exist but all AFTER the left time -> null
   }
 
+  test("NULL times never match: null-time lefts null-extend, null-time " +
+      "rights are never candidates (both directions, DuckDB ASOF semantics)") {
+    val lt = Seq((1L, "a", Some(20L)), (2L, "a", None), (3L, "a", Some(30L)))
+      .toDF("trade_id", "sym", "t")
+    val rt = Seq(("a", None, 99L), ("a", Some(15L), 101L), ("a", Some(25L), 102L))
+      .toDF("q_sym", "q_t", "px")
+    def run(dir: AsofDirection) =
+      AsofOps.asofJoin(lt, rt, Seq("sym" -> "q_sym"), "t", "q_t", dir)
+        .select(col("trade_id"), col("px")).orderBy("trade_id")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // backward: t=20 -> 15-quote; null t -> none (never the null-time
+    // quote, which nulls-first ordering offers as the 'earliest')
+    assert(run(AsofBackward).toSeq === Seq(1L -> 101L, 2L -> -1L, 3L -> 102L))
+    // forward: t=20 -> 25-quote; null t -> none; t=30 -> nothing ahead
+    assert(run(AsofForward).toSeq === Seq(1L -> 102L, 2L -> -1L, 3L -> -1L))
+    // with a tolerance set, a null-time left must not read a garbage 0
+    val tol = AsofOps.asofJoin(lt, rt, Seq("sym" -> "q_sym"), "t", "q_t",
+        AsofBackward, toleranceUs = Some(5L))
+      .select(col("trade_id"), col("px")).orderBy("trade_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(tol.toSeq === Seq(1L -> 101L, 2L -> -1L, 3L -> 102L))
+  }
+
+  test("mixed-width key types are rejected at construction, not read as garbage") {
+    val l = Seq((1, 10L)).toDF("k", "t") // IntegerType key
+    val r = Seq((1L, 5L, 7L)).toDF("rk", "rt", "px") // LongType key
+    val ex = intercept[IllegalArgumentException] {
+      AsofOps.asofJoin(l, r, Seq("k" -> "rk"), "t", "rt")
+    }
+    assert(ex.getMessage.contains("agree in type"), ex.getMessage)
+  }
+
+  test("column resolution is case-insensitive and rejects ambiguity") {
+    val out = AsofOps.asofJoin(trades, quotes,
+        Seq("SYM" -> "Q_SYM"), "T", "Q_T")
+      .select(col("trade_id"), col("px")).orderBy("trade_id").collect()
+    assert(out.length === 5)
+    // two right columns that both resolve 'q_t' case-insensitively:
+    // binding the first silently would be the wrong-side trap
+    val dup = quotes.select(col("q_sym"), col("q_t"),
+      col("q_t").as("Q_T"), col("px"))
+    val ex = intercept[IllegalArgumentException] {
+      AsofOps.asofJoin(trades, dup, Seq("sym" -> "q_sym"), "t", "q_t")
+    }
+    assert(ex.getMessage.contains("ambiguous"), ex.getMessage)
+  }
+
   test("among right rows tied on (key, time) the last in sort order wins") {
     val dupQuotes = Seq(("a", 10L, 1L), ("a", 10L, 2L), ("a", 10L, 3L))
       .toDF("q_sym", "q_t", "px")
