@@ -59,6 +59,13 @@ object parsers {
   def tryLong(c: Column): Column =
     when(c.rlike(longRe), c.cast(LongType)).otherwise(lit(null).cast(LongType))
 
+  /** string → double, NULL on malformed — shape-guarded so the cast is
+    * ANSI-safe (a matching plain decimal can at worst overflow to
+    * Infinity, which double casts never throw on). */
+  def tryDouble(c: Column): Column =
+    when(c.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$"), c.cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+
   /**
    * string → boolean, NULL on malformed (ref: safeParseBoolean,
    * QueueWriter.java:117-119). HFP `drst` is "0"/"1"; "true"/"false" also

@@ -166,7 +166,9 @@ object HfpProtobuf {
       * prefix pointing past it is malformed, never a licence to read the
       * next sibling field's bytes. */
     private def bound(n: Int): Unit =
-      if (pos + n > end) throw new IllegalArgumentException(
+      // n > end - pos, NOT pos + n > end: the addition overflows Int for
+      // lengths near Int.MaxValue and a wrapped negative sum would pass
+      if (n > end - pos) throw new IllegalArgumentException(
         s"truncated field: need $n bytes at $pos, message ends at $end")
     def varint(): Long = {
       var shift = 0; var result = 0L
@@ -230,6 +232,10 @@ object HfpProtobuf {
     var receivedAt = 0L; var prefix = ""; var version = ""; var jt = ""
     var tt = ""; var et: Option[String] = None; var tm: Option[String] = None
     var operId = 0; var vehNum = 0; var uvid = ""
+    // presence mask for the schema's non-nullable fields: proto3 wire
+    // records omit default values, so a missing required field would
+    // otherwise decode to 0/"" and masquerade as a real value
+    var seen = 0
     var route: Option[String] = None; var dir: Option[Int] = None
     var hs: Option[String] = None; var st: Option[String] = None
     var ns: Option[String] = None; var gl: Option[Int] = None
@@ -241,16 +247,16 @@ object HfpProtobuf {
       def dbl(): Double = r.checked(wt, WtFixed64, fld)(
         java.lang.Double.longBitsToDouble(r.fixed64()))
       fld match {
-        case ReceivedAt => receivedAt = vint()
-        case TopicPrefix => prefix = str()
-        case TopicVersion => version = str()
-        case JourneyType => jt = str()
-        case TemporalType => tt = str()
+        case ReceivedAt => receivedAt = vint(); seen |= 1
+        case TopicPrefix => prefix = str(); seen |= 2
+        case TopicVersion => version = str(); seen |= 4
+        case JourneyType => jt = str(); seen |= 8
+        case TemporalType => tt = str(); seen |= 16
         case EventType => et = Some(str())
         case TransportMode => tm = Some(str())
-        case OperatorId => operId = vint().toInt
-        case VehicleNumber => vehNum = vint().toInt
-        case UniqueVehicleId => uvid = str()
+        case OperatorId => operId = vint().toInt; seen |= 32
+        case VehicleNumber => vehNum = vint().toInt; seen |= 64
+        case UniqueVehicleId => uvid = str(); seen |= 128
         case RouteId => route = Some(str())
         case DirectionId => dir = Some(vint().toInt)
         case Headsign => hs = Some(str())
@@ -262,6 +268,8 @@ object HfpProtobuf {
         case _ => r.skip(wt)
       }
     }
+    if (seen != 255) throw new IllegalArgumentException(
+      s"missing required topic field(s), presence mask $seen of 255")
     HfpTopic(receivedAt, prefix, version, jt, tt, et, tm, operId, vehNum, uvid,
       route, dir, hs, st, ns, gl, lat, lon)
   }
@@ -270,6 +278,10 @@ object HfpProtobuf {
     import PayloadFields._
     var desi: Option[String] = None; var dir: Option[String] = None
     var oper: Option[Int] = None; var veh = 0; var tst = ""; var tsi = 0L
+    // presence of the NOT NULL trio (init.sql:49-51): proto3 encoders
+    // that skip default values must not smuggle ""/0/0 past the
+    // required-field contract as if they were real readings
+    var seen = 0
     var spd: Option[Double] = None; var hdg: Option[Int] = None
     var lat: Option[Double] = None; var lng: Option[Double] = None
     var acc: Option[Double] = None; var dl: Option[Int] = None
@@ -288,9 +300,9 @@ object HfpProtobuf {
         case Desi => desi = Some(str())
         case Dir => dir = Some(str())
         case Oper => oper = Some(vint().toInt)
-        case Veh => veh = vint().toInt
-        case Tst => tst = str()
-        case Tsi => tsi = vint()
+        case Veh => veh = vint().toInt; seen |= 1
+        case Tst => tst = str(); seen |= 2
+        case Tsi => tsi = vint(); seen |= 4
         case Spd => spd = Some(dbl())
         case Hdg => hdg = Some(vint().toInt)
         case Lat => lat = Some(dbl())
@@ -310,6 +322,8 @@ object HfpProtobuf {
         case _ => r.skip(wt)
       }
     }
+    if (seen != 7) throw new IllegalArgumentException(
+      s"missing required payload field(s) of veh/tst/tsi, presence mask $seen of 7")
     HfpPayload(desi, dir, oper, veh, tst, tsi, spd, hdg, lat, lng, acc, dl,
       odo, drst, oday, jrn, line, start, loc, stop, route, occu)
   }
@@ -343,8 +357,12 @@ object HfpProtobuf {
   def decodeEnvelopes(wire: Dataset[Array[Byte]]): Dataset[HfpEnvelope] = {
     import wire.sparkSession.implicits._
     wire.mapPartitions(_.flatMap { b =>
+      // IllegalArgumentException is the codec's one documented malformed-
+      // record signal (Reader throws it for every violation). Catching
+      // broader RuntimeExceptions would silently count a decoder BUG as
+      // a malformed feed — 100% drop with zero errors.
       try Iterator.single(decode(b))
-      catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => Iterator.empty }
+      catch { case _: IllegalArgumentException => Iterator.empty }
     })
   }
 

@@ -45,7 +45,11 @@ object HfpRawIngest {
   ))
 
   private def seg(parts: Column, i: Int): Column = {
-    val v = element_at(parts, i)
+    // get(), not element_at(): a topic with fewer segments must yield
+    // NULL under BOTH ansi settings (element_at throws out-of-bounds
+    // under ANSI, and Spark 4 defaults ANSI on — parsers.scala's
+    // convention applies to this file's guards too)
+    val v = get(parts, lit(i - 1))
     when(v === "", lit(null).cast(StringType)).otherwise(v)
   }
 
@@ -61,13 +65,15 @@ object HfpRawIngest {
   def parseTopic(topic: Column, receivedAtMillis: Column): Column = {
     val p = split(topic, "/")
     val eventTypeRaw = seg(p, 6)
-    val operatorId = seg(p, 8).cast(IntegerType)
-    val vehicleNumber = seg(p, 9).cast(IntegerType)
+    // tryInt/tryDouble, not raw casts: malformed segments must be NULL
+    // under ANSI mode too, not CAST_INVALID_INPUT stream crashes
+    val operatorId = graft.functions.parsers.tryInt(seg(p, 8))
+    val vehicleNumber = graft.functions.parsers.tryInt(seg(p, 9))
     // geohash head "60;24" → integer degrees; tails "28","65","06" →
     // interleaved decimal digits (lat digit, long digit)
     val head = seg(p, 16)
-    val latInt = split(head, ";").getItem(0).cast(StringType)
-    val lonInt = split(head, ";").getItem(1).cast(StringType)
+    val latInt = get(split(head, ";"), lit(0)).cast(StringType)
+    val lonInt = get(split(head, ";"), lit(1)).cast(StringType)
     def digit(i: Int, which: Int): Column =
       coalesce(substring(seg(p, 16 + i), which, 1), lit(""))
     val latStr = concat(latInt, lit("."), digit(1, 1), digit(2, 1), digit(3, 1))
@@ -86,13 +92,13 @@ object HfpRawIngest {
       concat(operatorId.cast(StringType), lit("/"), vehicleNumber.cast(StringType))
         .as("unique_vehicle_id"),
       seg(p, 10).as("route_id"),
-      seg(p, 11).cast(IntegerType).as("direction_id"),
+      graft.functions.parsers.tryInt(seg(p, 11)).as("direction_id"),
       seg(p, 12).as("headsign"),
       seg(p, 13).as("start_time"),
       seg(p, 14).as("next_stop"),
-      seg(p, 15).cast(IntegerType).as("geohash_level"),
-      latStr.cast(DoubleType).as("latitude"),
-      lonStr.cast(DoubleType).as("longitude")
+      graft.functions.parsers.tryInt(seg(p, 15)).as("geohash_level"),
+      graft.functions.parsers.tryDouble(latStr).as("latitude"),
+      graft.functions.parsers.tryDouble(lonStr).as("longitude")
     ).as("topic")
   }
 
@@ -103,7 +109,9 @@ object HfpRawIngest {
    */
   def parsePayload(json: Column): Column = {
     val parsed = from_json(json, MapType(StringType, rawPayloadJsonSchema))
-    val body = element_at(map_values(parsed), 1)
+    // get(), not element_at(1): "{}" parses to an empty map and the
+    // missing body must be NULL under ANSI, not INVALID_ARRAY_INDEX
+    val body = get(map_values(parsed), lit(0))
     struct(
       body.getField("desi").as("desi"),
       body.getField("dir").as("dir"),
@@ -143,8 +151,12 @@ object HfpRawIngest {
       parsePayload(col(payloadCol)))
 
   /** Envelope rows must carry the expected schema version; mirror of the
-    * reference's schema-tag check (MessageProcessor.java:118). */
-  def filterTopicVersion(env: DataFrame, versions: Seq[String] = Seq("v1", "v2")): DataFrame =
+    * reference's schema-tag check (MessageProcessor.java:118). Default is
+    * v2 ONLY: [[parseTopic]] hardcodes the v2 segment layout (event_type
+    * at segment 6 — HfpModel.topicSchema marks it "v2 only"), so a v1
+    * topic passing the filter would parse with every later field shifted
+    * into the wrong column. */
+  def filterTopicVersion(env: DataFrame, versions: Seq[String] = Seq("v2")): DataFrame =
     env.filter(col("topic.topic_version").isin(versions.map(lit): _*))
 
   /**
@@ -159,8 +171,12 @@ object HfpRawIngest {
    * @return (good, deadLetter)
    */
   def splitInvalidPayload(env: DataFrame): (DataFrame, DataFrame) = {
+    // empty tst is as contract-violating as NULL: it parses to NULL tst
+    // downstream and would ship a row the reference's NOT NULL column
+    // rejects (the binary wire path throws on a MISSING trio at decode;
+    // an explicitly-empty string arrives here)
     val bad = col("payload.veh").isNull || col("payload.tst").isNull ||
-      col("payload.tsi").isNull
+      col("payload.tsi").isNull || trim(col("payload.tst")) === ""
     (env.filter(!bad), env.filter(bad))
   }
 }

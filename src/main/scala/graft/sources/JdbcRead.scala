@@ -28,6 +28,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Credentials ride `connectionProps` (user/password/driver), same as
  * the sink side ([[graft.streaming.JdbcVehiclesSink]]) — never the URL
  * string, which leaks into logs and plans.
+ *
+ * Identifier quoting: `table` and `partitionColumn` pass through
+ * VERBATIM, exactly like Spark's own `dbtable`/`partitionColumn`
+ * options (which this builds on) — for reserved-word identifiers (the
+ * vehicles schema's `long`/`start`, which the sink side always quotes)
+ * pass the pre-quoted form, e.g. `"\"start\""`.
  */
 object JdbcRead {
 

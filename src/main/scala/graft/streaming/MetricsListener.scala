@@ -20,17 +20,29 @@ object MetricsListener {
       queryRunId: String, batchId: Long, numInputRows: Long,
       inputRowsPerSecond: Double, processedRowsPerSecond: Double,
       batchDurationMs: Long)
+
+  /** Default in-memory retention. The LOG LINE is the durable record
+    * (the reference's shape too); the buffer exists for programmatic
+    * assertion and must not grow with stream lifetime — at the
+    * pipeline's 1 s cadence an unbounded buffer is ~86k records/day of
+    * slow driver leak. */
+  val DefaultMaxRetained = 10000
 }
 
-final class MetricsListener extends StreamingQueryListener {
+final class MetricsListener(
+    maxRetained: Int = MetricsListener.DefaultMaxRetained)
+    extends StreamingQueryListener {
   import MetricsListener.BatchMetrics
+
+  require(maxRetained > 0, s"maxRetained must be positive, got $maxRetained")
 
   private val log = LoggerFactory.getLogger(getClass)
   private val buf = ArrayBuffer.empty[BatchMetrics]
 
   def batches: Seq[BatchMetrics] = synchronized(buf.toSeq)
 
-  /** Input rows summed once per batch. Keyed by (query run, batchId) —
+  /** Input rows summed once per batch OVER THE RETAINED WINDOW
+    * (`maxRetained` batches). Keyed by (query run, batchId) —
     * the listener is registered session-wide, so bare batchIds collide
     * across queries — and resolved by `max`: Spark may re-emit a progress
     * event for the same batchId (e.g. an empty re-emission at query
@@ -52,7 +64,11 @@ final class MetricsListener extends StreamingQueryListener {
       inputRowsPerSecond = p.inputRowsPerSecond,
       processedRowsPerSecond = p.processedRowsPerSecond,
       batchDurationMs = p.batchDuration)
-    synchronized(buf += m)
+    synchronized {
+      buf += m
+      // oldest-first eviction at the cap (the log line already shipped)
+      if (buf.length > maxRetained) buf.dropInPlace(buf.length - maxRetained)
+    }
     // msgRateIn / rows-written-rate parity (MessageProcessor.java:87,
     // QueueWriter.java:149-154)
     log.info(s"""{"event":"progress","batchId":${m.batchId},"rows":${m.numInputRows},""" +

@@ -111,14 +111,19 @@ object StreamCorpus {
    * duplicates would corrupt COUNTING consumers like
    * `exactDupGroupsFromIndex` (n_copies) and `contaminationPairs`
    * (overlap counts), which group by key but do not dedup rows.
-   * The contract binds index and CHECKPOINT into one lineage: epoch
-   * numbers only identify partitions while the checkpoint lives. A
-   * fresh checkpoint restarts epochs at 0, and its batch 0 overwriting
-   * a standing index's `batch_id=0` would silently destroy landed
-   * history — and the fresh checkpoint has lost the dedup markers for
-   * that history anyway, so the pairing is invalid in both directions.
-   * The writer REFUSES that case (epoch 0 into a non-empty index dir):
-   * rebuild the index with the new checkpoint, or archive the old one.
+   * The contract binds index and CHECKPOINT into one lineage,
+   * explicitly: the writer owns `checkpointDir` (it sets the stream's
+   * checkpointLocation itself) and records it in a `_lineage` marker
+   * inside the index dir on first write. Every batch verifies the
+   * marker — an index landed under a DIFFERENT checkpoint is refused
+   * outright, because epoch numbers only identify partitions while
+   * their checkpoint lives (a fresh checkpoint restarts at epoch 0 and
+   * would overwrite landed history whose dedup markers it has lost).
+   * A marker-less dir that already holds batch partitions is refused
+   * for the same reason (unknown lineage). Rebuild the index with the
+   * new checkpoint, or archive the old one. The comparison is the
+   * literal `checkpointDir` string — pass the same path across
+   * restarts.
    *
    * Semantics: this is the index of the DEDUPED stream — within the TTL
    * horizon each content hash lands at most once, so `n_copies` read
@@ -137,16 +142,12 @@ object StreamCorpus {
    */
   def maintainShingleIndex(docs: DataFrame, langs: Seq[String],
       minChars: Long, minTokens: Long, ttlMs: Long, dir: String,
-      shingleN: Int = 3): DataStreamWriter[KeptDoc] =
+      checkpointDir: String, shingleN: Int = 3): DataStreamWriter[KeptDoc] =
     keptDocs(docs, langs, minChars, minTokens, ttlMs)
       .writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[KeptDoc], batchId: Long) =>
-        if (batchId == 0L && indexNonEmpty(batch.sparkSession, dir))
-          throw new IllegalStateException(
-            s"refusing to write epoch 0 into non-empty index dir $dir: " +
-              "a fresh checkpoint cannot extend an index landed under a " +
-              "previous checkpoint (its dedup state is gone); rebuild or " +
-              "archive the standing index")
+        verifyLineage(batch.sparkSession, dir, checkpointDir, batchId)
         val b = batch.persist() // two sinks below — compute the batch once
         try {
           b.toDF().select(col("doc_id"), col("content_hash"))
@@ -156,16 +157,36 @@ object StreamCorpus {
         } finally { b.unpersist(); () }
       }
 
-  /** True iff the index dir already holds landed partitions BEYOND a
-    * possible epoch-0 of this same run (a retry of epoch 0 itself must
-    * stay idempotent, so batch_id=0 alone does not count). */
-  private def indexNonEmpty(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Boolean = {
+  /** Enforce the index↔checkpoint lineage binding (see
+    * [[maintainShingleIndex]]): the `_lineage` marker must name THIS
+    * checkpoint; a marker-less dir may only be adopted at epoch 0 while
+    * it holds no landed partitions yet (a marker-less dir WITH
+    * partitions is an index of unknown lineage — refuse). */
+  private def verifyLineage(spark: org.apache.spark.sql.SparkSession,
+      dir: String, checkpointDir: String, batchId: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val docs = new org.apache.hadoop.fs.Path(s"$dir/docs")
-    fs.exists(docs) && fs.listStatus(docs)
-      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
-        s.getPath.getName != "batch_id=0")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_lineage")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (owner != checkpointDir)
+        throw new IllegalStateException(
+          s"index dir $dir belongs to checkpoint '$owner', not " +
+            s"'$checkpointDir': a different checkpoint cannot extend it " +
+            "(its dedup state is gone); rebuild or archive the standing index")
+    } else {
+      val docsPath = new org.apache.hadoop.fs.Path(s"$dir/docs")
+      val hasPartitions = fs.exists(docsPath) && fs.listStatus(docsPath)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      if (batchId == 0L && hasPartitions)
+        throw new IllegalStateException(
+          s"refusing epoch 0 into index dir $dir of unknown lineage " +
+            "(landed partitions but no _lineage marker); rebuild or " +
+            "archive the standing index")
+      val out = fs.create(marker, true)
+      try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
+    }
   }
 }

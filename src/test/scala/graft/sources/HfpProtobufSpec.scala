@@ -28,13 +28,25 @@ class HfpProtobufSpec extends SparkSuite {
     Some("GPS"), Some(1362148), Some("2550"), Some(0))
 
   test("golden bytes: hand-assembled wire record decodes per the public spec") {
-    // Topic { received_at=1; operator_id=22; unique_vehicle_id="22/854" }
-    // assembled by hand from the encoding spec:
+    // Topic with every REQUIRED field (the decoder's presence mask
+    // rejects a record missing any of them — proto3 zero-defaults must
+    // not masquerade as values), assembled by hand from the encoding
+    // spec:
     //   field 1, varint:  tag = 1<<3|0 = 0x08; 1 encodes as 0x01
+    //   field 2, len:     tag = 2<<3|2 = 0x12; len 5; "/hfp/"
+    //   field 3, len:     tag = 3<<3|2 = 0x1A; len 2; "v2"
+    //   field 4, len:     tag = 4<<3|2 = 0x22; len 7; "journey"
+    //   field 5, len:     tag = 5<<3|2 = 0x2A; len 7; "ongoing"
     //   field 8, varint:  tag = 8<<3|0 = 0x40; 22 = 0x16
+    //   field 9, varint:  tag = 9<<3|0 = 0x48; 854 = 0xD6 0x06
     //   field 10, len:    tag = 10<<3|2 = 0x52; len 6; "22/854"
-    val topicBytes = Array[Byte](0x08, 0x01, 0x40, 0x16, 0x52, 0x06,
-      '2', '2', '/', '8', '5', '4')
+    val topicBytes = Array[Byte](0x08, 0x01) ++
+      Array[Byte](0x12, 0x05) ++ "/hfp/".getBytes("UTF-8") ++
+      Array[Byte](0x1A, 0x02) ++ "v2".getBytes("UTF-8") ++
+      Array[Byte](0x22, 0x07) ++ "journey".getBytes("UTF-8") ++
+      Array[Byte](0x2A, 0x07) ++ "ongoing".getBytes("UTF-8") ++
+      Array[Byte](0x40, 0x16, 0x48, 0xD6.toByte, 0x06, 0x52, 0x06) ++
+      "22/854".getBytes("UTF-8")
     // Payload { veh=4; tst=5; tsi=6 } with veh=300 (multi-byte varint
     // 0xAC 0x02), tst="t", tsi=1
     val payloadBytes = Array[Byte](0x20, 0xAC.toByte, 0x02, 0x2A, 0x01, 't',
@@ -44,13 +56,41 @@ class HfpProtobufSpec extends SparkSuite {
       Array[Byte](0x12, payloadBytes.length.toByte) ++ payloadBytes
     val env = HfpProtobuf.decode(data)
     assert(env.topic.received_at === 1L)
+    assert(env.topic.topic_prefix === "/hfp/")
+    assert(env.topic.topic_version === "v2")
+    assert(env.topic.journey_type === "journey")
+    assert(env.topic.temporal_type === "ongoing")
     assert(env.topic.operator_id === 22)
+    assert(env.topic.vehicle_number === 854)
     assert(env.topic.unique_vehicle_id === "22/854")
     assert(env.topic.route_id === None)
     assert(env.payload.veh === 300)
     assert(env.payload.tst === "t")
     assert(env.payload.tsi === 1L)
     assert(env.payload.desi === None)
+  }
+
+  test("a wire record missing a required field is rejected, not zero-defaulted") {
+    // the golden topic minus unique_vehicle_id; and a payload minus tst
+    val topicNoUvid = Array[Byte](0x08, 0x01) ++
+      Array[Byte](0x12, 0x05) ++ "/hfp/".getBytes("UTF-8") ++
+      Array[Byte](0x1A, 0x02) ++ "v2".getBytes("UTF-8") ++
+      Array[Byte](0x22, 0x07) ++ "journey".getBytes("UTF-8") ++
+      Array[Byte](0x2A, 0x07) ++ "ongoing".getBytes("UTF-8") ++
+      Array[Byte](0x40, 0x16, 0x48, 0xD6.toByte, 0x06)
+    val goodPayload = Array[Byte](0x20, 0x01, 0x2A, 0x01, 't', 0x30, 0x01)
+    val d1 = Array[Byte](0x0A, topicNoUvid.length.toByte) ++ topicNoUvid ++
+      Array[Byte](0x12, goodPayload.length.toByte) ++ goodPayload
+    val e1 = intercept[IllegalArgumentException](HfpProtobuf.decode(d1))
+    assert(e1.getMessage.contains("required topic field"), e1.getMessage)
+
+    val topicFull = topicNoUvid ++
+      Array[Byte](0x52, 0x06) ++ "22/854".getBytes("UTF-8")
+    val payloadNoTst = Array[Byte](0x20, 0x01, 0x30, 0x01) // veh=1, tsi=1
+    val d2 = Array[Byte](0x0A, topicFull.length.toByte) ++ topicFull ++
+      Array[Byte](0x12, payloadNoTst.length.toByte) ++ payloadNoTst
+    val e2 = intercept[IllegalArgumentException](HfpProtobuf.decode(d2))
+    assert(e2.getMessage.contains("required payload field"), e2.getMessage)
   }
 
   test("round-trip: encode then decode is identity on a fully-populated envelope") {

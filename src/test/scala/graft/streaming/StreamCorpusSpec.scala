@@ -116,8 +116,7 @@ class StreamCorpusSpec extends SparkSuite {
         StreamCorpus.maintainShingleIndex(
           spark.readStream.schema(schema).json(in),
           Seq("en", "de"), TextQueries.Q85MinChars, TextQueries.Q85MinTokens,
-          ttlMs = 0L, dir = streamDir)
-          .option("checkpointLocation", ckpt)
+          ttlMs = 0L, dir = streamDir, checkpointDir = ckpt)
           .outputMode("append").trigger(Trigger.Once()).start()
           .awaitTermination()
 
@@ -187,8 +186,7 @@ class StreamCorpusSpec extends SparkSuite {
         StreamCorpus.maintainShingleIndex(
           spark.readStream.schema(schema).json(in),
           Seq("en", "de"), TextQueries.Q85MinChars, TextQueries.Q85MinTokens,
-          ttlMs = 0L, dir = dir)
-          .option("checkpointLocation", ckpt)
+          ttlMs = 0L, dir = dir, checkpointDir = ckpt)
           .outputMode("append").trigger(Trigger.Once()).start()
           .awaitTermination()
       }
@@ -196,6 +194,33 @@ class StreamCorpusSpec extends SparkSuite {
         if (t == null) Nil else t +: causes(t.getCause)
       assert(causes(ex).exists(_.isInstanceOf[IllegalStateException]),
         s"expected the epoch-0 refusal, got: $ex")
+    }
+  }
+
+  test("a DIFFERENT checkpoint cannot extend a marker-owned index " +
+      "(lineage binding, both directions)") {
+    withRocksDb {
+      val in = tmp("sl_in_"); val ckptA = tmp("sl_ckA_"); val ckptB = tmp("sl_ckB_")
+      val dir = tmp("sl_ix_")
+      @annotation.nowarn("cat=deprecation")
+      def run(ckpt: String): Unit =
+        StreamCorpus.maintainShingleIndex(
+          spark.readStream.schema(schema).json(in),
+          Seq("en", "de"), TextQueries.Q85MinChars, TextQueries.Q85MinTokens,
+          ttlMs = 0L, dir = dir, checkpointDir = ckpt)
+          .outputMode("append").trigger(Trigger.Once()).start()
+          .awaitTermination()
+      base.limit(20).coalesce(1).write.mode("append").json(in)
+      run(ckptA) // adopts the dir, writes the _lineage marker
+      base.limit(40).coalesce(1).write.mode("append").json(in)
+      run(ckptA) // same checkpoint extends fine
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(ckptB) // fresh checkpoint, standing index: refuse
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("belongs to checkpoint")), s"got: $ex")
     }
   }
 
