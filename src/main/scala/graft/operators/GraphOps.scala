@@ -51,7 +51,11 @@ object GraphOps {
       .persist()
 
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      // sum over ZERO rows is null — an empty pair frame (clean corpus,
+      // the common production case) must converge to an empty result,
+      // not NPE on the compareTo
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
 
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -75,6 +79,11 @@ object GraphOps {
       prevSum = nextSum
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIterations rounds " +
+        "(component diameter exceeds the budget): raise maxIterations — " +
+        "silently returning multi-labeled components would corrupt every " +
+        "downstream representative selection")
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -103,8 +112,13 @@ object GraphOps {
    *
    * Scale shape: each iteration is one equality join (ranks ⋈ edges on
    * src) + one sum-aggregate on dst — the same (key, long) shuffle
-   * width as [[connectedComponents]], AQE-reusable partitioning, K
-   * iterations deep with lineage truncated by persist.
+   * width as [[connectedComponents]], AQE-reusable partitioning. Each
+   * iteration's ranks are EAGERLY localCheckpointed (one job per
+   * round): that materializes the edge/node caches on round 1, keeps
+   * the plan O(1) deep, and leaves no persisted frames behind (a lazy
+   * persist/unpersist chain with no action inside the loop caches
+   * nothing at all — every marker is dropped before anything
+   * materializes).
    *
    * Input: directed edge frame (srcCol, dstCol). Output: (id, rank_fp)
    * for every node appearing as a src or dst.
@@ -123,20 +137,18 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     val base = (dampDen - dampNum) * PageRankScale / dampDen
-    var ranks = nodes.withColumn("rank_fp", lit(PageRankScale)).persist()
+    var ranks = nodes.withColumn("rank_fp", lit(PageRankScale))
     for (_ <- 1 to iterations) {
       val contrib = e.join(deg, Seq("src"))
         .join(ranks.select(col("id").as("src"), col("rank_fp")), Seq("src"))
         .select(col("dst").as("id"),
           expr("rank_fp div outdeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      val next = nodes.join(contrib, Seq("id"), "left")
+      ranks = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"$dampNum * coalesce(s, 0L) div $dampDen"))
             .as("rank_fp"))
-        .persist()
-      ranks.unpersist()
-      ranks = next
+        .localCheckpoint(true)
     }
     e.unpersist()
     nodes.unpersist()

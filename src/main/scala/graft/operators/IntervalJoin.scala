@@ -43,14 +43,17 @@ object IntervalJoin {
         s"sequence($s div $binSize, $e div $binSize)")))
     val ab = bins(a, aStart, aEnd, "__bin_a")
     val bb = bins(b, bStart, bEnd, "__bin_b")
-    val keyEq: Column = keys.map { case (ka, kb) => ab(ka) === bb(kb) }
-      .reduce(_ && _)
     val firstCommonBin: Column =
       greatest(expr(s"$aStart div $binSize"), expr(s"$bStart div $binSize"))
-    ab.join(bb,
-        keyEq && col("__bin_a") === col("__bin_b") &&
-          col("__bin_a") === firstCommonBin &&
-          col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+    // the bin equality is always present, so an EMPTY key list is the
+    // legitimate keyless (global-timeline) overlap join, not an
+    // empty.reduce crash
+    val conds: Seq[Column] =
+      keys.map { case (ka, kb) => ab(ka) === bb(kb) } ++ Seq(
+        col("__bin_a") === col("__bin_b"),
+        col("__bin_a") === firstCommonBin,
+        col(aStart) <= col(bEnd), col(bStart) <= col(aEnd))
+    ab.join(bb, conds.reduce(_ && _))
       .drop("__bin_a", "__bin_b")
   }
 }

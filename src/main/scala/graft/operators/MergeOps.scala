@@ -58,6 +58,7 @@ object MergeOps {
       outputCols: Seq[String]): DataFrame = {
     val t = target.as("t")
     val s = source.as("s")
+    require(key.nonEmpty, "merge requires at least one key column")
     val cond = key.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, cond, "full_outer")
     val tPresent = key.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
@@ -111,6 +112,7 @@ object MergeOps {
       highDate: String = "9999-12-31"): DataFrame = {
     val t = target.as("t")
     val s = source.as("s")
+    require(key.nonEmpty, "merge requires at least one key column")
     val cond = key.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, cond, "full_outer")
     val tPresent = key.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
@@ -164,6 +166,7 @@ object MergeOps {
     val measures = a.columns.filterNot(key.contains)
     val t = a.as("t")
     val s = b.as("s")
+    require(key.nonEmpty, "merge requires at least one key column")
     val cond = key.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     t.join(s, cond, "full_outer").select(
       key.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k)) ++

@@ -40,16 +40,22 @@ object SkewOps {
 
   /**
    * Inner equi-join on `key` with `salts`-way salting of the left (probe)
-   * side. The per-row salt only needs to spread rows of the SAME key, so
-   * any row-varying source works; `monotonically_increasing_id` is cheap
-   * and partition-local (its values differ across runs — irrelevant, the
-   * salt never reaches the output).
+   * side. The per-row salt only needs to spread rows of the SAME key —
+   * and it must be DETERMINISTIC per row, never positional
+   * (`monotonically_increasing_id` assigns by in-partition position, so
+   * a fetch-failure retry that recomputes a map task over reordered
+   * input re-salts rows differently than the reducers that already
+   * fetched the first attempt's output — the SPARK-23207
+   * indeterminate-shuffle class: rows joined twice or dropped). A hash
+   * of the full row spreads every hot key whose rows differ anywhere;
+   * EXACT duplicate rows share a salt, which only forfeits spread, not
+   * correctness (and identical-row floods are dedup's job upstream).
    */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     val l = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast(IntegerType))
+      pmod(hash(left.columns.map(col): _*), lit(salts)).cast(IntegerType))
     val r = right.withColumn("__salt",
       explode(typedlit((0 until salts).toArray)))
     l.join(r, Seq(key, "__salt")).drop("__salt")
@@ -82,8 +88,9 @@ object SkewOps {
       merge: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     require(partial.nonEmpty && merge.nonEmpty, "need aggregates for both phases")
+    // deterministic full-row hash salt, same rationale as saltedJoin
     df.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(salts.toLong)).cast(IntegerType))
+        pmod(hash(df.columns.map(col): _*), lit(salts)).cast(IntegerType))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

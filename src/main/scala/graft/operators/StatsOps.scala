@@ -55,8 +55,11 @@ object StatsOps {
    * magnitude inside both decimal128 and DuckDB's HUGEINT.
    *
    * Input rows must have a non-null integral `value`; returns the input
-   * plus an `is_outlier` flag. Group stats (|groups| rows) broadcast
-   * back onto the fact side — the fact table never shuffles.
+   * plus an `is_outlier` flag — EVERY input row, including those whose
+   * group column is null (they form their own group): the join back to
+   * the stats row is null-safe, where a plain equality join would
+   * silently drop null-group rows from a "returns the input plus a
+   * flag" operator.
    */
   def zscoreFlags(df: DataFrame, group: String, value: String,
       k: Int): DataFrame = {
@@ -66,11 +69,12 @@ object StatsOps {
         count(lit(1)).cast("decimal(38,0)").as("zn"),
         sum(dec).as("zs"),
         sum(dec * dec).as("zss"))
-    df.join(broadcast(stats), group)
+      .withColumnRenamed(group, "__zg")
+    df.join(broadcast(stats), col(group) <=> col("__zg"))
       .withColumn("is_outlier",
         (col("zn") * dec - col("zs")) * (col("zn") * dec - col("zs")) >
           lit(k.toLong * k) * (col("zn") * col("zss") - col("zs") * col("zs")))
-      .drop("zn", "zs", "zss")
+      .drop("__zg", "zn", "zs", "zss")
   }
 
   /** Per-column profile spec: how to read one column as a comparable

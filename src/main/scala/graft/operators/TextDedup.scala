@@ -94,12 +94,15 @@ object TextDedup {
       zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast(DoubleType) / lit(K.toDouble)
 
-  /** Exact word n-gram Jaccard between two texts (set semantics). */
+  /** Exact word n-gram Jaccard between two texts (set semantics). The
+    * intersection appears once as a shared subtree (whole-stage codegen
+    * subexpression elimination evaluates it once per row). */
   def ngramJaccard(textA: Column, textB: Column, n: Int = 2): Column = {
     val a = array_distinct(shingles(textA, n))
     val b = array_distinct(shingles(textB, n))
-    val inter = size(array_intersect(a, b)).cast(DoubleType)
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast(DoubleType)
+    val inter = size(array_intersect(a, b))
+    inter.cast(DoubleType) /
+      (size(a) + size(b) - inter).cast(DoubleType)
   }
 
   /**

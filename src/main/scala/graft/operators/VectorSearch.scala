@@ -567,8 +567,8 @@ object VectorSearch {
   }
 
   /**
-   * ADC top-k: each query turns the codebooks into ONE flat distance
-   * table (PqSubspaces × PqCodes doubles, ordered (sub, code)), the
+   * ADC top-k: each query turns the codebooks into ONE keyed distance
+   * map (≤ PqSubspaces × PqCodes doubles keyed by sub·16+code), the
    * 5-query frame broadcasts against the encoded corpus, and the
    * approximate distance is M `element_at` lookups added LEFT TO RIGHT
    * (deterministic — a group-sum over subspaces would add in shuffle
@@ -591,18 +591,21 @@ object VectorSearch {
       .crossJoin(broadcast(books))
       .select(col("query_id"), col("sub"), col("code"),
         sqDist(bySub(col("qv")), col("cv")).as("d2"))
+    // keyed map, NOT a positional array: a positional dar assumes a
+    // DENSE PqSubspaces×PqCodes codebook — with fewer codes per
+    // subspace (a sparse codebookIds match) position ≠ sub·16+code and
+    // the lookups silently read another code's distance. The map is
+    // exact under any density; keys are distinct by construction.
     val dtab = qsub.groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct(
-        (col("sub") * PqCodes + col("code")).as("idx"), col("d2"))))
-        .as("dt"))
-      .select(col("query_id"),
-        expr("transform(dt, x -> x.d2)").as("dar"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * PqCodes + col("code")).cast(IntegerType).as("idx"),
+        col("d2")))).as("dmap"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("neighbor_id"))
     codes.join(broadcast(dtab), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         (0 until PqSubspaces).map(s =>
-          element_at(col("dar"), (lit(s * PqCodes) + col(s"c$s") + 1)
+          element_at(col("dmap"), (lit(s * PqCodes) + col(s"c$s"))
             .cast(IntegerType)))
           .reduce(_ + _).as("adist"))
       .withColumn("rnk", row_number().over(w).cast(LongType))

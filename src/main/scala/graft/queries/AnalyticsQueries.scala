@@ -210,7 +210,7 @@ object AnalyticsQueries {
             (st.zn * v.v - st.zs) * (st.zn * v.v - st.zs) >
               ${ZScoreK * ZScoreK} * (st.zn * st.zss - st.zs * st.zs)
               AS is_outlier
-          FROM v JOIN st USING (event_type))
+          FROM v JOIN st ON v.event_type IS NOT DISTINCT FROM st.event_type)
         SELECT event_type, count(*) AS n,
           CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
             AS n_outliers,

@@ -18,6 +18,25 @@ class GraphOpsSpec extends SparkSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: an empty pair frame yields an empty result, not an NPE") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(pairs, "a", "b").count() === 0L)
+  }
+
+  test("connectedComponents refuses to return non-converged labels at the " +
+      "iteration budget (silent truncation would multi-label components)") {
+    // a 12-node chain needs more than 2 min-propagation rounds
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(pairs, "a", "b", maxIterations = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+    // and with budget it converges to the single min label
+    val ok = GraphOps.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok === Set(1L))
+  }
+
   test("pageRankFixed: a 2-cycle is a fixed point at exactly SCALE") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val got = GraphOps.pageRankFixed(edges, "src", "dst", iterations = 3)

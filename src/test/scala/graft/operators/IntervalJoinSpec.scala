@@ -34,6 +34,23 @@ class IntervalJoinSpec extends SparkSuite {
     assert(pairs(16L) == expected)
   }
 
+  test("keyless (global-timeline) overlap join is legal: bin equality " +
+      "alone keys the join") {
+    val got = IntervalJoin.overlapJoin(a, b, Seq.empty,
+      "a_s", "a_e", "b_s", "b_e", 16L)
+      .select("aid", "bid").orderBy("aid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // pure time overlap, keys ignored — includes the cross-key overlaps
+    val want = for {
+      (aid, _, as_, ae) <- Seq((1L, "", 0L, 10L), (2L, "", 25L, 40L),
+        (3L, "", 100L, 200L), (4L, "", 0L, 1000L))
+      (bid, _, bs, be) <- Seq((10L, "", 5L, 8L), (11L, "", 10L, 20L),
+        (12L, "", 41L, 50L), (13L, "", 30L, 150L), (14L, "", 0L, 999L))
+      if as_ <= be && bs <= ae
+    } yield (aid, bid)
+    assert(got == want.sorted)
+  }
+
   test("every pair emits exactly once regardless of bin size " +
       "(first-common-bin rule, no dedup shuffle)") {
     for (bin <- Seq(1L, 3L, 7L, 64L, 1000L))

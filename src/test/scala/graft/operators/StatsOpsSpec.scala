@@ -27,6 +27,20 @@ class StatsOpsSpec extends SparkSuite {
     assert(out == Seq(10L))
   }
 
+  test("zscoreFlags: null-group rows survive as their own group (the " +
+      "flag join is null-safe; plain equality silently dropped them)") {
+    val df = ((1 to 9).map(i => (i.toLong, Option("a"), 100L)) ++
+      Seq((10L, Option.empty[String], 5L), (11L, Option.empty[String], 5L)))
+      .toDF("id", "g", "v")
+    val out = StatsOps.zscoreFlags(df, "g", "v", 2)
+    assert(out.count() === 11L, "every input row must come back")
+    // the null group is constant -> not outliers, but PRESENT and flagged false
+    val nullRows = out.filter(col("g").isNull)
+      .select("id", "is_outlier").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(nullRows === Set((10L, false), (11L, false)))
+  }
+
   test("zscoreFlags: a constant group (zero variance) flags nothing") {
     val df = (1 to 5).map(i => (i.toLong, "a", 7L)).toDF("id", "g", "v")
     val out = StatsOps.zscoreFlags(df, "g", "v", 3)

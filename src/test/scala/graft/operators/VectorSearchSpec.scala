@@ -227,6 +227,39 @@ class VectorSearchSpec extends SparkSuite {
       r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 100000))
   }
 
+  test("PQ/ADC with a SPARSE codebook (fewer than PqCodes codes) still " +
+      "ranks correctly — the distance map is keyed, not positional") {
+    val orig = emb.select(col("vec_id"), col("embedding"))
+    val mut = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast(DoubleType) * (lit(1.0) + lit(0.002) * (i % 2).cast(DoubleType)))
+            .cast("float")).as("embedding"))
+    // only 10 seed ids -> 10 codes per subspace, idx values are sparse
+    // in [0, 64); a positional lookup reads the wrong entries for sub>=1
+    // the positional bug's signature: sub>=1 lookups past the short
+    // array returned null, null adists sorted FIRST, and garbage rows
+    // took every rank. With the keyed map no lookup can miss.
+    val out = VectorSearch.pqTopK(orig.union(mut), mut, "vec_id", "embedding",
+      codebookIds = col("vec_id") % 25 === 0 && col("vec_id") < 250, k = 3)
+      .collect()
+    assert(out.length === 15) // 5 queries x k=3
+    assert(out.forall(!_.isNullAt(2)), "null adist: a distance lookup missed")
+    // the true original shares all 4 codewords with its mutant query, so
+    // it carries the MINIMAL adist for that query (possibly tied with
+    // cell-mates under the coarse 10-code quantizer — rank itself is
+    // tie-broken by id, so assert distance optimality, not rank)
+    val minAdist = out.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getDouble(2)).min }
+    val origAdist = VectorSearch.pqTopK(orig.union(mut), mut, "vec_id",
+      "embedding",
+      codebookIds = col("vec_id") % 25 === 0 && col("vec_id") < 250, k = 1000)
+      .filter(col("neighbor_id") === col("query_id") - 100000)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getDouble(2)).toMap
+    for ((q, m) <- minAdist)
+      assert(origAdist(q) <= m + 1e-9, s"query $q: original not distance-optimal")
+  }
+
   test("PQ training reduces quantization error vs the sampled codebooks " +
       "(the metric k-means minimizes)") {
     import org.apache.spark.sql.expressions.Window
