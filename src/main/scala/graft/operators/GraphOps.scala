@@ -112,13 +112,17 @@ object GraphOps {
    *
    * Scale shape: each iteration is one equality join (ranks ⋈ edges on
    * src) + one sum-aggregate on dst — the same (key, long) shuffle
-   * width as [[connectedComponents]], AQE-reusable partitioning. Each
-   * iteration's ranks are EAGERLY localCheckpointed (one job per
-   * round): that materializes the edge/node caches on round 1, keeps
-   * the plan O(1) deep, and leaves no persisted frames behind (a lazy
-   * persist/unpersist chain with no action inside the loop caches
-   * nothing at all — every marker is dropped before anything
-   * materializes).
+   * width as [[connectedComponents]], AQE-reusable partitioning. The
+   * whole K-iteration chain stays ONE pure-lazy plan, deliberately
+   * uncached: `iterations` is capped at 20 (the require below) so plan
+   * depth is bounded, the repeated edge/node subtrees dedupe through
+   * ReusedExchange at the caller's single action, and every
+   * alternative measured slower on q67 (0.75 s pure-lazy vs ~2.9 s
+   * with e/nodes cached — InMemoryTableScan replaces the reusable
+   * exchange and adds the cache build — vs 3.4 s eager-checkpointed:
+   * any checkpoint is an RDD boundary severing codegen and exchange
+   * reuse). An unbounded-iteration variant would need the CC loop's
+   * per-round action + checkpoint discipline instead.
    *
    * Input: directed edge frame (srcCol, dstCol). Output: (id, rank_fp)
    * for every node appearing as a src or dst.
@@ -132,10 +136,9 @@ object GraphOps {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
+      .union(e.select(col("dst").as("id"))).distinct()
     val base = (dampDen - dampNum) * PageRankScale / dampDen
     var ranks = nodes.withColumn("rank_fp", lit(PageRankScale))
     for (_ <- 1 to iterations) {
@@ -148,10 +151,7 @@ object GraphOps {
         .select(col("id"),
           (lit(base) + expr(s"$dampNum * coalesce(s, 0L) div $dampDen"))
             .as("rank_fp"))
-        .localCheckpoint(true)
     }
-    e.unpersist()
-    nodes.unpersist()
     ranks
   }
 }
