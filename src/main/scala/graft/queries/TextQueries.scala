@@ -77,8 +77,19 @@ object TextQueries {
   /** DuckDB twins of BpeTrainer.pairCounts / applyMerge, and the shared
     * training prolog both BPE oracles extend (q86 with the post-training
     * pair table, q91 with the per-word encode chain) — ONE copy of the
-    * 3-round count→argmax→merge CTE chain, so a tie-break or geometry
-    * change cannot silently diverge the two gates. */
+    * count→argmax→merge CTE chain, with the round count GENERATED from
+    * [[BpeMerges]], so a tie-break or geometry change cannot silently
+    * diverge the two gates.
+    *
+    * Early-exhaustion guard: a round whose pair table is EMPTY (training
+    * exhausted — the Spark trainer stops) yields the sentinel no-op rule
+    * `'¤ ¤'` instead of zero rows. '¤' cannot occur in the lowercase-
+    * alpha token space, so the sentinel's replace never matches — and
+    * every m_i CTE is guaranteed exactly ONE row, keeping q91's encode
+    * cross join row-preserving where an empty m_i would silently drop
+    * every document. q86 filters the sentinel out of its rule rows,
+    * matching the Spark trainer's early stop. */
+  val BpeNoopRule = "¤ ¤"
   private def bpePairsOfSql(v: String) = s"""
           SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight FROM (
             SELECT cnt, unnest(list_transform(range(1, len(t)),
@@ -92,6 +103,12 @@ object TextQueries {
                 || split_part($m.pair, ' ', 2) || '\\|',
               '|' || replace($m.pair, ' ', '') || '|', 'g') AS s, $v.cnt
           FROM $v, $m"""
+  private def bpeRoundSql(i: Int) = s"""
+        p$i AS (${bpePairsOfSql(s"v${i - 1}")}),
+        m$i AS ((SELECT pair, weight FROM p$i ORDER BY weight DESC, pair LIMIT 1)
+          UNION ALL (SELECT '$BpeNoopRule', 0
+          WHERE (SELECT count(*) FROM p$i) = 0)),
+        v$i AS (${bpeMergedSql(s"v${i - 1}", s"m$i")})"""
   private def bpeTrainPrologSql = s"""
         WITH w AS (
           SELECT w AS word, count(*) AS cnt FROM (
@@ -102,14 +119,7 @@ object TextQueries {
         v0 AS (SELECT '|' || array_to_string(
             list_filter(string_split(word, ''), c -> c <> ''), '||') || '|'
             AS s, cnt FROM w),
-        p1 AS (${bpePairsOfSql("v0")}),
-        m1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
-        v1 AS (${bpeMergedSql("v0", "m1")}),
-        p2 AS (${bpePairsOfSql("v1")}),
-        m2 AS (SELECT pair, weight FROM p2 ORDER BY weight DESC, pair LIMIT 1),
-        v2 AS (${bpeMergedSql("v1", "m2")}),
-        p3 AS (${bpePairsOfSql("v2")}),
-        m3 AS (SELECT pair, weight FROM p3 ORDER BY weight DESC, pair LIMIT 1)"""
+        ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n")}"""
 
   /** DuckDB twin of TextDedup.shingles for word bigrams (the q48 gram
     * unit; mirrors DedupQueries' general-n helper at n = 2). */
@@ -440,14 +450,13 @@ object TextQueries {
           .orderBy(col("step"), col("weight").desc, col("pair")),
       oracle = Some(s"""
         $bpeTrainPrologSql,
-        v3 AS (${bpeMergedSql("v2", "m3")}),
-        p4 AS (${bpePairsOfSql("v3")})
+        p${BpeMerges + 1} AS (${bpePairsOfSql(s"v$BpeMerges")})
         SELECT CAST(step AS INT) AS step, pair, weight FROM (
-          SELECT 1 AS step, pair, weight FROM m1
-          UNION ALL SELECT 2, pair, weight FROM m2
-          UNION ALL SELECT 3, pair, weight FROM m3
+          ${(1 to BpeMerges).map(i =>
+            s"SELECT $i AS step, pair, weight FROM m$i " +
+              s"WHERE pair <> '$BpeNoopRule'").mkString("\n          UNION ALL ")}
           UNION ALL SELECT * FROM (
-            SELECT ${BpeMerges + 1} AS step, pair, weight FROM p4
+            SELECT ${BpeMerges + 1} AS step, pair, weight FROM p${BpeMerges + 1}
             ORDER BY weight DESC, pair LIMIT $BpeTopK))
         ORDER BY step, weight DESC, pair""")),
 
@@ -501,8 +510,9 @@ object TextQueries {
             list_filter(string_split(w, ''), c -> c <> ''), '||') || '|'
             AS s0 FROM wr),
         enc AS (SELECT doc_id, w,
-            ${applyRule(applyRule(applyRule("s0", "m1"), "m2"), "m3")} AS s
-          FROM ds, m1, m2, m3)
+            ${(1 to BpeMerges).foldLeft("s0")((acc, i) =>
+              applyRule(acc, s"m$i"))} AS s
+          FROM ds, ${(1 to BpeMerges).map(i => s"m$i").mkString(", ")})
         SELECT doc_id, count(*) AS n_words,
           CAST(sum(length(w)) AS BIGINT) AS n_char_tokens,
           CAST(sum(len(string_split(s, '||'))) AS BIGINT) AS n_bpe_tokens

@@ -89,7 +89,10 @@ object VectorQueries {
         subrows AS (SELECT vec_id, sub, ${pqSubOfSql("v")} AS sv FROM base, subs)"""
 
   /** Encode against codebook CTE `$books`, pivot codes, ADC-score the
-    * fixed query set, rank, top-5. */
+    * fixed query set, rank, top-5. The code pivot and the dar offset
+    * arithmetic are GENERATED from PqSubspaces like every other helper
+    * here — a hand-synced c0..c3 copy would silently score with 4
+    * segments after a geometry change instead of failing. */
   private def pqAdcTailSql(books: String) = s"""
         enc AS (SELECT vec_id, sub, code FROM (
             SELECT sr.vec_id, sr.sub, b.code,
@@ -97,10 +100,9 @@ object VectorQueries {
                 ORDER BY ${pqSqSql("sr.sv", "b.cv")}, b.code) AS rk
             FROM subrows sr JOIN $books b USING (sub)) WHERE rk = 1),
         codes AS (SELECT vec_id,
-            max(CASE WHEN sub = 0 THEN code END) AS c0,
-            max(CASE WHEN sub = 1 THEN code END) AS c1,
-            max(CASE WHEN sub = 2 THEN code END) AS c2,
-            max(CASE WHEN sub = 3 THEN code END) AS c3
+            ${(0 until PqSubspaces).map(s =>
+              s"max(CASE WHEN sub = $s THEN code END) AS c$s")
+              .mkString(",\n            ")}
           FROM enc GROUP BY vec_id),
         q AS (SELECT vec_id AS query_id, v AS qv FROM base
           WHERE vec_id % 100 = 0 AND vec_id < 500),
@@ -110,8 +112,8 @@ object VectorQueries {
         dar AS (SELECT query_id, list(d2 ORDER BY sub, code) AS dar
           FROM dt GROUP BY query_id),
         scored AS (SELECT query_id, c.vec_id AS neighbor_id,
-            dar[c0 + 1] + dar[$PqCodes + c1 + 1]
-              + dar[${2 * PqCodes} + c2 + 1] + dar[${3 * PqCodes} + c3 + 1]
+            ${(0 until PqSubspaces).map(s =>
+              s"dar[${s * PqCodes} + c$s + 1]").mkString(" + ")}
               AS adist
           FROM codes c, dar WHERE c.vec_id <> query_id),
         ranked AS (SELECT query_id, neighbor_id, adist,
