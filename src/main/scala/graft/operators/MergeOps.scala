@@ -173,4 +173,45 @@ object MergeOps {
         measures.map(m =>
           (coalesce(col(s"t.$m"), lit(0L)) + coalesce(col(s"s.$m"), lit(0L))).as(m)): _*)
   }
+
+  /**
+   * Snapshot DIFF: classify every key across two table versions as
+   * `added` (new-only), `removed` (old-only) or `changed` (present in
+   * both with some compared column differing, null-safe) — unchanged
+   * keys are DROPPED, so the output is proportional to the churn, not
+   * to the table. The inverse of MERGE: where merge applies a delta,
+   * diff RECOVERS the delta from two snapshots — the change-data-capture
+   * primitive for stores that only land full snapshots.
+   *
+   * Emits the key plus `old_<c>` / `new_<c>` for each compared column.
+   *
+   * Plan shape: both sides project to key ++ compared columns BEFORE the
+   * join, so only the narrow comparison rows shuffle — a 100 TB-wide
+   * snapshot diff moves its key and tracked columns, never whole rows.
+   * One full-outer hash join on the key; with both snapshots
+   * bucketed/partitioned by the key (BatchSinks landing) neither side
+   * needs an exchange at all.
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: Seq[String], compare: Seq[String]): DataFrame = {
+    require(key.nonEmpty, "diff requires at least one key column")
+    val narrow = (df: DataFrame) => df.select((key ++ compare).map(col): _*)
+    val t = narrow(oldSnap).as("t")
+    val s = narrow(newSnap).as("s")
+    val cond = key.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val tPresent = key.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
+    val sPresent = key.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val differs = compare.map(c => !(col(s"t.$c") <=> col(s"s.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    t.join(s, cond, "full_outer")
+      .withColumn("change",
+        when(tPresent && !sPresent, lit("removed"))
+          .when(sPresent && !tPresent, lit("added"))
+          .when(differs, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(key.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k)) ++
+        Seq(col("change")) ++
+        compare.flatMap(c => Seq(
+          col(s"t.$c").as(s"old_$c"), col(s"s.$c").as(s"new_$c"))): _*)
+  }
 }

@@ -77,6 +77,48 @@ object StatsOps {
       .drop("__zg", "zn", "zs", "zss")
   }
 
+  /**
+   * Robust per-group location/spread summary: exact MEDIAN and MAD
+   * (median absolute deviation) with outlier counts at `|x − med| >
+   * k·MAD` — the heavy-tail-safe twin of [[zscoreFlags]]: one extreme
+   * value shifts mean and σ (masking itself from a z-test), while the
+   * median/MAD pair is unmoved by up to 50% contamination.
+   *
+   * Determinism without fixed-point tricks: for INTEGRAL inputs the
+   * interpolated median lives on the exact .5 grid and the MAD on the
+   * exact .25 grid of IEEE doubles — both engines compute
+   * lower + (upper − lower)/2 on exactly-representable integers, so
+   * every statistic and every threshold comparison is bit-identical
+   * (the same reason q78 needed the cross-multiplied integer form does
+   * NOT apply: no sums of squares ever enter a float).
+   *
+   * Plan shape: exact medians need a per-group sort — two sort-aggregate
+   * passes over (group, value) pairs plus a tiny broadcast join back;
+   * the fact table itself never shuffles whole rows. At 100 TB the
+   * drop-in scale path is `approx_percentile` (GK sketch, mergeable,
+   * one pass) with this exact form as its small-SF correctness gate —
+   * the q58 percentile discipline.
+   */
+  def robustStats(df: DataFrame, group: String, value: String,
+      k: Int): DataFrame = {
+    val meds = df.groupBy(col(group))
+      .agg(median(col(value)).as("med"))
+      .withColumnRenamed(group, "__rg")
+    val dev = df.join(broadcast(meds), col(group) <=> col("__rg"))
+      .withColumn("adev", abs(col(value) - col("med")))
+    val mads = dev.groupBy(col(group))
+      .agg(median(col("adev")).as("mad"))
+      .withColumnRenamed(group, "__rm")
+    dev.join(broadcast(mads), col(group) <=> col("__rm"))
+      .groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(k.toLong) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Per-column profile spec: how to read one column as a comparable
     * canonical form — an integral `ord` (cents / epoch seconds / the
     * value itself) whose min/max stringify identically in any engine

@@ -35,6 +35,10 @@ object AnalyticsQueries {
     * unpolluted fixtures would gate nothing) + the z threshold. */
   val SpikeMod = 97L; val SpikeFactor = 21L; val ZScoreK = 3
 
+  /** q93 MAD multiplier (k·MAD ≈ 4σ for normal data at k = 6; the
+    * uniform fixture's max |x − med| is ~1.5·MAD·k/6, far inside). */
+  val MadK = 6
+
   /** q81 incremental cut: 2024-01-15T00:00:00Z. */
   val CutS = 1705276800L
 
@@ -481,6 +485,41 @@ object AnalyticsQueries {
         SELECT user_id, count(*) AS n_events,
           CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
             AS BIGINT) AS sum_cents
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // q93 — robust (median/MAD) outlier summary (StatsOps.robustStats):
+    // the heavy-tail-safe twin of q78 — a ×21 spike shifts mean and σ
+    // enough to partially mask itself from a z-test, while median and
+    // MAD ignore it entirely. Exact interpolated medians of integral
+    // cents live on the .5/.25 IEEE grids, so every statistic and the
+    // k·MAD threshold compare bit-identically cross-engine with no
+    // fixed-point scaffolding. Same spike injection as q78 (uniform
+    // fixtures flag nothing unpolluted).
+    // ------------------------------------------------------------------
+    "q93_robust_outliers" -> GraftQuery(
+      build = (s, d) => {
+        val b = orders(s, d).select(
+          col("o_orderpriority").as("grp"),
+          (cents(col("o_totalprice")) *
+            when(col("o_orderkey") % SpikeMod === 0, SpikeFactor)
+              .otherwise(1L)).as("cents"))
+        StatsOps.robustStats(b, "grp", "cents", MadK)
+          .orderBy("grp")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT o_orderpriority AS grp,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) *
+              CASE WHEN o_orderkey % $SpikeMod = 0 THEN $SpikeFactor
+              ELSE 1 END AS cents
+          FROM orders),
+        m AS (SELECT grp, median(cents) AS med FROM b GROUP BY grp),
+        dv AS (SELECT b.grp, b.cents, m.med, abs(b.cents - m.med) AS adev
+          FROM b JOIN m USING (grp)),
+        md AS (SELECT grp, median(adev) AS mad FROM dv GROUP BY grp)
+        SELECT dv.grp, count(*) AS n, min(dv.med) AS med, min(md.mad) AS mad,
+          CAST(sum(CASE WHEN dv.adev > $MadK * md.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+        FROM dv JOIN md USING (grp) GROUP BY dv.grp ORDER BY dv.grp"""))
   )
 }

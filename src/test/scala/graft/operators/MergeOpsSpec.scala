@@ -107,4 +107,45 @@ class MergeOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((1L, 2L, 10L), (2L, 3L, 30L)))
   }
+
+  test("snapshotDiff: classifies added/removed/changed and DROPS " +
+      "unchanged keys") {
+    val old = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "bal", "seg")
+    val nw = Seq((1L, 10.0, "A"), (2L, 25.0, "B"), (4L, 40.0, "D"))
+      .toDF("k", "bal", "seg")
+    val out = MergeOps.snapshotDiff(old, nw, Seq("k"), Seq("bal", "seg"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("snapshotDiff: column compare is null-safe — null→value and " +
+      "value→null are changes, null→null is not") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option("x")),
+      (3L, Option.empty[String])).toDF("k", "seg")
+    val nw = Seq((1L, Option("y")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("k", "seg")
+    val out = MergeOps.snapshotDiff(old, nw, Seq("k"), Seq("seg"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "changed"), (2L, "changed")))
+  }
+
+  test("snapshotDiff: emits old_/new_ values with the departed side null") {
+    val old = Seq((1L, 10.0)).toDF("k", "bal")
+    val nw = Seq((2L, 20.0)).toDF("k", "bal")
+    val rows = MergeOps.snapshotDiff(old, nw, Seq("k"), Seq("bal"))
+      .orderBy("k").collect()
+    assert(rows(0).getString(1) == "removed" &&
+      rows(0).getDouble(2) == 10.0 && rows(0).isNullAt(3))
+    assert(rows(1).getString(1) == "added" &&
+      rows(1).isNullAt(2) && rows(1).getDouble(3) == 20.0)
+  }
+
+  test("snapshotDiff: an identical snapshot diffs to zero rows") {
+    val snap = Seq((1L, 10.0, "A"), (2L, 20.0, "B")).toDF("k", "bal", "seg")
+    assert(MergeOps.snapshotDiff(snap, snap, Seq("k"), Seq("bal", "seg"))
+      .count() == 0L)
+  }
 }

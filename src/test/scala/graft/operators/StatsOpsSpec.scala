@@ -93,4 +93,48 @@ class StatsOpsSpec extends SparkSuite {
     val keyedSortAggs = "SortAggregate\\(key=\\[[^\\]]".r.findAllIn(plan).toList
     assert(keyedSortAggs.isEmpty, s"keyed SortAggregate in plan: $plan")
   }
+
+  test("robustStats: median and MAD on known data, interpolated halves " +
+      "exact, outliers counted at |x - med| > k·MAD") {
+    // group a: 1..9 plus spike 1000 → sorted deviations from med=5.5
+    // give MAD=2.5; k=3 → threshold 7.5: only the spike (994.5) flags
+    val df = ((1L to 9L).map(v => ("a", v)) :+ ("a", 1000L)).toDF("g", "v")
+    val r = StatsOps.robustStats(df, "g", "v", 3).collect()(0)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("med") == 5.5)
+    assert(r.getAs[Double]("mad") == 2.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("robustStats: the spike that masks itself from a z-test still " +
+      "flags under MAD (the robustness point)") {
+    // 12 points at 100 plus one at 5000: σ ≈ 1306, z of the spike ≈ 3.6
+    // but z-threshold k=4 misses it; MAD = 0 path guarded by taking
+    // values with real spread: use 90..101 so MAD > 0
+    val vals = (90L to 101L).map(v => ("a", v)) :+ ("a", 5000L)
+    val df = vals.toDF("g", "v")
+    val zOut = StatsOps.zscoreFlags(df, "g", "v", 4)
+      .filter(col("is_outlier")).count()
+    val rOut = StatsOps.robustStats(df, "g", "v", 4)
+      .collect()(0).getAs[Long]("n_outliers")
+    assert(zOut == 0L, "z-test at k=4 should be masked by its own spike")
+    assert(rOut == 1L, "MAD test must still flag the spike")
+  }
+
+  test("robustStats: constant group has MAD 0 and flags nothing") {
+    val df = (1 to 5).map(_ => ("a", 7L)).toDF("g", "v")
+    val r = StatsOps.robustStats(df, "g", "v", 3).collect()(0)
+    assert(r.getAs[Double]("mad") == 0.0 && r.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("robustStats: groups are independent and the stats joins " +
+      "broadcast (fact rows never shuffle for the flag join)") {
+    val df = ((1L to 5L).map(v => ("a", v)) ++ (10L to 14L).map(v => ("b", v)))
+      .toDF("g", "v")
+    val out = StatsOps.robustStats(df, "g", "v", 3)
+    val rows = out.orderBy("g").collect()
+    assert(rows.map(_.getAs[Double]("med")).toSeq == Seq(3.0, 12.0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
