@@ -104,4 +104,73 @@ object CorpusAssembly {
         least(greatest(weightPerMille.cast("long"), lit(0L)),
           lit(RateDenominator.toLong)))
       .filter(col("hash_bucket") < col("rate_pm"))
+
+  /** Mixture-weight scale: weights are expressed in parts-per-million. */
+  val WeightScale = 1000000L
+
+  /**
+   * Temperature-scaled corpus-mixture weights: each stratum (source,
+   * language, domain) gets sampling weight ∝ n^(1/2) of its document
+   * count, normalized to ppm, plus its document budget under
+   * `targetTotal` — the standard α-temperature mix (α = 0.5) that
+   * upweights small sources relative to proportional sampling without
+   * letting any source dominate (α = 1 is proportional, α = 0 uniform).
+   *
+   * Integer-exact: n^(1/2) is `floor(sqrt(n))` — IEEE sqrt of a small
+   * integer is correctly rounded in every engine, and the floor lands
+   * it back on an exact long — and normalization is long floor-division,
+   * so weights are bit-reproducible cross-engine (a float `pow(n, α)`
+   * pipeline is a last-ulp lottery; generalizing α to other rationals
+   * means iterated isqrt, e.g. α = 0.25 = isqrt∘isqrt).
+   *
+   * Plan shape: one map-side-combined count per stratum (|strata| rows),
+   * then a 1-row total broadcast by cross join — the corpus is read
+   * once, nothing but the counts ever shuffles. The output feeds
+   * [[stratifiedSample]]'s per-mille rates (floor-div ppm → pm) to
+   * actually draw the mix.
+   */
+  def mixtureWeights(df: DataFrame, strataCol: String,
+      targetTotal: Long): DataFrame = {
+    require(targetTotal >= 0, s"targetTotal must be >= 0, got $targetTotal")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", floor(sqrt(col("n_docs").cast(DoubleType)))
+        .cast(LongType))
+    val total = counts.agg(sum(col("w_raw")).as("w_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("weight_ppm", expr(s"(w_raw * $WeightScale) div w_total"))
+      .withColumn("target_docs",
+        expr(s"(weight_ppm * $targetTotal) div $WeightScale"))
+      .drop("w_total")
+  }
+
+  /**
+   * Sliding-window document chunking: split each document into
+   * `size`-char windows starting every `stride` chars (overlap =
+   * size − stride), the standard long-document splitter feeding a
+   * fixed-context tokenizer. Chunk starts are generated only while they
+   * land inside the text, so the last chunk may run short; empty
+   * documents produce no chunks.
+   *
+   * Pure per-row Generate (sequence → explode → substr) — no shuffle,
+   * no state, scan-speed at 100 TB; output carries (chunk_ix,
+   * chunk_start, chunk_len, chunk_md5) so a gate can verify every
+   * emitted byte without re-reading the parent document.
+   */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val chunk = col(textCol).substr(col("chunk_start").cast(IntegerType) + 1,
+      lit(size))
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), length(col(textCol)).cast(LongType) - 1,
+          lit(stride.toLong))).as("chunk_start"))
+      .select(col(idCol),
+        expr(s"chunk_start div $stride").as("chunk_ix"),
+        col("chunk_start"),
+        length(chunk).cast(LongType).as("chunk_len"),
+        md5(chunk.cast(BinaryType)).as("chunk_md5"))
+  }
 }

@@ -42,6 +42,12 @@ object TextQueries {
     * both engines. No quote characters — embedded as a SQL literal. */
   val RepetitionFixtureText: String = Seq.fill(30)("spam ham eggs").mkString(" ")
 
+  /** q94 mixture document budget; q95 chunk window geometry (60-char
+    * overlap). */
+  val MixTargetDocs = 100000L
+  val ChunkSize = 180
+  val ChunkStride = 120
+
   /** q85 quality gates (length floor + whitespace-token floor). */
   val Q85MinChars = 200L
   val Q85MinTokens = 30L
@@ -587,6 +593,63 @@ object TextQueries {
           FROM (SELECT word, n_word,
               unnest(range(1, length(word))) AS i FROM w))
         SELECT pair, CAST(sum(n_word) AS BIGINT) AS n_pair
-        FROM p GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50"""))
+        FROM p GROUP BY pair ORDER BY n_pair DESC, pair LIMIT 50""")),
+
+    // ------------------------------------------------------------------
+    // q94 — temperature-scaled mixture weights (CorpusAssembly.
+    // mixtureWeights): per-source sampling weights ∝ √n normalized to
+    // ppm plus each source's document budget under a fixed target — the
+    // α = 0.5 mix that upweights small sources vs proportional
+    // sampling. isqrt + long floor-division only, so the whole weight
+    // table is bit-reproducible (float pow(n, α) is not). One count
+    // aggregate + a 1-row broadcast total; the corpus is read once.
+    // Feeds q46/q89's per-mille samplers.
+    // ------------------------------------------------------------------
+    "q94_mixture_weights" -> GraftQuery(
+      build = (s, d) =>
+        CorpusAssembly.mixtureWeights(
+          documents(s, d).select(col("source")), "source", MixTargetDocs)
+          .orderBy("source"),
+      oracle = Some(s"""
+        WITH c AS (SELECT source, count(*) AS n_docs,
+            CAST(floor(sqrt(count(*))) AS BIGINT) AS w_raw
+          FROM documents GROUP BY source),
+        t AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_total FROM c)
+        SELECT source, n_docs, w_raw,
+          (w_raw * ${CorpusAssembly.WeightScale}) // w_total AS weight_ppm,
+          (((w_raw * ${CorpusAssembly.WeightScale}) // w_total)
+            * $MixTargetDocs) // ${CorpusAssembly.WeightScale} AS target_docs
+        FROM c, t ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q95 — sliding-window document chunking (CorpusAssembly.chunkDocs):
+    // every document split into $ChunkSize-char windows every
+    // $ChunkStride chars (60-char overlap) — the long-document splitter
+    // in front of a fixed-context tokenizer. Gated on the md5 of every
+    // chunk, so boundary arithmetic is verified byte-exactly. Pure
+    // per-row Generate: no shuffle anywhere, scan speed at any scale.
+    // ------------------------------------------------------------------
+    "q95_doc_chunking" -> GraftQuery(
+      build = (s, d) =>
+        CorpusAssembly.chunkDocs(
+          graft.operators.ScanOps.spreadSmallInput(
+            documents(s, d).select(col("doc_id"), col("text")),
+            col("doc_id")),
+          "doc_id", "text", ChunkSize, ChunkStride)
+          .orderBy("doc_id", "chunk_ix"),
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        st AS (SELECT doc_id, text,
+            unnest(generate_series(0, length(text) - 1, $ChunkStride))
+              AS chunk_start
+          FROM d)
+        SELECT doc_id,
+          CAST(chunk_start // $ChunkStride AS BIGINT) AS chunk_ix,
+          CAST(chunk_start AS BIGINT) AS chunk_start,
+          CAST(length(substr(text, CAST(chunk_start AS INTEGER) + 1,
+            $ChunkSize)) AS BIGINT) AS chunk_len,
+          md5(substr(text, CAST(chunk_start AS INTEGER) + 1, $ChunkSize))
+            AS chunk_md5
+        FROM st ORDER BY doc_id, chunk_ix"""))
   )
 }

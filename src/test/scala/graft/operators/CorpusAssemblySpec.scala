@@ -78,4 +78,83 @@ class CorpusAssemblySpec extends SparkSuite {
       Map("en" -> 1000)).select("lang").distinct().collect().map(_.getString(0))
     assert(enOnly.toSeq === Seq("en"))
   }
+
+  test("mixtureWeights: √n weights, ppm normalization, budget split") {
+    import spark.implicits._
+    // strata of 100 / 400 / 900 docs → isqrt 10 / 20 / 30, total 60:
+    // ppm = 166666 / 333333 / 500000; budget 6000 → 999 / 1999 / 3000
+    val df = (Seq.fill(100)("a") ++ Seq.fill(400)("b") ++ Seq.fill(900)("c"))
+      .toDF("src")
+    val out = CorpusAssembly.mixtureWeights(df, "src", 6000L)
+      .orderBy("src").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("w_raw"), r.getAs[Long]("weight_ppm"),
+        r.getAs[Long]("target_docs"))).toSeq
+    assert(out == Seq(
+      ("a", 100L, 10L, 166666L, 999L),
+      ("b", 400L, 20L, 333333L, 1999L),
+      ("c", 900L, 30L, 500000L, 3000L)))
+  }
+
+  test("mixtureWeights: α = 0.5 sits between uniform and proportional " +
+      "(small stratum upweighted, big stratum damped)") {
+    import spark.implicits._
+    val df = (Seq.fill(100)("small") ++ Seq.fill(10000)("big")).toDF("src")
+    val m = CorpusAssembly.mixtureWeights(df, "src", 1000000L)
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("weight_ppm"))
+      .toMap
+    // proportional would give small ~9900 ppm; uniform 500000; √n gives
+    // 10/110 ≈ 90909 — strictly between
+    assert(m("small") > 9901L && m("small") < 500000L, m.toString)
+    assert(m("small") + m("big") <= 1000000L)
+  }
+
+  test("chunkDocs: boundary arithmetic — starts every stride, last " +
+      "chunk short, empty docs emit nothing") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 250), (2L, ""), (3L, "xyz")).toDF("id", "text")
+    val out = CorpusAssembly.chunkDocs(df, "id", "text", 100, 80)
+      .orderBy("id", "chunk_ix").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_ix"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len"))).toSeq
+    // doc 1 (250 chars): starts 0,80,160,240 → lens 100,100,90,10
+    // doc 2: empty, absent; doc 3: one 3-char chunk
+    assert(out == Seq(
+      (1L, 0L, 0L, 100L), (1L, 1L, 80L, 100L), (1L, 2L, 160L, 90L),
+      (1L, 3L, 240L, 10L), (3L, 0L, 0L, 3L)))
+  }
+
+  test("chunkDocs: overlapping windows reconstruct the document — " +
+      "every byte is covered and consecutive chunks agree on the overlap") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 10 // 260 chars
+    val df = Seq((7L, text)).toDF("id", "text")
+    val size = 100; val stride = 60
+    val chunks = CorpusAssembly.chunkDocs(df, "id", "text", size, stride)
+      .orderBy("chunk_ix")
+      .select("chunk_start", "chunk_md5", "chunk_len").collect()
+    chunks.foreach { r =>
+      val start = r.getAs[Long]("chunk_start").toInt
+      val expect = text.substring(start, math.min(start + size, text.length))
+      assert(r.getAs[String]("chunk_md5") ==
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(expect.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    // coverage: last chunk reaches the end, first starts at 0
+    val starts = chunks.map(_.getAs[Long]("chunk_start"))
+    assert(starts.head == 0L &&
+      starts.last + chunks.last.getAs[Long]("chunk_len") == text.length)
+  }
+
+  test("chunkDocs rejects stride > size (holes) and non-positive geometry") {
+    import spark.implicits._
+    val df = Seq((1L, "abc")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusAssembly.chunkDocs(df, "id", "text", 10, 20)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusAssembly.chunkDocs(df, "id", "text", 0, 0)
+    }
+  }
 }
