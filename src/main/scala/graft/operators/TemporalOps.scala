@@ -86,4 +86,28 @@ object TemporalOps {
           (col("__v1") - col("__v0")) * (col("__grid_k") * gridStepS - col("__t0")),
           col("__t1") - col("__t0"))).as("v_interp"))
   }
+
+  /**
+   * Last-observation-carried-forward fill: for every input row, the most
+   * recent non-null `v` at or before it in the per-key (t, tie) order —
+   * the step-function twin of [[gapFillInterpolate]] (interpolation
+   * invents intermediate values; LOCF repeats the last reading, which is
+   * the right semantics for state-like metrics: door status, assigned
+   * route, last-reported battery level). Rows before a key's first
+   * observation stay null — LOCF never invents a reading.
+   *
+   * Returns ALL input rows with `<v>_filled` appended; `v` itself is
+   * untouched, so downstream can distinguish observed from carried.
+   *
+   * One keyed window over the same single shuffle every per-key order op
+   * pays; `last(ignoreNulls)` keeps O(1) state per partition-frame, and
+   * the unbounded-preceding frame is the running-aggregate fast path
+   * (no per-row rescan).
+   */
+  def locfFill(df: DataFrame, key: String, t: String, tie: String,
+      v: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(t), col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${v}_filled", last(col(v), ignoreNulls = true).over(w))
+  }
 }

@@ -39,6 +39,9 @@ object AnalyticsQueries {
     * uniform fixture's max |x − med| is ~1.5·MAD·k/6, far inside). */
   val MadK = 6
 
+  /** q96 user-slice modulus (bounds the row-per-event output). */
+  val LocfUserMod = 5L
+
   /** q81 incremental cut: 2024-01-15T00:00:00Z. */
   val CutS = 1705276800L
 
@@ -520,6 +523,38 @@ object AnalyticsQueries {
         SELECT dv.grp, count(*) AS n, min(dv.med) AS med, min(md.mad) AS mad,
           CAST(sum(CASE WHEN dv.adev > $MadK * md.mad THEN 1 ELSE 0 END)
             AS BIGINT) AS n_outliers
-        FROM dv JOIN md USING (grp) GROUP BY dv.grp ORDER BY dv.grp"""))
+        FROM dv JOIN md USING (grp) GROUP BY dv.grp ORDER BY dv.grp""")),
+
+    // ------------------------------------------------------------------
+    // q96 — LOCF forward fill (TemporalOps.locfFill): every event row
+    // carries the user's most recent purchase amount — the step-function
+    // twin of q76's interpolation (LOCF repeats the last observed state
+    // instead of inventing intermediate values; right for state-like
+    // metrics). Rows before a user's first purchase stay null. One
+    // keyed window with an O(1) running last(ignoreNulls); integer
+    // cents observations so carried values are bit-exact.
+    // ------------------------------------------------------------------
+    "q96_locf_fill" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .filter(col("user_id") % LocfUserMod === 0)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("t_us"),
+            when(col("event_type") === "purchase", cents(col("value")))
+              .as("obs"))
+        TemporalOps.locfFill(ev, "user_id", "t_us", "event_id", "obs")
+          .orderBy("user_id", "t_us", "event_id")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+            CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              END AS obs
+          FROM events WHERE user_id % $LocfUserMod = 0)
+        SELECT user_id, event_id, t_us, obs,
+          last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY t_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obs_filled
+        FROM e ORDER BY user_id, t_us, event_id"""))
   )
 }

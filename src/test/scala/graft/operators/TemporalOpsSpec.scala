@@ -66,4 +66,44 @@ class TemporalOpsSpec extends SparkSuite {
     assert(plan.contains("Generate"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("locfFill: carries the last non-null forward per key, leaves the " +
+      "prefix before the first observation null") {
+    val df = Seq(
+      (1L, 10L, 1L, Option.empty[Long]), // before first obs → stays null
+      (1L, 20L, 2L, Option(5L)),
+      (1L, 30L, 3L, Option.empty[Long]), // carried 5
+      (1L, 40L, 4L, Option(9L)),
+      (1L, 50L, 5L, Option.empty[Long]), // carried 9
+      (2L, 10L, 6L, Option.empty[Long])) // other key: no bleed-over
+      .toDF("k", "t", "id", "v")
+    val out = TemporalOps.locfFill(df, "k", "t", "id", "v")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(out == Seq(
+      (1L, 10L, None), (1L, 20L, Some(5L)), (1L, 30L, Some(5L)),
+      (1L, 40L, Some(9L)), (1L, 50L, Some(9L)), (2L, 10L, None)))
+  }
+
+  test("locfFill: observed rows keep their own value (fill is a new " +
+      "column; v itself untouched) and ties break on the tie column") {
+    val df = Seq(
+      (1L, 10L, 1L, Option(3L)),
+      (1L, 10L, 2L, Option.empty[Long])) // same t: id-order decides
+      .toDF("k", "t", "id", "v")
+    val out = TemporalOps.locfFill(df, "k", "t", "id", "v")
+      .orderBy("id").collect()
+    assert(out(0).getLong(3) == 3L && out(0).getLong(4) == 3L)
+    assert(out(1).isNullAt(3) && out(1).getLong(4) == 3L)
+  }
+
+  test("locfFill plans one keyed window, no join and no extra exchange") {
+    val df = Seq((1L, 10L, 1L, Option(3L))).toDF("k", "t", "id", "v")
+    val plan = TemporalOps.locfFill(df, "k", "t", "id", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
 }
