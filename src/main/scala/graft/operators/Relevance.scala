@@ -117,4 +117,71 @@ object Relevance {
       .select(col("term"), col("doc_id"), col("tf"), col("df"),
         col("score_m"), col("rnk"))
   }
+
+  /**
+   * Sparse tf-idf cosine similarity join: document pairs whose tf-idf
+   * vectors (over RARE terms only, df ≤ N·`dfCapPermille`/1000) have
+   * cosine ≥ `tauBp`/100 — the lexical near-dup/near-match detector that
+   * complements the dense-embedding ANN stack (VectorSearch) and the
+   * shingle-hash stack (TextDedup): term-level, weight-aware, and exact
+   * over its candidate set.
+   *
+   * Fixed-point end to end: idf is the scaled integer rational
+   * (N·`idfScale`) div df (the [[bm25TopK]] discipline — monotone-
+   * equivalent to ln-idf within a fixed corpus, reproducible to the
+   * bit), weights and dots are longs, and the cosine threshold is the
+   * cross-multiplied integer form dot²·10⁴ ≥ tauBp²·‖a‖²·‖b‖² in
+   * decimal128 — no square root, no float, no last-ulp lottery (q78's
+   * z-score move applied to cosine).
+   *
+   * Scale shape: candidates come from the postings self-join on term —
+   * and the df cap IS the hot-bucket cap (a stopword's O(corpus)
+   * posting list would contribute df² pairs; capped terms bound the
+   * join at dfCap·Σdf). Both join sides are the same aggregate subtree
+   * shuffled on the same key, so the exchange is planned once and
+   * reused; the df filter is a count-window on term, riding the very
+   * shuffle the join needs (never a separate aggregate + broadcast
+   * back). Norms are a narrow map-side-combined (doc, n2) aggregate
+   * broadcast onto the surviving pairs. At 100 TB the tf index lands
+   * once (the TextDedup.landShingleIndex discipline) and feeds this,
+   * BM25 and the inverted index from the same artifact.
+   */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      dfCapPermille: Long, idfScale: Long, tauBp: Int): DataFrame = {
+    require(dfCapPermille >= 1 && dfCapPermille <= 1000 &&
+      idfScale > 0 && tauBp >= 0 && tauBp <= 100)
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = tokenStream(docs, idCol, textCol)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    // the cap is CORPUS-RELATIVE (df ≤ N·permille/1000), evaluated
+    // in-plan against the broadcast count — an absolute cap silently
+    // degenerates to an empty feature space when the corpus grows
+    // (every term's df scales with N)
+    val kept = tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(corpus))
+      .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
+      .withColumn("w", col("tf") * expr(s"(n_docs * $idfScale) div df"))
+      .select(col("term"), col("doc_id"), col("w"))
+    val norms = kept.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"),
+        count(lit(1)).as("n_shared"))
+    val d = col("dot").cast("decimal(38,0)")
+    pairs
+      .join(broadcast(norms.select(
+        col("doc_id").as("doc_a"), col("n2").as("n2a"))), "doc_a")
+      .join(broadcast(norms.select(
+        col("doc_id").as("doc_b"), col("n2").as("n2b"))), "doc_b")
+      .filter(d * d * lit(10000L) >=
+        lit(tauBp.toLong * tauBp) * col("n2a").cast("decimal(38,0)") *
+          col("n2b").cast("decimal(38,0)"))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("n_shared"),
+        col("n2a"), col("n2b"))
+  }
 }

@@ -48,6 +48,15 @@ object RetrievalQueries {
   val PostingCap = 8
   val IndexMinDf = 5L
 
+  /** q97 tf-idf cosine join: corpus-relative rare-term cap (df ≤ 10% of
+    * N — an absolute cap empties the feature space as N grows), idf
+    * scale, cosine threshold in centi-units (60 → cos ≥ 0.60), near-dup
+    * injection stride. */
+  val TfidfDfCapPm = 100L
+  val TfidfIdfScale = 100L
+  val TfidfTauBp = 60
+  val TfidfDupMod = 20L; val TfidfDupShift = 700000L
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -233,6 +242,60 @@ object RetrievalQueries {
           array_to_string((list(doc_id ORDER BY doc_id))[1:$PostingCap], ',')
             AS posting_csv
         FROM tf GROUP BY term HAVING count(*) >= $IndexMinDf
-        ORDER BY term"""))
+        ORDER BY term""")),
+
+    // ------------------------------------------------------------------
+    // q97 — sparse tf-idf cosine similarity join (Relevance.
+    // tfidfCosinePairs): document pairs with cosine ≥ 0.60 over
+    // rare-term (df ≤ N/10) tf-idf vectors — the weight-aware lexical
+    // near-match detector beside the hash (q23) and embedding (q26)
+    // stacks. Integer idf rational, long dots, and the cross-multiplied
+    // decimal128 threshold dot²·10⁴ ≥ τ²·n2a·n2b — zero floats. An
+    // injected near-dup slice (every 20th doc re-inserted with one
+    // extra token) must surface; the df cap is the hot-bucket guard
+    // that keeps the postings self-join off stopwords.
+    // ------------------------------------------------------------------
+    "q97_tfidf_cosine_join" -> GraftQuery(
+      build = (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = base.filter(col("doc_id") % TfidfDupMod === 0)
+          .select((col("doc_id") + TfidfDupShift).as("doc_id"),
+            concat(col("text"), lit(" zqx")).as("text"))
+        Relevance.tfidfCosinePairs(
+          ScanOps.spreadSmallInput(base.unionByName(dup), col("doc_id")),
+          "doc_id", "text", TfidfDfCapPm, TfidfIdfScale, TfidfTauBp)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $TfidfDupShift, text || ' zqx' FROM documents
+          WHERE doc_id % $TfidfDupMod = 0),
+        tok AS (SELECT doc_id, lower(t) AS term FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM base)
+          WHERE length(t) >= ${Relevance.DefaultMinTermLen}),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+          GROUP BY term, doc_id),
+        n AS (SELECT count(*) AS n_docs FROM base),
+        kept AS (SELECT term, doc_id, tf,
+            count(*) OVER (PARTITION BY term) AS df
+          FROM tf, n QUALIFY df * 1000 <= n.n_docs * $TfidfDfCapPm),
+        w AS (SELECT term, doc_id,
+            tf * ((n.n_docs * $TfidfIdfScale) // df) AS w FROM kept, n),
+        norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+          FROM w GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(sum(a.w * b.w) AS BIGINT) AS dot, count(*) AS n_shared
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, dot, n_shared, na.n2 AS n2a, nb.n2 AS n2b
+        FROM p JOIN norms na ON p.doc_a = na.doc_id
+          JOIN norms nb ON p.doc_b = nb.doc_id
+        WHERE CAST(dot AS HUGEINT) * dot * 10000 >=
+          ${TfidfTauBp * TfidfTauBp} * CAST(na.n2 AS HUGEINT) * nb.n2
+        ORDER BY doc_a, doc_b"""))
   )
 }

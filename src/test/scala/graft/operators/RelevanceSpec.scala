@@ -54,4 +54,55 @@ class RelevanceSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(4))).toMap
     assert(out("rare") > out("common"))
   }
+
+  test("tfidfCosinePairs: identical docs score cosine 1 (dot = both " +
+      "norms); disjoint docs emit no pair at all") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Relevance.tfidfCosinePairs(d, "doc_id", "text",
+      dfCapPermille = 1000L, idfScale = 100L, tauBp = 90).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("dot") == r.getAs[Long]("n2a") &&
+      r.getAs[Long]("n2a") == r.getAs[Long]("n2b"))
+    assert(r.getAs[Long]("n_shared") == 3L)
+  }
+
+  test("tfidfCosinePairs: the df cap drops stopword-ish terms from the " +
+      "candidate join — docs sharing ONLY a capped term never pair") {
+    val docs = ((1L to 8L).map(i => (i, s"stop uniq$i filler$i")) :+
+      (9L, "stop other nine")).toDF("doc_id", "text")
+    // 'stop' has df 9 > 60% of N = 5.4: with it capped away no two
+    // docs share a term, so zero pairs survive candidate generation
+    val out = Relevance.tfidfCosinePairs(docs, "doc_id", "text",
+      dfCapPermille = 600L, idfScale = 100L, tauBp = 0).collect()
+    assert(out.isEmpty)
+  }
+
+  test("tfidfCosinePairs: the integer cross-multiplied threshold " +
+      "classifies the hand-computed cosine exactly") {
+    // d1 = "aaa bbb", d2 = "aaa ccc": idf(aaa) = 100, idf(bbb|ccc) = 200
+    // → w = (100, 200) each, dot = 100², n2 = 50000 → cos = 0.2 exactly
+    val d = Seq((1L, "aaa bbb"), (2L, "aaa ccc")).toDF("doc_id", "text")
+    def pairs(tau: Int) = Relevance.tfidfCosinePairs(
+      d, "doc_id", "text", dfCapPermille = 1000L, idfScale = 100L, tauBp = tau)
+    assert(pairs(21).collect().isEmpty, "cos 0.2 must fail τ = 0.21")
+    val hit = pairs(20).collect() // cos² = 0.04 = τ² exactly: ≥ keeps it
+    assert(hit.length == 1 && hit(0).getAs[Long]("dot") == 10000L &&
+      hit(0).getAs[Long]("n2a") == 50000L)
+  }
+
+  test("tfidfCosinePairs: pair orientation is always doc_a < doc_b, " +
+      "each pair once") {
+    val d = Seq((5L, "xxx yyy zzz"), (2L, "xxx yyy zzz"), (9L, "xxx yyy zzz"))
+      .toDF("doc_id", "text")
+    val out = Relevance.tfidfCosinePairs(d, "doc_id", "text",
+      dfCapPermille = 1000L, idfScale = 100L, tauBp = 50)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(out.toSet == Set((2L, 5L), (2L, 9L), (5L, 9L)))
+    assert(out.length == 3, "each unordered pair exactly once")
+  }
 }
