@@ -119,6 +119,92 @@ object StatsOps {
           .as("n_outliers"))
   }
 
+  /**
+   * Grouped simple linear regression + correlation from EXACT sufficient
+   * statistics: per group, one map-side-combined aggregate collects
+   * (n, Σx, Σy, Σx², Σxy, Σy²) as decimal128, and slope / intercept /
+   * correlation derive from the co-moment identities
+   *
+   *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+   *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+   *   corr = cov_num / √(varx_num · vary_num)
+   *
+   * — the "distributed ML via sufficient statistics" move: a least-
+   * squares fit over 100 TB is ONE aggregation pass, no iteration, no
+   * gradient state; states from disjoint shards merge by addition (the
+   * q81 IVM property), so the fit maintains incrementally too.
+   *
+   * Determinism: the built-in `covar_pop`/`corr`/`regr_slope` aggregates
+   * accumulate FLOAT co-moments — partition-order-dependent in Spark
+   * AND DuckDB — while integral inputs summed in decimal128 are exact in
+   * any order. Slope/intercept are emitted in FLOOR milli-units via the
+   * pmod identity (exact decimal pmod, then an exact integral divide);
+   * corr is the one float emitted, computed by a fixed expression shape
+   * over exactly-agreed operands (cast-of-exact-decimal, one multiply,
+   * one correctly-rounded sqrt, one divide — bit-identical cross-engine).
+   *
+   * Caller keeps |x|,|y| small enough that n·Σxy stays well inside
+   * decimal128 (dollar-scale y and cardinal x have ~15 orders of
+   * headroom). Degenerate groups (constant x) emit null slope/intercept/
+   * corr rather than a division error.
+   */
+  def linearFit(df: DataFrame, group: String, x: String,
+      y: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val xs = dec(col(x)); val ys = dec(col(y))
+    df.groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xs).as("sx"), sum(ys).as("sy"),
+        sum(xs * xs).as("sxx"), sum(xs * ys).as("sxy"),
+        sum(ys * ys).as("syy"))
+      .withColumn("cov_num", dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx_num", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary_num", dec(col("n")) * col("syy") - col("sy") * col("sy"))
+      .withColumn("int_num", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .select(
+        col(group), col("n"),
+        col("cov_num").cast("double").as("cov_num_d"),
+        col("varx_num").cast("double").as("varx_num_d"),
+        col("vary_num").cast("double").as("vary_num_d"),
+        when(col("varx_num") =!= 0,
+          expr("(1000 * cov_num - pmod(1000 * cov_num, varx_num))" +
+            " div varx_num")).as("slope_milli"),
+        when(col("varx_num") =!= 0,
+          expr("(1000 * int_num - pmod(1000 * int_num, varx_num))" +
+            " div varx_num")).as("intercept_milli"),
+        when(col("varx_num") =!= 0 && col("vary_num") =!= 0,
+          col("cov_num").cast("double") /
+            sqrt(col("varx_num").cast("double") *
+              col("vary_num").cast("double"))).as("corr"))
+  }
+
+  /**
+   * Equi-DEPTH histogram: `tiles` buckets of (near-)equal row count per
+   * group, with each bucket's row count and observed value range — the
+   * quantile-bucket twin of [[histogram]] (equi-width tells you where
+   * the mass is; equi-depth tells you where the BOUNDARIES are — what a
+   * range-partitioner, a query optimizer's histogram, and a feature
+   * binner all want). `ntile` distributes remainders to the leading
+   * buckets (SQL standard), and the (value, tie) order is total, so
+   * bucket membership is deterministic to the row.
+   *
+   * Scale shape: exact ntile needs the per-group sort every keyed
+   * window pays (one shuffle); at 100 TB the drop-in is
+   * `approx_percentile` boundaries (GK sketch, one pass, mergeable) with
+   * this exact form as its small-SF gate — the q58/q93 discipline.
+   */
+  def equiDepthHistogram(df: DataFrame, group: String, value: String,
+      tie: String, tiles: Int): DataFrame = {
+    require(tiles > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(col(value), col(tie))
+    df.withColumn("tile", ntile(tiles).over(w).cast("long"))
+      .groupBy(col(group), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col(value)).as("lo_v"), max(col(value)).as("hi_v"))
+  }
+
   /** Per-column profile spec: how to read one column as a comparable
     * canonical form — an integral `ord` (cents / epoch seconds / the
     * value itself) whose min/max stringify identically in any engine

@@ -42,6 +42,9 @@ object AnalyticsQueries {
   /** q96 user-slice modulus (bounds the row-per-event output). */
   val LocfUserMod = 5L
 
+  /** q99 quantile-bucket count. */
+  val DepthTiles = 8
+
   /** q81 incremental cut: 2024-01-15T00:00:00Z. */
   val CutS = 1705276800L
 
@@ -555,6 +558,93 @@ object AnalyticsQueries {
           last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
             ORDER BY t_us, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obs_filled
-        FROM e ORDER BY user_id, t_us, event_id"""))
+        FROM e ORDER BY user_id, t_us, event_id""")),
+
+    // ------------------------------------------------------------------
+    // q98 — grouped least-squares fit + correlation (StatsOps.
+    // linearFit): quantity→price regression per return flag from ONE
+    // map-side-combined aggregate of exact decimal128 sufficient
+    // statistics — no iteration, states merge by addition (the q81 IVM
+    // property). The built-in covar_pop/corr/regr_slope accumulate
+    // float co-moments and are partition-order-dependent in BOTH
+    // engines; the co-moment identities over exact integer sums are
+    // deterministic to the bit, and the one emitted float (corr) comes
+    // from a fixed expression shape over exactly-agreed operands.
+    // y is quantized to dollars so n·Σy² keeps ~15 digits of decimal128
+    // headroom at any SF.
+    // ------------------------------------------------------------------
+    "q98_linear_fit" -> GraftQuery(
+      build = (s, d) => {
+        val b = lineitem(s, d).select(
+          col("l_returnflag").as("grp"),
+          col("l_quantity").cast("long").as("x"),
+          expr("cast(cast(l_extendedprice as decimal(18,4)) * 10000 as bigint)"
+            + " div 100").as("y"))
+        StatsOps.linearFit(b, "grp", "x", "y").orderBy("grp")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT l_returnflag AS grp,
+            CAST(l_quantity AS BIGINT) AS x,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 100 AS y
+          FROM lineitem),
+        st AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM b GROUP BY grp),
+        dd AS (SELECT grp, n,
+            n * sxy - sx * sy AS cov_num,
+            n * sxx - sx * sx AS varx_num,
+            n * syy - sy * sy AS vary_num,
+            sy * sxx - sx * sxy AS int_num
+          FROM st)
+        SELECT grp, CAST(n AS BIGINT) AS n,
+          CAST(cov_num AS DOUBLE) AS cov_num_d,
+          CAST(varx_num AS DOUBLE) AS varx_num_d,
+          CAST(vary_num AS DOUBLE) AS vary_num_d,
+          CASE WHEN varx_num <> 0 THEN CAST((1000 * cov_num -
+            ((1000 * cov_num % varx_num + varx_num) % varx_num))
+            // varx_num AS BIGINT) END AS slope_milli,
+          CASE WHEN varx_num <> 0 THEN CAST((1000 * int_num -
+            ((1000 * int_num % varx_num + varx_num) % varx_num))
+            // varx_num AS BIGINT) END AS intercept_milli,
+          CASE WHEN varx_num <> 0 AND vary_num <> 0 THEN
+            CAST(cov_num AS DOUBLE) /
+              sqrt(CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE))
+            END AS corr
+        FROM dd ORDER BY grp""")),
+
+    // ------------------------------------------------------------------
+    // q99 — equi-depth histogram (StatsOps.equiDepthHistogram): 8
+    // quantile buckets of order prices per priority — the boundary-
+    // finding twin of q77's equi-width buckets (what a range
+    // partitioner / optimizer histogram / feature binner consumes).
+    // ntile over a TOTAL (value, key) order makes bucket membership
+    // row-deterministic; approx_percentile is the one-pass 100 TB
+    // drop-in, gated by this exact form (q58/q93 discipline).
+    // ------------------------------------------------------------------
+    "q99_equidepth_hist" -> GraftQuery(
+      build = (s, d) => {
+        val b = orders(s, d).select(
+          col("o_orderpriority").as("grp"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("cents"))
+        StatsOps.equiDepthHistogram(b, "grp", "cents", "o_orderkey",
+          DepthTiles)
+          .orderBy("grp", "tile")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT o_orderpriority AS grp, o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS cents
+          FROM orders),
+        t AS (SELECT grp, cents,
+            CAST(ntile($DepthTiles) OVER (PARTITION BY grp
+              ORDER BY cents, o_orderkey) AS BIGINT) AS tile
+          FROM b)
+        SELECT grp, tile, count(*) AS n,
+          min(cents) AS lo_v, max(cents) AS hi_v
+        FROM t GROUP BY grp, tile ORDER BY grp, tile"""))
   )
 }

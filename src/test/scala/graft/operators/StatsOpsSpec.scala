@@ -127,6 +127,69 @@ class StatsOpsSpec extends SparkSuite {
     assert(r.getAs[Double]("mad") == 0.0 && r.getAs[Long]("n_outliers") == 0L)
   }
 
+  test("linearFit: recovers an exact line (slope 3, intercept 7) with " +
+      "corr 1.0 from sufficient statistics") {
+    val df = (1L to 10L).map(x => ("a", x, 3 * x + 7)).toDF("g", "x", "y")
+    val r = StatsOps.linearFit(df, "g", "x", "y").collect()(0)
+    assert(r.getAs[Long]("slope_milli") == 3000L)
+    assert(r.getAs[Long]("intercept_milli") == 7000L)
+    assert(r.getAs[Double]("corr") == 1.0)
+  }
+
+  test("linearFit: negative slope floors correctly (pmod identity, not " +
+      "truncation) and corr is negative") {
+    // n=3, sx=7, sy=19, sxx=21, sxy=32 → cov = 96−133 = −37,
+    // varx = 63−49 = 14 → slope = −37/14 ≈ −2.642857: floor milli is
+    // −2643 (truncation toward zero would give −2642)
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 7L), ("a", 4L, 2L))
+      .toDF("g", "x", "y")
+    val r = StatsOps.linearFit(df, "g", "x", "y").collect()(0)
+    assert(r.getAs[Long]("slope_milli") == -2643L)
+    assert(r.getAs[Double]("corr") < 0)
+  }
+
+  test("linearFit: constant x (degenerate) yields null slope/intercept/" +
+      "corr, never a division error") {
+    val df = Seq(("a", 5L, 1L), ("a", 5L, 9L)).toDF("g", "x", "y")
+    val r = StatsOps.linearFit(df, "g", "x", "y").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("slope_milli")))
+    assert(r.isNullAt(r.fieldIndex("corr")))
+  }
+
+  test("linearFit: exact on a longer series regardless of partitioning " +
+      "(decimal sums are order-independent)") {
+    val all = (1L to 50L).map(x => ("a", x, 5 * x + 11)).toDF("g", "x", "y")
+    val direct = StatsOps.linearFit(all.repartition(7), "g", "x", "y")
+      .collect()(0)
+    assert(direct.getAs[Long]("slope_milli") == 5000L &&
+      direct.getAs[Long]("intercept_milli") == 11000L)
+    assert(direct.getAs[Double]("corr") == 1.0)
+  }
+
+  test("equiDepthHistogram: near-equal bucket counts, contiguous value " +
+      "ranges, remainder rows in the leading tiles") {
+    val df = (1L to 21L).map(v => ("a", v, v)).toDF("g", "v", "id")
+    val out = StatsOps.equiDepthHistogram(df, "g", "v", "id", 4)
+      .orderBy("tile").collect()
+      .map(r => (r.getAs[Long]("tile"), r.getAs[Long]("n"),
+        r.getAs[Long]("lo_v"), r.getAs[Long]("hi_v"))).toSeq
+    // 21 rows / 4 tiles: 6,5,5,5 (SQL ntile remainder-first)
+    assert(out == Seq((1L, 6L, 1L, 6L), (2L, 5L, 7L, 11L),
+      (3L, 5L, 12L, 16L), (4L, 5L, 17L, 21L)))
+  }
+
+  test("equiDepthHistogram: buckets are per-group and value ranges " +
+      "never overlap within a group") {
+    val df = ((1L to 16L).map(v => ("a", v * 10, v)) ++
+      (1L to 8L).map(v => ("b", v, v + 100))).toDF("g", "v", "id")
+    val rows = StatsOps.equiDepthHistogram(df, "g", "v", "id", 4)
+      .orderBy("g", "tile").collect()
+    val byG = rows.groupBy(_.getAs[String]("g"))
+    assert(byG("a").length == 4 && byG("b").length == 4)
+    for (grp <- byG.values; Array(a, b) <- grp.sliding(2))
+      assert(a.getAs[Long]("hi_v") < b.getAs[Long]("lo_v"))
+  }
+
   test("robustStats: groups are independent and the stats joins " +
       "broadcast (fact rows never shuffle for the flag join)") {
     val df = ((1L to 5L).map(v => ("a", v)) ++ (10L to 14L).map(v => ("b", v)))
