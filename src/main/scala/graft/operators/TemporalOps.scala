@@ -110,4 +110,36 @@ object TemporalOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(s"${v}_filled", last(col(v), ignoreNulls = true).over(w))
   }
+
+  /**
+   * OHLC downsampling: collapse an irregular per-key series into
+   * `step`-sized time buckets, each summarized by its first (open),
+   * max (high), min (low) and last (close) value plus count and sum —
+   * the standard resample for telemetry/market feeds, and the
+   * aggregation a dashboard runs before plotting a 100 TB series.
+   *
+   * open/close use `min_by`/`max_by` over the COMPOSITE (t, tie) order,
+   * so duplicate timestamps resolve deterministically (the same total-
+   * order discipline as every windowed operator here).
+   *
+   * Scale shape: ONE map-side-combinable aggregate — min_by/max_by/
+   * min/max/sum/count all have O(1) partial state and merge
+   * associatively, so the series never needs a per-key sort (the window
+   * formulation pays one; an aggregate pays a partial-combine shuffle of
+   * one row per (key, bucket) per map task). Bucket ids are exact
+   * integer floor-division of the epoch stamp.
+   */
+  def resampleOhlc(df: DataFrame, key: String, t: String, tie: String,
+      v: String, step: Long): DataFrame = {
+    require(step > 0)
+    df.withColumn("bucket_t", floorDiv(col(t), lit(step)) * step)
+      .groupBy(col(key), col("bucket_t"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col(v), struct(col(t), col(tie))).as("open"),
+        max(col(v)).as("high"),
+        min(col(v)).as("low"),
+        max_by(col(v), struct(col(t), col(tie))).as("close"),
+        sum(col(v)).as("total"))
+  }
 }

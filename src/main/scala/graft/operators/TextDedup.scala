@@ -106,6 +106,73 @@ object TextDedup {
   }
 
   /**
+   * EXACT set-similarity self-join by prefix filtering (the AllPairs /
+   * PPJoin family): every document pair whose word-`shingleN`-gram SETS
+   * have Jaccard ≥ `tauPm`/1000 — with a completeness GUARANTEE, unlike
+   * the MinHash pipeline ([[minhashCandidatePairs]]) whose banding is
+   * probabilistic. The two are complements: minhash scales past exact
+   * methods and misses with known probability; this join is the exact
+   * verifier a q23-style recall audit runs on a sample.
+   *
+   * Prefix theorem (the candidate bound): order every gram by global
+   * rarity (df asc, gram asc — total). If J(A,B) ≥ τ then
+   * |A∩B| ≥ ⌈τ·|A|⌉, so A and B must SHARE a gram among each side's
+   * first |s| − ⌈τ·|s|⌉ + 1 rarest grams — pairs are generated from the
+   * tiny prefix-postings join, never the full posting lists, and the
+   * rarest-first order makes those postings the SHORTEST available.
+   * Candidates then pass the size filter (τ·max ≤ min, else J < τ
+   * regardless of overlap) before the exact overlap count.
+   *
+   * All arithmetic integer (ceil via (τpm·s + 999) div 1000, the
+   * Jaccard test cross-multiplied), so the pair set is bit-deterministic
+   * cross-engine.
+   *
+   * Scale shape: three keyed shuffles of (gram, doc) rows (global df
+   * window; per-doc size+position windows share one exchange; prefix
+   * self-join on the gram) + one pair-keyed overlap aggregate. The df
+   * window rides the same gram key the join shuffles on. Prefix postings
+   * are short BY CONSTRUCTION on a natural-vocabulary corpus; a
+   * pathological corpus (every doc the same grams) degrades toward the
+   * all-pairs join the theorem can't avoid — J really is ≥ τ everywhere.
+   */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+      tauPm: Long, shingleN: Int = 2): DataFrame = {
+    require(tauPm >= 1 && tauPm <= 1000, s"tauPm in [1,1000], got $tauPm")
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("g"))
+    val sized = sets
+      .withColumn("gdf", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("ssize", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gdf"), col("g"))))
+    val prefix = sized
+      .filter(col("pos") <=
+        col("ssize") - expr(s"($tauPm * ssize + 999) div 1000") + 1)
+      .select(col("g"), col("doc_id"), col("ssize"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ssize").as("sa"), col("b.ssize").as("sb"))
+      .distinct()
+      .filter(lit(tauPm) * greatest(col("sa"), col("sb")) <=
+        lit(1000L) * least(col("sa"), col("sb")))
+    cands
+      .join(sets.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(sets.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
+      .groupBy("doc_a", "doc_b", "sa", "sb")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") * 1000 >=
+        lit(tauPm) * (col("sa") + col("sb") - col("overlap")))
+      .withColumn("jaccard_pm",
+        expr("(overlap * 1000) div (sa + sb - overlap)"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+        col("overlap"), col("jaccard_pm"))
+  }
+
+  /**
    * Exact dedup groups: one row per distinct content, with the minimum id
    * as representative and the copy count. Only (hash, id) cross the
    * shuffle; document bodies stay at the scan.

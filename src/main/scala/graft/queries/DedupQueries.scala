@@ -21,6 +21,14 @@ object DedupQueries {
 
   private val P = TextDedup.Prime
 
+  /** q100 Jaccard threshold (per-mille) and gram size (n = 3: the same
+    * shingle universe q23's MinHash signatures hash — and the sparsity
+    * that keeps prefix postings short; word BIGRAMS of this 30-word
+    * corpus have df ≈ N/20, and their dense postings made the prefix
+    * join 16 s at sf0.1 vs sub-second on trigrams). */
+  val JaccardTauPm = 900L
+  val JaccardShingleN = 3
+
   /** The shared shingle index over the BASE documents table, landed ONCE
     * per process per sf dir (VERDICT r4 #1): q22/q23/q47 all read the
     * stored (doc_id, content_hash) / (doc_id, h) tables instead of
@@ -369,6 +377,67 @@ object DedupQueries {
         FROM customer c1 JOIN customer c2
           ON c1.c_custkey < c2.c_custkey
           AND levenshtein(c1.c_name, c2.c_name) <= 1
-        ORDER BY custkey_a, custkey_b"""))
+        ORDER BY custkey_a, custkey_b""")),
+
+    // ------------------------------------------------------------------
+    // q100 — EXACT Jaccard set-similarity join by prefix filtering
+    // (TextDedup.jaccardPrefixJoin, the AllPairs/PPJoin family) over the
+    // same word-bigram universe as q23's MinHash — the exact,
+    // completeness-GUARANTEED counterpart of the probabilistic LSH
+    // pipeline (the recall auditor runs this on samples of what q23
+    // processes in full). Candidates come from the rarest-gram prefix
+    // postings (never full posting lists), sized-filtered, then exactly
+    // counted; ceil and the Jaccard test are integer cross-multiplied.
+    // Injected slices: exact copies (J = 1) and two-token-appended
+    // mutations (two extra trigrams, J ≈ 0.96) must both surface at
+    // τ = 0.9.
+    // ------------------------------------------------------------------
+    "q100_jaccard_prefix_join" -> GraftQuery(
+      build = (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val copies = base.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+        val mutated = base.filter(col("doc_id") % 21 === 0)
+          .select((col("doc_id") + 950000).as("doc_id"),
+            concat(col("text"), lit(" zz qq")).as("text"))
+        TextDedup.jaccardPrefixJoin(
+          graft.operators.ScanOps.spreadSmallInput(
+            base.unionByName(copies).unionByName(mutated), col("doc_id")),
+          "doc_id", "text", JaccardTauPm, JaccardShingleN)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 900000, text FROM documents WHERE doc_id % 15 = 0
+          UNION ALL
+          SELECT doc_id + 950000, text || ' zz qq' FROM documents
+          WHERE doc_id % 21 = 0),
+        sets AS (SELECT DISTINCT doc_id,
+            unnest(${sqlShingles(sqlTokens("text"), JaccardShingleN)})
+              AS g FROM base),
+        gd AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS gdf
+          FROM sets),
+        sz AS (SELECT doc_id, g, gdf,
+            count(*) OVER (PARTITION BY doc_id) AS ssize,
+            row_number() OVER (PARTITION BY doc_id ORDER BY gdf, g) AS pos
+          FROM gd),
+        pf AS (SELECT doc_id, g, ssize FROM sz
+          WHERE pos <= ssize - ($JaccardTauPm * ssize + 999) // 1000 + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.ssize AS sa, b.ssize AS sb
+          FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id
+          WHERE $JaccardTauPm * greatest(a.ssize, b.ssize) <=
+            1000 * least(a.ssize, b.ssize)),
+        ov AS (SELECT c.doc_a, c.doc_b, c.sa, c.sb, count(*) AS overlap
+          FROM cand c JOIN sets ga ON c.doc_a = ga.doc_id
+            JOIN sets gb ON c.doc_b = gb.doc_id AND ga.g = gb.g
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, CAST(sa AS BIGINT) AS sa,
+          CAST(sb AS BIGINT) AS sb, overlap,
+          (overlap * 1000) // (sa + sb - overlap) AS jaccard_pm
+        FROM ov WHERE overlap * 1000 >= $JaccardTauPm * (sa + sb - overlap)
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -106,4 +106,41 @@ class TemporalOpsSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
     assert("Exchange".r.findAllIn(plan).size <= 1, plan)
   }
+
+  test("resampleOhlc: open/close follow the composite (t, tie) order, " +
+      "bucket boundaries are exact") {
+    val df = Seq(
+      // bucket 0 [0, 100): ties at t=5 resolve by id
+      (1L, 5L, 2L, 20L), (1L, 5L, 1L, 10L), (1L, 99L, 3L, 5L),
+      // t=100 is the NEXT bucket's first instant
+      (1L, 100L, 4L, 77L),
+      (2L, 42L, 5L, 1L)).toDF("k", "t", "id", "v")
+    val out = TemporalOps.resampleOhlc(df, "k", "t", "id", "v", 100L)
+      .orderBy("k", "bucket_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n"),
+        r.getAs[Long]("open"), r.getAs[Long]("high"), r.getAs[Long]("low"),
+        r.getAs[Long]("close"), r.getAs[Long]("total"))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 3L, 10L, 20L, 5L, 5L, 35L),
+      (1L, 100L, 1L, 77L, 77L, 77L, 77L, 77L),
+      (2L, 0L, 1L, 1L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("resampleOhlc: negative timestamps bucket by FLOOR (the epoch-" +
+      "before-zero edge truncation gets wrong)") {
+    val df = Seq((1L, -1L, 1L, 9L)).toDF("k", "t", "id", "v")
+    val r = TemporalOps.resampleOhlc(df, "k", "t", "id", "v", 100L)
+      .collect()(0)
+    assert(r.getAs[Long]("bucket_t") == -100L)
+  }
+
+  test("resampleOhlc is one aggregate — no window, no join, no per-key " +
+      "sort in the plan") {
+    val df = Seq((1L, 5L, 1L, 10L)).toDF("k", "t", "id", "v")
+    val plan = TemporalOps.resampleOhlc(df, "k", "t", "id", "v", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Aggregate"), plan)
+  }
 }

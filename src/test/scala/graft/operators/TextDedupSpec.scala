@@ -158,4 +158,61 @@ class TextDedupSpec extends SparkSuite {
       maxBlockBucket = 5)
     assert(uncapped.count() === 10)
   }
+
+  test("jaccardPrefixJoin: exact duplicates surface at J = 1; disjoint " +
+      "docs never pair") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "aa bb cc dd ee ff"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val out = TextDedup.jaccardPrefixJoin(docs, "doc_id", "text", 900L)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("doc_a") == 1L &&
+      out(0).getAs[Long]("doc_b") == 2L &&
+      out(0).getAs[Long]("jaccard_pm") == 1000L)
+  }
+
+  test("jaccardPrefixJoin is COMPLETE: agrees exactly with the brute-" +
+      "force all-pairs Jaccard on a corpus of overlapping documents") {
+    // deterministic word soup with heavy overlap so near-threshold pairs
+    // exist in both directions of the cut
+    val vocab = Vector("ape", "bat", "cat", "dog", "eel", "fox", "gnu",
+      "hen", "ibex", "jay")
+    val docs = (0 until 24).map { i =>
+      val words = (0 until 8).map(k => vocab((i * 7 + k * 3) % 10))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val tauPm = 500L
+    val fast = TextDedup.jaccardPrefixJoin(docs, "doc_id", "text",
+        tauPm, shingleN = 2)
+      .select("doc_a", "doc_b", "jaccard_pm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (TextDedup.ngramJaccard(col("x.text"), col("y.text"), 2) * 1000)
+          .as("j1000"))
+      .filter(col("j1000") >= tauPm)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) + 1e-9).toLong)).toSet
+    assert(fast.map(p => (p._1, p._2)) == brute.map(p => (p._1, p._2)),
+      s"prefix join disagrees with brute force:\nfast=$fast\nbrute=$brute")
+    assert(fast.nonEmpty, "fixture must produce at least one passing pair")
+  }
+
+  test("jaccardPrefixJoin: the threshold is inclusive (a pair exactly " +
+      "at τ is kept) and integer cross-multiplied") {
+    // sets of 5 bigrams sharing 4: J = 4/6 = 0.666…; τ = 666 keeps,
+    // τ = 667 drops
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"), // bigrams: aa-bb bb-cc cc-dd dd-ee ee-ff
+      (2L, "aa bb cc dd ee zz")) // shares 4 of its 5
+      .toDF("doc_id", "text")
+    def run(tau: Long) = TextDedup.jaccardPrefixJoin(
+      docs, "doc_id", "text", tau, shingleN = 2).collect()
+    assert(run(666L).length == 1 && run(666L)(0).getAs[Long]("jaccard_pm") == 666L)
+    assert(run(667L).isEmpty)
+  }
 }
