@@ -477,4 +477,91 @@ object Multimodal {
       }
     }
   }
+
+  /** 64-bit perceptual hash split into two 32-bit halves (bit i of the
+    * 8×8 grid lands in `h_lo` for i < 32, else `h_hi` at i − 32) — two
+    * BIGINT-safe longs instead of one sign-contested 64-bit value, so
+    * the integer-arithmetic oracle can rebuild both exactly. */
+  case class ImageHash(doc_id: Long, h_hi: Long, h_lo: Long)
+
+  /**
+   * Average-hash (aHash) perceptual fingerprint from REAL decoded
+   * pixels: P6 decode → 8×8 nearest-neighbor resize → integer grayscale
+   * `(r+g+b) div 3` → threshold each cell against the floor-mean → 64
+   * bits. Every step is integer arithmetic over decoded bytes, so the
+   * hash is bit-reproducible by an oracle that recomputes it from the
+   * image-generating formulas (the q53 codec-query discipline) — and
+   * two images that differ by resize-invisible noise land on nearby
+   * hashes, which is what makes hamming distance a near-dup metric for
+   * images the way simhash is for text.
+   *
+   * Typed `mapPartitions` at the codec boundary (binary parsing is not
+   * a Catalyst expression); one hash row per image leaves the scan —
+   * image bytes never shuffle.
+   */
+  def imageAHash(files: Dataset[MediaFile]): Dataset[ImageHash] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { batch =>
+      batch.map { f =>
+        val img = MediaCodec.resizeImage(MediaCodec.decodePpm(f.content), 8, 8)
+        val gray = new Array[Int](64)
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          gray(i) = ((img.pixels(3 * i) & 0xff) + (img.pixels(3 * i + 1) & 0xff) +
+            (img.pixels(3 * i + 2) & 0xff)) / 3
+          sum += gray(i)
+          i += 1
+        }
+        val mean = sum / 64
+        var hi = 0L; var lo = 0L
+        i = 0
+        while (i < 64) {
+          if (gray(i) > mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        ImageHash(f.doc_id, hi, lo)
+      }
+    }
+  }
+
+  /**
+   * Hamming near-duplicate pairs over an [[imageAHash]] frame — the
+   * image twin of the simhash text pairing, same pigeonhole discipline:
+   * split the 64 bits into 4 × 16-bit blocks; any pair within hamming
+   * distance ≤ 3 shares at least one block EXACTLY, so candidates come
+   * from an equality join on (block_idx, block_value) buckets — never a
+   * row self-join — and the exact popcount distance filters them.
+   * `maxBlockBucket` caps degenerate buckets (a constant-color corpus
+   * would put every image in one bucket), mirrored in the oracle like
+   * every skew cap in this engine.
+   */
+  def hammingNearDupPairs(hashes: DataFrame, maxDist: Int = 3,
+      maxBlockBucket: Int = 100): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-block pigeonhole guarantees only maxDist <= 3, got $maxDist")
+    import org.apache.spark.sql.expressions.Window
+    val blocks = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        expr("h_lo % 65536"), expr("h_lo div 65536"),
+        expr("h_hi % 65536"), expr("h_hi div 65536"))))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bval")
+    val kept = blocks.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy("blk", "bval")))
+      .filter(col("bucket_n") <= maxBlockBucket)
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h_hi").as("hi_a"), col("a.h_lo").as("lo_a"),
+        col("b.h_hi").as("hi_b"), col("b.h_lo").as("lo_b"))
+      .distinct()
+      .withColumn("dist",
+        bit_count(expr("hi_a ^ hi_b")) + bit_count(expr("lo_a ^ lo_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast(LongType).as("dist"))
+  }
 }

@@ -16,6 +16,13 @@ import graft.operators.Multimodal._
  */
 object MultimodalQueries {
 
+  /** q102 injection strata (copy = byte-identical image under a new id;
+    * mutant = pixel-0 red channel shifted +128, a decisive perturbation)
+    * and the hamming pairing geometry. */
+  val PhCopyMod = 12L; val PhCopyShift = 200000L
+  val PhMutMod = 18L; val PhMutShift = 250000L
+  val PhMaxDist = 3; val PhBucketCap = 100
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -140,6 +147,93 @@ object MultimodalQueries {
           CAST(list_sum(list_transform(range(1, n),
             i -> CASE WHEN (smp[i + 1] >= 0) <> (smp[i] >= 0)
                  THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q102 — perceptual-hash image dedup (Multimodal.imageAHash +
+    // hammingNearDupPairs): the multimodal twin of simhash text dedup.
+    // aHash runs on REAL decoded pixels (P6 parse → 8×8 nearest resize →
+    // integer grayscale → floor-mean threshold → 64 bits), and pairs
+    // come from 4×16-bit pigeonhole block buckets (hamming ≤ 3 shares a
+    // block), never a row self-join. Byte-identical copies under new
+    // ids must pair at distance 0; the pixel-shifted mutants land where
+    // the arithmetic puts them — deterministically, because the oracle
+    // recomputes hash bits, blocks, caps and popcounts from the image-
+    // generating formulas (the q53/q63 codec-query discipline: a match
+    // proves decode, resize indexing, bit assembly and distance all
+    // exact). Image bytes never shuffle; one hash row per image leaves
+    // the codec scan.
+    // ------------------------------------------------------------------
+    "q102_image_phash_dedup" -> GraftQuery(
+      build = (s, d) => {
+        import s.implicits._
+        val ids = documents(s, d).select(col("doc_id")).as[Long]
+        val files = ids.flatMap { id =>
+          val base = MediaCodec.syntheticImage(id)
+          val out = scala.collection.mutable.ArrayBuffer(
+            MediaFile(id, "image/ppm", MediaCodec.encodePpm(base)))
+          if (id % PhCopyMod == 0)
+            out += MediaFile(id + PhCopyShift, "image/ppm",
+              MediaCodec.encodePpm(base))
+          if (id % PhMutMod == 0) {
+            val px = base.pixels.clone()
+            px(0) = ((id * 7 + 128) % 256).toByte
+            out += MediaFile(id + PhMutShift, "image/ppm",
+              MediaCodec.encodePpm(DecodedImage(base.width, base.height, px)))
+          }
+          out
+        }
+        hammingNearDupPairs(imageAHash(files).toDF(), PhMaxDist, PhBucketCap)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        base AS (
+          SELECT doc_id, doc_id AS src, 0 AS mut FROM ids
+          UNION ALL
+          SELECT doc_id + $PhCopyShift, doc_id, 0 FROM ids
+          WHERE doc_id % $PhCopyMod = 0
+          UNION ALL
+          SELECT doc_id + $PhMutShift, doc_id, 1 FROM ids
+          WHERE doc_id % $PhMutMod = 0),
+        dims AS (SELECT doc_id, src, mut, 4 + src % 5 AS w, 3 + src % 4 AS h
+          FROM base),
+        idx AS (SELECT doc_id, src, mut, list_transform(range(0, 64),
+            o -> ((o // 8) * h // 8) * w + ((o % 8) * w // 8)) AS ii
+          FROM dims),
+        grays AS (SELECT doc_id, list_transform(ii, i ->
+            ((CASE WHEN mut = 1 AND i = 0 THEN (src * 7 + 128) % 256
+              ELSE (src * 7 + i * 3) % 256 END)
+             + (src * 11 + i * 5) % 256
+             + (src * 13 + i * 7) % 256) // 3) AS gr
+          FROM idx),
+        hm AS (SELECT doc_id, gr, list_sum(gr) // 64 AS mean FROM grays),
+        hashes AS (SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 32), o ->
+              CASE WHEN gr[o + 1] > mean THEN (1::BIGINT << o)
+              ELSE 0 END)) AS BIGINT) AS h_lo,
+            CAST(list_sum(list_transform(range(32, 64), o ->
+              CASE WHEN gr[o + 1] > mean THEN (1::BIGINT << (o - 32))
+              ELSE 0 END)) AS BIGINT) AS h_hi
+          FROM hm),
+        blk AS (SELECT doc_id, h_hi, h_lo,
+            unnest([0, 1, 2, 3]) AS blkidx,
+            unnest([h_lo % 65536, h_lo // 65536,
+              h_hi % 65536, h_hi // 65536]) AS bval
+          FROM hashes),
+        kept AS (SELECT doc_id, h_hi, h_lo, blkidx, bval FROM (
+            SELECT *, count(*) OVER (PARTITION BY blkidx, bval) AS bn
+            FROM blk) WHERE bn <= $PhBucketCap),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.h_hi AS hi_a, a.h_lo AS lo_a, b.h_hi AS hi_b, b.h_lo AS lo_b
+          FROM kept a JOIN kept b ON a.blkidx = b.blkidx
+            AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+            AS BIGINT) AS dist
+        FROM cand
+        WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+          <= $PhMaxDist
+        ORDER BY doc_a, doc_b"""))
   )
 }

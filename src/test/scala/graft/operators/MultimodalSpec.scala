@@ -247,4 +247,49 @@ class MultimodalSpec extends SparkSuite {
       assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
     }
   }
+
+  test("imageAHash: byte-identical images hash identically; a constant-" +
+      "color image hashes to zero (no cell exceeds the mean)") {
+    import spark.implicits._
+    val flat = DecodedImage(4, 4, Array.fill(48)(100.toByte))
+    val a = MediaCodec.syntheticImage(7L)
+    val files = Seq(
+      MediaFile(1L, "image/ppm", MediaCodec.encodePpm(a)),
+      MediaFile(2L, "image/ppm", MediaCodec.encodePpm(a)),
+      MediaFile(3L, "image/ppm", MediaCodec.encodePpm(flat))).toDS()
+    val h = imageAHash(files).collect().map(x => x.doc_id -> (x.h_hi, x.h_lo)).toMap
+    assert(h(1L) == h(2L))
+    assert(h(3L) == (0L, 0L))
+  }
+
+  test("hammingNearDupPairs: distance filter is exact — a block-sharing " +
+      "pair beyond maxDist is rejected, a close pair kept") {
+    import spark.implicits._
+    // doc 2 differs from doc 1 in bit 0 only (dist 1); doc 3 shares
+    // blocks 1-3 with doc 1 but differs in 8 bits of block 0 (dist 8)
+    val hashes = Seq(
+      (1L, 0L, 0L), (2L, 0L, 1L), (3L, 0L, 255L)).toDF("doc_id", "h_hi", "h_lo")
+    val out = hammingNearDupPairs(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist")))
+    // candidates include (1,3) and (2,3) via the intact blocks, but only
+    // (1,2) survives the exact popcount filter
+    assert(out.toSet == Set((1L, 2L, 1L)))
+  }
+
+  test("hammingNearDupPairs: pigeonhole completeness at the boundary — " +
+      "distance exactly 3 is always caught through the intact blocks") {
+    import spark.implicits._
+    // bits 0,1,2 differ (all inside block 0): blocks 1-3 still match
+    val hashes = Seq((1L, 0L, 0L), (2L, 0L, 7L)).toDF("doc_id", "h_hi", "h_lo")
+    val out = hammingNearDupPairs(hashes, maxDist = 3).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("dist") == 3L)
+  }
+
+  test("hammingNearDupPairs: hot block buckets are capped away (the " +
+      "simhash discipline), lifting the cap restores the pairs") {
+    import spark.implicits._
+    val same = (1L to 5L).map(i => (i, 7L, 7L)).toDF("doc_id", "h_hi", "h_lo")
+    assert(hammingNearDupPairs(same, 3, maxBlockBucket = 4).count() == 0L)
+    assert(hammingNearDupPairs(same, 3, maxBlockBucket = 5).count() == 10L)
+  }
 }
