@@ -195,12 +195,17 @@ object MergeOps {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       key: Seq[String], compare: Seq[String]): DataFrame = {
     require(key.nonEmpty, "diff requires at least one key column")
-    val narrow = (df: DataFrame) => df.select((key ++ compare).map(col): _*)
-    val t = narrow(oldSnap).as("t")
-    val s = narrow(newSnap).as("s")
+    // presence rides an explicit marker, NOT key nullness: the join is
+    // null-safe, so a legitimately null-keyed row present in only one
+    // snapshot must still classify added/removed (key-nullness presence
+    // would misread the missing side as "present" and emit 'changed')
+    val narrow = (df: DataFrame, mark: String) => df.select(
+      (key ++ compare).map(col) :+ lit(1).as(mark): _*)
+    val t = narrow(oldSnap, "__t_present").as("t")
+    val s = narrow(newSnap, "__s_present").as("s")
     val cond = key.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val tPresent = key.map(k => col(s"t.$k").isNotNull).reduce(_ && _)
-    val sPresent = key.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val tPresent = col("t.__t_present").isNotNull
+    val sPresent = col("s.__s_present").isNotNull
     val differs = compare.map(c => !(col(s"t.$c") <=> col(s"s.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     t.join(s, cond, "full_outer")

@@ -542,6 +542,10 @@ object Multimodal {
       maxBlockBucket: Int = 100): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4-block pigeonhole guarantees only maxDist <= 3, got $maxDist")
+    // the sibling simhash pairing's validation: a cap below 2 silently
+    // empties every bucket instead of failing fast
+    require(maxBlockBucket >= 2 && maxBlockBucket <= 10000,
+      s"maxBlockBucket in [2, 10000], got $maxBlockBucket")
     import org.apache.spark.sql.expressions.Window
     val blocks = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
       posexplode(array(

@@ -126,13 +126,16 @@ object Relevance {
    * shingle-hash stack (TextDedup): term-level, weight-aware, and exact
    * over its candidate set.
    *
-   * Fixed-point end to end: idf is the scaled integer rational
+   * Exact-arithmetic core: idf is the scaled integer rational
    * (N·`idfScale`) div df (the [[bm25TopK]] discipline — monotone-
    * equivalent to ln-idf within a fixed corpus, reproducible to the
-   * bit), weights and dots are longs, and the cosine threshold is the
-   * cross-multiplied integer form dot²·10⁴ ≥ tauBp²·‖a‖²·‖b‖² in
-   * decimal128 — no square root, no float, no last-ulp lottery (q78's
-   * z-score move applied to cosine).
+   * bit), and weights/norms/dots accumulate in decimal128 (order-
+   * independent, exact to ~10^38). The cosine threshold then compares
+   * exact-cast doubles in one fixed expression shape — cross-multiplied
+   * (dot·dot)·10⁴ ≥ τ²·‖a‖²·‖b‖², integer-valued literals, no sqrt, no
+   * division — so both engines run identical IEEE ops on identical
+   * operands and classify identically, without ever squaring inside
+   * the decimal domain.
    *
    * Scale shape: candidates come from the postings self-join on term —
    * and the df cap IS the hot-bucket cap (a stopword's O(corpus)
@@ -142,9 +145,11 @@ object Relevance {
    * reused; the df filter is a count-window on term, riding the very
    * shuffle the join needs (never a separate aggregate + broadcast
    * back). Norms are a narrow map-side-combined (doc, n2) aggregate
-   * broadcast onto the surviving pairs. At 100 TB the tf index lands
-   * once (the TextDedup.landShingleIndex discipline) and feeds this,
-   * BM25 and the inverted index from the same artifact.
+   * joined onto the surviving pairs — unhinted, so AQE broadcasts it
+   * when it fits and shuffles it when a billion-doc norms table would
+   * kill the driver. At 100 TB the tf index lands once (the
+   * TextDedup.landShingleIndex discipline) and feeds this, BM25 and
+   * the inverted index from the same artifact.
    */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       dfCapPermille: Long, idfScale: Long, tauBp: Int): DataFrame = {
@@ -157,12 +162,17 @@ object Relevance {
     // in-plan against the broadcast count — an absolute cap silently
     // degenerates to an empty feature space when the corpus grows
     // (every term's df scales with N)
+    // weights/norms/dots accumulate in decimal128: exact to ~10^38 where
+    // a long wraps silently past 9.2·10^18 under non-ANSI — a bound a
+    // billion-doc corpus with df=1 terms actually reaches
     val kept = tf
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(corpus))
       .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
-      .withColumn("w", col("tf") * expr(s"(n_docs * $idfScale) div df"))
+      .withColumn("w",
+        (col("tf") * expr(s"(n_docs * $idfScale) div df"))
+          .cast("decimal(38,0)"))
       .select(col("term"), col("doc_id"), col("w"))
     val norms = kept.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("n2"))
@@ -172,16 +182,24 @@ object Relevance {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"),
         count(lit(1)).as("n_shared"))
-    val d = col("dot").cast("decimal(38,0)")
+    // norms is O(corpus) — NOT broadcast-hinted (AQE broadcasts it when
+    // it fits; a hint would hard-fail a billion-doc run at the driver).
+    // The threshold compares exact-decimal-cast DOUBLES in a fixed
+    // expression shape — (dot·dot)·10⁴ ≥ τ²·n2a·n2b with integer-valued
+    // double literals, no sqrt, no division — identical IEEE ops on
+    // identical operands classify identically in both engines, and
+    // nothing squares inside decimal128 (dot² overflowed it at
+    // dot ≳ 3·10^16)
     pairs
-      .join(broadcast(norms.select(
-        col("doc_id").as("doc_a"), col("n2").as("n2a"))), "doc_a")
-      .join(broadcast(norms.select(
-        col("doc_id").as("doc_b"), col("n2").as("n2b"))), "doc_b")
-      .filter(d * d * lit(10000L) >=
-        lit(tauBp.toLong * tauBp) * col("n2a").cast("decimal(38,0)") *
-          col("n2b").cast("decimal(38,0)"))
-      .select(col("doc_a"), col("doc_b"), col("dot"), col("n_shared"),
-        col("n2a"), col("n2b"))
+      .join(norms.select(
+        col("doc_id").as("doc_a"), col("n2").as("n2a")), "doc_a")
+      .join(norms.select(
+        col("doc_id").as("doc_b"), col("n2").as("n2b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        col("dot").cast("double").as("dot"), col("n_shared"),
+        col("n2a").cast("double").as("n2a"),
+        col("n2b").cast("double").as("n2b"))
+      .filter(col("dot") * col("dot") * lit(10000.0) >=
+        lit((tauBp.toLong * tauBp).toDouble) * col("n2a") * col("n2b"))
   }
 }

@@ -33,12 +33,16 @@ object TemporalOps {
    * DuckDB's `//` both truncate toward zero, which differs from floor on
    * negative operands — and lerp deltas ARE negative whenever the series
    * descends). Requires b > 0. The subtraction makes the dividend an
-   * exact multiple of b, so the double-typed `/` is exact for
-   * |a| < 2^52 — callers keep operands within that bound (documented
-   * per call site).
+   * exact multiple of b, and the divide is a native codegen'd
+   * `IntegralDivide` — pure long arithmetic, exact for EVERY long input
+   * (the earlier double-typed `/` silently mis-bucketed dividends past
+   * 2^52, e.g. raw epoch-nanosecond timestamps).
    */
-  def floorDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+  def floorDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(a - pmod(a, b)), Bridge.expression(b)))
+  }
 
   /**
    * Linear-interpolation gap fill onto a regular grid.

@@ -249,8 +249,8 @@ object RetrievalQueries {
     // tfidfCosinePairs): document pairs with cosine ≥ 0.60 over
     // rare-term (df ≤ N/10) tf-idf vectors — the weight-aware lexical
     // near-match detector beside the hash (q23) and embedding (q26)
-    // stacks. Integer idf rational, long dots, and the cross-multiplied
-    // decimal128 threshold dot²·10⁴ ≥ τ²·n2a·n2b — zero floats. An
+    // stacks. Integer idf rational, decimal128-exact dots/norms, and a
+    // fixed-shape double threshold (dot·dot)·10⁴ ≥ τ²·n2a·n2b. An
     // injected near-dup slice (every 20th doc re-inserted with one
     // extra token) must surface; the df cap is the hot-bucket guard
     // that keeps the postings self-join off stopwords.
@@ -284,18 +284,20 @@ object RetrievalQueries {
             count(*) OVER (PARTITION BY term) AS df
           FROM tf, n QUALIFY df * 1000 <= n.n_docs * $TfidfDfCapPm),
         w AS (SELECT term, doc_id,
-            tf * ((n.n_docs * $TfidfIdfScale) // df) AS w FROM kept, n),
-        norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
-          FROM w GROUP BY doc_id),
+            CAST(tf * ((n.n_docs * $TfidfIdfScale) // df) AS HUGEINT) AS w
+          FROM kept, n),
+        norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            CAST(sum(a.w * b.w) AS BIGINT) AS dot, count(*) AS n_shared
+            sum(a.w * b.w) AS dot, count(*) AS n_shared
           FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT doc_a, doc_b, dot, n_shared, na.n2 AS n2a, nb.n2 AS n2b
-        FROM p JOIN norms na ON p.doc_a = na.doc_id
-          JOIN norms nb ON p.doc_b = nb.doc_id
-        WHERE CAST(dot AS HUGEINT) * dot * 10000 >=
-          ${TfidfTauBp * TfidfTauBp} * CAST(na.n2 AS HUGEINT) * nb.n2
+          GROUP BY 1, 2),
+        j AS (SELECT doc_a, doc_b, CAST(dot AS DOUBLE) AS dot, n_shared,
+            CAST(na.n2 AS DOUBLE) AS n2a, CAST(nb.n2 AS DOUBLE) AS n2b
+          FROM p JOIN norms na ON p.doc_a = na.doc_id
+            JOIN norms nb ON p.doc_b = nb.doc_id)
+        SELECT doc_a, doc_b, dot, n_shared, n2a, n2b FROM j
+        WHERE dot * dot * 10000.0 >=
+          ${(TfidfTauBp.toLong * TfidfTauBp).toDouble} * n2a * n2b
         ORDER BY doc_a, doc_b"""))
   )
 }

@@ -148,4 +148,26 @@ class MergeOpsSpec extends SparkSuite {
     assert(MergeOps.snapshotDiff(snap, snap, Seq("k"), Seq("bal", "seg"))
       .count() == 0L)
   }
+
+  test("snapshotDiff: a NULL-keyed row present in only one snapshot " +
+      "classifies removed/added, not changed (presence is a marker, " +
+      "not key nullness)") {
+    val old = Seq((Option(1L), "A"), (Option.empty[Long], "GONE"))
+      .toDF("k", "seg")
+    val nw = Seq((Option(1L), "A"), (Option.empty[Long], "HERE"))
+      .toDF("k", "seg")
+    // the null key exists on BOTH sides here and its seg changed
+    val both = MergeOps.snapshotDiff(old, nw, Seq("k"), Seq("seg")).collect()
+    assert(both.length == 1 && both(0).getString(1) == "changed")
+    // now only in old: must be 'removed', never 'changed'
+    val onlyOld = MergeOps.snapshotDiff(
+      old, nw.filter(col("k").isNotNull), Seq("k"), Seq("seg")).collect()
+    assert(onlyOld.length == 1 && onlyOld(0).getString(1) == "removed",
+      onlyOld.mkString(","))
+    // and only in new: 'added'
+    val onlyNew = MergeOps.snapshotDiff(
+      old.filter(col("k").isNotNull), nw, Seq("k"), Seq("seg")).collect()
+    assert(onlyNew.length == 1 && onlyNew(0).getString(1) == "added",
+      onlyNew.mkString(","))
+  }
 }

@@ -66,8 +66,8 @@ class RelevanceSpec extends SparkSuite {
     assert(out.length == 1)
     val r = out(0)
     assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
-    assert(r.getAs[Long]("dot") == r.getAs[Long]("n2a") &&
-      r.getAs[Long]("n2a") == r.getAs[Long]("n2b"))
+    assert(r.getAs[Double]("dot") == r.getAs[Double]("n2a") &&
+      r.getAs[Double]("n2a") == r.getAs[Double]("n2b"))
     assert(r.getAs[Long]("n_shared") == 3L)
   }
 
@@ -91,8 +91,8 @@ class RelevanceSpec extends SparkSuite {
       d, "doc_id", "text", dfCapPermille = 1000L, idfScale = 100L, tauBp = tau)
     assert(pairs(21).collect().isEmpty, "cos 0.2 must fail τ = 0.21")
     val hit = pairs(20).collect() // cos² = 0.04 = τ² exactly: ≥ keeps it
-    assert(hit.length == 1 && hit(0).getAs[Long]("dot") == 10000L &&
-      hit(0).getAs[Long]("n2a") == 50000L)
+    assert(hit.length == 1 && hit(0).getAs[Double]("dot") == 10000.0 &&
+      hit(0).getAs[Double]("n2a") == 50000.0)
   }
 
   test("tfidfCosinePairs: pair orientation is always doc_a < doc_b, " +

@@ -15,6 +15,23 @@ class TemporalOpsSpec extends SparkSuite {
     assert(out == Seq(-3L, 2L, -2L, 0L, -1L))
   }
 
+  test("floorDiv is exact past 2^52 (epoch-nanosecond dividends — the " +
+      "double-mediated form mis-bucketed these)") {
+    // values straddling bucket boundaries in a range where doubles have
+    // 128 ns granularity
+    val step = 3600L * 1000000000L
+    val cases = Seq(
+      1700000000000000000L, 1700000000000000001L,
+      1699999999999999999L, Long.MaxValue - 1, -1700000000000000001L)
+    val out = cases.map(a => (a, step)).toDF("a", "b")
+      .select(col("a"), TemporalOps.floorDiv(col("a"), col("b")).as("fd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { a =>
+      assert(out(a) == Math.floorDiv(a, step),
+        s"floorDiv($a, $step): got ${out(a)}, want ${Math.floorDiv(a, step)}")
+    }
+  }
+
   test("gapFillInterpolate: hourly grid inside a gap, exact integer lerp") {
     // one key, fixes at t=1800 (v=100) and t=9000 (v=460): grid hours
     // 3600 and 7200 fall inside; lerp is exact (slope 0.05/s)
