@@ -87,4 +87,39 @@ object EventTimeOps {
     vehicles
       .withWatermark("tst", watermarkDelay)
       .dropDuplicatesWithinWatermark("unique_vehicle_id", "tst", "event_type")
+
+  /**
+   * Streaming OHLC twin of `TemporalOps.resampleOhlc`: per-vehicle
+   * tumbling event-time windows summarizing speed (as exact centi-units)
+   * with open/high/low/close/count/total — the live dashboard resample,
+   * emitted in append mode once the watermark closes a bucket.
+   *
+   * `min_by`/`max_by` buffers are mergeable and order-free (each keeps
+   * one (value, ordering-key) pair), so they are legal in a streaming
+   * aggregation, and the composite struct(tst, tsi) ordering makes
+   * open/close deterministic under any arrival order — the
+   * EventTimeStreamSpec equivalence test replays the stream in
+   * micro-batches and asserts bit-equality with the batch operator over
+   * the same rows. State ∝ open windows × vehicles, never history.
+   */
+  def vehicleOhlc(vehicles: DataFrame,
+      watermarkDelay: String = "2 minutes",
+      windowDuration: String = "1 minute"): DataFrame =
+    vehicles
+      .select(col("tst"), col("tsi"), col("unique_vehicle_id"),
+        (col("spd") * 100).cast("long").as("spd_c"))
+      .withWatermark("tst", watermarkDelay)
+      .groupBy(window(col("tst"), windowDuration), col("unique_vehicle_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("spd_c"), struct(col("tst"), col("tsi"))).as("open"),
+        max(col("spd_c")).as("high"),
+        min(col("spd_c")).as("low"),
+        max_by(col("spd_c"), struct(col("tst"), col("tsi"))).as("close"),
+        sum(col("spd_c")).as("total"))
+      .select(
+        unix_micros(col("window.start")).as("bucket_t"),
+        col("unique_vehicle_id"),
+        col("n"), col("open"), col("high"), col("low"), col("close"),
+        col("total"))
 }

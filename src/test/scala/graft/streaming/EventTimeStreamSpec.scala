@@ -127,6 +127,58 @@ class EventTimeStreamSpec extends SparkSuite {
     assert(outRows(out).length === 3)
   }
 
+  test("streaming OHLC: append emission on watermark close; emitted " +
+      "buckets are bit-equal to the batch resampleOhlc twin") {
+    val in = tmp("oh_in_"); val out = tmp("oh_out_"); val ckpt = tmp("oh_ck_")
+    def agg = EventTimeOps.vehicleOhlc(vehiclesStream(in),
+      watermarkDelay = "2 minutes", windowDuration = "1 minute")
+
+    // run 1: two vehicles, multiple speeds inside [08:00) (+ one in
+    // [08:01)) — nothing emitted until the watermark passes the windows
+    writeFile(in, 1, Seq(
+      rec("2024-06-05T08:00:05Z", veh = 854, spd = 12.5),
+      rec("2024-06-05T08:00:20Z", veh = 854, spd = 7.25),
+      rec("2024-06-05T08:00:40Z", veh = 854, spd = 9.0),
+      rec("2024-06-05T08:00:10Z", veh = 900, spd = 3.0),
+      rec("2024-06-05T08:01:30Z", veh = 900, spd = 4.5)))
+    runOnce(agg, out, ckpt)
+    assert(outRows(out).isEmpty)
+
+    // run 2: 08:05 advances the watermark to 08:03 → both buckets close
+    writeFile(in, 2, Seq(rec("2024-06-05T08:05:00Z", veh = 854, spd = 1.0)))
+    runOnce(agg, out, ckpt)
+    val streamed = outRows(out).map(r => (
+      r.getAs[Long]("bucket_t"), r.getAs[String]("unique_vehicle_id"),
+      r.getAs[Long]("n"), r.getAs[Long]("open"), r.getAs[Long]("high"),
+      r.getAs[Long]("low"), r.getAs[Long]("close"), r.getAs[Long]("total")))
+      .sorted.toSeq
+    // vehicle 854 [08:00): open 1250 (08:00:05), high 1250, low 725,
+    // close 900 (08:00:40) — open ≠ low and close ≠ high, so the
+    // composite-order argmin/argmax is actually exercised
+    assert(streamed.map(r => (r._2.split('/')(1), r._3, r._4, r._7)).toSet ==
+      Set(("854", 3L, 1250L, 900L), ("900", 1L, 300L, 300L),
+        ("900", 1L, 450L, 450L)))
+
+    // the emitted rows equal the BATCH twin over the same (closed) rows
+    val batch = graft.operators.TemporalOps.resampleOhlc(
+      HfpFlatten.flatten(
+        HfpRawIngest.toEnvelope(
+          spark.read.schema(HfpStreamPipeline.wireSchema).json(in)),
+        strictTst = false)
+        .select(col("unique_vehicle_id"),
+          org.apache.spark.sql.functions.unix_micros(col("tst")).as("t_us"),
+          col("tsi"), (col("spd") * 100).cast("long").as("spd_c")),
+      "unique_vehicle_id", "t_us", "tsi", "spd_c", 60000000L)
+      .filter(col("bucket_t") < 1717574520000000L) // only closed buckets
+      .collect().map(r => (
+        r.getAs[Long]("bucket_t"), r.getAs[String]("unique_vehicle_id"),
+        r.getAs[Long]("n"), r.getAs[Long]("open"), r.getAs[Long]("high"),
+        r.getAs[Long]("low"), r.getAs[Long]("close"), r.getAs[Long]("total")))
+      .sorted.toSeq
+    assert(streamed == batch,
+      s"stream/batch divergence:\nstream=$streamed\nbatch=$batch")
+  }
+
   test("flatMapGroupsWithState trips: state survives micro-batches; equals the batch twin") {
     val in = tmp("tr_in_"); val out = tmp("tr_out_"); val ckpt = tmp("tr_ck_")
     // the fixture's tsi field is constant; trip-time is the tst event time
