@@ -246,4 +246,73 @@ object StatefulOps {
       .transformWithState(new OfflineDetector(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  final case class CdcState(v: String)
+  /** One changelog record; `seq` is the triggering upsert's sequence
+    * number — consumers replay a changelog by seq order per key, so the
+    * record must carry it (emission/file order proves nothing). */
+  final case class CdcRow(k: Long, seq: Long, change: String,
+      old_v: String, new_v: String)
+
+  /**
+   * Streaming change-data-capture: convert an UPSERT stream (latest
+   * value per key; an empty-string value is the delete tombstone) into
+   * a CHANGELOG — `added` / `changed` / `removed` records against one
+   * ValueState holding each key's last-known value. The stream twin of
+   * [[graft.operators.MergeOps.snapshotDiff]]: the batch operator
+   * recovers the NET delta between two snapshots, this emits EVERY
+   * transition as it happens; replaying the changelog over the initial
+   * state reconstructs the final state exactly (the materialization
+   * invariant `CdcStreamSpec` asserts).
+   *
+   * Same-key rows within a micro-batch apply in `seq` order (the
+   * iterator's arrival order is not deterministic); no-op upserts
+   * (same value again) emit NOTHING — a changelog that repeats
+   * unchanged rows is just the input stream with extra steps. State per
+   * key: one value — table-sized, not stream-sized.
+   */
+  class ChangeDetector
+      extends StatefulProcessor[Long, (Long, Long, String), CdcRow] {
+    @transient private var last: ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[CdcState]("last",
+        Encoders.product[CdcState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+        timers: TimerValues): Iterator[CdcRow] = {
+      val ordered = rows.toArray.sortBy(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CdcRow]
+      ordered.foreach { case (_, seq, v) =>
+        val cur = if (last.exists()) Some(last.get().v) else None
+        if (v.isEmpty) {
+          cur.foreach { old =>
+            out += CdcRow(key, seq, "removed", old, null)
+            last.clear()
+          }
+        } else cur match {
+          case None =>
+            out += CdcRow(key, seq, "added", null, v)
+            last.update(CdcState(v))
+          case Some(old) if old != v =>
+            out += CdcRow(key, seq, "changed", old, v)
+            last.update(CdcState(v))
+          case _ => () // no-op upsert: not a change
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** [[ChangeDetector]] over a (keyCol, seqCol, valueCol) frame —
+    * `valueCol` empty string = delete tombstone. */
+  def changeStream(upserts: DataFrame, keyCol: String, seqCol: String,
+      valueCol: String): Dataset[CdcRow] = {
+    import upserts.sparkSession.implicits._
+    upserts.select(col(keyCol), col(seqCol), col(valueCol))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new ChangeDetector,
+        TimeMode.None(), OutputMode.Append())
+  }
 }
