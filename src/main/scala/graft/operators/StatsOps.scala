@@ -180,6 +180,53 @@ object StatsOps {
   }
 
   /**
+   * 2×2 chi-square independence test per group — the A/B-test primitive:
+   * does binary factor `a` (cohort) predict binary outcome `b` within
+   * each group? Emits the contingency counts, the chi² statistic in
+   * exact floor micro-units via the closed 2×2 form
+   *
+   *   χ² = N·(n11·n22 − n12·n21)² / (r1·r2·c1·c2)
+   *
+   * and the α = 0.05 verdict (χ² ≥ 3.841459, one degree of freedom) as
+   * an integer compare — every quantity derives from the four counts,
+   * so the whole test is deterministic to the bit where a float
+   * expected-frequency implementation flips verdicts sitting on the
+   * threshold. Degenerate margins (an empty row/column) yield null
+   * statistic, never a division error.
+   *
+   * Scale shape: ONE map-side-combined aggregate of four conditional
+   * counts per group — the cheapest query in the engine's stats family;
+   * the decimal128 arithmetic happens on |groups| rows. The counts
+   * merge by addition, so the test maintains incrementally (q81 IVM).
+   * Exactness envelope: N·d²·10⁶ must fit decimal128 — holds to
+   * N ≈ 3·10⁷ rows per group; past that the four counts (which ARE the
+   * sufficient statistic and never overflow) still come out exact, and
+   * the statistic itself is a 4-number driver-side computation.
+   */
+  def chiSquare2x2(df: DataFrame, group: String, a: Column,
+      b: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cnt = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    df.groupBy(col(group))
+      .agg(
+        cnt(a && b).as("n11"), cnt(a && !b).as("n12"),
+        cnt(!a && b).as("n21"), cnt(!a && !b).as("n22"))
+      .withColumn("den",
+        dec(col("n11") + col("n12")) * dec(col("n21") + col("n22")) *
+          dec(col("n11") + col("n21")) * dec(col("n12") + col("n22")))
+      .withColumn("d",
+        dec(col("n11")) * dec(col("n22")) - dec(col("n12")) * dec(col("n21")))
+      .withColumn("chi2_micro",
+        when(col("den") =!= 0, expr(
+          "(1000000 * (n11 + n12 + n21 + n22) * (d * d)) div den")))
+      .withColumn("significant_05",
+        when(col("chi2_micro").isNotNull,
+          (col("chi2_micro") >= 3841459L).cast("int")))
+      .select(col(group), col("n11"), col("n12"), col("n21"), col("n22"),
+        col("chi2_micro"), col("significant_05"))
+  }
+
+  /**
    * Equi-DEPTH histogram: `tiles` buckets of (near-)equal row count per
    * group, with each bucket's row count and observed value range — the
    * quantile-bucket twin of [[histogram]] (equi-width tells you where

@@ -45,6 +45,9 @@ object AnalyticsQueries {
   /** q99 quantile-bucket count. */
   val DepthTiles = 8
 
+  /** q103 success threshold: value ≥ $50 in cents. */
+  val ChiSuccessCents = 500000L
+
   /** q81 incremental cut: 2024-01-15T00:00:00Z. */
   val CutS = 1705276800L
 
@@ -645,6 +648,51 @@ object AnalyticsQueries {
           FROM b)
         SELECT grp, tile, count(*) AS n,
           min(cents) AS lo_v, max(cents) AS hi_v
-        FROM t GROUP BY grp, tile ORDER BY grp, tile"""))
+        FROM t GROUP BY grp, tile ORDER BY grp, tile""")),
+
+    // ------------------------------------------------------------------
+    // q103 — 2×2 chi-square independence test (StatsOps.chiSquare2x2):
+    // per event type, does the user-parity cohort predict a high-value
+    // outcome? The A/B-test primitive as one map-side-combined aggregate
+    // of four conditional counts, with χ² in exact floor micro-units via
+    // the closed 2×2 form and the α = 0.05 verdict as an integer
+    // compare — a float expected-frequency χ² flips threshold verdicts
+    // between engines; this one cannot.
+    // ------------------------------------------------------------------
+    "q103_chi_square_ab" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          col("event_type").as("grp"),
+          (col("user_id") % 2 === 0).as("a"),
+          (cents(col("value")) >= ChiSuccessCents).as("b"))
+        StatsOps.chiSquare2x2(ev, "grp", col("a"), col("b"))
+          .orderBy("grp")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT event_type AS grp,
+            user_id % 2 = 0 AS a,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              >= $ChiSuccessCents AS b
+          FROM events),
+        c AS (SELECT grp,
+            CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n12,
+            CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n21,
+            CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n22
+          FROM e GROUP BY grp),
+        x AS (SELECT grp, n11, n12, n21, n22,
+            CAST(n11 + n12 AS HUGEINT) * (n21 + n22) * (n11 + n21)
+              * (n12 + n22) AS den,
+            CAST(n11 AS HUGEINT) * n22 - CAST(n12 AS HUGEINT) * n21 AS d
+          FROM c)
+        SELECT grp, n11, n12, n21, n22,
+          CASE WHEN den <> 0 THEN CAST(
+            (1000000 * (n11 + n12 + n21 + n22) * (d * d)) // den AS BIGINT)
+            END AS chi2_micro,
+          CASE WHEN den <> 0 THEN CAST(
+            (1000000 * (n11 + n12 + n21 + n22) * (d * d)) // den
+              >= 3841459 AS INT) END AS significant_05
+        FROM x ORDER BY grp"""))
   )
 }

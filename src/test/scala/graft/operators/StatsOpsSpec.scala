@@ -178,6 +178,43 @@ class StatsOpsSpec extends SparkSuite {
       (3L, 5L, 12L, 16L), (4L, 5L, 17L, 21L)))
   }
 
+  test("chiSquare2x2: perfect association maxes the statistic at N, " +
+      "perfect independence zeroes it") {
+    // 10 rows where a == b exactly: chi2 = N = 10 → 10,000,000 micro
+    val dep = ((1 to 5).map(_ => ("g", true, true)) ++
+      (1 to 5).map(_ => ("g", false, false))).toDF("grp", "a", "b")
+    val r1 = StatsOps.chiSquare2x2(dep, "grp", col("a"), col("b")).collect()(0)
+    assert(r1.getAs[Long]("chi2_micro") == 10000000L)
+    assert(r1.getAs[Int]("significant_05") == 1)
+    // balanced 2x2 (equal cells): d = 0 → chi2 = 0, not significant
+    val ind = Seq(("g", true, true), ("g", true, false),
+      ("g", false, true), ("g", false, false)).toDF("grp", "a", "b")
+    val r2 = StatsOps.chiSquare2x2(ind, "grp", col("a"), col("b")).collect()(0)
+    assert(r2.getAs[Long]("chi2_micro") == 0L)
+    assert(r2.getAs[Int]("significant_05") == 0)
+  }
+
+  test("chiSquare2x2: hand-computed statistic floors exactly") {
+    // n11=3 n12=1 n21=1 n22=3: d=8, N=8, den=4·4·4·4=256
+    // chi2 = 8·64/256 = 2.0 exactly → 2,000,000 micro, not significant
+    val df = (Seq.fill(3)(("g", true, true)) ++ Seq(("g", true, false)) ++
+      Seq(("g", false, true)) ++ Seq.fill(3)(("g", false, false)))
+      .toDF("grp", "a", "b")
+    val r = StatsOps.chiSquare2x2(df, "grp", col("a"), col("b")).collect()(0)
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n12"),
+      r.getAs[Long]("n21"), r.getAs[Long]("n22")) == (3L, 1L, 1L, 3L))
+    assert(r.getAs[Long]("chi2_micro") == 2000000L)
+    assert(r.getAs[Int]("significant_05") == 0)
+  }
+
+  test("chiSquare2x2: a degenerate margin (everyone converted) yields " +
+      "null statistic, never a division error") {
+    val df = Seq(("g", true, true), ("g", false, true)).toDF("grp", "a", "b")
+    val r = StatsOps.chiSquare2x2(df, "grp", col("a"), col("b")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("chi2_micro")))
+    assert(r.isNullAt(r.fieldIndex("significant_05")))
+  }
+
   test("equiDepthHistogram: buckets are per-group and value ranges " +
       "never overlap within a group") {
     val df = ((1L to 16L).map(v => ("a", v * 10, v)) ++
