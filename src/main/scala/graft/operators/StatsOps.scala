@@ -252,6 +252,57 @@ object StatsOps {
         min(col(value)).as("lo_v"), max(col(value)).as("hi_v"))
   }
 
+  /**
+   * Distribution-drift test between two dataset snapshots: bucket both
+   * through the SAME equi-width [[histogram]] grid, then score each
+   * bucket's contribution to the two-sample chi-square statistic
+   *
+   *   term_i = (o1_i·N2 − o2_i·N1)² / (N1·N2·(o1_i + o2_i))
+   *
+   * in exact floor micro-units — the training-data monitoring primitive
+   * ("did yesterday's corpus look like today's?") that PSI answers with
+   * a float `ln` lottery; the chi-square form is pure integer/decimal
+   * arithmetic, deterministic to the bit. The STATISTIC IS DEFINED as
+   * the sum of the per-bucket floored micro-terms (flooring then
+   * summing, not summing then flooring) so both engines compute the
+   * identical value; the definition under-counts the real χ² by at most
+   * buckets·1e-6.
+   *
+   * Scale shape: two map-side-combined histogram aggregates (each
+   * snapshot read once) joined on ≤ `buckets` rows; the totals window
+   * runs on that bucket-count-sized frame, not on data. Empty buckets
+   * on either side count zero; a bucket empty on BOTH sides contributes
+   * null (no term).
+   */
+  def histogramDriftChi2(before: DataFrame, after: DataFrame,
+      value: Column, lo: Long, width: Long, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val h1 = histogram(before, value, lo, width, buckets)
+      .select(col("bucket"), col("n").as("n_before"))
+    val h2 = histogram(after, value, lo, width, buckets)
+      .select(col("bucket"), col("n").as("n_after"))
+    // tiny frame (≤ buckets rows): the unpartitioned totals window is a
+    // deliberate single-partition op on |buckets| rows, never on data
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    h1.join(h2, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .withColumn("n1", sum(col("n_before")).over(w))
+      .withColumn("n2", sum(col("n_after")).over(w))
+      .withColumn("d",
+        dec(col("n_before")) * col("n2") - dec(col("n_after")) * col("n1"))
+      .withColumn("chi2_term_micro",
+        when(col("n_before") + col("n_after") > 0 &&
+            col("n1") > 0 && col("n2") > 0,
+          expr("(1000000 * (d * d)) div " +
+            "(n1 * n2 * (n_before + n_after))")))
+      .select(col("bucket"), col("n_before"), col("n_after"),
+        col("chi2_term_micro"))
+  }
+
   /** Per-column profile spec: how to read one column as a comparable
     * canonical form — an integral `ord` (cents / epoch seconds / the
     * value itself) whose min/max stringify identically in any engine

@@ -48,6 +48,16 @@ object AnalyticsQueries {
   /** q103 success threshold: value ≥ $50 in cents. */
   val ChiSuccessCents = 500000L
 
+  /** q104 snapshot cut: 1998-01-01T00:00:00Z in epoch millis. The
+    * "drift" injection doubles late-window prices for a key stratum, so
+    * the two snapshots genuinely differ in shape. */
+  val DriftCutMs = 883612800000L
+  val DriftMod = 3L; val DriftFactor = 2L
+  /** q104 grid: $50k-wide buckets cover the $1k-500k price span with
+    * ~10 informative buckets (q77's $10k grid clamps this data into a
+    * couple of cells); doubled prices land in the clamped top bucket. */
+  val DriftHistWidth = 5000000L
+
   /** q81 incremental cut: 2024-01-15T00:00:00Z. */
   val CutS = 1705276800L
 
@@ -693,6 +703,63 @@ object AnalyticsQueries {
           CASE WHEN den <> 0 THEN CAST(
             (1000000 * (n11 + n12 + n21 + n22) * (d * d)) // den
               >= 3841459 AS INT) END AS significant_05
-        FROM x ORDER BY grp"""))
+        FROM x ORDER BY grp""")),
+
+    // ------------------------------------------------------------------
+    // q104 — histogram drift detection (StatsOps.histogramDriftChi2):
+    // "does this week's corpus look like last week's?" — both order
+    // snapshots (split at DriftCutMs, late-window prices deterministically
+    // doubled for a key stratum so the shapes really differ) bucket
+    // through q77's equi-width grid, and each bucket contributes its
+    // two-sample chi-square term in exact floor micro-units. The PSI
+    // alternative needs ln (a cross-engine float lottery); the χ² form
+    // is integer/decimal only. Two histogram scans + a bucket-count-
+    // sized join; the totals window runs on ≤ 12 rows.
+    // ------------------------------------------------------------------
+    "q104_histogram_drift" -> GraftQuery(
+      build = (s, d) => {
+        val base = orders(s, d).select(
+          expr("unix_millis(cast(o_orderdate as timestamp))").as("t_ms"),
+          col("o_orderkey"),
+          cents(col("o_totalprice")).as("c0"))
+        val priced = base.withColumn("cents",
+          when(col("t_ms") >= DriftCutMs && col("o_orderkey") % DriftMod === 0,
+            col("c0") * DriftFactor).otherwise(col("c0")))
+        StatsOps.histogramDriftChi2(
+          priced.filter(col("t_ms") < DriftCutMs),
+          priced.filter(col("t_ms") >= DriftCutMs),
+          col("cents"), HistLo, DriftHistWidth, HistBuckets)
+          .orderBy("bucket")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT epoch_ms(o_orderdate) AS t_ms, o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c0
+          FROM orders),
+        p AS (SELECT t_ms,
+            CASE WHEN t_ms >= $DriftCutMs AND o_orderkey % $DriftMod = 0
+              THEN c0 * $DriftFactor ELSE c0 END AS cents
+          FROM b),
+        hb AS (SELECT least(greatest((cents - $HistLo) // $DriftHistWidth, 0),
+              ${HistBuckets - 1}) AS bucket, count(*) AS n_before
+          FROM p WHERE t_ms < $DriftCutMs GROUP BY 1),
+        ha AS (SELECT least(greatest((cents - $HistLo) // $DriftHistWidth, 0),
+              ${HistBuckets - 1}) AS bucket, count(*) AS n_after
+          FROM p WHERE t_ms >= $DriftCutMs GROUP BY 1),
+        j AS (SELECT coalesce(hb.bucket, ha.bucket) AS bucket,
+            CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+            CAST(coalesce(n_after, 0) AS BIGINT) AS n_after
+          FROM hb FULL OUTER JOIN ha ON hb.bucket = ha.bucket),
+        t AS (SELECT bucket, n_before, n_after,
+            CAST(sum(n_before) OVER () AS BIGINT) AS n1,
+            CAST(sum(n_after) OVER () AS BIGINT) AS n2,
+            CAST(n_before AS HUGEINT) * (sum(n_after) OVER ())
+              - CAST(n_after AS HUGEINT) * (sum(n_before) OVER ()) AS d
+          FROM j)
+        SELECT bucket, n_before, n_after,
+          CASE WHEN n_before + n_after > 0 AND n1 > 0 AND n2 > 0
+            THEN CAST((1000000 * (d * d)) //
+              (CAST(n1 AS HUGEINT) * n2 * (n_before + n_after)) AS BIGINT)
+            END AS chi2_term_micro
+        FROM t ORDER BY bucket"""))
   )
 }

@@ -215,6 +215,33 @@ class StatsOpsSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("significant_05")))
   }
 
+  test("histogramDriftChi2: identical snapshots score zero in every " +
+      "bucket; a shifted snapshot scores positive") {
+    val a = (1L to 100L).map(v => v % 40).toDF("v")
+    val same = StatsOps.histogramDriftChi2(a, a, col("v"), 0L, 10L, 4)
+      .collect()
+    assert(same.forall(_.getAs[Long]("chi2_term_micro") == 0L))
+    // shift every value up one bucket: strong drift, every bucket moves
+    val b = (1L to 100L).map(v => (v % 40) + 10).toDF("v")
+    val drift = StatsOps.histogramDriftChi2(a, b, col("v"), 0L, 10L, 8)
+      .collect()
+    assert(drift.map(r => Option(r.getAs[java.lang.Long]("chi2_term_micro"))
+      .map(_.toLong).getOrElse(0L)).sum > 0L)
+  }
+
+  test("histogramDriftChi2: buckets empty on one side count zero; a " +
+      "hand case floors exactly") {
+    // before: 4 rows in bucket 0; after: 4 rows in bucket 1
+    // term_0: (4·4 − 0·4)²/(4·4·4) = 4.0 → 4,000,000; term_1 symmetric
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(11L, 12L, 13L, 14L).toDF("v")
+    val out = StatsOps.histogramDriftChi2(a, b, col("v"), 0L, 10L, 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_after"), r.getAs[Long]("chi2_term_micro"))).toSeq
+    assert(out == Seq((0L, 4L, 0L, 4000000L), (1L, 0L, 4L, 4000000L)))
+  }
+
   test("equiDepthHistogram: buckets are per-group and value ranges " +
       "never overlap within a group") {
     val df = ((1L to 16L).map(v => ("a", v * 10, v)) ++
