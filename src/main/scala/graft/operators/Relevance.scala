@@ -170,9 +170,13 @@ object Relevance {
         count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(corpus))
       .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
+      // tf enters the multiply ALREADY decimal: a long tf·idf product
+      // wraps before the cast could save it (idf reaches 1e15 at a
+      // billion docs with df = 1)
       .withColumn("w",
-        (col("tf") * expr(s"(n_docs * $idfScale) div df"))
-          .cast("decimal(38,0)"))
+        col("tf").cast("decimal(38,0)") *
+          expr(s"(cast(n_docs as decimal(38,0)) * $idfScale) div df")
+            .cast("decimal(38,0)"))
       .select(col("term"), col("doc_id"), col("w"))
     val norms = kept.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("n2"))

@@ -198,10 +198,12 @@ object StatsOps {
    * counts per group — the cheapest query in the engine's stats family;
    * the decimal128 arithmetic happens on |groups| rows. The counts
    * merge by addition, so the test maintains incrementally (q81 IVM).
-   * Exactness envelope: N·d²·10⁶ must fit decimal128 — holds to
-   * N ≈ 3·10⁷ rows per group; past that the four counts (which ARE the
-   * sufficient statistic and never overflow) still come out exact, and
-   * the statistic itself is a 4-number driver-side computation.
+   * Exactness envelope: N·d²·10⁶ must fit decimal128, and d reaches
+   * N²/4 under perfect association — worst-case safe to N ≈ 4·10⁶ rows
+   * per group (typical |d| ≪ N²/4 stretches much further); past the
+   * envelope the statistic nulls out while the four counts (which ARE
+   * the sufficient statistic and never overflow) still come out exact —
+   * a 4-number driver-side computation finishes the job.
    */
   def chiSquare2x2(df: DataFrame, group: String, a: Column,
       b: Column): DataFrame = {
@@ -294,11 +296,16 @@ object StatsOps {
       .withColumn("n2", sum(col("n_after")).over(w))
       .withColumn("d",
         dec(col("n_before")) * col("n2") - dec(col("n_after")) * col("n1"))
+      // the denominator MUST multiply in decimal128 too: three long
+      // factors wrap past 9.2e18 at ~3M-row snapshots under non-ANSI,
+      // where the HUGEINT oracle stays exact — silent divergence
+      .withColumn("dden",
+        dec(col("n1")) * dec(col("n2")) *
+          dec(col("n_before") + col("n_after")))
       .withColumn("chi2_term_micro",
         when(col("n_before") + col("n_after") > 0 &&
             col("n1") > 0 && col("n2") > 0,
-          expr("(1000000 * (d * d)) div " +
-            "(n1 * n2 * (n_before + n_after))")))
+          expr("(1000000 * (d * d)) div dden")))
       .select(col("bucket"), col("n_before"), col("n_after"),
         col("chi2_term_micro"))
   }

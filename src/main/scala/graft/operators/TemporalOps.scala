@@ -34,9 +34,12 @@ object TemporalOps {
    * negative operands — and lerp deltas ARE negative whenever the series
    * descends). Requires b > 0. The subtraction makes the dividend an
    * exact multiple of b, and the divide is a native codegen'd
-   * `IntegralDivide` — pure long arithmetic, exact for EVERY long input
-   * (the earlier double-typed `/` silently mis-bucketed dividends past
-   * 2^52, e.g. raw epoch-nanosecond timestamps).
+   * `IntegralDivide` — pure long arithmetic, exact over the whole long
+   * range except a > Long.MinValue + b (the `a − pmod` adjustment
+   * itself would wrap below MinValue; every epoch stamp is ten orders
+   * of magnitude inside the bound). The earlier double-typed `/`
+   * silently mis-bucketed dividends past 2^52, e.g. raw
+   * epoch-nanosecond timestamps.
    */
   def floorDiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Bridge

@@ -28,8 +28,12 @@ object AnalyticsQueries {
     * series is honestly absent, not hallucinated). */
   val GridStepS = 3600L; val MaxGapS = 48L * 3600L
 
-  /** q77 histogram: $10k-wide buckets over price cents. */
-  val HistLo = 0L; val HistWidth = 1000000L; val HistBuckets = 12
+  /** q77 histogram grid: the fixed-point unit from cents() is 1e-4
+    * dollars, so $10k-wide buckets are 1e8 units — 12 of them cover
+    * lineitem's $900-105k l_extendedprice span informatively (the
+    * original 1e6 width was $100, not the $10k its comment claimed,
+    * clamping nearly everything into the top cell). */
+  val HistLo = 0L; val HistWidth = 100000000L; val HistBuckets = 12
 
   /** q78: deterministic spike injection (uniform data has |z| < √3, so
     * unpolluted fixtures would gate nothing) + the z threshold. */
@@ -53,10 +57,10 @@ object AnalyticsQueries {
     * the two snapshots genuinely differ in shape. */
   val DriftCutMs = 883612800000L
   val DriftMod = 3L; val DriftFactor = 2L
-  /** q104 grid: $50k-wide buckets cover the $1k-500k price span with
-    * ~10 informative buckets (q77's $10k grid clamps this data into a
-    * couple of cells); doubled prices land in the clamped top bucket. */
-  val DriftHistWidth = 5000000L
+  /** q104 grid: $50k-wide buckets (5e8 units) cover orders' $1k-500k
+    * o_totalprice span — doubled late-window prices reach the clamped
+    * top bucket. */
+  val DriftHistWidth = 500000000L
 
   /** q81 incremental cut: 2024-01-15T00:00:00Z. */
   val CutS = 1705276800L
@@ -695,15 +699,16 @@ object AnalyticsQueries {
             CAST(n11 + n12 AS HUGEINT) * (n21 + n22) * (n11 + n21)
               * (n12 + n22) AS den,
             CAST(n11 AS HUGEINT) * n22 - CAST(n12 AS HUGEINT) * n21 AS d
-          FROM c)
-        SELECT grp, n11, n12, n21, n22,
-          CASE WHEN den <> 0 THEN CAST(
-            (1000000 * (n11 + n12 + n21 + n22) * (d * d)) // den AS BIGINT)
-            END AS chi2_micro,
-          CASE WHEN den <> 0 THEN CAST(
-            (1000000 * (n11 + n12 + n21 + n22) * (d * d)) // den
-              >= 3841459 AS INT) END AS significant_05
-        FROM x ORDER BY grp""")),
+          FROM c),
+        y AS (SELECT grp, n11, n12, n21, n22,
+            CASE WHEN den <> 0 THEN CAST(
+              (1000000 * (n11 + n12 + n21 + n22) * (d * d)) // den AS BIGINT)
+              END AS chi2_micro
+          FROM x)
+        SELECT grp, n11, n12, n21, n22, chi2_micro,
+          CASE WHEN chi2_micro IS NOT NULL
+            THEN CAST(chi2_micro >= 3841459 AS INT) END AS significant_05
+        FROM y ORDER BY grp""")),
 
     // ------------------------------------------------------------------
     // q104 — histogram drift detection (StatsOps.histogramDriftChi2):

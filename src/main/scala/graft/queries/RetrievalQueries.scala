@@ -284,7 +284,8 @@ object RetrievalQueries {
             count(*) OVER (PARTITION BY term) AS df
           FROM tf, n QUALIFY df * 1000 <= n.n_docs * $TfidfDfCapPm),
         w AS (SELECT term, doc_id,
-            CAST(tf * ((n.n_docs * $TfidfIdfScale) // df) AS HUGEINT) AS w
+            CAST(tf AS HUGEINT) *
+              ((CAST(n.n_docs AS HUGEINT) * $TfidfIdfScale) // df) AS w
           FROM kept, n),
         norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

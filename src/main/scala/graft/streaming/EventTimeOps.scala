@@ -106,8 +106,11 @@ object EventTimeOps {
       watermarkDelay: String = "2 minutes",
       windowDuration: String = "1 minute"): DataFrame =
     vehicles
+      // decimal cast FIRST (the house cents() discipline): a double
+      // multiply rounds 8.13·100 to 812.999…, which a truncating long
+      // cast turns into 812
       .select(col("tst"), col("tsi"), col("unique_vehicle_id"),
-        (col("spd") * 100).cast("long").as("spd_c"))
+        (col("spd").cast("decimal(18,4)") * 100).cast("long").as("spd_c"))
       .withWatermark("tst", watermarkDelay)
       .groupBy(window(col("tst"), windowDuration), col("unique_vehicle_id"))
       .agg(

@@ -283,7 +283,11 @@ object StatefulOps {
         timers: TimerValues): Iterator[CdcRow] = {
       val ordered = rows.toArray.sortBy(_._2)
       val out = scala.collection.mutable.ArrayBuffer.empty[CdcRow]
-      ordered.foreach { case (_, seq, v) =>
+      ordered.foreach { case (_, seq, v0) =>
+        // a null value (schema-on-read streams routinely produce them)
+        // is a tombstone like the empty string — NOT an NPE that kills
+        // the query
+        val v = if (v0 == null) "" else v0
         val cur = if (last.exists()) Some(last.get().v) else None
         if (v.isEmpty) {
           cur.foreach { old =>
@@ -305,11 +309,16 @@ object StatefulOps {
   }
 
   /** [[ChangeDetector]] over a (keyCol, seqCol, valueCol) frame —
-    * `valueCol` empty string = delete tombstone. */
+    * `valueCol` null or empty string = delete tombstone. Rows with a
+    * null key or seq are contract violations and are dropped at the
+    * boundary (a null key cannot address state; a null seq cannot be
+    * ordered) — the wire-record presence discipline, not an NPE
+    * mid-stream. */
   def changeStream(upserts: DataFrame, keyCol: String, seqCol: String,
       valueCol: String): Dataset[CdcRow] = {
     import upserts.sparkSession.implicits._
     upserts.select(col(keyCol), col(seqCol), col(valueCol))
+      .filter(col(keyCol).isNotNull && col(seqCol).isNotNull)
       .as[(Long, Long, String)]
       .groupByKey(_._1)
       .transformWithState(new ChangeDetector,

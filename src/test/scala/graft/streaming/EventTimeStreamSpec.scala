@@ -167,7 +167,8 @@ class EventTimeStreamSpec extends SparkSuite {
         strictTst = false)
         .select(col("unique_vehicle_id"),
           org.apache.spark.sql.functions.unix_micros(col("tst")).as("t_us"),
-          col("tsi"), (col("spd") * 100).cast("long").as("spd_c")),
+          col("tsi"),
+          (col("spd").cast("decimal(18,4)") * 100).cast("long").as("spd_c")),
       "unique_vehicle_id", "t_us", "tsi", "spd_c", 60000000L)
       .filter(col("bucket_t") < 1717574520000000L) // only closed buckets
       .collect().map(r => (
