@@ -242,6 +242,22 @@ class StatsOpsSpec extends SparkSuite {
     assert(out == Seq((0L, 4L, 0L, 4000000L), (1L, 0L, 4L, 4000000L)))
   }
 
+  test("histogramDriftChi2: exact past the long-denominator overflow " +
+      "point (n1·n2·bucket_total > 2^63 — the case long arithmetic " +
+      "silently wrapped)") {
+    // 2.1M rows per snapshot, fully separated buckets: the denominator
+    // n1·n2·(o1+o2) = 2.1e6³ ≈ 9.3e18 exceeds Long.MaxValue, and each
+    // bucket's exact term collapses to 10⁶·N = 2.1e12 micro-units
+    val n = 2100000L
+    val a = spark.range(n).selectExpr("1L as v")
+    val b = spark.range(n).selectExpr("11L as v")
+    val out = StatsOps.histogramDriftChi2(a, b, col("v"), 0L, 10L, 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("chi2_term_micro")))
+      .toSeq
+    assert(out == Seq((0L, 1000000L * n), (1L, 1000000L * n)))
+  }
+
   test("equiDepthHistogram: buckets are per-group and value ranges " +
       "never overlap within a group") {
     val df = ((1L to 16L).map(v => ("a", v * 10, v)) ++
