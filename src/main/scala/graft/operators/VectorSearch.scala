@@ -144,6 +144,43 @@ object VectorSearch {
       .filter(col("rnk") <= k)
   }
 
+  /**
+   * Contrastive training-pair mining: for every query vector, the best
+   * POSITIVE (same label, highest cosine) and the HARD NEGATIVE
+   * (different label, highest cosine) — the pair-construction step of
+   * contrastive/embedding training, where "hardest negative" (the most
+   * similar wrong-label example) is what makes the loss informative.
+   *
+   * Same contract as [[knnBrute]]: the query set is the BOUNDED
+   * broadcast side, the corpus scans linearly, cosines come from the
+   * codegen'd in-order dot, and the per-(query, polarity) argmax is a
+   * WindowGroupLimit with a total tie-break — deterministic at any
+   * partitioning. The LSH/IVF variants accelerate it the same way they
+   * accelerate kNN: generate candidates per polarity, then exact-rerank.
+   */
+  def contrastivePairs(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val b = ScanOps.spreadSmallInput(base, col(idCol))
+      .select(col(idCol), col(labelCol).as("b_label"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val w = Window.partitionBy("query_id", "is_positive")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    b.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"),
+        (col("b_label") <=> col("q_label")).cast("int").as("is_positive"),
+        col(idCol).as("neighbor_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("is_positive"), col("neighbor_id"),
+        col("cosine"))
+  }
+
   /** Fixed-point scale for the k-means centroid mean: element sums go
     * through `floor(x · 2^20)` longs — exact, order-independent integer
     * addition — so Spark's partial aggregation order and DuckDB's

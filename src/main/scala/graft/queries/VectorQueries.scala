@@ -394,6 +394,42 @@ object VectorQueries {
         ${trainIter(1, "bk0")}
         ${trainIter(2, "bk1")}
         ${pqAdcTailSql("bk2")}"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q105 — contrastive hard-negative mining (VectorSearch.
+    // contrastivePairs): per query vector, the best same-label positive
+    // and the most-similar WRONG-label hard negative — the pair
+    // construction step of contrastive/embedding training. Same bounded-
+    // broadcast/linear-scan contract and in-order-dot determinism as
+    // q25; per-(query, polarity) argmax is a WindowGroupLimit with a
+    // total tie-break.
+    // ------------------------------------------------------------------
+    "q105_contrastive_pairs" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        VectorSearch.contrastivePairs(emb,
+          emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500),
+          "vec_id", "embedding", "label")
+          .orderBy("query_id", "is_positive")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT vec_id, label, ${sqlToDouble("embedding")} AS v
+          FROM embeddings),
+        nb AS (SELECT vec_id, label, v, sqrt(${sqlDot("v", "v")}) AS nrm
+          FROM base),
+        q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
+          FROM nb WHERE vec_id % 100 = 0 AND vec_id < 500),
+        scored AS (SELECT query_id,
+            CAST(b.label = q_label AS INT) AS is_positive,
+            b.vec_id AS neighbor_id,
+            ${sqlDot("b.v", "qv")} / (b.nrm * qn) AS cosine
+          FROM nb b CROSS JOIN q WHERE b.vec_id <> query_id),
+        r AS (SELECT query_id, is_positive, neighbor_id, cosine,
+            row_number() OVER (PARTITION BY query_id, is_positive
+              ORDER BY cosine DESC, neighbor_id) AS rk
+          FROM scored)
+        SELECT query_id, is_positive, neighbor_id, cosine FROM r
+        WHERE rk = 1 ORDER BY query_id, is_positive"""))
   )
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSuite {
     Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters",
       "q66_int8_quantized_knn", "q71_bm25", "q80_column_profile",
       "q87_pq_adc_topk", "q90_pq_trained_adc",
-      "q94_mixture_weights", "q97_tfidf_cosine_join")
+      "q94_mixture_weights", "q97_tfidf_cosine_join",
+      "q105_contrastive_pairs")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -304,4 +304,33 @@ class VectorSearchSpec extends SparkSuite {
       val c = r.getLong(i); c >= 0 && c < VectorSearch.PqCodes
     }))
   }
+
+  test("contrastivePairs: picks the nearest same-label positive and the " +
+      "nearest WRONG-label hard negative, never the query itself") {
+    import spark.implicits._
+    // query (1,0): label A. Positives: (0.9,0.1) closer than (0,1).
+    // Negatives: label B (0.95,0.05) is the hard one vs (-1,0)
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.9f, 0.1f), 0), (3L, Array(0f, 1f), 0),
+      (4L, Array(0.95f, 0.05f), 1), (5L, Array(-1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.contrastivePairs(vecs,
+      vecs.filter(col("vec_id") === 1), "vec_id", "embedding", "label")
+      .orderBy("is_positive").collect()
+      .map(r => (r.getAs[Int]("is_positive"), r.getAs[Long]("neighbor_id")))
+    assert(out.toSeq == Seq((0, 4L), (1, 2L)))
+  }
+
+  test("contrastivePairs: exactly one row per (query, polarity) that " +
+      "exists; a label with no wrong-label rows yields no negative row") {
+    import spark.implicits._
+    val same = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(0f, 1f), 7), (3L, Array(1f, 1f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorSearch.contrastivePairs(same,
+      same.filter(col("vec_id") === 1), "vec_id", "embedding", "label")
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Int]("is_positive") == 1)
+  }
 }
