@@ -144,4 +144,33 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(unbatched.isEmpty, s"non-columnar scans in: ${unbatched.distinct}")
   }
+
+  test("q92: the snapshot diff reads ONLY key + compared columns (the " +
+      "narrow-projection claim — a wide dimension diffs without moving " +
+      "its untracked columns)") {
+    val scans = SparkEntry.queries("q92_snapshot_diff")(spark, sf())
+      .queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    for (s <- scans) {
+      val readSchema = s.metadata("ReadSchema")
+      assert(!readSchema.contains("c_name") &&
+        !readSchema.contains("c_nationkey"),
+        s"diff scan reads untracked columns: $readSchema")
+    }
+  }
+
+  test("q95: document chunking is shuffle-free past the requested " +
+      "spread (pure per-row Generate — the scan-speed claim)") {
+    val plan = SparkEntry.queries("q95_doc_chunking")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    // the only hash exchange allowed is spreadSmallInput's explicit
+    // doc_id repartition; the final orderBy adds one range exchange
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(hashExchanges <= 1,
+      s"chunking should not shuffle beyond the input spread:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
 }
