@@ -113,4 +113,34 @@ object SkewOps {
       merge = Seq(size(array_distinct(flatten(collect_list(col("__partial_set")))))
         .cast(LongType).as("n_distinct")))
   }
+
+  /**
+   * Key-skew profile: the counts-of-counts diagnostic that DECIDES
+   * whether the salting above (or AQE's skew split) is needed at all —
+   * per power-of-two frequency band, how many keys live there and how
+   * many rows they carry. A healthy key reads as one tight band; a
+   * monster key shows up as a lone populated high band whose
+   * `total_rows` rivals the whole table (and whose band index ≈
+   * log2(hot rows / target partition rows) sizes the salt count).
+   *
+   * The band is `floor(log2(count))` computed EXACTLY as
+   * `length(bin(count)) − 1` — binary-string length, no float log, so
+   * the profile is bit-deterministic cross-engine.
+   *
+   * Scale shape: two map-side-combined aggregates — (key → count),
+   * shuffling only key+count, then (band → stats) over |keys| rows.
+   * This is the profile a pipeline materializes about its OWN join keys
+   * before choosing a strategy; at 100 TB it costs one narrow pass.
+   */
+  def keySkewProfile(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .withColumn("band", (length(expr("bin(cnt)")) - 1).cast(LongType))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt"))
+  }
 }

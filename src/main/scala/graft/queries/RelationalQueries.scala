@@ -888,6 +888,34 @@ object RelationalQueries {
         r0 AS (SELECT id, CAST($scale AS BIGINT) AS rank_fp FROM nodes),
         $iters
         SELECT id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r3 ORDER BY id"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q106 — key-skew profile (SkewOps.keySkewProfile): the counts-of-
+    // counts diagnostic that decides whether q42/q54's salting (or
+    // AQE's skew split) is needed — keys bucketed by power-of-two
+    // frequency band via the exact `length(bin(count)) − 1` log2, no
+    // float. An injected hot key (every 7th event re-keyed to user −1,
+    // ~14% of the table on one key) must surface as a lone populated
+    // high band. Two map-side-combined aggregates; only (key, count)
+    // rows shuffle.
+    // ------------------------------------------------------------------
+    "q106_key_skew_profile" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          when(col("event_id") % 7 === 0, lit(-1L))
+            .otherwise(col("user_id")).as("uid"))
+        graft.operators.SkewOps.keySkewProfile(ev, "uid")
+          .orderBy("band")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN -1
+            ELSE user_id END AS uid FROM events),
+        c AS (SELECT uid, count(*) AS cnt FROM e GROUP BY uid),
+        b AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS band, cnt FROM c)
+        SELECT band, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT)
+            AS total_rows,
+          min(cnt) AS min_cnt, max(cnt) AS max_cnt
+        FROM b GROUP BY band ORDER BY band"""))
   )
 }

@@ -157,4 +157,25 @@ class SkewOpsSpec extends SparkSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("keySkewProfile: power-of-two bands are exact (length(bin)-1) " +
+      "and a monster key stands alone in its high band") {
+    import spark.implicits._
+    // 8 keys with 3 rows each (band 1: counts 2-3... 3→band 1), one key
+    // with 1000 rows (band 9: 512-1023)
+    val rows = (1L to 8L).flatMap(k => Seq.fill(3)(k)) ++ Seq.fill(1000)(99L)
+    val out = SkewOps.keySkewProfile(rows.toDF("k"), "k")
+      .orderBy("band").collect()
+      .map(r => (r.getAs[Long]("band"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("total_rows"), r.getAs[Long]("max_cnt"))).toSeq
+    assert(out == Seq((1L, 8L, 24L, 3L), (9L, 1L, 1000L, 1000L)))
+  }
+
+  test("keySkewProfile: a uniform key set reads as one tight band") {
+    import spark.implicits._
+    val rows = (1L to 50L).flatMap(k => Seq.fill(4)(k))
+    val out = SkewOps.keySkewProfile(rows.toDF("k"), "k").collect()
+    assert(out.length == 1 && out(0).getAs[Long]("band") == 2L &&
+      out(0).getAs[Long]("n_keys") == 50L)
+  }
 }
