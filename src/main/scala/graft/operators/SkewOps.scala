@@ -134,13 +134,15 @@ object SkewOps {
    */
   def keySkewProfile(df: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-      .withColumn("band", (length(expr("bin(cnt)")) - 1).cast(LongType))
+    // internal count is __-prefixed (the file's convention): a key
+    // column literally named "cnt" must not collide with it
+    df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("band", (length(expr("bin(__cnt)")) - 1).cast(LongType))
       .groupBy("band")
       .agg(
         count(lit(1)).as("n_keys"),
-        sum(col("cnt")).as("total_rows"),
-        min(col("cnt")).as("min_cnt"),
-        max(col("cnt")).as("max_cnt"))
+        sum(col("__cnt")).as("total_rows"),
+        min(col("__cnt")).as("min_cnt"),
+        max(col("__cnt")).as("max_cnt"))
   }
 }

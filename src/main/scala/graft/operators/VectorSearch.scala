@@ -112,9 +112,12 @@ object VectorSearch {
   /** (idCol, v: double array, nrm) — the shared vector prep every
     * cosine operator starts from (quantizedTopK has its own int8
     * variant; it is NOT this shape). */
-  private def prepNormed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), toDouble(col(vecCol)).as("v"))
-      .select(col(idCol), col("v"), norm(col("v")).as("nrm"))
+  private def prepNormed(df: DataFrame, idCol: String, vecCol: String,
+      extra: Seq[(String, String)] = Nil): DataFrame =
+    df.select(col(idCol) +: toDouble(col(vecCol)).as("v") +:
+        extra.map { case (c, a) => col(c).as(a) }: _*)
+      .select(col(idCol) +: col("v") +: norm(col("v")).as("nrm") +:
+        extra.map { case (_, a) => col(a) }: _*)
 
   /** Seed centroids (every `centroidEvery`-th id), fixed-point trained
     * for `kmeansIters` rounds over the prepped corpus `b` — the shared
@@ -160,19 +163,23 @@ object VectorSearch {
    */
   def contrastivePairs(base: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String): DataFrame = {
-    val b = ScanOps.spreadSmallInput(base, col(idCol))
-      .select(col(idCol), col(labelCol).as("b_label"),
-        toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val q = queries
-      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
-        toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
+    // unlabeled rows are EXCLUDED from mining on both sides: a null
+    // label can be neither a positive nor a meaningful hard negative,
+    // and null-safe matching would silently pair unlabeled rows while
+    // the plain-equality oracle partitions them under NULL
+    val b = prepNormed(
+      ScanOps.spreadSmallInput(base.filter(col(labelCol).isNotNull),
+        col(idCol)),
+      idCol, vecCol, Seq(labelCol -> "b_label"))
+    val q = prepNormed(queries.filter(col(labelCol).isNotNull),
+      idCol, vecCol, Seq(labelCol -> "q_label"))
+      .select(col(idCol).as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("q_label"))
     val w = Window.partitionBy("query_id", "is_positive")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     b.join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"),
-        (col("b_label") <=> col("q_label")).cast("int").as("is_positive"),
+        (col("b_label") === col("q_label")).cast("int").as("is_positive"),
         col(idCol).as("neighbor_id"),
         (dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
       .withColumn("rnk", row_number().over(w))

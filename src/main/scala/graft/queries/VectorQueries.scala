@@ -24,6 +24,25 @@ object VectorQueries {
   private def sqlDot(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
+  /** The bounded query-set predicate shared by q25/q87/q90/q105 —
+    * defined ONCE so the Scala builds and the oracles can never drift
+    * on which vectors are queries. */
+  val QuerySetSql = "vec_id % 100 = 0 AND vec_id < 500"
+
+  /** Shared q25/q105 oracle prolog: normed double vectors (with label)
+    * and the bounded query set — one copy of the base/nb/q scaffold. */
+  private def knnPrologSql(withLabel: Boolean) = {
+    val lbl = if (withLabel) ", label" else ""
+    val qLbl = if (withLabel) ", label AS q_label" else ""
+    s"""
+        base AS (SELECT vec_id$lbl, ${sqlToDouble("embedding")} AS v
+          FROM embeddings${if (withLabel) " WHERE label IS NOT NULL" else ""}),
+        nb AS (SELECT vec_id$lbl, v, sqrt(${sqlDot("v", "v")}) AS nrm
+          FROM base),
+        q AS (SELECT vec_id AS query_id$qLbl, v AS qv, nrm AS qn FROM nb
+          WHERE $QuerySetSql)"""
+  }
+
   /** DuckDB twin of VectorSearch.bandValues for one band: the same ±1
     * hyperplanes as inline list literals, sign bits packed into an int. */
   private def sqlBandValue(v: String, band: Int): String =
@@ -144,10 +163,7 @@ object VectorQueries {
           .orderBy("query_id", "rnk")
       },
       oracle = Some(s"""
-        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v FROM embeddings),
-        nb AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM base),
-        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nb
-          WHERE vec_id % 100 = 0 AND vec_id < 500),
+        WITH ${knnPrologSql(withLabel = false)},
         scored AS (SELECT query_id, b.vec_id AS neighbor_id,
             ${sqlDot("b.v", "qv")} / (b.nrm * qn) AS cosine
           FROM nb b CROSS JOIN q WHERE b.vec_id <> query_id),
@@ -414,12 +430,7 @@ object VectorQueries {
           .orderBy("query_id", "is_positive")
       },
       oracle = Some(s"""
-        WITH base AS (SELECT vec_id, label, ${sqlToDouble("embedding")} AS v
-          FROM embeddings),
-        nb AS (SELECT vec_id, label, v, sqrt(${sqlDot("v", "v")}) AS nrm
-          FROM base),
-        q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv, nrm AS qn
-          FROM nb WHERE vec_id % 100 = 0 AND vec_id < 500),
+        WITH ${knnPrologSql(withLabel = true)},
         scored AS (SELECT query_id,
             CAST(b.label = q_label AS INT) AS is_positive,
             b.vec_id AS neighbor_id,

@@ -145,17 +145,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(unbatched.isEmpty, s"non-columnar scans in: ${unbatched.distinct}")
   }
 
-  test("q92: the snapshot diff reads ONLY key + compared columns (the " +
-      "narrow-projection claim — a wide dimension diffs without moving " +
-      "its untracked columns)") {
-    val scans = SparkEntry.queries("q92_snapshot_diff")(spark, sf())
-      .queryExecution.sparkPlan
+  test("snapshotDiff reads ONLY key + compared columns even when handed " +
+      "the FULL-width frame (the narrow-projection claim — q92's build " +
+      "pre-projects, so this feeds the operator the wide table directly)") {
+    val wide = graft.queries.Tables.customer(spark, sf())
+    val diff = graft.operators.MergeOps.snapshotDiff(
+      wide, wide.filter(org.apache.spark.sql.functions.col("c_custkey") % 2 === 0),
+      Seq("c_custkey"), Seq("c_acctbal"))
+    val scans = diff.queryExecution.sparkPlan
       .collect { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty)
     for (s <- scans) {
       val readSchema = s.metadata("ReadSchema")
       assert(!readSchema.contains("c_name") &&
-        !readSchema.contains("c_nationkey"),
+        !readSchema.contains("c_nationkey") &&
+        !readSchema.contains("c_mktsegment"),
         s"diff scan reads untracked columns: $readSchema")
     }
   }
