@@ -348,4 +348,39 @@ object StatsOps {
     }
     perCol.reduce(_ unionAll _)
   }
+
+  /**
+   * Cluster/label agreement metrics — the quality readout for any
+   * partitioning of labeled data (k-means cells, LSH buckets, topic
+   * assignments vs. ground-truth labels): per cluster, the majority
+   * label, its share (purity, ppm) and the Gini impurity (ppm). Both are
+   * EXACT rationals of integer counts — unlike entropy, whose `ln` is a
+   * cross-engine float lottery — so the output hash-gates: purity =
+   * ⌊top·10⁶/n⌋, gini = 10⁶ − ⌊(Σ cntᵢ²)·10⁶/n²⌋.
+   *
+   * Scale shape: two stacked hash aggregates, (cluster, label) then
+   * (cluster) — the second groups a prefix of the first's key, so AQE
+   * reuses the exchange; nothing but (cluster, label, count) rows ever
+   * shuffle. The squared sums run in DECIMAL(38,0): Σ cntᵢ² ≤ n² wraps a
+   * long for clusters past ~3×10⁹ rows, and the ·10⁶ scaling long
+   * before that. Majority tie-break: max count, then SMALLEST label
+   * (max_by over (cnt, −label) — deterministic cross-engine).
+   */
+  def clusterPurity(df: DataFrame, clusterCol: String,
+      labelCol: String): DataFrame = {
+    val cl = df
+      .groupBy(col(clusterCol).as("cluster"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("cnt"))
+    cl.groupBy("cluster")
+      .agg(sum("cnt").cast("long").as("n_rows"),
+        count(lit(1)).as("n_labels"),
+        max("cnt").as("top_cnt"),
+        max_by(col("label"), struct(col("cnt"), -col("label"))).as("top_label"),
+        sum(col("cnt").cast("decimal(19,0)") * col("cnt")).as("sum_sq"))
+      .select(col("cluster"), col("n_rows"), col("n_labels"),
+        col("top_label"), col("top_cnt"),
+        expr("(top_cnt * 1000000) div n_rows").as("purity_ppm"),
+        expr("""1000000 - (cast(sum_sq as decimal(38,0)) * 1000000)
+          div (cast(n_rows as decimal(38,0)) * n_rows)""").as("gini_ppm"))
+  }
 }

@@ -149,4 +149,45 @@ object TemporalOps {
         max_by(col(v), struct(col(t), col(tie))).as("close"),
         sum(col(v)).as("total"))
   }
+
+  /**
+   * Cohort retention analysis — the "did week-N's new users come back in
+   * week N+k" triangle every product/telemetry warehouse maintains, and
+   * the acquisition-quality readout for a corpus whose rows carry a user
+   * and a time (for HFP: did vehicles first seen in service week N still
+   * report in week N+k).
+   *
+   * Semantics: a user's cohort is the `bucketUs`-bucket of their FIRST
+   * event; for every (cohort, offset) the count of distinct cohort users
+   * active in bucket cohort+offset, plus that count as ppm of the cohort
+   * size (the offset-0 row — every user is active in their own first
+   * bucket by definition, so offset 0 IS the cohort census and
+   * retained_ppm ≤ 1,000,000 always).
+   *
+   * Scale shape: the min-bucket window and the (user, cohort, offset)
+   * distinct both key on the user — ONE user-keyed exchange serves both
+   * (AQE reuses the partitioning), and only (user, bucket) pairs ride
+   * it. The rollup then shuffles one row per distinct (cohort, offset,
+   * user) — already deduped — and the cohort-size window runs on the
+   * aggregated triangle (≤ cohorts × offsets rows), never on data. All
+   * integer arithmetic; `t` is epoch micros (long).
+   */
+  def cohortRetention(df: DataFrame, userCol: String, tCol: String,
+      bucketUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(col(userCol).as("uid"),
+      floorDiv(col(tCol), lit(bucketUs)).as("wk"))
+    val triangle = w
+      .withColumn("cohort", min("wk").over(Window.partitionBy("uid")))
+      .select(col("uid"), col("cohort"), (col("wk") - col("cohort")).as("off"))
+      .distinct()
+      .groupBy(col("cohort").as("cohort_bucket"), col("off").as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    triangle
+      .withColumn("cohort_size",
+        max(when(col("bucket_offset") === 0, col("n_users")))
+          .over(Window.partitionBy("cohort_bucket")))
+      .select(col("cohort_bucket"), col("bucket_offset"), col("n_users"),
+        expr("(n_users * 1000000) div cohort_size").as("retained_ppm"))
+  }
 }

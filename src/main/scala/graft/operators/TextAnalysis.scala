@@ -181,6 +181,60 @@ object TextAnalysis {
    * THIS is the one a 100 TB filter job gates on — pure per-row
    * projection, no shuffle, codegen-friendly integer ops.
    */
+  /** Train a capped word-bigram "language model": the `topK` most
+    * frequent bigrams (count desc, bigram asc — total order, so the K
+    * boundary is deterministic cross-engine). `TakeOrderedAndProject`,
+    * not a global sort: at any corpus size only K rows reach the driver
+    * side of the plan. Occurrence counts (not distinct-per-doc): a
+    * language model weights by frequency. Documents shorter than two
+    * tokens have no bigrams and drop out here and in [[bigramUnseenScore]]
+    * by the same `size ≥ 2` filter (which also guards Spark's descending
+    * `sequence(1, 0)` corner inside the shingle transform). */
+  def trainBigramLm(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    bigramStream(df.select(col(textCol).as("__text")), "__text")
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(topK)
+
+  /** The shared bigram-occurrence stream: tokenize ONCE (the regex split
+    * over multi-KB text is the dominant per-row cost — filtering on a
+    * re-tokenized copy measured ~2× on the scoring scan), filter
+    * single-token docs, emit one row per adjacent pair. The transform
+    * body is byte-identical to TextDedup.shingles' n = 2 branch, so the
+    * gram strings match the index/dedup family exactly. */
+  private def bigramStream(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__t", tokens(col(textCol)))
+      .where(size(col("__t")) >= 2)
+      .select(df.columns.filter(_ != textCol).map(col) :+
+        explode(expr(
+          """transform(sequence(1, size(__t) - 1),
+             i -> concat_ws(' ', slice(__t, i, 2)))""")).as("g"): _*)
+
+  /**
+   * Perplexity-proxy quality scoring against a trained bigram table —
+   * the fluency filter of an LLM data pipeline without the cross-engine
+   * `ln` lottery a real log-likelihood would lose: a document's score is
+   * the ppm of its bigram OCCURRENCES not present in the top-K model
+   * (gibberish, boilerplate-free rare phrasing, wrong-language text all
+   * push it up). Exact integers end to end.
+   *
+   * The model is an argument, not retrained per call — the q90/q91
+   * model-artifact discipline: train once ([[trainBigramLm]]), land the
+   * K-row table, score any number of corpora against the stored copy.
+   * Scale shape: the model is ≤ topK rows → broadcast hash join against
+   * the exploded bigram stream; the only shuffle is the per-doc rollup.
+   */
+  def bigramUnseenScore(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame =
+    bigramStream(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__text")
+      .join(broadcast(lm.select(col("g"), lit(1L).as("seen"))),
+        Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        expr("(n_unseen * 1000000) div n_bigrams").as("unseen_ppm"))
+
   def qualityClassify(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("toks", tokens(t))

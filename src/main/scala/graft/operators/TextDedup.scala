@@ -232,6 +232,48 @@ object TextDedup {
       .write.mode("overwrite").parquet(s"$dir/shingles")
   }
 
+  /**
+   * Per-document duplicated-n-gram coverage — the exact-substring dedup
+   * SIGNAL of Lee et al. 2022 ("Deduplicating Training Data Makes
+   * Language Models Better"): for every document, the fraction of its
+   * distinct word `shingleN`-grams that also occur in at least one other
+   * row of the corpus. Documents above `flagPpm` are the "mostly
+   * memorized elsewhere" slice an LLM-data pipeline drops or trims even
+   * when no WHOLE-document duplicate exists (which is what q22/q23
+   * catch); the gram size is the knob — Lee et al. use ~50-token
+   * windows, and on this 30-word-vocabulary corpus 6-grams are the
+   * smallest size whose 30⁶ universe makes sharing a signal instead of
+   * a certainty (the landed 3-gram index is NOT reused for exactly that
+   * reason: 27k possible trigrams are shared by construction).
+   *
+   * Scale shape: one explode pass over the corpus (one md5 per distinct
+   * gram per doc — the same cost class as the shingle-index build), then
+   * a count-window on the gram hash followed by the per-doc aggregate:
+   * the window's `h` exchange is the only corpus-sized shuffle, and the
+   * per-doc rollup shuffles (doc_id, flags) only. The count-window
+   * replaces a groupBy(h)+self-join (one shuffle, not two — the q62
+   * lesson). A gram's "occurs elsewhere" bit is count(rows with h) ≥ 2:
+   * rows are distinct per (doc, gram string), so the count is the
+   * document frequency (a 60-bit hash collision would overcount — both
+   * engines hash identically, so the gate cannot diverge on it).
+   */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, flagPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
+      .select(col("doc_id"), hash64(col("s")).as("h"))
+    rows
+      .withColumn("df_h", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df_h") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        expr("(n_dup_grams * 1000000) div n_grams").as("dup_ppm"))
+      .withColumn("dup_heavy",
+        when(col("dup_ppm") >= flagPpm, 1L).otherwise(0L))
+  }
+
   def readDocIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/docs")
 

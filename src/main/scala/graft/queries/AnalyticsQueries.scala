@@ -28,6 +28,9 @@ object AnalyticsQueries {
     * series is honestly absent, not hallucinated). */
   val GridStepS = 3600L; val MaxGapS = 48L * 3600L
 
+  /** q109 cohort bucket: one week of epoch micros. */
+  val RetentionBucketUs = 7L * 86400L * 1000000L
+
   /** q77 histogram grid: the fixed-point unit from cents() is 1e-4
     * dollars, so $10k-wide buckets are 1e8 units — 12 of them cover
     * lineitem's $900-105k l_extendedprice span informatively (the
@@ -765,6 +768,34 @@ object AnalyticsQueries {
             THEN CAST((1000000 * (d * d)) //
               (CAST(n1 AS HUGEINT) * n2 * (n_before + n_after)) AS BIGINT)
             END AS chi2_term_micro
-        FROM t ORDER BY bucket"""))
+        FROM t ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // q109 — cohort retention triangle over the events stream: users
+    // cohorted by first-event week, distinct-user counts per (cohort,
+    // week offset) with retention ppm against the cohort census
+    // (TemporalOps.cohortRetention scaladoc — one user-keyed exchange
+    // serves both the first-event window and the dedup; the ppm window
+    // runs on the aggregated triangle, never on data).
+    // ------------------------------------------------------------------
+    "q109_cohort_retention" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"), expr("ts div 1000").as("t_us"))
+        TemporalOps.cohortRetention(ev, "user_id", "t_us", RetentionBucketUs)
+          .orderBy("cohort_bucket", "bucket_offset")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT user_id,
+            epoch_us(ts) // $RetentionBucketUs AS wk FROM events),
+        c AS (SELECT user_id, wk,
+            min(wk) OVER (PARTITION BY user_id) AS cohort FROM e),
+        d AS (SELECT DISTINCT user_id, cohort, wk - cohort AS off FROM c),
+        n AS (SELECT cohort, off, count(*) AS n_users
+          FROM d GROUP BY cohort, off)
+        SELECT cohort AS cohort_bucket, off AS bucket_offset, n_users,
+          CAST((n_users * 1000000) // (max(CASE WHEN off = 0 THEN n_users
+            END) OVER (PARTITION BY cohort)) AS BIGINT) AS retained_ppm
+        FROM n ORDER BY cohort_bucket, bucket_offset"""))
   )
 }

@@ -29,6 +29,11 @@ object DedupQueries {
   val JaccardTauPm = 900L
   val JaccardShingleN = 3
 
+  /** q107 gram size and "mostly duplicated" threshold (see the q107
+    * registry comment for why 6-grams and not the landed 3-gram index). */
+  val DupCoverageN = 6
+  val DupCoverageFlagPpm = 500000L
+
   /** The shared shingle index over the BASE documents table, landed ONCE
     * per process per sf dir (VERDICT r4 #1): q22/q23/q47 all read the
     * stored (doc_id, content_hash) / (doc_id, h) tables instead of
@@ -438,6 +443,46 @@ object DedupQueries {
           CAST(sb AS BIGINT) AS sb, overlap,
           (overlap * 1000) // (sa + sb - overlap) AS jaccard_pm
         FROM ov WHERE overlap * 1000 >= $JaccardTauPm * (sa + sb - overlap)
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q107 — duplicated-n-gram coverage (Lee et al. 2022 exact-substring
+    // dedup signal): per doc, the ppm of its distinct word 6-grams
+    // occurring in ≥2 rows. 6-grams, NOT the landed 3-gram index: 30⁶
+    // possible 6-grams make sharing a signal; 27k possible trigrams on
+    // this vocabulary are shared by construction. The re-inserted
+    // every-15th slice must score 1,000,000 ppm (every gram occurs in
+    // its copy); base docs score by natural phrase overlap. One corpus
+    // explode + one count-window on the gram hash (the only
+    // corpus-sized shuffle) + a per-doc rollup.
+    // ------------------------------------------------------------------
+    "q107_dup_ngram_coverage" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        TextDedup.dupNgramCoverage(docs.union(dup), "doc_id", "text",
+          shingleN = DupCoverageN, flagPpm = DupCoverageFlagPpm)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 15 = 0),
+        cs AS (SELECT DISTINCT doc_id,
+            unnest(${sqlShingles(sqlTokens("text"), DupCoverageN)}) AS g
+          FROM base),
+        hh AS (SELECT doc_id, ${sqlHash("g")} AS h FROM cs),
+        w AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS df_h FROM hh),
+        p AS (SELECT doc_id, count(*) AS n_grams,
+            CAST(sum(CASE WHEN df_h >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_grams
+          FROM w GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_dup_grams,
+          CAST((n_dup_grams * 1000000) // n_grams AS BIGINT) AS dup_ppm,
+          CASE WHEN (n_dup_grams * 1000000) // n_grams >= $DupCoverageFlagPpm
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dup_heavy
+        FROM p ORDER BY doc_id"""))
   )
 }

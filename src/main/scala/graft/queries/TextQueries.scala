@@ -52,6 +52,9 @@ object TextQueries {
   val Q85MinChars = 200L
   val Q85MinTokens = 30L
 
+  /** q110 bigram-LM size (see the q110 registry comment). */
+  val LmTopK = 500
+
   /** q86 BPE training geometry: top-200 word vocab, 3 merge rounds,
     * top-20 post-training pair table. */
   val BpeVocab = 200
@@ -650,6 +653,43 @@ object TextQueries {
             $ChunkSize)) AS BIGINT) AS chunk_len,
           md5(substr(text, CAST(chunk_start AS INTEGER) + 1, $ChunkSize))
             AS chunk_md5
-        FROM st ORDER BY doc_id, chunk_ix"""))
+        FROM st ORDER BY doc_id, chunk_ix""")),
+
+    // ------------------------------------------------------------------
+    // q110 — bigram-LM "unseen rate" scoring: the perplexity-proxy
+    // fluency filter without the cross-engine ln lottery. The top-K
+    // bigram model is a LANDED ARTIFACT (trained once per process, the
+    // q90/q91 discipline); scoring is a broadcast join of the K-row
+    // table against the exploded bigram stream with one per-doc rollup.
+    // K = 500 of the ≤ 900 possible bigrams on this 30-word vocabulary,
+    // so the unseen tail is a real signal, not zero.
+    // ------------------------------------------------------------------
+    "q110_bigram_lm_score" -> GraftQuery(
+      build = (s, d) => {
+        val lmDir = Landings.landedPath(s"bigram_lm:$d") { dir =>
+          TextAnalysis.trainBigramLm(
+            documents(s, d).select(col("text")), "text", LmTopK)
+            .write.mode("overwrite").parquet(dir)
+        }
+        TextAnalysis.bigramUnseenScore(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", s.read.parquet(lmDir))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+          FROM documents),
+        bg AS (SELECT doc_id, unnest(${sqlBigrams("t")}) AS g
+          FROM tok WHERE len(t) >= 2),
+        lm AS (SELECT g FROM (SELECT g, count(*) AS cnt FROM bg
+          GROUP BY g ORDER BY cnt DESC, g LIMIT $LmTopK)),
+        j AS (SELECT b.doc_id,
+            CASE WHEN lm.g IS NULL THEN 1 ELSE 0 END AS unseen
+          FROM bg b LEFT JOIN lm ON b.g = lm.g)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(unseen) AS BIGINT) AS n_unseen,
+          CAST((CAST(sum(unseen) AS BIGINT) * 1000000) // count(*)
+            AS BIGINT) AS unseen_ppm
+        FROM j GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -441,6 +441,45 @@ object VectorQueries {
               ORDER BY cosine DESC, neighbor_id) AS rk
           FROM scored)
         SELECT query_id, is_positive, neighbor_id, cosine FROM r
-        WHERE rk = 1 ORDER BY query_id, is_positive"""))
+        WHERE rk = 1 ORDER BY query_id, is_positive""")),
+
+    // ------------------------------------------------------------------
+    // q111 — cluster/label purity + Gini impurity over the band-0 LSH
+    // buckets of the labeled embeddings: the clustering-quality readout
+    // (StatsOps.clusterPurity scaladoc) on a deterministic bucketing
+    // both engines derive from the shared hyperplanes. Gini, not
+    // entropy: exact rationals of integer counts hash-gate; ln doesn't.
+    // Majority tie-break = max count then smallest label; the oracle
+    // reaches the same row via window-rank (DuckDB's arg_max takes no
+    // composite order — the q101 pattern).
+    // ------------------------------------------------------------------
+    "q111_cluster_purity" -> GraftQuery(
+      build = (s, d) => {
+        val b = embeddings(s, d).where(col("label").isNotNull)
+          .select(col("label"), toDouble(col("embedding")).as("v"))
+          .select(col("label"),
+            VectorSearch.bandValues(col("v")).getItem(0).as("bucket"))
+        graft.operators.StatsOps.clusterPurity(b, "bucket", "label")
+          .orderBy("cluster")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT label, ${sqlToDouble("embedding")} AS v
+          FROM embeddings WHERE label IS NOT NULL),
+        b AS (SELECT label, ${sqlBandValue("v", 0)} AS cluster FROM base),
+        cl AS (SELECT cluster, label, count(*) AS cnt
+          FROM b GROUP BY cluster, label),
+        r AS (SELECT cluster, label, cnt, row_number() OVER
+            (PARTITION BY cluster ORDER BY cnt DESC, label) AS rk
+          FROM cl),
+        p AS (SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n_rows,
+            count(*) AS n_labels, CAST(max(cnt) AS BIGINT) AS top_cnt,
+            sum(CAST(cnt AS HUGEINT) * cnt) AS sum_sq
+          FROM cl GROUP BY cluster)
+        SELECT p.cluster, n_rows, n_labels, r.label AS top_label, top_cnt,
+          CAST((top_cnt * 1000000) // n_rows AS BIGINT) AS purity_ppm,
+          CAST(1000000 - (sum_sq * 1000000) //
+            (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm
+        FROM p JOIN r ON p.cluster = r.cluster AND r.rk = 1
+        ORDER BY p.cluster"""))
   )
 }

@@ -280,4 +280,47 @@ class StatsOpsSpec extends SparkSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("clusterPurity: hand-computed purity and gini, majority tie " +
+    "breaks to the SMALLEST label") {
+    // c1: labels 1×3, 2×1 → n=4, top=(1,3), purity=750000,
+    //     gini = 1e6 - (9+1)*1e6/16 = 1e6 - 625000 = 375000
+    // c2: labels 5×2, 3×2 → tie on count → top_label=3 (smallest),
+    //     purity=500000, gini = 1e6 - 8e6/16 = 500000
+    // c3: single label → purity 1e6, gini 0
+    val df = Seq(
+      ("c1", 1), ("c1", 1), ("c1", 1), ("c1", 2),
+      ("c2", 5), ("c2", 5), ("c2", 3), ("c2", 3),
+      ("c3", 9)
+    ).toDF("cl", "lbl")
+    val got = StatsOps.clusterPurity(df, "cl", "lbl").orderBy("cluster")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      ("c1", 4L, 2L, 1, 3L, 750000L, 375000L),
+      ("c2", 4L, 2L, 3, 2L, 500000L, 500000L),
+      ("c3", 1L, 1L, 9, 1L, 1000000L, 0L)))
+  }
+
+  test("clusterPurity: gini survives counts whose squared sum wraps a " +
+    "long times the ppm scale (decimal path)") {
+    // one cluster, one label, 4e9 rows — simulated by feeding the
+    // aggregate the same shape via many rows is infeasible in a unit
+    // test; instead verify the decimal expressions directly on a
+    // pre-aggregated (cluster, label, cnt) frame routed through the
+    // same arithmetic: purity/gini of a single 4e9-count label must be
+    // exactly (1e6, 0), not an overflow artifact.
+    val big = 4000000000L
+    val df = spark.range(1).select(lit("c").as("cl"), lit(7).as("lbl"))
+    // exercise the public path on a small frame, then the arithmetic
+    // identity on the big count via SQL (same expression text as the
+    // operator's select)
+    val small = StatsOps.clusterPurity(df, "cl", "lbl").collect()(0)
+    assert(small.getLong(5) === 1000000L && small.getLong(6) === 0L)
+    val r = spark.sql(
+      s"""SELECT (cast($big as decimal(38,0)) * $big * 1000000)
+            div (cast($big as decimal(38,0)) * $big) AS one_m""")
+      .collect()(0)
+    assert(r.getLong(0) === 1000000L)
+  }
 }

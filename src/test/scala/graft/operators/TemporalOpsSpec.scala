@@ -160,4 +160,37 @@ class TemporalOpsSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("Aggregate"), plan)
   }
+
+  test("cohortRetention: triangle counts and ppm on a hand-built roster") {
+    // bucket = 10 us. u1 first in bucket 0, back in 1 and 3 (twice — must
+    // dedup); u2 first in 0, never back; u3 first in 1, back in 2.
+    val ev = Seq(
+      ("u1", 1L), ("u1", 12L), ("u1", 31L), ("u1", 39L),
+      ("u2", 5L),
+      ("u3", 11L), ("u3", 25L)
+    ).toDF("uid", "t_us")
+    val got = TemporalOps.cohortRetention(ev, "uid", "t_us", 10L)
+      .orderBy("cohort_bucket", "bucket_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 2L, 1000000L), // u1+u2 census
+      (0L, 1L, 1L, 500000L),  // u1 back in week 1
+      (0L, 3L, 1L, 500000L),  // u1 back in week 3 (two events, one user)
+      (1L, 0L, 1L, 1000000L), // u3 census
+      (1L, 1L, 1L, 1000000L)))
+  }
+
+  test("cohortRetention: offset-0 row always exists and bounds every " +
+    "later offset (retained_ppm ≤ 1e6)") {
+    val ev = graft.queries.Tables.events(spark, sf("0.001"))
+      .select(col("user_id").as("uid"), expr("ts div 1000").as("t_us"))
+    val rows = TemporalOps.cohortRetention(ev, "uid", "t_us",
+      7L * 86400L * 1000000L).collect()
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (c, rs) =>
+      assert(rs.exists(_.getLong(1) == 0L), s"cohort $c missing census row")
+      rs.foreach(r => assert(r.getLong(3) <= 1000000L,
+        s"cohort $c offset ${r.getLong(1)} ppm ${r.getLong(3)} > 1e6"))
+    }
+  }
 }

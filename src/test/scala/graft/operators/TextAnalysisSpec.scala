@@ -74,4 +74,46 @@ class TextAnalysisSpec extends SparkSuite {
     // "the"×3 contributes th,he; "then"×1 contributes th,he,en
     assert(pairs === Map("th" -> 4L, "he" -> 4L, "en" -> 1L))
   }
+
+  test("trainBigramLm: top-K by (count desc, bigram asc), occurrences " +
+    "not distinct-per-doc, single-token docs contribute nothing") {
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: "a b","b a","a b"
+      (2L, "a b c"),     // "a b","b c"
+      (3L, "solo")       // no bigrams — filtered, no fallback unigram
+    ).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(df.select(col("text")), "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // counts: "a b"=3, "b a"=1, "b c"=1 → top-2 = "a b", then tie
+    // broken by gram asc → "b a"
+    assert(lm.toSeq === Seq(("a b", 3L), ("b a", 1L)))
+  }
+
+  test("bigramUnseenScore: ppm of occurrences outside the model; " +
+    "scoring corpus may differ from the training corpus") {
+    val train = Seq("a b a b", "a b c").toDF("text")
+    val lm = TextAnalysis.trainBigramLm(train, "text", 2) // {"a b","b a"}
+    val score = Seq(
+      (10L, "a b c"),    // "a b" seen, "b c" unseen → 500000
+      (11L, "x y"),      // "x y" unseen → 1000000
+      (12L, "a b a b"),  // "a b","b a","a b" all seen → 0
+      (13L, "one")       // no bigrams — absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramUnseenScore(score, "doc_id", "text", lm)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (10L, 2L, 1L, 500000L),
+      (11L, 1L, 1L, 1000000L),
+      (12L, 3L, 0L, 0L)))
+  }
+
+  test("bigramUnseenScore plan: the model joins broadcast, never shuffled") {
+    val train = Seq("a b").toDF("text")
+    val lm = TextAnalysis.trainBigramLm(train, "text", 10)
+    val plan = TextAnalysis.bigramUnseenScore(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

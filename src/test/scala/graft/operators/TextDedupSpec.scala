@@ -215,4 +215,35 @@ class TextDedupSpec extends SparkSuite {
     assert(run(666L).length == 1 && run(666L)(0).getAs[Long]("jaccard_pm") == 666L)
     assert(run(667L).isEmpty)
   }
+
+  test("dupNgramCoverage: exact copies score 1e6 ppm, a unique doc 0, " +
+    "partial overlap the hand-computed fraction") {
+    // 2-grams. d1/d2 identical (all grams df≥2 → 1e6). d3 shares its
+    // first gram with nothing, overlaps d4 on "cc dd" only.
+    val docs = Seq(
+      (1L, "aa bb cc"),   // grams: "aa bb","bb cc"
+      (2L, "aa bb cc"),
+      (3L, "zz cc dd"),   // "zz cc","cc dd" — "cc dd" also in d4
+      (4L, "cc dd ee")    // "cc dd","dd ee"
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dupNgramCoverage(docs, "doc_id", "text",
+        shingleN = 2, flagPpm = 600000L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 1000000L, 1L),
+      (2L, 2L, 2L, 1000000L, 1L),
+      (3L, 2L, 1L, 500000L, 0L),
+      (4L, 2L, 1L, 500000L, 0L)))
+  }
+
+  test("dupNgramCoverage: repeated gram INSIDE one doc does not count " +
+    "as duplicated (distinct-per-doc before the frequency window)") {
+    val docs = Seq((1L, "aa bb aa bb"), (2L, "zz qq")).toDF("doc_id", "text")
+    // d1 grams distinct: "aa bb","bb aa" — each df=1 → 0 ppm
+    val got = TextDedup.dupNgramCoverage(docs, "doc_id", "text", 2, 500000L)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(3)).toSeq === Seq(0L, 0L))
+  }
 }
