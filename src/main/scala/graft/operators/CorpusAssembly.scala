@@ -50,6 +50,65 @@ object CorpusAssembly {
       .filter(col("hash_bucket") < rate)
   }
 
+  /** Split-fraction geometry for [[hashSplitAudit]]: buckets 0–97 train,
+    * 98 val, 99 test (the conventional 98/1/1). */
+  val SplitBuckets = 100L
+  val ValBucket = 98L
+
+  /**
+   * Deterministic train/val/test assignment + leakage audit — the split
+   * discipline of an LLM data pipeline, and the audit that catches its
+   * classic failure. Two schemes are computed side by side over the same
+   * corpus:
+   *
+   *  - `content`: bucket by the content hash. Identical documents land
+   *    in the SAME split by construction, so evaluation rows can never
+   *    be training-set memorization — this is the correct scheme.
+   *  - `docid`: bucket by the document id — the naive scheme. Re-ingested
+   *    duplicates carry fresh ids, so copies of one text straddle
+   *    splits and `leaky_groups` counts exactly how many contents leak
+   *    across a split boundary.
+   *
+   * Output: one row per (scheme, split) with doc/char counts, plus the
+   * scheme's `leaky_groups` — content-hash groups present in ≥2 splits
+   * (0 for `content` BY CONSTRUCTION; the audit proves it, the docid
+   * rows show the counterfactual).
+   *
+   * Scale shape: assignment is a per-row hash — shuffle-free, nested and
+   * reproducible like [[stratifiedSample]] (a re-run, a backfill, and a
+   * second cluster all agree). The audit shuffles (scheme, content_hash)
+   * once; the per-split rollup and the ≤2-row leak table are broadcast
+   * territory.
+   */
+  def hashSplitAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val b = df.select(col(idCol).cast("string").as("id"),
+      TextDedup.hash64(col(textCol)).as("content_hash"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val schemes = b.select(
+        explode(array(
+          struct(lit("content").as("scheme"),
+            pmod(col("content_hash"), lit(SplitBuckets)).as("bucket")),
+          struct(lit("docid").as("scheme"),
+            pmod(TextDedup.hash64(col("id")), lit(SplitBuckets)).as("bucket"))))
+          .as("s"),
+        col("content_hash"), col("n_chars"))
+      .select(col("s.scheme").as("scheme"),
+        when(col("s.bucket") < ValBucket, "train")
+          .when(col("s.bucket") === ValBucket, "val")
+          .otherwise("test").as("split"),
+        col("content_hash"), col("n_chars"))
+    val perSplit = schemes.groupBy("scheme", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("n_chars"))
+    val leaks = schemes
+      .groupBy("scheme", "content_hash")
+      .agg(countDistinct("split").as("ns"))
+      .groupBy("scheme")
+      .agg(sum(when(col("ns") >= 2, 1L).otherwise(0L)).as("leaky_groups"))
+    perSplit.join(broadcast(leaks), Seq("scheme"))
+      .select(col("scheme"), col("split"), col("n_docs"), col("n_chars"),
+        col("leaky_groups"))
+  }
+
   /**
    * Next-fit context-window packing: documents ordered by `idCol` within
    * a shard fill training sequences ("bins") of `budget` tokens; a

@@ -55,6 +55,10 @@ object TextQueries {
   /** q110 bigram-LM size (see the q110 registry comment). */
   val LmTopK = 500
 
+  /** DuckDB twin of TextDedup.hash64 (q112; DedupQueries has its own). */
+  private def sqlHash64(c: String) =
+    s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT)"
+
   /** q86 BPE training geometry: top-200 word vocab, 3 merge rounds,
     * top-20 post-training pair table. */
   val BpeVocab = 200
@@ -654,6 +658,52 @@ object TextQueries {
           md5(substr(text, CAST(chunk_start AS INTEGER) + 1, $ChunkSize))
             AS chunk_md5
         FROM st ORDER BY doc_id, chunk_ix""")),
+
+    // ------------------------------------------------------------------
+    // q112 — train/val/test hash split + leakage audit: content-hash
+    // bucketing puts identical texts in one split by construction
+    // (leaky_groups = 0, audited — not assumed); the naive docid scheme
+    // computed alongside shows the counterfactual — the re-ingested
+    // every-10th slice carries fresh ids, so its copies straddle splits
+    // and leak. Assignment is a per-row hash (shuffle-free,
+    // reproducible, nested); only the audit shuffles (scheme, hash).
+    // ------------------------------------------------------------------
+    "q112_split_leakage_audit" -> GraftQuery(
+      build = (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        CorpusAssembly.hashSplitAudit(base.union(dup), "doc_id", "text")
+          .orderBy("scheme", "split")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        b AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+            ${sqlHash64("text")} AS content_hash,
+            CAST(length(text) AS BIGINT) AS n_chars FROM base),
+        sch AS (
+          SELECT 'content' AS scheme, content_hash % 100 AS bucket,
+            content_hash, n_chars FROM b
+          UNION ALL
+          SELECT 'docid', ${sqlHash64("id")} % 100, content_hash, n_chars
+          FROM b),
+        sp AS (SELECT scheme, CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split,
+            content_hash, n_chars FROM sch),
+        ps AS (SELECT scheme, split, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM sp GROUP BY scheme, split),
+        lk AS (SELECT scheme, CAST(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS leaky_groups
+          FROM (SELECT scheme, content_hash, count(DISTINCT split) AS ns
+            FROM sp GROUP BY scheme, content_hash)
+          GROUP BY scheme)
+        SELECT ps.scheme, ps.split, n_docs, n_chars, leaky_groups
+        FROM ps JOIN lk ON ps.scheme = lk.scheme
+        ORDER BY ps.scheme, ps.split""")),
 
     // ------------------------------------------------------------------
     // q110 — bigram-LM "unseen rate" scoring: the perplexity-proxy

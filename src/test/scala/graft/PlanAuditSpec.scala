@@ -137,6 +137,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("md5(cast(text"), "the dedup stage lost its md5 content key")
   }
 
+  test("q107: dup-ngram coverage is join-free — ONE corpus-sized hash " +
+      "Exchange (the gram-hash count-window), then the per-doc rollup") {
+    val plan = SparkEntry.queries("q107_dup_ngram_coverage")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the count-window form replaces a groupBy(h)+join-back; a Join node
+    // here means that regression, a second corpus-keyed Exchange means
+    // the window and the rollup stopped sharing the gram-hash shuffle
+    assert(!plan.contains("Join"), s"q107 grew a join:\n$plan")
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashExchanges.size == 2,
+      s"expected 2 hash Exchanges (h window, doc_id rollup):\n" +
+        hashExchanges.mkString("\n"))
+  }
+
+  test("q109: the first-event window and the (user, cohort, offset) " +
+      "dedup share ONE user-keyed Exchange") {
+    val plan = SparkEntry.queries("q109_cohort_retention")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // hashpartitioning(uid) satisfies the distinct-aggregate's
+    // ClusteredDistribution(uid, cohort, off) — a second uid-bearing
+    // Exchange means that reuse broke and the corpus shuffles twice
+    val uidExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("uid"))
+      .toList
+    assert(uidExchanges.size == 1,
+      s"expected the single shared user-keyed Exchange:\n" +
+        uidExchanges.mkString("\n") + s"\n$plan")
+  }
+
   test("every scan in the registry reads parquet batched (columnar)") {
     val unbatched = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       SparkEntry.queries(name)(spark, sf()).queryExecution.sparkPlan
