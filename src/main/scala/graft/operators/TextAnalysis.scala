@@ -235,6 +235,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
         expr("(n_unseen * 1000000) div n_bigrams").as("unseen_ppm"))
 
+  /**
+   * Collocation mining by association lift — the phrase-detection step
+   * of tokenizer/vocabulary construction ("new york", "machine
+   * learning") scored WITHOUT log-PMI's cross-engine `ln` lottery: the
+   * statistic is DEFINED as ⌊10⁶ · c_xy · N / (c_x · c_y)⌋ where c_xy
+   * is the bigram's occurrence count, c_x/c_y the member words' token
+   * counts and N the total token count over the same ≥2-token documents
+   * (PMI's exponent, in exact ppm — rank-equivalent to PMI since log is
+   * monotone). A lift ≫ 10⁶ means the pair co-occurs far above chance.
+   *
+   * `minCount` floors c_xy (lift of a hapax pair is noise); top-K by
+   * (lift desc, bigram asc) — a total order, so the K boundary is
+   * deterministic cross-engine.
+   *
+   * Scale shape: two counting aggregates over one tokenize pass family
+   * (bigram stream + unigram stream), a vocabulary-keyed equi-join per
+   * member word, and a 1-row total broadcast (the q71/q94 shape). The
+   * lift product runs in DECIMAL(38,0): 10⁶·c_xy·N reaches 10³⁰ on a
+   * 10¹²-token corpus — a long wraps at 9.2·10¹⁸.
+   */
+  def collocationLift(df: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    val bg = bigramStream(df.select(col(textCol).as("__text")), "__text")
+      .groupBy("g").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val words = df.withColumn("__t", tokens(col(textCol)))
+      .where(size(col("__t")) >= 2)
+      .select(explode(col("__t")).as("w"))
+    val wc = words.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = wc.agg(sum("c_w").cast("long").as("n_tokens"))
+    bg
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+      .join(wc.select(col("w").as("w1"), col("c_w").as("c_x")), Seq("w1"))
+      .join(wc.select(col("w").as("w2"), col("c_w").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("g"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("""cast((cast(c_xy as decimal(38,0)) * n_tokens * 1000000)
+          div (cast(c_x as decimal(38,0)) * c_y) as bigint)""").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("g")).limit(topK)
+  }
+
   def qualityClassify(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("toks", tokens(t))

@@ -55,6 +55,10 @@ object TextQueries {
   /** q110 bigram-LM size (see the q110 registry comment). */
   val LmTopK = 500
 
+  /** q113 collocation floor and table size. */
+  val LiftMinCount = 5L
+  val LiftTopK = 50
+
   /** DuckDB twin of TextDedup.hash64 (q112; DedupQueries has its own). */
   private def sqlHash64(c: String) =
     s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT)"
@@ -704,6 +708,37 @@ object TextQueries {
         SELECT ps.scheme, ps.split, n_docs, n_chars, leaky_groups
         FROM ps JOIN lk ON ps.scheme = lk.scheme
         ORDER BY ps.scheme, ps.split""")),
+
+    // ------------------------------------------------------------------
+    // q113 — collocation mining by association lift: top-K bigrams whose
+    // co-occurrence beats chance, ⌊1e6·c_xy·N/(c_x·c_y)⌋ — PMI's
+    // exponent in exact ppm (rank-equivalent to PMI, no cross-engine
+    // ln). Counting aggregates + vocabulary equi-joins + a 1-row total
+    // broadcast; decimal128 product (1e6·c_xy·N hits 1e30 at corpus
+    // scale). Total (lift desc, g) order makes the K boundary exact.
+    // ------------------------------------------------------------------
+    "q113_collocation_lift" -> GraftQuery(
+      build = (s, d) =>
+        TextAnalysis.collocationLift(
+          documents(s, d).select(col("text")), "text",
+          LiftMinCount, LiftTopK),
+      oracle = Some(s"""
+        WITH tok AS (SELECT ${sqlTokens("text")} AS t FROM documents),
+        tt AS (SELECT t FROM tok WHERE len(t) >= 2),
+        bg AS (SELECT unnest(${sqlBigrams("t")}) AS g FROM tt),
+        bc AS (SELECT g, count(*) AS c_xy FROM bg GROUP BY g
+          HAVING count(*) >= $LiftMinCount),
+        wrd AS (SELECT unnest(t) AS w FROM tt),
+        wc AS (SELECT w, count(*) AS c_w FROM wrd GROUP BY w),
+        n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tokens FROM wc),
+        j AS (SELECT g, c_xy, x.c_w AS c_x, y.c_w AS c_y FROM bc
+          JOIN wc x ON split_part(bc.g, ' ', 1) = x.w
+          JOIN wc y ON split_part(bc.g, ' ', 2) = y.w)
+        SELECT g, c_xy, c_x, c_y,
+          CAST((CAST(c_xy AS HUGEINT) * n_tokens * 1000000) //
+            (CAST(c_x AS HUGEINT) * c_y) AS BIGINT) AS lift_ppm
+        FROM j, n
+        ORDER BY lift_ppm DESC, g LIMIT $LiftTopK""")),
 
     // ------------------------------------------------------------------
     // q110 — bigram-LM "unseen rate" scoring: the perplexity-proxy

@@ -20,14 +20,14 @@ class PlanAuditSpec extends SparkSuite {
     * (N, avgdl) against the scored term rows — not a row-pair scan.
     * q80's are the per-column 1-row × 1-row stat joins (StatsOps
     * .profile: global stats × distinct count). */
-  /** q94/q97's nested loops are 1-row constant broadcasts (the corpus
-    * total / doc count), the q71 shape. */
+  /** q94/q97/q113's nested loops are 1-row constant broadcasts (the
+    * corpus total / doc count / token total), the q71 shape. */
   private val allowedNestedLoop =
     Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters",
       "q66_int8_quantized_knn", "q71_bm25", "q80_column_profile",
       "q87_pq_adc_topk", "q90_pq_trained_adc",
       "q94_mixture_weights", "q97_tfidf_cosine_join",
-      "q105_contrastive_pairs")
+      "q105_contrastive_pairs", "q113_collocation_lift")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

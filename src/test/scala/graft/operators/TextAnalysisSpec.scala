@@ -108,6 +108,25 @@ class TextAnalysisSpec extends SparkSuite {
       (12L, 3L, 0L, 0L)))
   }
 
+  test("collocationLift: hand-computed lift, count floor, and the " +
+    "(lift desc, gram asc) top-K order") {
+    // corpus: "x y" always adjacent (perfect collocation), "a"/"b"
+    // frequent but never adjacent to each other twice.
+    // docs (each ≥2 tokens): tokens N = 12.
+    //   d1: "x y a b"  d2: "x y b a"  d3: "x y a b"
+    // counts: x=3 y=3 a=3 b=3; bigrams: "x y"=3, "y a"=2, "a b"=2,
+    //   "y b"=1, "b a"=1
+    // minCount=2 drops the hapax pairs. lifts (N=12):
+    //   "x y": 3*12e6/(3*3)  = 4_000_000
+    //   "y a": 2*12e6/(3*3)  = 2_666_666 (floor)
+    //   "a b": 2*12e6/(3*3)  = 2_666_666 — tie broken by gram asc
+    val docs = Seq("x y a b", "x y b a", "x y a b").toDF("text")
+    val got = TextAnalysis.collocationLift(docs, "text", minCount = 2, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("x y", 4000000L), ("a b", 2666666L), ("y a", 2666666L)))
+  }
+
   test("bigramUnseenScore plan: the model joins broadcast, never shuffled") {
     val train = Seq("a b").toDF("text")
     val lm = TextAnalysis.trainBigramLm(train, "text", 10)
