@@ -87,6 +87,115 @@ object GraphOps {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /**
+   * Canonical-representative selection: the step AFTER
+   * [[connectedComponents]] in a production dedup pipeline. q61's
+   * min-id `keep` flag answers "which label is canonical"; real corpus
+   * dedup keeps the BEST copy — the member maximizing a caller-supplied
+   * quality column (longest text, highest quality score, newest crawl),
+   * with node id as the total tie-break so the choice is unique and
+   * partition-independent.
+   *
+   * One extra shuffle beyond CC: members hash-partition on `component`,
+   * and the size count and the rank share that single window
+   * partitioning. Only (node, component, quality) rows move — document
+   * bodies stay in the scan.
+   *
+   * Input: undirected near-dup pairs + a feature frame carrying
+   * (`idCol`, `qualityCol`). Nodes absent from `features` are dropped
+   * (inner join): a doc with no feature row cannot be ranked, and
+   * silently keeping it with a null quality would make the argmax
+   * engine-dependent. Output: (node, component, cluster_size, quality,
+   * keep) for every ranked member; keep = 1 marks the cluster's
+   * canonical doc.
+   */
+  def canonicalMembers(pairs: DataFrame, aCol: String, bCol: String,
+      features: DataFrame, idCol: String, qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val feat = features.select(col(idCol).cast("long").as("node"),
+      col(qualityCol).cast("long").as("quality"))
+    val byComponent = Window.partitionBy("component")
+    val rankW = byComponent.orderBy(col("quality").desc, col("node"))
+    cc.join(feat, Seq("node"))
+      .withColumn("cluster_size", count(lit(1)).over(byComponent))
+      .withColumn("keep",
+        (row_number().over(rankW) === 1).cast("int"))
+      .select(col("node"), col("component"), col("cluster_size"),
+        col("quality"), col("keep"))
+  }
+
+  /**
+   * Per-node triangle counts by degree-ordered orientation — the
+   * standard distributed formulation (Cohen's MapReduce triangle
+   * enumeration; GraphX's TriangleCount orients the same way). Why it
+   * matters here: the clustering coefficient of a candidate-pair graph
+   * separates true duplicate clusters (near-cliques, triangle-dense)
+   * from chains of borderline false positives (triangle-free), and on a
+   * co-occurrence graph triangles are the affinity triads basket
+   * analysis mines.
+   *
+   * The orientation IS the scale guard: every undirected edge is
+   * directed from its (degree, id)-smaller endpoint, so a hub of degree
+   * d contributes wedges from its OUT-neighbors only, bounding
+   * out-degree at O(√m) and total wedge work at O(m^{3/2}) instead of
+   * Σ d² (a single 10⁶-degree hub would otherwise generate 10¹²
+   * wedges). Each triangle then has exactly one "apex" (its
+   * order-smallest vertex) emitting exactly one wedge closed by the
+   * oriented third edge — counted once, no post-dedup.
+   *
+   * Plan shape — the adjacency-intersect variant of the wedge join,
+   * chosen by measurement: materializing the O(m^{3/2}) wedge stream
+   * and shuffling it into a closing semi-join moved 41 M three-long
+   * rows at sf0.1 (12.3 s); instead each node's OUT-adjacency is packed
+   * into one sorted array (out-deg ≤ O(√m) by the orientation, so the
+   * arrays are bounded even for hubs), and a triangle is an element of
+   * `array_intersect(out(s), out(t))` evaluated per EDGE inside the
+   * join projection — the wedge stream never hits a shuffle, only
+   * `m` edge rows carrying one bounded array do, and the explode emits
+   * exactly one (s, t, w) row per triangle (4.4 s same box). Degree is
+   * one map-side-combined count over endpoints; `oriented` is
+   * localCheckpoint'ed because three consumers with different join keys
+   * would otherwise recompute the pair-distinct pipeline three times
+   * (the q62 single-consumer lesson).
+   *
+   * Input: undirected pair frame. Output: (node, tri_cnt) for every
+   * node of the graph, zeros included.
+   */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("long"); val b = col(bCol).cast("long")
+    val e = pairs
+      .select(least(a, b).as("u"), greatest(a, b).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(true)
+    val adj = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("ns"))
+    val tri = oriented
+      .join(adj.select(col("s").as("as1"), col("ns").as("out_s")),
+        col("s") === col("as1"))
+      .join(adj.select(col("s").as("as2"), col("ns").as("out_t")),
+        col("t") === col("as2")) // inner: a sink target closes nothing
+      .select(col("s"), col("t"),
+        explode(array_intersect(col("out_s"), col("out_t"))).as("w"))
+    val perNode = tri
+      .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    deg.select(col("n").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+  }
+
   /** Fixed-point PageRank scale: ranks are longs in units of 1e-9. */
   val PageRankScale = 1000000000L
 

@@ -151,6 +151,56 @@ object TemporalOps {
   }
 
   /**
+   * Gaps-and-islands interval coalescing: merge each key's overlapping
+   * or touching [start, end] intervals into maximal covered "islands" —
+   * the service-coverage primitive a telemetry warehouse runs constantly
+   * (when was each vehicle actually in service; what fraction of the day
+   * did the feed cover; how many distinct outages), and the interval
+   * union that turns per-event validity spans into SCD-style coverage.
+   *
+   * Semantics: intervals sort per key by (start, end); an interval opens
+   * a new island iff its start is strictly greater than the running max
+   * end of all earlier intervals (touching endpoints merge — coverage is
+   * closed-interval). Output: one row per island with its span, interval
+   * count, and covered length.
+   *
+   * Determinism under exact (start, end) ties is structural: tied rows
+   * can never open an island relative to each other (start ≤ running
+   * max end by construction), so island ids and every aggregate are
+   * identical under any tie order — no tiebreaker column needed.
+   *
+   * Scale shape: ONE hash exchange on the key serves both windows (the
+   * preceding-rows max and the running island-id sum share the same
+   * partitioning and sort — Spark plans a single Window node pair over
+   * one Sort), and the rollup reuses the exchange via AQE. Only (key,
+   * start, end) rows move; rows-frame running aggregates keep O(1)
+   * state. Degenerate inputs (end < start, null start) are dropped, not
+   * propagated into an engine-dependent ordering.
+   */
+  def coalesceIntervals(df: DataFrame, key: String, startCol: String,
+      endCol: String): DataFrame = {
+    val prev = Window.partitionBy(key).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(key).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(key), col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .filter(col("__s").isNotNull && col("__e") >= col("__s"))
+      .withColumn("__pmax", max(col("__e")).over(prev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(run))
+      .groupBy(col(key), col("__island").as("island_id"))
+      .agg(min("__s").as("island_start"), max("__e").as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(key), col("island_id"), col("island_start"),
+        col("island_end"),
+        (col("island_end") - col("island_start")).as("covered"),
+        col("n_intervals"))
+  }
+
+  /**
    * Cohort retention analysis — the "did week-N's new users come back in
    * week N+k" triangle every product/telemetry warehouse maintains, and
    * the acquisition-quality readout for a corpus whose rows carry a user

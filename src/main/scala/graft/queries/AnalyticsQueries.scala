@@ -52,6 +52,11 @@ object AnalyticsQueries {
   /** q99 quantile-bucket count. */
   val DepthTiles = 8
 
+  /** q116 interval length unit: event_id%7+1 hours of epoch micros
+    * (events arrive ~11 h apart per user at sf0.01, so 1–7 h spans give
+    * a real mix of merged islands and gaps at every SF). */
+  val IslandHourUs = 3600L * 1000000L
+
   /** q103 success threshold: value ≥ $50 in cents. */
   val ChiSuccessCents = 500000L
 
@@ -796,6 +801,95 @@ object AnalyticsQueries {
         SELECT cohort AS cohort_bucket, off AS bucket_offset, n_users,
           CAST((n_users * 1000000) // (max(CASE WHEN off = 0 THEN n_users
             END) OVER (PARTITION BY cohort)) AS BIGINT) AS retained_ppm
-        FROM n ORDER BY cohort_bucket, bucket_offset"""))
+        FROM n ORDER BY cohort_bucket, bucket_offset""")),
+
+    // ------------------------------------------------------------------
+    // q115 — co-purchase triangle counts (GraphOps.triangleCounts):
+    // parts are linked when they appear in the same order; per-part
+    // triangle participation counts the affinity TRIADS basket analysis
+    // mines (and, run on a dedup candidate graph, the same operator's
+    // clustering coefficient separates near-clique duplicate clusters
+    // from false-positive chains). The engine pays O(m^1.5) via
+    // degree-ordered orientation; the oracle enumerates the identical
+    // wedge-close joins in SQL. Pair generation self-joins lineitem on
+    // l_orderkey — bounded at C(13,2) pairs per order by the order-size
+    // cap in the data.
+    // ------------------------------------------------------------------
+    "q115_triangle_count" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        graft.operators.GraphOps.triangleCounts(pairs, "u", "v")
+          .orderBy("node")
+      },
+      oracle = Some("""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+          GROUP BY n),
+        o AS (SELECT
+            CASE WHEN (da.d, u) < (db.d, v) THEN u ELSE v END AS s,
+            CASE WHEN (da.d, u) < (db.d, v) THEN v ELSE u END AS t
+          FROM pairs JOIN deg da ON da.n = u JOIN deg db ON db.n = v),
+        tri AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+          FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+          JOIN o o3 ON least(o3.s, o3.t) = o1.t
+            AND greatest(o3.s, o3.t) = o2.t),
+        pern AS (SELECT n2 AS node, count(*) AS tri_cnt FROM (
+            SELECT a AS n2 FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY n2)
+        SELECT deg.n AS node, CAST(coalesce(tri_cnt, 0) AS BIGINT) AS tri_cnt
+        FROM deg LEFT JOIN pern ON pern.node = deg.n
+        ORDER BY node""")),
+
+    // ------------------------------------------------------------------
+    // q116 — gaps-and-islands interval coalescing
+    // (TemporalOps.coalesceIntervals): each event opens a service span
+    // of event_id%7+1 hours; per user the overlapping/touching spans
+    // merge into maximal coverage islands (when was the vehicle/user
+    // actually live; how many distinct outages). One keyed exchange
+    // serves the running-max window, the island-id sum and the rollup.
+    // Oracle: the identical running-max formulation in DuckDB window
+    // SQL — islanding via running max, not lag-previous (a long early
+    // interval must swallow later short ones; the spec pins that).
+    // ------------------------------------------------------------------
+    "q116_interval_islands" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"),
+          expr("ts div 1000").as("s_us"),
+          (expr("ts div 1000") +
+            (col("event_id") % 7 + 1) * IslandHourUs).as("e_us"))
+        TemporalOps.coalesceIntervals(ev, "user_id", "s_us", "e_us")
+          .orderBy("user_id", "island_start")
+      },
+      oracle = Some(s"""
+        WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+            epoch_us(ts) + (event_id % 7 + 1) * $IslandHourUs AS e
+          FROM events),
+        f AS (SELECT user_id, s, e,
+            max(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM iv),
+        g AS (SELECT user_id, s, e,
+            CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+          FROM f),
+        h AS (SELECT user_id, s, e,
+            sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM g)
+        SELECT user_id, CAST(island AS BIGINT) AS island_id,
+          min(s) AS island_start, max(e) AS island_end,
+          max(e) - min(s) AS covered, CAST(count(*) AS BIGINT) AS n_intervals
+        FROM h GROUP BY user_id, island
+        ORDER BY user_id, island_start"""))
   )
 }

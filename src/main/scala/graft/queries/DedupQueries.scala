@@ -483,6 +483,54 @@ object DedupQueries {
           CAST((n_dup_grams * 1000000) // n_grams AS BIGINT) AS dup_ppm,
           CASE WHEN (n_dup_grams * 1000000) // n_grams >= $DupCoverageFlagPpm
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dup_heavy
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q114 — canonical-doc selection (GraphOps.canonicalMembers): the
+    // production completion of q61. q61 proves labels propagate and
+    // keeps the MIN-ID member; real dedup keeps the BEST member —
+    // here the longest copy (n_chars, tie doc_id), the usual "keep the
+    // most complete crawl" policy. The chain fixture (d ~ d+1 ~ d+2 per
+    // every-10th doc, all REAL docs so the quality join is live) makes
+    // the winner quality-dependent: a min-id or max-id shortcut gates
+    // red whenever the middle doc is longest. Oracle: the q61 recursive
+    // reachability closure + a quality-ranked window.
+    // ------------------------------------------------------------------
+    "q114_canonical_docs" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d)
+        val tenth = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"))
+        val pairs = tenth
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+          .union(tenth.select((col("doc_id") + 1).as("a"),
+            (col("doc_id") + 2).as("b")))
+        graft.operators.GraphOps
+          .canonicalMembers(pairs, "a", "b", docs, "doc_id", "n_chars")
+          .orderBy("node")
+      },
+      oracle = Some("""
+        WITH RECURSIVE pairs(a, b) AS (
+          SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 1, doc_id + 2 FROM documents WHERE doc_id % 10 = 0),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        reach(n, l) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n),
+        cc AS (SELECT n AS node, min(l) AS component FROM reach GROUP BY n),
+        m AS (SELECT node, component, n_chars AS quality
+          FROM cc JOIN documents ON doc_id = node),
+        r AS (SELECT node, component, quality,
+            count(*) OVER (PARTITION BY component) AS cluster_size,
+            row_number() OVER (PARTITION BY component
+              ORDER BY quality DESC, node) AS rk
+          FROM m)
+        SELECT node, component, cluster_size, quality,
+          CAST(rk = 1 AS INT) AS keep
+        FROM r ORDER BY node"""))
   )
 }

@@ -70,4 +70,68 @@ class GraphOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("canonicalMembers keeps the best-quality member, id tie-break") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val feat = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 1L))
+      .toDF("doc_id", "quality")
+    val got = GraphOps.canonicalMembers(pairs, "a", "b", feat, "doc_id", "quality")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // cluster {1,2,3}: quality 9 ties between 2 and 3 → min id 2 kept
+    assert(got(2L) === ((1L, 3L, 9L, 1)))
+    assert(got(1L) === ((1L, 3L, 5L, 0)))
+    assert(got(3L) === ((1L, 3L, 9L, 0)))
+    // cluster {10,11}: full quality tie → min id 10 kept
+    assert(got(10L) === ((10L, 2L, 1L, 1)))
+    assert(got(11L) === ((10L, 2L, 1L, 0)))
+  }
+
+  test("canonicalMembers drops nodes with no feature row instead of " +
+      "ranking them with an engine-dependent null quality") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val feat = Seq((1L, 4L), (2L, 7L)).toDF("doc_id", "quality") // 3 missing
+    val got = GraphOps.canonicalMembers(pairs, "a", "b", feat, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1)) // 3 absent; 2 wins among ranked
+  }
+
+  test("triangleCounts: one triangle plus a pendant edge") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = GraphOps.triangleCounts(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles; duplicate and " +
+      "reversed input pairs do not double-count") {
+    val k4 = for {
+      i <- 1L to 4L; j <- 1L to 4L if i != j // both orientations + dups
+    } yield (i, j)
+    val got = GraphOps.triangleCounts(k4.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts finds the triangle when the closing edge's degree " +
+      "orientation disagrees with the wedge tips' id order") {
+    // {1,2,3} a triangle, plus pendants on 2 so deg(2)=4 > deg(3)=2:
+    // apex 1 emits the wedge (2, 3) in id order, but the closing edge
+    // orients 3→2 — a close that demands exactly b→c counts zero here
+    // (the bug the first formulation and its oracle shared, each
+    // undercounting sf0.01 by half).
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 10L), (2L, 11L))
+      .toDF("a", "b")
+    val got = GraphOps.triangleCounts(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 0L, 11L -> 0L))
+  }
+
+  test("triangleCounts: a 4-cycle is triangle-free (wedges exist, none close)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = GraphOps.triangleCounts(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
 }

@@ -193,4 +193,55 @@ class TemporalOpsSpec extends SparkSuite {
         s"cohort $c offset ${r.getLong(1)} ppm ${r.getLong(3)} > 1e6"))
     }
   }
+
+  test("coalesceIntervals: overlap and touch merge, strict gap splits; " +
+      "containment does not extend the island") {
+    // key 1: [0,10] + [10,20] touch → one island; [25,30] gapped;
+    // [26,27] contained. key 2: untouched singleton.
+    val df = Seq((1L, 0L, 10L), (1L, 10L, 20L), (1L, 25L, 30L),
+      (1L, 26L, 27L), (2L, 5L, 6L)).toDF("k", "s", "e")
+    val out = TemporalOps.coalesceIntervals(df, "k", "s", "e")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(out === Set((1L, 0L, 20L, 20L, 2L), (1L, 25L, 30L, 5L, 2L),
+      (2L, 5L, 6L, 1L, 1L)))
+  }
+
+  test("coalesceIntervals: an earlier long interval swallows later short " +
+      "ones (running-max, not lag-previous, semantics)") {
+    // [0,100] then [5,10], [20,30], [40,41]: lag-based islanding would
+    // split at 20 (20 > previous end 10); running max 100 keeps one.
+    val df = Seq((1L, 0L, 100L), (1L, 5L, 10L), (1L, 20L, 30L),
+      (1L, 40L, 41L)).toDF("k", "s", "e")
+    val out = TemporalOps.coalesceIntervals(df, "k", "s", "e").collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(5)) ==
+      ((0L, 100L, 4L)))
+  }
+
+  test("coalesceIntervals drops degenerate intervals and is " +
+      "partitioning-invariant (exact-tie duplicates included)") {
+    val rows = Seq((1L, 3L, 8L), (1L, 3L, 8L), (1L, 8L, 12L),
+      (1L, 50L, 40L), (1L, 20L, 25L)) // (50,40) inverted → dropped
+    val a = TemporalOps.coalesceIntervals(
+      rows.toDF("k", "s", "e").repartition(7), "k", "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val b = TemporalOps.coalesceIntervals(
+      rows.toDF("k", "s", "e").coalesce(1), "k", "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(a === b)
+    assert(a === Set((1L, 3L, 12L, 9L, 3L), (2L, 20L, 25L, 5L, 1L)))
+  }
+
+  test("coalesceIntervals plans one exchange: both windows and the " +
+      "rollup share the key partitioning") {
+    val df = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val plan = TemporalOps.coalesceIntervals(df, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
