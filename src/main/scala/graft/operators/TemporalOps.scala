@@ -201,6 +201,50 @@ object TemporalOps {
   }
 
   /**
+   * Time-weighted average — the TWAP/telemetry-mean primitive: each
+   * observation holds its value until the key's next observation, and
+   * the key's average weighs each value by how long it held, not by how
+   * often it was sampled (an idle vehicle reporting once an hour and a
+   * busy one reporting every second get comparable means; a plain AVG
+   * would be dominated by the chatty key's samples).
+   *
+   * Semantics: per key, order observations by (t, tie); segment i spans
+   * [t_i, t_{i+1}) carrying v_i; the last observation spans nothing and
+   * is dropped (its holding time is unknown — inventing one would be a
+   * policy, not a measurement). Output per key: twa = ⌊Σ v_i·dur_i /
+   * Σ dur_i⌋ in v's own fixed-point unit, the covered span, and the
+   * segment count. Keys whose observations all share one timestamp have
+   * zero span and are dropped (0/0 is not an average). Division is
+   * truncation-toward-zero in BOTH engines (Spark decimal `div`, DuckDB
+   * `//` — verified identical), so negative-valued inputs stay
+   * cross-engine exact too; for v ≥ 0 truncation IS floor.
+   *
+   * Scale shape: the lead window and the per-key aggregate share ONE
+   * hash exchange on the key (same partitioning, AQE reuses it); only
+   * (key, t, tie, v) rows move. The v·dur products sum in decimal128 —
+   * a long sum wraps at 9.2e18, which a 5e17-per-segment product
+   * reaches after ~18 segments.
+   */
+  def timeWeightedAvg(df: DataFrame, key: String, tCol: String,
+      tieCol: String, vCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tie"))
+    df.select(col(key), col(tCol).cast("long").as("__t"),
+        col(tieCol).as("__tie"), col(vCol).cast("long").as("__v"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
+      .withColumn("__dur", lead(col("__t"), 1).over(w) - col("__t"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col(key))
+      .agg(sum(col("__v").cast("decimal(38,0)") * col("__dur")).as("__num"),
+        sum(col("__dur")).as("__den"),
+        count(lit(1)).as("n_seg"))
+      .filter(col("__den") > 0)
+      .select(col(key),
+        expr("cast(__num div cast(__den as decimal(38,0)) as bigint)")
+          .as("twa"),
+        col("__den").as("span"), col("n_seg"))
+  }
+
+  /**
    * Cohort retention analysis — the "did week-N's new users come back in
    * week N+k" triangle every product/telemetry warehouse maintains, and
    * the acquisition-quality readout for a corpus whose rows carry a user

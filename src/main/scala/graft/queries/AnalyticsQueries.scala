@@ -890,6 +890,43 @@ object AnalyticsQueries {
           min(s) AS island_start, max(e) AS island_end,
           max(e) - min(s) AS covered, CAST(count(*) AS BIGINT) AS n_intervals
         FROM h GROUP BY user_id, island
-        ORDER BY user_id, island_start"""))
+        ORDER BY user_id, island_start""")),
+
+    // ------------------------------------------------------------------
+    // q117 — time-weighted average (TemporalOps.timeWeightedAvg): each
+    // event's value holds until the user's next event; the per-user
+    // mean weighs by holding time, not sample count (the idle-vs-chatty
+    // key correction every telemetry warehouse needs). value rides as
+    // integer 1e-4-dollar units (house cents discipline), products sum
+    // in decimal128 (a long wraps after ~18 segments here), and the
+    // truncating decimal div matches DuckDB's // exactly. One keyed
+    // exchange serves the lead window and the aggregate.
+    // ------------------------------------------------------------------
+    "q117_time_weighted_avg" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          col("event_id"),
+          expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)")
+            .as("v_e4"))
+        TemporalOps.timeWeightedAvg(ev, "user_id", "t_us", "event_id", "v_e4")
+          .withColumnRenamed("twa", "twap_e4")
+          .withColumnRenamed("span", "span_us")
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT user_id, epoch_us(ts) AS t, event_id AS tie,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+          FROM events),
+        d AS (SELECT user_id, v,
+            lead(t) OVER (PARTITION BY user_id ORDER BY t, tie) - t AS dur
+          FROM s),
+        g AS (SELECT user_id, sum(CAST(v AS HUGEINT) * dur) AS num,
+            sum(dur) AS den, count(*) AS n_seg
+          FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+        SELECT user_id, CAST(num // den AS BIGINT) AS twap_e4,
+          CAST(den AS BIGINT) AS span_us, CAST(n_seg AS BIGINT) AS n_seg
+        FROM g WHERE den > 0 ORDER BY user_id"""))
   )
 }

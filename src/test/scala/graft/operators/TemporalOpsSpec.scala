@@ -236,6 +236,45 @@ class TemporalOpsSpec extends SparkSuite {
     assert(a === Set((1L, 3L, 12L, 9L, 3L), (2L, 20L, 25L, 5L, 1L)))
   }
 
+  test("timeWeightedAvg weighs by holding time, drops the last segment, " +
+      "truncates toward zero") {
+    // key 1: v=10 holds 10us, v=30 holds 10us → twa 20; final obs dropped.
+    // key 2: v=7 holds 3us, v=1 holds 1us → (21+1)/4 = 5 (trunc of 5.5).
+    val df = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 30L), (1L, 20L, 3L, 99L),
+      (2L, 0L, 1L, 7L), (2L, 3L, 2L, 1L), (2L, 4L, 3L, 0L))
+      .toDF("k", "t", "tie", "v")
+    val got = TemporalOps.timeWeightedAvg(df, "k", "t", "tie", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> ((20L, 20L, 2L)), 2L -> ((5L, 4L, 2L))))
+  }
+
+  test("timeWeightedAvg drops single-observation and zero-span keys " +
+      "instead of emitting a 0/0 average") {
+    val df = Seq((1L, 5L, 1L, 42L), // single obs: no segment
+      (2L, 7L, 1L, 10L), (2L, 7L, 2L, 20L)) // all tied: span 0
+      .toDF("k", "t", "tie", "v")
+    assert(TemporalOps.timeWeightedAvg(df, "k", "t", "tie", "v").count() === 0)
+  }
+
+  test("timeWeightedAvg: negative values stay cross-engine exact " +
+      "(truncation toward zero, matching DuckDB //)") {
+    // (-10*3 + -1*1) / 4 = -31/4 → trunc -7 (floor would give -8).
+    val df = Seq((1L, 0L, 1L, -10L), (1L, 3L, 2L, -1L), (1L, 4L, 3L, 0L))
+      .toDF("k", "t", "tie", "v")
+    val got = TemporalOps.timeWeightedAvg(df, "k", "t", "tie", "v").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((-7L, 4L, 2L)))
+  }
+
+  test("timeWeightedAvg plans one exchange: lead window and aggregate " +
+      "share the key partitioning") {
+    val df = Seq((1L, 0L, 1L, 10L), (1L, 5L, 2L, 20L)).toDF("k", "t", "tie", "v")
+    val plan = TemporalOps.timeWeightedAvg(df, "k", "t", "tie", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1, plan)
+  }
+
   test("coalesceIntervals plans one exchange: both windows and the " +
       "rollup share the key partitioning") {
     val df = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
