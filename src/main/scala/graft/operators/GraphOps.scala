@@ -196,6 +196,63 @@ object GraphOps {
       .select(col("node"), coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
   }
 
+  /**
+   * Multi-source BFS hop distances — "how many recommendation hops from
+   * any seed product", "how far is this doc from a known-bad dup
+   * cluster": the graph-proximity feature a curation pipeline joins
+   * back onto the corpus. Seeds not present in the graph are ignored
+   * (there is nothing to walk from); nodes unreached within `maxHops`
+   * report -1 (a sentinel the downstream filter can index, vs a null
+   * that silently drops in comparisons).
+   *
+   * Frontier iteration, the [[connectedComponents]] discipline: each
+   * round joins the CURRENT frontier (not the accumulated set) against
+   * the edge list, anti-joins already-labeled nodes away, and labels
+   * survivors with the round number — so a node's label is its first
+   * (= minimum) hop count by construction, no min-agg needed. Work per
+   * round is O(frontier-adjacent edges); only (node) and (node, hop)
+   * longs shuffle; the edge list is materialized once and reused every
+   * round; frontier and accumulator are localCheckpoint'ed per round so
+   * plan depth stays O(1) instead of O(maxHops). Rounds stop early the
+   * moment a frontier comes back empty (the `isEmpty` probe is one
+   * scalar to the driver — it never collects row data).
+   */
+  def bfsDistances(pairs: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    val und = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val edges = und
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node")).distinct()
+    var dist = seeds
+      .select(col(seedCol).cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"))
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist.select("node")
+    var h = 1
+    var exhausted = frontier.isEmpty
+    while (h <= maxHops && !exhausted) {
+      val next = frontier
+        .join(edges, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next.select("node")
+      }
+      h += 1
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hops"), lit(-1L)).as("hops"))
+  }
+
   /** Fixed-point PageRank scale: ranks are longs in units of 1e-9. */
   val PageRankScale = 1000000000L
 

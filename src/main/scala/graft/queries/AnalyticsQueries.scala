@@ -57,6 +57,10 @@ object AnalyticsQueries {
     * a real mix of merged islands and gaps at every SF). */
   val IslandHourUs = 3600L * 1000000L
 
+  /** q118 BFS: every 97th part seeds the walk; 3 hops of co-purchase
+    * proximity (beyond 3 the dense basket graph saturates anyway). */
+  val BfsSeedMod = 97L; val BfsMaxHops = 3
+
   /** q103 success threshold: value ≥ $50 in cents. */
   val ChiSuccessCents = 500000L
 
@@ -927,6 +931,48 @@ object AnalyticsQueries {
           FROM d WHERE dur IS NOT NULL GROUP BY user_id)
         SELECT user_id, CAST(num // den AS BIGINT) AS twap_e4,
           CAST(den AS BIGINT) AS span_us, CAST(n_seg AS BIGINT) AS n_seg
-        FROM g WHERE den > 0 ORDER BY user_id"""))
+        FROM g WHERE den > 0 ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // q118 — multi-source BFS hop distances (GraphOps.bfsDistances):
+    // "how many co-purchase hops from any seed product" — the
+    // graph-proximity feature joined back onto a catalog/corpus (and on
+    // a dup-candidate graph: distance from a known-bad cluster). Every
+    // 97th part seeds; 3 frontier rounds of join+anti-join move only
+    // (node, hop) longs; unreached nodes report -1. Oracle: DuckDB
+    // recursive CTE bounded by the same hop cap, min-hop per node.
+    // ------------------------------------------------------------------
+    "q118_bfs_hops" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        val seeds = part(s, d)
+          .filter(col("p_partkey") % BfsSeedMod === 0)
+          .select(col("p_partkey"))
+        graft.operators.GraphOps
+          .bfsDistances(pairs, "u", "v", seeds, "p_partkey", BfsMaxHops)
+          .orderBy("node")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        seeds AS (SELECT p_partkey AS n FROM part
+          WHERE p_partkey % $BfsSeedMod = 0),
+        reach(n, d) AS (
+          SELECT s.n, 0 FROM seeds s JOIN nodes x ON x.n = s.n
+          UNION
+          SELECT e.v, r.d + 1 FROM reach r JOIN edges e ON e.u = r.n
+          WHERE r.d < $BfsMaxHops),
+        m AS (SELECT n, min(d) AS d FROM reach GROUP BY n)
+        SELECT nodes.n AS node, CAST(coalesce(m.d, -1) AS BIGINT) AS hops
+        FROM nodes LEFT JOIN m ON m.n = nodes.n ORDER BY node"""))
   )
 }

@@ -128,6 +128,43 @@ class GraphOpsSpec extends SparkSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 0L, 11L -> 0L))
   }
 
+  test("bfsDistances: path graph hops from one seed, -1 beyond the cap") {
+    // 1-2-3-4-5 path, seed 1, maxHops 2: 4 and 5 unreached.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("s")
+    val got = GraphOps.bfsDistances(pairs, "a", "b", seeds, "s", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> -1L, 5L -> -1L))
+  }
+
+  test("bfsDistances: multiple seeds take the minimum hop; a seed absent " +
+      "from the graph is ignored") {
+    // path 1-2-3-4-5 with seeds {1, 5, 99}: node 3 is 2 hops from both.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L, 5L, 99L).toDF("s")
+    val got = GraphOps.bfsDistances(pairs, "a", "b", seeds, "s", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    assert(!got.contains(99L))
+  }
+
+  test("bfsDistances stops early on an exhausted frontier and labels a " +
+      "disconnected component -1 (reversed/duplicate edges welcome)") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L), (7L, 8L)).toDF("a", "b")
+    val seeds = Seq(2L).toDF("s")
+    val got = GraphOps.bfsDistances(pairs, "a", "b", seeds, "s", 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 0L, 7L -> -1L, 8L -> -1L))
+  }
+
+  test("bfsDistances with no surviving seeds returns every node at -1") {
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val seeds = Seq(42L).toDF("s")
+    val got = GraphOps.bfsDistances(pairs, "a", "b", seeds, "s", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> -1L, 2L -> -1L))
+  }
+
   test("triangleCounts: a 4-cycle is triangle-free (wedges exist, none close)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
     val got = GraphOps.triangleCounts(pairs, "a", "b")
