@@ -383,4 +383,58 @@ object StatsOps {
         expr("""1000000 - (cast(sum_sq as decimal(38,0)) * 1000000)
           div (cast(n_rows as decimal(38,0)) * n_rows)""").as("gini_ppm"))
   }
+
+  /**
+   * RFM (recency / frequency / monetary) segmentation — the behavioral
+   * quartile code every customer/vehicle warehouse derives ("411 =
+   * recent but rare and cheap"), and a stratification key for sampling
+   * a corpus by contributor activity. Tile 1 is best on every axis
+   * (most recent, most frequent, highest spend); `rfm_code` = r·100 +
+   * f·10 + m.
+   *
+   * Determinism: every ntile orders by (metric, entity id) — a total
+   * order, so tile boundaries are identical across engines and
+   * partitionings (the q99 equi-depth discipline). Recency is measured
+   * from a caller-supplied `asOfMs` reference stamp: "as of when" is an
+   * INPUT of an RFM report, not a property of the data — and passing it
+   * as a literal keeps the plan single-consumer (deriving it as
+   * max(last_ms) would either re-aggregate the fact for a 1-row
+   * broadcast or force a global window; an earlier draft paid exactly
+   * that third exchange). Truncating `div` = floor since asOfMs must
+   * be ≥ every activity stamp (violations would produce negative
+   * recency with truncation ≠ floor — callers date reports after the
+   * data they cover).
+   *
+   * Scale shape: the per-entity rollup is one map-side-combined
+   * aggregate on (segment, entity); the three quartile windows share
+   * ONE (segment)-keyed exchange over the AGGREGATED frame (entities,
+   * not transactions — three sorts, one shuffle; asserted in the
+   * spec). Windows are partitioned by segment — there is no global
+   * single-partition sort anywhere.
+   *
+   * Input: transaction rows projected to (segCol, idCol, tMs — epoch
+   * millis long, amtCol — integer fixed-point). Output: one row per
+   * (segment, entity) with raw metrics, per-axis tiles, and the code.
+   */
+  def rfmSegments(tx: DataFrame, segCol: String, idCol: String,
+      tMsCol: String, amtCol: String, tiles: Int, asOfMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tiles > 0)
+    val per = tx.groupBy(col(segCol).as("seg"), col(idCol).as("entity"))
+      .agg(max(col(tMsCol)).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        sum(col(amtCol)).as("monetary"))
+    val wR = Window.partitionBy("seg").orderBy(col("recency_days"), col("entity"))
+    val wF = Window.partitionBy("seg").orderBy(col("frequency").desc, col("entity"))
+    val wM = Window.partitionBy("seg").orderBy(col("monetary").desc, col("entity"))
+    per
+      .withColumn("recency_days",
+        expr(s"($asOfMs - last_ms) div 86400000"))
+      .withColumn("r", ntile(tiles).over(wR).cast("long"))
+      .withColumn("f", ntile(tiles).over(wF).cast("long"))
+      .withColumn("m", ntile(tiles).over(wM).cast("long"))
+      .select(col("seg"), col("entity"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
+  }
 }

@@ -61,6 +61,10 @@ object AnalyticsQueries {
     * proximity (beyond 3 the dense basket graph saturates anyway). */
   val BfsSeedMod = 97L; val BfsMaxHops = 3
 
+  /** q119 RFM quartiles; report dated 2002-01-01 UTC (after the last
+    * 2001-08-01 order at every SF, so recency is nonnegative). */
+  val RfmTiles = 4; val RfmAsOfMs = 1009843200000L
+
   /** q103 success threshold: value ≥ $50 in cents. */
   val ChiSuccessCents = 500000L
 
@@ -973,6 +977,56 @@ object AnalyticsQueries {
           WHERE r.d < $BfsMaxHops),
         m AS (SELECT n, min(d) AS d FROM reach GROUP BY n)
         SELECT nodes.n AS node, CAST(coalesce(m.d, -1) AS BIGINT) AS hops
-        FROM nodes LEFT JOIN m ON m.n = nodes.n ORDER BY node"""))
+        FROM nodes LEFT JOIN m ON m.n = nodes.n ORDER BY node""")),
+
+    // ------------------------------------------------------------------
+    // q119 — RFM segmentation (StatsOps.rfmSegments): per-mktsegment
+    // recency/frequency/monetary quartiles over the orders fact, tile 1
+    // best on each axis, code = r·100+f·10+m. Quartile windows are
+    // partitioned by segment (no global single-partition sort) and
+    // totally ordered by (metric, custkey) so boundaries are
+    // cross-engine exact; the as-of reference date is a report INPUT
+    // (a literal — no fact re-aggregation for a 1-row broadcast).
+    // Monetary rides as integer 1e-4-dollar units.
+    // ------------------------------------------------------------------
+    "q119_rfm_segments" -> GraftQuery(
+      build = (s, d) => {
+        val tx = orders(s, d)
+          .join(customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("o_custkey"),
+            expr("unix_millis(cast(o_orderdate as timestamp))").as("t_ms"),
+            expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+              .as("amt_e4"))
+        StatsOps.rfmSegments(tx, "seg", "o_custkey", "t_ms", "amt_e4",
+            RfmTiles, RfmAsOfMs)
+          .withColumnRenamed("entity", "custkey")
+          .withColumnRenamed("monetary", "monetary_e4")
+          .orderBy("seg", "custkey")
+      },
+      oracle = Some(s"""
+        WITH tx AS (SELECT c_mktsegment AS seg, o_custkey AS custkey,
+            epoch_ms(o_orderdate) AS t,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS amt
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        per AS (SELECT seg, custkey, max(t) AS last_ms,
+            count(*) AS frequency, sum(amt) AS monetary
+          FROM tx GROUP BY seg, custkey),
+        m0 AS (SELECT seg, custkey,
+            ($RfmAsOfMs - last_ms) // 86400000 AS recency_days,
+            frequency, monetary FROM per),
+        t AS (SELECT seg, custkey, recency_days, frequency, monetary,
+            ntile($RfmTiles) OVER (PARTITION BY seg
+              ORDER BY recency_days, custkey) AS r,
+            ntile($RfmTiles) OVER (PARTITION BY seg
+              ORDER BY frequency DESC, custkey) AS f,
+            ntile($RfmTiles) OVER (PARTITION BY seg
+              ORDER BY monetary DESC, custkey) AS m
+          FROM m0)
+        SELECT seg, custkey, CAST(recency_days AS BIGINT) AS recency_days,
+          CAST(frequency AS BIGINT) AS frequency,
+          CAST(monetary AS BIGINT) AS monetary_e4,
+          CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code
+        FROM t ORDER BY seg, custkey"""))
   )
 }

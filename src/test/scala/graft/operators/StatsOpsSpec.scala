@@ -323,4 +323,46 @@ class StatsOpsSpec extends SparkSuite {
       .collect()(0)
     assert(r.getLong(0) === 1000000L)
   }
+
+  test("rfmSegments: quartile tiles on a hand-built roster, tile 1 best " +
+      "on every axis") {
+    val day = 86400000L
+    // entity k: last day 100-(k-1), k tx of amount 10k each (k=4..1 best→worst)
+    val tx = (1 to 4).flatMap { k =>
+      (1 to 5 - k).map(i => ("A", k.toLong, (101 - k) * day, (5 - k) * 10L))
+    }.toDF("seg", "id", "t", "amt")
+    val got = StatsOps.rfmSegments(tx, "seg", "id", "t", "amt", 4, 100 * day)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) === ((0L, 4L, 160L, 111L)))
+    assert(got(2L) === ((1L, 3L, 90L, 222L)))
+    assert(got(3L) === ((2L, 2L, 40L, 333L)))
+    assert(got(4L) === ((3L, 1L, 10L, 444L)))
+  }
+
+  test("rfmSegments: full metric ties break by entity id and the result " +
+      "is partitioning-invariant; segments tile independently") {
+    val tx = Seq(("A", 1L, 1000L, 50L), ("A", 2L, 1000L, 50L),
+      ("B", 9L, 2000L, 10L), ("B", 8L, 2000L, 10L))
+      .toDF("seg", "id", "t", "amt")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.rfmSegments(df, "seg", "id", "t", "amt", 2, 2000L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val a = run(tx.repartition(7))
+    val b = run(tx.coalesce(1))
+    assert(a === b)
+    // identical metrics: the id order decides tile 1 vs 2, per segment
+    assert(a(("A", 1L)) === 111L && a(("A", 2L)) === 222L)
+    assert(a(("B", 8L)) === 111L && a(("B", 9L)) === 222L)
+  }
+
+  test("rfmSegments plans the three quartile windows on one segment " +
+      "exchange over the aggregated frame (two hash exchanges total)") {
+    val tx = Seq(("A", 1L, 1000L, 50L), ("A", 2L, 2000L, 60L))
+      .toDF("seg", "id", "t", "amt")
+    val plan = StatsOps.rfmSegments(tx, "seg", "id", "t", "amt", 4, 2000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 2, plan)
+  }
 }
