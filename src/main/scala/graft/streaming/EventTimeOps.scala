@@ -125,4 +125,54 @@ object EventTimeOps {
         col("unique_vehicle_id"),
         col("n"), col("open"), col("high"), col("low"), col("close"),
         col("total"))
+
+  /**
+   * Streaming twin of `TemporalOps.coalesceIntervals` (q116): live
+   * gaps-and-islands — "is this vehicle's current service span still
+   * open, and what has it covered so far" — via DYNAMIC-GAP session
+   * windows. Each interval [s, e] enters as an event at `s` with gap
+   * (e − s) + 1 µs, making its session window [s, e + 1 µs); two
+   * windows merge iff s₂ < e₁ + 1 µs ⇔ s₂ ≤ e₁ — exactly the batch
+   * operator's closed-interval touch-or-overlap merge. Spark merges
+   * session state across micro-batches and keys, so islanding needs no
+   * custom state: state is open sessions per key (watermark-evicted),
+   * never stream history.
+   *
+   * The island bounds come from plain min/max aggregates over the
+   * merged members — NOT from the session_window struct (whose end is
+   * max(e)+1 µs by the gap construction; deriving bounds from member
+   * aggregates keeps the emitted row identical to the batch twin's
+   * bit-for-bit, which `StreamIslandsSpec` asserts). Degenerate
+   * intervals (e < s, null start) are dropped as in batch. The gap
+   * seconds ride a decimal cast (a double gap would round past 2⁵²
+   * µs); emission is append-mode once the watermark passes session
+   * close.
+   *
+   * Input: (key, startTs — TIMESTAMP event time, endUs — epoch-micros
+   * long). Output per closed island: (key, island_start, island_end,
+   * covered, n_intervals) in epoch micros — the batch twin's columns
+   * minus the running island ordinal (a cross-history ordinal is not
+   * computable from bounded state; consumers key islands by start).
+   */
+  def intervalIslands(intervals: DataFrame, key: String, startTs: String,
+      endUs: String, watermarkDelay: String = "2 minutes"): DataFrame =
+    intervals
+      .filter(col(startTs).isNotNull &&
+        col(endUs) >= unix_micros(col(startTs)))
+      .withWatermark(startTs, watermarkDelay)
+      .groupBy(
+        // session_window's dynamic gap must be CalendarIntervalType
+        // (make_interval), not DayTimeIntervalType (make_dt_interval) —
+        // the analyzer rejects the latter
+        session_window(col(startTs),
+          expr(s"make_interval(0, 0, 0, 0, 0, 0, " +
+            s"cast(cast(($endUs - unix_micros($startTs) + 1) as decimal(24,0))" +
+            s" / 1000000 as decimal(18,6)))")),
+        col(key))
+      .agg(min(unix_micros(col(startTs))).as("island_start"),
+        max(col(endUs)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(key), col("island_start"), col("island_end"),
+        (col("island_end") - col("island_start")).as("covered"),
+        col("n_intervals"))
 }
