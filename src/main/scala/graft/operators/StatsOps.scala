@@ -437,4 +437,65 @@ object StatsOps {
         col("frequency"), col("monetary"),
         (col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
   }
+
+  /**
+   * Kaplan-Meier survival curve in exact ppm — the churn/retention
+   * readout ("what fraction of users survive past t, given censoring")
+   * that a plain retention ratio gets wrong the moment observation
+   * windows differ per subject: censored subjects leave the risk set
+   * without counting as churn.
+   *
+   * THE ESTIMATOR IS DEFINED in sequential integer fixed-point: at each
+   * death time t_k (ascending), S_k = ⌊S_{k−1}·(r_k − d_k) / r_k⌋ with
+   * S_0 = 1,000,000 — flooring at every step, not once at the end, so
+   * both engines walk the identical lattice (the q104 chi-square
+   * discipline applied to a RECURRENCE; the float KM product is
+   * order-sensitive). Each step under-counts true KM by < 1e-6·steps.
+   * The fold is sequential by nature (non-associative flooring), so it
+   * runs as an `aggregate` HOF over the cohort's death-time array —
+   * CodegenFallback, but over |death times| rows per cohort (bounded by
+   * the duration grid, ~10³), NEVER over subjects.
+   *
+   * Scale shape: subjects aggregate to (cohort, duration) counts first
+   * (map-side combined — the 10⁹-subject table shuffles |cohorts×grid|
+   * rows); the risk set r_k = n − Σ_{t<t_k} leavers comes from the two
+   * windows sharing one cohort-keyed exchange; only death times enter
+   * the fold array. Requires durations ≥ 0 (the -1 fold seed is a
+   * sentinel below any real step).
+   *
+   * Input: one row per subject — (cohortCol, durCol integral duration
+   * bucket, eventCol 1 = event observed / 0 = censored). Output: one
+   * row per (cohort, death time): (cohort, t, n_risk, n_death,
+   * surv_ppm), the step function S(t).
+   */
+  def kmSurvival(subjects: DataFrame, cohortCol: String, durCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDur = subjects
+      .groupBy(col(cohortCol).as("cohort"), col(durCol).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(col(eventCol).cast("long")).as("d"))
+    val wTot = Window.partitionBy("cohort")
+    val wPrev = Window.partitionBy("cohort").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val curve = byDur
+      .withColumn("r",
+        sum(col("n_all")).over(wTot) -
+          coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .groupBy("cohort")
+      .agg(array_sort(collect_list(struct(col("t"), col("r"), col("d"))))
+        .as("steps"))
+      .select(col("cohort"), explode(expr(
+        """filter(
+             aggregate(steps,
+               array(named_struct('t', -1L, 'r', 1L, 'd', 0L, 's', 1000000L)),
+               (acc, x) -> acc || array(named_struct(
+                 't', x.t, 'r', x.r, 'd', x.d,
+                 's', (element_at(acc, -1).s * (x.r - x.d)) div x.r))),
+             a -> a.t >= 0L)""")).as("step"))
+    curve.select(col("cohort"), col("step.t").as("t"),
+      col("step.r").as("n_risk"), col("step.d").as("n_death"),
+      col("step.s").as("surv_ppm"))
+  }
 }

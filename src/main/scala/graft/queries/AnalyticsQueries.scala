@@ -65,6 +65,15 @@ object AnalyticsQueries {
     * 2001-08-01 order at every SF, so recency is nonnegative). */
   val RfmTiles = 4; val RfmAsOfMs = 1009843200000L
 
+  /** q120 KM survival: study closes 2024-01-31T00:00Z; a user whose
+    * last event is >24 h before close churned (event=1), else censored;
+    * durations on an hourly grid; cohorts = user_id mod 3 (synthetic
+    * arms — the estimator is cohort-generic). */
+  val KmStudyEndUs = 1706659200000000L
+  val KmChurnHorizonUs = 86400000000L
+  val KmHourUs = 3600000000L
+  val KmCohortMod = 3L
+
   /** q103 success threshold: value ≥ $50 in cents. */
   val ChiSuccessCents = 500000L
 
@@ -1027,6 +1036,59 @@ object AnalyticsQueries {
           CAST(frequency AS BIGINT) AS frequency,
           CAST(monetary AS BIGINT) AS monetary_e4,
           CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code
-        FROM t ORDER BY seg, custkey"""))
+        FROM t ORDER BY seg, custkey""")),
+
+    // ------------------------------------------------------------------
+    // q120 — Kaplan-Meier churn survival (StatsOps.kmSurvival): per
+    // cohort, the fraction of users surviving past each tenure hour
+    // given right-censoring (users still active at study close leave
+    // the risk set without counting as churn — the error a plain
+    // retention ratio makes). The estimator IS DEFINED as the
+    // sequential ppm-floored recurrence S_k = floor(S_{k-1}(r_k-d_k)/
+    // r_k), so the Spark HOF fold and the DuckDB recursive CTE walk the
+    // identical integer lattice.
+    // ------------------------------------------------------------------
+    "q120_km_survival" -> GraftQuery(
+      build = (s, d) => {
+        val subj = events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("t_us"))
+          .groupBy("user_id")
+          .agg(min("t_us").as("first_us"), max("t_us").as("last_us"))
+          .select(
+            (col("user_id") % KmCohortMod).as("cohort"),
+            expr(s"(last_us - first_us) div $KmHourUs").as("dur_h"),
+            when(col("last_us") < KmStudyEndUs - KmChurnHorizonUs, 1L)
+              .otherwise(0L).as("ev"))
+        StatsOps.kmSurvival(subj, "cohort", "dur_h", "ev")
+          .withColumnRenamed("t", "t_hours")
+          .orderBy("cohort", "t_hours")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE subj AS (
+          SELECT user_id % $KmCohortMod AS cohort,
+            (max(epoch_us(ts)) - min(epoch_us(ts))) // $KmHourUs AS t,
+            CASE WHEN max(epoch_us(ts)) < ${KmStudyEndUs - KmChurnHorizonUs}
+              THEN 1 ELSE 0 END AS ev
+          FROM events GROUP BY user_id),
+        byd AS (SELECT cohort, t, count(*) AS n_all, sum(ev) AS d
+          FROM subj GROUP BY cohort, t),
+        r0 AS (SELECT cohort, t, d,
+            sum(n_all) OVER (PARTITION BY cohort) -
+              coalesce(sum(n_all) OVER (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+          FROM byd),
+        deaths AS (SELECT cohort, t, r, d,
+            row_number() OVER (PARTITION BY cohort ORDER BY t) AS rk
+          FROM r0 WHERE d > 0),
+        km(cohort, rk, t, r, d, s) AS (
+          SELECT cohort, rk, t, r, d, (1000000 * (r - d)) // r
+          FROM deaths WHERE rk = 1
+          UNION ALL
+          SELECT x.cohort, x.rk, x.t, x.r, x.d, (km.s * (x.r - x.d)) // x.r
+          FROM km JOIN deaths x
+            ON x.cohort = km.cohort AND x.rk = km.rk + 1)
+        SELECT cohort, t AS t_hours, CAST(r AS BIGINT) AS n_risk,
+          CAST(d AS BIGINT) AS n_death, CAST(s AS BIGINT) AS surv_ppm
+        FROM km ORDER BY cohort, t_hours"""))
   )
 }

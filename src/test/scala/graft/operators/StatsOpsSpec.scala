@@ -357,6 +357,53 @@ class StatsOpsSpec extends SparkSuite {
     assert(a(("B", 8L)) === 111L && a(("B", 9L)) === 222L)
   }
 
+  test("kmSurvival: the textbook curve — censored subjects leave the " +
+      "risk set without counting as churn") {
+    // durations (event): 1(d), 2(d), 3(c), 4(d), 5(c) → steps at 1,2,4:
+    // S = 1e6·4/5 = 800000, ·3/4 = 600000, ·1/2 = 300000
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 0L),
+      ("a", 4L, 1L), ("a", 5L, 0L)).toDF("g", "dur", "ev")
+    val got = StatsOps.kmSurvival(df, "g", "dur", "ev")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 5L, 1L, 800000L), (2L, 4L, 1L, 600000L),
+      (4L, 2L, 1L, 300000L)))
+  }
+
+  test("kmSurvival floors at EVERY step (sequential lattice), handles " +
+      "tied deaths, and a censored-only cohort emits no curve") {
+    // cohort a: deaths at 1 and 2 among 3 → 666666 then 333333 (the
+    // end-floored float product would give 333333.33→ same here, but
+    // 666666·1/2 vs 1e6·2/3·1/2 differ in the last digit: per-step
+    // flooring is the DEFINED semantics both engines share).
+    // cohort b: two deaths tied at t=1 → one step, d=2.
+    // cohort c: all censored → no rows.
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 0L),
+      ("b", 1L, 1L), ("b", 1L, 1L), ("b", 2L, 0L),
+      ("c", 9L, 0L)).toDF("g", "dur", "ev")
+    val got = StatsOps.kmSurvival(df, "g", "dur", "ev")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === Set(("a", 1L, 3L, 1L, 666666L), ("a", 2L, 2L, 1L, 333333L),
+      ("b", 1L, 3L, 2L, 333333L)))
+  }
+
+  test("kmSurvival is partitioning-invariant and zero-duration deaths " +
+      "step at t=0 above the fold seed sentinel") {
+    val rows = Seq(("a", 0L, 1L), ("a", 5L, 1L), ("a", 7L, 0L),
+      ("a", 5L, 0L), ("a", 2L, 1L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.kmSurvival(df, "g", "dur", "ev").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val a = run(rows.toDF("g", "dur", "ev").repartition(7))
+    val b = run(rows.toDF("g", "dur", "ev").coalesce(1))
+    assert(a === b)
+    // n=5: t=0 r=5 d=1 → 800000; t=2 r=4 d=1 → 600000; t=5 r=3 d=1 → 400000
+    assert(a === Set((0L, 5L, 1L, 800000L), (2L, 4L, 1L, 600000L),
+      (5L, 3L, 1L, 400000L)))
+  }
+
   test("rfmSegments plans the three quartile windows on one segment " +
       "exchange over the aggregated frame (two hash exchanges total)") {
     val tx = Seq(("A", 1L, 1000L, 50L), ("A", 2L, 2000L, 60L))
