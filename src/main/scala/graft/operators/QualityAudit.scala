@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality constraint checks — the contract gate a
+ * warehouse runs before promoting a landed batch (and a training
+ * pipeline runs before trusting a corpus drop): completeness,
+ * key uniqueness, functional dependencies, referential integrity, and
+ * domain ranges, each reported as one uniform row
+ * (check_name, target, n_rows, n_violations, pass).
+ *
+ * Every check is an aggregate — the report is |checks| rows no matter
+ * the table size, and violating ROWS never leave the executors (a
+ * violation *sample* would be a separate, limit-bounded query; the gate
+ * decision needs only counts). Scale shapes per check:
+ *  - completeness / inRange: one map-side-combined scan aggregate, no
+ *    keyed shuffle at all (checks on the same table can share one scan
+ *    if composed manually; kept separate here for orthogonality —
+ *    distinct-based checks below cannot join them in one pass anyway,
+ *    the q80 multi-distinct Expand lesson);
+ *  - uniqueness / functionalDependency: two-phase over the key
+ *    ((key) then 1-row), both map-side combined — never a count
+ *    distinct in a single global aggregate;
+ *  - referentialOrphans: LEFT join against the parent's deduped keys
+ *    so total and orphan counts come from ONE pass (an anti-join would
+ *    need a second job for the total); null FKs are NOT orphans (SQL
+ *    semantics — a null reference is a completeness problem, reported
+ *    by that check, not a dangling one).
+ *
+ * Null-key conventions (documented because both engines must agree):
+ * uniqueness counts null-bearing keys as key values (struct equality);
+ * inRange counts nulls as violations (a null is not inside any range);
+ * functionalDependency counts a null dependent as a distinct value.
+ */
+object QualityAudit {
+
+  val Schema = Seq("check_name", "target", "n_rows", "n_violations", "pass")
+
+  private def row(check: String, target: String, nRows: Column,
+      nViol: Column): Seq[Column] =
+    Seq(lit(check).as("check_name"), lit(target).as("target"),
+      nRows.cast("long").as("n_rows"), nViol.cast("long").as("n_violations"),
+      (nViol === 0).cast("int").as("pass"))
+
+  /** Nulls in `c`: n_violations = rows where the column is null. */
+  def completeness(df: DataFrame, c: String, target: String): DataFrame =
+    df.agg(count(lit(1)).as("n"), count(col(c)).as("nn"))
+      .select(row("completeness", target, col("n"), col("n") - col("nn")): _*)
+
+  /** Duplicate keys: n_violations = rows beyond the first per key. */
+  def uniqueness(df: DataFrame, keys: Seq[String], target: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("nk"))
+      .select(row("uniqueness", target, col("n"), col("n") - col("nk")): _*)
+
+  /** A → B: n_rows = distinct determinants; n_violations = determinants
+    * mapping to more than one dependent value. */
+  def functionalDependency(df: DataFrame, det: String, dep: String,
+      target: String): DataFrame =
+    df.groupBy(col(det), col(dep)).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(det)).agg(count(lit(1)).as("ndep"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("viol"))
+      .select(row("functional_dependency", target, col("n"), col("viol")): _*)
+
+  /** FK ⊆ PK: n_violations = child rows with a non-null FK absent from
+    * the parent. One pass: LEFT join to the parent's deduped keys. */
+  def referentialOrphans(child: DataFrame, fk: String, parent: DataFrame,
+      pk: String, target: String): DataFrame =
+    child.select(col(fk).as("__fk"))
+      .join(parent.select(col(pk).as("__pk")).distinct(),
+        col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)).as("viol"))
+      .select(row("referential", target, col("n"), col("viol")): _*)
+
+  /** Domain range: n_violations = rows outside [lo, hi]; nulls violate
+    * (a null is not inside any range). */
+  def inRange(df: DataFrame, c: String, lo: Long, hi: Long,
+      target: String): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+      sum(when(col(c).between(lo, hi), 1L).otherwise(0L)).as("ok"))
+      .select(row("in_range", target, col("n"), col("n") - col("ok")): _*)
+}

@@ -74,6 +74,9 @@ object AnalyticsQueries {
   val KmHourUs = 3600000000L
   val KmCohortMod = 3L
 
+  /** q121 domain gate: event values live in [0, 500] dollars. */
+  val AuditValueLo = 0L; val AuditValueHi = 500L
+
   /** q103 success threshold: value ≥ $50 in cents. */
   val ChiSuccessCents = 500000L
 
@@ -1089,6 +1092,92 @@ object AnalyticsQueries {
             ON x.cohort = km.cohort AND x.rk = km.rk + 1)
         SELECT cohort, t AS t_hours, CAST(r AS BIGINT) AS n_risk,
           CAST(d AS BIGINT) AS n_death, CAST(s AS BIGINT) AS surv_ppm
-        FROM km ORDER BY cohort, t_hours"""))
+        FROM km ORDER BY cohort, t_hours""")),
+
+    // ------------------------------------------------------------------
+    // q121 — data-quality constraint audit (QualityAudit): the
+    // promote-gate report — completeness, key uniqueness (single and
+    // composite), functional dependencies (one that holds through a
+    // join, one that genuinely fails: an order spans suppliers),
+    // referential integrity, and a domain range — each ONE report row
+    // of counts; violating rows never leave the executors. Oracle
+    // recomputes every check definitionally.
+    // ------------------------------------------------------------------
+    "q121_quality_audit" -> GraftQuery(
+      build = (s, d) => {
+        import graft.operators.QualityAudit._
+        val li = lineitem(s, d); val ev = events(s, d)
+        val liOrders = li.join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        completeness(ev, "value", "events.value")
+          .unionAll(uniqueness(orders(s, d), Seq("o_orderkey"),
+            "orders.o_orderkey"))
+          .unionAll(uniqueness(li, Seq("l_orderkey", "l_partkey"),
+            "lineitem.(l_orderkey,l_partkey)"))
+          .unionAll(functionalDependency(li, "l_orderkey", "l_suppkey",
+            "lineitem: l_orderkey->l_suppkey"))
+          .unionAll(functionalDependency(liOrders, "l_orderkey", "o_custkey",
+            "lineitem*orders: l_orderkey->o_custkey"))
+          .unionAll(referentialOrphans(li, "l_partkey", part(s, d),
+            "p_partkey", "lineitem.l_partkey->part.p_partkey"))
+          .unionAll(inRange(ev, "value", AuditValueLo, AuditValueHi,
+            "events.value in [0,500]"))
+          .orderBy("check_name", "target")
+      },
+      oracle = Some(s"""
+        SELECT * FROM (
+          SELECT 'completeness' AS check_name, 'events.value' AS target,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) - count(value) AS BIGINT) AS n_violations,
+            CAST(count(*) - count(value) = 0 AS INT) AS pass
+          FROM events
+          UNION ALL
+          SELECT 'uniqueness', 'orders.o_orderkey',
+            CAST(sum(cnt) AS BIGINT), CAST(sum(cnt) - count(*) AS BIGINT),
+            CAST(sum(cnt) - count(*) = 0 AS INT)
+          FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+          UNION ALL
+          SELECT 'uniqueness', 'lineitem.(l_orderkey,l_partkey)',
+            CAST(sum(cnt) AS BIGINT), CAST(sum(cnt) - count(*) AS BIGINT),
+            CAST(sum(cnt) - count(*) = 0 AS INT)
+          FROM (SELECT count(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey, l_partkey)
+          UNION ALL
+          SELECT 'functional_dependency', 'lineitem: l_orderkey->l_suppkey',
+            CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS INT)
+          FROM (SELECT det, count(*) AS ndep FROM
+            (SELECT DISTINCT l_orderkey AS det, l_suppkey FROM lineitem)
+            GROUP BY det)
+          UNION ALL
+          SELECT 'functional_dependency',
+            'lineitem*orders: l_orderkey->o_custkey',
+            CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS INT)
+          FROM (SELECT det, count(*) AS ndep FROM
+            (SELECT DISTINCT l_orderkey AS det, o_custkey FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey)
+            GROUP BY det)
+          UNION ALL
+          SELECT 'referential', 'lineitem.l_partkey->part.p_partkey',
+            CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN fk IS NOT NULL AND pk IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN fk IS NOT NULL AND pk IS NULL
+              THEN 1 ELSE 0 END) = 0 AS INT)
+          FROM (SELECT l_partkey AS fk, p.p_partkey AS pk FROM lineitem
+            LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+              ON l_partkey = p_partkey)
+          UNION ALL
+          SELECT 'in_range', 'events.value in [0,500]',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) - sum(CASE WHEN value BETWEEN $AuditValueLo AND
+              $AuditValueHi THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(count(*) - sum(CASE WHEN value BETWEEN $AuditValueLo AND
+              $AuditValueHi THEN 1 ELSE 0 END) = 0 AS INT)
+          FROM events
+        ) ORDER BY check_name, target"""))
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class QualityAuditSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(df: org.apache.spark.sql.DataFrame): (Long, Long, Int) = {
+    val r = df.collect()(0)
+    (r.getLong(2), r.getLong(3), r.getInt(4))
+  }
+
+  test("completeness counts nulls; a clean column passes") {
+    val df = Seq(Some(1L), None, Some(3L), None).toDF("v")
+    assert(one(QualityAudit.completeness(df, "v", "t.v")) === ((4L, 2L, 0)))
+    val clean = Seq(1L, 2L).toDF("v")
+    assert(one(QualityAudit.completeness(clean, "v", "t.v")) === ((2L, 0L, 1)))
+  }
+
+  test("uniqueness: violations are rows beyond the first per key, " +
+      "composite keys and null-bearing keys included") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"))
+      .toDF("k1", "k2")
+    // single col: key 1 has 3 rows (2 extra), key 2 has 1 → 2 violations
+    assert(one(QualityAudit.uniqueness(df, Seq("k1"), "t")) === ((4L, 2L, 0)))
+    // composite: (1,a) twice → 1 violation
+    assert(one(QualityAudit.uniqueness(df, Seq("k1", "k2"), "t")) === ((4L, 1L, 0)))
+    val withNull = Seq((Option.empty[java.lang.Long], "x"),
+      (Option.empty[java.lang.Long], "x")).toDF("k1", "k2")
+    // the null-bearing key is a key value: duplicated once
+    assert(one(QualityAudit.uniqueness(withNull, Seq("k1", "k2"), "t")) ===
+      ((2L, 1L, 0)))
+  }
+
+  test("functionalDependency counts determinants with >1 dependent; " +
+      "a held FD passes; null dependents are distinct values") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "y"), (3L, "z"))
+      .toDF("a", "b")
+    // det 2 maps to {x, y} → 1 violating determinant of 3
+    assert(one(QualityAudit.functionalDependency(df, "a", "b", "t")) ===
+      ((3L, 1L, 0)))
+    val held = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("a", "b")
+    assert(one(QualityAudit.functionalDependency(held, "a", "b", "t")) ===
+      ((2L, 0L, 1)))
+    val nulls = Seq((1L, Some("x")), (1L, Option.empty[String])).toDF("a", "b")
+    assert(one(QualityAudit.functionalDependency(nulls, "a", "b", "t")) ===
+      ((1L, 1L, 0)))
+  }
+
+  test("referentialOrphans: non-null FKs missing from the parent violate; " +
+      "null FKs do not (they are a completeness concern)") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L, 3L).toDF("pk") // parent dups must not
+    val got = QualityAudit.referentialOrphans(child, "fk", parent, "pk", "t")
+    assert(one(got) === ((4L, 1L, 0))) // only fk=9 is an orphan
+    val ok = QualityAudit.referentialOrphans(
+      Seq(1L, 3L).toDF("fk"), "fk", parent, "pk", "t")
+    assert(one(ok) === ((2L, 0L, 1)))
+  }
+
+  test("inRange: out-of-range and null rows violate") {
+    val df = Seq(Some(0L), Some(500L), Some(501L), Some(-1L), None).toDF("v")
+    assert(one(QualityAudit.inRange(df, "v", 0L, 500L, "t")) === ((5L, 3L, 0)))
+  }
+
+  test("the audit report schema is uniform and union-ready") {
+    val df = Seq(1L).toDF("v")
+    val rep = QualityAudit.completeness(df, "v", "a")
+      .unionAll(QualityAudit.inRange(df, "v", 0L, 9L, "b"))
+    assert(rep.columns.toSeq === QualityAudit.Schema)
+    assert(rep.count() === 2L)
+  }
+}
