@@ -194,6 +194,41 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q116/q117/q120: the temporal operators prune the events scan " +
+      "to the columns they use (props and the rest stay in parquet)") {
+    def readSchemas(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf())
+        .queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f.metadata("ReadSchema") }
+    for (rs <- readSchemas("q116_interval_islands"))
+      assert(!rs.contains("props") && !rs.contains("event_type") &&
+        !rs.contains("value"), s"q116 reads dead columns: $rs")
+    for (rs <- readSchemas("q117_time_weighted_avg"))
+      assert(!rs.contains("props") && !rs.contains("event_type"),
+        s"q117 reads dead columns: $rs")
+    for (rs <- readSchemas("q120_km_survival"))
+      assert(!rs.contains("props") && !rs.contains("event_type") &&
+        !rs.contains("value") && !rs.contains("event_id"),
+        s"q120 reads dead columns: $rs")
+  }
+
+  test("q121: every audit check aggregates before reporting — no " +
+      "violating rows reach the final union, and the events scans are " +
+      "column-pruned") {
+    val q = SparkEntry.queries("q121_quality_audit")(spark, sf())
+    val plan = q.queryExecution.executedPlan.toString
+    // seven 1-row check frames union: the plan must be Aggregates over
+    // scans/joins — never a Sort of base-table rows feeding the union
+    assert(!plan.contains("CartesianProduct"), plan)
+    val eventsScans = q.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f.metadata("ReadSchema") }
+      .filter(_.contains("value"))
+    assert(eventsScans.nonEmpty)
+    for (rs <- eventsScans)
+      assert(!rs.contains("props") && !rs.contains("user_id"),
+        s"q121 events scan reads dead columns: $rs")
+  }
+
   test("q95: document chunking is shuffle-free past the requested " +
       "spread (pure per-row Generate — the scan-speed claim)") {
     val plan = SparkEntry.queries("q95_doc_chunking")(spark, sf())
