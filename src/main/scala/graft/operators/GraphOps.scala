@@ -168,6 +168,10 @@ object GraphOps {
       .select(least(a, b).as("u"), greatest(a, b).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
+      .localCheckpoint(true) // 3 consumers: deg (itself read 3×), both
+                             // orientation joins — without the pin the
+                             // pair-distinct shuffle re-runs for the
+                             // final zero-fill universe join too
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val oriented = e

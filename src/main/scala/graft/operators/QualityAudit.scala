@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
  * uniqueness counts null-bearing keys as key values (struct equality);
  * inRange counts nulls as violations (a null is not inside any range);
  * functionalDependency counts a null dependent as a distinct value.
+ * An EMPTY input reports (n_rows 0, n_violations 0, pass 1) from every
+ * check — the sums coalesce to zero so a gate consumer never reads a
+ * null count (an empty staged batch is vacuously clean; whether "no
+ * data" should itself fail the gate is a freshness check's job).
  */
 object QualityAudit {
 
@@ -52,7 +56,8 @@ object QualityAudit {
   /** Duplicate keys: n_violations = rows beyond the first per key. */
   def uniqueness(df: DataFrame, keys: Seq[String], target: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
-      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("nk"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        count(lit(1)).as("nk"))
       .select(row("uniqueness", target, col("n"), col("n") - col("nk")): _*)
 
   /** A → B: n_rows = distinct determinants; n_violations = determinants
@@ -62,7 +67,8 @@ object QualityAudit {
     df.groupBy(col(det), col(dep)).agg(count(lit(1)).as("cnt"))
       .groupBy(col(det)).agg(count(lit(1)).as("ndep"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("viol"))
+        coalesce(sum(when(col("ndep") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("viol"))
       .select(row("functional_dependency", target, col("n"), col("viol")): _*)
 
   /** FK ⊆ PK: n_violations = child rows with a non-null FK absent from
@@ -73,8 +79,8 @@ object QualityAudit {
       .join(parent.select(col(pk).as("__pk")).distinct(),
         col("__fk") === col("__pk"), "left")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
-          .otherwise(0L)).as("viol"))
+        coalesce(sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("viol"))
       .select(row("referential", target, col("n"), col("viol")): _*)
 
   /** Domain range: n_violations = rows outside [lo, hi]; nulls violate
@@ -82,6 +88,7 @@ object QualityAudit {
   def inRange(df: DataFrame, c: String, lo: Long, hi: Long,
       target: String): DataFrame =
     df.agg(count(lit(1)).as("n"),
-      sum(when(col(c).between(lo, hi), 1L).otherwise(0L)).as("ok"))
+      coalesce(sum(when(col(c).between(lo, hi), 1L).otherwise(0L)), lit(0L))
+        .as("ok"))
       .select(row("in_range", target, col("n"), col("n") - col("ok")): _*)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -16,6 +17,20 @@ import graft.operators.{MergeOps, StatsOps, TemporalOps}
  * aliases both sides.
  */
 object AnalyticsQueries {
+
+  /** The co-purchase part graph q115 (triangles) and q118 (BFS) both
+    * walk: parts linked when they share an order. ONE definition so the
+    * two queries can never drift onto different graphs (the oracle SQL
+    * duplicates it by the standalone-oracle contract). Bounded at
+    * C(max order size, 2) pairs per order. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x")
+      .join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v"))
+  }
 
   /** q75 version labels (strings — version metadata, not arithmetic). */
   val D0 = "2024-01-01"; val Eff = "2024-06-01"; val High = "9999-12-31"
@@ -837,13 +852,8 @@ object AnalyticsQueries {
     // ------------------------------------------------------------------
     "q115_triangle_count" -> GraftQuery(
       build = (s, d) => {
-        val li = lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x")
-          .join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("u"), col("y.pk").as("v"))
-        graft.operators.GraphOps.triangleCounts(pairs, "u", "v")
+        graft.operators.GraphOps
+          .triangleCounts(coPurchasePairs(s, d), "u", "v")
           .orderBy("node")
       },
       oracle = Some("""
@@ -938,7 +948,8 @@ object AnalyticsQueries {
       oracle = Some("""
         WITH s AS (SELECT user_id, epoch_us(ts) AS t, event_id AS tie,
             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
-          FROM events),
+          FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL),
         d AS (SELECT user_id, v,
             lead(t) OVER (PARTITION BY user_id ORDER BY t, tie) - t AS dur
           FROM s),
@@ -960,17 +971,12 @@ object AnalyticsQueries {
     // ------------------------------------------------------------------
     "q118_bfs_hops" -> GraftQuery(
       build = (s, d) => {
-        val li = lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x")
-          .join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("u"), col("y.pk").as("v"))
         val seeds = part(s, d)
           .filter(col("p_partkey") % BfsSeedMod === 0)
           .select(col("p_partkey"))
         graft.operators.GraphOps
-          .bfsDistances(pairs, "u", "v", seeds, "p_partkey", BfsMaxHops)
+          .bfsDistances(coPurchasePairs(s, d), "u", "v",
+            seeds, "p_partkey", BfsMaxHops)
           .orderBy("node")
       },
       oracle = Some(s"""

@@ -163,11 +163,14 @@ object EventTimeOps {
       .groupBy(
         // session_window's dynamic gap must be CalendarIntervalType
         // (make_interval), not DayTimeIntervalType (make_dt_interval) —
-        // the analyzer rejects the latter
+        // the analyzer rejects the latter; call_function keeps the
+        // caller's column names going through the resolver instead of
+        // being spliced into SQL text
         session_window(col(startTs),
-          expr(s"make_interval(0, 0, 0, 0, 0, 0, " +
-            s"cast(cast(($endUs - unix_micros($startTs) + 1) as decimal(24,0))" +
-            s" / 1000000 as decimal(18,6)))")),
+          call_function("make_interval",
+            lit(0), lit(0), lit(0), lit(0), lit(0), lit(0),
+            ((col(endUs) - unix_micros(col(startTs)) + 1)
+              .cast("decimal(24,0)") / lit(1000000)).cast("decimal(18,6)"))),
         col(key))
       .agg(min(unix_micros(col(startTs))).as("island_start"),
         max(col(endUs)).as("island_end"),

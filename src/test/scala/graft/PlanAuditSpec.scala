@@ -217,9 +217,23 @@ class PlanAuditSpec extends SparkSuite {
       "column-pruned") {
     val q = SparkEntry.queries("q121_quality_audit")(spark, sf())
     val plan = q.queryExecution.executedPlan.toString
-    // seven 1-row check frames union: the plan must be Aggregates over
-    // scans/joins — never a Sort of base-table rows feeding the union
     assert(!plan.contains("CartesianProduct"), plan)
+    // seven 1-row check frames union: every union child must TOP OUT in
+    // an Aggregate (modulo projections) — a check that fed base-table
+    // rows into the union would break the |checks|-row report contract
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate => LAgg, LogicalPlan, Project => LProject, Union => LUnion}
+    @annotation.tailrec
+    def topsInAggregate(p: LogicalPlan): Boolean = p match {
+      case _: LAgg => true
+      case pr: LProject => topsInAggregate(pr.child)
+      case _ => false
+    }
+    val union = q.queryExecution.optimizedPlan
+      .collectFirst { case u: LUnion => u }
+    assert(union.nonEmpty, q.queryExecution.optimizedPlan.toString)
+    for (child <- union.get.children)
+      assert(topsInAggregate(child), s"audit check is not 1-row:\n$child")
     val eventsScans = q.queryExecution.sparkPlan
       .collect { case f: FileSourceScanExec => f.metadata("ReadSchema") }
       .filter(_.contains("value"))

@@ -63,6 +63,18 @@ class QualityAuditSpec extends SparkSuite {
     assert(one(QualityAudit.inRange(df, "v", 0L, 500L, "t")) === ((5L, 3L, 0)))
   }
 
+  test("an empty input reports (0, 0, pass=1) from EVERY check — no " +
+      "null counts for a gate consumer to trip on") {
+    val e = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    val checks = Seq(
+      QualityAudit.completeness(e, "a", "t"),
+      QualityAudit.uniqueness(e, Seq("a", "b"), "t"),
+      QualityAudit.functionalDependency(e, "a", "b", "t"),
+      QualityAudit.referentialOrphans(e, "a", Seq(1L).toDF("pk"), "pk", "t"),
+      QualityAudit.inRange(e, "a", 0L, 9L, "t"))
+    for (c <- checks) assert(one(c) === ((0L, 0L, 1)), c.columns.mkString(","))
+  }
+
   test("the audit report schema is uniform and union-ready") {
     val df = Seq(1L).toDF("v")
     val rep = QualityAudit.completeness(df, "v", "a")

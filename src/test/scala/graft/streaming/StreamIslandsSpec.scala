@@ -56,12 +56,16 @@ class StreamIslandsSpec extends SparkSuite {
       "arriving across micro-batches and an early long interval " +
       "swallowing later short ones") {
     val in = tmp("isl_in_"); val out = tmp("isl_out_"); val ckpt = tmp("isl_ck_")
-    // Batch 1: key 1 opens [0,100] (the swallower) and a touching pair
-    // on key 2; batch 2 adds key-1 members INSIDE the open session
-    // ([5,10], [20,30]) plus a gapped island, and key 2's overlap.
-    val batch1 = Seq(iv(1, 0, 100), iv(2, 0, 10), iv(2, 10, 20))
+    // Batch 1: key 1 opens [0,100] (the swallower) and key 2 its first
+    // span — both STARTS at offset 0, so the 0-second watermark stays
+    // at base and every batch-2 interval (earliest start 5 s) is
+    // admitted with seconds of margin, not by the +1 µs gap knife-edge.
+    // Batch 2 adds key-1 members INSIDE the open session ([5,10],
+    // [20,30]) plus a gapped island, and key 2's touch + overlap.
+    val batch1 = Seq(iv(1, 0, 100), iv(2, 0, 10))
     val batch2 = Seq(iv(1, 5, 10), iv(1, 20, 30), iv(1, 200, 210),
-      iv(2, 15, 40), (3L, base, base - 1000000L)) // degenerate: dropped
+      iv(2, 10, 20), iv(2, 15, 40),
+      (3L, base, base - 1000000L)) // degenerate: dropped
     writeFile(in, batch1)
     runOnce(islandsStream(in), out, ckpt)
     writeFile(in, batch2)
