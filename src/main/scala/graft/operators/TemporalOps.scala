@@ -245,6 +245,42 @@ object TemporalOps {
   }
 
   /**
+   * First-order state-transition matrix — the path-analytics readout
+   * ("after a view, what happens next, how often") and the empirical
+   * Markov kernel behind journey modeling, next-event prediction
+   * features, and anomaly scoring of event sequences (a transition that
+   * is rare in the matrix is a suspicious hop).
+   *
+   * Semantics: per key, order events by (t, tie); every adjacent pair
+   * emits one (from, to) transition; each key's LAST event emits
+   * nothing (its successor is unobserved — inventing a terminal state
+   * would be a modeling choice, left to callers who can append sentinel
+   * rows). prob_ppm = ⌊10⁶·cnt / from_total⌋, so a from-state's row
+   * probabilities sum to ≤ 1e6 with the deficit < |to-states| µ.
+   *
+   * Scale shape: the lead window pays the one keyed exchange every
+   * sequence operator pays; transitions then aggregate map-side to
+   * ≤ |states|² rows, and the from_total window runs on THAT aggregated
+   * frame — per-key sequences never re-shuffle for the totals. All
+   * integer arithmetic.
+   */
+  def transitionMatrix(df: DataFrame, key: String, tCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tCol), col(tieCol))
+    val wFrom = Window.partitionBy("from_state")
+    df.select(col(key), col(tCol), col(tieCol),
+        col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("from_total", sum(col("cnt")).over(wFrom))
+      .select(col("from_state"), col("to_state"), col("cnt"),
+        col("from_total"),
+        expr("(cnt * 1000000) div from_total").as("prob_ppm"))
+  }
+
+  /**
    * Cohort retention analysis — the "did week-N's new users come back in
    * week N+k" triangle every product/telemetry warehouse maintains, and
    * the acquisition-quality readout for a corpus whose rows carry a user

@@ -1184,6 +1184,39 @@ object AnalyticsQueries {
             CAST(count(*) - sum(CASE WHEN value BETWEEN $AuditValueLo AND
               $AuditValueHi THEN 1 ELSE 0 END) = 0 AS INT)
           FROM events
-        ) ORDER BY check_name, target"""))
+        ) ORDER BY check_name, target""")),
+
+    // ------------------------------------------------------------------
+    // q122 — event transition matrix (TemporalOps.transitionMatrix):
+    // the empirical Markov kernel over per-user event sequences —
+    // "after a view, what happens next, how often" — for journey
+    // analytics and sequence-anomaly scoring. Each user's last event
+    // emits no transition (successor unobserved); probabilities are
+    // floor-ppm of the from-state's outgoing total, computed on the
+    // ≤ |states|² aggregated frame, never on the sequences.
+    // ------------------------------------------------------------------
+    "q122_transition_matrix" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_id"),
+          col("event_type"))
+        TemporalOps.transitionMatrix(ev, "user_id", "t_us", "event_id",
+            "event_type")
+          .orderBy("from_state", "to_state")
+      },
+      oracle = Some("""
+        WITH seq AS (SELECT event_type AS from_state,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS to_state
+          FROM events),
+        c AS (SELECT from_state, to_state, count(*) AS cnt FROM seq
+          WHERE to_state IS NOT NULL GROUP BY from_state, to_state),
+        t AS (SELECT from_state, to_state, cnt,
+            sum(cnt) OVER (PARTITION BY from_state) AS from_total
+          FROM c)
+        SELECT from_state, to_state, CAST(cnt AS BIGINT) AS cnt,
+          CAST(from_total AS BIGINT) AS from_total,
+          CAST((cnt * 1000000) // from_total AS BIGINT) AS prob_ppm
+        FROM t ORDER BY from_state, to_state"""))
   )
 }

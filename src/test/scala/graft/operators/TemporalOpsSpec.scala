@@ -275,6 +275,40 @@ class TemporalOpsSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 1, plan)
   }
 
+  test("transitionMatrix: adjacent pairs count, the last event of each " +
+      "key emits nothing, ppm floors against the from-state total") {
+    // user 1: a→b→a→c; user 2: b→a. Transitions: a→b, b→a(×2), a→c.
+    val df = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (1L, 40L, 4L, "c"), (2L, 5L, 1L, "b"), (2L, 6L, 2L, "a"))
+      .toDF("k", "t", "tie", "st")
+    val got = TemporalOps.transitionMatrix(df, "k", "t", "tie", "st")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((1L, 2L, 500000L)),
+      ("a", "c") -> ((1L, 2L, 500000L)),
+      ("b", "a") -> ((2L, 2L, 1000000L))))
+  }
+
+  test("transitionMatrix: exact-time ties order by the tie column " +
+      "(deterministic under any partitioning) and per-from ppm sums " +
+      "to at most 1e6") {
+    val df = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 10L, 3L, "c"),
+      (2L, 10L, 1L, "a"), (2L, 10L, 2L, "c"))
+      .toDF("k", "t", "tie", "st")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TemporalOps.transitionMatrix(d, "k", "t", "tie", "st").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val a = run(df.repartition(5))
+    assert(a === run(df.coalesce(1)))
+    assert(a === Set(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L)))
+    val sums = TemporalOps.transitionMatrix(df, "k", "t", "tie", "st")
+      .groupBy("from_state").sum("prob_ppm").collect()
+      .map(_.getLong(1))
+    assert(sums.forall(_ <= 1000000L))
+  }
+
   test("coalesceIntervals plans one exchange: both windows and the " +
       "rollup share the key partitioning") {
     val df = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
