@@ -11,7 +11,9 @@ object SparkEntry {
   def applySessionDefaults(spark: SparkSession): Unit = {
     // null-on-error parse semantics (reference safeParse*, SURVEY §1.3)
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    // events.parquet carries nanosecond timestamps (TESTDATA)
+    // round-7-era events.parquet carried nanosecond timestamps; the
+    // round-8 regeneration is microseconds. Tables.events normalizes
+    // either to epoch-nanos long (this conf covers the nanos branch).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // native engine functions available from SQL text (graft_dot, …)
     graft.functions.GraftFunctions.register(spark)

@@ -15,13 +15,28 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = tbl(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = tbl(s, d, "region")
   /**
-   * events.parquet carries nanosecond timestamps, which Spark's parquet
-   * reader rejects; `spark.sql.legacy.parquet.nanosAsLong` (set at session
-   * construction by every entry point — SparkEntry.applySessionDefaults,
-   * Bench, Verify, SparkSuite) reads `ts` as a LongType of epoch nanos
-   * (queries derive seconds/micros from it with integer arithmetic).
+   * events.parquet's `ts` precision is a DRIVER choice that has changed
+   * across rounds: nanosecond parquet (read as LongType epoch nanos via
+   * `spark.sql.legacy.parquet.nanosAsLong`, set by every entry point)
+   * through round 7, microsecond parquet (read as TIMESTAMP_NTZ) from
+   * round 8. Every registry query derives seconds/micros from epoch-NANOS
+   * integer arithmetic (`ts div 1000` etc.), so this loader is the ONE
+   * normalization point: whatever the file carries, `ts` leaves here as
+   * a LongType of epoch nanos. The NTZ branch casts through the session
+   * timestamp first — all entry points pin the session to UTC, so the
+   * naive wall time IS the UTC instant, matching DuckDB's `epoch_us` on
+   * the same naive value. Micros×1000 stays 10× inside Long.MaxValue.
    */
-  def events(s: SparkSession, d: String): DataFrame = tbl(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = tbl(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) *
+          1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }
