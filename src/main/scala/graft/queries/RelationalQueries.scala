@@ -60,8 +60,8 @@ object RelationalQueries {
       },
       oracle = Some("""
         SELECT l_orderkey,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
             AS revenue,
           epoch_ms(o_orderdate) AS o_orderdate_ms,
           o_orderpriority
@@ -126,8 +126,8 @@ object RelationalQueries {
         SELECT l_returnflag, l_linestatus,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
           COUNT(*) AS count_order,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
         FROM lineitem
@@ -209,8 +209,8 @@ object RelationalQueries {
       },
       oracle = Some("""
         SELECT r_name, n_name,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
           COUNT(*) AS n_lineitems
         FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
@@ -652,8 +652,8 @@ object RelationalQueries {
       },
       oracle = Some("""
         SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, p_brand,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS profit,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS profit,
                COUNT(*) AS n_lines
         FROM lineitem
           JOIN part ON l_partkey = p_partkey
