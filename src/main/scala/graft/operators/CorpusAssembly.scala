@@ -232,4 +232,57 @@ object CorpusAssembly {
         length(chunk).cast(LongType).as("chunk_len"),
         md5(chunk.cast(BinaryType)).as("chunk_md5"))
   }
+
+  /** [[curriculumOrder]] hash-bucket geometry: hash64 is 15 hex chars =
+    * 60 bits, so bucket = h div (2^60/nBuckets) preserves hash order
+    * across bucket boundaries (a modulo bucket would not). */
+  val HashBits = 60
+
+  /**
+   * Deterministic curriculum ordering — the exact global training order
+   * (tier asc, then pseudo-random within tier) WITHOUT a global sort.
+   * Training pipelines need both halves: curriculum staging (easy→hard,
+   * or clean→noisy tiers) and a reproducible shuffle inside each tier
+   * (hash order, so the permutation is a pure function of the data, not
+   * of partitioning or cluster size).
+   *
+   * The global ordinal is computed two-level, the way a distributed
+   * sort's range partitioner would, but exact and shuffle-light:
+   *  1. rows get (tier, bucket) where bucket is the TOP bits of the
+   *     60-bit content hash — bucket order IS hash-prefix order, so
+   *     (tier, bucket, hash, id) sorts identically to (tier, hash, id);
+   *  2. a (tier, bucket) count table (tiny: tiers × nBuckets rows)
+   *     gets running-sum offsets — the only global window, over the
+   *     count table, never over data;
+   *  3. offsets broadcast back; ordinal = offset + per-chunk rank,
+   *     ranked inside each (tier, bucket) partition independently.
+   * Equal hashes tie-break by id; equal hashes always share a bucket,
+   * so the per-chunk rank sees every tie. The oracle cross-checks with
+   * the single-ORDER-BY formulation — agreement proves the two-level
+   * decomposition, not just the arithmetic.
+   */
+  def curriculumOrder(df: DataFrame, idCol: String, tierCol: String,
+      keyCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 20), s"nBuckets: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val width = (1L << HashBits) / nBuckets
+    val hashed = df.select(col(idCol), col(tierCol).as("tier"),
+        TextDedup.hash64(col(keyCol)).as("h"))
+      .withColumn("bucket", expr(s"h div $width"))
+    val offsets = hashed.groupBy("tier", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum("n").over(Window.orderBy("tier", "bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("tier").as("o_tier"), col("bucket").as("o_bucket"),
+        col("offset"))
+    hashed
+      .join(broadcast(offsets),
+        col("tier") === col("o_tier") && col("bucket") === col("o_bucket"))
+      .withColumn("ordinal",
+        col("offset") + row_number().over(
+          Window.partitionBy("tier", "bucket")
+            .orderBy(col("h"), col(idCol))) - 1L)
+      .select(col(idCol), col("tier"), col("h"), col("ordinal"))
+  }
 }

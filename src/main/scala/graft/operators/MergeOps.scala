@@ -175,6 +175,69 @@ object MergeOps {
   }
 
   /**
+   * Mergeable histogram STATE — the quantile counterpart of
+   * [[mergeAggStates]]'s count/sum IVM: per ingest partition (a day, a
+   * file batch) land fixed-geometry bucket counts; states combine by
+   * bucket-wise addition (associative + commutative, so ANY merge tree
+   * — daily rollups, cross-cluster unions — yields the identical
+   * state); quantiles then read off the merged state at delta cost,
+   * never re-scanning history. Geometry (lo/width/buckets) is the
+   * contract: states merge iff they share it, same as HLL lgK in
+   * [[graft.operators.SketchOps]]. Buckets clamp at the edges
+   * (StatsOps.histogram's rule), so the state absorbs outliers without
+   * growing.
+   */
+  def histogramState(df: DataFrame, part: Column, value: Column,
+      lo: Long, width: Long, buckets: Int): DataFrame = {
+    require(width > 0 && buckets > 0)
+    val raw = TemporalOps.floorDiv(value - lo, lit(width))
+    val b = least(greatest(raw, lit(0L)), lit(buckets - 1L))
+    df.select(part.as("part"), b.as("bucket"))
+      .groupBy("part", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** ⊕ for [[histogramState]]: drop the partition axis, add by bucket. */
+  def mergeHistogramStates(state: DataFrame): DataFrame =
+    state.groupBy("bucket").agg(sum("n").as("n"))
+
+  /**
+   * Quantile estimates from a merged histogram state. The estimator is
+   * a DEFINED integer statistic (the q104/q120 discipline — exact
+   * cross-engine, no float interpolation lottery): for percentile q,
+   * target rank = ⌈q·N/100⌉ (integer ceil), the answering bucket is
+   * the first with cum ≥ target, and the estimate interpolates
+   * linearly inside it: lo + bucket·width + ⌊(target − cum_before)·
+   * width / n_bucket⌋. Resolution is one bucket width — the honest
+   * precision of the sketch, stated rather than hidden.
+   *
+   * The window and the percentile probe run on the MERGED state
+   * (≤ buckets rows) — the global-order window and the tiny
+   * percentile×bucket cross join never touch data.
+   */
+  def quantilesFromState(merged: DataFrame, qsPct: Seq[Int],
+      lo: Long, width: Long): DataFrame = {
+    require(qsPct.nonEmpty && qsPct.forall(q => q > 0 && q <= 100))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val qdf = qsPct.map(_.toLong).toDF("q_pct")
+    qdf.crossJoin(cum)
+      .withColumn("target", expr("(q_pct * total + 99) div 100"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("n") < col("target"))
+      .select(col("q_pct"),
+        (lit(lo) + col("bucket") * lit(width) +
+          expr(s"((target - (cum - n)) * $width) div n")).as("estimate"),
+        col("total").as("n_rows"))
+  }
+
+  /**
    * Snapshot DIFF: classify every key across two table versions as
    * `added` (new-only), `removed` (old-only) or `changed` (present in
    * both with some compared column differing, null-safe) — unchanged

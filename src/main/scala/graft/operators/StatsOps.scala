@@ -498,4 +498,97 @@ object StatsOps {
       col("step.r").as("n_risk"), col("step.d").as("n_death"),
       col("step.s").as("surv_ppm"))
   }
+
+  /**
+   * Grouped weighted (lower) median: the smallest value whose cumulative
+   * weight reaches half the group's total — the robust center for
+   * importance-weighted data (token-weighted doc quality, quantity-
+   * weighted price), where the plain median over rows answers the wrong
+   * question. Integer weights only; the half-total comparison is the
+   * exact integer form `2·cumw ≥ totw` (no division, no float).
+   *
+   * Scale shape: the input first compresses to (group, value, Σweight)
+   * — a map-side-combining aggregate sized by the VALUE DOMAIN, not the
+   * row count (600k lineitems → ≤ distinct prices per flag). The
+   * cumulative window then runs per group over that compressed frame;
+   * no global sort, groups parallelize. Zero-weight values are dropped
+   * after compression (they cannot move the median; an all-zero group
+   * disappears — the honest answer, not a null row).
+   */
+  def weightedMedian(df: DataFrame, group: String, value: String,
+      weight: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(group).orderBy(value)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(group)
+    df.groupBy(col(group), col(value))
+      .agg(sum(col(weight)).as("w"))
+      .filter(col("w") > 0)
+      .withColumn("cumw", sum("w").over(cum))
+      .withColumn("totw", sum("w").over(tot))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col(group))
+      .agg(min(col(value)).as("w_median"),
+        max(col("totw")).as("total_w"))
+  }
+
+  /**
+   * Two-dimensional Pareto frontier (skyline): the rows not dominated
+   * under (minimize `x`, maximize `y`) — row A dominates B when
+   * A.x ≤ B.x ∧ A.y ≥ B.y with at least one strict. The
+   * cost/quality shortlist every procurement, model-selection and
+   * data-mixing decision starts from; duplicates on both axes are
+   * incomparable and BOTH kept.
+   *
+   * In 2-D the skyline is a sort problem, not the O(n²) dominance
+   * anti-join: after ordering by x, a row survives iff its y strictly
+   * exceeds every strictly-cheaper row's y AND no equal-x row beats
+   * its y. Two window frames read both maxima exactly:
+   * RANGE UNBOUNDED..−1 on x (the strictly-cheaper max, ties on x
+   * correctly EXCLUDED by the range frame) and a partition-by-x max
+   * (the equal-x max).
+   *
+   * Scale shape: a global ORDER BY x window is single-partition, so
+   * running it raw on data would serialize. Two honest mitigations,
+   * both used here: (1) the frontier input is an AGGREGATED frame
+   * (per-entity stats, cardinality = |entities|, not |rows|); (2) a
+   * distributed pre-prune first — per x-bucket local y-max, the tiny
+   * per-bucket table gets the running max over CHEAPER buckets
+   * broadcast back, and any row strictly below the max y of a strictly
+   * cheaper bucket is provably dominated (that bucket's argmax has
+   * x' < x, y' > y) and dropped before the exact single-partition
+   * pass. The exact pass then sees only near-frontier survivors
+   * (O(buckets + frontier), not O(n)). `bucketWidth` trades prune
+   * sharpness for per-bucket table size.
+   */
+  def paretoFrontier2D(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distributed pre-prune: max y of strictly cheaper buckets
+    val bkt = df.groupBy(TemporalOps.floorDiv(col(xCol), lit(bucketWidth))
+        .as("bx"))
+      .agg(max(col(yCol)).as("by"))
+      .withColumn("prev_by", max(col("by")).over(
+        Window.orderBy("bx").rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("prev_by").isNotNull)
+      .select(col("bx"), col("prev_by"))
+    val pruned = df
+      .join(broadcast(bkt),
+        TemporalOps.floorDiv(col(xCol), lit(bucketWidth)) === col("bx"),
+        "left")
+      // y below a strictly-cheaper bucket's max ⇒ dominated for sure
+      .filter(col("prev_by").isNull || col(yCol) >= col("prev_by"))
+      .drop("bx", "prev_by")
+    // exact pass on the survivors
+    val cheaper = Window.orderBy(col(xCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val equalX = Window.partitionBy(col(xCol))
+    pruned
+      .withColumn("max_y_cheaper", max(col(yCol)).over(cheaper))
+      .withColumn("max_y_equal", max(col(yCol)).over(equalX))
+      .filter(
+        (col("max_y_cheaper").isNull || col(yCol) > col("max_y_cheaper")) &&
+          col(yCol) === col("max_y_equal"))
+      .drop("max_y_cheaper", "max_y_equal")
+  }
 }

@@ -320,4 +320,146 @@ object TemporalOps {
       .select(col("cohort_bucket"), col("bucket_offset"), col("n_users"),
         expr("(n_users * 1000000) div cohort_size").as("retained_ppm"))
   }
+
+  /**
+   * Multi-touch attribution — the marketing/journey-analytics answer to
+   * "which channel caused this conversion": every conversion event
+   * distributes credit over the touch events that preceded it (back to
+   * the previous conversion), under the three standard models at once —
+   * first-touch (the earliest touch gets the whole conversion),
+   * last-touch (the latest), and linear (every touch gets an equal
+   * floor-ppm share). Touches after a user's LAST conversion are
+   * honestly unattributed (the conversion they would fund never
+   * happened) and credit nothing.
+   *
+   * The touch→conversion assignment is the reverse-running-count trick,
+   * not a join: over each user's timeline ordered DESCENDING, the
+   * running count of conversions seen so far gives every row a group id
+   * that equals exactly the id its nearest FOLLOWING conversion assigns
+   * itself (the conversion counts itself first). Rows with group id 0
+   * precede no conversion. One keyed window shuffle replaces the
+   * per-conversion interval join a naive formulation pays.
+   *
+   * Scale shape: all four windows (reverse conversion count, group
+   * size, forward/backward row_number) share the one user-keyed
+   * Exchange — Spark plans them as consecutive Window nodes over the
+   * same partitioning, so the timeline shuffles ONCE. The channel
+   * rollup then aggregates map-side. Linear credit is floor(1e6 /
+   * n_touches) ppm per touch — integer-exact, identical in DuckDB, and
+   * deliberately NOT forced to sum to 1e6 per conversion (the remainder
+   * is the documented floor loss, ≤ n_touches − 1 ppm).
+   */
+  def attribution(df: DataFrame, key: String, tCol: String, tieCol: String,
+      stateCol: String, convState: String): DataFrame = {
+    val asc = Window.partitionBy(key, "conv_grp")
+      .orderBy(col(tCol), col(tieCol))
+    val desc = Window.partitionBy(key, "conv_grp")
+      .orderBy(col(tCol).desc, col(tieCol).desc)
+    val revCount = Window.partitionBy(key)
+      .orderBy(col(tCol).desc, col(tieCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(key), col(tCol), col(tieCol),
+        col(stateCol).as("channel"),
+        (col(stateCol) === convState).cast("int").as("is_conv"))
+      .withColumn("conv_grp", sum("is_conv").over(revCount))
+      // touches only: conversions carry no channel credit themselves,
+      // and grp 0 rows trail the user's last conversion
+      .filter(col("is_conv") === 0 && col("conv_grp") >= 1)
+      .withColumn("n_touches", count(lit(1)).over(
+        Window.partitionBy(key, "conv_grp")))
+      .withColumn("rn_first", row_number().over(asc))
+      .withColumn("rn_last", row_number().over(desc))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("touches"),
+        sum(when(col("rn_first") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("last_touch"),
+        sum(expr("1000000 div n_touches")).as("linear_ppm"))
+  }
+
+  /**
+   * Clamped (floor-at-zero) running balance — the ledger recurrence
+   * b_i = max(0, b_{i-1} + x_i) that inventory positions, prepaid
+   * accounts and token-bucket rate limiters all follow. The recurrence
+   * is non-associative, so it looks like it demands a sequential
+   * per-key fold; it does not. The one-sided clamp has a closed form
+   * (the Skorokhod reflection identity, the same one behind maximum-
+   * drawdown):
+   *
+   *   b_i = S_i − min(0, min_{k ≤ i} S_k)      where S = prefix sums
+   *
+   * i.e. the clamped walk is the free walk minus its own running
+   * minimum (floored at 0). Proof sketch: both sides satisfy the
+   * recurrence and agree at i = 0; the running min only moves when the
+   * clamp binds. A TWO-sided clamp (floor and cap) genuinely needs the
+   * fold — that restriction is the documented boundary of this
+   * operator.
+   *
+   * So the whole ledger costs exactly one user-keyed window shuffle:
+   * prefix sum, running min of it, and a lag of the running min (to
+   * flag the rows where the clamp BINDS: S_i < runmin_{i−1} means the
+   * free step would have gone below the floor). Keys parallelize
+   * independently — no global order anywhere. All long arithmetic.
+   *
+   * Output: one row per input row with `balance` (post-clamp), `free`
+   * (unclamped prefix sum) and `clamped` (this step hit the floor).
+   */
+  /**
+   * Per-key EWMA smoother with dyadic decay α = 1/2 — the control-chart
+   * / trend-line recurrence e_i = (e_{i−1} + x_i) div 2, seeded
+   * e_1 = x_1 (`div` = truncating division, identical in Spark and
+   * DuckDB even for negative sums — the lattice is defined on trunc,
+   * not floor, exactly so no sign restriction is needed).
+   * Unlike [[clampedBalance]] this recurrence has NO closed form over
+   * windows (the clamp identity was a gift; exponential decay with
+   * per-step flooring is not), so it uses the sequential-integer-
+   * lattice discipline of StatsOps.kmSurvival: the estimator is DEFINED
+   * as the floored dyadic walk, the Spark `aggregate` fold and the
+   * DuckDB recursive CTE traverse the identical lattice, and results
+   * hash-gate cross-engine. α fixed at 1/2 keeps every step a single
+   * integer shift — an arbitrary rational α would floor differently
+   * only in magnitude, not in kind.
+   *
+   * Scale shape: one keyed shuffle into collect_list, fold inside the
+   * aggregation buffer, explode back out — state per key is its own
+   * history (the operator's documented bound: keyed series of warehouse
+   * cardinality, ~10³ rows/key, not unbounded telemetry; for unbounded
+   * streams the streaming twin keeps ONE value of running state).
+   * Emits every input row with its smoothed value `e` and the step
+   * deviation x − e_{i−1} (the control-chart signal; null for the seed
+   * row, which has no forecast to deviate from).
+   */
+  def ewmaSmooth(df: DataFrame, key: String, tCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val folded = df
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col(tCol).as("t"),
+        col(tieCol).as("tie"), col(valueCol).as("x")))).as("steps"))
+      .select(col(key), explode(expr(
+        """aggregate(steps,
+             cast(array() as array<struct<t: bigint, tie: bigint,
+               x: bigint, e: bigint, dev: bigint>>),
+             (acc, s) -> acc || array(named_struct(
+               't', s.t, 'tie', s.tie, 'x', s.x,
+               'e', CASE WHEN size(acc) = 0 THEN s.x
+                    ELSE (element_at(acc, -1).e + s.x) div 2 END,
+               'dev', CASE WHEN size(acc) = 0 THEN CAST(null AS BIGINT)
+                      ELSE s.x - element_at(acc, -1).e END)))"""))
+        .as("step"))
+    folded.select(col(key), col("step.t").as("t"), col("step.tie").as("tie"),
+      col("step.x").as("x"), col("step.e").as("e"), col("step.dev").as("dev"))
+  }
+
+  def clampedBalance(df: DataFrame, key: String, tCol: String,
+      tieCol: String, amountCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(key).orderBy(col(tCol), col(tieCol))
+    df.withColumn("free", sum(col(amountCol)).over(w))
+      .withColumn("runmin", least(lit(0L), min(col("free")).over(w)))
+      .withColumn("clamped",
+        col("free") < lag(col("runmin"), 1, 0L).over(ord))
+      .withColumn("balance", col("free") - col("runmin"))
+      .drop("runmin")
+  }
 }

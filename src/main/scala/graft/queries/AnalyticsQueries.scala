@@ -115,6 +115,17 @@ object AnalyticsQueries {
   /** q88 SCD2 version labels (ISO strings compare chronologically). */
   val DimD0 = "2024-01-01"; val DimEff = "2024-01-15"
 
+  /** q124 pre-prune bucket: $100 of price cents (~12 buckets over the
+    * part table's ~$900–2100 retail span — enough for the per-bucket
+    * max table to stay tiny while pruning most dominated rows). */
+  val ParetoBucketCents = 1000000L
+
+  /** q129 histogram-state geometry: event values live in [0, 500]
+    * dollars (q121's domain gate), so $25-wide buckets give 20 cells —
+    * informative everywhere, clamped edges absorb any drift. */
+  val QsLo = 0L; val QsWidth = 250000L; val QsBuckets = 20
+  val QsPcts = Seq(50, 90, 99)
+
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast("decimal(18,4)") * 10000).cast("long")
 
@@ -1217,6 +1228,257 @@ object AnalyticsQueries {
         SELECT from_state, to_state, CAST(cnt AS BIGINT) AS cnt,
           CAST(from_total AS BIGINT) AS from_total,
           CAST((cnt * 1000000) // from_total AS BIGINT) AS prob_ppm
-        FROM t ORDER BY from_state, to_state"""))
+        FROM t ORDER BY from_state, to_state""")),
+
+    // ------------------------------------------------------------------
+    // q123 — multi-touch attribution (TemporalOps.attribution): each
+    // purchase distributes conversion credit over the touches back to
+    // the previous purchase — first-touch / last-touch counts and
+    // floor-ppm linear shares per channel, all three models from ONE
+    // user-keyed shuffle (reverse-running-count assignment, no
+    // per-conversion interval join). Touches after a user's last
+    // purchase credit nothing (their conversion never happened).
+    // ------------------------------------------------------------------
+    "q123_attribution" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_id"),
+          col("event_type"))
+        TemporalOps.attribution(ev, "user_id", "t_us", "event_id",
+            "event_type", "purchase")
+          .orderBy("channel")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+            event_type AS channel,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+          FROM events),
+        g AS (SELECT *, sum(is_conv) OVER (PARTITION BY user_id
+            ORDER BY t DESC, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_grp
+          FROM ev),
+        t AS (SELECT channel,
+            count(*) OVER (PARTITION BY user_id, conv_grp) AS n_touches,
+            row_number() OVER (PARTITION BY user_id, conv_grp
+              ORDER BY t, event_id) AS rn_first,
+            row_number() OVER (PARTITION BY user_id, conv_grp
+              ORDER BY t DESC, event_id DESC) AS rn_last
+          FROM g WHERE is_conv = 0 AND conv_grp >= 1)
+        SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+          CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS first_touch,
+          CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS last_touch,
+          CAST(sum(1000000 // n_touches) AS BIGINT) AS linear_ppm
+        FROM t GROUP BY channel ORDER BY channel""")),
+
+    // ------------------------------------------------------------------
+    // q124 — Pareto frontier (StatsOps.paretoFrontier2D): the parts no
+    // other part beats on BOTH price (lower better) and size (higher
+    // better) — the procurement shortlist. Engine side runs the
+    // distributed bucket pre-prune + exact range-frame pass; the oracle
+    // is the pure two-window formulation — agreement cross-checks the
+    // prune's correctness proof, not just the arithmetic.
+    // ------------------------------------------------------------------
+    "q124_pareto_frontier" -> GraftQuery(
+      build = (s, d) => {
+        val p = part(s, d).select(col("p_partkey"),
+          cents(col("p_retailprice")).as("price_cents"),
+          col("p_size").cast("long").as("size_l"))
+        StatsOps.paretoFrontier2D(p, "price_cents", "size_l",
+            ParetoBucketCents)
+          .orderBy("price_cents", "p_partkey")
+      },
+      oracle = Some("""
+        WITH p AS (SELECT p_partkey,
+            CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS price_cents,
+            CAST(p_size AS BIGINT) AS size_l
+          FROM part),
+        m AS (SELECT *,
+            max(size_l) OVER (ORDER BY price_cents
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS myc,
+            max(size_l) OVER (PARTITION BY price_cents) AS mye
+          FROM p)
+        SELECT p_partkey, price_cents, size_l FROM m
+        WHERE (myc IS NULL OR size_l > myc) AND size_l = mye
+        ORDER BY price_cents, p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // q125 — clamped running balance (TemporalOps.clampedBalance): the
+    // floor-at-zero ledger recurrence solved in closed form (reflection
+    // identity: balance = free walk − its running min), so the
+    // "inherently sequential" fold costs one keyed window shuffle.
+    // Fixture: each customer's orders as a signed ledger (orderkey
+    // parity splits ~50/50 into charges/payments — the q78 injection
+    // discipline: TPC-H has no natural signs, and an unsigned walk
+    // never clamps). Per-customer summary: closing/peak balance and
+    // how often the floor bound.
+    // ------------------------------------------------------------------
+    "q125_clamped_balance" -> GraftQuery(
+      build = (s, d) => {
+        val led = orders(s, d).select(col("o_custkey").as("cust"),
+          expr("unix_millis(cast(o_orderdate as timestamp))").as("t_ms"),
+          col("o_orderkey").as("ok"),
+          (when(col("o_orderkey") % 2 === 0, -1L).otherwise(1L) *
+            cents(col("o_totalprice"))).as("amt"))
+        TemporalOps.clampedBalance(led, "cust", "t_ms", "ok", "amt")
+          .withColumn("rn_last", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cust")
+              .orderBy(col("t_ms").desc, col("ok").desc)))
+          .groupBy(col("cust"))
+          .agg(count(lit(1)).as("n_tx"),
+            max(when(col("rn_last") === 1, col("balance")))
+              .as("final_balance"),
+            max(col("balance")).as("peak_balance"),
+            sum(col("clamped").cast("long")).as("n_clamped"))
+          .orderBy("cust")
+      },
+      oracle = Some("""
+        WITH led AS (SELECT o_custkey AS cust, epoch_ms(o_orderdate) AS t_ms,
+            o_orderkey AS ok,
+            CAST(CASE WHEN o_orderkey % 2 = 0 THEN -1 ELSE 1 END AS BIGINT) *
+              CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS amt
+          FROM orders),
+        s1 AS (SELECT *, sum(amt) OVER (PARTITION BY cust ORDER BY t_ms, ok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS free
+          FROM led),
+        s2 AS (SELECT *, least(CAST(0 AS BIGINT), min(free) OVER
+            (PARTITION BY cust ORDER BY t_ms, ok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS runmin
+          FROM s1),
+        s3 AS (SELECT *,
+            free - runmin AS balance,
+            free < lag(runmin, 1, CAST(0 AS BIGINT)) OVER
+              (PARTITION BY cust ORDER BY t_ms, ok) AS clamped,
+            row_number() OVER (PARTITION BY cust
+              ORDER BY t_ms DESC, ok DESC) AS rn_last
+          FROM s2)
+        SELECT cust, CAST(count(*) AS BIGINT) AS n_tx,
+          max(CASE WHEN rn_last = 1 THEN balance END) AS final_balance,
+          max(balance) AS peak_balance,
+          CAST(sum(CASE WHEN clamped THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_clamped
+        FROM s3 GROUP BY cust ORDER BY cust""")),
+
+    // ------------------------------------------------------------------
+    // q127 — grouped weighted median (StatsOps.weightedMedian): the
+    // quantity-weighted median price per return flag — "the price at
+    // which half the UNITS moved", which the row median gets wrong
+    // whenever quantity correlates with price. Exact integer halving
+    // test (2·cumw ≥ totw) on the (group, value)-compressed frame;
+    // weights in quantity cents so fractional quantities stay exact.
+    // ------------------------------------------------------------------
+    "q127_weighted_median" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d).select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          cents(col("l_quantity")).as("qty_w"))
+        StatsOps.weightedMedian(li, "l_returnflag", "price_cents", "qty_w")
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT l_returnflag,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS price_cents,
+            sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT))
+              AS w
+          FROM lineitem GROUP BY 1, 2 HAVING w > 0),
+        cw AS (SELECT *,
+            sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+            sum(w) OVER (PARTITION BY l_returnflag) AS totw
+          FROM c)
+        SELECT l_returnflag, min(price_cents) AS w_median,
+          max(totw) AS total_w
+        FROM cw WHERE cumw * 2 >= totw
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // q129 — incremental quantiles via mergeable histogram state
+    // (MergeOps.histogramState/mergeHistogramStates/quantilesFromState):
+    // q81's IVM discipline extended to an ORDER statistic — per-day
+    // bucket-count states land at ingest, combine by bucket-wise
+    // addition (any merge tree, same state), and p50/p90/p99 read off
+    // the merged ≤20-row state without rescanning history. The
+    // estimator is a defined integer statistic (ceil-rank target,
+    // floor-interpolated inside the answering bucket); the oracle
+    // recomputes state→merge→estimate from scratch, so the hash gate
+    // proves the per-day decomposition lossless.
+    // ------------------------------------------------------------------
+    "q129_ivm_quantile" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(
+          expr("ts div 1000").as("t_us"), cents(col("value")).as("v"))
+        val state = MergeOps.histogramState(ev,
+          TemporalOps.floorDiv(col("t_us"), lit(86400000000L)),
+          col("v"), QsLo, QsWidth, QsBuckets)
+        MergeOps.quantilesFromState(
+            MergeOps.mergeHistogramStates(state), QsPcts, QsLo, QsWidth)
+          .orderBy("q_pct")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+          FROM events),
+        state AS (SELECT day,
+            least(greatest((v - $QsLo) // $QsWidth, 0), ${QsBuckets - 1})
+              AS bucket, count(*) AS n
+          FROM ev GROUP BY day, bucket),
+        merged AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n FROM state
+          GROUP BY bucket),
+        cw AS (SELECT bucket, n,
+            sum(n) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(n) OVER () AS total
+          FROM merged),
+        qs AS (SELECT CAST(unnest([${QsPcts.mkString(", ")}]) AS BIGINT)
+            AS q_pct),
+        probe AS (SELECT q_pct, bucket, n, cum, total,
+            (q_pct * total + 99) // 100 AS target
+          FROM qs CROSS JOIN cw)
+        SELECT q_pct,
+          CAST($QsLo + bucket * $QsWidth +
+            ((target - (cum - n)) * $QsWidth) // n AS BIGINT) AS estimate,
+          CAST(total AS BIGINT) AS n_rows
+        FROM probe WHERE cum >= target AND cum - n < target
+        ORDER BY q_pct""")),
+
+    // ------------------------------------------------------------------
+    // q130 — EWMA smoother / control chart (TemporalOps.ewmaSmooth):
+    // each customer's order-value trend under dyadic decay, with the
+    // per-step deviation from forecast (the control-chart signal). The
+    // q120 sequential-lattice discipline: Spark's aggregate fold and
+    // the oracle's recursive CTE walk the same trunc-div recurrence,
+    // hash-gated row for row.
+    // ------------------------------------------------------------------
+    "q130_ewma_smooth" -> GraftQuery(
+      build = (s, d) => {
+        val led = orders(s, d).select(col("o_custkey").as("cust"),
+          expr("unix_millis(cast(o_orderdate as timestamp))").as("t_ms"),
+          col("o_orderkey").as("ok"), cents(col("o_totalprice")).as("x"))
+        TemporalOps.ewmaSmooth(led, "cust", "t_ms", "ok", "x")
+          .withColumnRenamed("tie", "ok")
+          .orderBy("cust", "t", "ok")
+      },
+      oracle = Some("""
+        WITH RECURSIVE led AS (SELECT o_custkey AS cust,
+            epoch_ms(o_orderdate) AS t, o_orderkey AS ok,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS x,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY epoch_ms(o_orderdate), o_orderkey) AS rn
+          FROM orders),
+        walk(cust, rn, t, ok, x, e, dev) AS (
+          SELECT cust, rn, t, ok, x, x, CAST(NULL AS BIGINT)
+          FROM led WHERE rn = 1
+          UNION ALL
+          SELECT l.cust, l.rn, l.t, l.ok, l.x,
+            CAST((walk.e + l.x) AS BIGINT) // 2, l.x - walk.e
+          FROM walk JOIN led l ON l.cust = walk.cust
+            AND l.rn = walk.rn + 1)
+        SELECT cust, t, ok, x, e, dev FROM walk
+        ORDER BY cust, t, ok"""))
   )
 }

@@ -744,6 +744,51 @@ object RelationalQueries {
         ORDER BY l_orderkey, l_linenumber, measure""")),
 
     // ------------------------------------------------------------------
+    // q126 — PIVOT (long→wide, q55's inverse): revenue matrix nation ×
+    // order priority via the Dataset.pivot API with an EXPLICIT value
+    // list — the scale-correct form (inferring values costs a
+    // driver-side distinct over the data; with the list the pivot
+    // compiles into ONE hash aggregate whose buffers hold the five CASE
+    // arms — no extra shuffle, no per-column pass). Empty cells stay
+    // null (the oracle's no-ELSE CASE matches pivot semantics exactly);
+    // revenue in cents so sums are integer-exact cross-engine.
+    // ------------------------------------------------------------------
+    "q126_pivot" -> GraftQuery(
+      build = (s, d) => {
+        val base = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("o_orderpriority"),
+            (col("o_totalprice").cast("decimal(18,4)") * 10000)
+              .cast("long").as("cents"))
+        base.groupBy("n_name")
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW"))
+          .agg(sum("cents"))
+          .withColumnsRenamed(Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+            "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec",
+            "5-LOW" -> "low"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT n_name, o_orderpriority,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey)
+        SELECT n_name,
+          sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END)
+            AS urgent,
+          sum(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END) AS high,
+          sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END)
+            AS medium,
+          sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END)
+            AS notspec,
+          sum(CASE WHEN o_orderpriority = '5-LOW' THEN cents END) AS low
+        FROM base GROUP BY n_name ORDER BY n_name""")),
+
+    // ------------------------------------------------------------------
     // q57 — ranking window trio (ntile / percent_rank / cume_dist +
     // dense_rank), completing the window-function family beyond
     // lag/row_number/range frames (q07/q08/q35). The window order is

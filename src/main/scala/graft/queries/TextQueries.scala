@@ -55,6 +55,11 @@ object TextQueries {
   /** q110 bigram-LM size (see the q110 registry comment). */
   val LmTopK = 500
 
+  /** q128 curriculum: length tier = n_chars div this, capped at 3
+    * (short docs first — the easy→hard staging); 64 hash-prefix buckets
+    * per tier for the two-level global-ordinal decomposition. */
+  val CurriculumTierChars = 2000L; val CurriculumBuckets = 64
+
   /** q113 collocation floor and table size. */
   val LiftMinCount = 5L
   val LiftTopK = 50
@@ -775,6 +780,36 @@ object TextQueries {
           CAST(sum(unseen) AS BIGINT) AS n_unseen,
           CAST((CAST(sum(unseen) AS BIGINT) * 1000000) // count(*)
             AS BIGINT) AS unseen_ppm
-        FROM j GROUP BY doc_id ORDER BY doc_id"""))
+        FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q128 — deterministic curriculum order (CorpusAssembly
+    // .curriculumOrder): the exact global training sequence — length
+    // tiers staged short→long (easy first), reproducibly hash-shuffled
+    // inside each tier — WITHOUT a global sort. Ordinals come from the
+    // two-level
+    // decomposition (hash-prefix buckets + tiny offset table + per-
+    // chunk ranks); the oracle computes the same ordinal with a single
+    // global ORDER BY, so a hash match proves the decomposition
+    // correct, not just the hashing.
+    // ------------------------------------------------------------------
+    "q128_curriculum_order" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"),
+          least(expr(s"n_chars div $CurriculumTierChars"), lit(3L))
+            .as("tier"),
+          col("text"))
+        graft.operators.CorpusAssembly.curriculumOrder(
+            docs, "doc_id", "tier", "text", CurriculumBuckets)
+          .orderBy("ordinal")
+      },
+      oracle = Some(s"""
+        WITH h AS (SELECT doc_id,
+            least(n_chars // $CurriculumTierChars, 3) AS tier,
+            ${sqlHash64("text")} AS h
+          FROM documents)
+        SELECT doc_id, tier, h,
+          row_number() OVER (ORDER BY tier, h, doc_id) - 1 AS ordinal
+        FROM h ORDER BY ordinal"""))
   )
 }

@@ -22,12 +22,16 @@ class PlanAuditSpec extends SparkSuite {
     * .profile: global stats × distinct count). */
   /** q94/q97/q113's nested loops are 1-row constant broadcasts (the
     * corpus total / doc count / token total), the q71 shape. */
+  /** q129's nested loop is the percentile-probe cross join: the 3-row
+    * quantile list against the ≤ buckets-row MERGED histogram state —
+    * both sides model-sized constants, never data. */
   private val allowedNestedLoop =
     Set("q25_knn_cosine_brute", "q43_ivf_ann", "q56_kmeans_clusters",
       "q66_int8_quantized_knn", "q71_bm25", "q80_column_profile",
       "q87_pq_adc_topk", "q90_pq_trained_adc",
       "q94_mixture_weights", "q97_tfidf_cosine_join",
-      "q105_contrastive_pairs", "q113_collocation_lift")
+      "q105_contrastive_pairs", "q113_collocation_lift",
+      "q129_ivm_quantile")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

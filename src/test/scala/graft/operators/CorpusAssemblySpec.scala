@@ -182,4 +182,47 @@ class CorpusAssemblySpec extends SparkSuite {
     val again = CorpusAssembly.hashSplitAudit(df, "doc_id", "text").collect()
     assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
+
+  test("curriculumOrder: ordinals are a permutation of 0..n-1 ordered " +
+      "exactly as the global (tier, hash, id) sort") {
+    val df = (1L to 300L).map(i =>
+      (i, i % 3, s"doc body number $i")).toDF("doc_id", "tier", "text")
+    val out = CorpusAssembly.curriculumOrder(df, "doc_id", "tier", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._4).sorted.toSeq == (0L until 300L).toSeq)
+    // the two-level ordinal must equal the single global sort's ordinal
+    val want = out.sortBy(r => (r._2, r._3, r._1)).map(_._1).toSeq
+    assert(out.sortBy(_._4).map(_._1).toSeq == want)
+  }
+
+  test("curriculumOrder is partitioning-independent and stages tiers " +
+      "strictly (every tier-0 ordinal precedes every tier-1 ordinal)") {
+    val df = (1L to 200L).map(i =>
+      (i, i % 2, s"text $i")).toDF("doc_id", "tier", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusAssembly.curriculumOrder(d, "doc_id", "tier", "text", 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val a = run(df.repartition(7))
+    assert(a === run(df.coalesce(1)))
+    val byTier = CorpusAssembly.curriculumOrder(df, "doc_id", "tier",
+        "text", 8).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).groupBy(_._1)
+    assert(byTier(0L).map(_._2).max < byTier(1L).map(_._2).min)
+  }
+
+  test("curriculumOrder: only the tiny offset table sees a global " +
+      "window; data rows rank inside (tier, bucket) partitions") {
+    val df = (1L to 50L).map(i => (i, 0L, s"t$i")).toDF("doc_id", "tier", "text")
+    val plan = CorpusAssembly.curriculumOrder(df, "doc_id", "tier", "text", 8)
+      .queryExecution.executedPlan.toString
+    // offsets come back via broadcast — the data never shuffles for the
+    // join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the data-side rank window is keyed by (tier, bucket) — the only
+    // unpartitioned window is the offset table's running sum
+    val rn = "row_number\\(\\)[^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(rn.contains("windowspecdefinition(tier"), plan)
+  }
 }

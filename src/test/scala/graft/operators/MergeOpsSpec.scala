@@ -170,4 +170,67 @@ class MergeOpsSpec extends SparkSuite {
     assert(onlyNew.length == 1 && onlyNew(0).getString(1) == "added",
       onlyNew.mkString(","))
   }
+
+  test("histogramState merge is lossless and grouping-independent: any " +
+      "partition axis yields the same merged state as one global pass") {
+    val rows = (1L to 500L).map(i => (i % 7, (i * 13L) % 1000L))
+    val df = rows.toDF("day", "v")
+    def state(part: org.apache.spark.sql.Column) =
+      MergeOps.mergeHistogramStates(
+        MergeOps.histogramState(df, part, col("v"), 0L, 100L, 8))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDay = state(col("day"))
+    val byParity = state(col("v") % 2)
+    val global = state(lit(0L))
+    assert(byDay === global)
+    assert(byParity === global)
+    // clamped-edge rule: values ≥ 700 land in bucket 7
+    val wantTop = rows.count(_._2 >= 700L).toLong
+    assert(byDay(7L) === wantTop)
+  }
+
+  test("quantilesFromState: ceil-rank target and floor interpolation " +
+      "on a hand state, p100 answers from the last bucket") {
+    // buckets 0..2 with n = 10, 30, 10 (N=50), lo=0 width=100
+    val merged = Seq((0L, 10L), (1L, 30L), (2L, 10L)).toDF("bucket", "n")
+    val out = MergeOps.quantilesFromState(merged, Seq(50, 90, 100), 0L, 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // p50: target 25, bucket 1 (cum 40), est 100 + (25-10)*100/30 = 150
+    // p90: target 45, bucket 2 (cum 50), est 200 + (45-40)*100/10 = 250
+    // p100: target 50, last bucket, est 200 + 10*100/10 = 300
+    assert(out == Map(50L -> ((150L, 50L)), 90L -> ((250L, 50L)),
+      100L -> ((300L, 50L))))
+  }
+
+  test("ewmaSmooth walks the trunc-div dyadic lattice exactly (driver " +
+      "reference), seeds with the first value, deviation null on seed") {
+    val rows = for (k <- 1L to 4L; i <- 1L to 30L)
+      yield (k, i, i, (k * 31L + i * 97L) % 500L)
+    val df = rows.toDF("k", "t", "id", "x")
+    val got = TemporalOps.ewmaSmooth(df, "k", "t", "id", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toMap
+    for (k <- 1L to 4L) {
+      var e = 0L
+      for (i <- 1L to 30L) {
+        val x = (k * 31L + i * 97L) % 500L
+        val dev = if (i == 1L) None else Some(x - e)
+        e = if (i == 1L) x else (e + x) / 2
+        assert(got((k, i)) == ((e, dev)), s"k=$k i=$i")
+      }
+    }
+  }
+
+  test("ewmaSmooth is partitioning-independent and emits every input " +
+      "row exactly once") {
+    val df = (1L to 120L).map(i => (i % 5, i, i, i * 3L))
+      .toDF("k", "t", "id", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TemporalOps.ewmaSmooth(d, "k", "t", "id", "x").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq.sorted
+    val a = run(df.repartition(9))
+    assert(a == run(df.coalesce(1)))
+    assert(a.length == 120)
+  }
 }

@@ -412,4 +412,107 @@ class StatsOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 2, plan)
   }
+
+  test("weightedMedian: lower weighted median by the exact halving " +
+      "test, repeated values pool their weight") {
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 2L), // tot 4: cum 1,2,4
+      ("b", 5L, 3L), ("b", 7L, 1L),                   // tot 4: cum 3,4
+      ("c", 9L, 2L), ("c", 9L, 2L), ("c", 100L, 1L))  // 9 pools to w=4 of 5
+      .toDF("g", "v", "w")
+    val out = StatsOps.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // a: first cum with 2·cum ≥ 4 is v=20 (cum 2); b: v=5 (2·3 ≥ 4)
+    assert(out == Map("a" -> ((20L, 4L)), "b" -> ((5L, 4L)),
+      "c" -> ((9L, 5L))))
+  }
+
+  test("weightedMedian: zero-weight values cannot move the median; an " +
+      "all-zero group disappears; unit weights degrade to the row median") {
+    val df = Seq(
+      ("a", 1L, 0L), ("a", 2L, 1L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("z", 1L, 0L), ("z", 2L, 0L))
+      .toDF("g", "v", "w")
+    val out = StatsOps.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L)) // rows 2,3,4 → lower median 3; no "z"
+  }
+
+  test("weightedMedian compresses before windowing (the window sees the " +
+      "value domain, not the rows) and is partitioning-invariant") {
+    val rows = (1L to 400L).map(i => (s"g${i % 2}", (i * 31L) % 20L, i % 5L))
+    val df = rows.toDF("g", "v", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      StatsOps.weightedMedian(d, "g", "v", "w").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(df.repartition(8)) === run(df.coalesce(1)))
+    // driver-side reference: lower weighted median per group
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.filter(_._2 > 0).sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      val med = byV.scanLeft((0L, 0L)) { case ((_, c), (v, w)) => (v, c + w) }
+        .drop(1).find { case (_, c) => 2 * c >= tot }.get._1
+      (g, med, tot)
+    }.toSet
+    assert(run(df) === want)
+    val plan = StatsOps.weightedMedian(df, "g", "v", "w")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("paretoFrontier2D: strict dominance only — equal points both " +
+      "kept, equal-x worse-y and equal-y costlier-x dropped") {
+    val df = Seq(
+      (1L, 0L, 1L),  // cheapest: on frontier regardless of y
+      (2L, 1L, 5L), (3L, 1L, 5L), // exact duplicates: incomparable, BOTH kept
+      (4L, 1L, 4L),  // equal-x, smaller y: dominated by id 2/3
+      (5L, 2L, 5L),  // equal-y, higher x: dominated by id 2/3
+      (6L, 2L, 6L),  // pays more, gets more: frontier
+      (7L, 3L, 6L))  // equal-y, higher x than id 6: dominated
+      .toDF("id", "x", "y")
+    val got = StatsOps.paretoFrontier2D(df, "x", "y", 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 6L))
+  }
+
+  test("paretoFrontier2D agrees with the O(n²) dominance filter on a " +
+      "pseudo-random cloud (multi-bucket prune exercised)") {
+    val pts = (1L to 500L).map { i =>
+      (i, (i * 7919L) % 1000L, (i * 104729L) % 1000L)
+    }
+    val df = pts.toDF("id", "x", "y")
+    // brute force: drop any point some other point strictly dominates
+    val want = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 <= x && y2 >= y && (x2 < x || y2 > y)
+      }
+    }.map(_._1).toSet
+    // width 100 → 10 buckets, so the pre-prune path genuinely runs
+    val got = StatsOps.paretoFrontier2D(df, "x", "y", 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("paretoFrontier2D pre-prune leaves only near-frontier rows for " +
+      "the single-partition exact pass") {
+    // pay-more-get-more staircase: every row IS on the frontier — prune
+    // must keep all; then a dominated tail must vanish before the sort
+    val frontier = (1L to 50L).map(i => (i, i * 10L, i))
+    val noise = (51L to 300L).map(i => (i, i * 10L, 10L)) // all dominated
+    val df = (frontier ++ noise).toDF("id", "x", "y")
+    val got = StatsOps.paretoFrontier2D(df, "x", "y", 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == frontier.map(_._1).toSet)
+  }
+
+  test("paretoFrontier2D: the prune table joins back by broadcast — " +
+      "the data never shuffles for the prune") {
+    val df = (1L to 100L).map(i => (i, i, i)).toDF("id", "x", "y")
+    val plan = StatsOps.paretoFrontier2D(df, "x", "y", 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

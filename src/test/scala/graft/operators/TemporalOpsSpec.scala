@@ -317,4 +317,92 @@ class TemporalOpsSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("attribution: touches split at each conversion, all three credit " +
+      "models, trailing touches unattributed") {
+    // one user: view(1) click(2) BUY(3) signup(4) BUY(5) error(6)
+    // BUY@3 funds {view, click}: first=view, last=click, 500000 ppm each
+    // BUY@5 funds {signup}: first=last=signup, 1000000 ppm
+    // error(6) trails the last conversion: zero credit, channel absent
+    val df = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "buy"),
+      (1L, 4L, 4L, "signup"), (1L, 5L, 5L, "buy"), (1L, 6L, 6L, "error"))
+      .toDF("u", "t", "id", "ch")
+    val out = TemporalOps.attribution(df, "u", "t", "id", "ch", "buy")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      "view" -> ((1L, 1L, 0L, 500000L)),
+      "click" -> ((1L, 0L, 1L, 500000L)),
+      "signup" -> ((1L, 1L, 1L, 1000000L))))
+  }
+
+  test("attribution: a user with no conversion credits nothing; linear " +
+      "ppm floors (remainder documented, never rounds up)") {
+    val df = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "a"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "buy"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "a")) // user 2: never converts
+      .toDF("u", "t", "id", "ch")
+    val out = TemporalOps.attribution(df, "u", "t", "id", "ch", "buy")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // floor(1e6/3)=333333 per touch — 999999 total, 1 ppm floor loss
+    assert(out == Map("a" -> 999999L))
+  }
+
+  test("attribution is partitioning-independent") {
+    val df = (1L to 200L).map { i =>
+      val u = i % 7
+      val ch = if (i % 5 == 0) "buy" else s"c${i % 3}"
+      (u, i, i, ch)
+    }.toDF("u", "t", "id", "ch")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TemporalOps.attribution(d, "u", "t", "id", "ch", "buy").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(run(df.repartition(7)) === run(df.coalesce(1)))
+  }
+
+  test("clampedBalance matches the sequential fold (reflection identity)") {
+    // deterministic pseudo-random walk per key, checked against the
+    // direct b_i = max(0, b_{i-1} + x_i) recurrence on the driver
+    val rows = for (k <- 1L to 5L; i <- 1L to 40L) yield {
+      val amt = ((k * 7919L + i * 104729L) % 2001L) - 1000L // [-1000, 1000]
+      (k, i, i, amt)
+    }
+    val df = rows.toDF("k", "t", "id", "amt")
+    val got = TemporalOps.clampedBalance(df, "k", "t", "id", "amt")
+      .select("k", "t", "balance", "clamped").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    for (k <- 1L to 5L) {
+      var b = 0L
+      for (i <- 1L to 40L) {
+        val amt = ((k * 7919L + i * 104729L) % 2001L) - 1000L
+        val clamps = b + amt < 0L
+        b = math.max(0L, b + amt)
+        assert(got((k, i)) == ((b, clamps)), s"k=$k i=$i")
+      }
+    }
+  }
+
+  test("clampedBalance: clamp flag marks exactly the floor-binding " +
+      "steps; first-row clamp works (lag default 0)") {
+    val df = Seq((1L, 1L, 1L, -5L), (1L, 2L, 2L, 3L),
+      (1L, 3L, 3L, -10L), (1L, 4L, 4L, 4L)).toDF("k", "t", "id", "amt")
+    val out = TemporalOps.clampedBalance(df, "k", "t", "id", "amt")
+      .orderBy("t").select("balance", "clamped").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(out == Seq((0L, true), (3L, false), (0L, true), (4L, false)))
+  }
+
+  test("clampedBalance plans one exchange — no join, no sequential " +
+      "driver loop") {
+    val df = Seq((1L, 1L, 1L, 1L)).toDF("k", "t", "id", "amt")
+    val plan = TemporalOps.clampedBalance(df, "k", "t", "id", "amt")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
