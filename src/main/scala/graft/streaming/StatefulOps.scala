@@ -324,4 +324,64 @@ object StatefulOps {
       .transformWithState(new ChangeDetector,
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class LedgerIn(k: Long, t: Long, tie: Long, x: Long)
+  final case class LedgerOut(k: Long, t: Long, tie: Long, x: Long, v: Long)
+  final case class RunVal(v: Long)
+
+  /**
+   * Streaming twin of the batch running-state recurrences
+   * (`TemporalOps.ewmaSmooth`, `TemporalOps.clampedBalance`): where the
+   * batch operators hold a key's whole history (closed form or fold),
+   * the stream keeps exactly ONE long of state per key — the current
+   * recurrence value — so unbounded feeds run in memory ∝ distinct
+   * keys. Rows sort by (t, tie) inside each micro-batch; across batches
+   * the checkpointed state continues the walk, so a key's series split
+   * over any batch boundary produces bit-identical values to the batch
+   * operator on the concatenated input (the spec's equivalence claim).
+   * Requires event-time-ordered batch arrival, same as
+   * [[assignTrips]].
+   */
+  class RunningRecurrenceProcessor(step: (Option[Long], Long) => Long)
+      extends StatefulProcessor[Long, LedgerIn, LedgerOut] {
+    @transient private var st: ValueState[RunVal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RunVal]("run",
+        Encoders.product[RunVal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[LedgerIn],
+        timers: TimerValues): Iterator[LedgerOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.t, r.tie))
+      var prev: Option[Long] = if (st.exists()) Some(st.get().v) else None
+      val out = sorted.map { r =>
+        val v = step(prev, r.x)
+        prev = Some(v)
+        LedgerOut(r.k, r.t, r.tie, r.x, v)
+      }
+      prev.foreach(v => if (sorted.nonEmpty) st.update(RunVal(v)))
+      out.iterator
+    }
+  }
+
+  /** e₁ = x₁, eᵢ = (eᵢ₋₁ + xᵢ) div 2 — TemporalOps.ewmaSmooth's lattice
+    * (Scala `/` on Long truncates exactly like Spark `div`). */
+  val EwmaStep: (Option[Long], Long) => Long =
+    (prev, x) => prev.map(e => (e + x) / 2).getOrElse(x)
+
+  /** bᵢ = max(0, bᵢ₋₁ + xᵢ) — TemporalOps.clampedBalance's recurrence,
+    * seeded at 0. */
+  val ClampStep: (Option[Long], Long) => Long =
+    (prev, x) => math.max(0L, prev.getOrElse(0L) + x)
+
+  /** [[RunningRecurrenceProcessor]] over a (key, t, tie, x) frame. */
+  def runningRecurrenceStream(rows: DataFrame,
+      step: (Option[Long], Long) => Long): Dataset[LedgerOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("t"), col("tie"), col("x"))
+      .as[LedgerIn]
+      .groupByKey(_.k)
+      .transformWithState(new RunningRecurrenceProcessor(step),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
