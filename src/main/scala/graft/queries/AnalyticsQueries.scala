@@ -126,6 +126,16 @@ object AnalyticsQueries {
   val QsLo = 0L; val QsWidth = 250000L; val QsBuckets = 20
   val QsPcts = Seq(50, 90, 99)
 
+  /** q131 CUSUM tuning (cents). Allowance k = $150 sits far above the
+    * ~$50 value mean, so the unshifted walk decays ~$100/event and
+    * pins to 0; the injected +$150 level shift (every 5th epoch day —
+    * the q78 injection discipline: uniform data never shifts regime on
+    * its own) makes shifted days drift +$50/event, crossing the $200
+    * alarm threshold within each shifted day and fully resetting
+    * between them. */
+  val CusumK = 1500000L; val CusumH = 2000000L; val CusumShift = 1500000L
+  val CusumDayMod = 5L; val DayUs = 86400000000L
+
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast("decimal(18,4)") * 10000).cast("long")
 
@@ -1375,7 +1385,8 @@ object AnalyticsQueries {
         val li = lineitem(s, d).select(col("l_returnflag"),
           cents(col("l_extendedprice")).as("price_cents"),
           cents(col("l_quantity")).as("qty_w"))
-        StatsOps.weightedMedian(li, "l_returnflag", "price_cents", "qty_w")
+        StatsOps.weightedMedian(li, "l_returnflag", "price_cents", "qty_w",
+            HistWidth)
           .orderBy("l_returnflag")
       },
       oracle = Some("""
@@ -1479,6 +1490,64 @@ object AnalyticsQueries {
           FROM walk JOIN led l ON l.cust = walk.cust
             AND l.rn = walk.rn + 1)
         SELECT cust, t, ok, x, e, dev FROM walk
-        ORDER BY cust, t, ok"""))
+        ORDER BY cust, t, ok""")),
+
+    // ------------------------------------------------------------------
+    // q131 — CUSUM change-point detection: the classic upward-shift
+    // monitor S_i = max(0, S_{i−1} + (x_i − k)) IS q125's clamped
+    // ledger applied to allowance-shifted deviations — pure operator
+    // reuse, zero new machinery (the reflection identity solves CUSUM's
+    // "sequential" recurrence too). Per event type: alarm count
+    // (upward h-crossings via a lag of the walk), first alarm time,
+    // walk peak. Fixture injects +$150 on every 5th epoch day so the
+    // shifted regimes the monitor exists to catch actually occur.
+    // ------------------------------------------------------------------
+    "q131_cusum_changepoints" -> GraftQuery(
+      build = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("t_us", "event_id")
+        val ev = events(s, d).select(col("event_type"),
+          expr("ts div 1000").as("t_us"), col("event_id"),
+          (cents(col("value")) +
+            when(TemporalOps.floorDiv(expr("ts div 1000"), lit(DayUs))
+              % CusumDayMod === 0, CusumShift).otherwise(0L) -
+            CusumK).as("x"))
+        TemporalOps.clampedBalance(ev, "event_type", "t_us", "event_id", "x")
+          .withColumn("alarm",
+            (col("balance") >= CusumH &&
+              coalesce(lag(col("balance"), 1).over(w), lit(0L)) < CusumH)
+              .cast("long"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("alarm")).as("n_alarms"),
+            min(when(col("alarm") === 1, col("t_us"))).as("first_alarm_us"),
+            max(col("balance")).as("peak_cusum"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us, event_id,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) +
+              CASE WHEN (epoch_us(ts) // $DayUs) % $CusumDayMod = 0
+                THEN $CusumShift ELSE 0 END - $CusumK AS x
+          FROM events),
+        s1 AS (SELECT *, sum(x) OVER (PARTITION BY event_type
+            ORDER BY t_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS free
+          FROM ev),
+        s2 AS (SELECT *, least(CAST(0 AS BIGINT), min(free) OVER
+            (PARTITION BY event_type ORDER BY t_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS runmin
+          FROM s1),
+        s3 AS (SELECT event_type, t_us, event_id,
+            free - runmin AS balance,
+            coalesce(lag(free - runmin, 1) OVER (PARTITION BY event_type
+              ORDER BY t_us, event_id), 0) AS prev_balance
+          FROM s2)
+        SELECT event_type,
+          CAST(sum(CASE WHEN balance >= $CusumH AND prev_balance < $CusumH
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+          min(CASE WHEN balance >= $CusumH AND prev_balance < $CusumH
+            THEN t_us END) AS first_alarm_us,
+          max(balance) AS peak_cusum
+        FROM s3 GROUP BY event_type ORDER BY event_type"""))
   )
 }

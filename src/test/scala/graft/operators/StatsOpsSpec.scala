@@ -440,13 +440,15 @@ class StatsOpsSpec extends SparkSuite {
   }
 
   test("weightedMedian compresses before windowing (the window sees the " +
-      "value domain, not the rows) and is partitioning-invariant") {
+      "value domain, not the rows) and is partitioning-invariant; the " +
+      "two-level bucket decomposition matches the single-walk reference " +
+      "at every bucket width") {
     val rows = (1L to 400L).map(i => (s"g${i % 2}", (i * 31L) % 20L, i % 5L))
     val df = rows.toDF("g", "v", "w")
-    def run(d: org.apache.spark.sql.DataFrame) =
-      StatsOps.weightedMedian(d, "g", "v", "w").collect()
+    def run(d: org.apache.spark.sql.DataFrame, width: Long) =
+      StatsOps.weightedMedian(d, "g", "v", "w", width).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(run(df.repartition(8)) === run(df.coalesce(1)))
+    assert(run(df.repartition(8), 4L) === run(df.coalesce(1), 4L))
     // driver-side reference: lower weighted median per group
     val want = rows.groupBy(_._1).map { case (g, rs) =>
       val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
@@ -456,10 +458,15 @@ class StatsOpsSpec extends SparkSuite {
         .drop(1).find { case (_, c) => 2 * c >= tot }.get._1
       (g, med, tot)
     }.toSet
-    assert(run(df) === want)
-    val plan = StatsOps.weightedMedian(df, "g", "v", "w")
+    // widths exercising: 1 (bucket≡value), interior boundaries, one-bucket
+    for (width <- Seq(1L, 3L, 4L, 7L, 1L << 40))
+      assert(run(df, width) === want, s"width=$width")
+    val plan = StatsOps.weightedMedian(df, "g", "v", "w", 4L)
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan)
+    // the bucket table joins back by broadcast — data never shuffles
+    // for the median-bucket probe
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("paretoFrontier2D: strict dominance only — equal points both " +
