@@ -11,6 +11,12 @@ object SparkEntry {
   def applySessionDefaults(spark: SparkSession): Unit = {
     // null-on-error parse semantics (reference safeParse*, SURVEY §1.3)
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // the TIMESTAMP_NTZ branch of Tables.events (and every
+    // unix_millis(cast(...)) pattern) interprets naive wall times in the
+    // session timezone; the oracle's epoch_us treats the same stored
+    // value as UTC, so a non-UTC driver session would shift every
+    // event-time query. Pin it here, not just in Verify/Bench/specs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // round-7-era events.parquet carried nanosecond timestamps; the
     // round-8 regeneration is microseconds. Tables.events normalizes
     // either to epoch-nanos long (this conf covers the nanos branch).

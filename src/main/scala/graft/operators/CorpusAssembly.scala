@@ -266,7 +266,11 @@ object CorpusAssembly {
     require(nBuckets > 0 && nBuckets <= (1 << 20), s"nBuckets: $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val width = (1L << HashBits) / nBuckets
-    val hashed = df.select(col(idCol), col(tierCol).as("tier"),
+    // boundary discipline (changeStream's rule): a NULL key cannot be
+    // hashed into the order — dropped HERE, visibly, rather than
+    // silently vanishing at the null-bucket equi-join below
+    val hashed = df.filter(col(keyCol).isNotNull)
+      .select(col(idCol), col(tierCol).as("tier"),
         TextDedup.hash64(col(keyCol)).as("h"))
       .withColumn("bucket", expr(s"h div $width"))
     val offsets = hashed.groupBy("tier", "bucket")

@@ -531,20 +531,24 @@ object StatsOps {
    *     global one exactly — the same decomposition as
    *     CorpusAssembly.curriculumOrder, and the single-window oracle
    *     formulation cross-checks it.
-   * Weights must be nonnegative (required); zero-weight rows cannot
-   * move the median and all-zero groups honestly disappear (their
-   * bucket table is empty after the w>0 gate). `bucketWidth` trades
-   * bucket-table size for the slice the exact pass re-reads.
+   * Row gate (identical on the oracle side, definitionally): rows with
+   * w ≤ 0 or a NULL value are dropped BEFORE anything else — a
+   * non-positive weight cannot move a lower median and a NULL value
+   * carries no position on the value axis (keeping either would also
+   * reopen the engines' NULLS FIRST/LAST ordering divergence). All-
+   * dropped groups honestly disappear. `bucketWidth` trades bucket-
+   * table size for the slice the exact pass re-reads.
    */
   def weightedMedian(df: DataFrame, group: String, value: String,
       weight: String, bucketWidth: Long = 1L << 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketWidth > 0)
+    val gated = df.filter(col(weight) > 0 && col(value).isNotNull)
     val bkt = TemporalOps.floorDiv(col(value), lit(bucketWidth))
     // per-group bucket table: running weight below each bucket
     val cumB = Window.partitionBy(group).orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val buckets = df.filter(col(weight) > 0)
+    val buckets = gated
       .groupBy(col(group), bkt.as("bkt"))
       .agg(sum(col(weight)).as("bw"))
       .withColumn("cumb", sum("bw").over(cumB))
@@ -559,7 +563,7 @@ object StatsOps {
     // exact pass over ONLY the median bucket's slice of the data
     val cumV = Window.partitionBy(group).orderBy(value)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(col(weight) > 0)
+    gated
       .join(broadcast(buckets),
         col(group) === col("b_g") && bkt === col("b_bkt"))
       .groupBy(col(group), col(value))

@@ -360,7 +360,11 @@ object TemporalOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(key), col(tCol), col(tieCol),
         col(stateCol).as("channel"),
-        (col(stateCol) === convState).cast("int").as("is_conv"))
+        // null-safe: a NULL channel is a touch (channel NULL), matching
+        // the oracle's CASE WHEN ... THEN 1 ELSE 0 (null → 0), not a
+        // silently dropped row
+        coalesce(col(stateCol) === convState, lit(false))
+          .cast("int").as("is_conv"))
       .withColumn("conv_grp", sum("is_conv").over(revCount))
       // touches only: conversions carry no channel credit themselves,
       // and grp 0 rows trail the user's last conversion

@@ -84,8 +84,13 @@ object AnalyticsQueries {
     * last event is >24 h before close churned (event=1), else censored;
     * durations on an hourly grid; cohorts = user_id mod 3 (synthetic
     * arms — the estimator is cohort-generic). */
+  /** One epoch day in microseconds — the shared day-bucket unit of
+    * q120's churn horizon, q129's state partitions and q131's shifted
+    * regimes. */
+  val DayUs = 86400000000L
+
   val KmStudyEndUs = 1706659200000000L
-  val KmChurnHorizonUs = 86400000000L
+  val KmChurnHorizonUs = DayUs
   val KmHourUs = 3600000000L
   val KmCohortMod = 3L
 
@@ -134,10 +139,10 @@ object AnalyticsQueries {
     * alarm threshold within each shifted day and fully resetting
     * between them. */
   val CusumK = 1500000L; val CusumH = 2000000L; val CusumShift = 1500000L
-  val CusumDayMod = 5L; val DayUs = 86400000000L
+  val CusumDayMod = 5L
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    (c.cast("decimal(18,4)") * 10000).cast("long")
+  // cents() now lives in Tables (imported via Tables._) — one shared
+  // definition of the fixed-point conversion.
 
   val all: Map[String, GraftQuery] = Map(
 
@@ -1390,12 +1395,14 @@ object AnalyticsQueries {
           .orderBy("l_returnflag")
       },
       oracle = Some("""
-        WITH c AS (SELECT l_returnflag,
+        WITH r AS (SELECT l_returnflag,
             CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
               AS price_cents,
-            sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT))
-              AS w
-          FROM lineitem GROUP BY 1, 2 HAVING w > 0),
+            CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT) AS rw
+          FROM lineitem),
+        c AS (SELECT l_returnflag, price_cents, sum(rw) AS w
+          FROM r WHERE rw > 0 AND price_cents IS NOT NULL
+          GROUP BY 1, 2),
         cw AS (SELECT *,
             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
@@ -1423,14 +1430,14 @@ object AnalyticsQueries {
         val ev = events(s, d).select(
           expr("ts div 1000").as("t_us"), cents(col("value")).as("v"))
         val state = MergeOps.histogramState(ev,
-          TemporalOps.floorDiv(col("t_us"), lit(86400000000L)),
+          TemporalOps.floorDiv(col("t_us"), lit(DayUs)),
           col("v"), QsLo, QsWidth, QsBuckets)
         MergeOps.quantilesFromState(
             MergeOps.mergeHistogramStates(state), QsPcts, QsLo, QsWidth)
           .orderBy("q_pct")
       },
       oracle = Some(s"""
-        WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        WITH ev AS (SELECT epoch_us(ts) // $DayUs AS day,
             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
           FROM events),
         state AS (SELECT day,

@@ -759,8 +759,7 @@ object RelationalQueries {
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
           .select(col("n_name"), col("o_orderpriority"),
-            (col("o_totalprice").cast("decimal(18,4)") * 10000)
-              .cast("long").as("cents"))
+            Tables.cents(col("o_totalprice")).as("cents"))
         base.groupBy("n_name")
           .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
             "4-NOT SPECIFIED", "5-LOW"))

@@ -39,6 +39,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
+
+  /** Dollars → integer 1e-4-dollar units ("cents" throughout the
+    * registry) via the DECIMAL(18,4)-before-multiply determinism
+    * discipline — the ONE definition the per-file copies referenced;
+    * oracle twins spell the identical
+    * `CAST(CAST(x AS DECIMAL(18,4)) * 10000 AS BIGINT)`. */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c.cast("decimal(18,4)") * 10000).cast("long")
 }
 
 /**

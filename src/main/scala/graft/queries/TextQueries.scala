@@ -807,7 +807,7 @@ object TextQueries {
         WITH h AS (SELECT doc_id,
             least(n_chars // $CurriculumTierChars, 3) AS tier,
             ${sqlHash64("text")} AS h
-          FROM documents)
+          FROM documents WHERE text IS NOT NULL)
         SELECT doc_id, tier, h,
           row_number() OVER (ORDER BY tier, h, doc_id) - 1 AS ordinal
         FROM h ORDER BY ordinal"""))

@@ -359,7 +359,7 @@ object StatefulOps {
         prev = Some(v)
         LedgerOut(r.k, r.t, r.tie, r.x, v)
       }
-      prev.foreach(v => if (sorted.nonEmpty) st.update(RunVal(v)))
+      if (sorted.nonEmpty) st.update(RunVal(prev.get))
       out.iterator
     }
   }

@@ -196,6 +196,17 @@ class CorpusAssemblySpec extends SparkSuite {
     assert(out.sortBy(_._4).map(_._1).toSeq == want)
   }
 
+  test("curriculumOrder: NULL-keyed rows drop at the boundary and the " +
+      "remaining ordinals stay a contiguous permutation") {
+    val df = Seq((1L, 0L, Option("a")), (2L, 0L, None),
+      (3L, 0L, Option("b")), (4L, 1L, None), (5L, 1L, Option("c")))
+      .toDF("doc_id", "tier", "text")
+    val out = CorpusAssembly.curriculumOrder(df, "doc_id", "tier", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.keySet == Set(1L, 3L, 5L))
+    assert(out.values.toSeq.sorted == Seq(0L, 1L, 2L))
+  }
+
   test("curriculumOrder is partitioning-independent and stages tiers " +
       "strictly (every tier-0 ordinal precedes every tier-1 ordinal)") {
     val df = (1L to 200L).map(i =>

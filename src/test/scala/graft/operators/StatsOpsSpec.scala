@@ -439,6 +439,20 @@ class StatsOpsSpec extends SparkSuite {
     assert(out == Map("a" -> 3L)) // rows 2,3,4 → lower median 3; no "z"
   }
 
+  test("weightedMedian: NULL values and non-positive weights are gated " +
+      "out up front (the documented row gate; keeps both engines off " +
+      "the NULLS FIRST/LAST cliff)") {
+    val df = Seq(
+      ("a", Option(2L), 1L), ("a", None, 100L), ("a", Option(4L), 1L),
+      ("a", Option(6L), -50L), ("a", Option(8L), 1L))
+      .toDF("g", "v", "w")
+    val out = StatsOps.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // survivors: 2, 4, 8 at weight 1 → lower median 4, total 3
+    assert(out == Map("a" -> ((4L, 3L))))
+  }
+
   test("weightedMedian compresses before windowing (the window sees the " +
       "value domain, not the rows) and is partitioning-invariant; the " +
       "two-level bucket decomposition matches the single-walk reference " +

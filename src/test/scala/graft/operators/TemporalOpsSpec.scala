@@ -351,6 +351,19 @@ class TemporalOpsSpec extends SparkSuite {
     assert(out == Map("a" -> 999999L))
   }
 
+  test("attribution: a NULL channel row is a TOUCH under channel null " +
+      "(the oracle's CASE null→0), never a silently dropped row") {
+    val df = Seq((1L, 1L, 1L, Option("a")), (1L, 2L, 2L, None),
+      (1L, 3L, 3L, Option("buy"))).toDF("u", "t", "id", "ch")
+    val out = TemporalOps.attribution(df, "u", "t", "id", "ch", "buy")
+      .collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(4)))
+      .toMap
+    // two touches share the conversion: 500000 ppm each, one of them NULL
+    assert(out == Map(Some("a") -> ((1L, 500000L)),
+      None -> ((1L, 500000L))))
+  }
+
   test("attribution is partitioning-independent") {
     val df = (1L to 200L).map { i =>
       val u = i % 7
