@@ -818,6 +818,56 @@ object RelationalQueries {
         ORDER BY o_custkey, o_orderkey""")),
 
     // ------------------------------------------------------------------
+    // q132 — value-window family (first_value / last_value / nth_value),
+    // completing the window coverage beyond lag (q07), ranks (q57) and
+    // range frames (q35): the "anchor observation" readouts — each
+    // order against its customer's cheapest, priciest, runner-up-so-far
+    // and a sliding 4-row local minimum anchor. EVERY frame is explicit
+    // (the defaults differ: last_value over the default frame is the
+    // CURRENT row — the classic silent-wrong-answer); the window order
+    // is total (price, then unique orderkey) so all four anchors are
+    // tie-free cross-engine. One customer-keyed exchange serves all
+    // four frames.
+    // ------------------------------------------------------------------
+    "q132_value_windows" -> GraftQuery(
+      build = (s, d) => {
+        val ord = Window.partitionBy("o_custkey")
+          .orderBy(col("price_cents"), col("o_orderkey"))
+        val full = ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val slide = ord.rowsBetween(-3, Window.currentRow)
+        orders(s, d).filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey"),
+            Tables.cents(col("o_totalprice")).as("price_cents"))
+          .withColumn("cheapest", first(col("price_cents")).over(full))
+          .withColumn("priciest", last(col("price_cents")).over(full))
+          .withColumn("runner_up",
+            nth_value(col("price_cents"), 2).over(run))
+          .withColumn("win4_floor", first(col("price_cents")).over(slide))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+            AS price_cents,
+          first_value(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+            AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+            UNBOUNDED FOLLOWING) AS cheapest,
+          last_value(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+            AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+            UNBOUNDED FOLLOWING) AS priciest,
+          nth_value(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+            AS BIGINT), 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+            CURRENT ROW) AS runner_up,
+          first_value(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+            AS BIGINT)) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS win4_floor
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------------------------
     // q58 — exact grouped percentiles (the quartile trio). Spark's
     // `percentile` and DuckDB's `quantile_cont` both use the type-7
     // (R/NumPy default) positioning p·(n-1) with linear interpolation;
