@@ -577,6 +577,51 @@ object StatsOps {
   }
 
   /**
+   * Exact per-group Gini concentration — "how unequal is the spend /
+   * how concentrated is the corpus on few sources", the inequality
+   * readout behind data-mixing decisions (a 0.9-Gini source mix is a
+   * deduplication smell) and revenue-concentration dashboards. Computed
+   * from the rank-weighted form on integer units:
+   *
+   *   G = (2·Σ rankᵢ·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ),  ranks 1..n ascending
+   *
+   * emitted as floor-ppm. Ranks tie-break on the entity id, which does
+   * NOT affect G: equal x at swapped ranks contribute identically, so
+   * the statistic is total-order deterministic without being tie-
+   * sensitive. The numerator is ≥ 0 by the rearrangement inequality
+   * (ascending ranks maximize agreement), so truncating `div` is floor
+   * here. All-long arithmetic: with cent-scale units, n·Σx stays ~4
+   * orders inside Long.MaxValue at n = 10⁶ per group.
+   *
+   * Scale shape: one keyed exchange serves the rank window and the
+   * group aggregate (same partitioning); input is the PRE-AGGREGATED
+   * per-entity frame (entities × 1 row), never raw facts. Zero-total
+   * groups (T = 0) yield a null gini, not a division error; negative
+   * unit values are the caller's contract violation (Gini is defined on
+   * nonnegative quantities) and left ungated to keep the formula
+   * honest. The ppm numerator 10⁶·(2S − (n+1)T) wraps a long already
+   * at gate scale (S ≈ n·T ≈ 2·10¹³ cents at sf0.01), so the final
+   * expression rides decimal128 — DuckDB's BIGINT sums promote to
+   * HUGEINT on their own, the q117 lesson.
+   */
+  def giniConcentration(df: DataFrame, group: String, unitCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(col(unitCol), col(idCol))
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"), sum(col(unitCol)).as("total"),
+        sum(col("rnk").cast("decimal(38,0)") *
+          col(unitCol).cast("decimal(38,0)")).as("s"))
+      .select(col(group), col("n"), col("total"),
+        when(col("total") > 0, expr(
+          """(cast(1000000 as decimal(38,0)) *
+             (2 * s - (cast(n as decimal(38,0)) + 1) * total))
+             div (cast(n as decimal(38,0)) * total)"""))
+          .as("gini_ppm"))
+  }
+
+  /**
    * Two-dimensional Pareto frontier (skyline): the rows not dominated
    * under (minimize `x`, maximize `y`) — row A dominates B when
    * A.x ≤ B.x ∧ A.y ≥ B.y with at least one strict. The

@@ -1555,6 +1555,49 @@ object AnalyticsQueries {
           min(CASE WHEN balance >= $CusumH AND prev_balance < $CusumH
             THEN t_us END) AS first_alarm_us,
           max(balance) AS peak_cusum
-        FROM s3 GROUP BY event_type ORDER BY event_type"""))
+        FROM s3 GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q133 — revenue-concentration Gini (StatsOps.giniConcentration):
+    // how unequally a nation's revenue spreads over its customers — the
+    // inequality readout behind data-mixing decisions (a near-1 Gini on
+    // corpus sources is a dedup smell) computed on the per-entity
+    // pre-aggregate, never raw facts. Rank-weighted exact form in
+    // floor-ppm; ranks tie-break on custkey without affecting G (equal
+    // spends contribute identically at swapped ranks).
+    // ------------------------------------------------------------------
+    "q133_gini_concentration" -> GraftQuery(
+      build = (s, d) => {
+        val spend = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("spend"))
+        StatsOps.giniConcentration(spend, "n_name", "spend", "c_custkey")
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        WITH spend AS (SELECT n_name, c_custkey,
+            sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS spend
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        ranked AS (SELECT n_name, spend,
+            CAST(row_number() OVER (PARTITION BY n_name
+              ORDER BY spend, c_custkey) AS BIGINT) AS rnk
+          FROM spend),
+        agg AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(spend) AS BIGINT) AS total,
+            sum(CAST(rnk AS HUGEINT) * CAST(spend AS HUGEINT)) AS s
+          FROM ranked GROUP BY 1)
+        SELECT n_name, n, total,
+          CASE WHEN total > 0 THEN CAST(
+            (CAST(1000000 AS HUGEINT) *
+              (2 * s - (CAST(n AS HUGEINT) + 1) * total))
+            // (CAST(n AS HUGEINT) * total) AS BIGINT) END AS gini_ppm
+        FROM agg ORDER BY n_name"""))
   )
 }

@@ -483,6 +483,41 @@ class StatsOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("giniConcentration: perfect equality scores 0, full concentration " +
+      "scores (n-1)/n, tie order cannot move the statistic") {
+    val df = Seq(
+      ("eq", 1L, 10L), ("eq", 2L, 10L), ("eq", 3L, 10L), ("eq", 4L, 10L),
+      ("one", 1L, 0L), ("one", 2L, 0L), ("one", 3L, 0L), ("one", 4L, 40L),
+      ("tie", 1L, 5L), ("tie", 2L, 5L), ("tie", 3L, 10L),
+      ("zero", 1L, 0L), ("zero", 2L, 0L))
+      .toDF("g", "id", "x")
+    val out = StatsOps.giniConcentration(df, "g", "x", "id")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out("eq") == Some(0L))
+    assert(out("one") == Some(750000L)) // (n-1)/n = 3/4
+    // tie: ranks (1,2) on the two 5s in either order: S = 5+10+30 = 45
+    // G = (2*45 - 4*20)/(3*20) = 10/60 → 166666 ppm
+    assert(out("tie") == Some(166666L))
+    assert(out("zero") == None) // zero total: null, not a crash
+  }
+
+  test("giniConcentration matches a driver-side reference on a skewed " +
+      "roster and overflows nothing at cent-scale magnitudes") {
+    val rows = (1L to 300L).map(i => ("n" + i % 3, i, (i * i) % 97L * 100000000L))
+    val df = rows.toDF("g", "id", "x")
+    val got = StatsOps.giniConcentration(df, "g", "x", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val xs = rs.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.length.toLong
+      val t = BigInt(xs.sum)
+      val s = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      g -> ((BigInt(1000000) * (2 * s - (n + 1) * t)) / (n * t)).toLong
+    }
+    assert(got === want)
+  }
+
   test("paretoFrontier2D: strict dominance only — equal points both " +
       "kept, equal-x worse-y and equal-y costlier-x dropped") {
     val df = Seq(
