@@ -33,6 +33,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def oracle_type_lint(con, name: str, sql: str) -> list[str]:
+    """Driver-parity guard: DuckDB promotes sum(BIGINT) (plain or windowed)
+    to HUGEINT; pandas materializes HUGEINT as float64, so the driver's
+    TYPED hash red-flags the query even when every value is equal (this
+    exact failure hit q125/q126/q127/q131 in round 8). Fail loudly on any
+    oracle output column typed HUGEINT/UHUGEINT so it can never land."""
+    errs = []
+    try:
+        rel = con.sql(sql)
+        for col_name, col_type in zip(rel.columns, rel.types):
+            t = str(col_type).upper()
+            if "HUGEINT" in t:
+                errs.append(f"oracle col {col_name} is {t} — add CAST(... AS "
+                            f"BIGINT) in the oracle SQL (driver hash is typed)")
+    except Exception as e:
+        errs.append(f"type lint could not run: {e}")
+    return errs
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(got.columns) != sorted(want.columns):
@@ -40,6 +59,19 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         return errs
     if len(got) != len(want):
         errs.append(f"row count differs: spark={len(got)} oracle={len(want)}")
+        return errs
+    # Driver-parity dtype gate BEFORE any normalization: the driver's hash is
+    # typed, so a Spark-vs-oracle pandas dtype divergence fails the driver
+    # even when values match. Datetimes are unified to [us] first (parquet
+    # writes us, fetchdf may give ns — value-identical, driver-safe).
+    for c in sorted(got.columns):
+        gd, wd = str(got[c].dtype), str(want[c].dtype)
+        if gd.startswith("datetime64") and wd.startswith("datetime64"):
+            continue
+        if gd != wd:
+            errs.append(f"dtype mismatch col {c}: spark={gd} oracle={wd} "
+                        f"(driver's typed hash would fail this)")
+    if errs:
         return errs
     g, w = norm(got), norm(want)
     for c in g.columns:
@@ -84,7 +116,7 @@ def main() -> int:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        errs = compare(name, got, want)
+        errs = oracle_type_lint(con, name, sql) + compare(name, got, want)
         if errs:
             n_fail += 1
             print(f"FAIL {name}:")

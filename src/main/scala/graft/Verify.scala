@@ -8,7 +8,12 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg (local iteration only): comma-separated name
     // prefixes — run just those queries. The driver always passes 2 args.
+    // "--oracles-only" dumps the full oracle_sql.json without running any
+    // query — the fast input to scripts/oracle_type_lint.py (seconds, not
+    // a full verify) so a HUGEINT-emitting oracle can't land unnoticed.
+    val oraclesOnly = args.drop(2).headOption.contains("--oracles-only")
     val nameFilter: String => Boolean = args.drop(2).headOption match {
+      case _ if oraclesOnly => _ => false
       case Some(p) => name => p.split(",").exists(name.startsWith)
       case None    => _ => true
     }
@@ -43,7 +48,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => nameFilter(kv._1))
+    val json = SparkEntry.oracleSql
+      .filter(kv => oraclesOnly || nameFilter(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

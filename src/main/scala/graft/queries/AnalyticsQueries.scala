@@ -362,10 +362,10 @@ object AnalyticsQueries {
             AND e.t_us > b.t_click
           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
         SELECT u.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
-          CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+          CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
             WHEN s2.t_click IS NOT NULL THEN 2
             WHEN s1.t_signup IS NOT NULL THEN 1
-            ELSE 0 END AS stage
+            ELSE 0 END AS BIGINT) AS stage
         FROM (SELECT DISTINCT user_id FROM ev) u
         LEFT JOIN s1 ON u.user_id = s1.user_id
         LEFT JOIN s2 ON u.user_id = s2.user_id
@@ -1252,7 +1252,11 @@ object AnalyticsQueries {
     // floor-ppm linear shares per channel, all three models from ONE
     // user-keyed shuffle (reverse-running-count assignment, no
     // per-conversion interval join). Touches after a user's last
-    // purchase credit nothing (their conversion never happened).
+    // purchase credit nothing (their conversion never happened). The
+    // channel sort is pinned NULLS FIRST on both sides: Spark ascending
+    // defaults nulls-first, DuckDB nulls-last — a NULL channel (absent
+    // from today's fixture, but fixtures have been regenerated
+    // mid-round before) must not flip the output order cross-engine.
     // ------------------------------------------------------------------
     "q123_attribution" -> GraftQuery(
       build = (s, d) => {
@@ -1285,7 +1289,7 @@ object AnalyticsQueries {
           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
             AS last_touch,
           CAST(sum(1000000 // n_touches) AS BIGINT) AS linear_ppm
-        FROM t GROUP BY channel ORDER BY channel""")),
+        FROM t GROUP BY channel ORDER BY channel NULLS FIRST""")),
 
     // ------------------------------------------------------------------
     // q124 — Pareto frontier (StatsOps.paretoFrontier2D): the parts no
@@ -1371,8 +1375,9 @@ object AnalyticsQueries {
               ORDER BY t_ms DESC, ok DESC) AS rn_last
           FROM s2)
         SELECT cust, CAST(count(*) AS BIGINT) AS n_tx,
-          max(CASE WHEN rn_last = 1 THEN balance END) AS final_balance,
-          max(balance) AS peak_balance,
+          CAST(max(CASE WHEN rn_last = 1 THEN balance END) AS BIGINT)
+            AS final_balance,
+          CAST(max(balance) AS BIGINT) AS peak_balance,
           CAST(sum(CASE WHEN clamped THEN 1 ELSE 0 END) AS BIGINT)
             AS n_clamped
         FROM s3 GROUP BY cust ORDER BY cust""")),
@@ -1409,7 +1414,7 @@ object AnalyticsQueries {
             sum(w) OVER (PARTITION BY l_returnflag) AS totw
           FROM c)
         SELECT l_returnflag, min(price_cents) AS w_median,
-          max(totw) AS total_w
+          CAST(max(totw) AS BIGINT) AS total_w
         FROM cw WHERE cumw * 2 >= totw
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -1554,7 +1559,7 @@ object AnalyticsQueries {
             THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
           min(CASE WHEN balance >= $CusumH AND prev_balance < $CusumH
             THEN t_us END) AS first_alarm_us,
-          max(balance) AS peak_cusum
+          CAST(max(balance) AS BIGINT) AS peak_cusum
         FROM s3 GROUP BY event_type ORDER BY event_type""")),
 
     // ------------------------------------------------------------------

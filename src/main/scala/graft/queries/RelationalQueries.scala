@@ -88,8 +88,8 @@ object RelationalQueries {
           .groupingSets(
             Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
             col("l_returnflag"), col("l_linestatus"))
-          .agg(grouping(col("l_returnflag")).as("g_rf"),
-            grouping(col("l_linestatus")).as("g_ls"),
+          .agg(grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+            grouping(col("l_linestatus")).cast(LongType).as("g_ls"),
             count(lit(1)).as("n"),
             sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
           .orderBy(col("g_rf"), col("g_ls"),
@@ -291,7 +291,7 @@ object RelationalQueries {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         orders(s, d)
-          .withColumn("rk", row_number().over(w))
+          .withColumn("rk", row_number().over(w).cast(LongType))
           .filter(col("rk") <= 3)
           .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
           .orderBy("o_custkey", "rk")
@@ -777,14 +777,16 @@ object RelationalQueries {
           JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey)
         SELECT n_name,
-          sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END)
-            AS urgent,
-          sum(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END) AS high,
-          sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END)
-            AS medium,
-          sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END)
-            AS notspec,
-          sum(CASE WHEN o_orderpriority = '5-LOW' THEN cents END) AS low
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END)
+            AS BIGINT) AS urgent,
+          CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END)
+            AS BIGINT) AS high,
+          CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END)
+            AS BIGINT) AS medium,
+          CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+            THEN cents END) AS BIGINT) AS notspec,
+          CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN cents END)
+            AS BIGINT) AS low
         FROM base GROUP BY n_name ORDER BY n_name""")),
 
     // ------------------------------------------------------------------
