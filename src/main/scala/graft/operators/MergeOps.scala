@@ -282,4 +282,52 @@ object MergeOps {
         compare.flatMap(c => Seq(
           col(s"t.$c").as(s"old_$c"), col(s"s.$c").as(s"new_$c"))): _*)
   }
+
+  /**
+   * Apply a CDC changelog (upserts + delete tombstones) to a base
+   * snapshot — the batch half of the snapshot-maintenance loop whose
+   * producing half is [[snapshotDiff]] / the CdcStream twin: replaying a
+   * day of Debezium-style events onto yesterday's table. Last-writer-
+   * wins per key by (seq, op): ONE per-key window keeps only the newest
+   * change row, then a single full-outer join against the base resolves
+   *   newest op = delete  → row gone (tombstone wins over base),
+   *   newest op = upsert  → changelog values win (insert if base-absent),
+   *   no change for key   → base row carried through.
+   *
+   * Shape: the window and the join hash on the same key, so AQE reuses
+   * one Exchange on the changelog side; the base never shuffles wider
+   * than key ++ payload. Output is exactly the new snapshot — applying
+   * snapshotDiff(base, applyChangelog(base, log)) re-derives the net log
+   * (the round-trip CdcApplySpec asserts).
+   *
+   * `log` carries (key, seqCol, opCol ∈ {'U','D'}, payload cols); later
+   * seq wins; an equal-seq race resolves by op ascending ('D' < 'U', so
+   * the DELETE ranks first and wins — deterministic, and the
+   * conservative choice for retention pipelines: a delete never
+   * resurrects).
+   */
+  def applyChangelog(base: DataFrame, log: DataFrame, key: Seq[String],
+      seqCol: String, opCol: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(key.nonEmpty, "changelog apply requires at least one key column")
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).asc)
+    val latest = log
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((key ++ Seq(opCol) ++ payload).map(col) :+
+        lit(1).as("__c_present"): _*)
+      .as("c")
+    val b = base.select((key ++ payload).map(col) :+
+      lit(1).as("__b_present"): _*).as("b")
+    val cond = key.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _)
+    val cPresent = col("c.__c_present").isNotNull
+    b.join(latest, cond, "full_outer")
+      .filter(!cPresent || col(s"c.$opCol") =!= "D")
+      .select(key.map(k => coalesce(col(s"c.$k"), col(s"b.$k")).as(k)) ++
+        payload.map(c => when(cPresent, col(s"c.$c"))
+          .otherwise(col(s"b.$c")).as(c)) :+
+        when(cPresent, col(s"c.$opCol")).otherwise(lit("B")).as("provenance"):
+        _*)
+  }
 }

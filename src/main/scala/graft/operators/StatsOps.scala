@@ -680,4 +680,118 @@ object StatsOps {
           col(yCol) === col("max_y_equal"))
       .drop("max_y_cheaper", "max_y_equal")
   }
+
+  /**
+   * Largest-remainder proration: split an integer `total` per group over
+   * members proportionally to a non-negative integer weight, producing
+   * integer shares that sum EXACTLY to the total — budget allocation,
+   * token-quota assignment across corpus sources, seat apportionment.
+   * Hamilton's method: floor shares `(T·w) div W` first, then one extra
+   * unit to the `r` members with the largest remainders `(T·w) mod W`,
+   * ties broken by id so the result is a function of the data alone.
+   *
+   * The remainder count needs no second pass: summing T·w_i = base_i·W +
+   * mod_i over a group gives T·W = W·Σbase + Σmod, so r = T − Σbase =
+   * Σmod div W comes out of the SAME aggregate that computed W.
+   *
+   * Shape: one groupBy(group) (tiny output, broadcast back) + one per-
+   * group rank window — both partitioned by the group key; nothing
+   * global. Caller must keep T·max(w) inside Long (document the unit —
+   * the q135 fixture prorates ppb over floor-dollar weights: ≤ 6·10^15).
+   */
+  def prorateLargestRemainder(df: DataFrame, group: String, idCol: String,
+      weightCol: String, total: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = df.groupBy(col(group))
+      .agg(sum(col(weightCol)).as("grp_w"))
+    val based = df
+      .join(broadcast(tot), group)
+      .withColumn("base", expr(s"($total * $weightCol) div grp_w"))
+      .withColumn("rem", expr(s"($total * $weightCol) % grp_w"))
+    val byRem = Window.partitionBy(group)
+      .orderBy(col("rem").desc, col(idCol))
+    val wsum = Window.partitionBy(group)
+    based
+      .withColumn("rn", row_number().over(byRem).cast("long"))
+      .withColumn("rem_sum", sum(col("rem")).over(wsum))
+      .withColumn("extra_units", expr("rem_sum div grp_w"))
+      .withColumn("alloc",
+        col("base") + when(col("rn") <= col("extra_units"), 1L)
+          .otherwise(0L))
+      .drop("rn", "rem", "rem_sum", "extra_units")
+  }
+
+  /**
+   * Rolling beta of a per-key series against a reference series, over a
+   * trailing row window of pre-aggregated buckets: the co-movement
+   * readout behind pairs monitoring, canary-vs-fleet metric drift and
+   * feature/target leakage screens. Input is the already-bucketed frame
+   * (key, bucket, x, m) — the caller aggregates raw facts to buckets
+   * first, so the window runs over |keys|·|buckets| rows, never raw
+   * data (the same "windows on aggregated frames" rule as OHLC/EWMA).
+   *
+   * beta = cov(x, m) / var(m) with both moments over the SAME trailing
+   * window; with equal n the 1/n² factors cancel, so the exact integer
+   * form is (n·Σxm − Σx·Σm) / (n·Σmm − (Σm)²). Emitted as floor-ppm
+   * with an EXPLICIT sign split — Spark's `div` truncates toward zero
+   * while DuckDB's `//` floors, so negative covariances would silently
+   * diverge by one ulp between engines if divided directly.
+   */
+  def rollingBeta(buckets: DataFrame, key: String, bucketCol: String,
+      xCol: String, mCol: String, windowRows: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(bucketCol))
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    buckets
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col(xCol)).over(w))
+      .withColumn("sm", sum(col(mCol)).over(w))
+      .withColumn("sxm", sum(col(xCol) * col(mCol)).over(w))
+      .withColumn("smm", sum(col(mCol) * col(mCol)).over(w))
+      .withColumn("cov_num", col("n") * col("sxm") - col("sx") * col("sm"))
+      .withColumn("var_num", col("n") * col("smm") - col("sm") * col("sm"))
+      .withColumn("beta_ppm",
+        when(col("var_num") === 0L, lit(null).cast("long"))
+          .when(col("cov_num") < 0L,
+            -expr("(1000000L * -cov_num) div var_num"))
+          .otherwise(expr("(1000000L * cov_num) div var_num")))
+      .drop("sx", "sm", "sxm", "smm")
+  }
+
+  /**
+   * Audience-overlap matrix: for every pair of categories, how many ids
+   * belong to both, with the Jaccard in floor-ppm — the
+   * segment-cannibalization / corpus-source-overlap readout (two
+   * "different" crawl sources sharing 80% of their documents is a dedup
+   * smell upstream of any mixing decision).
+   *
+   * Shape: distinct (id, category) first (one shuffle, output ≤ rows),
+   * then pairs are generated PER ID from its sorted category set — at
+   * most C(|categories|, 2) per id, bounded by the category-domain size,
+   * never an |ids|×|ids| self-join — and counted; per-category sizes are
+   * a tiny aggregate broadcast back onto the pair frame.
+   */
+  def audienceOverlap(df: DataFrame, idCol: String,
+      catCol: String): DataFrame = {
+    val pairs = df.select(col(idCol).as("id"), col(catCol).as("cat"))
+      .distinct()
+      .groupBy("id").agg(array_sort(collect_set(col("cat"))).as("cats"))
+      .select(explode(expr(
+        """flatten(transform(cats, (a, i) ->
+             transform(slice(cats, i + 2, size(cats)), b ->
+               struct(a as cat_a, b as cat_b))))""")).as("p"))
+      .groupBy(col("p.cat_a").as("cat_a"), col("p.cat_b").as("cat_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = df.select(col(idCol).as("id"), col(catCol).as("cat"))
+      .distinct()
+      .groupBy("cat").agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("cat").as("cat_a"),
+        col("n").as("n_a"))), "cat_a")
+      .join(broadcast(sizes.select(col("cat").as("cat_b"),
+        col("n").as("n_b"))), "cat_b")
+      .withColumn("jaccard_ppm",
+        expr("(1000000L * n_both) div (n_a + n_b - n_both)"))
+      .select("cat_a", "cat_b", "n_a", "n_b", "n_both", "jaccard_ppm")
+  }
 }

@@ -433,6 +433,10 @@ object TemporalOps {
    * deviation x − e_{i−1} (the control-chart signal; null for the seed
    * row, which has no forecast to deviate from).
    */
+  /** Tie contract: the fold sorts the whole (t, tie, x) struct, so even
+    * duplicate (t, tie) keys order deterministically by value — the
+    * result is partition-independent for ANY input
+    * (TemporalOpsPropertySpec proves it). */
   def ewmaSmooth(df: DataFrame, key: String, tCol: String, tieCol: String,
       valueCol: String): DataFrame = {
     val folded = df
@@ -454,6 +458,12 @@ object TemporalOps {
       col("step.x").as("x"), col("step.e").as("e"), col("step.dev").as("dev"))
   }
 
+  /** Tie contract: (t, tie) must be a total order per key. The clamp
+    * recurrence is non-associative, so rows DUPLICATED on (t, tie) take
+    * an arbitrary (partition-dependent) relative order — the result is
+    * then one of the tie-permutation folds, not a fixed one
+    * (TemporalOpsSpec pins this contract). Callers with tie-prone keys
+    * should widen the tie column (e.g. add a row id). */
   def clampedBalance(df: DataFrame, key: String, tCol: String,
       tieCol: String, amountCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(tCol), col(tieCol))
@@ -465,5 +475,139 @@ object TemporalOps {
         col("free") < lag(col("runmin"), 1, 0L).over(ord))
       .withColumn("balance", col("free") - col("runmin"))
       .drop("runmin")
+  }
+
+  /**
+   * FIFO lot matching — the cost-basis / inventory-consumption pairing
+   * (each outflow consumes the OLDEST remaining inflow lots): securities
+   * tax lots, warehouse picks, and prepaid-credit burn-down all follow
+   * it. Like [[clampedBalance]] this looks inherently sequential and is
+   * not: on each side's own cumulative-quantity axis, lot i occupies the
+   * half-open interval [cumQ_{i-1}, cumQ_i) and demand j likewise, and
+   * FIFO pairs exactly the interval OVERLAPS — matched quantity
+   * `min(hi_l, hi_d) − max(lo_l, lo_d)` where positive. So the whole
+   * match is two per-key window cumsums plus one key-equi join with an
+   * overlap predicate.
+   *
+   * Scale shape: the join is hash-partitioned on `key` alone; within a
+   * key the overlap pairs form a staircase of at most `lots + demands − 1`
+   * matches (each match exhausts at least one side's interval), so the
+   * per-key work is linear in the key's rows and the join never
+   * all-pairs. Unmatched tails (ending inventory / unfilled demand) are
+   * the rows the overlap predicate drops; callers recover them from the
+   * cumulative frames if needed.
+   *
+   * Inputs carry (key, t, tie, qty > 0); `isLot` selects the inflow
+   * side. Output: one row per (lot, demand) match with the matched qty
+   * and both timestamps (hold time = dT − lT is the FIFO holding
+   * period).
+   */
+  def fifoMatch(df: DataFrame, key: String, tCol: String, tieCol: String,
+      qtyCol: String, isLotCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key), col(isLotCol))
+      .orderBy(col(tCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df
+      .withColumn("hi", sum(col(qtyCol)).over(w))
+      .withColumn("lo", col("hi") - col(qtyCol))
+    val lots = cum.filter(col(isLotCol))
+      .select(col(key), col(tCol).as("lot_t"), col(tieCol).as("lot_tie"),
+        col("lo").as("l_lo"), col("hi").as("l_hi"))
+    val demands = cum.filter(!col(isLotCol))
+      .select(col(key).as("d_key"), col(tCol).as("d_t"),
+        col(tieCol).as("d_tie"), col("lo").as("d_lo"), col("hi").as("d_hi"))
+    lots.join(demands,
+        col(key) === col("d_key") &&
+          col("l_lo") < col("d_hi") && col("d_lo") < col("l_hi"))
+      .select(col(key), col("lot_t"), col("lot_tie"), col("d_t"),
+        col("d_tie"),
+        (least(col("l_hi"), col("d_hi")) -
+          greatest(col("l_lo"), col("d_lo"))).as("matched_qty"))
+  }
+
+  /**
+   * Time-bounded funnel: the earliest completion of an ordered stage
+   * sequence where each step lands within `maxGap` of the previous one —
+   * signup → click-within-a-week → purchase-within-a-week, the
+   * conversion readout marketing actually wants (q79's unbounded funnel
+   * credits a purchase two years after the click). Earliest-completion
+   * semantics: stage k's timestamp is the MINIMUM event time that is
+   * strictly after stage k−1's chosen time and within its gap — greedy
+   * earliest is optimal here (taking any later qualifying event can only
+   * shrink the next stage's window), so the fold is one min-aggregate
+   * join per stage, not a search.
+   *
+   * Shape: per stage one key-equi join + groupBy on the SAME key — the
+   * chain re-uses one hash partitioning end to end; stage frames only
+   * ever shrink (each is a subset of the previous stage's converters).
+   * The gap predicate also makes every join a bounded range join: an
+   * executor never buffers more than one gap-window of a key's events.
+   */
+  def funnelWithin(ev: DataFrame, key: String, tCol: String,
+      typeCol: String, stages: Seq[String], maxGap: Long): DataFrame = {
+    require(stages.nonEmpty)
+    val head = ev.filter(col(typeCol) === stages.head)
+      .groupBy(col(key))
+      .agg(min(col(tCol)).as("t_1"))
+    // chain(k) = keys that reached stage k+1, with t_1..t_{k+1}; each
+    // frame is a subset of its predecessor and its earlier-stage times
+    // are carried through unchanged (prev has one row per key), so the
+    // final left-join assembly below can take stage k's time from
+    // chain(k) directly.
+    val chain = stages.zipWithIndex.drop(1).scanLeft(head) {
+      case (prev, (stage, i)) =>
+        ev.filter(col(typeCol) === stage).as("e")
+          .join(prev.as("p"), col(s"e.$key") === col(s"p.$key") &&
+            col(s"e.$tCol") > col(s"p.t_$i") &&
+            col(s"e.$tCol") <= col(s"p.t_$i") + maxGap)
+          .groupBy(col(s"e.$key").as(key))
+          .agg(min(col(s"p.t_1")).as("t_1"),
+            (2 to i).map(j => min(col(s"p.t_$j")).as(s"t_$j")) :+
+              min(col(s"e.$tCol")).as(s"t_${i + 1}"): _*)
+    }
+    val assembled = chain.tail.zipWithIndex.foldLeft(head) {
+      case (acc, (frame, idx)) =>
+        val tc = s"t_${idx + 2}"
+        acc.join(frame.select(col(key), col(tc)), Seq(key), "left")
+    }
+    assembled.withColumn("stage_reached",
+      (1 to stages.size).foldLeft(lit(0L)) { (acc, k) =>
+        when(col(s"t_$k").isNotNull, lit(k.toLong)).otherwise(acc)
+      })
+  }
+
+  /**
+   * Arrival-cadence profile: per-key inter-arrival gap percentiles
+   * (p25/p50/p75 as discrete order statistics — the value AT rank
+   * ceil(q·n), never an interpolated float) plus the IQR-over-median
+   * regularity ratio in floor-ppm. A near-zero ratio means a metronome
+   * (bot heartbeats, cron); a large one means bursts. Exact integer
+   * arithmetic end to end, so both engines agree bitwise.
+   *
+   * One key-partitioned window pair: lag() for gaps, then a second
+   * window ranks gaps per key; the percentile picks are a group-max over
+   * rank predicates, not a sort of the whole frame. Rank is taken over
+   * (gap, tie) — a total order — but the SELECTED value depends only on
+   * the gap sort position, so tie placement never changes the output.
+   */
+  def cadenceProfile(df: DataFrame, key: String, tCol: String,
+      tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(key).orderBy(col(tCol), col(tieCol))
+    val gaps = df
+      .withColumn("gap", col(tCol) - lag(col(tCol), 1).over(ord))
+      .filter(col("gap").isNotNull)
+    val byGap = Window.partitionBy(key).orderBy(col("gap"), col(tieCol))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(byGap).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(key)))
+    def pick(pct: Int): Column =
+      max(when(col("rn") * 100 >= col("n") * pct &&
+        (col("rn") - 1) * 100 < col("n") * pct, col("gap")))
+    ranked.groupBy(col(key))
+      .agg(max(col("n")).as("n_gaps"),
+        pick(25).as("p25"), pick(50).as("p50"), pick(75).as("p75"))
+      .withColumn("iqr", col("p75") - col("p25"))
+      .withColumn("regularity_ppm",
+        expr("1000000L * iqr div nullif(p50, 0)"))
   }
 }

@@ -343,6 +343,65 @@ object VectorSearch {
   def vecBandBucketSizes(bands: DataFrame): DataFrame =
     bands.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("bucket_size"))
 
+  /**
+   * ANN quality audit: per query, the recall@k and first-hit rank of
+   * the banded-LSH candidate path against the exact cosine top-k — the
+   * measurement that turns "we use approximate search" into a number a
+   * pipeline owner can gate on (recall too low → add bands/bits, see
+   * [[recommendedSigBits]]). Emits (query_id, n_cand, hits, recall_ppm,
+   * top1_rnk, mrr_ppm): `hits` of the exact top-k found among the LSH
+   * candidates' own top-k, `top1_rnk` where the TRUE nearest neighbor
+   * landed in the approximate ranking (null = missed entirely, and
+   * mrr_ppm propagates the null rather than faking a 0).
+   *
+   * Scale shape: the audit query set is BOUNDED (broadcast side); the
+   * exact pass is [[knnBrute]] (linear corpus scan — the audit's
+   * honest cost, run on a sample in production); the candidate pass is
+   * one equi-join of the queries' band rows against the corpus band
+   * index — the same access path the production [[bucketedNearDupPairs]]
+   * uses, so the audit measures the deployed geometry, not a replica.
+   */
+  def annRecallAudit(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5): DataFrame = {
+    val exact = knnBrute(base, queries, idCol, vecCol, k)
+      .select(col("query_id").as("ex_query_id"), col("neighbor_id"),
+        col("rnk").as("ex_rnk"))
+    val b = prepNormed(base, idCol, vecCol)
+    val q = prepNormed(queries, idCol, vecCol).select(
+      col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val bBands = vecBandRows(
+      b.select(col(idCol).as("vec_id"), col("v")), "vec_id")
+    val qBands = vecBandRows(
+        q.select(col("query_id").as("vec_id"), col("qv").as("v")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("band"), col("bval"))
+    val cand = broadcast(qBands).join(bBands, Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    val scored = cand
+      .join(b.select(col(idCol).as("vec_id"), col("v"), col("nrm")),
+        "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val approx = scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+    approx
+      .join(exact, col("query_id") === col("ex_query_id") &&
+        col("vec_id") === col("neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("ex_rnk")).as("hits"),
+        min(when(col("ex_rnk") === 1L, col("rnk"))).as("top1_rnk"))
+      .join(nCand, "query_id")
+      .withColumn("recall_ppm", expr(s"(1000000L * hits) div $k"))
+      .withColumn("mrr_ppm", expr("1000000L div top1_rnk"))
+      .select("query_id", "n_cand", "hits", "recall_ppm", "top1_rnk",
+        "mrr_ppm")
+  }
+
   /** Band rows (vec_id, band, bval) for a (idCol, v: double array)
     * frame. The generator explodes a LITERAL band index array and reads
     * the materialized band-value array ABOVE the Generate — the direct

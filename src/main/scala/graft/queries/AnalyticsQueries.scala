@@ -144,6 +144,25 @@ object AnalyticsQueries {
   // cents() now lives in Tables (imported via Tables._) — one shared
   // definition of the fixed-point conversion.
 
+  /** q134 FIFO fixture: every 3rd customer's orders as an inventory
+    * ledger (orderkey parity splits lots/demands — the q125 signed-walk
+    * injection discipline), quantities in floor dollars so cumulative
+    * products stay far inside Long, time in days since the TPC-H epoch. */
+  val FifoCustMod = 3L; val FifoEpoch = "1992-01-01"
+
+  /** q135 proration: one billion ppb units per nation, weights in floor
+    * dollars of customer spend (T·max(w) ≈ 6·10^15 « Long.Max). */
+  val ProrateTotal = 1000000000L
+
+  /** q137 rolling beta: hourly buckets of floor-dollar value sums
+    * (dollars, not cents, keep n·Σxm inside Long even at 100× event
+    * density), trailing 24 observed buckets. */
+  val HourNs = 3600000000000L; val BetaWindow = 24
+
+  /** q140 time-bounded funnel: each stage must land within 7 days of
+    * the previous one (epoch micros). */
+  val FunnelGapUs = 7L * 86400L * 1000000L
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -1603,6 +1622,265 @@ object AnalyticsQueries {
             (CAST(1000000 AS HUGEINT) *
               (2 * s - (CAST(n AS HUGEINT) + 1) * total))
             // (CAST(n AS HUGEINT) * total) AS BIGINT) END AS gini_ppm
-        FROM agg ORDER BY n_name"""))
+        FROM agg ORDER BY n_name""")),
+
+    // ------------------------------------------------------------------
+    // q134 — FIFO lot matching (TemporalOps.fifoMatch): the cost-basis /
+    // inventory-consumption pairing solved without a sequential fold —
+    // on each side's cumulative-quantity axis, FIFO matches are exactly
+    // the interval overlaps (unit-rank pairing: the i-th unit out
+    // consumes the i-th unit in, backorders allowed), so the whole op is
+    // two keyed window cumsums + one key-equi join whose per-key output
+    // is a staircase of ≤ lots+demands−1 rows. Fixture: every 3rd
+    // customer's orders as a ledger, even orderkeys are inflow lots.
+    // ------------------------------------------------------------------
+    "q134_fifo_match" -> GraftQuery(
+      build = (s, d) => {
+        val led = orders(s, d)
+          .filter(col("o_custkey") % FifoCustMod === 0)
+          .select(col("o_custkey").as("cust"),
+            datediff(col("o_orderdate").cast("date"),
+              lit(FifoEpoch).cast("date")).cast("long").as("t_day"),
+            col("o_orderkey").as("ok"),
+            expr("cast(cast(o_totalprice as decimal(18,4)) * 10000" +
+              " as bigint) div 10000").as("qty"),
+            (col("o_orderkey") % 2 === 0).as("is_lot"))
+        TemporalOps.fifoMatch(led, "cust", "t_day", "ok", "qty", "is_lot")
+          .withColumn("hold_days", col("d_t") - col("lot_t"))
+          .orderBy("cust", "lot_tie", "d_tie")
+      },
+      oracle = Some(s"""
+        WITH led AS (SELECT o_custkey AS cust,
+            date_diff('day', DATE '$FifoEpoch', CAST(o_orderdate AS DATE))
+              AS t_day,
+            o_orderkey AS ok,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 10000 AS qty,
+            o_orderkey % 2 = 0 AS is_lot
+          FROM orders WHERE o_custkey % $FifoCustMod = 0),
+        cum AS (SELECT *, CAST(sum(qty) OVER (PARTITION BY cust, is_lot
+            ORDER BY t_day, ok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS hi
+          FROM led),
+        c2 AS (SELECT *, hi - qty AS lo FROM cum),
+        l AS (SELECT cust, t_day AS lot_t, ok AS lot_tie, lo, hi
+          FROM c2 WHERE is_lot),
+        dd AS (SELECT cust, t_day AS d_t, ok AS d_tie, lo, hi
+          FROM c2 WHERE NOT is_lot)
+        SELECT l.cust, lot_t, lot_tie, d_t, d_tie,
+          least(l.hi, dd.hi) - greatest(l.lo, dd.lo) AS matched_qty,
+          d_t - lot_t AS hold_days
+        FROM l JOIN dd ON l.cust = dd.cust
+          AND l.lo < dd.hi AND dd.lo < l.hi
+        ORDER BY l.cust, lot_tie, d_tie""")),
+
+    // ------------------------------------------------------------------
+    // q135 — largest-remainder proration (StatsOps.
+    // prorateLargestRemainder): split one billion budget units per
+    // nation over its customers proportionally to spend, with integer
+    // shares that sum EXACTLY to the total (Hamilton's method; the
+    // remainder count falls out of the same aggregate that computed the
+    // group weight, so the op is one tiny groupBy broadcast back + one
+    // per-group rank window). The floor-dollar weight unit keeps
+    // T·max(w) ≈ 6·10^15 inside Long at every SF.
+    // ------------------------------------------------------------------
+    "q135_proration" -> GraftQuery(
+      build = (s, d) => {
+        val spend = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+          .withColumn("weight", expr("spend_cents div 10000"))
+          .select("n_name", "c_custkey", "weight")
+        StatsOps.prorateLargestRemainder(spend, "n_name", "c_custkey",
+            "weight", ProrateTotal)
+          .select("n_name", "c_custkey", "weight", "alloc")
+          .orderBy("n_name", "c_custkey")
+      },
+      oracle = Some(s"""
+        WITH spend AS (SELECT n_name, c_custkey,
+            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) // 10000 AS weight
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        tot AS (SELECT n_name, CAST(sum(weight) AS BIGINT) AS grp_w
+          FROM spend GROUP BY 1),
+        based AS (SELECT s.n_name, c_custkey, weight, grp_w,
+            ($ProrateTotal * weight) // grp_w AS base,
+            ($ProrateTotal * weight) % grp_w AS rem
+          FROM spend s JOIN tot t USING (n_name)),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+              ORDER BY rem DESC, c_custkey) AS BIGINT) AS rn,
+            CAST(sum(rem) OVER (PARTITION BY n_name) AS BIGINT) AS rem_sum
+          FROM based)
+        SELECT n_name, c_custkey, weight,
+          base + CASE WHEN rn <= rem_sum // grp_w THEN 1 ELSE 0 END AS alloc
+        FROM r ORDER BY n_name, c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q137 — rolling beta vs the market (StatsOps.rollingBeta): each
+    // event type's hourly value sums regressed against the all-types
+    // hourly series over a trailing 24-bucket window — the co-movement /
+    // drift screen. Exact integer moments (n·Σxm − Σx·Σm over
+    // n·Σmm − (Σm)²) in floor dollars; the ppm division sign-splits
+    // because Spark div truncates while DuckDB // floors. Windows run on
+    // the |types|·|hours| aggregated frame, never raw events.
+    // ------------------------------------------------------------------
+    "q137_rolling_beta" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("event_type"),
+          expr(s"ts div $HourNs").as("h"),
+          expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)" +
+            " div 10000").as("v"))
+        val byType = ev.groupBy("event_type", "h").agg(sum("v").as("x"))
+        val mkt = ev.groupBy("h").agg(sum("v").as("m"))
+        StatsOps.rollingBeta(byType.join(broadcast(mkt), "h"),
+            "event_type", "h", "x", "m", BetaWindow)
+          .select("event_type", "h", "x", "m", "n", "cov_num", "var_num",
+            "beta_ppm")
+          .orderBy("event_type", "h")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT event_type,
+            epoch_us(ts) // ${HourNs / 1000L} AS h,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) // 10000
+              AS v
+          FROM events),
+        bt AS (SELECT event_type, h, CAST(sum(v) AS BIGINT) AS x
+          FROM ev GROUP BY 1, 2),
+        mk AS (SELECT h, CAST(sum(v) AS BIGINT) AS m FROM ev GROUP BY 1),
+        j AS (SELECT event_type, h, x, m FROM bt JOIN mk USING (h)),
+        wnd AS (SELECT event_type, h, x, m,
+            CAST(count(*) OVER w AS BIGINT) AS n,
+            CAST(sum(x) OVER w AS BIGINT) AS sx,
+            CAST(sum(m) OVER w AS BIGINT) AS sm,
+            CAST(sum(x * m) OVER w AS BIGINT) AS sxm,
+            CAST(sum(m * m) OVER w AS BIGINT) AS smm
+          FROM j WINDOW w AS (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN ${BetaWindow - 1} PRECEDING AND CURRENT ROW))
+        SELECT event_type, h, x, m, n,
+          n * sxm - sx * sm AS cov_num,
+          n * smm - sm * sm AS var_num,
+          CASE WHEN n * smm - sm * sm = 0 THEN NULL
+            WHEN n * sxm - sx * sm < 0
+              THEN -((1000000 * (sx * sm - n * sxm)) // (n * smm - sm * sm))
+            ELSE (1000000 * (n * sxm - sx * sm)) // (n * smm - sm * sm)
+          END AS beta_ppm
+        FROM wnd ORDER BY event_type, h""")),
+
+    // ------------------------------------------------------------------
+    // q138 — audience-overlap matrix (StatsOps.audienceOverlap): for
+    // every event-type pair, how many users do both, with floor-ppm
+    // Jaccard — the segment-cannibalization / corpus-source-overlap
+    // readout. Pairs are generated per user from the sorted distinct
+    // type set (≤ C(|types|,2) per user), never an |users|² self-join;
+    // per-type sizes broadcast back onto the C(|types|,2)-row frame.
+    // ------------------------------------------------------------------
+    "q138_audience_overlap" -> GraftQuery(
+      build = (s, d) => {
+        StatsOps.audienceOverlap(
+            events(s, d).select("user_id", "event_type"),
+            "user_id", "event_type")
+          .orderBy("cat_a", "cat_b")
+      },
+      oracle = Some("""
+        WITH uc AS (SELECT DISTINCT user_id, event_type FROM events),
+        sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM uc GROUP BY 1),
+        pr AS (SELECT a.event_type AS cat_a, b.event_type AS cat_b,
+            CAST(count(*) AS BIGINT) AS n_both
+          FROM uc a JOIN uc b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT cat_a, cat_b, sa.n AS n_a, sb.n AS n_b, n_both,
+          (1000000 * n_both) // (sa.n + sb.n - n_both) AS jaccard_ppm
+        FROM pr
+        JOIN sz sa ON cat_a = sa.event_type
+        JOIN sz sb ON cat_b = sb.event_type
+        ORDER BY cat_a, cat_b""")),
+
+    // ------------------------------------------------------------------
+    // q139 — arrival-cadence profile (TemporalOps.cadenceProfile):
+    // per-type inter-arrival gap p25/p50/p75 as DISCRETE order
+    // statistics (the value at rank ceil(q·n) — never an interpolated
+    // float) plus the IQR/median regularity ratio in floor-ppm (≈0 =
+    // metronome/bot, large = bursty). Two keyed windows on the event
+    // stream; the percentile picks are rank-predicate aggregates, not
+    // sorts.
+    // ------------------------------------------------------------------
+    "q139_cadence_profile" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("event_type"),
+          expr("ts div 1000").as("t_us"), col("event_id"))
+        TemporalOps.cadenceProfile(ev, "event_type", "t_us", "event_id")
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us, event_id
+          FROM events),
+        g AS (SELECT event_type, event_id,
+            t_us - lag(t_us) OVER (PARTITION BY event_type
+              ORDER BY t_us, event_id) AS gap
+          FROM ev),
+        g2 AS (SELECT event_type, gap,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY gap, event_id) AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM g WHERE gap IS NOT NULL),
+        p AS (SELECT event_type, max(n) AS n_gaps,
+            max(CASE WHEN rn * 100 >= n * 25 AND (rn - 1) * 100 < n * 25
+              THEN gap END) AS p25,
+            max(CASE WHEN rn * 100 >= n * 50 AND (rn - 1) * 100 < n * 50
+              THEN gap END) AS p50,
+            max(CASE WHEN rn * 100 >= n * 75 AND (rn - 1) * 100 < n * 75
+              THEN gap END) AS p75
+          FROM g2 GROUP BY 1)
+        SELECT event_type, n_gaps, p25, p50, p75, p75 - p25 AS iqr,
+          (1000000 * (p75 - p25)) // nullif(p50, 0) AS regularity_ppm
+        FROM p ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q140 — time-bounded funnel (TemporalOps.funnelWithin): earliest
+    // signup → click-within-7d → purchase-within-7d-of-click per user —
+    // q79's funnel with the conversion windows marketing actually uses
+    // (greedy-earliest is optimal: any later qualifying event only
+    // shrinks the next stage's window). One key-equi join + groupBy per
+    // stage on the same hash partitioning; the gap predicate bounds
+    // every join's buffered range.
+    // ------------------------------------------------------------------
+    "q140_windowed_funnel" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"))
+        TemporalOps.funnelWithin(ev, "user_id", "t_us", "event_type",
+            Seq("signup", "click", "purchase"), FunnelGapUs)
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us, event_type
+          FROM events),
+        s1 AS (SELECT user_id, min(t_us) AS t_1 FROM ev
+          WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.t_us) AS t_2
+          FROM ev e JOIN s1 p ON e.user_id = p.user_id
+            AND e.t_us > p.t_1 AND e.t_us <= p.t_1 + $FunnelGapUs
+          WHERE e.event_type = 'click' GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.t_us) AS t_3
+          FROM ev e JOIN s2 p ON e.user_id = p.user_id
+            AND e.t_us > p.t_2 AND e.t_us <= p.t_2 + $FunnelGapUs
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT s1.user_id, t_1, t_2, t_3,
+          CAST(CASE WHEN t_3 IS NOT NULL THEN 3
+            WHEN t_2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+            AS stage_reached
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id"""))
   )
 }

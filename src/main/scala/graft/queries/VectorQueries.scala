@@ -29,6 +29,14 @@ object VectorQueries {
     * on which vectors are queries. */
   val QuerySetSql = "vec_id % 100 = 0 AND vec_id < 500"
 
+  /** The same predicate with every column reference qualified — for
+    * contexts (q136's band join) where `vec_id` alone is ambiguous. */
+  private def querySetSqlOn(alias: String): String =
+    QuerySetSql.replace("vec_id", s"$alias.vec_id")
+
+  /** q136 recall audit depth (matches q25's top-k). */
+  val RecallK = 5
+
   /** Shared q25/q105 oracle prolog: normed double vectors (with label)
     * and the bounded query set — one copy of the base/nb/q scaffold. */
   private def knnPrologSql(withLabel: Boolean) = {
@@ -480,6 +488,74 @@ object VectorQueries {
           CAST(1000000 - (sum_sq * 1000000) //
             (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm
         FROM p JOIN r ON p.cluster = r.cluster AND r.rk = 1
-        ORDER BY p.cluster"""))
+        ORDER BY p.cluster""")),
+
+    // ------------------------------------------------------------------
+    // q136 — ANN recall audit (VectorSearch.annRecallAudit): per query,
+    // recall@5 and first-hit rank of the banded-LSH candidate path
+    // against the exact cosine top-5 — the gate that justifies running
+    // approximate search at 100 TB (recall too low → more bands/bits,
+    // recommendedSigBits). The candidate pass is the SAME band geometry
+    // production dedup buckets on; the exact pass is q25's broadcast
+    // brute force (the audit's honest cost — sampled in production). A
+    // missed true-nearest-neighbor emits null top1/mrr, never a fake 0.
+    // ------------------------------------------------------------------
+    "q136_ann_recall_audit" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        VectorSearch.annRecallAudit(emb,
+            emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500),
+            "vec_id", "embedding", RecallK)
+          .orderBy("query_id")
+      },
+      oracle = Some {
+        val bandCols = (0 until VecBands).map(b =>
+          s"${sqlBandValue("v", b)} AS bv$b").mkString(",\n            ")
+        val bandSelects = (0 until VecBands).map(b =>
+          s"SELECT vec_id, $b AS band, bv$b AS bval FROM sigs")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH ${knnPrologSql(withLabel = false)},
+        scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+            ${sqlDot("b.v", "qv")} / (b.nrm * qn) AS cosine
+          FROM nb b CROSS JOIN q WHERE b.vec_id <> query_id),
+        ex AS (SELECT query_id, neighbor_id, ex_rnk FROM (
+            SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS ex_rnk
+            FROM scored) WHERE ex_rnk <= $RecallK),
+        sigs AS (SELECT vec_id, v, nrm,
+            $bandCols
+          FROM nb),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
+          FROM bands qb JOIN bands b
+            ON qb.band = b.band AND qb.bval = b.bval
+            AND b.vec_id <> qb.vec_id
+          WHERE ${querySetSqlOn("qb")}),
+        ncand AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+          FROM cand GROUP BY 1),
+        cscored AS (SELECT c.query_id, c.vec_id,
+            ${sqlDot("nb.v", "q.qv")} / (nb.nrm * q.qn) AS cosine
+          FROM cand c
+          JOIN nb ON c.vec_id = nb.vec_id
+          JOIN q ON c.query_id = q.query_id),
+        approx AS (SELECT query_id, vec_id, rnk FROM (
+            SELECT query_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+            FROM cscored) WHERE rnk <= $RecallK),
+        jj AS (SELECT a.query_id, a.rnk, e.ex_rnk
+          FROM approx a LEFT JOIN ex e
+            ON a.query_id = e.query_id AND a.vec_id = e.neighbor_id),
+        agg AS (SELECT query_id, CAST(count(ex_rnk) AS BIGINT) AS hits,
+            min(CASE WHEN ex_rnk = 1 THEN rnk END) AS top1_rnk
+          FROM jj GROUP BY 1)
+        SELECT a.query_id, n_cand, hits,
+          (1000000 * hits) // $RecallK AS recall_ppm,
+          top1_rnk, 1000000 // top1_rnk AS mrr_ppm
+        FROM agg a JOIN ncand USING (query_id)
+        ORDER BY a.query_id"""
+      })
   )
 }

@@ -31,7 +31,11 @@ class PlanAuditSpec extends SparkSuite {
       "q87_pq_adc_topk", "q90_pq_trained_adc",
       "q94_mixture_weights", "q97_tfidf_cosine_join",
       "q105_contrastive_pairs", "q113_collocation_lift",
-      "q129_ivm_quantile")
+      "q129_ivm_quantile",
+      // q136 embeds q25's knnBrute as its EXACT reference side — the
+      // all-pairs scan against the bounded broadcast query set is the
+      // audit's definitional cost, not an accident
+      "q136_ann_recall_audit")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -233,4 +233,46 @@ class MergeOpsSpec extends SparkSuite {
     assert(a == run(df.coalesce(1)))
     assert(a.length == 120)
   }
+
+  // ------------------------------------------------- changelog apply
+
+  private def clBase = Seq(
+    (1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z"), (4L, 40L, "w"))
+    .toDF("id", "bal", "seg")
+
+  test("applyChangelog: later seq wins, same-seq U/D race resolves to " +
+      "the delete, inserts land, untouched base rows carry through") {
+    val log = Seq(
+      (1L, 1L, "U", 11L, "x"),  // overridden by seq 2 below
+      (1L, 2L, "U", 12L, "x2"),
+      (2L, 1L, "D", 0L, ""),    // delete
+      (3L, 1L, "U", 33L, "z"),  // same-seq race: ...
+      (3L, 1L, "D", 0L, ""),    // ... delete must win
+      (9L, 1L, "U", 90L, "new") // base-absent insert
+    ).toDF("id", "seq", "op", "bal", "seg")
+    val got = MergeOps.applyChangelog(clBase, log, Seq("id"), "seq", "op",
+        Seq("bal", "seg"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 12L, "x2", "U"),
+      (4L, 40L, "w", "B"),
+      (9L, 90L, "new", "U")))
+  }
+
+  test("applyChangelog round-trips with snapshotDiff: diffing base vs " +
+      "applied re-derives exactly the net changes") {
+    val log = Seq(
+      (1L, 1L, "U", 99L, "x"),
+      (2L, 1L, "D", 0L, ""),
+      (9L, 1L, "U", 90L, "new")).toDF("id", "seq", "op", "bal", "seg")
+    val applied = MergeOps.applyChangelog(clBase, log, Seq("id"), "seq",
+      "op", Seq("bal", "seg")).drop("provenance")
+    val diff = MergeOps.snapshotDiff(clBase, applied, Seq("id"),
+        Seq("bal", "seg"))
+      .select("id", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "changed", 2L -> "removed", 9L -> "added"))
+  }
 }

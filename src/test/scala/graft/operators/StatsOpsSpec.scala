@@ -571,4 +571,81 @@ class StatsOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  // ------------------------------------------------------- proration
+
+  test("prorateLargestRemainder: shares sum EXACTLY to the total per " +
+      "group and match the sequential Hamilton reference") {
+    val rows = for (g <- 1L to 3L; i <- 1L to 20L) yield
+      (g, i, (g * 7919L + i * 104729L) % 500L + 1L)
+    val total = 1000003L // deliberately not divisible by anything
+    val df = rows.toDF("g", "id", "w")
+    val got = StatsOps.prorateLargestRemainder(df, "g", "id", "w", total)
+      .select("g", "id", "alloc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (g <- 1L to 3L) {
+      val mine = rows.filter(_._1 == g)
+      val w = mine.map(r => r._2 -> r._3).toMap
+      val bigW = w.values.sum
+      val base = w.view.mapValues(wi => total * wi / bigW).toMap
+      val rem = w.map { case (id, wi) => id -> (total * wi % bigW) }
+      val extras = rem.toSeq.sortBy { case (id, r) => (-r, id) }
+        .take((total - base.values.sum).toInt).map(_._1).toSet
+      for ((id, b) <- base)
+        assert(got((g, id)) == b + (if (extras(id)) 1L else 0L),
+          s"g=$g id=$id")
+      assert(mine.map(r => got((g, r._2))).sum == total, s"g=$g sum")
+    }
+  }
+
+  test("prorateLargestRemainder: the textbook rounding case splits by " +
+      "remainder rank with id tie-break") {
+    val df = Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L))
+      .toDF("g", "id", "w")
+    val got = StatsOps.prorateLargestRemainder(df, "g", "id", "w", 10L)
+      .select("id", "alloc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 10 over equal thirds: floors 3,3,3; remainder 1 → lowest id wins
+    assert(got == Map(1L -> 4L, 2L -> 3L, 3L -> 3L))
+  }
+
+  // ---------------------------------------------------- rolling beta
+
+  test("rollingBeta: a series vs itself is exactly 1e6 ppm, vs its " +
+      "negation exactly -1e6, and null when the reference is flat") {
+    val buckets = (1L to 30L).map(i => (1L, i, (i * 17L) % 23L))
+      .toDF("k", "h", "m")
+    val self = StatsOps.rollingBeta(
+      buckets.withColumn("x", col("m")), "k", "h", "x", "m", 5)
+    val anti = StatsOps.rollingBeta(
+      buckets.withColumn("x", -col("m")), "k", "h", "x", "m", 5)
+    val flat = StatsOps.rollingBeta(
+      (1L to 10L).map(i => (1L, i, i, 4L)).toDF("k", "h", "x", "m"),
+      "k", "h", "x", "m", 5)
+    // windows with var_num = 0 (first row, or 5 equal m values) are null
+    assert(self.filter(col("var_num") =!= 0L)
+      .select("beta_ppm").collect().forall(_.getLong(0) == 1000000L))
+    assert(anti.filter(col("var_num") =!= 0L)
+      .select("beta_ppm").collect().forall(_.getLong(0) == -1000000L))
+    assert(flat.select("beta_ppm").collect().forall(_.isNullAt(0)))
+  }
+
+  // ------------------------------------------------ audience overlap
+
+  test("audienceOverlap counts pair intersections exactly, without " +
+      "emitting empty pairs, and dedups repeated memberships") {
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"), // dup membership must not count
+      (2L, "a"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "c"),
+      (4L, "d")) // lone category: no pair rows at all
+    val df = rows.toDF("u", "cat")
+    val got = StatsOps.audienceOverlap(df, "u", "cat")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((3L, 2L, 2L, 666666L)),
+      ("a", "c") -> ((3L, 2L, 2L, 666666L)),
+      ("b", "c") -> ((2L, 2L, 1L, 333333L))))
+  }
 }

@@ -64,4 +64,22 @@ class TemporalOpsPropertySpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(df.repartition(1)) == run(df.repartition(7)))
   }
+
+  test("ewmaSmooth under duplicate (t, tie) keys stays deterministic: " +
+      "ties fall back to value order because the fold sorts the whole " +
+      "(t, tie, x) struct") {
+    import spark.implicits._
+    // three rows fully tied on (t, tie) with distinct values, then an
+    // anchor; sorted by (t, tie, x) the values run 3, 6, 9, 4 →
+    // e = 3, (3+6)/2 = 4, (4+9)/2 = 6, (6+4)/2 = 5
+    val df = Seq((1L, 1L, 1L, 9L), (1L, 1L, 1L, 3L), (1L, 1L, 1L, 6L),
+      (1L, 2L, 2L, 4L)).toDF("k", "t", "id", "x")
+    def run(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      TemporalOps.ewmaSmooth(d, "k", "t", "id", "x")
+        .select("x", "e").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val want = Seq((3L, 3L), (4L, 5L), (6L, 4L), (9L, 6L))
+    assert(run(df.repartition(5)) == want)
+    assert(run(df.coalesce(1)) == want)
+  }
 }

@@ -418,4 +418,128 @@ class TemporalOpsSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 <= 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  // ---------------------------------------------------------------- FIFO
+
+  /** Sequential unit-rank FIFO reference: two-pointer walk over the
+    * time-ordered lots and demands of one key. */
+  private def fifoRef(lots: Seq[(Long, Long)], demands: Seq[(Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var li = 0; var di = 0
+    var lrem = if (lots.nonEmpty) lots.head._2 else 0L
+    var drem = if (demands.nonEmpty) demands.head._2 else 0L
+    while (li < lots.length && di < demands.length) {
+      val m = math.min(lrem, drem)
+      if (m > 0) out += ((lots(li)._1, demands(di)._1, m))
+      lrem -= m; drem -= m
+      if (lrem == 0) { li += 1; if (li < lots.length) lrem = lots(li)._2 }
+      if (drem == 0) { di += 1; if (di < demands.length) drem = demands(di)._2 }
+    }
+    out.toSeq
+  }
+
+  test("fifoMatch equals the sequential two-pointer FIFO on a " +
+      "pseudo-random multi-key ledger") {
+    val rows = for (k <- 1L to 4L; i <- 1L to 40L) yield
+      (k, i, i, (k * 7919L + i * 104729L) % 97L + 1L, i % 2 == 0)
+    val df = rows.toDF("k", "t", "id", "qty", "is_lot")
+    val got = TemporalOps.fifoMatch(df, "k", "t", "id", "qty", "is_lot")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .toSet
+    val want = (1L to 4L).flatMap { k =>
+      val mine = rows.filter(_._1 == k)
+      val lots = mine.filter(_._5).map(r => (r._3, r._4))
+      val ds = mine.filter(!_._5).map(r => (r._3, r._4))
+      fifoRef(lots, ds).map { case (lt, dt, q) => (k, lt, dt, q) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("fifoMatch conserves quantity: matched total = min(supply, " +
+      "demand) per key; per-key match count < lots + demands") {
+    val rows = for (k <- 1L to 3L; i <- 1L to 50L) yield
+      (k, i, i, (k * 31L + i * 17L) % 40L + 1L, i % 3 == 0)
+    val df = rows.toDF("k", "t", "id", "qty", "is_lot")
+    val perKey = TemporalOps
+      .fifoMatch(df, "k", "t", "id", "qty", "is_lot")
+      .groupBy("k")
+      .agg(sum("matched_qty").as("mq"), count(lit(1)).as("nm"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (k <- 1L to 3L) {
+      val mine = rows.filter(_._1 == k)
+      val supply = mine.filter(_._5).map(_._4).sum
+      val demand = mine.filter(!_._5).map(_._4).sum
+      val (mq, nm) = perKey(k)
+      assert(mq == math.min(supply, demand), s"k=$k")
+      assert(nm < mine.length, s"k=$k staircase bound violated")
+    }
+  }
+
+  // -------------------------------------------------------- cadence
+
+  test("cadenceProfile picks exact discrete order statistics and " +
+      "reports 0 ppm for a metronome") {
+    // key 1: gaps are the multiset {1..100} (arrival at cumulative
+    // sums) → p25 = 25, p50 = 50, p75 = 75; key 2: constant gap 7
+    val arrivals1 = (1L to 100L).scanLeft(0L)(_ + _)
+    val rows = arrivals1.zipWithIndex.map { case (t, i) =>
+      (1L, t, i.toLong) } ++
+      (0L to 20L).map(i => (2L, i * 7L, 1000L + i))
+    val df = rows.toDF("k", "t", "id")
+    val got = TemporalOps.cadenceProfile(df, "k", "t", "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(6))).toMap
+    assert(got(1L) == ((100L, 25L, 50L, 75L, 1000000L)))
+    assert(got(2L) == ((20L, 7L, 7L, 7L, 0L)))
+  }
+
+  // ---------------------------------------------------------- funnel
+
+  test("funnelWithin honors the per-stage gap and greedy-earliest " +
+      "anchoring") {
+    val gap = 10L
+    val rows = Seq(
+      // u1: full conversion inside both windows
+      (1L, 0L, "signup"), (1L, 5L, "click"), (1L, 12L, "purchase"),
+      // u2: click misses the window → stage 1 even though a purchase
+      // exists later
+      (2L, 0L, "signup"), (2L, 11L, "click"), (2L, 12L, "purchase"),
+      // u3: GREEDY anchor — earliest click at t=1 opens (1, 11]; the
+      // purchase at 20 is only inside the LATER click's window and
+      // must NOT count
+      (3L, 0L, "signup"), (3L, 1L, "click"), (3L, 10L, "click"),
+      (3L, 20L, "purchase"),
+      // u4: purchase exactly at the inclusive boundary
+      (4L, 0L, "signup"), (4L, 10L, "click"), (4L, 20L, "purchase"),
+      // u5: no signup → absent from output entirely
+      (5L, 0L, "click"), (5L, 1L, "purchase"))
+    val df = rows.toDF("u", "t", "et")
+    val got = TemporalOps.funnelWithin(df, "u", "t", "et",
+        Seq("signup", "click", "purchase"), gap)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  // -------------------------------------------- tie-order contract
+
+  test("clampedBalance under duplicate (t, tie) keys lands on SOME " +
+      "sequential tie permutation (documented nondeterminism contract)") {
+    // one key, three rows tied at (t=1, tie=1) with non-commuting
+    // amounts under the clamp, plus an anchor after the tie group
+    val tied = Seq(-5L, 3L, -4L)
+    val df = (tied.map(a => (1L, 1L, 1L, a)) :+ (1L, 2L, 2L, 2L))
+      .toDF("k", "t", "id", "amt")
+    val finalBal = TemporalOps.clampedBalance(df, "k", "t", "id", "amt")
+      .orderBy(col("t").desc).select("balance").limit(1)
+      .collect()(0).getLong(0)
+    val admissible = tied.permutations.map { perm =>
+      (perm :+ 2L).foldLeft(0L)((b, a) => math.max(0L, b + a))
+    }.toSet
+    assert(admissible.contains(finalBal),
+      s"$finalBal not reachable by any tie order ($admissible)")
+  }
 }

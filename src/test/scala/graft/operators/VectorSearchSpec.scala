@@ -333,4 +333,30 @@ class VectorSearchSpec extends SparkSuite {
       .collect()
     assert(out.length == 1 && out(0).getAs[Int]("is_positive") == 1)
   }
+
+  test("annRecallAudit: a planted near-identical neighbor is found at " +
+      "approximate rank 1 with full top-1 credit; recall never exceeds " +
+      "1e6 ppm; a query with zero candidates is absent, not faked") {
+    import spark.implicits._
+    // 64-dim corpus: query 1 and its mutant 2 are near-identical (same
+    // sign pattern on every hyperplane → all 4 bands collide); the rest
+    // is a pseudo-random cloud
+    val dim = 64
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (((seed * 7919L + i * 104729L) % 2001L)
+        - 1000L).toFloat / 1000f)
+    val base = vec(1L)
+    val mutant = base.map(x => x * 1.001f)
+    val cloud = (3L to 60L).map(i => (i, vec(i)))
+    val df = ((1L, base) +: (2L, mutant) +: cloud).toDF("vec_id", "embedding")
+    val got = VectorSearch.annRecallAudit(df,
+        df.filter(col("vec_id") === 1), "vec_id", "embedding", 5)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("top1_rnk") == 1L, "mutant must rank first")
+    assert(r.getAs[Long]("mrr_ppm") == 1000000L)
+    assert(r.getAs[Long]("hits") >= 1L)
+    assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+  }
 }
