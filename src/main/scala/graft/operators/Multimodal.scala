@@ -411,6 +411,61 @@ object Multimodal {
   }
 
   /**
+   * Frame-energy voice-activity segmentation over REAL-decoded WAV PCM —
+   * the speech-data curation primitive (how much of this clip is signal,
+   * in how many bursts, how long is the longest one) that gates
+   * transcription-corpus admission the way q28's quality features gate
+   * text. Frames of `frameSize` samples (last frame partial), energy =
+   * Σx² exact long, voiced = energy ≥ threshold; segments are maximal
+   * voiced runs. Pure integer outputs (+ one floor-ppm ratio), so the
+   * DuckDB oracle re-derives every number from the clip-generating
+   * arithmetic — a match proves decode, framing, thresholding and run
+   * detection all exact (the q53/q63 codec-query discipline).
+   *
+   * Scale shape: same narrow typed mapPartitions boundary as
+   * [[audioStats]] — one stats row per clip leaves the codec scan,
+   * audio bytes never shuffle; the whole VAD walk is a single in-memory
+   * pass per clip.
+   */
+  case class VadStats(doc_id: Long, n_frames: Long, n_voiced: Long,
+      n_segments: Long, longest_run: Long, voiced_ppm: Long)
+
+  def audioVad(files: Dataset[MediaFile], frameSize: Int,
+      energyThreshold: Long): Dataset[VadStats] = {
+    import files.sparkSession.implicits._
+    require(frameSize > 0)
+    files.mapPartitions { batch =>
+      batch.map { f =>
+        val clip = MediaCodec.decodeWav(f.content)
+        val n = clip.samples.length
+        val nf = (n + frameSize - 1) / frameSize
+        var voiced = 0L; var segs = 0L; var longest = 0L
+        var run = 0L; var prevVoiced = false
+        var fi = 0
+        while (fi < nf) {
+          var e = 0L
+          var i = fi * frameSize
+          val end = math.min(i + frameSize, n)
+          while (i < end) {
+            val s = clip.samples(i).toLong; e += s * s; i += 1
+          }
+          val v = e >= energyThreshold
+          if (v) {
+            voiced += 1
+            if (!prevVoiced) { segs += 1; run = 0L }
+            run += 1
+            if (run > longest) longest = run
+          }
+          prevVoiced = v
+          fi += 1
+        }
+        VadStats(f.doc_id, nf.toLong, voiced, segs, longest,
+          if (nf > 0) 1000000L * voiced / nf else 0L)
+      }
+    }
+  }
+
+  /**
    * Decoded-PCM features for the ANN path — the audio twin of
    * [[imagePixelFeatures]]: nearest-neighbor resample to a fixed length
    * ([[MediaCodec.resampleAudio]]) so every clip yields the same-length

@@ -206,4 +206,56 @@ object Relevance {
       .filter(col("dot") * col("dot") * lit(10000.0) >=
         lit((tauBp.toLong * tauBp).toDouble) * col("n2a") * col("n2b"))
   }
+
+  /**
+   * Positional postings (doc_id, pos, term): the token stream WITH its
+   * in-document position — the index layout that makes phrase and
+   * proximity queries joins instead of re-scans. Positions index the
+   * FULL lowercase token sequence (empties dropped, NO min-length
+   * filter — adjacency must see every word, or "a priori" style phrases
+   * break); [[tokenStream]]'s min-length gate is a term-STATISTICS
+   * filter and deliberately does not apply here.
+   */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= lit(""))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        col("term"))
+
+  /**
+   * Exact two-word phrase search over the positional index: occurrences
+   * of each phrase per document, top-k documents per phrase. The
+   * adjacency test is a pure EQUI-join — left postings keyed
+   * (phrase, doc, pos+1) meet right postings at (phrase, doc, pos) — so
+   * the planner hash-joins on all three columns; no inequality
+   * post-filter, no per-document rescan. Cost is bounded by the posting
+   * lengths of the phrase terms (the classic intersection bound), and
+   * the tiny phrase table broadcasts onto the token stream, so the
+   * corpus-sized frames shuffle only on the join key.
+   */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(String, String)], k: Int): DataFrame = {
+    val pos = positionalPostings(docs, idCol, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrases.map { case (a, b) => (s"$a $b", a, b) }
+      .toDF("phrase", "term_a", "term_b")
+    val pa = pos.join(broadcast(ph), col("term") === col("term_a"))
+      .select(col("phrase"), col("doc_id"), (col("pos") + 1L).as("next_pos"))
+    val pb = pos.join(broadcast(ph.select("phrase", "term_b")),
+        col("term") === col("term_b"))
+      .select(col("phrase").as("phrase_b"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b"))
+    val w = Window.partitionBy("phrase")
+      .orderBy(col("n").desc, col("doc_id"))
+    pa.join(pb, col("phrase") === col("phrase_b") &&
+        col("doc_id") === col("doc_b") && col("next_pos") === col("pos_b"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
 }

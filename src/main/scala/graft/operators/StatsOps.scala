@@ -759,6 +759,32 @@ object StatsOps {
   }
 
   /**
+   * Period-over-period report: each group's per-period value beside its
+   * previous period and the floor-ppm relative change — the
+   * week-over-week movers table every warehouse dashboard leads with.
+   * Input is the PRE-AGGREGATED (group, period, value) frame (the
+   * windows-on-aggregates rule); one group-keyed lag window, nothing
+   * global. The ppm division sign-splits (Spark `div` truncates,
+   * DuckDB `//` floors — see [[rollingBeta]]); a zero or absent
+   * previous period yields null change, never a division error or a
+   * fake 0. Contract: values are revenue-like (non-negative) — a
+   * signed series has no meaningful relative change through zero.
+   */
+  def periodOverPeriod(agg: DataFrame, group: String, periodCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(col(periodCol))
+    agg
+      .withColumn("prev", lag(col(valueCol), 1).over(w))
+      .withColumn("delta", col(valueCol) - col("prev"))
+      .withColumn("delta_ppm",
+        when(col("prev").isNull || col("prev") === 0L,
+          lit(null).cast("long"))
+          .when(col("delta") < 0L, -expr("(1000000L * -delta) div prev"))
+          .otherwise(expr("(1000000L * delta) div prev")))
+  }
+
+  /**
    * Audience-overlap matrix: for every pair of categories, how many ids
    * belong to both, with the Jaccard in floor-ppm — the
    * segment-cannibalization / corpus-source-overlap readout (two

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -86,5 +86,37 @@ object StringSimilarity {
       .distinct()
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .filter(col("dist") <= 1)
+  }
+
+  /**
+   * Blocked record linkage: match two tables WITHOUT a shared key —
+   * the entity-resolution step behind customer-file merges and
+   * cross-source corpus provenance. Candidates come from a BLOCKING
+   * equi-join (records can only match inside a shared block — the
+   * classic linkage scale guard: candidate count is Σ block_a·block_b,
+   * never |A|·|B|), the caller's field-agreement expression scores each
+   * candidate in exact integer points, sub-threshold pairs drop, and
+   * one left-keyed window keeps each left record's best match
+   * (score desc, right id asc — a total order, so "best" is a function
+   * of the data).
+   *
+   * The score expression is caller-supplied on purpose: linkage quality
+   * IS the scoring model (name distance, numeric closeness, category
+   * agreement, each weighted); the operator owns the shape — blocking,
+   * thresholding, best-match selection — that stays the same across
+   * models.
+   */
+  def blockedLinkage(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String, blockCol: String,
+      score: Column, minScore: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col("score").desc, col(rightId))
+    left.join(right, blockCol)
+      .withColumn("score", score)
+      .filter(col("score") >= minScore)
+      .withColumn("match_rank", row_number().over(w).cast("long"))
+      .filter(col("match_rank") === 1)
+      .drop("match_rank")
   }
 }

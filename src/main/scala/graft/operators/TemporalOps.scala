@@ -577,6 +577,46 @@ object TemporalOps {
   }
 
   /**
+   * Session path mining: the most frequent within-session event-type
+   * sequences — the "how do users actually move through the product"
+   * readout behind navigation design and funnel hypothesis generation
+   * (the funnel ops TEST a path; this one DISCOVERS which paths are
+   * worth testing). Sessionization is the q20 gap rule (a row opens a
+   * new session when it arrives more than `gap` after its predecessor);
+   * each session's path is its event types joined in (t, tie) order.
+   *
+   * Shape: one user-keyed window pair (lag → break flags → running sum
+   * = session ids) and one (user, session) aggregate build the paths —
+   * both on the same key prefix, so AQE reuses the user Exchange; the
+   * path-frequency count then aggregates the SESSION-sized frame, never
+   * raw events, and the final top-k is a TakeOrderedAndProject, not a
+   * sort. The in-row path string is bounded by session length —
+   * pathological never-idle keys should be capped upstream (the q45
+   * packing ops bound the same way).
+   */
+  def sessionPaths(df: DataFrame, key: String, tCol: String, tieCol: String,
+      typeCol: String, gap: Long, topK: Int): DataFrame = {
+    val ord = Window.partitionBy(key).orderBy(col(tCol), col(tieCol))
+    val sess = df
+      .withColumn("brk",
+        when(col(tCol) - lag(col(tCol), 1).over(ord) > gap, 1L)
+          .when(lag(col(tCol), 1).over(ord).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess
+      .groupBy(col(key), col("sess"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tCol).as("t"),
+          col(tieCol).as("tie"), col(typeCol).as("et")))),
+        s => s.getField("et")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
+  /**
    * Arrival-cadence profile: per-key inter-arrival gap percentiles
    * (p25/p50/p75 as discrete order statistics — the value AT rank
    * ceil(q·n), never an interpolated float) plus the IQR-over-median

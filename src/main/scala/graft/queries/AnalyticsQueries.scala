@@ -163,6 +163,14 @@ object AnalyticsQueries {
     * the previous one (epoch micros). */
   val FunnelGapUs = 7L * 86400L * 1000000L
 
+  /** q144 session gap (30 min of epoch micros — events arrive ~11 h
+    * apart per user at sf0.01, so most sessions are singletons with a
+    * real multi-event tail) and the result depth. */
+  val SessionGapUs = 1800L * 1000000L; val PathTopK = 20
+
+  /** q145 period: epoch weeks of o_orderdate (day div 7). */
+  val PopEpoch = "1992-01-01"
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -1881,6 +1889,87 @@ object AnalyticsQueries {
         FROM s1
         LEFT JOIN s2 ON s1.user_id = s2.user_id
         LEFT JOIN s3 ON s1.user_id = s3.user_id
-        ORDER BY s1.user_id"""))
+        ORDER BY s1.user_id""")),
+
+    // ------------------------------------------------------------------
+    // q144 — session path mining (TemporalOps.sessionPaths): the most
+    // frequent within-session event-type sequences — the discovery side
+    // of funnel analysis (q79/q140 TEST a path; this finds which paths
+    // are worth testing). q20's gap sessionization (>30 min opens a new
+    // session), paths joined in (t, event_id) order, frequencies
+    // counted on the SESSION-sized frame, top-20 by (n desc, path asc)
+    // as a TakeOrderedAndProject.
+    // ------------------------------------------------------------------
+    "q144_session_paths" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_id"),
+          col("event_type"))
+        TemporalOps.sessionPaths(ev, "user_id", "t_us", "event_id",
+          "event_type", SessionGapUs, PathTopK)
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+            event_type
+          FROM events),
+        g AS (SELECT *, CASE WHEN lag(t) OVER
+              (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              OR t - lag(t) OVER
+              (PARTITION BY user_id ORDER BY t, event_id)
+                > $SessionGapUs
+            THEN 1 ELSE 0 END AS brk
+          FROM ev),
+        s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+            ORDER BY t, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM g),
+        p AS (SELECT user_id, sess,
+            string_agg(event_type, '>' ORDER BY t, event_id) AS path
+          FROM s GROUP BY 1, 2)
+        SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
+        ORDER BY n DESC, path LIMIT $PathTopK""")),
+
+    // ------------------------------------------------------------------
+    // q145 — period-over-period movers (StatsOps.periodOverPeriod):
+    // weekly revenue per nation beside the previous week and the
+    // floor-ppm relative change — the dashboard lead table. The lag
+    // window runs on the |nations|·|weeks| PRE-AGGREGATED frame, never
+    // orders; the ppm change sign-splits (Spark div truncates, DuckDB
+    // // floors); week 1 and zero-revenue predecessors yield null
+    // change, never a fake 0.
+    // ------------------------------------------------------------------
+    "q145_period_over_period" -> GraftQuery(
+      build = (s, d) => {
+        val weekly = orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, d, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            TemporalOps.floorDiv(datediff(col("o_orderdate").cast("date"),
+              lit(PopEpoch).cast("date")).cast("long"), lit(7L))
+              .as("week"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev"))
+        StatsOps.periodOverPeriod(weekly, "n_name", "week", "rev")
+          .orderBy("n_name", "week")
+      },
+      oracle = Some(s"""
+        WITH weekly AS (SELECT n_name,
+            date_diff('day', DATE '$PopEpoch', CAST(o_orderdate AS DATE))
+              // 7 AS week,
+            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        l AS (SELECT n_name, week, rev,
+            lag(rev) OVER (PARTITION BY n_name ORDER BY week) AS prev
+          FROM weekly)
+        SELECT n_name, week, rev, prev, rev - prev AS delta,
+          CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+            WHEN rev - prev < 0
+              THEN -((1000000 * (prev - rev)) // prev)
+            ELSE (1000000 * (rev - prev)) // prev END AS delta_ppm
+        FROM l ORDER BY n_name, week"""))
   )
 }

@@ -23,6 +23,12 @@ object MultimodalQueries {
   val PhMutMod = 18L; val PhMutShift = 250000L
   val PhMaxDist = 3; val PhBucketCap = 100
 
+  /** q146 VAD geometry: 16-sample frames (2 ms at the 8 kHz synthetic
+    * rate); the threshold sits at the mean frame energy of the ±2000
+    * uniform-ish synthetic PCM (16·E[x²] ≈ 2.13e7), so frames split
+    * both ways and the partial tail frame is usually silence. */
+  val VadFrame = 16; val VadThreshold = 21000000L
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -234,6 +240,52 @@ object MultimodalQueries {
         FROM cand
         WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
           <= $PhMaxDist
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q146 — voice-activity segmentation over REAL-decoded WAV PCM
+    // (Multimodal.audioVad): per-clip frame count, voiced frames,
+    // segment count, longest voiced run and floor-ppm voiced ratio —
+    // the speech-corpus admission gate beside q63's PCM stats. The
+    // oracle re-derives every number from the clip-generating
+    // arithmetic (q53/q63 codec-query discipline), so a match proves
+    // WAV decode, 16-sample framing, Σx² energies, thresholding and
+    // maximal-run detection all exact. One stats row per clip leaves
+    // the typed mapPartitions codec scan; audio bytes never shuffle.
+    // ------------------------------------------------------------------
+    "q146_audio_vad" -> GraftQuery(
+      build = (s, d) => {
+        import s.implicits._
+        val files = documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaFile(id, "audio/wav",
+            MediaCodec.encodeWav(MediaCodec.syntheticAudio(id))))
+        audioVad(files, VadFrame, VadThreshold).toDF().orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH g AS (SELECT doc_id, 64 + doc_id % 49 AS n FROM documents),
+        s AS (SELECT doc_id, n, list_transform(range(0, n),
+            i -> (doc_id * 31 + i * 17) % 4001 - 2000) AS smp
+          FROM g),
+        f AS (SELECT doc_id, n, (n + ${VadFrame - 1}) // $VadFrame AS nf,
+            smp
+          FROM s),
+        e AS (SELECT doc_id, nf, list_transform(range(0, nf), fi ->
+            list_sum(list_transform(
+              smp[fi * $VadFrame + 1 : least((fi + 1) * $VadFrame, n)],
+              x -> x * x)) >= $VadThreshold) AS vo
+          FROM f),
+        m AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+            CAST(len(list_filter(vo, v -> v)) AS BIGINT) AS n_voiced,
+            CAST(len(list_filter(range(1, nf + 1),
+              i -> vo[i] AND (i = 1 OR NOT vo[i - 1]))) AS BIGINT)
+              AS n_segments,
+            CAST(coalesce(list_max(list_transform(range(1, nf + 1), i ->
+              CASE WHEN vo[i] THEN i - coalesce(list_max(
+                list_filter(range(1, i), j -> NOT vo[j])), 0)
+              ELSE 0 END)), 0) AS BIGINT) AS longest_run
+          FROM e)
+        SELECT doc_id, n_frames, n_voiced, n_segments, longest_run,
+          (1000000 * n_voiced) // n_frames AS voiced_ppm
+        FROM m ORDER BY doc_id"""))
   )
 }

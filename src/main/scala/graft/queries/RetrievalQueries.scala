@@ -57,6 +57,11 @@ object RetrievalQueries {
   val TfidfTauBp = 60
   val TfidfDupMod = 20L; val TfidfDupShift = 700000L
 
+  /** q142 phrase-search query set (adjacent word pairs present in the
+    * synthetic vocabulary) and result depth per phrase. */
+  val PhraseList = Seq(("table", "part"), ("fast", "scan"), ("agg", "row"))
+  val PhraseTopK = 10
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -299,6 +304,45 @@ object RetrievalQueries {
         SELECT doc_a, doc_b, dot, n_shared, n2a, n2b FROM j
         WHERE dot * dot * 10000.0 >=
           ${(TfidfTauBp.toLong * TfidfTauBp).toDouble} * n2a * n2b
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q142 — exact phrase search over positional postings
+    // (Relevance.phraseSearch): occurrences of each two-word phrase per
+    // document, top-10 docs per phrase. The adjacency test is a pure
+    // EQUI-join — (phrase, doc, pos+1) meets (phrase, doc, pos) — so
+    // cost is the posting-intersection bound, never a corpus rescan;
+    // the phrase table broadcasts. Positions index the FULL lowercase
+    // token sequence (no min-length gate — adjacency must see every
+    // word); the oracle counts adjacent pairs straight off the token
+    // arrays, so agreement proves the positional index's positions.
+    // ------------------------------------------------------------------
+    "q142_phrase_search" -> GraftQuery(
+      build = (s, d) => {
+        Relevance.phraseSearch(
+            documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", "text", PhraseList, PhraseTopK)
+          .orderBy("phrase", "rnk")
+      },
+      oracle = Some {
+        val phraseValues = PhraseList.map { case (a, b) =>
+          s"('$a $b', '$a', '$b')" }.mkString(", ")
+        s"""
+        WITH toks AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+              t -> t <> '') AS ts
+          FROM documents),
+        ph(phrase, a, b) AS (VALUES $phraseValues),
+        cnt AS (SELECT ph.phrase, t.doc_id,
+            CAST(len(list_filter(range(1, len(ts)),
+              i -> ts[i] = ph.a AND ts[i + 1] = ph.b)) AS BIGINT) AS n
+          FROM toks t CROSS JOIN ph),
+        r AS (SELECT phrase, doc_id, n,
+            CAST(row_number() OVER (PARTITION BY phrase
+              ORDER BY n DESC, doc_id) AS BIGINT) AS rnk
+          FROM cnt WHERE n > 0)
+        SELECT phrase, doc_id, n, rnk FROM r WHERE rnk <= $PhraseTopK
+        ORDER BY phrase, rnk"""
+      })
   )
 }

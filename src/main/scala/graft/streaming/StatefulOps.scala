@@ -384,4 +384,65 @@ object StatefulOps {
       .transformWithState(new RunningRecurrenceProcessor(step),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class FunnelEvt(u: Long, t: Long, et: String)
+  final case class FunnelTimes(ts: List[Long])
+  final case class FunnelAdvance(u: Long, stage: Long, t: Long)
+
+  /**
+   * Streaming twin of `TemporalOps.funnelWithin` — the per-user stage
+   * machine kept LIVE: one fixed-size stage-time vector of state per
+   * user where batch re-derives the whole funnel, emitting an advance
+   * row the moment a user enters a stage (the activation-alerting shape:
+   * "user converted NOW", not at tonight's batch). Greedy-earliest is
+   * what makes the one-pass machine correct: processing events in time
+   * order, the FIRST event qualifying for stage k is exactly batch's
+   * min, so stream ≡ batch by construction.
+   *
+   * Same in-order contract as [[RunningRecurrenceProcessor]]: events
+   * arrive time-ordered per key across micro-batches (rows within one
+   * batch are sorted here; cross-batch order is the upstream contract —
+   * watermark + sort or an ordered source). State is stages.size longs
+   * per user, bounded regardless of feed length.
+   */
+  class FunnelProcessor(stages: Seq[String], gap: Long)
+      extends StatefulProcessor[Long, FunnelEvt, FunnelAdvance] {
+    @transient private var st: ValueState[FunnelTimes] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelTimes]("funnel",
+        Encoders.product[FunnelTimes], TTLConfig.NONE)
+
+    override def handleInputRows(u: Long, rows: Iterator[FunnelEvt],
+        timers: TimerValues): Iterator[FunnelAdvance] = {
+      val sorted = rows.toArray.sortBy(_.t)
+      val times =
+        if (st.exists()) st.get().ts.toArray
+        else Array.fill(stages.size)(Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+      sorted.foreach { r =>
+        val i = stages.indexOf(r.et)
+        if (i == 0 && times(0) == Long.MinValue) {
+          times(0) = r.t; out += FunnelAdvance(u, 1L, r.t)
+        } else if (i > 0 && times(i) == Long.MinValue &&
+            times(i - 1) != Long.MinValue &&
+            r.t > times(i - 1) && r.t <= times(i - 1) + gap) {
+          times(i) = r.t; out += FunnelAdvance(u, (i + 1).toLong, r.t)
+        }
+      }
+      if (sorted.nonEmpty) st.update(FunnelTimes(times.toList))
+      out.iterator
+    }
+  }
+
+  /** [[FunnelProcessor]] over a (u, t, et) frame. */
+  def funnelStream(rows: DataFrame, stages: Seq[String],
+      gap: Long): Dataset[FunnelAdvance] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("u"), col("t"), col("et"))
+      .as[FunnelEvt]
+      .groupByKey(_.u)
+      .transformWithState(new FunnelProcessor(stages, gap),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -264,4 +264,54 @@ class PlanAuditSpec extends SparkSuite {
       s"chunking should not shuffle beyond the input spread:\n$plan")
     assert(!plan.contains("Join"), plan)
   }
+
+  test("q134: FIFO matching is ONE key-equi join over the cumsum " +
+      "windows — no nested loop, no third orders shuffle") {
+    val plan = SparkEntry.queries("q134_fifo_match")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the overlap predicate must ride a cust-keyed equality join as its
+    // post-condition; a nested loop means the equi-key was lost and the
+    // join degenerated to per-key all-pairs row scanning
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    val equiJoins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(equiJoins == 1, s"expected 1 equality join, got $equiJoins:\n$plan")
+    // two hash exchanges: the (cust, is_lot) window and the join's
+    // cust re-key (both join inputs derive from one scan; the final
+    // orderBy adds a range exchange, not counted here)
+    val hashExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(hashExchanges <= 3, s"FIFO shuffles too much:\n$plan")
+  }
+
+  test("q135: proration joins the per-group totals back by broadcast " +
+      "and windows only per group — nothing global") {
+    val qe = SparkEntry.queries("q135_proration")(spark, sf())
+      .queryExecution
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"group totals should broadcast:\n${qe.executedPlan}")
+    // the rank/sum windows must partition by the group key — a global
+    // (unpartitioned) window would single-thread every row
+    val globals = qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, s"global window in proration plan:\n${qe.executedPlan}")
+  }
+
+  test("q139: cadence windows stay key-partitioned; the percentile " +
+      "picks are aggregates, not sorts of the frame") {
+    val qe = SparkEntry.queries("q139_cadence_profile")(spark, sf())
+      .queryExecution
+    // every WindowExec must carry a non-empty partition spec (a global
+    // window moves all gaps to one partition — the failure mode the
+    // rank-predicate design avoids)
+    val globals = qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, s"global window in cadence plan:\n${qe.executedPlan}")
+    assert(!qe.executedPlan.toString.contains("Join"), "cadence grew a join")
+  }
 }

@@ -292,4 +292,31 @@ class MultimodalSpec extends SparkSuite {
     assert(hammingNearDupPairs(same, 3, maxBlockBucket = 4).count() == 0L)
     assert(hammingNearDupPairs(same, 3, maxBlockBucket = 5).count() == 10L)
   }
+
+  test("audioVad: hand-built loud/silent frame patterns segment " +
+      "exactly — runs, counts, partial tail frame, all-silence clip") {
+    import spark.implicits._
+    // frame size 4, threshold 100. Clip 1: frames L L S L (run 2 + run
+    // 1); clip 2: 10 samples → frames L S (partial, silent); clip 3:
+    // all silence
+    def clip(id: Long, frames: Seq[Boolean], tail: Int = 0): MediaFile = {
+      val loud: Short = 50; val quiet: Short = 1
+      val samples = frames.flatMap(v =>
+        Seq.fill(4)(if (v) loud else quiet)) ++
+        Seq.fill(tail)(quiet)
+      MediaFile(id, "audio/wav", MediaCodec.encodeWav(
+        MediaCodec.DecodedAudio(8000, samples.toArray)))
+    }
+    // 4·50² = 10000 ≥ 100 voiced; 4·1² = 4 < 100 silent; tail 2·1² < 100
+    val files = Seq(
+      clip(1L, Seq(true, true, false, true)),
+      clip(2L, Seq(true), tail = 2),
+      clip(3L, Seq(false, false))).toDS()
+    val got = audioVad(files, 4, 100L).collect()
+      .map(v => v.doc_id -> ((v.n_frames, v.n_voiced, v.n_segments,
+        v.longest_run, v.voiced_ppm))).toMap
+    assert(got(1L) == ((4L, 3L, 2L, 2L, 750000L)))
+    assert(got(2L) == ((2L, 1L, 1L, 1L, 500000L)))
+    assert(got(3L) == ((2L, 0L, 0L, 0L, 0L)))
+  }
 }

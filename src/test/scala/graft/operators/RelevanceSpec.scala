@@ -105,4 +105,26 @@ class RelevanceSpec extends SparkSuite {
     assert(out.toSet == Set((2L, 5L), (2L, 9L), (5L, 9L)))
     assert(out.length == 3, "each unordered pair exactly once")
   }
+
+  test("phraseSearch counts exact adjacencies — overlapping repeats " +
+      "count each position, short words are NOT dropped, non-adjacent " +
+      "co-occurrence scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big cat big cat sat"),     // "big cat" ×2
+      (2L, "big dog and cat"),          // co-occur, never adjacent
+      (3L, "a a a a"),                  // "a a" ×3 (overlap) + 1-char tokens
+      (4L, "Big CAT"),                  // case-folded match ×1
+      (5L, "bigcat"))                   // no token boundary → no match
+      .toDF("doc_id", "text")
+    val got = Relevance.phraseSearch(docs, "doc_id", "text",
+        Seq(("big", "cat"), ("a", "a")), k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("big cat", 1L) -> ((2L, 1L)),
+      ("big cat", 4L) -> ((1L, 2L)),
+      ("a a", 3L) -> ((3L, 1L))))
+  }
 }

@@ -630,6 +630,23 @@ class StatsOpsSpec extends SparkSuite {
     assert(flat.select("beta_ppm").collect().forall(_.isNullAt(0)))
   }
 
+  // ------------------------------------------- period over period
+
+  test("periodOverPeriod: first period and zero-predecessor yield null " +
+      "change; drops and gains sign-split exactly") {
+    val df = Seq((1L, 1L, 100L), (1L, 2L, 150L), (1L, 3L, 0L),
+      (1L, 4L, 40L), (2L, 1L, 7L))
+      .toDF("g", "p", "v")
+    val got = StatsOps.periodOverPeriod(df, "g", "p", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(got((1L, 1L)).isEmpty)       // no predecessor
+    assert(got((1L, 2L)).contains(500000L))   // +50%
+    assert(got((1L, 3L)).contains(-1000000L)) // -100%
+    assert(got((1L, 4L)).isEmpty)       // prev = 0 → undefined, not fake
+    assert(got((2L, 1L)).isEmpty)
+  }
+
   // ------------------------------------------------ audience overlap
 
   test("audienceOverlap counts pair intersections exactly, without " +

@@ -60,4 +60,28 @@ class StringSimilaritySpec extends SparkSuite {
       (2L, 3L), (2L, 4L), (2L, 5L),
       (3L, 4L), (3L, 5L)))
   }
+
+  test("blockedLinkage: candidates only within blocks, threshold gates, " +
+      "best match per left picked by (score desc, right id)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq(
+      (1L, "b1", "anna"), (2L, "b1", "bert"), (3L, "b2", "carl"))
+      .toDF("l_id", "blk", "l_name")
+    val right = Seq(
+      (11L, "b1", "anna"),  // exact match for 1
+      (12L, "b1", "anja"),  // distance-2 noise in the same block
+      (13L, "b2", "bert"),  // exact name but WRONG block → never a cand
+      (14L, "b2", "carl"), (15L, "b2", "carl")) // tie → lower id wins
+      .toDF("r_id", "blk", "r_name")
+    val score = when(col("l_name") === col("r_name"), 100L)
+      .when(levenshtein(col("l_name"), col("r_name")) <= 1, 60L)
+      .otherwise(0L)
+    val got = StringSimilarity.blockedLinkage(left, right, "l_id", "r_id",
+        "blk", score, minScore = 60L)
+      .select("l_id", "r_id", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 2's only same-block candidates (anna/anja) score 0 → no row
+    assert(got == Map(1L -> ((11L, 100L)), 3L -> ((14L, 100L))))
+  }
 }

@@ -524,6 +524,25 @@ class TemporalOpsSpec extends SparkSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  // -------------------------------------------------- session paths
+
+  test("sessionPaths: gap rule splits sessions, paths keep time order, " +
+      "frequencies count sessions not events, top-k order is total") {
+    val gap = 10L
+    val rows = Seq(
+      // u1: [a, b] then (gap) [a, b] — path a>b twice
+      (1L, 0L, 1L, "a"), (1L, 5L, 2L, "b"),
+      (1L, 100L, 3L, "a"), (1L, 105L, 4L, "b"),
+      // u2: one session [b, a] (order by time, not arrival)
+      (2L, 50L, 6L, "a"), (2L, 45L, 5L, "b"),
+      // u3: singleton
+      (3L, 0L, 7L, "c"))
+    val df = rows.toDF("u", "t", "id", "et")
+    val got = TemporalOps.sessionPaths(df, "u", "t", "id", "et", gap, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b", 2L), ("b>a", 1L), ("c", 1L)))
+  }
+
   // -------------------------------------------- tie-order contract
 
   test("clampedBalance under duplicate (t, tie) keys lands on SOME " +
