@@ -91,4 +91,61 @@ object QualityAudit {
       coalesce(sum(when(col(c).between(lo, hi), 1L).otherwise(0L)), lit(0L))
         .as("ok"))
       .select(row("in_range", target, col("n"), col("n") - col("ok")): _*)
+
+  /** ⌊10⁶·log₁₀(1+1/d)⌋ for d = 1..9 — Benford's law in the engine's
+    * exact ppm lattice. Compile-time constants (the only log₁₀ this
+    * audit ever takes), so the expected distribution is identical in
+    * the engine and any oracle by construction. */
+  val BenfordPpm: Seq[Long] =
+    Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L,
+      51152L, 45757L)
+
+  /**
+   * Benford first-digit audit — the forensic screen on any organically-
+   * grown amount column (invoices, order totals, expense claims):
+   * naturally occurring multi-magnitude amounts put digit d first with
+   * probability log₁₀(1+1/d) ≈ 30.1% for 1 down to 4.6% for 9, while
+   * fabricated or clamped data drifts toward uniform. Per (group,
+   * digit 1..9): observed count, observed ppm, expected Benford ppm and
+   * the signed deviation — the analyst reads |dev_ppm| spikes, a
+   * monitor alerts on max |dev_ppm| per group.
+   *
+   * All 9 digit rows ALWAYS emit per group (a digit that never appears
+   * is the loudest signal — deviation −expected, not a missing row):
+   * the observed counts left-join a generated group×9 spine (explode of
+   * a 9-literal array on the distinct-group frame — never a data-sized
+   * join). Only strictly positive values audit; zero/negative/null
+   * amounts are a domain check's job ([[inRange]]), not a digit
+   * distribution's. First digit via substring of the decimal rendering
+   * of a BIGINT — exact in any engine; obs_ppm floors against the
+   * group's positive-value total.
+   *
+   * Scale shape: ONE map-side-combined (group, digit) count — digit
+   * cardinality 9 caps the aggregate at 9·|groups| rows — plus a
+   * broadcast-sized spine join; nothing else touches the facts.
+   */
+  def benfordAudit(df: DataFrame, group: String,
+      valueCol: String): DataFrame = {
+    val obs = df
+      .filter(col(valueCol) > 0)
+      .select(col(group).as("g"),
+        substring(col(valueCol).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .groupBy(col("g"), col("digit")).agg(count(lit(1)).as("n_obs"))
+    val exp = BenfordPpm.zipWithIndex.map { case (ppm, i) =>
+      struct(lit(i + 1L).as("digit"), lit(ppm).as("exp_ppm"))
+    }
+    val spine = obs.select(col("g")).distinct()
+      .select(col("g"), explode(array(exp: _*)).as("e"))
+      .select(col("g"), col("e.digit").as("digit"),
+        col("e.exp_ppm").as("exp_ppm"))
+    spine
+      .join(obs, Seq("g", "digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("obs_ppm",
+        expr("(1000000L * n_obs) div sum(n_obs) over (partition by g)"))
+      .select(col("g"), col("digit"), col("n_obs"), col("obs_ppm"),
+        col("exp_ppm"),
+        (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -819,5 +820,65 @@ object StatsOps {
       .withColumn("jaccard_ppm",
         expr("(1000000L * n_both) div (n_a + n_b - n_both)"))
       .select("cat_a", "cat_b", "n_a", "n_b", "n_both", "jaccard_ppm")
+  }
+
+  /**
+   * Serial (lag-ℓ) correlation per group — the autocorrelation readout
+   * that separates trending/seasonal series from noise (is today's
+   * value informative about tomorrow's? about the same weekday next
+   * week?), the feature-screening step before fitting any AR/seasonal
+   * model, and the stationarity sanity check a forecast backtest
+   * ([[TemporalOps.seasonalNaiveBacktest]]) pairs with.
+   *
+   * Defined as the Pearson correlation of the pair set
+   * {(x_t, x_{t+ℓ})} for each ℓ ∈ 1..maxLag — the "sample ACF with
+   * per-lag re-centering" variant, chosen over the fixed-overall-mean
+   * textbook ACF because it is EXACTLY the [[linearFit]] sufficient-
+   * statistics shape: each (group, lag) cell collects exact decimal128
+   * co-moments (n, Σx, Σy, Σxy, Σx², Σy²) and emits
+   *   corr = cov_num / √(varx_num · vary_num)
+   * with integer-exact numerators and one correctly-rounded sqrt/divide
+   * — bit-identical cross-engine, any partitioning (the float-
+   * accumulating built-in `corr` is neither). Constant windows emit
+   * null rather than 0/0.
+   *
+   * Scale shape: ONE keyed window (the per-group time sort every keyed
+   * window op pays) emits all maxLag pair streams via `lead` at
+   * offsets 1..maxLag — no self-joins, no re-sorts (lead at k reuses
+   * the same sorted frame); then one map-side-combined aggregate on
+   * (group, lag). Output is |groups|·maxLag rows. The series mean
+   * shifting between the x- and y-windows at series edges is the
+   * documented estimator choice, not drift: both engines compute the
+   * identical pair set.
+   */
+  def lagCorrelation(df: DataFrame, group: String, tCol: String,
+      tieCol: String, valueCol: String, maxLag: Int): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col(tCol), col(tieCol))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val paired = df.select(
+      col(group) +: col(valueCol).as("x") +:
+        (1 to maxLag).map(l => lead(col(valueCol), l).over(w).as(s"y$l")): _*)
+    val long = paired.select(col(group), col("x"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).cast("long").as("lag"), col(s"y$l").as("y"))): _*))
+        .as("p"))
+      .select(col(group), col("p.lag").as("lag"), col("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    long
+      .groupBy(col(group), col("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .withColumn("cov_num", dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx_num", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary_num", dec(col("n")) * col("syy") - col("sy") * col("sy"))
+      .select(col(group), col("lag"), col("n"),
+        when(col("varx_num") =!= 0 && col("vary_num") =!= 0,
+          col("cov_num").cast("double") /
+            sqrt(col("varx_num").cast("double") *
+              col("vary_num").cast("double"))).as("acf"))
   }
 }

@@ -650,4 +650,93 @@ object TemporalOps {
       .withColumn("regularity_ppm",
         expr("1000000L * iqr div nullif(p50, 0)"))
   }
+
+  /**
+   * Seasonal-naive forecast backtest — the rolling-origin evaluation
+   * harness every forecasting deployment needs BEFORE trusting a model:
+   * "how wrong would the dumbest seasonal forecast (periodic carry-
+   * forward: f_p = value_{p−season}) have been on history?" Any real
+   * model must beat this floor, and the error metrics here (WAPE, bias)
+   * are the same ones the real model's backtest reports — the harness is
+   * the operator, the naive forecast is its built-in reference model.
+   *
+   * Input is the PRE-AGGREGATED series (group, period, value) — one row
+   * per group-period, period an integer index (epoch-day, epoch-week…).
+   * Every period whose season-back predecessor exists is an evaluation
+   * point (holes in the series evaluate nothing — a missing base period
+   * forecasts nothing rather than hallucinating zero). Per group:
+   *   n_eval        evaluation points
+   *   sum_abs_err   Σ|actual − forecast|          (exact integer units)
+   *   wape_ppm      ⌊10⁶·Σ|a−f| / Σa⌋            (weighted abs % error)
+   *   bias_ppm      ⌊10⁶·Σ(f−a) / Σa⌋            (signed over/under)
+   * WAPE (not MAPE) deliberately: per-period a=0 division poisons MAPE,
+   * while WAPE's single denominator Σa is stable and scale-free; bias
+   * uses the floorDiv pmod identity because its numerator is signed.
+   * Non-negative values are the caller's contract (revenue/counts) —
+   * a negative Σa nulls the ppm columns rather than emitting a
+   * wrong-signed floor.
+   *
+   * Scale shape: the seasonal base is an EQUI-join of the aggregated
+   * frame to itself on (group, period − season) — co-partitioned on the
+   * group hash both sides, output ≤ input, never a window over facts;
+   * the metrics are one map-side-combined aggregate on top. At 100 TB
+   * the facts were already reduced to |groups × periods| rows upstream.
+   */
+  def seasonalNaiveBacktest(agg: DataFrame, group: String,
+      periodCol: String, valueCol: String, season: Int): DataFrame = {
+    val base = agg.select(col(group).as("__g"),
+      (col(periodCol) + season).as("__p"), col(valueCol).as("forecast"))
+    agg.select(col(group), col(periodCol), col(valueCol).as("actual"))
+      .join(base, col(group) === col("__g") && col(periodCol) === col("__p"))
+      .groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(abs(col("actual") - col("forecast"))).as("sum_abs_err"),
+        sum(col("actual")).as("sum_actual"),
+        sum(col("forecast") - col("actual")).as("sum_signed_err"))
+      .select(col(group), col("n_eval"), col("sum_abs_err"),
+        col("sum_actual"),
+        when(col("sum_actual") > 0,
+          expr("(1000000L * sum_abs_err) div sum_actual")).as("wape_ppm"),
+        when(col("sum_actual") > 0,
+          floorDiv(lit(1000000L) * col("sum_signed_err"),
+            col("sum_actual"))).as("bias_ppm"))
+  }
+
+  /**
+   * Rolling distinct active users (DAU / WAU / stickiness) — the
+   * engagement dashboard primitive, and the canonical "you cannot
+   * window-DISTINCT at scale" exercise: neither Spark nor any shuffle
+   * engine supports count(DISTINCT) over a moving window on the fact
+   * stream, and collecting per-day user sets to the driver is the
+   * classic scale-killer. The distributed shape instead:
+   *
+   *   facts → (user, day) dedup                  [ONE hash shuffle]
+   *        → explode each user-day to the ≤W window days it covers
+   *        → (user, cover-day) dedup             [bounded ×W blow-up]
+   *        → count per day = exact rolling distinct
+   *
+   * Each user-day row expands to exactly W (window) rows, so the
+   * intermediate is W·|user-days| — linear, partition-parallel, no
+   * driver state, no quadratic self-join; the second dedup collapses a
+   * user's overlapping activity inside the window. DAU comes from the
+   * first deduped frame; stickiness_ppm = ⌊10⁶·dau/wau⌋ (the DAU/WAU
+   * ratio product teams track). Output keeps only days with dau > 0 —
+   * window tails beyond observed activity are a grid question (q76),
+   * not an engagement one. dayCol is an integer day index (epoch-day).
+   */
+  def rollingActiveUsers(df: DataFrame, userCol: String, dayCol: String,
+      window: Int): DataFrame = {
+    val userDays = df.select(col(userCol).as("u"), col(dayCol).as("d"))
+      .distinct()
+    val dau = userDays.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("u"), explode(sequence(col("d"),
+        col("d") + (window - 1))).as("cover"))
+      .distinct()
+      .groupBy(col("cover")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("d") === col("cover"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        expr("(1000000L * dau) div wau").as("stickiness_ppm"))
+  }
 }

@@ -171,6 +171,17 @@ object AnalyticsQueries {
   /** q145 period: epoch weeks of o_orderdate (day div 7). */
   val PopEpoch = "1992-01-01"
 
+  /** q147/q150 share the daily-revenue-per-type series; q147 backtests
+    * it at weekly seasonality, q150 reads its serial correlation. q150
+    * quantizes to whole dollars so every ACF co-moment numerator stays
+    * under 2^53 — cast-to-double is then EXACT (not merely correctly
+    * rounded) through ~sf10; q147's integer metrics keep full cents. */
+  val BacktestSeason = 7
+  val AcfMaxLag = 3
+
+  /** q149 rolling-active window: 7 days (the WAU in DAU/WAU). */
+  val RauWindowDays = 7
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -1970,6 +1981,181 @@ object AnalyticsQueries {
             WHEN rev - prev < 0
               THEN -((1000000 * (prev - rev)) // prev)
             ELSE (1000000 * (rev - prev)) // prev END AS delta_ppm
-        FROM l ORDER BY n_name, week"""))
+        FROM l ORDER BY n_name, week""")),
+
+    // ------------------------------------------------------------------
+    // q147 — seasonal-naive forecast backtest
+    // (TemporalOps.seasonalNaiveBacktest): the rolling-origin harness
+    // every forecast deployment runs BEFORE trusting a model — "how
+    // wrong was periodic carry-forward (f_d = revenue_{d−7}) on
+    // history?" WAPE/bias floors any real model must beat, in exact
+    // ppm. Facts reduce to (type, day, Σcents) first; the seasonal base
+    // is an equi-join of that tiny frame to itself on (type, day−7) —
+    // co-partitioned, no window over facts. Signed bias rides the
+    // floorDiv pmod identity (Spark div truncates, DuckDB // floors).
+    // ------------------------------------------------------------------
+    "q147_forecast_backtest" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            expr(s"(ts div 1000) div $DayUs").as("period"))
+          .agg(sum(cents(col("value"))).as("v"))
+        TemporalOps.seasonalNaiveBacktest(daily, "grp", "period", "v",
+            BacktestSeason)
+          .orderBy("grp")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type AS grp,
+            epoch_us(ts) // $DayUs AS period,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+              AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        j AS (SELECT a.grp AS grp, a.v AS actual, b.v AS forecast
+          FROM daily a JOIN daily b
+            ON a.grp = b.grp AND b.period = a.period - $BacktestSeason),
+        m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(sum(abs(actual - forecast)) AS BIGINT) AS sum_abs_err,
+            CAST(sum(actual) AS BIGINT) AS sum_actual,
+            CAST(sum(forecast - actual) AS BIGINT) AS sum_signed_err
+          FROM j GROUP BY grp)
+        SELECT grp, n_eval, sum_abs_err, sum_actual,
+          CASE WHEN sum_actual > 0
+            THEN (1000000 * sum_abs_err) // sum_actual END AS wape_ppm,
+          CASE WHEN sum_actual > 0
+            THEN (1000000 * sum_signed_err
+              - ((1000000 * sum_signed_err % sum_actual + sum_actual)
+                 % sum_actual)) // sum_actual END AS bias_ppm
+        FROM m ORDER BY grp""")),
+
+    // ------------------------------------------------------------------
+    // q148 — Benford first-digit audit (QualityAudit.benfordAudit): the
+    // forensic screen on organically-grown amount columns — order
+    // totals put digit d first with probability log₁₀(1+1/d);
+    // fabricated/clamped data drifts toward uniform. Per (priority,
+    // digit 1..9): count, observed ppm, the compile-time-constant
+    // Benford ppm table (the only log₁₀, taken once at build time) and
+    // the signed deviation; all 9 rows always emit (an absent digit is
+    // the loudest signal). One (grp, digit) map-side count + a
+    // broadcast 9-row spine — nothing else touches the facts.
+    // ------------------------------------------------------------------
+    "q148_benford_audit" -> GraftQuery(
+      build = (s, d) => {
+        val amounts = orders(s, d).select(
+          col("o_orderpriority").as("g"),
+          cents(col("o_totalprice")).as("amt"))
+        graft.operators.QualityAudit.benfordAudit(amounts, "g", "amt")
+          .withColumnRenamed("g", "grp")
+          .orderBy("grp", "digit")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT o_orderpriority AS grp,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS amt
+          FROM orders),
+        obs AS (SELECT grp,
+            CAST(substr(CAST(amt AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+            CAST(count(*) AS BIGINT) AS n_obs
+          FROM v WHERE amt > 0 GROUP BY 1, 2),
+        e(digit, exp_ppm) AS (VALUES
+          (CAST(1 AS BIGINT), CAST(301029 AS BIGINT)), (2, 176091),
+          (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+          (8, 51152), (9, 45757)),
+        spine AS (SELECT DISTINCT grp FROM obs),
+        f AS (SELECT s.grp AS grp, e.digit AS digit, e.exp_ppm AS exp_ppm,
+            coalesce(o.n_obs, 0) AS n_obs
+          FROM spine s CROSS JOIN e
+          LEFT JOIN obs o ON o.grp = s.grp AND o.digit = e.digit),
+        t AS (SELECT grp, digit, n_obs,
+            (1000000 * n_obs) //
+              CAST(sum(n_obs) OVER (PARTITION BY grp) AS BIGINT)
+              AS obs_ppm,
+            exp_ppm
+          FROM f)
+        SELECT grp, digit, n_obs, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+          exp_ppm, CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm
+        FROM t ORDER BY grp, digit""")),
+
+    // ------------------------------------------------------------------
+    // q149 — rolling distinct actives, DAU/WAU/stickiness
+    // (TemporalOps.rollingActiveUsers): the canonical "you cannot
+    // window-DISTINCT at scale" operator. DuckDB single-node CAN —
+    // count(DISTINCT) over a RANGE frame, which IS this oracle — while
+    // the distributed shape must explode each (user, day) to the ≤7
+    // window days it covers and re-dedup: linear ×7 blow-up, two hash
+    // shuffles, no driver-side sets, no quadratic self-join. Output
+    // keeps only days with observed activity (window tails are a grid
+    // question — q76's job).
+    // ------------------------------------------------------------------
+    "q149_rolling_dau_wau" -> GraftQuery(
+      build = (s, d) => {
+        val days = events(s, d).select(col("user_id"),
+          expr(s"(ts div 1000) div $DayUs").as("day"))
+        TemporalOps.rollingActiveUsers(days, "user_id", "day",
+            RauWindowDays)
+          .orderBy("day")
+      },
+      oracle = Some(s"""
+        WITH ud AS (SELECT DISTINCT user_id AS u,
+            epoch_us(ts) // $DayUs AS d FROM events),
+        dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+          FROM ud GROUP BY d),
+        wau AS (SELECT DISTINCT d,
+            CAST(count(DISTINCT u) OVER (ORDER BY d RANGE BETWEEN
+              ${RauWindowDays - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS wau
+          FROM ud)
+        SELECT dau.d AS day, dau.dau AS dau, wau.wau AS wau,
+          (1000000 * dau.dau) // wau.wau AS stickiness_ppm
+        FROM dau JOIN wau ON wau.d = dau.d ORDER BY day""")),
+
+    // ------------------------------------------------------------------
+    // q150 — serial (lag-ℓ) correlation / sample ACF
+    // (StatsOps.lagCorrelation): is the daily-revenue series trending
+    // or noise? Pearson correlation of {(x_t, x_{t+ℓ})} for ℓ = 1..3
+    // per event type, from exact decimal128 co-moments (the q98
+    // sufficient-statistics shape — one keyed window emits all lag
+    // pair streams via lead, one map-side-combined aggregate, no
+    // self-joins). Values quantized to whole dollars keep every
+    // numerator under 2^53, so cast-to-double is exact and the one
+    // sqrt/divide is bit-identical cross-engine.
+    // ------------------------------------------------------------------
+    "q150_acf" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            expr(s"(ts div 1000) div $DayUs").as("period"))
+          .agg(sum(cents(col("value"))).as("vc"))
+          .select(col("grp"), col("period"), expr("vc div 10000").as("v"))
+        StatsOps.lagCorrelation(daily, "grp", "period", "period", "v",
+            AcfMaxLag)
+          .orderBy("grp", "lag")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type AS grp,
+            epoch_us(ts) // $DayUs AS period,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+              AS BIGINT) // 10000 AS v
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT grp, v,
+            lead(v, 1) OVER w AS y1, lead(v, 2) OVER w AS y2,
+            lead(v, 3) OVER w AS y3
+          FROM daily WINDOW w AS (PARTITION BY grp ORDER BY period)),
+        pairs AS (
+          SELECT grp, CAST(1 AS BIGINT) AS lag, v AS x, y1 AS y
+            FROM p WHERE y1 IS NOT NULL
+          UNION ALL SELECT grp, 2, v, y2 FROM p WHERE y2 IS NOT NULL
+          UNION ALL SELECT grp, 3, v, y3 FROM p WHERE y3 IS NOT NULL),
+        st AS (SELECT grp, lag, CAST(count(*) AS HUGEINT) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM pairs GROUP BY grp, lag)
+        SELECT grp, lag, CAST(n AS BIGINT) AS n,
+          CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                   CAST(n * syy - sy * sy AS DOUBLE)) END AS acf
+        FROM st ORDER BY grp, lag"""))
   )
 }

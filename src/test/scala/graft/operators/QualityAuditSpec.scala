@@ -82,4 +82,40 @@ class QualityAuditSpec extends SparkSuite {
     assert(rep.columns.toSeq === QualityAudit.Schema)
     assert(rep.count() === 2L)
   }
+
+  // -------------------------------------------- Benford first-digit audit
+
+  test("benfordAudit: all 9 digit rows emit, absent digits carry the " +
+      "full negative expected deviation, ppm floors against the " +
+      "positive-value total") {
+    // group g: values 1xx ×3, 2x ×1, 9 ×1 (plus a 0 and a negative that
+    // must not count). digits: 1→3, 2→1, 9→1, rest 0; total 5.
+    val df = Seq(100L, 150L, 199L, 25L, 9L, 0L, -300L)
+      .map(("g", _)).toDF("grp", "v")
+    val rows = QualityAudit.benfordAudit(df, "grp", "v")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == (1L to 9L).toSet)
+    assert(rows(1L) == ((3L, 600000L, 301029L, 298971L)))
+    assert(rows(2L) == ((1L, 200000L, 176091L, 23909L)))
+    assert(rows(9L) == ((1L, 200000L, 45757L, 154243L)))
+    assert(rows(5L) == ((0L, 0L, 79181L, -79181L)))
+  }
+
+  test("benfordAudit: the expected table is the exact ppm floor of " +
+      "log10(1+1/d) and nearly sums to one") {
+    QualityAudit.BenfordPpm.zipWithIndex.foreach { case (ppm, i) =>
+      val d = i + 1
+      assert(ppm == math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+    }
+    assert(QualityAudit.BenfordPpm.sum == 999995L)
+  }
+
+  test("benfordAudit: a group with no positive values emits no rows " +
+      "(spine derives from observed groups)") {
+    val df = Seq(("a", 10L), ("b", 0L), ("b", -5L)).toDF("grp", "v")
+    val out = QualityAudit.benfordAudit(df, "grp", "v")
+    assert(out.filter($"g" === "b").count() == 0L)
+    assert(out.count() == 9L)
+  }
 }

@@ -665,4 +665,47 @@ class StatsOpsSpec extends SparkSuite {
       ("a", "c") -> ((3L, 2L, 2L, 666666L)),
       ("b", "c") -> ((2L, 2L, 1L, 333333L))))
   }
+
+  // -------------------------------------------- serial correlation (ACF)
+
+  test("lagCorrelation: a linear ramp is perfectly lag-correlated at " +
+      "every lag; an alternating series flips sign by lag parity") {
+    val ramp = (1L to 8L).zipWithIndex.map { case (v, t) =>
+      ("ramp", t.toLong, v) }
+    val alt = (0 until 8).map(t =>
+      ("alt", t.toLong, if (t % 2 == 0) 10L else -10L))
+    val df = (ramp ++ alt).toDF("grp", "t", "v")
+    val got = StatsOps.lagCorrelation(df, "grp", "t", "t", "v", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(math.abs(got(("ramp", 1L)) - 1.0) < 1e-12)
+    assert(math.abs(got(("ramp", 2L)) - 1.0) < 1e-12)
+    assert(math.abs(got(("alt", 1L)) + 1.0) < 1e-12)
+    assert(math.abs(got(("alt", 2L)) - 1.0) < 1e-12)
+  }
+
+  test("lagCorrelation: constant windows and too-short series emit " +
+      "null acf, never a division error") {
+    val df = (Seq(("c", 0L, 5L), ("c", 1L, 5L), ("c", 2L, 5L)) ++
+      Seq(("s", 0L, 1L), ("s", 1L, 2L))).toDF("grp", "t", "v")
+    val rows = StatsOps.lagCorrelation(df, "grp", "t", "t", "v", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.isNullAt(3))).toMap
+    // constant: pairs exist but zero variance ⇒ null
+    assert(rows(("c", 1L)) == ((2L, true)))
+    // 2-point series at lag 1: a single pair has zero variance ⇒ null;
+    // lag 2 emits NO row at all (no pairs survive the lead filter)
+    assert(rows(("s", 1L)) == ((1L, true)))
+    assert(!rows.contains(("s", 2L)))
+  }
+
+  test("lagCorrelation: the lag-1 pair set re-centers per lag (edge " +
+      "rows drop from the x side, not zero-filled)") {
+    // 3 points: pairs at lag 1 are (1,10),(10,2) — n=2 exactly
+    val df = Seq(("g", 0L, 1L), ("g", 1L, 10L), ("g", 2L, 2L))
+      .toDF("grp", "t", "v")
+    val r = StatsOps.lagCorrelation(df, "grp", "t", "t", "v", 1)
+      .collect()(0)
+    assert(r.getLong(2) == 2L)
+  }
 }

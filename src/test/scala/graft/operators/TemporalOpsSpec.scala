@@ -561,4 +561,62 @@ class TemporalOpsSpec extends SparkSuite {
     assert(admissible.contains(finalBal),
       s"$finalBal not reachable by any tie order ($admissible)")
   }
+
+  // -------------------------------------------- seasonal-naive backtest
+
+  test("seasonalNaiveBacktest: holes evaluate nothing, WAPE and signed " +
+      "bias floor exactly") {
+    // group g, season 2: periods 0..4 with period 3 missing.
+    //   eval points: p2 (f=v0=10, a=30) and p4 (f=v2=30, a=20);
+    //   p3 absent ⇒ neither evaluates NOR serves as a base for p5.
+    // sum_abs_err = 20+10 = 30, sum_actual = 50, wape = 600000;
+    // signed err = (10-30)+(30-20) = -10 ⇒ bias = floor(-1e7/50) =
+    // -200000 exactly (also exercises the negative floorDiv branch).
+    val df = Seq((0L, 10L), (1L, 99L), (2L, 30L), (4L, 20L))
+      .map { case (p, v) => ("g", p, v) }.toDF("grp", "p", "v")
+    val r = TemporalOps.seasonalNaiveBacktest(df, "grp", "p", "v", 2)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) == ((2L, 30L, 50L, 600000L, -200000L)))
+  }
+
+  test("seasonalNaiveBacktest: zero actuals null the ppm columns " +
+      "instead of dividing") {
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 0L)).toDF("grp", "p", "v")
+    val r = TemporalOps.seasonalNaiveBacktest(df, "grp", "p", "v", 1)
+      .collect()(0)
+    assert(r.getLong(1) == 1L && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  // -------------------------------------------- rolling distinct actives
+
+  test("rollingActiveUsers: WAU counts a user once across overlapping " +
+      "activity, DAU/stickiness exact") {
+    // u1 active days 1,2; u2 active day 2; u3 active day 9 (isolated).
+    // W=3: day1 dau=1 wau=1; day2 dau=2 wau=2 (u1 NOT double-counted
+    // via both day1 and day2 coverage); day9 dau=1 wau=1. Days 3,4
+    // (covered but inactive) do not emit.
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 2L), (3L, 9L))
+      .toDF("u", "d")
+    val got = TemporalOps.rollingActiveUsers(df, "u", "d", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 1000000L)),
+      2L -> ((2L, 2L, 1000000L)),
+      9L -> ((1L, 1L, 1000000L))))
+  }
+
+  test("rollingActiveUsers: a churned-then-returned user still counts " +
+      "in WAU for days inside the window after last activity") {
+    // u1 active day 1 only; u2 active days 1 and 3. Day 3 (W=3): u1's
+    // day-1 activity is 2 days old ⇒ still in window ⇒ wau=2, dau=1.
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 3L)).toDF("u", "d")
+    val day3 = TemporalOps.rollingActiveUsers(df, "u", "d", 3)
+      .filter(col("day") === 3L).collect()(0)
+    assert((day3.getLong(1), day3.getLong(2), day3.getLong(3)) ==
+      ((1L, 2L, 500000L)))
+  }
 }
