@@ -324,4 +324,78 @@ object GraphOps {
     }
     ranks
   }
+
+  /**
+   * k-core decomposition (membership for a fixed k) — the density
+   * filter graph pipelines run before anything expensive: the k-core is
+   * the maximal subgraph where every node keeps ≥ k neighbors INSIDE
+   * the subgraph, computed by iterated peeling (drop nodes with degree
+   * < k; recount; repeat — removal cascades, which is exactly what a
+   * plain one-shot degree filter gets wrong). On a co-purchase / dup-
+   * candidate / citation graph the core isolates the densely-connected
+   * region worth clustering (q56/q61's inputs) and peels off the
+   * long-tail fringe whose "communities" are noise.
+   *
+   * Iteration discipline (the [[connectedComponents]]/[[bfsDistances]]
+   * loop contract): each round is ONE degree aggregate over the current
+   * edge frame + two semi-joins restricting both endpoints to
+   * surviving nodes — only (node, count) longs and the shrinking edge
+   * list ever shuffle; the frame localCheckpoints per round (truncated
+   * lineage), and the convergence probe is a single 2-scalar aggregate
+   * (nodes, survivors) per round, not a collect. Rounds are bounded by
+   * the peel depth (≤ graph degeneracy ≪ rounds a path graph would
+   * need for CC); `maxRounds` is the loud-failure bound — the operator
+   * THROWS if the fixpoint isn't reached, because an oracle twin
+   * unrolling the same bound would otherwise silently diverge.
+   *
+   * Output: (node, core_degree) for every k-core member — core_degree
+   * is the degree INSIDE the core (≥ k by definition), the quantity a
+   * downstream density ranking consumes. A fully-unraveled graph
+   * (cascade removes everyone — k above the degeneracy) returns an
+   * empty frame, which is the correct answer, not an error.
+   */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    var e = und
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val probe = deg.agg(count(lit(1)).as("nodes"),
+        coalesce(sum(when(col("d") >= k, 1L).otherwise(0L)), lit(0L))
+          .as("survivors"))
+        .collect()(0)
+      val (nodes, survivors) = (probe.getLong(0), probe.getLong(1))
+      if (survivors == nodes) converged = true
+      else {
+        val keep = deg.filter(col("d") >= k).select(col("u"))
+        e = e.join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    if (!converged) {
+      // e might have converged exactly AT the bound; one last probe
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val probe = deg.agg(count(lit(1)).as("nodes"),
+        coalesce(sum(when(col("d") >= k, 1L).otherwise(0L)), lit(0L))
+          .as("survivors"))
+        .collect()(0)
+      if (probe.getLong(1) != probe.getLong(0))
+        throw new IllegalStateException(
+          s"kCore(k=$k) did not converge within $maxRounds peel rounds — " +
+            "raise maxRounds (and any unrolled oracle twin's bound with it)")
+    }
+    e.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("node"), col("core_degree"))
+  }
 }

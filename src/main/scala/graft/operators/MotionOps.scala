@@ -59,4 +59,56 @@ object MotionOps {
         sum(when(col("dist_mm") > jumpMm, 1L).otherwise(0L)).cast("long")
           .as("n_jumps"))
   }
+
+  /**
+   * Dwell / stay-point episodes — the transit-domain counterpart of
+   * [[motionSummary]]'s motion rollup: find the maximal runs of
+   * consecutive fixes where every inter-fix step stays within
+   * `maxStepMm` (L1, same metric as motionSummary), keep runs of at
+   * least `minFixes` fixes, and roll them up per vehicle. For an HFP
+   * vehicle-position feed these are stop dwells and terminal layovers
+   * (dwell-time analysis is the bread-and-butter transit KPI); for any
+   * GPS/telemetry stream they are the stay-points a visit-mining
+   * pipeline extracts before reverse-geocoding.
+   *
+   * Islands discipline (q20/q116's): break = first fix of a vehicle OR
+   * a step exceeding the threshold; episode id = running sum of breaks
+   * over the SAME (t, tie)-ordered keyed window the step lag used —
+   * one shuffle total; episodes then aggregate twice ((key, episode) →
+   * key), both map-side combined on frames proportional to episode
+   * counts, never fixes. A dwell episode's duration is last-fix −
+   * first-fix time (exact integer micros).
+   *
+   * Emits per vehicle: episode count, total and longest dwell micros.
+   * Vehicles with no qualifying episode are honestly absent (a left
+   * spine join is the caller's one-liner if zeros are wanted); a
+   * vehicle with a single fix can never dwell (`minFixes` ≥ 2
+   * required).
+   */
+  def dwellEpisodes(points: DataFrame, vehicleCol: String, tUsCol: String,
+      xMmCol: String, yMmCol: String, orderTieCol: String,
+      maxStepMm: Long, minFixes: Int = 3): DataFrame = {
+    require(minFixes >= 2, s"minFixes must be >= 2, got $minFixes")
+    val w = Window.partitionBy(col(vehicleCol))
+      .orderBy(col(tUsCol), col(orderTieCol))
+    val flagged = points
+      .withColumn("step_mm",
+        abs(col(xMmCol) - lag(col(xMmCol), 1).over(w)) +
+          abs(col(yMmCol) - lag(col(yMmCol), 1).over(w)))
+      .withColumn("brk",
+        when(col("step_mm").isNull || col("step_mm") > maxStepMm, 1L)
+          .otherwise(0L))
+      .withColumn("episode",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    flagged
+      .groupBy(col(vehicleCol), col("episode"))
+      .agg(count(lit(1)).as("n_fixes"),
+        (max(col(tUsCol)) - min(col(tUsCol))).as("dur_us"))
+      .filter(col("n_fixes") >= minFixes)
+      .groupBy(col(vehicleCol))
+      .agg(count(lit(1)).as("n_episodes"),
+        sum(col("dur_us")).as("total_dwell_us"),
+        max(col("dur_us")).as("longest_dwell_us"))
+  }
 }

@@ -714,4 +714,102 @@ object VectorSearch {
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
   }
+
+  // --------------------------------------------------------------------
+  // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+  // diversity re-ranker between retrieval and a RAG/few-shot context
+  // window: plain top-k hands the LLM k near-copies of the same
+  // passage; MMR greedily picks the item maximizing
+  //   λ·rel(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+  // so each pick is relevant AND novel against what's already chosen.
+  // --------------------------------------------------------------------
+
+  /**
+   * MMR over int8-quantized inner products, λ = 1/2. Two determinism
+   * choices make the greedy walk hash-gateable cross-engine:
+   *  - relevance and redundancy are RAW integer dot products of the
+   *    [[quantizeInt8]] vectors (entries in [-127, 127], 64-dim dots
+   *    bounded by ~10⁶ — exact in doubles, emitted as longs): scaled
+   *    inner-product MMR, no float norm division anywhere;
+   *  - λ = 1/2 clears the one fraction: argmax of λ·rel − (1−λ)·red is
+   *    the argmax of rel − red in pure longs; ties break on vec_id.
+   *
+   * Scale shape: the FAN-OUT stage (score the corpus per query) is
+   * q66's — corpus × broadcast-bounded queries, one window keeps the
+   * top `candK` per query; everything after runs on the |queries|·candK
+   * candidate frame: the candidate×candidate sim matrix is a self-join
+   * on query_id (≤ candK² rows per query, candK caller-bounded — MMR
+   * over an unbounded candidate set is quadratic BY DEFINITION, the cap
+   * is the algorithm's own contract), and each of the `selectK` greedy
+   * steps is an anti-join + max-aggregate + rank-1 window on that
+   * bounded frame. selectK ≤ candK iterations build one lazy plan —
+   * bounded depth, the q67 pure-lazy discipline.
+   *
+   * Output: (query_id, vec_id, step 1..selectK, rel, redundancy, mmr2)
+   * — mmr2 = rel − redundancy = twice the λ=1/2 MMR score; step 1 has
+   * redundancy 0 by definition. Fewer than selectK candidates emit
+   * fewer steps (honest exhaustion, never a repeat).
+   */
+  def mmrRerank(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, candK: Int = 12, selectK: Int = 5): DataFrame = {
+    require(selectK >= 1 && selectK <= candK,
+      s"need 1 <= selectK <= candK, got selectK=$selectK candK=$candK")
+    def prepared(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol), toDouble(col("qv")).as("qd"))
+    val b = prepared(ScanOps.spreadSmallInput(base, col(idCol)))
+    val q = prepared(queries)
+      .select(col(idCol).as("query_id"), col("qd").as("qqd"))
+    val relW = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cand = b.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("vec_id"), col("qd"),
+        dotD(col("qd"), col("qqd")).cast(LongType).as("rel"))
+      .withColumn("rn", row_number().over(relW))
+      .filter(col("rn") <= candK)
+      .drop("rn")
+      .localCheckpoint(true)
+    val sims = cand.select(col("query_id"), col("vec_id").as("sa"),
+        col("qd").as("da"))
+      .join(cand.select(col("query_id"), col("vec_id").as("sb"),
+        col("qd").as("db")), Seq("query_id"))
+      .filter(col("sa") =!= col("sb"))
+      .select(col("query_id"), col("sa"), col("sb"),
+        dotD(col("da"), col("db")).cast(LongType).as("sim"))
+      .localCheckpoint(true)
+    val scores = cand.select(col("query_id"), col("vec_id"), col("rel"))
+    val mmrW = Window.partitionBy("query_id")
+      .orderBy(col("mmr2").desc, col("vec_id"))
+    // each step references `selected` TWICE (anti-join + redundancy
+    // join): left lazy, the plan tree doubles per step — the same
+    // 2^steps expansion the oracle's CTE chain hits without
+    // MATERIALIZED. The per-step frame is ≤ |queries| rows, so an eager
+    // localCheckpoint per step is a no-op cost that keeps the whole
+    // walk linear (measured 6.8 s → ~1 s at sf0.1)
+    var selected = scores
+      .withColumn("redundancy", lit(0L))
+      .withColumn("mmr2", col("rel"))
+      .withColumn("rn", row_number().over(mmrW))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("step"),
+        col("rel"), col("redundancy"), col("mmr2"))
+      .localCheckpoint(true)
+    for (stepNo <- 2 to selectK) {
+      val next = scores
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(sims.join(selected.select(col("query_id"),
+            col("vec_id").as("sb")), Seq("query_id", "sb"))
+          .groupBy(col("query_id"), col("sa").as("vec_id"))
+          .agg(max(col("sim")).as("redundancy")),
+          Seq("query_id", "vec_id"))
+        .withColumn("mmr2", col("rel") - col("redundancy"))
+        .withColumn("rn", row_number().over(mmrW))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"),
+          lit(stepNo.toLong).as("step"), col("rel"), col("redundancy"),
+          col("mmr2"))
+      selected = selected.union(next).localCheckpoint(true)
+    }
+    selected
+  }
 }

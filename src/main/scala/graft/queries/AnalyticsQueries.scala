@@ -182,6 +182,24 @@ object AnalyticsQueries {
   /** q149 rolling-active window: 7 days (the WAU in DAU/WAU). */
   val RauWindowDays = 7
 
+  /** q152 Apriori thresholds, RELATIVE (ppm of basket count — the
+    * textbook definition and the only kind that survives a data-size
+    * change): brands sit at ~155k ppm item support and pair supports
+    * cluster around ~22k ppm at every sf, so 100k/20k prune genuinely
+    * without emptying the rule set. */
+  val BasketItemSupPpm = 100000L
+  val BasketPairSupPpm = 20000L
+
+  /** q153 k-core: the co-purchase graph's degrees sit at median ~115
+    * / min ~40 at sf0.01+ and median 89 / min 49 at sf0.001, so
+    * k = 68 keeps a nonempty core at EVERY test sf — including
+    * sf0.001's (176/200 nodes after a genuine 5-round cascade), where
+    * k = 80 unravels the small graph to zero and k ≥ 95 unravels every
+    * sf. The 10-round bound is BOTH the Spark loop's loud-failure cap
+    * and the oracle's unroll depth — the two must move together. */
+  val KCoreK = 68
+  val KCorePeelRounds = 10
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -2156,6 +2174,96 @@ object AnalyticsQueries {
             THEN CAST(n * sxy - sx * sy AS DOUBLE) /
               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
                    CAST(n * syy - sy * sy AS DOUBLE)) END AS acf
-        FROM st ORDER BY grp, lag"""))
+        FROM st ORDER BY grp, lag""")),
+
+    // ------------------------------------------------------------------
+    // q152 — market-basket association rules (AssociationRules
+    // .basketRules): Apriori level-2 over order baskets of brands —
+    // which brands co-occur beyond chance, with the DIRECTIONAL
+    // confidence q138's symmetric Jaccard cannot express, plus lift in
+    // exact ppm (decimal128 n_AB·N product — no overflow lottery).
+    // Relative (ppm-of-N) thresholds prune before pairs form (Apriori
+    // monotonicity) and again before the directional expansion; pairs
+    // generate per basket from its sorted surviving-item set, never an
+    // items² or baskets² join.
+    // ------------------------------------------------------------------
+    "q152_basket_rules" -> GraftQuery(
+      build = (s, d) => {
+        val bi = lineitem(s, d)
+          .join(part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand"))
+        graft.operators.AssociationRules.basketRules(bi, "l_orderkey",
+            "p_brand", BasketItemSupPpm, BasketPairSupPpm)
+          .orderBy("antecedent", "consequent")
+      },
+      oracle = Some(s"""
+        WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        isup AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i
+          FROM bi GROUP BY i),
+        fi AS (SELECT i, n_i FROM isup, tot
+          WHERE n_i * 1000000 >= n * $BasketItemSupPpm),
+        pr AS (SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT)
+              AS n_ab
+          FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+          JOIN fi fa ON fa.i = a.i JOIN fi fb ON fb.i = b.i
+          GROUP BY 1, 2),
+        fp AS (SELECT ia, ib, n_ab FROM pr, tot
+          WHERE n_ab * 1000000 >= n * $BasketPairSupPpm),
+        dir AS (SELECT ia AS antecedent, ib AS consequent, n_ab FROM fp
+          UNION ALL SELECT ib, ia, n_ab FROM fp)
+        SELECT d.antecedent, d.consequent, fa.n_i AS n_ante,
+          fb.n_i AS n_cons, d.n_ab AS n_both, tot.n AS n_baskets,
+          (1000000 * d.n_ab) // tot.n AS support_ppm,
+          (1000000 * d.n_ab) // fa.n_i AS conf_ppm,
+          CAST((1000000 * CAST(d.n_ab AS HUGEINT) * tot.n) //
+            (CAST(fa.n_i AS HUGEINT) * fb.n_i) AS BIGINT) AS lift_ppm
+        FROM dir d
+        JOIN fi fa ON fa.i = d.antecedent
+        JOIN fi fb ON fb.i = d.consequent, tot
+        ORDER BY antecedent, consequent""")),
+
+    // ------------------------------------------------------------------
+    // q153 — k-core membership (GraphOps.kCore) on the q115/q118
+    // co-purchase graph: iterated peeling (drop degree < k, recount,
+    // repeat — removal CASCADES, which is exactly what a one-shot
+    // degree filter gets wrong; at k = 68 the cascade needs 5 rounds
+    // on the sf0.001 graph) isolating the dense region worth
+    // clustering. Each round
+    // moves only (node, count) longs + the shrinking edge list,
+    // localCheckpointed; convergence is a 2-scalar probe; the operator
+    // THROWS past KCorePeelRounds because the oracle unrolls exactly
+    // that bound — peels after the fixpoint are no-ops, so converging
+    // earlier is equivalence, not slack.
+    // ------------------------------------------------------------------
+    "q153_kcore" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.GraphOps
+          .kCore(coPurchasePairs(s, d), "u", "v", KCoreK, KCorePeelRounds)
+          .orderBy("node"),
+      oracle = Some {
+        // AS MATERIALIZED is load-bearing: e_r references e_{r-1} twice
+        // (once through k_r, once directly), so DuckDB's default
+        // inline-CTE expansion is a 2^rounds tree — 1024 lineitem scans
+        // at 10 rounds ("Too many open files"); materialized, each peel
+        // computes once, exactly like the Spark loop's localCheckpoint
+        val peels = (1 to KCorePeelRounds).map { r =>
+          s"""k$r AS MATERIALIZED (SELECT u FROM e${r - 1} GROUP BY u
+              HAVING count(*) >= $KCoreK),
+            e$r AS MATERIALIZED (SELECT a.u, a.v FROM e${r - 1} a
+              JOIN k$r x ON a.u = x.u JOIN k$r y ON a.v = y.u)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        e0 AS MATERIALIZED (SELECT u, v FROM pairs
+          UNION ALL SELECT v, u FROM pairs),
+        $peels
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+        FROM e$KCorePeelRounds GROUP BY u ORDER BY node"""
+      })
   )
 }

@@ -37,6 +37,12 @@ object VectorQueries {
   /** q136 recall audit depth (matches q25's top-k). */
   val RecallK = 5
 
+  /** q154 MMR: 12 candidates in, 5 diversified picks out — candK is
+    * the algorithm's own quadratic-work contract (candK² sims per
+    * query), selectK the context-window budget. */
+  val MmrCandK = 12
+  val MmrSelectK = 5
+
   /** Shared q25/q105 oracle prolog: normed double vectors (with label)
     * and the bounded query set — one copy of the base/nb/q scaffold. */
   private def knnPrologSql(withLabel: Boolean) = {
@@ -556,6 +562,79 @@ object VectorQueries {
           top1_rnk, 1000000 // top1_rnk AS mrr_ppm
         FROM agg a JOIN ncand USING (query_id)
         ORDER BY a.query_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q154 — MMR diversity re-ranking (VectorSearch.mmrRerank): the
+    // step between retrieval and a RAG/few-shot context window — plain
+    // top-k hands the model k near-copies; MMR greedily picks the item
+    // maximizing λ·rel − (1−λ)·max-sim-to-selected. λ = 1/2 on RAW
+    // int8 inner products keeps the whole greedy walk in longs
+    // (argmax of rel − redundancy, ties on vec_id) — hash-gateable
+    // where float-cosine MMR is an ulp lottery. Corpus fan-out is
+    // q66's (broadcast queries, one window caps candidates at 12);
+    // the 5 greedy steps run on the |queries|·12 candidate frame. The
+    // oracle unrolls the same 5 steps as chained argmax CTEs.
+    // ------------------------------------------------------------------
+    "q154_mmr_rerank" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        VectorSearch.mmrRerank(emb,
+          emb.filter(expr(QuerySetSql)), "vec_id", "embedding",
+          candK = MmrCandK, selectK = MmrSelectK)
+          .orderBy("query_id", "step")
+      },
+      oracle = Some {
+        val steps = (2 to MmrSelectK).map { t =>
+          s"""s$t AS (SELECT query_id, vec_id, CAST($t AS BIGINT) AS step,
+              rel, redundancy, mmr2 FROM (
+            SELECT c.query_id, c.vec_id, c.rel, r.redundancy,
+              c.rel - r.redundancy AS mmr2,
+              row_number() OVER (PARTITION BY c.query_id
+                ORDER BY c.rel - r.redundancy DESC, c.vec_id) AS rn
+            FROM cand c
+            JOIN (SELECT s.query_id, s.sa AS vec_id,
+                  max(s.sim) AS redundancy
+                FROM sims s JOIN sel${t - 1} x
+                  ON x.query_id = s.query_id AND x.vec_id = s.sb
+                GROUP BY 1, 2) r
+              ON r.query_id = c.query_id AND r.vec_id = c.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+              WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+            ) WHERE rn = 1),
+          sel$t AS (SELECT * FROM sel${t - 1}
+            UNION ALL SELECT * FROM s$t)"""
+        }.mkString(",\n          ")
+        s"""
+        WITH base AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v
+          FROM embeddings),
+        mx AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) AS m FROM base),
+        qt AS (SELECT vec_id, list_transform(v,
+            x -> floor(x * (CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END)))
+            AS qd
+          FROM mx),
+        q AS (SELECT vec_id AS query_id, qd AS qqd FROM qt
+          WHERE $QuerySetSql),
+        scored AS (SELECT query_id, t.vec_id, t.qd,
+            CAST(${sqlDot("t.qd", "qqd")} AS BIGINT) AS rel
+          FROM qt t CROSS JOIN q WHERE t.vec_id <> query_id),
+        cand AS (SELECT query_id, vec_id, qd, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, vec_id) AS rn FROM scored)
+          WHERE rn <= $MmrCandK),
+        sims AS (SELECT a.query_id, a.vec_id AS sa, b.vec_id AS sb,
+            CAST(${sqlDot("a.qd", "b.qd")} AS BIGINT) AS sim
+          FROM cand a JOIN cand b
+            ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+        sel1 AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS step, rel,
+            CAST(0 AS BIGINT) AS redundancy, rel AS mmr2 FROM (
+            SELECT query_id, vec_id, rel, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+            FROM cand) WHERE rn = 1),
+          $steps
+        SELECT query_id, vec_id, step, rel, redundancy, mmr2
+        FROM sel$MmrSelectK ORDER BY query_id, step"""
       })
   )
 }

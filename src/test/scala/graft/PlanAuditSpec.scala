@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSuite {
       // q136 embeds q25's knnBrute as its EXACT reference side — the
       // all-pairs scan against the bounded broadcast query set is the
       // audit's definitional cost, not an accident
-      "q136_ann_recall_audit")
+      "q136_ann_recall_audit",
+      // q152's nested loops are the 1-row basket-total broadcast under
+      // the relative (ppm-of-N) support predicates — the q71/q94 shape
+      "q152_basket_rules")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -171,4 +171,46 @@ class GraphOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
+
+  // -------------------------------------------------------- k-core
+
+  /** K4 on nodes 1-4 plus a chain 4-5-6: the peel-vs-one-shot fixture. */
+  private def k4chain =
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+
+  test("kCore: removal cascades (a one-shot degree filter would keep " +
+      "the chain node the peel removes)") {
+    // degrees: 1,2,3→3; 4→4; 5→2; 6→1. k=2 one-shot would keep 5
+    // (degree 2) — but removing 6 drops 5 to degree 1, so the 2-core
+    // is exactly K4. core_degree inside K4 is 3 everywhere.
+    val got = GraphOps.kCore(k4chain, "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: k above the degeneracy unravels the whole graph to an " +
+      "empty (correct) core") {
+    assert(GraphOps.kCore(k4chain, "a", "b", 4).isEmpty)
+  }
+
+  test("kCore: k=1 keeps every non-isolated node with its full degree") {
+    val got = GraphOps.kCore(k4chain, "a", "b", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L,
+      5L -> 2L, 6L -> 1L))
+  }
+
+  test("kCore THROWS when the peel cannot converge within maxRounds " +
+      "(the oracle-unroll contract must fail loudly)") {
+    // a path 1-2-3-...-8 under k=2 peels one node per round from each
+    // end: needs 4 rounds to fully unravel; cap at 2 must throw
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      GraphOps.kCore(path, "a", "b", 2, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the same peel converges (to empty) with an adequate budget
+    assert(GraphOps.kCore(path, "a", "b", 2, maxRounds = 10).isEmpty)
+  }
 }

@@ -39,4 +39,41 @@ class MotionOpsSpec extends SparkSuite {
     assert(out.getLong(2) == 9000L + 1000L)
     assert(out.getLong(3) == 1000L) // only the 1 s step contributes speed
   }
+
+  // ------------------------------------------------------ dwell episodes
+
+  test("dwellEpisodes: two dwells split by one big step; durations and " +
+      "longest are exact; the bridging fix belongs to the NEXT episode") {
+    // v1: fixes at t=0..5 s; steps (L1): 10, 10, 900(break), 10, 10.
+    // Episodes: fixes {0,1,2} (dur 2 s) and {3,4,5} (dur 2 s).
+    val pts = Seq(
+      (0L, 0L, 0L), (1L, 10L, 0L), (2L, 20L, 0L),
+      (3L, 920L, 0L), (4L, 930L, 0L), (5L, 940L, 0L))
+      .zipWithIndex.map { case ((t, x, y), i) =>
+        ("v1", t * 1000000L, x, y, i.toLong) }
+      .toDF("veh", "t_us", "x_mm", "y_mm", "tie")
+    val out = MotionOps.dwellEpisodes(pts, "veh", "t_us", "x_mm", "y_mm",
+      "tie", maxStepMm = 100L, minFixes = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 4000000L, 2000000L)))
+  }
+
+  test("dwellEpisodes: runs shorter than minFixes emit nothing — a " +
+      "vehicle always in motion is honestly absent") {
+    val pts = Seq(
+      ("still", 0L, 0L, 0L, 0L), ("still", 1000000L, 10L, 0L, 1L),
+      ("mover", 0L, 0L, 0L, 0L), ("mover", 1000000L, 5000L, 0L, 1L),
+      ("mover", 2000000L, 10000L, 0L, 2L))
+      .toDF("veh", "t_us", "x_mm", "y_mm", "tie")
+    // "still" dwells but only 2 fixes (< minFixes=3); "mover" never dwells
+    assert(MotionOps.dwellEpisodes(pts, "veh", "t_us", "x_mm", "y_mm",
+      "tie", maxStepMm = 100L, minFixes = 3).isEmpty)
+    // at minFixes=2 the still pair qualifies with its 1 s duration
+    val got = MotionOps.dwellEpisodes(pts, "veh", "t_us", "x_mm", "y_mm",
+      "tie", maxStepMm = 100L, minFixes = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("still" -> 1000000L))
+  }
 }

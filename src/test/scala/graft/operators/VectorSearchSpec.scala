@@ -359,4 +359,52 @@ class VectorSearchSpec extends SparkSuite {
     assert(r.getAs[Long]("hits") >= 1L)
     assert(r.getAs[Long]("recall_ppm") <= 1000000L)
   }
+
+  // ------------------------------------------------------------- MMR
+
+  test("mmrRerank diverges from plain top-k: the redundant twin of the " +
+      "top pick loses step 2 to a novel lower-relevance item") {
+    import spark.implicits._
+    // query along e1. A (id 10) and twin B (id 11): qd [127, 76] /
+    // [127, 81], both rel 16129 (tie → A by id). C (id 12): qd
+    // [63, -127], rel 8001. Step 2: B's redundancy sim(B,A) = 22285 ⇒
+    // mmr2 = -6156; C's redundancy = sim(C,A) = 63·127 - 127·76 =
+    // -1651 ⇒ mmr2 = 9652 ⇒ C wins despite half the relevance —
+    // exactly the pick plain top-k gets wrong.
+    val q = Seq(1.0f, 0.0f) ++ Seq.fill(6)(0.0f)
+    val a = Seq(1.0f, 0.6f) ++ Seq.fill(6)(0.0f)
+    val b = Seq(1.0f, 0.64f) ++ Seq.fill(6)(0.0f)
+    val c = Seq(0.5f, -1.0f) ++ Seq.fill(6)(0.0f)
+    val df = Seq((1L, q), (10L, a), (11L, b), (12L, c))
+      .toDF("vec_id", "embedding")
+    val rows = VectorSearch.mmrRerank(df, df.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", candK = 3, selectK = 3)
+      .collect()
+    val got = rows.map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(got(1L) == 10L, "step 1 = plain argmax relevance (tie on id)")
+    assert(got(2L) == 12L, "step 2 trades relevance for novelty")
+    assert(got(3L) == 11L)
+    val step2 = rows.find(_.getLong(2) == 2L).get
+    assert((step2.getLong(3), step2.getLong(4), step2.getLong(5)) ==
+      ((8001L, -1651L, 9652L)))
+  }
+
+  test("mmrRerank: step 1 carries redundancy 0 and mmr2 = rel; later " +
+      "steps carry max-sim-to-selected; candidate exhaustion emits " +
+      "fewer steps, never a repeat") {
+    import spark.implicits._
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val x = Seq(1.0f, 0.2f, 0.0f, 0.0f)
+    val y = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq((1L, q), (2L, x), (3L, y)).toDF("vec_id", "embedding")
+    val rows = VectorSearch.mmrRerank(df, df.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", candK = 5, selectK = 5)
+      .orderBy("step").collect()
+    // only 2 candidates exist: exactly 2 steps, distinct picks
+    assert(rows.length == 2)
+    assert(rows(0).getLong(4) == 0L) // step-1 redundancy
+    assert(rows(0).getLong(3) == rows(0).getLong(5)) // mmr2 = rel
+    assert(rows(1).getLong(4) >= 0L)
+    assert(rows.map(_.getLong(1)).distinct.length == 2)
+  }
 }
