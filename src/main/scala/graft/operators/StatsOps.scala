@@ -881,4 +881,69 @@ object StatsOps {
             sqrt(col("varx_num").cast("double") *
               col("vary_num").cast("double"))).as("acf"))
   }
+
+  /**
+   * Trimmed and winsorized statistics per group — the robust location
+   * estimates between the raw mean (outlier-hostage) and the median
+   * (throws away 98% of the data): drop (trimmed) or clamp
+   * (winsorized) the tails beyond the [loPct, hiPct] discrete
+   * percentile ranks, then average. The pair is the metrology
+   * standard for latency/price/amount dashboards, and disagreement
+   * between them is itself an outlier-mass signal.
+   *
+   * Everything is rank arithmetic on a total (value, tie) order — the
+   * q139/q99 discrete-order-statistic discipline, no interpolated
+   * floats: r_lo = ⌊n·loPct/100⌋, r_hi = ⌊n·hiPct/100⌋; trimmed keeps
+   * ranks (r_lo, r_hi], winsor clamps to the values AT ranks r_lo+1
+   * and r_hi; means are floor-divided integers. Callers pick loPct <
+   * hiPct; groups smaller than the trim window emit null means rather
+   * than inventing a statistic.
+   *
+   * Shape: one keyed rank window; the two bound values per group come
+   * from rank-predicate conditional aggregates on the SAME ranked
+   * frame and broadcast-join back for the winsor clamp; then one
+   * map-side-combined aggregate. Facts shuffle once.
+   */
+  def trimmedStats(df: DataFrame, group: String, valueCol: String,
+      tieCol: String, loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 <= loPct < hiPct <= 100, got [$loPct, $hiPct]")
+    val w = Window.partitionBy(col(group))
+    val ranked = df
+      .withColumn("rn", row_number()
+        .over(w.orderBy(col(valueCol), col(tieCol))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("r_lo", expr(s"n * $loPct div 100"))
+      .withColumn("r_hi", expr(s"n * $hiPct div 100"))
+    val bounds = ranked.groupBy(col(group))
+      .agg(
+        max(when(col("rn") === col("r_lo") + 1, col(valueCol)))
+          .as("lo_v"),
+        max(when(col("rn") === col("r_hi"), col(valueCol))).as("hi_v"))
+    ranked
+      .join(broadcast(bounds), Seq(group))
+      .groupBy(col(group))
+      .agg(
+        max(col("n")).as("n"),
+        sum(when(col("rn") > col("r_lo") && col("rn") <= col("r_hi"),
+          col(valueCol))).as("t_sum"),
+        coalesce(sum(when(col("rn") > col("r_lo") &&
+          col("rn") <= col("r_hi"), 1L)), lit(0L)).as("trimmed_n"),
+        sum(greatest(least(col(valueCol), col("hi_v")), col("lo_v")))
+          .as("w_sum"),
+        sum(col(valueCol)).as("raw_sum"),
+        max(col("lo_v")).as("lo_v"), max(col("hi_v")).as("hi_v"))
+      .select(col(group), col("n"), col("trimmed_n"), col("lo_v"),
+        col("hi_v"),
+        when(col("trimmed_n") > 0,
+          floorDiv0(col("t_sum"), col("trimmed_n"))).as("trimmed_mean"),
+        when(col("hi_v").isNotNull && col("lo_v").isNotNull,
+          floorDiv0(col("w_sum"), col("n"))).as("winsorized_mean"),
+        floorDiv0(col("raw_sum"), col("n")).as("raw_mean"))
+  }
+
+  /** [[TemporalOps.floorDiv]] re-exposed for this file's signed means
+    * (values may be negative; Spark div truncates, DuckDB // floors). */
+  private def floorDiv0(a: Column, b: Column): Column =
+    TemporalOps.floorDiv(a, b)
 }

@@ -739,4 +739,146 @@ object TemporalOps {
       .select(col("d").as("day"), col("dau"), col("wau"),
         expr("(1000000L * dau) div wau").as("stickiness_ppm"))
   }
+
+  /**
+   * Growth accounting — the engagement decomposition behind every
+   * "is this product growing?" dashboard (Social Capital's accounting
+   * identity): each period's actives split into NEW (first activity
+   * ever), RETAINED (also active the previous period) and RESURRECTED
+   * (active before, but not the previous period), while CHURNED counts
+   * users active the previous period who went silent — so
+   * actives(p) = new + retained + resurrected and
+   * actives(p−1) = retained(p) + churned(p). The quick ratio
+   * (new + resurrected) / churned reads growth efficiency; it ships in
+   * floor ppm, null when nobody churned (no fake infinity).
+   *
+   * Shape: (user, period) dedup, then ONE user-keyed window provides
+   * lag (classification) and lead (churn detection) off the same sort;
+   * churn events emit at period+1, capped at the observed maximum
+   * period (beyond the data's edge "churn" is unknowable, not zero) —
+   * the max rides a 1-row broadcast. Output rows are (period,
+   * 4 counts + ratio); a period can appear with only churn (everyone
+   * went quiet) — counts coalesce to 0, never null.
+   */
+  def growthAccounting(df: DataFrame, userCol: String,
+      periodCol: String): DataFrame = {
+    val ud = df.select(col(userCol).as("u"), col(periodCol).as("p"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("p"))
+    val marked = ud
+      .withColumn("prev", lag(col("p"), 1).over(w))
+      .withColumn("next", lead(col("p"), 1).over(w))
+    val status = marked.select(col("p"),
+      when(col("prev").isNull, "new")
+        .when(col("prev") === col("p") - 1, "retained")
+        .otherwise("resurrected").as("kind"))
+    val maxP = ud.agg(max(col("p")).as("max_p"))
+    val churn = marked
+      .filter(col("next").isNull || col("next") > col("p") + 1)
+      .crossJoin(broadcast(maxP))
+      .filter(col("p") + 1 <= col("max_p"))
+      .select((col("p") + 1).as("p"), lit("churned").as("kind"))
+    status.union(churn)
+      .groupBy(col("p"))
+      .agg(
+        coalesce(sum(when(col("kind") === "new", 1L)), lit(0L)).as("n_new"),
+        coalesce(sum(when(col("kind") === "retained", 1L)), lit(0L))
+          .as("n_retained"),
+        coalesce(sum(when(col("kind") === "resurrected", 1L)), lit(0L))
+          .as("n_resurrected"),
+        coalesce(sum(when(col("kind") === "churned", 1L)), lit(0L))
+          .as("n_churned"))
+      .select(col("p").as("period"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        when(col("n_churned") > 0,
+          expr("(1000000L * (n_new + n_resurrected)) div n_churned"))
+          .as("quick_ratio_ppm"))
+  }
+
+  /**
+   * Session entry/exit/bounce analysis — the page-flow readout beside
+   * path mining ([[sessionPaths]] finds sequences; this scores each
+   * event type's role): per type, how many sessions CONTAIN it, how
+   * many ENTER on it (first event), EXIT on it (last event), and
+   * BOUNCE on it (single-event session — enter ≡ exit); the exit rate
+   * exits/contains in floor ppm is the "where do people leave"
+   * dashboard column.
+   *
+   * One gap sessionization ([[q20's]] lag + running-sum discipline) on
+   * one user-keyed (t, tie) window; first/last flags are rank
+   * predicates off the SAME sort (row_number asc + per-session count
+   * — no second sort); containment dedups (session, type); the three
+   * per-type aggregates are tiny and broadcast-join back together.
+   * Ties are impossible by contract (tie column completes a total
+   * order).
+   */
+  def sessionExitRates(df: DataFrame, userCol: String, tCol: String,
+      tieCol: String, typeCol: String, gapUs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tCol), col(tieCol))
+    val run = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val sess = df
+      .withColumn("brk",
+        when(col(tCol) - lag(col(tCol), 1).over(byUser) > gapUs, 1L)
+          .when(lag(col(tCol), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(run))
+    val bySess = Window.partitionBy(col(userCol), col("sid"))
+    val flagged = sess
+      .withColumn("rn",
+        row_number().over(bySess.orderBy(col(tCol), col(tieCol))))
+      .withColumn("n", count(lit(1)).over(bySess))
+      .localCheckpoint(true)
+    val contain = flagged
+      .select(col(userCol), col("sid"), col(typeCol).as("etype"))
+      .distinct()
+      .groupBy(col("etype")).agg(count(lit(1)).as("n_contain"))
+    val enterExit = flagged
+      .groupBy(col(typeCol).as("etype"))
+      .agg(
+        coalesce(sum(when(col("rn") === 1, 1L)), lit(0L)).as("n_enter"),
+        coalesce(sum(when(col("rn") === col("n"), 1L)), lit(0L))
+          .as("n_exit"),
+        coalesce(sum(when(col("n") === 1, 1L)), lit(0L)).as("n_bounce"))
+    contain.join(broadcast(enterExit), Seq("etype"))
+      .select(col("etype"), col("n_contain"), col("n_enter"),
+        col("n_exit"), col("n_bounce"),
+        expr("(1000000L * n_exit) div n_contain").as("exit_rate_ppm"))
+  }
+
+  /**
+   * Day-of-week seasonal index — the third leg of the forecasting
+   * trio ([[seasonalNaiveBacktest]] scores the naive model,
+   * [[StatsOps.lagCorrelation]] detects the cycle, this QUANTIFIES it):
+   * per (group, weekday), the ratio of the weekday's mean to the
+   * group's overall mean in floor ppm — the multiplicative seasonal
+   * factor a calendar-adjusted forecast or anomaly detector divides
+   * out. 10⁶ = a flat weekday.
+   *
+   * Weekday is pure epoch-day arithmetic — (day + 3) mod 7, 0 = Monday
+   * (1970-01-01 was a Thursday) — NOT a calendar function: both
+   * engines compute the identical integer with no timezone/locale
+   * surface. The index is evaluated ratio-of-ratios exactly:
+   * (Σ_dow · n_all · 10⁶) div (n_dow · Σ_all) on decimal128, where n
+   * counts OBSERVED days (a day with no activity contributes neither
+   * mean — the gap-fill question is q76's). Input is the
+   * pre-aggregated (group, day, value) frame; one (group, dow)
+   * aggregate + per-group totals as a window over the 7-row frame.
+   */
+  def seasonalIndex(daily: DataFrame, group: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val byDow = daily
+      .groupBy(col(group), ((col(dayCol) + 3) % 7).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col(valueCol)).as("sum_v"))
+    val byGrp = Window.partitionBy(col(group))
+    byDow
+      .withColumn("n_all", sum(col("n_days")).over(byGrp))
+      .withColumn("sum_all", sum(col("sum_v")).over(byGrp))
+      .select(col(group), col("dow"), col("n_days"), col("sum_v"),
+        when(col("sum_all") =!= 0,
+          expr("(cast(sum_v as decimal(38,0)) * n_all * 1000000) div " +
+            "(cast(n_days as decimal(38,0)) * sum_all)"))
+          .as("index_ppm"))
+  }
 }

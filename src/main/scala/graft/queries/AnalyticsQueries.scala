@@ -200,6 +200,15 @@ object AnalyticsQueries {
   val KCoreK = 68
   val KCorePeelRounds = 10
 
+  /** q156 winsor/trim window: drop/clamp the deciles. */
+  val TrimLoPct = 10; val TrimHiPct = 90
+
+  /** q158 visit gap: 1 day of epoch micros — events arrive ~11 h apart
+    * per user, so day-gapped visits average ~2 events (a real
+    * bounce/multi-event mix where q144's 30-min sessions are
+    * singleton-dominated by design). */
+  val ExitSessionGapUs = 86400L * 1000000L
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -2264,6 +2273,185 @@ object AnalyticsQueries {
         $peels
         SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
         FROM e$KCorePeelRounds GROUP BY u ORDER BY node"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q155 — growth accounting (TemporalOps.growthAccounting): each
+    // day's actives decomposed into new / retained / resurrected, plus
+    // churned (active yesterday, silent today) and the quick ratio
+    // (new+resurrected)/churned in floor ppm — the engagement
+    // decomposition q109's cohort matrix and q149's DAU/WAU don't
+    // give: WHY the active count moved. One user-keyed window serves
+    // lag (classification) and lead (churn) off one sort; churn emits
+    // at period+1 capped at the observed max (beyond the data's edge
+    // churn is unknowable, not zero).
+    // ------------------------------------------------------------------
+    "q155_growth_accounting" -> GraftQuery(
+      build = (s, d) => {
+        val days = events(s, d).select(col("user_id"),
+          expr(s"(ts div 1000) div $DayUs").as("day"))
+        TemporalOps.growthAccounting(days, "user_id", "day")
+          .orderBy("period")
+      },
+      oracle = Some(s"""
+        WITH ud AS (SELECT DISTINCT user_id AS u,
+            epoch_us(ts) // $DayUs AS p FROM events),
+        m AS (SELECT u, p, lag(p) OVER w AS prev, lead(p) OVER w AS next
+          FROM ud WINDOW w AS (PARTITION BY u ORDER BY p)),
+        status AS (SELECT p, CASE WHEN prev IS NULL THEN 'new'
+            WHEN prev = p - 1 THEN 'retained'
+            ELSE 'resurrected' END AS kind FROM m),
+        mx AS (SELECT max(p) AS max_p FROM ud),
+        churn AS (SELECT p + 1 AS p, 'churned' AS kind FROM m, mx
+          WHERE (next IS NULL OR next > p + 1) AND p + 1 <= max_p),
+        allk AS (SELECT * FROM status UNION ALL SELECT * FROM churn),
+        agg AS (SELECT p AS period,
+            CAST(coalesce(sum(CASE WHEN kind = 'new' THEN 1 END), 0)
+              AS BIGINT) AS n_new,
+            CAST(coalesce(sum(CASE WHEN kind = 'retained' THEN 1 END), 0)
+              AS BIGINT) AS n_retained,
+            CAST(coalesce(sum(CASE WHEN kind = 'resurrected' THEN 1 END),
+              0) AS BIGINT) AS n_resurrected,
+            CAST(coalesce(sum(CASE WHEN kind = 'churned' THEN 1 END), 0)
+              AS BIGINT) AS n_churned
+          FROM allk GROUP BY p)
+        SELECT period, n_new, n_retained, n_resurrected, n_churned,
+          CASE WHEN n_churned > 0 THEN
+            (1000000 * (n_new + n_resurrected)) // n_churned END
+            AS quick_ratio_ppm
+        FROM agg ORDER BY period""")),
+
+    // ------------------------------------------------------------------
+    // q156 — trimmed + winsorized means (StatsOps.trimmedStats): the
+    // robust location estimates between raw mean and median — drop
+    // (trim) or clamp (winsorize) beyond the [10, 90] discrete
+    // percentile RANKS on a total (value, key) order; every statistic
+    // is integer rank arithmetic + floor-divided means (q139/q99's
+    // order-statistic discipline, no interpolated floats). One rank
+    // window, bounds by rank-predicate aggregate broadcast back, one
+    // final aggregate.
+    // ------------------------------------------------------------------
+    "q156_trimmed_stats" -> GraftQuery(
+      build = (s, d) => {
+        val v = orders(s, d).select(col("o_orderpriority").as("grp"),
+          col("o_orderkey").as("tie"), cents(col("o_totalprice")).as("v"))
+        StatsOps.trimmedStats(v, "grp", "v", "tie", TrimLoPct, TrimHiPct)
+          .orderBy("grp")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT o_orderpriority AS grp, o_orderkey AS tie,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS val
+          FROM orders),
+        r AS (SELECT grp, val,
+            row_number() OVER (PARTITION BY grp ORDER BY val, tie) AS rn,
+            count(*) OVER (PARTITION BY grp) AS n FROM v),
+        rr AS (SELECT *, (n * $TrimLoPct) // 100 AS r_lo,
+            (n * $TrimHiPct) // 100 AS r_hi FROM r),
+        b AS (SELECT grp,
+            max(CASE WHEN rn = r_lo + 1 THEN val END) AS lo_v,
+            max(CASE WHEN rn = r_hi THEN val END) AS hi_v
+          FROM rr GROUP BY grp),
+        j AS (SELECT rr.grp AS grp, val, rn, n, r_lo, r_hi, lo_v, hi_v
+          FROM rr JOIN b ON rr.grp = b.grp)
+        SELECT grp, CAST(max(n) AS BIGINT) AS n,
+          CAST(coalesce(sum(CASE WHEN rn > r_lo AND rn <= r_hi
+            THEN 1 END), 0) AS BIGINT) AS trimmed_n,
+          max(lo_v) AS lo_v, max(hi_v) AS hi_v,
+          CAST(sum(CASE WHEN rn > r_lo AND rn <= r_hi THEN val END) //
+            coalesce(nullif(sum(CASE WHEN rn > r_lo AND rn <= r_hi
+              THEN 1 END), 0), NULL) AS BIGINT) AS trimmed_mean,
+          CAST(sum(greatest(least(val, hi_v), lo_v)) // max(n) AS BIGINT)
+            AS winsorized_mean,
+          CAST(sum(val) // max(n) AS BIGINT) AS raw_mean
+        FROM j GROUP BY grp ORDER BY grp""")),
+
+    // ------------------------------------------------------------------
+    // q157 — day-of-week seasonal index (TemporalOps.seasonalIndex):
+    // the multiplicative weekday factor (dow mean ÷ overall mean,
+    // floor ppm; 10⁶ = flat) a calendar-adjusted forecast or anomaly
+    // detector divides out — the quantifying leg beside q147's
+    // backtest and q150's ACF. Weekday is pure epoch-day arithmetic
+    // ((day+3) mod 7, 0 = Monday) — no calendar function, no
+    // timezone/locale surface; the ratio-of-ratios evaluates exactly
+    // on decimal128 over observed days only.
+    // ------------------------------------------------------------------
+    "q157_seasonal_index" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            expr(s"(ts div 1000) div $DayUs").as("day"))
+          .agg(sum(cents(col("value"))).as("v"))
+        TemporalOps.seasonalIndex(daily, "grp", "day", "v")
+          .orderBy("grp", "dow")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type AS grp,
+            epoch_us(ts) // $DayUs AS day,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+              AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        d2 AS (SELECT grp, (day + 3) % 7 AS dow,
+            CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(v) AS BIGINT) AS sum_v
+          FROM daily GROUP BY 1, 2),
+        t AS (SELECT grp, dow, n_days, sum_v,
+            CAST(sum(n_days) OVER (PARTITION BY grp) AS BIGINT) AS n_all,
+            CAST(sum(sum_v) OVER (PARTITION BY grp) AS BIGINT) AS sum_all
+          FROM d2)
+        SELECT grp, dow, n_days, sum_v,
+          CASE WHEN sum_all <> 0 THEN
+            CAST((CAST(sum_v AS HUGEINT) * n_all * 1000000) //
+              (CAST(n_days AS HUGEINT) * sum_all) AS BIGINT) END
+            AS index_ppm
+        FROM t ORDER BY grp, dow""")),
+
+    // ------------------------------------------------------------------
+    // q158 — session entry/exit/bounce rates
+    // (TemporalOps.sessionExitRates): each event type's ROLE in
+    // day-gapped visits — sessions containing / entering on / exiting
+    // on / bouncing on it, exit rate in floor ppm ("where do people
+    // leave") — the flow readout beside q144 (which sequences occur)
+    // and q122 (which transitions occur). One q20-style sessionization
+    // window; first/last are rank predicates off the same sort; three
+    // tiny per-type aggregates broadcast-join back.
+    // ------------------------------------------------------------------
+    "q158_session_exits" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_id"),
+          col("event_type"))
+        TemporalOps.sessionExitRates(ev, "user_id", "t_us", "event_id",
+            "event_type", ExitSessionGapUs)
+          .orderBy("etype")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+            event_type FROM events),
+        s AS (SELECT user_id, t, event_id, event_type,
+            CASE WHEN t - lag(t) OVER w > $ExitSessionGapUs
+              OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+            ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s),
+        f AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+              ORDER BY t, event_id) AS rn,
+            count(*) OVER (PARTITION BY user_id, sid) AS n FROM s2),
+        contain AS (SELECT event_type AS etype,
+            CAST(count(*) AS BIGINT) AS n_contain
+          FROM (SELECT DISTINCT user_id, sid, event_type FROM f)
+          GROUP BY 1),
+        ee AS (SELECT event_type AS etype,
+            CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT)
+              AS n_enter,
+            CAST(coalesce(sum(CASE WHEN rn = n THEN 1 END), 0) AS BIGINT)
+              AS n_exit,
+            CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT)
+              AS n_bounce
+          FROM f GROUP BY 1)
+        SELECT c.etype AS etype, n_contain, n_enter, n_exit, n_bounce,
+          (1000000 * n_exit) // n_contain AS exit_rate_ppm
+        FROM contain c JOIN ee ON c.etype = ee.etype ORDER BY etype"""))
   )
 }

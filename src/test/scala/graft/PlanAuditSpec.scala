@@ -38,7 +38,10 @@ class PlanAuditSpec extends SparkSuite {
       "q136_ann_recall_audit",
       // q152's nested loops are the 1-row basket-total broadcast under
       // the relative (ppm-of-N) support predicates — the q71/q94 shape
-      "q152_basket_rules")
+      "q152_basket_rules",
+      // q155's nested loop is the 1-row max-period broadcast under the
+      // churn-horizon predicate (p + 1 <= max_p) — the same shape
+      "q155_growth_accounting")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -708,4 +708,36 @@ class StatsOpsSpec extends SparkSuite {
       .collect()(0)
     assert(r.getLong(2) == 2L)
   }
+
+  // -------------------------------------------- trimmed / winsorized
+
+  test("trimmedStats: one huge outlier drags the raw mean but not the " +
+      "trimmed or winsorized one") {
+    // 10 values: 1..9 and 1000. n=10, r_lo=1, r_hi=9: trim keeps
+    // ranks 2..9 (2..9 ⇒ values 2..9, mean 5); winsor clamps to
+    // [v(2)=2, v(9)=9]: sum = 2+2..9+9 = 55, mean 5; raw mean 104.
+    val df = ((1L to 9L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("grp", "v", "tie")
+    val r = StatsOps.trimmedStats(df, "grp", "v", "tie", 10, 90)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((10L, 8L, 2L, 9L)))
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((5L, 5L, 104L)))
+  }
+
+  test("trimmedStats: groups smaller than the trim window emit null " +
+      "means, never a division error; negative values floor correctly") {
+    val df = (Seq(("tiny", 5L, 0L)) ++
+      Seq(("neg", -7L, 0L), ("neg", -4L, 1L), ("neg", 0L, 2L)))
+      .toDF("grp", "v", "tie")
+    val rows = StatsOps.trimmedStats(df, "grp", "v", "tie", 10, 90)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // tiny: n=1, r_lo=0, r_hi=0 ⇒ no trimmed rows, no hi bound
+    val t = rows("tiny")
+    assert(t.getLong(2) == 0L && t.isNullAt(5) && t.isNullAt(6))
+    // raw mean of a single row is the value itself
+    assert(t.getLong(7) == 5L)
+    // neg: raw mean floor((-11)/3) = -4 (trunc would give -3)
+    assert(rows("neg").getLong(7) == -4L)
+  }
 }

@@ -619,4 +619,78 @@ class TemporalOpsSpec extends SparkSuite {
     assert((day3.getLong(1), day3.getLong(2), day3.getLong(3)) ==
       ((1L, 2L, 500000L)))
   }
+
+  // -------------------------------------------- growth accounting
+
+  test("growthAccounting: new/retained/resurrected/churned satisfy the " +
+      "accounting identities; churn past the data edge never emits") {
+    // u1: days 1,2,4 (retained day 2, churn at 3, resurrected day 4)
+    // u2: day 1 only (churn at 2)
+    // u3: day 4 only (new at the last period — no churn at 5: edge)
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 1L), (3L, 4L))
+      .toDF("u", "p")
+    val rows = TemporalOps.growthAccounting(df, "u", "p")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L) == ((2L, 0L, 0L, 0L)))       // u1, u2 new
+    assert(rows(2L) == ((0L, 1L, 0L, 1L)))       // u1 retained, u2 churned
+    assert(rows(3L) == ((0L, 0L, 0L, 1L)))       // u1 churned (gap day)
+    assert(rows(4L) == ((1L, 0L, 1L, 0L)))       // u3 new, u1 resurrected
+    assert(!rows.contains(5L), "no churn past max observed period")
+    // identity: actives(p) = new + retained + resurrected
+    assert(rows(1L)._1 + rows(1L)._2 + rows(1L)._3 == 2L)
+    assert(rows(4L)._1 + rows(4L)._2 + rows(4L)._3 == 2L)
+  }
+
+  test("growthAccounting: quick ratio floors and nulls on zero churn") {
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (1L, 2L)).toDF("u", "p")
+    val rows = TemporalOps.growthAccounting(df, "u", "p")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toMap
+    assert(rows(1L) == ((0L, None)))  // nobody churned into period 1
+    // period 2: u2,u3 churn (2), 0 new + 0 resurrected ⇒ ratio 0
+    assert(rows(2L) == ((2L, Some(0L))))
+  }
+
+  // -------------------------------------------- session exit rates
+
+  test("sessionExitRates: bounce = single-event session; enter/exit " +
+      "flags come from the gap sessionization") {
+    val gap = 100L
+    // u1: [a(t0) b(t50)] then [b(t500)] — session 1 enters a exits b,
+    // session 2 bounces on b. u2: [c(t0)] — bounce on c.
+    val df = Seq(
+      (1L, 0L, 1L, "a"), (1L, 50L, 2L, "b"), (1L, 500L, 3L, "b"),
+      (2L, 0L, 4L, "c")).toDF("u", "t", "id", "et")
+    val got = TemporalOps.sessionExitRates(df, "u", "t", "id", "et", gap)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("a") == ((1L, 1L, 0L, 0L, 0L)))
+    // b: contained in 2 sessions, enters 1 (the bounce), exits 2,
+    // bounces 1, exit rate 1e6
+    assert(got("b") == ((2L, 1L, 2L, 1L, 1000000L)))
+    assert(got("c") == ((1L, 1L, 1L, 1L, 1000000L)))
+  }
+
+  // -------------------------------------------- seasonal index
+
+  test("seasonalIndex: a flat series indexes 10^6 on every observed " +
+      "weekday; a doubled weekday reads above, the rest below") {
+    // 14 consecutive days, value 100/day except day-of-week 0 doubled.
+    // dow of day d is (d+3)%7; days 4 and 11 are dow 0.
+    val flat = (0L until 14L).map(d => ("flat", d, 100L))
+    val bump = (0L until 14L).map(d =>
+      ("bump", d, if ((d + 3) % 7 == 0) 200L else 100L))
+    val df = (flat ++ bump).toDF("g", "day", "v")
+    val got = TemporalOps.seasonalIndex(df, "g", "day", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    (0L to 6L).foreach(dw => assert(got(("flat", dw)) == 1000000L))
+    // bump: mean = (2·200 + 12·100)/14 = 1600/14; dow0 index =
+    // 200·14e6/1600 = 1750000; others = 100·14·1e6/1600 = 875000
+    assert(got(("bump", 0L)) == 1750000L)
+    (1L to 6L).foreach(dw => assert(got(("bump", dw)) == 875000L))
+  }
 }
