@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -329,5 +330,51 @@ object MergeOps {
           .otherwise(col(s"b.$c")).as(c)) :+
         when(cPresent, col(s"c.$opCol")).otherwise(lit("B")).as("provenance"):
         _*)
+  }
+
+  /**
+   * Bitemporal as-of lookup — the two-axis generalization of the SCD2
+   * point-in-time read (q88 answers "what was valid at T"; this answers
+   * "what did we BELIEVE at transaction time T_tx was valid at T_valid"
+   * — the reproducibility question every restated-history warehouse
+   * and every as-of-training-cutoff feature store must answer, and the
+   * one a single-axis dimension CANNOT: a late correction rewrites
+   * valid history, and reading yesterday's report requires yesterday's
+   * belief, not today's).
+   *
+   * Input: version rows (key, validFrom, txFrom, payload...) — each row
+   * asserts "from validFrom onward, the payload is X" and was recorded
+   * at txFrom. Semantics, evaluated in exactly this order:
+   *  1. belief filter: keep rows with txFrom ≤ txT (later corrections
+   *     don't exist yet);
+   *  2. per (key, validFrom): the latest surviving assertion wins —
+   *     one (txFrom desc, tie) window;
+   *  3. valid-time resolve: close each version at the NEXT validFrom
+   *     (lead over the believed set — closure must be computed AFTER
+   *     the belief filter: a correction can insert a validity boundary
+   *     yesterday's belief didn't have);
+   *  4. keep the row covering validT (validFrom ≤ validT < next).
+   *
+   * Both windows share the one key-hash partitioning; output ≤ one row
+   * per key. Keys with no believed version covering validT are
+   * honestly absent. tieCol completes the (txFrom) order so replayed
+   * same-instant corrections resolve deterministically (last writer by
+   * tie).
+   */
+  def bitemporalAsOf(df: DataFrame, keyCol: String, validFromCol: String,
+      txFromCol: String, tieCol: String, validT: Long,
+      txT: Long): DataFrame = {
+    val byVersion = Window.partitionBy(col(keyCol), col(validFromCol))
+      .orderBy(col(txFromCol).desc, col(tieCol).desc)
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(validFromCol))
+    df.filter(col(txFromCol) <= txT)
+      .withColumn("__rn", row_number().over(byVersion))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn("__valid_to", lead(col(validFromCol), 1).over(byKey))
+      .filter(col(validFromCol) <= validT &&
+        (col("__valid_to").isNull || col("__valid_to") > validT))
+      .drop("__valid_to")
   }
 }

@@ -378,6 +378,65 @@ object Multimodal {
     }
   }
 
+  /** One image patch's exact channel sums (q160): the patch grid is the
+    * ViT tokenization geometry — patch (row, col) covers pixels
+    * [col·P, min(col·P+P, w)) × [row·P, min(row·P+P, h)); edge patches
+    * are smaller, never padded (padding would fabricate pixel values —
+    * a patch EMBEDDER pads, a patch STATISTIC must not). All-integer
+    * output: hash-gateable with no float in sight. */
+  case class PatchStats(doc_id: Long, patch_row: Long, patch_col: Long,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long, luma_milli: Long)
+
+  /**
+   * Patchify decoded images and emit per-patch exact statistics — the
+   * Spark-side geometry of ViT-style patch tokenization (decode →
+   * P×P grid → per-patch feature), with the real pure-Scala PPM decode
+   * at the same narrow typed mapPartitions codec boundary as
+   * [[imageStats]]: one PatchStats row per patch leaves the scan, the
+   * image bytes never shuffle, and the per-image fan-out is
+   * ⌈w/P⌉·⌈h/P⌉ rows — bounded by image geometry, not corpus size.
+   * luma_milli is the ITU-R BT.601 integer form
+   * Σ(299·r + 587·g + 114·b) over the patch — exact longs end to end,
+   * so the oracle can re-derive every cell from the generating
+   * arithmetic and a hash match proves decode, grid arithmetic and
+   * channel sums all at once.
+   */
+  def imagePatches(files: Dataset[MediaFile],
+      patch: Int): Dataset[PatchStats] = {
+    require(patch >= 1, s"patch size must be >= 1, got $patch")
+    import files.sparkSession.implicits._
+    files.mapPartitions { batch =>
+      batch.flatMap { f =>
+        val img = MediaCodec.decodePpm(f.content)
+        val rows = (img.height + patch - 1) / patch
+        val cols = (img.width + patch - 1) / patch
+        for {
+          pr <- (0 until rows).iterator
+          pc <- 0 until cols
+        } yield {
+          var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+          var y = pr * patch
+          val yEnd = math.min(y + patch, img.height)
+          while (y < yEnd) {
+            var x = pc * patch
+            val xEnd = math.min(x + patch, img.width)
+            while (x < xEnd) {
+              val i = y * img.width + x
+              sr += img.pixels(3 * i) & 0xff
+              sg += img.pixels(3 * i + 1) & 0xff
+              sb += img.pixels(3 * i + 2) & 0xff
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          PatchStats(f.doc_id, pr.toLong, pc.toLong, n, sr, sg, sb,
+            299L * sr + 587L * sg + 114L * sb)
+        }
+      }
+    }
+  }
+
   /**
    * Decode WAV clips and emit per-clip PCM statistics — the audio twin of
    * [[imageStats]]: narrow typed mapPartitions over

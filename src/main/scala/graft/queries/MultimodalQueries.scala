@@ -29,6 +29,10 @@ object MultimodalQueries {
     * both ways and the partial tail frame is usually silence. */
   val VadFrame = 16; val VadThreshold = 21000000L
 
+  /** q160 patch edge (2 px): the 4-8 x 3-6 synthetic images yield 2x2
+    * to 4x3 patch grids with genuine edge-partial patches. */
+  val PatchPx = 2
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -286,6 +290,57 @@ object MultimodalQueries {
           FROM e)
         SELECT doc_id, n_frames, n_voiced, n_segments, longest_run,
           (1000000 * n_voiced) // n_frames AS voiced_ppm
-        FROM m ORDER BY doc_id"""))
+        FROM m ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q160 — image patchification (Multimodal.imagePatches): the ViT
+    // tokenization geometry — REAL PPM decode → 2×2 patch grid →
+    // per-patch exact channel sums + BT.601 integer luma — at the same
+    // narrow typed mapPartitions codec boundary as q53 (one row per
+    // patch leaves the scan, bytes never shuffle; fan-out bounded by
+    // image geometry). Edge patches are smaller, never padded (a patch
+    // EMBEDDER pads, a patch STATISTIC must not). The oracle re-derives
+    // every cell from the generating arithmetic, so a hash match proves
+    // decode, grid arithmetic and channel sums at once.
+    // ------------------------------------------------------------------
+    "q160_image_patches" -> GraftQuery(
+      build = (s, d) => {
+        import s.implicits._
+        val files = documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaFile(id, "image/ppm",
+            MediaCodec.encodePpm(MediaCodec.syntheticImage(id))))
+        imagePatches(files, PatchPx).toDF()
+          .orderBy("doc_id", "patch_row", "patch_col")
+      },
+      oracle = Some(s"""
+        WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+          FROM documents),
+        pp AS (SELECT doc_id, w, h,
+            unnest(flatten(list_transform(range((h + $PatchPx - 1) // $PatchPx),
+              pr -> list_transform(range((w + $PatchPx - 1) // $PatchPx),
+                pc -> {'pr': pr, 'pc': pc})))) AS p
+          FROM g),
+        px AS (SELECT doc_id, p.pr AS pr, p.pc AS pc,
+            flatten(list_transform(
+              range($PatchPx * p.pr, least($PatchPx * p.pr + $PatchPx, h)),
+              y -> list_transform(
+                range($PatchPx * p.pc, least($PatchPx * p.pc + $PatchPx, w)),
+                x -> y * w + x))) AS idxs
+          FROM pp),
+        st AS (SELECT doc_id, pr, pc, len(idxs) AS n_px,
+            list_sum(list_transform(idxs, i -> (doc_id * 7 + i * 3) % 256))
+              AS sum_r,
+            list_sum(list_transform(idxs, i -> (doc_id * 11 + i * 5) % 256))
+              AS sum_g,
+            list_sum(list_transform(idxs, i -> (doc_id * 13 + i * 7) % 256))
+              AS sum_b
+          FROM px)
+        SELECT doc_id, CAST(pr AS BIGINT) AS patch_row,
+          CAST(pc AS BIGINT) AS patch_col, CAST(n_px AS BIGINT) AS n_px,
+          CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+          CAST(sum_b AS BIGINT) AS sum_b,
+          CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS BIGINT)
+            AS luma_milli
+        FROM st ORDER BY doc_id, patch_row, patch_col"""))
   )
 }

@@ -27,6 +27,10 @@ object RelationalQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
   private val one = lit(1).cast(DecimalType(18, 4))
 
+  /** q161 (TPC-H Q5 shape): one mid-corpus order year × one region. */
+  val Q5Year = 1996
+  val Q5Region = "ASIA"
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -1012,6 +1016,67 @@ object RelationalQueries {
         SELECT band, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT)
             AS total_rows,
           min(cnt) AS min_cnt, max(cnt) AS max_cnt
-        FROM b GROUP BY band ORDER BY band"""))
+        FROM b GROUP BY band ORDER BY band""")),
+
+    // ------------------------------------------------------------------
+    // q161 — local-supplier revenue (the TPC-H Q5 shape): the canonical
+    // deep star-join flow — region filter → nation → customer → orders
+    // (one-year slice) → lineitem → supplier — with Q5's signature
+    // CROSS-DIMENSION predicate c_nationkey = s_nationkey ("revenue
+    // where the supplier is local to the customer"), which no single
+    // dimension join expresses: it rides the lineitem⋈supplier join as
+    // a second equi-key. Plan: dims broadcast (region/nation/supplier),
+    // the year filter lands on the orders scan as a pushed predicate,
+    // lineitem (the fact) shuffles once onto orders. Revenue is exact:
+    // cents · (10⁴ − discount_e4) in 1e-8-dollar longs, summed in
+    // decimal128.
+    // ------------------------------------------------------------------
+    "q161_local_supplier_revenue" -> GraftQuery(
+      build = (s, d) => {
+        val yearLo = s"$Q5Year-01-01"; val yearHi = s"${Q5Year + 1}-01-01"
+        val ord = orders(s, d)
+          .filter(col("o_orderdate").cast("date") >= lit(yearLo).cast("date") &&
+            col("o_orderdate").cast("date") < lit(yearHi).cast("date"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val asia = broadcast(nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === Q5Region)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (cents(col("l_extendedprice")) *
+              (lit(10000L) - cents(col("l_discount")))).as("rev_e8"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(asia, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("rev_e8").cast("decimal(38,0)")).cast("long")
+            .as("revenue_e8"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      oracle = Some(s"""
+        SELECT n_name,
+          CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+              10000 AS BIGINT) *
+            (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS HUGEINT)) AS BIGINT) AS revenue_e8,
+          CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '$Q5Region'
+          AND CAST(o_orderdate AS DATE) >= DATE '$Q5Year-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '${Q5Year + 1}-01-01'
+        GROUP BY n_name ORDER BY n_name"""))
   )
 }

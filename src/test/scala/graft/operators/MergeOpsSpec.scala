@@ -275,4 +275,39 @@ class MergeOpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(diff == Map(1L -> "changed", 2L -> "removed", 9L -> "added"))
   }
+
+  // -------------------------------------------------- bitemporal as-of
+
+  /** key 1: base v@10 recorded t10 (price 100), correction of v@10
+    * recorded t15 (price 101), repricing v@20 recorded t10 (price 200). */
+  private def btVersions = Seq(
+    (1L, 10L, 10L, 100L, 0L),
+    (1L, 10L, 15L, 101L, 1L),
+    (1L, 20L, 10L, 200L, 2L)).toDF("k", "vf", "tf", "price", "tie")
+
+  test("bitemporalAsOf: the belief filter runs BEFORE validity closure " +
+      "— yesterday's report reads yesterday's price, today's reads the " +
+      "correction, and the repricing takes over on its valid date") {
+    def at(validT: Long, txT: Long): Option[Long] = {
+      val r = MergeOps.bitemporalAsOf(btVersions, "k", "vf", "tf", "tie",
+        validT, txT).collect()
+      assert(r.length <= 1)
+      r.headOption.map(_.getAs[Long]("price"))
+    }
+    assert(at(12L, 12L) == Some(100L)) // correction not yet recorded
+    assert(at(12L, 15L) == Some(101L)) // correction believed, replaces base
+    assert(at(25L, 15L) == Some(200L)) // repricing valid, correction moot
+    assert(at(25L, 12L) == Some(200L)) // repricing was known upfront
+    assert(at(5L, 15L) == None)        // nothing valid yet: absent
+    assert(at(12L, 5L) == None)        // nothing believed yet: absent
+  }
+
+  test("bitemporalAsOf: same-instant replayed corrections resolve by " +
+      "the tie column (last writer), deterministically") {
+    val dup = Seq((1L, 10L, 10L, 100L, 0L), (1L, 10L, 10L, 999L, 1L))
+      .toDF("k", "vf", "tf", "price", "tie")
+    val r = MergeOps.bitemporalAsOf(dup, "k", "vf", "tf", "tie", 10L, 10L)
+      .collect()
+    assert(r.length == 1 && r(0).getAs[Long]("price") == 999L)
+  }
 }

@@ -319,4 +319,44 @@ class MultimodalSpec extends SparkSuite {
     assert(got(2L) == ((2L, 1L, 1L, 1L, 500000L)))
     assert(got(3L) == ((2L, 0L, 0L, 0L, 0L)))
   }
+
+  test("imagePatches: a 3x2 image at patch 2 yields a 2x1 grid with an " +
+      "edge-partial second row; channel sums conserve exactly") {
+    import spark.implicits._
+    // 3 wide x 2 tall: full patch (0,0) covers pixels (0,0),(1,0),
+    // (0,1),(1,1); edge patch (0,1) covers (2,0),(2,1). Channel value =
+    // pixel index i (r), 2i (g), 3i mod 256 (b), i = y*3+x.
+    val px = new Array[Byte](3 * 2 * 3)
+    for (i <- 0 until 6) {
+      px(3 * i) = i.toByte
+      px(3 * i + 1) = (2 * i).toByte
+      px(3 * i + 2) = (3 * i).toByte
+    }
+    val img = DecodedImage(3, 2, px)
+    val files = Seq(MediaFile(7L, "image/ppm",
+      MediaCodec.encodePpm(img))).toDS()
+    val got = imagePatches(files, 2).collect()
+      .map(p => (p.patch_row, p.patch_col) -> p).toMap
+    assert(got.keySet == Set((0L, 0L), (0L, 1L)))
+    val full = got((0L, 0L))  // pixels i = 0,1,3,4
+    assert((full.n_px, full.sum_r, full.sum_g, full.sum_b) ==
+      ((4L, 8L, 16L, 24L)))
+    assert(full.luma_milli == 299L * 8 + 587L * 16 + 114L * 24)
+    val edge = got((0L, 1L))  // pixels i = 2,5
+    assert((edge.n_px, edge.sum_r, edge.sum_g, edge.sum_b) ==
+      ((2L, 7L, 14L, 21L)))
+    // conservation: patch sums add back to the whole image's sums
+    assert(full.sum_r + edge.sum_r == (0 until 6).sum)
+  }
+
+  test("imagePatches: patch larger than the image emits exactly one " +
+      "patch covering everything") {
+    import spark.implicits._
+    val img = MediaCodec.syntheticImage(5L)
+    val files = Seq(MediaFile(5L, "image/ppm",
+      MediaCodec.encodePpm(img))).toDS()
+    val got = imagePatches(files, 64).collect()
+    assert(got.length == 1)
+    assert(got(0).n_px == img.width.toLong * img.height)
+  }
 }
