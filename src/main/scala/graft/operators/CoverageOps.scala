@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Greedy maximum-coverage selection (the submodular facility-location
+ * greedy) — the data-mixing question "which K sources/shards/brands
+ * cover the most distinct elements?" that a corpus assembler asks
+ * before committing ingest budget (sources covering the same documents
+ * are redundant; the greedy 1−1/e guarantee is the classic reason this
+ * exact loop is THE practical answer). Same algorithmic family as
+ * [[VectorSearch.mmrRerank]] — iterated argmax against a growing
+ * selected set — but over set coverage, not inner products.
+ *
+ * Per step: the candidate set maximizing MARGINAL coverage (elements
+ * not covered by earlier picks) wins, ties by set id ascending; the
+ * emitted row carries the marginal and cumulative coverage. Elements
+ * and sets arrive as a (set, element) membership frame; duplicates
+ * dedup first (set semantics).
+ *
+ * Scale shape: each of the K steps is one anti-join of the membership
+ * frame against the covered-element frame (co-hashed on element) + one
+ * count aggregate over sets + a |sets|-row argmax sort — the membership
+ * frame shuffles on element once per step, K caller-bounded; the
+ * covered frame localCheckpoints per step (the MMR/k-core linearity
+ * discipline). The selected picks and their counts are K scalars — a
+ * model artifact, landed via the BPE-trainer collect discipline, and
+ * the output frame is built from them.
+ */
+object CoverageOps {
+
+  def greedyMaxCoverage(df: DataFrame, setCol: String, elemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val bi = df.select(col(setCol).as("s"), col(elemCol).as("e"))
+      .distinct()
+      .localCheckpoint(true)
+    var covered = bi.select(col("e")).filter(lit(false)).localCheckpoint(true)
+    var picks = Vector.empty[(Long, String, Long, Long)]
+    var cumulative = 0L
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
+      val chosen = bi
+        .filter(!col("s").isin(picks.map(_._2): _*))
+        .join(covered, Seq("e"), "left_anti")
+        .groupBy(col("s")).agg(count(lit(1)).as("marginal"))
+        .orderBy(col("marginal").desc, col("s"))
+        .limit(1)
+        .collect()
+      if (chosen.isEmpty) exhausted = true
+      else {
+        val row = chosen(0)
+        val (s, marginal) = (row.get(0).toString, row.getLong(1))
+        cumulative += marginal
+        picks :+= ((step.toLong, s, marginal, cumulative))
+        covered = covered
+          .union(bi.filter(col("s") === s).select(col("e")))
+          .distinct()
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    picks.toDF("step", setCol, "marginal_covered", "cumulative_covered")
+  }
+}

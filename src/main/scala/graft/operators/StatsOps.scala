@@ -946,4 +946,39 @@ object StatsOps {
     * (values may be negative; Spark div truncates, DuckDB // floors). */
   private def floorDiv0(a: Column, b: Column): Column =
     TemporalOps.floorDiv(a, b)
+
+  /**
+   * Per-group feature scaling — the two normalizations every tabular
+   * feature pipeline applies before a model sees a raw amount, both in
+   * the engine's exact ppm lattice:
+   *   minmax_ppm  ⌊10⁶·(v − min) / (max − min)⌋  (range position)
+   *   cdf_ppm     ⌊10⁶·(rank − 1) / (n − 1)⌋     (quantile transform)
+   * The CDF uses `rank()` (min rank of equal values), so ties map to
+   * ONE value — the property that makes the quantile transform
+   * monotone and engine-order-independent (row_number would scatter
+   * equal inputs across distinct outputs by shuffle luck). Degenerate
+   * groups (constant value, or a single row) null both columns — a
+   * scale-free feature has no position in its range.
+   *
+   * Shape: ONE keyed window partitioning serves min/max/count (frame
+   * aggregates) and rank (ordered) — facts shuffle once; output is
+   * row-level BY DESIGN (this is a per-row transform, not a rollup),
+   * so callers bound what they materialize downstream.
+   */
+  def featureScaling(df: DataFrame, group: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val byGrp = Window.partitionBy(col(group))
+    val ordered = byGrp.orderBy(col(valueCol))
+    df
+      .withColumn("mn", min(col(valueCol)).over(byGrp))
+      .withColumn("mx", max(col(valueCol)).over(byGrp))
+      .withColumn("n", count(lit(1)).over(byGrp))
+      .withColumn("rk", rank().over(ordered).cast("long"))
+      .select(col(group), col(tieCol), col(valueCol),
+        when(col("mx") =!= col("mn"),
+          expr(s"(1000000L * ($valueCol - mn)) div (mx - mn)"))
+          .as("minmax_ppm"),
+        when(col("n") > 1, expr("(1000000L * (rk - 1)) div (n - 1)"))
+          .as("cdf_ppm"))
+  }
 }

@@ -881,4 +881,33 @@ object TemporalOps {
             "(cast(n_days as decimal(38,0)) * sum_all)"))
           .as("index_ppm"))
   }
+
+  /**
+   * Rolling EXACT median over the trailing `window` buckets — the
+   * robust centerline the EWMA ([[ewmaSmooth]]) and rolling beta
+   * ([[StatsOps.rollingBeta]]) family lacks: one wild bucket drags a
+   * rolling mean for the whole window but moves the rolling median at
+   * most one rank. Defined as the LOWER median (rank ⌈n/2⌉ of the
+   * sorted window — a value that occurred, never an interpolated
+   * float; q139/q156's discrete-order-statistic discipline).
+   *
+   * Operates on the PRE-AGGREGATED (key, bucket, value) frame — the
+   * OHLC/EWMA/beta rule: windows over |keys|·|buckets| rows, never raw
+   * events, so the collect_list window holds ≤ `window` longs per row
+   * and the in-row sort is O(W log W) on a caller-bounded W. Emits the
+   * window size alongside (warm-up rows have n < window — the caller
+   * decides whether a 3-bucket median is meaningful).
+   */
+  def rollingMedian(buckets: DataFrame, key: String, bucketCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Window.partitionBy(col(key)).orderBy(col(bucketCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    buckets
+      .withColumn("win", sort_array(collect_list(col(valueCol)).over(w)))
+      .select(col(key), col(bucketCol), col(valueCol),
+        size(col("win")).cast("long").as("n_win"),
+        element_at(col("win"),
+          expr("cast((size(win) + 1) div 2 as int)")).as("rolling_med"))
+  }
 }

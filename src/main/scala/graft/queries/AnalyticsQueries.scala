@@ -203,6 +203,17 @@ object AnalyticsQueries {
   /** q156 winsor/trim window: drop/clamp the deciles. */
   val TrimLoPct = 10; val TrimHiPct = 90
 
+  /** q162 coverage budget: 3 greedy picks over 25 brands. */
+  val CovK = 3
+
+  /** q163 rolling-median window: 7 daily buckets. */
+  val RollMedWin = 7
+
+  /** q164 output slice (scaling uses FULL-group statistics; only every
+    * 37th event's scaled row materializes — the q96 bounded-output
+    * discipline for row-level transforms). */
+  val ScaleSliceMod = 37L
+
   /** q158 visit gap: 1 day of epoch micros — events arrive ~11 h apart
     * per user, so day-gapped visits average ~2 events (a real
     * bounce/multi-event mix where q144's 30-min sessions are
@@ -2452,6 +2463,125 @@ object AnalyticsQueries {
           FROM f GROUP BY 1)
         SELECT c.etype AS etype, n_contain, n_enter, n_exit, n_bounce,
           (1000000 * n_exit) // n_contain AS exit_rate_ppm
-        FROM contain c JOIN ee ON c.etype = ee.etype ORDER BY etype"""))
+        FROM contain c JOIN ee ON c.etype = ee.etype ORDER BY etype""")),
+
+    // ------------------------------------------------------------------
+    // q162 — greedy maximum coverage (CoverageOps.greedyMaxCoverage):
+    // "which 3 brands cover the most distinct orders" — the submodular
+    // facility-location greedy (1−1/e guarantee) a corpus assembler
+    // runs before committing ingest budget to redundant sources. Each
+    // step: one anti-join against covered elements + a |sets|-row
+    // argmax; the oracle unrolls the same 3 steps as MATERIALIZED
+    // argmax CTEs (the q153/q154 discipline on both sides).
+    // ------------------------------------------------------------------
+    "q162_greedy_coverage" -> GraftQuery(
+      build = (s, d) => {
+        val bi = lineitem(s, d)
+          .join(part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_orderkey"))
+        graft.operators.CoverageOps
+          .greedyMaxCoverage(bi, "p_brand", "l_orderkey", CovK)
+          .orderBy("step")
+      },
+      oracle = Some(s"""
+        WITH bi AS MATERIALIZED (SELECT DISTINCT p_brand AS s,
+            l_orderkey AS e
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        s1 AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT)
+            AS marginal
+          FROM bi GROUP BY s ORDER BY marginal DESC, s LIMIT 1),
+        cov1 AS MATERIALIZED (SELECT DISTINCT e FROM bi
+          JOIN s1 USING (s)),
+        s2 AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT)
+            AS marginal
+          FROM bi WHERE s NOT IN (SELECT s FROM s1)
+            AND e NOT IN (SELECT e FROM cov1)
+          GROUP BY s ORDER BY marginal DESC, s LIMIT 1),
+        cov2 AS MATERIALIZED (SELECT e FROM cov1
+          UNION SELECT e FROM bi JOIN s2 USING (s)),
+        s3 AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT)
+            AS marginal
+          FROM bi WHERE s NOT IN (SELECT s FROM s1)
+            AND s NOT IN (SELECT s FROM s2)
+            AND e NOT IN (SELECT e FROM cov2)
+          GROUP BY s ORDER BY marginal DESC, s LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS step, s AS p_brand,
+          marginal AS marginal_covered,
+          (SELECT CAST(count(*) AS BIGINT) FROM cov1)
+            AS cumulative_covered FROM s1
+        UNION ALL SELECT 2, s, marginal,
+          (SELECT count(*) FROM cov2) FROM s2
+        UNION ALL SELECT 3, s, marginal,
+          (SELECT count(*) FROM cov2) +
+            (SELECT marginal FROM s3) FROM s3
+        ORDER BY step""")),
+
+    // ------------------------------------------------------------------
+    // q163 — rolling exact median (TemporalOps.rollingMedian): the
+    // robust centerline beside EWMA (q130) and rolling beta (q137) —
+    // one wild day drags a rolling mean for the whole window but moves
+    // the median one rank. LOWER median (rank ⌈n/2⌉ — an observed
+    // value, never interpolated) over the trailing 7 daily buckets of
+    // the PRE-AGGREGATED per-type series; the collect window holds ≤ 7
+    // longs per row.
+    // ------------------------------------------------------------------
+    "q163_rolling_median" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            expr(s"(ts div 1000) div $DayUs").as("day"))
+          .agg(sum(cents(col("value"))).as("v"))
+        TemporalOps.rollingMedian(daily, "grp", "day", "v", RollMedWin)
+          .orderBy("grp", "day")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type AS grp,
+            epoch_us(ts) // $DayUs AS day,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+              AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        w AS (SELECT grp, day, v,
+            list_sort(list(v) OVER (PARTITION BY grp ORDER BY day
+              ROWS BETWEEN ${RollMedWin - 1} PRECEDING AND CURRENT ROW))
+              AS win
+          FROM daily)
+        SELECT grp, day, v, CAST(len(win) AS BIGINT) AS n_win,
+          win[(len(win) + 1) // 2] AS rolling_med
+        FROM w ORDER BY grp, day""")),
+
+    // ------------------------------------------------------------------
+    // q164 — per-group feature scaling (StatsOps.featureScaling): the
+    // min-max and quantile (CDF) transforms in exact floor ppm — what
+    // a tabular model consumes instead of raw amounts. rank() (min
+    // rank of ties) keeps the quantile transform monotone and
+    // engine-order-independent; scaling uses FULL-group statistics
+    // while only every 37th event's row materializes (the q96
+    // bounded-output discipline — the filter provably cannot push
+    // below the windows because it references a non-partition column).
+    // ------------------------------------------------------------------
+    "q164_feature_scaling" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("event_type").as("grp"),
+          col("event_id"), cents(col("value")).as("v"))
+        StatsOps.featureScaling(ev, "grp", "v", "event_id")
+          .filter(col("event_id") % ScaleSliceMod === 0)
+          .orderBy("grp", "event_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT event_type AS grp, event_id,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+          FROM events),
+        t AS (SELECT grp, event_id, v,
+            min(v) OVER g AS mn, max(v) OVER g AS mx,
+            count(*) OVER g AS n,
+            rank() OVER (PARTITION BY grp ORDER BY v) AS rk
+          FROM v WINDOW g AS (PARTITION BY grp))
+        SELECT grp, event_id, v,
+          CASE WHEN mx <> mn
+            THEN (1000000 * (v - mn)) // (mx - mn) END AS minmax_ppm,
+          CASE WHEN n > 1
+            THEN (1000000 * (rk - 1)) // (n - 1) END AS cdf_ppm
+        FROM t WHERE event_id % $ScaleSliceMod = 0
+        ORDER BY grp, event_id"""))
   )
 }

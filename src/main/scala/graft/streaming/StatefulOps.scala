@@ -445,4 +445,143 @@ object StatefulOps {
       .transformWithState(new FunnelProcessor(stages, gap),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class FixIn(k: Long, t: Long, tie: Long, x: Long, y: Long)
+  final case class DwellRun(startT: Long, lastT: Long, lastX: Long,
+      lastY: Long, n: Long)
+  final case class DwellEpisode(k: Long, start_us: Long, end_us: Long,
+      n_fixes: Long)
+
+  /**
+   * Streaming twin of `MotionOps.dwellEpisodes` — the stay-point
+   * detector kept LIVE: one current-run record of state per vehicle
+   * (start time, last fix, run length) where batch re-derives all
+   * episodes from history, emitting a DwellEpisode row the moment a
+   * run BREAKS (the "vehicle just left the stop after dwelling 90 s"
+   * alert — known only when it leaves, which is exactly when the row
+   * emits). A run still open when the feed pauses stays in state — the
+   * honest streaming answer (the dwell isn't over) — so stream output
+   * ≡ batch episodes over CLOSED runs; the spec's fixtures close every
+   * qualifying run and assert bit-equality against
+   * `MotionOps.dwellEpisodes` with series split across checkpointed
+   * micro-batches. Same in-order-per-key contract as
+   * [[RunningRecurrenceProcessor]]; state is 5 longs per vehicle
+   * regardless of feed length.
+   */
+  class DwellProcessor(maxStepMm: Long, minFixes: Int)
+      extends StatefulProcessor[Long, FixIn, DwellEpisode] {
+    @transient private var st: ValueState[DwellRun] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DwellRun]("run",
+        Encoders.product[DwellRun], TTLConfig.NONE)
+
+    override def handleInputRows(k: Long, rows: Iterator[FixIn],
+        timers: TimerValues): Iterator[DwellEpisode] = {
+      val sorted = rows.toArray.sortBy(r => (r.t, r.tie))
+      val out = scala.collection.mutable.ArrayBuffer[DwellEpisode]()
+      var run: Option[DwellRun] = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { r =>
+        run match {
+          case Some(cur)
+              if math.abs(r.x - cur.lastX) + math.abs(r.y - cur.lastY)
+                <= maxStepMm =>
+            run = Some(DwellRun(cur.startT, r.t, r.x, r.y, cur.n + 1))
+          case Some(cur) =>
+            if (cur.n >= minFixes)
+              out += DwellEpisode(k, cur.startT, cur.lastT, cur.n)
+            run = Some(DwellRun(r.t, r.t, r.x, r.y, 1L))
+          case None =>
+            run = Some(DwellRun(r.t, r.t, r.x, r.y, 1L))
+        }
+      }
+      run.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** [[DwellProcessor]] over a (k, t, tie, x, y) fix frame. */
+  def dwellStream(rows: DataFrame, maxStepMm: Long,
+      minFixes: Int): Dataset[DwellEpisode] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("t"), col("tie"), col("x"), col("y"))
+      .as[FixIn]
+      .groupByKey(_.k)
+      .transformWithState(new DwellProcessor(maxStepMm, minFixes),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class HitIn(k: Long, t: Long, tie: Long, item: String)
+  final case class HitOut(k: Long, item: String, count: Long, err: Long)
+  final case class SsState(entries: List[(String, Long, Long)])
+
+  /** The flush sentinel: a row whose item equals this string makes the
+    * processor emit its current summary instead of counting. */
+  val SsFlushItem = " flush"
+
+  /**
+   * Streaming SpaceSaving heavy hitters (Metwally 2005) — the frequent-
+   * items summary for an unbounded feed in EXACTLY m counters per key,
+   * where any exact count needs unbounded state: top-selling items,
+   * hottest routes, dominant error codes, live. The classic guarantees
+   * — every item with true count > N/m is tracked; for every tracked
+   * item, count − err ≤ true ≤ count — hold for ANY arrival order; the
+   * exact counter values additionally depend on it, so this engine
+   * pins the order deterministically (rows sort by (t, tie) per
+   * micro-batch; cross-batch order is the same upstream contract as
+   * every stateful op here), making the summary replay-identical, not
+   * merely guarantee-identical.
+   *
+   * Eviction: an untracked arrival replaces the minimum-count entry
+   * (ties by item ascending — a TOTAL order, so eviction is
+   * deterministic), inheriting its count as the new entry's error. A
+   * [[SsFlushItem]] sentinel row emits the summary (count desc, item
+   * asc) — the consumer decides the cadence by injecting sentinels;
+   * per-row emission would flood the sink with m rows per input.
+   */
+  class SpaceSavingProcessor(m: Int)
+      extends StatefulProcessor[Long, HitIn, HitOut] {
+    @transient private var st: ValueState[SsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SsState]("ss",
+        Encoders.product[SsState], TTLConfig.NONE)
+
+    override def handleInputRows(k: Long, rows: Iterator[HitIn],
+        timers: TimerValues): Iterator[HitOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.t, r.tie))
+      var entries: Map[String, (Long, Long)] =
+        if (st.exists()) st.get().entries.map(e => e._1 -> (e._2, e._3)).toMap
+        else Map.empty
+      val out = scala.collection.mutable.ArrayBuffer[HitOut]()
+      sorted.foreach { r =>
+        if (r.item == SsFlushItem) {
+          out ++= entries.toSeq
+            .map { case (i, (c, e)) => HitOut(k, i, c, e) }
+            .sortBy(h => (-h.count, h.item))
+        } else entries.get(r.item) match {
+          case Some((c, e)) => entries += r.item -> (c + 1, e)
+          case None if entries.size < m =>
+            entries += r.item -> (1L, 0L)
+          case None =>
+            val (evict, (minC, _)) =
+              entries.toSeq.minBy { case (i, (c, _)) => (c, i) }
+            entries = entries - evict + (r.item -> (minC + 1, minC))
+        }
+      }
+      if (sorted.exists(_.item != SsFlushItem))
+        st.update(SsState(entries.toList.map(e => (e._1, e._2._1, e._2._2))))
+      out.iterator
+    }
+  }
+
+  /** [[SpaceSavingProcessor]] over a (k, t, tie, item) frame. */
+  def heavyHittersStream(rows: DataFrame, m: Int): Dataset[HitOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("t"), col("tie"), col("item"))
+      .as[HitIn]
+      .groupByKey(_.k)
+      .transformWithState(new SpaceSavingProcessor(m),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -725,6 +725,29 @@ class StatsOpsSpec extends SparkSuite {
     assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((5L, 5L, 104L)))
   }
 
+  // -------------------------------------------- feature scaling
+
+  test("featureScaling: min-max and CDF transforms floor exactly; ties " +
+      "share one CDF value via rank(); degenerate groups null out") {
+    val df = (Seq(("g", 1L, 0L), ("g", 2L, 100L), ("g", 3L, 100L),
+      ("g", 4L, 400L)) ++ Seq(("const", 9L, 7L), ("const", 10L, 7L)))
+      .toDF("grp", "id", "v")
+    val got = StatsOps.featureScaling(df, "grp", "v", "id")
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(1L) == ((Some(0L), Some(0L))))
+    // ties at 100: minmax = 1e6·100/400 = 250000; rank 2 for BOTH ⇒
+    // cdf = 1e6·1/3 = 333333
+    assert(got(2L) == ((Some(250000L), Some(333333L))))
+    assert(got(3L) == ((Some(250000L), Some(333333L))))
+    assert(got(4L) == ((Some(1000000L), Some(1000000L))))
+    // constant group: no range (minmax null); every row is rank 1 so
+    // the quantile transform collapses to 0 — defined, not null
+    assert(got(9L) == ((None, Some(0L))))
+    assert(got(10L) == ((None, Some(0L))))
+  }
+
   test("trimmedStats: groups smaller than the trim window emit null " +
       "means, never a division error; negative values floor correctly") {
     val df = (Seq(("tiny", 5L, 0L)) ++

@@ -674,6 +674,22 @@ class TemporalOpsSpec extends SparkSuite {
     assert(got("c") == ((1L, 1L, 1L, 1L, 1000000L)))
   }
 
+  // -------------------------------------------- rolling median
+
+  test("rollingMedian: lower median over the trailing window; an " +
+      "outlier bucket moves it at most one rank; warm-up sizes emit") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 9000L),
+      ("g", 4L, 30L), ("g", 5L, 40L)).toDF("k", "b", "v")
+    val got = TemporalOps.rollingMedian(df, "k", "b", "v", 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(1L) == ((1L, 10L)))      // warm-up n=1
+    assert(got(2L) == ((2L, 10L)))      // lower median of {10,20}
+    assert(got(3L) == ((3L, 20L)))      // outlier enters, median holds
+    assert(got(4L) == ((3L, 30L)))      // {20,9000,30} → 30
+    assert(got(5L) == ((3L, 40L)))      // outlier leaves
+  }
+
   // -------------------------------------------- seasonal index
 
   test("seasonalIndex: a flat series indexes 10^6 on every observed " +
