@@ -965,6 +965,90 @@ object StatsOps {
    * row-level BY DESIGN (this is a per-row transform, not a rollup),
    * so callers bound what they materialize downstream.
    */
+  /**
+   * Leave-one-out target encoding — the category→number feature a
+   * gradient-boosted model consumes, computed WITHOUT label leakage:
+   * each row's encoding is its category's mean target EXCLUDING the
+   * row itself, (Σ_cat − v) / (n_cat − 1), plus the smoothed variant
+   * (Σ_cat − v + m·μ_global) / (n_cat − 1 + m) that shrinks rare
+   * categories toward the global mean (m = pseudo-observations). Plain
+   * per-category mean encoding leaks the row's own label into its
+   * feature — the classic silent overfit this operator exists to
+   * avoid; every mean here is an exact floor-divided integer (pmod
+   * identity — targets may be negative), so the encoding is
+   * reproducible to the bit across engines and reruns (a float
+   * encoding varies by summation order, and trees split on exact
+   * thresholds).
+   *
+   * Shape: one category-keyed window provides (Σ, n); the global mean
+   * is a 1-row broadcast (μ floor-divided ONCE, then reused — the
+   * smoothed form is defined on the floored μ so both engines walk
+   * the same lattice). Singleton categories null the LOO encoding
+   * (no other rows to learn from) while the smoothed one falls back
+   * to μ_global — exactly the shrinkage behavior the variant exists
+   * for. Row-level output; callers bound the slice they materialize.
+   */
+  def targetEncoding(df: DataFrame, catCol: String, targetCol: String,
+      tieCol: String, smoothing: Int): DataFrame = {
+    require(smoothing >= 1, s"smoothing must be >= 1, got $smoothing")
+    val byCat = Window.partitionBy(col(catCol))
+    val glob = df.agg(sum(col(targetCol)).as("g_sum"),
+      count(lit(1)).as("g_n"))
+      .select(floorDiv0(col("g_sum"), col("g_n")).as("g_mean"))
+    df
+      .withColumn("c_sum", sum(col(targetCol)).over(byCat))
+      .withColumn("c_n", count(lit(1)).over(byCat))
+      .crossJoin(broadcast(glob))
+      .select(col(catCol), col(tieCol), col(targetCol),
+        when(col("c_n") > 1,
+          floorDiv0(col("c_sum") - col(targetCol), col("c_n") - 1))
+          .as("loo_mean"),
+        floorDiv0(
+          col("c_sum") - col(targetCol) + lit(smoothing.toLong) * col("g_mean"),
+          col("c_n") - 1 + smoothing).as("smoothed_mean"))
+  }
+
+  /**
+   * Lead-lag cross-correlation between two aligned series — "does x
+   * LEAD y?": Pearson corr of {(x_t, y_{t+ℓ})} for ℓ ∈ [−L, L]; the
+   * lag of the peak |corr| is the lead time (positive ℓ ⇒ x moves
+   * first). The causality-screening step between q150's
+   * self-correlation and any bivariate model — marketing spend vs
+   * conversions, errors vs latency, clicks vs purchases.
+   *
+   * Same exact sufficient-statistics discipline as [[lagCorrelation]]
+   * (decimal128 co-moments, one correctly-rounded sqrt/divide). The
+   * pair streams come from an equi-join of the aligned frame to
+   * itself on period+ℓ after a 2L+1-row lag explode — on the
+   * PRE-AGGREGATED (period, x, y) frame this is |periods|·(2L+1)
+   * rows, co-hashed on period; holes in either series drop that pair
+   * (no zero-fill hallucination).
+   */
+  def leadLagCorrelation(aligned: DataFrame, periodCol: String,
+      xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lags = (-maxLag to maxLag).map(l => lit(l.toLong))
+    val xs = aligned.select(col(periodCol).as("p"), col(xCol).as("x"))
+      .select(col("p"), col("x"), explode(array(lags: _*)).as("lag"))
+    val ys = aligned.select(col(periodCol).as("py"), col(yCol).as("y"))
+    xs.join(ys, col("p") + col("lag") === col("py"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .withColumn("cov_num", dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx_num", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary_num", dec(col("n")) * col("syy") - col("sy") * col("sy"))
+      .select(col("lag"), col("n"),
+        when(col("varx_num") =!= 0 && col("vary_num") =!= 0,
+          col("cov_num").cast("double") /
+            sqrt(col("varx_num").cast("double") *
+              col("vary_num").cast("double"))).as("xcorr"))
+  }
+
   def featureScaling(df: DataFrame, group: String, valueCol: String,
       tieCol: String): DataFrame = {
     val byGrp = Window.partitionBy(col(group))

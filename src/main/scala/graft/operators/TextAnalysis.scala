@@ -301,4 +301,70 @@ object TextAnalysis {
       .withColumn("keep", col("score_m") >= QcKeepThresholdMilli)
       .drop("toks")
   }
+
+  /**
+   * Boilerplate-block detection — the CCNet/RefinedWeb cleaning step a
+   * web corpus needs before any dedup or quality scoring: headers,
+   * footers, cookie banners and navigation chrome repeat VERBATIM
+   * across a source's documents, and counting them as content poisons
+   * both the dedup signal (every page pairs with every page) and the
+   * token statistics. A block (fixed `blockWords`-word aligned window;
+   * the partial tail is content by definition — repetition can't be
+   * established on a fragment) is boilerplate when it appears in ≥
+   * `minDf` DISTINCT documents of the SAME source — within-source, not
+   * global: two sources legitimately sharing a phrase is corpus
+   * diversity, one source repeating its banner 10 000× is chrome.
+   *
+   * Emits per doc: total words, block counts, boilerplate block count,
+   * boiler_ratio_ppm (of complete blocks), and clean_words (total
+   * minus boilerplate words — what downstream token budgets should
+   * see). Every occurrence of a flagged block is removed (a doc
+   * repeating its own banner loses both copies).
+   *
+   * Scale shape: one explode to (doc, block-hash) rows — the md5 is
+   * taken per block so only (source, 16-byte hash, doc) ever shuffles,
+   * never block text (the q22/q23 hash discipline); document frequency
+   * is a two-phase (src, hash) aggregate off a (doc, src, hash)
+   * dedup; flags join back on the same (src, hash) key and the final
+   * rollup is per doc. Three keyed shuffles, all map-side combined.
+   */
+  def boilerplateBlocks(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, blockWords: Int, minDf: Int): DataFrame = {
+    require(blockWords >= 1 && minDf >= 2,
+      s"need blockWords >= 1, minDf >= 2; got $blockWords/$minDf")
+    val base = docs.select(col(idCol).as("doc"), col(srcCol).as("src"),
+        split(col(textCol), " ").as("words"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_blocks",
+        expr(s"cast(size(words) div $blockWords as long)"))
+    val blocks = base
+      .select(col("doc"), col("src"), col("n_words"), col("n_blocks"),
+        // CASE guards the empty doc: Spark's sequence(0, -1) would
+        // DESCEND, fabricating phantom blocks
+        explode(expr(
+          s"""CASE WHEN n_blocks > 0 THEN
+                transform(sequence(0, cast(n_blocks as int) - 1),
+                  i -> md5(concat_ws(' ',
+                    slice(words, i * $blockWords + 1, $blockWords))))
+              ELSE array() END"""))
+          .as("h"))
+    val flagged = blocks.select(col("src"), col("h"), col("doc"))
+      .distinct()
+      .groupBy(col("src"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("src"), col("h"))
+    blocks
+      .join(flagged, Seq("src", "h"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_boiler"))
+      .join(base.select(col("doc"), col("src"), col("n_words"),
+        col("n_blocks")), Seq("doc"), "right")
+      .select(col("doc"), col("src"), col("n_words"), col("n_blocks"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio_ppm",
+        when(col("n_blocks") > 0,
+          expr("(1000000L * n_boiler) div n_blocks")).otherwise(lit(0L)))
+      .withColumn("clean_words",
+        col("n_words") - col("n_boiler") * blockWords)
+  }
 }

@@ -214,6 +214,14 @@ object AnalyticsQueries {
     * discipline for row-level transforms). */
   val ScaleSliceMod = 37L
 
+  /** q166 target-encoding shrinkage (pseudo-observations) and output
+    * slice. */
+  val TeSmoothing = 10
+  val TeSliceMod = 41L
+
+  /** q167 lead-lag scan width: ±3 days. */
+  val XcorrMaxLag = 3
+
   /** q158 visit gap: 1 day of epoch micros — events arrive ~11 h apart
     * per user, so day-gapped visits average ~2 events (a real
     * bounce/multi-event mix where q144's 30-min sessions are
@@ -2582,6 +2590,93 @@ object AnalyticsQueries {
           CASE WHEN n > 1
             THEN (1000000 * (rk - 1)) // (n - 1) END AS cdf_ppm
         FROM t WHERE event_id % $ScaleSliceMod = 0
-        ORDER BY grp, event_id"""))
+        ORDER BY grp, event_id""")),
+
+    // ------------------------------------------------------------------
+    // q166 — leave-one-out target encoding (StatsOps.targetEncoding):
+    // the category→number feature a GBM consumes WITHOUT label leakage
+    // (plain category-mean encoding leaks each row's own label into
+    // its feature — the classic silent overfit): per order, its
+    // priority's mean total EXCLUDING itself, plus the m=10-pseudo-obs
+    // smoothed variant shrinking rare categories toward the floored
+    // global mean. Every mean is an exact pmod-floored integer — trees
+    // split on exact thresholds, so a float encoding that varies by
+    // summation order changes the model.
+    // ------------------------------------------------------------------
+    "q166_target_encoding" -> GraftQuery(
+      build = (s, d) => {
+        val v = orders(s, d).select(col("o_orderpriority").as("cat"),
+          col("o_orderkey").as("okey"), cents(col("o_totalprice")).as("t"))
+        StatsOps.targetEncoding(v, "cat", "t", "okey", TeSmoothing)
+          .filter(col("okey") % TeSliceMod === 0)
+          .orderBy("cat", "okey")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT o_orderpriority AS cat, o_orderkey AS okey,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS t
+          FROM orders),
+        g AS (SELECT CAST(sum(t) AS BIGINT) //
+            CAST(count(*) AS BIGINT) AS g_mean FROM v),
+        w AS (SELECT cat, okey, t,
+            CAST(sum(t) OVER (PARTITION BY cat) AS BIGINT) AS c_sum,
+            CAST(count(*) OVER (PARTITION BY cat) AS BIGINT) AS c_n
+          FROM v)
+        SELECT cat, okey, t,
+          CASE WHEN c_n > 1
+            THEN (c_sum - t) // (c_n - 1) END AS loo_mean,
+          (c_sum - t + $TeSmoothing * g_mean) //
+            (c_n - 1 + $TeSmoothing) AS smoothed_mean
+        FROM w, g WHERE okey % $TeSliceMod = 0
+        ORDER BY cat, okey""")),
+
+    // ------------------------------------------------------------------
+    // q167 — lead-lag cross-correlation (StatsOps.leadLagCorrelation):
+    // does daily click VOLUME lead daily purchase REVENUE? Pearson
+    // corr of {(x_t, y_{t+ℓ})} for ℓ ∈ [−3, 3] — the causality screen
+    // between q150's self-correlation and any bivariate model; the
+    // peak-|corr| lag is the lead time. Exact decimal128 co-moments on
+    // the pre-aggregated daily frame; the ±3 pair streams come from a
+    // 7-way lag explode + equi-join on day, holes dropping their pair
+    // (no zero-fill hallucination).
+    // ------------------------------------------------------------------
+    "q167_lead_lag_xcorr" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(expr(s"(ts div 1000) div $DayUs").as("day"))
+          .agg(
+            coalesce(sum(when(col("event_type") === "click", 1L)), lit(0L))
+              .as("x"),
+            coalesce(sum(when(col("event_type") === "purchase",
+              cents(col("value")))), lit(0L)).as("yc"))
+          .select(col("day"), col("x"), expr("yc div 10000").as("y"))
+        StatsOps.leadLagCorrelation(daily, "day", "x", "y", XcorrMaxLag)
+          .orderBy("lag")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT epoch_us(ts) // $DayUs AS day,
+            CAST(coalesce(sum(CASE WHEN event_type = 'click'
+              THEN 1 END), 0) AS BIGINT) AS x,
+            CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              END), 0) AS BIGINT) // 10000 AS y
+          FROM events GROUP BY 1),
+        lags AS (SELECT CAST(range AS BIGINT) AS lag
+          FROM range(-$XcorrMaxLag, ${XcorrMaxLag + 1})),
+        pairs AS (SELECT l.lag AS lag, a.x AS x, b.y AS y
+          FROM daily a CROSS JOIN lags l
+          JOIN daily b ON b.day = a.day + l.lag),
+        st AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM pairs GROUP BY lag)
+        SELECT lag, CAST(n AS BIGINT) AS n,
+          CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                   CAST(n * syy - sy * sy AS DOUBLE)) END AS xcorr
+        FROM st ORDER BY lag"""))
   )
 }

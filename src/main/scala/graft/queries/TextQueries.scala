@@ -150,6 +150,15 @@ object TextQueries {
         THEN list_transform(range(1, len($t)), i -> array_to_string($t[i:i+1], ' '))
         ELSE [array_to_string($t, ' ')] END"""
 
+  /** q165 boilerplate geometry: 8-word aligned blocks; a block
+    * repeating in ≥ 20 distinct same-source docs is chrome. The
+    * injected banner is 9 words, so block 0 is pure banner (identical
+    * source-wide) and block 1 onward mixes into per-doc content —
+    * exactly one flagged block per doc at sf ≥ 0.01 (~25+ docs per
+    * source) and honestly zero at sf0.001 (~2 docs per source). */
+  val BoilBlockWords = 8
+  val BoilMinDf = 20
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -810,6 +819,67 @@ object TextQueries {
           FROM documents WHERE text IS NOT NULL)
         SELECT doc_id, tier, h,
           row_number() OVER (ORDER BY tier, h, doc_id) - 1 AS ordinal
-        FROM h ORDER BY ordinal"""))
+        FROM h ORDER BY ordinal""")),
+
+    // ------------------------------------------------------------------
+    // q165 — boilerplate-block detection (TextAnalysis
+    // .boilerplateBlocks): the CCNet/RefinedWeb chrome-removal step —
+    // an aligned 8-word block repeating in ≥ 20 distinct docs of the
+    // SAME source is banner/footer, not content (within-source, not
+    // global: cross-source phrase sharing is diversity). The corpus
+    // has no natural boilerplate, so the fixture prepends each
+    // source's deterministic 8-word banner (the q26-mutant injection
+    // discipline) — present in all ~25 docs per source, while the
+    // random-word content blocks collide never. Only (source, 16-byte
+    // md5, doc) ever shuffles; doc frequency is a two-phase aggregate;
+    // clean_words is what downstream token budgets should see.
+    // ------------------------------------------------------------------
+    "q165_boilerplate" -> GraftQuery(
+      build = (s, d) => {
+        val injected = documents(s, d).select(col("doc_id"),
+          col("source"),
+          concat(lit("promo header from "), col("source"),
+            lit(" subscribe to our newsletter today "), col("text"))
+            .as("text"))
+        TextAnalysis.boilerplateBlocks(injected, "doc_id", "source",
+            "text", BoilBlockWords, BoilMinDf)
+          .orderBy("doc")
+      },
+      oracle = Some(s"""
+        WITH inj AS (SELECT doc_id AS doc, source AS src,
+            'promo header from ' || source ||
+              ' subscribe to our newsletter today ' || text AS text
+          FROM documents),
+        base AS (SELECT doc, src, string_split(text, ' ') AS words
+          FROM inj),
+        sz AS (SELECT doc, src, words,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(len(words) // $BoilBlockWords AS BIGINT) AS n_blocks
+          FROM base),
+        blocks AS (SELECT doc, src, n_words, n_blocks,
+            unnest(list_transform(range(n_blocks),
+              i -> md5(list_aggregate(list_slice(words,
+                i * $BoilBlockWords + 1,
+                i * $BoilBlockWords + $BoilBlockWords),
+                'string_agg', ' ')))) AS h
+          FROM sz),
+        flagged AS (SELECT src, h FROM (
+            SELECT src, h, count(DISTINCT doc) AS df
+            FROM blocks GROUP BY src, h)
+          WHERE df >= $BoilMinDf),
+        boiler AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_boiler
+          FROM blocks b
+          WHERE EXISTS (SELECT 1 FROM flagged f
+            WHERE f.src = b.src AND f.h = b.h)
+          GROUP BY doc)
+        SELECT s.doc AS doc, s.src AS src, s.n_words, s.n_blocks,
+          coalesce(bo.n_boiler, 0) AS n_boiler,
+          CASE WHEN s.n_blocks > 0
+            THEN (1000000 * coalesce(bo.n_boiler, 0)) // s.n_blocks
+            ELSE 0 END AS boiler_ratio_ppm,
+          s.n_words - coalesce(bo.n_boiler, 0) * $BoilBlockWords
+            AS clean_words
+        FROM sz s LEFT JOIN boiler bo ON bo.doc = s.doc
+        ORDER BY doc"""))
   )
 }

@@ -41,7 +41,10 @@ class PlanAuditSpec extends SparkSuite {
       "q152_basket_rules",
       // q155's nested loop is the 1-row max-period broadcast under the
       // churn-horizon predicate (p + 1 <= max_p) — the same shape
-      "q155_growth_accounting")
+      "q155_growth_accounting",
+      // q166's nested loop is the 1-row global-mean broadcast the
+      // smoothed encoding shrinks toward — the q71/q94 shape
+      "q166_target_encoding")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

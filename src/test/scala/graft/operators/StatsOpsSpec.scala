@@ -725,6 +725,55 @@ class StatsOpsSpec extends SparkSuite {
     assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((5L, 5L, 104L)))
   }
 
+  // -------------------------------------------- target encoding
+
+  test("targetEncoding: the LOO mean excludes the row's own label; " +
+      "singletons null LOO but shrink fully to the global mean") {
+    // cat a: targets 10, 20, 30 (Σ=60); cat b: single 100.
+    // global mean = floor(160/4) = 40.
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 100L)).toDF("cat", "id", "t")
+    val got = StatsOps.targetEncoding(df, "cat", "t", "id", 10)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+    assert(got(1L) == ((Some(25L),
+      (60L - 10L + 10L * 40L) / 12L)))  // (50+400)/12 = 37
+    assert(got(2L)._1 == Some(20L))
+    assert(got(3L)._1 == Some(15L))
+    // singleton: LOO undefined; smoothed = (0 + 400)/10 = global mean
+    assert(got(4L) == ((None, 40L)))
+  }
+
+  test("targetEncoding floors negative means (pmod identity)") {
+    val df = Seq(("a", 1L, -7L), ("a", 2L, -4L)).toDF("cat", "id", "t")
+    val loo = StatsOps.targetEncoding(df, "cat", "t", "id", 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(loo(1L) == -4L && loo(2L) == -7L)
+  }
+
+  // -------------------------------------------- lead-lag correlation
+
+  test("leadLagCorrelation: y shifted one period after x peaks at " +
+      "lag +1 with corr 1; holes drop pairs instead of zero-filling") {
+    // x ramps 1..8 on days 0..7; y = x delayed by 1 (y_t = t), with
+    // day 4 REMOVED from y: at lag 1 the pair set loses one entry.
+    val df = (0L to 7L).filter(_ != 4L).map(d => (d, d + 1, d))
+      .toDF("day", "x", "y")
+    val got = StatsOps.leadLagCorrelation(df, "day", "x", "y", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // day 4 missing entirely ⇒ lag 0 keeps 7 pairs; lag ±1 lose the
+    // pairs straddling the hole (t=3→4 and t=7→8 / mirror): 5 each
+    assert(got(0L)._1 == 7L)
+    assert(got(1L)._1 == 5L)
+    assert(got(-1L)._1 == 5L)
+    // a linear shift correlates perfectly at EVERY lag of a ramp; the
+    // load-bearing claims are the exact pair counts above and that
+    // correlation is exactly 1 (integer-exact co-moments)
+    assert(math.abs(got(1L)._2 - 1.0) < 1e-12)
+    assert(math.abs(got(-1L)._2 - 1.0) < 1e-12)
+  }
+
   // -------------------------------------------- feature scaling
 
   test("featureScaling: min-max and CDF transforms floor exactly; ties " +

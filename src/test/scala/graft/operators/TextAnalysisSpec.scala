@@ -135,4 +135,43 @@ class TextAnalysisSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  // ------------------------------------------------ boilerplate blocks
+
+  test("boilerplateBlocks: a banner block repeating across a source's " +
+      "docs flags; the same block in ANOTHER source does not; partial " +
+      "tails are content; a doc repeating its banner loses both copies") {
+    // 2-word blocks, minDf 2. srcA docs share banner "x y"; doc 3
+    // repeats it; srcB's single doc has the same words but no second
+    // doc to corroborate — stays content.
+    val docs = Seq(
+      (1L, "A", "x y a b c"),      // blocks: [x y][a b], tail c
+      (2L, "A", "x y d e"),        // blocks: [x y][d e]
+      (3L, "A", "x y x y f"),      // blocks: [x y][x y], tail f
+      (4L, "B", "x y g h"))        // same banner, different source
+      .toDF("id", "src", "text")
+    val got = TextAnalysis
+      .boilerplateBlocks(docs, "id", "src", "text", 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got(1L) == ((5L, 2L, 1L, 500000L, 3L)))
+    assert(got(2L) == ((4L, 2L, 1L, 500000L, 2L)))
+    // doc 3: BOTH banner occurrences removed
+    assert(got(3L) == ((5L, 2L, 2L, 1000000L, 1L)))
+    // srcB: no corroboration ⇒ nothing flagged
+    assert(got(4L) == ((4L, 2L, 0L, 0L, 4L)))
+  }
+
+  test("boilerplateBlocks: a doc shorter than one block emits zero " +
+      "blocks and keeps all its words as content") {
+    val docs = Seq((1L, "A", "solo"), (2L, "A", "a b c d"),
+      (3L, "A", "a b e f")).toDF("id", "src", "text")
+    val got = TextAnalysis
+      .boilerplateBlocks(docs, "id", "src", "text", 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 1L)))
+    assert(got(2L)._3 == 1L) // shared [a b] flags for the real docs
+  }
 }
