@@ -289,4 +289,53 @@ object CorpusAssembly {
             .orderBy(col("h"), col(idCol))) - 1L)
       .select(col(idCol), col("tier"), col("h"), col("ordinal"))
   }
+
+  /**
+   * Neyman-allocation stratified sampling — the survey-statistics
+   * optimum the uniform stratified sampler (q46/q74) leaves on the
+   * table: for a fixed budget K, variance of the estimated total is
+   * minimized by sampling each stratum ∝ N_h·σ_h (big AND volatile
+   * strata deserve more budget; a constant stratum needs almost none).
+   * The per-stratum σ comes from the exact decimal128 co-moment
+   * n·Σx² − (Σx)² = n²·Var — whose square root is exactly n·σ, so the
+   * Neyman weight N_h·σ_h IS that single square root, no division.
+   * The sqrt is the one float: both engines take it on the identical
+   * correctly-rounded double of the same exact decimal, so the floored
+   * result matches bit-for-bit (the q98 corr discipline). Zero-variance
+   * strata keep a 1-unit floor weight — presence, not absence, is the
+   * conservative failure mode for a stratum the optimum would starve.
+   *
+   * Allocation integers come from [[StatsOps.prorateLargestRemainder]]
+   * (shares sum EXACTLY to K), and the draw is the q74 rank-by-md5
+   * reservoir — reproducible across engines, partitionings and reruns,
+   * no RNG state. Three small keyed shuffles; the only corpus-sized
+   * work is the moment scan and the rank window.
+   */
+  def neymanStratifiedSample(df: DataFrame, stratumCol: String,
+      idCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val moments = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_h"),
+        sum(dec(col(valueCol))).as("sv"),
+        sum(dec(col(valueCol)) * dec(col(valueCol))).as("svv"))
+      .withColumn("varnum", dec(col("n_h")) * col("svv") - col("sv") * col("sv"))
+      .withColumn("neyman_w",
+        greatest(floor(sqrt(col("varnum").cast("double"))).cast("long"),
+          lit(1L)))
+      .withColumn("pool", lit("all"))
+    val alloc = StatsOps.prorateLargestRemainder(
+        moments.select(col("pool"), col(stratumCol), col("neyman_w")),
+        "pool", stratumCol, "neyman_w", k)
+      .select(col(stratumCol), col("neyman_w"), col("alloc"))
+    val byStratum = Window.partitionBy(col(stratumCol))
+      .orderBy(col("hk"), col(idCol))
+    df.select(col(stratumCol), col(idCol), col(valueCol),
+        md5(col(idCol).cast("string").cast("binary")).as("hk"))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .withColumn("rk", row_number().over(byStratum).cast("long"))
+      .filter(col("rk") <= col("alloc"))
+      .select(col(stratumCol), col(idCol), col(valueCol), col("rk"),
+        col("alloc"), col("neyman_w"))
+  }
 }

@@ -1049,6 +1049,48 @@ object StatsOps {
               col("vary_num").cast("double"))).as("xcorr"))
   }
 
+  /**
+   * Q-Q decile comparison between two groups' distributions — the
+   * quantile-level view of distribution shift that q104's histogram χ²
+   * summarizes to one number: per decile q, the two groups' EXACT
+   * order statistics side by side, their gap, and the ratio in floor
+   * ppm — where in the distribution do the populations diverge (a
+   * tail-only gap and a uniform shift χ² can't tell apart). Discrete
+   * order statistics on a total (value, tie) order (the q139/q156
+   * pick: value at the smallest rank with rank·tiles ≥ n·q), never
+   * interpolated floats.
+   *
+   * Shape: one rank window over the two filtered groups (partitioned
+   * by group), rank-predicate picks aggregate to |tiles−1| rows per
+   * group, and the two columns meet in a tiny conditional-aggregate
+   * pivot. Ratio nulls when the B-side quantile is 0.
+   */
+  def qqCompare(df: DataFrame, group: String, valueCol: String,
+      tieCol: String, groupA: String, groupB: String,
+      tiles: Int): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val two = df.filter(col(group).isin(groupA, groupB))
+    val w = Window.partitionBy(col(group))
+    val ranked = two
+      .withColumn("rn", row_number()
+        .over(w.orderBy(col(valueCol), col(tieCol))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+    val picks = ranked.select(col(group), col(valueCol),
+        explode(array((1 until tiles).map(q => lit(q.toLong)): _*)).as("q"),
+        col("rn"), col("n"))
+      .filter(col("rn") * tiles >= col("n") * col("q") &&
+        (col("rn") - 1) * tiles < col("n") * col("q"))
+      .groupBy(col("q"), col(group))
+      .agg(min(col(valueCol)).as("v"))
+    picks.groupBy(col("q"))
+      .agg(max(when(col(group) === groupA, col("v"))).as("q_a"),
+        max(when(col(group) === groupB, col("v"))).as("q_b"))
+      .select(col("q"), col("q_a"), col("q_b"),
+        (col("q_a") - col("q_b")).as("gap"),
+        when(col("q_b") > 0,
+          expr("(1000000L * q_a) div q_b")).as("ratio_ppm"))
+  }
+
   def featureScaling(df: DataFrame, group: String, valueCol: String,
       tieCol: String): DataFrame = {
     val byGrp = Window.partitionBy(col(group))

@@ -898,6 +898,47 @@ object TemporalOps {
    * window size alongside (warm-up rows have n < window — the caller
    * decides whether a 3-bucket median is meaningful).
    */
+  /**
+   * Funnel stage-latency percentiles — the "HOW LONG between stages"
+   * companion to [[funnelWithin]]'s "how many reach stage k": per
+   * adjacent stage transition, the p25/p50/p75 of (t_k − t_{k−1}) over
+   * users who made the transition — the numbers an activation team
+   * actually tunes against (a funnel can convert well but take a week
+   * at one hop). Greedy-earliest anchor times come from funnelWithin
+   * unchanged; delays are exact integer micros; percentiles are
+   * discrete order statistics on a total (delay, key) order (the
+   * q139/q156 pick — observed values, never interpolated).
+   *
+   * Shape: funnelWithin's per-user frame (one row per entered user) is
+   * already the small side; stacking the K−1 transition frames and one
+   * (stage)-keyed rank window costs |entered users|·(K−1) rows.
+   * Non-transitioning users are absent from their stage's rank — the
+   * latency of a conversion that didn't happen is not 0, it's absent.
+   */
+  def funnelStageLatency(ev: DataFrame, key: String, tCol: String,
+      typeCol: String, stages: Seq[String], maxGap: Long): DataFrame = {
+    require(stages.size >= 2, "need at least two stages")
+    val f = funnelWithin(ev, key, tCol, typeCol, stages, maxGap)
+      .localCheckpoint(true)
+    val delays = (2 to stages.size).map { k =>
+      f.filter(col(s"t_$k").isNotNull)
+        .select(lit(k.toLong - 1).as("transition"), col(key).as("k"),
+          (col(s"t_$k") - col(s"t_${k - 1}")).as("delay"))
+    }.reduce(_ union _)
+    val w = Window.partitionBy(col("transition"))
+    val ranked = delays
+      .withColumn("rn", row_number()
+        .over(w.orderBy(col("delay"), col("k"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+    def pick(pct: Int): Column =
+      max(when(col("rn") * 100 >= col("n") * pct &&
+        (col("rn") - 1) * 100 < col("n") * pct, col("delay")))
+    ranked.groupBy(col("transition"))
+      .agg(max(col("n")).as("n_transitions"),
+        pick(25).as("p25_us"), pick(50).as("p50_us"),
+        pick(75).as("p75_us"), max(col("delay")).as("max_us"))
+  }
+
   def rollingMedian(buckets: DataFrame, key: String, bucketCol: String,
       valueCol: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")

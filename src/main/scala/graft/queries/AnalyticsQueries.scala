@@ -222,6 +222,12 @@ object AnalyticsQueries {
   /** q167 lead-lag scan width: ±3 days. */
   val XcorrMaxLag = 3
 
+  /** q168 Neyman sampling budget. */
+  val NeymanK = 100
+
+  /** q169 Q-Q grid: deciles. */
+  val QqTiles = 10
+
   /** q158 visit gap: 1 day of epoch micros — events arrive ~11 h apart
     * per user, so day-gapped visits average ~2 events (a real
     * bounce/multi-event mix where q144's 30-min sessions are
@@ -2677,6 +2683,156 @@ object AnalyticsQueries {
             THEN CAST(n * sxy - sx * sy AS DOUBLE) /
               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
                    CAST(n * syy - sy * sy AS DOUBLE)) END AS xcorr
-        FROM st ORDER BY lag"""))
+        FROM st ORDER BY lag""")),
+
+    // ------------------------------------------------------------------
+    // q168 — Neyman-allocation stratified sample (CorpusAssembly
+    // .neymanStratifiedSample): for a fixed budget K, sampling each
+    // stratum ∝ N_h·σ_h minimizes estimator variance (uniform
+    // stratified sampling — q46/q74 — leaves that on the table).
+    // N_h·σ_h IS the single sqrt of the exact decimal128 co-moment
+    // n·Σx² − (Σx)² (no division); allocation integers via q135's
+    // largest-remainder proration (shares sum EXACTLY to K); the draw
+    // is q74's rank-by-md5 reservoir. The one float is a sqrt both
+    // engines take on the identical correctly-rounded double.
+    // ------------------------------------------------------------------
+    "q168_neyman_sample" -> GraftQuery(
+      build = (s, d) => {
+        val v = orders(s, d).select(col("o_orderpriority").as("stratum"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("v"))
+        graft.operators.CorpusAssembly
+          .neymanStratifiedSample(v, "stratum", "o_orderkey", "v", NeymanK)
+          .orderBy("stratum", "rk")
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT o_orderpriority AS stratum, o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS v
+          FROM orders),
+        m AS (SELECT stratum, CAST(count(*) AS HUGEINT) AS n_h,
+            sum(CAST(v AS HUGEINT)) AS sv,
+            sum(CAST(v AS HUGEINT) * v) AS svv
+          FROM v GROUP BY stratum),
+        wts AS (SELECT stratum,
+            greatest(CAST(floor(sqrt(
+              CAST(n_h * svv - sv * sv AS DOUBLE))) AS BIGINT), 1)
+              AS neyman_w
+          FROM m),
+        tot AS (SELECT CAST(sum(neyman_w) AS BIGINT) AS grp_w FROM wts),
+        based AS (SELECT stratum, neyman_w, grp_w,
+            ($NeymanK * neyman_w) // grp_w AS base,
+            ($NeymanK * neyman_w) % grp_w AS rem
+          FROM wts, tot),
+        r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC,
+              stratum) AS BIGINT) AS rn,
+            CAST(sum(rem) OVER () AS BIGINT) AS rem_sum
+          FROM based),
+        alloc AS (SELECT stratum, neyman_w,
+            base + CASE WHEN rn <= rem_sum // grp_w THEN 1 ELSE 0 END
+              AS alloc
+          FROM r),
+        h AS (SELECT v.stratum AS stratum, o_orderkey, v,
+            md5(CAST(o_orderkey AS VARCHAR)) AS hk, alloc, neyman_w
+          FROM v JOIN alloc ON v.stratum = alloc.stratum),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY stratum
+            ORDER BY hk, o_orderkey) AS BIGINT) AS rk FROM h)
+        SELECT stratum, o_orderkey, v, rk, alloc, neyman_w
+        FROM rk WHERE rk <= alloc ORDER BY stratum, rk""")),
+
+    // ------------------------------------------------------------------
+    // q169 — Q-Q decile comparison (StatsOps.qqCompare): where in the
+    // distribution do click and purchase amounts diverge — the
+    // quantile-level view of distribution shift that q104's single χ²
+    // number can't localize (a tail-only gap and a uniform shift look
+    // identical to a summary statistic). Exact order statistics at
+    // each decile on a total (value, id) order; one rank window + a
+    // 9-row conditional-aggregate pivot.
+    // ------------------------------------------------------------------
+    "q169_qq_deciles" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("event_type").as("grp"),
+          col("event_id"), cents(col("value")).as("v"))
+        StatsOps.qqCompare(ev, "grp", "v", "event_id", "click",
+            "purchase", QqTiles)
+          .orderBy("q")
+      },
+      oracle = Some(s"""
+        WITH two AS (SELECT event_type AS grp, event_id,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        ranked AS (SELECT grp, v,
+            CAST(row_number() OVER (PARTITION BY grp ORDER BY v,
+              event_id) AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+          FROM two),
+        q AS (SELECT CAST(range AS BIGINT) AS q
+          FROM range(1, $QqTiles)),
+        picks AS (SELECT q.q AS q, grp, min(v) AS v
+          FROM ranked CROSS JOIN q
+          WHERE rn * $QqTiles >= n * q.q
+            AND (rn - 1) * $QqTiles < n * q.q
+          GROUP BY 1, 2)
+        SELECT q,
+          max(CASE WHEN grp = 'click' THEN v END) AS q_a,
+          max(CASE WHEN grp = 'purchase' THEN v END) AS q_b,
+          max(CASE WHEN grp = 'click' THEN v END) -
+            max(CASE WHEN grp = 'purchase' THEN v END) AS gap,
+          CASE WHEN max(CASE WHEN grp = 'purchase' THEN v END) > 0
+            THEN (1000000 * max(CASE WHEN grp = 'click' THEN v END)) //
+              max(CASE WHEN grp = 'purchase' THEN v END) END AS ratio_ppm
+        FROM picks GROUP BY q ORDER BY q""")),
+
+    // ------------------------------------------------------------------
+    // q170 — funnel stage-latency percentiles (TemporalOps
+    // .funnelStageLatency): HOW LONG each signup→click→purchase hop
+    // takes (q140 counts who converts; this times the hops — a funnel
+    // can convert well and still take a week at one stage). Delays
+    // from the same greedy-earliest anchors as q140; p25/50/75 as
+    // discrete order statistics on a total (delay, user) order;
+    // non-transitions are absent, not zero.
+    // ------------------------------------------------------------------
+    "q170_funnel_latency" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"))
+        TemporalOps.funnelStageLatency(ev, "user_id", "t_us",
+            "event_type", Seq("signup", "click", "purchase"), FunnelGapUs)
+          .orderBy("transition")
+      },
+      oracle = Some(s"""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS t_us, event_type
+          FROM events),
+        s1 AS (SELECT user_id, min(t_us) AS t_1 FROM ev
+          WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS user_id, min(p.t_1) AS t_1,
+            min(e.t_us) AS t_2
+          FROM ev e JOIN s1 p ON e.user_id = p.user_id
+            AND e.event_type = 'click' AND e.t_us > p.t_1
+            AND e.t_us <= p.t_1 + $FunnelGapUs
+          GROUP BY 1),
+        s3 AS (SELECT e.user_id AS user_id, min(p.t_2) AS t_2,
+            min(e.t_us) AS t_3
+          FROM ev e JOIN s2 p ON e.user_id = p.user_id
+            AND e.event_type = 'purchase' AND e.t_us > p.t_2
+            AND e.t_us <= p.t_2 + $FunnelGapUs
+          GROUP BY 1),
+        delays AS (
+          SELECT CAST(1 AS BIGINT) AS transition, user_id AS k,
+            t_2 - t_1 AS delay FROM s2
+          UNION ALL SELECT 2, user_id, t_3 - t_2 FROM s3),
+        ranked AS (SELECT transition, delay,
+            CAST(row_number() OVER (PARTITION BY transition
+              ORDER BY delay, k) AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY transition) AS BIGINT) AS n
+          FROM delays)
+        SELECT transition, max(n) AS n_transitions,
+          max(CASE WHEN rn * 100 >= n * 25 AND (rn - 1) * 100 < n * 25
+            THEN delay END) AS p25_us,
+          max(CASE WHEN rn * 100 >= n * 50 AND (rn - 1) * 100 < n * 50
+            THEN delay END) AS p50_us,
+          max(CASE WHEN rn * 100 >= n * 75 AND (rn - 1) * 100 < n * 75
+            THEN delay END) AS p75_us,
+          max(delay) AS max_us
+        FROM ranked GROUP BY transition ORDER BY transition"""))
   )
 }

@@ -44,7 +44,11 @@ class PlanAuditSpec extends SparkSuite {
       "q155_growth_accounting",
       // q166's nested loop is the 1-row global-mean broadcast the
       // smoothed encoding shrinks toward — the q71/q94 shape
-      "q166_target_encoding")
+      "q166_target_encoding",
+      // q168's nested loop lives inside the constant-pool proration of
+      // the 5-row stratum-moments frame (q135's machinery under a
+      // single allocation pool) — model-sized, never data
+      "q168_neyman_sample")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -236,4 +236,36 @@ class CorpusAssemblySpec extends SparkSuite {
     val rn = "row_number\\(\\)[^\\n]*".r.findFirstIn(plan).getOrElse("")
     assert(rn.contains("windowspecdefinition(tier"), plan)
   }
+
+  // ------------------------------------------------ Neyman allocation
+
+  test("neymanStratifiedSample: allocations sum EXACTLY to k, the " +
+      "volatile stratum out-draws the constant one, and the draw is " +
+      "the deterministic hash reservoir") {
+    import spark.implicits._
+    // stratum "wild": values swing 0/1000 (σ·n = sqrt(n·Σx²−(Σx)²) =
+    // sqrt(20·10·1e6 − 1e8) = 10000); "calm": constant 500 (varnum 0 →
+    // floor weight 1). Same sizes, so uniform allocation would split
+    // 10/10 — Neyman must give wild ~everything.
+    val wild = (0 until 20).map(i => ("wild", i.toLong,
+      if (i % 2 == 0) 0L else 1000L))
+    val calm = (0 until 20).map(i => ("calm", 100L + i, 500L))
+    val df = (wild ++ calm).toDF("stratum", "id", "v")
+    val out = CorpusAssembly
+      .neymanStratifiedSample(df, "stratum", "id", "v", 10)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("rk")).forall(_ >= 1))
+    val alloc = rows.map(r => r.getAs[String]("stratum") ->
+      r.getAs[Long]("alloc")).toMap
+    assert(alloc.values.sum >= 10) // per-stratum alloc repeated per row
+    val drawn = rows.groupBy(_.getAs[String]("stratum"))
+      .view.mapValues(_.length).toMap
+    assert(drawn.values.sum == 10, s"total draw: $drawn")
+    assert(drawn.getOrElse("wild", 0) >= 9, s"Neyman skew lost: $drawn")
+    // determinism: a rerun draws the identical id set
+    val again = CorpusAssembly
+      .neymanStratifiedSample(df, "stratum", "id", "v", 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == rows.map(_.getAs[Long]("id")).toSet)
+  }
 }

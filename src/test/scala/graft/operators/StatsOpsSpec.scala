@@ -774,6 +774,29 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(got(-1L)._2 - 1.0) < 1e-12)
   }
 
+  // -------------------------------------------- Q-Q comparison
+
+  test("qqCompare: quartiles localize a tail-only divergence a summary " +
+      "statistic averages away") {
+    // A = 1..8; B equals A except the top quartile is 10× — the two
+    // distributions agree at q1/q2 and diverge only at q3.
+    val a = (1L to 8L).map(v => ("A", v * 10, v))
+    val b = Seq(1L, 2L, 3L, 4L, 5L, 6L, 70L, 80L).map(v => ("B", v + 100, v))
+    val df = (a ++ b).toDF("grp", "id", "v")
+    val got = StatsOps.qqCompare(df, "grp", "v", "id", "A", "B", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((2L, 2L, 0L)))
+    assert(got(2L) == ((4L, 4L, 0L)))
+    assert(got(3L) == ((6L, 6L, 0L)))
+    // deciles would show it; quartile 3 picks rank 6 = value 6 on both
+    // sides — so re-run at tiles=8 to expose the tail
+    val t8 = StatsOps.qqCompare(df, "grp", "v", "id", "A", "B", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(t8(7L) == ((7L, 70L)))  // 7th octile: A=7, B=70
+  }
+
   // -------------------------------------------- feature scaling
 
   test("featureScaling: min-max and CDF transforms floor exactly; ties " +

@@ -674,6 +674,29 @@ class TemporalOpsSpec extends SparkSuite {
     assert(got("c") == ((1L, 1L, 1L, 1L, 1000000L)))
   }
 
+  // -------------------------------------------- funnel stage latency
+
+  test("funnelStageLatency: delays come from the greedy-earliest " +
+      "anchors; non-transitioning users are absent, not zero") {
+    // u1: a@0 → b@10 → c@30 (delays 10, 20)
+    // u2: a@0 → b@50 (no c): transition 1 delay 50, absent from 2
+    // u3: b@5 only (never entered): absent everywhere
+    // u4: a@0 → b@200 beyond gap 100: absent from transition 1
+    val ev = Seq(
+      (1L, 0L, "a"), (1L, 10L, "b"), (1L, 30L, "c"),
+      (2L, 0L, "a"), (2L, 50L, "b"),
+      (3L, 5L, "b"),
+      (4L, 0L, "a"), (4L, 200L, "b")).toDF("u", "t", "et")
+    val got = TemporalOps.funnelStageLatency(ev, "u", "t", "et",
+        Seq("a", "b", "c"), 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(5))).toMap
+    // transition 1 (a→b): delays {10, 50}: n=2, p50=10, max=50
+    assert(got(1L) == ((2L, 10L, 50L)))
+    // transition 2 (b→c): only u1: n=1, p50=20, max=20
+    assert(got(2L) == ((1L, 20L, 20L)))
+  }
+
   // -------------------------------------------- rolling median
 
   test("rollingMedian: lower median over the trailing window; an " +
