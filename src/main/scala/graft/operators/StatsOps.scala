@@ -1050,6 +1050,59 @@ object StatsOps {
   }
 
   /**
+   * ABC/XYZ classification — the inventory/catalog segmentation every
+   * supply-chain and assortment team runs: ABC ranks items by revenue
+   * share (A = the head that earns the first `aPpm` of cumulative
+   * revenue, C = the long tail), XYZ by demand VARIABILITY (X =
+   * steady, Z = erratic — the axis that decides safety stock and
+   * forecastability). The cross matters: an AZ item is high-revenue
+   * but unforecastable — the exact segment naive per-revenue planning
+   * mishandles.
+   *
+   * Exactness: cumulative share is ⌊10⁶·cumsum/total⌋ over the TOTAL
+   * (revenue desc, item) order with cumsum INCLUDING the current item;
+   * variability is the exact squared coefficient of variation
+   * cv² = (n·Σv² − (Σv)²)/(Σv)² in floor ppm on decimal128 — no
+   * mean, no float variance. Zero-revenue items class C/Z with null
+   * cv² (no scale to be variable against). Variability sees OBSERVED
+   * buckets only — imputing absent periods as zero demand is a
+   * gap-fill decision (q76), not a classifier default.
+   *
+   * Shape: facts reduce to (item, bucket, v) upstream; here one
+   * (item) aggregate + ONE global-order window over the |items| frame
+   * — the q124-skyline model-size boundary, documented: items are a
+   * catalog (10⁴–10⁷), not facts; a 10⁹-item catalog would switch the
+   * cumsum to q128's bucket-prefix machinery.
+   */
+  def abcXyz(buckets: DataFrame, itemCol: String, valueCol: String,
+      aPpm: Long, bPpm: Long, xCv2Ppm: Long, yCv2Ppm: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val per = buckets.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col(valueCol))).as("sv"),
+        sum(dec(col(valueCol)) * dec(col(valueCol))).as("svv"))
+    val total = per.agg(sum(col("sv")).as("tot"))
+    val byRev = Window.orderBy(col("sv").desc, col(itemCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("sv")).over(byRev))
+      .select(col(itemCol),
+        col("sv").cast("long").as("revenue"),
+        expr("(cum * 1000000) div tot").as("cum_ppm"),
+        when(col("sv") > 0,
+          expr("((n * svv - sv * sv) * 1000000) div (sv * sv)"))
+          .as("cv2_ppm"))
+      .withColumn("abc",
+        when(col("cum_ppm") <= aPpm, "A")
+          .when(col("cum_ppm") <= bPpm, "B").otherwise("C"))
+      .withColumn("xyz",
+        when(col("cv2_ppm").isNull, "Z")
+          .when(col("cv2_ppm") <= xCv2Ppm, "X")
+          .when(col("cv2_ppm") <= yCv2Ppm, "Y").otherwise("Z"))
+  }
+
+  /**
    * Q-Q decile comparison between two groups' distributions — the
    * quantile-level view of distribution shift that q104's histogram χ²
    * summarizes to one number: per decile q, the two groups' EXACT

@@ -228,6 +228,22 @@ object AnalyticsQueries {
   /** q169 Q-Q grid: deciles. */
   val QqTiles = 10
 
+  /** q171 demand-bucket epoch (pure day arithmetic — no calendar fns). */
+  val EpochDay0 = "1970-01-01"
+
+  /** q171 class boundaries: ABC at 80%/95% cumulative revenue; XYZ at
+    * cv² ≤ 0.30 / ≤ 0.45 (measured part-demand cv²-ppm quartiles sit
+    * at ~300k/380k/468k, so the splits populate all three classes at
+    * every sf). */
+  val AbcAPpm = 800000L; val AbcBPpm = 950000L
+  val XyzXPpm = 300000L; val XyzYPpm = 450000L
+
+  /** q172 injections: weekday amplification ×(10+dow)/10 and a ×3
+    * true spike on every 11th epoch day — the deseasonalizer must
+    * absorb the first and flag the second. */
+  val DeseasSpikeMod = 11L; val DeseasSpikeFactor = 3L
+  val DeseasZk = 2
+
   /** q158 visit gap: 1 day of epoch micros — events arrive ~11 h apart
     * per user, so day-gapped visits average ~2 events (a real
     * bounce/multi-event mix where q144's 30-min sessions are
@@ -2833,6 +2849,129 @@ object AnalyticsQueries {
           max(CASE WHEN rn * 100 >= n * 75 AND (rn - 1) * 100 < n * 75
             THEN delay END) AS p75_us,
           max(delay) AS max_us
-        FROM ranked GROUP BY transition ORDER BY transition"""))
+        FROM ranked GROUP BY transition ORDER BY transition""")),
+
+    // ------------------------------------------------------------------
+    // q171 — ABC/XYZ classification (StatsOps.abcXyz): the assortment
+    // segmentation — ABC by cumulative revenue share (A = the head
+    // earning the first 80%), XYZ by exact demand variability
+    // cv² = (n·Σv² − (Σv)²)/(Σv)² in floor ppm; the AZ cross
+    // (high-revenue, unforecastable) is the segment naive per-revenue
+    // planning mishandles. Facts reduce to (part, 30-day bucket, Σ)
+    // first; the ONE global-order cumsum window runs on the catalog-
+    // sized frame (the q124 model-size boundary, q128's bucket-prefix
+    // machinery being the 10⁹-item path).
+    // ------------------------------------------------------------------
+    "q171_abc_xyz" -> GraftQuery(
+      build = (s, d) => {
+        val buckets = lineitem(s, d)
+          .groupBy(col("l_partkey"),
+            TemporalOps.floorDiv(datediff(col("l_shipdate").cast("date"),
+              lit(EpochDay0).cast("date")).cast("long"), lit(30L))
+              .as("m"))
+          .agg(sum(cents(col("l_extendedprice"))).as("v"))
+        StatsOps.abcXyz(buckets, "l_partkey", "v", AbcAPpm, AbcBPpm,
+            XyzXPpm, XyzYPpm)
+          .orderBy("l_partkey")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT l_partkey,
+            date_diff('day', DATE '$EpochDay0',
+              CAST(l_shipdate AS DATE)) // 30 AS m,
+            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) AS v
+          FROM lineitem GROUP BY 1, 2),
+        per AS (SELECT l_partkey, CAST(count(*) AS HUGEINT) AS n,
+            sum(CAST(v AS HUGEINT)) AS sv,
+            sum(CAST(v AS HUGEINT) * v) AS svv
+          FROM b GROUP BY 1),
+        tot AS (SELECT sum(sv) AS tot FROM per),
+        c AS (SELECT l_partkey, sv, n, svv, tot,
+            sum(sv) OVER (ORDER BY sv DESC, l_partkey
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM per, tot),
+        o AS (SELECT l_partkey, CAST(sv AS BIGINT) AS revenue,
+            CAST((cum * 1000000) // tot AS BIGINT) AS cum_ppm,
+            CASE WHEN sv > 0 THEN CAST(((n * svv - sv * sv) * 1000000) //
+              (sv * sv) AS BIGINT) END AS cv2_ppm
+          FROM c)
+        SELECT l_partkey, revenue, cum_ppm, cv2_ppm,
+          CASE WHEN cum_ppm <= $AbcAPpm THEN 'A'
+            WHEN cum_ppm <= $AbcBPpm THEN 'B' ELSE 'C' END AS abc,
+          CASE WHEN cv2_ppm IS NULL THEN 'Z'
+            WHEN cv2_ppm <= $XyzXPpm THEN 'X'
+            WHEN cv2_ppm <= $XyzYPpm THEN 'Y' ELSE 'Z' END AS xyz
+        FROM o ORDER BY l_partkey""")),
+
+    // ------------------------------------------------------------------
+    // q172 — deseasonalized anomaly flags: the q147/q150/q157
+    // forecasting trio IN USE — the fixture amplifies daily revenue by
+    // a ×(10+dow)/10 weekday pattern AND injects ×3 spikes on every
+    // 11th epoch day; dividing out q157's seasonal index must ABSORB
+    // the weekday swing (a raw z-test would flag high-dow days) while
+    // the spikes survive to trip q78's cross-multiplied integer
+    // z-criterion on the ADJUSTED series. One dow aggregate + tiny
+    // windows + one broadcast stats join — facts reduce to
+    // |types|·|days| immediately.
+    // ------------------------------------------------------------------
+    "q172_deseasonalized_anomalies" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            expr(s"(ts div 1000) div $DayUs").as("day"))
+          .agg(sum(cents(col("value"))).as("base"))
+          .withColumn("v_amp",
+            expr(s"""(base * (10 + (day + 3) % 7) div 10) *
+              (CASE WHEN day % $DeseasSpikeMod = 0
+                THEN $DeseasSpikeFactor ELSE 1 END)"""))
+        val idx = TemporalOps.seasonalIndex(daily, "grp", "day", "v_amp")
+          .select(col("grp").as("ig"), col("dow").as("idow"),
+            col("index_ppm"))
+        val adj = daily
+          .join(broadcast(idx),
+            col("grp") === col("ig") &&
+              ((col("day") + 3) % 7) === col("idow"))
+          .select(col("grp"), col("day"), col("v_amp"),
+            expr("(v_amp * 1000000L) div index_ppm").as("adj"))
+        StatsOps.zscoreFlags(adj, "grp", "adj", DeseasZk)
+          .orderBy("grp", "day")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type AS grp,
+            epoch_us(ts) // $DayUs AS day,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+              AS BIGINT) AS base
+          FROM events GROUP BY 1, 2),
+        amp AS (SELECT grp, day, base,
+            (base * (10 + (day + 3) % 7) // 10) *
+              (CASE WHEN day % $DeseasSpikeMod = 0
+                THEN $DeseasSpikeFactor ELSE 1 END) AS v_amp
+          FROM daily),
+        d2 AS (SELECT grp, (day + 3) % 7 AS dow,
+            CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(v_amp) AS BIGINT) AS sum_v
+          FROM amp GROUP BY 1, 2),
+        idx AS (SELECT grp, dow,
+            CAST((CAST(sum_v AS HUGEINT) *
+              CAST(sum(n_days) OVER (PARTITION BY grp) AS BIGINT) *
+              1000000) //
+              (CAST(n_days AS HUGEINT) *
+               CAST(sum(sum_v) OVER (PARTITION BY grp) AS BIGINT))
+              AS BIGINT) AS index_ppm
+          FROM d2),
+        adj AS (SELECT a.grp AS grp, day, v_amp,
+            (v_amp * 1000000) // index_ppm AS adj
+          FROM amp a JOIN idx i
+            ON a.grp = i.grp AND (a.day + 3) % 7 = i.dow),
+        st AS (SELECT grp, CAST(count(*) AS HUGEINT) AS zn,
+            sum(CAST(adj AS HUGEINT)) AS zs,
+            sum(CAST(adj AS HUGEINT) * adj) AS zss
+          FROM adj GROUP BY grp)
+        SELECT a.grp AS grp, day, v_amp, adj,
+          (zn * adj - zs) * (zn * adj - zs) >
+            ${DeseasZk.toLong * DeseasZk} * (zn * zss - zs * zs)
+            AS is_outlier
+        FROM adj a JOIN st ON a.grp = st.grp
+        ORDER BY grp, day"""))
   )
 }

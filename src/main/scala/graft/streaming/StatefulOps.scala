@@ -584,4 +584,79 @@ object StatefulOps {
       .transformWithState(new SpaceSavingProcessor(m),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class QIn(k: Long, t: Long, tie: Long, v: Long)
+  final case class QOut(k: Long, q: Long, est: Long, n: Long)
+  final case class HistState(counts: List[Long])
+
+  /** The flush sentinel: a row with this value makes the processor
+    * emit its current quantile estimates instead of counting. */
+  val QFlushValue: Long = Long.MinValue
+
+  /**
+   * Streaming equi-width-histogram quantiles — the live p50/p90 of an
+   * unbounded per-key feed in `nBuckets` longs of state (exact
+   * quantiles need the whole history; q129's IVM quantile holds the
+   * SAME histogram-state answer for incremental batch — this is its
+   * stream half, and the two agree bucket-for-bucket by construction).
+   * Values clamp into [lo, lo + nBuckets·width); the estimate for
+   * percentile q is the LOWER EDGE of the first bucket where
+   * 100·cumulative ≥ q·N — pure integer arithmetic, so unlike a
+   * sampled sketch the answer is identical for any arrival order or
+   * batch split (no per-batch sort even needed; counts commute). A
+   * [[QFlushValue]] sentinel row emits the current estimates.
+   */
+  class HistogramQuantileProcessor(lo: Long, width: Long, nBuckets: Int,
+      percentiles: Seq[Int])
+      extends StatefulProcessor[Long, QIn, QOut] {
+    @transient private var st: ValueState[HistState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HistState]("hist",
+        Encoders.product[HistState], TTLConfig.NONE)
+
+    override def handleInputRows(k: Long, rows: Iterator[QIn],
+        timers: TimerValues): Iterator[QOut] = {
+      val counts: Array[Long] =
+        if (st.exists()) st.get().counts.toArray
+        else Array.fill(nBuckets)(0L)
+      val out = scala.collection.mutable.ArrayBuffer[QOut]()
+      var dirty = false
+      // counts commute, but a flush row must observe exactly the rows
+      // before it — the (t, tie) sort pins which prefix that is
+      rows.toArray.sortBy(r => (r.t, r.tie)).foreach { r =>
+        if (r.v == QFlushValue) {
+          val n = counts.sum
+          percentiles.foreach { q =>
+            var cum = 0L; var b = 0; var est = lo
+            if (n > 0) {
+              while (b < nBuckets && cum * 100 < n * q) {
+                cum += counts(b); b += 1
+              }
+              est = lo + (b - 1).max(0) * width
+            }
+            out += QOut(k, q.toLong, est, n)
+          }
+        } else {
+          val b = (((r.v - lo) / width).max(0L)
+            .min(nBuckets - 1L)).toInt
+          counts(b) += 1
+          dirty = true
+        }
+      }
+      if (dirty) st.update(HistState(counts.toList))
+      out.iterator
+    }
+  }
+
+  /** [[HistogramQuantileProcessor]] over a (k, t, tie, v) frame. */
+  def quantileStream(rows: DataFrame, lo: Long, width: Long,
+      nBuckets: Int, percentiles: Seq[Int]): Dataset[QOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("t"), col("tie"), col("v"))
+      .as[QIn]
+      .groupByKey(_.k)
+      .transformWithState(new HistogramQuantileProcessor(lo, width,
+        nBuckets, percentiles), TimeMode.None(), OutputMode.Append())
+  }
 }

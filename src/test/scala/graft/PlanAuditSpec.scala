@@ -48,7 +48,10 @@ class PlanAuditSpec extends SparkSuite {
       // q168's nested loop lives inside the constant-pool proration of
       // the 5-row stratum-moments frame (q135's machinery under a
       // single allocation pool) — model-sized, never data
-      "q168_neyman_sample")
+      "q168_neyman_sample",
+      // q171's nested loop is the 1-row catalog-total broadcast the
+      // cumulative share divides by — the q71/q94 shape
+      "q171_abc_xyz")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -774,6 +774,55 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(got(-1L)._2 - 1.0) < 1e-12)
   }
 
+  // -------------------------------------------- ABC/XYZ
+
+  test("abcXyz: cumulative-share classes include the boundary item; " +
+      "steady demand reads X, erratic Z; zero revenue classes C/Z " +
+      "with null cv2") {
+    // revenues: big=800 (cum 80% ⇒ A, boundary INCLUSIVE), mid=150
+    // (cum 95% ⇒ B boundary), tail=50 (C), dead=0.
+    // big's demand is constant (cv²=0 ⇒ X); mid swings 0/150 across
+    // 2 buckets... use values 50,100 (cv² = (2·12500−22500)/22500 =
+    // 111111 ppm ⇒ X at 300k); tail erratic: 1, 49 ⇒ cv² =
+    // (2·2402−2500)/2500 = 921600 ⇒ Z.
+    val rows = Seq(
+      ("big", 1L, 400L), ("big", 2L, 400L),
+      ("mid", 1L, 50L), ("mid", 2L, 100L),
+      ("tail", 1L, 1L), ("tail", 2L, 49L),
+      ("dead", 1L, 0L))
+    val df = rows.toDF("item", "m", "v")
+    val got = StatsOps.abcXyz(df, "item", "v", 800000L, 950000L,
+        300000L, 450000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("big") == ((800L, 800000L, "A", "X")))
+    assert(got("mid") == ((150L, 950000L, "B", "X")))
+    assert(got("tail") == ((50L, 1000000L, "C", "Z")))
+    assert(got("dead") == ((0L, 1000000L, "C", "Z")))
+  }
+
+  test("the q157+q78 composition: dividing out the seasonal index " +
+      "absorbs a weekday amplification a raw z-test would flag") {
+    // 14 days, base 100; dow-0 days amplified ×3 (days 4, 11).
+    val df = (0L until 14L).map(d =>
+      ("g", d, if ((d + 3) % 7 == 0) 300L else 100L)).toDF("g", "day", "v")
+    val idx = TemporalOps.seasonalIndex(df, "g", "day", "v")
+      .select(col("g").as("ig"), col("dow"), col("index_ppm"))
+    val adj = df.join(idx, df("g") === col("ig") &&
+        ((col("day") + 3) % 7) === col("dow"))
+      .select(col("g"), col("day"),
+        expr("(v * 1000000L) div index_ppm").as("adj"))
+    // raw flags at k=1 catch the amplified days; adjusted flags none
+    val raw = StatsOps.zscoreFlags(df, "g", "v", 1)
+      .filter(col("is_outlier")).count()
+    val cooked = StatsOps.zscoreFlags(adj, "g", "adj", 1)
+      .filter(col("is_outlier")).count()
+    assert(raw == 2L, s"raw z-test must flag the amplified days, got $raw")
+    assert(cooked == 0L,
+      s"deseasonalized series must be flat, got $cooked flags")
+  }
+
   // -------------------------------------------- Q-Q comparison
 
   test("qqCompare: quartiles localize a tail-only divergence a summary " +
