@@ -1050,6 +1050,148 @@ object StatsOps {
   }
 
   /**
+   * CUPED variance-reduced experiment readout (Deng et al. 2013) — the
+   * standard trick that makes A/B tests decide in days instead of
+   * weeks: subtract the part of the metric the PRE-experiment
+   * covariate already predicts, y_adj = y − θ(x − x̄), shrinking
+   * variance by the squared correlation without biasing the mean
+   * (E[x − x̄] = 0 in both arms by randomization). θ comes from the
+   * POOLED pre/post regression (the standard choice — per-arm θ leaks
+   * the treatment into the adjustment).
+   *
+   * Exact lattice, engine-identical end to end: θ ships in FLOOR
+   * milli-units from q98's co-moment identity (pmod floor — cov can
+   * be negative); x̄ is the floored pooled mean; each adjusted value
+   * is the exact long 1000·y − θ_milli·(x − x̄) and per-arm means
+   * floor-divide. The variance-reduction readout compares exact
+   * decimal128 co-moments of 1000·y vs y_adj in floor ppm — the
+   * number that justifies the machinery (10⁶ = no help).
+   *
+   * Shape: one 1-row pooled-stats broadcast (θ, x̄) + one map-side
+   * per-arm aggregate; the unit frame never shuffles twice. Degenerate
+   * covariates (zero variance) fall back to θ = 0 — CUPED degrades to
+   * the raw test, never an error.
+   */
+  def cupedAdjust(units: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pooled = units.agg(
+        count(lit(1)).as("pn"),
+        sum(dec(col(xCol))).as("psx"), sum(dec(col(yCol))).as("psy"),
+        sum(dec(col(xCol)) * dec(col(xCol))).as("psxx"),
+        sum(dec(col(xCol)) * dec(col(yCol))).as("psxy"))
+      .select(
+        when(expr("pn * psxx - psx * psx") =!= 0,
+          expr("(1000 * (pn * psxy - psx * psy) - " +
+            "pmod(1000 * (pn * psxy - psx * psy), pn * psxx - psx * psx))" +
+            " div (pn * psxx - psx * psx)")).otherwise(lit(0L))
+          .as("theta_milli"),
+        TemporalOps.floorDiv(col("psx").cast("long"), col("pn").cast("long"))
+          .as("x_bar"))
+    units
+      .crossJoin(broadcast(pooled))
+      .withColumn("y_adj",
+        lit(1000L) * col(yCol) -
+          col("theta_milli") * (col(xCol) - col("x_bar")))
+      .groupBy(col(armCol))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("theta_milli")).as("theta_milli"),
+        sum(col(yCol)).as("sum_y"),
+        sum(dec(lit(1000L) * col(yCol)) * dec(lit(1000L) * col(yCol)))
+          .as("syy_m"),
+        sum(col("y_adj")).as("sum_adj"),
+        sum(dec(col("y_adj")) * dec(col("y_adj"))).as("saa"))
+      .select(col(armCol), col("n"), col("theta_milli"),
+        TemporalOps.floorDiv(col("sum_y"), col("n")).as("raw_mean"),
+        TemporalOps.floorDiv(col("sum_adj"), col("n")).as("adj_mean_milli"),
+        when(expr("n * syy_m - (1000 * sum_y) * cast(1000 * sum_y as decimal(38,0))") =!= 0,
+          expr("((n * saa - cast(sum_adj as decimal(38,0)) * sum_adj) * 1000000) div " +
+            "(n * syy_m - cast(1000 * sum_y as decimal(38,0)) * (1000 * sum_y))"))
+          .as("var_ratio_ppm"))
+  }
+
+  /**
+   * Cumulative gains / lift table — the model-evaluation readout for a
+   * targeting score ("if we contact the top k% by score, what share of
+   * all converters do we capture?"): units rank into `tiles` equal
+   * buckets by (score desc, id), and each bucket row carries the
+   * CUMULATIVE conversion capture and the lift vs random targeting in
+   * floor ppm (10⁶ = the model knows nothing). The q133 Lorenz/Gini
+   * machinery pointed at a BINARY outcome — which is exactly what a
+   * gains chart is.
+   *
+   * Exact: ntile over the total (score desc, id) order; capture and
+   * lift are cross-multiplied integer ratios (lift = cum_conv·N_units·
+   * 10⁶ div (cum_units·N_conv)) on decimal128. The rank window runs on
+   * the per-unit frame (the q124/q171 model-size boundary). Zero total
+   * conversions null the lift rather than dividing.
+   */
+  def cumulativeGains(units: DataFrame, idCol: String, scoreCol: String,
+      convCol: String, tiles: Int): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val byScore = Window.orderBy(col(scoreCol).desc, col(idCol))
+    val byTile = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tiled = units
+      .withColumn("tile", ntile(tiles).over(byScore).cast("long"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_units"),
+        coalesce(sum(when(col(convCol), 1L)), lit(0L)).as("n_conv"))
+    val totals = tiled.agg(sum(col("n_units")).as("t_units"),
+      sum(col("n_conv")).as("t_conv"))
+    tiled
+      .crossJoin(broadcast(totals))
+      .withColumn("cum_units", sum(col("n_units")).over(byTile))
+      .withColumn("cum_conv", sum(col("n_conv")).over(byTile))
+      .select(col("tile"), col("n_units"), col("n_conv"),
+        col("cum_units"), col("cum_conv"),
+        when(col("t_conv") > 0,
+          expr("(1000000L * cum_conv) div t_conv")).as("capture_ppm"),
+        when(col("t_conv") > 0 && col("cum_units") > 0,
+          expr("(cast(cum_conv as decimal(38,0)) * t_units * 1000000) " +
+            "div (cast(cum_units as decimal(38,0)) * t_conv)"))
+          .as("lift_ppm"))
+  }
+
+  /**
+   * Per-group total-variation distance from the corpus-wide
+   * distribution — the mixing guardrail "which source drifted": over a
+   * shared bucketing, TV(p_s, p) = ½Σ_i |p_s(i) − p(i)| ∈ [0, 1] is
+   * the largest probability mass any event can differ by — emitted in
+   * floor ppm via the common-denominator form Σ|n_is·N − n_i·N_s|·10⁶
+   * div (2·N_s·N) — EXACT integers, no per-bucket float division
+   * (q104's χ² weights squared deviations by expectation; TV is the
+   * worst-case-mass view, and both belong on a drift dashboard).
+   *
+   * Shape: one (group, bucket) count + one bucket-marginal count
+   * (broadcast — bucket cardinality is the histogram's, tiny) + one
+   * per-group sum; buckets a group never hits still contribute |0 −
+   * n_i·N_s| through the bucket-marginal join (a LEFT join from the
+   * marginal side — absence is drift, and dropping it understates TV).
+   */
+  def tvDistance(df: DataFrame, group: String,
+      bucketCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(group).as("g"), bucketCol.as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n_gb"))
+    val gTot = cells.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
+    val bTot = cells.groupBy(col("b")).agg(sum(col("n_gb")).as("n_b"))
+    val nTot = cells.agg(sum(col("n_gb")).as("n")).localCheckpoint(true)
+    gTot
+      .crossJoin(broadcast(bTot))
+      .join(cells, Seq("g", "b"), "left")
+      .withColumn("n_gb", coalesce(col("n_gb"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("num",
+        abs(dec(col("n_gb")) * col("n") - dec(col("n_b")) * col("n_g")))
+      .groupBy(col("g"))
+      .agg(max(col("n_g")).as("n_rows"),
+        expr("(sum(num) * 1000000) div (2 * max(cast(n_g as decimal(38,0))) * max(n))")
+          .cast("long").as("tv_ppm"))
+  }
+
+  /**
    * ABC/XYZ classification — the inventory/catalog segmentation every
    * supply-chain and assortment team runs: ABC ranks items by revenue
    * share (A = the head that earns the first `aPpm` of cumulative

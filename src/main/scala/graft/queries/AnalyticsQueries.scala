@@ -244,6 +244,22 @@ object AnalyticsQueries {
   val DeseasSpikeMod = 11L; val DeseasSpikeFactor = 3L
   val DeseasZk = 2
 
+  /** q173/q174 share q81's mid-period cut (2024-01-15T00:00Z): the
+    * pre-cut window provides the CUPED covariate / targeting score,
+    * the post-cut window the measured outcome. */
+  val ExpCutUs = CutS * 1000000L
+
+  /** q174 gains grid: deciles; conversion = ≥ 9 post-cut purchases
+    * (~28% base rate); score noise modulus (deterministic tie-break
+    * jitter under the simulated-model score). */
+  val GainsTiles = 10
+  val GainsConvMin = 9L
+  val GainsNoiseMod = 7L
+
+  /** q175 drift bucketing: 100-char document-length bins (6 bins over
+    * the 48..553 n_chars span). */
+  val TvBucketChars = 100L
+
   /** q158 visit gap: 1 day of epoch micros — events arrive ~11 h apart
     * per user, so day-gapped visits average ~2 events (a real
     * bounce/multi-event mix where q144's 30-min sessions are
@@ -2972,6 +2988,175 @@ object AnalyticsQueries {
             ${DeseasZk.toLong * DeseasZk} * (zn * zss - zs * zs)
             AS is_outlier
         FROM adj a JOIN st ON a.grp = st.grp
-        ORDER BY grp, day"""))
+        ORDER BY grp, day""")),
+
+    // ------------------------------------------------------------------
+    // q173 — CUPED experiment readout (StatsOps.cupedAdjust): the
+    // variance-reduction standard that makes A/B tests decide faster —
+    // y_adj = y − θ(x − x̄) with θ from the POOLED pre/post regression
+    // (per-arm θ would leak treatment into the adjustment). Units are
+    // users; x = pre-cut spend, y = post-cut spend (per-user activity
+    // level correlates them, which is exactly what CUPED exploits);
+    // arms = user_id parity. θ in pmod-floored milli-units, adjusted
+    // values exact longs, and the var_ratio_ppm column IS the
+    // justification readout (10⁶ = no help).
+    // ------------------------------------------------------------------
+    "q173_cuped" -> GraftQuery(
+      build = (s, d) => {
+        val units = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            coalesce(sum(when(expr(s"ts div 1000 < $ExpCutUs"),
+              cents(col("value")))), lit(0L)).as("x"),
+            coalesce(sum(when(expr(s"ts div 1000 >= $ExpCutUs"),
+              cents(col("value")))), lit(0L)).as("y"))
+          .withColumn("arm", (col("user_id") % 2).cast("long"))
+        StatsOps.cupedAdjust(units, "arm", "x", "y")
+          .orderBy("arm")
+      },
+      oracle = Some(s"""
+        WITH units AS (SELECT user_id,
+            CAST(coalesce(sum(CASE WHEN epoch_us(ts) < $ExpCutUs
+              THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              END), 0) AS BIGINT) AS x,
+            CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= $ExpCutUs
+              THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              END), 0) AS BIGINT) AS y,
+            user_id % 2 AS arm
+          FROM events GROUP BY user_id),
+        pooled AS (SELECT CAST(count(*) AS HUGEINT) AS pn,
+            sum(CAST(x AS HUGEINT)) AS psx, sum(CAST(y AS HUGEINT)) AS psy,
+            sum(CAST(x AS HUGEINT) * x) AS psxx,
+            sum(CAST(x AS HUGEINT) * y) AS psxy
+          FROM units),
+        th AS (SELECT
+            CASE WHEN pn * psxx - psx * psx <> 0 THEN
+              CAST((1000 * (pn * psxy - psx * psy) -
+                ((1000 * (pn * psxy - psx * psy) %
+                  (pn * psxx - psx * psx) + (pn * psxx - psx * psx)) %
+                 (pn * psxx - psx * psx))) //
+                (pn * psxx - psx * psx) AS BIGINT)
+              ELSE 0 END AS theta_milli,
+            CAST(psx // pn AS BIGINT) AS x_bar
+          FROM pooled),
+        a AS (SELECT arm, x, y,
+            1000 * y - theta_milli * (x - x_bar) AS y_adj,
+            theta_milli
+          FROM units, th),
+        g AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+            max(theta_milli) AS theta_milli,
+            sum(CAST(y AS HUGEINT)) AS sum_y,
+            sum(CAST(1000 * y AS HUGEINT) * (1000 * y)) AS syy_m,
+            sum(CAST(y_adj AS HUGEINT)) AS sum_adj,
+            sum(CAST(y_adj AS HUGEINT) * y_adj) AS saa
+          FROM a GROUP BY arm)
+        SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n,
+          theta_milli,
+          CAST(sum_y // n AS BIGINT) AS raw_mean,
+          CAST((sum_adj - ((sum_adj % n + n) % n)) // n AS BIGINT)
+            AS adj_mean_milli,
+          CASE WHEN n * syy_m - (1000 * sum_y) * (1000 * sum_y) <> 0
+            THEN CAST(((n * saa - sum_adj * sum_adj) * 1000000) //
+              (n * syy_m - (1000 * sum_y) * (1000 * sum_y)) AS BIGINT)
+            END AS var_ratio_ppm
+        FROM g ORDER BY arm""")),
+
+    // ------------------------------------------------------------------
+    // q174 — cumulative gains / lift table (StatsOps.cumulativeGains):
+    // "contact the top k% by score, capture what share of converters?"
+    // — the model-eval readout for any targeting score. The synthetic
+    // users have NO natural predictor (activity is generator-uniform,
+    // corr ≈ 0.02 measured — any real covariate gives the flat-1e6
+    // null table), so the score is a SIMULATED model of known skill:
+    // 10× the outcome count plus deterministic id-noise — the chart
+    // must recover the skill as top-decile lift ≫ 10⁶ decaying to 10⁶.
+    // Conversion = ≥ 9 post-cut purchases (~28% base rate). Exact
+    // cross-multiplied capture/lift ratios on decimal128; ntile over
+    // the total (score desc, user) order on the per-user frame (the
+    // q124/q171 model-size boundary).
+    // ------------------------------------------------------------------
+    "q174_cumulative_gains" -> GraftQuery(
+      build = (s, d) => {
+        val units = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(coalesce(sum(when(expr(s"ts div 1000 >= $ExpCutUs") &&
+            col("event_type") === "purchase", 1L)), lit(0L)).as("pp"))
+          .select(col("user_id"),
+            (col("pp") * 10 + col("user_id") % GainsNoiseMod).as("score"),
+            (col("pp") >= GainsConvMin).as("converted"))
+        StatsOps.cumulativeGains(units, "user_id", "score", "converted",
+            GainsTiles)
+          .orderBy("tile")
+      },
+      oracle = Some(s"""
+        WITH pp AS (SELECT user_id,
+            CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= $ExpCutUs
+              AND event_type = 'purchase' THEN 1 END), 0) AS BIGINT)
+              AS pp
+          FROM events GROUP BY user_id),
+        units AS (SELECT user_id,
+            pp * 10 + user_id % $GainsNoiseMod AS score,
+            pp >= $GainsConvMin AS converted
+          FROM pp),
+        tiled AS (SELECT ntile($GainsTiles) OVER (ORDER BY score DESC,
+              user_id) AS tile, converted
+          FROM units),
+        g AS (SELECT CAST(tile AS BIGINT) AS tile,
+            CAST(count(*) AS BIGINT) AS n_units,
+            CAST(coalesce(sum(CASE WHEN converted THEN 1 END), 0)
+              AS BIGINT) AS n_conv
+          FROM tiled GROUP BY tile),
+        t AS (SELECT CAST(sum(n_units) AS BIGINT) AS t_units,
+            CAST(sum(n_conv) AS BIGINT) AS t_conv FROM g),
+        c AS (SELECT tile, n_units, n_conv,
+            CAST(sum(n_units) OVER (ORDER BY tile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_units,
+            CAST(sum(n_conv) OVER (ORDER BY tile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv
+          FROM g)
+        SELECT tile, n_units, n_conv, cum_units, cum_conv,
+          CASE WHEN t_conv > 0
+            THEN (1000000 * cum_conv) // t_conv END AS capture_ppm,
+          CASE WHEN t_conv > 0 AND cum_units > 0
+            THEN CAST((CAST(cum_conv AS HUGEINT) * t_units * 1000000) //
+              (CAST(cum_units AS HUGEINT) * t_conv) AS BIGINT)
+            END AS lift_ppm
+        FROM c, t ORDER BY tile""")),
+
+    // ------------------------------------------------------------------
+    // q175 — per-source total-variation drift (StatsOps.tvDistance):
+    // "which source's length profile drifted from the corpus" — TV is
+    // the worst-case probability mass any event can differ by, the
+    // mixing-dashboard complement to q104's χ² (which weights squared
+    // deviations by expectation). Exact common-denominator form
+    // Σ|n_si·N − n_i·N_s|·10⁶ div (2·N_s·N) on decimal128; absent
+    // buckets still contribute their full marginal mass (dropping
+    // them understates TV).
+    // ------------------------------------------------------------------
+    "q175_source_drift_tv" -> GraftQuery(
+      build = (s, d) =>
+        StatsOps.tvDistance(documents(s, d), "source",
+          expr(s"n_chars div $TvBucketChars"))
+          .withColumnRenamed("g", "source")
+          .orderBy("source"),
+      oracle = Some(s"""
+        WITH cells AS (SELECT source AS g, n_chars // $TvBucketChars AS b,
+            CAST(count(*) AS BIGINT) AS n_gb
+          FROM documents GROUP BY 1, 2),
+        gt AS (SELECT g, CAST(sum(n_gb) AS BIGINT) AS n_g
+          FROM cells GROUP BY g),
+        bt AS (SELECT b, CAST(sum(n_gb) AS BIGINT) AS n_b
+          FROM cells GROUP BY b),
+        nt AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n FROM cells),
+        grid AS (SELECT gt.g AS g, bt.b AS b, gt.n_g AS n_g, bt.n_b
+              AS n_b, coalesce(c.n_gb, 0) AS n_gb
+          FROM gt CROSS JOIN bt
+          LEFT JOIN cells c ON c.g = gt.g AND c.b = bt.b)
+        SELECT g AS source, max(n_g) AS n_rows,
+          CAST((sum(abs(CAST(n_gb AS HUGEINT) * n -
+              CAST(n_b AS HUGEINT) * n_g)) * 1000000) //
+            (2 * CAST(max(n_g) AS HUGEINT) * max(n)) AS BIGINT)
+            AS tv_ppm
+        FROM grid, nt GROUP BY g ORDER BY source"""))
   )
 }

@@ -51,7 +51,12 @@ class PlanAuditSpec extends SparkSuite {
       "q168_neyman_sample",
       // q171's nested loop is the 1-row catalog-total broadcast the
       // cumulative share divides by — the q71/q94 shape
-      "q171_abc_xyz")
+      "q171_abc_xyz",
+      // q173/q174's nested loops are 1-row broadcasts (pooled θ/x̄,
+      // tile totals); q175's are the bucket-marginal grid (≤ histogram
+      // cardinality) and the 1-row corpus total — model-sized, never
+      // data
+      "q173_cuped", "q174_cumulative_gains", "q175_source_drift_tv")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -774,6 +774,72 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(got(-1L)._2 - 1.0) < 1e-12)
   }
 
+  // -------------------------------------------- CUPED
+
+  test("cupedAdjust: a perfectly predictive covariate collapses " +
+      "variance to ~0 while arm means stay unbiased") {
+    // y = 10·x exactly; arms balanced. θ_milli = 10000; y_adj =
+    // 1000·y − 10000·(x − x̄) is CONSTANT ⇒ var_ratio 0.
+    val df = Seq((0L, 1L, 10L), (0L, 3L, 30L), (1L, 2L, 20L),
+      (1L, 4L, 40L)).toDF("arm", "x", "y")
+    val got = StatsOps.cupedAdjust(df, "arm", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    // θ = 10 in milli = 10000; x̄ = floor(10/4) = 2; every adjusted
+    // value is exactly 20000 milli
+    assert(got(0L) == ((10000L, 20L, 20000L, Some(0L))))
+    assert(got(1L) == ((10000L, 30L, 20000L, Some(0L))))
+    // both adjusted means equal (no true treatment effect) — the
+    // variance went to zero WITHOUT inventing an arm difference
+  }
+
+  test("cupedAdjust: zero-variance covariate degrades to the raw " +
+      "test (theta 0), never an error") {
+    val df = Seq((0L, 5L, 10L), (1L, 5L, 30L)).toDF("arm", "x", "y")
+    val got = StatsOps.cupedAdjust(df, "arm", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == ((0L, 10L, 10000L)))
+    assert(got(1L) == ((0L, 30L, 30000L)))
+  }
+
+  // -------------------------------------------- cumulative gains
+
+  test("cumulativeGains: a perfect score concentrates capture in the " +
+      "head; the last tile always reads lift 10^6") {
+    // 10 units, 2 converters with the top scores, 5 tiles of 2
+    val df = (1L to 10L).map(i =>
+      (i, 100L - i, i <= 2)).toDF("id", "score", "conv")
+    val got = StatsOps.cumulativeGains(df, "id", "score", "conv", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // tile 1 = both converters: capture 1e6, lift = (2·10)/(2·2) = 5×
+    assert(got(1L) == ((2L, 2L, 1000000L, 5000000L)))
+    assert(got(3L) == ((0L, 2L, 1000000L, 1666666L)))
+    assert(got(5L)._4 == 1000000L)
+  }
+
+  // -------------------------------------------- total variation
+
+  test("tvDistance: identical mixes read 0; a disjoint-bucket source " +
+      "reads its full off-profile mass; absent buckets count") {
+    // sources A and B identical over buckets {0,1}; source C entirely
+    // in bucket 2 (which only C occupies).
+    val df = (Seq.fill(4)(("A", 0L)) ++ Seq.fill(4)(("A", 100L)) ++
+      Seq.fill(2)(("B", 0L)) ++ Seq.fill(2)(("B", 100L)) ++
+      Seq.fill(4)(("C", 250L))).toDF("src", "n_chars")
+    val got = StatsOps.tvDistance(df, "src", expr("n_chars div 100"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // N=16; marginals: b0=6, b1=6, b2=4. A (n=8): cells 4/4/0:
+    // |4·16−6·8|+|4·16−6·8|+|0−4·8| = 16+16+32 = 64 → 64e6/(2·8·16)
+    // = 250000. C (n=4): |0−6·4|·2 + |4·16−4·4| = 24+24+48 = 96 →
+    // 96e6/(2·4·16) = 750000 (C is 75% off-profile).
+    assert(got("A") == 250000L)
+    assert(got("B") == 250000L)
+    assert(got("C") == 750000L)
+  }
+
   // -------------------------------------------- ABC/XYZ
 
   test("abcXyz: cumulative-share classes include the boundary item; " +
