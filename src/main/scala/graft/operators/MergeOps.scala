@@ -361,6 +361,37 @@ object MergeOps {
    * same-instant corrections resolve deterministically (last writer by
    * tie).
    */
+  /**
+   * Incremental JOIN-view maintenance (insert-only deltas) — the join
+   * half of the IVM story (q81 maintains aggregates, q129 quantile
+   * states; a materialized JOIN view is the third thing a warehouse
+   * refreshes incrementally): given base relations A, B and
+   * append-only deltas ΔA, ΔB, the view delta is EXACTLY
+   *
+   *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+   *
+   * — three joins each proportional to a DELTA side, never a
+   * recompute of A ⋈ B (the whole point at 100 TB: the base relations
+   * are only ever probed, and when deltas are small both probes are
+   * broadcast). Each output row carries which term produced it
+   * (`provenance` ∈ dA_B / A_dB / dA_dB) — the diagnostic that
+   * explains a surprising refresh. Inputs carry (key, payload)
+   * projections; multiset semantics are the caller's contract (unique
+   * keys per side ⇒ unique output rows — the fixture's case).
+   *
+   * The correctness law (spec + oracle): old view ∪ this delta ≡ the
+   * view recomputed on (A ∪ ΔA) ⋈ (B ∪ ΔB).
+   */
+  def joinViewDelta(baseA: DataFrame, deltaA: DataFrame,
+      baseB: DataFrame, deltaB: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    def tag(df: DataFrame, p: String) =
+      df.withColumn("provenance", lit(p))
+    tag(deltaA.join(baseB, keys), "dA_B")
+      .unionByName(tag(baseA.join(deltaB, keys), "A_dB"))
+      .unionByName(tag(deltaA.join(deltaB, keys), "dA_dB"))
+  }
+
   def bitemporalAsOf(df: DataFrame, keyCol: String, validFromCol: String,
       txFromCol: String, tieCol: String, validT: Long,
       txT: Long): DataFrame = {

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSuite {
       // tile totals); q175's are the bucket-marginal grid (≤ histogram
       // cardinality) and the 1-row corpus total — model-sized, never
       // data
-      "q173_cuped", "q174_cumulative_gains", "q175_source_drift_tv")
+      "q173_cuped", "q174_cumulative_gains", "q175_source_drift_tv",
+      // q177's nested loop is the 1-row corpus-total broadcast under
+      // the region-share ratio — the q71/q94 shape
+      "q177_share_of_parent")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

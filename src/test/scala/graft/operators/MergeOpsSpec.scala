@@ -310,4 +310,31 @@ class MergeOpsSpec extends SparkSuite {
       .collect()
     assert(r.length == 1 && r(0).getAs[Long]("price") == 999L)
   }
+
+  // ------------------------------------------------ join-view delta
+
+  test("joinViewDelta satisfies the IVM law: old view + delta == the " +
+      "view recomputed on the grown relations, with correct provenance") {
+    val baseA = Seq((1L, "a1"), (2L, "a2")).toDF("k", "pa")
+    val deltaA = Seq((2L, "a2new"), (3L, "a3")).toDF("k", "pa")
+    val baseB = Seq((1L, "b1"), (3L, "b3")).toDF("k", "pb")
+    val deltaB = Seq((2L, "b2")).toDF("k", "pb")
+    val delta = MergeOps.joinViewDelta(baseA, deltaA, baseB, deltaB,
+      Seq("k"))
+    val got = delta.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (3L, "a3", "b3", "dA_B"),       // new order meets old dim
+      (2L, "a2", "b2", "A_dB"),       // old order meets new dim
+      (2L, "a2new", "b2", "dA_dB")))  // both new — the term naive
+                                      // ΔA⋈B ∪ A⋈ΔB silently drops
+    // the law itself:
+    val oldView = baseA.join(baseB, Seq("k"))
+    val newView = baseA.union(deltaA).join(baseB.union(deltaB), Seq("k"))
+    val reassembled = oldView.union(delta.drop("provenance"))
+    assert(reassembled.exceptAll(newView).isEmpty &&
+      newView.exceptAll(reassembled).isEmpty,
+      "old ∪ delta must equal the recomputed view as a multiset")
+  }
 }
