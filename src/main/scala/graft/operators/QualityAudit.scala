@@ -124,6 +124,44 @@ object QualityAudit {
    * cardinality 9 caps the aggregate at 9·|groups| rows — plus a
    * broadcast-sized spine join; nothing else touches the facts.
    */
+  /**
+   * Approximate functional-dependency DISCOVERY — the profiling step
+   * that finds the near-keys and derivable columns a schema never
+   * wrote down ([[functionalDependency]] CHECKS a given A→B; this
+   * RANKS every ordered pair from a candidate list): violation rate
+   * for A→B = (N − Σ_a max_b n_ab) / N — the fraction of rows that
+   * would have to change for the dependency to hold exactly (the g3
+   * error of the FD-mining literature), in floor ppm; 0 = the FD
+   * holds exactly. Near-FDs (small nonzero ppm) are the dirty-data
+   * finding — a column that is ALMOST derivable usually means a few
+   * corrupt rows, not a design choice.
+   *
+   * Per pair: one (A, B) count aggregate, then a per-A max — both
+   * map-side combined, |pairs| small plans unioned (the candidate
+   * list is a handful of columns by construction; all-pairs FD mining
+   * over wide schemas is a search problem upstream of this operator).
+   * Null semantics follow [[functionalDependency]]: null A is a
+   * determinant value, null B a distinct dependent.
+   */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two candidate columns")
+    val pairs = for {
+      a <- cols; b <- cols if a != b
+    } yield {
+      df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .groupBy(col("__a"))
+        .agg(sum(col("n_ab")).as("n_a"), max(col("n_ab")).as("mx"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_a")).as("n"),
+          sum(col("mx")).as("keep"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_groups"),
+          expr("(1000000L * (n - keep)) div n").as("violation_ppm"))
+    }
+    pairs.reduce(_ unionByName _)
+      .withColumn("holds_exactly", col("violation_ppm") === 0L)
+  }
+
   def benfordAudit(df: DataFrame, group: String,
       valueCol: String): DataFrame = {
     val obs = df

@@ -883,6 +883,39 @@ object TemporalOps {
   }
 
   /**
+   * Peak-rate / burst detection — "what is the most events this key
+   * ever fired inside any `windowUs` span, and when": the rate-limit
+   * sizing and abuse-detection readout a per-bucket count (q31's
+   * tumbling windows) systematically UNDERSTATES, because a burst
+   * straddling a bucket boundary splits across two buckets — the
+   * sliding window anchored at every event sees it whole. Each event
+   * counts the events in [t, t + windowUs] (inclusive — both engines'
+   * RANGE frames agree); the per-key peak keeps the EARLIEST achieving
+   * timestamp (rank over (count desc, t) — a total order, so the
+   * argmax is deterministic).
+   *
+   * Shape: one keyed (t)-ordered RANGE-frame count + one rank window
+   * on the SAME partitioning (one Exchange serves both); nothing
+   * leaves the executors but the per-key peak row. The frame holds no
+   * buffered rows beyond the window span per key — bounded by the
+   * burst the caller is hunting.
+   */
+  def peakRate(df: DataFrame, key: String, tCol: String,
+      windowUs: Long): DataFrame = {
+    val byT = Window.partitionBy(col(key)).orderBy(col(tCol))
+    val counted = df
+      .withColumn("win_count",
+        count(lit(1)).over(byT.rangeBetween(0L, windowUs)))
+    val best = Window.partitionBy(col(key))
+      .orderBy(col("win_count").desc, col(tCol))
+    counted
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col(key), col("win_count").as("peak_count"),
+        col(tCol).as("peak_t"))
+  }
+
+  /**
    * Rolling EXACT median over the trailing `window` buckets — the
    * robust centerline the EWMA ([[ewmaSmooth]]) and rolling beta
    * ([[StatsOps.rollingBeta]]) family lacks: one wild bucket drags a

@@ -260,6 +260,10 @@ object AnalyticsQueries {
     * the 48..553 n_chars span). */
   val TvBucketChars = 100L
 
+  /** q178 burst window: 1 h — per-type arrivals run ~2.8/h, so peaks
+    * reach the informative 6–10 range at every sf. */
+  val BurstWindowUs = 3600L * 1000000L
+
   /** q158 visit gap: 1 day of epoch micros — events arrive ~11 h apart
     * per user, so day-gapped visits average ~2 events (a real
     * bounce/multi-event mix where q144's 30-min sessions are
@@ -3157,6 +3161,86 @@ object AnalyticsQueries {
               CAST(n_b AS HUGEINT) * n_g)) * 1000000) //
             (2 * CAST(max(n_g) AS HUGEINT) * max(n)) AS BIGINT)
             AS tv_ppm
-        FROM grid, nt GROUP BY g ORDER BY source"""))
+        FROM grid, nt GROUP BY g ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q178 — peak-rate / burst detection (TemporalOps.peakRate): the
+    // most events each type ever fired in ANY sliding 1-hour span, and
+    // when — the rate-limit-sizing readout a tumbling bucket count
+    // (q31) UNDERSTATES because a burst straddling a boundary splits
+    // in two; the event-anchored RANGE frame sees it whole. Tied-t
+    // peers share their frame count in both engines, and the projected
+    // (key, peak, t) row is value-identical across tied argmax picks,
+    // so no tie column is even needed.
+    // ------------------------------------------------------------------
+    "q178_burst_detection" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d).select(col("event_type").as("grp"),
+          expr("ts div 1000").as("t_us"))
+        TemporalOps.peakRate(ev, "grp", "t_us", BurstWindowUs)
+          .orderBy("grp")
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT event_type AS grp, epoch_us(ts) AS t_us
+          FROM events),
+        c AS (SELECT grp, t_us,
+            CAST(count(*) OVER (PARTITION BY grp ORDER BY t_us
+              RANGE BETWEEN CURRENT ROW AND $BurstWindowUs FOLLOWING)
+              AS BIGINT) AS win_count
+          FROM e),
+        r AS (SELECT grp, t_us, win_count,
+            row_number() OVER (PARTITION BY grp
+              ORDER BY win_count DESC, t_us) AS rn
+          FROM c)
+        SELECT grp, win_count AS peak_count, t_us AS peak_t
+        FROM r WHERE rn = 1 ORDER BY grp""")),
+
+    // ------------------------------------------------------------------
+    // q179 — approximate FD discovery (QualityAudit.fdDiscovery): rank
+    // every ordered column pair by its g3 violation rate — the
+    // profiling step that finds near-keys and derivable columns a
+    // schema never wrote down (q121's FD check VERIFIES a given
+    // dependency; this DISCOVERS them). The derived urgency band makes
+    // priority→urgency hold EXACTLY (violation 0) while its converse
+    // and every pairing with status/key-band is genuinely violated —
+    // the ranked table separates design from dirt.
+    // ------------------------------------------------------------------
+    "q179_fd_discovery" -> GraftQuery(
+      build = (s, d) => {
+        val o = orders(s, d).select(
+          col("o_orderpriority").as("priority"),
+          when(substring(col("o_orderpriority"), 1, 1) <= "2", "high")
+            .otherwise("low").as("urgency"),
+          col("o_orderstatus").as("status"),
+          (col("o_custkey") % 100).as("key_band"))
+        graft.operators.QualityAudit
+          .fdDiscovery(o, Seq("priority", "urgency", "status", "key_band"))
+          .orderBy("determinant", "dependent")
+      },
+      oracle = Some {
+        val cols = Seq("priority", "urgency", "status", "key_band")
+        val pairSql = (for { a <- cols; b <- cols if a != b } yield
+          s"""SELECT '$a' AS determinant, '$b' AS dependent,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(n_a) AS BIGINT) AS n,
+              CAST(sum(mx) AS BIGINT) AS keep
+            FROM (SELECT __a, CAST(sum(n_ab) AS BIGINT) AS n_a,
+                CAST(max(n_ab) AS BIGINT) AS mx
+              FROM (SELECT $a AS __a, $b AS __b,
+                  CAST(count(*) AS BIGINT) AS n_ab
+                FROM base GROUP BY 1, 2) GROUP BY __a)""")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH base AS (SELECT o_orderpriority AS priority,
+            CASE WHEN substr(o_orderpriority, 1, 1) <= '2'
+              THEN 'high' ELSE 'low' END AS urgency,
+            o_orderstatus AS status, o_custkey % 100 AS key_band
+          FROM orders),
+        p AS ($pairSql)
+        SELECT determinant, dependent, n_groups,
+          (1000000 * (n - keep)) // n AS violation_ppm,
+          (1000000 * (n - keep)) // n = 0 AS holds_exactly
+        FROM p ORDER BY determinant, dependent"""
+      })
   )
 }

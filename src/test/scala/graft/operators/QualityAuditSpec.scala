@@ -118,4 +118,39 @@ class QualityAuditSpec extends SparkSuite {
     assert(out.filter($"g" === "b").count() == 0L)
     assert(out.count() == 9L)
   }
+
+  // ---------------------------------------------------- FD discovery
+
+  test("fdDiscovery: an exact dependency reads 0 ppm, its lossy " +
+      "converse reads the exact g3 fraction, and every ordered pair " +
+      "emits") {
+    // code = first char of name ⇒ name→code exact. code→name: code
+    // 'x' splits 3/1 between names ⇒ 1 of 6 rows must change ⇒
+    // 166666 ppm. id is a key ⇒ id→anything exact; name→id violated.
+    val df = Seq((1L, "xa"), (2L, "xa"), (3L, "xa"), (4L, "xb"),
+      (5L, "ya"), (6L, "ya"))
+      .toDF("id", "name")
+      .withColumn("code", org.apache.spark.sql.functions.substring($"name", 1, 1))
+    val got = QualityAudit.fdDiscovery(df, Seq("id", "name", "code"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.size == 6)
+    assert(got(("name", "code")) == ((0L, true)))
+    assert(got(("code", "name")) == ((166666L, false)))
+    assert(got(("id", "name")) == ((0L, true)))
+    // name→id: 'xa' (3 rows) keeps 1, 'xb' keeps 1, 'ya' (2) keeps 1
+    // ⇒ keep 3 of 6 ⇒ 500000 ppm
+    assert(got(("name", "id")) == ((500000L, false)))
+  }
+
+  test("fdDiscovery: a null dependent is a distinct value and breaks " +
+      "an otherwise-exact FD") {
+    val df = Seq((1L, Option("p")), (1L, Option("p")),
+      (1L, Option.empty[String])).toDF("a", "b")
+    val got = QualityAudit.fdDiscovery(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(3)).toMap
+    // a=1 maps to {p, p, null}: keep 2 of 3 ⇒ 333333 ppm
+    assert(got(("a", "b")) == 333333L)
+  }
 }

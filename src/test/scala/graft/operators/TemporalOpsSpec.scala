@@ -674,6 +674,30 @@ class TemporalOpsSpec extends SparkSuite {
     assert(got("c") == ((1L, 1L, 1L, 1L, 1000000L)))
   }
 
+  // -------------------------------------------- peak rate / bursts
+
+  test("peakRate: a burst straddling a bucket boundary is seen whole; " +
+      "the window edge is inclusive; earliest argmax wins") {
+    // key a: events at t = 55, 65, 75, 120 with window 60: anchored at
+    // 55 the frame [55,115] holds 3; a 60-tumbling bucket split (0-59 /
+    // 60-119) would report max 2. Anchored at 65: [65,125] holds 3 too
+    // (inclusive 120 boundary at t=60+65? 125 ≥ 120 ⇒ 3): ties at 3 ⇒
+    // the EARLIEST anchor (55) is reported.
+    val df = Seq(("a", 55L), ("a", 65L), ("a", 75L), ("a", 120L),
+      ("b", 0L)).toDF("k", "t")
+    val got = TemporalOps.peakRate(df, "k", "t", 60L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") == ((3L, 55L)))
+    assert(got("b") == ((1L, 0L)))
+    // the inclusive edge: at window 20 the frame anchored at 55 holds
+    // {55, 65, 75} — 75 sits EXACTLY on the edge (an exclusive frame
+    // would peak at 2)
+    val tight = TemporalOps.peakRate(df.filter($"k" === "a"), "k", "t", 20L)
+      .collect()(0)
+    assert((tight.getLong(1), tight.getLong(2)) == ((3L, 55L)))
+  }
+
   // -------------------------------------------- funnel stage latency
 
   test("funnelStageLatency: delays come from the greedy-earliest " +
