@@ -1112,6 +1112,58 @@ object StatsOps {
   }
 
   /**
+   * Bucket-prefix decomposition of a total (v DESC, tie ASC) order —
+   * the q128 curriculumOrder machinery generalized so NOTHING in the
+   * repo needs a single-partition window, not even over a bucket
+   * table: rows bucket by an exact width-division of the descending
+   * order value (equal values ALWAYS share a bucket, so every tie
+   * stays inside one partitioned window), the per-bucket count/sum
+   * table (≤ nBuckets+1 rows) gets EXCLUSIVE prefix offsets via a
+   * triangular broadcast join (bk2 < bk — nBuckets² pairs of a tiny
+   * frame, never data), and the offsets broadcast back. Then
+   * global_rank = off_n + per-bucket row_number and global_cumsum =
+   * off_s + per-bucket running sum — a pure re-association of the
+   * same total order, bit-identical to the single-window formulation
+   * the oracles keep.
+   *
+   * Input must carry `_v` decimal(38,0) (the order value, non-null);
+   * it is localCheckpoint'ed here — the reduced frame feeds the
+   * bounds probe, the bucket counts and the final join, and one
+   * materialization beats three upstream re-aggregations. Envelope:
+   * the value SPAN (max−min) must fit int64 (cents-scale revenue at
+   * 100 TB ≈ 10¹⁸ — inside); bucket ids are exact integer div, so the
+   * mapping is deterministic and monotone. All order values equal →
+   * one bucket: a single order class has no parallel decomposition —
+   * callers' value spread (revenue, model scores) buys the fan-out.
+   *
+   * Returns (pinned rows with `_bk`, offsets keyed `_bk` with
+   * exclusive-prefix `_off_n` long and `_off_s` decimal(38,0)).
+   */
+  private[operators] def bucketPrefixOffsets(df: DataFrame,
+      nBuckets: Int): (DataFrame, DataFrame) = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 16), s"nBuckets: $nBuckets")
+    val pinned = df.localCheckpoint(true)
+    val bounds = pinned.agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+    val bucketed = pinned
+      .crossJoin(broadcast(bounds))
+      .withColumn("_bk",
+        expr(s"(_mx - _v) div (((_mx - _mn) div $nBuckets) + 1)"))
+      .drop("_mn", "_mx")
+    val counts = bucketed.groupBy(col("_bk"))
+      .agg(count(lit(1)).as("_bn"), sum(col("_v")).as("_bs"))
+      .localCheckpoint(true)
+    val offsets = counts
+      .join(broadcast(counts.select(col("_bk").as("_bk2"),
+          col("_bn").as("_bn2"), col("_bs").as("_bs2"))),
+        col("_bk2") < col("_bk"), "left")
+      .groupBy(col("_bk"))
+      .agg(coalesce(sum(col("_bn2")), lit(0L)).as("_off_n"),
+        coalesce(sum(col("_bs2")), lit(0L).cast("decimal(38,0)"))
+          .as("_off_s"))
+    (bucketed, offsets)
+  }
+
+  /**
    * Cumulative gains / lift table — the model-evaluation readout for a
    * targeting score ("if we contact the top k% by score, what share of
    * all converters do we capture?"): units rank into `tiles` equal
@@ -1121,29 +1173,54 @@ object StatsOps {
    * machinery pointed at a BINARY outcome — which is exactly what a
    * gains chart is.
    *
-   * Exact: ntile over the total (score desc, id) order; capture and
-   * lift are cross-multiplied integer ratios (lift = cum_conv·N_units·
-   * 10⁶ div (cum_units·N_conv)) on decimal128. The rank window runs on
-   * the per-unit frame (the q124/q171 model-size boundary). Zero total
-   * conversions null the lift rather than dividing.
+   * Exact: the tile IS ntile's (score desc, id) assignment, but
+   * computed DISTRIBUTED — [[bucketPrefixOffsets]] gives every unit
+   * its exact global rank r from a per-bucket window plus a broadcast
+   * prefix offset, and the closed-form ntile arithmetic (first
+   * N mod t tiles take ⌈N/t⌉ rows, the rest ⌊N/t⌋) maps r → tile with
+   * no global window anywhere: not over units, and — via a
+   * triangular self-join on the ≤ tiles-row tile table — not over the
+   * tile cumsums either. Capture and lift are cross-multiplied
+   * integer ratios (lift = cum_conv·N_units·10⁶ div
+   * (cum_units·N_conv)) on decimal128. Zero total conversions null
+   * the lift rather than dividing.
    */
   def cumulativeGains(units: DataFrame, idCol: String, scoreCol: String,
-      convCol: String, tiles: Int): DataFrame = {
+      convCol: String, tiles: Int, nBuckets: Int = 256): DataFrame = {
     require(tiles >= 2, s"tiles must be >= 2, got $tiles")
-    val byScore = Window.orderBy(col(scoreCol).desc, col(idCol))
-    val byTile = Window.orderBy(col("tile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tiled = units
-      .withColumn("tile", ntile(tiles).over(byScore).cast("long"))
+    val (bucketed, offsets) = bucketPrefixOffsets(
+      units.withColumn("_v", col(scoreCol).cast("decimal(38,0)")), nBuckets)
+    val totals = bucketed.agg(count(lit(1)).as("t_units"),
+      coalesce(sum(when(col(convCol), 1L)), lit(0L)).as("t_conv"))
+    val byScoreInBk = Window.partitionBy(col("_bk"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val tiled = bucketed
+      .join(broadcast(offsets), "_bk")
+      .crossJoin(broadcast(totals))
+      .withColumn("r", col("_off_n") + row_number().over(byScoreInBk))
+      .withColumn("q", expr(s"t_units div $tiles"))
+      .withColumn("rem", expr(s"t_units % $tiles"))
+      .withColumn("tile",
+        when(col("r") <= col("rem") * (col("q") + 1),
+          expr("(r + q) div (q + 1)"))
+          .otherwise(col("rem") +
+            expr("(r - rem * (q + 1) + q - 1) div q")))
       .groupBy(col("tile"))
       .agg(count(lit(1)).as("n_units"),
-        coalesce(sum(when(col(convCol), 1L)), lit(0L)).as("n_conv"))
-    val totals = tiled.agg(sum(col("n_units")).as("t_units"),
-      sum(col("n_conv")).as("t_conv"))
+        coalesce(sum(when(col(convCol), 1L)), lit(0L)).as("n_conv"),
+        max(col("t_units")).as("t_units"),
+        max(col("t_conv")).as("t_conv"))
+      .localCheckpoint(true)
     tiled
-      .crossJoin(broadcast(totals))
-      .withColumn("cum_units", sum(col("n_units")).over(byTile))
-      .withColumn("cum_conv", sum(col("n_conv")).over(byTile))
+      .join(broadcast(tiled.select(col("tile").as("t2"),
+          col("n_units").as("nu2"), col("n_conv").as("nc2"))),
+        col("t2") <= col("tile"))
+      .groupBy(col("tile"))
+      .agg(max(col("n_units")).as("n_units"),
+        max(col("n_conv")).as("n_conv"),
+        sum(col("nu2")).as("cum_units"), sum(col("nc2")).as("cum_conv"),
+        max(col("t_units")).as("t_units"),
+        max(col("t_conv")).as("t_conv"))
       .select(col("tile"), col("n_units"), col("n_conv"),
         col("cum_units"), col("cum_conv"),
         when(col("t_conv") > 0,
@@ -1210,25 +1287,33 @@ object StatsOps {
    * buckets only — imputing absent periods as zero demand is a
    * gap-fill decision (q76), not a classifier default.
    *
-   * Shape: facts reduce to (item, bucket, v) upstream; here one
-   * (item) aggregate + ONE global-order window over the |items| frame
-   * — the q124-skyline model-size boundary, documented: items are a
-   * catalog (10⁴–10⁷), not facts; a 10⁹-item catalog would switch the
-   * cumsum to q128's bucket-prefix machinery.
+   * Shape: facts reduce to (item, bucket, v) upstream; the cumulative
+   * revenue share is then fully DISTRIBUTED via
+   * [[bucketPrefixOffsets]] — items bucket by revenue range, the
+   * running sum is a per-bucket window plus a broadcast prefix
+   * offset, and no single-partition window exists anywhere in the
+   * plan (the decomposition the r9 verdict asked to wire under the
+   * q124 model-size boundary; a 10⁹-item catalog now just raises
+   * nBuckets).
    */
   def abcXyz(buckets: DataFrame, itemCol: String, valueCol: String,
-      aPpm: Long, bPpm: Long, xCv2Ppm: Long, yCv2Ppm: Long): DataFrame = {
+      aPpm: Long, bPpm: Long, xCv2Ppm: Long, yCv2Ppm: Long,
+      nBuckets: Int = 256): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val per = buckets.groupBy(col(itemCol))
       .agg(count(lit(1)).as("n"),
         sum(dec(col(valueCol))).as("sv"),
         sum(dec(col(valueCol)) * dec(col(valueCol))).as("svv"))
-    val total = per.agg(sum(col("sv")).as("tot"))
-    val byRev = Window.orderBy(col("sv").desc, col(itemCol))
+    val (bucketed, offsets) = bucketPrefixOffsets(
+      per.withColumn("_v", col("sv")), nBuckets)
+    val total = bucketed.agg(sum(col("sv")).as("tot"))
+    val byRevInBk = Window.partitionBy(col("_bk"))
+      .orderBy(col("sv").desc, col(itemCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per
+    bucketed
+      .join(broadcast(offsets), "_bk")
       .crossJoin(broadcast(total))
-      .withColumn("cum", sum(col("sv")).over(byRev))
+      .withColumn("cum", col("_off_s") + sum(col("sv")).over(byRevInBk))
       .select(col(itemCol),
         col("sv").cast("long").as("revenue"),
         expr("(cum * 1000000) div tot").as("cum_ppm"),

@@ -2878,9 +2878,11 @@ object AnalyticsQueries {
     // cv² = (n·Σv² − (Σv)²)/(Σv)² in floor ppm; the AZ cross
     // (high-revenue, unforecastable) is the segment naive per-revenue
     // planning mishandles. Facts reduce to (part, 30-day bucket, Σ)
-    // first; the ONE global-order cumsum window runs on the catalog-
-    // sized frame (the q124 model-size boundary, q128's bucket-prefix
-    // machinery being the 10⁹-item path).
+    // first; the cumulative-revenue cumsum is fully DISTRIBUTED via
+    // StatsOps.bucketPrefixOffsets (r10: the q128 bucket-prefix
+    // machinery wired under the classifier — per-bucket windows plus
+    // triangular broadcast offsets, no single-partition window
+    // anywhere; pinned in PlanAuditSpec).
     // ------------------------------------------------------------------
     "q171_abc_xyz" -> GraftQuery(
       build = (s, d) => {
@@ -3075,9 +3077,11 @@ object AnalyticsQueries {
     // 10× the outcome count plus deterministic id-noise — the chart
     // must recover the skill as top-decile lift ≫ 10⁶ decaying to 10⁶.
     // Conversion = ≥ 9 post-cut purchases (~28% base rate). Exact
-    // cross-multiplied capture/lift ratios on decimal128; ntile over
-    // the total (score desc, user) order on the per-user frame (the
-    // q124/q171 model-size boundary).
+    // cross-multiplied capture/lift ratios on decimal128; the ntile
+    // assignment over the total (score desc, user) order is computed
+    // DISTRIBUTED (r10): bucket-prefix exact global ranks + the
+    // closed-form ntile arithmetic — no single-partition window
+    // anywhere (pinned in PlanAuditSpec).
     // ------------------------------------------------------------------
     "q174_cumulative_gains" -> GraftQuery(
       build = (s, d) => {

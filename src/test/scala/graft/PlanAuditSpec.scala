@@ -49,13 +49,16 @@ class PlanAuditSpec extends SparkSuite {
       // the 5-row stratum-moments frame (q135's machinery under a
       // single allocation pool) — model-sized, never data
       "q168_neyman_sample",
-      // q171's nested loop is the 1-row catalog-total broadcast the
-      // cumulative share divides by — the q71/q94 shape
+      // q171's nested loops are the 1-row catalog-total broadcast the
+      // cumulative share divides by (q71/q94 shape) plus the r10
+      // bucket-prefix triangular join — ≤ nBuckets-row count tables
+      // against each other, never data
       "q171_abc_xyz",
       // q173/q174's nested loops are 1-row broadcasts (pooled θ/x̄,
-      // tile totals); q175's are the bucket-marginal grid (≤ histogram
-      // cardinality) and the 1-row corpus total — model-sized, never
-      // data
+      // tile totals), q174's bucket-prefix + tile-cumsum triangular
+      // joins (≤ nBuckets / ≤ tiles rows); q175's are the
+      // bucket-marginal grid (≤ histogram cardinality) and the 1-row
+      // corpus total — model-sized, never data
       "q173_cuped", "q174_cumulative_gains", "q175_source_drift_tv",
       // q177's nested loop is the 1-row corpus-total broadcast under
       // the region-share ratio — the q71/q94 shape
@@ -337,5 +340,53 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(globals.isEmpty, s"global window in cadence plan:\n${qe.executedPlan}")
     assert(!qe.executedPlan.toString.contains("Join"), "cadence grew a join")
+  }
+
+  test("q171/q174: NO single-partition window in any executed plan — " +
+      "checkpoint segments included (r9 verdict #1)") {
+    // bucketPrefixOffsets localCheckpoints its reduced frames, which
+    // truncates the final df's lineage — so auditing only
+    // df.queryExecution would miss the segments where the old global
+    // windows used to live. Dataset.checkpoint runs through
+    // withAction, so a QueryExecutionListener sees EVERY segment's
+    // plan; delivery is async, hence the bounded poll for the final
+    // collect's plan before auditing the snapshot.
+    import scala.collection.mutable
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    for (name <- Seq("q171_abc_xyz", "q174_cumulative_gains")) {
+      val plans = mutable.ArrayBuffer.empty[(String, SparkPlan)]
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          plans.synchronized { plans += ((funcName, qe.sparkPlan)) }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        SparkEntry.queries(name)(spark, sf()).collect()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline &&
+            !plans.synchronized(plans.exists(_._1 == "collect")))
+          Thread.sleep(50)
+        val snap = plans.synchronized(plans.toVector)
+        assert(snap.exists(_._1 == "localCheckpoint"),
+          s"$name: expected checkpoint segments in ${snap.map(_._1)}")
+        val wins = snap.flatMap { case (fn, p) =>
+          p.collect {
+            case w: WindowExec => (fn, w.partitionSpec)
+            case w: WindowGroupLimitExec => (fn, w.partitionSpec)
+          }
+        }
+        assert(wins.nonEmpty,
+          s"$name: expected per-bucket windows somewhere in the segments")
+        wins.foreach { case (fn, ps) =>
+          assert(ps.nonEmpty,
+            s"$name plans a single-partition global window (in $fn segment)")
+        }
+      } finally spark.listenerManager.unregister(listener)
+    }
   }
 }
