@@ -38,7 +38,10 @@ object CoverageOps {
       .distinct()
       .localCheckpoint(true)
     var covered = bi.select(col("e")).filter(lit(false)).localCheckpoint(true)
-    var picks = Vector.empty[(Long, String, Long, Long)]
+    // picks keep the RAW set-id value: stringifying it would silently
+    // retype the output column and push the !isin exclusion through
+    // implicit string casts for non-string set columns
+    var picks = Vector.empty[(Long, Any, Long, Long)]
     var cumulative = 0L
     var exhausted = false
     for (step <- 1 to k if !exhausted) {
@@ -52,7 +55,7 @@ object CoverageOps {
       if (chosen.isEmpty) exhausted = true
       else {
         val row = chosen(0)
-        val (s, marginal) = (row.get(0).toString, row.getLong(1))
+        val (s, marginal) = (row.get(0), row.getLong(1))
         cumulative += marginal
         picks :+= ((step.toLong, s, marginal, cumulative))
         covered = covered
@@ -61,7 +64,15 @@ object CoverageOps {
           .localCheckpoint(true)
       }
     }
-    import spark.implicits._
-    picks.toDF("step", setCol, "marginal_covered", "cumulative_covered")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField(setCol, df.schema(setCol).dataType),
+      StructField("marginal_covered", LongType, nullable = false),
+      StructField("cumulative_covered", LongType, nullable = false)))
+    spark.createDataFrame(
+      picks.map { case (st, s, m, c) => Row(st, s, m, c) }.asJava, schema)
   }
 }

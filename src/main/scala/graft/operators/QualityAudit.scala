@@ -152,11 +152,16 @@ object QualityAudit {
         .agg(count(lit(1)).as("n_ab"))
         .groupBy(col("__a"))
         .agg(sum(col("n_ab")).as("n_a"), max(col("n_ab")).as("mx"))
-        .agg(count(lit(1)).as("n_groups"), sum(col("n_a")).as("n"),
-          sum(col("mx")).as("keep"))
+        // coalesce + guarded div: an EMPTY staged batch must report
+        // clean (violation_ppm 0, holds_exactly true) per the file
+        // convention, not null counts from sum-over-zero-rows
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(col("n_a")), lit(0L)).as("n"),
+          coalesce(sum(col("mx")), lit(0L)).as("keep"))
         .select(lit(a).as("determinant"), lit(b).as("dependent"),
           col("n_groups"),
-          expr("(1000000L * (n - keep)) div n").as("violation_ppm"))
+          when(col("n") > 0, expr("(1000000L * (n - keep)) div n"))
+            .otherwise(lit(0L)).as("violation_ppm"))
     }
     pairs.reduce(_ unionByName _)
       .withColumn("holds_exactly", col("violation_ppm") === 0L)

@@ -863,7 +863,10 @@ object StatsOps {
         struct(lit(l).cast("long").as("lag"), col(s"y$l").as("y"))): _*))
         .as("p"))
       .select(col(group), col("p.lag").as("lag"), col("x"), col("p.y").as("y"))
-      .filter(col("y").isNotNull)
+      // both sides must drop nulls: a null x would still count into n
+      // via count(lit(1)) while the decimal sums skip it, silently
+      // corrupting the co-moments (|acf| could exceed 1)
+      .filter(col("y").isNotNull && col("x").isNotNull)
     long
       .groupBy(col(group), col("lag"))
       .agg(
@@ -1029,8 +1032,10 @@ object StatsOps {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val lags = (-maxLag to maxLag).map(l => lit(l.toLong))
     val xs = aligned.select(col(periodCol).as("p"), col(xCol).as("x"))
+      .filter(col("x").isNotNull)
       .select(col("p"), col("x"), explode(array(lags: _*)).as("lag"))
     val ys = aligned.select(col(periodCol).as("py"), col(yCol).as("y"))
+      .filter(col("y").isNotNull)
     xs.join(ys, col("p") + col("lag") === col("py"))
       .groupBy(col("lag"))
       .agg(
@@ -1086,7 +1091,10 @@ object StatsOps {
             "pmod(1000 * (pn * psxy - psx * psy), pn * psxx - psx * psx))" +
             " div (pn * psxx - psx * psx)")).otherwise(lit(0L))
           .as("theta_milli"),
-        TemporalOps.floorDiv(col("psx").cast("long"), col("pn").cast("long"))
+        // x̄ stays in decimal — a long cast of psx would silently null
+        // past ±2⁶³ and null every y_adj; the quotient (a mean of
+        // long-ranged x) always fits the div's long result
+        TemporalOps.floorDiv(col("psx"), col("pn").cast("decimal(38,0)"))
           .as("x_bar"))
     units
       .crossJoin(broadcast(pooled))
@@ -1105,9 +1113,14 @@ object StatsOps {
       .select(col(armCol), col("n"), col("theta_milli"),
         TemporalOps.floorDiv(col("sum_y"), col("n")).as("raw_mean"),
         TemporalOps.floorDiv(col("sum_adj"), col("n")).as("adj_mean_milli"),
-        when(expr("n * syy_m - (1000 * sum_y) * cast(1000 * sum_y as decimal(38,0))") =!= 0,
+        // 1000·sum_y squares in decimal128 from the first multiply — a
+        // plain long 1000*sum_y wraps past sum_y ≈ 9.2·10¹⁵ (cents at
+        // 100 TB reach that) before the decimal cast could save it
+        when(expr("n * syy_m - (1000 * cast(sum_y as decimal(38,0))) * " +
+            "(1000 * cast(sum_y as decimal(38,0)))") =!= 0,
           expr("((n * saa - cast(sum_adj as decimal(38,0)) * sum_adj) * 1000000) div " +
-            "(n * syy_m - cast(1000 * sum_y as decimal(38,0)) * (1000 * sum_y))"))
+            "(n * syy_m - (1000 * cast(sum_y as decimal(38,0))) * " +
+            "(1000 * cast(sum_y as decimal(38,0))))"))
           .as("var_ratio_ppm"))
   }
 

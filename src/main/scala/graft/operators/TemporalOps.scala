@@ -869,7 +869,10 @@ object TemporalOps {
   def seasonalIndex(daily: DataFrame, group: String, dayCol: String,
       valueCol: String): DataFrame = {
     val byDow = daily
-      .groupBy(col(group), ((col(dayCol) + 3) % 7).as("dow"))
+      // pmod, not %: for pre-1970 (negative) epoch days both engines'
+      // % returns negative remainders, silently widening the
+      // documented 0=Monday 7-value grid to 13 buckets
+      .groupBy(col(group), pmod(col(dayCol) + 3, lit(7)).as("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col(valueCol)).as("sum_v"))
     val byGrp = Window.partitionBy(col(group))
     byDow

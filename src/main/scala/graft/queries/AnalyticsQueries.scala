@@ -2452,7 +2452,7 @@ object AnalyticsQueries {
             CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
               AS BIGINT) AS v
           FROM events GROUP BY 1, 2),
-        d2 AS (SELECT grp, (day + 3) % 7 AS dow,
+        d2 AS (SELECT grp, ((day + 3) % 7 + 7) % 7 AS dow,
             CAST(count(*) AS BIGINT) AS n_days,
             CAST(sum(v) AS BIGINT) AS sum_v
           FROM daily GROUP BY 1, 2),
@@ -2952,7 +2952,7 @@ object AnalyticsQueries {
         val adj = daily
           .join(broadcast(idx),
             col("grp") === col("ig") &&
-              ((col("day") + 3) % 7) === col("idow"))
+              pmod(col("day") + 3, lit(7)) === col("idow"))
           .select(col("grp"), col("day"), col("v_amp"),
             expr("(v_amp * 1000000L) div index_ppm").as("adj"))
         StatsOps.zscoreFlags(adj, "grp", "adj", DeseasZk)
@@ -2969,7 +2969,7 @@ object AnalyticsQueries {
               (CASE WHEN day % $DeseasSpikeMod = 0
                 THEN $DeseasSpikeFactor ELSE 1 END) AS v_amp
           FROM daily),
-        d2 AS (SELECT grp, (day + 3) % 7 AS dow,
+        d2 AS (SELECT grp, ((day + 3) % 7 + 7) % 7 AS dow,
             CAST(count(*) AS BIGINT) AS n_days,
             CAST(sum(v_amp) AS BIGINT) AS sum_v
           FROM amp GROUP BY 1, 2),
@@ -2984,7 +2984,7 @@ object AnalyticsQueries {
         adj AS (SELECT a.grp AS grp, day, v_amp,
             (v_amp * 1000000) // index_ppm AS adj
           FROM amp a JOIN idx i
-            ON a.grp = i.grp AND (a.day + 3) % 7 = i.dow),
+            ON a.grp = i.grp AND ((a.day + 3) % 7 + 7) % 7 = i.dow),
         st AS (SELECT grp, CAST(count(*) AS HUGEINT) AS zn,
             sum(CAST(adj AS HUGEINT)) AS zs,
             sum(CAST(adj AS HUGEINT) * adj) AS zss

@@ -517,7 +517,7 @@ object StatefulOps {
 
   /** The flush sentinel: a row whose item equals this string makes the
     * processor emit its current summary instead of counting. */
-  val SsFlushItem = " flush"
+  val SsFlushItem = "\u0000flush"
 
   /**
    * Streaming SpaceSaving heavy hitters (Metwally 2005) — the frequent-
