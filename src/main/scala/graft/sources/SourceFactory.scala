@@ -130,7 +130,8 @@ object SourceFactory {
       .as("payload"),
     receivedAtMillis.as("received_at"))
 
-  private[sources] def pulsarConnectorAvailable(spark: SparkSession): Boolean =
-    try { Class.forName(PulsarSourceClass); true }
+  private[sources] def pulsarConnectorAvailable(spark: SparkSession,
+      providerClass: String = PulsarSourceClass): Boolean =
+    try { Class.forName(providerClass); true }
     catch { case _: ClassNotFoundException => false }
 }

