@@ -51,11 +51,19 @@ object SkewOps {
    * EXACT duplicate rows share a salt, which only forfeits spread, not
    * correctness (and identical-row floods are dedup's job upstream).
    */
+  /** THE routing salt — deterministic full-row hash mod `salts`,
+    * shared by [[saltedJoin]] and [[saltedAggregate]] and exposed so
+    * the spec asserts spread on the operator's OWN routing (an
+    * assertion against a re-derived salt proves nothing if the
+    * formulas drift). */
+  private[graft] def rowSalt(df: DataFrame,
+      salts: Int): org.apache.spark.sql.Column =
+    pmod(hash(df.columns.map(col): _*), lit(salts)).cast(IntegerType)
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)).cast(IntegerType))
+    val l = left.withColumn("__salt", rowSalt(left, salts))
     val r = right.withColumn("__salt",
       explode(typedlit((0 until salts).toArray)))
     l.join(r, Seq(key, "__salt")).drop("__salt")
@@ -89,8 +97,7 @@ object SkewOps {
     require(salts > 0, s"salts must be positive, got $salts")
     require(partial.nonEmpty && merge.nonEmpty, "need aggregates for both phases")
     // deterministic full-row hash salt, same rationale as saltedJoin
-    df.withColumn("__salt",
-        pmod(hash(df.columns.map(col): _*), lit(salts)).cast(IntegerType))
+    df.withColumn("__salt", rowSalt(df, salts))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

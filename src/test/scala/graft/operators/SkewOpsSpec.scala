@@ -23,13 +23,23 @@ class SkewOpsSpec extends SparkSuite {
     assert(plain.count(_.getLong(0) == 1L) === 1000)
   }
 
-  test("the hot key's probe rows actually spread across salt values") {
+  test("the hot key's probe rows spread across salt values under the " +
+      "operator's OWN routing salt (r9 verdict #2)") {
+    // SkewOps.rowSalt IS the expression saltedJoin routes by — not a
+    // spec-side re-derivation that could drift from the implementation
     val salts = 8
     val l = skewedLeft.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      SkewOps.rowSalt(skewedLeft, salts))
     val spread = l.filter(col("k") === 1).select(countDistinct(col("__salt")))
       .head().getLong(0)
     assert(spread === salts.toLong, s"hot key uses only $spread of $salts salts")
+    // and every salt partition carries build rows: the build side
+    // replicates once per salt by construction
+    val buildSpread = right.withColumn("__salt",
+        explode(typedlit((0 until salts).toArray)))
+      .filter(col("k") === 1).select(countDistinct(col("__salt")))
+      .head().getLong(0)
+    assert(buildSpread === salts.toLong)
   }
 
   test("non-positive salts rejected") {
@@ -82,10 +92,10 @@ class SkewOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
     assert(got(1L) === 400L)
-    // the phase-1 frame really fans the hot key out across salts: its
-    // buffering merge runs as 8 parallel bounded sets, not one reducer
-    val phase1Groups = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(8L)))
+    // the phase-1 frame really fans the hot key out across salts UNDER
+    // THE OPERATOR'S OWN SALT: its buffering merge runs as 8 parallel
+    // bounded sets, not one reducer
+    val phase1Groups = df.withColumn("__salt", SkewOps.rowSalt(df, 8))
       .filter(col("k") === 1)
       .select(countDistinct(col("__salt"))).head().getLong(0)
     assert(phase1Groups === 8L)
@@ -130,6 +140,30 @@ class SkewOpsSpec extends SparkSuite {
       // the FINAL adaptive plan replanned the join as a skew join
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true") || plan.contains("skewed"), plan)
+      // and the runtime skew-split METRIC fired (r9 verdict #2): at
+      // least one AQEShuffleRead reports a skewed partition it split
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // QueryStageExec is a LEAF to TreeNode traversal — descend into
+      // each stage's wrapped plan by hand
+      def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+        val through = p match {
+          case q: QueryStageExec => q.plan +: p.children
+          case _ => p.children
+        }
+        p +: through.flatMap(collectAll)
+      }
+      val skewSplits = collectAll(finalPlan).collect {
+        case r: AQEShuffleReadExec
+            if r.metrics.contains("numSkewedPartitions") =>
+          r.metrics("numSkewedPartitions").value
+      }
+      assert(skewSplits.exists(_ >= 1L),
+        s"no AQEShuffleRead reported a skewed partition: $skewSplits\n$finalPlan")
       // and the hot key's 20000 rows no longer sit in one partition.
       // Partition sizes come from the dataset's OWN finalized plan (a
       // groupBy(spark_partition_id) probe would be a fresh
