@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Seeded differential fuzz against the REAL DuckDB oracle (r9 verdict #3).
+
+The per-round driver gate runs every query against DuckDB on ONE
+driver-generated fixture; this script re-runs the SAME operator-vs-oracle
+compare on seeded random SUBSAMPLES of that fixture, so fixture-shaped
+constants (the k-core k=80->68 class) and distribution-dependent branches
+get exercised on inputs the fixtures never produce (sparser graphs, empty
+groups, missing keys, broken join coverage). Complements
+DifferentialFuzzSpec (operator vs independent naive Scala reference in
+`sbt test`): here the reference is DuckDB itself, end to end.
+
+Usage:
+    python3 scripts/diff_fuzz.py <seed> [--sf /root/testdata/sf0.001] \
+        [--only q150,q157] [--keep]
+
+Per seed: each parquet table is reservoir-sampled at a seeded rate in
+[0.4, 0.9] (REPEATABLE, so reruns are identical) into /tmp/difffuzz_<seed>/,
+graft.Verify runs over it, and scripts/oracle_check.py compares every
+query against DuckDB on the same subsampled tables. Exit 0 iff the gate
+passes. Empty-vs-empty agreements are fine (the check is agreement, not
+coverage); a query that ERRORS on a subsample is a robustness finding.
+"""
+import argparse
+import pathlib
+import random
+import shutil
+import subprocess
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+# tiny dimension tables anchor referential joins — never subsample them
+KEEP_WHOLE = {"region", "nation"}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("seed", type=int)
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query-name prefixes")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the subsampled tables on disk")
+    args = ap.parse_args()
+
+    rnd = random.Random(args.seed)
+    fuzz_dir = pathlib.Path(f"/tmp/difffuzz_{args.seed}")
+    out_dir = pathlib.Path(f"/tmp/difffuzz_out_{args.seed}")
+    for d in (fuzz_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        d.mkdir(parents=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{args.sf}/{t}.parquet"
+        dst = fuzz_dir / f"{t}.parquet"
+        if t in KEEP_WHOLE:
+            shutil.copy(src, dst)
+            continue
+        pct = 40 + rnd.randrange(51)  # 40..90%
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') USING SAMPLE "
+            f"reservoir({pct}%) REPEATABLE ({args.seed})) TO '{dst}' "
+            f"(FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"[fuzz] {t}: {pct}% -> {n} rows")
+
+    verify_args = f"/runMain graft.Verify {fuzz_dir} {out_dir}".replace("/runMain", "runMain")
+    if args.only:
+        verify_args += f" {args.only}"
+    rc = subprocess.run(
+        ["sbt", "-batch", verify_args], cwd=pathlib.Path(__file__).parent.parent,
+    ).returncode
+    if rc != 0:
+        print(f"[fuzz] Verify failed rc={rc}")
+        return rc
+
+    rc = subprocess.run(
+        [sys.executable, str(pathlib.Path(__file__).parent / "oracle_check.py"),
+         str(fuzz_dir), str(out_dir)]).returncode
+    if not args.keep:
+        shutil.rmtree(fuzz_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    print(f"[fuzz] seed={args.seed} {'PASS' if rc == 0 else 'FAIL'}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

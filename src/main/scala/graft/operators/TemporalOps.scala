@@ -43,8 +43,16 @@ object TemporalOps {
    */
   def floorDiv(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
+    // total floor-mod, NOT pmod: Spark's pmod only corrects a negative
+    // remainder, so for a NEGATIVE divisor it picks the wrong
+    // representative (pmod(137, -2) = 1, not -1) and the quotient comes
+    // out ceil instead of floor — caught by DifferentialFuzzSpec's
+    // signed-operand sweep against Math.floorDiv. The correction is
+    // sign-agreement: r += b whenever r and b disagree in sign.
+    val r = a % b
+    val rmod = when(r =!= 0 && ((r < 0) =!= (b < 0)), r + b).otherwise(r)
     Bridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      Bridge.expression(a - pmod(a, b)), Bridge.expression(b)))
+      Bridge.expression(a - rmod), Bridge.expression(b)))
   }
 
   /**
