@@ -144,11 +144,12 @@ object VectorQueries {
           FROM q, $books),
         dar AS (SELECT query_id, list(d2 ORDER BY sub, code) AS dar
           FROM dt GROUP BY query_id),
+        nbk AS (SELECT count(*) AS ncodes FROM $books WHERE sub = 0),
         scored AS (SELECT query_id, c.vec_id AS neighbor_id,
             ${(0 until PqSubspaces).map(s =>
-              s"dar[${s * PqCodes} + c$s + 1]").mkString(" + ")}
+              s"dar[$s * ncodes + c$s + 1]").mkString(" + ")}
               AS adist
-          FROM codes c, dar WHERE c.vec_id <> query_id),
+          FROM codes c, dar, nbk WHERE c.vec_id <> query_id),
         ranked AS (SELECT query_id, neighbor_id, adist,
             CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY adist, neighbor_id) AS BIGINT) AS rnk
