@@ -29,6 +29,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
         DoubleDotProduct(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("graft_log2q20"),
+      new ExpressionInfo(classOf[Log2Q20].getName, "graft_log2q20"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_log2q20 takes 1 argument, got ${exprs.length}")
+        Log2Q20(exprs.head)
       }))
 
   /** Idempotent registration into a live session. The existence check

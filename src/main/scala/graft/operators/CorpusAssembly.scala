@@ -338,4 +338,55 @@ object CorpusAssembly {
       .select(col(stratumCol), col(idCol), col(valueCol), col("rk"),
         col("alloc"), col("neyman_w"))
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement, k per stratum — the
+   * Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006)
+   * in a fully DETERMINISTIC integer variant: the sampling mode the
+   * assembly stack lacked (q89's per-row rates are with-replacement-
+   * style; q74/q168 draw uniformly within strata). A-ES: each item
+   * takes key uᵢ^(1/wᵢ) (u uniform) and the k LARGEST keys are exactly
+   * a weighted draw without replacement. Equivalently the k SMALLEST
+   * of −ln(uᵢ)/wᵢ — and since ln = log2·ln2 and constants cancel in
+   * ranking, −log2(uᵢ)/wᵢ ranks identically.
+   *
+   * Determinism lattice (no RNG state, no floats): uᵢ = mᵢ/2⁶⁰ with
+   * mᵢ = 60-bit md5 integer of the id + 1 (the q74 reservoir hash,
+   * parsed to int); −log2(uᵢ) = (60≪20) − log2_q20(mᵢ) on the DEFINED
+   * 31-bit shift-square lattice ([[graft.functions.FixedLog]], native
+   * codegen'd expression); key = (L≪36) div w — L < 2²⁶ keeps the
+   * shifted numerator inside int64 for ANY positive weight, and Q36
+   * quantization ties break by id. Both engines run the identical
+   * integer algorithm (DuckDB: 20-step recursive CTE on BIGINT), so
+   * the SAMPLE ITSELF hash-gates — not just its size.
+   *
+   * Rows with w ≤ 0 or null are dropped (a non-positive weight has no
+   * inclusion probability); strata smaller than k return whole.
+   *
+   * Scale shape: per-row hash + O(20) integer steps inside whole-stage
+   * codegen, then ONE per-stratum rank window — WindowGroupLimit
+   * prunes to k per group map-side before the shuffle, so only
+   * ~k·|strata| rows ever move (the q74 shape with a weighted key).
+   */
+  def weightedSampleNoReplacement(df: DataFrame, stratumCol: String,
+      idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.Log2Q20
+    val m = conv(substring(
+        md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long") + 1L
+    val lg = Bridge.column(Log2Q20(Bridge.expression(m)))
+    val byKey = Window.partitionBy(col(stratumCol))
+      .orderBy(col("aes_key"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("aes_key", Bridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          Bridge.expression((lit(60L) * (1L << 20) - lg) * (1L << 36)),
+          Bridge.expression(col(weightCol)))))
+      .withColumn("rk", row_number().over(byKey).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(stratumCol), col("rk"), col(idCol), col(weightCol),
+        col("aes_key"))
+  }
 }

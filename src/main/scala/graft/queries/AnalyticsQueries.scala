@@ -260,6 +260,10 @@ object AnalyticsQueries {
     * the 48..553 n_chars span). */
   val TvBucketChars = 100L
 
+  /** q180 A-ES weighted sample: 40 customers per market segment,
+    * weighted by positive account balance. */
+  val AesK = 40
+
   /** q178 burst window: 1 h — per-type arrivals run ~2.8/h, so peaks
     * reach the informative 6–10 range at every sf. */
   val BurstWindowUs = 3600L * 1000000L
@@ -3245,6 +3249,73 @@ object AnalyticsQueries {
           (1000000 * (n - keep)) // n AS violation_ppm,
           (1000000 * (n - keep)) // n = 0 AS holds_exactly
         FROM p ORDER BY determinant, dependent"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q180 — weighted sampling WITHOUT replacement (CorpusAssembly
+    // .weightedSampleNoReplacement): Efraimidis–Spirakis A-ES, the
+    // sampling mode the assembly stack lacked (q89 is per-row rates,
+    // q74/q168 draw uniformly within strata): k customers per market
+    // segment with inclusion odds ∝ positive account balance. The key
+    // −log2(u)/w is computed on a DEFINED integer lattice — u from the
+    // q74 md5 hash, log2 in Q20 fixed point via the native Log2Q20
+    // expression's 31-bit shift-square algorithm, ratio in Q36 — so
+    // BOTH engines produce the identical sample, not just the same
+    // sample SIZE (the oracle replays the lattice with a 20-step
+    // recursive CTE on plain BIGINTs). Negative/zero balances dropped
+    // (no inclusion probability); WindowGroupLimit prunes to k per
+    // segment map-side.
+    // ------------------------------------------------------------------
+    "q180_aes_weighted_sample" -> GraftQuery(
+      build = (s, d) => {
+        val base = customer(s, d).select(
+          col("c_mktsegment").as("stratum"), col("c_custkey"),
+          cents(col("c_acctbal")).as("w"))
+        graft.operators.CorpusAssembly.weightedSampleNoReplacement(
+            base, "stratum", "c_custkey", "w", AesK)
+          .orderBy("stratum", "rk")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE base AS (SELECT c_mktsegment AS stratum, c_custkey,
+            CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) AS w
+          FROM customer),
+        pos AS (SELECT * FROM base WHERE w > 0),
+        h AS (SELECT stratum, c_custkey, w,
+            CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) + 1 AS m
+          FROM pos),
+        n0 AS (SELECT stratum, c_custkey, w, m,
+            length(bin(m)) - 1 AS hb FROM h),
+        mant AS (SELECT stratum, c_custkey, w, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM n0),
+        lg AS (
+          SELECT stratum, c_custkey, w, hb, x, 0 AS i,
+            CAST(0 AS BIGINT) AS frac
+          FROM mant
+          UNION ALL
+          SELECT stratum, c_custkey, w, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            i + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lg WHERE i < 20),
+        keyed AS (SELECT stratum, c_custkey, w,
+            CAST((((60 << 20) - ((hb << 20) + frac)) << 36) // w
+              AS BIGINT) AS aes_key
+          FROM lg WHERE i = 20),
+        r AS (SELECT stratum, c_custkey, w, aes_key,
+            CAST(row_number() OVER (PARTITION BY stratum
+              ORDER BY aes_key, c_custkey) AS BIGINT) AS rk
+          FROM keyed)
+        SELECT stratum, rk, c_custkey, w, aes_key
+        FROM r WHERE rk <= $AesK ORDER BY stratum, rk""")),
+
+    // recursive-CTE note for q180: `lg` is LINEAR recursion (the
+    // recursive term references lg once), so no MATERIALIZED guard is
+    // needed — each of the 20 steps runs once per row, exactly like the
+    // native expression's loop.
   )
 }

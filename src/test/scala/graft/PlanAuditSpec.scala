@@ -342,6 +342,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(!qe.executedPlan.toString.contains("Join"), "cadence grew a join")
   }
 
+  /** Queries whose plans carry a DELIBERATE unpartitioned window, each
+    * over a bounded or pre-pruned frame (audited in their SURVEY §2
+    * rows): q104's drift χ² windows over the histogram-bucket frame
+    * (≤ bucket-cardinality rows); q124's exact skyline pass runs over
+    * the bucket-PRUNED survivor set (the distributed pre-prune is the
+    * guard, double-checked in its own spec); q128's running offsets
+    * window over the tier×bucket count table; q129's cumulative counts
+    * over the ≤-buckets-row merged histogram state; q168's
+    * largest-remainder proration ranks the 5-row stratum-moment frame
+    * (its single-pool literal partition key constant-folds away, which
+    * is WHY it reads as unpartitioned); q87's PQ codebook ranks the
+    * ≤-PqCodes seed sample. Everything else must partition every
+    * window — the q171/q174 single-partition defect class stays dead
+    * registry-wide. */
+  private val allowedGlobalWindow: Set[String] =
+    Set("q104_histogram_drift", "q124_pareto_frontier",
+      "q128_curriculum_order", "q129_ivm_quantile", "q168_neyman_sample",
+      "q87_pq_adc_topk")
+
+  test("registry-wide: unpartitioned windows only where deliberate " +
+      "(bounded or pre-pruned frames)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val globals = fn(spark, sf()).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty && !allowedGlobalWindow(name)) Some(name)
+        else if (globals.isEmpty && allowedGlobalWindow(name))
+          Some(s"$name (allowlisted but clean — remove)")
+        else None
+    }
+    assert(offenders.isEmpty, s"global-window audit: $offenders")
+  }
+
   test("q171/q174: NO single-partition window in any executed plan — " +
       "checkpoint segments included (r9 verdict #1)") {
     // bucketPrefixOffsets localCheckpoints its reduced frames, which
