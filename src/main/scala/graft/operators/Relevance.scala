@@ -258,4 +258,40 @@ object Relevance {
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) — the
+   * standard hybrid-retrieval merge: two rankers' top lists combine by
+   * RRF(d) = Σ_lists 1/(K + rank_d), which rewards documents BOTH
+   * rankers surface without ever comparing their incommensurable
+   * scores (BM25 milli-units vs a frequency count vs a cosine — the
+   * exact situation a lexical + semantic stack is in). K = 60 is the
+   * canonical damping.
+   *
+   * Integer lattice: each contribution is ⌊scale/(K + rank)⌋ on longs —
+   * ranks are small integers, so the floor loses < 1 part in 10⁷ of
+   * the scale and both engines compute the identical sum (a float
+   * 1/(K+r) sum would be association-order-dependent). `n_lists` (how
+   * many rankers surfaced the doc) rides along — the consensus
+   * diagnostic a fusion dashboard wants.
+   *
+   * Inputs are the two BOUNDED ranked frames (keyCol, idCol, rnk) —
+   * ≤ depth rows per key each — so the union, the (key, id) aggregate
+   * and the top-k window all run on ranker-output-sized frames, never
+   * the corpus: fusion cost is independent of corpus size by
+   * construction.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, keyCol: String, idCol: String,
+      k: Int, rrfK: Int = 60, scale: Long = 1000000000L): DataFrame = {
+    require(k >= 1 && rrfK >= 0 && scale > 0)
+    def contrib(df: DataFrame) = df.select(col(keyCol), col(idCol),
+      expr(s"$scale div ($rrfK + rnk)").as("c"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("rrf").desc, col(idCol))
+    contrib(a).unionByName(contrib(b))
+      .groupBy(col(keyCol), col(idCol))
+      .agg(sum(col("c")).as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
 }

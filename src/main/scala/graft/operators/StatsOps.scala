@@ -1400,4 +1400,58 @@ object StatsOps {
         when(col("n") > 1, expr("(1000000L * (rk - 1)) div (n - 1)"))
           .as("cdf_ppm"))
   }
+
+  /**
+   * Cohen's κ inter-annotator agreement per group — the label-quality
+   * gate every human- or model-annotated training set needs before its
+   * labels are trusted: raw agreement overstates quality whenever the
+   * label distribution is skewed (two raters stamping "ok" on 95% of
+   * rows agree 90%+ by luck alone); κ subtracts exactly that
+   * chance-agreement floor. κ = (p_o − p_e)/(1 − p_e) with
+   * p_e = Σ_k r_k·c_k / n² — in the common-denominator integer form
+   *
+   *   κ_ppm = ⌊10⁶ · (n·agree − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k)⌋
+   *
+   * on decimal128 (n·agree and n² stay exact at any corpus size; κ can
+   * be NEGATIVE — worse than chance — so the division is the total
+   * [[TemporalOps.floorDiv]], oracle-matched by the pmod identity).
+   * Degenerate groups (n² = Σ r_k·c_k: both raters constant) null κ —
+   * there is no chance floor to beat. NULL labels are a real category
+   * (an abstaining rater), handled null-safe end to end.
+   *
+   * Shape: ONE (group, label_a, label_b) confusion-matrix aggregate —
+   * map-side-combined, output |groups|·|labels|² rows, the only pass
+   * over data — localCheckpoint'ed and reduced three ways (totals, row
+   * marginals, column marginals); the marginal join runs on
+   * label-cardinality frames. Facts never shuffle twice.
+   */
+  def cohenKappa(df: DataFrame, group: String, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .groupBy(col(group).as("g"), col(aCol).as("la"), col(bCol).as("lb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+    val tot = cells.groupBy(col("g"))
+      .agg(sum(col("n_ab")).as("n"),
+        coalesce(sum(when(col("la") <=> col("lb"), col("n_ab"))), lit(0L))
+          .as("agree"))
+    val ra = cells.groupBy(col("g").as("gr"), col("la").as("k"))
+      .agg(sum(col("n_ab")).as("r_k"))
+    val cb = cells.groupBy(col("g").as("gc"), col("lb").as("k2"))
+      .agg(sum(col("n_ab")).as("c_k"))
+    val pe = ra
+      .join(cb, col("gr") === col("gc") && col("k") <=> col("k2"))
+      .groupBy(col("gr"))
+      .agg(sum(dec(col("r_k")) * dec(col("c_k"))).as("pe"))
+    tot
+      .join(pe, col("g") === col("gr"), "left")
+      .withColumn("pe", coalesce(col("pe"), lit(0L).cast("decimal(38,0)")))
+      .select(col("g"), col("n"), col("agree"),
+        when(dec(col("n")) * col("n") =!= col("pe"),
+          TemporalOps.floorDiv(
+            (dec(col("n")) * col("agree") - col("pe")) * 1000000L,
+            dec(col("n")) * col("n") - col("pe")))
+          .as("kappa_ppm"))
+  }
 }

@@ -264,6 +264,12 @@ object AnalyticsQueries {
     * weighted by positive account balance. */
   val AesK = 40
 
+  /** q183 κ fixture: $100 value bands clamped to 0..4; annotator B
+    * misfiles every 7th event one band up and abstains (null) on every
+    * 13th — κ must land well below raw agreement but far above 0. */
+  val KappaBandCents = 1000000L
+  val KappaMaxBand = 4L
+
   /** q178 burst window: 1 h — per-type arrivals run ~2.8/h, so peaks
     * reach the informative 6–10 range at every sf. */
   val BurstWindowUs = 3600L * 1000000L
@@ -3317,5 +3323,68 @@ object AnalyticsQueries {
     // recursive term references lg once), so no MATERIALIZED guard is
     // needed — each of the 20 steps runs once per row, exactly like the
     // native expression's loop.
+
+    // ------------------------------------------------------------------
+    // q183 — Cohen's κ inter-annotator agreement (StatsOps.cohenKappa):
+    // the label-quality gate for annotated training data — raw
+    // agreement overstates quality under label skew (two raters
+    // stamping the majority class agree by luck); κ subtracts the exact
+    // chance floor p_e = Σ r_k·c_k / n². Fixture: annotator A bands
+    // event value into $100 buckets; B misfiles every 7th event one
+    // band up and ABSTAINS (null label — a real category, null-safe end
+    // to end) on every 13th. Exact integer κ in floor ppm (κ can be
+    // negative → total floorDiv + oracle pmod identity); one
+    // confusion-matrix aggregate is the only pass over facts.
+    // ------------------------------------------------------------------
+    "q183_cohen_kappa" -> GraftQuery(
+      build = (s, d) => {
+        val lab = events(s, d).select(col("event_type").as("grp"),
+            col("event_id"),
+            least(TemporalOps.floorDiv(cents(col("value")),
+              lit(KappaBandCents)), lit(KappaMaxBand)).as("a"))
+          .withColumn("b",
+            when(col("event_id") % 13 === 0, lit(null).cast("long"))
+              .when(col("event_id") % 7 === 0,
+                least(col("a") + 1L, lit(KappaMaxBand)))
+              .otherwise(col("a")))
+        StatsOps.cohenKappa(lab, "grp", "a", "b")
+          .orderBy("g")
+      },
+      oracle = Some(s"""
+        WITH lab AS (SELECT event_type AS g, event_id,
+            least(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // $KappaBandCents, $KappaMaxBand) AS a
+          FROM events),
+        l2 AS (SELECT g, event_id, a,
+            CASE WHEN event_id % 13 = 0 THEN NULL
+              WHEN event_id % 7 = 0 THEN least(a + 1, $KappaMaxBand)
+              ELSE a END AS b
+          FROM lab),
+        cells AS (SELECT g, a, b, CAST(count(*) AS BIGINT) AS n_ab
+          FROM l2 GROUP BY 1, 2, 3),
+        tot AS (SELECT g, CAST(sum(n_ab) AS BIGINT) AS n,
+            CAST(coalesce(sum(CASE WHEN a IS NOT DISTINCT FROM b
+              THEN n_ab END), 0) AS BIGINT) AS agree
+          FROM cells GROUP BY g),
+        ra AS (SELECT g, a AS k, CAST(sum(n_ab) AS BIGINT) AS r_k
+          FROM cells GROUP BY 1, 2),
+        cb AS (SELECT g, b AS k, CAST(sum(n_ab) AS BIGINT) AS c_k
+          FROM cells GROUP BY 1, 2),
+        pe AS (SELECT ra.g AS g,
+            sum(CAST(r_k AS HUGEINT) * c_k) AS pe
+          FROM ra JOIN cb ON ra.g = cb.g
+            AND ra.k IS NOT DISTINCT FROM cb.k
+          GROUP BY 1),
+        j AS (SELECT t.g AS g, n, agree,
+            coalesce(pe, 0) AS pe,
+            (CAST(n AS HUGEINT) * agree - coalesce(pe, 0)) * 1000000
+              AS num,
+            CAST(n AS HUGEINT) * n - coalesce(pe, 0) AS den
+          FROM tot t LEFT JOIN pe ON t.g = pe.g)
+        SELECT g, n, agree,
+          CASE WHEN den <> 0 THEN
+            CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+            END AS kappa_ppm
+        FROM j ORDER BY g""")),
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -47,6 +48,53 @@ object RetrievalQueries {
   val Bm25K = 10
   val PostingCap = 8
   val IndexMinDf = 5L
+
+  /** q181 RRF fusion: ranker depth, fused top-k, canonical K = 60
+    * damping, 10⁹ contribution scale. */
+  val RrfDepth = 20
+  val RrfTopK = 10
+  val RrfDamp = 60
+  val RrfScale = 1000000000L
+
+  /** The BM25 oracle CTE chain through ranked list `r` — shared by q71
+    * (which selects it directly) and q181 (which fuses it with a
+    * second ranker), so a scoring-lattice change cannot silently gate
+    * two different formulas. */
+  private def bm25CtesSql: String = {
+    val lits = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    val M = Relevance.Milli
+    val K1 = Relevance.K1Milli
+    val B = Relevance.BMilli
+    s"""
+        WITH tok AS (SELECT doc_id, lower(t) AS term FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM documents)
+          WHERE length(t) >= ${Relevance.DefaultMinTermLen}),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+          FROM dl),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+          WHERE term IN ($lits) GROUP BY term, doc_id),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        s1 AS (SELECT t.term, t.doc_id, t.tf, x.df, l.dl, c.n_docs,
+            ($M * c.sum_dl) // c.n_docs AS avgdl_m
+          FROM tf t JOIN dl l USING (doc_id) JOIN dfx x USING (term)
+          CROSS JOIN corpus c),
+        s2 AS (SELECT *, ($M * (n_docs - df + 1)) // (df + 1) AS idf_m,
+            ${M - B} + ($B * dl * $M) // avgdl_m AS norm_m
+          FROM s1),
+        s3 AS (SELECT term, doc_id, tf, df, idf_m,
+            (tf * ${M + K1} * $M) // (tf * $M + ($K1 * norm_m) // $M) AS tfc_m
+          FROM s2),
+        s4 AS (SELECT term, doc_id, tf, df,
+            (idf_m * tfc_m) // $M AS score_m
+          FROM s3),
+        r AS (SELECT term, doc_id, tf, df, score_m,
+            CAST(row_number() OVER (PARTITION BY term
+              ORDER BY score_m DESC, doc_id) AS BIGINT) AS rnk
+          FROM s4)"""
+  }
 
   /** q97 tf-idf cosine join: corpus-relative rare-term cap (df ≤ 10% of
     * N — an absolute cap empties the feature space as N grows), idf
@@ -180,43 +228,10 @@ object RetrievalQueries {
             col("doc_id")),
           "doc_id", "text", Bm25QueryTerms, Bm25K)
           .orderBy("term", "rnk"),
-      oracle = Some {
-        val lits = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-        val M = Relevance.Milli
-        val K1 = Relevance.K1Milli
-        val B = Relevance.BMilli
-        s"""
-        WITH tok AS (SELECT doc_id, lower(t) AS term FROM (
-            SELECT doc_id,
-              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
-            FROM documents)
-          WHERE length(t) >= ${Relevance.DefaultMinTermLen}),
-        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-        corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-          FROM dl),
-        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
-          WHERE term IN ($lits) GROUP BY term, doc_id),
-        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        s1 AS (SELECT t.term, t.doc_id, t.tf, x.df, l.dl, c.n_docs,
-            ($M * c.sum_dl) // c.n_docs AS avgdl_m
-          FROM tf t JOIN dl l USING (doc_id) JOIN dfx x USING (term)
-          CROSS JOIN corpus c),
-        s2 AS (SELECT *, ($M * (n_docs - df + 1)) // (df + 1) AS idf_m,
-            ${M - B} + ($B * dl * $M) // avgdl_m AS norm_m
-          FROM s1),
-        s3 AS (SELECT term, doc_id, tf, df, idf_m,
-            (tf * ${M + K1} * $M) // (tf * $M + ($K1 * norm_m) // $M) AS tfc_m
-          FROM s2),
-        s4 AS (SELECT term, doc_id, tf, df,
-            (idf_m * tfc_m) // $M AS score_m
-          FROM s3),
-        r AS (SELECT term, doc_id, tf, df, score_m,
-            CAST(row_number() OVER (PARTITION BY term
-              ORDER BY score_m DESC, doc_id) AS BIGINT) AS rnk
-          FROM s4)
+      oracle = Some(s"""
+        $bm25CtesSql
         SELECT term, doc_id, tf, df, score_m, rnk FROM r
-        WHERE rnk <= $Bm25K ORDER BY term, rnk"""
-      }),
+        WHERE rnk <= $Bm25K ORDER BY term, rnk""")),
 
     // ------------------------------------------------------------------
     // q72 — inverted index (Relevance.invertedIndex): term → document
@@ -343,6 +358,61 @@ object RetrievalQueries {
           FROM cnt WHERE n > 0)
         SELECT phrase, doc_id, n, rnk FROM r WHERE rnk <= $PhraseTopK
         ORDER BY phrase, rnk"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q181 — reciprocal-rank fusion (Relevance.rrfFuse): the standard
+    // hybrid-retrieval merge (Cormack et al., SIGIR'09) — per query
+    // term, the BM25 top-20 fuses with a raw-frequency top-20 by
+    // RRF(d) = Σ ⌊10⁹/(60 + rank)⌋, rewarding docs BOTH rankers
+    // surface without comparing incommensurable scores. Integer
+    // contributions (a float 1/(K+r) sum is association-order-
+    // dependent); fusion runs on ranker-output-sized frames only, so
+    // its cost is corpus-size-independent. n_lists is the consensus
+    // diagnostic.
+    // ------------------------------------------------------------------
+    "q181_rrf_fusion" -> GraftQuery(
+      build = (s, d) => {
+        val docs = ScanOps.spreadSmallInput(
+          documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
+        val bm25 = Relevance
+          .bm25TopK(docs, "doc_id", "text", Bm25QueryTerms, RrfDepth)
+          .select(col("term"), col("doc_id"), col("rnk"))
+        val toks = Relevance.tokenStream(docs, "doc_id", "text")
+        val byTf = Window.partitionBy("term")
+          .orderBy(col("tf").desc, col("doc_id"))
+        val rawTf = toks
+          .filter(col("term").isin(Bm25QueryTerms: _*))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("rnk", row_number().over(byTf).cast("long"))
+          .filter(col("rnk") <= RrfDepth)
+          .select(col("term"), col("doc_id"), col("rnk"))
+        Relevance.rrfFuse(bm25, rawTf, "term", "doc_id", RrfTopK,
+            RrfDamp, RrfScale)
+          .orderBy("term", "rnk")
+      },
+      oracle = Some(s"""
+        $bm25CtesSql,
+        fa AS (SELECT term, doc_id, rnk FROM r WHERE rnk <= $RrfDepth),
+        fb AS (SELECT term, doc_id, rnk FROM (
+            SELECT term, doc_id,
+              CAST(row_number() OVER (PARTITION BY term
+                ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+            FROM tf) WHERE rnk <= $RrfDepth),
+        u AS (SELECT term, doc_id, $RrfScale // ($RrfDamp + rnk) AS c
+            FROM fa
+          UNION ALL
+          SELECT term, doc_id, $RrfScale // ($RrfDamp + rnk) FROM fb),
+        fused AS (SELECT term, doc_id, CAST(sum(c) AS BIGINT) AS rrf,
+            CAST(count(*) AS BIGINT) AS n_lists
+          FROM u GROUP BY term, doc_id),
+        rr AS (SELECT term, doc_id, rrf, n_lists,
+            CAST(row_number() OVER (PARTITION BY term
+              ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+          FROM fused)
+        SELECT term, doc_id, rrf, n_lists, rnk FROM rr
+        WHERE rnk <= $RrfTopK ORDER BY term, rnk"""))
   )
 }

@@ -880,6 +880,33 @@ object TextQueries {
           s.n_words - coalesce(bo.n_boiler, 0) * $BoilBlockWords
             AS clean_words
         FROM sz s LEFT JOIN boiler bo ON bo.doc = s.doc
-        ORDER BY doc"""))
+        ORDER BY doc""")),
+
+    // ------------------------------------------------------------------
+    // q182 — corpus manifest (QualityAudit.corpusManifest): the
+    // per-source content fingerprint a dataset release ships — doc
+    // count, char total, id range and an ORDER-INDEPENDENT additive
+    // digest Σ hash64(id:text) mod 2⁶¹ — so "same corpus, same bytes"
+    // verifies by one map-side-combined aggregate at any scale and any
+    // partitioning (no sort, no collect; two manifests diff by
+    // subtraction). 61 bits guards against accidental drift, the
+    // versioning use case — adversarial audit is a Merkle build's job.
+    // ------------------------------------------------------------------
+    "q182_corpus_manifest" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.QualityAudit.corpusManifest(
+            documents(s, d), "source", "doc_id", "text")
+          .orderBy("source"),
+      oracle = Some("""
+        WITH h AS (SELECT source, doc_id, text,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+              text), 1, 15)) AS BIGINT) AS h64
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(length(text)) AS BIGINT) AS total_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id,
+          CAST(sum(CAST(h64 AS HUGEINT)) % 2305843009213693952
+            AS BIGINT) AS digest
+        FROM h GROUP BY source ORDER BY source"""))
   )
 }

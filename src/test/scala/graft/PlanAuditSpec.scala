@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSuite {
       "q173_cuped", "q174_cumulative_gains", "q175_source_drift_tv",
       // q177's nested loop is the 1-row corpus-total broadcast under
       // the region-share ratio — the q71/q94 shape
-      "q177_share_of_parent")
+      "q177_share_of_parent",
+      // q181 embeds q71's BM25 scorer, inheriting its 1-row
+      // corpus-constants broadcast; the fusion itself is join-free
+      "q181_rrf_fusion")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

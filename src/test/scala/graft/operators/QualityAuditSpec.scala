@@ -153,4 +153,31 @@ class QualityAuditSpec extends SparkSuite {
     // a=1 maps to {p, p, null}: keep 2 of 3 ⇒ 333333 ppm
     assert(got(("a", "b")) == 333333L)
   }
+
+  test("corpusManifest: digest is order/partition independent, moves on " +
+      "any text edit AND on id swaps between identical texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha", "s"), (2L, "beta", "s"), (3L, "alpha", "s"),
+      (4L, "gamma", "t")).toDF("doc_id", "text", "source")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      QualityAudit.corpusManifest(df, "source", "doc_id", "text")
+        .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    val base = digest(docs)
+    assert(digest(docs.repartition(7)) === base)
+    assert(digest(docs.orderBy(org.apache.spark.sql.functions.col("doc_id")
+      .desc)) === base)
+    val edited = Seq((1L, "alphaX", "s"), (2L, "beta", "s"),
+      (3L, "alpha", "s"), (4L, "gamma", "t")).toDF("doc_id", "text", "source")
+    assert(digest(edited)("s") !== base("s"))
+    assert(digest(edited)("t") === base("t"))
+    // ids 1 and 3 carry IDENTICAL text — swapping them must still move
+    // the digest (the id is part of the hash input)
+    val swapped = Seq((3L, "alpha", "s"), (2L, "beta", "s"), (1L, "alpha", "s"),
+      (4L, "gamma", "t")).toDF("doc_id", "text", "source")
+    assert(digest(swapped)("s") === base("s"),
+      "identical (id,text) multiset => identical digest")
+    val crossSwap = Seq((2L, "alpha", "s"), (1L, "beta", "s"),
+      (3L, "alpha", "s"), (4L, "gamma", "t")).toDF("doc_id", "text", "source")
+    assert(digest(crossSwap)("s") !== base("s"))
+  }
 }

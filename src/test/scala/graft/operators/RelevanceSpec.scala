@@ -127,4 +127,24 @@ class RelevanceSpec extends SparkSuite {
       ("big cat", 4L) -> ((1L, 2L)),
       ("a a", 3L) -> ((3L, 1L))))
   }
+
+  test("rrfFuse: consensus docs outrank single-list docs; contributions " +
+      "are exact integer floors; n_lists counts surfacing rankers") {
+    import spark.implicits._
+    val a = Seq(("q", 10L, 1L), ("q", 11L, 2L), ("q", 12L, 3L))
+      .toDF("term", "doc_id", "rnk")
+    val b = Seq(("q", 11L, 1L), ("q", 13L, 2L), ("q", 10L, 3L))
+      .toDF("term", "doc_id", "rnk")
+    val got = Relevance.rrfFuse(a, b, "term", "doc_id", k = 10)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def c(r: Long) = 1000000000L / (60L + r)
+    // doc 10: ranks 1+3; doc 11: ranks 2+1; docs 12/13 single-list
+    assert(got(10L) == ((c(1) + c(3), 2L, 2L)))
+    assert(got(11L) == ((c(2) + c(1), 2L, 1L)))
+    assert(got(12L) == ((c(3), 1L, 4L)))
+    assert(got(13L) == ((c(2), 1L, 3L)))
+    // both consensus docs beat both single-list docs
+    assert(Set(got(10L)._3, got(11L)._3) == Set(1L, 2L))
+  }
 }

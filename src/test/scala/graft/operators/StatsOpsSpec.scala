@@ -950,4 +950,55 @@ class StatsOpsSpec extends SparkSuite {
     // neg: raw mean floor((-11)/3) = -4 (trunc would give -3)
     assert(rows("neg").getLong(7) == -4L)
   }
+
+  test("cohenKappa: perfect agreement 1e6; constant raters null; " +
+      "systematic disagreement lands below raw agreement; null labels " +
+      "are a category; matches naive BigInt reference on random frames") {
+    import spark.implicits._
+    val perfect = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 1L, 1L))
+      .toDF("grp", "a", "b")
+    assert(StatsOps.cohenKappa(perfect, "grp", "a", "b")
+      .head().getLong(3) === 1000000L)
+    val constant = (1 to 10).map(_ => ("g", 1L, 1L)).toDF("grp", "a", "b")
+    assert(StatsOps.cohenKappa(constant, "grp", "a", "b")
+      .head().isNullAt(3))
+    // anti-correlated raters: kappa strictly negative
+    val anti = Seq(("g", 1L, 2L), ("g", 2L, 1L), ("g", 1L, 2L),
+      ("g", 2L, 1L)).toDF("grp", "a", "b")
+    assert(StatsOps.cohenKappa(anti, "grp", "a", "b")
+      .head().getLong(3) < 0L)
+    // randomized differential vs a naive BigInt reference
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 50 + rnd.nextInt(50)).map { _ =>
+        ("g" + rnd.nextInt(2),
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(3).toLong),
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(3).toLong))
+      }
+      val df = rows.toDF("grp", "a", "b")
+      val got = StatsOps.cohenKappa(df, "grp", "a", "b")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long]))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val n = BigInt(rs.size)
+        val agree = BigInt(rs.count(r => r._2 == r._3))
+        val labels = (rs.map(_._2) ++ rs.map(_._3)).distinct
+        val pe = labels.map { k =>
+          BigInt(rs.count(_._2 == k)) * BigInt(rs.count(_._3 == k))
+        }.sum
+        val den = n * n - pe
+        val kappa = if (den == 0) None else {
+          val num = (n * agree - pe) * 1000000
+          // floor division on BigInt (BigInt / truncates)
+          val q = num / den
+          Some((if (num % den != 0 && (num < 0) != (den < 0)) q - 1 else q)
+            .toLong)
+        }
+        g -> ((n.toLong, agree.toLong, kappa))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
