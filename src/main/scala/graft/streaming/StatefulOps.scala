@@ -659,4 +659,76 @@ object StatefulOps {
       .transformWithState(new HistogramQuantileProcessor(lo, width,
         nBuckets, percentiles), TimeMode.None(), OutputMode.Append())
   }
+
+  final case class AesIn(k: Long, id: Long, w: Long)
+  final case class AesOut(k: Long, rk: Long, id: Long, w: Long,
+    aesKey: Long)
+  final case class AesState(entries: List[(Long, Long, Long)])
+
+  /** Flush sentinel id for [[AesSampleProcessor]] — an id no real row
+    * carries; a row with it emits the current sample. */
+  val AesFlushId: Long = Long.MinValue
+
+  /**
+   * Streaming A-ES weighted reservoir (q180's stream twin) — k items
+   * per stratum with inclusion odds ∝ weight over an UNBOUNDED feed,
+   * in exactly k state entries per key: the streaming half of
+   * Efraimidis–Spirakis, whose whole point is that "keep the k
+   * smallest keys" IS a weighted without-replacement sample. Keys come
+   * from the identical deterministic lattice as the batch operator
+   * (md5 → [[graft.functions.FixedLog.log2q20]] → Q36 ratio), so
+   * stream and batch agree BIT-FOR-BIT on the same rows — and unlike
+   * every (t, tie)-ordered twin here, the sample is ARRIVAL-ORDER
+   * INDEPENDENT by construction (min-k of a set), so no ordering
+   * contract is even needed; micro-batch splits and replays cannot
+   * move it. Rows with w ≤ 0 are dropped as in batch. An [[AesFlushId]]
+   * sentinel row emits the ranked sample (aesKey asc, id asc).
+   */
+  class AesSampleProcessor(k: Int)
+      extends StatefulProcessor[Long, AesIn, AesOut] {
+    @transient private var st: ValueState[AesState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AesState]("aes",
+        Encoders.product[AesState], TTLConfig.NONE)
+
+    private def aesKey(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val m = java.lang.Long.parseLong(hex.substring(0, 15), 16) + 1
+      ((60L << 20) - graft.functions.FixedLog.log2q20(m)) * (1L << 36) / w
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AesIn],
+        timers: TimerValues): Iterator[AesOut] = {
+      var entries: List[(Long, Long, Long)] =
+        if (st.exists()) st.get().entries else Nil
+      val out = scala.collection.mutable.ArrayBuffer[AesOut]()
+      var dirty = false
+      rows.foreach { r =>
+        if (r.id == AesFlushId) {
+          out ++= entries.sortBy(e => (e._1, e._2)).zipWithIndex.map {
+            case ((ak, id, w), i) => AesOut(key, i + 1L, id, w, ak)
+          }
+        } else if (r.w > 0) {
+          entries = ((aesKey(r.id, r.w), r.id, r.w) :: entries)
+            .sortBy(e => (e._1, e._2)).take(k)
+          dirty = true
+        }
+      }
+      if (dirty) st.update(AesState(entries))
+      out.iterator
+    }
+  }
+
+  /** [[AesSampleProcessor]] over a (k, id, w) frame. */
+  def aesSampleStream(rows: DataFrame, k: Int): Dataset[AesOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("id"), col("w"))
+      .as[AesIn]
+      .groupByKey(_.k)
+      .transformWithState(new AesSampleProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
