@@ -389,4 +389,34 @@ object CorpusAssembly {
       .select(col(stratumCol), col("rk"), col(idCol), col(weightCol),
         col("aes_key"))
   }
+
+  /**
+   * GROUP-AWARE train/val/test split — the leakage-safe assignment
+   * every supervised pipeline needs: splitting ROWS at random leaks
+   * whenever multiple rows share an entity (a user's events in train
+   * and test lets the model memorize the user, q112's audit finds
+   * exactly this), so the split key must be the GROUP: every row
+   * inherits its group's deterministic md5 band, and no group can span
+   * splits BY CONSTRUCTION — the property holds at any scale, any
+   * partitioning, any rerun, with zero coordination.
+   *
+   * `splits` are (name, ppm) fractions summing to exactly 10⁶; a group
+   * lands in the split whose cumulative band contains
+   * hash64(group) mod 10⁶. Per-row work is one hash + one band lookup
+   * (map-side, shuffle-free); the assignment column appends to the
+   * input unchanged.
+   */
+  def groupSplit(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 1000000L,
+      s"split ppm fractions must be positive and sum to 1e6: $splits")
+    val band = TextDedup.hash64(col(groupCol).cast("string")) % 1000000L
+    val bounds = splits.scanLeft(0L)(_ + _._2).tail
+    val assign = splits.zip(bounds).init.foldRight(
+      lit(splits.last._1)) { case (((name, _), hi), rest) =>
+      when(band < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
 }

@@ -227,4 +227,36 @@ object QualityAudit {
         pmod(col("hsum"), lit(Mod).cast("decimal(38,0)"))
           .cast("long").as("digest"))
   }
+
+  /**
+   * Normalization manifest — [[corpusManifest]]'s before/after view of
+   * a cleaning pass: per source, the additive digest of the RAW text,
+   * the digest of the [[TextAnalysis.normalizeText]] canonical form,
+   * and how many documents the normalization actually changed. The
+   * readout a corpus-release pipeline wants before swapping raw for
+   * normalized: digest_norm is the id of the cleaned release,
+   * digest_raw proves provenance, n_changed sizes the diff — all still
+   * ONE map-side-combined aggregate (normalization is per-row codegen,
+   * the digests commute).
+   */
+  def normalizedManifest(df: DataFrame, group: String, idCol: String,
+      textCol: String): DataFrame = {
+    val Mod = 1L << 61
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val norm = TextAnalysis.normalizeText(col(textCol))
+    val hRaw = TextDedup.hash64(
+      concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+    val hNorm = TextDedup.hash64(
+      concat(col(idCol).cast("string"), lit(":"), norm))
+    df.groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(norm =!= col(textCol), 1L)), lit(0L))
+          .as("n_changed"),
+        sum(dec(hRaw)).as("hr"), sum(dec(hNorm)).as("hn"))
+      .select(col(group), col("n_docs"), col("n_changed"),
+        pmod(col("hr"), lit(Mod).cast("decimal(38,0)"))
+          .cast("long").as("digest_raw"),
+        pmod(col("hn"), lit(Mod).cast("decimal(38,0)"))
+          .cast("long").as("digest_norm"))
+  }
 }

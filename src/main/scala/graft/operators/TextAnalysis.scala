@@ -89,6 +89,18 @@ object TextAnalysis {
   /** Whitespace token count (the trivial estimator). */
   def wsTokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** Canonical text normalization for dedup/digest purposes: ASCII
+    * control characters (tabs/newlines included) become spaces, space
+    * runs collapse to one, ends trim, case folds to lower. Both regex
+    * steps use patterns with identical Java-regex/RE2 semantics (ASCII
+    * classes only), so the generated DuckDB oracles replay the exact
+    * transformation. Deliberately ASCII-scope: Unicode NFC/NFKC has no
+    * cross-engine-identical SQL surface — a production corpus would
+    * normalize encodings upstream at ingest. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f]", " "), " +", " ")))
+
   /** BPE-ish wordpiece count: alnum runs are pieces, everything else
     * separates (the regex stand-in for a learned BPE vocab). */
   def wordpieceCount(text: Column): Column =

@@ -270,6 +270,10 @@ object AnalyticsQueries {
   val KappaBandCents = 1000000L
   val KappaMaxBand = 4L
 
+  /** q184 split fractions (ppm, sum = 10⁶): the classic 80/10/10. */
+  val SplitPpm: Seq[(String, Long)] =
+    Seq(("train", 800000L), ("val", 100000L), ("test", 100000L))
+
   /** q178 burst window: 1 h — per-type arrivals run ~2.8/h, so peaks
     * reach the informative 6–10 range at every sf. */
   val BurstWindowUs = 3600L * 1000000L
@@ -3386,5 +3390,38 @@ object AnalyticsQueries {
             CAST((num - ((num % den + den) % den)) // den AS BIGINT)
             END AS kappa_ppm
         FROM j ORDER BY g""")),
+
+    // ------------------------------------------------------------------
+    // q184 — group-aware train/val/test split (CorpusAssembly
+    // .groupSplit): row-random splitting LEAKS whenever rows share an
+    // entity (q112's audit finds exactly this), so the split key is the
+    // GROUP — every event inherits its user's deterministic md5 band
+    // and no user can span splits BY CONSTRUCTION (shuffle-free
+    // per-row hash; holds at any scale/partitioning/rerun). Readout:
+    // per-split row and user counts — the 80/10/10 ppm fractions land
+    // within hash tolerance; the spec asserts zero cross-split users.
+    // ------------------------------------------------------------------
+    "q184_group_split" -> GraftQuery(
+      build = (s, d) => {
+        graft.operators.CorpusAssembly
+          .groupSplit(events(s, d).select(col("user_id"), col("event_id")),
+            "user_id", SplitPpm)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("split")
+      },
+      oracle = Some(s"""
+        WITH b AS (SELECT user_id, event_id,
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS band
+          FROM events),
+        a AS (SELECT user_id, event_id,
+            CASE WHEN band < 800000 THEN 'train'
+              WHEN band < 900000 THEN 'val' ELSE 'test' END AS split
+          FROM b)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM a GROUP BY split ORDER BY split""")),
   )
 }

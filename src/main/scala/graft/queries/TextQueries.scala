@@ -907,6 +907,52 @@ object TextQueries {
           min(doc_id) AS min_id, max(doc_id) AS max_id,
           CAST(sum(CAST(h64 AS HUGEINT)) % 2305843009213693952
             AS BIGINT) AS digest
+        FROM h GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q185 — normalization manifest (QualityAudit.normalizedManifest):
+    // q182's before/after view of a cleaning pass — per source, the
+    // additive digest of the RAW text, of the canonical normalized form
+    // (ASCII control chars → space, space runs collapsed, trimmed,
+    // lower-cased; deliberately ASCII-scope — Unicode NFC has no
+    // cross-engine SQL surface), and how many docs actually changed.
+    // Every 4th doc gets an injected dirty suffix ('  DIRTY\tTAIL ') so
+    // the pass provably rewrites ≥ 25% of each source. Still ONE
+    // map-side-combined aggregate; normalization is per-row codegen.
+    // ------------------------------------------------------------------
+    "q185_normalization_manifest" -> GraftQuery(
+      build = (s, d) => {
+        val dirty = documents(s, d).select(col("source"), col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit("  DIRTY\tTAIL ")))
+            .otherwise(col("text")).as("text"))
+        graft.operators.QualityAudit
+          .normalizedManifest(dirty, "source", "doc_id", "text")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT source, doc_id,
+            CASE WHEN doc_id % 4 = 0
+              THEN text || '  DIRTY' || chr(9) || 'TAIL '
+              ELSE text END AS text
+          FROM documents),
+        n AS (SELECT source, doc_id, text,
+            lower(trim(regexp_replace(regexp_replace(text,
+              '[\x00-\x1f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm
+          FROM d),
+        h AS (SELECT source, doc_id, text, norm,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+              text), 1, 15)) AS BIGINT) AS hr,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+              norm), 1, 15)) AS BIGINT) AS hn
+          FROM n)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(CASE WHEN norm <> text THEN 1 END), 0)
+            AS BIGINT) AS n_changed,
+          CAST(sum(CAST(hr AS HUGEINT)) % 2305843009213693952
+            AS BIGINT) AS digest_raw,
+          CAST(sum(CAST(hn AS HUGEINT)) % 2305843009213693952
+            AS BIGINT) AS digest_norm
         FROM h GROUP BY source ORDER BY source"""))
   )
 }

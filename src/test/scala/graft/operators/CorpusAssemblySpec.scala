@@ -268,4 +268,37 @@ class CorpusAssemblySpec extends SparkSuite {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(again == rows.map(_.getAs[Long]("id")).toSet)
   }
+
+  test("groupSplit: no group spans splits, fractions land near ppm " +
+      "targets, assignment is partition/rerun invariant, bad fractions " +
+      "rejected") {
+    import spark.implicits._
+    val rows = (1 to 4000).map(i => (i.toLong % 500, i.toLong))
+      .toDF("user", "row_id")
+    val splits = Seq(("train", 800000L), ("val", 100000L),
+      ("test", 100000L))
+    val assigned = CorpusAssembly.groupSplit(rows, "user", splits)
+    // leakage-free BY CONSTRUCTION: every group maps to exactly 1 split
+    val spanning = assigned.groupBy("user")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(spanning === 0L)
+    // fractions: 500 groups, expect ~400/50/50 with hash tolerance
+    val counts = assigned.select("user", "split").distinct()
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 350 && counts("train") < 450, counts.toString)
+    assert(counts("val") > 20 && counts("val") < 80)
+    assert(counts("test") > 20 && counts("test") < 80)
+    // invariance under repartitioning
+    val again = CorpusAssembly.groupSplit(rows.repartition(17), "user", splits)
+      .select("user", "split").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = assigned.select("user", "split").distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === base)
+    intercept[IllegalArgumentException] {
+      CorpusAssembly.groupSplit(rows, "user", Seq(("a", 999999L)))
+    }
+  }
 }

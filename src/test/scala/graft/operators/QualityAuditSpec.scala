@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSuite
 
 class QualityAuditSpec extends SparkSuite {
@@ -179,5 +181,32 @@ class QualityAuditSpec extends SparkSuite {
     val crossSwap = Seq((2L, "alpha", "s"), (1L, "beta", "s"),
       (3L, "alpha", "s"), (4L, "gamma", "t")).toDF("doc_id", "text", "source")
     assert(digest(crossSwap)("s") !== base("s"))
+  }
+
+  test("normalizedManifest: clean text leaves digests equal and " +
+      "n_changed 0; dirty text moves only digest_norm-vs-raw, and " +
+      "normalization is idempotent") {
+    import spark.implicits._
+    val clean = Seq((1L, "already clean", "s"), (2L, "also fine", "s"))
+      .toDF("doc_id", "text", "source")
+    val cm = QualityAudit.normalizedManifest(clean, "source", "doc_id", "text")
+      .head()
+    assert(cm.getLong(2) === 0L)          // n_changed
+    assert(cm.getLong(3) === cm.getLong(4)) // digests equal
+    val dirty = Seq((1L, "  Mixed\tCase  text ", "s"), (2L, "ok", "s"))
+      .toDF("doc_id", "text", "source")
+    val dm = QualityAudit.normalizedManifest(dirty, "source", "doc_id", "text")
+      .head()
+    assert(dm.getLong(2) === 1L)
+    assert(dm.getLong(3) !== dm.getLong(4))
+    // idempotence: normalizing the normalized text is a no-op
+    val normed = dirty.select(col("doc_id"),
+      graft.operators.TextAnalysis.normalizeText(col("text")).as("text"),
+      col("source"))
+    val nm = QualityAudit.normalizedManifest(normed, "source", "doc_id", "text")
+      .head()
+    assert(nm.getLong(2) === 0L)
+    assert(nm.getLong(3) === nm.getLong(4))
+    assert(nm.getLong(4) === dm.getLong(4))
   }
 }
