@@ -173,6 +173,58 @@ object TextDedup {
   }
 
   /**
+   * Directed CONTAINMENT-similarity join — C(A→B) = |A∩B| / |A| ≥ τ
+   * over distinct gram sets: the subset-duplication detector symmetric
+   * Jaccard structurally misses (a 100-gram quote inside a 10,000-gram
+   * page has J ≈ 0.01 but C = 1.0) — doc-in-doc, excerpt pages and
+   * quoted-reply chains are the LLM-corpus cases. Emits DIRECTED pairs
+   * (doc_a contained in doc_b).
+   *
+   * Candidate generation: the prefix theorem applies on the CONTAINED
+   * side only — C ≥ τ forces ≥ ⌈τ·|A|⌉ shared grams, so one of A's
+   * (|A| − ⌈τ|A|⌉ + 1) RAREST grams must be shared — but B's size is
+   * unconstrained (that asymmetry is the operator's point), so A's
+   * prefix joins B's FULL postings. The rarest-first prefix ordering
+   * is what keeps those postings short on a natural vocabulary; the
+   * exact overlap count then verifies every candidate (zero false
+   * positives, completeness from the theorem). Same three keyed
+   * shuffles as [[jaccardPrefixJoin]] + the one pair-keyed aggregate.
+   */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      tauPm: Long, shingleN: Int = 2): DataFrame = {
+    require(tauPm >= 1 && tauPm <= 1000, s"tauPm in [1,1000], got $tauPm")
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("g"))
+    val sized = sets
+      .withColumn("gdf", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("ssize", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gdf"), col("g"))))
+    val prefix = sized
+      .filter(col("pos") <=
+        col("ssize") - expr(s"($tauPm * ssize + 999) div 1000") + 1)
+      .select(col("g"), col("doc_id"), col("ssize"))
+    val full = sized.select(col("g").as("gb"), col("doc_id").as("doc_b"),
+      col("ssize").as("sb"))
+    val cands = prefix
+      .join(full, col("g") === col("gb") && col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        col("ssize").as("sa"), col("sb"))
+      .distinct()
+    cands
+      .join(sets.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(sets.as("gb2"),
+        col("doc_b") === col("gb2.doc_id") && col("ga.g") === col("gb2.g"))
+      .groupBy("doc_a", "doc_b", "sa", "sb")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") * 1000 >= lit(tauPm) * col("sa"))
+      .withColumn("containment_pm", expr("(overlap * 1000) div sa"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+        col("overlap"), col("containment_pm"))
+  }
+
+  /**
    * Exact dedup groups: one row per distinct content, with the minimum id
    * as representative and the copy count. Only (hash, id) cross the
    * shuffle; document bodies stay at the scan.

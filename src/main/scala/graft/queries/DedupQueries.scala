@@ -34,6 +34,20 @@ object DedupQueries {
   val DupCoverageN = 6
   val DupCoverageFlagPpm = 500000L
 
+  /** q186 containment: 4-gram shingles — the q100 sparsity lesson one
+    * step further: on the 30-word synthetic vocabulary even trigram
+    * postings are dense enough that the prefix×full-postings join
+    * benched 7.8 s at sf0.1; 4-grams are sparse and sub-second. τ =
+    * 0.8; injected quotes = the first 14 tokens of every 17th doc
+    * under a shifted id (a contiguous token slice's n-grams are a
+    * subset of the source's, so true containment = 1000 by
+    * construction). */
+  val ContainTauPm = 800L
+  val ContainShingleN = 4
+  val QuoteTokens = 14
+  val QuoteMod = 17L
+  val QuoteShift = 970000L
+
   /** The shared shingle index over the BASE documents table, landed ONCE
     * per process per sf dir (VERDICT r4 #1): q22/q23/q47 all read the
     * stored (doc_id, content_hash) / (doc_id, h) tables instead of
@@ -531,6 +545,62 @@ object DedupQueries {
           FROM m)
         SELECT node, component, cluster_size, quality,
           CAST(rk = 1 AS INT) AS keep
-        FROM r ORDER BY node"""))
+        FROM r ORDER BY node""")),
+
+    // ------------------------------------------------------------------
+    // q186 — directed containment join (TextDedup.containmentJoin):
+    // C(A→B) = |A∩B|/|A| ≥ 0.8 finds SUBSET duplication symmetric
+    // Jaccard structurally misses (a quote inside a page has J ≈ 0.01
+    // but C = 1.0) — doc-in-doc, excerpts, quoted replies. Prefix
+    // theorem prunes on the CONTAINED side only (B's size is
+    // unconstrained — that asymmetry is the point); A's rarest-gram
+    // prefix joins B's full postings, exact overlap verifies. The
+    // injected quote slice must surface with containment_pm = 1000
+    // against its source (contiguous token slices ⇒ trigram subset).
+    // ------------------------------------------------------------------
+    "q186_containment_join" -> GraftQuery(
+      build = (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val quotes = base.filter(col("doc_id") % QuoteMod === 0)
+          .select((col("doc_id") + QuoteShift).as("doc_id"),
+            array_join(slice(split(lower(col("text")), "\\s+"), 1,
+              QuoteTokens), " ").as("text"))
+        TextDedup.containmentJoin(
+          graft.operators.ScanOps.spreadSmallInput(
+            base.unionByName(quotes), col("doc_id")),
+          "doc_id", "text", ContainTauPm, ContainShingleN)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $QuoteShift,
+            array_to_string((${sqlTokens("text")})[1:$QuoteTokens], ' ')
+          FROM documents WHERE doc_id % $QuoteMod = 0),
+        sets AS (SELECT DISTINCT doc_id,
+            unnest(${sqlShingles(sqlTokens("text"), ContainShingleN)})
+              AS g FROM base),
+        gd AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS gdf
+          FROM sets),
+        sz AS (SELECT doc_id, g, gdf,
+            count(*) OVER (PARTITION BY doc_id) AS ssize,
+            row_number() OVER (PARTITION BY doc_id ORDER BY gdf, g) AS pos
+          FROM gd),
+        pf AS (SELECT doc_id, g, ssize FROM sz
+          WHERE pos <= ssize - ($ContainTauPm * ssize + 999) // 1000 + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.ssize AS sa, b.ssize AS sb
+          FROM pf a JOIN sz b ON a.g = b.g AND a.doc_id <> b.doc_id),
+        ov AS (SELECT c.doc_a, c.doc_b, c.sa, c.sb,
+            CAST(count(*) AS BIGINT) AS overlap
+          FROM cand c JOIN sets ga ON c.doc_a = ga.doc_id
+            JOIN sets gb ON c.doc_b = gb.doc_id AND ga.g = gb.g
+          GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, CAST(sa AS BIGINT) AS sa,
+          CAST(sb AS BIGINT) AS sb, overlap,
+          (overlap * 1000) // sa AS containment_pm
+        FROM ov WHERE overlap * 1000 >= $ContainTauPm * sa
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -246,4 +246,25 @@ class TextDedupSpec extends SparkSuite {
       .orderBy("doc_id").collect()
     assert(got.map(_.getLong(3)).toSeq === Seq(0L, 0L))
   }
+
+  test("containmentJoin: a contiguous excerpt surfaces DIRECTED with " +
+      "containment 1000; the big side never reads as contained; " +
+      "sub-threshold overlap is dropped") {
+    import spark.implicits._
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "gamma delta epsilon zeta eta theta iota kappa"
+    val partial = "alpha beta gamma UNRELATED WORDS HERE NOW okay fine"
+    val docs = Seq((1L, big), (2L, excerpt), (3L, partial))
+      .toDF("doc_id", "text")
+    val got = TextDedup.containmentJoin(docs, "doc_id", "text",
+        tauPm = 800, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    // excerpt (2) contained in big (1), exactly, directed
+    assert(got((2L, 1L)) === 1000L)
+    assert(!got.contains((1L, 2L)), "container must not read as contained")
+    // partial shares only 1 of its 7 trigrams with big: dropped at 0.8
+    assert(!got.contains((3L, 1L)) && !got.contains((1L, 3L)))
+    assert(got.size === 1)
+  }
 }
