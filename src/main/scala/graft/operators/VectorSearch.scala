@@ -812,4 +812,49 @@ object VectorSearch {
     }
     selected
   }
+
+  /**
+   * Per-group embedding centroid drift — the representation-level
+   * monitor "which source/label's vectors moved away from the corpus":
+   * per group, the exact L1 distance between the group centroid and
+   * the GLOBAL centroid in fixed-point units, plus the largest
+   * single-dimension gap. The embedding counterpart of the q175
+   * value-distribution TV drift — a source whose text distribution
+   * looks stable can still drift in representation space (encoder
+   * update, upstream preprocessing change), and this is the aggregate
+   * that catches it.
+   *
+   * Exact lattice: elements quantize once to ⌊double(v)·2²⁰⌋ longs
+   * (the q43 k-means discipline — float→double widening then one
+   * IEEE multiply+floor, identical cross-engine); per-dim centroid
+   * gaps evaluate in the common-denominator form
+   * ⌊|s_g·n_all − s_all·n_g| / (n_g·n_all)⌋ on decimal128 — no float
+   * means, no division until the final per-dim floor.
+   *
+   * Scale shape: ONE posexplode + map-side (group, dim) aggregate —
+   * |groups|·dims rows leave the scan, vectors never shuffle; the
+   * global centroid re-aggregates the tiny frame and broadcasts back.
+   */
+  def centroidDrift(df: DataFrame, groupCol: String,
+      vecCol: String, scale: Long = KmeansScale.toLong): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dims = df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim0", "v")))
+      .select(col("grp"), (col("dim0") + 1).as("dim"),
+        floor(col("v").cast(DoubleType) * scale).cast(LongType).as("v_fp"))
+    val byGrpDim = dims.groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).as("n_g"), sum(dec(col("v_fp"))).as("s_g"))
+      .localCheckpoint(true)
+    val global = byGrpDim.groupBy(col("dim"))
+      .agg(sum(col("n_g")).as("n_all"), sum(col("s_g")).as("s_all"))
+    byGrpDim
+      .join(broadcast(global), "dim")
+      .withColumn("qd",
+        expr("abs(s_g * n_all - s_all * n_g) div " +
+          "(cast(n_g as decimal(38,0)) * n_all)"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_vecs"),
+        sum(col("qd")).as("l1_fp"),
+        max(col("qd")).as("max_dim_fp"))
+  }
 }

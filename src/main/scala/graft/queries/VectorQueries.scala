@@ -15,6 +15,11 @@ import graft.operators.VectorSearch._
  */
 object VectorQueries {
 
+  /** Embedding dimensionality of the driver's fixture (q187's oracle
+    * unrolls the dim spine from it; the Spark side posexplodes and
+    * needs no constant). */
+  val EmbDim = 64
+
   /** DuckDB twin of VectorSearch.toDouble. */
   private def sqlToDouble(c: String) =
     s"list_transform(range(1, len($c) + 1), i -> CAST($c[i] AS DOUBLE))"
@@ -636,6 +641,43 @@ object VectorQueries {
           $steps
         SELECT query_id, vec_id, step, rel, redundancy, mmr2
         FROM sel$MmrSelectK ORDER BY query_id, step"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q187 — per-label embedding centroid drift (VectorSearch
+    // .centroidDrift): which label's vectors sit farthest from the
+    // corpus centroid, as the exact fixed-point L1 distance plus the
+    // largest single-dimension gap — the representation-space monitor
+    // that catches encoder/preprocessing drift q175's value-level TV
+    // cannot see. Elements quantize once to ⌊double(v)·2²⁰⌋ (the q43
+    // lattice); per-dim gaps in the common-denominator decimal form,
+    // floored per dim. One posexplode + map-side (label, dim)
+    // aggregate — |labels|·64 rows leave the scan, vectors never
+    // shuffle.
+    // ------------------------------------------------------------------
+    "q187_centroid_drift" -> GraftQuery(
+      build = (s, d) =>
+        VectorSearch.centroidDrift(embeddings(s, d), "label", "embedding")
+          .orderBy("grp"),
+      oracle = Some(s"""
+        WITH dims AS (SELECT unnest(range(1, $EmbDim + 1)) AS dim),
+        e AS (SELECT label AS grp, dim,
+            CAST(floor(CAST(embedding[dim] AS DOUBLE) *
+              ${VectorSearch.KmeansScale.toLong}) AS BIGINT) AS v_fp
+          FROM embeddings, dims),
+        g AS (SELECT grp, dim, CAST(count(*) AS BIGINT) AS n_g,
+            sum(CAST(v_fp AS HUGEINT)) AS s_g
+          FROM e GROUP BY 1, 2),
+        a AS (SELECT dim, CAST(sum(n_g) AS BIGINT) AS n_all,
+            sum(s_g) AS s_all
+          FROM g GROUP BY dim),
+        q AS (SELECT grp, g.dim, n_g,
+            CAST(abs(s_g * n_all - s_all * n_g) //
+              (CAST(n_g AS HUGEINT) * n_all) AS BIGINT) AS qd
+          FROM g JOIN a ON g.dim = a.dim)
+        SELECT grp, max(n_g) AS n_vecs,
+          CAST(sum(qd) AS BIGINT) AS l1_fp,
+          max(qd) AS max_dim_fp
+        FROM q GROUP BY grp ORDER BY grp"""))
   )
 }

@@ -407,4 +407,23 @@ class VectorSearchSpec extends SparkSuite {
     assert(rows(1).getLong(4) >= 0L)
     assert(rows.map(_.getLong(1)).distinct.length == 2)
   }
+
+  test("centroidDrift: identical groups drift 0; a shifted group's L1 " +
+      "gap matches the hand-computed fixed-point distance") {
+    import spark.implicits._
+    // two groups over 2-dim vectors: group 0 at the global center when
+    // symmetric; group 1 shifted by +0.5 on dim 1
+    val vecs = Seq(
+      (0L, Array(0.0f, 1.0f)), (0L, Array(0.0f, -1.0f)),
+      (1L, Array(0.5f, 1.0f)), (1L, Array(0.5f, -1.0f)))
+      .toDF("label", "embedding")
+    val got = VectorSearch.centroidDrift(vecs, "label", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // centroids: g0 = (0, 0), g1 = (0.5, 0), global = (0.25, 0)
+    // L1 gap per group = 0.25 in dim 1 = 2^18 fp units exactly
+    val q = 1L << 18
+    assert(got(0L) == ((2L, q, q)))
+    assert(got(1L) == ((2L, q, q)))
+  }
 }
