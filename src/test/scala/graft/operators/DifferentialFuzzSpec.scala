@@ -417,6 +417,103 @@ class DifferentialFuzzSpec extends SparkSuite {
     }
   }
 
+  // -------------------------------------------------------- rollingBeta
+  test("rollingBeta == naive trailing-window co-moments (20 seeds)") {
+    for (seed <- Seeds) withSeed(seed) { rnd =>
+      val win = 2 + rnd.nextInt(4)
+      val rows = (1 to 3).flatMap { k =>
+        (1 to 10 + rnd.nextInt(20)).map { b =>
+          (s"k$k", b.toLong, rnd.nextInt(200).toLong - 60,
+            rnd.nextInt(200).toLong - 60)
+        }
+      }
+      val df = rows.toDF("k", "b", "x", "m")
+      val got = StatsOps.rollingBeta(df, "k", "b", "x", "m", win)
+        .select("k", "b", "n", "cov_num", "var_num", "beta_ppm")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val ord = rs.sortBy(_._2)
+        ord.indices.map { i =>
+          val sl = ord.slice(math.max(0, i - win + 1), i + 1)
+          val n = sl.size.toLong
+          val (sx, sm) = (sl.map(_._3).sum, sl.map(_._4).sum)
+          val sxm = sl.map(r => r._3 * r._4).sum
+          val smm = sl.map(r => r._4 * r._4).sum
+          val cov = n * sxm - sx * sm
+          val vr = n * smm - sm * sm
+          val beta = if (vr == 0L) None
+            else if (cov < 0L) Some(-(1000000L * -cov / vr))
+            else Some(1000000L * cov / vr)
+          (k, ord(i)._2, n, cov, vr, beta)
+        }
+      }.sortBy(x => (x._1, x._2))
+      assert(got === want, s"seed=$seed win=$win")
+    }
+  }
+
+  // --------------------------------------------------------- tvDistance
+  test("tvDistance == naive BigInt common-denominator form (20 seeds)") {
+    for (seed <- Seeds) withSeed(seed) { rnd =>
+      val rows = (1 to 60 + rnd.nextInt(80)).map { _ =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(6).toLong)
+      }
+      val df = rows.toDF("g", "b")
+      val got = StatsOps.tvDistance(df, "g", col("b"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bTot = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = BigInt(rows.size)
+      val want = rows.groupBy(_._1).toSeq.map { case (g, rs) =>
+        val ng = BigInt(rs.size)
+        val num = bTot.keys.toSeq.map { b =>
+          (BigInt(cells.getOrElse((g, b), 0L)) * n -
+            BigInt(bTot(b)) * ng).abs
+        }.sum
+        (g, rs.size.toLong, (num * 1000000 / (2 * ng * n)).toLong)
+      }.sortBy(_._1)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  // ----------------------------------------------------------- qqCompare
+  test("qqCompare == naive discrete order statistics (20 seeds)") {
+    for (seed <- Seeds) withSeed(seed) { rnd =>
+      val tiles = 2 + rnd.nextInt(8)
+      val rows = (1 to 40 + rnd.nextInt(60)).map { i =>
+        (if (rnd.nextBoolean()) "A" else "B", i.toLong,
+          rnd.nextInt(300).toLong - 40)
+      }
+      val df = rows.toDF("g", "id", "v")
+      val got = StatsOps.qqCompare(df, "g", "v", "id", "A", "B", tiles)
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long]))))
+        .toMap
+      def quantiles(grp: String): Map[Long, Long] = {
+        val vs = rows.filter(_._1 == grp).sortBy(r => (r._3, r._2))
+        val n = vs.size
+        (1 until tiles).flatMap { q =>
+          vs.zipWithIndex.find { case (_, i) => (i + 1) * tiles >= n * q }
+            .map(p => q.toLong -> p._1._3)
+        }.toMap
+      }
+      val (qa, qb) = (quantiles("A"), quantiles("B"))
+      for (q <- 1L until tiles.toLong) {
+        val (ga, gb, ratio) = got.getOrElse(q, (None, None, None))
+        assert(ga === qa.get(q), s"seed=$seed q=$q A")
+        assert(gb === qb.get(q), s"seed=$seed q=$q B")
+        val wantRatio = for (a <- qa.get(q); b <- qb.get(q) if b > 0)
+          yield (BigInt(1000000) * a / b).toLong
+        assert(ratio === wantRatio, s"seed=$seed q=$q ratio")
+      }
+    }
+  }
+
   // ----------------------------------------------------------- floorDiv
   test("floorDiv lattice == Math.floorDiv over signed operands (20 seeds)") {
     for (seed <- Seeds) withSeed(seed) { rnd =>
