@@ -326,6 +326,77 @@ object TextDedup {
         when(col("dup_ppm") >= flagPpm, 1L).otherwise(0L))
   }
 
+  /**
+   * Exact-substring dedup REMOVAL — the operator [[dupNgramCoverage]]
+   * only measures (Lee et al. 2022, "Deduplicating Training Data Makes
+   * Language Models Better": the production step excises every maximal
+   * duplicated token run from each document instead of dropping whole
+   * docs). A word `shingleN`-gram is DUPLICATED when its hash occurs in
+   * ≥ 2 (doc, position) rows corpus-wide — including a second occurrence
+   * inside the same document, exactly the suffix-array semantics (a
+   * repeated span is a repeated span wherever its twin lives). Every
+   * token covered by a duplicated gram is removed; maximal runs of
+   * removed token indexes are the excised SPANS (overlapping and
+   * abutting gram extents merge into one span — the q116
+   * gaps-and-islands discipline on the integer token line, where
+   * consecutive removed indexes form one island).
+   *
+   * Output, one row per input document: (doc_id, n_tokens,
+   * tokens_removed, spans_removed, kept_text) — `kept_text` is the
+   * whitespace-normalized lowercase text with removed runs excised
+   * ("" when the whole document was duplicated), so the result frame IS
+   * the cleaned corpus plus its drop accounting.
+   *
+   * Scale shape (the q107 discipline plus one doc-keyed tail):
+   *  - the ONLY corpus-sized shuffle is the gram-hash count window —
+   *    the token array is dropped from the projection before that
+   *    exchange; only (doc_id, p, e, h) rows cross it;
+   *  - flagged extents explode to ≤ n× flagged-gram removed-index rows,
+   *    then everything is keyed on doc_id: one window+aggregate builds
+   *    per-doc run stats and the removed-index array (bounded by the
+   *    doc's own token count), one join hangs them back on the tokens;
+   *  - the excision itself is a per-row indexed array filter — no
+   *    second corpus pass, no text ever shuffles.
+   */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .withColumn("nt", size(col("t")))
+    // gram occurrences WITH positions (not distinct — multiplicity is the
+    // point: a within-doc repeat is a duplicate); short docs contribute
+    // their whole token sequence as one gram, mirroring [[shingles]]
+    val grams = toks
+      .select(col("doc_id"), col("nt"), col("t"),
+        explode(sequence(lit(1),
+          greatest(col("nt") - lit(shingleN - 1), lit(1)))).as("p"))
+      .select(col("doc_id"), col("p"),
+        least(col("p") + lit(shingleN - 1), col("nt")).as("e"),
+        hash64(concat_ws(" ", slice(col("t"), col("p"), lit(shingleN)))).as("h"))
+    val flagged = grams
+      .withColumn("df_h", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df_h") >= 2)
+    val removed = flagged
+      .select(col("doc_id"), explode(sequence(col("p"), col("e"))).as("i"))
+      .distinct()
+    val wd = Window.partitionBy("doc_id").orderBy("i")
+    val perDoc = removed
+      .withColumn("pv", lag(col("i"), 1).over(wd))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tokens_removed"),
+        sum(when(col("pv").isNull || col("i") > col("pv") + 1, 1L)
+          .otherwise(0L)).as("spans_removed"),
+        sort_array(collect_list(col("i"))).as("rem"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt").cast(LongType).as("n_tokens"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        coalesce(col("spans_removed"), lit(0L)).as("spans_removed"),
+        when(col("rem").isNull, concat_ws(" ", col("t")))
+          .otherwise(array_join(
+            filter(col("t"), (_, i0) => !array_contains(col("rem"), i0 + 1)),
+            " ")).as("kept_text"))
+  }
+
   def readDocIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/docs")
 

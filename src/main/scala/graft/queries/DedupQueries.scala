@@ -34,6 +34,18 @@ object DedupQueries {
   val DupCoverageN = 6
   val DupCoverageFlagPpm = 500000L
 
+  /** q188 span removal: the q107 6-gram universe (sharing is a signal,
+    * not a certainty) and a chimera slice — every 10th doc's first
+    * [[ChimeraTokens]] tokens + a per-doc unique separator token + the
+    * NEXT doc's first [[ChimeraTokens]] tokens under a shifted id — so
+    * removal must excise TWO separated spans from each chimera (and
+    * flag the matching prefixes of both source docs) while the unique
+    * token survives. */
+  val SpanRemovalN = 6
+  val ChimeraTokens = 12
+  val ChimeraMod = 10L
+  val ChimeraShift = 500000L
+
   /** q186 containment: 4-gram shingles — the q100 sparsity lesson one
     * step further: on the 30-word synthetic vocabulary even trigram
     * postings are dense enough that the prefix×full-postings join
@@ -498,6 +510,89 @@ object DedupQueries {
           CASE WHEN (n_dup_grams * 1000000) // n_grams >= $DupCoverageFlagPpm
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dup_heavy
         FROM p ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q188 — exact-substring dedup REMOVAL (TextDedup
+    // .removeDuplicateSpans): the Lee-et-al-2022 production step q107
+    // only measures — every token covered by a corpus-duplicated 6-gram
+    // is excised, maximal removed runs are the spans, and the output IS
+    // the cleaned corpus (kept_text) plus drop accounting. Fixture:
+    // the q107 full-duplicate slice (every 15th doc re-inserted → both
+    // copies must come back EMPTY with one span) plus a chimera slice
+    // (first 12 tokens of doc d + a unique separator + first 12 of doc
+    // d+1) that must lose exactly its two borrowed regions as TWO
+    // separate spans while the unique token survives — the overlap-
+    // merge (consecutive gram extents → one island) and span-split
+    // boundaries in one row. Oracle: identical gram/position
+    // arithmetic, count window, integer-island lag, and token-index
+    // anti-join re-derivation of kept_text.
+    // ------------------------------------------------------------------
+    "q188_dup_span_removal" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val heads = docs.select(col("doc_id"),
+          slice(TextDedup.tokens(col("text")), 1, ChimeraTokens).as("head"))
+        val chim = heads.as("x")
+          .join(heads.select((col("doc_id") - 1).as("jid"),
+            col("head").as("head_b")).as("y"),
+            col("x.doc_id") === col("y.jid"))
+          .filter(col("x.doc_id") % ChimeraMod === 0)
+          .select((col("x.doc_id") + ChimeraShift).as("doc_id"),
+            concat_ws(" ", array_join(col("head"), " "),
+              concat(lit("uniq"), col("x.doc_id").cast("string")),
+              array_join(col("head_b"), " ")).as("text"))
+        TextDedup.removeDuplicateSpans(
+          docs.unionByName(dup).unionByName(chim),
+          "doc_id", "text", SpanRemovalN)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 15 = 0
+          UNION ALL
+          SELECT a.doc_id + $ChimeraShift,
+            array_to_string((${sqlTokens("a.text")})[1:$ChimeraTokens], ' ')
+              || ' uniq' || CAST(a.doc_id AS VARCHAR) || ' ' ||
+              array_to_string((${sqlTokens("b.text")})[1:$ChimeraTokens], ' ')
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % $ChimeraMod = 0),
+        tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM base),
+        tk AS (SELECT doc_id, t, len(t) AS nt FROM tok),
+        pos AS (SELECT doc_id, t, nt,
+            unnest(range(1, greatest(nt - ${SpanRemovalN - 1}, 1) + 1)) AS p
+          FROM tk),
+        gr AS (SELECT doc_id, nt, p, least(p + ${SpanRemovalN - 1}, nt) AS e,
+            ${sqlHash(s"array_to_string(t[p:p+${SpanRemovalN - 1}], ' ')")} AS h
+          FROM pos),
+        fl AS (SELECT doc_id, p, e FROM (
+            SELECT *, count(*) OVER (PARTITION BY h) AS dfh FROM gr)
+          WHERE dfh >= 2),
+        rem AS (SELECT DISTINCT doc_id, i FROM (
+            SELECT doc_id, unnest(range(p, e + 1)) AS i FROM fl)),
+        rn AS (SELECT doc_id, i,
+            lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM rem),
+        pd AS (SELECT doc_id, count(*) AS tokens_removed,
+            sum(CASE WHEN pv IS NULL OR i > pv + 1 THEN 1 ELSE 0 END)
+              AS spans_removed
+          FROM rn GROUP BY doc_id),
+        ti AS (SELECT doc_id, t, unnest(range(1, nt + 1)) AS i FROM tk),
+        tv AS (SELECT doc_id, i, t[i] AS tok FROM ti),
+        kt AS (SELECT tv.doc_id AS doc_id,
+            array_to_string(list(tok ORDER BY tv.i), ' ') AS kept_text
+          FROM tv LEFT JOIN rem ON tv.doc_id = rem.doc_id AND tv.i = rem.i
+          WHERE rem.i IS NULL GROUP BY tv.doc_id)
+        SELECT tk.doc_id AS doc_id, CAST(nt AS BIGINT) AS n_tokens,
+          CAST(coalesce(tokens_removed, 0) AS BIGINT) AS tokens_removed,
+          CAST(coalesce(spans_removed, 0) AS BIGINT) AS spans_removed,
+          coalesce(kept_text, '') AS kept_text
+        FROM tk LEFT JOIN pd ON tk.doc_id = pd.doc_id
+          LEFT JOIN kt ON tk.doc_id = kt.doc_id
+        ORDER BY doc_id"""),
+      headline = true),
 
     // ------------------------------------------------------------------
     // q114 — canonical-doc selection (GraphOps.canonicalMembers): the

@@ -267,4 +267,60 @@ class TextDedupSpec extends SparkSuite {
     assert(!got.contains((3L, 1L)) && !got.contains((1L, 3L)))
     assert(got.size === 1)
   }
+
+  private def spanRows(docs: Seq[(Long, String)], n: Int = 3) =
+    TextDedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+
+  test("removeDuplicateSpans: overlapping gram extents merge into ONE " +
+      "maximal span; clean docs pass through normalized") {
+    val got = spanRows(Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e x y z",
+      3L -> "Unique Tokens Only Here Never Repeated"))
+    // docs 1/2 share trigrams at positions 1..3 -> extents [1,3],[2,4],
+    // [3,5] overlap -> one merged span covering tokens 1-5, NOT three
+    assert(got(1L) === ((8L, 5L, 1L, "f g h")))
+    assert(got(2L) === ((8L, 5L, 1L, "x y z")))
+    // untouched doc: zero spans, kept_text is the normalized (lowercased,
+    // single-spaced) text
+    assert(got(3L) === ((6L, 0L, 0L, "unique tokens only here never repeated")))
+  }
+
+  test("removeDuplicateSpans: a WITHIN-doc repeat is a duplicate (suffix-" +
+      "array semantics); separated runs stay two spans") {
+    // "p q r s" repeats inside doc 1 with a unique separator between the
+    // copies: both occurrences excise, the separator survives, 2 spans
+    val got = spanRows(Seq(1L -> "p q r s uniq1 p q r s"))
+    assert(got(1L) === ((9L, 8L, 2L, "uniq1")))
+  }
+
+  test("removeDuplicateSpans: abutting runs merge; a fully-duplicated doc " +
+      "comes back empty with one span") {
+    val got = spanRows(Seq(
+      1L -> "a1 a2 a3 b1 b2 b3",
+      2L -> "a1 a2 a3 zz b1 b2 b3",
+      3L -> "m n o p",
+      4L -> "m n o p"))
+    // doc 1: flagged extents [1,3] (shared head) and [4,6] (shared tail)
+    // ABUT -> one island, whole doc removed
+    assert(got(1L) === ((6L, 6L, 1L, "")))
+    // doc 2: same two shared runs but separated by zz -> two spans
+    assert(got(2L) === ((7L, 6L, 2L, "zz")))
+    // exact copies: everything removed as one span each
+    assert(got(3L) === ((4L, 4L, 1L, "")))
+    assert(got(4L) === ((4L, 4L, 1L, "")))
+  }
+
+  test("removeDuplicateSpans: short docs (< n tokens) dedup on their whole " +
+      "token sequence") {
+    val got = spanRows(Seq(1L -> "xx yy", 2L -> "xx yy", 3L -> "qq ww"))
+    assert(got(1L) === ((2L, 2L, 1L, "")))
+    assert(got(2L) === ((2L, 2L, 1L, "")))
+    assert(got(3L) === ((2L, 0L, 0L, "qq ww")))
+  }
 }
