@@ -184,18 +184,37 @@ object TextDedup {
    * side only — C ≥ τ forces ≥ ⌈τ·|A|⌉ shared grams, so one of A's
    * (|A| − ⌈τ|A|⌉ + 1) RAREST grams must be shared — but B's size is
    * unconstrained (that asymmetry is the operator's point), so A's
-   * prefix joins B's FULL postings. The rarest-first prefix ordering
+   * prefix joins B's postings. The rarest-first prefix ordering
    * is what keeps those postings short on a natural vocabulary; the
    * exact overlap count then verifies every candidate (zero false
    * positives, completeness from the theorem). Same three keyed
    * shuffles as [[jaccardPrefixJoin]] + the one pair-keyed aggregate.
+   *
+   * `dfCapPermille` bounds the joined posting lists (VERDICT r10 #4):
+   * a gram present in more than N·cap/1000 documents is boilerplate
+   * whose posting list is O(corpus)-long — on a template-heavy corpus
+   * a short doc whose RAREST grams are still globally common would
+   * otherwise join the full corpus per prefix gram. Capped grams drop
+   * from the B-side postings only (the A-side prefix and the exact
+   * overlap count still see them), trading bounded completeness for a
+   * bounded join: a containment relationship witnessed ONLY by
+   * above-cap grams is missed, exactly the q97 corpus-relative-df
+   * trade-off, and the cap is mirrored in the q186 oracle so a trip
+   * can never diverge engines. The corpus count rides a 1-row
+   * broadcast (the q97/q152 nested-loop shape, PlanAuditSpec-
+   * allowlisted) — relative, so the cap cannot silently tighten as
+   * the corpus grows the way an absolute cap would.
    */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
-      tauPm: Long, shingleN: Int = 2): DataFrame = {
+      tauPm: Long, shingleN: Int = 2,
+      dfCapPermille: Long = 100): DataFrame = {
     require(tauPm >= 1 && tauPm <= 1000, s"tauPm in [1,1000], got $tauPm")
+    require(dfCapPermille >= 1 && dfCapPermille <= 1000,
+      s"dfCapPermille in [1,1000], got $dfCapPermille")
     import org.apache.spark.sql.expressions.Window
     val sets = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("g"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val sized = sets
       .withColumn("gdf", count(lit(1)).over(Window.partitionBy("g")))
       .withColumn("ssize", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -205,8 +224,15 @@ object TextDedup {
       .filter(col("pos") <=
         col("ssize") - expr(s"($tauPm * ssize + 999) div 1000") + 1)
       .select(col("g"), col("doc_id"), col("ssize"))
-    val full = sized.select(col("g").as("gb"), col("doc_id").as("doc_b"),
-      col("ssize").as("sb"))
+    // floor of 2: a gram shared by just two docs is the containment
+    // SIGNAL itself, never boilerplate — without it a tiny corpus
+    // (N·cap/1000 < 1) would drop every posting
+    val full = sized
+      .crossJoin(broadcast(nDocs))
+      .filter(col("gdf") <=
+        greatest(expr(s"(n_docs * $dfCapPermille) div 1000"), lit(2L)))
+      .select(col("g").as("gb"), col("doc_id").as("doc_b"),
+        col("ssize").as("sb"))
     val cands = prefix
       .join(full, col("g") === col("gb") && col("doc_id") =!= col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"),

@@ -649,9 +649,12 @@ object DedupQueries {
     // but C = 1.0) — doc-in-doc, excerpts, quoted replies. Prefix
     // theorem prunes on the CONTAINED side only (B's size is
     // unconstrained — that asymmetry is the point); A's rarest-gram
-    // prefix joins B's full postings, exact overlap verifies. The
-    // injected quote slice must surface with containment_pm = 1000
-    // against its source (contiguous token slices ⇒ trigram subset).
+    // prefix joins B's postings under the corpus-relative 10% df cap
+    // (floor 2 — r10 verdict #4; never fires on this fixture, max
+    // 4-gram df is 6 of 5295 docs, and both engines mirror the cap),
+    // exact overlap verifies. The injected quote slice must surface
+    // with containment_pm = 1000 against its source (contiguous token
+    // slices ⇒ trigram subset).
     // ------------------------------------------------------------------
     "q186_containment_join" -> GraftQuery(
       build = (s, d) => {
@@ -684,9 +687,11 @@ object DedupQueries {
           FROM gd),
         pf AS (SELECT doc_id, g, ssize FROM sz
           WHERE pos <= ssize - ($ContainTauPm * ssize + 999) // 1000 + 1),
+        capped AS (SELECT doc_id, g, ssize FROM sz
+          WHERE gdf <= greatest(((SELECT count(*) FROM base) * 100) // 1000, 2)),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             a.ssize AS sa, b.ssize AS sb
-          FROM pf a JOIN sz b ON a.g = b.g AND a.doc_id <> b.doc_id),
+          FROM pf a JOIN capped b ON a.g = b.g AND a.doc_id <> b.doc_id),
         ov AS (SELECT c.doc_a, c.doc_b, c.sa, c.sb,
             CAST(count(*) AS BIGINT) AS overlap
           FROM cand c JOIN sets ga ON c.doc_a = ga.doc_id

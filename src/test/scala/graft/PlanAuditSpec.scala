@@ -45,6 +45,9 @@ class PlanAuditSpec extends SparkSuite {
       // q166's nested loop is the 1-row global-mean broadcast the
       // smoothed encoding shrinks toward — the q71/q94 shape
       "q166_target_encoding",
+      // q186's nested loop is the 1-row corpus-count broadcast under the
+      // B-side posting df cap (corpus-relative, the q97 shape)
+      "q186_containment_join",
       // q168's nested loop lives inside the constant-pool proration of
       // the 5-row stratum-moments frame (q135's machinery under a
       // single allocation pool) — model-sized, never data

@@ -268,6 +268,30 @@ class TextDedupSpec extends SparkSuite {
     assert(got.size === 1)
   }
 
+  test("containmentJoin: the corpus-relative df cap bounds boilerplate " +
+      "B-side posting fan-out") {
+    // 30 hosts all embedding one template + a template-only doc: the
+    // template doc's RAREST grams are still in every host, so its prefix
+    // would join O(corpus)-long postings
+    val template = "alpha beta gamma delta epsilon zeta"
+    val docs = ((1L to 30L).map(i =>
+      (i, s"$template filler${i}a filler${i}b filler${i}c")) :+
+      ((100L, template))).toDF("doc_id", "text")
+    // cap off (1000 permille = df <= N, vacuous): the template doc joins
+    // every host -> the unbounded fan-out the cap exists to prevent
+    val uncapped = TextDedup.containmentJoin(docs, "doc_id", "text",
+      tauPm = 800, shingleN = 3, dfCapPermille = 1000)
+    assert(uncapped.filter(col("doc_a") === 100).count() === 30)
+    // default 10%-of-corpus cap: template grams (df = 31 of 31 docs)
+    // drop from the joined postings -> candidates bounded
+    val capped = TextDedup.containmentJoin(docs, "doc_id", "text",
+      tauPm = 800, shingleN = 3)
+    assert(capped.filter(col("doc_a") === 100).count() === 0)
+    // hosts never read as contained in each other either way (4 of 7
+    // grams shared = 571 permille < 800)
+    assert(capped.count() === 0)
+  }
+
   private def spanRows(docs: Seq[(Long, String)], n: Int = 3) =
     TextDedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
         "doc_id", "text", n)
