@@ -97,12 +97,25 @@ object VectorSearch {
     * projection) before any explode/join fans out — the 32 hyperplane
     * dots are the expensive part. */
   def bandValues(v: Column): Column =
-    array((0 until VecBands).map { b =>
-      (0 until VecRowsPerBand).map { r =>
-        when(dotD(v, typedlit(hyperplanes(b * VecRowsPerBand + r))) > 0,
+    bandValuesWith(v, VecBands, VecRowsPerBand)
+
+  /** [[bandValues]] under an explicit (bands × rowsPerBand) geometry
+    * over the same hyperplane table — the knob [[recommendedSigBits]]
+    * turns. bands·rowsPerBand ≤ [[SigBits]]: regrouping the EXISTING
+    * planes (4×8 ↔ 2×16) changes collision probability per band
+    * without changing any per-vector arithmetic, which is exactly how
+    * the recall/cost trade is tuned and what the q136 planted-recall
+    * spec measures. */
+  def bandValuesWith(v: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= SigBits,
+      s"geometry $bands x $rowsPerBand exceeds the $SigBits-plane table")
+    array((0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        when(dotD(v, typedlit(hyperplanes(b * rowsPerBand + r))) > 0,
           lit(1 << r)).otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
+  }
 
   /**
    * Exact cosine top-k: every corpus vector scored against every QUERY
@@ -328,6 +341,71 @@ object VectorSearch {
       .select(col(idCol), col("cent_id"), col("cent_cos"))
   }
 
+  /**
+   * SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication"): cluster the embedding space with the trained
+   * k-means quantizer, generate candidate pairs WITHIN each cluster
+   * only, keep pairs with exact cosine ≥ `minCosine`, collapse them
+   * into connected components, and mark one canonical survivor (min
+   * id) per component — the dedup family that catches paraphrases and
+   * re-encodings sharing no n-grams at all, which every textual path
+   * (q22/q23/q100/q188) structurally misses.
+   *
+   * Composition of proven pieces: [[trainCentroids]]/[[kmeansAssign]]
+   * (fixed-point deterministic training — the q56 gate), per-cluster
+   * pairing (this method), [[graft.operators.GraphOps
+   * .connectedComponents]] (the q61 gate), min-id canonical keep (the
+   * q61 policy; [[graft.operators.GraphOps.canonicalMembers]] slots in
+   * when a quality column exists).
+   *
+   * Scale shape — the candidate stage is NEVER a corpus self-join:
+   *  - the pair join's equality key is the cluster id, so pair cost is
+   *    Σ cluster² with C ≈ √N trained clusters (the SemDeDup paper's
+   *    own trick), and vectors shuffle ONCE keyed on cent_id;
+   *  - clusters above `maxClusterSize` are dropped whole via the same
+   *    count-window cap discipline as every bucketed candidate
+   *    generator here (a degenerate corpus collapsing into one cluster
+   *    must not do cluster² work; the cap is mirrored in the q189
+   *    oracle so a trip can never diverge engines);
+   *  - the assigned frame is localCheckpointed before the self-join —
+   *    both join sides read the materialized partitions instead of
+   *    re-running train+assign twice (Spark shares no plan subtrees
+   *    across self-join sides);
+   *  - CC then moves only (node, label) longs (GraphOps discipline).
+   *
+   * Input: (idCol, vecCol) float/double arrays. Output: one row per
+   * vector that participates in ≥1 kept pair — (vec_id, component,
+   * cc_size, keep); `keep` = 1 on the component's min-id member.
+   * Vectors with no near-duplicate are implicitly all keepers.
+   */
+  def semanticDedup(base: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, centroidEvery: Int = 50, kmeansIters: Int = 2,
+      dims: Int = 64, maxClusterSize: Int = DefaultMaxBandBucket): DataFrame = {
+    val b = prepNormed(ScanOps.spreadSmallInput(base, col(idCol)), idCol, vecCol)
+    val cents = seededCents(base, b, idCol, vecCol, centroidEvery, kmeansIters, dims)
+    val assigned = nearestCentroids(b, cents, idCol, keep = 1)
+      .select(col(idCol).as("vid"), col("v"), col("nrm"), col("cent_id"))
+    val szW = Window.partitionBy("cent_id")
+    val kept = assigned
+      .withColumn("csize", count(lit(1)).over(szW))
+      .filter(col("csize") <= maxClusterSize)
+      .drop("csize")
+      .localCheckpoint(true)
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
+        (dotD(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+    val cc = graft.operators.GraphOps.connectedComponents(pairs, "vec_a", "vec_b")
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cc_size"))
+    cc.join(sizes, Seq("component"))
+      .select(col("node").as("vec_id"), col("component"), col("cc_size"),
+        (col("node") === col("component")).cast("int").as("keep"))
+  }
+
   /** Default [[bucketedNearDupPairs]] skew cap, mirrored by the q26
     * DuckDB oracle (VectorQueries embeds it in the kept-bucket filter) so
     * a tripped cap drops the SAME buckets in both engines instead of
@@ -362,16 +440,22 @@ object VectorSearch {
    * uses, so the audit measures the deployed geometry, not a replica.
    */
   def annRecallAudit(base: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int = 5): DataFrame = {
+      vecCol: String, k: Int = 5,
+      bands: Int = VecBands, rowsPerBand: Int = VecRowsPerBand): DataFrame = {
+    def geomBandRows(df: DataFrame, idName: String) =
+      bandRowsFromBvals(
+        df.select(col(idName).as("vec_id"),
+          bandValuesWith(col("v"), bands, rowsPerBand).as("bvals")),
+        bands)
     val exact = knnBrute(base, queries, idCol, vecCol, k)
       .select(col("query_id").as("ex_query_id"), col("neighbor_id"),
         col("rnk").as("ex_rnk"))
     val b = prepNormed(base, idCol, vecCol)
     val q = prepNormed(queries, idCol, vecCol).select(
       col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val bBands = vecBandRows(
+    val bBands = geomBandRows(
       b.select(col(idCol).as("vec_id"), col("v")), "vec_id")
-    val qBands = vecBandRows(
+    val qBands = geomBandRows(
         q.select(col("query_id").as("vec_id"), col("qv").as("v")), "vec_id")
       .select(col("vec_id").as("query_id"), col("band"), col("bval"))
     val cand = broadcast(qBands).join(bBands, Seq("band", "bval"))
@@ -417,9 +501,10 @@ object VectorSearch {
     * (whose prep computes bvals alongside nrm in ONE projection), so
     * the band keying the diagnostic counts is BY CONSTRUCTION the one
     * the dedup buckets on. */
-  private def bandRowsFromBvals(df: DataFrame): DataFrame =
+  private def bandRowsFromBvals(df: DataFrame,
+      bands: Int = VecBands): DataFrame =
     df.select(col("vec_id"), col("bvals"),
-        explode(typedlit((0 until VecBands).toArray)).as("band"))
+        explode(typedlit((0 until bands).toArray)).as("band"))
       .select(col("vec_id"), col("band"),
         element_at(col("bvals"), col("band") + 1).as("bval"))
 

@@ -678,6 +678,86 @@ object VectorQueries {
         SELECT grp, max(n_g) AS n_vecs,
           CAST(sum(qd) AS BIGINT) AS l1_fp,
           max(qd) AS max_dim_fp
-        FROM q GROUP BY grp ORDER BY grp"""))
+        FROM q GROUP BY grp ORDER BY grp""")),
+
+    // ------------------------------------------------------------------
+    // q189 — SemDeDup semantic deduplication (VectorSearch
+    // .semanticDedup, Abbas et al. 2023): trained k-means clusters the
+    // embedding space (the q56 fixed-point machinery, bit-identical
+    // cross-engine), candidate pairs are generated WITHIN clusters only
+    // (equality join on cent_id — never a corpus self-join; the
+    // SemDeDup trick that makes web-scale semantic dedup tractable),
+    // exact cosine ≥ 0.99 keeps true near-dups, connected components
+    // (the q61 machinery) collapse them, min-id survives. Fixture: two
+    // mutant twins per fixed query id (alternate dims scaled 1.002 /
+    // 1.004 — near-identical to their source and to each other, and
+    // shifted by +100001/+200002 so neither lands on the % 50 seed
+    // lattice) must come back as 3-member components keeping the
+    // source. The oracle re-derives training, assignment, per-cluster
+    // pairs, and the reachability closure.
+    // ------------------------------------------------------------------
+    "q189_semantic_dedup" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        def mut(shift: Long, eps: Double) = emb
+          .filter(expr(QuerySetSql))
+          .select((col("vec_id") + shift).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast(DoubleType) *
+                (lit(1.0) + lit(eps) * (i % 2).cast(DoubleType)))
+              .as("embedding"))
+        val orig = emb.select(col("vec_id"),
+          toDouble(col("embedding")).as("embedding"))
+        VectorSearch.semanticDedup(
+          orig.unionByName(mut(100001L, 0.002)).unionByName(mut(200002L, 0.004)),
+          "vec_id", "embedding", minCosine = 0.99)
+          .orderBy("vec_id")
+      },
+      oracle = Some {
+        def mutSql(shift: Long, eps: String) = s"""
+          SELECT vec_id + $shift, list_transform(range(1, len(embedding) + 1),
+            i -> CAST(embedding[i] AS DOUBLE) *
+              (1.0 + $eps * CAST((i - 1) % 2 AS DOUBLE)))
+          FROM embeddings WHERE $QuerySetSql"""
+        s"""
+        WITH RECURSIVE fx(vec_id, v) AS (
+          SELECT vec_id, ${sqlToDouble("embedding")} FROM embeddings
+          UNION ALL ${mutSql(100001L, "0.002")}
+          UNION ALL ${mutSql(200002L, "0.004")}),
+        nb AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM fx),
+        k0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nb
+          WHERE vec_id % 50 = 0),
+        ${kmeansIterSql(1, "k0")}
+        ${kmeansIterSql(2, "k1")}
+        cents AS (SELECT cent_id, cv, cn FROM k2),
+        assigned AS (SELECT vec_id, v, nrm, cent_id FROM (
+            SELECT nb.vec_id, nb.v, nb.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY nb.vec_id
+                ORDER BY ${sqlDot("nb.v", "c.cv")} / (nb.nrm * c.cn) DESC, c.cent_id) AS crnk
+            FROM nb CROSS JOIN cents c) t WHERE crnk = 1),
+        csz AS (SELECT cent_id, count(*) AS n FROM assigned GROUP BY cent_id),
+        keptc AS (SELECT a.vec_id, a.v, a.nrm, a.cent_id FROM assigned a
+          JOIN csz USING (cent_id)
+          WHERE csz.n <= ${VectorSearch.DefaultMaxBandBucket}),
+        prs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM keptc x JOIN keptc y
+            ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+          WHERE ${sqlDot("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.99),
+        edges AS (SELECT vec_a AS u, vec_b AS w FROM prs
+          UNION SELECT vec_b, vec_a FROM prs),
+        nodes AS (SELECT DISTINCT u AS n FROM edges),
+        reach(n, l) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.w, r.l FROM reach r JOIN edges e ON e.u = r.n),
+        cc AS (SELECT n AS node, min(l) AS component FROM reach GROUP BY n),
+        sz AS (SELECT component, count(*) AS cc_size FROM cc
+          GROUP BY component)
+        SELECT node AS vec_id, cc.component, cc_size,
+          CAST(node = cc.component AS INT) AS keep
+        FROM cc JOIN sz ON cc.component = sz.component
+        ORDER BY vec_id"""
+      },
+      headline = true)
   )
 }

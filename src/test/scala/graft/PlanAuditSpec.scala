@@ -68,7 +68,12 @@ class PlanAuditSpec extends SparkSuite {
       "q177_share_of_parent",
       // q181 embeds q71's BM25 scorer, inheriting its 1-row
       // corpus-constants broadcast; the fusion itself is join-free
-      "q181_rrf_fusion")
+      "q181_rrf_fusion",
+      // q189's nested loops are the broadcast-centroid joins of the q56
+      // k-means trainer/assigner (bounded C-row model side); its
+      // candidate PAIR stage is an equality join on cent_id, pinned by
+      // VectorSearchSpec to never plan a cartesian
+      "q189_semantic_dedup")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

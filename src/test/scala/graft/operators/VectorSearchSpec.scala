@@ -426,4 +426,88 @@ class VectorSearchSpec extends SparkSuite {
     assert(got(0L) == ((2L, q, q)))
     assert(got(1L) == ((2L, q, q)))
   }
+
+  test("annRecallAudit on a PLANTED neighborhood: positive recall at the " +
+      "recommended geometry, materially lower when the same planes are " +
+      "over-sharded") {
+    // the deployed 4x8 geometry IS recommendedSigBits' answer for this
+    // corpus size — the audit gates the geometry the code recommends
+    assert(VectorSearch.recommendedSigBits(2015) === VectorSearch.SigBits)
+    // plant 5 true neighbors per query at cosine ~0.986 (alternate-mask
+    // dims scaled 1.4): close enough to own the exact top-5, far enough
+    // that each extra sign bit costs real collision probability
+    def planted(shift: Long, m: Int, r: Int) = emb
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+      .select((col("vec_id") + shift).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast(DoubleType) *
+            (lit(1.0) + lit(0.4) * (i % m === r).cast(DoubleType))).as("embedding"))
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(planted(100000L, 2, 0)).unionByName(planted(200000L, 2, 1))
+      .unionByName(planted(300000L, 3, 0)).unionByName(planted(400000L, 3, 1))
+      .unionByName(planted(500000L, 5, 0))
+    val queries = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+    def avgRecall(bands: Int, rowsPerBand: Int): Double =
+      VectorSearch.annRecallAudit(base, queries, "vec_id", "embedding",
+          k = 5, bands = bands, rowsPerBand = rowsPerBand)
+        .agg(avg(col("recall_ppm"))).head().getDouble(0)
+    val recommended = avgRecall(VectorSearch.VecBands, VectorSearch.VecRowsPerBand)
+    val oversharded = avgRecall(2, 16)
+    // the audit demonstrably steers: recall >= 0.9 at the recommended
+    // banding of the 32 planes, and regrouping them into 2 bands of 16
+    // bits (what a 1000x corpus would want) costs >= 20 points of
+    // recall on THIS corpus — sig-bit choice is a measured trade, not
+    // a free parameter
+    assert(recommended >= 900000.0, s"recommended-geometry recall $recommended")
+    assert(oversharded <= recommended - 200000.0,
+      s"over-sharded recall $oversharded vs $recommended")
+  }
+
+  test("semanticDedup: mutant twins collapse onto their source as one " +
+      "3-member component keeping the min id") {
+    val orig = emb.select(col("vec_id"), col("embedding"))
+    def mut(shift: Long, eps: Double) = emb
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+      .select((col("vec_id") + shift).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast(DoubleType) * (lit(1.0) + lit(eps) * (i % 2).cast(DoubleType)))).as("embedding"))
+    val out = VectorSearch.semanticDedup(
+      orig.unionByName(mut(100001L, 0.002)).unionByName(mut(200002L, 0.004)),
+      "vec_id", "embedding", minCosine = 0.99)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // 5 sources, each a (source, twin1, twin2) triangle
+    assert(rows.size === 15)
+    for (s <- Seq(0L, 100L, 200L, 300L, 400L)) {
+      assert(rows(s) === ((s, 3L, 1)), s"source $s must survive")
+      assert(rows(s + 100001L) === ((s, 3L, 0)))
+      assert(rows(s + 200002L) === ((s, 3L, 0)))
+    }
+    // candidate pairing is per-cluster: the executed tail (post-
+    // checkpoint) joins the assigned frame on cent_id equality — never
+    // a cartesian/nested-loop over the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("semanticDedup: maxClusterSize drops a degenerate one-cluster " +
+      "flood before any pair is formed") {
+    import spark.implicits._
+    // 40 identical vectors (id 0 seeds the single centroid): cluster
+    // size 40 > cap 10 -> no pairs at all; with the cap off the flood
+    // pairs C(40,2) in one component
+    val flood = (0L until 40L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = VectorSearch.semanticDedup(flood, "vec_id", "embedding",
+      minCosine = 0.99, dims = 4, maxClusterSize = 10)
+    assert(capped.count() === 0)
+    val uncapped = VectorSearch.semanticDedup(flood, "vec_id", "embedding",
+      minCosine = 0.99, dims = 4)
+    assert(uncapped.count() === 40)
+    assert(uncapped.filter(col("component") === 0 && col("cc_size") === 40)
+      .count() === 40)
+    assert(uncapped.filter(col("keep") === 1).count() === 1)
+  }
 }
