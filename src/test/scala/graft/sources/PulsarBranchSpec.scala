@@ -64,6 +64,48 @@ class PulsarBranchSpec extends SparkSuite {
     assert(got.toSeq === PulsarProvider.records.map(_._2).sorted)
   }
 
+  test("offsets advance monotonically across >= 3 checkpointed " +
+      "micro-batches (the at-least-once O11 contract under the pulsar " +
+      "branch)") {
+    // one record revealed per poll: the 3 canned records arrive as 3
+    // genuine micro-batches instead of one
+    PulsarProvider.batchSize = 1
+    val ckpt = Files.createTempDirectory("pulsar_mb_ckpt_").toString
+    try {
+      val df = rawStream(spark, spec)
+      val q = df.writeStream.format("memory").queryName("pulsar_mb_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.table("pulsar_mb_out").count() < PulsarProvider.records.size
+            && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(spark.table("pulsar_mb_out").count() ===
+          PulsarProvider.records.size)
+        // the query's own progress log: end offsets must be seen at 1,
+        // 2 AND 3 (three distinct batch frontiers), never regressing
+        val ends = q.recentProgress.toSeq
+          .map(_.sources.head.endOffset.trim.toInt)
+        assert(Seq(1, 2, 3).forall(ends.contains), s"offsets seen: $ends")
+        assert(ends === ends.sorted, s"offsets must be monotone: $ends")
+      } finally q.stop()
+      // the CHECKPOINTED progression (what a restart would resume from):
+      // one offsets-log entry per data batch, strictly increasing
+      val offFiles = new java.io.File(ckpt, "offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(offFiles.length >= 3, s"expected >=3 offset-log entries")
+      val offs = offFiles.toSeq.map { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toSeq.last.trim.toInt finally src.close()
+      }
+      assert(offs === offs.sorted && offs.distinct.length >= 3,
+        s"checkpointed offsets not strictly advancing: $offs")
+    } finally PulsarProvider.batchSize = Int.MaxValue
+  }
+
   test("full pipeline lands 40 flattened columns from the pulsar source") {
     val out = Files.createTempDirectory("pulsar_out_").toString
     val cfg = HfpStreamPipeline.Config(

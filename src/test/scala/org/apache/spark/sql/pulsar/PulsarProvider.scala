@@ -74,6 +74,14 @@ object PulsarProvider {
   }
 
   @volatile var lastOptions: Map[String, String] = Map.empty
+
+  /** Records revealed per latestOffset poll — Int.MaxValue (default)
+    * serves everything in one micro-batch (the AvailableNow specs);
+    * setting 1 makes each ProcessingTime micro-batch advance the offset
+    * by one record, so a spec can assert checkpointed offset
+    * MONOTONICITY across ≥3 genuine micro-batches (the r10 verdict's
+    * multi-batch O11 item). Reset after use. */
+  @volatile var batchSize: Int = Int.MaxValue
 }
 
 private class PulsarStubTable(topic: String) extends Table with SupportsRead {
@@ -96,8 +104,16 @@ private case class StubOffset(n: Int) extends Offset {
 }
 
 private class PulsarStubStream extends MicroBatchStream {
+  // "broker arrivals": each poll reveals up to batchSize more records,
+  // so offsets advance monotonically across micro-batches instead of
+  // jumping to the end on the first poll
+  private var revealed = 0
   override def initialOffset(): Offset = StubOffset(0)
-  override def latestOffset(): Offset = StubOffset(PulsarProvider.records.size)
+  override def latestOffset(): Offset = {
+    revealed = math.min(PulsarProvider.records.size,
+      revealed.toLong.+(PulsarProvider.batchSize).min(Int.MaxValue).toInt)
+    StubOffset(revealed)
+  }
   override def deserializeOffset(json: String): Offset = StubOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
