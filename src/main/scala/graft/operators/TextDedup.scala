@@ -423,6 +423,76 @@ object TextDedup {
             " ")).as("kept_text"))
   }
 
+  /** [[winnowingFingerprints]] position bound: the (hash, position)
+    * tie-break key packs the position into the low 20 bits of a
+    * decimal, so a document may hold at most 2^20 grams (~1M tokens —
+    * far above any web-document tokenizer output; a longer doc should
+    * be chunked upstream, q95). */
+  val WinnowPosBits = 20
+
+  /**
+   * Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+   * — the MOSS scheme): slide a window of `w` consecutive word-
+   * `shingleN`-gram hashes over each document and select each window's
+   * MINIMUM (hash, position) key; the distinct selected positions are
+   * the document's fingerprints. Both winnowing guarantees hold by
+   * construction and are pinned by spec:
+   *  - DENSITY: every valid w-window contains its own argmin, so no
+   *    w-gram stretch goes unfingerprinted (the guarantee the simpler
+   *    "local minimum of a symmetric neighborhood" predicate LACKS — a
+   *    monotone key run would select almost nothing);
+   *  - LOCALITY/ROBUSTNESS: a window's argmin depends only on its own
+   *    w keys, so any token run of >= w + shingleN - 1 tokens shared
+   *    between two documents contains a full shared window, whose
+   *    minimum HASH is identical in both (the position tie-break only
+   *    arbitrates equal hashes = identical grams, picking the same
+   *    hash either way) — cross-doc overlap detection by fingerprint
+   *    equality join, no full-text comparison, no probabilistic bands.
+   *
+   * The key is total — hash·2^WinnowPosBits + position in
+   * decimal(38,0) — so the fingerprint set is bit-deterministic
+   * cross-engine.
+   *
+   * Scale shape: one explode pass (the q107/q188 cost class), ONE
+   * doc-keyed window (the per-window minima ride a single per-doc
+   * ordered scan, ROWS CURRENT..w-1 FOLLOWING), then a doc-keyed
+   * self-semi-join lifts the distinct selected keys back to rows —
+   * all exchanges on doc_id after the scan, only (doc_id, pos, h)
+   * ever shuffles. Downstream match-finding joins fingerprints on h:
+   * ~1/w the postings a full gram index would carry, winnowing's
+   * point.
+   *
+   * Output: (doc_id, pos, h) for selected positions, ~2/(w+1) of
+   * gram positions on random-ish keys.
+   */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, w: Int = 4): DataFrame = {
+    require(w >= 2, s"winnow window must be >= 2, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .withColumn("nt", size(col("t")))
+    val grams = toks
+      .select(col("doc_id"), col("nt"), col("t"),
+        explode(sequence(lit(1),
+          greatest(col("nt") - lit(shingleN - 1), lit(1)))).as("p"))
+      .select(col("doc_id"), col("p"),
+        greatest(col("nt") - lit(shingleN - 1), lit(1)).as("maxp"),
+        hash64(concat_ws(" ", slice(col("t"), col("p"), lit(shingleN)))).as("h"))
+      .withColumn("k", col("h").cast(DecimalType(38, 0)) *
+        lit(1L << WinnowPosBits) + col("p"))
+    val headWin = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    // valid window heads: s <= maxp - w + 1 (every full window), plus
+    // s = 1 when the doc has fewer than w grams (one clipped window)
+    val selectedKeys = grams
+      .withColumn("fmin", min(col("k")).over(headWin))
+      .filter(col("p") <= greatest(col("maxp") - lit(w - 1), lit(1)))
+      .select(col("doc_id"), col("fmin").as("k"))
+      .distinct()
+    grams.join(selectedKeys, Seq("doc_id", "k"))
+      .select(col("doc_id"), col("p").cast(LongType).as("pos"), col("h"))
+  }
+
   def readDocIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/docs")
 

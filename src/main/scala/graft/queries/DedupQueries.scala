@@ -46,6 +46,16 @@ object DedupQueries {
   val ChimeraMod = 10L
   val ChimeraShift = 500000L
 
+  /** q190 winnowing: trigram hashes, window 4 (guarantee threshold
+    * w + n - 1 = 6 shared tokens); the quote slice (first 20 tokens of
+    * every 13th doc under a shifted id) plants shared runs the
+    * fingerprints provably catch. */
+  val WinnowN = 3
+  val WinnowW = 4
+  val WinnowQuoteMod = 13L
+  val WinnowQuoteTokens = 20
+  val WinnowQuoteShift = 600000L
+
   /** q186 containment: 4-gram shingles — the q100 sparsity lesson one
     * step further: on the 30-word synthetic vocabulary even trigram
     * postings are dense enough that the prefix×full-postings join
@@ -593,6 +603,57 @@ object DedupQueries {
           LEFT JOIN kt ON tk.doc_id = kt.doc_id
         ORDER BY doc_id"""),
       headline = true),
+
+    // ------------------------------------------------------------------
+    // q190 — winnowing fingerprints (TextDedup.winnowingFingerprints,
+    // the MOSS scheme): per-window argmin of (gram-hash, position) keys
+    // selects ~2/(w+1) of positions with the density guarantee (no
+    // w-gram stretch unfingerprinted) and the locality guarantee (any
+    // >= w+n-1-token shared run yields an identical fingerprint hash in
+    // both docs — pinned by spec on the quote slice). The sub-sampled
+    // fingerprint index is what plagiarism/overlap detection joins on
+    // instead of a full gram index. Oracle: identical key arithmetic
+    // (hash*2^20+pos in HUGEINT), window min, head-validity filter,
+    // and semi-join re-derivation.
+    // ------------------------------------------------------------------
+    "q190_winnowing_fingerprints" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val quotes = docs.filter(col("doc_id") % WinnowQuoteMod === 0)
+          .select((col("doc_id") + WinnowQuoteShift).as("doc_id"),
+            array_join(slice(TextDedup.tokens(col("text")), 1,
+              WinnowQuoteTokens), " ").as("text"))
+        TextDedup.winnowingFingerprints(docs.unionByName(quotes),
+          "doc_id", "text", WinnowN, WinnowW)
+          .orderBy("doc_id", "pos")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $WinnowQuoteShift,
+            array_to_string((${sqlTokens("text")})[1:$WinnowQuoteTokens], ' ')
+          FROM documents WHERE doc_id % $WinnowQuoteMod = 0),
+        tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM base),
+        tk AS (SELECT doc_id, t, greatest(len(t) - ${WinnowN - 1}, 1) AS maxp
+          FROM tok),
+        pos AS (SELECT doc_id, t, maxp, unnest(range(1, maxp + 1)) AS p
+          FROM tk),
+        gr AS (SELECT doc_id, p, maxp,
+            ${sqlHash(s"array_to_string(t[p:p+${WinnowN - 1}], ' ')")} AS h
+          FROM pos),
+        wk AS (SELECT doc_id, p, maxp, h,
+            CAST(h AS HUGEINT) * ${1L << TextDedup.WinnowPosBits} + p AS k
+          FROM gr),
+        hm AS (SELECT doc_id, p, maxp, k,
+            min(k) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fmin
+          FROM wk),
+        sel AS (SELECT DISTINCT doc_id, fmin AS k FROM hm
+          WHERE p <= greatest(maxp - ${WinnowW - 1}, 1))
+        SELECT wk.doc_id AS doc_id, CAST(wk.p AS BIGINT) AS pos, wk.h AS h
+        FROM wk JOIN sel ON wk.doc_id = sel.doc_id AND wk.k = sel.k
+        ORDER BY doc_id, pos""")),
 
     // ------------------------------------------------------------------
     // q114 — canonical-doc selection (GraphOps.canonicalMembers): the

@@ -292,6 +292,35 @@ class TextDedupSpec extends SparkSuite {
     assert(capped.count() === 0)
   }
 
+  test("winnowing: density (no w-window unfingerprinted) and locality " +
+      "(a shared run always yields a shared hash); short docs " +
+      "fingerprint once") {
+    val shared = (1 to 20).map(i => s"sh$i").mkString(" ")
+    val a = (1 to 15).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+      (1 to 7).map(i => s"az$i").mkString(" ")
+    val b = (1 to 9).map(i => s"b$i").mkString(" ") + " " + shared
+    val df = Seq((1L, a), (2L, b), (3L, "xx yy")).toDF("doc_id", "text")
+    val rows = TextDedup.winnowingFingerprints(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // density: first fingerprint within the first window, gaps <= w,
+    // last fingerprint inside the final window
+    for ((d, maxp) <- Seq((1L, 40L), (2L, 27L))) {
+      val ps = rows.filter(_._1 == d).map(_._2).sorted.toSeq
+      assert(ps.head <= 4 && ps.last >= maxp - 3, s"doc $d edges: $ps")
+      assert(ps.sliding(2).forall(w => w.length < 2 || w(1) - w(0) <= 4),
+        s"doc $d gaps: $ps")
+    }
+    // locality: the 20-token shared run (>= w + n - 1 = 6) must yield
+    // >= 1 identical fingerprint HASH in both docs despite different
+    // positions and surroundings
+    val ha = rows.filter(_._1 == 1L).map(_._3).toSet
+    val hb = rows.filter(_._1 == 2L).map(_._3).toSet
+    assert((ha intersect hb).nonEmpty, "shared run produced no shared hash")
+    // short doc (< n tokens): its whole token sequence is the one gram,
+    // selected at position 1
+    assert(rows.filter(_._1 == 3L).map(t => (t._2)).toSeq === Seq(1L))
+  }
+
   private def spanRows(docs: Seq[(Long, String)], n: Int = 3) =
     TextDedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
         "doc_id", "text", n)
