@@ -294,4 +294,68 @@ object Relevance {
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
   }
+
+  /** [[ndcgAtK]] per-position contribution scale: grade · 2^20 · 10^6
+    * div L(pos+1), with L in Q20 — numerators stay < 2^45 for grades
+    * ≤ 3 and the per-term integer division is replayed exactly by the
+    * oracle. */
+  val NdcgScale: Long = (1L << 20) * 1000000L
+
+  /**
+   * nDCG@k — the ranking-quality readout for the retrieval stack
+   * (BM25 q71, tf-idf q97, RRF q181): per query, DCG@k =
+   * Σ grade_i / log2(i+1) over the RANKED list, normalized by the
+   * ideal DCG of the query's own graded truth — the standard measure
+   * that rewards putting the most relevant documents earliest, which
+   * recall@k (q136's metric) cannot see.
+   *
+   * Exactness: the log2 discount is the Q20 fixed-point lattice of
+   * the native [[graft.functions.Log2Q20]] expression (the q180
+   * machinery) — per-position contribution
+   * (grade · [[NdcgScale]]) div L(pos+1), all longs — so both engines
+   * produce identical DCG numerators and the gate hashes ndcg_ppm
+   * itself, not a float approximation. A query with no relevant truth
+   * rows emits null ndcg_ppm (no ideal to normalize by), never a fake
+   * 0.
+   *
+   * Scale shape: both inputs are ranker-output / truth-sized frames
+   * keyed on the query — two window/aggregate passes and one
+   * query-keyed join; cost is independent of corpus size (the
+   * corpus-facing work happened in the ranker being evaluated).
+   *
+   * `ranked` carries (queryCol, idCol, rnk); `truth` carries
+   * (queryCol, idCol, grade) with grade > 0 meaning relevant.
+   * Output: (queryCol, n_ranked, dcg_fp, idcg_fp, ndcg_ppm).
+   */
+  def ndcgAtK(ranked: DataFrame, truth: DataFrame, queryCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.Log2Q20
+    import org.apache.spark.sql.graft.Bridge
+    def disc(pos: Column): Column =
+      Bridge.column(Log2Q20(Bridge.expression((pos + lit(1L)).cast(LongType))))
+    val r = ranked.select(col(queryCol).as("q"), col(idCol).as("doc"),
+      col("rnk")).filter(col("rnk") <= k)
+    val t = truth.select(col(queryCol).as("q"), col(idCol).as("doc"),
+      col("grade").cast(LongType).as("grade")).filter(col("grade") > 0)
+    val dcgPer = r.join(t, Seq("q", "doc"), "left")
+      .withColumn("grade0", coalesce(col("grade"), lit(0L)))
+      .withColumn("ldisc", disc(col("rnk")))
+      .withColumn("contrib", expr(s"(grade0 * $NdcgScale) div ldisc"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_ranked"), sum(col("contrib")).as("dcg_fp"))
+    val iw = Window.partitionBy("q").orderBy(col("grade").desc, col("doc"))
+    val idcgPer = t
+      .withColumn("irn", row_number().over(iw).cast(LongType))
+      .filter(col("irn") <= k)
+      .withColumn("ldisc", disc(col("irn")))
+      .withColumn("contrib", expr(s"(grade * $NdcgScale) div ldisc"))
+      .groupBy("q").agg(sum(col("contrib")).as("idcg_fp"))
+    dcgPer.join(idcgPer, Seq("q"), "left")
+      .withColumn("idcg_fp", coalesce(col("idcg_fp"), lit(0L)))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_fp") > 0, expr("(dcg_fp * 1000000) div idcg_fp")))
+      .select(col("q").as(queryCol), col("n_ranked"), col("dcg_fp"),
+        col("idcg_fp"), col("ndcg_ppm"))
+  }
 }

@@ -46,6 +46,13 @@ object RetrievalQueries {
 
   val Bm25QueryTerms = Seq("spark", "join", "window")
   val Bm25K = 10
+
+  /** q191 nDCG evaluation depth (matches the BM25 list depth) and the
+    * "title" window: a term among the doc's first 10 whitespace tokens
+    * grades 3 — a position signal BM25 cannot see, so the measured
+    * nDCG is genuinely < 1. */
+  val NdcgK = 10
+  val NdcgTitleTokens = 10
   val PostingCap = 8
   val IndexMinDf = 5L
 
@@ -60,13 +67,18 @@ object RetrievalQueries {
     * (which selects it directly) and q181 (which fuses it with a
     * second ranker), so a scoring-lattice change cannot silently gate
     * two different formulas. */
-  private def bm25CtesSql: String = {
+  private def bm25CtesSql: String = bm25CtesSql(recursive = false)
+
+  /** `recursive = true` emits WITH RECURSIVE (q191 appends the q180
+    * log2-lattice CTE to the chain; DuckDB requires the keyword on the
+    * whole WITH list). */
+  private def bm25CtesSql(recursive: Boolean): String = {
     val lits = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
     val M = Relevance.Milli
     val K1 = Relevance.K1Milli
     val B = Relevance.BMilli
     s"""
-        WITH tok AS (SELECT doc_id, lower(t) AS term FROM (
+        WITH ${if (recursive) "RECURSIVE " else ""}tok AS (SELECT doc_id, lower(t) AS term FROM (
             SELECT doc_id,
               unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
             FROM documents)
@@ -413,6 +425,91 @@ object RetrievalQueries {
               ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
           FROM fused)
         SELECT term, doc_id, rrf, n_lists, rnk FROM rr
-        WHERE rnk <= $RrfTopK ORDER BY term, rnk"""))
+        WHERE rnk <= $RrfTopK ORDER BY term, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q191 — nDCG@k ranking evaluation (Relevance.ndcgAtK): BM25's
+    // top-10 per query term scored against a graded truth — grade 3
+    // for a TITLE hit (term among the doc's first 10 tokens, a
+    // relevance signal BM25's bag-of-words scoring cannot see — which
+    // is what makes the measurement discriminating instead of
+    // vacuously 1.0), else min(tf, 2) — normalized by the ideal DCG
+    // of that truth. The
+    // discount is the EXACT Q20 fixed-point log2 lattice of the native
+    // Log2Q20 expression (q180's machinery), so ndcg_ppm itself
+    // hash-gates; the oracle replays the lattice with the linear
+    // 20-step recursive CTE over the 10-position rank spine and
+    // re-derives DCG/IDCG integer-for-integer. Evaluation cost is
+    // ranker-output-sized — corpus-independent by construction.
+    // ------------------------------------------------------------------
+    "q191_ndcg_eval" -> GraftQuery(
+      build = (s, d) => {
+        val docs = ScanOps.spreadSmallInput(
+          documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
+        val ranked = Relevance.bm25TopK(docs, "doc_id", "text",
+          Bm25QueryTerms, NdcgK)
+        val titles = docs.select(col("doc_id"),
+          slice(split(lower(col("text")), "\\s+"), 1, NdcgTitleTokens)
+            .as("head"))
+        val truth = Relevance.tokenStream(docs, "doc_id", "text")
+          .filter(col("term").isin(Bm25QueryTerms: _*))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .join(titles, Seq("doc_id"))
+          .select(col("term"), col("doc_id"),
+            when(array_contains(col("head"), col("term")), lit(3L))
+              .otherwise(least(col("tf"), lit(2L))).as("grade"))
+        Relevance.ndcgAtK(ranked, truth, "term", "doc_id", NdcgK)
+          .orderBy("term")
+      },
+      oracle = Some(s"""
+        ${bm25CtesSql(recursive = true)},
+        rkspine AS (SELECT unnest(range(1, ${NdcgK + 1})) AS i),
+        n0 AS (SELECT i, i + 1 AS m FROM rkspine),
+        m0 AS (SELECT i, m, length(bin(m)) - 1 AS hb FROM n0),
+        mant AS (SELECT i, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT i, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT i, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        disc AS (SELECT i, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        ttl AS (SELECT doc_id,
+            (${sqlWsTokens("text")})[1:$NdcgTitleTokens] AS head
+          FROM documents),
+        tr AS (SELECT tf.term, tf.doc_id,
+            CASE WHEN list_contains(head, tf.term) THEN 3
+              ELSE least(tf, 2) END AS grade
+          FROM tf JOIN ttl ON tf.doc_id = ttl.doc_id),
+        dc AS (SELECT r.term, coalesce(tr.grade, 0) AS grade0, d.l
+          FROM r JOIN disc d ON d.i = r.rnk
+          LEFT JOIN tr ON tr.term = r.term AND tr.doc_id = r.doc_id
+          WHERE r.rnk <= $NdcgK),
+        dper AS (SELECT term, CAST(count(*) AS BIGINT) AS n_ranked,
+            CAST(sum((grade0 * ${Relevance.NdcgScale}) // l) AS BIGINT)
+              AS dcg_fp
+          FROM dc GROUP BY term),
+        ir AS (SELECT term, doc_id, grade, row_number() OVER (
+            PARTITION BY term ORDER BY grade DESC, doc_id) AS irn
+          FROM tr),
+        ic AS (SELECT term,
+            CAST(sum((grade * ${Relevance.NdcgScale}) // l) AS BIGINT)
+              AS idcg_fp
+          FROM ir JOIN disc d ON d.i = ir.irn
+          WHERE irn <= $NdcgK GROUP BY term)
+        SELECT dper.term AS term, n_ranked, dcg_fp,
+          coalesce(idcg_fp, 0) AS idcg_fp,
+          CASE WHEN coalesce(idcg_fp, 0) > 0
+            THEN (dcg_fp * 1000000) // idcg_fp END AS ndcg_ppm
+        FROM dper LEFT JOIN ic ON dper.term = ic.term
+        ORDER BY term"""))
   )
 }

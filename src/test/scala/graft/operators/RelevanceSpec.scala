@@ -147,4 +147,35 @@ class RelevanceSpec extends SparkSuite {
     // both consensus docs beat both single-list docs
     assert(Set(got(10L)._3, got(11L)._3) == Set(1L, 2L))
   }
+
+  test("ndcgAtK: the ideal ordering scores exactly 1e6 ppm, a misordered " +
+      "ranking strictly less, and empty truth yields null — with the " +
+      "hand-computed Q20 discount") {
+    import graft.functions.FixedLog
+    val truth = Seq(("q", 1L, 3L), ("q", 2L, 2L), ("q", 3L, 1L),
+      ("z", 9L, 1L))
+      .toDF("term", "doc_id", "grade")
+    def ranked(ids: Seq[Long], term: String = "q") =
+      ids.zipWithIndex.map { case (d, i) => (term, d, (i + 1).toLong) }
+        .toDF("term", "doc_id", "rnk")
+    def ndcg(df: org.apache.spark.sql.DataFrame) =
+      Relevance.ndcgAtK(df, truth, "term", "doc_id", k = 3)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), Option(r.get(4))))).toMap
+    // ideal order 1,2,3 (grades 3,2,1): dcg == idcg -> exactly 1e6
+    val ideal = ndcg(ranked(Seq(1L, 2L, 3L)))("q")
+    assert(ideal._1 === ideal._2 && ideal._3.contains(1000000L))
+    // hand-check the numerator on the defining lattice
+    val expected = Seq((3L, 2L), (2L, 3L), (1L, 4L)).map { case (g, m) =>
+      g * Relevance.NdcgScale / FixedLog.log2q20(m)
+    }.sum
+    assert(ideal._2 === expected)
+    // worst order 3,2,1 scores strictly below ideal; ranked docs with
+    // no truth row contribute grade 0
+    val rev = ndcg(ranked(Seq(3L, 2L, 1L)))("q")
+    assert(rev._1 < rev._2 && rev._3.exists(_.asInstanceOf[Long] < 1000000L))
+    // a query whose ranking has no graded truth at all: null ndcg, not 0
+    val none = ndcg(ranked(Seq(7L, 8L), term = "x"))("x")
+    assert(none._2 === 0L && none._3.isEmpty)
+  }
 }
