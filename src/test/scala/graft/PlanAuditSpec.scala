@@ -73,7 +73,11 @@ class PlanAuditSpec extends SparkSuite {
       // k-means trainer/assigner (bounded C-row model side); its
       // candidate PAIR stage is an equality join on cent_id, pinned by
       // VectorSearchSpec to never plan a cartesian
-      "q189_semantic_dedup")
+      "q189_semantic_dedup",
+      // q192's nested loop is the 1-row 8 KB bitmap broadcast under the
+      // per-row probe test — the operator's whole point is replacing
+      // the fact-side shuffle with exactly this broadcast
+      "q192_bloom_prefilter")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
