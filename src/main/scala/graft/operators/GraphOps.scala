@@ -325,6 +325,68 @@ object GraphOps {
     ranks
   }
 
+  /** [[hitsFixed]] fixed-point scale (Q20, the engine-wide lattice). */
+  val HitsScale: Long = 1L << 20
+
+  /**
+   * HITS hubs & authorities (Kleinberg 1999) in exact fixed point —
+   * the directed-graph centrality pair PageRank ([[pageRankFixed]])
+   * cannot express: on a bipartite pointer graph (parts→suppliers,
+   * docs→cited sources, queries→clicked results) an AUTHORITY is a
+   * node many good hubs point to and a HUB is a node pointing at many
+   * good authorities, mutually recursive. Each iteration: auth ← Eᵀ·hub,
+   * hub ← E·auth (using the fresh auth), each renormalized to
+   * [[HitsScale]] by the frame MAX — L∞ normalization instead of the
+   * textbook L2 because an integer max is bit-deterministic
+   * cross-engine while a float norm is a summation-order lottery; the
+   * ranking and the fixpoint direction are unchanged.
+   *
+   * Arithmetic: contributions sum in decimal(38,0) (HUGEINT in the
+   * oracle — degree·scale products exceed a long on a large dense
+   * graph), the renormalization is one integer multiply + truncating
+   * div. Scale shape is [[pageRankFixed]]'s: per iteration two
+   * keyed join+aggregate passes moving only (id, number) rows, plus a
+   * 1-row max broadcast (the q71/q94 nested-loop shape).
+   *
+   * Output: (id, hub_fp, auth_fp) for every node, after `iterations`
+   * rounds from the uniform hub start.
+   */
+  def hitsFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    def renorm(raw: DataFrame, outName: String): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      nodes.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("id"),
+          when(col("mx") > 0,
+            expr(s"(cast(coalesce(raw, 0) as decimal(38,0)) * $HitsScale) div mx"))
+            .otherwise(lit(0L)).as(outName))
+    }
+    var hub = nodes.withColumn("hub_fp", lit(HitsScale))
+    var auth = nodes.withColumn("auth_fp", lit(0L))
+    for (_ <- 1 to iterations) {
+      auth = renorm(
+        e.join(hub.select(col("id").as("src"), col("hub_fp")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("hub_fp").cast(DecimalType(38, 0))).as("raw")),
+        "auth_fp")
+      hub = renorm(
+        e.join(auth.select(col("id").as("dst"), col("auth_fp")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(sum(col("auth_fp").cast(DecimalType(38, 0))).as("raw")),
+        "hub_fp")
+    }
+    nodes.join(hub, Seq("id")).join(auth, Seq("id"))
+      .select(col("id"), col("hub_fp"), col("auth_fp"))
+  }
+
   /**
    * k-core decomposition (membership for a fixed k) — the density
    * filter graph pipelines run before anything expensive: the k-core is

@@ -379,4 +379,57 @@ object TextAnalysis {
       .withColumn("clean_words",
         col("n_words") - col("n_boiler") * blockWords)
   }
+
+  /**
+   * Per-group Zipf-slope estimate — the rank-frequency naturalness
+   * probe of a corpus: natural language follows freq ∝ rank^(−s) with
+   * s ≈ 1 (slope_milli ≈ −1000 on the log-log line), while template-
+   * generated, shuffled or vocabulary-truncated corpora flatten toward
+   * 0 — the cheap aggregate signal that flags a SYNTHETIC or corrupted
+   * source feed before any model sees it (and exactly what it reports
+   * on this driver's uniform-vocabulary fixture; the spec proves the
+   * discriminating direction on a constructed Zipfian corpus).
+   *
+   * Exactness: x = log2q20(rank), y = log2q20(freq) on the native
+   * [[graft.functions.Log2Q20]] lattice; the least-squares slope
+   * (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) runs in decimal(38,0) sums with
+   * one truncating division (toward zero in BOTH engines — the
+   * documented signed-div parity), emitted as slope_milli. Groups
+   * with fewer than 2 ranked terms emit null (no line to fit).
+   *
+   * Scale shape: one token explode + two keyed aggregates; the ranked
+   * window rides the same (group) exchange as the final rollup; only
+   * (group, term, count) rows shuffle. `topK` bounds the fit to the
+   * curve's head, where Zipf is defined and rank noise is lowest.
+   */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 25, minTermLen: Int = 3): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Log2Q20
+    import org.apache.spark.sql.graft.Bridge
+    def lg(c: Column): Column =
+      Bridge.column(Log2Q20(Bridge.expression(c.cast(LongType))))
+    val D = DecimalType(38, 0)
+    val tok = df.select(col(groupCol).as("g"),
+        explode(split(col(textCol), "[^A-Za-z]+")).as("t"))
+      .filter(length(col("t")) >= minTermLen)
+      .select(col("g"), lower(col("t")).as("term"))
+    val w = Window.partitionBy("g").orderBy(col("freq").desc, col("term"))
+    val xy = tok.groupBy(col("g"), col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("g"), lg(col("rank")).as("x"), lg(col("freq")).as("y"))
+    xy.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+        sum(col("x").cast(D) * col("y").cast(D)).as("sxy"),
+        sum(col("x").cast(D) * col("x").cast(D)).as("sxx"))
+      .withColumn("slope_milli",
+        when(col("n_terms") >= 2, expr(
+          "cast((1000 * (n_terms * sxy - sx * sy)) div " +
+            "(n_terms * sxx - sx * sx) as bigint)")))
+      .select(col("g"), col("n_terms"), col("slope_milli"))
+  }
 }

@@ -991,6 +991,57 @@ object RelationalQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q193 — HITS hubs & authorities (GraphOps.hitsFixed) on the
+    // DIRECTED part→supplier graph from lineitem (suppliers negated,
+    // collision-free): a part is a good hub when it points at
+    // heavily-sourced suppliers; a supplier a good authority when many
+    // good hubs point at it — the mutually-recursive centrality pair
+    // PageRank's single score can't express. Two iterations
+    // (auth ← Eᵀ·hub, hub ← E·auth) with exact L∞ renormalization
+    // (decimal sums, integer max, truncating div) hash-match the
+    // unrolled oracle twin — float HITS could never gate.
+    // ------------------------------------------------------------------
+    "q193_hits_bipartite" -> GraftQuery(
+      build = (s, d) => {
+        val e = lineitem(s, d)
+          .select(col("l_partkey").as("src"), (-col("l_suppkey")).as("dst"))
+        graft.operators.GraphOps.hitsFixed(e, "src", "dst", iterations = 2)
+          .orderBy("id")
+      },
+      oracle = Some {
+        val scale = graft.operators.GraphOps.HitsScale
+        def aIter(i: Int, hubPrev: String) = s"""
+          a${i}r AS (SELECT e.dst AS id, sum(CAST(h.v AS HUGEINT)) AS raw
+            FROM e JOIN $hubPrev h ON e.src = h.id GROUP BY e.dst),
+          a${i}m AS (SELECT max(raw) AS mx FROM a${i}r),
+          a$i AS (SELECT n.id, CASE WHEN mx > 0
+              THEN CAST((coalesce(raw, 0) * $scale) // mx AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS v
+            FROM nodes n LEFT JOIN a${i}r USING (id) CROSS JOIN a${i}m)"""
+        def hIter(i: Int) = s"""
+          h${i}r AS (SELECT e.src AS id, sum(CAST(a.v AS HUGEINT)) AS raw
+            FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+          h${i}m AS (SELECT max(raw) AS mx FROM h${i}r),
+          h$i AS (SELECT n.id, CASE WHEN mx > 0
+              THEN CAST((coalesce(raw, 0) * $scale) // mx AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS v
+            FROM nodes n LEFT JOIN h${i}r USING (id) CROSS JOIN h${i}m)"""
+        s"""
+        WITH e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+            CAST(-l_suppkey AS BIGINT) AS dst FROM lineitem),
+        nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        h0 AS (SELECT id, CAST($scale AS BIGINT) AS v FROM nodes),
+        ${aIter(1, "h0")},
+        ${hIter(1)},
+        ${aIter(2, "h1")},
+        ${hIter(2)}
+        SELECT nodes.id, h2.v AS hub_fp, a2.v AS auth_fp
+        FROM nodes JOIN h2 USING (id) JOIN a2 USING (id)
+        ORDER BY nodes.id"""
+      }),
+
+    // ------------------------------------------------------------------
     // q106 — key-skew profile (SkewOps.keySkewProfile): the counts-of-
     // counts diagnostic that decides whether q42/q54's salting (or
     // AQE's skew split) is needed — keys bucketed by power-of-two

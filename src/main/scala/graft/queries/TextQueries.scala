@@ -953,6 +953,67 @@ object TextQueries {
             AS BIGINT) AS digest_raw,
           CAST(sum(CAST(hn AS HUGEINT)) % 2305843009213693952
             AS BIGINT) AS digest_norm
-        FROM h GROUP BY source ORDER BY source"""))
+        FROM h GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q194 — per-language Zipf slope (TextAnalysis.zipfSlope): the
+    // log-log rank-frequency regression over each language's top-25
+    // terms, on the exact Q20 log2 lattice (native Log2Q20; sums in
+    // decimal128; one truncating division both engines share) — the
+    // corpus-naturalness probe that flags synthetic/template feeds:
+    // natural text fits slope_milli ≈ −1000, this driver's uniform
+    // 30-word vocabulary reports a near-flat slope, and the spec
+    // proves the discriminating direction on a constructed Zipfian
+    // corpus. The oracle replays the lattice once over the DISTINCT
+    // rank ∪ freq values (a bounded value set) and joins it back.
+    // ------------------------------------------------------------------
+    "q194_zipf_slope" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.TextAnalysis.zipfSlope(
+          documents(s, d).select(col("lang"), col("text")), "lang", "text")
+          .orderBy("g"),
+      oracle = Some(s"""
+        WITH RECURSIVE tok AS (SELECT g, lower(t) AS term FROM (
+            SELECT lang AS g,
+              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM documents)
+          WHERE length(t) >= 3),
+        tf AS (SELECT g, term, CAST(count(*) AS BIGINT) AS freq
+          FROM tok GROUP BY g, term),
+        rk AS (SELECT g, freq, CAST(row_number() OVER (PARTITION BY g
+            ORDER BY freq DESC, term) AS BIGINT) AS rnk
+          FROM tf),
+        top AS (SELECT g, rnk, freq FROM rk WHERE rnk <= 25),
+        vals AS (SELECT DISTINCT rnk AS m FROM top
+          UNION SELECT DISTINCT freq FROM top),
+        m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM vals),
+        mant AS (SELECT m, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT m, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT m, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        lut AS (SELECT m, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        xy AS (SELECT g, lx.l AS x, ly.l AS y FROM top
+          JOIN lut lx ON top.rnk = lx.m
+          JOIN lut ly ON top.freq = ly.m),
+        sm AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM xy GROUP BY g)
+        SELECT g, CAST(n AS BIGINT) AS n_terms,
+          CASE WHEN n >= 2 THEN
+            CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+              AS BIGINT) END AS slope_milli
+        FROM sm ORDER BY g"""))
   )
 }

@@ -77,7 +77,11 @@ class PlanAuditSpec extends SparkSuite {
       // q192's nested loop is the 1-row 8 KB bitmap broadcast under the
       // per-row probe test — the operator's whole point is replacing
       // the fact-side shuffle with exactly this broadcast
-      "q192_bloom_prefilter")
+      "q192_bloom_prefilter",
+      // q193's nested loops are the 1-row frame-max broadcasts of the
+      // HITS L-inf renormalization (one per half-iteration) — the
+      // q71/q94 shape
+      "q193_hits_bipartite")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

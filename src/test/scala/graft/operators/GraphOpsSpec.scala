@@ -213,4 +213,23 @@ class GraphOpsSpec extends SparkSuite {
     // and the same peel converges (to empty) with an adequate budget
     assert(GraphOps.kCore(path, "a", "b", 2, maxRounds = 10).isEmpty)
   }
+
+  test("hitsFixed: authorities ranked by hub mass, hubs by authority " +
+      "mass; the L-inf renormalization pins each top score at HitsScale") {
+    // 1->10, 2->10, 3->10, 3->11: node 10 out-authorities 11 (three
+    // pointers vs one); node 3 out-hubs 1/2 (points at both sinks)
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L))
+      .toDF("src", "dst")
+    val got = GraphOps.hitsFixed(e, "src", "dst").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(3L)._1 === GraphOps.HitsScale)
+    assert(got(1L)._1 === got(2L)._1 &&
+      got(1L)._1 < got(3L)._1 && got(1L)._1 > 0)
+    assert(got(10L)._2 === GraphOps.HitsScale)
+    assert(got(11L)._2 < got(10L)._2 && got(11L)._2 > 0)
+    // bipartite edges: pure sources carry no authority, pure sinks no
+    // hub mass
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2 == 0L))
+    assert(Seq(10L, 11L).forall(got(_)._1 == 0L))
+  }
 }

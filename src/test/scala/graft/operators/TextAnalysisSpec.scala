@@ -174,4 +174,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(1L) == ((1L, 0L, 0L, 1L)))
     assert(got(2L)._3 == 1L) // shared [a b] flags for the real docs
   }
+
+  test("zipfSlope discriminates: a constructed Zipfian corpus fits " +
+      "slope ~ -1000, a uniform vocabulary exactly 0, a 1-term group " +
+      "null") {
+    import spark.implicits._
+    // letters-only term names: the tokenizer splits on [^A-Za-z]+, so a
+    // digit suffix would collapse every term to one token
+    def t(prefix: String, r: Int) = s"$prefix${('a' + r - 1).toChar}"
+    // zipf: term r appears floor(1000/r) times, r = 1..20
+    val zipf = (1 to 20).map(r => ("zipf", (s"${t("term", r)} " * (1000 / r)).trim))
+    // uniform: 20 terms, 50 occurrences each -> y constant -> slope 0
+    val uni = (1 to 20).map(r => ("uni", (s"${t("word", r)} " * 50).trim))
+    val single = Seq(("one", "lonely lonely lonely"))
+    val got = TextAnalysis.zipfSlope(
+        (zipf ++ uni ++ single).toDF("lang", "text"), "lang", "text",
+        topK = 20)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val zs = got("zipf")._2.get
+    assert(zs <= -900L && zs >= -1100L, s"zipf slope $zs")
+    assert(got("uni") === ((20L, Some(0L))))
+    assert(got("one") === ((1L, None)))
+  }
 }
