@@ -37,6 +37,28 @@ class BloomOpsSpec extends SparkSuite {
     assert(sig(t) === sig(passSum))
   }
 
+  test("bloomTag is streaming-safe: a LANDED bitmap tags an unbounded " +
+      "stream as a stateless projection (the reuse story: build once in " +
+      "batch, filter every micro-batch)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val bm = BloomOps.buildBitmap(small, "k")
+    val in = java.nio.file.Files.createTempDirectory("bloom_stream_in_")
+      .toString
+    (1L to 200L).toDF("k").write.mode("overwrite").parquet(in)
+    val tagged = BloomOps.bloomTag(
+      spark.readStream.schema("k LONG").parquet(in), "k", bm)
+    assert(tagged.isStreaming)
+    val q = tagged.writeStream.format("memory").queryName("bloom_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = spark.table("bloom_stream").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Int]("bloom_pass")).toMap
+    assert(rows.size === 200)
+    // members always pass; at this geometry nothing else does
+    assert((1L to 20L).forall(rows(_) == 1))
+    assert((21L to 200L).forall(rows(_) == 0))
+  }
+
   test("bitmap shape: one row, bits/32 words, dense") {
     val bm = BloomOps.buildBitmap(small, "k").collect()
     assert(bm.length === 1)
