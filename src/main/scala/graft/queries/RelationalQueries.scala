@@ -1128,6 +1128,142 @@ object RelationalQueries {
         WHERE r_name = '$Q5Region'
           AND CAST(o_orderdate AS DATE) >= DATE '$Q5Year-01-01'
           AND CAST(o_orderdate AS DATE) < DATE '${Q5Year + 1}-01-01'
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ------------------------------------------------------------------
+    // q199 — small-quantity revenue (the TPC-H Q17 shape): "revenue
+    // locked in below-average orders" — lines whose quantity is under
+    // 20% of their PART's average, summed per brand and divided by 7
+    // ("average yearly"). The load-bearing rewrite is the correlated
+    // scalar subquery (0.2 * avg(l_quantity) per part) DECORRELATED
+    // into a per-part aggregate joined back to the fact — both sides
+    // hash-partition on l_partkey, so the agg and the self-join share
+    // one shuffle key, and the brand/size dimension filter broadcasts
+    // AND semi-restricts the fact BEFORE the aggregate (restricting to
+    // a part subset cannot change that part's own average, so the
+    // pushdown is semantics-free — the classic magic-set step Catalyst
+    // won't invent on its own). The threshold compares exactly:
+    // 5·qty_c·n < Σqty_c in integer cents, no float avg anywhere.
+    // ------------------------------------------------------------------
+    "q199_small_quantity_revenue" -> GraftQuery(
+      build = (s, d) => {
+        val D = DecimalType(38, 0)
+        val keep = broadcast(part(s, d).filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand")))
+        val li = lineitem(s, d)
+          .select(col("l_partkey"), cents(col("l_quantity")).as("qty_c"),
+            cents(col("l_extendedprice")).as("price_c"))
+          .join(keep, col("l_partkey") === col("p_partkey"))
+        val pa = li.groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("qty_c").cast(D)).as("sum_qty"))
+        li.join(pa, col("l_partkey") === col("pk"))
+          .filter(col("qty_c").cast(D) * 5 * col("n_lines") <
+            col("sum_qty"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_small"),
+            expr("cast((sum(cast(price_c as decimal(38,0))) div 7) " +
+              "as bigint)").as("avg_yearly_c"))
+          .orderBy("p_brand")
+      },
+      oracle = Some("""
+        WITH li AS (SELECT l_partkey, p_brand,
+            CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS qty_c,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS price_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size <= 10),
+        pa AS (SELECT l_partkey, count(*) AS n_lines,
+            sum(CAST(qty_c AS HUGEINT)) AS sum_qty
+          FROM li GROUP BY l_partkey)
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+          CAST(sum(CAST(price_c AS HUGEINT)) // 7 AS BIGINT)
+            AS avg_yearly_c
+        FROM li JOIN pa USING (l_partkey)
+        WHERE CAST(qty_c AS HUGEINT) * 5 * n_lines < sum_qty
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ------------------------------------------------------------------
+    // q200 — waiting-supplier lines (the TPC-H Q21 shape): suppliers
+    // who were the SOLE late deliverer on a multi-supplier finished
+    // order — the canonical EXISTS + NOT-EXISTS-on-the-same-table
+    // pattern ("another supplier participated, no other supplier was
+    // also late"). Late = shipped > 90 days after order date (this
+    // schema has no receipt/commit dates; the gap proxy is the same
+    // join shape). The load-bearing rewrite: both correlated
+    // subqueries collapse into ONE per-order aggregate — n_supp =
+    // distinct suppliers, n_late_supp = distinct LATE suppliers — and
+    // the predicate becomes n_supp >= 2 AND n_late_supp = 1, turning
+    // two shuffled semi/anti joins into a single orderkey-partitioned
+    // agg + join, the aggregate decorrelation Catalyst can't derive
+    // because it needs the "exactly one late supplier ⇒ it is the
+    // candidate" argument. The fact pays ONE exchange total: an
+    // explicit repartition on l_orderkey feeds BOTH the per-pair and
+    // the per-order aggregate (hashpartitioning(ok) satisfies the
+    // clustered distribution of a (ok, sk) grouping — same-key rows
+    // can't cross partitions), the second branch resolves to a
+    // ReusedExchange, and the pairs⋈ordStats join inherits the
+    // partitioning from both children (plan-spec-pinned).
+    // ------------------------------------------------------------------
+    "q200_waiting_supplier_lines" -> GraftQuery(
+      build = (s, d) => {
+        // The explicit not-null filter is a plan-shape device: the
+        // downstream supplier join infers isnotnull(l_suppkey) on ONE
+        // of the two consumers of this frame, and that one-sided
+        // inference would make the twin subtrees canonically unequal —
+        // blocking AQE's shuffle-stage reuse. Stating it here keeps
+        // both branches byte-identical below the repartition, so the
+        // fact is shuffled once and the second branch reads the same
+        // stage (plan-spec-pinned).
+        val byOrder = lineitem(s, d)
+          .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
+          .join(orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate").cast("date") >
+              date_add(col("o_orderdate").cast("date"), 90)).as("late"))
+          .repartition(col("l_orderkey"))
+        // ordStats derives from the DEDUPED pairs frame, not the raw
+        // lines: that turns both countDistincts into plain count/sum
+        // (pairs is already one row per (order, supplier)), and — the
+        // plan-shape point — avoids the Expand node a distinct
+        // aggregate plans through, which reports UnknownPartitioning
+        // and would force two fresh shuffles despite the repartition.
+        val pairs = byOrder.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("late")).as("late"))
+        val ordStats = pairs.groupBy(col("l_orderkey").as("ok"))
+          .agg(count(lit(1)).as("n_supp"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("n_late_supp"))
+        pairs.filter(col("late"))
+          .join(ordStats, col("l_orderkey") === col("ok"))
+          .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      oracle = Some("""
+        WITH li AS (SELECT l_orderkey, l_suppkey,
+            (CAST(l_shipdate AS DATE) >
+              CAST(o_orderdate AS DATE) + INTERVAL 90 DAY) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        os AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+            count(DISTINCT CASE WHEN late THEN l_suppkey END)
+              AS n_late_supp
+          FROM li GROUP BY l_orderkey)
+        SELECT s_name, CAST(count(DISTINCT li.l_orderkey) AS BIGINT)
+            AS numwait
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li
+          WHERE late) li
+        JOIN os USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp >= 2 AND n_late_supp = 1
+        GROUP BY s_name ORDER BY numwait DESC, s_name"""))
   )
 }
