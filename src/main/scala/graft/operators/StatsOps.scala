@@ -1454,4 +1454,127 @@ object StatsOps {
             dec(col("n")) * col("n") - col("pe")))
           .as("kappa_ppm"))
   }
+
+  /**
+   * Mann–Whitney U rank-sum test (tie-corrected) — "did sample A's
+   * distribution shift vs sample B's", the nonparametric two-sample
+   * readout that needs no normality assumption (the t-test machinery
+   * q98/q173 lean on). Entirely in the counts-per-distinct-value
+   * domain: per (cell, value) the two samples' counts (a, b) aggregate
+   * map-side, and U needs only the cumulative count of B below each
+   * value — never a per-row rank. 2U₁ = Σ_v a_v·(2·B_less(v) + b_v)
+   * (the doubled form keeps half-ties integer), the tie term
+   * T = Σ_v (t³ − t) feeds the exact variance, and the normal
+   * approximation is a DEFINED integer lattice both engines replay:
+   * rad = (3·10⁶·n(n−1)·(2U₁ − n₁n₂)²) div (n₁n₂·((n+1)n(n−1) − T)),
+   * z_milli = sign(2U₁ − n₁n₂)·⌊√rad⌋ (rad < 2⁵³ so the double sqrt
+   * is exact-input and correctly rounded in both engines; staged
+   * truncation IS the definition). z > 0 ⇔ A stochastically larger.
+   *
+   * Scale shape: one (cell, value) aggregate is the only corpus-sized
+   * shuffle; the prefix window runs on the distinct-value frame
+   * partitioned by cell — callers pass a BINNED value column when the
+   * domain is continuous (the tie correction is exactly what makes a
+   * rank test on binned data valid). Decimal envelope: cell sizes to
+   * ~2.8·10⁵ rows keep the z numerator inside decimal128 (3·10⁶·
+   * n(n−1)·(n₁n₂)² < 10³⁸); bigger cells need coarser cells, not a
+   * wider type. Degenerate guards: an empty sample or an all-tied
+   * cell (variance 0) emits null z, never a division error.
+   */
+  def mannWhitneyU(df: DataFrame, cellCol: String, groupCol: String,
+      groupA: String, groupB: String, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vc = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(cellCol).as("cell"), col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b"))
+    val w = Window.partitionBy("cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wv = vc.withColumn("b_less", coalesce(sum(col("b")).over(w),
+      lit(0L)))
+    wv.groupBy(col("cell"))
+      .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(dec(col("a")) * (dec(col("b_less")) * 2 + dec(col("b"))))
+          .as("two_u_d"),
+        sum(dec(col("a") + col("b")) * dec(col("a") + col("b")) *
+          dec(col("a") + col("b")) - dec(col("a") + col("b")))
+          .as("tie_t"))
+      .withColumn("z_milli", expr(
+        """CASE WHEN n_a > 0 AND n_b > 0
+             AND cast(n_a + n_b + 1 as decimal(38,0)) * (n_a + n_b) *
+               (n_a + n_b - 1) - tie_t > 0
+           THEN cast(two_u_d - cast(n_a as decimal(38,0)) * n_b as
+               decimal(38,0)) END"""))
+      .withColumn("z_milli",
+        when(col("z_milli").isNotNull, expr(
+          """cast(sign(z_milli) as bigint) * cast(floor(sqrt(cast(
+               (z_milli * z_milli * 3000000 * (n_a + n_b) *
+                 (n_a + n_b - 1)) div
+               (cast(n_a as decimal(38,0)) * n_b *
+                 (cast(n_a + n_b + 1 as decimal(38,0)) * (n_a + n_b) *
+                   (n_a + n_b - 1) - tie_t)) as double))) as bigint)""")))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        col("two_u_d").cast("long").as("two_u"),
+        col("tie_t").cast("long").as("tie_t"), col("z_milli"))
+  }
+
+  /**
+   * Spearman rank correlation — monotone association on integer-exact
+   * DOUBLED average ranks, the outlier-robust complement to q98's
+   * Pearson: drank(v) = 2·|{smaller}| + |{equal}| + 1 is always an
+   * integer (2× the textbook average rank, so ties never produce .5),
+   * Σ drank = n(n+1) makes the mean drank exactly n+1, and the
+   * deviations u = drank − (n+1) feed plain integer co-moments.
+   * ρ_milli = sign(Σuₓu_y)·⌊√(((10⁶·|Σuₓu_y|) div Σuₓ²)·|Σuₓu_y| div
+   * Σu_y²)⌋ — the two-stage truncating division is the cross-engine
+   * definition (num² ≤ Σuₓ²·Σu_y² by Cauchy–Schwarz keeps every stage
+   * inside decimal128 at ANY cell size; the radicand ≤ 10⁶ < 2⁵³ so
+   * the sqrt is exact-input).
+   *
+   * Scale shape: ranks come from the per-(cell, value) count frame —
+   * cntless via a cell-partitioned window over distinct values, then
+   * the drank lookup BROADCASTS back onto the fact (callers pass
+   * binned/integer values, so the distinct frame is bounded); the fact
+   * itself shuffles once for each value-count aggregate and never for
+   * the join. Constant columns (Σu² = 0) emit null, not an error.
+   */
+  def spearmanRho(df: DataFrame, cellCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    def dranks(vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("cell").orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("cell"), col(vCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(out,
+          coalesce(sum(col("cnt")).over(w), lit(0L)) * 2 +
+            col("cnt") + 1)
+        .drop("cnt")
+    }
+    val nCell = base.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    base
+      .join(broadcast(dranks("x", "drx")), Seq("cell", "x"))
+      .join(broadcast(dranks("y", "dry")), Seq("cell", "y"))
+      .join(broadcast(nCell), Seq("cell"))
+      .select(col("cell"), col("n"),
+        (col("drx") - col("n") - 1).as("ux"),
+        (col("dry") - col("n") - 1).as("uy"))
+      .groupBy(col("cell"))
+      .agg(first(col("n")).as("n"),
+        sum(dec(col("ux")) * col("uy")).as("num"),
+        sum(dec(col("ux")) * col("ux")).as("dx"),
+        sum(dec(col("uy")) * col("uy")).as("dy"))
+      .withColumn("rho_milli", expr(
+        """CASE WHEN dx > 0 AND dy > 0 THEN
+             cast(sign(num) as bigint) * cast(floor(sqrt(cast(
+               (((1000000 * abs(num)) div dx) * abs(num)) div dy
+               as double))) as bigint) END"""))
+      .select(col("cell"), col("n"), col("rho_milli"))
+  }
 }

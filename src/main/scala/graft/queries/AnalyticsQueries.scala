@@ -3423,5 +3423,150 @@ object AnalyticsQueries {
         SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM a GROUP BY split ORDER BY split""")),
+
+    // ------------------------------------------------------------------
+    // q195 — Mann–Whitney U rank-sum test (StatsOps.mannWhitneyU): the
+    // nonparametric "did this cohort's distribution shift" readout —
+    // order totals of URGENT vs LOW priority per order status, on
+    // hundred-dollar bins (the tie correction is what makes a rank
+    // test on binned data valid). The synthetic priorities carry no
+    // natural price signal (the q174 lesson), so the fixture INJECTS a
+    // +$60,000 urgent markup outside status 'O' — sized by a DuckDB
+    // probe (totalprice ~ uniform(1k, 500k); for two same-range
+    // uniforms offset by d, P(A>B)−½ ≈ d/R − d²/2R² ≈ 0.117 ⇒ z ≈
+    // +29): the two shifted cells flag far outside any rejection band
+    // (measured z ≈ +25.9/+29.3 at sf0.1) while the untouched 'O'
+    // cell stays near the null (−0.26) — the test demonstrably
+    // discriminates, not just hash-matches.
+    // Only (cell, bin) count rows ever shuffle; z is the defined
+    // integer lattice, hash-gated.
+    // ------------------------------------------------------------------
+    "q195_mann_whitney_u" -> GraftQuery(
+      build = (s, d) => {
+        val priced = orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .withColumn("bin",
+            expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 " +
+              "as bigint) div 1000000") +
+              when(col("o_orderstatus") =!= "O" &&
+                col("o_orderpriority") === "1-URGENT", 600L)
+                .otherwise(0L))
+        graft.operators.StatsOps.mannWhitneyU(priced, "o_orderstatus",
+            "o_orderpriority", "1-URGENT", "5-LOW", "bin")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH pr AS (SELECT o_orderstatus AS cell,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                // 1000000 +
+              CASE WHEN o_orderstatus <> 'O'
+                AND o_orderpriority = '1-URGENT' THEN 600 ELSE 0 END
+              AS v,
+            o_orderpriority AS grp
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        vc AS (SELECT cell, v,
+            sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+            sum(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS b
+          FROM pr GROUP BY cell, v),
+        wv AS (SELECT cell, v, a, b,
+            coalesce(sum(b) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS b_less
+          FROM vc),
+        ag AS (SELECT cell, sum(a) AS n_a, sum(b) AS n_b,
+            sum(CAST(a AS HUGEINT) * (2 * b_less + b)) AS two_u,
+            sum(CAST(a + b AS HUGEINT) * (a + b) * (a + b) - (a + b))
+              AS tie_t
+          FROM wv GROUP BY cell)
+        SELECT cell, CAST(n_a AS BIGINT) AS n_a,
+          CAST(n_b AS BIGINT) AS n_b,
+          CAST(two_u AS BIGINT) AS two_u,
+          CAST(tie_t AS BIGINT) AS tie_t,
+          CASE WHEN n_a > 0 AND n_b > 0 AND
+              CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b) *
+                (n_a + n_b - 1) - tie_t > 0
+            THEN CAST(CASE WHEN two_u - CAST(n_a AS HUGEINT) * n_b < 0
+                THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                ((two_u - CAST(n_a AS HUGEINT) * n_b) *
+                 (two_u - CAST(n_a AS HUGEINT) * n_b) * 3000000 *
+                 (n_a + n_b) * (n_a + n_b - 1)) //
+                (CAST(n_a AS HUGEINT) * n_b *
+                 (CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b) *
+                  (n_a + n_b - 1) - tie_t)) AS DOUBLE))) AS BIGINT)
+              AS BIGINT) END AS z_milli
+        FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q196 — Spearman rank correlation (StatsOps.spearmanRho): monotone
+    // association on integer-exact doubled average ranks — quantity vs
+    // extended price per return flag, with price in hundred-dollar
+    // bins so the drank lookup frame stays bounded and broadcastable.
+    // The synthetic lineitem has NO natural qty→price coupling (DuckDB
+    // probe: corr ≈ 0.001 — the generator draws them independently),
+    // so the fixture INJECTS a monotone qty·16-bin tilt into flag 'R'
+    // only, sized from the probed stds (qty σ≈14.4 bins·16 vs price
+    // σ≈300 bins ⇒ ρ ≈ 0.6): 'R' must read mid-range positive while
+    // untouched 'A'/'N' stay at the null — the operator demonstrably
+    // separates a correlated cell from independent ones. The fact
+    // shuffles once per value-count aggregate and never for the rank
+    // join; ρ is the staged-division lattice, hash-gated to millirho.
+    // ------------------------------------------------------------------
+    "q196_spearman_rho" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d).select(col("l_returnflag"),
+          expr("cast(cast(l_quantity as decimal(18,4)) * 10000 " +
+            "as bigint) div 10000").as("qty"),
+          (expr("cast(cast(l_extendedprice as decimal(18,4)) * 10000 " +
+            "as bigint) div 1000000") +
+            when(col("l_returnflag") === "R",
+              expr("cast(cast(l_quantity as decimal(18,4)) * 10000 " +
+                "as bigint) div 10000") * 16L).otherwise(0L))
+            .as("price_bin"))
+        graft.operators.StatsOps.spearmanRho(li, "l_returnflag",
+            "qty", "price_bin")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT l_returnflag AS cell,
+            CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 10000 AS x,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT) // 1000000 +
+            CASE WHEN l_returnflag = 'R' THEN
+              (CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
+                AS BIGINT) // 10000) * 16 ELSE 0 END AS y
+          FROM lineitem),
+        nx AS (SELECT cell, x, count(*) AS cnt FROM base GROUP BY 1, 2),
+        dx AS (SELECT cell, x,
+            2 * coalesce(sum(cnt) OVER (PARTITION BY cell ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+              cnt + 1 AS drx
+          FROM nx),
+        ny AS (SELECT cell, y, count(*) AS cnt FROM base GROUP BY 1, 2),
+        dy AS (SELECT cell, y,
+            2 * coalesce(sum(cnt) OVER (PARTITION BY cell ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+              cnt + 1 AS dry
+          FROM ny),
+        nc AS (SELECT cell, count(*) AS n FROM base GROUP BY 1),
+        u AS (SELECT base.cell, n,
+            CAST(drx - n - 1 AS HUGEINT) AS ux,
+            CAST(dry - n - 1 AS HUGEINT) AS uy
+          FROM base
+          JOIN dx ON base.cell = dx.cell AND base.x = dx.x
+          JOIN dy ON base.cell = dy.cell AND base.y = dy.y
+          JOIN nc ON base.cell = nc.cell),
+        sm AS (SELECT cell, max(n) AS n, sum(ux * uy) AS num,
+            sum(ux * ux) AS sxx, sum(uy * uy) AS syy
+          FROM u GROUP BY cell)
+        SELECT cell, CAST(n AS BIGINT) AS n,
+          CASE WHEN sxx > 0 AND syy > 0 THEN
+            CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (((1000000 * abs(num)) // sxx) * abs(num)) // syy
+                AS DOUBLE))) AS BIGINT) AS BIGINT) END AS rho_milli
+        FROM sm ORDER BY cell""")),
   )
 }

@@ -69,6 +69,10 @@ class PlanAuditSpec extends SparkSuite {
       // q181 embeds q71's BM25 scorer, inheriting its 1-row
       // corpus-constants broadcast; the fusion itself is join-free
       "q181_rrf_fusion",
+      // q191 ranks with the same embedded q71 BM25 scorer (1-row
+      // (N, avgdl) broadcast); the nDCG arithmetic itself joins only
+      // bounded top-k frames
+      "q191_ndcg_eval",
       // q189's nested loops are the broadcast-centroid joins of the q56
       // k-means trainer/assigner (bounded C-row model side); its
       // candidate PAIR stage is an equality join on cent_id, pinned by

@@ -1001,4 +1001,119 @@ class StatsOpsSpec extends SparkSuite {
       assert(got === want, s"seed=$seed")
     }
   }
+
+  test("mannWhitneyU: separated samples hit the +/- extremes; all-tied " +
+      "cell and single-sample cell emit null z; ties feed the exact " +
+      "tie term; matches naive BigInt reference on random frames") {
+    import spark.implicits._
+    def mw(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.mannWhitneyU(df, "cell", "grp", "A", "B", "v")
+    // A entirely above B: two_u = 2*n1*n2, z strongly positive;
+    // mirrored cell lands symmetric negative.
+    val sep = ((1 to 20).map(i => ("up", "A", 100L + i)) ++
+      (1 to 20).map(i => ("up", "B", i.toLong)) ++
+      (1 to 20).map(i => ("dn", "B", 100L + i)) ++
+      (1 to 20).map(i => ("dn", "A", i.toLong))).toDF("cell", "grp", "v")
+    val bySep = mw(sep).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(bySep("up").getLong(3) === 2L * 20 * 20)
+    assert(bySep("dn").getLong(3) === 0L)
+    assert(bySep("up").getLong(5) > 5000L)
+    assert(bySep("up").getLong(5) === -bySep("dn").getLong(5))
+    // all-tied cell: variance term zero -> null z, tie_t = t^3 - t
+    val tied = (1 to 6).map(i => ("g", if (i % 2 == 0) "A" else "B", 7L))
+      .toDF("cell", "grp", "v")
+    val tr = mw(tied).head()
+    assert(tr.isNullAt(5) && tr.getLong(4) === 6L * 6 * 6 - 6)
+    // only one group present -> n_b = 0 -> null z, not an error
+    val solo = (1 to 5).map(i => ("g", "A", i.toLong))
+      .toDF("cell", "grp", "v")
+    val sr = mw(solo).head()
+    assert(sr.getLong(2) === 0L && sr.isNullAt(5))
+    // randomized differential vs a naive BigInt replay of the lattice
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(100 + seed)
+      val rows = (1 to 60 + rnd.nextInt(60)).map { _ =>
+        ("c" + rnd.nextInt(2),
+          if (rnd.nextBoolean()) "A" else "B",
+          rnd.nextInt(8).toLong)
+      }
+      val got = mw(rows.toDF("cell", "grp", "v")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            Option(r.get(5)).map(_.asInstanceOf[Long]))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val counts = rs.groupBy(_._3).map { case (v, g) =>
+          (v, BigInt(g.count(_._2 == "A")), BigInt(g.count(_._2 == "B")))
+        }.toSeq.sortBy(_._1)
+        val nA = counts.map(_._2).sum
+        val nB = counts.map(_._3).sum
+        val n = nA + nB
+        var bLess = BigInt(0); var twoU = BigInt(0); var tieT = BigInt(0)
+        counts.foreach { case (_, a, b) =>
+          twoU += a * (2 * bLess + b)
+          val t = a + b
+          tieT += t * t * t - t
+          bLess += b
+        }
+        val varTerm = (n + 1) * n * (n - 1) - tieT
+        val z = if (nA > 0 && nB > 0 && varTerm > 0) {
+          val num = twoU - nA * nB
+          val rad = (num * num * 3000000 * n * (n - 1)) /
+            (nA * nB * varTerm)
+          Some(num.signum * math.floor(math.sqrt(rad.toDouble)).toLong)
+        } else None
+        c -> ((nA.toLong, nB.toLong, twoU.toLong, tieT.toLong, z))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("spearmanRho: perfect monotone hits +/-1000; constant column " +
+      "nulls; tie-heavy frames use exact doubled ranks; matches naive " +
+      "BigInt reference on random frames") {
+    import spark.implicits._
+    def rho(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.spearmanRho(df, "cell", "x", "y")
+    val mono = ((1 to 12).map(i => ("inc", i.toLong, i * 7L)) ++
+      (1 to 12).map(i => ("dec", i.toLong, -3L * i)))
+      .toDF("cell", "x", "y")
+    val byMono = rho(mono).collect().map(r => r.getString(0) -> r).toMap
+    assert(byMono("inc").getLong(2) === 1000L)
+    assert(byMono("dec").getLong(2) === -1000L)
+    // constant x: zero rank variance -> null, never a division error
+    val const = (1 to 8).map(i => ("g", 5L, i.toLong)).toDF("cell", "x", "y")
+    assert(rho(const).head().isNullAt(2))
+    // randomized differential vs naive doubled-rank BigInt reference
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(200 + seed)
+      val rows = (1 to 40 + rnd.nextInt(60)).map { _ =>
+        ("c" + rnd.nextInt(2), rnd.nextInt(6).toLong, rnd.nextInt(6).toLong)
+      }
+      val got = rho(rows.toDF("cell", "x", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val n = BigInt(rs.size)
+        def dr(vs: Seq[Long]): Map[Long, BigInt] =
+          vs.distinct.map { v =>
+            v -> (BigInt(2) * vs.count(_ < v) + vs.count(_ == v) + 1)
+          }.toMap
+        val drx = dr(rs.map(_._2)); val dry = dr(rs.map(_._3))
+        var num = BigInt(0); var dx = BigInt(0); var dy = BigInt(0)
+        rs.foreach { case (_, x, y) =>
+          val ux = drx(x) - n - 1; val uy = dry(y) - n - 1
+          num += ux * uy; dx += ux * ux; dy += uy * uy
+        }
+        val r = if (dx > 0 && dy > 0) {
+          val rad = ((BigInt(1000000) * num.abs / dx) * num.abs) / dy
+          Some(num.signum * math.floor(math.sqrt(rad.toDouble)).toLong)
+        } else None
+        c -> ((n.toLong, r))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
