@@ -1521,6 +1521,113 @@ object StatsOps {
   }
 
   /**
+   * Jensen–Shannon divergence on the exact Q20 log lattice — the
+   * distribution-space drift readout that completes the divergence
+   * family (q104 χ² weights rare-cell surprises, q175 TV reads mass
+   * displacement; JS reads INFORMATION loss, is symmetric, and is
+   * always finite even on disjoint supports — the standard "did this
+   * corpus slice drift" number in LLM-pipeline hygiene). Every log is
+   * the defined [[graft.functions.Log2Q20]] lattice, so the statistic
+   * is integer-exact cross-engine: per key with slice counts (p, q)
+   * and slice totals (P, Q), the ratio p̂/m̂ = 2pQ/(pQ+qP) turns each
+   * KL term into p·(L(2pQ) − L(pQ+qP)) — pure int64 lattice calls —
+   * and js_q20 = Σ_A div 2P + Σ_B div 2Q in Q20 bits (∈ [0, 2²⁰]);
+   * identical distributions give EXACTLY 0 (2pQ = pQ+qP per key).
+   *
+   * Scale shape: one (cell, key) aggregate is the only corpus-sized
+   * shuffle; totals ride a full-frame window on the bounded distinct-
+   * key frame and the per-key lattice calls are codegen'd projections.
+   * Envelope: slice counts ≤ 2³¹ keep every lattice argument < 2⁶³
+   * (bigger slices: quantize keys or subsample — int64 is the lattice
+   * contract, not decimal128). A cell with an empty slice emits null
+   * js (KL against nothing is not 0), never a lattice error.
+   */
+  def jsDivergence(df: DataFrame, cellCol: String, groupCol: String,
+      groupA: String, groupB: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.LongType
+    val lg = (c: Column) =>
+      Bridge.column(graft.functions.Log2Q20(Bridge.expression(
+        c.cast(LongType))))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val kc = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(keyCol).isNotNull)
+      .groupBy(col(cellCol).as("cell"), col(keyCol).as("k"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("p"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("q"))
+    val wt = Window.partitionBy("cell")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    kc
+      .withColumn("tp", sum(col("p")).over(wt))
+      .withColumn("tq", sum(col("q")).over(wt))
+      .withColumn("mix", col("p") * col("tq") + col("q") * col("tp"))
+      .withColumn("ca", when(col("p") > 0 && col("tq") > 0,
+        dec(col("p")) * (lg(col("p") * col("tq") * 2) - lg(col("mix"))))
+        .otherwise(lit(0)))
+      .withColumn("cb", when(col("q") > 0 && col("tp") > 0,
+        dec(col("q")) * (lg(col("q") * col("tp") * 2) - lg(col("mix"))))
+        .otherwise(lit(0)))
+      .groupBy(col("cell"))
+      .agg(first(col("tp")).as("n_a"), first(col("tq")).as("n_b"),
+        count(lit(1)).as("n_keys"),
+        sum(dec(col("ca"))).as("sa"), sum(dec(col("cb"))).as("sb"))
+      .select(col("cell"), col("n_a"), col("n_b"), col("n_keys"),
+        when(col("n_a") > 0 && col("n_b") > 0, expr(
+          """cast((sa div (2 * cast(n_a as decimal(38,0)))) +
+               (sb div (2 * cast(n_b as decimal(38,0)))) as bigint)"""))
+          .as("js_q20"))
+  }
+
+  /**
+   * Kolmogorov–Smirnov two-sample statistic — "WHERE does the
+   * distribution shift, and by how much": D = max_v |F_A(v) − F_B(v)|
+   * over the pooled support, the location-free complement to q195's
+   * Mann–Whitney (U integrates the shift; D reads its peak). Exact in
+   * the counts-per-distinct-value domain: inclusive prefix sums of the
+   * two samples' counts on the distinct-value frame give cross-
+   * multiplied gaps |cumA·n_B − cumB·n_A| (decimal128 — two 10¹¹
+   * counts would overflow int64), the max and its LOWEST attaining
+   * value ride one struct-max aggregate (deterministic argmax, no
+   * max_by tie lottery), and d_ppm = (10⁶·maxgap) div (n_A·n_B).
+   *
+   * Scale shape: identical to mannWhitneyU — one (cell, value)
+   * aggregate is the only corpus-sized shuffle; the prefix window runs
+   * on the distinct-value frame partitioned by cell (callers bin
+   * continuous domains). A cell missing either sample emits null
+   * d_ppm/v_at_max, never a division error.
+   */
+  def ksTest(df: DataFrame, cellCol: String, groupCol: String,
+      groupA: String, groupB: String, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vc = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(cellCol).as("cell"), col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b"))
+    val w = Window.partitionBy("cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy("cell")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vc
+      .withColumn("cum_a", sum(col("a")).over(w))
+      .withColumn("cum_b", sum(col("b")).over(w))
+      .withColumn("n_a", sum(col("a")).over(wt))
+      .withColumn("n_b", sum(col("b")).over(wt))
+      .withColumn("gap", abs(dec(col("cum_a")) * col("n_b") -
+        dec(col("cum_b")) * col("n_a")))
+      .groupBy(col("cell"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(struct(col("gap"), (-col("v")).as("nv"))).as("mx"))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, expr(
+          "cast((mx.gap * 1000000) div " +
+            "(cast(n_a as decimal(38,0)) * n_b) as bigint)")).as("d_ppm"),
+        when(col("n_a") > 0 && col("n_b") > 0, -col("mx.nv"))
+          .as("v_at_max"))
+  }
+
+  /**
    * Spearman rank correlation — monotone association on integer-exact
    * DOUBLED average ranks, the outlier-robust complement to q98's
    * Pearson: drank(v) = 2·|{smaller}| + |{equal}| + 1 is always an

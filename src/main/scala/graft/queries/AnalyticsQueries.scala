@@ -3499,6 +3499,169 @@ object AnalyticsQueries {
         FROM ag ORDER BY cell""")),
 
     // ------------------------------------------------------------------
+    // q198 — Jensen–Shannon divergence (StatsOps.jsDivergence): term-
+    // distribution drift between even/odd document slices per language,
+    // every log on the exact Q20 lattice. The synthetic corpus is
+    // uniform over one 31-word vocabulary in EVERY slice (probed), so
+    // the fixture injects drift deterministically: in the 'en' odd
+    // slice, tokens at (doc_id·131 + i) % 4 == 0 remap to 'merge' —
+    // a 25% mass spike both engines replay exactly. Expected story:
+    // 'en' reads ≈ 0.09 bits (js_q20 ≈ 9e4), untouched 'de' sits at
+    // the sampling-noise floor (≈ 3e2) — the divergence demonstrably
+    // discriminates. The oracle replays the 20-step lattice with a
+    // linear recursive CTE over the DISTINCT argument spine (3 args
+    // per key — bounded by vocabulary, never corpus).
+    // ------------------------------------------------------------------
+    "q198_js_divergence" -> GraftQuery(
+      build = (s, d) => {
+        val toks = documents(s, d)
+          .filter(col("lang").isin("en", "de"))
+          .select(col("doc_id"), col("lang"),
+            posexplode(split(lower(col("text")), "\\s+"))
+              .as(Seq("pos0", "term0")))
+        val sliced = toks.select(col("lang").as("cell"),
+          when(col("doc_id") % 2 === 0, "A").otherwise("B").as("slice"),
+          when(col("lang") === "en" && col("doc_id") % 2 =!= 0 &&
+              (col("doc_id") * 131 + col("pos0") + 1) % 4 === 0,
+            lit("merge")).otherwise(col("term0")).as("term"))
+        graft.operators.StatsOps.jsDivergence(sliced, "cell", "slice",
+            "A", "B", "term")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH RECURSIVE base AS (SELECT doc_id, lang,
+            string_split_regex(lower(text), '\s+') AS t
+          FROM documents WHERE lang IN ('en', 'de')),
+        ti AS (SELECT doc_id, lang, t,
+            unnest(range(1, len(t) + 1)) AS i
+          FROM base),
+        tok AS (SELECT lang AS cell,
+            CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS slice,
+            CASE WHEN lang = 'en' AND doc_id % 2 <> 0
+                AND (doc_id * 131 + i) % 4 = 0
+              THEN 'merge' ELSE t[i] END AS term
+          FROM ti),
+        kc AS (SELECT cell, term AS k,
+            sum(CASE WHEN slice = 'A' THEN 1 ELSE 0 END) AS p,
+            sum(CASE WHEN slice = 'B' THEN 1 ELSE 0 END) AS q
+          FROM tok GROUP BY 1, 2),
+        tt AS (SELECT cell, k, p, q,
+            CAST(sum(p) OVER (PARTITION BY cell) AS BIGINT) AS tp,
+            CAST(sum(q) OVER (PARTITION BY cell) AS BIGINT) AS tq
+          FROM kc),
+        args AS (SELECT DISTINCT m FROM (
+            SELECT 2 * p * tq AS m FROM tt WHERE p > 0 AND tq > 0
+            UNION ALL
+            SELECT 2 * q * tp FROM tt WHERE q > 0 AND tp > 0
+            UNION ALL
+            SELECT p * tq + q * tp FROM tt
+            WHERE (p > 0 AND tq > 0) OR (q > 0 AND tp > 0))),
+        m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM args),
+        mant AS (SELECT m, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT m, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT m, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        lv AS (SELECT m, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        ct AS (SELECT tt.cell, tt.tp, tt.tq,
+            CASE WHEN p > 0 AND tq > 0
+              THEN CAST(p AS HUGEINT) * (la.l - lm.l) ELSE 0 END AS ca,
+            CASE WHEN q > 0 AND tp > 0
+              THEN CAST(q AS HUGEINT) * (lb.l - lm.l) ELSE 0 END AS cb
+          FROM tt
+          LEFT JOIN lv la ON la.m = 2 * p * tq
+          LEFT JOIN lv lb ON lb.m = 2 * q * tp
+          LEFT JOIN lv lm ON lm.m = p * tq + q * tp),
+        ag AS (SELECT cell, max(tp) AS n_a, max(tq) AS n_b,
+            count(*) AS n_keys, sum(ca) AS sa, sum(cb) AS sb
+          FROM ct GROUP BY cell)
+        SELECT cell, CAST(n_a AS BIGINT) AS n_a,
+          CAST(n_b AS BIGINT) AS n_b, CAST(n_keys AS BIGINT) AS n_keys,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN
+            CAST(sa // (2 * CAST(n_a AS HUGEINT)) +
+                 sb // (2 * CAST(n_b AS HUGEINT)) AS BIGINT) END
+            AS js_q20
+        FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q197 — Kolmogorov–Smirnov two-sample statistic (StatsOps.ksTest):
+    // the location readout q195's U integrates away — WHERE the CDF gap
+    // peaks and how large it is, on the SAME injected fixture (the
+    // +$60k urgent markup outside status 'O'), so the two tests tell
+    // one verifiable story: shifted cells read d ≈ 117k ppm with the
+    // peak inside the shifted band, the untouched 'O' cell stays at
+    // the ~15k-ppm noise floor. The argmax is a deterministic
+    // struct-max (lowest value attaining the max gap — no max_by tie
+    // lottery), and d_ppm is the exact cross-multiplied integer
+    // lattice, hash-gated.
+    // ------------------------------------------------------------------
+    "q197_ks_two_sample" -> GraftQuery(
+      build = (s, d) => {
+        val priced = orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .withColumn("bin",
+            expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 " +
+              "as bigint) div 1000000") +
+              when(col("o_orderstatus") =!= "O" &&
+                col("o_orderpriority") === "1-URGENT", 600L)
+                .otherwise(0L))
+        graft.operators.StatsOps.ksTest(priced, "o_orderstatus",
+            "o_orderpriority", "1-URGENT", "5-LOW", "bin")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH pr AS (SELECT o_orderstatus AS cell,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                // 1000000 +
+              CASE WHEN o_orderstatus <> 'O'
+                AND o_orderpriority = '1-URGENT' THEN 600 ELSE 0 END
+              AS v,
+            o_orderpriority AS grp
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        vc AS (SELECT cell, v,
+            sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+            sum(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS b
+          FROM pr GROUP BY cell, v),
+        wv AS (SELECT cell, v,
+            sum(a) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum_a,
+            sum(b) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum_b,
+            sum(a) OVER (PARTITION BY cell) AS n_a,
+            sum(b) OVER (PARTITION BY cell) AS n_b
+          FROM vc),
+        gp AS (SELECT cell, v, n_a, n_b,
+            abs(CAST(cum_a AS HUGEINT) * n_b -
+                CAST(cum_b AS HUGEINT) * n_a) AS gap
+          FROM wv),
+        mg AS (SELECT cell, max(n_a) AS n_a, max(n_b) AS n_b,
+            max(gap) AS maxgap
+          FROM gp GROUP BY cell)
+        SELECT mg.cell, CAST(mg.n_a AS BIGINT) AS n_a,
+          CAST(mg.n_b AS BIGINT) AS n_b,
+          CASE WHEN mg.n_a > 0 AND mg.n_b > 0 THEN
+            CAST((maxgap * 1000000) //
+              (CAST(mg.n_a AS HUGEINT) * mg.n_b) AS BIGINT) END
+            AS d_ppm,
+          CASE WHEN mg.n_a > 0 AND mg.n_b > 0 THEN
+            (SELECT min(v) FROM gp
+              WHERE gp.cell = mg.cell AND gp.gap = mg.maxgap) END
+            AS v_at_max
+        FROM mg ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
     // q196 — Spearman rank correlation (StatsOps.spearmanRho): monotone
     // association on integer-exact doubled average ranks — quantity vs
     // extended price per return flag, with price in hundred-dollar

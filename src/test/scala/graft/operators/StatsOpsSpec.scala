@@ -1070,6 +1070,121 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("jsDivergence: identical slices read EXACTLY 0; disjoint " +
+      "supports read exactly 2^20 (one bit); empty slice nulls; " +
+      "matches naive lattice replay on random frames") {
+    import spark.implicits._
+    def js(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.jsDivergence(df, "cell", "grp", "A", "B", "k")
+    // identical distributions: 2pQ = pQ+qP per key, lattice cancels
+    val same = ((1 to 30).map(i => ("g", "A", "k" + i % 3)) ++
+      (1 to 30).map(i => ("g", "B", "k" + i % 3))).toDF("cell", "grp", "k")
+    assert(js(same).head().getLong(4) === 0L)
+    // disjoint vocabularies: every key one-sided, L(2x)-L(x) = 2^20
+    // exactly (the lattice is shift-exact), so js = 2^20
+    val disj = ((1 to 10).map(i => ("g", "A", "a" + i % 2)) ++
+      (1 to 10).map(i => ("g", "B", "b" + i % 2))).toDF("cell", "grp", "k")
+    assert(js(disj).head().getLong(4) === (1L << 20))
+    // one empty slice: KL against nothing is undefined, not 0
+    val solo = (1 to 5).map(i => ("g", "A", "k" + i)).toDF("cell", "grp", "k")
+    assert(js(solo).head().isNullAt(4))
+    // randomized differential vs a naive replay of the SAME lattice
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(400 + seed)
+      val rows = (1 to 60 + rnd.nextInt(90)).map { _ =>
+        ("c" + rnd.nextInt(2),
+          if (rnd.nextBoolean()) "A" else "B",
+          "k" + rnd.nextInt(5))
+      }
+      val got = js(rows.toDF("cell", "grp", "k")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Long]))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val keys = rs.map(_._3).distinct
+        val tp = BigInt(rs.count(_._2 == "A"))
+        val tq = BigInt(rs.count(_._2 == "B"))
+        var sa = BigInt(0); var sb = BigInt(0)
+        keys.foreach { k =>
+          val p = BigInt(rs.count(r => r._2 == "A" && r._3 == k))
+          val q = BigInt(rs.count(r => r._2 == "B" && r._3 == k))
+          val mix = p * tq + q * tp
+          if (p > 0 && tq > 0)
+            sa += p * (graft.functions.FixedLog.log2q20((2 * p * tq).toLong)
+              - graft.functions.FixedLog.log2q20(mix.toLong))
+          if (q > 0 && tp > 0)
+            sb += q * (graft.functions.FixedLog.log2q20((2 * q * tp).toLong)
+              - graft.functions.FixedLog.log2q20(mix.toLong))
+        }
+        // truncation toward zero, the cross-engine div contract
+        def tz(n: BigInt, d: BigInt): BigInt = n / d
+        val r = if (tp > 0 && tq > 0)
+          Some((tz(sa, 2 * tp) + tz(sb, 2 * tq)).toLong) else None
+        c -> ((tp.toLong, tq.toLong, keys.size.toLong, r))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("ksTest: disjoint samples hit d_ppm = 1e6 at the boundary; " +
+      "identical samples read 0; argmax tie resolves to the LOWEST " +
+      "value; single-sample cell nulls; matches naive BigInt " +
+      "reference on random frames") {
+    import spark.implicits._
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.ksTest(df, "cell", "grp", "A", "B", "v")
+    // disjoint supports: CDF gap peaks at 1 exactly at A's max value
+    val disj = ((1 to 10).map(i => ("g", "A", i.toLong)) ++
+      (1 to 10).map(i => ("g", "B", 100L + i))).toDF("cell", "grp", "v")
+    val dr = ks(disj).head()
+    assert(dr.getLong(3) === 1000000L && dr.getLong(4) === 10L)
+    // identical samples: every prefix gap is 0; argmax tie across ALL
+    // values resolves to the lowest one
+    val same = ((1 to 5).map(i => ("g", "A", i.toLong)) ++
+      (1 to 5).map(i => ("g", "B", i.toLong))).toDF("cell", "grp", "v")
+    val sr = ks(same).head()
+    assert(sr.getLong(3) === 0L && sr.getLong(4) === 1L)
+    // one-sided cell: no B sample -> null d_ppm and v_at_max
+    val solo = (1 to 4).map(i => ("g", "A", i.toLong))
+      .toDF("cell", "grp", "v")
+    val so = ks(solo).head()
+    assert(so.isNullAt(3) && so.isNullAt(4))
+    // randomized differential vs a naive BigInt sweep
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(300 + seed)
+      val rows = (1 to 50 + rnd.nextInt(80)).map { _ =>
+        ("c" + rnd.nextInt(2),
+          if (rnd.nextBoolean()) "A" else "B",
+          rnd.nextInt(9).toLong)
+      }
+      val got = ks(rows.toDF("cell", "grp", "v")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long]))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val nA = BigInt(rs.count(_._2 == "A"))
+        val nB = BigInt(rs.count(_._2 == "B"))
+        val vals = rs.map(_._3).distinct.sorted
+        var cumA = BigInt(0); var cumB = BigInt(0)
+        val gaps = vals.map { v =>
+          cumA += rs.count(r => r._2 == "A" && r._3 == v)
+          cumB += rs.count(r => r._2 == "B" && r._3 == v)
+          v -> (cumA * nB - cumB * nA).abs
+        }
+        val res = if (nA > 0 && nB > 0) {
+          val mg = gaps.map(_._2).max
+          Some(((mg * 1000000) / (nA * nB)).toLong ->
+            gaps.filter(_._2 == mg).map(_._1).min)
+        } else None
+        c -> ((nA.toLong, nB.toLong, res.map(_._1), res.map(_._2)))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("spearmanRho: perfect monotone hits +/-1000; constant column " +
       "nulls; tie-heavy frames use exact doubled ranks; matches naive " +
       "BigInt reference on random frames") {
