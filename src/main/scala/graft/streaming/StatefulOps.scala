@@ -731,4 +731,89 @@ object StatefulOps {
       .transformWithState(new AesSampleProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class JsIn(cell: String, slice: String, item: String)
+  final case class JsOut(cell: String, nA: Long, nB: Long, nKeys: Long,
+      jsQ20: Option[Long])
+  final case class JsState(entries: List[(String, Long, Long)])
+
+  /** Flush sentinel slice: a row with this slice value makes the
+    * processor emit the cell's current divergence instead of counting. */
+  val JsFlushSlice: String = "!flush"
+
+  /**
+   * Streaming twin of the Jensen–Shannon drift readout (q198,
+   * [[graft.operators.StatsOps.jsDivergence]]) — the live "is this
+   * feed's distribution drifting from its reference slice" monitor.
+   * State per cell is the (key → (p, q)) count map — bounded by the
+   * key vocabulary, NOT the stream length (callers bin/hash open
+   * domains; the q129 histogram discipline) — and counts commute, so
+   * the emitted statistic is identical for any arrival order or batch
+   * split. The divergence itself replays the SAME [[FixedLog.log2q20]]
+   * lattice and the same truncate-toward-zero divisions as the batch
+   * operator (BigInt `/` and decimal `div` share that contract), so a
+   * flush after N batches is bit-equal to the batch operator over the
+   * union of those batches — pinned by `StreamJsDriftSpec` across
+   * checkpointed restarts. Count rows in the flush batch apply BEFORE
+   * the emission (set semantics, not order semantics).
+   */
+  class JsDriftProcessor extends StatefulProcessor[String, JsIn, JsOut] {
+    @transient private var st: ValueState[JsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[JsState]("js",
+        Encoders.product[JsState], TTLConfig.NONE)
+
+    override def handleInputRows(cell: String, rows: Iterator[JsIn],
+        timers: TimerValues): Iterator[JsOut] = {
+      var m: Map[String, (Long, Long)] =
+        if (st.exists()) st.get().entries.map(e => e._1 -> (e._2, e._3)).toMap
+        else Map.empty
+      var counted = false
+      var flush = false
+      rows.foreach { r =>
+        if (r.slice == JsFlushSlice) flush = true
+        else {
+          counted = true
+          val (p, q) = m.getOrElse(r.item, (0L, 0L))
+          m += r.item -> (if (r.slice == "A") (p + 1, q) else (p, q + 1))
+        }
+      }
+      if (counted)
+        st.update(JsState(m.toList.map(e => (e._1, e._2._1, e._2._2))))
+      if (!flush) Iterator.empty
+      else {
+        val tp = BigInt(m.valuesIterator.map(_._1).sum)
+        val tq = BigInt(m.valuesIterator.map(_._2).sum)
+        val js = if (tp > 0 && tq > 0) {
+          var sa = BigInt(0); var sb = BigInt(0)
+          m.valuesIterator.foreach { case (pl, ql) =>
+            val p = BigInt(pl); val q = BigInt(ql)
+            val mix = p * tq + q * tp
+            if (p > 0)
+              sa += p * (graft.functions.FixedLog.log2q20(
+                (2 * p * tq).toLong) -
+                graft.functions.FixedLog.log2q20(mix.toLong))
+            if (q > 0)
+              sb += q * (graft.functions.FixedLog.log2q20(
+                (2 * q * tp).toLong) -
+                graft.functions.FixedLog.log2q20(mix.toLong))
+          }
+          Some((sa / (2 * tp) + sb / (2 * tq)).toLong)
+        } else None
+        Iterator.single(
+          JsOut(cell, tp.toLong, tq.toLong, m.size.toLong, js))
+      }
+    }
+  }
+
+  /** [[JsDriftProcessor]] over a (cell, slice, item) frame. */
+  def jsDriftStream(rows: DataFrame): Dataset[JsOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("cell"), col("slice"), col("item"))
+      .as[JsIn]
+      .groupByKey(_.cell)
+      .transformWithState(new JsDriftProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

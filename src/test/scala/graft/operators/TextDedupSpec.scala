@@ -376,4 +376,74 @@ class TextDedupSpec extends SparkSuite {
     assert(got(2L) === ((2L, 2L, 1L, "")))
     assert(got(3L) === ((2L, 0L, 0L, "qq ww")))
   }
+
+  test("cdcChunks: chunks tile each doc exactly; min-size clamp holds " +
+      "for all but the forced tail; identical docs chunk identically; " +
+      "boundaries RE-SYNC after an insertion (the CDC property); " +
+      "matches a naive sequential fold on random corpora") {
+    import spark.implicits._
+    val w = 3; val div = 4; val minLen = 2
+    def run(docs: Seq[(Long, String)]) =
+      TextDedup.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text",
+        w, div, minLen)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    def mkDoc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = mkDoc(60)
+    val inserted = {
+      val t = base.split(" ").toVector
+      (t.take(5) :+ "zz").++(t.drop(5)).mkString(" ")
+    }
+    val docs = Seq((1L, base), (2L, base), (3L, inserted)) ++
+      (4L to 15L).map(i => (i, mkDoc(8 + rnd.nextInt(70))))
+    val got = run(docs)
+    // tiling: chunks are contiguous from 1 to nt, no gaps or overlaps
+    docs.foreach { case (id, text) =>
+      val nt = text.split("\\s+").length
+      val ch = got(id)
+      assert(ch.head._2 === 1L)
+      assert(ch.map(_._3).sum === nt.toLong, s"doc $id coverage")
+      ch.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 === a._2 + a._3); case _ =>
+      }
+      // min-size: every chunk but the last is >= minLen
+      ch.dropRight(1).foreach(c => assert(c._3 >= minLen))
+    }
+    // determinism: identical docs produce identical chunk sequences
+    assert(got(1L).map(t => (t._2, t._3, t._4)) ===
+      got(2L).map(t => (t._2, t._3, t._4)))
+    // CDC re-sync: after the early insertion, the SUFFIX chunk hashes
+    // reappear (fixed-size chunking would lose every later chunk)
+    val baseH = got(1L).map(_._4).toSet
+    val shared = got(3L).count(c => baseH.contains(c._4))
+    assert(shared >= got(3L).size / 2,
+      s"only $shared/${got(3L).size} chunks re-synced")
+    // naive sequential reference on every doc
+    docs.foreach { case (id, text) =>
+      val t = text.toLowerCase.split("\\s+")
+      val nt = t.length
+      def h64(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        java.lang.Long.parseLong(
+          md.digest(s.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15), 16)
+      }
+      val cands = (w to nt).filter(i =>
+        h64(t.slice(i - w, i).mkString(" ")) % div == 0)
+      var last = 0L; val kept = scala.collection.mutable.ArrayBuffer[Long]()
+      cands.foreach { c =>
+        if (c - last >= minLen) { kept += c.toLong; last = c.toLong }
+      }
+      if (kept.isEmpty || kept.last != nt.toLong) kept += nt.toLong
+      val want = (Seq(0L) ++ kept).sliding(2).map {
+        case Seq(a, b) =>
+          (b - a, h64(t.slice(a.toInt, b.toInt).mkString(" ")))
+      }.toSeq
+      assert(got(id).map(c => (c._3, c._4)) === want, s"doc $id")
+    }
+  }
 }
