@@ -358,4 +358,70 @@ object Relevance {
       .select(col("q").as(queryCol), col("n_ranked"), col("dcg_fp"),
         col("idcg_fp"), col("ndcg_ppm"))
   }
+
+  /** [[rboOverlap]] default persistence: p = 0.9 in Q20 fixed point
+    * (⌊0.9·2²⁰⌋) — the top-weightedness the RBO paper recommends for
+    * depth-10 comparisons (~86% of weight inside the first 10 ranks). */
+  val RboPQ20: Long = 943718L
+
+  /** The defining geometric lattice: P(1) = pQ20, P(d) = (P(d−1)·pQ20)
+    * >> 20 — and the per-depth suffix mass S(m) = Σ_{d=m..k} P(d) div d.
+    * Pure integers; the DuckDB oracle replays the SAME recurrence with
+    * a linear recursive CTE, so the two engines cannot drift. */
+  def rboSuffixMass(k: Int, pQ20: Long): Seq[(Long, Long)] = {
+    val pows = Iterator.iterate(pQ20)(p => (p * pQ20) >> 20).take(k).toSeq
+    val perDepth = pows.zipWithIndex.map { case (p, i) => p / (i + 1) }
+    (1 to k).map(m =>
+      m.toLong -> perDepth.drop(m - 1).sum)
+  }
+
+  /**
+   * Rank-biased overlap (Webber, Moffat & Zobel 2010), the bounded
+   * RBO_min at evaluation depth k — "how much do two rankers AGREE",
+   * the list-vs-list complement to nDCG's list-vs-truth (q191): top-
+   * weighted (rank 1 disagreements cost most, the property plain
+   * set-overlap lacks), truth-free, and defined for any two top-k
+   * lists. RBO = (1−p)/p · Σ_d (|A₁..d ∩ B₁..d|/d)·p^d; the geometric
+   * weights are the integer Q20 lattice above, so the statistic is
+   * bit-reproducible cross-engine (a float pow chain is a last-ulp
+   * lottery at every depth).
+   *
+   * The load-bearing rewrite: a common item first counts toward the
+   * intersection at depth m = max(rank_A, rank_B) and at EVERY depth
+   * after, so its total contribution is the suffix mass S(m) — the
+   * per-depth Σ collapses into ONE broadcast lookup per common item.
+   * Cost is ranker-output-sized (≤ k rows per query per side), fully
+   * corpus-size-independent; the k-row S table broadcasts.
+   *
+   * Output per query: n_a, n_b, n_common (at full depth), rbo_q20 ∈
+   * [0, 2²⁰]. Identical lists hit the lattice's Σ exactly; disjoint
+   * lists read 0. Queries present in only one ranker read 0 (an
+   * empty intersection is a valid measurement, not a null).
+   */
+  def rboOverlap(ra: DataFrame, rb: DataFrame, queryCol: String,
+      itemCol: String, k: Int, pQ20: Long = RboPQ20): DataFrame = {
+    require(k >= 1 && pQ20 > 0 && pQ20 < (1L << 20))
+    import ra.sparkSession.implicits._
+    val sTab = broadcast(rboSuffixMass(k, pQ20).toDF("m", "s"))
+    def side(df: DataFrame, rn: String) =
+      df.filter(col("rnk") <= k)
+        .select(col(queryCol).as("q"), col(itemCol).as("item"),
+          col("rnk").as(rn))
+    val a = side(ra, "ra")
+    val b = side(rb, "rb")
+    val common = a.join(b, Seq("q", "item"))
+      .select(col("q"), greatest(col("ra"), col("rb")).as("m"))
+      .join(sTab, Seq("m"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("n_common"), sum(col("s")).as("mass"))
+    val counts = a.groupBy(col("q")).agg(count(lit(1)).as("n_a"))
+      .join(b.groupBy(col("q")).agg(count(lit(1)).as("n_b")), Seq("q"),
+        "full_outer")
+    counts.join(common, Seq("q"), "left")
+      .select(col("q"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr(s"((${1L << 20} - $pQ20) * coalesce(mass, 0)) div $pQ20")
+          .as("rbo_q20"))
+  }
 }

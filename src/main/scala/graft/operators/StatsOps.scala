@@ -1521,6 +1521,67 @@ object StatsOps {
   }
 
   /**
+   * Median absolute deviation — the robust scale estimate that a 2%
+   * outlier cohort cannot move (the property stddev catastrophically
+   * lacks; emitted side-by-side as `std_units` so the robustness gap
+   * is READ, not asserted). Exact in the counts-per-distinct-value
+   * domain: the lower median is the smallest value v with
+   * 2·cum(v) ≥ n (a prefix window over DISTINCT values, never a
+   * per-row sort), deviations |v − med| re-aggregate counts (two
+   * values can fold onto one deviation), and MAD is the lower median
+   * of that frame by the same rule. `std_units` is the defined
+   * integer lattice floor(√((n·Σx² − (Σx)²) div n²)) — co-moments in
+   * decimal128, the radicand < 2⁵³ when the per-cell value SPREAD is
+   * ≤ ~10⁸ units (callers bin; the q98 discipline).
+   *
+   * Scale shape: two (cell, value)-grain aggregates are the only
+   * corpus-sized shuffles; both median scans run on bounded distinct
+   * frames and the per-cell medians broadcast back. Constant cells
+   * emit mad = 0, std = 0 — never a division error.
+   */
+  def madScale(df: DataFrame, cellCol: String, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def lowerMedian(counts: DataFrame, vCol: String): DataFrame = {
+      val w = Window.partitionBy("cell").orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("cell")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      counts
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wt))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("cell"))
+        .agg(min(col(vCol)).as("med"), first(col("n")).as("n"))
+    }
+    val vc = df.filter(col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("cell"), col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("v"))).as("sx_part"),
+        sum(dec(col("v")) * col("v")).as("sxx_part"))
+    val med = lowerMedian(
+      vc.select(col("cell"), col("v"), col("cnt")), "v")
+    val moments = vc.groupBy(col("cell"))
+      .agg(sum(dec(col("cnt"))).as("n"), sum(col("sx_part")).as("sx"),
+        sum(col("sxx_part")).as("sxx"))
+    val dev = vc.select(col("cell"), col("v"), col("cnt"))
+      .join(broadcast(med.select(col("cell"), col("med"))), Seq("cell"))
+      .groupBy(col("cell"), abs(col("v") - col("med")).as("d"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = lowerMedian(dev, "d")
+      .select(col("cell"), col("med").as("mad"))
+    med.select(col("cell"), col("n").cast("long").as("n"), col("med"))
+      .join(mad, Seq("cell"))
+      .join(moments.select(col("cell"), col("sx"), col("sxx")), Seq("cell"))
+      .withColumn("std_units", expr(
+        """cast(floor(sqrt(cast(
+             (sxx * n - sx * sx) div (cast(n as decimal(38,0)) * n)
+             as double))) as bigint)"""))
+      .select(col("cell"), col("n"), col("med"), col("mad"),
+        col("std_units"))
+  }
+
+  /**
    * Jensen–Shannon divergence on the exact Q20 log lattice — the
    * distribution-space drift readout that completes the divergence
    * family (q104 χ² weights rare-cell surprises, q175 TV reads mass

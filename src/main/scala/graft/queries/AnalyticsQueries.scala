@@ -3499,6 +3499,66 @@ object AnalyticsQueries {
         FROM ag ORDER BY cell""")),
 
     // ------------------------------------------------------------------
+    // q203 — median absolute deviation (StatsOps.madScale): the robust
+    // scale readout, with stddev emitted SIDE-BY-SIDE so the fixture
+    // reads the robustness gap directly: a 2% outlier cohort at
+    // +100,000 hundred-dollar bins (o_orderkey % 50, outside status
+    // 'O') drags std_units to ~14,000 while MAD stays at the clean
+    // ~1,200-bin scale; the untouched 'O' cell shows the uniform
+    // distribution's natural std ≈ 1.15·MAD. Medians are exact
+    // counts-domain lower medians (prefix windows over distinct
+    // values); std is the q98 decimal-co-moment lattice.
+    // ------------------------------------------------------------------
+    "q203_mad_scale" -> GraftQuery(
+      build = (s, d) => {
+        val priced = orders(s, d)
+          .withColumn("bin",
+            expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 " +
+              "as bigint) div 1000000") +
+              when(col("o_orderstatus") =!= "O" &&
+                col("o_orderkey") % 50 === 0, 100000L).otherwise(0L))
+        graft.operators.StatsOps.madScale(priced, "o_orderstatus", "bin")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH pr AS (SELECT o_orderstatus AS cell,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                // 1000000 +
+              CASE WHEN o_orderstatus <> 'O' AND o_orderkey % 50 = 0
+                THEN 100000 ELSE 0 END AS v
+          FROM orders),
+        vc AS (SELECT cell, v, count(*) AS cnt,
+            sum(CAST(v AS HUGEINT)) AS sx_part,
+            sum(CAST(v AS HUGEINT) * v) AS sxx_part
+          FROM pr GROUP BY 1, 2),
+        mc AS (SELECT cell, v,
+            sum(cnt) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY cell) AS n
+          FROM vc),
+        med AS (SELECT cell, min(v) AS med, max(n) AS n FROM mc
+          WHERE cum * 2 >= n GROUP BY cell),
+        mo AS (SELECT cell, sum(cnt) AS n, sum(sx_part) AS sx,
+            sum(sxx_part) AS sxx
+          FROM vc GROUP BY cell),
+        dv AS (SELECT vc.cell, abs(v - med) AS d, sum(cnt) AS cnt
+          FROM vc JOIN med ON vc.cell = med.cell GROUP BY 1, 2),
+        dc AS (SELECT cell, d,
+            sum(cnt) OVER (PARTITION BY cell ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY cell) AS n
+          FROM dv),
+        mad AS (SELECT cell, min(d) AS mad FROM dc
+          WHERE cum * 2 >= n GROUP BY cell)
+        SELECT med.cell, CAST(med.n AS BIGINT) AS n, med, mad,
+          CAST(floor(sqrt(CAST(
+            (sxx * mo.n - sx * sx) // (CAST(mo.n AS HUGEINT) * mo.n)
+            AS DOUBLE))) AS BIGINT) AS std_units
+        FROM med JOIN mad ON med.cell = mad.cell
+        JOIN mo ON med.cell = mo.cell
+        ORDER BY med.cell""")),
+
+    // ------------------------------------------------------------------
     // q198 — Jensen–Shannon divergence (StatsOps.jsDivergence): term-
     // distribution drift between even/odd document slices per language,
     // every log on the exact Q20 lattice. The synthetic corpus is

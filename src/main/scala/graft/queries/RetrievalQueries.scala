@@ -63,6 +63,9 @@ object RetrievalQueries {
   val RrfDamp = 60
   val RrfScale = 1000000000L
 
+  /** q202 RBO evaluation depth (matches the other eval depths). */
+  val RboK = 10
+
   /** The BM25 oracle CTE chain through ranked list `r` — shared by q71
     * (which selects it directly) and q181 (which fuses it with a
     * second ranker), so a scoring-lattice change cannot silently gate
@@ -510,6 +513,77 @@ object RetrievalQueries {
           CASE WHEN coalesce(idcg_fp, 0) > 0
             THEN (dcg_fp * 1000000) // idcg_fp END AS ndcg_ppm
         FROM dper LEFT JOIN ic ON dper.term = ic.term
-        ORDER BY term"""))
+        ORDER BY term""")),
+
+    // ------------------------------------------------------------------
+    // q202 — rank-biased overlap (Relevance.rboOverlap): how much two
+    // RANKERS agree, truth-free and top-weighted — the list-vs-list
+    // complement to q191's list-vs-truth nDCG, over the same ranker
+    // pair q181 fuses (BM25 vs raw-tf). The geometric p^d weights are
+    // an integer Q20 lattice (P(d) = (P(d−1)·p) >> 20) and each common
+    // item contributes its max-rank suffix mass via one broadcast
+    // lookup, so the per-depth sum never materializes and cost is
+    // ranker-output-sized. The oracle replays the lattice with a
+    // linear recursive CTE + a suffix-sum window. BM25's idf and
+    // length-norm genuinely reorder the tf list, so the measured RBO
+    // sits strictly inside (0, 1) — a real disagreement readout, not
+    // a degenerate 1.
+    // ------------------------------------------------------------------
+    "q202_rbo_overlap" -> GraftQuery(
+      build = (s, d) => {
+        val docs = ScanOps.spreadSmallInput(
+          documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
+        val bm25 = Relevance
+          .bm25TopK(docs, "doc_id", "text", Bm25QueryTerms, RboK)
+          .select(col("term"), col("doc_id"), col("rnk"))
+        val toks = Relevance.tokenStream(docs, "doc_id", "text")
+        val byTf = Window.partitionBy("term")
+          .orderBy(col("tf").desc, col("doc_id"))
+        val rawTf = toks
+          .filter(col("term").isin(Bm25QueryTerms: _*))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("rnk", row_number().over(byTf).cast("long"))
+          .filter(col("rnk") <= RboK)
+          .select(col("term"), col("doc_id"), col("rnk"))
+        Relevance.rboOverlap(bm25, rawTf, "term", "doc_id", RboK)
+          .orderBy("q")
+      },
+      oracle = Some(s"""
+        ${bm25CtesSql(recursive = true)},
+        fa AS (SELECT term, doc_id, rnk FROM r WHERE rnk <= $RboK),
+        fb AS (SELECT term, doc_id, rnk FROM (
+            SELECT term, doc_id,
+              CAST(row_number() OVER (PARTITION BY term
+                ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+            FROM tf) WHERE rnk <= $RboK),
+        pw AS (
+          SELECT 1 AS d, CAST(${Relevance.RboPQ20} AS BIGINT) AS p
+          UNION ALL
+          SELECT d + 1, (p * ${Relevance.RboPQ20}) >> 20
+          FROM pw WHERE d < $RboK),
+        sv AS (SELECT d AS m,
+            sum(p // d) OVER (ORDER BY d
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+          FROM pw),
+        cm AS (SELECT fa.term, greatest(fa.rnk, fb.rnk) AS m
+          FROM fa JOIN fb ON fa.term = fb.term
+            AND fa.doc_id = fb.doc_id),
+        ms AS (SELECT term, count(*) AS n_common, sum(s) AS mass
+          FROM cm JOIN sv USING (m) GROUP BY term),
+        ca AS (SELECT term, CAST(count(*) AS BIGINT) AS n_a
+          FROM fa GROUP BY 1),
+        cb AS (SELECT term, CAST(count(*) AS BIGINT) AS n_b
+          FROM fb GROUP BY 1)
+        SELECT coalesce(ca.term, cb.term) AS q,
+          coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+          CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+          CAST(((${1L << 20} - ${Relevance.RboPQ20}) *
+            coalesce(mass, 0)) // ${Relevance.RboPQ20} AS BIGINT)
+            AS rbo_q20
+        FROM ca FULL JOIN cb ON ca.term = cb.term
+        LEFT JOIN ms ON coalesce(ca.term, cb.term) = ms.term
+        ORDER BY q"""))
   )
 }

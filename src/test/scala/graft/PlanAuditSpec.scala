@@ -73,6 +73,10 @@ class PlanAuditSpec extends SparkSuite {
       // (N, avgdl) broadcast); the nDCG arithmetic itself joins only
       // bounded top-k frames
       "q191_ndcg_eval",
+      // q202 compares the same embedded BM25 ranker (1-row constants
+      // broadcast); the RBO arithmetic joins only bounded top-k frames
+      // and the k-row suffix-mass table
+      "q202_rbo_overlap",
       // q189's nested loops are the broadcast-centroid joins of the q56
       // k-means trainer/assigner (bounded C-row model side); its
       // candidate PAIR stage is an equality join on cent_id, pinned by

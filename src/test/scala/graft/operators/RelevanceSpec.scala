@@ -178,4 +178,69 @@ class RelevanceSpec extends SparkSuite {
     val none = ndcg(ranked(Seq(7L, 8L), term = "x"))("x")
     assert(none._2 === 0L && none._3.isEmpty)
   }
+
+  test("rboOverlap: identical lists hit the exact lattice maximum; " +
+      "disjoint lists and single-sided queries read 0; a rank-1 " +
+      "disagreement costs more than a rank-k one (top-weightedness); " +
+      "matches a naive per-depth reference on random rankings") {
+    import spark.implicits._
+    val k = 10
+    val p = Relevance.RboPQ20
+    def lists(rows: Seq[(String, Long, Long)]) = rows.toDF("q", "doc", "rnk")
+    def rbo(a: Seq[(String, Long, Long)], b: Seq[(String, Long, Long)]) =
+      Relevance.rboOverlap(lists(a), lists(b), "q", "doc", k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val ident = (1L to k).map(i => ("q", i, i))
+    // identical lists: every depth agrees fully, mass = sum over items
+    // of S(rank) -> the closed lattice value
+    val sTab = Relevance.rboSuffixMass(k, p).toMap
+    val maxMass = (1 to k).map(i => sTab(i.toLong)).sum
+    val wantMax = (((1L << 20) - p) * maxMass) / p
+    assert(rbo(ident, ident)("q")._4 === wantMax)
+    // RBO_min at k=10, p=0.9 caps at 1 - p^10 ~ 0.651 (the residual
+    // tail weight is unobserved at finite depth, by definition)
+    assert(wantMax > 600000L && wantMax < 700000L)
+    // disjoint lists: zero overlap at every depth
+    val other = (1L to k).map(i => ("q", 100 + i, i))
+    assert(rbo(ident, other)("q") === ((10L, 10L, 0L, 0L)))
+    // single-sided query: 0, not null (valid empty intersection)
+    val gotSolo = rbo(ident, other.map { case (_, d2, r) => ("z", d2, r) })
+    assert(gotSolo("q") === ((10L, 0L, 0L, 0L)))
+    assert(gotSolo("z") === ((0L, 10L, 0L, 0L)))
+    // top-weightedness: swapping OUT the rank-1 item hurts more than
+    // swapping out the rank-k item
+    def swapped(rank: Long) =
+      ident.map { case (q, d, r) => if (r == rank) (q, 999L, r) else (q, d, r) }
+    val hurt1 = rbo(ident, swapped(1))("q")._4
+    val hurtK = rbo(ident, swapped(k))("q")._4
+    assert(hurt1 < hurtK && hurtK < wantMax)
+    // randomized differential vs the naive per-depth definition
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(500 + seed)
+      def mk(q: String) = {
+        val docs = rnd.shuffle((1L to 20L).toList).take(k)
+        docs.zipWithIndex.map { case (d, i) => (q, d, i + 1L) }
+      }
+      val a = mk("q1") ++ mk("q2"); val b = mk("q1") ++ mk("q2")
+      val got = rbo(a, b)
+      for (q <- Seq("q1", "q2")) {
+        val av = a.filter(_._1 == q).map(r => r._2 -> r._3).toMap
+        val bv = b.filter(_._1 == q).map(r => r._2 -> r._3).toMap
+        // naive: pows lattice, X_d at each depth, sum P(d)//d * X_d...
+        // via the same per-item S(m) identity computed FROM the naive
+        // per-depth X_d values
+        val pows = Iterator.iterate(p)(x => (x * p) >> 20).take(k).toVector
+        var mass = BigInt(0)
+        for (d <- 1 to k) {
+          val xd = av.keySet.filter(av(_) <= d)
+            .intersect(bv.keySet.filter(bv(_) <= d)).size
+          mass += BigInt(pows(d - 1) / d) * xd
+        }
+        val want = ((BigInt((1L << 20) - p) * mass) / BigInt(p)).toLong
+        assert(got(q)._4 === want, s"seed=$seed q=$q")
+      }
+    }
+  }
 }

@@ -1070,6 +1070,58 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("madScale: exact lower medians on tie-heavy frames; constant " +
+      "cell reads mad = 0, std = 0; a planted outlier moves std but " +
+      "NOT mad; matches naive BigInt reference on random frames") {
+    import spark.implicits._
+    def mad(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.madScale(df, "cell", "v")
+    // hand case: values 1..5 -> med 3, deviations {2,1,0,1,2} -> mad 1
+    val five = (1 to 5).map(i => ("g", i.toLong)).toDF("cell", "v")
+    val fr = mad(five).head()
+    assert(fr.getLong(2) === 3L && fr.getLong(3) === 1L)
+    // constant cell: all mass on one value
+    val const = (1 to 7).map(_ => ("g", 9L)).toDF("cell", "v")
+    val cr = mad(const).head()
+    assert(cr.getLong(3) === 0L && cr.getLong(4) === 0L)
+    // robustness: one wild outlier leaves med/mad unchanged, explodes std
+    val clean = (1 to 99).map(i => ("g", (i % 11).toLong))
+    val dirty = clean :+ (("g", 1000000L))
+    val rc = mad(clean.toDF("cell", "v")).head()
+    val rd = mad(dirty.toDF("cell", "v")).head()
+    assert(rd.getLong(2) === rc.getLong(2) && rd.getLong(3) === rc.getLong(3))
+    assert(rd.getLong(4) > rc.getLong(4) * 100)
+    // randomized differential vs a naive BigInt reference
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(600 + seed)
+      val rows = (1 to 30 + rnd.nextInt(80)).map { _ =>
+        ("c" + rnd.nextInt(2), rnd.nextInt(20).toLong - 5)
+      }
+      val got = mad(rows.toDF("cell", "v")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val vs = rs.map(_._2)
+        val n = vs.size
+        def lowerMed(xs: Seq[Long]): Long = {
+          val sorted = xs.sorted
+          // smallest value whose inclusive cumulative count doubles to
+          // >= n: index ceil(n/2) - 1 in the sorted multiset
+          sorted((xs.size + 1) / 2 - 1)
+        }
+        val m = lowerMed(vs)
+        val md = lowerMed(vs.map(x => (x - m).abs))
+        val sx = vs.map(BigInt(_)).sum
+        val sxx = vs.map(x => BigInt(x) * x).sum
+        val rad = (sxx * n - sx * sx) / (BigInt(n) * n)
+        val std = math.floor(math.sqrt(rad.toDouble)).toLong
+        c -> ((n.toLong, m, md, std))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("jsDivergence: identical slices read EXACTLY 0; disjoint " +
       "supports read exactly 2^20 (one bit); empty slice nulls; " +
       "matches naive lattice replay on random frames") {
