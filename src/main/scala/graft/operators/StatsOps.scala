@@ -1640,6 +1640,140 @@ object StatsOps {
   }
 
   /**
+   * Kendall τ-b — concordance-based rank association, the third leg of
+   * the dependence family (Pearson q98 = linear, Spearman q196 =
+   * monotone-via-ranks, τ-b = pairwise concordance with full tie
+   * correction — the variant of choice for heavily-tied binned data).
+   * Exact in the contingency domain: concordant pairs C = Σ n_xy ·
+   * G(x,y) where G = Σ_{x'<x, y'<y} n — and G computes via TWO CHAINED
+   * prefix windows on the dense (x × y) grid per cell (first over y
+   * within x, then over x within y), never a pairwise scan; discordant
+   * D mirrors with a suffix window. Knight's O(n log n) algorithm is
+   * inherently sequential — the grid double-prefix is its distributed
+   * re-derivation, costing O(|X|·|Y|) bounded grid rows instead
+   * (callers bin; the q195/q196 discipline). τ_milli is the Spearman
+   * staged-division lattice on num = C − D against the tie-corrected
+   * denominators dx = N₀ − T_x, dy = N₀ − T_y (all exact integers;
+   * τ-b ∈ [−1,1] keeps every stage in range). Constant columns emit
+   * null, never a division error.
+   */
+  def kendallTauB(df: DataFrame, cellCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cxy = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col("cell"), col("x"), col("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val grid = cxy.select(col("cell"), col("x")).distinct()
+      .join(cxy.select(col("cell"), col("y")).distinct(), Seq("cell"))
+      .join(cxy, Seq("cell", "x", "y"), "left")
+      .withColumn("nc", coalesce(col("nxy"), lit(0L)))
+    val wyLt = Window.partitionBy("cell", "x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wyGt = Window.partitionBy("cell", "x").orderBy("y")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wxLt = Window.partitionBy("cell", "y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = grid
+      .withColumn("hlt", coalesce(sum(col("nc")).over(wyLt), lit(0L)))
+      .withColumn("hgt", coalesce(sum(col("nc")).over(wyGt), lit(0L)))
+      .withColumn("glt", coalesce(sum(col("hlt")).over(wxLt), lit(0L)))
+      .withColumn("ggt", coalesce(sum(col("hgt")).over(wxLt), lit(0L)))
+    val pair = g.groupBy(col("cell"))
+      .agg(sum(dec(col("nc"))).as("n"),
+        sum(dec(col("nc")) * col("glt")).as("conc"),
+        sum(dec(col("nc")) * col("ggt")).as("disc"))
+    val tx = cxy.groupBy(col("cell"), col("x"))
+      .agg(sum(col("nxy")).as("nx"))
+      .groupBy(col("cell"))
+      .agg(expr("cast(sum(cast(nx as decimal(38,0)) * (nx - 1)) div 2" +
+        " as decimal(38,0))").as("tx"))
+    val ty = cxy.groupBy(col("cell"), col("y"))
+      .agg(sum(col("nxy")).as("ny"))
+      .groupBy(col("cell"))
+      .agg(expr("cast(sum(cast(ny as decimal(38,0)) * (ny - 1)) div 2" +
+        " as decimal(38,0))").as("ty"))
+    pair.join(tx, Seq("cell")).join(ty, Seq("cell"))
+      .withColumn("n0", expr("cast((n * (n - 1)) div 2 as decimal(38,0))"))
+      .withColumn("num", col("conc") - col("disc"))
+      .withColumn("tau_milli", expr(
+        """CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN
+             cast(sign(num) as bigint) * cast(floor(sqrt(cast(
+               (((1000000 * abs(num)) div (n0 - tx)) * abs(num))
+                 div (n0 - ty) as double))) as bigint) END"""))
+      .select(col("cell"), col("n").cast("long").as("n"),
+        col("conc").cast("long").as("conc"),
+        col("disc").cast("long").as("disc"), col("tau_milli"))
+  }
+
+  /**
+   * Mutual information between two categorical columns on the exact
+   * Q20 log lattice — "does knowing x tell you anything about y",
+   * the dependence readout χ² (q104) can only threshold and
+   * correlation (q98/q196) can't see for nominal data; with the two
+   * marginal entropies emitted alongside, callers normalize to NMI
+   * however they prefer. Same lattice contract as [[jsDivergence]]:
+   * per (x, y) cell the contribution is n_xy·(L(n_xy·N) − L(n_x·n_y))
+   * — pure int64 lattice calls, identical cross-engine — and
+   * mi_q20 = Σ div N in Q20 bits. The lattice is EXACTLY zero under
+   * independence-by-construction: a constant x gives n_x = N and
+   * n_xy = n_y, so both lattice arguments coincide term-by-term.
+   *
+   * Scale shape: one (cell, x, y) aggregate is the only corpus-sized
+   * shuffle; marginals re-aggregate the bounded distinct frame and
+   * BROADCAST back onto it. Envelope: per-cell counts ≤ ~3·10⁹ keep
+   * n_xy·N < 2⁶³ (int64 is the lattice contract — quantize or
+   * subsample beyond).
+   */
+  def mutualInformation(df: DataFrame, cellCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.LongType
+    val lg = (c: Column) =>
+      Bridge.column(graft.functions.Log2Q20(Bridge.expression(
+        c.cast(LongType))))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cxy = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(cellCol).as("cell"), col(xCol).as("x"),
+        col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val cx = cxy.groupBy(col("cell"), col("x"))
+      .agg(sum(col("nxy")).as("nx"))
+    val cy = cxy.groupBy(col("cell"), col("y"))
+      .agg(sum(col("nxy")).as("ny"))
+    val nc = cxy.groupBy(col("cell")).agg(sum(col("nxy")).as("nn"))
+    val mi = cxy
+      .join(broadcast(cx), Seq("cell", "x"))
+      .join(broadcast(cy), Seq("cell", "y"))
+      .join(broadcast(nc), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("nxy")) *
+          (lg(col("nxy") * col("nn")) - lg(col("nx") * col("ny"))))
+          .as("mi_sum"))
+    def entropy(marg: DataFrame, mCol: String, out: String) =
+      marg.join(broadcast(nc), Seq("cell"))
+        .groupBy(col("cell"))
+        .agg(sum(dec(col(mCol)) * (lg(col("nn")) - lg(col(mCol))))
+          .as(out))
+    mi
+      .join(nc, Seq("cell"))
+      .join(entropy(cx, "nx", "hx_sum"), Seq("cell"))
+      .join(entropy(cy, "ny", "hy_sum"), Seq("cell"))
+      .select(col("cell"), col("nn").cast("long").as("n"),
+        col("n_pairs"),
+        expr("cast(mi_sum div cast(nn as decimal(38,0)) as bigint)")
+          .as("mi_q20"),
+        expr("cast(hx_sum div cast(nn as decimal(38,0)) as bigint)")
+          .as("hx_q20"),
+        expr("cast(hy_sum div cast(nn as decimal(38,0)) as bigint)")
+          .as("hy_q20"))
+  }
+
+  /**
    * Kolmogorov–Smirnov two-sample statistic — "WHERE does the
    * distribution shift, and by how much": D = max_v |F_A(v) − F_B(v)|
    * over the pooled support, the location-free complement to q195's

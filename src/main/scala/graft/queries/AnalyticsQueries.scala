@@ -3499,6 +3499,198 @@ object AnalyticsQueries {
         FROM ag ORDER BY cell""")),
 
     // ------------------------------------------------------------------
+    // q205 — Kendall τ-b (StatsOps.kendallTauB): pairwise-concordance
+    // association with full tie correction, on EXACTLY the q196 frame
+    // (quantity vs binned price per return flag, with the injected
+    // monotone tilt in flag 'R') so the three dependence legs tell one
+    // story: 'R' reads τ ≈ +0.42 where ρ read +0.59 (τ < ρ is the
+    // textbook relationship), untouched 'A'/'N' sit at the null. The
+    // pairwise sum never materializes: two chained prefix windows on
+    // the bounded dense grid compute every concordance count, and the
+    // oracle replays the same double-prefix in SQL.
+    // ------------------------------------------------------------------
+    "q205_kendall_tau_b" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d).select(col("l_returnflag"),
+          expr("cast(cast(l_quantity as decimal(18,4)) * 10000 " +
+            "as bigint) div 10000").as("qty"),
+          (expr("cast(cast(l_extendedprice as decimal(18,4)) * 10000 " +
+            "as bigint) div 1000000") +
+            when(col("l_returnflag") === "R",
+              expr("cast(cast(l_quantity as decimal(18,4)) * 10000 " +
+                "as bigint) div 10000") * 16L).otherwise(0L))
+            .as("price_bin"))
+        graft.operators.StatsOps.kendallTauB(li, "l_returnflag",
+            "qty", "price_bin")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT l_returnflag AS cell,
+            CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 10000 AS x,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT) // 1000000 +
+            CASE WHEN l_returnflag = 'R' THEN
+              (CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
+                AS BIGINT) // 10000) * 16 ELSE 0 END AS y
+          FROM lineitem),
+        cxy AS (SELECT cell, x, y, count(*) AS nxy
+          FROM base GROUP BY 1, 2, 3),
+        dx AS (SELECT DISTINCT cell, x FROM cxy),
+        dy AS (SELECT DISTINCT cell, y FROM cxy),
+        grid AS (SELECT dx.cell, dx.x, dy.y,
+            coalesce(nxy, 0) AS nc
+          FROM dx JOIN dy ON dx.cell = dy.cell
+          LEFT JOIN cxy ON cxy.cell = dx.cell AND cxy.x = dx.x
+            AND cxy.y = dy.y),
+        h AS (SELECT cell, x, y, nc,
+            coalesce(sum(nc) OVER (PARTITION BY cell, x ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS hlt,
+            coalesce(sum(nc) OVER (PARTITION BY cell, x ORDER BY y
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+              AS hgt
+          FROM grid),
+        g AS (SELECT cell, x, y, nc,
+            coalesce(sum(hlt) OVER (PARTITION BY cell, y ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS glt,
+            coalesce(sum(hgt) OVER (PARTITION BY cell, y ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS ggt
+          FROM h),
+        pr AS (SELECT cell, sum(CAST(nc AS HUGEINT)) AS n,
+            sum(CAST(nc AS HUGEINT) * glt) AS conc,
+            sum(CAST(nc AS HUGEINT) * ggt) AS disc
+          FROM g GROUP BY cell),
+        tx AS (SELECT cell,
+            sum(CAST(nx AS HUGEINT) * (nx - 1)) // 2 AS tx
+          FROM (SELECT cell, x, sum(nxy) AS nx FROM cxy GROUP BY 1, 2)
+          GROUP BY cell),
+        ty AS (SELECT cell,
+            sum(CAST(ny AS HUGEINT) * (ny - 1)) // 2 AS ty
+          FROM (SELECT cell, y, sum(nxy) AS ny FROM cxy GROUP BY 1, 2)
+          GROUP BY cell)
+        SELECT pr.cell, CAST(n AS BIGINT) AS n,
+          CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+          CASE WHEN (n * (n - 1)) // 2 - tx > 0
+              AND (n * (n - 1)) // 2 - ty > 0 THEN
+            CAST(CASE WHEN conc - disc < 0 THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (((1000000 * abs(conc - disc)) //
+                  ((n * (n - 1)) // 2 - tx)) * abs(conc - disc)) //
+                  ((n * (n - 1)) // 2 - ty) AS DOUBLE))) AS BIGINT)
+              AS BIGINT) END AS tau_milli
+        FROM pr JOIN tx ON pr.cell = tx.cell
+        JOIN ty ON pr.cell = ty.cell
+        ORDER BY pr.cell""")),
+
+    // ------------------------------------------------------------------
+    // q204 — mutual information + marginal entropies on the Q20 lattice
+    // (StatsOps.mutualInformation): the nominal-data dependence readout
+    // correlation can't see. The generator draws status and priority
+    // INDEPENDENTLY (probed uniform grid), so the fixture splits orders
+    // into two cohorts: 'indep' (even keys, untouched — MI must sit at
+    // the sampling-noise floor) and 'coupled' (odd keys, where every
+    // third key's priority is overwritten by a status-determined value
+    // — a partial functional coupling both engines replay). Expected:
+    // coupled MI ≈ 0.5 bits ≫ indep ≈ 0.000x bits, with H(x)/H(y)
+    // emitted for normalization. One (cell,x,y) aggregate is the only
+    // corpus shuffle; the oracle replays the 20-step lattice over the
+    // bounded distinct-argument spine.
+    // ------------------------------------------------------------------
+    "q204_mutual_information" -> GraftQuery(
+      build = (s, d) => {
+        val o = orders(s, d)
+          .withColumn("cell",
+            when(col("o_orderkey") % 2 === 0, "indep")
+              .otherwise("coupled"))
+          .withColumn("prio",
+            when(col("o_orderkey") % 2 =!= 0 &&
+                col("o_orderkey") % 3 === 0,
+              when(col("o_orderstatus") === "F", "1-URGENT")
+                .when(col("o_orderstatus") === "O", "5-LOW")
+                .otherwise("3-MEDIUM"))
+              .otherwise(col("o_orderpriority")))
+        graft.operators.StatsOps.mutualInformation(o, "cell",
+            "o_orderstatus", "prio")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH RECURSIVE base AS (SELECT
+            CASE WHEN o_orderkey % 2 = 0 THEN 'indep'
+              ELSE 'coupled' END AS cell,
+            o_orderstatus AS x,
+            CASE WHEN o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+              THEN CASE WHEN o_orderstatus = 'F' THEN '1-URGENT'
+                WHEN o_orderstatus = 'O' THEN '5-LOW'
+                ELSE '3-MEDIUM' END
+              ELSE o_orderpriority END AS y
+          FROM orders),
+        cxy AS (SELECT cell, x, y, count(*) AS nxy
+          FROM base GROUP BY 1, 2, 3),
+        cx AS (SELECT cell, x, CAST(sum(nxy) AS BIGINT) AS nx
+          FROM cxy GROUP BY 1, 2),
+        cy AS (SELECT cell, y, CAST(sum(nxy) AS BIGINT) AS ny
+          FROM cxy GROUP BY 1, 2),
+        nc AS (SELECT cell, CAST(sum(nxy) AS BIGINT) AS nn
+          FROM cxy GROUP BY 1),
+        j AS (SELECT cxy.cell, nxy, nx, ny, nn
+          FROM cxy
+          JOIN cx ON cxy.cell = cx.cell AND cxy.x = cx.x
+          JOIN cy ON cxy.cell = cy.cell AND cxy.y = cy.y
+          JOIN nc ON cxy.cell = nc.cell),
+        args AS (SELECT DISTINCT m FROM (
+            SELECT nxy * nn AS m FROM j
+            UNION ALL SELECT nx * ny FROM j
+            UNION ALL SELECT nn FROM nc
+            UNION ALL SELECT nx FROM cx
+            UNION ALL SELECT ny FROM cy)),
+        m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM args),
+        mant AS (SELECT m, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT m, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT m, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        lv AS (SELECT m, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        mic AS (SELECT j.cell, count(*) AS n_pairs,
+            sum(CAST(nxy AS HUGEINT) * (la.l - lb.l)) AS mi_sum
+          FROM j
+          JOIN lv la ON la.m = nxy * nn
+          JOIN lv lb ON lb.m = nx * ny
+          GROUP BY j.cell),
+        hx AS (SELECT cx.cell,
+            sum(CAST(nx AS HUGEINT) * (ln.l - lx.l)) AS hx_sum
+          FROM cx JOIN nc ON cx.cell = nc.cell
+          JOIN lv ln ON ln.m = nn
+          JOIN lv lx ON lx.m = nx
+          GROUP BY cx.cell),
+        hy AS (SELECT cy.cell,
+            sum(CAST(ny AS HUGEINT) * (ln.l - ly.l)) AS hy_sum
+          FROM cy JOIN nc ON cy.cell = nc.cell
+          JOIN lv ln ON ln.m = nn
+          JOIN lv ly ON ly.m = ny
+          GROUP BY cy.cell)
+        SELECT mic.cell, CAST(nn AS BIGINT) AS n,
+          CAST(n_pairs AS BIGINT) AS n_pairs,
+          CAST(mi_sum // CAST(nn AS HUGEINT) AS BIGINT) AS mi_q20,
+          CAST(hx_sum // CAST(nn AS HUGEINT) AS BIGINT) AS hx_q20,
+          CAST(hy_sum // CAST(nn AS HUGEINT) AS BIGINT) AS hy_q20
+        FROM mic JOIN nc ON mic.cell = nc.cell
+        JOIN hx ON mic.cell = hx.cell
+        JOIN hy ON mic.cell = hy.cell
+        ORDER BY mic.cell""")),
+
+    // ------------------------------------------------------------------
     // q203 — median absolute deviation (StatsOps.madScale): the robust
     // scale readout, with stddev emitted SIDE-BY-SIDE so the fixture
     // reads the robustness gap directly: a 2% outlier cohort at

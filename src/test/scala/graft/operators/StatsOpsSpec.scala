@@ -1070,6 +1070,105 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("kendallTauB: perfect monotone hits +/-1000 without ties; " +
+      "constant column nulls; tie-heavy frames match the O(n^2) " +
+      "definition pair-for-pair on random frames") {
+    import spark.implicits._
+    def tau(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.kendallTauB(df, "cell", "x", "y")
+    val mono = ((1 to 9).map(i => ("inc", i.toLong, i * 3L)) ++
+      (1 to 9).map(i => ("dec", i.toLong, -i * 2L)))
+      .toDF("cell", "x", "y")
+    val byMono = tau(mono).collect().map(r => r.getString(0) -> r).toMap
+    assert(byMono("inc").getLong(4) === 1000L)
+    assert(byMono("dec").getLong(4) === -1000L)
+    // all pairs concordant: conc = n(n-1)/2, disc = 0
+    assert(byMono("inc").getLong(2) === 36L &&
+      byMono("inc").getLong(3) === 0L)
+    val const = (1 to 6).map(i => ("g", 4L, i.toLong)).toDF("cell", "x", "y")
+    assert(tau(const).head().isNullAt(4))
+    // randomized differential vs the naive O(n^2) pair scan
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(800 + seed)
+      val rows = (1 to 30 + rnd.nextInt(60)).map { _ =>
+        ("c" + rnd.nextInt(2), rnd.nextInt(5).toLong, rnd.nextInt(4).toLong)
+      }
+      val got = tau(rows.toDF("cell", "x", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val v = rs.map(r => (r._2, r._3)).toIndexedSeq
+        val n = v.size
+        var conc = BigInt(0); var disc = BigInt(0)
+        for (i <- 0 until n; j <- i + 1 until n) {
+          val s = (v(i)._1 - v(j)._1).sign * (v(i)._2 - v(j)._2).sign
+          if (s > 0) conc += 1 else if (s < 0) disc += 1
+        }
+        val n0 = BigInt(n) * (n - 1) / 2
+        val tx = v.groupBy(_._1).values
+          .map(g => BigInt(g.size) * (g.size - 1) / 2).sum
+        val ty = v.groupBy(_._2).values
+          .map(g => BigInt(g.size) * (g.size - 1) / 2).sum
+        val t = if (n0 - tx > 0 && n0 - ty > 0) {
+          val num = conc - disc
+          val rad = ((BigInt(1000000) * num.abs / (n0 - tx)) * num.abs) /
+            (n0 - ty)
+          Some(num.signum * math.floor(math.sqrt(rad.toDouble)).toLong)
+        } else None
+        c -> ((n.toLong, conc.toLong, disc.toLong, t))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("mutualInformation: functional coupling reads MI = H(y); " +
+      "constant x reads EXACTLY 0 (lattice terms coincide); MI <= " +
+      "min(Hx, Hy) up to lattice slack; matches naive lattice replay " +
+      "on random frames") {
+    import spark.implicits._
+    def mi(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.mutualInformation(df, "cell", "x", "y")
+    // y = f(x) bijectively: MI = H(x) = H(y) exactly (same lattice sums)
+    val func = (1 to 40).map(i => ("g", (i % 4).toString, (i % 4) * 10))
+      .toDF("cell", "x", "y")
+    val fr = mi(func).head()
+    assert(fr.getLong(3) === fr.getLong(4) && fr.getLong(4) === fr.getLong(5))
+    // constant x: nx = N and nxy = ny term-by-term -> MI exactly 0
+    val const = (1 to 30).map(i => ("g", "k", i % 5)).toDF("cell", "x", "y")
+    val cr = mi(const).head()
+    assert(cr.getLong(3) === 0L && cr.getLong(4) === 0L)
+    // randomized differential vs a naive replay of the SAME lattice
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(700 + seed)
+      val rows = (1 to 50 + rnd.nextInt(100)).map { _ =>
+        ("c" + rnd.nextInt(2), rnd.nextInt(4).toString, rnd.nextInt(3))
+      }
+      val got = mi(rows.toDF("cell", "x", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val nn = BigInt(rs.size)
+        val xy = rs.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+        val nx = rs.groupBy(_._2).view.mapValues(_.size).toMap
+        val ny = rs.groupBy(_._3).view.mapValues(_.size).toMap
+        def L(m: BigInt) = BigInt(graft.functions.FixedLog.log2q20(m.toLong))
+        val miS = xy.map { case ((x, y), n) =>
+          BigInt(n) * (L(n * nn) - L(BigInt(nx(x)) * ny(y))) }.sum
+        val hxS = nx.values.map(n => BigInt(n) * (L(nn) - L(n))).sum
+        val hyS = ny.values.map(n => BigInt(n) * (L(nn) - L(n))).sum
+        c -> ((nn.toLong, xy.size.toLong, (miS / nn).toLong,
+          (hxS / nn).toLong, (hyS / nn).toLong))
+      }
+      assert(got === want, s"seed=$seed")
+      // information bound, up to per-term lattice slack
+      got.values.foreach { case (_, pairs, m, hx, hy) =>
+        assert(m <= math.min(hx, hy) + pairs * 4)
+      }
+    }
+  }
+
   test("madScale: exact lower medians on tie-heavy frames; constant " +
       "cell reads mad = 0, std = 0; a planted outlier moves std but " +
       "NOT mad; matches naive BigInt reference on random frames") {
