@@ -816,4 +816,81 @@ object StatefulOps {
       .transformWithState(new JsDriftProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class KsIn(cell: String, slice: String, v: Long)
+  final case class KsOut(cell: String, nA: Long, nB: Long,
+      dPpm: Option[Long], vAtMax: Option[Long])
+
+  /** Flush sentinel slice for [[KsDriftProcessor]]. */
+  val KsFlushSlice: String = "!flush"
+
+  /**
+   * Streaming twin of the KS two-sample statistic (q197,
+   * [[graft.operators.StatsOps.ksTest]]) — the live "has this feed's
+   * DISTRIBUTION shifted from the reference" monitor, sharing the
+   * [[JsDriftProcessor]] state discipline: per-cell (value → (a, b))
+   * count maps bounded by the binned value domain, commutative counts
+   * (any arrival order / batch split yields the same emission), and
+   * the exact cross-multiplied integer lattice of the batch operator
+   * (BigInt replay of |cumA·n_B − cumB·n_A|, max-gap with the
+   * lowest-value tie-break) — so a flush is bit-equal to batch
+   * `ksTest` over the union of batches, pinned by `StreamKsDriftSpec`
+   * across checkpointed restarts.
+   */
+  class KsDriftProcessor extends StatefulProcessor[String, KsIn, KsOut] {
+    @transient private var st: ValueState[JsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[JsState]("ks",
+        Encoders.product[JsState], TTLConfig.NONE)
+
+    override def handleInputRows(cell: String, rows: Iterator[KsIn],
+        timers: TimerValues): Iterator[KsOut] = {
+      var m: Map[Long, (Long, Long)] =
+        if (st.exists())
+          st.get().entries.map(e => e._1.toLong -> (e._2, e._3)).toMap
+        else Map.empty
+      var counted = false
+      var flush = false
+      rows.foreach { r =>
+        if (r.slice == KsFlushSlice) flush = true
+        else {
+          counted = true
+          val (a, b) = m.getOrElse(r.v, (0L, 0L))
+          m += r.v -> (if (r.slice == "A") (a + 1, b) else (a, b + 1))
+        }
+      }
+      if (counted)
+        st.update(JsState(m.toList.map(e => (e._1.toString, e._2._1,
+          e._2._2))))
+      if (!flush) Iterator.empty
+      else {
+        val nA = BigInt(m.valuesIterator.map(_._1).sum)
+        val nB = BigInt(m.valuesIterator.map(_._2).sum)
+        if (nA > 0 && nB > 0) {
+          var cumA = BigInt(0); var cumB = BigInt(0)
+          var best = BigInt(-1); var bestV = 0L
+          m.keys.toSeq.sorted.foreach { v =>
+            val (a, b) = m(v)
+            cumA += a; cumB += b
+            val gap = (cumA * nB - cumB * nA).abs
+            if (gap > best) { best = gap; bestV = v }
+          }
+          Iterator.single(KsOut(cell, nA.toLong, nB.toLong,
+            Some(((best * 1000000) / (nA * nB)).toLong), Some(bestV)))
+        } else
+          Iterator.single(KsOut(cell, nA.toLong, nB.toLong, None, None))
+      }
+    }
+  }
+
+  /** [[KsDriftProcessor]] over a (cell, slice, v) frame. */
+  def ksDriftStream(rows: DataFrame): Dataset[KsOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("cell"), col("slice"), col("v"))
+      .as[KsIn]
+      .groupByKey(_.cell)
+      .transformWithState(new KsDriftProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }
