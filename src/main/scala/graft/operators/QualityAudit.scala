@@ -259,4 +259,48 @@ object QualityAudit {
         pmod(col("hn"), lit(Mod).cast("decimal(38,0)"))
           .cast("long").as("digest_norm"))
   }
+
+  /**
+   * Train/test split-leakage audit — the eval-integrity gate every
+   * benchmark number silently depends on: duplicated content that
+   * lands on BOTH sides of a split inflates eval scores (Lee et al.
+   * 2022 measured the effect; q47 decontaminates against a fixed
+   * benchmark — this audits the corpus's own splits). Two strategies
+   * run SIDE BY SIDE on the same corpus: 'by_id' (the naive
+   * per-document hash split) and 'by_content' (the fix —
+   * [[CorpusAssembly.groupSplit]] keyed on the exact-dup content hash,
+   * so a duplicate group moves as a unit and leakage is ZERO by
+   * construction, which the fixture demonstrates rather than
+   * asserts). Per content-group the cross-split pair count is the
+   * exact integer (n² − Σ n_split²) div 2.
+   *
+   * Scale shape: one (strategy, content-hash, split) count is the
+   * only corpus-sized shuffle (the doc ids and text never travel past
+   * the first projection); near-dup leakage composes upstream — run
+   * the corpus through q114/q189 canonicalization first and feed the
+   * canonical key as `textCol`.
+   */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Long)]): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val keyed = df.select(col(idCol).as("doc_id"),
+      graft.operators.TextDedup.hash64(col(textCol)).as("ckey"))
+    val byId = CorpusAssembly.groupSplit(keyed, "doc_id", splits)
+      .withColumn("strategy", lit("by_id"))
+    val byCk = CorpusAssembly.groupSplit(keyed, "ckey", splits)
+      .withColumn("strategy", lit("by_content"))
+    byId.unionByName(byCk)
+      .groupBy(col("strategy"), col("ckey"), col("split"))
+      .agg(count(lit(1)).as("ns"))
+      .groupBy(col("strategy"), col("ckey"))
+      .agg(sum(col("ns")).as("n"),
+        sum(dec(col("ns")) * col("ns")).as("sq"))
+      .groupBy(col("strategy"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(dec(col("n")) * col("n") > col("sq"), 1L)
+          .otherwise(0L)).as("n_leaking_groups"),
+        expr("cast(sum((cast(n as decimal(38,0)) * n - sq) div 2) " +
+          "as bigint)").as("leaked_pairs"))
+  }
 }

@@ -1640,6 +1640,46 @@ object StatsOps {
   }
 
   /**
+   * Expected calibration error — "when the model says 70%, is it right
+   * 70% of the time", the deployment gate for any probabilistic
+   * scorer (a model can have perfect AUC and be uselessly
+   * miscalibrated). Exact in integers: scores arrive in ppm, each
+   * equal-width bin accumulates conf_sum = Σ score_ppm and acc_sum =
+   * 10⁶·Σ label (the SAME ppm·count units), the per-bin gap
+   * |acc_sum − conf_sum| is an exact integer, ECE_ppm = Σ gaps div N
+   * and MCE_ppm = max_b (gap_b div n_b) — no floating averages
+   * anywhere, so the statistic hash-gates.
+   *
+   * Scale shape: ONE map-side-combined (cell, bin) aggregate is the
+   * only corpus-sized shuffle; everything after runs on the ≤ nBins
+   * frame. Empty cells cannot occur; a cell emits its bin count so a
+   * thin cell's noisy ECE is readable as such.
+   */
+  def calibrationError(df: DataFrame, cellCol: String,
+      scorePpmCol: String, labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val width = 1000000L / nBins
+    df
+      .filter(col(scorePpmCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        least(expr(s"cast($scorePpmCol as bigint) div $width"),
+          lit(nBins - 1L)).as("bin"),
+        col(scorePpmCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("cell"), col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(dec(col("s"))).as("conf_sum"),
+        (sum(dec(col("y"))) * 1000000).as("acc_sum"))
+      .withColumn("gap", abs(col("acc_sum") - col("conf_sum")))
+      .groupBy(col("cell"))
+      .agg(sum(col("n_b")).as("n"), count(lit(1)).as("n_bins"),
+        expr("cast(sum(gap) div sum(cast(n_b as decimal(38,0))) " +
+          "as bigint)").as("ece_ppm"),
+        expr("cast(max(gap div cast(n_b as decimal(38,0))) as bigint)")
+          .as("mce_ppm"))
+  }
+
+  /**
    * Kendall τ-b — concordance-based rank association, the third leg of
    * the dependence family (Pearson q98 = linear, Spearman q196 =
    * monotone-via-ranks, τ-b = pairwise concordance with full tie

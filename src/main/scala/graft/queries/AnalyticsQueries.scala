@@ -3499,6 +3499,59 @@ object AnalyticsQueries {
         FROM ag ORDER BY cell""")),
 
     // ------------------------------------------------------------------
+    // q206 — expected calibration error (StatsOps.calibrationError):
+    // the "when it says 70% is it right 70% of the time" deployment
+    // gate. The synthetic events carry no predictable outcome (the
+    // q174 lesson), so the fixture SIMULATES a perfectly calibrated
+    // pseudo-model both engines replay: score = md5-uniform ppm, label
+    // drawn by a second independent md5 stream at exactly that
+    // probability — then evaluates it beside an 'overconfident' twin
+    // (same labels, scores shifted +250k, capped): calibrated cohort
+    // reads ECE at the ~4k-ppm sampling floor, the shifted twin ~190k
+    // — the gate demonstrably catches miscalibration. One (cell, bin)
+    // aggregate per cohort is the only corpus shuffle.
+    // ------------------------------------------------------------------
+    "q206_calibration_error" -> GraftQuery(
+      build = (s, d) => {
+        val h = (tag: String) => graft.operators.TextDedup.hash64(
+          concat(lit(tag), col("event_id").cast("string"))) % 1000000L
+        val base = events(s, d).select(col("event_id"))
+          .withColumn("s", h("cal"))
+          .withColumn("y", when(h("lab") < col("s"), 1L).otherwise(0L))
+        val cal = base.select(lit("calibrated").as("cohort"),
+          col("s"), col("y"))
+        val over = base.select(lit("overconfident").as("cohort"),
+          least(col("s") + 250000L, lit(999999L)).as("s"), col("y"))
+        graft.operators.StatsOps.calibrationError(
+            cal.unionByName(over), "cohort", "s", "y")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH sc AS (SELECT
+            CAST(('0x' || substr(md5('cal' || CAST(event_id AS VARCHAR)),
+              1, 15)) AS BIGINT) % 1000000 AS s,
+            CAST(('0x' || substr(md5('lab' || CAST(event_id AS VARCHAR)),
+              1, 15)) AS BIGINT) % 1000000 AS u
+          FROM events),
+        lab AS (SELECT s, CASE WHEN u < s THEN 1 ELSE 0 END AS y FROM sc),
+        co AS (SELECT 'calibrated' AS cell, s, y FROM lab
+          UNION ALL
+          SELECT 'overconfident', least(s + 250000, 999999), y FROM lab),
+        bins AS (SELECT cell, least(s // 100000, 9) AS bin,
+            count(*) AS n_b,
+            sum(CAST(s AS HUGEINT)) AS conf_sum,
+            sum(CAST(y AS HUGEINT)) * 1000000 AS acc_sum
+          FROM co GROUP BY 1, 2),
+        gaps AS (SELECT cell, n_b, abs(acc_sum - conf_sum) AS gap
+          FROM bins)
+        SELECT cell, CAST(sum(n_b) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_bins,
+          CAST(sum(gap) // sum(CAST(n_b AS HUGEINT)) AS BIGINT)
+            AS ece_ppm,
+          CAST(max(gap // CAST(n_b AS HUGEINT)) AS BIGINT) AS mce_ppm
+        FROM gaps GROUP BY cell ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
     // q205 — Kendall τ-b (StatsOps.kendallTauB): pairwise-concordance
     // association with full tie correction, on EXACTLY the q196 frame
     // (quantity vs binned price per return flag, with the injected

@@ -81,6 +81,10 @@ object DedupQueries {
   val CdcChimTokens = 48
   val CdcChimMod = 10L
   val CdcChimShift = 800000L
+
+  /** q207 leakage fixture: every 12th doc duplicated under shifted ids. */
+  val LeakCopyMod = 12L
+  val LeakCopyShift = 900000L
   val QuoteShift = 970000L
 
   /** The shared shingle index over the BASE documents table, landed ONCE
@@ -885,6 +889,61 @@ object DedupQueries {
           CAST(sum(clen) AS BIGINT) AS n_tokens,
           CAST((sum(CASE WHEN dfh >= 2 THEN 1 ELSE 0 END) * 1000000)
             // count(*) AS BIGINT) AS dup_ppm
-        FROM dfh GROUP BY cohort ORDER BY cohort"""))
+        FROM dfh GROUP BY cohort ORDER BY cohort""")),
+
+    // ------------------------------------------------------------------
+    // q207 — train/test split-leakage audit (QualityAudit.splitLeakage):
+    // the eval-integrity gate — duplicated content landing on both
+    // sides of a split inflates eval scores. Fixture: documents ∪ an
+    // exact-copy slice under shifted ids; the naive per-id hash split
+    // MUST leak (copies split independently, ~2·0.8·0.2 of dup groups
+    // straddle), while the content-keyed group split reads ZERO leaked
+    // pairs by construction — the audit demonstrates the failure AND
+    // the fix side by side, hash-gated. Only (strategy, content-hash,
+    // split) counts ever shuffle.
+    // ------------------------------------------------------------------
+    "q207_split_leakage" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = docs.filter(col("doc_id") % LeakCopyMod === 0)
+          .select((col("doc_id") + LeakCopyShift).as("doc_id"),
+            col("text"))
+        graft.operators.QualityAudit.splitLeakage(
+            docs.unionByName(dup), "doc_id", "text",
+            Seq(("train", 800000L), ("test", 200000L)))
+          .orderBy("strategy")
+      },
+      oracle = Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $LeakCopyShift, text FROM documents
+          WHERE doc_id % $LeakCopyMod = 0),
+        keyed AS (SELECT doc_id,
+            ${sqlHash("text")} AS ckey
+          FROM corpus),
+        sp AS (
+          SELECT 'by_id' AS strategy, ckey,
+            CASE WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000000
+              < 800000 THEN 'train' ELSE 'test' END AS split
+          FROM keyed
+          UNION ALL
+          SELECT 'by_content', ckey,
+            CASE WHEN ${sqlHash("CAST(ckey AS VARCHAR)")} % 1000000
+              < 800000 THEN 'train' ELSE 'test' END
+          FROM keyed),
+        cnt AS (SELECT strategy, ckey, split, count(*) AS ns
+          FROM sp GROUP BY 1, 2, 3),
+        grp AS (SELECT strategy, ckey, sum(ns) AS n,
+            sum(CAST(ns AS HUGEINT) * ns) AS sq
+          FROM cnt GROUP BY 1, 2)
+        SELECT strategy, CAST(sum(n) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_groups,
+          CAST(sum(CASE WHEN CAST(n AS HUGEINT) * n > sq
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_groups,
+          CAST(sum((CAST(n AS HUGEINT) * n - sq) // 2) AS BIGINT)
+            AS leaked_pairs
+        FROM grp GROUP BY strategy ORDER BY strategy"""))
   )
 }

@@ -209,4 +209,37 @@ class QualityAuditSpec extends SparkSuite {
     assert(nm.getLong(3) === nm.getLong(4))
     assert(nm.getLong(4) === dm.getLong(4))
   }
+
+  test("splitLeakage: content-keyed split NEVER leaks; per-group " +
+      "cross-split pairs are the exact (n^2 - sum ns^2)/2; unique " +
+      "docs never count as dup groups") {
+    import spark.implicits._
+    // 40 unique docs + one text duplicated 5x + one duplicated 2x
+    val docs = (1L to 40L).map(i => (i, s"unique text $i")) ++
+      (101L to 105L).map(i => (i, "dup five")) ++
+      (201L to 202L).map(i => (i, "dup two"))
+    val out = QualityAudit.splitLeakage(docs.toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("train", 800000L), ("test", 200000L)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (nc, nd) = (out("by_content"), out("by_id"))
+    assert(nc._1 === 47L && nd._1 === 47L)
+    assert(nc._2 === 2L && nd._2 === 2L)
+    // the fix: grouped split cannot straddle, ever
+    assert(nc._3 === 0L && nc._4 === 0L)
+    // naive split: recompute the exact expected leak from the same
+    // hash the operator uses
+    def band(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16) % 1000000L
+    }
+    def leak(ids: Seq[Long]): Long = {
+      val n = ids.size.toLong
+      val tr = ids.count(i => band(i.toString) < 800000L).toLong
+      (n * n - (tr * tr + (n - tr) * (n - tr))) / 2
+    }
+    val wantPairs = leak(101L to 105L) + leak(Seq(201L, 202L))
+    assert(nd._4 === wantPairs)
+  }
 }

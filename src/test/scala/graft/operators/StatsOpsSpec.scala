@@ -1070,6 +1070,51 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("calibrationError: perfectly matched bin reads 0; a constant " +
+      "shift reads as its own ppm; score 999999 clamps into the last " +
+      "bin; matches naive BigInt reference on random frames") {
+    import spark.implicits._
+    def ece(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.calibrationError(df, "cell", "s", "y", 10)
+    // in-bin exact match: two rows at 250000 ppm, one positive of two
+    // -> conf_sum = 500000, acc_sum = 1000000... deliberately NOT 0;
+    // build the true zero: scores 0 with labels 0
+    val zero = (1 to 8).map(_ => ("g", 0L, 0L)).toDF("cell", "s", "y")
+    val zr = ece(zero).head()
+    assert(zr.getLong(3) === 0L && zr.getLong(4) === 0L)
+    // pure shift: all scores 700000, all labels 0 -> ECE = 700000
+    val shift = (1 to 5).map(_ => ("g", 700000L, 0L)).toDF("cell", "s", "y")
+    assert(ece(shift).head().getLong(3) === 700000L)
+    // clamp: 999999 lands in bin 9, not a phantom bin 10
+    val edge = Seq(("g", 999999L, 1L)).toDF("cell", "s", "y")
+    assert(ece(edge).head().getLong(2) === 1L)
+    // randomized differential
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(900 + seed)
+      val rows = (1 to 40 + rnd.nextInt(80)).map { _ =>
+        ("c" + rnd.nextInt(2), rnd.nextInt(1000000).toLong,
+          rnd.nextInt(2).toLong)
+      }
+      val got = ece(rows.toDF("cell", "s", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val bins = rs.groupBy(r => math.min(r._2 / 100000, 9L))
+        val gaps = bins.toSeq.map { case (_, g) =>
+          val conf = g.map(r => BigInt(r._2)).sum
+          val acc = BigInt(g.map(_._3).sum) * 1000000
+          (g.size, (acc - conf).abs)
+        }
+        val n = BigInt(rs.size)
+        c -> ((rs.size.toLong, bins.size.toLong,
+          (gaps.map(_._2).sum / n).toLong,
+          gaps.map { case (nb, g) => g / nb }.max.toLong))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("kendallTauB: perfect monotone hits +/-1000 without ties; " +
       "constant column nulls; tie-heavy frames match the O(n^2) " +
       "definition pair-for-pair on random frames") {
