@@ -1640,6 +1640,77 @@ object StatsOps {
   }
 
   /**
+   * Markov transition fingerprint — the behavioral summary of an event
+   * stream: the empirical transition matrix of consecutive per-user
+   * states plus the stationary distribution it implies, the standard
+   * "where does this process SPEND its time" readout that per-state
+   * frequency counts can't give when sequences are short-windowed or
+   * truncated. Everything is a defined ppm lattice: T_ppm(i,j) =
+   * (n_ij·10⁶) div n_i·, π₀ is uniform with largest-remainder
+   * apportionment (sums to exactly 10⁶), and `iters` synchronous
+   * power steps apply π'(j) = Σ_i (π(i)·T_ppm(i,j)) div 10⁶ — the
+   * per-term truncation IS the definition, replayed by the oracle as
+   * `iters` chained CTEs, so the fixed-point is bit-identical
+   * cross-engine (mass lost to truncation stays visible: Σπ < 10⁶ by
+   * a few ppm, emitted rather than hidden by renormalization).
+   *
+   * Scale shape: ONE user-keyed lag window over the fact extracts
+   * transitions (the q50/q116 session discipline); the matrix and π
+   * frames are |states|²-bounded, so the iteration is `iters` tiny
+   * broadcast joins — corpus cost is the single windowed pass.
+   * The π₀ ranking runs on the ≤|states|-row frame (PlanAuditSpec
+   * allowlists its global window).
+   */
+  def markovStationary(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, stateCol: String, iters: Int = 16): DataFrame = {
+    require(iters >= 1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wSeq = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+    val pairs = df
+      .select(col(stateCol).as("cur"),
+        lag(col(stateCol), 1).over(wSeq).as("prev"))
+      .filter(col("prev").isNotNull)
+    val trans = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = trans.groupBy(col("prev")).agg(sum(col("n")).as("n_out"))
+    // the matrix is read 16+ times (every power step + the self-loop
+    // projection) — materialize once so the corpus-windowed subtree
+    // runs a single time (the q67/q193 iteration discipline)
+    val tmat = trans.join(broadcast(outTot), Seq("prev"))
+      .select(col("prev"), col("cur"),
+        expr("cast((cast(n as decimal(38,0)) * 1000000) div n_out " +
+          "as bigint)").as("t_ppm"))
+      .localCheckpoint(true)
+    val states = df.select(col(stateCol).as("state")).distinct()
+    val nS = Window.orderBy("state")
+    val cnt = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    var pi = states
+      .withColumn("rk", row_number().over(nS).cast("long"))
+      .withColumn("s_cnt", count(lit(1)).over(cnt))
+      .select(col("state"),
+        (expr("1000000 div s_cnt") +
+          when(col("rk") <= expr("1000000 % s_cnt"), 1L).otherwise(0L))
+          .as("pi_ppm"))
+    for (_ <- 1 to iters)
+      pi = tmat.join(broadcast(pi),
+          tmat("prev") === pi("state"))
+        .groupBy(col("cur").as("state"))
+        .agg(expr("sum((cast(pi_ppm as decimal(38,0)) * t_ppm) " +
+          "div 1000000)").cast("long").as("pi_ppm"))
+        .select(col("state"), col("pi_ppm"))
+    states
+      .join(outTot.withColumnRenamed("prev", "state"), Seq("state"), "left")
+      .join(tmat.filter(col("prev") === col("cur"))
+        .select(col("prev").as("state"), col("t_ppm").as("self_ppm")),
+        Seq("state"), "left")
+      .join(pi, Seq("state"), "left")
+      .select(col("state"), coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("self_ppm"), lit(0L)).as("self_ppm"),
+        coalesce(col("pi_ppm"), lit(0L)).as("pi_ppm"))
+  }
+
+  /**
    * Expected calibration error — "when the model says 70%, is it right
    * 70% of the time", the deployment gate for any probabilistic
    * scorer (a model can have perfect AUC and be uselessly

@@ -80,6 +80,10 @@ object AnalyticsQueries {
     * 2001-08-01 order at every SF, so recency is nonnegative). */
   val RfmTiles = 4; val RfmAsOfMs = 1009843200000L
 
+  /** q208 power-iteration depth: 16 steps take the uniform start to
+    * the (1,1,1,1,3)/7 fixed point within per-step truncation ppm. */
+  val MarkovIters = 16
+
   /** q120 KM survival: study closes 2024-01-31T00:00Z; a user whose
     * last event is >24 h before close churned (event=1), else censored;
     * durations on an hourly grid; cohorts = user_id mod 3 (synthetic
@@ -3497,6 +3501,86 @@ object AnalyticsQueries {
                   (n_a + n_b - 1) - tie_t)) AS DOUBLE))) AS BIGINT)
               AS BIGINT) END AS z_milli
         FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q208 — Markov transition fingerprint (StatsOps.markovStationary):
+    // empirical per-user transition matrix + the stationary
+    // distribution under 16 defined ppm power steps. The generator
+    // draws event types INDEPENDENTLY (probed uniform — the empirical
+    // chain would be the uniform fixed point), so the fixture
+    // constructs a deterministic trajectory with KNOWN dynamics both
+    // engines replay: state = types[min(rank % 7, 4)] per user — a
+    // 5-cycle with a 3-long dwell on the last state, whose exact
+    // stationary law is (1,1,1,1,3)/7. The measured readout must land
+    // there: pi_ppm ≈ 142857 on the four transit states, ≈ 428571 on
+    // the dwell state, self_ppm ≈ 2/3·10⁶ on it alone — convergence
+    // from the uniform start DEMONSTRATED, and truncation mass-leak
+    // visible rather than renormalized away. One user-keyed lag
+    // window is the corpus cost; the iteration is 16 broadcast joins
+    // on the 5-state matrix; the oracle replays all 16 steps as
+    // chained CTEs.
+    // ------------------------------------------------------------------
+    "q208_markov_stationary" -> GraftQuery(
+      build = (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wSeq = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val traj = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("r", row_number().over(wSeq).cast("long") - 1)
+          .withColumn("state",
+            element_at(array(types.map(lit): _*),
+              (least(col("r") % 7, lit(4L)) + 1).cast("int")))
+        graft.operators.StatsOps.markovStationary(traj, "user_id",
+            "ts", "event_id", "state", MarkovIters)
+          .orderBy("state")
+      },
+      oracle = Some {
+        val step = (k: Int) => s"""
+          p$k AS (SELECT cur AS state,
+              CAST(sum((CAST(pi_ppm AS HUGEINT) * t_ppm) // 1000000)
+                AS BIGINT) AS pi_ppm
+            FROM tmat JOIN p${k - 1} ON tmat.prev = p${k - 1}.state
+            GROUP BY cur)"""
+        s"""
+        WITH seq AS (SELECT user_id, ts, event_id,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) - 1 AS r
+          FROM events),
+        st AS (SELECT user_id, ts, event_id,
+            (['click', 'error', 'purchase', 'signup', 'view'])
+              [least(r % 7, 4) + 1] AS state
+          FROM seq),
+        pr AS (SELECT state AS cur,
+            lag(state) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev
+          FROM st),
+        tr AS (SELECT prev, cur, count(*) AS n FROM pr
+          WHERE prev IS NOT NULL GROUP BY 1, 2),
+        ot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_out FROM tr
+          GROUP BY prev),
+        tmat AS (SELECT tr.prev, tr.cur,
+            CAST((CAST(n AS HUGEINT) * 1000000) // n_out AS BIGINT)
+              AS t_ppm
+          FROM tr JOIN ot ON tr.prev = ot.prev),
+        sts AS (SELECT DISTINCT state FROM st),
+        p0 AS (SELECT state,
+            1000000 // (SELECT count(*) FROM sts) +
+            CASE WHEN row_number() OVER (ORDER BY state) <=
+              1000000 % (SELECT count(*) FROM sts) THEN 1 ELSE 0 END
+              AS pi_ppm
+          FROM sts),
+        ${(1 to MarkovIters).map(step).mkString(",")}
+        SELECT sts.state, coalesce(n_out, 0) AS n_out,
+          coalesce(sf.t_ppm, 0) AS self_ppm,
+          coalesce(p$MarkovIters.pi_ppm, 0) AS pi_ppm
+        FROM sts
+        LEFT JOIN ot ON sts.state = ot.prev
+        LEFT JOIN (SELECT prev, t_ppm FROM tmat WHERE prev = cur) sf
+          ON sts.state = sf.prev
+        LEFT JOIN p$MarkovIters ON sts.state = p$MarkovIters.state
+        ORDER BY sts.state"""
+      }),
 
     // ------------------------------------------------------------------
     // q206 — expected calibration error (StatsOps.calibrationError):

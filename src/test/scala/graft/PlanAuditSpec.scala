@@ -383,10 +383,12 @@ class PlanAuditSpec extends SparkSuite {
     * ≤-PqCodes seed sample. Everything else must partition every
     * window — the q171/q174 single-partition defect class stays dead
     * registry-wide. */
+  /** q208's π₀ apportionment ranks the ≤|states|-row (5) distinct-
+    * state frame — model-sized, never data. */
   private val allowedGlobalWindow: Set[String] =
     Set("q104_histogram_drift", "q124_pareto_frontier",
       "q128_curriculum_order", "q129_ivm_quantile", "q168_neyman_sample",
-      "q87_pq_adc_topk")
+      "q87_pq_adc_topk", "q208_markov_stationary")
 
   test("registry-wide: unpartitioned windows only where deliberate " +
       "(bounded or pre-pruned frames)") {

@@ -1070,6 +1070,74 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("markovStationary: two-state chain converges to the exact " +
+      "q/(p+q) law; deterministic cycle is uniform; truncation leak " +
+      "stays within iters ppm; matches naive ppm-lattice replay") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, String)], iters: Int = 16) =
+      StatsOps.markovStationary(
+        rows.zipWithIndex.map { case ((u, t, st), i) =>
+          (u, t, i.toLong, st) }.toDF("u", "t", "tie", "state"),
+        "u", "t", "tie", "state", iters)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // asymmetric 2-state chain built from an explicit trajectory:
+    // a->b always, b->b twice then b->a (p=1, q=1/3) -> pi = (1/4, 3/4);
+    // ends ON a cycle boundary so the truncated tail doesn't bias q
+    val traj = (0 until 97).map { i =>
+      (1L, i.toLong, if (i % 4 == 0) "a" else "b")
+    }
+    val two = mk(traj)
+    assert(math.abs(two("a")._3 - 250000L) < 100L, two("a"))
+    assert(math.abs(two("b")._3 - 750000L) < 100L, two("b"))
+    assert(two("b")._2 === 666666L && two("a")._2 === 0L)
+    // deterministic 3-cycle: uniform stationary, zero self-loops;
+    // pi0 remainder (1e6 mod 3 = 1) goes to the lexicographically
+    // first state and washes through the cycle
+    val cyc = (0 until 90).map(i =>
+      (1L, i.toLong, Seq("x", "y", "z")(i % 3)))
+    val three = mk(cyc)
+    three.values.foreach { case (_, self, pi) =>
+      assert(self === 0L && math.abs(pi - 333333L) <= 2L)
+    }
+    // mass conservation: total leak bounded by iters * states ppm
+    assert(math.abs(three.values.map(_._3).sum - 1000000L) <= 16L * 3)
+    // naive replay of the SAME lattice on a random trajectory
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val states = Vector("s0", "s1", "s2")
+      val rows = (0 until 200).map(i =>
+        ((i % 4).toLong, i.toLong, states(rnd.nextInt(3))))
+      val got = mk(rows)
+      // naive: transitions per user by (t, tie) order
+      val byU = rows.zipWithIndex.map { case ((u, t, st), i) =>
+        (u, t, i.toLong, st) }.groupBy(_._1)
+      val pairs = byU.values.flatMap { g =>
+        val s = g.sortBy(r => (r._2, r._3)).map(_._4)
+        s.zip(s.tail).map { case (p, c) => (p, c) }
+      }.toSeq
+      val nOut = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val t = pairs.groupBy(identity).map { case ((p, c), g) =>
+        (p, c) -> BigInt(g.size) * 1000000 / nOut(p) }
+      val allS = rows.map(_._3).distinct.sorted
+      var pi = allS.zipWithIndex.map { case (s, i) =>
+        s -> (BigInt(1000000 / allS.size) +
+          (if (i < 1000000 % allS.size) 1 else 0))
+      }.toMap
+      for (_ <- 1 to 16)
+        pi = allS.map { j =>
+          j -> allS.map(i =>
+            pi(i) * t.getOrElse((i, j), BigInt(0)) / 1000000).sum
+        }.toMap
+      allS.foreach { s =>
+        val (gn, gself, gpi) = got(s)
+        assert(gn === nOut.getOrElse(s, 0L), s"n_out $s")
+        assert(gself === t.getOrElse((s, s), BigInt(0)).toLong, s"self $s")
+        assert(gpi === pi(s).toLong, s"pi $s seed=$seed")
+      }
+    }
+  }
+
   test("calibrationError: perfectly matched bin reads 0; a constant " +
       "shift reads as its own ppm; score 999999 clamps into the last " +
       "bin; matches naive BigInt reference on random frames") {
