@@ -149,6 +149,26 @@ object StatsOps {
    * headroom). Degenerate groups (constant x) emit null slope/intercept/
    * corr rather than a division error.
    */
+  /**
+   * Exact correlation in milli-units from decimal128 co-moment
+   * numerators: sign(cov)·⌊√(((10⁶·|cov|) div varx)·|cov| div vary)⌋.
+   * Cauchy–Schwarz (cov² ≤ varx·vary) keeps every stage inside
+   * decimal128 and the radicand ≤ 10⁶ < 2⁵³, so the one sqrt is
+   * exact-input and correctly rounded in BOTH engines — unlike
+   * casting a > 2⁵³ co-moment to double, where DuckDB's
+   * HUGEINT→DOUBLE is NOT correctly rounded (it splits into
+   * upper·2⁶⁴ + lower and double-rounds): diff-fuzz seed 3311 caught
+   * q98's vary_num = 25582605053599168403 casting one ulp apart
+   * across engines. The staged-division lattice is magnitude-proof;
+   * it is the same definition spearmanRho and kendallTauB use.
+   */
+  private def corrMilli(cov: String, varx: String, vary: String,
+      out: String): Column =
+    when(col(varx) > 0 && col(vary) > 0, expr(
+      s"""cast(sign($cov) as bigint) * cast(floor(sqrt(cast(
+           (((1000000 * abs($cov)) div $varx) * abs($cov)) div $vary
+           as double))) as bigint)""")).as(out)
+
   def linearFit(df: DataFrame, group: String, x: String,
       y: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -165,19 +185,13 @@ object StatsOps {
       .withColumn("int_num", col("sy") * col("sxx") - col("sx") * col("sxy"))
       .select(
         col(group), col("n"),
-        col("cov_num").cast("double").as("cov_num_d"),
-        col("varx_num").cast("double").as("varx_num_d"),
-        col("vary_num").cast("double").as("vary_num_d"),
         when(col("varx_num") =!= 0,
           expr("(1000 * cov_num - pmod(1000 * cov_num, varx_num))" +
             " div varx_num")).as("slope_milli"),
         when(col("varx_num") =!= 0,
           expr("(1000 * int_num - pmod(1000 * int_num, varx_num))" +
             " div varx_num")).as("intercept_milli"),
-        when(col("varx_num") =!= 0 && col("vary_num") =!= 0,
-          col("cov_num").cast("double") /
-            sqrt(col("varx_num").cast("double") *
-              col("vary_num").cast("double"))).as("corr"))
+        corrMilli("cov_num", "varx_num", "vary_num", "corr_milli"))
   }
 
   /**
@@ -835,11 +849,11 @@ object StatsOps {
    * per-lag re-centering" variant, chosen over the fixed-overall-mean
    * textbook ACF because it is EXACTLY the [[linearFit]] sufficient-
    * statistics shape: each (group, lag) cell collects exact decimal128
-   * co-moments (n, Σx, Σy, Σxy, Σx², Σy²) and emits
-   *   corr = cov_num / √(varx_num · vary_num)
-   * with integer-exact numerators and one correctly-rounded sqrt/divide
-   * — bit-identical cross-engine, any partitioning (the float-
-   * accumulating built-in `corr` is neither). Constant windows emit
+   * co-moments (n, Σx, Σy, Σxy, Σx², Σy²) and emits acf_milli on the
+   * [[corrMilli]] staged-division lattice — bit-identical cross-engine
+   * at ANY magnitude, any partitioning (the float-accumulating
+   * built-in `corr` is neither; a raw cast of > 2⁵³ numerators to
+   * double is ulp-fragile, see [[corrMilli]]). Constant windows emit
    * null rather than 0/0.
    *
    * Scale shape: ONE keyed window (the per-group time sort every keyed
@@ -879,10 +893,7 @@ object StatsOps {
       .withColumn("varx_num", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
       .withColumn("vary_num", dec(col("n")) * col("syy") - col("sy") * col("sy"))
       .select(col(group), col("lag"), col("n"),
-        when(col("varx_num") =!= 0 && col("vary_num") =!= 0,
-          col("cov_num").cast("double") /
-            sqrt(col("varx_num").cast("double") *
-              col("vary_num").cast("double"))).as("acf"))
+        corrMilli("cov_num", "varx_num", "vary_num", "acf_milli"))
   }
 
   /**
@@ -1048,10 +1059,7 @@ object StatsOps {
       .withColumn("varx_num", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
       .withColumn("vary_num", dec(col("n")) * col("syy") - col("sy") * col("sy"))
       .select(col("lag"), col("n"),
-        when(col("varx_num") =!= 0 && col("vary_num") =!= 0,
-          col("cov_num").cast("double") /
-            sqrt(col("varx_num").cast("double") *
-              col("vary_num").cast("double"))).as("xcorr"))
+        corrMilli("cov_num", "varx_num", "vary_num", "xcorr_milli"))
   }
 
   /**

@@ -831,19 +831,18 @@ object AnalyticsQueries {
             sy * sxx - sx * sxy AS int_num
           FROM st)
         SELECT grp, CAST(n AS BIGINT) AS n,
-          CAST(cov_num AS DOUBLE) AS cov_num_d,
-          CAST(varx_num AS DOUBLE) AS varx_num_d,
-          CAST(vary_num AS DOUBLE) AS vary_num_d,
           CASE WHEN varx_num <> 0 THEN CAST((1000 * cov_num -
             ((1000 * cov_num % varx_num + varx_num) % varx_num))
             // varx_num AS BIGINT) END AS slope_milli,
           CASE WHEN varx_num <> 0 THEN CAST((1000 * int_num -
             ((1000 * int_num % varx_num + varx_num) % varx_num))
             // varx_num AS BIGINT) END AS intercept_milli,
-          CASE WHEN varx_num <> 0 AND vary_num <> 0 THEN
-            CAST(cov_num AS DOUBLE) /
-              sqrt(CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE))
-            END AS corr
+          CASE WHEN varx_num > 0 AND vary_num > 0 THEN
+            CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (((1000000 * abs(cov_num)) // varx_num) * abs(cov_num))
+                  // vary_num AS DOUBLE))) AS BIGINT) AS BIGINT)
+            END AS corr_milli
         FROM dd ORDER BY grp""")),
 
     // ------------------------------------------------------------------
@@ -2256,13 +2255,19 @@ object AnalyticsQueries {
             sum(CAST(x AS HUGEINT) * x) AS sxx,
             sum(CAST(x AS HUGEINT) * y) AS sxy,
             sum(CAST(y AS HUGEINT) * y) AS syy
-          FROM pairs GROUP BY grp, lag)
+          FROM pairs GROUP BY grp, lag),
+        dd AS (SELECT grp, lag, n, n * sxy - sx * sy AS cov_num,
+            n * sxx - sx * sx AS varx_num,
+            n * syy - sy * sy AS vary_num
+          FROM st)
         SELECT grp, lag, CAST(n AS BIGINT) AS n,
-          CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE) /
-              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                   CAST(n * syy - sy * sy AS DOUBLE)) END AS acf
-        FROM st ORDER BY grp, lag""")),
+          CASE WHEN varx_num > 0 AND vary_num > 0 THEN
+            CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (((1000000 * abs(cov_num)) // varx_num) * abs(cov_num))
+                  // vary_num AS DOUBLE))) AS BIGINT) AS BIGINT)
+            END AS acf_milli
+        FROM dd ORDER BY grp, lag""")),
 
     // ------------------------------------------------------------------
     // q152 — market-basket association rules (AssociationRules
@@ -2731,13 +2736,19 @@ object AnalyticsQueries {
             sum(CAST(x AS HUGEINT) * x) AS sxx,
             sum(CAST(x AS HUGEINT) * y) AS sxy,
             sum(CAST(y AS HUGEINT) * y) AS syy
-          FROM pairs GROUP BY lag)
+          FROM pairs GROUP BY lag),
+        dd AS (SELECT lag, n, n * sxy - sx * sy AS cov_num,
+            n * sxx - sx * sx AS varx_num,
+            n * syy - sy * sy AS vary_num
+          FROM st)
         SELECT lag, CAST(n AS BIGINT) AS n,
-          CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE) /
-              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                   CAST(n * syy - sy * sy AS DOUBLE)) END AS xcorr
-        FROM st ORDER BY lag""")),
+          CASE WHEN varx_num > 0 AND vary_num > 0 THEN
+            CAST(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (((1000000 * abs(cov_num)) // varx_num) * abs(cov_num))
+                  // vary_num AS DOUBLE))) AS BIGINT) AS BIGINT)
+            END AS xcorr_milli
+        FROM dd ORDER BY lag""")),
 
     // ------------------------------------------------------------------
     // q168 — Neyman-allocation stratified sample (CorpusAssembly

@@ -151,8 +151,8 @@ class Round9PropertySpec extends SparkSuite {
 
   // ---------------------------------------------------- lagCorrelation
 
-  test("property: |acf| <= 1 (the one float output is still a " +
-      "correlation)") {
+  test("property: |acf_milli| <= 1000 (the lattice keeps correlation " +
+      "in range)") {
     val rows = gen(for {
       g <- Gen.oneOf("s1", "s2")
       v <- Gen.chooseNum(-100L, 100L)
@@ -162,8 +162,8 @@ class Round9PropertySpec extends SparkSuite {
     StatsOps.lagCorrelation(df, "grp", "t", "t", "v", 3).collect()
       .foreach { r =>
         if (!r.isNullAt(3)) {
-          val a = r.getDouble(3)
-          assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf $a out of range")
+          val a = r.getLong(3)
+          assert(a >= -1000L && a <= 1000L, s"acf_milli $a out of range")
         }
       }
   }

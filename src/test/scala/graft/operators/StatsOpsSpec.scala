@@ -128,16 +128,16 @@ class StatsOpsSpec extends SparkSuite {
   }
 
   test("linearFit: recovers an exact line (slope 3, intercept 7) with " +
-      "corr 1.0 from sufficient statistics") {
+      "corr_milli 1000 from sufficient statistics") {
     val df = (1L to 10L).map(x => ("a", x, 3 * x + 7)).toDF("g", "x", "y")
     val r = StatsOps.linearFit(df, "g", "x", "y").collect()(0)
     assert(r.getAs[Long]("slope_milli") == 3000L)
     assert(r.getAs[Long]("intercept_milli") == 7000L)
-    assert(r.getAs[Double]("corr") == 1.0)
+    assert(r.getAs[Long]("corr_milli") == 1000L)
   }
 
   test("linearFit: negative slope floors correctly (pmod identity, not " +
-      "truncation) and corr is negative") {
+      "truncation) and corr_milli is negative") {
     // n=3, sx=7, sy=19, sxx=21, sxy=32 → cov = 96−133 = −37,
     // varx = 63−49 = 14 → slope = −37/14 ≈ −2.642857: floor milli is
     // −2643 (truncation toward zero would give −2642)
@@ -145,7 +145,7 @@ class StatsOpsSpec extends SparkSuite {
       .toDF("g", "x", "y")
     val r = StatsOps.linearFit(df, "g", "x", "y").collect()(0)
     assert(r.getAs[Long]("slope_milli") == -2643L)
-    assert(r.getAs[Double]("corr") < 0)
+    assert(r.getAs[Long]("corr_milli") < 0L)
   }
 
   test("linearFit: constant x (degenerate) yields null slope/intercept/" +
@@ -153,7 +153,7 @@ class StatsOpsSpec extends SparkSuite {
     val df = Seq(("a", 5L, 1L), ("a", 5L, 9L)).toDF("g", "x", "y")
     val r = StatsOps.linearFit(df, "g", "x", "y").collect()(0)
     assert(r.isNullAt(r.fieldIndex("slope_milli")))
-    assert(r.isNullAt(r.fieldIndex("corr")))
+    assert(r.isNullAt(r.fieldIndex("corr_milli")))
   }
 
   test("linearFit: exact on a longer series regardless of partitioning " +
@@ -163,7 +163,7 @@ class StatsOpsSpec extends SparkSuite {
       .collect()(0)
     assert(direct.getAs[Long]("slope_milli") == 5000L &&
       direct.getAs[Long]("intercept_milli") == 11000L)
-    assert(direct.getAs[Double]("corr") == 1.0)
+    assert(direct.getAs[Long]("corr_milli") == 1000L)
   }
 
   test("equiDepthHistogram: near-equal bucket counts, contiguous value " +
@@ -676,12 +676,12 @@ class StatsOpsSpec extends SparkSuite {
       ("alt", t.toLong, if (t % 2 == 0) 10L else -10L))
     val df = (ramp ++ alt).toDF("grp", "t", "v")
     val got = StatsOps.lagCorrelation(df, "grp", "t", "t", "v", 2)
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
       .toMap
-    assert(math.abs(got(("ramp", 1L)) - 1.0) < 1e-12)
-    assert(math.abs(got(("ramp", 2L)) - 1.0) < 1e-12)
-    assert(math.abs(got(("alt", 1L)) + 1.0) < 1e-12)
-    assert(math.abs(got(("alt", 2L)) - 1.0) < 1e-12)
+    assert(got(("ramp", 1L)) === 1000L)
+    assert(got(("ramp", 2L)) === 1000L)
+    assert(got(("alt", 1L)) === -1000L)
+    assert(got(("alt", 2L)) === 1000L)
   }
 
   test("lagCorrelation: constant windows and too-short series emit " +
@@ -760,7 +760,7 @@ class StatsOpsSpec extends SparkSuite {
     val df = (0L to 7L).filter(_ != 4L).map(d => (d, d + 1, d))
       .toDF("day", "x", "y")
     val got = StatsOps.leadLagCorrelation(df, "day", "x", "y", 2)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     // day 4 missing entirely ⇒ lag 0 keeps 7 pairs; lag ±1 lose the
     // pairs straddling the hole (t=3→4 and t=7→8 / mirror): 5 each
@@ -770,8 +770,8 @@ class StatsOpsSpec extends SparkSuite {
     // a linear shift correlates perfectly at EVERY lag of a ramp; the
     // load-bearing claims are the exact pair counts above and that
     // correlation is exactly 1 (integer-exact co-moments)
-    assert(math.abs(got(1L)._2 - 1.0) < 1e-12)
-    assert(math.abs(got(-1L)._2 - 1.0) < 1e-12)
+    assert(got(1L)._2 === 1000L)
+    assert(got(-1L)._2 === 1000L)
   }
 
   // -------------------------------------------- CUPED
