@@ -3845,7 +3845,8 @@ object AnalyticsQueries {
     // +100,000 hundred-dollar bins (o_orderkey % 50, outside status
     // 'O') drags std_units to ~14,000 while MAD stays at the clean
     // ~1,200-bin scale; the untouched 'O' cell shows the uniform
-    // distribution's natural std ≈ 1.15·MAD. Medians are exact
+    // distribution's natural std ≈ 1.17·MAD (measured 1435/1227).
+    // Medians are exact
     // counts-domain lower medians (prefix windows over distinct
     // values); std is the q98 decimal-co-moment lattice.
     // ------------------------------------------------------------------
