@@ -460,4 +460,50 @@ object GraphOps {
     e.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("node"), col("core_degree"))
   }
+
+  /**
+   * Adamic–Adar link prediction over a bipartite affiliation graph —
+   * "which two left-nodes that never interacted SHOULD be linked,
+   * weighting rare shared affiliations above ubiquitous ones": for
+   * each left pair, AA = Σ_{shared right node} 1/log(deg) — a shared
+   * niche part says far more than a shared commodity one. Exact Q20
+   * form: each common neighbor contributes 2⁴⁰ div log2_q20(deg)
+   * (deg ≥ 2 by construction — a degree-1 right node can't be shared —
+   * so the lattice log is ≥ 2²⁰ and the division is total); top-K
+   * pairs by (aa desc, pair) via TakeOrderedAndProject.
+   *
+   * Scale shape: the candidate generation is the postings-join
+   * discipline (q97/q100/q186): one distinct edge pass, a per-right
+   * degree aggregate, and an equality self-join ON THE RIGHT KEY —
+   * pair fan-out is Σ deg², bounded by `degCap` (ubiquitous right
+   * nodes — the quadratic hubs — contribute ~zero AA weight anyway,
+   * which is the algorithm's own justification for capping them; the
+   * cap is the q23/q102 capped-bucket discipline). Nothing is ever
+   * all-pairs on the left.
+   */
+  def adamicAdar(edges: DataFrame, leftCol: String, rightCol: String,
+      topK: Int, degCap: Long): DataFrame = {
+    require(topK >= 1 && degCap >= 2)
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.LongType
+    val e = edges
+      .select(col(leftCol).cast("long").as("u"),
+        col(rightCol).cast("long").as("p"))
+      .filter(col("u").isNotNull && col("p").isNotNull)
+      .distinct()
+    val lg = Bridge.column(graft.functions.Log2Q20(Bridge.expression(
+      col("d").cast(LongType))))
+    val deg = e.groupBy(col("p"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= degCap)
+      .withColumn("lgd", lg)
+      .select(col("p"), expr(s"${1L << 40} div lgd").as("w"))
+    e.join(deg, Seq("p")) // prune capped/degree-1 parts BEFORE fan-out
+      .join(e.select(col("u").as("u2"), col("p")), Seq("p"))
+      .filter(col("u") < col("u2"))
+      .groupBy(col("u").as("u1"), col("u2"))
+      .agg(count(lit(1)).as("common_parts"), sum(col("w")).as("aa_q20"))
+      .orderBy(col("aa_q20").desc, col("u1"), col("u2"))
+      .limit(topK)
+  }
 }

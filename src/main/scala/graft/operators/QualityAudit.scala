@@ -303,4 +303,44 @@ object QualityAudit {
         expr("cast(sum((cast(n as decimal(38,0)) * n - sq) div 2) " +
           "as bigint)").as("leaked_pairs"))
   }
+
+  /**
+   * k-anonymity / l-diversity release audit — the privacy gate on any
+   * data release or eval-set publication: a row is re-identifiable when
+   * its quasi-identifier combination is shared by fewer than k rows,
+   * and a QI group is attribute-disclosing when all its members share
+   * the sensitive value (l-diversity 1: "everyone in this small cohort
+   * has the same diagnosis"). Reported per `reportCol` (the first QI
+   * dimension, typically): the achieved k (min group size — the number
+   * the release can CLAIM), the risky group/row counts under the
+   * requested k, the risky row share in ppm, and the minimum
+   * l-diversity across groups. The summary row count is
+   * |reportCol values| at any scale; larger releases at the same QI
+   * legitimately read safer — the operator measures, the fixture's
+   * constructed-frame spec proves the discriminating direction.
+   *
+   * Scale shape: ONE aggregate to the QI-group frame (count +
+   * count-distinct over the sensitive column — two-phase, map-side
+   * combined), then a |groups|-row rollup. Individual rows never
+   * leave the executors (the q121 gate discipline).
+   */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      k: Long, reportCol: String): DataFrame = {
+    require(qiCols.nonEmpty && qiCols.contains(reportCol))
+    val groups = df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("ldiv"))
+    groups
+      .groupBy(col(reportCol).as("report"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_groups"),
+        min(col("n")).as("k_achieved"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("risky_rows"),
+        min(col("ldiv")).as("min_l_div"))
+      .select(col("report"), col("n_rows"), col("n_groups"),
+        col("k_achieved"), col("risky_groups"), col("risky_rows"),
+        expr("(1000000 * risky_rows) div n_rows").as("risky_ppm"),
+        col("min_l_div"))
+  }
 }

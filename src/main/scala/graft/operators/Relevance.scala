@@ -424,4 +424,53 @@ object Relevance {
         expr(s"((${1L << 20} - $pQ20) * coalesce(mass, 0)) div $pQ20")
           .as("rbo_q20"))
   }
+
+  /**
+   * Precision / recall / average precision at k — the BINARY ranking
+   * evaluation triple (the set-based complement to q191's graded nDCG
+   * and q202's truth-free RBO): P@k = hits/ranked, R@k = hits/|rel|,
+   * and AP@k = (Σ_{i: rel} cumRel(i)/i) / min(|rel|, k) — the MAP
+   * summand. AP's per-rank fractions are made EXACT on a common
+   * denominator: lcm(1..k) divides evenly by every rank, so each term
+   * rel_i · cumRel_i · (lcm/i) is an integer, the sum is exact, and
+   * one final ppm division lands ap_ppm bit-identically cross-engine
+   * (the q191 fixed-point discipline, without needing the log lattice).
+   *
+   * `ranked` carries (queryCol, idCol, rnk); `truth` carries the
+   * relevant (queryCol, idCol) pairs. Cost is ranker-output-sized —
+   * the per-query window covers ≤ k rows; the truth-size join is
+   * per-query-bounded. Queries with no relevant docs emit null
+   * recall/AP rather than dividing.
+   */
+  def prAtK(ranked: DataFrame, truth: DataFrame, queryCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1,20], got $k")
+    val lcm = (1 to k).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val t = truth.select(col(queryCol).as("q"), col(idCol).as("doc"))
+    val rels = t.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("q").orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .filter(col("rnk") <= k)
+      .select(col(queryCol).as("q"), col(idCol).as("doc"), col("rnk"))
+      .join(t.withColumn("rel", lit(1L)), Seq("q", "doc"), "left")
+      .withColumn("rel0", coalesce(col("rel"), lit(0L)))
+      .withColumn("cum", sum(col("rel0")).over(w))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("rel0")).as("hits"),
+        sum(col("rel0") * col("cum") * expr(s"$lcm div rnk"))
+          .as("ap_scaled"))
+      .join(rels, Seq("q"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .select(col("q").as(queryCol), col("n_ranked"), col("n_rel"),
+        col("hits"),
+        expr("(1000000 * hits) div n_ranked").as("p_ppm"),
+        when(col("n_rel") > 0,
+          expr("(1000000 * hits) div n_rel")).as("r_ppm"),
+        when(col("n_rel") > 0, expr(
+          s"(1000000 * ap_scaled) div ($lcm * least(n_rel, $k))"))
+          .as("ap_ppm"))
+  }
 }

@@ -1998,4 +1998,113 @@ object StatsOps {
                as double))) as bigint) END"""))
       .select(col("cell"), col("n"), col("rho_milli"))
   }
+
+  /**
+   * Exact tie-corrected AUC-ROC — THE binary-ranking readout (equal to
+   * the probability a random positive outscores a random negative, ties
+   * counting half), computed in the counts domain: group to
+   * (cell, score) → (c₁, c₀), take one PARTITIONED prefix window over
+   * the distinct-score spine for the exclusive cumulative count, and
+   * read the positive rank-sum in closed form — 2·R₁ = Σ_s c₁(s) ·
+   * (2·cumBefore(s) + c(s) + 1) (each positive at a tied score gets the
+   * midrank; doubling keeps it integer). Then
+   * auc_ppm = ⌊10⁶·(2R₁ − n₁(n₁+1)) / (2·n₁·n₀)⌋ — the Mann–Whitney
+   * identity (q195's U statistic normalized), exact on decimal128, so
+   * the metric itself hash-gates. gini_ppm = 2·auc_ppm − 10⁶ is derived
+   * from the floored AUC (defined, identical cross-engine). Cells with
+   * no positives or no negatives emit null rather than dividing.
+   *
+   * Scale shape: one map-side-combined aggregate to the (cell, score)
+   * frame; the window runs per cell over DISTINCT scores — bounded by
+   * the score lattice (callers score on an integer lattice, the q206
+   * calibration discipline), never by row count. Nothing corpus-sized
+   * shuffles twice and no global window exists.
+   */
+  def aucRoc(df: DataFrame, cellCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sc = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("cell"), col("s"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+    val wPrev = Window.partitionBy("cell").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sc
+      .withColumn("cb", coalesce(sum(col("c1") + col("c0")).over(wPrev),
+        lit(0L)))
+      .groupBy(col("cell"))
+      .agg(sum(col("c1")).as("n_pos"), sum(col("c0")).as("n_neg"),
+        sum(dec(col("c1")) *
+          (col("cb") * 2 + col("c1") + col("c0") + 1)).as("r2"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") > 0 && col("n_neg") > 0, expr(
+          """cast((1000000 * (r2 - cast(n_pos as decimal(38,0)) *
+               (n_pos + 1))) div
+             (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)""")))
+      .select(col("cell"), col("n_pos"), col("n_neg"), col("auc_ppm"),
+        (col("auc_ppm") * 2 - 1000000L).as("gini_ppm"))
+  }
+
+  /**
+   * Population stability index — the model-monitoring drift standard
+   * (credit-risk scorecards onward): PSI = Σ_bins (p−q)·log(p/q), here
+   * in exact Q20 log2 units like its siblings q198 (JS) and q204 (MI).
+   * Per (cell, bin): counts a/b against slice totals ta/tb give
+   * p−q = (a·tb − b·ta)/(ta·tb) and log2(p/q) = lg(a·tb) − lg(b·ta) on
+   * the native [[graft.functions.Log2Q20]] lattice; both factors share
+   * a sign so every term is ≥ 0, terms sum exactly in decimal128, and
+   * ONE truncating division by ta·tb lands psi_q20 — bit-identical
+   * cross-engine. Bins empty on either side (where log(p/q) diverges)
+   * are EXCLUDED from the sum — the standard clamp, made honest: their
+   * count and their probability mass ship alongside as n_excl /
+   * excl_a_ppm / excl_b_ppm instead of being silently smoothed away.
+   *
+   * Scale shape: identical to jsDivergence — one map-side-combined
+   * aggregate to the (cell, bin) frame, windows over the bin-bounded
+   * frame, nothing corpus-sized past the first aggregate.
+   */
+  def psiDrift(df: DataFrame, cellCol: String, sliceCol: String,
+      sliceA: String, sliceB: String, binCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.LongType
+    val lg = (c: Column) =>
+      Bridge.column(graft.functions.Log2Q20(Bridge.expression(
+        c.cast(LongType))))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val kc = df
+      .filter(col(sliceCol).isin(sliceA, sliceB) && col(binCol).isNotNull)
+      .groupBy(col(cellCol).as("cell"), col(binCol).as("bin"))
+      .agg(sum(when(col(sliceCol) === sliceA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(sliceCol) === sliceB, 1L).otherwise(0L)).as("b"))
+    val wt = Window.partitionBy("cell")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    kc
+      .withColumn("ta", sum(col("a")).over(wt))
+      .withColumn("tb", sum(col("b")).over(wt))
+      .withColumn("core", col("a") > 0 && col("b") > 0)
+      .withColumn("term", when(col("core"),
+        dec(col("a") * col("tb") - col("b") * col("ta")) *
+          (lg(col("a") * col("tb")) - lg(col("b") * col("ta"))))
+        .otherwise(lit(0)))
+      .groupBy(col("cell"))
+      .agg(first(col("ta")).as("n_a"), first(col("tb")).as("n_b"),
+        count(lit(1)).as("n_bins"),
+        sum(when(col("core"), 0L).otherwise(1L)).as("n_excl"),
+        sum(when(col("core"), 0L).otherwise(col("a"))).as("xa"),
+        sum(when(col("core"), 0L).otherwise(col("b"))).as("xb"),
+        sum(col("term")).as("num"))
+      .select(col("cell"), col("n_a"), col("n_b"), col("n_bins"),
+        col("n_excl"),
+        when(col("n_a") > 0 && col("n_b") > 0, expr(
+          "cast(num div (cast(n_a as decimal(38,0)) * n_b) as bigint)"))
+          .as("psi_q20"),
+        when(col("n_a") > 0,
+          expr("cast((1000000 * cast(xa as decimal(38,0))) div n_a " +
+            "as bigint)")).as("excl_a_ppm"),
+        when(col("n_b") > 0,
+          expr("cast((1000000 * cast(xb as decimal(38,0))) div n_b " +
+            "as bigint)")).as("excl_b_ppm"))
+  }
 }

@@ -28,6 +28,16 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Space-joined word n-grams of an array column — guarded with CASE
+    * because `sequence(1, 0)` DESCENDS in Spark (the round-9 trap): a
+    * doc shorter than n grams contributes an empty array, never a
+    * reversed spine. */
+  private[operators] def gramArray(tokArrayCol: String, n: Int): Column =
+    expr(s"""case when size($tokArrayCol) >= $n then
+        transform(sequence(1, size($tokArrayCol) - ${n - 1}),
+          i -> array_join(slice($tokArrayCol, i, $n), ' '))
+      else array() end""")
+
   /** Multiset count of tokens that appear in `words`. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
@@ -431,5 +441,122 @@ object TextAnalysis {
           "cast((1000 * (n_terms * sxy - sx * sy)) div " +
             "(n_terms * sxx - sx * sx) as bigint)")))
       .select(col("g"), col("n_terms"), col("slope_milli"))
+  }
+
+  /**
+   * Heaps'-law vocabulary-growth exponent — Zipf's (q194) companion
+   * naturalness probe, reading the OTHER distributional law natural
+   * text obeys: V(N) ≈ K·N^β with β ≈ 0.5–0.7 (new vocabulary keeps
+   * arriving sublinearly forever), while templated/synthetic feeds
+   * saturate (β → 0) and id-stuffed feeds go linear (β → 1). Terms are
+   * word n-grams (`gramN`, default bigrams — a closed unigram
+   * vocabulary saturates instantly and measures nothing; the gram
+   * space keeps the growth regime observable). The growth curve is
+   * sampled at `nCheckpoints` equal slices of the doc-order span:
+   * every term's first-occurrence doc and every doc's gram count map
+   * CLOSED-FORM to the smallest checkpoint containing them
+   * (jmin = ⌈cp·(ord+1)/(mx+1)⌉ — pure integer arithmetic off a 1-row
+   * bounds frame, no inequality join against the corpus), so V_j and
+   * N_j are two tiny (group × checkpoint) aggregates with an ≤
+   * checkpoint-squared prefix fan-out. The fit is q194's exact Q20
+   * lattice regression of log₂V on log₂N; slope_milli ≈ 1000·β.
+   *
+   * Scale shape: one gram explode feeding two map-side-combined
+   * aggregates (first-occurrence min, per-doc counts); everything
+   * after is checkpoint-bounded. No window touches the corpus.
+   */
+  def heapsSlope(df: DataFrame, groupCol: String, ordCol: String,
+      textCol: String, gramN: Int = 2, nCheckpoints: Int = 8): DataFrame = {
+    require(gramN >= 1 && nCheckpoints >= 2)
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.Log2Q20
+    def lg(c: Column): Column =
+      Bridge.column(Log2Q20(Bridge.expression(c.cast(LongType))))
+    val D = DecimalType(38, 0)
+    val cp = nCheckpoints
+    val toks = df.select(col(groupCol).as("g"), col(ordCol).as("ord"),
+      tokens(col(textCol)).as("t"))
+    val grams = toks
+      .select(col("g"), col("ord"), explode(gramArray("t", gramN)).as("b"))
+    val bounds = df.agg(max(col(ordCol)).as("mx"))
+    def jmin(ordName: String): Column =
+      expr(s"($cp * ($ordName + 1) + mx) div (mx + 1)")
+    // V: first-occurrence doc per term -> counts per smallest checkpoint
+    val vadd = grams.groupBy(col("g"), col("b"))
+      .agg(min(col("ord")).as("fo"))
+      .crossJoin(broadcast(bounds))
+      .select(col("g"), jmin("fo").as("jm"))
+      .groupBy(col("g"), col("jm")).agg(count(lit(1)).as("c"))
+    // N: per-doc gram count -> sums per smallest checkpoint
+    val nadd = grams.groupBy(col("g"), col("ord"))
+      .agg(count(lit(1)).as("tc"))
+      .crossJoin(broadcast(bounds))
+      .select(col("g"), jmin("ord").as("jm"), col("tc"))
+      .groupBy(col("g"), col("jm")).agg(sum(col("tc")).as("c"))
+    val spine = broadcast(df.sparkSession.range(1, cp + 1)
+      .select(col("id").as("j")))
+    def cum(add: DataFrame, out: String) =
+      add.join(spine, col("jm") <= col("j"))
+        .groupBy(col("g"), col("j")).agg(sum(col("c")).as(out))
+    val xy = cum(vadd, "v").join(cum(nadd, "n"), Seq("g", "j"))
+      .filter(col("v") > 0 && col("n") > 0)
+      .select(col("g"), lg(col("n")).as("x"), lg(col("v")).as("y"))
+    xy.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+        sum(col("x").cast(D) * col("y").cast(D)).as("sxy"),
+        sum(col("x").cast(D) * col("x").cast(D)).as("sxx"))
+      .withColumn("heaps_milli",
+        when(col("n_points") >= 2 &&
+          expr("n_points * sxx - sx * sx") =!= 0, expr(
+          "cast((1000 * (n_points * sxy - sx * sy)) div " +
+            "(n_points * sxx - sx * sx) as bigint)")))
+      .select(col("g"), col("n_points"), col("heaps_milli"))
+  }
+
+  /**
+   * Cross-source n-gram novelty — the corpus-curation acquisition
+   * signal ("how much does source S add that reference R doesn't
+   * already have?"): per source, the share of distinct word n-grams —
+   * and of gram OCCURRENCES — absent from the reference source's gram
+   * set. The distinct-type rate reads vocabulary novelty; the
+   * occurrence-weighted rate reads how much of the source's actual
+   * token mass is new (a source can be 50% novel by type but 2% by
+   * mass when its novelty is a rare tail). The reference's own row
+   * reads 0/0 — an in-result sanity anchor.
+   *
+   * Scale shape: one gram explode into a map-side-combined
+   * (source, gram-hash) count — gram TEXT never shuffles, only the
+   * 64-bit md5-prefix key ([[TextDedup.hash64]], the house join-key
+   * discipline) — then a hash-keyed left join against the reference's
+   * distinct gram hashes (both sides partition on the hash; the ref
+   * side is vocabulary-sized, not corpus-sized) and a per-source
+   * rollup. Nothing corpus-sized shuffles twice.
+   */
+  def gramNovelty(df: DataFrame, srcCol: String, textCol: String,
+      refSource: String, gramN: Int = 2): DataFrame = {
+    require(gramN >= 1)
+    val grams = df.select(col(srcCol).as("src"),
+        tokens(col(textCol)).as("t"))
+      .select(col("src"), explode(gramArray("t", gramN)).as("b"))
+      .select(col("src"), TextDedup.hash64(col("b")).as("gh"))
+    val counts = grams.groupBy(col("src"), col("gh"))
+      .agg(count(lit(1)).as("cnt"))
+    val ref = counts.filter(col("src") === refSource)
+      .select(col("gh"), lit(1L).as("seen"))
+    counts
+      .join(ref, Seq("gh"), "left")
+      .withColumn("nov", when(col("seen").isNull, 1L).otherwise(0L))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("distinct_grams"),
+        sum(col("nov")).as("novel_distinct"),
+        sum(col("cnt")).as("occurrences"),
+        sum(col("nov") * col("cnt")).as("novel_occurrences"))
+      .select(col("src"), col("distinct_grams"), col("novel_distinct"),
+        col("occurrences"), col("novel_occurrences"),
+        expr("(1000000 * novel_distinct) div distinct_grams")
+          .as("nov_distinct_ppm"),
+        expr("(1000000 * novel_occurrences) div occurrences")
+          .as("nov_occ_ppm"))
   }
 }

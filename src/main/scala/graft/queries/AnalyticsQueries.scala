@@ -4132,5 +4132,253 @@ object AnalyticsQueries {
                 (((1000000 * abs(num)) // sxx) * abs(num)) // syy
                 AS DOUBLE))) AS BIGINT) AS BIGINT) END AS rho_milli
         FROM sm ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q209 — exact AUC-ROC (StatsOps.aucRoc): the binary-ranking
+    // readout, tie-corrected, on the counts domain. The generator
+    // draws priority independently of everything (probed corr ≈ 0), so
+    // the fixture SIMULATES a score of known per-cell skill (the q173
+    // CUPED discipline): label = priority ∈ {1-URGENT, 2-HIGH}, score =
+    // (o_orderkey·2654435761) % 1000 noise + a label shift of 400 in
+    // status 'O', 100 in 'F', 0 in 'P'. Closed-form expectation for a
+    // uniform-noise shift s: AUC = 1 − (1−s/1000)²/2 → 0.82 / 0.5595 /
+    // 0.50; measured 0.818 / 0.586 / 0.502 — the metric demonstrably
+    // ORDERS the three known skill levels. Integer scores make tied
+    // scores common, so the midrank correction is exercised, not
+    // decorative. Window frame = distinct scores ≤ 1400 (the score
+    // lattice), never rows.
+    // ------------------------------------------------------------------
+    "q209_auc_roc" -> GraftQuery(
+      build = (s, d) => {
+        val lab = when(col("o_orderpriority")
+          .isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)
+        val skill = when(col("o_orderstatus") === "O", 400L)
+          .when(col("o_orderstatus") === "F", 100L).otherwise(0L)
+        val scored = orders(s, d).select(
+          col("o_orderstatus").as("cell"),
+          ((col("o_orderkey") * 2654435761L) % 1000L +
+            lab * skill).as("score"),
+          lab.as("y"))
+        StatsOps.aucRoc(scored, "cell", "score", "y").orderBy("cell")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT o_orderstatus AS cell,
+            (o_orderkey * 2654435761) % 1000 +
+              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN
+                CASE o_orderstatus WHEN 'O' THEN 400
+                  WHEN 'F' THEN 100 ELSE 0 END
+              ELSE 0 END AS score,
+            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+          FROM orders),
+        sc AS (SELECT cell, score, sum(y) AS c1, sum(1 - y) AS c0
+          FROM s GROUP BY 1, 2),
+        cw AS (SELECT cell, c1, c0,
+            coalesce(sum(c1 + c0) OVER (PARTITION BY cell ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM sc),
+        ag AS (SELECT cell, CAST(sum(c1) AS BIGINT) AS n_pos,
+            CAST(sum(c0) AS BIGINT) AS n_neg,
+            sum(CAST(c1 AS HUGEINT) * (2 * cb + c1 + c0 + 1)) AS r2
+          FROM cw GROUP BY 1),
+        au AS (SELECT cell, n_pos, n_neg,
+            CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+              CAST((1000000 * (r2 - CAST(n_pos AS HUGEINT) *
+                (n_pos + 1))) //
+                (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+            END AS auc_ppm
+          FROM ag)
+        SELECT cell, n_pos, n_neg, auc_ppm,
+          auc_ppm * 2 - 1000000 AS gini_ppm
+        FROM au ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q210 — population stability index (StatsOps.psiDrift): the
+    // model-monitoring drift standard, joining q198 (JS) and q175 (TV)
+    // with the industry readout, in exact Q20 log2 units. Slices are
+    // event_id parity; bins are $50 value bands (bin = value_e4 div
+    // 5·10⁵, clamped to 9) — bin derives from `value`, independent of
+    // event_id, so the parity-modulus trap (round-11 memory) cannot
+    // correlate the cells. Injection: in 'click' slice B a quarter of
+    // rows ((event_id·131) % 4, odd multiplier) shift two bins up
+    // before the clamp — click reads a real PSI while untouched cells
+    // sit at the sampling-noise floor. Naturally one-sided bins at
+    // sf0.001 (probed: 8 of them) exercise the exclusion path, and the
+    // excluded probability mass is EMITTED (excl_a_ppm / excl_b_ppm),
+    // not silently smoothed. The oracle replays the Q20 lattice over
+    // the DISTINCT a·tb / b·ta argument spine (bin-bounded).
+    // ------------------------------------------------------------------
+    "q210_psi_drift" -> GraftQuery(
+      build = (s, d) => {
+        val bBase = least(expr("cast(cast(value as decimal(18,4)) * " +
+          "10000 as bigint) div 500000"), lit(9L))
+        val inj = when(col("event_type") === "click" &&
+          col("event_id") % 2 === 1 &&
+          (col("event_id") * 131) % 4 === 0, 2L).otherwise(0L)
+        val sliced = events(s, d).select(
+          col("event_type").as("cell"),
+          when(col("event_id") % 2 === 0, "A").otherwise("B").as("sl"),
+          least(bBase + inj, lit(9L)).as("bin"))
+        StatsOps.psiDrift(sliced, "cell", "sl", "A", "B", "bin")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH RECURSIVE e AS (SELECT event_type AS cell,
+            CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS sl,
+            least(least(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                AS BIGINT) // 500000, 9) +
+              CASE WHEN event_type = 'click' AND event_id % 2 = 1
+                  AND (event_id * 131) % 4 = 0 THEN 2 ELSE 0 END,
+              9) AS bin
+          FROM events),
+        kc AS (SELECT cell, bin,
+            sum(CASE WHEN sl = 'A' THEN 1 ELSE 0 END) AS a,
+            sum(CASE WHEN sl = 'B' THEN 1 ELSE 0 END) AS b
+          FROM e GROUP BY 1, 2),
+        tt AS (SELECT cell, bin, a, b,
+            CAST(sum(a) OVER (PARTITION BY cell) AS BIGINT) AS ta,
+            CAST(sum(b) OVER (PARTITION BY cell) AS BIGINT) AS tb
+          FROM kc),
+        args AS (SELECT DISTINCT m FROM (
+            SELECT a * tb AS m FROM tt WHERE a > 0 AND b > 0
+            UNION ALL
+            SELECT b * ta FROM tt WHERE a > 0 AND b > 0)),
+        m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM args),
+        mant AS (SELECT m, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT m, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT m, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        lut AS (SELECT m, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        tm AS (SELECT tt.cell, tt.a, tt.b, tt.ta, tt.tb,
+            CASE WHEN a > 0 AND b > 0 THEN
+              CAST(a * tb - b * ta AS HUGEINT) * (la.l - lb.l)
+              ELSE 0 END AS term,
+            CASE WHEN a > 0 AND b > 0 THEN 0 ELSE 1 END AS excl
+          FROM tt
+          LEFT JOIN lut la ON a > 0 AND b > 0 AND la.m = a * tb
+          LEFT JOIN lut lb ON a > 0 AND b > 0 AND lb.m = b * ta),
+        ag AS (SELECT cell, max(ta) AS n_a, max(tb) AS n_b,
+            CAST(count(*) AS BIGINT) AS n_bins,
+            CAST(sum(excl) AS BIGINT) AS n_excl,
+            sum(CASE WHEN excl = 1 THEN a ELSE 0 END) AS xa,
+            sum(CASE WHEN excl = 1 THEN b ELSE 0 END) AS xb,
+            sum(term) AS num
+          FROM tm GROUP BY cell)
+        SELECT cell, n_a, n_b, n_bins, n_excl,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN
+            CAST(num // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END
+            AS psi_q20,
+          CASE WHEN n_a > 0 THEN
+            CAST((1000000 * CAST(xa AS HUGEINT)) // n_a AS BIGINT) END
+            AS excl_a_ppm,
+          CASE WHEN n_b > 0 THEN
+            CAST((1000000 * CAST(xb AS HUGEINT)) // n_b AS BIGINT) END
+            AS excl_b_ppm
+        FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q215 — k-anonymity / l-diversity audit (QualityAudit.kAnonymity):
+    // the privacy gate on a data release — per market segment, the
+    // ACHIEVED k (min quasi-identifier group size), risky group/row
+    // counts under k = 6, risky row share, and minimum l-diversity of
+    // the sensitive nation column. QI = (segment, $2500 balance band) —
+    // probed 20 groups sized 4–17 at sf0.001 (risky rows exist) and
+    // 53–108 at sf0.01 (none risky): the larger release at the same QI
+    // legitimately reads SAFER, which is exactly the measurement; the
+    // spec proves the discriminating direction on a constructed frame.
+    // Negative balances band to 0 by shared truncation semantics
+    // (Spark div and DuckDB // both truncate toward zero — round-10
+    // memory, measured).
+    // ------------------------------------------------------------------
+    "q215_k_anonymity" -> GraftQuery(
+      build = (s, d) => {
+        val banded = customer(s, d).withColumn("band",
+          expr("cast(cast(c_acctbal as decimal(18,4)) * 10000 " +
+            "as bigint) div 25000000"))
+        graft.operators.QualityAudit.kAnonymity(banded,
+            Seq("c_mktsegment", "band"), "c_nationkey", k = 6,
+            reportCol = "c_mktsegment")
+          .orderBy("report")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT c_mktsegment AS seg,
+            CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 25000000 AS band,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(count(DISTINCT c_nationkey) AS BIGINT) AS ldiv
+          FROM customer GROUP BY 1, 2)
+        SELECT seg AS report, CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_groups,
+          min(n) AS k_achieved,
+          CAST(sum(CASE WHEN n < 6 THEN 1 ELSE 0 END) AS BIGINT)
+            AS risky_groups,
+          CAST(sum(CASE WHEN n < 6 THEN n ELSE 0 END) AS BIGINT)
+            AS risky_rows,
+          (1000000 * CAST(sum(CASE WHEN n < 6 THEN n ELSE 0 END)
+            AS BIGINT)) // CAST(sum(n) AS BIGINT) AS risky_ppm,
+          min(ldiv) AS min_l_div
+        FROM g GROUP BY 1 ORDER BY report""")),
+
+    // ------------------------------------------------------------------
+    // q216 — Adamic–Adar link prediction (GraphOps.adamicAdar) on the
+    // supplier–part affiliation graph: which supplier pairs share the
+    // most NICHE parts (1/log-degree weighting — a shared commodity
+    // part supplied by 50 suppliers says ~nothing, a shared 2-supplier
+    // part says everything). Candidates come from the postings-join
+    // discipline — equality self-join on the part key, degree-capped
+    // at 64 (probed: max co-supply degree 52 at sf0.1, so the standard
+    // fixture never trips the cap; quadratic hubs it would drop carry
+    // ~zero AA weight, the algorithm's own argument) — never an
+    // all-pairs scan on suppliers. Weights are 2⁴⁰ div log2_q20(deg)
+    // on the native lattice; the oracle replays it over the DISTINCT
+    // degree spine (≤ 63 values). Top-20 via TakeOrderedAndProject.
+    // ------------------------------------------------------------------
+    "q216_adamic_adar" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.GraphOps.adamicAdar(
+          lineitem(s, d).select(col("l_suppkey"), col("l_partkey")),
+          "l_suppkey", "l_partkey", topK = 20, degCap = 64L),
+      oracle = Some(s"""
+        WITH RECURSIVE e AS (SELECT DISTINCT l_partkey AS p,
+            l_suppkey AS u FROM lineitem),
+        deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e
+          GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+        vals AS (SELECT DISTINCT d AS m FROM deg),
+        m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM vals),
+        mant AS (SELECT m, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT m, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT m, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        lut AS (SELECT m, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        dw AS (SELECT p, ${1L << 40} // l AS w
+          FROM deg JOIN lut ON deg.d = lut.m),
+        pr AS (SELECT a.u AS u1, b.u AS u2, w
+          FROM e a JOIN e b ON a.p = b.p AND a.u < b.u
+          JOIN dw ON a.p = dw.p),
+        ag AS (SELECT u1, u2, CAST(count(*) AS BIGINT) AS common_parts,
+            CAST(sum(w) AS BIGINT) AS aa_q20
+          FROM pr GROUP BY 1, 2)
+        SELECT u1, u2, common_parts, aa_q20 FROM ag
+        ORDER BY aa_q20 DESC, u1, u2 LIMIT 20""")),
   )
 }

@@ -1264,6 +1264,131 @@ object RelationalQueries {
         JOIN os USING (l_orderkey)
         JOIN supplier ON l_suppkey = s_suppkey
         WHERE n_supp >= 2 AND n_late_supp = 1
-        GROUP BY s_name ORDER BY numwait DESC, s_name"""))
+        GROUP BY s_name ORDER BY numwait DESC, s_name""")),
+
+    // ------------------------------------------------------------------
+    // q217 — dormant high-balance customers (the TPC-H Q22 shape,
+    // adapted to this DDL: no phone column, and every sf0.001 customer
+    // orders constantly, so "no orders at all" is empty — the anti-join
+    // predicate becomes "never placed a LARGE order", probed nonempty
+    // at sf0.001 with T = $400k). The load-bearing pieces survive
+    // intact: a global scalar threshold (positive-balance floor-average
+    // in exact e-4 units — one 1-row broadcast, never a float avg), an
+    // ANTI-join against the qualifying order set, and a per-nation
+    // rollup. Positive sums make the truncating div a true floor in
+    // both engines.
+    // ------------------------------------------------------------------
+    "q217_dormant_high_balance" -> GraftQuery(
+      build = (s, d) => {
+        val cust = customer(s, d).select(col("c_custkey"),
+          col("c_nationkey"), cents(col("c_acctbal")).as("bal"))
+        val thr = cust.filter(col("bal") > 0)
+          .agg(expr("cast(sum(cast(bal as decimal(38,0))) div count(*) " +
+            "as bigint)").as("t"))
+        val big = orders(s, d)
+          .filter(cents(col("o_totalprice")) > 4000000000L)
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("bal") > col("t"))
+          .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal")).cast("long").as("total_bal_e4"))
+          .orderBy("c_nationkey")
+      },
+      oracle = Some("""
+        WITH cust AS (SELECT c_custkey, c_nationkey,
+            CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              AS bal
+          FROM customer),
+        thr AS (SELECT CAST(sum(bal) AS BIGINT) // count(*) AS t
+          FROM cust WHERE bal > 0),
+        big AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+            AS BIGINT) > 4000000000)
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+          CAST(sum(bal) AS BIGINT) AS total_bal_e4
+        FROM cust, thr
+        WHERE bal > t AND NOT EXISTS (SELECT 1 FROM big
+          WHERE big.o_custkey = cust.c_custkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // q218 — top-revenue supplier (the TPC-H Q15 shape): quarterly
+    // revenue per supplier, then the supplier(s) achieving the maximum.
+    // The view + correlated max of the original is decorrelated into a
+    // per-supplier aggregate plus ONE 1-row max broadcast — no window
+    // over the supplier frame (at 100 TB "suppliers" can be
+    // millions of rows; a global max needs an aggregate, not a sort).
+    // Revenue is the q161 exact e-8 lattice. Ties on the max all
+    // return (probed: unique at sf0.01), ordered by key.
+    // ------------------------------------------------------------------
+    "q218_top_revenue_supplier" -> GraftQuery(
+      build = (s, d) => {
+        val rev = lineitem(s, d)
+          .filter(col("l_shipdate").cast("date") >=
+            lit("1996-01-01").cast("date") &&
+            col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+          .select(col("l_suppkey"),
+            (cents(col("l_extendedprice")) *
+              (lit(10000L) - cents(col("l_discount")))).as("rev_e8"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("rev_e8").cast("decimal(38,0)")).cast("long")
+            .as("total_rev_e8"))
+        val mx = rev.agg(max(col("total_rev_e8")).as("m"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_rev_e8") === col("m"))
+          .join(broadcast(supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_e8"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        WITH rev AS (SELECT l_suppkey,
+            CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                10000 AS BIGINT) *
+              (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000
+                AS BIGINT)) AS HUGEINT)) AS BIGINT) AS total_rev_e8
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_rev_e8
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_e8 = (SELECT max(total_rev_e8) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // q219 — customer order-count distribution (the TPC-H Q13 shape):
+    // LEFT join customers to a filtered order set (non-urgent — the
+    // stand-in for Q13's comment exclusion; this DDL has no o_comment),
+    // count per customer WITH zeros preserved (count(o_custkey) counts
+    // non-nulls — probed: 1 zero-count customer exists at sf0.01), then
+    // the distribution of those counts. Two aggregates, no window; the
+    // (custdist desc, c_count desc) order is total because c_count is
+    // unique per output row.
+    // ------------------------------------------------------------------
+    "q219_order_count_distribution" -> GraftQuery(
+      build = (s, d) => {
+        val o = orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"))
+        customer(s, d).select(col("c_custkey"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_custkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      oracle = Some("""
+        WITH c AS (SELECT c_custkey,
+            CAST(count(o_custkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY 1)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
   )
 }

@@ -584,6 +584,70 @@ object RetrievalQueries {
             AS rbo_q20
         FROM ca FULL JOIN cb ON ca.term = cb.term
         LEFT JOIN ms ON coalesce(ca.term, cb.term) = ms.term
-        ORDER BY q"""))
+        ORDER BY q""")),
+
+    // ------------------------------------------------------------------
+    // q211 — precision / recall / AP@k (Relevance.prAtK): the binary
+    // evaluation triple over the same BM25 ranking q191 grades — truth
+    // here is PURELY positional (term among the doc's first 10 ws
+    // tokens, the corpus is letters-only so a head hit is a real term
+    // hit), a signal BM25's bag-of-words scoring cannot see: measured
+    // P@10 sits strictly inside (0,1) (~36% of candidates are titled,
+    // probed 138-155 relevant per term at sf0.01), recall@10 is
+    // honestly small against ~140 relevant docs, and AP@10's
+    // position-weighted fractions are exact on the lcm(1..10) = 2520
+    // common denominator. Evaluation cost is ranker-output-sized.
+    // ------------------------------------------------------------------
+    "q211_precision_recall_at_k" -> GraftQuery(
+      build = (s, d) => {
+        val docs = ScanOps.spreadSmallInput(
+          documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
+        val ranked = Relevance.bm25TopK(docs, "doc_id", "text",
+            Bm25QueryTerms, NdcgK)
+          .select(col("term"), col("doc_id"), col("rnk"))
+        val truth = docs
+          .select(col("doc_id"),
+            slice(split(lower(col("text")), "\\s+"), 1, NdcgTitleTokens)
+              .as("head"),
+            explode(array(Bm25QueryTerms.map(lit): _*)).as("term"))
+          .filter(array_contains(col("head"), col("term")))
+          .select(col("term"), col("doc_id"))
+        Relevance.prAtK(ranked, truth, "term", "doc_id", NdcgK)
+          .orderBy("term")
+      },
+      oracle = Some(s"""
+        $bm25CtesSql,
+        ttl AS (SELECT doc_id,
+            (${sqlWsTokens("text")})[1:$NdcgTitleTokens] AS head
+          FROM documents),
+        tr AS (SELECT q.term, ttl.doc_id FROM ttl,
+            (SELECT unnest(['${Bm25QueryTerms.mkString("','")}'])
+              AS term) q
+          WHERE list_contains(head, q.term)),
+        nr AS (SELECT term, CAST(count(*) AS BIGINT) AS n_rel
+          FROM tr GROUP BY term),
+        rk AS (SELECT r.term, r.rnk,
+            CASE WHEN tr.doc_id IS NULL THEN 0 ELSE 1 END AS rel0
+          FROM r LEFT JOIN tr ON r.term = tr.term
+            AND r.doc_id = tr.doc_id
+          WHERE r.rnk <= $NdcgK),
+        cw AS (SELECT term, rnk, rel0,
+            sum(rel0) OVER (PARTITION BY term ORDER BY rnk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM rk),
+        ag AS (SELECT term, CAST(count(*) AS BIGINT) AS n_ranked,
+            CAST(sum(rel0) AS BIGINT) AS hits,
+            CAST(sum(rel0 * cum * (2520 // rnk)) AS BIGINT) AS ap_scaled
+          FROM cw GROUP BY term)
+        SELECT ag.term AS term, n_ranked, coalesce(n_rel, 0) AS n_rel,
+          hits,
+          (1000000 * hits) // n_ranked AS p_ppm,
+          CASE WHEN coalesce(n_rel, 0) > 0
+            THEN (1000000 * hits) // n_rel END AS r_ppm,
+          CASE WHEN coalesce(n_rel, 0) > 0 THEN (1000000 * ap_scaled) //
+            (2520 * least(n_rel, $NdcgK)) END AS ap_ppm
+        FROM ag LEFT JOIN nr ON ag.term = nr.term
+        ORDER BY term"""))
   )
 }

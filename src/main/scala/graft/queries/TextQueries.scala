@@ -1014,6 +1014,166 @@ object TextQueries {
           CASE WHEN n >= 2 THEN
             CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
               AS BIGINT) END AS slope_milli
-        FROM sm ORDER BY g"""))
+        FROM sm ORDER BY g""")),
+
+    // ------------------------------------------------------------------
+    // q212 — Heaps'-law vocabulary growth (TextAnalysis.heapsSlope):
+    // Zipf's companion naturalness probe — V(N) ≈ K·N^β over bigram
+    // terms (the closed 30-word unigram vocab saturates instantly and
+    // would measure nothing; the ~900-bigram space keeps the growth
+    // regime observable — probed V through the 8 checkpoints: en
+    // 596→907 saturating, de 424→888 still growing). Checkpoints are
+    // 8 equal slices of the doc-id span via a 1-row bounds frame;
+    // every first-occurrence and doc count maps to its checkpoint
+    // CLOSED-FORM (no corpus inequality join), V_j/N_j are tiny
+    // aggregates, and the fit is q194's exact Q20 lattice regression.
+    // The oracle replays checkpoint arithmetic and lattice exactly.
+    // ------------------------------------------------------------------
+    "q212_heaps_law" -> GraftQuery(
+      build = (s, d) =>
+        TextAnalysis.heapsSlope(
+          documents(s, d).select(col("lang"), col("doc_id"), col("text")),
+          "lang", "doc_id", "text")
+          .orderBy("g"),
+      oracle = Some("""
+        WITH RECURSIVE mx AS (SELECT max(doc_id) AS m FROM documents),
+        tok AS (SELECT lang AS g, doc_id,
+            string_split_regex(lower(text), '\s+') AS t
+          FROM documents),
+        bg AS (SELECT g, doc_id, t[i] || ' ' || t[i+1] AS b
+          FROM (SELECT g, doc_id, t, unnest(range(1, len(t))) AS i
+            FROM tok)),
+        fo AS (SELECT g, b, min(doc_id) AS fd FROM bg GROUP BY 1, 2),
+        vadd AS (SELECT g, (8 * (fd + 1) + m) // (m + 1) AS jm,
+            count(*) AS c
+          FROM fo, mx GROUP BY 1, 2),
+        nadd AS (SELECT g, (8 * (doc_id + 1) + m) // (m + 1) AS jm,
+            count(*) AS c
+          FROM bg, mx GROUP BY 1, 2),
+        sp AS (SELECT unnest(range(1, 9)) AS j),
+        vj AS (SELECT g, j, CAST(sum(c) AS BIGINT) AS v
+          FROM vadd JOIN sp ON jm <= j GROUP BY 1, 2),
+        nj AS (SELECT g, j, CAST(sum(c) AS BIGINT) AS n
+          FROM nadd JOIN sp ON jm <= j GROUP BY 1, 2),
+        xy0 AS (SELECT vj.g, vj.j, v, n
+          FROM vj JOIN nj ON vj.g = nj.g AND vj.j = nj.j
+          WHERE v > 0 AND n > 0),
+        vals AS (SELECT DISTINCT v AS m FROM xy0
+          UNION SELECT DISTINCT n FROM xy0),
+        m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM vals),
+        mant AS (SELECT m, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT m, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT m, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        lut AS (SELECT m, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        xy AS (SELECT g, lx.l AS x, ly.l AS y FROM xy0
+          JOIN lut lx ON xy0.n = lx.m
+          JOIN lut ly ON xy0.v = ly.m),
+        sm AS (SELECT g, CAST(count(*) AS HUGEINT) AS np,
+            sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM xy GROUP BY g)
+        SELECT g, CAST(np AS BIGINT) AS n_points,
+          CASE WHEN np >= 2 AND np * sxx - sx * sx <> 0 THEN
+            CAST((1000 * (np * sxy - sx * sy)) // (np * sxx - sx * sx)
+              AS BIGINT) END AS heaps_milli
+        FROM sm ORDER BY g""")),
+
+    // ------------------------------------------------------------------
+    // q213 — length-bucketed batching plan
+    // (CorpusAssembly.lengthBucketBatches): the padding-waste killer of
+    // LLM training — docs bucket by their token count's power-of-two
+    // class, order within a class by the deterministic md5 per-mille
+    // hash, and cut batches of 8; each batch row carries its padding
+    // waste (n·max − Σtok)/(n·max). The rank that cuts batches is
+    // DISTRIBUTED (per-(class, hash-sub-bucket) windows + triangular
+    // prefix offsets — no single-partition window), while the oracle
+    // keeps the single-window formulation: the decomposition must be a
+    // pure re-association, hash-gated. Probed classes at sf0.01:
+    // 4 (10–15 tokens) through 7 (64–99).
+    // ------------------------------------------------------------------
+    "q213_length_bucket_batching" -> GraftQuery(
+      build = (s, d) =>
+        CorpusAssembly.lengthBucketBatches(
+          graft.operators.ScanOps.spreadSmallInput(
+            documents(s, d).select(col("doc_id"), col("text")),
+            col("doc_id")),
+          "doc_id", "text", batchSize = 8)
+          .orderBy("cls", "batch"),
+      oracle = Some("""
+        WITH r AS (SELECT doc_id AS id,
+            CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+              AS tok,
+            CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000
+              AS h
+          FROM documents),
+        b AS (SELECT id, tok, h,
+            CAST(length(bin(greatest(tok, 1))) AS BIGINT) AS cls
+          FROM r),
+        rk AS (SELECT cls, tok,
+            CAST(row_number() OVER (PARTITION BY cls ORDER BY h, id)
+              AS BIGINT) AS rn
+          FROM b),
+        bt AS (SELECT cls, (rn - 1) // 8 AS batch,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(max(tok) AS BIGINT) AS max_tok,
+            CAST(sum(tok) AS BIGINT) AS sum_tok
+          FROM rk GROUP BY 1, 2)
+        SELECT cls, batch, n_docs, max_tok, sum_tok,
+          (1000000 * (n_docs * max_tok - sum_tok)) //
+            (n_docs * max_tok) AS pad_ppm
+        FROM bt ORDER BY cls, batch""")),
+
+    // ------------------------------------------------------------------
+    // q214 — cross-source n-gram novelty (TextAnalysis.gramNovelty):
+    // the acquisition signal — per source, the share of distinct word
+    // bigrams (and of bigram OCCURRENCES) absent from reference source
+    // 'src0'. Bigrams probed to the informative density: unigrams on
+    // the 30-word vocab read ~0 novelty, 3-grams ~0.95; bigrams sit at
+    // ~0.21 distinct / strictly-interior occurrence rates, and src0's
+    // own row reads 0/0 — the in-result sanity anchor. Gram TEXT never
+    // shuffles: the join key is the 64-bit md5-prefix hash64 (the
+    // house dedup key discipline).
+    // ------------------------------------------------------------------
+    "q214_gram_novelty" -> GraftQuery(
+      build = (s, d) =>
+        TextAnalysis.gramNovelty(
+          documents(s, d).select(col("source"), col("text")),
+          "source", "text", refSource = "src0")
+          .orderBy("src"),
+      oracle = Some("""
+        WITH tok AS (SELECT source,
+            string_split_regex(lower(text), '\s+') AS t
+          FROM documents),
+        bg AS (SELECT source,
+            CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))
+              AS BIGINT) AS gh
+          FROM (SELECT source, t, unnest(range(1, len(t))) AS i
+            FROM tok)),
+        c AS (SELECT source, gh, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        ref AS (SELECT DISTINCT gh FROM c WHERE source = 'src0'),
+        d AS (SELECT c.source, c.cnt,
+            CASE WHEN ref.gh IS NULL THEN 1 ELSE 0 END AS nov
+          FROM c LEFT JOIN ref ON c.gh = ref.gh)
+        SELECT source AS src, CAST(count(*) AS BIGINT) AS distinct_grams,
+          CAST(sum(nov) AS BIGINT) AS novel_distinct,
+          CAST(sum(cnt) AS BIGINT) AS occurrences,
+          CAST(sum(nov * cnt) AS BIGINT) AS novel_occurrences,
+          (1000000 * CAST(sum(nov) AS BIGINT)) //
+            CAST(count(*) AS BIGINT) AS nov_distinct_ppm,
+          (1000000 * CAST(sum(nov * cnt) AS BIGINT)) //
+            CAST(sum(cnt) AS BIGINT) AS nov_occ_ppm
+        FROM d GROUP BY 1 ORDER BY src"""))
   )
 }

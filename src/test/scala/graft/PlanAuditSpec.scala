@@ -89,7 +89,21 @@ class PlanAuditSpec extends SparkSuite {
       // q193's nested loops are the 1-row frame-max broadcasts of the
       // HITS L-inf renormalization (one per half-iteration) — the
       // q71/q94 shape
-      "q193_hits_bipartite")
+      "q193_hits_bipartite",
+      // q211 evaluates the same embedded q71 BM25 ranker (1-row
+      // (N, avgdl) corpus-constants broadcast — the q181/q191/q202
+      // precedent); the P/R/AP arithmetic itself joins only bounded
+      // top-k frames and the per-query truth counts
+      "q211_precision_recall_at_k",
+      // q212's nested loops are the 1-row doc-span bounds broadcast
+      // (the bucketPrefixOffsets shape) and the 8-row checkpoint spine
+      // joined ≤ against the ≤ groups×8 jmin frames — checkpoint-
+      // bounded, never data
+      "q212_heaps_law",
+      // q217/q218's nested loops are 1-row scalar broadcasts (the
+      // positive-balance floor-average / the revenue maximum) under
+      // the threshold predicates — the q71/q94/q155 shape
+      "q217_dormant_high_balance", "q218_top_revenue_supplier")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -301,4 +301,48 @@ class CorpusAssemblySpec extends SparkSuite {
       CorpusAssembly.groupSplit(rows, "user", Seq(("a", 999999L)))
     }
   }
+
+  test("lengthBucketBatches: the distributed rank decomposition equals " +
+      "the single-window definition; constant-length buckets read zero " +
+      "padding; batches cut at the exact size") {
+    import spark.implicits._
+    // 37 docs of 5 tokens (class 3: 4..7) and 20 docs of 40-47 tokens
+    // (class 6: 32..63)
+    val docs = ((1 to 37).map(i => (i.toLong, ("w " * 5).trim)) ++
+      (1 to 20).map(i => (100L + i,
+        ("x " * (40 + i % 8)).trim + s" id$i"))).toDF("doc_id", "text")
+    val got = CorpusAssembly.lengthBucketBatches(docs, "doc_id", "text", 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // class 3: 37 docs -> batches of 8,8,8,8,5; all 5 tokens -> pad 0
+    val c3 = got.keys.filter(_._1 == 3L).toSeq.sortBy(_._2)
+    assert(c3.map(got(_)._1) === Seq(8L, 8L, 8L, 8L, 5L))
+    assert(c3.forall(k => got(k)._4 === 0L))
+    // class 6: 20 docs -> 8,8,4; padding strictly positive (mixed lens)
+    val c6 = got.keys.filter(_._1 == 6L).toSeq.sortBy(_._2)
+    assert(c6.map(got(_)._1) === Seq(8L, 8L, 4L))
+    assert(c6.exists(k => got(k)._4 > 0L))
+    // decomposed ranks == the single-window definition, replayed naively
+    val h = (s: String) =>
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16).toLong % 1000L
+    val naive = ((1 to 37).map(i => (i.toLong, ("w " * 5).trim)) ++
+      (1 to 20).map(i => (100L + i,
+        ("x " * (40 + i % 8)).trim + s" id$i")))
+      .map { case (id, t) =>
+        val tok = t.split("\\s+").length.toLong
+        val cls = java.lang.Long.toBinaryString(tok).length.toLong
+        (cls, h(t), id, tok)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (cls, rs) =>
+        rs.sortBy(r => (r._2, r._3)).zipWithIndex.map { case (r, i) =>
+          ((cls, i.toLong / 8), r._4)
+        }
+      }
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> ((vs.size.toLong, vs.map(_._2).max, vs.map(_._2).sum))
+      }
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap === naive)
+  }
 }

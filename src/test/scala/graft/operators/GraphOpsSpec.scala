@@ -232,4 +232,36 @@ class GraphOpsSpec extends SparkSuite {
     assert(Seq(1L, 2L, 3L).forall(got(_)._2 == 0L))
     assert(Seq(10L, 11L).forall(got(_)._1 == 0L))
   }
+
+  test("adamicAdar: a shared niche affiliation outweighs nothing but " +
+      "two commodity ones don't lose to it; degree-1 parts contribute " +
+      "nothing; the cap drops quadratic hubs; exact lattice weights") {
+    import spark.implicits._
+    import graft.functions.FixedLog
+    // part 100: suppliers {1,2} (deg 2, niche)
+    // parts 200,201: suppliers {1,3,4} (deg 3, commodity-ish)
+    // part 300: supplier {5} alone (deg 1 -> no pair, no weight)
+    // part 400: suppliers 1..10 (hub, deg 10 -> dropped at cap 5)
+    val edges = (Seq((1L, 100L), (2L, 100L)) ++
+      Seq(1L, 3L, 4L).flatMap(u => Seq((u, 200L), (u, 201L))) ++
+      Seq((5L, 300L)) ++
+      (1L to 10L).map(u => (u, 400L))).toDF("u", "p")
+    val got = GraphOps.adamicAdar(edges, "u", "p", topK = 10, degCap = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val w2 = (1L << 40) / FixedLog.log2q20(2L) // = 1 << 20 exactly
+    val w3 = (1L << 40) / FixedLog.log2q20(3L)
+    assert(w2 === (1L << 20))
+    assert(got((1L, 2L)) === ((1L, w2)))
+    assert(got((1L, 3L)) === ((2L, 2 * w3)))
+    assert(got((3L, 4L)) === ((2L, 2 * w3)))
+    // two commodity parts outweigh one niche part (2/log3 > 1/log2)
+    assert(2 * w3 > w2)
+    // the hub part is capped out: pairs existing ONLY via part 400
+    // (e.g. suppliers 6,7) never appear, and no pair counts it
+    assert(!got.contains((6L, 7L)))
+    assert(got((1L, 4L))._1 === 2L) // 200,201 only — not 400
+    // supplier 5 (degree-1 part only) pairs with no one
+    assert(!got.keys.exists(k => k._1 == 5L || k._2 == 5L))
+  }
 }

@@ -242,4 +242,29 @@ class QualityAuditSpec extends SparkSuite {
     val wantPairs = leak(101L to 105L) + leak(Seq(201L, 202L))
     assert(nd._4 === wantPairs)
   }
+
+  test("kAnonymity: a small QI cohort flags under k and a uniform " +
+      "sensitive value reads l-diversity 1; doubling the release at " +
+      "the same QI reads safer (the measurement's direction)") {
+    import spark.implicits._
+    // segment A: one 10-row group (safe, diverse) + one 2-row group
+    // (risky) whose sensitive value is CONSTANT -> min_l_div 1
+    // segment B: two 6-row groups, diverse -> fully safe
+    val rows = ((1 to 10).map(i => ("A", 1L, i.toLong % 5)) ++
+      Seq(("A", 2L, 7L), ("A", 2L, 7L)) ++
+      (1 to 6).map(i => ("B", 1L, i.toLong)) ++
+      (1 to 6).map(i => ("B", 2L, i.toLong))).toDF("seg", "band", "sens")
+    val got = QualityAudit.kAnonymity(rows, Seq("seg", "band"), "sens",
+        k = 4, reportCol = "seg")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got("A") === ((12L, 2L, 2L, 1L, 2L, 166666L, 1L)))
+    assert(got("B") === ((12L, 2L, 6L, 0L, 0L, 0L, 6L)))
+    // same QI, doubled rows: the risky cohort clears k -> safer
+    val doubled = QualityAudit.kAnonymity(
+        rows.unionByName(rows), Seq("seg", "band"), "sens", k = 4, "seg")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(doubled("A") === 0L)
+  }
 }

@@ -243,4 +243,51 @@ class RelevanceSpec extends SparkSuite {
       }
     }
   }
+
+  test("prAtK: perfect ranking reads P=R=AP=1e6; no relevant docs " +
+      "null recall/AP; the lcm trick is exact vs a rational-arithmetic " +
+      "naive AP on random rankings") {
+    val k = 10
+    def pr(ranked: Seq[(String, Long, Long)], truth: Seq[(String, Long)]) =
+      Relevance.prAtK(ranked.toDF("q", "doc", "rnk"),
+          truth.toDF("q", "doc"), "q", "doc", k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4),
+            Option(r.get(5)).map(_.asInstanceOf[Long]),
+            Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    // exactly the k relevant docs, ranked: everything reads 1e6
+    val ranked = (1 to k).map(i => ("q", i.toLong, i.toLong))
+    val perfect = pr(ranked, (1 to k).map(i => ("q", i.toLong)))
+    assert(perfect("q") === ((10L, 10L, 10L,
+      1000000L, Some(1000000L), Some(1000000L))))
+    // no relevant docs at all: precision 0, recall/AP null (no division)
+    val barren = pr(ranked, Seq(("other", 1L)))
+    assert(barren("q") === ((10L, 0L, 0L, 0L, None, None)))
+    // randomized differential: AP@k vs exact rational arithmetic
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(600 + seed)
+      val docs = rnd.shuffle((1L to 30L).toList).take(k)
+      val rk = docs.zipWithIndex.map { case (d, i) => ("q", d, i + 1L) }
+      val rel = (1L to 30L).filter(_ => rnd.nextBoolean()).toSet
+      val got = pr(rk, rel.toSeq.map(("q", _)))
+      // rational AP: sum over relevant ranks of cumRel/i, over min(R,k),
+      // floored to ppm at the very end only
+      var cum = 0L
+      var num = BigInt(0); var den = BigInt(1)
+      rk.sortBy(_._3).foreach { case (_, d, i) =>
+        if (rel(d)) {
+          cum += 1
+          // num/den += cum/i
+          num = num * i + den * cum * BigInt(1000000)
+          den = den * i
+        }
+      }
+      val want = if (rel.nonEmpty)
+        Some((num / (den * BigInt(math.min(rel.size, k)))).toLong)
+      else None
+      assert(got("q")._6 === want, s"seed=$seed")
+      assert(got("q")._4 === 1000000L * cum / k, s"seed=$seed p@k")
+    }
+  }
 }

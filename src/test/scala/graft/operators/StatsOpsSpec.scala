@@ -1495,4 +1495,114 @@ class StatsOpsSpec extends SparkSuite {
       assert(got === want, s"seed=$seed")
     }
   }
+
+  test("aucRoc: separated samples hit 1e6/0; an all-tied score reads " +
+      "exactly 500000 (midrank); one-class cells emit null; matches " +
+      "naive pairwise BigInt reference on random tie-heavy frames") {
+    import spark.implicits._
+    def auc(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.aucRoc(df, "cell", "s", "y")
+    // positives strictly above negatives -> AUC 1, gini 1; mirrored -> 0
+    val sep = ((1 to 15).map(i => ("up", 100L + i, 1L)) ++
+      (1 to 15).map(i => ("up", i.toLong, 0L)) ++
+      (1 to 15).map(i => ("dn", 100L + i, 0L)) ++
+      (1 to 15).map(i => ("dn", i.toLong, 1L))).toDF("cell", "s", "y")
+    val bySep = auc(sep).collect().map(r => r.getString(0) -> r).toMap
+    assert(bySep("up").getLong(3) === 1000000L)
+    assert(bySep("up").getLong(4) === 1000000L)
+    assert(bySep("dn").getLong(3) === 0L)
+    assert(bySep("dn").getLong(4) === -1000000L)
+    // every score tied: each positive-negative pair counts half
+    val tied = (1 to 8).map(i => ("g", 7L, (i % 2).toLong))
+      .toDF("cell", "s", "y")
+    assert(auc(tied).head().getLong(3) === 500000L)
+    // one class only -> null AUC, not a division error
+    val solo = (1 to 5).map(i => ("g", i.toLong, 1L)).toDF("cell", "s", "y")
+    assert(auc(solo).head().isNullAt(3))
+    // randomized differential vs the O(n^2) pairwise definition:
+    // AUC = (wins + ties/2) / (n1*n0), exact in BigInt ppm
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(300 + seed)
+      val rows = (1 to 50 + rnd.nextInt(70)).map { _ =>
+        ("c" + rnd.nextInt(2), rnd.nextInt(6).toLong,
+          if (rnd.nextBoolean()) 1L else 0L)
+      }
+      val got = auc(rows.toDF("cell", "s", "y")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long]))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val pos = rs.filter(_._3 == 1L).map(_._2)
+        val neg = rs.filter(_._3 == 0L).map(_._2)
+        val a = if (pos.nonEmpty && neg.nonEmpty) {
+          var twice = BigInt(0) // 2*wins + ties
+          for (p <- pos; n <- neg) {
+            if (p > n) twice += 2 else if (p == n) twice += 1
+          }
+          Some((BigInt(1000000) * twice /
+            (BigInt(2) * pos.size * neg.size)).toLong)
+        } else None
+        c -> ((pos.size.toLong, neg.size.toLong, a))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("psiDrift: identical slices read exactly 0; disjoint slices " +
+      "read 0 core PSI with ALL mass excluded (the clamp is honest); " +
+      "a known shift reads positive; matches naive lattice replay") {
+    import spark.implicits._
+    def psi(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.psiDrift(df, "cell", "sl", "A", "B", "bin")
+    // identical bin distributions -> every term is lg(x) - lg(x) = 0
+    val same = (1 to 40).map(i => ("g", if (i % 2 == 0) "A" else "B",
+      (i % 5).toLong)).toDF("cell", "sl", "bin")
+    val sr = psi(same).head()
+    assert(sr.getLong(5) === 0L && sr.getLong(4) === 0L)
+    // disjoint bins: no core bin -> psi 0, 1e6 ppm excluded both sides
+    val disj = ((1 to 10).map(i => ("g", "A", (i % 3).toLong)) ++
+      (1 to 10).map(i => ("g", "B", 10L + i % 3))).toDF("cell", "sl", "bin")
+    val dr = psi(disj).head()
+    assert(dr.getLong(5) === 0L)
+    assert(dr.getLong(6) === 1000000L && dr.getLong(7) === 1000000L)
+    // a mass shift in one cell reads strictly positive PSI there
+    val shift = ((1 to 30).map(i => ("g", "A", (i % 3).toLong)) ++
+      (1 to 30).map(i => ("g", "B", (i % 3 + (if (i % 3 == 0) 1 else 0))
+        .toLong))).toDF("cell", "sl", "bin")
+    assert(psi(shift).head().getLong(5) > 0L)
+    // randomized differential vs a naive BigInt + FixedLog replay
+    import graft.functions.FixedLog
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(400 + seed)
+      val rows = (1 to 60 + rnd.nextInt(60)).map { _ =>
+        ("c" + rnd.nextInt(2), if (rnd.nextBoolean()) "A" else "B",
+          rnd.nextInt(6).toLong)
+      }
+      val got = psi(rows.toDF("cell", "sl", "bin")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(4),
+            Option(r.get(5)).map(_.asInstanceOf[Long]))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val bins = rs.map(_._3).distinct
+        val ta = BigInt(rs.count(_._2 == "A"))
+        val tb = BigInt(rs.count(_._2 == "B"))
+        var num = BigInt(0); var nExcl = 0L
+        bins.foreach { bn =>
+          val a = BigInt(rs.count(r => r._2 == "A" && r._3 == bn))
+          val b = BigInt(rs.count(r => r._2 == "B" && r._3 == bn))
+          if (a > 0 && b > 0)
+            num += (a * tb - b * ta) *
+              (FixedLog.log2q20((a * tb).toLong) -
+                FixedLog.log2q20((b * ta).toLong))
+          else nExcl += 1
+        }
+        val p = if (ta > 0 && tb > 0) Some((num / (ta * tb)).toLong)
+          else None
+        c -> ((ta.toLong, tb.toLong, nExcl, p))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }

@@ -197,4 +197,51 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got("uni") === ((20L, Some(0L))))
     assert(got("one") === ((1L, None)))
   }
+
+  test("heapsSlope: linear vocabulary growth reads beta ~ 1000, a " +
+      "saturated corpus reads 0, and the directions order; short docs " +
+      "contribute no grams (the descending-sequence guard)") {
+    import spark.implicits._
+    // linear: every doc introduces 5 brand-new bigram types (6 unique
+    // tokens per doc, no token reuse across docs) -> V grows ~ N
+    val linear = (0L until 64L).map { d =>
+      ("lin", d, (0 to 5).map(k => s"w${d}x$k").mkString(" "))
+    }
+    // saturated: all docs identical -> V constant after doc 0
+    val sat = (0L until 64L).map(d => ("sat", d, "a b c d e f"))
+    val out = TextAnalysis.heapsSlope(
+        (linear ++ sat).toDF("g", "ord", "text"), "g", "ord", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    val lin = out("lin")._2.get
+    assert(lin >= 900L && lin <= 1100L, s"linear slope $lin")
+    val st = out("sat")._2.get
+    assert(st >= 0L && st <= 50L, s"saturated slope $st")
+    assert(lin > st)
+    // a 1-token doc yields zero bigrams, never a reversed sequence
+    val short = Seq(("s", 0L, "only"), ("s", 1L, "a b")).toDF("g", "ord", "text")
+    val sr = TextAnalysis.heapsSlope(short, "g", "ord", "text").collect()
+    assert(sr.length === 1) // points exist (V=N=1 at late checkpoints)
+  }
+
+  test("gramNovelty: the reference row reads 0; a disjoint source " +
+      "reads 1e6; a half-overlapping source reads exact counts both " +
+      "by type and by occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      ("ref", "a b c d"),        // ref bigrams: {a b, b c, c d}
+      ("dis", "x y z w"),        // disjoint: {x y, y z, z w}
+      // half: "a b" (seen) once, "p q" (novel) three times
+      ("half", "a b"), ("half", "p q"), ("half", "p q"), ("half", "p q"))
+      .toDF("src", "text")
+    val got = TextAnalysis.gramNovelty(docs, "src", "text", "ref")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got("ref")._5 === 0L && got("ref")._6 === 0L)
+    assert(got("dis")._5 === 1000000L && got("dis")._6 === 1000000L)
+    // half: 2 distinct (1 novel), 4 occurrences (3 novel)
+    assert(got("half") === ((2L, 1L, 4L, 3L, 500000L, 750000L)))
+  }
 }
