@@ -2065,6 +2065,63 @@ object StatsOps {
    * aggregate to the (cell, bin) frame, windows over the bin-bounded
    * frame, nothing corpus-sized past the first aggregate.
    */
+  /**
+   * Welch's two-sample t — the parametric leg of the inferential
+   * family (q195 MW-U = rank-based, q197 KS = distributional, q103 χ² =
+   * categorical; Welch = difference of MEANS under unequal variances,
+   * the default two-sample test since equal-variance Student is never
+   * safe to assume). Exact rational form from the five sufficient
+   * statistics per (cell, group): with D = sx₁n₂ − sx₂n₁ and
+   * Aᵢ = nᵢ·sxxᵢ − sxᵢ² (n²(n−1)-scaled variances),
+   * t² = D²(n₁−1)(n₂−1) / E where E = A₁n₂²(n₂−1) + A₂n₁²(n₁−1) —
+   * one common denominator, no float mean anywhere. t_milli is the
+   * defined staged lattice (the q196/q98 discipline):
+   * sign(D)·⌊√(((10⁶·D²·(n₁−1)) div E)·(n₂−1))⌋ — (n₁−1) multiplies
+   * BEFORE the division (the post-division form quantized t in steps
+   * of √((n₁−1)(n₂−1)) ≈ 2.4 whole t units — measured before this
+   * staging), leaving a residual quantization of ~(n₂−1)/(2√rad),
+   * ≈ 1 milli on real frames. Envelope (documented, not guessed):
+   * D is translation-invariant and ≈ n₁n₂·Δm on real data, so
+   * 10⁶·D²·n ≤ 10³⁸ holds whenever n₁n₂·|Δm| ≤ 10¹⁴ lattice units —
+   * callers bin values (the q195 discipline); a radicand at or beyond
+   * 2⁵³ emits null rather than a silently double-rounded value. Zero
+   * pooled variance (both groups constant) emits null, never a
+   * division error.
+   *
+   * Scale shape: ONE map-side-combined aggregate to the (cell) frame —
+   * the cheapest operator in the family; nothing shuffles but the
+   * five-statistic rows.
+   */
+  def welchT(df: DataFrame, cellCol: String, groupCol: String,
+      groupA: String, groupB: String, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("cell"))
+      .agg(sum(col("ia")).as("n1"), sum(lit(1L) - col("ia")).as("n2"),
+        sum(dec(col("v")) * col("ia")).as("sx1"),
+        sum(dec(col("v")) * (lit(1L) - col("ia"))).as("sx2"),
+        sum(dec(col("v")) * col("v") * col("ia")).as("sxx1"),
+        sum(dec(col("v")) * col("v") * (lit(1L) - col("ia"))).as("sxx2"))
+      .withColumn("d", expr("sx1 * n2 - sx2 * n1"))
+      .withColumn("e", expr(
+        """(n1 * sxx1 - sx1 * sx1) * n2 * n2 * (n2 - 1) +
+           (n2 * sxx2 - sx2 * sx2) * n1 * n1 * (n1 - 1)"""))
+      .withColumn("rad", when(col("n1") >= 2 && col("n2") >= 2 &&
+          col("e") > 0,
+        expr("((1000000 * d * d * (n1 - 1)) div e) * (n2 - 1)")))
+      .select(col("cell"), col("n1").as("n_a"), col("n2").as("n_b"),
+        when(col("rad").isNotNull &&
+            col("rad") < lit(9007199254740992L),
+          expr("""cast(sign(d) as bigint) *
+            cast(floor(sqrt(cast(rad as double))) as bigint)"""))
+          .as("t_milli"))
+  }
+
   def psiDrift(df: DataFrame, cellCol: String, sliceCol: String,
       sliceA: String, sliceB: String, binCol: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge

@@ -38,6 +38,12 @@ object TextAnalysis {
           i -> array_join(slice($tokArrayCol, i, $n), ' '))
       else array() end""")
 
+  /** [[gramArray]] straight off a text column (tokenize + n-gram in one
+    * expression) — the public form stream twins and callers without a
+    * pre-tokenized frame use. */
+  def wordGrams(textColName: String, n: Int): Column =
+    gramArray(s"split(lower($textColName), '\\\\s+')", n)
+
   /** Multiset count of tokens that appear in `words`. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
@@ -512,6 +518,54 @@ object TextAnalysis {
           "cast((1000 * (n_points * sxy - sx * sy)) div " +
             "(n_points * sxx - sx * sx) as bigint)")))
       .select(col("g"), col("n_points"), col("heaps_milli"))
+  }
+
+  /**
+   * Class-TF-IDF distinctive terms (the BERTopic c-TF-IDF readout) —
+   * "what does each class talk about that the corpus at large
+   * doesn't": per class, terms ranked by tf_class · log2(1 + A/f_term)
+   * where f is the CORPUS-wide term frequency and A the average class
+   * token mass — a term owned by one class scores high, a ubiquitous
+   * term collapses toward log2(1) regardless of tf. q60's raw
+   * frequency top-terms can't separate "frequent here" from "frequent
+   * everywhere"; this is the readout that can. Exact Q20 form:
+   * w_q20 = tf_c · (log2_q20(f + A) − log2_q20(f)) with
+   * A = ⌊total/|classes|⌋ — the defined integer lattice, hash-gated.
+   *
+   * Scale shape: one term explode into TWO map-side-combined
+   * aggregates ((class, term) and (term)); the corpus-frequency join
+   * runs on the term key (vocabulary-sized), the top-k window rides
+   * the (class) partition of the vocab-bounded weight frame
+   * (WindowGroupLimit prunes map-side), and the A scalar is a 1-row
+   * broadcast. Nothing corpus-sized shuffles twice.
+   */
+  def classTfidfTopTerms(terms: DataFrame, classCol: String,
+      termCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.Log2Q20
+    def lg(c: Column): Column =
+      Bridge.column(Log2Q20(Bridge.expression(c.cast(LongType))))
+    val tfc = terms
+      .select(col(classCol).as("cls"), col(termCol).as("term"))
+      .groupBy(col("cls"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ft = tfc.groupBy(col("term")).agg(sum(col("tf")).as("f"))
+    val a = tfc
+      .agg(sum(col("tf")).as("tt"), countDistinct(col("cls")).as("nc"))
+      .select(expr("tt div nc").as("am"))
+    val w = Window.partitionBy("cls")
+      .orderBy(col("w_q20").desc, col("term"))
+    tfc
+      .join(ft, Seq("term"))
+      .crossJoin(broadcast(a))
+      .withColumn("w_q20",
+        col("tf") * (lg(col("f") + col("am")) - lg(col("f"))))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= topK)
+      .select(col("cls"), col("rnk"), col("term"), col("tf"),
+        col("w_q20"))
   }
 
   /**

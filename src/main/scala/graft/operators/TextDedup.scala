@@ -610,29 +610,28 @@ object TextDedup {
    * scan-rooted inputs): spreading here would re-exchange the text
    * path's already-spread frames.
    */
-  def minhashCandidatePairsFromHashRows(hashRows: DataFrame, texts: DataFrame,
-      minEstSim: Double = 0.3,
-      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
-    require(maxBandBucket >= 2 && maxBandBucket <= 10000,
-      s"maxBandBucket must be in [2, 10000], got $maxBandBucket")
-    val sigs = signaturesFromHashRows(hashRows)
-    val bands = bandRows(sigs)
-    // skew cap FIRST, from a count-only aggregate: hot keys are few by
-    // construction (each holds > cap docs, so there are at most N/cap of
-    // them) → the broadcast is bounded at any corpus size, and a hot
-    // bucket's ids are never collected into a row
+  /** Bare (doc_a, doc_b) candidate pairs from an LSH band frame — the
+    * shared generation stage of [[minhashCandidatePairsFromHashRows]]
+    * and [[minhashCalibration]] (one definition, so the two can never
+    * disagree on the candidate set):
+    *  - skew cap FIRST, from a count-only aggregate: hot keys are few
+    *    by construction (each holds > cap docs, so at most N/cap of
+    *    them exist) → the broadcast is bounded at any corpus size, and
+    *    a hot bucket's ids are never collected into a row;
+    *  - candidate generation by bucket aggregation, not a self-join:
+    *    ONE shuffle on band_key collects each surviving bucket's ids
+    *    (every list ≤ cap); singleton buckets (the overwhelming
+    *    majority) drop before any pair forms; pair expansion is an
+    *    expression over the sorted id list — ≤ C(cap, 2) structs per
+    *    bucket row, never joined. */
+  private def bandCandidatePairs(bands: DataFrame,
+      maxBandBucket: Int): DataFrame = {
     val kept = bands.join(
       broadcast(bandBucketSizes(bands)
         .filter(col("bucket_size") > maxBandBucket)
         .select(col("band_key"))),
       Seq("band_key"), "left_anti")
-    // candidate generation by bucket aggregation, not a self-join: ONE
-    // more shuffle on band_key collects each surviving bucket's ids
-    // (every list ≤ cap); singleton buckets (the overwhelming majority)
-    // are dropped by the n >= 2 filter before any pair is formed. Pair
-    // expansion is an expression over the sorted id list — ≤ C(cap, 2)
-    // structs per bucket row, never joined.
-    val cand = kept
+    kept
       .groupBy(col("band_key"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -642,6 +641,15 @@ object TextDedup {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+  }
+
+  def minhashCandidatePairsFromHashRows(hashRows: DataFrame, texts: DataFrame,
+      minEstSim: Double = 0.3,
+      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    require(maxBandBucket >= 2 && maxBandBucket <= 10000,
+      s"maxBandBucket must be in [2, 10000], got $maxBandBucket")
+    val sigs = signaturesFromHashRows(hashRows)
+    val cand = bandCandidatePairs(bandRows(sigs), maxBandBucket)
     val estimated = cand
       .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
         col("doc_a") === col("doc_id")).drop("doc_id")
@@ -673,6 +681,66 @@ object TextDedup {
         when(col("na") + col("nb") - col("inter") > 0,
           col("inter") / (col("na") + col("nb") - col("inter")))
           .otherwise(lit(1.0)).as("jaccard"))
+  }
+
+  /**
+   * MinHash estimator calibration table — the q136 honest-approximation
+   * discipline applied to the dedup estimator itself: over every LSH
+   * candidate pair, bucket by the MATCHING SIGNATURE COMPONENT count
+   * m ∈ [0, K] (the estimator's whole output lattice — est = m/K) and
+   * report the exact-Jaccard distribution inside each bucket: mean,
+   * mean absolute error, and the estimator's bias (est − mean exact).
+   * This is the table that justifies — or refutes — every est-threshold
+   * choice q23 makes: a threshold of 0.3 means "bucket m ≥ 5", and this
+   * readout says what exact similarity that actually buys. All integer
+   * ppm (per-pair j_ppm = ⌊10⁶·|∩|/|∪|⌋, bucket means are floored
+   * sums), so the audit hash-gates.
+   *
+   * Scale shape: identical to [[minhashCandidatePairsFromHashRows]] —
+   * shared [[bandCandidatePairs]] generation (capped buckets, bare id
+   * pairs), signature/text joins on survivors only, then ONE ≤ K+1-row
+   * aggregate. The calibration table is estimator-lattice-sized.
+   */
+  def minhashCalibration(hashRows: DataFrame, texts: DataFrame,
+      maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val sigs = signaturesFromHashRows(hashRows)
+    val cand = bandCandidatePairs(bandRows(sigs), maxBandBucket)
+    cand
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("m"))
+      .join(texts.select(col("doc_id"), col("text").as("text_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(texts.select(col("doc_id"), col("text").as("text_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("m"),
+        array_distinct(shingles(col("text_a"), 2)).as("ga"),
+        array_distinct(shingles(col("text_b"), 2)).as("gb"))
+      .select(col("m"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long")
+          .as("inter"),
+        (size(col("ga")) + size(col("gb"))).cast("long").as("tot"))
+      .select(col("m"),
+        when(col("tot") - col("inter") > 0,
+          expr("(1000000 * inter) div (tot - inter)"))
+          .otherwise(lit(1000000L)).as("j_ppm"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(j_ppm) div count(*)").as("mean_j_ppm"),
+        expr(s"sum(abs(j_ppm - (1000000 * m) div $K)) div count(*)")
+          .as("mae_ppm"))
+      .select(col("m"), col("n_pairs"),
+        expr(s"(1000000 * m) div $K").as("est_ppm"),
+        col("mean_j_ppm"),
+        (expr(s"(1000000 * m) div $K") - col("mean_j_ppm"))
+          .as("bias_ppm"),
+        col("mae_ppm"))
   }
 
   /**

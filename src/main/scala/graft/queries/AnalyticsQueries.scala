@@ -4380,5 +4380,59 @@ object AnalyticsQueries {
           FROM pr GROUP BY 1, 2)
         SELECT u1, u2, common_parts, aa_q20 FROM ag
         ORDER BY aa_q20 DESC, u1, u2 LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // q220 — Welch's two-sample t (StatsOps.welchT): the parametric
+    // mean-difference leg completing the inferential family. Values
+    // are $100 price bins (≤ 5·10³ lattice — the documented envelope);
+    // the generator draws priority independent of price (probed ≈ 0
+    // everywhere), so the fixture injects a +50-bin mean shift into
+    // the high-priority group of status 'O' only: 'O' reads t ≈ +9.1,
+    // untouched 'F'/'P' sit inside the ±2 null band (measured −0.09,
+    // +1.57 — real sampling noise, honestly reported). The t itself is the
+    // defined staged sqrt lattice — hash-gated, not approximated.
+    // ------------------------------------------------------------------
+    "q220_welch_t" -> GraftQuery(
+      build = (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val scored = orders(s, d).select(
+          col("o_orderstatus").as("cell"),
+          when(hi, "A").otherwise("B").as("grp"),
+          (expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 " +
+            "as bigint) div 1000000") +
+            when(col("o_orderstatus") === "O" && hi, 150L).otherwise(0L))
+            .as("v"))
+        StatsOps.welchT(scored, "cell", "grp", "A", "B", "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT o_orderstatus AS cell,
+            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS ia,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                // 1000000 +
+              CASE WHEN o_orderstatus = 'O' AND o_orderpriority IN
+                ('1-URGENT', '2-HIGH') THEN 150 ELSE 0 END AS v
+          FROM orders),
+        ag AS (SELECT cell, CAST(sum(ia) AS BIGINT) AS n1,
+            CAST(sum(1 - ia) AS BIGINT) AS n2,
+            sum(CAST(v AS HUGEINT) * ia) AS sx1,
+            sum(CAST(v AS HUGEINT) * (1 - ia)) AS sx2,
+            sum(CAST(v AS HUGEINT) * v * ia) AS sxx1,
+            sum(CAST(v AS HUGEINT) * v * (1 - ia)) AS sxx2
+          FROM s GROUP BY 1),
+        c AS (SELECT cell, n1, n2, sx1 * n2 - sx2 * n1 AS d,
+            (n1 * sxx1 - sx1 * sx1) * n2 * n2 * (n2 - 1) +
+              (n2 * sxx2 - sx2 * sx2) * n1 * n1 * (n1 - 1) AS e
+          FROM ag)
+        SELECT cell, n1 AS n_a, n2 AS n_b,
+          CASE WHEN n1 >= 2 AND n2 >= 2 AND e > 0 AND
+              ((1000000 * d * d * (n1 - 1)) // e) * (n2 - 1) <
+                9007199254740992
+            THEN CAST(CASE WHEN d < 0 THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(((1000000 * d * d * (n1 - 1)) // e) *
+                (n2 - 1) AS DOUBLE))) AS BIGINT) AS BIGINT)
+          END AS t_milli
+        FROM c ORDER BY cell""")),
   )
 }

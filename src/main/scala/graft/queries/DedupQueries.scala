@@ -944,6 +944,96 @@ object DedupQueries {
             THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking_groups,
           CAST(sum((CAST(n AS HUGEINT) * n - sq) // 2) AS BIGINT)
             AS leaked_pairs
-        FROM grp GROUP BY strategy ORDER BY strategy"""))
+        FROM grp GROUP BY strategy ORDER BY strategy""")),
+
+    // ------------------------------------------------------------------
+    // q222 — MinHash estimator calibration (TextDedup.
+    // minhashCalibration): the q136 honest-approximation discipline
+    // pointed at the dedup estimator itself — over q23's exact
+    // candidate set (same injected near-dup slice, same landed-index
+    // feed, shared bandCandidatePairs generation so the sets CANNOT
+    // drift), bucket pairs by matching signature components m and
+    // report mean exact Jaccard, bias (est − mean), and MAE per
+    // bucket. This is the table that justifies q23's est ≥ 0.3
+    // threshold choice with measurements instead of folklore: the
+    // injected mutations populate the high-m buckets (near-1 Jaccard,
+    // small bias), natural band collisions the low-m ones (where the
+    // 16-component estimator is honestly coarse). All integer ppm,
+    // hash-gated; output is ≤ K+1 rows.
+    // ------------------------------------------------------------------
+    "q222_minhash_calibration" -> GraftQuery(
+      build = (s, d) => {
+        import graft.operators.ScanOps
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val mut = docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" zz qq")).as("text"))
+        val hashRows = ScanOps.spreadSmallInput(
+          TextDedup.readShingleIndex(s, indexDir(s, d))
+            .union(TextDedup.shingleHashRows(mut, "text", "doc_id")),
+          col("doc_id"))
+        TextDedup.minhashCalibration(hashRows,
+          ScanOps.spreadSmallInput(docs.union(mut), col("doc_id")))
+          .orderBy("m")
+      },
+      oracle = Some {
+        val sigExprs = perms.map { case (a, b) =>
+          s"list_min(list_transform(hv, h -> ($a * h + $b) % $P))"
+        }.mkString(",\n            ")
+        val bandExprs = (0 until Bands).map { bnd =>
+          val comps = (0 until RowsPerBand)
+            .map(r => s"sig[${bnd * RowsPerBand + r + 1}]").mkString(", ")
+          s"concat_ws('_', '$bnd', $comps)"
+        }.mkString(",\n            ")
+        s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zz qq' FROM documents
+          WHERE doc_id % 20 = 0),
+        tok AS (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM base),
+        sh AS (SELECT doc_id, text, ${sqlShingles("t", 3)} AS sh FROM tok),
+        hs AS (SELECT doc_id, text,
+          list_transform(sh, s -> ${sqlHashMod("s")}) AS hv FROM sh),
+        sig AS (SELECT doc_id, text,
+          [ $sigExprs ] AS sig FROM hs),
+        bands AS (SELECT doc_id, unnest([
+            $bandExprs ]) AS band_key FROM sig),
+        kept AS (SELECT doc_id, band_key FROM bands
+          WHERE band_key IN (SELECT band_key FROM bands
+            GROUP BY band_key
+            HAVING count(*) <= ${TextDedup.DefaultMaxBandBucket})),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM kept x JOIN kept y
+            ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        jm AS (SELECT doc_a, doc_b,
+            CAST(list_sum(list_transform(range(1, ${TextDedup.K + 1}),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+              AS BIGINT) AS m,
+            ${sqlTokens("sa.text")} AS ta, ${sqlTokens("sb.text")} AS tb
+          FROM cand
+          JOIN sig sa ON cand.doc_a = sa.doc_id
+          JOIN sig sb ON cand.doc_b = sb.doc_id),
+        gr AS (SELECT m,
+            list_distinct(${sqlShingles("ta", 2)}) AS ga,
+            list_distinct(${sqlShingles("tb", 2)}) AS gb
+          FROM jm),
+        sc AS (SELECT m,
+            CASE WHEN len(ga) + len(gb) - len(list_intersect(ga, gb)) > 0
+              THEN (1000000 * len(list_intersect(ga, gb))) //
+                (len(ga) + len(gb) - len(list_intersect(ga, gb)))
+              ELSE 1000000 END AS j_ppm
+          FROM gr),
+        ag AS (SELECT m, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(j_ppm) AS BIGINT) // count(*) AS mean_j_ppm,
+            CAST(sum(abs(j_ppm - (1000000 * m) // ${TextDedup.K}))
+              AS BIGINT) // count(*) AS mae_ppm
+          FROM sc GROUP BY m)
+        SELECT m, n_pairs, (1000000 * m) // ${TextDedup.K} AS est_ppm,
+          mean_j_ppm,
+          (1000000 * m) // ${TextDedup.K} - mean_j_ppm AS bias_ppm,
+          mae_ppm
+        FROM ag ORDER BY m"""
+      })
   )
 }

@@ -1174,6 +1174,82 @@ object TextQueries {
             CAST(count(*) AS BIGINT) AS nov_distinct_ppm,
           (1000000 * CAST(sum(nov * cnt) AS BIGINT)) //
             CAST(sum(cnt) AS BIGINT) AS nov_occ_ppm
-        FROM d GROUP BY 1 ORDER BY src"""))
+        FROM d GROUP BY 1 ORDER BY src""")),
+
+    // ------------------------------------------------------------------
+    // q221 — class-TF-IDF distinctive terms (TextAnalysis.
+    // classTfidfTopTerms): the BERTopic c-TF-IDF readout — per
+    // language, the top-5 terms by tf_class·log2(1 + A/f_corpus) on
+    // the exact Q20 lattice. The generator draws the same 30-word
+    // vocabulary for every language (probed: q60's raw top-terms are
+    // near-identical across langs — exactly the failure c-TF-IDF
+    // fixes), so the fixture plants a per-language topic marker: every
+    // 11th token position ((doc_id·131 + pos) % 11, odd multiplier)
+    // remaps to 'topic<lang>'. The class-exclusive marker must surface
+    // at rank 1 for EVERY language while the shared vocabulary
+    // collapses toward log2(1) — the discriminating direction is in
+    // the gated result itself, not just a spec.
+    // ------------------------------------------------------------------
+    "q221_class_tfidf_terms" -> GraftQuery(
+      build = (s, d) => {
+        val toks = documents(s, d).select(col("lang"), col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+"))
+            .as(Seq("pos0", "t0")))
+        val terms = toks.select(col("lang"),
+          when((col("doc_id") * 131 + col("pos0") + 1) % 11 === 0,
+            concat(lit("topic"), col("lang")))
+            .otherwise(col("t0")).as("term"))
+        TextAnalysis.classTfidfTopTerms(terms, "lang", "term", topK = 5)
+          .orderBy("cls", "rnk")
+      },
+      oracle = Some("""
+        WITH RECURSIVE base AS (SELECT doc_id, lang,
+            string_split_regex(lower(text), '\s+') AS t
+          FROM documents),
+        ti AS (SELECT doc_id, lang, t,
+            unnest(range(1, len(t) + 1)) AS i
+          FROM base),
+        tok AS (SELECT lang AS cls,
+            CASE WHEN (doc_id * 131 + i) % 11 = 0
+              THEN 'topic' || lang ELSE t[i] END AS term
+          FROM ti),
+        tfc AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2),
+        ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f
+          FROM tfc GROUP BY 1),
+        am AS (SELECT CAST(sum(tf) AS BIGINT) //
+            count(DISTINCT cls) AS av
+          FROM tfc),
+        vals AS (SELECT DISTINCT m FROM (
+            SELECT f + av AS m FROM ft CROSS JOIN am
+            UNION ALL SELECT f FROM ft)),
+        m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM vals),
+        mant AS (SELECT m, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT m, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT m, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        lut AS (SELECT m, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        wt AS (SELECT cls, term, tf, tf * (l1.l - l2.l) AS w_q20
+          FROM tfc
+          JOIN ft USING (term)
+          CROSS JOIN am
+          JOIN lut l1 ON l1.m = f + av
+          JOIN lut l2 ON l2.m = f),
+        rk AS (SELECT cls, term, tf, w_q20,
+            CAST(row_number() OVER (PARTITION BY cls
+              ORDER BY w_q20 DESC, term) AS BIGINT) AS rnk
+          FROM wt)
+        SELECT cls, rnk, term, tf, w_q20 FROM rk
+        WHERE rnk <= 5 ORDER BY cls, rnk"""))
   )
 }

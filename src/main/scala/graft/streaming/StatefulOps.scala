@@ -893,4 +893,149 @@ object StatefulOps {
       .transformWithState(new KsDriftProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class AucIn(cell: String, t: Long, tie: Long, s: Long,
+    y: Long)
+  final case class AucOut(cell: String, n_pos: Long, n_neg: Long,
+    auc_ppm: Option[Long])
+  final case class AucState(counts: List[(Long, Long, Long)])
+
+  /** Flush sentinel score for [[AucProcessor]]. */
+  val AucFlushScore: Long = Long.MinValue
+
+  /**
+   * Streaming exact AUC-ROC (q209's stream twin) — the live ranking
+   * quality of a scored event feed, in score-lattice-bounded state per
+   * cell: counts per distinct score commute across micro-batches, and
+   * a flush replays the batch operator's EXACT midrank identity
+   * (2R₁ = Σ c₁(2·cumBefore + c + 1), auc_ppm =
+   * ⌊10⁶(2R₁ − n₁(n₁+1))/(2n₁n₀)⌋ in BigInt), so stream and batch
+   * agree bit-for-bit on the same prefix — the q129/q198 twin
+   * discipline. One-class prefixes emit None, never a division error.
+   * State is |score lattice| triples per cell (the batch operator's
+   * own window frame bound), independent of stream length.
+   */
+  class AucProcessor extends StatefulProcessor[String, AucIn, AucOut] {
+    @transient private var st: ValueState[AucState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AucState]("auc",
+        Encoders.product[AucState], TTLConfig.NONE)
+
+    override def handleInputRows(cell: String, rows: Iterator[AucIn],
+        timers: TimerValues): Iterator[AucOut] = {
+      val m = scala.collection.mutable.Map[Long, (Long, Long)]()
+      if (st.exists()) st.get().counts.foreach { case (s, a, b) =>
+        m += s -> ((a, b))
+      }
+      var flush = false; var counted = false
+      // counts commute; the (t, tie) sort pins which prefix a flush sees
+      rows.toArray.sortBy(r => (r.t, r.tie)).foreach { r =>
+        if (r.s == AucFlushScore) flush = true
+        else {
+          counted = true
+          val (a, b) = m.getOrElse(r.s, (0L, 0L))
+          m += r.s -> (if (r.y == 1L) (a + 1, b) else (a, b + 1))
+        }
+      }
+      if (counted)
+        st.update(AucState(m.toList.map(e => (e._1, e._2._1, e._2._2))))
+      if (!flush) Iterator.empty
+      else {
+        val n1 = BigInt(m.valuesIterator.map(_._1).sum)
+        val n0 = BigInt(m.valuesIterator.map(_._2).sum)
+        if (n1 > 0 && n0 > 0) {
+          var cum = BigInt(0); var r2 = BigInt(0)
+          m.keys.toSeq.sorted.foreach { s =>
+            val (a, b) = m(s)
+            r2 += BigInt(a) * (2 * cum + a + b + 1)
+            cum += BigInt(a) + b
+          }
+          // r2 already holds the DOUBLED rank sum 2R1
+          val auc = (BigInt(1000000) * (r2 - n1 * (n1 + 1)) /
+            (2 * n1 * n0)).toLong
+          Iterator.single(AucOut(cell, n1.toLong, n0.toLong, Some(auc)))
+        } else
+          Iterator.single(AucOut(cell, n1.toLong, n0.toLong, None))
+      }
+    }
+  }
+
+  /** [[AucProcessor]] over a (cell, t, tie, s, y) frame. */
+  def aucStream(rows: DataFrame): Dataset[AucOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("cell"), col("t"), col("tie"), col("s"), col("y"))
+      .as[AucIn]
+      .groupByKey(_.cell)
+      .transformWithState(new AucProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class NovIn(src: String, t: Long, tie: Long, gh: Long,
+    nov: Long)
+  final case class NovOut(src: String, distinct_grams: Long,
+    novel_distinct: Long, occurrences: Long, novel_occurrences: Long,
+    nov_distinct_ppm: Option[Long], nov_occ_ppm: Option[Long])
+  final case class NovCounts(dg: Long, nd: Long, occ: Long, nocc: Long)
+
+  /** Flush sentinel gram hash for [[GramNoveltyProcessor]]. */
+  val NovFlushHash: Long = Long.MinValue
+
+  /**
+   * Streaming cross-source novelty monitor (q214's stream twin) — the
+   * live "is this feed still adding anything?" readout at ingest: the
+   * caller stream-static joins incoming gram hashes against the LANDED
+   * reference gram set (the q214 join, with the static side read from
+   * the index), and this processor accumulates per-source distinct and
+   * occurrence novelty across micro-batches. Distinct-gram membership
+   * lives in a [[MapState]] — per-gram point lookups against RocksDB,
+   * never a rebuilt set, so state cost is vocabulary-sized (the batch
+   * operator's own ref-side bound) and per-row work is O(1). A flush
+   * row emits the same six counters the batch operator lands, agreeing
+   * bit-for-bit on the same prefix.
+   */
+  class GramNoveltyProcessor
+      extends StatefulProcessor[String, NovIn, NovOut] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+    @transient private var cnt: ValueState[NovCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      cnt = getHandle.getValueState[NovCounts]("cnt",
+        Encoders.product[NovCounts], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(src: String, rows: Iterator[NovIn],
+        timers: TimerValues): Iterator[NovOut] = {
+      var c = if (cnt.exists()) cnt.get() else NovCounts(0L, 0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer[NovOut]()
+      rows.toArray.sortBy(r => (r.t, r.tie)).foreach { r =>
+        if (r.gh == NovFlushHash)
+          out += NovOut(src, c.dg, c.nd, c.occ, c.nocc,
+            if (c.dg > 0) Some(1000000L * c.nd / c.dg) else None,
+            if (c.occ > 0) Some(1000000L * c.nocc / c.occ) else None)
+        else {
+          if (!seen.containsKey(r.gh)) {
+            seen.updateValue(r.gh, true)
+            c = c.copy(dg = c.dg + 1, nd = c.nd + r.nov)
+          }
+          c = c.copy(occ = c.occ + 1, nocc = c.nocc + r.nov)
+        }
+      }
+      cnt.update(c)
+      out.iterator
+    }
+  }
+
+  /** [[GramNoveltyProcessor]] over a (src, t, tie, gh, nov) frame. */
+  def gramNoveltyStream(rows: DataFrame): Dataset[NovOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("src"), col("t"), col("tie"), col("gh"), col("nov"))
+      .as[NovIn]
+      .groupByKey(_.src)
+      .transformWithState(new GramNoveltyProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -103,7 +103,10 @@ class PlanAuditSpec extends SparkSuite {
       // q217/q218's nested loops are 1-row scalar broadcasts (the
       // positive-balance floor-average / the revenue maximum) under
       // the threshold predicates — the q71/q94/q155 shape
-      "q217_dormant_high_balance", "q218_top_revenue_supplier")
+      "q217_dormant_high_balance", "q218_top_revenue_supplier",
+      // q221's nested loop is the 1-row average-class-mass broadcast
+      // inside the c-TF-IDF weight — the q71/q94 shape
+      "q221_class_tfidf_terms")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

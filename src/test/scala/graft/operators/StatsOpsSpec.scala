@@ -1549,6 +1549,61 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("welchT: a pure mean shift reads the closed-form t; both-" +
+      "constant cells and single-sample groups emit null; sign tracks " +
+      "direction; matches naive BigInt staged-lattice replay") {
+    import spark.implicits._
+    def wt(df: org.apache.spark.sql.DataFrame) =
+      StatsOps.welchT(df, "cell", "grp", "A", "B", "v")
+    // A = {0,2} x 8, B = {10,12} x 8: m diff -10, s^2 = 16/15 each
+    // t = -10 / sqrt(2*(16/15)/16) = -10/sqrt(2/15) -> t^2 = 750
+    val shifted = ((1 to 16).map(i => ("g", "A", (i % 2 * 2).toLong)) ++
+      (1 to 16).map(i => ("g", "B", (10 + i % 2 * 2).toLong)))
+      .toDF("cell", "grp", "v")
+    val sr = wt(shifted).head()
+    val tm = sr.getLong(3)
+    assert(tm < 0 && math.abs(tm + math.sqrt(750).toLong * 1000 / 1) <
+      30000, s"t_milli $tm") // ~ -27386 with lattice quantization
+    // both groups constant -> E = 0 -> null
+    val const = ((1 to 5).map(_ => ("g", "A", 3L)) ++
+      (1 to 5).map(_ => ("g", "B", 9L))).toDF("cell", "grp", "v")
+    assert(wt(const).head().isNullAt(3))
+    // n = 1 in one group -> null (variance undefined)
+    val solo = (("g", "A", 1L) +: (1 to 5).map(_ => ("g", "B", 2L)))
+      .toDF("cell", "grp", "v")
+    assert(wt(solo).head().isNullAt(3))
+    // randomized differential vs naive BigInt staged replay
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(700 + seed)
+      val rows = (1 to 40 + rnd.nextInt(80)).map { _ =>
+        ("c" + rnd.nextInt(2), if (rnd.nextBoolean()) "A" else "B",
+          rnd.nextInt(40).toLong)
+      }
+      val got = wt(rows.toDF("cell", "grp", "v")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val a = rs.filter(_._2 == "A").map(r => BigInt(r._3))
+        val b = rs.filter(_._2 == "B").map(r => BigInt(r._3))
+        val (n1, n2) = (BigInt(a.size), BigInt(b.size))
+        val (sx1, sx2) = (a.sum, b.sum)
+        val (sxx1, sxx2) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+        val d = sx1 * n2 - sx2 * n1
+        val e = (n1 * sxx1 - sx1 * sx1) * n2 * n2 * (n2 - 1) +
+          (n2 * sxx2 - sx2 * sx2) * n1 * n1 * (n1 - 1)
+        val t = if (n1 >= 2 && n2 >= 2 && e > 0) {
+          val rad = ((BigInt(1000000) * d * d * (n1 - 1)) / e) * (n2 - 1)
+          if (rad < BigInt(9007199254740992L))
+            Some(d.signum * math.floor(math.sqrt(rad.toDouble)).toLong)
+          else None
+        } else None
+        c -> ((n1.toLong, n2.toLong, t))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("psiDrift: identical slices read exactly 0; disjoint slices " +
       "read 0 core PSI with ALL mass excluded (the clamp is honest); " +
       "a known shift reads positive; matches naive lattice replay") {

@@ -446,4 +446,39 @@ class TextDedupSpec extends SparkSuite {
       assert(got(id).map(c => (c._3, c._4)) === want, s"doc $id")
     }
   }
+
+  test("minhashCalibration: exact copies land in the m=16 bucket at " +
+      "jaccard 1e6 with zero bias; the table's candidate set matches " +
+      "minhashCandidatePairs (shared generation)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(TextDedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), TextDedup.hashMod(col("s")).as("h"))
+    // a token-disjoint corpus (no cross-doc shingles -> no natural
+    // candidates) plus exact copies: the ONLY bucket is m=16 and it
+    // reads jaccard exactly 1e6, bias exactly 0
+    val distinctDocs = (1 to 30).map(i =>
+      (i.toLong, (0 to 9).map(k => s"w${i}x$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val withCopies = distinctDocs.union(distinctDocs
+      .filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 500L).as("doc_id"), col("text")))
+    val pure = TextDedup.minhashCalibration(rows(withCopies), withCopies)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(pure.keySet === Set(16L))
+    assert(pure(16L) === ((10L, 1000000L, 1000000L, 0L)))
+    // on the real corpus: bucket totals equal the UNFILTERED candidate
+    // count of the pair operator on the same frame (shared
+    // bandCandidatePairs — the sets cannot drift)
+    val docs = Tables.documents(spark, sf("0.01"))
+      .select(col("doc_id"), col("text"))
+    val cal = TextDedup.minhashCalibration(rows(docs), docs)
+      .collect().map(r => r.getLong(1)).sum
+    val nPairs = TextDedup.minhashCandidatePairsFromHashRows(
+      rows(docs), docs, minEstSim = 0.0).count()
+    assert(cal === nPairs)
+  }
 }
