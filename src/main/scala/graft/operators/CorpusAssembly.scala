@@ -442,6 +442,59 @@ object CorpusAssembly {
    * single-partition window at any scale. Batch stats are one keyed
    * aggregate.
    */
+  /**
+   * Token-budget mixture planner — the operator that turns a mixture
+   * DESIGN into an achievable PLAN: given each source's available
+   * token mass, per-source target weights, and a total token budget,
+   * compute what can actually be sampled. Targets are the defined
+   * floor split target_i = (T·w_i) div ΣW; sources short of their
+   * target cap at availability, and the resulting deficit
+   * redistributes in ONE documented round to the uncapped sources
+   * proportionally to their remaining capacity (floor — the ≤|sources|
+   * undistributed residue is the price of exactness, visible as
+   * Σplanned < T, never hidden by re-looping to a fixed point). This
+   * is the planning half q94's temperature-scaled mixtureWeights
+   * assumes away: WEIGHTS say what you want, this says what the corpus
+   * can give and at what per-source sampling rate.
+   *
+   * Scale shape: one map-side token aggregate to the |sources| frame;
+   * everything after is |sources|-row arithmetic against three 1-row
+   * scalar broadcasts (total, deficit, remaining capacity). The rate
+   * column feeds stratifiedSample directly.
+   */
+  def mixturePlan(avail: DataFrame, srcCol: String, availCol: String,
+      weightCol: String, budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0)
+    val base = avail.select(col(srcCol).as("src"),
+      col(availCol).cast("long").as("avail_tok"),
+      col(weightCol).cast("long").as("w"))
+    val tot = base.agg(sum(col("avail_tok")).cast("long").as("total_tok"),
+      sum(col("w")).cast("long").as("ws"))
+    val planned0 = base.crossJoin(broadcast(tot))
+      .withColumn("t_budget",
+        expr(s"(cast(total_tok as decimal(38,0)) * $budgetNum) div " +
+          s"$budgetDen"))
+      .withColumn("target_tok",
+        expr("cast((t_budget * w) div ws as bigint)"))
+      .withColumn("planned0", least(col("avail_tok"), col("target_tok")))
+      .withColumn("rem", col("avail_tok") - col("planned0"))
+    val scal = planned0
+      .agg(sum(col("target_tok") - col("planned0")).cast("long").as("d"),
+        sum(col("rem")).cast("long").as("r"))
+    planned0.crossJoin(broadcast(scal))
+      .withColumn("extra_tok", when(col("r") > 0,
+        least(col("rem"),
+          expr("cast((cast(d as decimal(38,0)) * rem) div r as bigint)")))
+        .otherwise(0L))
+      .withColumn("planned_tok", col("planned0") + col("extra_tok"))
+      .select(col("src"), col("w"), col("avail_tok"), col("target_tok"),
+        (col("avail_tok") < col("target_tok")).as("capped"),
+        col("extra_tok"), col("planned_tok"),
+        when(col("avail_tok") > 0,
+          expr("cast((1000000 * cast(planned_tok as decimal(38,0))) " +
+            "div avail_tok as bigint)")).as("rate_ppm"))
+  }
+
   def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")

@@ -569,6 +569,36 @@ object TextAnalysis {
   }
 
   /**
+   * Hapax-legomena vocabulary profile — the third corpus-naturalness
+   * probe beside Zipf (q194) and Heaps (q212), reading the vocabulary
+   * frequency SPECTRUM per group: natural text keeps ~40–60% of its
+   * vocabulary at frequency 1 (hapax) and ~10–15% at frequency 2
+   * (dis legomena) at any size; a templated feed's spectrum collapses
+   * (few rare types), a scraped-id feed inverts it (nearly all hapax).
+   * Emits per group: token count N, vocabulary V, hapax/dis counts,
+   * type-token ratio ppm, and hapax share of vocabulary ppm — exact
+   * integers end to end.
+   *
+   * Scale shape: one term explode into a (group, term) count (the
+   * counts-of-counts discipline of q106's skew profile, pointed at
+   * terms), then one |vocab|-frame rollup. Nothing else shuffles.
+   */
+  def hapaxProfile(df: DataFrame, groupCol: String, textCol: String,
+      gramN: Int = 1): DataFrame =
+    df.select(col(groupCol).as("g"),
+        explode(wordGrams(textCol, gramN)).as("term"))
+      .groupBy(col("g"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col("g"), col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis"),
+        expr("(1000000 * vocab) div n_tokens").as("ttr_ppm"),
+        expr("(1000000 * hapax) div vocab").as("hapax_share_ppm"))
+
+  /**
    * Cross-source n-gram novelty — the corpus-curation acquisition
    * signal ("how much does source S add that reference R doesn't
    * already have?"): per source, the share of distinct word n-grams —

@@ -1250,6 +1250,98 @@ object TextQueries {
               ORDER BY w_q20 DESC, term) AS BIGINT) AS rnk
           FROM wt)
         SELECT cls, rnk, term, tf, w_q20 FROM rk
-        WHERE rnk <= 5 ORDER BY cls, rnk"""))
+        WHERE rnk <= 5 ORDER BY cls, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q223 — token-budget mixture planner (CorpusAssembly.mixturePlan):
+    // the achievability half q94's mixture WEIGHTS assume away — given
+    // per-source availability, linear weights w = source index + 1, and
+    // a budget of 4/5 of the corpus, what can actually be sampled?
+    // Probed: the heavy-weight sources' floor targets (w=20 →
+    // 20/210·0.8 ≈ 7.6% of corpus) exceed their ~5% availability, so
+    // the capping branch AND the one-round proportional redistribution
+    // both fire in the gated result; floors make Σplanned < budget by
+    // a visible ≤|sources| residue, never a hidden refit. |sources|-
+    // frame arithmetic against three 1-row scalar broadcasts.
+    // ------------------------------------------------------------------
+    "q223_mixture_plan" -> GraftQuery(
+      build = (s, d) => {
+        val avail = documents(s, d)
+          .select(col("source"), wsTokenCount(col("text")).as("tok"))
+          .groupBy(col("source"))
+          .agg(sum(col("tok")).as("avail_tok"))
+          .withColumn("w", expr("cast(substr(source, 4) as long) + 1"))
+        CorpusAssembly.mixturePlan(avail, "source", "avail_tok", "w",
+            budgetNum = 4, budgetDen = 5)
+          .orderBy("src")
+      },
+      oracle = Some("""
+        WITH av AS (SELECT source AS src,
+            CAST(sum(len(string_split_regex(lower(text), '\s+')))
+              AS BIGINT) AS avail_tok,
+            CAST(substr(source, 4) AS BIGINT) + 1 AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS total_tok,
+            CAST(sum(w) AS BIGINT) AS ws
+          FROM av),
+        p0 AS (SELECT src, w, avail_tok,
+            CAST((((CAST(total_tok AS HUGEINT) * 4) // 5) * w) // ws
+              AS BIGINT) AS target_tok
+          FROM av CROSS JOIN tot),
+        p1 AS (SELECT src, w, avail_tok, target_tok,
+            least(avail_tok, target_tok) AS planned0,
+            avail_tok - least(avail_tok, target_tok) AS rem
+          FROM p0),
+        sc AS (SELECT CAST(sum(target_tok - planned0) AS BIGINT) AS d,
+            CAST(sum(rem) AS BIGINT) AS r
+          FROM p1),
+        p2 AS (SELECT src, w, avail_tok, target_tok,
+            avail_tok < target_tok AS capped,
+            CASE WHEN r > 0 THEN least(rem,
+              CAST((CAST(d AS HUGEINT) * rem) // r AS BIGINT))
+              ELSE 0 END AS extra_tok,
+            planned0
+          FROM p1 CROSS JOIN sc)
+        SELECT src, w, avail_tok, target_tok, capped, extra_tok,
+          planned0 + extra_tok AS planned_tok,
+          CASE WHEN avail_tok > 0 THEN
+            CAST((1000000 * CAST(planned0 + extra_tok AS HUGEINT)) //
+              avail_tok AS BIGINT) END AS rate_ppm
+        FROM p2 ORDER BY src""")),
+
+    // ------------------------------------------------------------------
+    // q224 — hapax-legomena vocabulary profile (TextAnalysis.
+    // hapaxProfile): the frequency-SPECTRUM naturalness probe beside
+    // Zipf (q194) and Heaps (q212) — per source, over BIGRAM terms
+    // (the 30-word unigram vocab has zero hapax by construction;
+    // probed bigram hapax 252–332 per source at both scales): token
+    // mass, vocabulary, hapax/dis-legomena counts, type-token ratio
+    // and hapax share, all exact integer ppm. One counts-of-counts
+    // aggregate (q106's discipline pointed at terms).
+    // ------------------------------------------------------------------
+    "q224_hapax_profile" -> GraftQuery(
+      build = (s, d) =>
+        TextAnalysis.hapaxProfile(
+          documents(s, d).select(col("source"), col("text")),
+          "source", "text", gramN = 2)
+          .orderBy("g"),
+      oracle = Some("""
+        WITH t AS (SELECT source AS g,
+            string_split_regex(lower(text), '\s+') AS tk
+          FROM documents),
+        bg AS (SELECT g, tk[i] || ' ' || tk[i+1] AS term
+          FROM (SELECT g, tk, unnest(range(1, len(tk))) AS i FROM t)),
+        c AS (SELECT g, term, count(*) AS c FROM bg GROUP BY 1, 2)
+        SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS vocab,
+          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS hapax,
+          CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dis,
+          (1000000 * CAST(count(*) AS BIGINT)) //
+            CAST(sum(c) AS BIGINT) AS ttr_ppm,
+          (1000000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+            AS BIGINT)) // CAST(count(*) AS BIGINT) AS hapax_share_ppm
+        FROM c GROUP BY g ORDER BY g"""))
   )
 }

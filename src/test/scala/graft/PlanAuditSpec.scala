@@ -106,7 +106,10 @@ class PlanAuditSpec extends SparkSuite {
       "q217_dormant_high_balance", "q218_top_revenue_supplier",
       // q221's nested loop is the 1-row average-class-mass broadcast
       // inside the c-TF-IDF weight — the q71/q94 shape
-      "q221_class_tfidf_terms")
+      "q221_class_tfidf_terms",
+      // q223's nested loops are the 1-row budget/deficit scalar
+      // broadcasts onto the |sources| plan frame — model-sized twice
+      "q223_mixture_plan")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

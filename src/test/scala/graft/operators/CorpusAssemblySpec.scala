@@ -302,6 +302,35 @@ class CorpusAssemblySpec extends SparkSuite {
     }
   }
 
+  test("mixturePlan: capped sources surrender their deficit to uncapped " +
+      "ones proportionally; full-capacity plans consume the whole " +
+      "budget; an all-capped plan never divides by zero") {
+    import spark.implicits._
+    def plan(rows: Seq[(String, Long, Long)], num: Long, den: Long) =
+      CorpusAssembly.mixturePlan(rows.toDF("src", "avail", "w"),
+          "src", "avail", "w", num, den)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6),
+            Option(r.get(7)).map(_.asInstanceOf[Long])))).toMap
+    // T = 220, W = 4: targets (55, 55, 110); c caps at 20, deficit 90
+    // redistributes 45/45 onto a and b -> everyone fully consumed
+    val p = plan(Seq(("a", 100L, 1L), ("b", 100L, 1L), ("c", 20L, 2L)),
+      1, 1)
+    assert(p("a") === ((55L, false, 45L, 100L, Some(1000000L))))
+    assert(p("b") === ((55L, false, 45L, 100L, Some(1000000L))))
+    assert(p("c") === ((110L, true, 0L, 20L, Some(1000000L))))
+    // every source capped: remaining capacity 0 -> extras 0, no 0/0
+    val q = plan(Seq(("a", 10L, 1L), ("b", 10L, 1L)), 2, 1)
+    assert(q("a") === ((20L, true, 0L, 10L, Some(1000000L))))
+    assert(q("b") === ((20L, true, 0L, 10L, Some(1000000L))))
+    // floor residue: T = 200/10 = 20, weights (1,2), W = 3 -> targets
+    // (6, 13); nothing capped, planned = targets, 19 < 20 (visible
+    // residue, never a hidden refit)
+    val r = plan(Seq(("a", 100L, 1L), ("b", 100L, 2L)), 1, 10)
+    assert(r("a")._1 === 6L && r("b")._1 === 13L)
+    assert(r("a")._4 + r("b")._4 === 19L)
+  }
+
   test("lengthBucketBatches: the distributed rank decomposition equals " +
       "the single-window definition; constant-length buckets read zero " +
       "padding; batches cut at the exact size") {

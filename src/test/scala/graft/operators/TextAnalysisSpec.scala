@@ -225,6 +225,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(sr.length === 1) // points exist (V=N=1 at late checkpoints)
   }
 
+  test("hapaxProfile: exact spectrum counts on a constructed frame; " +
+      "a fully-repeated corpus reads zero hapax; bigram mode counts " +
+      "gram types") {
+    import spark.implicits._
+    // unigram: tokens a a b c -> N=4 V=3 hapax=2 (b,c) dis=1 (a); plus
+    // d d -> dis=1 in its own group
+    val docs = Seq(("g1", "a a b c"), ("g2", "d d")).toDF("g", "text")
+    val got = TextAnalysis.hapaxProfile(docs, "g", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("g1") === ((4L, 3L, 2L, 1L, 750000L, 666666L)))
+    assert(got("g2") === ((2L, 1L, 0L, 1L, 500000L, 0L)))
+    // repeated corpus: every type frequent -> hapax 0
+    val rep = Seq(("r", ("x y " * 10).trim)).toDF("g", "text")
+    assert(TextAnalysis.hapaxProfile(rep, "g", "text")
+      .head().getLong(3) === 0L)
+    // bigram mode: "a b a b a" -> grams (a b)(b a)(a b)(b a) wait:
+    // positions: a b, b a, a b, b a -> V=2, all freq 2 -> hapax 0 dis 2
+    val bg = TextAnalysis.hapaxProfile(
+      Seq(("g", "a b a b a")).toDF("g", "text"), "g", "text", gramN = 2)
+      .head()
+    assert((bg.getLong(1), bg.getLong(2), bg.getLong(3), bg.getLong(4))
+      === ((4L, 2L, 0L, 2L)))
+  }
+
   test("gramNovelty: the reference row reads 0; a disjoint source " +
       "reads 1e6; a half-overlapping source reads exact counts both " +
       "by type and by occurrence") {
