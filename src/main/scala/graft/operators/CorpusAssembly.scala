@@ -495,6 +495,54 @@ object CorpusAssembly {
             "div avail_tok as bigint)")).as("rate_ppm"))
   }
 
+  /**
+   * Mixture diversity readout — Shannon entropy (exact Q20 log2 units)
+   * and evenness of a corpus mix, for BOTH the availability
+   * distribution and a planned one side by side: the one-number answer
+   * to "did the sampling plan actually diversify the corpus, or did
+   * the budget collapse it onto two sources?". H = Σ xᵢ(log₂T − log₂xᵢ)
+   * / T on the defined lattice (zero-mass sources contribute exactly
+   * 0·log0 = 0 and are counted, not dropped silently); evenness is
+   * H / log₂n in ppm — 10⁶ = perfectly even mix, and the comparison
+   * column pair makes the plan's diversity COST visible (a weighted
+   * plan is legitimately less even than uniform availability).
+   *
+   * Scale shape: the input is already the |sources| plan frame
+   * (q223's output or any (source, tokens) rollup); everything here is
+   * |sources|-row arithmetic plus one 1-row totals broadcast.
+   */
+  def mixtureDiversity(plan: DataFrame, srcCol: String,
+      availCol: String, plannedCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.Log2Q20
+    def lg(c: Column): Column =
+      Bridge.column(Log2Q20(Bridge.expression(c.cast(LongType))))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = plan.select(col(srcCol).as("src"),
+      col(availCol).cast(LongType).as("a"),
+      col(plannedCol).cast(LongType).as("p"))
+    val tot = base.agg(sum(col("a")).cast(LongType).as("ta"),
+      sum(col("p")).cast(LongType).as("tp"),
+      count(lit(1)).as("n"),
+      sum(when(col("p") === 0, 1L).otherwise(0L)).as("n_zero"))
+    base.crossJoin(broadcast(tot))
+      .select(col("n"), col("n_zero"), col("ta"), col("tp"),
+        when(col("a") > 0, dec(col("a")) * (lg(col("ta")) - lg(col("a"))))
+          .otherwise(lit(0)).as("ha"),
+        when(col("p") > 0, dec(col("p")) * (lg(col("tp")) - lg(col("p"))))
+          .otherwise(lit(0)).as("hp"),
+        lg(col("n")).as("lgn"))
+      .groupBy(col("n"), col("n_zero"), col("ta"), col("tp"), col("lgn"))
+      .agg(sum(col("ha")).as("sha"), sum(col("hp")).as("shp"))
+      .select(col("n").as("n_sources"), col("n_zero").as("n_zero_planned"),
+        expr("cast(sha div ta as bigint)").as("h_avail_q20"),
+        expr("cast(shp div tp as bigint)").as("h_planned_q20"),
+        expr("cast((1000000 * (sha div ta)) div lgn as bigint)")
+          .as("evenness_avail_ppm"),
+        expr("cast((1000000 * (shp div tp)) div lgn as bigint)")
+          .as("evenness_planned_ppm"))
+  }
+
   def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")

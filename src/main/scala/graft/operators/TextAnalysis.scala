@@ -585,8 +585,12 @@ object TextAnalysis {
    */
   def hapaxProfile(df: DataFrame, groupCol: String, textCol: String,
       gramN: Int = 1): DataFrame =
-    df.select(col(groupCol).as("g"),
-        explode(wordGrams(textCol, gramN)).as("term"))
+    // tokenize into a materialized column FIRST: gramArray references
+    // its array three times and once per lambda element, so an inline
+    // split would re-tokenize ~|tokens| times per row (measured 3×
+    // slower via wordGrams at sf0.1)
+    df.select(col(groupCol).as("g"), tokens(col(textCol)).as("__t"))
+      .select(col("g"), explode(gramArray("__t", gramN)).as("term"))
       .groupBy(col("g"), col("term"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("g"))

@@ -1342,6 +1342,101 @@ object TextQueries {
             CAST(sum(c) AS BIGINT) AS ttr_ppm,
           (1000000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
             AS BIGINT)) // CAST(count(*) AS BIGINT) AS hapax_share_ppm
-        FROM c GROUP BY g ORDER BY g"""))
+        FROM c GROUP BY g ORDER BY g""")),
+
+    // ------------------------------------------------------------------
+    // q225 — mixture diversity (CorpusAssembly.mixtureDiversity over
+    // q223's plan): Shannon entropy + evenness of the PLANNED mix
+    // beside the availability mix, exact Q20 — the one-number "did the
+    // budget collapse the corpus onto two sources?" readout. The
+    // fixture's availability is near-uniform (evenness ≈ 10⁶) while
+    // the w-weighted plan is legitimately less even — the diversity
+    // COST of the weighting is visible in the gated result. The oracle
+    // replays q223's plan chain and the entropy lattice end to end.
+    // ------------------------------------------------------------------
+    "q225_mixture_diversity" -> GraftQuery(
+      build = (s, d) => {
+        val avail = documents(s, d)
+          .select(col("source"), wsTokenCount(col("text")).as("tok"))
+          .groupBy(col("source"))
+          .agg(sum(col("tok")).as("avail_tok"))
+          .withColumn("w", expr("cast(substr(source, 4) as long) + 1"))
+        val plan = CorpusAssembly.mixturePlan(avail, "source",
+          "avail_tok", "w", budgetNum = 4, budgetDen = 5)
+        CorpusAssembly.mixtureDiversity(plan, "src", "avail_tok",
+          "planned_tok")
+      },
+      oracle = Some("""
+        WITH RECURSIVE av AS (SELECT source AS src,
+            CAST(sum(len(string_split_regex(lower(text), '\s+')))
+              AS BIGINT) AS avail_tok,
+            CAST(substr(source, 4) AS BIGINT) + 1 AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS total_tok,
+            CAST(sum(w) AS BIGINT) AS ws
+          FROM av),
+        p0 AS (SELECT src, w, avail_tok,
+            CAST((((CAST(total_tok AS HUGEINT) * 4) // 5) * w) // ws
+              AS BIGINT) AS target_tok
+          FROM av CROSS JOIN tot),
+        p1 AS (SELECT src, w, avail_tok, target_tok,
+            least(avail_tok, target_tok) AS planned0,
+            avail_tok - least(avail_tok, target_tok) AS rem
+          FROM p0),
+        sc AS (SELECT CAST(sum(target_tok - planned0) AS BIGINT) AS d,
+            CAST(sum(rem) AS BIGINT) AS r
+          FROM p1),
+        pl AS (SELECT src, avail_tok AS a, planned0 +
+            CASE WHEN r > 0 THEN least(rem,
+              CAST((CAST(d AS HUGEINT) * rem) // r AS BIGINT))
+              ELSE 0 END AS p
+          FROM p1 CROSS JOIN sc),
+        tt AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+            CAST(sum(p) AS BIGINT) AS tp,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS nz
+          FROM pl),
+        vals AS (SELECT DISTINCT m FROM (
+            SELECT a AS m FROM pl WHERE a > 0
+            UNION ALL SELECT p FROM pl WHERE p > 0
+            UNION ALL SELECT ta FROM tt
+            UNION ALL SELECT tp FROM tt
+            UNION ALL SELECT n FROM tt)),
+        m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM vals),
+        mant AS (SELECT m, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM m0),
+        lgx AS (
+          SELECT m, hb, x, 0 AS it, CAST(0 AS BIGINT) AS frac FROM mant
+          UNION ALL
+          SELECT m, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            it + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM lgx WHERE it < 20),
+        lut AS (SELECT m, (hb << 20) + frac AS l FROM lgx WHERE it = 20),
+        hx AS (SELECT
+            CASE WHEN a > 0 THEN CAST(a AS HUGEINT) * (lta.l - la.l)
+              ELSE 0 END AS ha,
+            CASE WHEN p > 0 THEN CAST(p AS HUGEINT) * (ltp.l - lp.l)
+              ELSE 0 END AS hp
+          FROM pl CROSS JOIN tt
+          LEFT JOIN lut la ON a > 0 AND la.m = a
+          LEFT JOIN lut lp ON p > 0 AND lp.m = p
+          JOIN lut lta ON lta.m = ta
+          JOIN lut ltp ON ltp.m = tp),
+        ag AS (SELECT sum(ha) AS sha, sum(hp) AS shp FROM hx)
+        SELECT n AS n_sources, nz AS n_zero_planned,
+          CAST(sha // ta AS BIGINT) AS h_avail_q20,
+          CAST(shp // tp AS BIGINT) AS h_planned_q20,
+          CAST((1000000 * (sha // ta)) // ln.l AS BIGINT)
+            AS evenness_avail_ppm,
+          CAST((1000000 * (shp // tp)) // ln.l AS BIGINT)
+            AS evenness_planned_ppm
+        FROM ag CROSS JOIN tt JOIN lut ln ON ln.m = n"""))
   )
 }

@@ -109,7 +109,10 @@ class PlanAuditSpec extends SparkSuite {
       "q221_class_tfidf_terms",
       // q223's nested loops are the 1-row budget/deficit scalar
       // broadcasts onto the |sources| plan frame — model-sized twice
-      "q223_mixture_plan")
+      "q223_mixture_plan",
+      // q225 composes q223's plan (its scalar broadcasts) plus its own
+      // 1-row totals broadcast for the entropy normalization
+      "q225_mixture_diversity")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -331,6 +331,27 @@ class CorpusAssemblySpec extends SparkSuite {
     assert(r("a")._4 + r("b")._4 === 19L)
   }
 
+  test("mixtureDiversity: a uniform power-of-two mix reads evenness " +
+      "exactly 1e6; a single-source collapse reads entropy exactly 0; " +
+      "zero-planned sources are counted, not dropped") {
+    import spark.implicits._
+    // 4 equal sources: H = log2(4) = 2 exactly on the lattice
+    val even = Seq(("a", 100L, 100L), ("b", 100L, 100L),
+      ("c", 100L, 100L), ("d", 100L, 100L)).toDF("src", "av", "pl")
+    val er = CorpusAssembly.mixtureDiversity(even, "src", "av", "pl")
+      .head()
+    assert(er.getLong(2) === 2L << 20)
+    assert(er.getLong(4) === 1000000L && er.getLong(5) === 1000000L)
+    // planned collapses onto one source: H_planned = 0, two zero rows
+    val coll = Seq(("a", 100L, 400L), ("b", 100L, 0L),
+      ("c", 100L, 0L)).toDF("src", "av", "pl")
+    val cr = CorpusAssembly.mixtureDiversity(coll, "src", "av", "pl")
+      .head()
+    assert(cr.getLong(1) === 2L)
+    assert(cr.getLong(3) === 0L && cr.getLong(5) === 0L)
+    assert(cr.getLong(2) > 0L) // availability stays diverse
+  }
+
   test("lengthBucketBatches: the distributed rank decomposition equals " +
       "the single-window definition; constant-length buckets read zero " +
       "padding; batches cut at the exact size") {
