@@ -984,8 +984,8 @@ object TextQueries {
             ORDER BY freq DESC, term) AS BIGINT) AS rnk
           FROM tf),
         top AS (SELECT g, rnk, freq FROM rk WHERE rnk <= 25),
-        vals AS (SELECT DISTINCT rnk AS m FROM top
-          UNION SELECT DISTINCT freq FROM top),
+        vals AS (SELECT DISTINCT m FROM (
+          SELECT rnk AS m FROM top UNION ALL SELECT freq FROM top)),
         m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM vals),
         mant AS (SELECT m, hb,
             CASE WHEN hb >= 30 THEN m >> (hb - 30)
@@ -1058,8 +1058,8 @@ object TextQueries {
         xy0 AS (SELECT vj.g, vj.j, v, n
           FROM vj JOIN nj ON vj.g = nj.g AND vj.j = nj.j
           WHERE v > 0 AND n > 0),
-        vals AS (SELECT DISTINCT v AS m FROM xy0
-          UNION SELECT DISTINCT n FROM xy0),
+        vals AS (SELECT DISTINCT m FROM (
+          SELECT v AS m FROM xy0 UNION ALL SELECT n FROM xy0)),
         m0 AS (SELECT m, length(bin(m)) - 1 AS hb FROM vals),
         mant AS (SELECT m, hb,
             CASE WHEN hb >= 30 THEN m >> (hb - 30)
