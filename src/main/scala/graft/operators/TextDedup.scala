@@ -684,6 +684,36 @@ object TextDedup {
   }
 
   /**
+   * Per-source dedup-rate manifest — the curation report a dedup pass
+   * should END with: for every source, how much of it was duplicate
+   * (within-source copies: n_docs − distinct contents) and how much of
+   * its content ALSO appears under other sources (cross-source
+   * contamination — the mirror/aggregator-feed signal a per-source dup
+   * rate alone cannot see). Feeds entirely from content hashes (the
+   * landed doc index — zero text hashing in the plan), so the report
+   * costs two hash-keyed aggregates: (source, hash) counts, then a
+   * hash-level distinct-source count joined back. Rates in floor ppm.
+   */
+  def dedupRateManifest(rows: DataFrame, srcCol: String,
+      hashCol: String): DataFrame = {
+    val sh = rows
+      .groupBy(col(srcCol).as("src"), col(hashCol).as("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val hs = sh.groupBy(col("ch")).agg(count(lit(1)).as("ns"))
+    sh.join(hs, Seq("ch"))
+      .groupBy(col("src"))
+      .agg(sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(when(col("ns") > 1, col("cnt")).otherwise(0L))
+          .as("shared_docs"))
+      .select(col("src"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("dup_docs"),
+        col("shared_docs"),
+        expr("(1000000 * (n_docs - n_unique)) div n_docs")
+          .as("dup_ppm"),
+        expr("(1000000 * shared_docs) div n_docs").as("shared_ppm"))
+  }
+
+  /**
    * MinHash estimator calibration table — the q136 honest-approximation
    * discipline applied to the dedup estimator itself: over every LSH
    * candidate pair, bucket by the MATCHING SIGNATURE COMPONENT count

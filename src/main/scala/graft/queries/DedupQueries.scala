@@ -1034,6 +1034,65 @@ object DedupQueries {
           (1000000 * m) // ${TextDedup.K} - mean_j_ppm AS bias_ppm,
           mae_ppm
         FROM ag ORDER BY m"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q226 — per-source dedup-rate manifest (TextDedup.
+    // dedupRateManifest): the report a dedup pass should END with —
+    // per source, the within-source duplicate share AND the
+    // cross-source contamination share (content also present under
+    // another source: the mirror/aggregator signal a per-source rate
+    // can't see). Fixture: a same-source duplicate slice (every 7th
+    // doc, +100000) plus a 'mirror' aggregator slice (every 11th doc
+    // relabeled, +200000) — ODD moduli co-prime with the 20-way
+    // round-robin source assignment (the parity-modulus memory trap:
+    // %10/%25 fired on only 4 of 20 sources), so EVERY source reads a
+    // real ~14% dup / ~9% shared rate. Everything feeds from the
+    // landed doc index, so the plan contains ZERO text hashing; the
+    // mirror makes shared_ppm fire on every real source (its contents
+    // now exist twice) and dup_ppm stays a within-source readout.
+    // ------------------------------------------------------------------
+    "q226_dedup_rate_manifest" -> GraftQuery(
+      build = (s, d) => {
+        import graft.operators.ScanOps
+        val srcs = documents(s, d).select(col("doc_id"), col("source"))
+        val base = TextDedup.readDocIndex(s, indexDir(s, d))
+          .join(srcs, Seq("doc_id"))
+        val dup = base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            col("content_hash"), col("source"))
+        val mirror = base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            col("content_hash"), lit("mirror").as("source"))
+        TextDedup.dedupRateManifest(
+          ScanOps.spreadSmallInput(
+            base.unionByName(dup).unionByName(mirror), col("doc_id")),
+          "source", "content_hash")
+          .orderBy("src")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text, source) AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, source FROM documents
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 200000, text, 'mirror' FROM documents
+          WHERE doc_id % 11 = 0),
+        h AS (SELECT source AS src, ${sqlHash("text")} AS ch FROM base),
+        sh AS (SELECT src, ch, CAST(count(*) AS BIGINT) AS cnt
+          FROM h GROUP BY 1, 2),
+        hs AS (SELECT ch, CAST(count(*) AS BIGINT) AS ns
+          FROM sh GROUP BY 1),
+        ag AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_unique,
+            CAST(sum(CASE WHEN ns > 1 THEN cnt ELSE 0 END) AS BIGINT)
+              AS shared_docs
+          FROM sh JOIN hs ON sh.ch = hs.ch GROUP BY src)
+        SELECT src, n_docs, n_unique, n_docs - n_unique AS dup_docs,
+          shared_docs,
+          (1000000 * (n_docs - n_unique)) // n_docs AS dup_ppm,
+          (1000000 * shared_docs) // n_docs AS shared_ppm
+        FROM ag ORDER BY src"""))
   )
 }

@@ -1389,6 +1389,40 @@ object RelationalQueries {
             AND o_orderpriority <> '1-URGENT'
           GROUP BY 1)
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-        FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
+        FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    // ------------------------------------------------------------------
+    // q227 — late-order priority check (the TPC-H Q4 shape): orders
+    // with AT LEAST one line shipped more than 90 days after the order
+    // date, counted per priority. The EXISTS subquery decorrelates
+    // into one key join + lateness filter + per-order dedup (the
+    // semi-join that matters at scale: the fact joins ONCE on the
+    // order key both sides already hash by, and the distinct collapses
+    // multiplicity before the tiny priority rollup). Calendar-day
+    // arithmetic is identical cross-engine (date_add vs + INTERVAL).
+    // ------------------------------------------------------------------
+    "q227_late_order_priority" -> GraftQuery(
+      build = (s, d) => {
+        val ord = orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"),
+          col("o_orderpriority"))
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate").cast("date")
+            .as("sd"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("sd") > date_add(col("od"), 90))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .distinct()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE CAST(l_shipdate AS DATE) >
+          CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -481,4 +481,27 @@ class TextDedupSpec extends SparkSuite {
       rows(docs), docs, minEstSim = 0.0).count()
     assert(cal === nPairs)
   }
+
+  test("dedupRateManifest: within-source copies read as dup, cross-" +
+      "source copies as shared, and a doc in both categories counts " +
+      "in both; clean sources read zero") {
+    import spark.implicits._
+    // src a: h1 twice (within-source dup), h2 once also under src b
+    // (cross-source), h3 clean; src b: h2 once (shared with a)
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("c", 9L)).toDF("src", "ch")
+    val got = TextDedup.dedupRateManifest(rows, "src", "ch")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)))).toMap
+    assert(got("a") === ((4L, 3L, 1L, 1L, 250000L, 250000L)))
+    assert(got("b") === ((1L, 1L, 0L, 1L, 0L, 1000000L)))
+    assert(got("c") === ((1L, 1L, 0L, 0L, 0L, 0L)))
+    // a within-source duplicate that is ALSO mirrored counts in both
+    val both = Seq(("a", 1L), ("a", 1L), ("m", 1L)).toDF("src", "ch")
+    val gb = TextDedup.dedupRateManifest(both, "src", "ch")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(gb("a") === ((1L, 2L)))
+  }
 }
