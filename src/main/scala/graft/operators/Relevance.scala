@@ -351,7 +351,13 @@ object Relevance {
       .withColumn("ldisc", disc(col("irn")))
       .withColumn("contrib", expr(s"(grade * $NdcgScale) div ldisc"))
       .groupBy("q").agg(sum(col("contrib")).as("idcg_fp"))
-    dcgPer.join(idcgPer, Seq("q"), "left")
+    // FULL outer: a query present in truth but absent from the ranker's
+    // output (the worst-case ranker failure — zero rows returned)
+    // surfaces as ndcg_ppm 0 instead of silently vanishing from the
+    // evaluation; ranker-only queries keep idcg_fp 0 / ndcg_ppm null.
+    dcgPer.join(idcgPer, Seq("q"), "full")
+      .withColumn("n_ranked", coalesce(col("n_ranked"), lit(0L)))
+      .withColumn("dcg_fp", coalesce(col("dcg_fp"), lit(0L)))
       .withColumn("idcg_fp", coalesce(col("idcg_fp"), lit(0L)))
       .withColumn("ndcg_ppm",
         when(col("idcg_fp") > 0, expr("(dcg_fp * 1000000) div idcg_fp")))

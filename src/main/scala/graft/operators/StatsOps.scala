@@ -1477,7 +1477,10 @@ object StatsOps {
    * rad = (3·10⁶·n(n−1)·(2U₁ − n₁n₂)²) div (n₁n₂·((n+1)n(n−1) − T)),
    * z_milli = sign(2U₁ − n₁n₂)·⌊√rad⌋ (rad < 2⁵³ so the double sqrt
    * is exact-input and correctly rounded in both engines; staged
-   * truncation IS the definition). z > 0 ⇔ A stochastically larger.
+   * truncation IS the definition — and the welchT family guard is
+   * ENFORCED in-plan: a radicand at or beyond 2⁵³ emits null rather
+   * than a silently double-rounded z). z > 0 ⇔ A stochastically
+   * larger.
    *
    * Scale shape: one (cell, value) aggregate is the only corpus-sized
    * shuffle; the prefix window runs on the distinct-value frame
@@ -1515,14 +1518,19 @@ object StatsOps {
                (n_a + n_b - 1) - tie_t > 0
            THEN cast(two_u_d - cast(n_a as decimal(38,0)) * n_b as
                decimal(38,0)) END"""))
-      .withColumn("z_milli",
+      .withColumn("rad",
         when(col("z_milli").isNotNull, expr(
-          """cast(sign(z_milli) as bigint) * cast(floor(sqrt(cast(
-               (z_milli * z_milli * 3000000 * (n_a + n_b) *
-                 (n_a + n_b - 1)) div
-               (cast(n_a as decimal(38,0)) * n_b *
-                 (cast(n_a + n_b + 1 as decimal(38,0)) * (n_a + n_b) *
-                   (n_a + n_b - 1) - tie_t)) as double))) as bigint)""")))
+          """(z_milli * z_milli * 3000000 * (n_a + n_b) *
+               (n_a + n_b - 1)) div
+             (cast(n_a as decimal(38,0)) * n_b *
+               (cast(n_a + n_b + 1 as decimal(38,0)) * (n_a + n_b) *
+                 (n_a + n_b - 1) - tie_t))""")))
+      .withColumn("z_milli",
+        // the welchT family guard: a radicand at or beyond 2^53 emits
+        // null rather than a silently double-rounded value
+        when(col("rad").isNotNull && col("rad") < lit(9007199254740992L),
+          expr("""cast(sign(z_milli) as bigint) *
+            cast(floor(sqrt(cast(rad as double))) as bigint)""")))
       .select(col("cell"), col("n_a"), col("n_b"),
         col("two_u_d").cast("long").as("two_u"),
         col("tie_t").cast("long").as("tie_t"), col("z_milli"))

@@ -508,11 +508,14 @@ object RetrievalQueries {
               AS idcg_fp
           FROM ir JOIN disc d ON d.i = ir.irn
           WHERE irn <= $NdcgK GROUP BY term)
-        SELECT dper.term AS term, n_ranked, dcg_fp,
+        SELECT coalesce(dper.term, ic.term) AS term,
+          coalesce(n_ranked, 0) AS n_ranked,
+          coalesce(dcg_fp, 0) AS dcg_fp,
           coalesce(idcg_fp, 0) AS idcg_fp,
           CASE WHEN coalesce(idcg_fp, 0) > 0
-            THEN (dcg_fp * 1000000) // idcg_fp END AS ndcg_ppm
-        FROM dper LEFT JOIN ic ON dper.term = ic.term
+            THEN (coalesce(dcg_fp, 0) * 1000000) // idcg_fp END
+            AS ndcg_ppm
+        FROM dper FULL JOIN ic ON dper.term = ic.term
         ORDER BY term""")),
 
     // ------------------------------------------------------------------

@@ -909,11 +909,15 @@ object StatefulOps {
    * cell: counts per distinct score commute across micro-batches, and
    * a flush replays the batch operator's EXACT midrank identity
    * (2R₁ = Σ c₁(2·cumBefore + c + 1), auc_ppm =
-   * ⌊10⁶(2R₁ − n₁(n₁+1))/(2n₁n₀)⌋ in BigInt), so stream and batch
-   * agree bit-for-bit on the same prefix — the q129/q198 twin
-   * discipline. One-class prefixes emit None, never a division error.
-   * State is |score lattice| triples per cell (the batch operator's
-   * own window frame bound), independent of stream length.
+   * ⌊10⁶(2R₁ − n₁(n₁+1))/(2n₁n₀)⌋ in BigInt) over the (t, tie)-sorted
+   * prefix ENDING AT the sentinel — emitted inline during the sorted
+   * iteration (the GramNoveltyProcessor pattern), so count rows ordered
+   * after a sentinel in the same micro-batch update state but are
+   * excluded from that sentinel's readout, and stream and batch agree
+   * bit-for-bit on the same prefix — the q129/q198 twin discipline.
+   * One-class prefixes emit None, never a division error. State is
+   * |score lattice| triples per cell (the batch operator's own window
+   * frame bound), independent of stream length.
    */
   class AucProcessor extends StatefulProcessor[String, AucIn, AucOut] {
     @transient private var st: ValueState[AucState] = _
@@ -922,16 +926,38 @@ object StatefulOps {
       st = getHandle.getValueState[AucState]("auc",
         Encoders.product[AucState], TTLConfig.NONE)
 
+    /** The exact midrank AUC of the current counts snapshot. */
+    private def readout(cell: String,
+        m: scala.collection.Map[Long, (Long, Long)]): AucOut = {
+      val n1 = BigInt(m.valuesIterator.map(_._1).sum)
+      val n0 = BigInt(m.valuesIterator.map(_._2).sum)
+      if (n1 > 0 && n0 > 0) {
+        var cum = BigInt(0); var r2 = BigInt(0)
+        m.keys.toSeq.sorted.foreach { s =>
+          val (a, b) = m(s)
+          r2 += BigInt(a) * (2 * cum + a + b + 1)
+          cum += BigInt(a) + b
+        }
+        // r2 already holds the DOUBLED rank sum 2R1
+        val auc = (BigInt(1000000) * (r2 - n1 * (n1 + 1)) /
+          (2 * n1 * n0)).toLong
+        AucOut(cell, n1.toLong, n0.toLong, Some(auc))
+      } else
+        AucOut(cell, n1.toLong, n0.toLong, None)
+    }
+
     override def handleInputRows(cell: String, rows: Iterator[AucIn],
         timers: TimerValues): Iterator[AucOut] = {
       val m = scala.collection.mutable.Map[Long, (Long, Long)]()
       if (st.exists()) st.get().counts.foreach { case (s, a, b) =>
         m += s -> ((a, b))
       }
-      var flush = false; var counted = false
-      // counts commute; the (t, tie) sort pins which prefix a flush sees
+      val out = scala.collection.mutable.ArrayBuffer[AucOut]()
+      var counted = false
+      // counts commute; the (t, tie) sort pins which prefix each flush
+      // sees, and the readout fires AT the sentinel position
       rows.toArray.sortBy(r => (r.t, r.tie)).foreach { r =>
-        if (r.s == AucFlushScore) flush = true
+        if (r.s == AucFlushScore) out += readout(cell, m)
         else {
           counted = true
           val (a, b) = m.getOrElse(r.s, (0L, 0L))
@@ -940,24 +966,7 @@ object StatefulOps {
       }
       if (counted)
         st.update(AucState(m.toList.map(e => (e._1, e._2._1, e._2._2))))
-      if (!flush) Iterator.empty
-      else {
-        val n1 = BigInt(m.valuesIterator.map(_._1).sum)
-        val n0 = BigInt(m.valuesIterator.map(_._2).sum)
-        if (n1 > 0 && n0 > 0) {
-          var cum = BigInt(0); var r2 = BigInt(0)
-          m.keys.toSeq.sorted.foreach { s =>
-            val (a, b) = m(s)
-            r2 += BigInt(a) * (2 * cum + a + b + 1)
-            cum += BigInt(a) + b
-          }
-          // r2 already holds the DOUBLED rank sum 2R1
-          val auc = (BigInt(1000000) * (r2 - n1 * (n1 + 1)) /
-            (2 * n1 * n0)).toLong
-          Iterator.single(AucOut(cell, n1.toLong, n0.toLong, Some(auc)))
-        } else
-          Iterator.single(AucOut(cell, n1.toLong, n0.toLong, None))
-      }
+      out.iterator
     }
   }
 

@@ -177,6 +177,11 @@ class RelevanceSpec extends SparkSuite {
     // a query whose ranking has no graded truth at all: null ndcg, not 0
     val none = ndcg(ranked(Seq(7L, 8L), term = "x"))("x")
     assert(none._2 === 0L && none._3.isEmpty)
+    // a query present in TRUTH but absent from the ranker's output (the
+    // worst-case ranker failure) surfaces as ndcg 0, not a missing row
+    val truthOnly = ndcg(ranked(Seq(1L)))("z")
+    assert(truthOnly._1 === 0L && truthOnly._2 > 0L &&
+      truthOnly._3.contains(0L))
   }
 
   test("rboOverlap: identical lists hit the exact lattice maximum; " +

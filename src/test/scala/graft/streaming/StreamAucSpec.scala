@@ -71,4 +71,45 @@ class StreamAucSpec extends SparkSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("a mid-batch sentinel emits the AUC of ONLY the rows ordered " +
+      "before it; later rows in the same micro-batch still reach state") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val F = StatefulOps.AucFlushScore
+      val rnd = new scala.util.Random(7)
+      val pre = (1 to 25).map(i => ("c", i.toLong, 0L,
+        rnd.nextInt(9).toLong, if (rnd.nextBoolean()) 1L else 0L))
+      val post = (26 to 50).map(i => ("c", i.toLong, 0L,
+        rnd.nextInt(9).toLong, if (rnd.nextBoolean()) 1L else 0L))
+      // ONE micro-batch: prefix rows, sentinel, then more count rows
+      val b1 = pre ++ Seq(("c", 25L, 99L, F, 0L)) ++ post
+      val b2 = Seq(("c", 999L, 0L, F, 0L))
+      val in = tmp("am_in_"); val out = tmp("am_out_")
+      val ck = tmp("am_ck_")
+      Seq(b1, b2).foreach { b => writeBatch(in, b); runOnce(out, ck, in) }
+      def batchAuc(rows: Seq[(String, Long, Long, Long, Long)]) =
+        graft.operators.StatsOps.aucRoc(
+          rows.map(r => (r._1, r._4, r._5)).toDF("cell", "s", "y"),
+          "cell", "s", "y").collect()
+          .map(r => (r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long]))).head
+      val got = spark.read.parquet(out)
+        .orderBy("n_pos", "n_neg").collect()
+        .map(r => (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+      assert(got.length === 2)
+      // the mid-batch sentinel saw exactly the pre-sentinel prefix …
+      assert(got.head === batchAuc(pre))
+      // … and the dedicated flush proves the post-sentinel rows landed
+      assert(got.last === batchAuc(pre ++ post))
+      assert(batchAuc(pre) !== batchAuc(pre ++ post))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
