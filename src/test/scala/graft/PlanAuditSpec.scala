@@ -112,7 +112,11 @@ class PlanAuditSpec extends SparkSuite {
       "q223_mixture_plan",
       // q225 composes q223's plan (its scalar broadcasts) plus its own
       // 1-row totals broadcast for the entropy normalization
-      "q225_mixture_diversity")
+      "q225_mixture_diversity",
+      // q235's nested loop is the 1-row (total, part-count) broadcast
+      // under the 1.5x-average threshold predicate — the TPC-H Q11
+      // scalar, the q217/q218 shape
+      "q235_important_stock")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
