@@ -1047,4 +1047,89 @@ object StatefulOps {
       .transformWithState(new GramNoveltyProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class SemIn(cell: Long, t: Long, tie: Long, vid: Long,
+    v: Array[Double], nrm: Double)
+  final case class SemOut(cell: Long, vid: Long, keep: Int, capped: Int,
+    matched: Option[Long])
+  final case class SemEx(vid: Long, v: Array[Double], nrm: Double)
+  final case class SemState(ex: List[SemEx])
+
+  /**
+   * Streaming semantic deduplication (q189's stream twin — the last
+   * heavy dedup family member to get one): ingest-time embedding
+   * near-dup against standing per-cluster exemplar state. The caller
+   * assigns each arriving vector to the LANDED k-means centroids
+   * upstream (a broadcast stream-static join — the q91 landed-artifact
+   * discipline; `cell` is the centroid id), and this processor keeps
+   * the first arrival of each semantic neighborhood: a row whose exact
+   * cosine against ANY kept exemplar of its cell reaches `minCosine`
+   * emits keep=0 with the matching exemplar id (earliest exemplar
+   * wins — the scan runs oldest-first, so attribution is
+   * deterministic); otherwise it emits keep=1 and joins the state.
+   *
+   * State bound: `maxExemplars` vectors per cell — q189's own
+   * `maxClusterSize` bound re-used as the state bound. A cell at
+   * capacity stops ADMITTING exemplars but keeps comparing: overflow
+   * arrivals emit keep=1/capped=1 (the honest "this cell is no longer
+   * deduplicating new neighborhoods" flag, mirroring the batch
+   * operator dropping oversized clusters whole rather than doing
+   * cluster-squared work).
+   *
+   * Stream ≡ batch: on an id-ordered replay whose components are
+   * min-id stars (each near-dup matches its neighborhood's first
+   * arrival directly — the planted-fixture shape), the keep-set equals
+   * batch [[graft.operators.VectorSearch.semanticDedup]]'s: the min id
+   * arrives first, is kept, and every later member cosine-matches it.
+   * StreamSemanticDedupSpec pins that equality plus the cap-pressure
+   * contract.
+   */
+  class SemanticDedupProcessor(minCosine: Double, maxExemplars: Int)
+      extends StatefulProcessor[Long, SemIn, SemOut] {
+    @transient private var st: ValueState[SemState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SemState]("sem",
+        Encoders.product[SemState], TTLConfig.NONE)
+
+    override def handleInputRows(cell: Long, rows: Iterator[SemIn],
+        timers: TimerValues): Iterator[SemOut] = {
+      // newest exemplar at the head; matching scans oldest-first
+      var ex: List[SemEx] = if (st.exists()) st.get().ex else Nil
+      val out = scala.collection.mutable.ArrayBuffer[SemOut]()
+      var changed = false
+      rows.toArray.sortBy(r => (r.t, r.tie)).foreach { r =>
+        val hit = ex.reverseIterator.find { e =>
+          var s = 0.0; var i = 0
+          while (i < r.v.length) { s += r.v(i) * e.v(i); i += 1 }
+          s / (r.nrm * e.nrm) >= minCosine
+        }
+        hit match {
+          case Some(e) => out += SemOut(cell, r.vid, 0, 0, Some(e.vid))
+          case None if ex.length < maxExemplars =>
+            ex = SemEx(r.vid, r.v, r.nrm) :: ex
+            changed = true
+            out += SemOut(cell, r.vid, 1, 0, None)
+          case None =>
+            out += SemOut(cell, r.vid, 1, 1, None)
+        }
+      }
+      if (changed) st.update(SemState(ex))
+      out.iterator
+    }
+  }
+
+  /** [[SemanticDedupProcessor]] over a (cell, t, tie, vid, v, nrm)
+    * frame — cell = landed-centroid assignment, v/nrm the prepped
+    * double vector and its L2 norm. */
+  def semanticDedupStream(rows: DataFrame, minCosine: Double,
+      maxExemplars: Int): Dataset[SemOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("cell"), col("t"), col("tie"), col("vid"),
+      col("v"), col("nrm"))
+      .as[SemIn]
+      .groupByKey(_.cell)
+      .transformWithState(new SemanticDedupProcessor(minCosine, maxExemplars),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
