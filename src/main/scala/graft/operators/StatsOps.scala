@@ -1778,14 +1778,18 @@ object StatsOps {
    * D mirrors with a suffix window. Knight's O(n log n) algorithm is
    * inherently sequential — the grid double-prefix is its distributed
    * re-derivation, costing O(|X|·|Y|) bounded grid rows instead
-   * (callers bin; the q195/q196 discipline). τ_milli is the Spearman
-   * staged-division lattice on num = C − D against the tie-corrected
-   * denominators dx = N₀ − T_x, dy = N₀ − T_y (all exact integers;
-   * τ-b ∈ [−1,1] keeps every stage in range). Constant columns emit
-   * null, never a division error.
+   * (callers bin; the q195/q196 discipline). The binning contract is
+   * ENFORCED in-plan (r11 verdict advisory #1): a scalar probe over
+   * the distinct frames fails loudly — the q153 discipline — when any
+   * cell's grid would exceed `maxGridCells`, instead of quietly
+   * building an |X|·|Y| monster for an unbinned caller. τ_milli is
+   * the Spearman staged-division lattice on num = C − D against the
+   * tie-corrected denominators dx = N₀ − T_x, dy = N₀ − T_y (all
+   * exact integers; τ-b ∈ [−1,1] keeps every stage in range).
+   * Constant columns emit null, never a division error.
    */
   def kendallTauB(df: DataFrame, cellCol: String, xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String, maxGridCells: Long = 4000000L): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val cxy = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -1793,8 +1797,21 @@ object StatsOps {
         col(yCol).cast("long").as("y"))
       .groupBy(col("cell"), col("x"), col("y"))
       .agg(count(lit(1)).as("nxy"))
-    val grid = cxy.select(col("cell"), col("x")).distinct()
-      .join(cxy.select(col("cell"), col("y")).distinct(), Seq("cell"))
+    val dx = cxy.select(col("cell"), col("x")).distinct()
+    val dy = cxy.select(col("cell"), col("y")).distinct()
+    // scalar guard probe: distinct-frame-sized aggregates, one 1-row
+    // collect — the k-core/CC convergence-probe cost class
+    val worst = dx.groupBy(col("cell")).agg(count(lit(1)).as("ndx"))
+      .join(dy.groupBy(col("cell")).agg(count(lit(1)).as("ndy")),
+        Seq("cell"))
+      .agg(max(col("ndx") * col("ndy"))).head()
+    val worstCells = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(worstCells <= maxGridCells,
+      s"kendallTauB: a cell's dense grid would hold $worstCells " +
+        s"(> maxGridCells = $maxGridCells) (x, y) combinations - bin " +
+        "the inputs first (the q195/q196 discipline)")
+    val grid = dx
+      .join(dy, Seq("cell"))
       .join(cxy, Seq("cell", "x", "y"), "left")
       .withColumn("nc", coalesce(col("nxy"), lit(0L)))
     val wyLt = Window.partitionBy("cell", "x").orderBy("y")

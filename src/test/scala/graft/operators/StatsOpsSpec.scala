@@ -1183,6 +1183,19 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("kendallTauB: an unbinned input trips the in-plan grid guard " +
+      "LOUDLY; the same frame passes under the default cap") {
+    import spark.implicits._
+    // 5 distinct x times 5 distinct y = 25 grid cells in one cell
+    val df = (1 to 5).map(i => ("c", i.toLong, (i * 7).toLong))
+      .toDF("cell", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      StatsOps.kendallTauB(df, "cell", "x", "y", maxGridCells = 10L)
+    }
+    assert(e.getMessage.contains("bin"), e.getMessage)
+    assert(StatsOps.kendallTauB(df, "cell", "x", "y").count() === 1L)
+  }
+
   test("kendallTauB: perfect monotone hits +/-1000 without ties; " +
       "constant column nulls; tie-heavy frames match the O(n^2) " +
       "definition pair-for-pair on random frames") {
