@@ -389,16 +389,7 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
       .withColumn("nt", size(col("t")))
-    // gram occurrences WITH positions (not distinct — multiplicity is the
-    // point: a within-doc repeat is a duplicate); short docs contribute
-    // their whole token sequence as one gram, mirroring [[shingles]]
-    val grams = toks
-      .select(col("doc_id"), col("nt"), col("t"),
-        explode(sequence(lit(1),
-          greatest(col("nt") - lit(shingleN - 1), lit(1)))).as("p"))
-      .select(col("doc_id"), col("p"),
-        least(col("p") + lit(shingleN - 1), col("nt")).as("e"),
-        hash64(concat_ws(" ", slice(col("t"), col("p"), lit(shingleN)))).as("h"))
+    val grams = gramExtents(toks, shingleN)
     val flagged = grams
       .withColumn("df_h", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df_h") >= 2)
@@ -421,6 +412,85 @@ object TextDedup {
           .otherwise(array_join(
             filter(col("t"), (_, i0) => !array_contains(col("rem"), i0 + 1)),
             " ")).as("kept_text"))
+  }
+
+  /** Positional gram extents over a (doc_id, t, nt) token frame —
+    * (doc_id, p, e, h), one row per gram occurrence WITH multiplicity
+    * (a within-doc repeat is a duplicate); short docs contribute their
+    * whole token sequence as one gram, mirroring [[shingles]]. Shared
+    * by [[removeDuplicateSpans]] and [[spanAttribution]] so the two
+    * sides of the Lee-et-al pipeline can never disagree on what a
+    * gram's extent is. */
+  private def gramExtents(toks: DataFrame, shingleN: Int): DataFrame =
+    toks
+      .select(col("doc_id"), col("nt"), col("t"),
+        explode(sequence(lit(1),
+          greatest(col("nt") - lit(shingleN - 1), lit(1)))).as("p"))
+      .select(col("doc_id"), col("p"),
+        least(col("p") + lit(shingleN - 1), col("nt")).as("e"),
+        hash64(concat_ws(" ", slice(col("t"), col("p"), lit(shingleN)))).as("h"))
+
+  /**
+   * Cross-document span ATTRIBUTION — the forensic complement of
+   * [[removeDuplicateSpans]] (r11 verdict item #8): removal says a
+   * span was duplicated; attribution says WHERE the duplicate lives.
+   * For every ordered document pair sharing ≥ 1 flagged gram, the
+   * rollup emits how many distinct gram hashes they share, how many of
+   * doc_a's tokens are covered by shared grams (the union of extents —
+   * overlapping extents merge, the q188 island arithmetic), and how
+   * many maximal runs that coverage forms — the per-pair evidence
+   * table source-level contamination forensics (q226) aggregates over.
+   *
+   * Scale shape: the gram-hash count window is the same single
+   * corpus-sized shuffle q188 already pays; the self-join's equality
+   * key is the gram hash with postings CAPPED corpus-relatively
+   * (`dfCapPermille`, floor 2 — the q186 B-side discipline, mirrored
+   * in the q243 oracle so a tripped cap can never diverge engines):
+   * boilerplate grams present in more than N·cap/1000 docs would
+   * otherwise contribute O(df²) pair rows each. The flagged frame is
+   * localCheckpointed so both join sides read materialized partitions
+   * (the q189 self-join rule); everything after the join is keyed on
+   * the (doc_a, doc_b) pair and bounded by pair-shared extents. The
+   * corpus count rides a 1-row broadcast (the q97/q186 nested-loop
+   * shape, PlanAuditSpec-allowlisted).
+   *
+   * Output: (doc_a, doc_b, shared_grams, shared_tokens, shared_spans)
+   * with doc_a < doc_b; token/span counts are in doc_a's coordinates.
+   */
+  def spanAttribution(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, dfCapPermille: Long = 100): DataFrame = {
+    require(dfCapPermille >= 1 && dfCapPermille <= 1000,
+      s"dfCapPermille in [1,1000], got $dfCapPermille")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .withColumn("nt", size(col("t")))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val flagged = gramExtents(toks, shingleN)
+      .withColumn("df_h", count(lit(1)).over(Window.partitionBy("h")))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df_h") >= 2 && col("df_h") <=
+        greatest(expr(s"(n_docs * $dfCapPermille) div 1000"), lit(2L)))
+      .select(col("doc_id"), col("p"), col("e"), col("h"))
+      .localCheckpoint(true)
+    val pairs = flagged.as("a")
+      .join(flagged.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.p").as("p"), col("a.e").as("e"), col("a.h").as("h"))
+    val gcnt = pairs.select(col("doc_a"), col("doc_b"), col("h")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val wp = Window.partitionBy("doc_a", "doc_b").orderBy("i")
+    val roll = pairs
+      .select(col("doc_a"), col("doc_b"),
+        explode(sequence(col("p"), col("e"))).as("i"))
+      .distinct()
+      .withColumn("pv", lag(col("i"), 1).over(wp))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum(when(col("pv").isNull || col("i") > col("pv") + 1, 1L)
+          .otherwise(0L)).as("shared_spans"))
+    gcnt.join(roll, Seq("doc_a", "doc_b"))
   }
 
   /** [[winnowingFingerprints]] position bound: the (hash, position)

@@ -1093,6 +1093,86 @@ object DedupQueries {
           shared_docs,
           (1000000 * (n_docs - n_unique)) // n_docs AS dup_ppm,
           (1000000 * shared_docs) // n_docs AS shared_ppm
-        FROM ag ORDER BY src"""))
+        FROM ag ORDER BY src""")),
+
+    // ------------------------------------------------------------------
+    // q243 — cross-document span attribution (TextDedup
+    // .spanAttribution, r11 verdict #8): q188 removes duplicated
+    // spans; this emits WHERE each duplicate lives — per ordered doc
+    // pair, the distinct shared gram hashes, the union of shared-gram
+    // extents in doc_a's coordinates (overlap-merged, the q188 island
+    // arithmetic), and the span count — the contamination-forensics
+    // evidence table feeding q226's source rollups. Same q188 fixture:
+    // full duplicates must attribute nt-token single-span overlaps to
+    // their re-inserted twins; each chimera must attribute its two
+    // borrowed 12-token prefixes to BOTH source docs as separate
+    // single-span pairs. Postings are corpus-relatively capped (the
+    // q186 B-side discipline, floor 2), mirrored in the oracle.
+    // ------------------------------------------------------------------
+    "q243_span_attribution" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val heads = docs.select(col("doc_id"),
+          slice(TextDedup.tokens(col("text")), 1, ChimeraTokens).as("head"))
+        val chim = heads.as("x")
+          .join(heads.select((col("doc_id") - 1).as("jid"),
+            col("head").as("head_b")).as("y"),
+            col("x.doc_id") === col("y.jid"))
+          .filter(col("x.doc_id") % ChimeraMod === 0)
+          .select((col("x.doc_id") + ChimeraShift).as("doc_id"),
+            concat_ws(" ", array_join(col("head"), " "),
+              concat(lit("uniq"), col("x.doc_id").cast("string")),
+              array_join(col("head_b"), " ")).as("text"))
+        TextDedup.spanAttribution(
+          docs.unionByName(dup).unionByName(chim),
+          "doc_id", "text", SpanRemovalN)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 15 = 0
+          UNION ALL
+          SELECT a.doc_id + $ChimeraShift,
+            array_to_string((${sqlTokens("a.text")})[1:$ChimeraTokens], ' ')
+              || ' uniq' || CAST(a.doc_id AS VARCHAR) || ' ' ||
+              array_to_string((${sqlTokens("b.text")})[1:$ChimeraTokens], ' ')
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % $ChimeraMod = 0),
+        nd AS (SELECT count(*) AS n_docs FROM base),
+        tk AS (SELECT doc_id, ${sqlTokens("text")} AS t,
+            len(${sqlTokens("text")}) AS nt FROM base),
+        pos AS (SELECT doc_id, t, nt,
+            unnest(range(1, greatest(nt - ${SpanRemovalN - 1}, 1) + 1)) AS p
+          FROM tk),
+        gr AS (SELECT doc_id, p, least(p + ${SpanRemovalN - 1}, nt) AS e,
+            ${sqlHash(s"array_to_string(t[p:p+${SpanRemovalN - 1}], ' ')")} AS h
+          FROM pos),
+        fl AS MATERIALIZED (SELECT doc_id, p, e, h FROM (
+            SELECT *, count(*) OVER (PARTITION BY h) AS dfh FROM gr), nd
+          WHERE dfh >= 2 AND dfh <= greatest((n_docs * 100) // 1000, 2)),
+        pr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.p AS p, a.e AS e, a.h AS h
+          FROM fl a JOIN fl b ON a.h = b.h AND a.doc_id < b.doc_id),
+        gc AS (SELECT doc_a, doc_b,
+            CAST(count(*) AS BIGINT) AS shared_grams
+          FROM (SELECT DISTINCT doc_a, doc_b, h FROM pr) GROUP BY 1, 2),
+        ps AS (SELECT DISTINCT doc_a, doc_b, i FROM (
+            SELECT doc_a, doc_b, unnest(range(p, e + 1)) AS i FROM pr)),
+        rn AS (SELECT doc_a, doc_b, i,
+            lag(i) OVER (PARTITION BY doc_a, doc_b ORDER BY i) AS pv
+          FROM ps),
+        rl AS (SELECT doc_a, doc_b,
+            CAST(count(*) AS BIGINT) AS shared_tokens,
+            CAST(sum(CASE WHEN pv IS NULL OR i > pv + 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS shared_spans
+          FROM rn GROUP BY 1, 2)
+        SELECT gc.doc_a AS doc_a, gc.doc_b AS doc_b, shared_grams,
+          shared_tokens, shared_spans
+        FROM gc JOIN rl ON gc.doc_a = rl.doc_a AND gc.doc_b = rl.doc_b
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -116,7 +116,10 @@ class PlanAuditSpec extends SparkSuite {
       // q235's nested loop is the 1-row (total, part-count) broadcast
       // under the 1.5x-average threshold predicate — the TPC-H Q11
       // scalar, the q217/q218 shape
-      "q235_important_stock")
+      "q235_important_stock",
+      // q243's nested loop is the 1-row corpus-count broadcast under
+      // the corpus-relative posting cap — the q186/q97 shape
+      "q243_span_attribution")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -504,4 +504,46 @@ class TextDedupSpec extends SparkSuite {
         ((r.getLong(3), r.getLong(4)))).toMap
     assert(gb("a") === ((1L, 2L)))
   }
+
+  private def attrib(docs: Seq[(Long, String)], capPm: Long) =
+    TextDedup.spanAttribution(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, dfCapPermille = capPm)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("spanAttribution: disjoint shared runs attribute as separate " +
+      "spans in doc_a's coordinates; the corpus-relative posting cap " +
+      "drops boilerplate grams from the evidence") {
+    val docs = Seq(
+      1L -> "a b c d e k z1 z2 z3",
+      2L -> "p q b c d r s t u",
+      3L -> "a b c w w w z1 z2 z3",
+      4L -> "b c d x1 x2 x3")
+    // default cap: max(4*100/1000, 2) = 2 — "b c d" (df 3) is capped
+    // out, so every pair it alone witnessed disappears
+    val tight = attrib(docs, capPm = 100L)
+    assert(tight.keySet === Set((1L, 3L)))
+    // "a b c" covers 1..3, "z1 z2 z3" covers 7..9: 6 tokens, 2 spans
+    assert(tight((1L, 3L)) === ((2L, 6L, 2L)))
+    // permille 1000: cap = 4, "b c d" survives and witnesses 3 pairs
+    val loose = attrib(docs, capPm = 1000L)
+    assert(loose.keySet ===
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L)))
+    assert(loose((1L, 3L)) === ((2L, 6L, 2L)))
+    assert(loose((1L, 2L)) === ((1L, 3L, 1L)))
+    // in doc_2's coordinates the same gram sits at 3..5 — still 3/1
+    assert(loose((2L, 4L)) === ((1L, 3L, 1L)))
+  }
+
+  test("spanAttribution: overlapping shared gram extents merge into " +
+      "one maximal span, and a within-doc repeat pairs once per twin") {
+    // docs 10/11 share the 4-token run "a b c d" -> grams "a b c" and
+    // "b c d" overlap into extents 1..4 = one span
+    val got = attrib(Seq(
+      10L -> "a b c d q1 q2 q3",
+      11L -> "a b c d r1 r2 r3"), capPm = 1000L)
+    assert(got((10L, 11L)) === ((2L, 4L, 1L)))
+  }
 }
