@@ -765,10 +765,19 @@ object TextDedup {
    * hash-level distinct-source count joined back. Rates in floor ppm.
    */
   def dedupRateManifest(rows: DataFrame, srcCol: String,
-      hashCol: String): DataFrame = {
-    val sh = rows
+      hashCol: String): DataFrame =
+    dedupRateManifestFromCounts(rows
       .groupBy(col(srcCol).as("src"), col(hashCol).as("ch"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The IVM half of [[dedupRateManifest]]: the same per-source rollup
+    * from a pre-aggregated (src, ch, cnt) counts frame. Counts COMMUTE
+    * — a standing day-1 counts frame merged with a delta's counts
+    * (union + grouped sum) feeds this and yields bit-identically the
+    * manifest a full recompute would produce, which is what makes the
+    * manifest maintainable at delta cost (the q81 discipline; the q244
+    * refresh chain gates the equivalence end-to-end). */
+  def dedupRateManifestFromCounts(sh: DataFrame): DataFrame = {
     val hs = sh.groupBy(col("ch")).agg(count(lit(1)).as("ns"))
     sh.join(hs, Seq("ch"))
       .groupBy(col("src"))

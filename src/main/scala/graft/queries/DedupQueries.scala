@@ -101,6 +101,24 @@ object DedupQueries {
         "text", "doc_id", dir)
     }
 
+  /** q244 standing day-1 state: the (src, ch, cnt) manifest counts and
+    * the (ch, ntok) token-mass map of the day-1 corpus (doc_id % 3 != 0)
+    * — hash-keyed aggregates only, never text. Landed once per process
+    * so the refresh query's timed reps consume a STANDING index. */
+  private def refreshDay1Dir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    Landings.landedPath(s"refresh_day1:$d") { dir =>
+      val day1 = documents(s, d).filter(col("doc_id") % 3 =!= 0)
+        .select(col("source").as("src"),
+          TextDedup.hash64(col("text")).as("ch"),
+          size(TextDedup.tokens(col("text"))).cast("long").as("ntok"))
+      day1.groupBy(col("src"), col("ch"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$dir/sh")
+      day1.select(col("ch"), col("ntok")).distinct()
+        .write.mode("overwrite").parquet(s"$dir/ntok")
+    }
+
   /** DuckDB twin of TextDedup.hash64 / hashMod. */
   private def sqlHash(c: String) = s"CAST(('0x' || substr(md5($c), 1, 15)) AS BIGINT)"
   private def sqlHashMod(c: String) = s"${sqlHash(c)} % $P"
@@ -1173,6 +1191,121 @@ object DedupQueries {
         SELECT gc.doc_a AS doc_a, gc.doc_b AS doc_b, shared_grams,
           shared_tokens, shared_spans
         FROM gc JOIN rl ON gc.doc_a = rl.doc_a AND gc.doc_b = rl.doc_b
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q244 — incremental corpus-refresh chain (r11 verdict #3): the IVM
+    // story end-to-end for the LLM pipeline. Day-2 delta docs (the
+    // doc_id % 3 == 0 third of the corpus, plus a re-delivered slice
+    // % 9 == 1 and a cross-source mirror slice % 9 == 4) merge into the
+    // STANDING day-1 state — the landed (src, ch, cnt) manifest counts
+    // and (ch, ntok) token map, hash-keyed aggregates only — and the
+    // chain re-emits the updated q226 dedup manifest plus the
+    // re-planned q223 mixture over deduped token availability, at
+    // delta cost: day-1 TEXT is never re-read or re-hashed (only delta
+    // arrivals hash), counts merge by union + grouped sum (they
+    // COMMUTE — the q81 discipline), and availability counts each
+    // (src, hash) once. The oracle recomputes the ENTIRE chain from
+    // raw day-1 + day-2 text, so the gate IS the proof that delta-cost
+    // maintenance ≡ full recompute bit-for-bit. Weights are q223's
+    // linear lottery with the mirror source weighted 100 — probed: the
+    // capping AND redistribution branches fire at every scale.
+    // ------------------------------------------------------------------
+    "q244_corpus_refresh_chain" -> GraftQuery(
+      build = (s, d) => {
+        import graft.operators.CorpusAssembly
+        val docs = documents(s, d)
+        val stand = refreshDay1Dir(s, d)
+        // day-2 arrivals: the new third + a re-delivery + a mirror
+        val d2new = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("source"), col("text"))
+        val redeliver = docs.filter(col("doc_id") % 9 === 1)
+          .select(col("source"), col("text"))
+        val mirror = docs.filter(col("doc_id") % 9 === 4)
+          .select(lit("day2_mirror").as("source"), col("text"))
+        val delta = d2new.unionByName(redeliver).unionByName(mirror)
+          .select(col("source").as("src"),
+            TextDedup.hash64(col("text")).as("ch"),
+            size(TextDedup.tokens(col("text"))).cast("long").as("ntok"))
+        // merge: standing counts + delta counts (grouped sum), standing
+        // token map + delta token map (distinct)
+        val sh = s.read.parquet(s"$stand/sh")
+          .unionByName(delta.groupBy(col("src"), col("ch"))
+            .agg(count(lit(1)).as("cnt")))
+          .groupBy(col("src"), col("ch"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val ntok = s.read.parquet(s"$stand/ntok")
+          .unionByName(delta.select(col("ch"), col("ntok")).distinct())
+          .distinct()
+        val manifest = TextDedup.dedupRateManifestFromCounts(sh)
+        val avail = sh.join(ntok, Seq("ch"))
+          .groupBy(col("src"))
+          .agg(sum(col("ntok")).as("avail_tok"))
+          .withColumn("w", when(col("src") === "day2_mirror", lit(100L))
+            .otherwise(expr("cast(substr(src, 4) as long) + 1")))
+        val plan = CorpusAssembly.mixturePlan(avail, "src", "avail_tok",
+          "w", budgetNum = 1, budgetDen = 2)
+        manifest
+          .join(plan.select(col("src"), col("avail_tok"),
+            col("target_tok"), col("capped"), col("planned_tok"),
+            col("rate_ppm")), Seq("src"))
+          .orderBy("src")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text, source) AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, text, source FROM documents
+          WHERE doc_id % 9 = 1
+          UNION ALL
+          SELECT doc_id + 400000, text, 'day2_mirror' FROM documents
+          WHERE doc_id % 9 = 4),
+        h AS (SELECT source AS src, ${sqlHash("text")} AS ch,
+            CAST(len(${sqlTokens("text")}) AS BIGINT) AS ntok
+          FROM base),
+        sh AS (SELECT src, ch, CAST(count(*) AS BIGINT) AS cnt,
+            min(ntok) AS ntok
+          FROM h GROUP BY 1, 2),
+        hs AS (SELECT ch, CAST(count(*) AS BIGINT) AS ns
+          FROM sh GROUP BY 1),
+        mf AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_unique,
+            CAST(sum(CASE WHEN ns > 1 THEN cnt ELSE 0 END) AS BIGINT)
+              AS shared_docs
+          FROM sh JOIN hs ON sh.ch = hs.ch GROUP BY src),
+        av AS (SELECT src, CAST(sum(ntok) AS BIGINT) AS avail_tok,
+            CASE WHEN src = 'day2_mirror' THEN CAST(100 AS BIGINT)
+              ELSE CAST(substr(src, 4) AS BIGINT) + 1 END AS w
+          FROM sh GROUP BY src),
+        tot AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS total_tok,
+            CAST(sum(w) AS BIGINT) AS ws
+          FROM av),
+        p0 AS (SELECT src, w, avail_tok,
+            CAST((((CAST(total_tok AS HUGEINT) * 1) // 2) * w) // ws
+              AS BIGINT) AS target_tok
+          FROM av CROSS JOIN tot),
+        p1 AS (SELECT src, avail_tok, target_tok,
+            least(avail_tok, target_tok) AS planned0,
+            avail_tok - least(avail_tok, target_tok) AS rem
+          FROM p0),
+        sc AS (SELECT CAST(sum(target_tok - planned0) AS BIGINT) AS dd,
+            CAST(sum(rem) AS BIGINT) AS r
+          FROM p1),
+        p2 AS (SELECT src, avail_tok, target_tok,
+            avail_tok < target_tok AS capped,
+            planned0 + CASE WHEN r > 0 THEN least(rem,
+              CAST((CAST(dd AS HUGEINT) * rem) // r AS BIGINT))
+              ELSE 0 END AS planned_tok
+          FROM p1 CROSS JOIN sc)
+        SELECT mf.src AS src, n_docs, n_unique,
+          n_docs - n_unique AS dup_docs, shared_docs,
+          (1000000 * (n_docs - n_unique)) // n_docs AS dup_ppm,
+          (1000000 * shared_docs) // n_docs AS shared_ppm,
+          avail_tok, target_tok, capped, planned_tok,
+          CASE WHEN avail_tok > 0 THEN
+            CAST((1000000 * CAST(planned_tok AS HUGEINT)) // avail_tok
+              AS BIGINT) END AS rate_ppm
+        FROM mf JOIN p2 ON mf.src = p2.src
+        ORDER BY src"""))
   )
 }

@@ -119,7 +119,10 @@ class PlanAuditSpec extends SparkSuite {
       "q235_important_stock",
       // q243's nested loop is the 1-row corpus-count broadcast under
       // the corpus-relative posting cap — the q186/q97 shape
-      "q243_span_attribution")
+      "q243_span_attribution",
+      // q244 embeds q223's mixturePlan, inheriting its 1-row
+      // budget/deficit scalar broadcasts onto the |sources| frame
+      "q244_corpus_refresh_chain")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -505,6 +505,28 @@ class TextDedupSpec extends SparkSuite {
     assert(gb("a") === ((1L, 2L)))
   }
 
+  test("dedupRateManifestFromCounts: an arbitrary split merged by " +
+      "union + grouped sum equals the full recompute bit-for-bit " +
+      "(counts commute — the q244 refresh invariant)") {
+    val rnd = new scala.util.Random(12)
+    val rows = (1 to 400).map { i =>
+      (s"s${rnd.nextInt(5)}", rnd.nextInt(60).toLong, i)
+    }
+    val full = TextDedup.dedupRateManifest(
+      rows.toDF("src", "ch", "i"), "src", "ch")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // split on an arbitrary predicate, aggregate each half, merge
+    val (h1, h2) = rows.partition(_._3 % 3 != 0)
+    def cnts(h: Seq[(String, Long, Int)]) =
+      h.map(t => (t._1, t._2)).toDF("src", "ch")
+        .groupBy("src", "ch").agg(count(lit(1)).as("cnt"))
+    val merged = TextDedup.dedupRateManifestFromCounts(
+      cnts(h1).unionByName(cnts(h2))
+        .groupBy("src", "ch").agg(sum(col("cnt")).as("cnt")))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged === full)
+  }
+
   private def attrib(docs: Seq[(Long, String)], capPm: Long) =
     TextDedup.spanAttribution(docs.toDF("doc_id", "text"),
         "doc_id", "text", shingleN = 3, dfCapPermille = capPm)
