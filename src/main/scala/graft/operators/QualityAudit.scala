@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -342,5 +343,107 @@ object QualityAudit {
         col("k_achieved"), col("risky_groups"), col("risky_rows"),
         expr("(1000000 * risky_rows) div n_rows").as("risky_ppm"),
         col("min_l_div"))
+  }
+
+  /** Benford expected first-digit shares, ⌊10⁶·log₁₀(1 + 1/d)⌋ — nine
+    * public constants, identical in the oracle (Σ = 999995; the 5 ppm
+    * residue is the floor lattice's, not an error). */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301029L, 2 -> 176091L,
+    3 -> 124938L, 4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+    8 -> 51152L, 9 -> 45757L)
+
+  /**
+   * Benford first-digit audit — the fabrication/truncation smell test
+   * for any positive magnitude column (amounts, counts, file sizes):
+   * per cell, the observed first-significant-digit distribution
+   * against Benford's law, both on the exact ppm lattice. The digit is
+   * the first character of the base-10 rendering (positives only —
+   * callers filter or the row drops here), observed shares are
+   * (10⁶·n_d) div n, expectations are the [[BenfordPpm]] constants,
+   * and EVERY digit 1–9 appears per cell (a missing digit is a 0-count
+   * row — absence is the strongest signal, never silently dropped).
+   * dev_ppm = |obs − exp| per digit; callers threshold or sum.
+   *
+   * Scale shape: one (cell, digit) aggregate is the only corpus-sized
+   * shuffle; the dense 9-digit spine is an explode over the cell
+   * frame.
+   */
+  def benfordProfile(df: DataFrame, cellCol: String,
+      valueCol: String): DataFrame = {
+    val expMap = map(BenfordPpm.flatMap { case (d, p) =>
+      Seq(lit(d), lit(p)) }: _*)
+    val digits = df
+      .select(col(cellCol).as("cell"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") > 0)
+      .select(col("cell"),
+        substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("cell"), col("digit"))
+      .agg(count(lit(1)).as("n_d"))
+    val totals = digits.groupBy(col("cell")).agg(sum(col("n_d")).as("n"))
+    totals
+      .select(col("cell"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("digit"))
+      .join(digits, Seq("cell", "digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .withColumn("obs_ppm", expr("(1000000 * n_d) div n"))
+      .withColumn("exp_ppm", expMap(col("digit")))
+      .select(col("cell"), col("digit"), col("n"), col("n_d"),
+        col("obs_ppm"), col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+  }
+
+  /**
+   * t-closeness (Li, Li & Venkatasubramanian 2007) — the third leg of
+   * the anonymity family after k-anonymity and l-diversity
+   * ([[kAnonymity]]): a quasi-identifier class can be k-large and
+   * l-diverse yet still LEAK if its sensitive-value DISTRIBUTION sits
+   * far from the table's. For an ORDERED sensitive attribute binned
+   * to 0..nBins−1, the Earth Mover's Distance with unit ground
+   * distance is the mean absolute prefix gap — exact in counts on a
+   * common denominator: emd_ppm = ⌊10⁶·Σ_k |cum_c(k)·N − cum_g(k)·n_c|
+   * / ((m−1)·n_c·N)⌋, everything in decimal128. Classes above
+   * `tPpm` flag `breach` — the release gate readout.
+   *
+   * Scale shape: one (class, bin) aggregate is the only corpus-sized
+   * shuffle; the dense class×bin spine, both prefix windows, and the
+   * final rollup all run on bounded class/bin frames. The global
+   * total rides a 1-row broadcast (the q71/q94 shape).
+   */
+  def tCloseness(df: DataFrame, classCol: String, binCol: String,
+      nBins: Int, tPpm: Long): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cb = df
+      .select(col(classCol).as("cls"), col(binCol).cast("long").as("b"))
+      .filter(col("b").isNotNull && col("b") >= 0 && col("b") < nBins)
+      .groupBy(col("cls"), col("b")).agg(count(lit(1)).as("c"))
+    val glob = cb.groupBy(col("b")).agg(sum(col("c")).as("g"))
+    val globDense = glob.select(explode(sequence(lit(0),
+        lit(nBins - 1))).as("b")).distinct()
+      .join(glob, Seq("b"), "left")
+      .withColumn("g", coalesce(col("g"), lit(0L)))
+      .withColumn("cum_g", sum(col("g")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val nTot = cb.agg(sum(col("c")).as("nn"))
+    val wc = Window.partitionBy("cls").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cb.groupBy(col("cls")).agg(sum(col("c")).as("nc"))
+      .select(col("cls"), col("nc"),
+        explode(sequence(lit(0), lit(nBins - 1))).as("b"))
+      .join(cb, Seq("cls", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_c", sum(col("c")).over(wc))
+      .join(broadcast(globDense.select(col("b"), col("cum_g"))), Seq("b"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("cls"))
+      .agg(max(col("nc")).as("n"),
+        sum(abs(dec(col("cum_c")) * col("nn") -
+          dec(col("cum_g")) * col("nc"))).as("gap"),
+        max(dec(col("nc")) * col("nn")).as("den"))
+      .select(col("cls"), col("n"),
+        expr(s"cast((1000000 * gap) div (${nBins - 1} * den) as bigint)")
+          .as("emd_ppm"))
+      .withColumn("breach", (col("emd_ppm") > tPpm).cast("int"))
   }
 }

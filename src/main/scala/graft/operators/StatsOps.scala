@@ -1791,44 +1791,8 @@ object StatsOps {
   def kendallTauB(df: DataFrame, cellCol: String, xCol: String,
       yCol: String, maxGridCells: Long = 4000000L): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cxy = df
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(cellCol).as("cell"), col(xCol).cast("long").as("x"),
-        col(yCol).cast("long").as("y"))
-      .groupBy(col("cell"), col("x"), col("y"))
-      .agg(count(lit(1)).as("nxy"))
-    val dx = cxy.select(col("cell"), col("x")).distinct()
-    val dy = cxy.select(col("cell"), col("y")).distinct()
-    // scalar guard probe: distinct-frame-sized aggregates, one 1-row
-    // collect — the k-core/CC convergence-probe cost class
-    val worst = dx.groupBy(col("cell")).agg(count(lit(1)).as("ndx"))
-      .join(dy.groupBy(col("cell")).agg(count(lit(1)).as("ndy")),
-        Seq("cell"))
-      .agg(max(col("ndx") * col("ndy"))).head()
-    val worstCells = if (worst.isNullAt(0)) 0L else worst.getLong(0)
-    require(worstCells <= maxGridCells,
-      s"kendallTauB: a cell's dense grid would hold $worstCells " +
-        s"(> maxGridCells = $maxGridCells) (x, y) combinations - bin " +
-        "the inputs first (the q195/q196 discipline)")
-    val grid = dx
-      .join(dy, Seq("cell"))
-      .join(cxy, Seq("cell", "x", "y"), "left")
-      .withColumn("nc", coalesce(col("nxy"), lit(0L)))
-    val wyLt = Window.partitionBy("cell", "x").orderBy("y")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wyGt = Window.partitionBy("cell", "x").orderBy("y")
-      .rowsBetween(1, Window.unboundedFollowing)
-    val wxLt = Window.partitionBy("cell", "y").orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val g = grid
-      .withColumn("hlt", coalesce(sum(col("nc")).over(wyLt), lit(0L)))
-      .withColumn("hgt", coalesce(sum(col("nc")).over(wyGt), lit(0L)))
-      .withColumn("glt", coalesce(sum(col("hlt")).over(wxLt), lit(0L)))
-      .withColumn("ggt", coalesce(sum(col("hgt")).over(wxLt), lit(0L)))
-    val pair = g.groupBy(col("cell"))
-      .agg(sum(dec(col("nc"))).as("n"),
-        sum(dec(col("nc")) * col("glt")).as("conc"),
-        sum(dec(col("nc")) * col("ggt")).as("disc"))
+    val (cxy, pair) = contingencyPairs(df, cellCol, xCol, yCol,
+      maxGridCells, "kendallTauB")
     val tx = cxy.groupBy(col("cell"), col("x"))
       .agg(sum(col("nxy")).as("nx"))
       .groupBy(col("cell"))
@@ -1850,6 +1814,185 @@ object StatsOps {
       .select(col("cell"), col("n").cast("long").as("n"),
         col("conc").cast("long").as("conc"),
         col("disc").cast("long").as("disc"), col("tau_milli"))
+  }
+
+  /** Shared concordance core of [[kendallTauB]] and [[mannKendall]]:
+    * the (cell, x, y) contingency aggregate plus the per-cell
+    * (n, conc, disc) frame from the dense-grid double-prefix — and the
+    * in-plan grid guard (scalar probe over the distinct frames, the
+    * k-core/CC convergence-probe cost class) that fails loudly when an
+    * unbinned caller would build an |X|·|Y| monster. */
+  private def contingencyPairs(df: DataFrame, cellCol: String,
+      xCol: String, yCol: String, maxGridCells: Long,
+      opName: String): (DataFrame, DataFrame) = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cxy = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col("cell"), col("x"), col("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val dx = cxy.select(col("cell"), col("x")).distinct()
+    val dy = cxy.select(col("cell"), col("y")).distinct()
+    val worst = dx.groupBy(col("cell")).agg(count(lit(1)).as("ndx"))
+      .join(dy.groupBy(col("cell")).agg(count(lit(1)).as("ndy")),
+        Seq("cell"))
+      .agg(max(col("ndx") * col("ndy"))).head()
+    val worstCells = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(worstCells <= maxGridCells,
+      s"$opName: a cell's dense grid would hold $worstCells " +
+        s"(> maxGridCells = $maxGridCells) (x, y) combinations - bin " +
+        "the inputs first (the q195/q196 discipline)")
+    val grid = dx
+      .join(dy, Seq("cell"))
+      .join(cxy, Seq("cell", "x", "y"), "left")
+      .withColumn("nc", coalesce(col("nxy"), lit(0L)))
+    val wyLt = Window.partitionBy("cell", "x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wyGt = Window.partitionBy("cell", "x").orderBy("y")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wxLt = Window.partitionBy("cell", "y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = grid
+      .withColumn("hlt", coalesce(sum(col("nc")).over(wyLt), lit(0L)))
+      .withColumn("hgt", coalesce(sum(col("nc")).over(wyGt), lit(0L)))
+      .withColumn("glt", coalesce(sum(col("hlt")).over(wxLt), lit(0L)))
+      .withColumn("ggt", coalesce(sum(col("hgt")).over(wxLt), lit(0L)))
+    val pair = g.groupBy(col("cell"))
+      .agg(sum(dec(col("nc"))).as("n"),
+        sum(dec(col("nc")) * col("glt")).as("conc"),
+        sum(dec(col("nc")) * col("ggt")).as("disc"))
+    (cxy, pair)
+  }
+
+  /**
+   * Mann–Kendall trend test — "is this series monotonically drifting",
+   * the nonparametric trend readout for operational time series (daily
+   * volumes, drift scores, ingest rates): S = Σ_{t_i<t_j}
+   * sign(v_j − v_i) = C − D over the (time, value) frame, the exact
+   * concordance statistic [[kendallTauB]]'s grid double-prefix already
+   * computes — never a pairwise scan. TIME POINTS MUST BE UNIQUE per
+   * cell (aggregate to your time grain first); enforced loudly by a
+   * scalar probe, because duplicated times silently change the
+   * variance law. The normal approximation is a defined lattice:
+   * den = n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5) (the tie-corrected
+   * 18·Var), z_milli = sign(S)·⌊√((18·10⁶·(|S|−1)²) div den)⌋ with the
+   * continuity correction, S = 0 reading exactly 0 and a degenerate
+   * den (n < 2 or all-tied values) emitting null — and the welchT
+   * family guard: a radicand at or beyond 2⁵³ emits null rather than
+   * a double-rounded z.
+   *
+   * Scale shape: identical to [[kendallTauB]] — one (cell, t, v)
+   * contingency aggregate is the only corpus-sized shuffle; the grid
+   * is |T|·|V| bounded by the guard; everything after is
+   * cell-frame arithmetic.
+   */
+  def mannKendall(df: DataFrame, cellCol: String, tCol: String,
+      vCol: String, maxGridCells: Long = 4000000L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val (cxy, pair) = contingencyPairs(df, cellCol, tCol, vCol,
+      maxGridCells, "mannKendall")
+    val dupT = cxy.groupBy(col("cell"), col("x"))
+      .agg(sum(col("nxy")).as("nx"))
+      .agg(max(col("nx"))).head()
+    require(dupT.isNullAt(0) || dupT.getLong(0) <= 1L,
+      "mannKendall: time points must be unique per cell - aggregate " +
+        "to your time grain first")
+    val tcub = cxy.groupBy(col("cell"), col("y"))
+      .agg(sum(col("nxy")).as("ny"))
+      .groupBy(col("cell"))
+      .agg(sum(dec(col("ny")) * (col("ny") - 1) * (col("ny") * 2 + 5))
+        .as("tcub"))
+    pair.join(tcub, Seq("cell"))
+      .withColumn("s", col("conc") - col("disc"))
+      .withColumn("den", expr(
+        "n * (n - 1) * (n * 2 + 5) - tcub"))
+      .withColumn("rad", when(col("den") > 0 && col("s") =!= 0, expr(
+        "(18000000 * (abs(s) - 1) * (abs(s) - 1)) div den")))
+      .select(col("cell"), col("n").cast("long").as("n"),
+        col("s").cast("long").as("s"),
+        when(col("den") > 0 && col("s") === 0, lit(0L))
+          .when(col("rad").isNotNull &&
+              col("rad") < lit(9007199254740992L),
+            expr("""cast(sign(s) as bigint) *
+              cast(floor(sqrt(cast(rad as double))) as bigint)"""))
+          .as("z_milli"))
+  }
+
+  /**
+   * Gini concentration — "how unevenly is this mass distributed", the
+   * Lorenz-curve scalar for corpus governance (token mass over
+   * documents per source: 0 = perfectly even, →1 = one document is
+   * the corpus). Exact on the rank lattice: with per-cell ascending
+   * ranks i (ties ordered by id — the i·x_i sum is invariant under
+   * tie permutation, so the tiebreak cannot change the answer),
+   * gini_ppm = ⌊10⁶·(2·Σi·x_i − (n+1)·Σx) / (n·Σx)⌋, numerator in
+   * decimal128. Zero-total or single-row cells emit null.
+   *
+   * Scale shape: one window per cell for the ranks (PARTITIONED — a
+   * cell's rows, never the corpus) plus one cell aggregate. For a
+   * cell too large for one partition's window, the q171/q174
+   * bucket-prefix rank decomposition slots in upstream; corpus
+   * sources are nowhere near that.
+   */
+  def giniConcentration(df: DataFrame, cellCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy("cell").orderBy(col("x"), col("id"))
+    df.select(col(cellCol).as("cell"), col(idCol).as("id"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum(dec(col("x")) * col("i")).as("ix"))
+      .select(col("cell"), col("n"), col("total"),
+        when(col("n") > 1 && col("total") > 0, expr(
+          """cast((1000000 * (2 * ix - cast(n + 1 as decimal(38,0)) *
+               total)) div (cast(n as decimal(38,0)) * total)
+             as bigint)""")).as("gini_ppm"))
+  }
+
+  /**
+   * Nelson–Aalen cumulative hazard — the survival-analysis readout
+   * for retention/lifetime data ("how fast does this cohort die"),
+   * censoring-aware where a naive lifetime histogram is not: at each
+   * distinct duration t with d_t events, the hazard increment is
+   * d_t/n_t against the risk set n_t = subjects (events AND censored)
+   * with duration ≥ t. The lattice is DEFINED as the running sum of
+   * per-time floors: h_inc_ppm = (10⁶·d_t) div n_t, h_cum_ppm =
+   * Σ_{u≤t} h_inc_ppm — sum-of-floors, not floor-of-sums, so both
+   * engines replay it term by term. Emits one row per (cell, t) with
+   * d_t > 0; censored-only times contribute risk, never a row.
+   *
+   * Input: (cellCol, durCol, eventCol) — one row per subject,
+   * eventCol 1 = observed event, 0 = right-censored at durCol.
+   *
+   * Scale shape: one (cell, dur) aggregate is the only subject-sized
+   * shuffle; the risk set is a suffix-sum window over the bounded
+   * distinct-duration frame per cell, and the cumulative hazard a
+   * prefix window on the same frame.
+   */
+  def nelsonAalen(df: DataFrame, cellCol: String, durCol: String,
+      eventCol: String): DataFrame = {
+    val byDur = df
+      .select(col(cellCol).as("cell"), col(durCol).cast("long").as("t"),
+        col(eventCol).cast("long").as("ev"))
+      .filter(col("t").isNotNull && col("t") >= 0)
+      .groupBy(col("cell"), col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).as("d"))
+    val wRisk = Window.partitionBy("cell").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.partitionBy("cell").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .withColumn("h_inc_ppm", expr("(1000000 * d) div n_risk"))
+      .withColumn("h_cum_ppm", sum(when(col("d") > 0,
+        col("h_inc_ppm")).otherwise(0L)).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("cell"), col("t"), col("n_risk"), col("d"),
+        col("h_inc_ppm"), col("h_cum_ppm"))
   }
 
   /**
