@@ -345,13 +345,6 @@ object QualityAudit {
         col("min_l_div"))
   }
 
-  /** Benford expected first-digit shares, ⌊10⁶·log₁₀(1 + 1/d)⌋ — nine
-    * public constants, identical in the oracle (Σ = 999995; the 5 ppm
-    * residue is the floor lattice's, not an error). */
-  val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301029L, 2 -> 176091L,
-    3 -> 124938L, 4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
-    8 -> 51152L, 9 -> 45757L)
-
   /**
    * Benford first-digit audit — the fabrication/truncation smell test
    * for any positive magnitude column (amounts, counts, file sizes):
@@ -370,8 +363,8 @@ object QualityAudit {
    */
   def benfordProfile(df: DataFrame, cellCol: String,
       valueCol: String): DataFrame = {
-    val expMap = map(BenfordPpm.flatMap { case (d, p) =>
-      Seq(lit(d), lit(p)) }: _*)
+    val expMap = map(BenfordPpm.zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(i + 1), lit(p)) }: _*)
     val digits = df
       .select(col(cellCol).as("cell"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull && col("v") > 0)

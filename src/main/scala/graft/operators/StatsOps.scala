@@ -1790,7 +1790,6 @@ object StatsOps {
    */
   def kendallTauB(df: DataFrame, cellCol: String, xCol: String,
       yCol: String, maxGridCells: Long = 4000000L): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     val (cxy, pair) = contingencyPairs(df, cellCol, xCol, yCol,
       maxGridCells, "kendallTauB")
     val tx = cxy.groupBy(col("cell"), col("x"))
@@ -1826,12 +1825,16 @@ object StatsOps {
       xCol: String, yCol: String, maxGridCells: Long,
       opName: String): (DataFrame, DataFrame) = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // one materialization serves the guard probe, both marginal
+    // re-aggregates and the grid join (the q189 rule — without it the
+    // corpus-sized contingency aggregate recomputes five times)
     val cxy = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(cellCol).as("cell"), col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"))
       .groupBy(col("cell"), col("x"), col("y"))
       .agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(true)
     val dx = cxy.select(col("cell"), col("x")).distinct()
     val dy = cxy.select(col("cell"), col("y")).distinct()
     val worst = dx.groupBy(col("cell")).agg(count(lit(1)).as("ndx"))
@@ -1935,7 +1938,7 @@ object StatsOps {
    * bucket-prefix rank decomposition slots in upstream; corpus
    * sources are nowhere near that.
    */
-  def giniConcentration(df: DataFrame, cellCol: String, idCol: String,
+  def giniConcentrationByCell(df: DataFrame, cellCol: String, idCol: String,
       valueCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val w = Window.partitionBy("cell").orderBy(col("x"), col("id"))
