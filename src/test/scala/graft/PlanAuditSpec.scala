@@ -122,7 +122,10 @@ class PlanAuditSpec extends SparkSuite {
       "q243_span_attribution",
       // q244 embeds q223's mixturePlan, inheriting its 1-row
       // budget/deficit scalar broadcasts onto the |sources| frame
-      "q244_corpus_refresh_chain")
+      "q244_corpus_refresh_chain",
+      // q246's nested loop is tCloseness's 1-row table-total (N)
+      // broadcast onto the class×bin dense frame — the q71/q94 shape
+      "q246_t_closeness")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -417,11 +420,13 @@ class PlanAuditSpec extends SparkSuite {
     * window — the q171/q174 single-partition defect class stays dead
     * registry-wide. */
   /** q208's π₀ apportionment ranks the ≤|states|-row (5) distinct-
-    * state frame — model-sized, never data. */
+    * state frame — model-sized, never data. q246's global prefix is
+    * tCloseness's cum_g over the dense ≤ nBins (8) global-histogram
+    * frame — bin-bounded, never data. */
   private val allowedGlobalWindow: Set[String] =
     Set("q104_histogram_drift", "q124_pareto_frontier",
       "q128_curriculum_order", "q129_ivm_quantile", "q168_neyman_sample",
-      "q87_pq_adc_topk", "q208_markov_stationary")
+      "q87_pq_adc_topk", "q208_markov_stationary", "q246_t_closeness")
 
   test("registry-wide: unpartitioned windows only where deliberate " +
       "(bounded or pre-pruned frames)") {
