@@ -1171,7 +1171,7 @@ object DedupQueries {
           FROM pos),
         fl AS MATERIALIZED (SELECT doc_id, p, e, h FROM (
             SELECT *, count(*) OVER (PARTITION BY h) AS dfh FROM gr), nd
-          WHERE dfh >= 2 AND dfh <= greatest((n_docs * 100) // 1000, 2)),
+          WHERE dfh >= 2 AND dfh <= greatest((n_docs * 10) // 1000, 2)),
         pr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             a.p AS p, a.e AS e, a.h AS h
           FROM fl a JOIN fl b ON a.h = b.h AND a.doc_id < b.doc_id),

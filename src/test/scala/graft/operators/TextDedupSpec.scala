@@ -543,12 +543,20 @@ class TextDedupSpec extends SparkSuite {
       2L -> "p q b c d r s t u",
       3L -> "a b c w w w z1 z2 z3",
       4L -> "b c d x1 x2 x3")
-    // default cap: max(4*100/1000, 2) = 2 — "b c d" (df 3) is capped
+    // tight cap: max(4*100/1000, 2) = 2 — "b c d" (df 3) is capped
     // out, so every pair it alone witnessed disappears
     val tight = attrib(docs, capPm = 100L)
     assert(tight.keySet === Set((1L, 3L)))
     // "a b c" covers 1..3, "z1 z2 z3" covers 7..9: 6 tokens, 2 spans
     assert(tight((1L, 3L)) === ((2L, 6L, 2L)))
+    // the production DEFAULT is 10 permille (r12 verdict: the pair
+    // join is O(sum df^2), so the default must exclude hot grams) —
+    // on this fixture it lands on the same floor-2 cap as 100 permille
+    val byDefault = TextDedup.spanAttribution(
+        docs.toDF("doc_id", "text"), "doc_id", "text", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(byDefault === tight)
     // permille 1000: cap = 4, "b c d" survives and witnesses 3 pairs
     val loose = attrib(docs, capPm = 1000L)
     assert(loose.keySet ===
