@@ -9,9 +9,10 @@ import graft.{SparkEntry, SparkSuite}
 
 /**
  * Structural pins for the expensive head of the registry (r11 verdict
- * item #4): the 6 slowest / heaviest plans — q153 k-core, q193 HITS,
- * q205 Kendall τ-b, q115 triangles, q189 SemDeDup, q84 FastSS — get
- * their scale claims asserted so a plan regression is caught
+ * item #4; extended to the full ≥4 s head by r12 item #7): the 8
+ * slowest / heaviest plans — q153 k-core, q193 HITS, q205 Kendall
+ * τ-b, q115 triangles, q189 SemDeDup, q84 FastSS, q61 CC, q118 BFS —
+ * get their scale claims asserted so a plan regression is caught
  * structurally instead of via wall-time noise. Several of these
  * localCheckpoint mid-query, so the audit runs through a
  * QueryExecutionListener and sees EVERY executed segment (the
@@ -135,12 +136,36 @@ class HeavyHeadPlanSpec extends SparkSuite {
     assert(ex <= 4, s"q84 exchange budget blown: $ex")
   }
 
+  test("q61 dedup clusters (CC): min-label propagation rounds stay " +
+      "keyed join+agg — no loops, bounded exchanges, documents scan " +
+      "reads ids only (never text)") {
+    val a = audit("q61_dedup_clusters")
+    assertClean(a, "q61", allowNestedLoop = false)
+    val ex = exchanges(a)
+    assert(ex <= 30, s"q61 exchange budget blown: $ex")
+    a.scanSchemas("documents").foreach(rs =>
+      assert(!rs.contains("text"), s"q61 documents scan reads text: $rs"))
+  }
+
+  test("q118 BFS hops: frontier join + anti-join rounds move (node, " +
+      "hop) longs only — no loops, bounded exchanges, lineitem scan " +
+      "stays two-column") {
+    val a = audit("q118_bfs_hops")
+    assertClean(a, "q118", allowNestedLoop = false)
+    val ex = exchanges(a)
+    assert(ex <= 26, s"q118 exchange budget blown: $ex")
+    a.scanSchemas("lineitem").foreach(rs =>
+      assert(!rs.contains("l_comment") && !rs.contains("l_extendedprice"),
+        s"q118 lineitem scan reads fat columns: $rs"))
+  }
+
   // measurement aid: set SPARK_GRAFT_PLAN_PROBE=1 to print the budgets
   if (sys.env.contains("SPARK_GRAFT_PLAN_PROBE"))
     test("probe: print exchange counts for budget calibration") {
       for (n <- Seq("q153_kcore", "q193_hits_bipartite",
           "q205_kendall_tau_b", "q115_triangle_count",
-          "q189_semantic_dedup", "q84_edit_distance_join")) {
+          "q189_semantic_dedup", "q84_edit_distance_join",
+          "q61_dedup_clusters", "q118_bfs_hops")) {
         val a = audit(n)
         info(s"$n: segments=${a.segments.size} exchanges=${exchanges(a)} " +
           s"bnlj=${a.count(_.contains("BroadcastNestedLoopJoin"))}")
