@@ -147,7 +147,7 @@ object StreamCorpus {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[KeptDoc], batchId: Long) =>
-        verifyLineage(batch.sparkSession, dir, checkpointDir, batchId)
+        verifyLineage(batch.sparkSession, dir, checkpointDir, batchId, "docs")
         val b = batch.persist() // two sinks below — compute the batch once
         try {
           b.toDF().select(col("doc_id"), col("content_hash"))
@@ -162,8 +162,80 @@ object StreamCorpus {
     * checkpoint; a marker-less dir may only be adopted at epoch 0 while
     * it holds no landed partitions yet (a marker-less dir WITH
     * partitions is an index of unknown lineage — refuse). */
+  /**
+   * Maintain the q244 refresh-chain STANDING STATE incrementally — the
+   * streaming writer for the two hash-keyed tables the incremental
+   * corpus-refresh chain consumes: `dir/sh` = per-batch (src, ch, cnt)
+   * manifest-count deltas and `dir/ntok` = per-batch (ch, ntok) token-
+   * map rows. Arrivals are raw (source, text) documents; each
+   * micro-batch hashes ONLY its own rows (the delta-cost contract —
+   * standing text is never re-read) and lands its aggregate under a
+   * deterministic `batch_id=<epoch>` partition, so a foreachBatch retry
+   * overwrites instead of double-counting (the [[maintainShingleIndex]]
+   * effectively-once shape; same `_lineage` checkpoint binding).
+   *
+   * The state REPRESENTATION is the additive decomposition: standing
+   * (src, ch) counts = grouped SUM over all landed partitions (counts
+   * commute — the q81/q244 merge discipline), the token map = DISTINCT
+   * over partitions ((ch, ntok) is functionally determined by ch, so
+   * distinct-of-unions ≡ union-of-distincts). [[readRefreshState]] is
+   * the one reader that performs both folds, merging an optional
+   * day-1 standing dir in the same pass; its output feeds
+   * `TextDedup.dedupRateManifestFromCounts` and
+   * `CorpusAssembly.mixturePlan` exactly as q244's batch build does —
+   * StreamRefreshSpec proves the chain output bit-identical.
+   *
+   * Scale shape: per batch, one map-side-combined (src, ch) aggregate
+   * over the ARRIVALS only; nothing ever rewrites standing partitions,
+   * so maintenance cost is O(delta), not O(corpus). Compact old
+   * partitions with `ScanOps.compactParquet` under the same
+   * stopped-stream contract as the shingle index.
+   */
+  def maintainRefreshState(arrivals: DataFrame, dir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    arrivals
+      .select(col("source").as("src"),
+        TextDedup.hash64(col("text")).as("ch"),
+        size(TextDedup.tokens(col("text"))).cast("long").as("ntok"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        verifyLineage(batch.sparkSession, dir, checkpointDir, batchId, "sh")
+        val b = batch.persist() // two sinks below — compute the batch once
+        try {
+          b.groupBy(col("src"), col("ch"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$dir/sh/batch_id=$batchId")
+          b.select(col("ch"), col("ntok")).distinct()
+            .write.mode("overwrite").parquet(s"$dir/ntok/batch_id=$batchId")
+        } finally { b.unpersist(); () }
+      }
+
+  /** Fold the stream-maintained refresh state (and an optional day-1
+    * standing dir in `TextDedup`'s `sh`/`ntok` layout) into the exact
+    * (src, ch, cnt) + (ch, ntok) frames q244's chain consumes. The
+    * grouped sum / distinct are the ONLY folds — additivity is what
+    * makes the per-batch partition layout a valid state encoding. */
+  def readRefreshState(spark: org.apache.spark.sql.SparkSession,
+      streamDir: String, standingDir: Option[String])
+      : (DataFrame, DataFrame) = {
+    val shParts = spark.read.parquet(s"$streamDir/sh")
+      .select(col("src"), col("ch"), col("cnt"))
+    val ntokParts = spark.read.parquet(s"$streamDir/ntok")
+      .select(col("ch"), col("ntok"))
+    val sh = standingDir.map(sd => spark.read.parquet(s"$sd/sh")
+        .unionByName(shParts)).getOrElse(shParts)
+      .groupBy(col("src"), col("ch"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val ntok = standingDir.map(sd => spark.read.parquet(s"$sd/ntok")
+        .unionByName(ntokParts)).getOrElse(ntokParts)
+      .distinct()
+    (sh, ntok)
+  }
+
   private def verifyLineage(spark: org.apache.spark.sql.SparkSession,
-      dir: String, checkpointDir: String, batchId: Long): Unit = {
+      dir: String, checkpointDir: String, batchId: Long,
+      partsSubdir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_lineage")
@@ -177,7 +249,7 @@ object StreamCorpus {
             s"'$checkpointDir': a different checkpoint cannot extend it " +
             "(its dedup state is gone); rebuild or archive the standing index")
     } else {
-      val docsPath = new org.apache.hadoop.fs.Path(s"$dir/docs")
+      val docsPath = new org.apache.hadoop.fs.Path(s"$dir/$partsSubdir")
       val hasPartitions = fs.exists(docsPath) && fs.listStatus(docsPath)
         .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       if (batchId == 0L && hasPartitions)
