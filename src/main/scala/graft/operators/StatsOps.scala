@@ -2335,4 +2335,178 @@ object StatsOps {
           expr("cast((1000000 * cast(xb as decimal(38,0))) div n_b " +
             "as bigint)")).as("excl_b_ppm"))
   }
+
+  /**
+   * Log-rank test — "do these two cohorts die at the same rate", the
+   * hypothesis-test leg closing the survival family ([[kmSurvival]]
+   * draws the curves, [[nelsonAalen]] the cumulative hazard; this
+   * says whether the A/B difference is signal). At each pooled event
+   * time t: observed A-deaths d_At vs expected d_t·n_At/n_t under the
+   * null, with the hypergeometric variance
+   * d_t·n_At·n_Bt·(n_t−d_t)/(n_t²·(n_t−1)).
+   *
+   * THE LATTICE IS DEFINED as sum-of-floors on common scales — both
+   * engines replay it term by term: e_ppm_t = (10⁶·d_t·n_At) div n_t,
+   * v_pp12_t = (10¹²·d_t·n_At·n_Bt·(n_t−d_t)) div (n_t²·(n_t−1))
+   * (zero when n_t = 1), O_ppm = 10⁶·Σd_At; z_milli rides the welchT
+   * staged floor-sqrt on Δ = O − E against V with the 2⁵³ radicand
+   * guard, V = 0 emitting null. Rows whose time has no event (d_t = 0)
+   * contribute risk through the suffix windows, never a term.
+   *
+   * Input: one row per subject — (cellCol, groupCol ∈ {gA, gB} — other
+   * values drop, durCol integral, eventCol 1 = event / 0 = censored).
+   * Output: (cell, n_a, n_b, d_a, e_a_ppm, z_milli).
+   *
+   * Scale shape: one (cell, t) aggregate is the only subject-sized
+   * shuffle; both risk sets ride suffix windows over the bounded
+   * distinct-duration frame per cell, sharing one cell-keyed exchange
+   * with the final rollup.
+   */
+  def logRank(df: DataFrame, cellCol: String, groupCol: String,
+      gA: String, gB: String, durCol: String, eventCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val byT = df
+      .filter(col(groupCol).isin(gA, gB) && col(durCol).isNotNull &&
+        col(durCol) >= 0)
+      .select(col(cellCol).as("cell"),
+        (col(groupCol) === gA).cast("long").as("ia"),
+        col(durCol).cast("long").as("t"),
+        col(eventCol).cast("long").as("ev"))
+      .groupBy(col("cell"), col("t"))
+      .agg(sum(col("ia")).as("na_at"),
+        sum(lit(1L) - col("ia")).as("nb_at"),
+        sum(col("ia") * col("ev")).as("da"),
+        sum((lit(1L) - col("ia")) * col("ev")).as("db"))
+    val wRisk = Window.partitionBy("cell").orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byT
+      .withColumn("na_risk", sum(col("na_at")).over(wRisk))
+      .withColumn("nb_risk", sum(col("nb_at")).over(wRisk))
+      .withColumn("d", col("da") + col("db"))
+      .withColumn("n", col("na_risk") + col("nb_risk"))
+      .withColumn("e_ppm", when(col("d") > 0,
+        expr("(1000000 * d * na_risk) div n")).otherwise(0L))
+      .withColumn("v_pp12", when(col("d") > 0 && col("n") > 1, expr(
+        """(cast(1000000000000 as decimal(38,0)) * d * na_risk * nb_risk
+           * (n - d)) div (cast(n as decimal(38,0)) * n * (n - 1))"""))
+        .otherwise(lit(0)).cast("decimal(38,0)"))
+      .groupBy(col("cell"))
+      .agg(sum(col("na_at")).as("n_a"), sum(col("nb_at")).as("n_b"),
+        sum(col("da")).as("d_a"),
+        sum(dec(col("e_ppm"))).as("e_sum"),
+        sum(col("v_pp12")).as("v_sum"))
+      .withColumn("delta", expr("cast(1000000 as decimal(38,0)) * d_a") -
+        col("e_sum"))
+      .withColumn("rad", when(col("v_sum") > 0,
+        expr("(1000000 * abs(delta) * abs(delta)) div v_sum")))
+      .select(col("cell"), col("n_a"), col("n_b"), col("d_a"),
+        col("e_sum").cast("long").as("e_a_ppm"),
+        when(col("rad").isNotNull && col("rad") < lit(9007199254740992L),
+          expr("""cast(sign(delta) as bigint) *
+            cast(floor(sqrt(cast(rad as double))) as bigint)"""))
+          .as("z_milli"))
+  }
+
+  /**
+   * Theil–Sen slope — the robust trend MAGNITUDE beside
+   * [[mannKendall]]'s trend EXISTENCE: the median pairwise slope over
+   * a per-cell (time, value) series, immune to ~29% outliers where
+   * least-squares (q98) is wrecked by one. THE LATTICE IS DEFINED as
+   * slope_milli(i,j) = (1000·(v_j − v_i)) div (t_j − t_i) per ordered
+   * pair — integral division truncating toward zero, identical in
+   * Spark `div` and DuckDB `//` (measured; the engines agree on
+   * truncation, so the lattice needs no floor correction) — and the
+   * statistic is the LOWER median: the ⌈n_pairs/2⌉-th smallest
+   * (value-determined — row_number tie order cannot move it).
+   *
+   * TIME POINTS MUST BE UNIQUE per cell (aggregate to your grain
+   * first) — enforced loudly; the pair join is the series' own
+   * O(n²/2), bounded by `maxPairsPerCell` with the contingencyPairs
+   * loud-guard discipline (callers aggregate; a 30-point daily series
+   * is 435 pairs, a 10⁴-point one is 5·10⁷ — bin first).
+   *
+   * Scale shape: one (cell, t) dedup-check aggregate + the bounded
+   * per-cell pair self-join; the median rides one cell-partitioned
+   * rank window over the pair frame.
+   */
+  def theilSen(df: DataFrame, cellCol: String, tCol: String,
+      vCol: String, maxPairsPerCell: Long = 2000000L): DataFrame = {
+    val pts = df
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(tCol).cast("long").as("t"),
+        col(vCol).cast("long").as("v"))
+    val sizes = pts.groupBy(col("cell"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cell"))
+      .agg(max(col("c")).as("mx"), count(lit(1)).as("n"))
+      .agg(max(col("mx")).as("dup"),
+        max(expr("(n * (n - 1)) div 2")).as("pairs")).head()
+    require(sizes.isNullAt(0) || sizes.getLong(0) <= 1L,
+      "theilSen: time points must be unique per cell - aggregate to " +
+        "your time grain first")
+    require(sizes.isNullAt(1) || sizes.getLong(1) <= maxPairsPerCell,
+      s"theilSen: a cell's pair join would hold ${sizes.getLong(1)} " +
+        s"pairs (> maxPairsPerCell = $maxPairsPerCell) - aggregate to " +
+        "a coarser grain first (the contingencyPairs discipline)")
+    val pairs = pts.as("a")
+      .join(pts.as("b"),
+        col("a.cell") === col("b.cell") && col("a.t") < col("b.t"))
+      .select(col("a.cell").as("cell"),
+        expr("(1000 * (b.v - a.v)) div (b.t - a.t)").as("s"))
+    val wRank = Window.partitionBy("cell").orderBy("s")
+    pairs
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("r") === expr("(np + 1) div 2"))
+      .select(col("cell"), col("np").as("n_pairs"),
+        col("s").as("slope_milli"))
+  }
+
+  /**
+   * CUSUM changepoint monitor — the sequential drift detector for
+   * operational series (daily quality scores, ingest volumes): the
+   * classic recursions S⁺_t = max(0, S⁺_{t−1} + x_t − kUp) /
+   * S⁻_t = max(0, S⁻_{t−1} + kDn − x_t) accumulate sustained
+   * excursions a threshold test on single points can't see. The
+   * recursion LOOKS sequential, but distributes exactly via the
+   * prefix identity S_t = P_t − min(0, min_{j≤t} P_j) with
+   * P_t = Σ_{i≤t}(x_i − k) — two windows (prefix sum, running min)
+   * per side, all integer arithmetic, no fold and no approximation.
+   * Alarms fire strictly above the side's threshold.
+   *
+   * TIME POINTS MUST BE UNIQUE per cell (aggregate first — duplicated
+   * times would make the prefix order, and so the statistic,
+   * nondeterministic); enforced loudly.
+   *
+   * Output: (cell, t, v, s_up, alarm_up, s_dn, alarm_dn) — one row
+   * per input point, alarms as 0/1 ints.
+   *
+   * Scale shape: all four windows share ONE cell-keyed exchange and
+   * one sort (same partition spec + ordering); per-cell series are
+   * the bounded time grain, never raw facts.
+   */
+  def cusum(df: DataFrame, cellCol: String, tCol: String, vCol: String,
+      kUp: Long, hUp: Long, kDn: Long, hDn: Long): DataFrame = {
+    val pts = df
+      .filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(tCol).cast("long").as("t"),
+        col(vCol).cast("long").as("v"))
+    val dup = pts.groupBy(col("cell"), col("t"))
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).head()
+    require(dup.isNullAt(0) || dup.getLong(0) <= 1L,
+      "cusum: time points must be unique per cell - aggregate to " +
+        "your time grain first")
+    val wPre = Window.partitionBy("cell").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("p_up", sum(col("v") - kUp).over(wPre))
+      .withColumn("p_dn", sum(lit(kDn) - col("v")).over(wPre))
+      .withColumn("s_up", col("p_up") -
+        least(lit(0L), min(col("p_up")).over(wPre)))
+      .withColumn("s_dn", col("p_dn") -
+        least(lit(0L), min(col("p_dn")).over(wPre)))
+      .select(col("cell"), col("t"), col("v"),
+        col("s_up"), (col("s_up") > hUp).cast("int").as("alarm_up"),
+        col("s_dn"), (col("s_dn") > hDn).cast("int").as("alarm_dn"))
+  }
 }

@@ -4660,5 +4660,175 @@ object AnalyticsQueries {
               // (CAST(n AS HUGEINT) * total) AS BIGINT)
           END AS gini_ppm
         FROM a ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q250 — log-rank test (StatsOps.logRank) closing the survival
+    // family: q120 KM draws the curves, q248 Nelson-Aalen the hazard,
+    // this says whether the A/B difference is signal. Same session-
+    // grain subjects as q248 (dur = events per (user, day), event =
+    // converted), groups = weekday vs weekend sessions, cells = three
+    // user bands (modulus 3 — co-prime with the weekly cycle; the
+    // even-modulus fixture trap). The sum-of-floors e/v lattice
+    // replays term-by-term in the oracle's window formulation.
+    // ------------------------------------------------------------------
+    "q250_log_rank" -> GraftQuery(
+      build = (s, d) => {
+        val sess = events(s, d)
+          .select(col("user_id").as("uid"),
+            expr("ts div 86400000000000").as("day"),
+            col("event_type").as("et"))
+          .groupBy(col("uid"), col("day"))
+          .agg(count(lit(1)).as("dur"),
+            max(when(col("et") === "purchase", 1L).otherwise(0L))
+              .as("ev"))
+          .select(concat(lit("u"), pmod(col("uid"), lit(3))).as("band"),
+            when(expr("(day + 4) % 7").isin(0L, 6L), "we")
+              .otherwise("wd").as("grp"),
+            col("dur"), col("ev"))
+        StatsOps.logRank(sess, "band", "grp", "wd", "we", "dur", "ev")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH sess AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS dur,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS ev FROM events GROUP BY 1, 2),
+        s AS (SELECT 'u' || CAST(user_id % 3 AS VARCHAR) AS cell,
+            CASE WHEN (day + 4) % 7 IN (0, 6) THEN 0 ELSE 1 END AS ia,
+            dur AS t, ev FROM sess),
+        bt AS (SELECT cell, t, CAST(sum(ia) AS BIGINT) AS na_at,
+            CAST(sum(1 - ia) AS BIGINT) AS nb_at,
+            CAST(sum(ia * ev) AS BIGINT) AS da,
+            CAST(sum((1 - ia) * ev) AS BIGINT) AS db
+          FROM s GROUP BY 1, 2),
+        r AS (SELECT cell, t, na_at, nb_at, da, db,
+            CAST(sum(na_at) OVER w AS BIGINT) AS na_risk,
+            CAST(sum(nb_at) OVER w AS BIGINT) AS nb_risk
+          FROM bt WINDOW w AS (PARTITION BY cell ORDER BY t ROWS
+            BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        term AS (SELECT cell, na_at, nb_at, da, d, n, na_risk, nb_risk,
+            CASE WHEN d > 0 THEN (1000000 * d * na_risk) // n
+              ELSE 0 END AS e_ppm,
+            CASE WHEN d > 0 AND n > 1 THEN
+              (CAST(1000000000000 AS HUGEINT) * d * na_risk * nb_risk *
+                (n - d)) // (CAST(n AS HUGEINT) * n * (n - 1))
+              ELSE 0 END AS v12
+          FROM (SELECT *, da + db AS d, na_risk + nb_risk AS n FROM r)),
+        agg AS (SELECT cell, CAST(sum(na_at) AS BIGINT) AS n_a,
+            CAST(sum(nb_at) AS BIGINT) AS n_b,
+            CAST(sum(da) AS BIGINT) AS d_a,
+            sum(CAST(e_ppm AS HUGEINT)) AS e_sum,
+            sum(CAST(v12 AS HUGEINT)) AS v_sum
+          FROM term GROUP BY 1),
+        fin AS (SELECT cell, n_a, n_b, d_a,
+            CAST(1000000 AS HUGEINT) * d_a - e_sum AS delta,
+            e_sum, v_sum FROM agg)
+        SELECT cell, n_a, n_b, d_a, CAST(e_sum AS BIGINT) AS e_a_ppm,
+          CASE WHEN v_sum > 0 AND (1000000 * abs(delta) * abs(delta))
+              // v_sum < 9007199254740992
+            THEN CAST(CASE WHEN delta < 0 THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST((1000000 * abs(delta) * abs(delta))
+                // v_sum AS DOUBLE))) AS BIGINT) AS BIGINT)
+          END AS z_milli
+        FROM fin ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q251 — Theil-Sen robust slope (StatsOps.theilSen), q247's trend-
+    // MAGNITUDE companion on the same daily frame: median pairwise
+    // slope over (day, volume) per type, with a +3/day ramp injected
+    // on signup (the generator draws volumes flat — probed; the
+    // injection makes the gated slope read the planted magnitude while
+    // the other four cells read noise around zero). 30 points = 435
+    // pairs per cell; the slope lattice truncates toward zero
+    // identically in Spark div and DuckDB //.
+    // ------------------------------------------------------------------
+    "q251_theil_sen" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .select(col("event_type").as("et"),
+            expr("ts div 86400000000000").as("day"))
+          .groupBy(col("et"), col("day"))
+          .agg(count(lit(1)).as("v0"))
+          .select(col("et"), col("day"),
+            (col("v0") + when(col("et") === "signup",
+              (col("day") - 19723L) * 3L).otherwise(0L)).as("v"))
+        StatsOps.theilSen(daily, "et", "day", "v").orderBy("cell")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT event_type AS cell,
+            epoch_us(ts) // 86400000000 AS t,
+            CAST(count(*) AS BIGINT) AS v0 FROM events GROUP BY 1, 2),
+        dd AS (SELECT cell, t, v0 + CASE WHEN cell = 'signup'
+            THEN (t - 19723) * 3 ELSE 0 END AS v FROM d),
+        p AS (SELECT a.cell AS cell,
+            (1000 * (b.v - a.v)) // (b.t - a.t) AS s
+          FROM dd a JOIN dd b ON a.cell = b.cell AND a.t < b.t),
+        r AS (SELECT cell, s,
+            row_number() OVER (PARTITION BY cell ORDER BY s) AS r,
+            count(*) OVER (PARTITION BY cell) AS np FROM p)
+        SELECT cell, CAST(np AS BIGINT) AS n_pairs,
+          CAST(s AS BIGINT) AS slope_milli
+        FROM r WHERE r = (np + 1) // 2 ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q252 — CUSUM changepoint monitor (StatsOps.cusum) on daily
+    // average event value (e-4 units) per type: a +50-unit level SHIFT
+    // injected on click and a -40-unit DROP on error, both from day
+    // 19743 — probed: 7-9 upper alarms on click, 7-8 lower alarms on
+    // error, ZERO false alarms on the three clean cells at every
+    // scale (k_up 700000 / k_dn 300000 sit ~1 sf0.001-sigma outside
+    // the flat daily mean of ~500000). The sequential recursion runs
+    // distributed via the exact prefix-min identity - two shared-
+    // exchange windows, no fold.
+    // ------------------------------------------------------------------
+    "q252_cusum" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type").as("et"),
+            expr("ts div 86400000000000").as("day"),
+            expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)")
+              .as("c"))
+          .groupBy(col("et"), col("day"))
+          .agg(expr("sum(c) div count(1)").as("a"))
+          .select(col("et"), col("day"),
+            (col("a") +
+              when(col("et") === "click" && col("day") >= 19743L,
+                500000L).otherwise(0L) -
+              when(col("et") === "error" && col("day") >= 19743L,
+                400000L).otherwise(0L)).as("v"))
+        StatsOps.cusum(daily, "et", "day", "v",
+            kUp = 700000L, hUp = 600000L, kDn = 300000L, hDn = 600000L)
+          .orderBy("cell", "t")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT event_type AS cell,
+            epoch_us(ts) // 86400000000 AS t,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) // count(*) AS a
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        v AS (SELECT cell, t, a +
+            CASE WHEN cell = 'click' AND t >= 19743 THEN 500000
+              ELSE 0 END -
+            CASE WHEN cell = 'error' AND t >= 19743 THEN 400000
+              ELSE 0 END AS v FROM d),
+        p AS (SELECT cell, t, v,
+            CAST(sum(v - 700000) OVER wp AS BIGINT) AS p_up,
+            CAST(sum(300000 - v) OVER wp AS BIGINT) AS p_dn
+          FROM v WINDOW wp AS (PARTITION BY cell ORDER BY t ROWS
+            BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        s AS (SELECT cell, t, v,
+            p_up - least(0, CAST(min(p_up) OVER wp AS BIGINT)) AS s_up,
+            p_dn - least(0, CAST(min(p_dn) OVER wp AS BIGINT)) AS s_dn
+          FROM p WINDOW wp AS (PARTITION BY cell ORDER BY t ROWS
+            BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT cell, t, v, s_up,
+          CAST(CASE WHEN s_up > 600000 THEN 1 ELSE 0 END AS INTEGER)
+            AS alarm_up,
+          s_dn,
+          CAST(CASE WHEN s_dn > 600000 THEN 1 ELSE 0 END AS INTEGER)
+            AS alarm_dn
+        FROM s ORDER BY cell, t""")),
   )
 }

@@ -1132,4 +1132,57 @@ object StatefulOps {
       .transformWithState(new SemanticDedupProcessor(minCosine, maxExemplars),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class CusumIn(k: String, t: Long, v: Long)
+  final case class CusumSt(up: Long, dn: Long)
+  final case class CusumOut(k: String, t: Long, v: Long, sUp: Long,
+    alarmUp: Int, sDn: Long, alarmDn: Int)
+
+  /**
+   * Streaming twin of `StatsOps.cusum` (q252) — the live drift monitor
+   * over a per-cell metric feed. Where the batch operator distributes
+   * the recursion via the prefix-min identity, the stream runs the
+   * recursions S⁺ = max(0, S⁺ + x − kUp) / S⁻ = max(0, S⁻ + kDn − x)
+   * DIRECTLY — sequential-per-key is the stream's natural shape — with
+   * exactly TWO longs of state per cell, surviving micro-batch
+   * boundaries through the checkpoint. Rows sort by t inside each
+   * batch; across batches the state continues the walk, so a series
+   * split over any boundary is bit-identical to the batch operator on
+   * the concatenated input (StreamCusumSpec's equivalence claim).
+   * Requires time-ordered batch arrival per cell, the
+   * [[RunningRecurrenceProcessor]] contract.
+   */
+  class CusumProcessor(kUp: Long, hUp: Long, kDn: Long, hDn: Long)
+      extends StatefulProcessor[String, CusumIn, CusumOut] {
+    @transient private var st: ValueState[CusumSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumSt]("cusum",
+        Encoders.product[CusumSt], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CusumIn],
+        timers: TimerValues): Iterator[CusumOut] = {
+      val sorted = rows.toArray.sortBy(_.t)
+      var s = if (st.exists()) st.get() else CusumSt(0L, 0L)
+      val out = sorted.map { r =>
+        s = CusumSt(math.max(0L, s.up + r.v - kUp),
+          math.max(0L, s.dn + kDn - r.v))
+        CusumOut(r.k, r.t, r.v, s.up, if (s.up > hUp) 1 else 0,
+          s.dn, if (s.dn > hDn) 1 else 0)
+      }
+      if (sorted.nonEmpty) st.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[CusumProcessor]] over a (k, t, v) frame. */
+  def cusumStream(rows: DataFrame, kUp: Long, hUp: Long, kDn: Long,
+      hDn: Long): Dataset[CusumOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("t"), col("v"))
+      .as[CusumIn]
+      .groupByKey(_.k)
+      .transformWithState(new CusumProcessor(kUp, hUp, kDn, hDn),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -293,4 +293,160 @@ class Round13PropertySpec extends SparkSuite {
       assert(got2 === got, s"seed $seed tiebreak")
     }
   }
+
+  // ------------------------------------------------------------------
+  // log-rank
+  // ------------------------------------------------------------------
+
+  test("logRank: twin-symmetric cohorts read exactly z = 0; no events " +
+      "anywhere nulls via V = 0; a planted hazard gap signs z the " +
+      "right way") {
+    // every A subject has an identical B twin: nA = nB and dA = dB at
+    // every time, so e_ppm_t = 10^6 * dA exactly and delta = 0
+    val twins = (1 to 12).flatMap(i => Seq(
+      ("c", "A", (i % 4 + 1).toLong, (i % 2).toLong),
+      ("c", "B", (i % 4 + 1).toLong, (i % 2).toLong)))
+      .toDF("cell", "grp", "dur", "ev")
+    val t = StatsOps.logRank(twins, "cell", "grp", "A", "B", "dur", "ev")
+      .head()
+    assert(t.getLong(5) === 0L)
+    val censored = Seq(("c", "A", 1L, 0L), ("c", "B", 2L, 0L))
+      .toDF("cell", "grp", "dur", "ev")
+    assert(StatsOps.logRank(censored, "cell", "grp", "A", "B",
+      "dur", "ev").head().isNullAt(5))
+    // A dies early and always, B survives long: O_A >> E_A, z > 0
+    val gap = ((1 to 20).map(i => ("c", "A", 1L, 1L)) ++
+      (1 to 20).map(i => ("c", "B", 9L, 1L)))
+      .toDF("cell", "grp", "dur", "ev")
+    assert(StatsOps.logRank(gap, "cell", "grp", "A", "B", "dur", "ev")
+      .head().getLong(5) > 3000L)
+  }
+
+  test("logRank: seeded differential vs the naive sum-of-floors " +
+      "BigInt lattice") {
+    for (seed <- 1 to 10) {
+      val rnd = new Random(5500 + seed)
+      val rows = (1 to 80 + rnd.nextInt(80)).map { _ =>
+        ("c" + rnd.nextInt(2), if (rnd.nextBoolean()) "A" else "B",
+          (1 + rnd.nextInt(6)).toLong, rnd.nextInt(2).toLong)
+      }
+      val got = StatsOps.logRank(rows.toDF("cell", "grp", "dur", "ev"),
+          "cell", "grp", "A", "B", "dur", "ev")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val ts = rs.map(_._3).distinct.sorted
+        var eSum = BigInt(0); var vSum = BigInt(0)
+        for (t <- ts) {
+          val naR = rs.count(r => r._2 == "A" && r._3 >= t)
+          val nbR = rs.count(r => r._2 == "B" && r._3 >= t)
+          val dA = rs.count(r => r._2 == "A" && r._3 == t && r._4 == 1)
+          val dB = rs.count(r => r._2 == "B" && r._3 == t && r._4 == 1)
+          val d = dA + dB; val n = naR + nbR
+          if (d > 0) {
+            eSum += BigInt(1000000) * d * naR / n
+            if (n > 1) vSum += BigInt("1000000000000") * d * naR * nbR *
+              (n - d) / (BigInt(n) * n * (n - 1))
+          }
+        }
+        val dA = rs.count(r => r._2 == "A" && r._4 == 1)
+        val delta = BigInt(1000000) * dA - eSum
+        val z = if (vSum > 0) {
+          val rad = BigInt(1000000) * delta.abs * delta.abs / vSum
+          if (rad < BigInt(2).pow(53))
+            Some(delta.signum *
+              math.floor(math.sqrt(rad.toDouble)).toLong)
+          else None
+        } else None
+        c -> ((rs.count(_._2 == "A").toLong, rs.count(_._2 == "B").toLong,
+          dA.toLong, eSum.toLong, z))
+      }
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Theil–Sen
+  // ------------------------------------------------------------------
+
+  test("theilSen: an exact line reads its slope exactly; <=29% " +
+      "outliers cannot move the median; guards are loud") {
+    val line = (1 to 15).map(i => ("c", i.toLong, 5L * i + 7))
+      .toDF("cell", "t", "v")
+    assert(StatsOps.theilSen(line, "cell", "t", "v")
+      .head().getLong(2) === 5000L)
+    val dirty = ((1 to 13).map(i => ("c", i.toLong, 5L * i + 7)) ++
+      Seq(("c", 14L, 99999L), ("c", 15L, -99999L)))
+      .toDF("cell", "t", "v")
+    assert(StatsOps.theilSen(dirty, "cell", "t", "v")
+      .head().getLong(2) === 5000L)
+    intercept[IllegalArgumentException] {
+      StatsOps.theilSen(Seq(("c", 1L, 1L), ("c", 1L, 2L))
+        .toDF("cell", "t", "v"), "cell", "t", "v")
+    }
+    intercept[IllegalArgumentException] {
+      StatsOps.theilSen(line, "cell", "t", "v", maxPairsPerCell = 10L)
+    }
+  }
+
+  test("theilSen: seeded differential vs the naive pairwise lattice " +
+      "(truncation toward zero, lower median)") {
+    for (seed <- 1 to 10) {
+      val rnd = new Random(6600 + seed)
+      val rows = for {
+        c <- Seq("a", "b"); t <- 1 to (8 + rnd.nextInt(15))
+      } yield (c, t.toLong, (rnd.nextInt(41) - 20).toLong)
+      val got = StatsOps.theilSen(rows.toDF("cell", "t", "v"),
+          "cell", "t", "v")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val want = rows.groupBy(_._1).map { case (c, rs) =>
+        val pts = rs.sortBy(_._2)
+        val slopes = (for {
+          i <- pts.indices; j <- (i + 1) until pts.size
+        } yield 1000L * (pts(j)._3 - pts(i)._3) /
+          (pts(j)._2 - pts(i)._2)).sorted
+        c -> ((slopes.size.toLong,
+          slopes((slopes.size + 1) / 2 - 1)))
+      }
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CUSUM
+  // ------------------------------------------------------------------
+
+  test("cusum: the prefix-min identity equals the sequential " +
+      "recursion on seeded series; alarms are strictly-above; " +
+      "duplicate times are loud") {
+    intercept[IllegalArgumentException] {
+      StatsOps.cusum(Seq(("c", 1L, 1L), ("c", 1L, 2L))
+        .toDF("cell", "t", "v"), "cell", "t", "v", 0L, 1L, 0L, 1L)
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new Random(8800 + seed)
+      val kUp = rnd.nextInt(20).toLong; val hUp = 5L + rnd.nextInt(30)
+      val kDn = -rnd.nextInt(20).toLong; val hDn = 5L + rnd.nextInt(30)
+      val rows = for {
+        c <- Seq("a", "b"); t <- 1 to (20 + rnd.nextInt(30))
+      } yield (c, t.toLong, (rnd.nextInt(41) - 20).toLong)
+      val got = StatsOps.cusum(rows.toDF("cell", "t", "v"),
+          "cell", "t", "v", kUp, hUp, kDn, hDn)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getInt(4), r.getLong(5), r.getInt(6))))
+        .toMap
+      val want = rows.groupBy(_._1).flatMap { case (c, rs) =>
+        var up = 0L; var dn = 0L
+        rs.sortBy(_._2).map { r =>
+          up = math.max(0L, up + r._3 - kUp)
+          dn = math.max(0L, dn + kDn - r._3)
+          (c, r._2) -> ((up, if (up > hUp) 1 else 0,
+            dn, if (dn > hDn) 1 else 0))
+        }
+      }
+      assert(got === want, s"seed $seed")
+    }
+  }
 }
