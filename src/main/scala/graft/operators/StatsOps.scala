@@ -2509,4 +2509,469 @@ object StatsOps {
         col("s_up"), (col("s_up") > hUp).cast("int").as("alarm_up"),
         col("s_dn"), (col("s_dn") > hDn).cast("int").as("alarm_dn"))
   }
+
+  /**
+   * Benjamini–Hochberg FDR control — the multiple-testing gate the
+   * engine's per-cell test family (q195 MW-U, q197 KS, q220 Welch,
+   * q247 Mann–Kendall, q250 log-rank) was missing: run m tests, and
+   * WITHOUT a correction ~α·m nulls "discover" by chance. Input is one
+   * row per test (family, test, p_ppm ∈ [0, 10⁶]); within each family
+   * the step-up procedure sorts p ascending (ties broken by test id —
+   * a defined total order, so ranks are cross-engine exact), finds
+   * k* = max{i : p₍ᵢ₎·m ≤ α·i} (integer cross-multiplication — no
+   * rational division anywhere in the decision), and discovers exactly
+   * ranks 1..k*. Also emits the BH-adjusted p-value, the standard
+   * monotone readout: p_adj₍ᵢ₎ = min_{j≥i} min(10⁶, ⌊p₍ⱼ₎·m / j⌋) — a
+   * reverse running min over the floored lattice.
+   *
+   * Output: (cell, test, p_ppm, rnk, m, p_adj_ppm, discovery).
+   *
+   * Scale shape: the input is a TEST frame (one row per hypothesis —
+   * thousands, not facts); the corpus-sized work already happened
+   * upstream producing the p-values. Two windows over one cell-keyed
+   * exchange; nothing here ever touches raw facts.
+   */
+  def bhFdr(df: DataFrame, cellCol: String, testCol: String,
+      pCol: String, alphaPpm: Long = 50000L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val t = df
+      .filter(col(pCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(testCol).as("test"),
+        col(pCol).cast("long").as("p_ppm"))
+    val wRank = Window.partitionBy("cell").orderBy("p_ppm", "test")
+    val wCell = Window.partitionBy("cell")
+    val wTail = Window.partitionBy("cell").orderBy("rnk")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wCell))
+      .withColumn("pass",
+        when(dec(col("p_ppm")) * col("m") <=
+          dec(lit(alphaPpm)) * col("rnk"), col("rnk")).otherwise(0L))
+      .withColumn("kstar", max(col("pass")).over(wCell))
+      .withColumn("p_adj_ppm",
+        min(least(lit(1000000L),
+          expr("cast((cast(p_ppm as decimal(38,0)) * m) div rnk" +
+            " as bigint)"))).over(wTail))
+      .select(col("cell"), col("test"), col("p_ppm"), col("rnk"),
+        col("m"), col("p_adj_ppm"),
+        (col("rnk") <= col("kstar")).cast("int").as("discovery"))
+  }
+
+  /**
+   * χ² test of independence on an r×c contingency table with Cramér's
+   * V — the categorical-association readout [[chiSquare2x2]] only
+   * covers at 2×2 (is status associated with priority; is language
+   * associated with source): per cell, χ² = N·Σ_{observed} o²/(r_T·c_T)
+   * − N — the sparse identity (zero cells contribute o²/e = 0, so the
+   * dense e-grid is NEVER built; Σe = N absorbs it), each term floored
+   * on the milli lattice: chi2_milli = max(0, Σ ⌊10³·N·o²/(r_T·c_T)⌋ −
+   * 10³·N) (per-term floors can undershoot the exact sum by < #terms
+   * milli — the clamp keeps the degenerate all-independent read at 0).
+   * Cramér's V = √(χ²/(N·min(r−1, c−1))) lands as v_milli =
+   * ⌊√((10³·chi2_milli) div (N·d))⌋ with the welchT-family 2⁵³ radicand
+   * guard. Numerator 10³·N·o² stays inside decimal128 for N·o² ≤ 10³⁵
+   * — any realistic table.
+   *
+   * Output: (cell, n, r, c, dof, chi2_milli, v_milli); single-level
+   * cells (dof = 0) emit null v_milli.
+   *
+   * Scale shape: ONE corpus-sized aggregate to (cell, x, y) counts,
+   * localCheckpointed (the q189 rule — four consumers: two marginal
+   * re-aggregates and the term join's probe side would otherwise
+   * recompute it); marginals are keyed re-aggregates of that bounded
+   * frame; the term join is (cell, x)/(cell, y)-keyed on frames no
+   * larger than the contingency itself. No grid, no window, no guard
+   * needed — cost is O(observed combinations).
+   */
+  def chiSquareIndependence(df: DataFrame, cellCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cxy = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .groupBy(col("cell"), col("x"), col("y"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rx = cxy.groupBy(col("cell"), col("x"))
+      .agg(sum(col("o")).as("rt"))
+    val cy = cxy.groupBy(col("cell"), col("y"))
+      .agg(sum(col("o")).as("ct"))
+    val nn = cxy.groupBy(col("cell"))
+      .agg(sum(col("o")).as("n"))
+      .join(rx.groupBy(col("cell")).agg(count(lit(1)).as("r")),
+        Seq("cell"))
+      .join(cy.groupBy(col("cell")).agg(count(lit(1)).as("c")),
+        Seq("cell"))
+    cxy
+      .join(rx, Seq("cell", "x"))
+      .join(cy, Seq("cell", "y"))
+      .join(nn, Seq("cell"))
+      .withColumn("term_milli",
+        expr("cast((1000 * cast(n as decimal(38,0)) * o * o) div " +
+          "(cast(rt as decimal(38,0)) * ct) as bigint)"))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n"), max(col("r")).as("r"),
+        max(col("c")).as("c"),
+        // the term SUM runs in decimal128 (Σ⌊10³·N·o²/(r_T·c_T)⌋ ≈
+        // 10³·N·(d+1) wraps a long past N ≈ 10¹⁵/d); chi2 itself
+        // (≤ 10³·N·d) is the documented long-domain bound
+        greatest(lit(0L),
+          (sum(dec(col("term_milli"))) - dec(max(col("n"))) * 1000)
+            .cast("long")).as("chi2_milli"))
+      .withColumn("dof", (col("r") - 1L) * (col("c") - 1L))
+      .withColumn("rad",
+        when(col("dof") > 0L, expr(
+          "(1000 * cast(chi2_milli as decimal(38,0))) div " +
+            "(cast(n as decimal(38,0)) * least(r - 1, c - 1))")))
+      .withColumn("v_milli",
+        when(col("rad").isNotNull && col("rad") < lit(9007199254740992L),
+          expr("cast(floor(sqrt(cast(rad as double))) as bigint)")))
+      .select(col("cell"), col("n"), col("r"), col("c"), col("dof"),
+        col("chi2_milli"), col("v_milli"))
+  }
+
+  /**
+   * Isotonic calibration (pool-adjacent-violators) over score bins —
+   * the monotone recalibration step downstream of [[calibrationError]]:
+   * a ranking model's raw per-bin positive rates can dip (overfit
+   * segments, small bins), and PAV is THE least-squares monotone fit.
+   * Distributed exactly via the minimax identity fitted(i) =
+   * max_{j≤i} min_{k≥i} avg(j..k) — never the sequential
+   * stack algorithm: per-cell bin averages land on the ppm lattice
+   * F(j,k) = ⌊10⁶·(S_k − S_{j−1}) / (W_k − W_{j−1})⌋, and the minimax
+   * runs over those integers (one reverse running min over k within
+   * (cell, j), one max group-by over j — O(B²) pair rows per cell,
+   * loudly bounded by maxBins). The floored lattice preserves the
+   * proof of monotonicity: relaxing k ≥ i to k ≥ i+1 can only raise
+   * the inner min, so fitted is non-decreasing in i — asserted by
+   * spec, exact cross-engine.
+   *
+   * Input is FACT-grain (cell, bin, label ∈ {0,1}); output one row per
+   * (cell, bin): (cell, bin, n, pos, raw_ppm, fitted_ppm).
+   *
+   * Scale shape: one corpus-sized aggregate to (cell, bin) weights is
+   * the only shuffle that sees facts; the pair expansion is B²/2 rows
+   * per cell on the BOUNDED bin frame (256 bins → 33k pairs), windows
+   * and the final join all run on that lattice.
+   */
+  def isotonicCalibration(df: DataFrame, cellCol: String,
+      binCol: String, labelCol: String,
+      maxBins: Int = 256): DataFrame = {
+    val bins = df
+      .filter(col(binCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(binCol).cast("long").as("bin"),
+        col(labelCol).cast("long").as("lab"))
+      .groupBy(col("cell"), col("bin"))
+      .agg(count(lit(1)).as("w"), sum(col("lab")).as("s"))
+      .localCheckpoint(true)
+    val worst = bins.groupBy(col("cell")).agg(count(lit(1)).as("nb"))
+      .agg(max(col("nb"))).head()
+    require(worst.isNullAt(0) || worst.getLong(0) <= maxBins.toLong,
+      s"isotonicCalibration: a cell holds ${worst.getLong(0)} bins " +
+        s"(> maxBins = $maxBins) - coarsen the score binning first " +
+        "(the contingencyPairs discipline)")
+    val wI = Window.partitionBy("cell").orderBy("bin")
+    val idx = bins
+      .withColumn("i", row_number().over(wI).cast("long"))
+      .withColumn("cw", sum(col("w")).over(
+        wI.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cs", sum(col("s")).over(
+        wI.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lo = idx.select(col("cell"), col("i").as("j"),
+      (col("cw") - col("w")).as("wj"), (col("cs") - col("s")).as("sj"))
+    val hi = idx.select(col("cell"), col("i").as("k"),
+      col("cw").as("wk"), col("cs").as("sk"))
+    val wMin = Window.partitionBy("cell", "j").orderBy("k")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fitted = lo
+      .join(hi, Seq("cell"))
+      .filter(col("j") <= col("k"))
+      .withColumn("f", expr(
+        "cast((1000000 * cast(sk - sj as decimal(38,0))) div " +
+          "(wk - wj) as bigint)"))
+      .withColumn("g", min(col("f")).over(wMin))
+      .groupBy(col("cell"), col("k").as("i"))
+      .agg(max(col("g")).as("fitted_ppm"))
+    idx
+      .join(fitted, Seq("cell", "i"))
+      .select(col("cell"), col("bin"), col("w").as("n"),
+        col("s").as("pos"),
+        expr("(1000000 * s) div w").as("raw_ppm"), col("fitted_ppm"))
+  }
+
+  /**
+   * Brier-score decomposition over score bins — Murphy's REL − RES +
+   * UNC split of mean squared forecast error, the companion readout
+   * to [[isotonicCalibration]] (REL is what PAV removes; RES is what
+   * reranking could still buy): with per-bin weight w_b, positive
+   * rate o_b = s_b/w_b, stated forecast p_b (the bin's ppm midpoint,
+   * supplied as a column — the operator scores STATED probabilities,
+   * not refit ones) and base rate ō = Σs/Σw,
+   *   REL = Σ w_b(p_b − o_b)²/N,  RES = Σ w_b(o_b − ō)²/N,
+   *   UNC = ō(1 − ō).
+   * All on the ppm² lattice: each per-bin square lands as
+   * ⌊w_b·(10⁶·s_b − p_b·w_b)² / (w_b²)⌋-style decimal128 terms summed
+   * then divided by N once — the ppm_sq outputs are exact integers
+   * both engines reproduce, and brier_ppm_sq = REL − RES + UNC holds
+   * to the lattice (emitted so the identity is READ, not asserted).
+   *
+   * Output: one row per cell — (cell, n, base_ppm, rel_ppm_sq,
+   * res_ppm_sq, unc_ppm_sq, brier_ppm_sq).
+   *
+   * Scale shape: one corpus-sized aggregate to (cell, bin, p) weights;
+   * everything after is a bounded-lattice re-aggregate. No windows, no
+   * joins beyond the 1-row-per-cell base-rate merge.
+   */
+  def brierDecomposition(df: DataFrame, cellCol: String,
+      binCol: String, pCol: String, labelCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val bins = df
+      .filter(col(binCol).isNotNull && col(labelCol).isNotNull &&
+        col(pCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(binCol).cast("long").as("bin"),
+        col(pCol).cast("long").as("p"),
+        col(labelCol).cast("long").as("lab"))
+      .groupBy(col("cell"), col("bin"), col("p"))
+      .agg(count(lit(1)).as("w"), sum(col("lab")).as("s"))
+    val base = bins.groupBy(col("cell"))
+      .agg(sum(col("w")).as("nw"), sum(col("s")).as("ns"))
+      .withColumn("base_ppm", expr("(1000000 * ns) div nw"))
+    bins
+      .join(base, Seq("cell"))
+      .withColumn("rel_t", expr(
+        """cast((cast(p as decimal(38,0)) * w - 1000000 * s) *
+             (cast(p as decimal(38,0)) * w - 1000000 * s) div w
+           as decimal(38,0))"""))
+      .withColumn("res_t", expr(
+        """cast((1000000 * cast(s as decimal(38,0)) - base_ppm * w) *
+             (1000000 * cast(s as decimal(38,0)) - base_ppm * w) div w
+           as decimal(38,0))"""))
+      .groupBy(col("cell"))
+      .agg(max(col("nw")).as("n"), max(col("base_ppm")).as("base_ppm"),
+        expr("cast(sum(rel_t) div max(nw) as bigint)").as("rel_ppm_sq"),
+        expr("cast(sum(res_t) div max(nw) as bigint)").as("res_ppm_sq"))
+      .withColumn("unc_ppm_sq", expr(
+        "cast(cast(base_ppm as decimal(38,0)) * (1000000 - base_ppm)" +
+          " as bigint)"))
+      .withColumn("brier_ppm_sq",
+        col("rel_ppm_sq") - col("res_ppm_sq") + col("unc_ppm_sq"))
+      .select(col("cell"), col("n"), col("base_ppm"), col("rel_ppm_sq"),
+        col("res_ppm_sq"), col("unc_ppm_sq"), col("brier_ppm_sq"))
+  }
+
+  /**
+   * Kruskal–Wallis k-sample rank test — [[mannWhitneyU]]'s k-group
+   * generalization ("do ANY of these k segments draw from a shifted
+   * distribution"), the omnibus gate run before k·(k−1)/2 pairwise
+   * MW-U tests inflate the false-discovery rate ([[bhFdr]] is the
+   * other half of that discipline). Exact in the counts-per-distinct-
+   * value domain: per cell, doubled midranks (a tie run of length t
+   * after c earlier rows ranks 2·c + t + 1 doubled — integers, never
+   * the .5 lattice) sum per group to S2ᵢ, and
+   *   h_milli = max(0, ⌊Σᵢ ⌊3000·S2ᵢ² / nᵢ⌋ / (N(N+1))⌋ − 3000(N+1))
+   * (12/(N(N+1))·ΣRᵢ²/nᵢ − 3(N+1) with Rᵢ = S2ᵢ/2 — the 4 folds into
+   * the 12; per-term floors undershoot < k milli, the clamp keeps the
+   * all-one-group read at exactly 0). The tie-corrected statistic
+   * divides by 1 − ΣT/(N³−N) as one rational:
+   *   h_tie_milli = (h_milli·(N³−N)) div (N³−N − ΣT), T = t³−t,
+   * null when every value ties (the correction is undefined).
+   * Envelope: 3000·S2ᵢ² ≤ 1.2·10⁴·N⁴ stays inside decimal128 for
+   * N ≤ ~10⁸ rows per cell (callers bin coarser past that).
+   *
+   * Output: (cell, k, n, dof, tie_t, h_milli, h_tie_milli).
+   *
+   * Scale shape: ONE corpus-sized aggregate to (cell, grp, v) counts,
+   * localCheckpointed (two consumers: the value-level re-aggregate
+   * and the midrank join); the rank window runs over the bounded
+   * distinct-value frame, and everything downstream re-aggregates
+   * count frames. No grid, no driver probe.
+   */
+  def kruskalWallis(df: DataFrame, cellCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gvc = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("cell"), col("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wB = Window.partitionBy("cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cv = gvc.groupBy(col("cell"), col("v"))
+      .agg(sum(col("cnt")).as("t"))
+      .withColumn("cb", coalesce(sum(col("t")).over(wB), lit(0L)))
+    val gs = gvc
+      .join(cv, Seq("cell", "v"))
+      .withColumn("s2_t",
+        dec(col("cnt")) * (dec(col("cb")) * 2 + col("t") + 1))
+      .groupBy(col("cell"), col("grp"))
+      .agg(sum(col("cnt")).as("ni"), sum(col("s2_t")).as("s2"))
+    val ties = cv.groupBy(col("cell"))
+      .agg(sum(dec(col("t")) * col("t") * col("t") - col("t"))
+        .as("tie_t"))
+    gs
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+        sum(expr("cast((3000 * s2 * s2) div ni as decimal(38,0))"))
+          .as("hs"))
+      .join(ties, Seq("cell"))
+      .withColumn("h_milli", greatest(lit(0L), expr(
+        """cast(hs div (cast(n as decimal(38,0)) * (n + 1)) -
+             3000 * (n + 1) as bigint)""")))
+      .withColumn("dof", col("k") - 1L)
+      .withColumn("h_tie_milli",
+        when(dec(col("n")) * col("n") * col("n") - col("n") -
+            col("tie_t") > 0, expr(
+          """cast((cast(h_milli as decimal(38,0)) *
+               (cast(n as decimal(38,0)) * n * n - n)) div
+             (cast(n as decimal(38,0)) * n * n - n - tie_t)
+             as bigint)""")))
+      .select(col("cell"), col("k"), col("n"), col("dof"),
+        col("tie_t").cast("long").as("tie_t"), col("h_milli"),
+        col("h_tie_milli"))
+  }
+
+  /**
+   * Cliff's delta ordinal effect size — the companion readout
+   * [[mannWhitneyU]]'s z only half-tells: z says whether A ≠ B is
+   * believable, δ = P(a > b) − P(a < b) says how LARGE the dominance
+   * is in a sample-size-free unit (z grows with √n on a fixed effect;
+   * δ does not — the pair the A/B readouts need side by side). Exact
+   * from the same counts-per-distinct-value frame: with per-value
+   * counts a(v), b(v) and the cumulative b below/above v,
+   *   gt = Σ a(v)·b_less(v),  lt = Σ a(v)·b_greater(v),
+   *   ties = Σ a(v)·b(v),  gt + lt + ties = n_a·n_b (the identity is
+   * emitted to be READ),  δ_ppm = sign·(10⁶·|gt − lt|) div (n_a·n_b)
+   * (sign applied AFTER the floor — Spark's div truncates toward
+   * zero, DuckDB's // floors; on the non-negative magnitude they
+   * agree). The |δ| magnitude band is Romano et al.'s standard
+   * ladder: < 0.147 negligible, < 0.33 small, < 0.474 medium, else
+   * large.
+   *
+   * Output: (cell, n_a, n_b, gt, lt, ties, delta_ppm, magnitude).
+   *
+   * Scale shape: one corpus-sized aggregate to (cell, v) counts; one
+   * window over the bounded distinct-value frame; one cell rollup.
+   */
+  def cliffsDelta(df: DataFrame, cellCol: String, groupCol: String,
+      groupA: String, groupB: String, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vc = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(cellCol).as("cell"),
+        col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b"))
+    val wLess = Window.partitionBy("cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCell = Window.partitionBy("cell")
+    vc
+      .withColumn("b_less", coalesce(sum(col("b")).over(wLess), lit(0L)))
+      .withColumn("nb", sum(col("b")).over(wCell))
+      .withColumn("b_greater", col("nb") - col("b_less") - col("b"))
+      .groupBy(col("cell"))
+      .agg(sum(col("a")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(dec(col("a")) * col("b_less")).as("gt_d"),
+        sum(dec(col("a")) * col("b_greater")).as("lt_d"),
+        sum(dec(col("a")) * col("b")).as("ties_d"))
+      .withColumn("delta_ppm",
+        when(col("n_a") > 0 && col("n_b") > 0, expr(
+          """cast(case when gt_d < lt_d then -1 else 1 end *
+               ((1000000 * abs(gt_d - lt_d)) div
+                (cast(n_a as decimal(38,0)) * n_b)) as bigint)""")))
+      .withColumn("magnitude",
+        when(col("delta_ppm").isNull, lit(null).cast("string"))
+          .when(abs(col("delta_ppm")) < 147000L, "negligible")
+          .when(abs(col("delta_ppm")) < 330000L, "small")
+          .when(abs(col("delta_ppm")) < 474000L, "medium")
+          .otherwise("large"))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        col("gt_d").cast("long").as("gt"),
+        col("lt_d").cast("long").as("lt"),
+        col("ties_d").cast("long").as("ties"),
+        col("delta_ppm"), col("magnitude"))
+  }
+
+  /**
+   * Brown–Forsythe variance-homogeneity test — the robust Levene
+   * variant (deviations from the group MEDIAN, not mean): the k
+   * location tests above ([[kruskalWallis]], [[welchT]]) read SHIFT;
+   * this reads SPREAD — "did one segment's dispersion blow out", the
+   * question behind every variance-gated sampling decision, and the
+   * assumption check classic ANOVA silently needs. On z = |v − medᵢ|
+   * (medᵢ the exact lower median per (cell, group) — the [[madScale]]
+   * rule, min v with 2·cum ≥ n) the one-way F statistic lands as two
+   * same-scale integer sums of per-group floors:
+   *   ssb_t = ⌊10³·(N·Zᵢ − nᵢ·Z)² / (nᵢ·N²)⌋   (between-group SS)
+   *   ssw_t = ⌊10³·(nᵢ·Z2ᵢ − Zᵢ²) / nᵢ⌋         (within-group SS)
+   *   f_milli = (10³·(N−k)·Σssb_t) div ((k−1)·Σssw_t)
+   * with Zᵢ = Σz, Z2ᵢ = Σz² per group (decimal128 exact). Null when
+   * k < 2 or Σssw_t = 0 (all groups deviation-constant — F is
+   * undefined, not infinite). Envelope: |N·Zᵢ − nᵢ·Z| < 3·10¹⁷ keeps
+   * 10³·(·)² inside decimal128 — callers bin values so the per-cell
+   * deviation mass does (the q98 discipline).
+   *
+   * Output: (cell, k, n, ssb_milli, ssw_milli, f_milli).
+   *
+   * Scale shape: ONE corpus-sized aggregate to (cell, grp, v) counts,
+   * localCheckpointed (two consumers: the median scan and the
+   * deviation join); medians come off prefix windows over the bounded
+   * distinct-value frames; the moment rollup and the 1-row-per-cell
+   * merge never touch facts.
+   */
+  def brownForsythe(df: DataFrame, cellCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gvc = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("cell"), col("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wCum = Window.partitionBy("cell", "grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy("cell", "grp")
+    val med = gvc
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("nw", sum(col("cnt")).over(wTot))
+      .filter(col("cum") * 2 >= col("nw"))
+      .groupBy(col("cell"), col("grp"))
+      .agg(min(col("v")).as("med"))
+    val gm = gvc
+      .join(med, Seq("cell", "grp"))
+      .withColumn("z", abs(col("v") - col("med")))
+      .groupBy(col("cell"), col("grp"))
+      .agg(sum(col("cnt")).as("ni"),
+        sum(dec(col("cnt")) * col("z")).as("zi"),
+        sum(dec(col("cnt")) * col("z") * col("z")).as("z2i"))
+    val tot = gm.groupBy(col("cell"))
+      .agg(sum(col("ni")).as("n"), count(lit(1)).as("k"),
+        sum(col("zi")).as("zt"))
+    gm
+      .join(tot, Seq("cell"))
+      .withColumn("ssb_t", expr(
+        """cast((1000 * (cast(n as decimal(38,0)) * zi - ni * zt) *
+               (cast(n as decimal(38,0)) * zi - ni * zt)) div
+             (cast(ni as decimal(38,0)) * n * n) as decimal(38,0))"""))
+      .withColumn("ssw_t", expr(
+        """cast((1000 * (cast(ni as decimal(38,0)) * z2i - zi * zi))
+             div ni as decimal(38,0))"""))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("ssb_t")).as("ssb"), sum(col("ssw_t")).as("ssw"))
+      .withColumn("f_milli",
+        when(col("k") > 1L && col("ssw") > 0, expr(
+          """cast((1000 * (n - k) * ssb) div
+               (cast(k - 1 as decimal(38,0)) * ssw) as bigint)""")))
+      .select(col("cell"), col("k"), col("n"),
+        col("ssb").cast("long").as("ssb_milli"),
+        col("ssw").cast("long").as("ssw_milli"), col("f_milli"))
+  }
 }

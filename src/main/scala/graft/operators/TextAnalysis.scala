@@ -647,4 +647,127 @@ object TextAnalysis {
         expr("(1000000 * novel_occurrences) div occurrences")
           .as("nov_occ_ppm"))
   }
+
+  /** The shared trigram-occurrence stream (the [[bigramStream]]
+    * discipline at n = 3): tokenize once, filter < 3-token docs, one
+    * row per adjacent word triple with its backoff contexts already
+    * split out — g3 = "a b c", g2p = "a b" (the rule-1 denominator
+    * context), g2c = "b c" (the rule-2 gram), g1p = "b", g1c = "c". */
+  private def trigramStream(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__t", tokens(col(textCol)))
+      .where(size(col("__t")) >= 3)
+      .select(df.columns.filter(_ != textCol).map(col) :+
+        explode(expr(
+          """transform(sequence(1, size(__t) - 2),
+             i -> named_struct(
+               'g3', concat_ws(' ', slice(__t, i, 3)),
+               'g2p', concat_ws(' ', slice(__t, i, 2)),
+               'g2c', concat_ws(' ', slice(__t, i + 1, 2)),
+               'g1p', element_at(__t, i + 1),
+               'g1c', element_at(__t, i + 2)))""")).as("__s"): _*)
+      .select(col("*"), col("__s.g3"), col("__s.g2p"), col("__s.g2c"),
+        col("__s.g1p"), col("__s.g1c"))
+      .drop("__s")
+
+  /**
+   * Train the three-level stupid-backoff model — the CCNet-style
+   * fluency filter's model artifact, one tall (level, g, cnt) table:
+   * level 3 = top-K3 trigrams, level 2 = top-K2 bigrams, level 1 =
+   * top-K1 unigrams (each by cnt desc, gram asc — a total order, exact
+   * K boundaries cross-engine), plus the single (0, '', N) row holding
+   * the total token count. Train once, land, score any corpus against
+   * the stored copy (the q90/q91/q110 model-artifact discipline).
+   */
+  def trainBackoffLm(df: DataFrame, textCol: String, topK3: Int,
+      topK2: Int, topK1: Int): DataFrame = {
+    val base = df.select(col(textCol).as("__text"))
+    val tri = trigramStream(base, "__text")
+      .groupBy(col("g3").as("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(topK3)
+      .select(lit(3).as("level"), col("g"), col("cnt"))
+    val bi = bigramStream(base, "__text")
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(topK2)
+      .select(lit(2).as("level"), col("g"), col("cnt"))
+    val words = base.withColumn("__t", tokens(col("__text")))
+      .select(explode(col("__t")).as("g"))
+    val uni = words.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val top1 = uni.orderBy(col("cnt").desc, col("g")).limit(topK1)
+      .select(lit(1).as("level"), col("g"), col("cnt"))
+    val total = uni.agg(sum(col("cnt")).cast("long").as("cnt"))
+      .select(lit(0).as("level"), lit("").as("g"), col("cnt"))
+    tri.unionByName(bi).unionByName(top1).unionByName(total)
+  }
+
+  /**
+   * Stupid-backoff trigram scoring against a landed [[trainBackoffLm]]
+   * model — the perplexity-proxy fluency score WITHOUT the
+   * cross-engine `ln` lottery (the q110 discipline, one level deeper):
+   * each trigram occurrence (a, b, c) scores on the exact ppm lattice
+   *   rule 3: "a b c" ∈ LM₃ and "a b" ∈ LM₂ →
+   *           ⌊10⁶·c₃(abc) / c₂(ab)⌋            (c₃ ≤ c₂ ⇒ ≤ 10⁶)
+   *   rule 2: else "b c" ∈ LM₂ and "b" ∈ LM₁ →
+   *           ⌊2·10⁶·c₂(bc) / (5·c₁(b))⌋        (backoff 0.4 as 2/5)
+   *   rule 1: else "c" ∈ LM₁ → ⌊4·10⁶·c₁(c) / (25·N)⌋   (0.4²)
+   *   rule 0: else 0                             (unseen tail)
+   * — Brants et al.'s S(wᵢ|wᵢ₋₂wᵢ₋₁) with λ = 0.4, every division a
+   * single integer floor, the backoff factor folded in as a rational.
+   * A document's readout is the mean occurrence score plus the rule
+   * mix (how much of the text needed backing off — the fluency
+   * signal itself).
+   *
+   * Output: (doc, n_tri, mean_score_ppm, n_rule3, n_rule2, n_rule1,
+   * n_unseen), one row per ≥3-token document.
+   *
+   * Scale shape: the model is ≤ K₃+K₂+K₁+1 rows → FIVE broadcast hash
+   * joins against the exploded trigram stream (g3, both bigram roles,
+   * both unigram roles — the stream never shuffles); the only exchange
+   * is the per-doc rollup. N rides the broadcast level-0 row, never a
+   * driver collect.
+   */
+  def backoffScore(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame = {
+    val lm3 = lm.filter(col("level") === 3)
+      .select(col("g").as("g3"), col("cnt").as("c3"))
+    val lm2p = lm.filter(col("level") === 2)
+      .select(col("g").as("g2p"), col("cnt").as("c2p"))
+    val lm2c = lm.filter(col("level") === 2)
+      .select(col("g").as("g2c"), col("cnt").as("c2c"))
+    val lm1p = lm.filter(col("level") === 1)
+      .select(col("g").as("g1p"), col("cnt").as("c1p"))
+    val lm1c = lm.filter(col("level") === 1)
+      .select(col("g").as("g1c"), col("cnt").as("c1c"))
+    val n = lm.filter(col("level") === 0)
+      .select(col("cnt").as("n_tok"))
+    trigramStream(df.select(col(idCol).as("doc"),
+        col(textCol).as("__text")), "__text")
+      .join(broadcast(lm3), Seq("g3"), "left")
+      .join(broadcast(lm2p), Seq("g2p"), "left")
+      .join(broadcast(lm2c), Seq("g2c"), "left")
+      .join(broadcast(lm1p), Seq("g1p"), "left")
+      .join(broadcast(lm1c), Seq("g1c"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("rule",
+        when(col("c3").isNotNull && col("c2p").isNotNull, 3)
+          .when(col("c2c").isNotNull && col("c1p").isNotNull, 2)
+          .when(col("c1c").isNotNull, 1)
+          .otherwise(0))
+      .withColumn("s_ppm",
+        when(col("rule") === 3, expr("(1000000 * c3) div c2p"))
+          .when(col("rule") === 2,
+            expr("(2000000 * c2c) div (5 * c1p)"))
+          .when(col("rule") === 1,
+            expr("(4000000 * c1c) div (25 * n_tok)"))
+          .otherwise(0L))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(col("s_ppm")).as("ssum"),
+        sum(when(col("rule") === 3, 1L).otherwise(0L)).as("n_rule3"),
+        sum(when(col("rule") === 2, 1L).otherwise(0L)).as("n_rule2"),
+        sum(when(col("rule") === 1, 1L).otherwise(0L)).as("n_rule1"),
+        sum(when(col("rule") === 0, 1L).otherwise(0L)).as("n_unseen"))
+      .select(col("doc"), col("n_tri"),
+        expr("ssum div n_tri").as("mean_score_ppm"),
+        col("n_rule3"), col("n_rule2"), col("n_rule1"), col("n_unseen"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -103,6 +103,26 @@ object AnalyticsQueries {
 
   /** q103 success threshold: value ≥ $50 in cents. */
   val ChiSuccessCents = 500000L
+
+  /** q255/q256 warped-cohort label rates (‰) per score decile — the
+    // ONE table both engines' CASE is generated from (the q46
+    // SampleRates discipline). Deliberately NON-monotone (dips at
+    // bins 2, 4, 6) so PAV has real violators to pool and Brier REL
+    // reads real miscalibration. */
+  val IsoThresh: Seq[Int] =
+    Seq(150, 350, 250, 500, 420, 650, 600, 800, 700, 900)
+
+  /** Spark CASE over the decile bin → IsoThresh ‰ rate. */
+  private def isoThreshExpr(bin: Column): Column =
+    IsoThresh.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
+      when(bin === i.toLong, t).otherwise(acc)
+    }
+
+  /** DuckDB CASE twin of [[isoThreshExpr]] over a column named `bin`. */
+  private val IsoThreshSql: String =
+    IsoThresh.zipWithIndex
+      .map { case (t, i) => s"WHEN $i THEN $t" }
+      .mkString("CASE bin ", " ", " ELSE 0 END")
 
   /** q104 snapshot cut: 1998-01-01T00:00:00Z in epoch millis. The
     * "drift" injection doubles late-window prices for a key stratum, so
@@ -4830,5 +4850,544 @@ object AnalyticsQueries {
           CAST(CASE WHEN s_dn > 600000 THEN 1 ELSE 0 END AS INTEGER)
             AS alarm_dn
         FROM s ORDER BY cell, t""")),
+
+    // ------------------------------------------------------------------
+    // q253 — Benjamini–Hochberg FDR control (StatsOps.bhFdr) over TWO
+    // independent families, each demonstrating a different contract:
+    //  - 'dow_share' (m = 35): the REAL statistic — does event type
+    //    et's weekday mix match the pooled corpus's (the generator's
+    //    dow is NOT uniform, probed ~±20%, so the pooled share is the
+    //    only honest null)? p is the distribution-free Chebyshev bound
+    //    p = min(1, n·g·(T−g)/num²) with num = o·T − n·g — one integer
+    //    division, no sqrt/erf, both engines exact. The fixture drops
+    //    every even-id weekend 'purchase' row: those cells rank first
+    //    (p ~ 2·10⁴ ppm at sf0.01) but Chebyshev's slack correctly
+    //    HOLDS the 5% step-up line — the family reads zero
+    //    discoveries, the honest readout for a conservative bound.
+    //  - 'planted' (m = 35, same test ids): the q206 pseudo-model
+    //    discipline — md5-uniform p-values with the 7 purchase tests
+    //    planted in [0, 1400) ppm, far inside the rank-k thresholds
+    //    (α·i/m ≈ 1429·i), the 28 nulls uniform on [0, 10⁶). The
+    //    step-up boundary provably discovers exactly the planted
+    //    seven at EVERY sf — discrimination demonstrated, and the
+    //    two families prove per-family isolation in one gated result.
+    // ------------------------------------------------------------------
+    "q253_bh_fdr" -> GraftQuery(
+      build = (s, d) => {
+        val base = events(s, d)
+          .select(col("event_type").as("et"), col("event_id"),
+            expr("((ts div 86400000000000) + 4) % 7").as("dow"))
+          .filter(!(col("et") === "purchase" &&
+            col("dow").isin(0L, 6L) && col("event_id") % 2 === 0))
+        val o = base.groupBy(col("et"), col("dow"))
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint(true)
+        val t = o.groupBy(col("et")).agg(sum(col("o")).as("n"))
+        val g = o.groupBy(col("dow")).agg(sum(col("o")).as("gd"))
+        val tot = o.agg(sum(col("o")).as("tot"))
+        val real = o.join(t, Seq("et")).join(g, Seq("dow"))
+          .crossJoin(broadcast(tot))
+          .withColumn("num", expr(
+            "cast(o as decimal(38,0)) * tot - cast(n as decimal(38,0)) * gd"))
+          .select(lit("dow_share").as("fam"),
+            concat(col("et"), lit("_"), col("dow")).as("test"),
+            when(col("num") === 0, 1000000L)
+              .otherwise(least(lit(1000000L), expr(
+                """cast((1000000 * cast(n as decimal(38,0)) * gd *
+                     (tot - gd)) div (num * num) as bigint)""")))
+              .as("p_ppm"))
+        val planted = o
+          .select(lit("planted").as("fam"),
+            concat(col("et"), lit("_"), col("dow")).as("test"),
+            col("et"))
+          .withColumn("h", graft.operators.TextDedup.hash64(
+            concat(lit("bh"), col("test"))))
+          .select(col("fam"), col("test"),
+            when(col("et") === "purchase", col("h") % 1400L)
+              .otherwise(col("h") % 1000000L).as("p_ppm"))
+        StatsOps.bhFdr(real.unionByName(planted), "fam", "test",
+            "p_ppm", 50000L)
+          .orderBy("cell", "rnk")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT event_type AS et, event_id,
+            ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow FROM events),
+        f AS (SELECT * FROM base WHERE NOT (et = 'purchase'
+          AND dow IN (0, 6) AND event_id % 2 = 0)),
+        o AS (SELECT et, dow, CAST(count(*) AS BIGINT) AS o
+          FROM f GROUP BY 1, 2),
+        t AS (SELECT et, CAST(sum(o) AS BIGINT) AS n FROM o GROUP BY 1),
+        g AS (SELECT dow, CAST(sum(o) AS BIGINT) AS gd
+          FROM o GROUP BY 1),
+        nn AS (SELECT CAST(sum(o) AS BIGINT) AS tot FROM o),
+        realf AS (SELECT 'dow_share' AS cell,
+            et || '_' || dow AS test,
+            CASE WHEN CAST(o.o AS HUGEINT) * nn.tot -
+                CAST(t.n AS HUGEINT) * g.gd = 0 THEN 1000000
+              ELSE least(1000000,
+                CAST((1000000 * CAST(t.n AS HUGEINT) * g.gd *
+                    (nn.tot - g.gd)) //
+                  ((CAST(o.o AS HUGEINT) * nn.tot -
+                      CAST(t.n AS HUGEINT) * g.gd) *
+                   (CAST(o.o AS HUGEINT) * nn.tot -
+                      CAST(t.n AS HUGEINT) * g.gd))
+                  AS BIGINT)) END AS p_ppm
+          FROM o JOIN t USING (et) JOIN g USING (dow), nn),
+        plant AS (SELECT 'planted' AS cell, et || '_' || dow AS test,
+            CASE WHEN et = 'purchase'
+              THEN CAST(('0x' || substr(md5('bh' || et || '_' || dow),
+                1, 15)) AS BIGINT) % 1400
+              ELSE CAST(('0x' || substr(md5('bh' || et || '_' || dow),
+                1, 15)) AS BIGINT) % 1000000 END AS p_ppm
+          FROM o),
+        p AS (SELECT * FROM realf UNION ALL SELECT * FROM plant),
+        r AS (SELECT cell, test, p_ppm,
+            row_number() OVER (PARTITION BY cell
+              ORDER BY p_ppm, test) AS rnk,
+            count(*) OVER (PARTITION BY cell) AS m FROM p),
+        k AS (SELECT cell, max(CASE WHEN CAST(p_ppm AS HUGEINT) * m <=
+              50000 * CAST(rnk AS HUGEINT) THEN rnk ELSE 0 END) AS kstar
+          FROM r GROUP BY 1),
+        a AS (SELECT r.cell, r.test, r.p_ppm, r.rnk, r.m,
+            CAST(min(least(1000000,
+              (CAST(p_ppm AS HUGEINT) * m) // rnk)) OVER (
+                PARTITION BY r.cell ORDER BY rnk ROWS BETWEEN CURRENT
+                ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS p_adj_ppm,
+            k.kstar
+          FROM r JOIN k ON r.cell = k.cell)
+        SELECT cell, test, p_ppm, CAST(rnk AS BIGINT) AS rnk,
+          CAST(m AS BIGINT) AS m, p_adj_ppm,
+          CAST(CASE WHEN rnk <= kstar THEN 1 ELSE 0 END AS INTEGER)
+            AS discovery
+        FROM a ORDER BY cell, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q254 — r×c χ² independence + Cramér's V (StatsOps
+    // .chiSquareIndependence): "is order status associated with
+    // priority, per region" — the 3×5 generalization q103's 2×2 can't
+    // express, effect size included. The star joins (orders→customer→
+    // nation→region) are the operator's real scan path; the synthetic
+    // columns are independent by construction (probed V ≈ 0), so the
+    // fixture INJECTS dependence both engines replay: in ASIA every
+    // 'F' order's priority is overwritten to '1-URGENT', welding one
+    // status row of the grid to one priority column — ASIA reads
+    // chi2 » 0 / V ≈ 0.45 while the other four regions sit at the
+    // null — the test discriminates, not just hash-matches.
+    // ------------------------------------------------------------------
+    "q254_chi_square_rxc" -> GraftQuery(
+      build = (s, d) => {
+        val j = orders(s, d)
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"))
+          .join(customer(s, d).select(col("c_custkey"),
+            col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(nation(s, d).select(col("n_nationkey"),
+            col("n_regionkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(region(s, d).select(col("r_regionkey"), col("r_name")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name").as("reg"),
+            col("o_orderstatus").as("st"),
+            when(col("r_name") === "ASIA" &&
+              col("o_orderstatus") === "F", "1-URGENT")
+              .otherwise(col("o_orderpriority")).as("pr"))
+        StatsOps.chiSquareIndependence(j, "reg", "st", "pr")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH j AS (SELECT r_name AS cell, o_orderstatus AS x,
+            CASE WHEN r_name = 'ASIA' AND o_orderstatus = 'F'
+              THEN '1-URGENT' ELSE o_orderpriority END AS y
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey),
+        cxy AS (SELECT cell, x, y, CAST(count(*) AS BIGINT) AS o
+          FROM j GROUP BY 1, 2, 3),
+        rx AS (SELECT cell, x, CAST(sum(o) AS BIGINT) AS rt
+          FROM cxy GROUP BY 1, 2),
+        cy AS (SELECT cell, y, CAST(sum(o) AS BIGINT) AS ct
+          FROM cxy GROUP BY 1, 2),
+        nn AS (SELECT cell, CAST(sum(o) AS BIGINT) AS n,
+            CAST(count(DISTINCT x) AS BIGINT) AS r,
+            CAST(count(DISTINCT y) AS BIGINT) AS c
+          FROM cxy GROUP BY 1),
+        tm AS (SELECT cxy.cell,
+            CAST((1000 * CAST(nn.n AS HUGEINT) * cxy.o * cxy.o) //
+              (CAST(rx.rt AS HUGEINT) * cy.ct) AS BIGINT) AS term
+          FROM cxy
+          JOIN rx ON cxy.cell = rx.cell AND cxy.x = rx.x
+          JOIN cy ON cxy.cell = cy.cell AND cxy.y = cy.y
+          JOIN nn ON cxy.cell = nn.cell),
+        ag AS (SELECT tm.cell, greatest(0,
+            CAST(sum(CAST(term AS HUGEINT)) AS BIGINT) -
+              1000 * max(nn.n)) AS chi2_milli
+          FROM tm JOIN nn ON tm.cell = nn.cell GROUP BY 1)
+        SELECT ag.cell, nn.n, nn.r, nn.c,
+          (nn.r - 1) * (nn.c - 1) AS dof, ag.chi2_milli,
+          CASE WHEN (nn.r - 1) * (nn.c - 1) > 0 AND
+              (1000 * CAST(ag.chi2_milli AS HUGEINT)) //
+                (CAST(nn.n AS HUGEINT) * least(nn.r - 1, nn.c - 1))
+                < 9007199254740992
+            THEN CAST(floor(sqrt(CAST(
+              (1000 * CAST(ag.chi2_milli AS HUGEINT)) //
+                (CAST(nn.n AS HUGEINT) * least(nn.r - 1, nn.c - 1))
+              AS DOUBLE))) AS BIGINT) END AS v_milli
+        FROM ag JOIN nn ON ag.cell = nn.cell ORDER BY ag.cell""")),
+
+    // ------------------------------------------------------------------
+    // q255 — isotonic calibration / PAV (StatsOps.isotonicCalibration)
+    // on the q206 pseudo-model geometry: md5-uniform scores binned to
+    // deciles, labels drawn by an independent md5 stream — but at the
+    // NON-MONOTONE per-bin rates IsoThresh (‰), so the raw reliability
+    // curve provably dips at bins 2/4/6/8/10 and PAV has real
+    // violators to pool (a calibrated fixture would make the minimax a
+    // no-op). fitted_ppm must be non-decreasing per cell — readable in
+    // the gated output, asserted as a property in the spec. The 'cal'
+    // cohort keeps labels at the bin's own rate for contrast.
+    // ------------------------------------------------------------------
+    "q255_isotonic_pav" -> GraftQuery(
+      build = (s, d) => {
+        val h = (tag: String) => graft.operators.TextDedup.hash64(
+          concat(lit(tag), col("event_id").cast("string"))) % 1000000L
+        val base = events(s, d).select(col("event_id"))
+          .withColumn("s0", h("cal"))
+          .withColumn("bin", expr("s0 div 100000"))
+          .withColumn("u", h("lab"))
+        val warped = base.select(lit("warped").as("cohort"), col("bin"),
+          when(col("u") < isoThreshExpr(col("bin")) * 1000L, 1L)
+            .otherwise(0L).as("y"))
+        val cal = base.select(lit("calibrated").as("cohort"), col("bin"),
+          when(col("u") < col("bin") * 100000L + 50000L, 1L)
+            .otherwise(0L).as("y"))
+        StatsOps.isotonicCalibration(warped.unionByName(cal),
+            "cohort", "bin", "y")
+          .orderBy("cell", "bin")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT
+            CAST(('0x' || substr(md5('cal' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 // 100000 AS bin,
+            CAST(('0x' || substr(md5('lab' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 AS u
+          FROM events),
+        co AS (SELECT 'warped' AS cell, bin,
+            CASE WHEN u < ($IsoThreshSql) * 1000 THEN 1 ELSE 0 END AS y
+          FROM sc
+          UNION ALL
+          SELECT 'calibrated', bin,
+            CASE WHEN u < bin * 100000 + 50000 THEN 1 ELSE 0 END
+          FROM sc),
+        bins AS (SELECT cell, bin, CAST(count(*) AS BIGINT) AS w,
+            CAST(sum(y) AS BIGINT) AS s FROM co GROUP BY 1, 2),
+        idx AS (SELECT cell, bin, w, s,
+            row_number() OVER (PARTITION BY cell ORDER BY bin) AS i,
+            CAST(sum(w) OVER wc AS BIGINT) AS cw,
+            CAST(sum(s) OVER wc AS BIGINT) AS cs
+          FROM bins WINDOW wc AS (PARTITION BY cell ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        pr AS (SELECT lo.cell, lo.i AS j, hi.i AS k,
+            CAST((1000000 * CAST(hi.cs - (lo.cs - lo.s) AS HUGEINT)) //
+              (hi.cw - (lo.cw - lo.w)) AS BIGINT) AS f
+          FROM idx lo JOIN idx hi
+            ON lo.cell = hi.cell AND lo.i <= hi.i),
+        g AS (SELECT cell, j, k,
+            CAST(min(f) OVER (PARTITION BY cell, j ORDER BY k
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS g
+          FROM pr),
+        fit AS (SELECT cell, k AS i, max(g) AS fitted_ppm
+          FROM g GROUP BY 1, 2)
+        SELECT idx.cell, idx.bin, idx.w AS n, idx.s AS pos,
+          (1000000 * idx.s) // idx.w AS raw_ppm, fit.fitted_ppm
+        FROM idx JOIN fit ON idx.cell = fit.cell AND idx.i = fit.i
+        ORDER BY idx.cell, idx.bin""")),
+
+    // ------------------------------------------------------------------
+    // q256 — Brier-score decomposition (StatsOps.brierDecomposition)
+    // on the same pseudo-model pair: both cohorts STATE the decile
+    // midpoint as their forecast; 'calibrated' draws labels at exactly
+    // that rate (REL ≈ the sampling floor, RES = the midpoint spread),
+    // 'warped' draws at the IsoThresh rates (REL reads the injected
+    // miscalibration that q255's PAV removes — the two queries tell
+    // one story). The Murphy identity REL − RES + UNC is emitted as
+    // brier_ppm_sq, READ not asserted.
+    // ------------------------------------------------------------------
+    "q256_brier_decomposition" -> GraftQuery(
+      build = (s, d) => {
+        val h = (tag: String) => graft.operators.TextDedup.hash64(
+          concat(lit(tag), col("event_id").cast("string"))) % 1000000L
+        val base = events(s, d).select(col("event_id"))
+          .withColumn("s0", h("cal"))
+          .withColumn("bin", expr("s0 div 100000"))
+          .withColumn("u", h("lab"))
+          .withColumn("p", col("bin") * 100000L + 50000L)
+        val warped = base.select(lit("warped").as("cohort"), col("bin"),
+          col("p"),
+          when(col("u") < isoThreshExpr(col("bin")) * 1000L, 1L)
+            .otherwise(0L).as("y"))
+        val cal = base.select(lit("calibrated").as("cohort"), col("bin"),
+          col("p"),
+          when(col("u") < col("p"), 1L).otherwise(0L).as("y"))
+        StatsOps.brierDecomposition(warped.unionByName(cal),
+            "cohort", "bin", "p", "y")
+          .orderBy("cell")
+      },
+      oracle = Some(s"""
+        WITH sc AS (SELECT
+            CAST(('0x' || substr(md5('cal' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 // 100000 AS bin,
+            CAST(('0x' || substr(md5('lab' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 AS u
+          FROM events),
+        wp AS (SELECT bin, bin * 100000 + 50000 AS p, u FROM sc),
+        co AS (SELECT 'warped' AS cell, bin, p,
+            CASE WHEN u < ($IsoThreshSql) * 1000 THEN 1 ELSE 0 END AS y
+          FROM wp
+          UNION ALL
+          SELECT 'calibrated', bin, p,
+            CASE WHEN u < p THEN 1 ELSE 0 END FROM wp),
+        bins AS (SELECT cell, bin, p, CAST(count(*) AS BIGINT) AS w,
+            CAST(sum(y) AS BIGINT) AS s FROM co GROUP BY 1, 2, 3),
+        base AS (SELECT cell, CAST(sum(w) AS BIGINT) AS nw,
+            CAST(sum(s) AS BIGINT) AS ns,
+            (1000000 * CAST(sum(s) AS BIGINT)) //
+              CAST(sum(w) AS BIGINT) AS base_ppm
+          FROM bins GROUP BY 1),
+        terms AS (SELECT bins.cell, bins.w,
+            (CAST(bins.p AS HUGEINT) * bins.w - 1000000 * bins.s) *
+              (CAST(bins.p AS HUGEINT) * bins.w - 1000000 * bins.s)
+              // bins.w AS rel_t,
+            (1000000 * CAST(bins.s AS HUGEINT) -
+              base.base_ppm * bins.w) *
+              (1000000 * CAST(bins.s AS HUGEINT) -
+                base.base_ppm * bins.w) // bins.w AS res_t
+          FROM bins JOIN base ON bins.cell = base.cell),
+        ag AS (SELECT terms.cell,
+            CAST(sum(rel_t) // max(base.nw) AS BIGINT) AS rel_ppm_sq,
+            CAST(sum(res_t) // max(base.nw) AS BIGINT) AS res_ppm_sq
+          FROM terms JOIN base ON terms.cell = base.cell GROUP BY 1)
+        SELECT base.cell, base.nw AS n, base.base_ppm, ag.rel_ppm_sq,
+          ag.res_ppm_sq,
+          CAST(CAST(base.base_ppm AS HUGEINT) *
+            (1000000 - base.base_ppm) AS BIGINT) AS unc_ppm_sq,
+          ag.rel_ppm_sq - ag.res_ppm_sq +
+            CAST(CAST(base.base_ppm AS HUGEINT) *
+              (1000000 - base.base_ppm) AS BIGINT) AS brier_ppm_sq
+        FROM base JOIN ag ON base.cell = ag.cell
+        ORDER BY base.cell""")),
+
+    // ------------------------------------------------------------------
+    // q258 — Kruskal–Wallis k-sample rank test (StatsOps.kruskalWallis):
+    // the omnibus "did ANY event type's value distribution shift" gate
+    // per day-of-week cell, on the exact doubled-midrank lattice. The
+    // fixture warps ONE stratum — Saturday purchases shifted +50 units
+    // (5000 cents) — so the dow=6 cell reads H ≈ 233 at sf0.01 while
+    // the other six sit under the χ²₄ 5% line (≈ 9.5); duplicate cents
+    // put real mass in tie_t (READ > 0 every cell) even where the
+    // floored corrected statistic coincides with the raw one.
+    // Only (cell, grp, value) count rows ever shuffle.
+    // ------------------------------------------------------------------
+    "q258_kruskal_wallis" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .withColumn("dow", expr("((ts div 86400000000000) + 4) % 7"))
+          .withColumn("cents",
+            expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)" +
+              " div 100") +
+              when(col("event_type") === "purchase" && col("dow") === 6L,
+                5000L).otherwise(0L))
+        graft.operators.StatsOps.kruskalWallis(ev, "dow", "event_type",
+            "cents")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT
+            ((epoch_us(ts) // 86400000000) + 4) % 7 AS cell,
+            event_type AS grp,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) // 100 +
+              CASE WHEN event_type = 'purchase'
+                AND ((epoch_us(ts) // 86400000000) + 4) % 7 = 6
+                THEN 5000 ELSE 0 END AS v
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        gvc AS (SELECT cell, grp, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY 1, 2, 3),
+        cv AS (SELECT cell, v, CAST(sum(cnt) AS BIGINT) AS t,
+            coalesce(sum(sum(cnt)) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cb
+          FROM gvc GROUP BY cell, v),
+        gs AS (SELECT gvc.cell, gvc.grp,
+            CAST(sum(cnt) AS BIGINT) AS ni,
+            sum(CAST(cnt AS HUGEINT) * (2 * cb + t + 1)) AS s2
+          FROM gvc JOIN cv ON gvc.cell = cv.cell AND gvc.v = cv.v
+          GROUP BY 1, 2),
+        ties AS (SELECT cell,
+            sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+          FROM cv GROUP BY 1),
+        ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(ni) AS BIGINT) AS n,
+            sum((3000 * s2 * s2) // ni) AS hs
+          FROM gs GROUP BY 1)
+        SELECT ag.cell, ag.k, ag.n, ag.k - 1 AS dof,
+          CAST(ties.tie_t AS BIGINT) AS tie_t,
+          greatest(0, CAST(hs // (CAST(n AS HUGEINT) * (n + 1)) -
+            3000 * (n + 1) AS BIGINT)) AS h_milli,
+          CASE WHEN CAST(n AS HUGEINT) * n * n - n - ties.tie_t > 0
+            THEN CAST((CAST(greatest(0,
+                CAST(hs // (CAST(n AS HUGEINT) * (n + 1)) -
+                  3000 * (n + 1) AS BIGINT)) AS HUGEINT) *
+                (CAST(n AS HUGEINT) * n * n - n)) //
+              (CAST(n AS HUGEINT) * n * n - n - ties.tie_t) AS BIGINT)
+            END AS h_tie_milli
+        FROM ag JOIN ties ON ag.cell = ties.cell
+        ORDER BY ag.cell""")),
+
+    // ------------------------------------------------------------------
+    // q259 — Cliff's delta ordinal effect size (StatsOps.cliffsDelta):
+    // how strongly BUILDING customers' balances dominate MACHINERY's,
+    // per nation-bucket cell — the sample-size-free companion q195's z
+    // lacks. gt + lt + ties = n_a·n_b is emitted to be READ (the
+    // pair-accounting identity). The fixture warps bucket 0's BUILDING
+    // balances +5000 units (~45% of the balance range): that cell
+    // reads δ ≈ +0.79 'large' at sf0.01, the other four 'negligible'
+    // — the readout discriminates, not just hash-matches (at sf0.001
+    // the ~6-per-group cells are noisier, as δ honestly is). Sign is
+    // applied AFTER the
+    // magnitude floor so Spark's truncating div and DuckDB's flooring
+    // // agree on negative deltas.
+    // ------------------------------------------------------------------
+    "q259_cliffs_delta" -> GraftQuery(
+      build = (s, d) => {
+        val cu = customer(s, d)
+          .withColumn("bucket", col("c_nationkey").cast("long") % 5)
+          .withColumn("cents",
+            expr("cast(cast(c_acctbal as decimal(18,4)) * 10000 " +
+              "as bigint) div 100") +
+              when(col("c_mktsegment") === "BUILDING" &&
+                col("c_nationkey") % 5 === 0, 500000L).otherwise(0L))
+        graft.operators.StatsOps.cliffsDelta(cu, "bucket",
+            "c_mktsegment", "BUILDING", "MACHINERY", "cents")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH cu AS (SELECT CAST(c_nationkey % 5 AS BIGINT) AS cell,
+            c_mktsegment AS grp,
+            CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 100 +
+              CASE WHEN c_mktsegment = 'BUILDING'
+                AND c_nationkey % 5 = 0 THEN 500000 ELSE 0 END AS v
+          FROM customer
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            AND c_acctbal IS NOT NULL),
+        vc AS (SELECT cell, v,
+            CAST(sum(CASE WHEN grp = 'BUILDING' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+            CAST(sum(CASE WHEN grp = 'MACHINERY' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+          FROM cu GROUP BY 1, 2),
+        wv AS (SELECT cell, v, a, b,
+            coalesce(sum(b) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS b_less,
+            sum(b) OVER (PARTITION BY cell) AS nb
+          FROM vc),
+        ag AS (SELECT cell, CAST(sum(a) AS BIGINT) AS n_a,
+            CAST(max(nb) AS BIGINT) AS n_b,
+            sum(CAST(a AS HUGEINT) * b_less) AS gt_d,
+            sum(CAST(a AS HUGEINT) * (nb - b_less - b)) AS lt_d,
+            sum(CAST(a AS HUGEINT) * b) AS ties_d
+          FROM wv GROUP BY 1),
+        de AS (SELECT cell, n_a, n_b,
+            CAST(gt_d AS BIGINT) AS gt, CAST(lt_d AS BIGINT) AS lt,
+            CAST(ties_d AS BIGINT) AS ties,
+            CASE WHEN n_a > 0 AND n_b > 0 THEN
+              CAST(CASE WHEN gt_d < lt_d THEN -1 ELSE 1 END *
+                ((1000000 * abs(gt_d - lt_d)) //
+                  (CAST(n_a AS HUGEINT) * n_b)) AS BIGINT) END
+              AS delta_ppm
+          FROM ag)
+        SELECT cell, n_a, n_b, gt, lt, ties, delta_ppm,
+          CASE WHEN delta_ppm IS NULL THEN NULL
+            WHEN abs(delta_ppm) < 147000 THEN 'negligible'
+            WHEN abs(delta_ppm) < 330000 THEN 'small'
+            WHEN abs(delta_ppm) < 474000 THEN 'medium'
+            ELSE 'large' END AS magnitude
+        FROM de ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q260 — Brown–Forsythe variance-homogeneity test (StatsOps
+    // .brownForsythe): did one user-shard's DISPERSION blow out, per
+    // event type group — the spread-reading companion to q258's shift
+    // test, on |v − group-median| deviations (exact lower medians, the
+    // q203 rule). The fixture doubles shard 2's 'error' values: the
+    // location tests barely move (median doubles but so does the
+    // order), while the deviation mass in that group blows out and
+    // shard 2's F reads far above shards 0/1 — variance sensitivity
+    // demonstrated where a shift test would be blind.
+    // ------------------------------------------------------------------
+    "q260_brown_forsythe" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .withColumn("shard", col("user_id") % 3)
+          .withColumn("cents",
+            expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)" +
+              " div 100") *
+              when(col("event_type") === "error" &&
+                col("user_id") % 3 === 2, 2L).otherwise(1L))
+        graft.operators.StatsOps.brownForsythe(ev, "shard",
+            "event_type", "cents")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT user_id % 3 AS cell, event_type AS grp,
+            (CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 100) *
+              CASE WHEN event_type = 'error' AND user_id % 3 = 2
+                THEN 2 ELSE 1 END AS v
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        gvc AS (SELECT cell, grp, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY 1, 2, 3),
+        cum AS (SELECT cell, grp, v, cnt,
+            sum(cnt) OVER (PARTITION BY cell, grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY cell, grp) AS nw
+          FROM gvc),
+        med AS (SELECT cell, grp, min(v) AS med FROM cum
+          WHERE cum * 2 >= nw GROUP BY 1, 2),
+        gm AS (SELECT gvc.cell, gvc.grp,
+            CAST(sum(cnt) AS BIGINT) AS ni,
+            sum(CAST(cnt AS HUGEINT) * abs(v - med)) AS zi,
+            sum(CAST(cnt AS HUGEINT) * abs(v - med) * abs(v - med))
+              AS z2i
+          FROM gvc JOIN med
+            ON gvc.cell = med.cell AND gvc.grp = med.grp
+          GROUP BY 1, 2),
+        tot AS (SELECT cell, CAST(sum(ni) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS k, sum(zi) AS zt
+          FROM gm GROUP BY 1),
+        terms AS (SELECT gm.cell,
+            (1000 * (CAST(tot.n AS HUGEINT) * zi - ni * tot.zt) *
+              (CAST(tot.n AS HUGEINT) * zi - ni * tot.zt)) //
+              (CAST(ni AS HUGEINT) * tot.n * tot.n) AS ssb_t,
+            (1000 * (CAST(ni AS HUGEINT) * z2i - zi * zi)) // ni
+              AS ssw_t
+          FROM gm JOIN tot ON gm.cell = tot.cell),
+        ag AS (SELECT terms.cell, max(tot.n) AS n, max(tot.k) AS k,
+            sum(ssb_t) AS ssb, sum(ssw_t) AS ssw
+          FROM terms JOIN tot ON terms.cell = tot.cell GROUP BY 1)
+        SELECT cell, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+          CAST(ssb AS BIGINT) AS ssb_milli,
+          CAST(ssw AS BIGINT) AS ssw_milli,
+          CASE WHEN k > 1 AND ssw > 0
+            THEN CAST((1000 * (n - k) * ssb) //
+              (CAST(k - 1 AS HUGEINT) * ssw) AS BIGINT) END AS f_milli
+        FROM ag ORDER BY cell""")),
   )
 }

@@ -55,6 +55,14 @@ object TextQueries {
   /** q110 bigram-LM size (see the q110 registry comment). */
   val LmTopK = 500
 
+  /** q257 stupid-backoff model geometry: K₃ trigrams of the corpus's
+    * ~27k possible, K₂ = 400 of ≤ ~900 possible bigrams, K₁ = 25 of
+    * the ~30-word vocabulary — sized so every backoff rule carries
+    * real mass at every SF (see the q257 registry comment). */
+  val BackoffTopK3 = 300
+  val BackoffTopK2 = 400
+  val BackoffTopK1 = 25
+
   /** q128 curriculum: length tier = n_chars div this, capped at 3
     * (short docs first — the easy→hard staging); 64 hash-prefix buckets
     * per tier for the two-level global-ordinal decomposition. */
@@ -1437,6 +1445,91 @@ object TextQueries {
             AS evenness_avail_ppm,
           CAST((1000000 * (shp // tp)) // ln.l AS BIGINT)
             AS evenness_planned_ppm
-        FROM ag CROSS JOIN tt JOIN lut ln ON ln.m = n"""))
+        FROM ag CROSS JOIN tt JOIN lut ln ON ln.m = n""")),
+
+    // ------------------------------------------------------------------
+    // q257 — stupid-backoff trigram fluency scoring (TextAnalysis
+    // .trainBackoffLm + .backoffScore): q110's perplexity-proxy one
+    // level deeper — Brants et al.'s S(w₃|w₁w₂) with λ = 0.4 folded in
+    // as exact rationals (2/5, 4/25), every division one integer
+    // floor, no cross-engine ln anywhere. The three-level model is a
+    // LANDED ARTIFACT (train once per process, the q90/q91/q110
+    // discipline); K₃ = 300 of the corpus's trigrams, K₂ = 400 of ≤
+    // ~900 possible bigrams, K₁ = 25 of the ~30-word vocabulary — so
+    // all four rule branches (trigram hit, bigram backoff, unigram
+    // backoff, unseen) carry real mass at every SF, and the rule-mix
+    // columns READ the backoff structure instead of asserting it.
+    // Scoring is five broadcast joins against the exploded trigram
+    // stream; the only shuffle is the per-doc rollup.
+    // ------------------------------------------------------------------
+    "q257_backoff_lm_score" -> GraftQuery(
+      build = (s, d) => {
+        val lmDir = Landings.landedPath(s"backoff_lm:$d") { dir =>
+          TextAnalysis.trainBackoffLm(
+            documents(s, d).select(col("text")), "text",
+            BackoffTopK3, BackoffTopK2, BackoffTopK1)
+            .write.mode("overwrite").parquet(dir)
+        }
+        TextAnalysis.backoffScore(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", s.read.parquet(lmDir))
+          .orderBy("doc")
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+          FROM documents),
+        t3 AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+        ix AS (SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t
+          FROM t3),
+        occ AS (SELECT doc_id,
+            array_to_string(t[i:i+2], ' ') AS g3,
+            array_to_string(t[i:i+1], ' ') AS g2p,
+            array_to_string(t[i+1:i+2], ' ') AS g2c,
+            t[i+1] AS g1p, t[i+2] AS g1c
+          FROM ix),
+        tric AS (SELECT g3 AS g, CAST(count(*) AS BIGINT) AS cnt
+          FROM occ GROUP BY 1),
+        lm3 AS (SELECT g, cnt FROM tric
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK3),
+        bg AS (SELECT unnest(${sqlBigrams("t")}) AS g FROM tok
+          WHERE len(t) >= 2),
+        bgc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+          FROM bg GROUP BY 1),
+        lm2 AS (SELECT g, cnt FROM bgc
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK2),
+        un AS (SELECT unnest(t) AS g FROM tok),
+        unc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+          FROM un GROUP BY 1),
+        lm1 AS (SELECT g, cnt FROM unc
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK1),
+        nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM unc),
+        sc AS (SELECT occ.doc_id,
+            CASE WHEN l3.cnt IS NOT NULL AND p2.cnt IS NOT NULL THEN 3
+              WHEN c2.cnt IS NOT NULL AND p1.cnt IS NOT NULL THEN 2
+              WHEN c1.cnt IS NOT NULL THEN 1 ELSE 0 END AS rule,
+            CASE WHEN l3.cnt IS NOT NULL AND p2.cnt IS NOT NULL
+                THEN (1000000 * l3.cnt) // p2.cnt
+              WHEN c2.cnt IS NOT NULL AND p1.cnt IS NOT NULL
+                THEN (2000000 * c2.cnt) // (5 * p1.cnt)
+              WHEN c1.cnt IS NOT NULL
+                THEN (4000000 * c1.cnt) // (25 * nt.n_tok)
+              ELSE 0 END AS s_ppm
+          FROM occ
+          LEFT JOIN lm3 l3 ON occ.g3 = l3.g
+          LEFT JOIN lm2 p2 ON occ.g2p = p2.g
+          LEFT JOIN lm2 c2 ON occ.g2c = c2.g
+          LEFT JOIN lm1 p1 ON occ.g1p = p1.g
+          LEFT JOIN lm1 c1 ON occ.g1c = c1.g, nt)
+        SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS n_tri,
+          CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+          CAST(sum(CASE WHEN rule = 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rule3,
+          CAST(sum(CASE WHEN rule = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rule2,
+          CAST(sum(CASE WHEN rule = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rule1,
+          CAST(sum(CASE WHEN rule = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unseen
+        FROM sc GROUP BY doc_id ORDER BY doc""")),
   )
 }

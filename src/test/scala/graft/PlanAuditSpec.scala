@@ -125,7 +125,13 @@ class PlanAuditSpec extends SparkSuite {
       "q244_corpus_refresh_chain",
       // q246's nested loop is tCloseness's 1-row table-total (N)
       // broadcast onto the class×bin dense frame — the q71/q94 shape
-      "q246_t_closeness")
+      "q246_t_closeness",
+      // q253's nested loop is the 1-row corpus-total broadcast feeding
+      // the Chebyshev p-value's expected counts — the q71/q94 shape
+      "q253_bh_fdr",
+      // q257's nested loop is backoffScore's 1-row unigram-total (N)
+      // broadcast normalizing the lowest backoff order — model-sized
+      "q257_backoff_lm_score")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
