@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -769,5 +770,142 @@ object TextAnalysis {
       .select(col("doc"), col("n_tri"),
         expr("ssum div n_tri").as("mean_score_ppm"),
         col("n_rule3"), col("n_rule2"), col("n_rule1"), col("n_unseen"))
+  }
+
+  /**
+   * Perplexity-gated corpus filter — the CCNet-style quality gate
+   * built on [[backoffScore]]: score every document against the
+   * landed LM, find each source's lower-quartile fluency threshold
+   * (counts-domain exact: the smallest score s with 4·cum(s) ≥ n —
+   * the [[StatsOps.madScale]] rule at the 25th percentile), and keep
+   * the documents at or above it. Per-source thresholds — not one
+   * global line — because sources have different registers; a global
+   * gate would silently empty the most idiosyncratic source (the
+   * CCNet design point). Documents under 3 tokens never score and
+   * are counted separately (n_docs − n_scored), not silently dropped.
+   *
+   * Output, one row per source: (source, n_docs, n_scored, thr_ppm,
+   * n_kept, kept_permille, mean_kept_ppm, mean_dropped_ppm) — the
+   * kept/dropped means are emitted so the gate's separation is READ
+   * (mean_kept > thr > mean_dropped), not assumed. Sources where
+   * every scored doc ties at one score keep everything (cum rule) and
+   * emit null mean_dropped.
+   *
+   * Scale shape: scoring is [[backoffScore]]'s broadcast-join pass
+   * (one per-doc rollup is its only exchange); the quartile runs on
+   * the (source, score) count frame — bounded by distinct scores, not
+   * facts; the manifest is a source-grain rollup. Nothing here holds
+   * per-doc state on the driver.
+   */
+  def perplexityGate(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, lm: DataFrame): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"),
+      col(srcCol).as("source"), col(textCol).as("__text"))
+    val scored = backoffScore(docs.select(col("doc"), col("__text")),
+        "doc", "__text", lm)
+      .join(docs.select(col("doc"), col("source")), Seq("doc"))
+    val sc = scored.groupBy(col("source"),
+        col("mean_score_ppm").as("s"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("source").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy("source")
+    val thr = sc
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .filter(col("cum") * 4 >= col("n"))
+      .groupBy(col("source"))
+      .agg(min(col("s")).as("thr_ppm"))
+    val total = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    scored
+      .join(broadcast(thr), Seq("source"))
+      .withColumn("keep", (col("mean_score_ppm") >= col("thr_ppm"))
+        .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"),
+        max(col("thr_ppm")).as("thr_ppm"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("keep") * col("mean_score_ppm")).as("kept_sum"),
+        sum((lit(1L) - col("keep")) * col("mean_score_ppm"))
+          .as("drop_sum"))
+      .join(total, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_scored"),
+        col("thr_ppm"), col("n_kept"),
+        expr("(1000 * n_kept) div n_scored").as("kept_permille"),
+        expr("kept_sum div n_kept").as("mean_kept_ppm"),
+        when(col("n_scored") > col("n_kept"),
+          expr("drop_sum div (n_scored - n_kept)"))
+          .as("mean_dropped_ppm"))
+  }
+
+  /**
+   * DSIR-style importance selection (Xie et al., Data Selection with
+   * Importance Resampling, restated on the engine's exact lattice):
+   * given a TARGET language model (trained on the slice you want more
+   * of) and a RAW model (trained on the whole corpus), each document's
+   * importance weight is its target-vs-raw fluency ratio
+   *   w_ppm = ⌊10⁶·(s_target + 1) / (s_raw + 1)⌋
+   * (per-doc [[backoffScore]] means; +1 add-one smoothing keeps
+   * unseen-everywhere docs defined at w ≈ 10⁶·1/1). The deterministic
+   * counterpart of DSIR's resampling keeps the top quarter: the
+   * global threshold is the smallest w with 4·cum(w) ≥ 3·n (the upper
+   * quartile's lower edge, counts-domain exact), selection is
+   * w ≥ thr. Output is per-doc — (doc, s_target_ppm, s_raw_ppm,
+   * w_ppm, thr_ppm, sel) — so callers roll up by any dimension
+   * (the q262 registry reads per-language selection rates: the
+   * target-language docs should select at a multiple of the rest,
+   * which is the whole point of importance weighting).
+   *
+   * Scale shape: two broadcast-LM scoring passes over the corpus; the
+   * global quartile runs on the (w, count) distinct-weight frame via
+   * the [[StatsOps.bucketPrefixOffsets]] discipline — weights bucket
+   * by an exact width-division, the per-bucket count table gets
+   * exclusive prefix offsets through a triangular broadcast join of a
+   * ≤ nBuckets-row frame, and the cumulative runs inside
+   * bucket-partitioned windows: NO single-partition window, matching
+   * the repo-wide q171/q174 ban. The threshold and total ride 1-row
+   * broadcasts. No per-doc driver state, no sort of the corpus.
+   */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      lmTarget: DataFrame, lmRaw: DataFrame,
+      nBuckets: Int = 256): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"), col(textCol).as("__text"))
+    val st = backoffScore(docs, "doc", "__text", lmTarget)
+      .select(col("doc"), col("mean_score_ppm").as("s_target_ppm"))
+    val sr = backoffScore(docs, "doc", "__text", lmRaw)
+      .select(col("doc"), col("mean_score_ppm").as("s_raw_ppm"))
+    val w = st.join(sr, Seq("doc"))
+      .withColumn("w_ppm", expr(
+        "(1000000 * (s_target_ppm + 1)) div (s_raw_ppm + 1)"))
+      .localCheckpoint(true)
+    val wc = w.groupBy(col("w_ppm").as("wv"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val bounds = wc.agg(min(col("wv")).as("_mn"), max(col("wv")).as("_mx"),
+      sum(col("cnt")).as("_n"))
+    val bucketed = wc
+      .crossJoin(broadcast(bounds))
+      .withColumn("_bk",
+        expr(s"(wv - _mn) div (((_mx - _mn) div $nBuckets) + 1)"))
+    val bcnt = bucketed.groupBy(col("_bk"))
+      .agg(sum(col("cnt")).as("_bn"))
+    val off = bcnt
+      .join(broadcast(bcnt.select(col("_bk").as("_bk2"),
+          col("_bn").as("_bn2"))),
+        col("_bk2") < col("_bk"), "left")
+      .groupBy(col("_bk"))
+      .agg(coalesce(sum(col("_bn2")), lit(0L)).as("_off"))
+    val wIn = Window.partitionBy("_bk").orderBy("wv")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = bucketed
+      .join(broadcast(off), Seq("_bk"))
+      .withColumn("cum", col("_off") + sum(col("cnt")).over(wIn))
+      .filter(col("cum") * 4 >= col("_n") * 3)
+      .agg(min(col("wv")).as("thr_ppm"))
+    w.crossJoin(broadcast(thr))
+      .select(col("doc"), col("s_target_ppm"), col("s_raw_ppm"),
+        col("w_ppm"), col("thr_ppm"),
+        (col("w_ppm") >= col("thr_ppm")).cast("int").as("sel"))
   }
 }

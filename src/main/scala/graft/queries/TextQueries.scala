@@ -63,6 +63,28 @@ object TextQueries {
   val BackoffTopK2 = 400
   val BackoffTopK1 = 25
 
+  /** The landed whole-corpus stupid-backoff model (train once per
+    * process, shared by q257/q261/q262 — the q90/q91 artifact rule). */
+  private def rawLmDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    Landings.landedPath(s"backoff_lm:$d") { dir =>
+      TextAnalysis.trainBackoffLm(
+        documents(s, d).select(col("text")), "text",
+        BackoffTopK3, BackoffTopK2, BackoffTopK1)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** The landed TARGET-slice backoff model for q262's importance
+    * ratio: trained on the English documents only. */
+  private def enLmDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    Landings.landedPath(s"backoff_lm_en:$d") { dir =>
+      TextAnalysis.trainBackoffLm(
+        documents(s, d).filter(col("lang") === "en").select(col("text")),
+        "text", BackoffTopK3, BackoffTopK2, BackoffTopK1)
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** q128 curriculum: length tier = n_chars div this, capped at 3
     * (short docs first — the easy→hard staging); 64 hash-prefix buckets
     * per tier for the two-level global-ordinal decomposition. */
@@ -1464,15 +1486,9 @@ object TextQueries {
     // ------------------------------------------------------------------
     "q257_backoff_lm_score" -> GraftQuery(
       build = (s, d) => {
-        val lmDir = Landings.landedPath(s"backoff_lm:$d") { dir =>
-          TextAnalysis.trainBackoffLm(
-            documents(s, d).select(col("text")), "text",
-            BackoffTopK3, BackoffTopK2, BackoffTopK1)
-            .write.mode("overwrite").parquet(dir)
-        }
         TextAnalysis.backoffScore(
           documents(s, d).select(col("doc_id"), col("text")),
-          "doc_id", "text", s.read.parquet(lmDir))
+          "doc_id", "text", s.read.parquet(rawLmDir(s, d)))
           .orderBy("doc")
       },
       oracle = Some(s"""
@@ -1531,5 +1547,229 @@ object TextQueries {
           CAST(sum(CASE WHEN rule = 0 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_unseen
         FROM sc GROUP BY doc_id ORDER BY doc""")),
+
+    // ------------------------------------------------------------------
+    // q261 — perplexity-gated corpus filter (TextAnalysis
+    // .perplexityGate): the CCNet-style quality gate downstream of
+    // q257 — score every document against the landed whole-corpus LM,
+    // cut each source at its own lower-quartile fluency (counts-domain
+    // exact: min s with 4·cum ≥ n), keep the rest. Per-source
+    // thresholds, not one global line, so an idiosyncratic source is
+    // trimmed against itself rather than emptied. The manifest emits
+    // kept/dropped means so the separation is READ (mean_kept > thr >
+    // mean_dropped per source). Scoring is q257's broadcast-join pass;
+    // the quartile runs on (source, score) count frames.
+    // ------------------------------------------------------------------
+    "q261_perplexity_gate" -> GraftQuery(
+      build = (s, d) => {
+        TextAnalysis.perplexityGate(
+          documents(s, d).select(col("doc_id"), col("text"),
+            col("source")),
+          "doc_id", "text", "source", s.read.parquet(rawLmDir(s, d)))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+          FROM documents),
+        t3 AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+        ix AS (SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t
+          FROM t3),
+        occ AS (SELECT doc_id,
+            array_to_string(t[i:i+2], ' ') AS g3,
+            array_to_string(t[i:i+1], ' ') AS g2p,
+            array_to_string(t[i+1:i+2], ' ') AS g2c,
+            t[i+1] AS g1p, t[i+2] AS g1c
+          FROM ix),
+        tric AS (SELECT g3 AS g, CAST(count(*) AS BIGINT) AS cnt
+          FROM occ GROUP BY 1),
+        lm3 AS (SELECT g, cnt FROM tric
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK3),
+        bg AS (SELECT unnest(${sqlBigrams("t")}) AS g FROM tok
+          WHERE len(t) >= 2),
+        bgc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+          FROM bg GROUP BY 1),
+        lm2 AS (SELECT g, cnt FROM bgc
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK2),
+        un AS (SELECT unnest(t) AS g FROM tok),
+        unc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+          FROM un GROUP BY 1),
+        lm1 AS (SELECT g, cnt FROM unc
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK1),
+        nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM unc),
+        sc AS (SELECT occ.doc_id,
+            CASE WHEN l3.cnt IS NOT NULL AND p2.cnt IS NOT NULL
+                THEN (1000000 * l3.cnt) // p2.cnt
+              WHEN c2.cnt IS NOT NULL AND p1.cnt IS NOT NULL
+                THEN (2000000 * c2.cnt) // (5 * p1.cnt)
+              WHEN c1.cnt IS NOT NULL
+                THEN (4000000 * c1.cnt) // (25 * nt.n_tok)
+              ELSE 0 END AS s_ppm
+          FROM occ
+          LEFT JOIN lm3 l3 ON occ.g3 = l3.g
+          LEFT JOIN lm2 p2 ON occ.g2p = p2.g
+          LEFT JOIN lm2 c2 ON occ.g2c = c2.g
+          LEFT JOIN lm1 p1 ON occ.g1p = p1.g
+          LEFT JOIN lm1 c1 ON occ.g1c = c1.g, nt),
+        ds AS (SELECT doc_id, CAST(sum(s_ppm) // count(*) AS BIGINT)
+            AS sm
+          FROM sc GROUP BY 1),
+        src AS (SELECT d.source, ds.sm
+          FROM documents d JOIN ds ON d.doc_id = ds.doc_id),
+        cnts AS (SELECT source, sm, CAST(count(*) AS BIGINT) AS cnt
+          FROM src GROUP BY 1, 2),
+        cum AS (SELECT source, sm, cnt,
+            sum(cnt) OVER (PARTITION BY source ORDER BY sm
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY source) AS n
+          FROM cnts),
+        thr AS (SELECT source, min(sm) AS thr_ppm FROM cum
+          WHERE cum * 4 >= n GROUP BY 1),
+        tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        ag AS (SELECT src.source,
+            CAST(count(*) AS BIGINT) AS n_scored,
+            max(thr.thr_ppm) AS thr_ppm,
+            CAST(sum(CASE WHEN src.sm >= thr.thr_ppm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+            CAST(sum(CASE WHEN src.sm >= thr.thr_ppm THEN src.sm
+              ELSE 0 END) AS BIGINT) AS kept_sum,
+            CAST(sum(CASE WHEN src.sm < thr.thr_ppm THEN src.sm
+              ELSE 0 END) AS BIGINT) AS drop_sum
+          FROM src JOIN thr ON src.source = thr.source GROUP BY 1)
+        SELECT ag.source, tot.n_docs, ag.n_scored, ag.thr_ppm,
+          ag.n_kept, (1000 * ag.n_kept) // ag.n_scored AS kept_permille,
+          kept_sum // n_kept AS mean_kept_ppm,
+          CASE WHEN n_scored > n_kept
+            THEN drop_sum // (n_scored - n_kept) END AS mean_dropped_ppm
+        FROM ag JOIN tot ON ag.source = tot.source
+        ORDER BY ag.source""")),
+
+    // ------------------------------------------------------------------
+    // q262 — DSIR-style importance selection (TextAnalysis.dsirSelect):
+    // Xie et al.'s Data Selection with Importance Resampling restated
+    // on the exact lattice — importance weight = target-LM fluency
+    // over raw-LM fluency, w = ⌊10⁶·(s_en+1)/(s_raw+1)⌋, with the
+    // TARGET model trained on the English slice and the RAW model on
+    // the whole corpus (both landed artifacts). The deterministic
+    // counterpart of resampling keeps the global top quarter by
+    // weight; the registry reads the per-LANGUAGE selection rates —
+    // English documents select at a large multiple of every other
+    // language, which is the entire point of importance weighting.
+    // The global quartile is computed with the bucketPrefixOffsets
+    // discipline (bucket-partitioned cumulatives + triangular offset
+    // join of a ≤256-row frame) — no single-partition window.
+    // ------------------------------------------------------------------
+    "q262_dsir_selection" -> GraftQuery(
+      build = (s, d) => {
+        val sel = TextAnalysis.dsirSelect(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", s.read.parquet(enLmDir(s, d)),
+          s.read.parquet(rawLmDir(s, d)))
+        sel
+          .join(documents(s, d).select(col("doc_id").as("doc"),
+            col("lang")), Seq("doc"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_scored"),
+            sum(col("sel").cast("long")).as("n_sel"),
+            sum(col("w_ppm")).as("wsum"),
+            max(col("thr_ppm")).as("thr_ppm"))
+          .select(col("lang"), col("n_scored"), col("n_sel"),
+            expr("(1000 * n_sel) div n_scored").as("sel_permille"),
+            expr("wsum div n_scored").as("mean_w_ppm"),
+            col("thr_ppm"))
+          .orderBy("lang")
+      },
+      oracle = Some(s"""
+        WITH tok AS (SELECT doc_id, lang, ${sqlTokens("text")} AS t
+          FROM documents),
+        t3 AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+        ix AS (SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t
+          FROM t3),
+        occ AS (SELECT doc_id,
+            array_to_string(t[i:i+2], ' ') AS g3,
+            array_to_string(t[i:i+1], ' ') AS g2p,
+            array_to_string(t[i+1:i+2], ' ') AS g2c,
+            t[i+1] AS g1p, t[i+2] AS g1c
+          FROM ix),
+        rlm3 AS (SELECT g3 AS g, CAST(count(*) AS BIGINT) AS cnt
+          FROM occ GROUP BY 1 ORDER BY cnt DESC, g LIMIT $BackoffTopK3),
+        rbgc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(${sqlBigrams("t")}) AS g FROM tok
+            WHERE len(t) >= 2) GROUP BY 1),
+        rlm2 AS (SELECT g, cnt FROM rbgc
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK2),
+        runc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(t) AS g FROM tok) GROUP BY 1),
+        rlm1 AS (SELECT g, cnt FROM runc
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK1),
+        rnt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM runc),
+        etok AS (SELECT doc_id, t FROM tok WHERE lang = 'en'),
+        eocc AS (SELECT array_to_string(t[i:i+2], ' ') AS g3
+          FROM (SELECT unnest(range(1, len(t) - 1)) AS i, t
+            FROM etok WHERE len(t) >= 3)),
+        elm3 AS (SELECT g3 AS g, CAST(count(*) AS BIGINT) AS cnt
+          FROM eocc GROUP BY 1 ORDER BY cnt DESC, g LIMIT $BackoffTopK3),
+        ebgc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(${sqlBigrams("t")}) AS g FROM etok
+            WHERE len(t) >= 2) GROUP BY 1),
+        elm2 AS (SELECT g, cnt FROM ebgc
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK2),
+        eunc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(t) AS g FROM etok) GROUP BY 1),
+        elm1 AS (SELECT g, cnt FROM eunc
+          ORDER BY cnt DESC, g LIMIT $BackoffTopK1),
+        ent AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM eunc),
+        scr AS (SELECT occ.doc_id,
+            CASE WHEN l3.cnt IS NOT NULL AND p2.cnt IS NOT NULL
+                THEN (1000000 * l3.cnt) // p2.cnt
+              WHEN c2.cnt IS NOT NULL AND p1.cnt IS NOT NULL
+                THEN (2000000 * c2.cnt) // (5 * p1.cnt)
+              WHEN c1.cnt IS NOT NULL
+                THEN (4000000 * c1.cnt) // (25 * rnt.n_tok)
+              ELSE 0 END AS s_ppm
+          FROM occ
+          LEFT JOIN rlm3 l3 ON occ.g3 = l3.g
+          LEFT JOIN rlm2 p2 ON occ.g2p = p2.g
+          LEFT JOIN rlm2 c2 ON occ.g2c = c2.g
+          LEFT JOIN rlm1 p1 ON occ.g1p = p1.g
+          LEFT JOIN rlm1 c1 ON occ.g1c = c1.g, rnt),
+        sce AS (SELECT occ.doc_id,
+            CASE WHEN l3.cnt IS NOT NULL AND p2.cnt IS NOT NULL
+                THEN (1000000 * l3.cnt) // p2.cnt
+              WHEN c2.cnt IS NOT NULL AND p1.cnt IS NOT NULL
+                THEN (2000000 * c2.cnt) // (5 * p1.cnt)
+              WHEN c1.cnt IS NOT NULL
+                THEN (4000000 * c1.cnt) // (25 * ent.n_tok)
+              ELSE 0 END AS s_ppm
+          FROM occ
+          LEFT JOIN elm3 l3 ON occ.g3 = l3.g
+          LEFT JOIN elm2 p2 ON occ.g2p = p2.g
+          LEFT JOIN elm2 c2 ON occ.g2c = c2.g
+          LEFT JOIN elm1 p1 ON occ.g1p = p1.g
+          LEFT JOIN elm1 c1 ON occ.g1c = c1.g, ent),
+        dr AS (SELECT doc_id, CAST(sum(s_ppm) // count(*) AS BIGINT)
+            AS s_raw FROM scr GROUP BY 1),
+        de AS (SELECT doc_id, CAST(sum(s_ppm) // count(*) AS BIGINT)
+            AS s_en FROM sce GROUP BY 1),
+        w AS (SELECT dr.doc_id,
+            (1000000 * (de.s_en + 1)) // (dr.s_raw + 1) AS w_ppm
+          FROM dr JOIN de ON dr.doc_id = de.doc_id),
+        wc AS (SELECT w_ppm AS wv, CAST(count(*) AS BIGINT) AS cnt
+          FROM w GROUP BY 1),
+        cw AS (SELECT wv, cnt,
+            sum(cnt) OVER (ORDER BY wv ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER () AS n
+          FROM wc),
+        thr AS (SELECT min(wv) AS thr_ppm FROM cw WHERE cum * 4 >= n * 3)
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_scored,
+          CAST(sum(CASE WHEN w.w_ppm >= thr.thr_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sel,
+          (1000 * CAST(sum(CASE WHEN w.w_ppm >= thr.thr_ppm THEN 1
+            ELSE 0 END) AS BIGINT)) // count(*) AS sel_permille,
+          CAST(sum(w.w_ppm) // count(*) AS BIGINT) AS mean_w_ppm,
+          max(thr.thr_ppm) AS thr_ppm
+        FROM w JOIN documents d ON w.doc_id = d.doc_id, thr
+        GROUP BY d.lang ORDER BY d.lang""")),
   )
 }

@@ -131,7 +131,14 @@ class PlanAuditSpec extends SparkSuite {
       "q253_bh_fdr",
       // q257's nested loop is backoffScore's 1-row unigram-total (N)
       // broadcast normalizing the lowest backoff order — model-sized
-      "q257_backoff_lm_score")
+      "q257_backoff_lm_score",
+      // q261 embeds q257's scorer (its 1-row N broadcast); the gate
+      // itself joins per-source thresholds by key
+      "q261_perplexity_gate",
+      // q262 runs the scorer twice (two 1-row N broadcasts) plus the
+      // bucketPrefixOffsets-style bounds and threshold broadcasts —
+      // all 1-row frames under the quartile decomposition
+      "q262_dsir_selection")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
