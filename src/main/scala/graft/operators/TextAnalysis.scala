@@ -801,12 +801,35 @@ object TextAnalysis {
       srcCol: String, lm: DataFrame): DataFrame = {
     val docs = df.select(col(idCol).as("doc"),
       col(srcCol).as("source"), col(textCol).as("__text"))
-    val scored = backoffScore(docs.select(col("doc"), col("__text")),
+    val sc = backoffScore(docs.select(col("doc"), col("__text")),
         "doc", "__text", lm)
       .join(docs.select(col("doc"), col("source")), Seq("doc"))
-    val sc = scored.groupBy(col("source"),
-        col("mean_score_ppm").as("s"))
+      .groupBy(col("source"), col("mean_score_ppm").as("s"))
       .agg(count(lit(1)).as("cnt"))
+    val total = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    fluencyGateFromCounts(sc, total)
+  }
+
+  /**
+   * The gate derivation of [[perplexityGate]] factored onto its STATE
+   * representation — per-source (score, count) histograms plus
+   * per-source document totals — so a stream-maintained state
+   * ([[graft.streaming.StreamCorpus.maintainFluencyState]]: additive
+   * count deltas landed per micro-batch) drives the identical manifest
+   * without ever re-reading standing documents. Everything the gate
+   * emits is a function of the counts: the quartile threshold (min s
+   * with 4·cum ≥ n), kept/dropped tallies (Σcnt each side of thr) and
+   * their means (Σs·cnt div Σcnt — decimal128, scores re-weight by
+   * multiplicity exactly as per-doc rows would).
+   *
+   * Input: `sc` = (source, s, cnt) score histogram; `totals` =
+   * (source, n_docs) arrival counts (shorts included). Output schema
+   * is [[perplexityGate]]'s.
+   */
+  def fluencyGateFromCounts(sc: DataFrame,
+      totals: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val wCum = Window.partitionBy("source").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, 0)
     val wTot = Window.partitionBy("source")
@@ -816,26 +839,23 @@ object TextAnalysis {
       .filter(col("cum") * 4 >= col("n"))
       .groupBy(col("source"))
       .agg(min(col("s")).as("thr_ppm"))
-    val total = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"))
-    scored
+    sc
       .join(broadcast(thr), Seq("source"))
-      .withColumn("keep", (col("mean_score_ppm") >= col("thr_ppm"))
-        .cast("long"))
+      .withColumn("keep", (col("s") >= col("thr_ppm")).cast("long"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_scored"),
+      .agg(sum(col("cnt")).as("n_scored"),
         max(col("thr_ppm")).as("thr_ppm"),
-        sum(col("keep")).as("n_kept"),
-        sum(col("keep") * col("mean_score_ppm")).as("kept_sum"),
-        sum((lit(1L) - col("keep")) * col("mean_score_ppm"))
+        sum(col("keep") * col("cnt")).as("n_kept"),
+        sum(dec(col("keep") * col("cnt")) * col("s")).as("kept_sum"),
+        sum(dec((lit(1L) - col("keep")) * col("cnt")) * col("s"))
           .as("drop_sum"))
-      .join(total, Seq("source"))
+      .join(totals, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_scored"),
         col("thr_ppm"), col("n_kept"),
         expr("(1000 * n_kept) div n_scored").as("kept_permille"),
-        expr("kept_sum div n_kept").as("mean_kept_ppm"),
+        expr("cast(kept_sum div n_kept as bigint)").as("mean_kept_ppm"),
         when(col("n_scored") > col("n_kept"),
-          expr("drop_sum div (n_scored - n_kept)"))
+          expr("cast(drop_sum div (n_scored - n_kept) as bigint)"))
           .as("mean_dropped_ppm"))
   }
 

@@ -233,6 +233,76 @@ object StreamCorpus {
     (sh, ntok)
   }
 
+  /**
+   * Maintain the q261 FLUENCY-GATE state incrementally — the streaming
+   * writer for the two tables [[graft.operators.TextAnalysis
+   * .fluencyGateFromCounts]] consumes: `dir/sc` = per-batch
+   * (source, s, cnt) score-histogram deltas and `dir/docs` = per-batch
+   * (source, n_docs) arrival counts. Each micro-batch scores ONLY its
+   * own documents against the LANDED stupid-backoff model (the static
+   * artifact — five broadcast joins, the q257 scoring pass) and lands
+   * its aggregates under a deterministic `batch_id=<epoch>` partition,
+   * so a foreachBatch retry overwrites instead of double-counting (the
+   * [[maintainShingleIndex]] effectively-once shape; same `_lineage`
+   * checkpoint binding). Standing documents are never re-scored —
+   * maintenance cost is O(delta).
+   *
+   * The state REPRESENTATION is additive: per-source score histograms
+   * and doc totals are grouped SUMS over landed partitions, so chunking
+   * can never change the fold ([[readFluencyState]] performs it,
+   * merging an optional standing dir in the same pass). The quartile
+   * threshold is deliberately NOT maintained incrementally — it is a
+   * rank statistic, recomputed from the folded histogram at read time
+   * (bounded by distinct scores, not documents).
+   */
+  def maintainFluencyState(arrivals: DataFrame, lm: DataFrame,
+      dir: String, checkpointDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    arrivals
+      .select(col("doc_id"), col("source"), col("text"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        verifyLineage(batch.sparkSession, dir, checkpointDir, batchId,
+          "sc")
+        val b = batch.persist() // two sinks below — compute the batch once
+        try {
+          graft.operators.TextAnalysis.backoffScore(
+              b.select(col("doc_id"), col("text")), "doc_id", "text", lm)
+            .join(b.select(col("doc_id").as("doc"), col("source")),
+              Seq("doc"))
+            .groupBy(col("source"), col("mean_score_ppm").as("s"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(s"$dir/sc/batch_id=$batchId")
+          b.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+            .write.mode("overwrite")
+            .parquet(s"$dir/docs/batch_id=$batchId")
+        } finally { b.unpersist(); () }
+      }
+
+  /** Fold the stream-maintained fluency state (and an optional
+    * standing dir in the same `sc`/`docs` layout) into the exact
+    * (source, s, cnt) + (source, n_docs) frames
+    * `TextAnalysis.fluencyGateFromCounts` consumes. Grouped sums are
+    * the ONLY folds — additivity is the state encoding. */
+  def readFluencyState(spark: org.apache.spark.sql.SparkSession,
+      streamDir: String, standingDir: Option[String])
+      : (DataFrame, DataFrame) = {
+    val scParts = spark.read.parquet(s"$streamDir/sc")
+      .select(col("source"), col("s"), col("cnt"))
+    val docParts = spark.read.parquet(s"$streamDir/docs")
+      .select(col("source"), col("n_docs"))
+    val sc = standingDir.map(sd => spark.read.parquet(s"$sd/sc")
+        .unionByName(scParts)).getOrElse(scParts)
+      .groupBy(col("source"), col("s"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val docs = standingDir.map(sd => spark.read.parquet(s"$sd/docs")
+        .unionByName(docParts)).getOrElse(docParts)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+    (sc, docs)
+  }
+
   private def verifyLineage(spark: org.apache.spark.sql.SparkSession,
       dir: String, checkpointDir: String, batchId: Long,
       partsSubdir: String): Unit = {
