@@ -496,6 +496,54 @@ object CorpusAssembly {
   }
 
   /**
+   * Epoch/repeat planner — [[mixturePlan]]'s OVER-budget complement
+   * (Muennighoff et al., Scaling Data-Constrained Language Models:
+   * past ~4 epochs, repeated tokens stop buying loss, so a repeat
+   * plan needs a cap and an honest unmet-budget readout): given
+   * per-source availability, weights and a budget LARGER than the
+   * corpus, how many times does each source repeat? target_i =
+   * (T·w_i) div ΣW (the q223 floor rule), epochs land milli-exact as
+   *   e_i = min(maxEpochsMilli, (1000·target_i) div avail_i),
+   * planned_i = (avail_i·e_i) div 1000, and the unmet remainder
+   * (target − planned, > 0 exactly where the cap binds) is EMITTED,
+   * never silently refit — the cap is a data-constraint fact the
+   * caller must see, not an allocation residue to hide. Zero-
+   * availability sources emit epochs 0 and their full target unmet.
+   *
+   * Output: (src, w, avail_tok, target_tok, epochs_milli, at_cap,
+   * planned_tok, unmet_tok).
+   *
+   * Scale shape: |sources|-row arithmetic against one 1-row totals
+   * broadcast — the avail frame is the corpus-sized aggregate, built
+   * upstream once.
+   */
+  def epochPlan(avail: DataFrame, srcCol: String, availCol: String,
+      weightCol: String, budgetNum: Long, budgetDen: Long,
+      maxEpochsMilli: Long = 4000L): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && maxEpochsMilli > 0)
+    val base = avail.select(col(srcCol).as("src"),
+      col(availCol).cast("long").as("avail_tok"),
+      col(weightCol).cast("long").as("w"))
+    val tot = base.agg(sum(col("avail_tok")).cast("long").as("total_tok"),
+      sum(col("w")).cast("long").as("ws"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("target_tok", expr(
+        s"""cast(((cast(total_tok as decimal(38,0)) * $budgetNum)
+             div $budgetDen * w) div ws as bigint)"""))
+      .withColumn("epochs_milli",
+        when(col("avail_tok") > 0, least(lit(maxEpochsMilli),
+          expr("(1000 * target_tok) div avail_tok"))).otherwise(0L))
+      .withColumn("planned_tok", expr(
+        "cast((cast(avail_tok as decimal(38,0)) * epochs_milli)" +
+          " div 1000 as bigint)"))
+      .select(col("src"), col("w"), col("avail_tok"), col("target_tok"),
+        col("epochs_milli"),
+        (col("epochs_milli") === maxEpochsMilli).as("at_cap"),
+        col("planned_tok"),
+        (col("target_tok") - col("planned_tok")).as("unmet_tok"))
+  }
+
+  /**
    * Mixture diversity readout — Shannon entropy (exact Q20 log2 units)
    * and evenness of a corpus mix, for BOTH the availability
    * distribution and a planned one side by side: the one-number answer

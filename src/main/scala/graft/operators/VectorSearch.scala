@@ -942,4 +942,40 @@ object VectorSearch {
         sum(col("qd")).as("l1_fp"),
         max(col("qd")).as("max_dim_fp"))
   }
+
+  /**
+   * Embedding-space benchmark decontamination — the semantic sibling
+   * of the n-gram gate (`TextDedup.contaminationPairs`, q47): a
+   * PARAPHRASED test item shares almost no 8-gram with its source but
+   * sits at cosine ≈ 1 in embedding space, so a corpus release gate
+   * needs both readouts. For every train vector, the maximum cosine
+   * against the benchmark set (ties by bench id — deterministic
+   * argmax); rows at or above `tau` are the contamination report
+   * (train_id, bench_id, cosine). Benchmark members literally present
+   * in train surface at cosine 1.0 — exact leakage is a special case,
+   * not an exclusion.
+   *
+   * Scale shape: the benchmark is the BOUNDED broadcast side (a
+   * benchmark suite is small by nature — the [[knnBrute]] query-set
+   * contract); one linear corpus scan computes N·|bench| codegen'd
+   * in-order dots, the per-train argmax is a train-keyed
+   * WindowGroupLimit, and only flagged rows ever leave the executors.
+   */
+  def decontaminateByEmbedding(train: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, tau: Double = 0.99): DataFrame = {
+    val t = prepNormed(ScanOps.spreadSmallInput(train, col(idCol)),
+      idCol, vecCol)
+    val b = prepNormed(bench, idCol, vecCol).select(
+      col(idCol).as("bench_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy("train_id")
+      .orderBy(col("cosine").desc, col("bench_id"))
+    t.select(col(idCol).as("train_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(b))
+      .select(col("train_id"), col("bench_id"),
+        (dotD(col("v"), col("bv")) / (col("nrm") * col("bn")))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1 && col("cosine") >= tau)
+      .select(col("train_id"), col("bench_id"), col("cosine"))
+  }
 }

@@ -1771,5 +1771,56 @@ object TextQueries {
           max(thr.thr_ppm) AS thr_ppm
         FROM w JOIN documents d ON w.doc_id = d.doc_id, thr
         GROUP BY d.lang ORDER BY d.lang""")),
+
+    // ------------------------------------------------------------------
+    // q264 — epoch/repeat planner (CorpusAssembly.epochPlan): q223
+    // answered "budget UNDER the corpus — what can be sampled"; this
+    // answers the data-constrained regime "budget 3× the corpus — how
+    // many times does each source repeat", with the Muennighoff ~4-
+    // epoch cap and the unmet budget EMITTED where the cap binds. The
+    // q223 avail/weight fixture (w = source ordinal + 1, ΣW = 210,
+    // near-even availability) makes both branches fire at every sf:
+    // low-weight sources plan fractional epochs (milli-exact floors),
+    // sources with w ≥ ~14 hit the 4000-milli cap with real unmet_tok.
+    // |sources|-row arithmetic against one 1-row totals broadcast.
+    // ------------------------------------------------------------------
+    "q264_epoch_plan" -> GraftQuery(
+      build = (s, d) => {
+        val avail = documents(s, d)
+          .select(col("source"), wsTokenCount(col("text")).as("tok"))
+          .groupBy(col("source"))
+          .agg(sum(col("tok")).as("avail_tok"))
+          .withColumn("w", expr("cast(substr(source, 4) as long) + 1"))
+        CorpusAssembly.epochPlan(avail, "source", "avail_tok", "w",
+            budgetNum = 3, budgetDen = 1)
+          .orderBy("src")
+      },
+      oracle = Some("""
+        WITH av AS (SELECT source AS src,
+            CAST(sum(len(string_split_regex(lower(text), '\s+')))
+              AS BIGINT) AS avail_tok,
+            CAST(substr(source, 4) AS BIGINT) + 1 AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(avail_tok) AS BIGINT) AS total_tok,
+            CAST(sum(w) AS BIGINT) AS ws
+          FROM av),
+        p0 AS (SELECT src, w, avail_tok,
+            CAST((((CAST(total_tok AS HUGEINT) * 3) // 1) * w) // ws
+              AS BIGINT) AS target_tok
+          FROM av CROSS JOIN tot),
+        p1 AS (SELECT src, w, avail_tok, target_tok,
+            CASE WHEN avail_tok > 0 THEN least(4000,
+              (1000 * CAST(target_tok AS HUGEINT)) // avail_tok)
+              ELSE 0 END AS epochs_milli
+          FROM p0),
+        p2 AS (SELECT src, w, avail_tok, target_tok,
+            CAST(epochs_milli AS BIGINT) AS epochs_milli,
+            epochs_milli = 4000 AS at_cap,
+            CAST((CAST(avail_tok AS HUGEINT) * epochs_milli) // 1000
+              AS BIGINT) AS planned_tok
+          FROM p1)
+        SELECT src, w, avail_tok, target_tok, epochs_milli, at_cap,
+          planned_tok, target_tok - planned_tok AS unmet_tok
+        FROM p2 ORDER BY src""")),
   )
 }

@@ -758,6 +758,68 @@ object VectorQueries {
         FROM cc JOIN sz ON cc.component = sz.component
         ORDER BY vec_id"""
       },
-      headline = true)
+      headline = true),
+
+    // ------------------------------------------------------------------
+    // q263 — embedding-space benchmark decontamination (VectorSearch
+    // .decontaminateByEmbedding): q47's n-gram gate catches verbatim
+    // leakage; this catches the PARAPHRASE — near-identical vectors
+    // that share no 8-gram. Benchmark = the shared bounded query-set
+    // slice (broadcast side). The fixture plants both outcomes: the
+    // bench members themselves remain in train (exact leakage, cosine
+    // 1.0), a +200000-id near-mutant family (alternate dims ×1.002 —
+    // the q26 geometry, cosine ≈ 0.999998, flagged) and a +300000-id
+    // distorted family (alternate dims ×1.5, cosine ≈ 0.98, correctly
+    // BELOW the 0.99 line — the gate discriminates, the report stays
+    // exactly 2·|bench| rows at every sf).
+    // ------------------------------------------------------------------
+    "q263_embedding_decontam" -> GraftQuery(
+      build = (s, d) => {
+        val emb = embeddings(s, d)
+        val orig = emb.select(col("vec_id"),
+          toDouble(col("embedding")).as("v"))
+        def mutant(idOff: Int, eps: Double) = emb
+          .filter(col("vec_id") % 100 === 0 && col("vec_id") < 500)
+          .select((col("vec_id") + idOff).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast(DoubleType) *
+                (lit(1.0) + lit(eps) * (i % 2).cast(DoubleType)))
+              .as("v"))
+        val bench = emb.filter(expr(QuerySetSql))
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        VectorSearch.decontaminateByEmbedding(
+            orig.union(mutant(200000, 0.002)).union(mutant(300000, 0.5)),
+            bench, "vec_id", "v")
+          .orderBy("train_id")
+      },
+      oracle = Some(s"""
+        WITH orig AS (SELECT vec_id, ${sqlToDouble("embedding")} AS v
+          FROM embeddings),
+        mut1 AS (SELECT vec_id + 200000 AS vec_id,
+            list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) *
+                (1.0 + 0.002 * CAST((i - 1) % 2 AS DOUBLE))) AS v
+          FROM embeddings WHERE $QuerySetSql),
+        mut2 AS (SELECT vec_id + 300000 AS vec_id,
+            list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) *
+                (1.0 + 0.5 * CAST((i - 1) % 2 AS DOUBLE))) AS v
+          FROM embeddings WHERE $QuerySetSql),
+        train AS (SELECT * FROM orig UNION ALL SELECT * FROM mut1
+          UNION ALL SELECT * FROM mut2),
+        tn AS (SELECT vec_id AS train_id, v,
+            sqrt(${sqlDot("v", "v")}) AS nrm FROM train),
+        bn AS (SELECT vec_id AS bench_id, v AS bv,
+            sqrt(${sqlDot("v", "v")}) AS bn FROM orig
+          WHERE $QuerySetSql),
+        scored AS (SELECT train_id, bench_id,
+            ${sqlDot("v", "bv")} / (nrm * bn) AS cosine
+          FROM tn CROSS JOIN bn),
+        ranked AS (SELECT train_id, bench_id, cosine,
+            row_number() OVER (PARTITION BY train_id
+              ORDER BY cosine DESC, bench_id) AS rnk
+          FROM scored)
+        SELECT train_id, bench_id, cosine FROM ranked
+        WHERE rnk = 1 AND cosine >= 0.99 ORDER BY train_id""")),
   )
 }

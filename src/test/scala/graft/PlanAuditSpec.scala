@@ -138,7 +138,13 @@ class PlanAuditSpec extends SparkSuite {
       // q262 runs the scorer twice (two 1-row N broadcasts) plus the
       // bucketPrefixOffsets-style bounds and threshold broadcasts —
       // all 1-row frames under the quartile decomposition
-      "q262_dsir_selection")
+      "q262_dsir_selection",
+      // q263's nested loop is the bounded benchmark-set broadcast under
+      // the all-pairs cosine scan — the q25/knnBrute query-set shape
+      "q263_embedding_decontam",
+      // q264's nested loop is the 1-row totals broadcast onto the
+      // |sources| plan frame — the q223 shape
+      "q264_epoch_plan")
 
   test("no registered query plans a cartesian product; nested-loop only where deliberate") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * Hand fixtures for the fifth round-13 wave: embedding-space benchmark
+ * decontamination (q263) and the epoch/repeat planner (q264). Vectors
+ * and plans are small enough to enumerate; every expected number is
+ * derived by hand from the operator's defining arithmetic.
+ */
+class Round13WaveESpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // decontaminateByEmbedding
+  // ------------------------------------------------------------------
+
+  test("decontaminateByEmbedding: exact copies flag at cosine 1.0, " +
+      "orthogonal vectors never flag, the argmax tie-break is by " +
+      "bench id") {
+    // bench: b1 = (1,0), b2 = (0,1). train: t10 = (2,0) (copy of b1
+    // direction -> cos 1 vs b1, 0 vs b2), t11 = (0,3) (cos 1 vs b2),
+    // t12 = (1,1) (cos ~0.707 vs both -> below tau, and WOULD tie).
+    val bench = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq((10L, Seq(2f, 0f)), (11L, Seq(0f, 3f)),
+      (12L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val r = VectorSearch.decontaminateByEmbedding(train, bench,
+      "vec_id", "embedding").collect()
+      .map(x => x.getAs[Long]("train_id") -> x).toMap
+    assert(r.keySet === Set(10L, 11L))
+    assert(r(10L).getAs[Long]("bench_id") === 1L)
+    assert(r(10L).getAs[Double]("cosine") === 1.0)
+    assert(r(11L).getAs[Long]("bench_id") === 2L)
+    // the sub-threshold tie case surfaces when tau admits it: at
+    // tau = 0.5 doc 12 flags, attributed to bench 1 (the id tie-break
+    // on an exact cosine tie)
+    val loose = VectorSearch.decontaminateByEmbedding(train, bench,
+      "vec_id", "embedding", tau = 0.5).collect()
+      .map(x => x.getAs[Long]("train_id") -> x).toMap
+    assert(loose(12L).getAs[Long]("bench_id") === 1L)
+    assert(math.abs(loose(12L).getAs[Double]("cosine") -
+      math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("decontaminateByEmbedding: one row per contaminated train " +
+      "vector even when it clears tau against SEVERAL bench items") {
+    val bench = Seq((1L, Seq(1f, 0.01f)), (2L, Seq(1f, -0.01f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq((10L, Seq(5f, 0f))).toDF("vec_id", "embedding")
+    val r = VectorSearch.decontaminateByEmbedding(train, bench,
+      "vec_id", "embedding").collect()
+    assert(r.length === 1) // argmax row only, never one per bench hit
+    assert(r.head.getAs[Long]("bench_id") === 1L) // cosine ties -> min id
+  }
+
+  // ------------------------------------------------------------------
+  // epochPlan
+  // ------------------------------------------------------------------
+
+  test("epochPlan: hand plan — fractional epochs floor at milli, the " +
+      "cap binds with visible unmet budget, zero-avail emits its full " +
+      "target unmet") {
+    // avail: A=1000 w=1, B=100 w=3, C=0 w=1. total=1100, ws=5,
+    // budget 3x -> T=3300. targets: A=660, B=1980, C=660.
+    // epochs: A = min(4000, 660000 div 1000) = 660 -> planned 660
+    // B = min(4000, 1980000 div 100 = 19800) = 4000 -> planned 400,
+    //   unmet 1580; C: avail 0 -> epochs 0, unmet 660.
+    val avail = Seq(("A", 1000L, 1L), ("B", 100L, 3L), ("C", 0L, 1L))
+      .toDF("src", "avail_tok", "w")
+    val r = CorpusAssembly.epochPlan(avail, "src", "avail_tok", "w",
+      budgetNum = 3, budgetDen = 1).collect()
+      .map(x => x.getAs[String]("src") -> x).toMap
+    assert(r("A").getAs[Long]("target_tok") === 660L)
+    assert(r("A").getAs[Long]("epochs_milli") === 660L)
+    assert(!r("A").getAs[Boolean]("at_cap"))
+    assert(r("A").getAs[Long]("planned_tok") === 660L)
+    assert(r("A").getAs[Long]("unmet_tok") === 0L)
+    assert(r("B").getAs[Long]("epochs_milli") === 4000L)
+    assert(r("B").getAs[Boolean]("at_cap"))
+    assert(r("B").getAs[Long]("planned_tok") === 400L)
+    assert(r("B").getAs[Long]("unmet_tok") === 1580L)
+    assert(r("C").getAs[Long]("epochs_milli") === 0L)
+    assert(r("C").getAs[Long]("planned_tok") === 0L)
+    assert(r("C").getAs[Long]("unmet_tok") === 660L)
+  }
+
+  test("epochPlan: an under-budget plan degenerates to sub-1000-milli " +
+      "epochs everywhere — mixturePlan's regime, never the cap") {
+    val avail = Seq(("A", 1000L, 1L), ("B", 1000L, 1L))
+      .toDF("src", "avail_tok", "w")
+    val r = CorpusAssembly.epochPlan(avail, "src", "avail_tok", "w",
+      budgetNum = 1, budgetDen = 2).collect()
+    assert(r.forall(_.getAs[Long]("epochs_milli") === 500L))
+    assert(r.forall(!_.getAs[Boolean]("at_cap")))
+    assert(r.forall(_.getAs[Long]("unmet_tok") === 0L))
+  }
+}
