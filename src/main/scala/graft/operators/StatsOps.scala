@@ -2974,4 +2974,74 @@ object StatsOps {
         col("ssb").cast("long").as("ssb_milli"),
         col("ssw").cast("long").as("ssw_milli"), col("f_milli"))
   }
+
+  /**
+   * Wald's sequential probability ratio test (SPRT), Bernoulli case —
+   * the HYPOTHESIS-TESTING sequential leg beside [[cusum]]'s
+   * monitoring one: "stop the experiment as soon as the evidence is
+   * in" rather than "run to a fixed n and then look" (the fixed-n
+   * readouts are q103/q173/q220; SPRT's expected sample size beats
+   * them ~2× at the same α/β). Offline evaluation of the sequential
+   * rule over the recorded (ordered) trial stream: with H₀: p = p₀ vs
+   * H₁: p = p₁, after t trials with s successes
+   *   LLR_t = s·a + (t−s)·b,
+   *   a = log₂(p₁/p₀) > 0,  b = log₂((1−p₁)/(1−p₀)) < 0,
+   * decided the FIRST time LLR crosses log₂((1−β)/α) above (accept
+   * H₁) or log₂(β/(1−α)) below (accept H₀). EXACT cross-engine: a, b
+   * and both boundaries are Q20 lattice DIFFERENCES of
+   * [[graft.functions.FixedLog.log2q20]] values, computed ONCE here
+   * and interpolated into both engines' plans as literal constants —
+   * the q46/q255 one-table discipline, so no float log ever runs in
+   * either engine. Trials order by (tsCol, tieCol) — a total order,
+   * so "first crossing" is defined, not partition-dependent.
+   *
+   * Output, one row per cell: (cell, n, s, decision ∈ h1/h0/continue,
+   * n_dec, s_dec, llr_dec_q20, bound_q20) — n_dec/s_dec/llr null when
+   * the walk never crosses (an honest 'continue', never a forced
+   * call).
+   *
+   * Scale shape: one cell-keyed window pass over the facts (the q252
+   * shape — two window functions sharing one exchange), then the
+   * crossing argmin and the totals re-aggregate count frames. The
+   * lattice constants ride the plan as literals; nothing touches the
+   * driver after planning.
+   */
+  def sprtBernoulli(df: DataFrame, cellCol: String, tsCol: String,
+      tieCol: String, successCol: String, p0Ppm: Long, p1Ppm: Long,
+      alphaPpm: Long = 50000L, betaPpm: Long = 50000L): DataFrame = {
+    require(0 < p0Ppm && p0Ppm < p1Ppm && p1Ppm < 1000000L,
+      s"sprtBernoulli: need 0 < p0 < p1 < 1e6 ppm, got $p0Ppm/$p1Ppm")
+    require(0 < alphaPpm && alphaPpm < 500000L &&
+      0 < betaPpm && betaPpm < 500000L,
+      s"sprtBernoulli: alpha/beta out of (0, 0.5): $alphaPpm/$betaPpm")
+    val L = graft.functions.FixedLog.log2q20 _
+    val a = L(p1Ppm) - L(p0Ppm)
+    val b = L(1000000L - p1Ppm) - L(1000000L - p0Ppm)
+    val up = L(1000000L - betaPpm) - L(alphaPpm)
+    val lo = L(betaPpm) - L(1000000L - alphaPpm)
+    val base = df
+      .filter(col(successCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(tsCol).as("o1"),
+        col(tieCol).as("o2"), col(successCol).cast("long").as("succ"))
+    val wOrd = Window.partitionBy("cell").orderBy("o1", "o2")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val walk = base
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("s_t", sum(col("succ")).over(wCum))
+      .withColumn("llr",
+        col("s_t") * a + (col("t") - col("s_t")) * b)
+    val totals = base.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("succ")).as("s"))
+    val dec = walk
+      .filter(col("llr") >= up || col("llr") <= lo)
+      .groupBy(col("cell"))
+      .agg(min(struct(col("t"), col("s_t"), col("llr"))).as("d"))
+    totals
+      .join(dec, Seq("cell"), "left")
+      .select(col("cell"), col("n"), col("s"),
+        when(col("d").isNull, "continue")
+          .when(col("d.llr") >= up, "h1").otherwise("h0").as("decision"),
+        col("d.t").as("n_dec"), col("d.s_t").as("s_dec"),
+        col("d.llr").as("llr_dec_q20"), lit(up).as("bound_q20"))
+  }
 }

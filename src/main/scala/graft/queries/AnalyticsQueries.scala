@@ -124,6 +124,19 @@ object AnalyticsQueries {
       .map { case (t, i) => s"WHEN $i THEN $t" }
       .mkString("CASE bin ", " ", " ELSE 0 END")
 
+  /** q265 SPRT design: H₀ p = 0.30 vs H₁ p = 0.40 at α = β = 5%. The
+    * four walk constants are Q20-lattice DIFFERENCES computed ONCE
+    * from the defining integer algorithm and interpolated into BOTH
+    * engines' plans (the q46/q255 one-table discipline) — no float
+    * log ever runs in either engine. */
+  val SprtP0 = 300000L
+  val SprtP1 = 400000L
+  private val Lq20 = graft.functions.FixedLog.log2q20 _
+  val SprtA: Long = Lq20(SprtP1) - Lq20(SprtP0)
+  val SprtB: Long = Lq20(1000000L - SprtP1) - Lq20(1000000L - SprtP0)
+  val SprtUp: Long = Lq20(950000L) - Lq20(50000L)
+  val SprtLo: Long = Lq20(50000L) - Lq20(950000L)
+
   /** q104 snapshot cut: 1998-01-01T00:00:00Z in epoch millis. The
     * "drift" injection doubles late-window prices for a key stratum, so
     * the two snapshots genuinely differ in shape. */
@@ -5389,5 +5402,62 @@ object AnalyticsQueries {
             THEN CAST((1000 * (n - k) * ssb) //
               (CAST(k - 1 AS HUGEINT) * ssw) AS BIGINT) END AS f_milli
         FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q265 — Wald SPRT, Bernoulli (StatsOps.sprtBernoulli): offline
+    // evaluation of the SEQUENTIAL test over each event type's
+    // recorded conversion stream — "when would the experiment have
+    // stopped, and with which call". Design H₀ p=0.30 vs H₁ p=0.40 at
+    // α=β=5%; success thresholds are engineered per the quantile
+    // probe so BOTH calls occur in the gated result: purchase converts
+    // at ~50% (value ≥ its median, 34) → accept H₁; every other type
+    // converts at ~20% (value ≥ its ~80th pct, 82) → accept H₀ — each
+    // decided in tens-to-hundreds of trials where the fixed-n tests
+    // read the full corpus. The walk constants are the SHARED Q20
+    // lattice literals (SprtA/B/Up/Lo); (ts, event_id) is the total
+    // trial order, so "first crossing" is defined identically in both
+    // engines. One cell-keyed window exchange touches facts.
+    // ------------------------------------------------------------------
+    "q265_sprt_sequential" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .withColumn("succ",
+            (col("value") >=
+              when(col("event_type") === "purchase", 34.0)
+                .otherwise(82.0)).cast("int"))
+        graft.operators.StatsOps.sprtBernoulli(ev, "event_type", "ts",
+            "event_id", "succ", SprtP0, SprtP1)
+          .orderBy("cell")
+      },
+      oracle = Some(s"""
+        WITH base AS (SELECT event_type AS cell, epoch_us(ts) AS o1,
+            event_id AS o2,
+            CASE WHEN value >= (CASE WHEN event_type = 'purchase'
+              THEN 34.0 ELSE 82.0 END) THEN 1 ELSE 0 END AS succ
+          FROM events WHERE value IS NOT NULL),
+        walk AS (SELECT cell, succ,
+            CAST(row_number() OVER (PARTITION BY cell
+              ORDER BY o1, o2) AS BIGINT) AS t,
+            CAST(sum(succ) OVER (PARTITION BY cell ORDER BY o1, o2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_t
+          FROM base),
+        lw AS (SELECT cell, t, s_t,
+            s_t * $SprtA + (t - s_t) * $SprtB AS llr
+          FROM walk),
+        cross1 AS (SELECT cell, t, s_t, llr,
+            row_number() OVER (PARTITION BY cell ORDER BY t) AS rnk
+          FROM lw WHERE llr >= $SprtUp OR llr <= $SprtLo),
+        dec AS (SELECT cell, t, s_t, llr FROM cross1 WHERE rnk = 1),
+        tot AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(succ) AS BIGINT) AS s
+          FROM base GROUP BY 1)
+        SELECT tot.cell, tot.n, tot.s,
+          CASE WHEN dec.llr IS NULL THEN 'continue'
+            WHEN dec.llr >= $SprtUp THEN 'h1' ELSE 'h0' END AS decision,
+          dec.t AS n_dec, dec.s_t AS s_dec, dec.llr AS llr_dec_q20,
+          CAST($SprtUp AS BIGINT) AS bound_q20
+        FROM tot LEFT JOIN dec ON tot.cell = dec.cell
+        ORDER BY tot.cell""")),
   )
 }

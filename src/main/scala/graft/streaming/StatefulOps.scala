@@ -1185,4 +1185,76 @@ object StatefulOps {
       .transformWithState(new CusumProcessor(kUp, hUp, kDn, hDn),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class SprtIn(k: String, t: Long, succ: Long)
+  final case class SprtSt(n: Long, s: Long, dec: Int, nDec: Long,
+    sDec: Long, llrDec: Long)
+  final case class SprtOut(k: String, t: Long, n: Long, s: Long,
+    llr: Long, decision: String, nDec: Option[Long],
+    sDec: Option[Long], llrDec: Option[Long])
+
+  /**
+   * Streaming twin of `StatsOps.sprtBernoulli` (q265) — and the one
+   * operator in the family whose NATIVE shape is the stream: SPRT
+   * exists to stop an experiment the moment the evidence crosses, so
+   * the live walk IS the product, the batch operator its offline
+   * replay. Per cell, three longs + a latch of state: trial and
+   * success counters drive LLR = s·a + (n−s)·b on the same Q20
+   * lattice constants as the batch plan (passed in, computed ONCE by
+   * the caller — the shared-literal discipline), and the FIRST
+   * boundary crossing latches (decision, n_dec, s_dec, llr_dec)
+   * permanently — later arrivals keep reporting the latched call, so
+   * a restart mid-experiment or post-decision is indistinguishable
+   * from an unbroken run (StreamSprtSpec's equivalence claim vs the
+   * batch first-crossing row). Requires time-ordered batch arrival
+   * per cell, the [[RunningRecurrenceProcessor]] contract.
+   */
+  class SprtProcessor(a: Long, b: Long, up: Long, lo: Long)
+      extends StatefulProcessor[String, SprtIn, SprtOut] {
+    @transient private var st: ValueState[SprtSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SprtSt]("sprt",
+        Encoders.product[SprtSt], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SprtIn],
+        timers: TimerValues): Iterator[SprtOut] = {
+      val sorted = rows.toArray.sortBy(_.t)
+      var s = if (st.exists()) st.get() else SprtSt(0L, 0L, 0, 0L, 0L, 0L)
+      val out = sorted.map { r =>
+        s = s.copy(n = s.n + 1, s = s.s + r.succ)
+        val llr = s.s * a + (s.n - s.s) * b
+        if (s.dec == 0 && (llr >= up || llr <= lo))
+          s = s.copy(dec = if (llr >= up) 1 else 2, nDec = s.n,
+            sDec = s.s, llrDec = llr)
+        val decided = s.dec != 0
+        SprtOut(r.k, r.t, s.n, s.s, llr,
+          if (s.dec == 1) "h1" else if (s.dec == 2) "h0" else "continue",
+          if (decided) Some(s.nDec) else None,
+          if (decided) Some(s.sDec) else None,
+          if (decided) Some(s.llrDec) else None)
+      }
+      if (sorted.nonEmpty) st.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[SprtProcessor]] over a (k, t, succ) frame; the lattice
+    * constants come from `FixedLog.log2q20` differences exactly as
+    * `StatsOps.sprtBernoulli` computes them. */
+  def sprtStream(rows: DataFrame, p0Ppm: Long, p1Ppm: Long,
+      alphaPpm: Long = 50000L, betaPpm: Long = 50000L)
+      : Dataset[SprtOut] = {
+    import rows.sparkSession.implicits._
+    val L = graft.functions.FixedLog.log2q20 _
+    val a = L(p1Ppm) - L(p0Ppm)
+    val b = L(1000000L - p1Ppm) - L(1000000L - p0Ppm)
+    val up = L(1000000L - betaPpm) - L(alphaPpm)
+    val lo = L(betaPpm) - L(1000000L - alphaPpm)
+    rows.select(col("k"), col("t"), col("succ"))
+      .as[SprtIn]
+      .groupByKey(_.k)
+      .transformWithState(new SprtProcessor(a, b, up, lo),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

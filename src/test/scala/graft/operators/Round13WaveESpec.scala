@@ -97,4 +97,56 @@ class Round13WaveESpec extends SparkSuite {
     assert(r.forall(!_.getAs[Boolean]("at_cap")))
     assert(r.forall(_.getAs[Long]("unmet_tok") === 0L))
   }
+
+  // ------------------------------------------------------------------
+  // sprtBernoulli (q265)
+  // ------------------------------------------------------------------
+
+  private val Lq = graft.functions.FixedLog.log2q20 _
+
+  test("sprtBernoulli: an all-success walk accepts H1 at exactly " +
+      "ceil(up/a) trials; an all-failure walk accepts H0 at " +
+      "ceil(|lo|/|b|); the first crossing latches even when the tail " +
+      "would reverse it") {
+    val a = Lq(400000L) - Lq(300000L)
+    val b = Lq(600000L) - Lq(700000L)
+    val up = Lq(950000L) - Lq(50000L)
+    val tUp = ((up + a - 1) / a).toInt  // smallest t with t*a >= up
+    val tLo = ((-(Lq(50000L) - Lq(950000L)) + (-b) - 1) / (-b)).toInt
+    val rows =
+      (1 to 40).map(t => ("win", t.toLong, 1L)) ++        // all success
+      (1 to 40).map(t => ("lose", t.toLong, 0L)) ++       // all failure
+      // crosses up at tUp, then 60 failures drag LLR far below lo —
+      // the decision must still be the FIRST crossing
+      ((1 to tUp).map(t => ("rev", t.toLong, 1L)) ++
+        (1 to 60).map(t => ("rev", (tUp + t).toLong, 0L)))
+    val r = StatsOps.sprtBernoulli(rows.toDF("cell", "ts", "succ")
+        .withColumn("tie", col("ts")),
+        "cell", "ts", "tie", "succ", 300000L, 400000L)
+      .collect().map(x => x.getAs[String]("cell") -> x).toMap
+    assert(r("win").getAs[String]("decision") === "h1")
+    assert(r("win").getAs[Long]("n_dec") === tUp.toLong)
+    assert(r("lose").getAs[String]("decision") === "h0")
+    assert(r("lose").getAs[Long]("n_dec") === tLo.toLong)
+    assert(r("rev").getAs[String]("decision") === "h1")
+    assert(r("rev").getAs[Long]("n_dec") === tUp.toLong)
+    assert(r("rev").getAs[Long]("llr_dec_q20") >=
+      r("rev").getAs[Long]("bound_q20"))
+  }
+
+  test("sprtBernoulli: a boundary-hugging walk reads an honest " +
+      "'continue' with null decision fields") {
+    // repeat [1, 0, 0]: drift a + 2b per triple is slightly negative
+    // but far from either boundary within 30 trials
+    val rows = (0 until 30).map(t =>
+      ("amb", (t + 1).toLong, if (t % 3 == 0) 1L else 0L))
+    val r = StatsOps.sprtBernoulli(rows.toDF("cell", "ts", "succ")
+        .withColumn("tie", col("ts")),
+        "cell", "ts", "tie", "succ", 300000L, 400000L)
+      .collect().head
+    assert(r.getAs[String]("decision") === "continue")
+    assert(r.isNullAt(r.fieldIndex("n_dec")))
+    assert(r.isNullAt(r.fieldIndex("llr_dec_q20")))
+    assert(r.getAs[Long]("n") === 30L)
+  }
 }
