@@ -2976,6 +2976,72 @@ object StatsOps {
   }
 
   /**
+   * Jonckheere–Terpstra ordered-alternative test — the dose-response
+   * reading [[kruskalWallis]] deliberately ignores: KW asks "is ANY
+   * group shifted", JT asks "do the groups shift MONOTONICALLY with
+   * their order" (priority tiers, dosage levels, size classes), which
+   * against an ordered alternative is far more powerful than the
+   * omnibus. JT is the cross-group concordance count #{a ∈ gᵢ, b ∈
+   * gⱼ, i < j : vₐ < v_b} — exactly [[kendallTauB]]'s concordant
+   * pairs with x = the group ordinal, so the shared
+   * [[contingencyPairs]] grid double-prefix computes it with no
+   * pairwise scan (and its loud grid guard applies: bin values
+   * first). Value-tied cross-group pairs count half, kept exact by
+   * doubling: jt2 = 2·conc + (T_y − T_xy) with T_y = all same-value
+   * pairs and T_xy = same-(group, value) pairs, both from the
+   * contingency frame. The readout is the dominance share
+   *   jt_ppm = ⌊10⁶·jt2 / (2·(n₀ − T_x))⌋
+   * (n₀ − T_x = all cross-group pairs): 500000 is the null, above
+   * reads an increasing trend, below a decreasing one — the ordered
+   * k-group generalization of [[cliffsDelta]]'s scale-free unit.
+   *
+   * Output: (cell, k, n, jt2, max_pairs2, jt_ppm, trend ∈
+   * increasing/decreasing/flat — null jt_ppm when a cell has no
+   * cross-group pair).
+   *
+   * Scale shape: [[contingencyPairs]]'s — ONE corpus aggregate to the
+   * (cell, grp, value) contingency (localCheckpointed for its
+   * consumers), dense-grid windows bounded by the guard, count-frame
+   * re-aggregates after.
+   */
+  def jonckheereTerpstra(df: DataFrame, cellCol: String,
+      groupOrdCol: String, valueCol: String,
+      maxGridCells: Long = 4000000L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val (cxy, pair) = contingencyPairs(df, cellCol, groupOrdCol,
+      valueCol, maxGridCells, "jonckheereTerpstra")
+    val tx = cxy.groupBy(col("cell"), col("x"))
+      .agg(sum(col("nxy")).as("nx"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("k"),
+        expr("cast(sum(cast(nx as decimal(38,0)) * (nx - 1)) div 2" +
+          " as decimal(38,0))").as("tx"))
+    val ty = cxy.groupBy(col("cell"), col("y"))
+      .agg(sum(col("nxy")).as("ny"))
+      .groupBy(col("cell"))
+      .agg(expr("cast(sum(cast(ny as decimal(38,0)) * (ny - 1)) div 2" +
+        " as decimal(38,0))").as("ty"))
+    val txy = cxy.groupBy(col("cell"))
+      .agg(expr("cast(sum(cast(nxy as decimal(38,0)) * (nxy - 1)) " +
+        "div 2 as decimal(38,0))").as("txy"))
+    pair
+      .join(tx, Seq("cell")).join(ty, Seq("cell")).join(txy, Seq("cell"))
+      .withColumn("n0", expr("cast((n * (n - 1)) div 2 as decimal(38,0))"))
+      .withColumn("jt2", col("conc") * 2 + (col("ty") - col("txy")))
+      .withColumn("mp2", (col("n0") - col("tx")) * 2)
+      .withColumn("jt_ppm",
+        when(col("mp2") > 0,
+          expr("cast((1000000 * jt2) div mp2 as bigint)")))
+      .select(col("cell"), col("k"), col("n").cast("long").as("n"),
+        col("jt2").cast("long").as("jt2"),
+        col("mp2").cast("long").as("max_pairs2"), col("jt_ppm"),
+        when(col("jt_ppm").isNull, lit(null).cast("string"))
+          .when(col("jt_ppm") > 500000L, "increasing")
+          .when(col("jt_ppm") < 500000L, "decreasing")
+          .otherwise("flat").as("trend"))
+  }
+
+  /**
    * Wald's sequential probability ratio test (SPRT), Bernoulli case —
    * the HYPOTHESIS-TESTING sequential leg beside [[cusum]]'s
    * monitoring one: "stop the experiment as soon as the evidence is

@@ -5459,5 +5459,78 @@ object AnalyticsQueries {
           CAST($SprtUp AS BIGINT) AS bound_q20
         FROM tot LEFT JOIN dec ON tot.cell = dec.cell
         ORDER BY tot.cell""")),
+
+    // ------------------------------------------------------------------
+    // q266 — Jonckheere–Terpstra ordered trend (StatsOps
+    // .jonckheereTerpstra): does order value shift MONOTONICALLY with
+    // priority tier, per status cell — the dose-response question
+    // q258's omnibus can't ask. Build side rides the SHARED
+    // contingencyPairs grid double-prefix (JT = kendallTauB's
+    // concordant count with x = tier ordinal); the oracle is
+    // INDEPENDENTLY formulated as the direct pairwise product sum over
+    // the (tier, bin) count frame (the q247 discipline), so the two
+    // engines prove the identity, not the code. Fixture warps cell 'F'
+    // by +1000 bins per tier step (a fifth of the ~5000-bin spread —
+    // probed: the raw data itself carries a mild natural trend,
+    // 514–534k ppm in every cell): F reads jt_ppm ≈ 0.81·10⁶ vs the
+    // others' honest natural imbalance, so MAGNITUDE separates the
+    // planted dose-response from background, as it should.
+    // ------------------------------------------------------------------
+    "q266_jonckheere_trend" -> GraftQuery(
+      build = (s, d) => {
+        val pr = orders(s, d)
+          .withColumn("xord",
+            expr("cast(substr(o_orderpriority, 1, 1) as long)"))
+          .withColumn("bin",
+            expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 " +
+              "as bigint) div 1000000") +
+              when(col("o_orderstatus") === "F", col("xord") * 1000L)
+                .otherwise(0L))
+        graft.operators.StatsOps.jonckheereTerpstra(pr,
+            "o_orderstatus", "xord", "bin")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH pr AS (SELECT o_orderstatus AS cell,
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+            CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 1000000 +
+              CASE WHEN o_orderstatus = 'F'
+                THEN 1000 * CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                ELSE 0 END AS y
+          FROM orders),
+        c AS (SELECT cell, x, y, CAST(count(*) AS HUGEINT) AS n
+          FROM pr GROUP BY 1, 2, 3),
+        cells AS (SELECT cell, CAST(count(DISTINCT x) AS BIGINT) AS k,
+            CAST(sum(n) AS BIGINT) AS n
+          FROM c GROUP BY 1),
+        conc AS (SELECT a.cell, sum(a.n * b.n) AS cc
+          FROM c a JOIN c b ON a.cell = b.cell AND a.x < b.x
+            AND a.y < b.y GROUP BY 1),
+        tie AS (SELECT a.cell, sum(a.n * b.n) AS tt
+          FROM c a JOIN c b ON a.cell = b.cell AND a.x < b.x
+            AND a.y = b.y GROUP BY 1),
+        mp AS (SELECT a.cell, sum(a.n * b.n) AS m
+          FROM c a JOIN c b ON a.cell = b.cell AND a.x < b.x
+          GROUP BY 1),
+        ag AS (SELECT cells.cell, cells.k, cells.n,
+            CAST(2 * coalesce(conc.cc, 0) + coalesce(tie.tt, 0)
+              AS BIGINT) AS jt2,
+            CAST(2 * coalesce(mp.m, 0) AS BIGINT) AS max_pairs2
+          FROM cells
+          LEFT JOIN conc ON cells.cell = conc.cell
+          LEFT JOIN tie ON cells.cell = tie.cell
+          LEFT JOIN mp ON cells.cell = mp.cell)
+        SELECT cell, k, n, jt2, max_pairs2,
+          CASE WHEN max_pairs2 > 0 THEN
+            CAST((1000000 * CAST(jt2 AS HUGEINT)) // max_pairs2
+              AS BIGINT) END AS jt_ppm,
+          CASE WHEN max_pairs2 = 0 THEN NULL
+            WHEN (1000000 * CAST(jt2 AS HUGEINT)) // max_pairs2 > 500000
+              THEN 'increasing'
+            WHEN (1000000 * CAST(jt2 AS HUGEINT)) // max_pairs2 < 500000
+              THEN 'decreasing'
+            ELSE 'flat' END AS trend
+        FROM ag ORDER BY cell""")),
   )
 }

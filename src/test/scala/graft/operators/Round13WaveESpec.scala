@@ -149,4 +149,61 @@ class Round13WaveESpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("llr_dec_q20")))
     assert(r.getAs[Long]("n") === 30L)
   }
+
+  // ------------------------------------------------------------------
+  // jonckheereTerpstra (q266)
+  // ------------------------------------------------------------------
+
+  test("jonckheereTerpstra: hand pairs — a perfectly ordered ladder " +
+      "reads jt_ppm = 10^6, a reversed one 0, value ties count half") {
+    // up: g1={1,2}, g2={3,4}, g3={5}: every cross-group pair ordered
+    // -> jt2 = 2*8 = 16, max = 16 -> 10^6
+    // down: the mirror -> 0
+    // tie: g1={5}, g2={5}: one cross pair, tied -> jt2 = 1, max 2
+    val rows =
+      Seq(("up", 1L, 1L), ("up", 1L, 2L), ("up", 2L, 3L),
+        ("up", 2L, 4L), ("up", 3L, 5L),
+        ("down", 1L, 5L), ("down", 1L, 4L), ("down", 2L, 3L),
+        ("down", 2L, 2L), ("down", 3L, 1L),
+        ("tie", 1L, 5L), ("tie", 2L, 5L))
+    val r = StatsOps.jonckheereTerpstra(rows.toDF("cell", "g", "v"),
+      "cell", "g", "v").collect()
+      .map(x => x.getAs[String]("cell") -> x).toMap
+    assert(r("up").getAs[Long]("jt_ppm") === 1000000L)
+    assert(r("up").getAs[String]("trend") === "increasing")
+    assert(r("up").getAs[Long]("max_pairs2") === 16L)
+    assert(r("down").getAs[Long]("jt_ppm") === 0L)
+    assert(r("down").getAs[String]("trend") === "decreasing")
+    assert(r("tie").getAs[Long]("jt2") === 1L)
+    assert(r("tie").getAs[Long]("jt_ppm") === 500000L)
+    assert(r("tie").getAs[String]("trend") === "flat")
+  }
+
+  test("jonckheereTerpstra: a single-group cell nulls jt_ppm and " +
+      "trend (no cross-group pair exists)") {
+    val rows = Seq(("solo", 1L, 1L), ("solo", 1L, 9L))
+    val r = StatsOps.jonckheereTerpstra(rows.toDF("cell", "g", "v"),
+      "cell", "g", "v").collect().head
+    assert(r.getAs[Long]("max_pairs2") === 0L)
+    assert(r.isNullAt(r.fieldIndex("jt_ppm")))
+    assert(r.isNullAt(r.fieldIndex("trend")))
+  }
+
+  test("jonckheereTerpstra: group-label REVERSAL maps jt2 to " +
+      "max_pairs2 - jt2 exactly (seeded antisymmetry)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(13400 + seed)
+      val rows = (1 to 60).map(_ =>
+        ("c", (rnd.nextInt(4) + 1).toLong, rnd.nextInt(12).toLong))
+      val fwd = StatsOps.jonckheereTerpstra(
+        rows.toDF("cell", "g", "v"), "cell", "g", "v").collect().head
+      val rev = StatsOps.jonckheereTerpstra(
+        rows.map { case (c, g, v) => (c, 5L - g, v) }
+          .toDF("cell", "g", "v"), "cell", "g", "v").collect().head
+      assert(fwd.getAs[Long]("max_pairs2") ===
+        rev.getAs[Long]("max_pairs2"))
+      assert(fwd.getAs[Long]("jt2") + rev.getAs[Long]("jt2") ===
+        fwd.getAs[Long]("max_pairs2"))
+    }
+  }
 }
