@@ -58,8 +58,9 @@ else
 fi
 
 echo "[$(STAMP)] 5/5 full bench sf0.1 → bench_local_r${ROUND}_full.json"
+# grep -o: sbt may prefix the line with [info], so anchor on the payload
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" < /dev/null \
-  | grep '^{"metric"' | tail -1 > "bench_local_r${ROUND}_full.json"
+  | grep -o '{"metric".*' | tail -1 > "bench_local_r${ROUND}_full.json"
 cp "bench_local_r${ROUND}_full.json" bench_out.json
 python3 - "bench_local_r${ROUND}_full.json" <<'PY'
 import json, sys
