@@ -505,10 +505,14 @@ object CorpusAssembly {
    * (T·w_i) div ΣW (the q223 floor rule), epochs land milli-exact as
    *   e_i = min(maxEpochsMilli, (1000·target_i) div avail_i),
    * planned_i = (avail_i·e_i) div 1000, and the unmet remainder
-   * (target − planned, > 0 exactly where the cap binds) is EMITTED,
-   * never silently refit — the cap is a data-constraint fact the
-   * caller must see, not an allocation residue to hide. Zero-
-   * availability sources emit epochs 0 and their full target unmet.
+   * (target − planned) is EMITTED, never silently refit — the cap is
+   * a data-constraint fact the caller must see, not an allocation
+   * residue to hide. unmet_tok is DOMINATED by the cap where it binds
+   * (at_cap rows carry target − avail·maxEpochs/1000); elsewhere it is
+   * only the milli-floor residue of e_i — strictly less than
+   * avail_i/1000 tokens — so at_cap=false rows may still read a small
+   * positive unmet_tok. Zero-availability sources emit epochs 0 and
+   * their full target unmet.
    *
    * Output: (src, w, avail_tok, target_tok, epochs_milli, at_cap,
    * planned_tok, unmet_tok).

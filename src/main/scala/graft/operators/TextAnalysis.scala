@@ -782,7 +782,10 @@ object TextAnalysis {
    * global line — because sources have different registers; a global
    * gate would silently empty the most idiosyncratic source (the
    * CCNet design point). Documents under 3 tokens never score and
-   * are counted separately (n_docs − n_scored), not silently dropped.
+   * are counted separately (n_docs − n_scored), not silently dropped —
+   * and totals DRIVE the manifest, so a source whose every document
+   * is short still emits its row (n_scored = 0, null threshold and
+   * means) instead of vanishing from the report.
    *
    * Output, one row per source: (source, n_docs, n_scored, thr_ppm,
    * n_kept, kept_permille, mean_kept_ppm, mean_dropped_ppm) — the
@@ -824,8 +827,12 @@ object TextAnalysis {
    * multiplicity exactly as per-doc rows would).
    *
    * Input: `sc` = (source, s, cnt) score histogram; `totals` =
-   * (source, n_docs) arrival counts (shorts included). Output schema
-   * is [[perplexityGate]]'s.
+   * (source, n_docs) arrival counts (shorts included). `totals` is
+   * the DRIVING side of the final join: a source present in totals
+   * but absent from the histogram (every document too short to
+   * score) emits (source, n_docs, 0, null, 0, null, null, null)
+   * rather than being dropped from the manifest. Output schema is
+   * [[perplexityGate]]'s.
    */
   def fluencyGateFromCounts(sc: DataFrame,
       totals: DataFrame): DataFrame = {
@@ -839,7 +846,7 @@ object TextAnalysis {
       .filter(col("cum") * 4 >= col("n"))
       .groupBy(col("source"))
       .agg(min(col("s")).as("thr_ppm"))
-    sc
+    val gated = sc
       .join(broadcast(thr), Seq("source"))
       .withColumn("keep", (col("s") >= col("thr_ppm")).cast("long"))
       .groupBy(col("source"))
@@ -849,11 +856,15 @@ object TextAnalysis {
         sum(dec(col("keep") * col("cnt")) * col("s")).as("kept_sum"),
         sum(dec((lit(1L) - col("keep")) * col("cnt")) * col("s"))
           .as("drop_sum"))
-      .join(totals, Seq("source"))
-      .select(col("source"), col("n_docs"), col("n_scored"),
-        col("thr_ppm"), col("n_kept"),
-        expr("(1000 * n_kept) div n_scored").as("kept_permille"),
-        expr("cast(kept_sum div n_kept as bigint)").as("mean_kept_ppm"),
+    totals.join(gated, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("thr_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_scored") > 0,
+          expr("(1000 * n_kept) div n_scored")).as("kept_permille"),
+        when(col("n_kept") > 0,
+          expr("cast(kept_sum div n_kept as bigint)")).as("mean_kept_ppm"),
         when(col("n_scored") > col("n_kept"),
           expr("cast(drop_sum div (n_scored - n_kept) as bigint)"))
           .as("mean_dropped_ppm"))

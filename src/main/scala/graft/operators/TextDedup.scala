@@ -446,16 +446,18 @@ object TextDedup {
    * key is the gram hash with postings CAPPED corpus-relatively
    * (`dfCapPermille`, floor 2 — the q186 B-side discipline, mirrored
    * in the q243 oracle so a tripped cap can never diverge engines).
-   * COST MODEL (r12 verdict advisory): the pair join emits O(Σ_h
-   * df_h²) rows over surviving gram hashes — quadratic in per-gram
-   * document frequency, so every admitted permille of corpus-wide
-   * boilerplate costs (N/1000)² pair rows PER GRAM. Unlike q186,
-   * where the capped frame feeds an aggregate, here it feeds a self-
-   * join, so the honest production default is 10‰ (grams shared by
-   * >1% of the corpus are boilerplate by definition at web scale and
-   * carry no attribution signal); callers wanting mid-frequency grams
-   * attribute an explicit candidate subset instead of raising the
-   * cap. The flagged frame is
+   * COST MODEL (r12 verdict advisory; default tightened to 1‰ per
+   * r13): the pair join emits O(Σ_h df_h²) rows over surviving gram
+   * hashes — quadratic in per-gram document frequency, so every
+   * admitted permille of corpus-wide boilerplate costs (N/1000)² pair
+   * rows PER GRAM: at 10⁹ documents even ONE gram admitted at the
+   * 10‰ line would emit 10¹⁴ pairs. Unlike q186, where the capped
+   * frame feeds an aggregate, here it feeds a self-join, so the
+   * honest production default is 1‰ (grams shared by >0.1% of a web
+   * corpus are boilerplate by definition and carry no attribution
+   * signal; the floor of 2 keeps small fixtures and small corpora
+   * exact); callers wanting mid-frequency grams attribute an explicit
+   * candidate subset instead of raising the cap. The flagged frame is
    * localCheckpointed so both join sides read materialized partitions
    * (the q189 self-join rule); everything after the join is keyed on
    * the (doc_a, doc_b) pair and bounded by pair-shared extents. The
@@ -466,7 +468,7 @@ object TextDedup {
    * with doc_a < doc_b; token/span counts are in doc_a's coordinates.
    */
   def spanAttribution(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, dfCapPermille: Long = 10): DataFrame = {
+      shingleN: Int, dfCapPermille: Long = 1): DataFrame = {
     require(dfCapPermille >= 1 && dfCapPermille <= 1000,
       s"dfCapPermille in [1,1000], got $dfCapPermille")
     import org.apache.spark.sql.expressions.Window

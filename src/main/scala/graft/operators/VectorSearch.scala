@@ -958,8 +958,14 @@ object VectorSearch {
    * Scale shape: the benchmark is the BOUNDED broadcast side (a
    * benchmark suite is small by nature — the [[knnBrute]] query-set
    * contract); one linear corpus scan computes N·|bench| codegen'd
-   * in-order dots, the per-train argmax is a train-keyed
-   * WindowGroupLimit, and only flagged rows ever leave the executors.
+   * in-order dots, and the per-train argmax is a map-side-combinable
+   * `max(struct(cosine, −bench_id))` hash aggregate (r13 verdict
+   * advisory: the aggregate form shuffles ONE row per train id by
+   * construction, with no reliance on the WindowGroupLimit rewrite
+   * firing for a rank-1 filter), so only |train| rows reach the
+   * exchange and only flagged rows ever leave the executors. The
+   * negated id keeps the window form's tie rule — max cosine, then
+   * SMALLEST bench id — as a struct ordering.
    */
   def decontaminateByEmbedding(train: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, tau: Double = 0.99): DataFrame = {
@@ -967,15 +973,17 @@ object VectorSearch {
       idCol, vecCol)
     val b = prepNormed(bench, idCol, vecCol).select(
       col(idCol).as("bench_id"), col("v").as("bv"), col("nrm").as("bn"))
-    val w = Window.partitionBy("train_id")
-      .orderBy(col("cosine").desc, col("bench_id"))
     t.select(col(idCol).as("train_id"), col("v"), col("nrm"))
       .crossJoin(broadcast(b))
-      .select(col("train_id"), col("bench_id"),
-        (dotD(col("v"), col("bv")) / (col("nrm") * col("bn")))
-          .as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1 && col("cosine") >= tau)
-      .select(col("train_id"), col("bench_id"), col("cosine"))
+      .select(col("train_id"),
+        struct(
+          (dotD(col("v"), col("bv")) / (col("nrm") * col("bn")))
+            .as("cosine"),
+          (-col("bench_id")).as("nid")).as("cand"))
+      .groupBy(col("train_id"))
+      .agg(max(col("cand")).as("best"))
+      .filter(col("best.cosine") >= tau)
+      .select(col("train_id"), (-col("best.nid")).as("bench_id"),
+        col("best.cosine").as("cosine"))
   }
 }

@@ -107,8 +107,9 @@ object AnalyticsQueries {
   /** q255/q256 warped-cohort label rates (‰) per score decile — the
     // ONE table both engines' CASE is generated from (the q46
     // SampleRates discipline). Deliberately NON-monotone (dips at
-    // bins 2, 4, 6) so PAV has real violators to pool and Brier REL
-    // reads real miscalibration. */
+    // bins 2, 4, 6, 8 — each rate below its predecessor) so PAV has
+    // real violators to pool and Brier REL reads real
+    // miscalibration. */
   val IsoThresh: Seq[Int] =
     Seq(150, 350, 250, 500, 420, 650, 600, 800, 700, 900)
 
@@ -5054,7 +5055,7 @@ object AnalyticsQueries {
     // on the q206 pseudo-model geometry: md5-uniform scores binned to
     // deciles, labels drawn by an independent md5 stream — but at the
     // NON-MONOTONE per-bin rates IsoThresh (‰), so the raw reliability
-    // curve provably dips at bins 2/4/6/8/10 and PAV has real
+    // curve provably dips at bins 2/4/6/8 (bins run 0–9) and PAV has real
     // violators to pool (a calibrated fixture would make the minimax a
     // no-op). fitted_ppm must be non-decreasing per cell — readable in
     // the gated output, asserted as a property in the spec. The 'cal'

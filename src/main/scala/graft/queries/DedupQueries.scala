@@ -1124,8 +1124,10 @@ object DedupQueries {
     // full duplicates must attribute nt-token single-span overlaps to
     // their re-inserted twins; each chimera must attribute its two
     // borrowed 12-token prefixes to BOTH source docs as separate
-    // single-span pairs. Postings are corpus-relatively capped (the
-    // q186 B-side discipline, floor 2), mirrored in the oracle.
+    // single-span pairs. Postings are corpus-relatively capped at the
+    // 1-permille production default (the q186 B-side discipline,
+    // floor 2; r13 verdict — 10-permille would admit 10^14 pairs per
+    // hot gram at 10^9 docs), mirrored in the oracle.
     // ------------------------------------------------------------------
     "q243_span_attribution" -> GraftQuery(
       build = (s, d) => {
@@ -1171,7 +1173,7 @@ object DedupQueries {
           FROM pos),
         fl AS MATERIALIZED (SELECT doc_id, p, e, h FROM (
             SELECT *, count(*) OVER (PARTITION BY h) AS dfh FROM gr), nd
-          WHERE dfh >= 2 AND dfh <= greatest((n_docs * 10) // 1000, 2)),
+          WHERE dfh >= 2 AND dfh <= greatest((n_docs * 1) // 1000, 2)),
         pr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             a.p AS p, a.e AS e, a.h AS h
           FROM fl a JOIN fl b ON a.h = b.h AND a.doc_id < b.doc_id),

@@ -1636,13 +1636,18 @@ object TextQueries {
             CAST(sum(CASE WHEN src.sm < thr.thr_ppm THEN src.sm
               ELSE 0 END) AS BIGINT) AS drop_sum
           FROM src JOIN thr ON src.source = thr.source GROUP BY 1)
-        SELECT ag.source, tot.n_docs, ag.n_scored, ag.thr_ppm,
-          ag.n_kept, (1000 * ag.n_kept) // ag.n_scored AS kept_permille,
-          kept_sum // n_kept AS mean_kept_ppm,
-          CASE WHEN n_scored > n_kept
-            THEN drop_sum // (n_scored - n_kept) END AS mean_dropped_ppm
-        FROM ag JOIN tot ON ag.source = tot.source
-        ORDER BY ag.source""")),
+        SELECT tot.source, tot.n_docs,
+          COALESCE(ag.n_scored, 0) AS n_scored, ag.thr_ppm,
+          COALESCE(ag.n_kept, 0) AS n_kept,
+          CASE WHEN ag.n_scored > 0
+            THEN (1000 * ag.n_kept) // ag.n_scored END AS kept_permille,
+          CASE WHEN ag.n_kept > 0
+            THEN kept_sum // n_kept END AS mean_kept_ppm,
+          CASE WHEN ag.n_scored > ag.n_kept
+            THEN drop_sum // (ag.n_scored - ag.n_kept) END
+            AS mean_dropped_ppm
+        FROM tot LEFT JOIN ag ON ag.source = tot.source
+        ORDER BY tot.source""")),
 
     // ------------------------------------------------------------------
     // q262 — DSIR-style importance selection (TextAnalysis.dsirSelect):

@@ -212,7 +212,10 @@ object StreamCorpus {
       }
 
   /** Fold the stream-maintained refresh state (and an optional day-1
-    * standing dir in `TextDedup`'s `sh`/`ntok` layout) into the exact
+    * standing dir in `TextDedup`'s `sh`/`ntok` layout — plain OR
+    * `batch_id=N`-partitioned, both legal: standing reads are
+    * projected to the state columns before the union, so an extra
+    * partition column can never poison the fold) into the exact
     * (src, ch, cnt) + (ch, ntok) frames q244's chain consumes. The
     * grouped sum / distinct are the ONLY folds — additivity is what
     * makes the per-batch partition layout a valid state encoding. */
@@ -224,10 +227,12 @@ object StreamCorpus {
     val ntokParts = spark.read.parquet(s"$streamDir/ntok")
       .select(col("ch"), col("ntok"))
     val sh = standingDir.map(sd => spark.read.parquet(s"$sd/sh")
+        .select(col("src"), col("ch"), col("cnt"))
         .unionByName(shParts)).getOrElse(shParts)
       .groupBy(col("src"), col("ch"))
       .agg(sum(col("cnt")).as("cnt"))
     val ntok = standingDir.map(sd => spark.read.parquet(s"$sd/ntok")
+        .select(col("ch"), col("ntok"))
         .unionByName(ntokParts)).getOrElse(ntokParts)
       .distinct()
     (sh, ntok)
@@ -281,7 +286,10 @@ object StreamCorpus {
       }
 
   /** Fold the stream-maintained fluency state (and an optional
-    * standing dir in the same `sc`/`docs` layout) into the exact
+    * standing dir in the same `sc`/`docs` layout — plain OR
+    * `batch_id=N`-partitioned, both legal: standing reads are
+    * projected to the state columns before the union, matching how
+    * scParts/docParts are projected) into the exact
     * (source, s, cnt) + (source, n_docs) frames
     * `TextAnalysis.fluencyGateFromCounts` consumes. Grouped sums are
     * the ONLY folds — additivity is the state encoding. */
@@ -293,10 +301,12 @@ object StreamCorpus {
     val docParts = spark.read.parquet(s"$streamDir/docs")
       .select(col("source"), col("n_docs"))
     val sc = standingDir.map(sd => spark.read.parquet(s"$sd/sc")
+        .select(col("source"), col("s"), col("cnt"))
         .unionByName(scParts)).getOrElse(scParts)
       .groupBy(col("source"), col("s"))
       .agg(sum(col("cnt")).as("cnt"))
     val docs = standingDir.map(sd => spark.read.parquet(s"$sd/docs")
+        .select(col("source"), col("n_docs"))
         .unionByName(docParts)).getOrElse(docParts)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"))

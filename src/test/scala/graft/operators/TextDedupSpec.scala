@@ -549,9 +549,10 @@ class TextDedupSpec extends SparkSuite {
     assert(tight.keySet === Set((1L, 3L)))
     // "a b c" covers 1..3, "z1 z2 z3" covers 7..9: 6 tokens, 2 spans
     assert(tight((1L, 3L)) === ((2L, 6L, 2L)))
-    // the production DEFAULT is 10 permille (r12 verdict: the pair
-    // join is O(sum df^2), so the default must exclude hot grams) —
-    // on this fixture it lands on the same floor-2 cap as 100 permille
+    // the production DEFAULT is 1 permille (r12/r13 verdicts: the
+    // pair join is O(sum df^2), so the default must exclude hot
+    // grams) — on this fixture it lands on the same floor-2 cap as
+    // 100 permille
     val byDefault = TextDedup.spanAttribution(
         docs.toDF("doc_id", "text"), "doc_id", "text", shingleN = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->

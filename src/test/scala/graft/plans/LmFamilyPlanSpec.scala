@@ -140,6 +140,11 @@ class LmFamilyPlanSpec extends SparkSuite {
     assert(a.count(_.contains("CartesianProduct")) == 0)
     assert(a.count(_.contains("BroadcastNestedLoopJoin")) > 0,
       "q263 lost its bounded benchmark broadcast")
+    // r13 verdict advisory landed: the per-train argmax is a map-side-
+    // combinable max(struct) hash aggregate, not a window — the
+    // aggregate form shuffles one row per train id by construction
+    assert(a.windows.isEmpty,
+      "q263 argmax regressed from aggregate back to a window")
     val ex = exchanges(a)
     assert(ex <= 4, s"q263 exchange budget blown: $ex")
     a.scanSchemas("embeddings").foreach(rs =>
