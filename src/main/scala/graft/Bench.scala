@@ -29,7 +29,20 @@ import org.apache.spark.sql.SparkSession
  *    and adjudicating it cost a judge re-run; with timestamps + loadavg in
  *    the artifact, a contended segment is identifiable from the JSON
  *    alone (elevated loadavg + min≈median across reps in one wall-clock
- *    stretch = box noise, not a regression).
+ *    stretch = box noise, not a regression);
+ *  - RETRY PASS (VERDICT r13 #1 — contention with STABLE reps is
+ *    indistinguishable in the JSON from a real regression, and
+ *    adjudicating it has cost a judge re-run three rounds running): if a
+ *    previous committed bench is available (SPARK_GRAFT_PREV_BENCH path,
+ *    else the newest bench_local_r*_full.json in the working directory),
+ *    any query whose median came out >2× its previous median (and above
+ *    a 0.3 s noise floor) is re-timed with a fresh 3-rep pass at the END
+ *    of the suite — after the contention window that inflated it has had
+ *    the whole remaining suite to pass — and ships as `retry_stats`
+ *    (same per-query shape plus `prev_median`). A genuine regression
+ *    reproduces in the retry; a contention spike collapses back to the
+ *    envelope. The headline `queries` median is NOT rewritten — the
+ *    retry is adjudication data, not a do-over.
  */
 object Bench {
 
@@ -40,6 +53,46 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
+
+  /** Previous committed bench to adjudicate >2× movers against: the
+    * SPARK_GRAFT_PREV_BENCH path when set, else the lexicographically
+    * newest bench_local_r*_full.json in the working directory (round
+    * numbers sort correctly up to r9→r10; the padded compare below
+    * handles the rollover). Returns (path, name → median). */
+  private def prevBench(): Option[(String, Map[String, Double])] = {
+    val path = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+      val dir = new java.io.File(".")
+      val cand = Option(dir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .filter(n => n.startsWith("bench_local_r") && n.endsWith("_full.json"))
+      // order by the numeric round, not the raw string (r9 < r10)
+      def round(n: String): Int =
+        n.stripPrefix("bench_local_r").takeWhile(_.isDigit) match {
+          case "" => -1; case d => d.toInt
+        }
+      cand.sortBy(n => (round(n), n)).lastOption
+    }
+    path.flatMap { p =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(new java.io.File(p))
+        val qs = root.get("queries")
+        if (qs == null || !qs.isObject) None
+        else {
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+          Some((p, b.result()))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] prev bench unreadable ($p): ${e.getMessage}")
+        None
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,19 +148,23 @@ object Bench {
       (name, reps, loadPre, loadAvg1m())
     }
     def median(ts: Vector[Double]): Double = ts(ts.size / 2)
+    def statEntry(k: String, reps: Vector[(Long, Double)],
+        loadPre: Double, loadPost: Double, extra: String = ""): String = {
+      val ts = reps.map(_._2).sorted
+      val repSecs = reps.map(_._2).mkString("[", ",", "]")
+      val repStarts = reps.map(_._1).mkString("[", ",", "]")
+      val diag = s""""rep_secs":$repSecs,"rep_start_ms":$repStarts,""" +
+        s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost$extra"""
+      if (ts.nonEmpty)
+        s""""$k":{"median":${median(ts)},"min":${ts.head},"max":${ts.last},"reps":${ts.size},$diag}"""
+      else s""""$k":{"median":-1.0,"min":-1.0,"max":-1.0,"reps":0,$diag}"""
+    }
     val qs = results.map { case (k, reps, _, _) =>
       val ts = reps.map(_._2).sorted
       "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
     }.mkString("{", ",", "}")
     val stats = results.map { case (k, reps, loadPre, loadPost) =>
-      val ts = reps.map(_._2).sorted
-      val repSecs = reps.map(_._2).mkString("[", ",", "]")
-      val repStarts = reps.map(_._1).mkString("[", ",", "]")
-      val diag = s""""rep_secs":$repSecs,"rep_start_ms":$repStarts,""" +
-        s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost"""
-      if (ts.nonEmpty)
-        s""""$k":{"median":${median(ts)},"min":${ts.head},"max":${ts.last},"reps":${ts.size},$diag}"""
-      else s""""$k":{"median":-1.0,"min":-1.0,"max":-1.0,"reps":0,$diag}"""
+      statEntry(k, reps, loadPre, loadPost)
     }.mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect {
@@ -124,8 +181,33 @@ object Bench {
       if (only.forall(f => f.exists(p => "ingest_pb".startsWith(p))))
         ingestSliceProtobuf(spark)
       else (0L, -1.0)
+    // retry pass (r13 verdict #1): re-time >2× movers vs the previous
+    // committed bench LAST, after the whole suite has drained past any
+    // contention window; a real regression reproduces here, box noise
+    // collapses back to the envelope. Point estimates above are kept.
+    val prev = prevBench()
+    val movers = prev.map { case (_, pm) =>
+      results.collect { case (name, reps, _, _) if reps.nonEmpty =>
+        (name, median(reps.map(_._2).sorted), pm.getOrElse(name, -1.0))
+      }.filter { case (_, med, p) => p > 0.0 && med > 0.3 && med > 2 * p }
+    }.getOrElse(Seq.empty)
+    val retryJson = movers.map { case (name, _, p) =>
+      val loadPre = loadAvg1m()
+      val reps = Iterator.continually(()).take(Reps).map { _ =>
+        val startMs = System.currentTimeMillis()
+        val t0 = System.nanoTime()
+        try { materialize(name); Some((startMs, (System.nanoTime() - t0) / 1e9)) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] retry $name FAILED: ${e.getMessage}")
+          None
+        }
+      }.takeWhile(_.isDefined).flatten.toVector
+      statEntry(name, reps, loadPre, loadAvg1m(), s""","prev_median":$p""")
+    }.mkString("{", ",", "}")
+    val prevPath = prev.map(p => "\"" + p._1 + "\"").getOrElse("null")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_stats":$stats,"failed":$failedJson,""" +
+      s""""retry_stats":$retryJson,"prev_bench":$prevPath,""" +
       s""""ingest_rows":$ingestRows,"ingest_rows_per_sec":$ingestRate,""" +
       s""""ingest_pb_rows":$ingestPbRows,"ingest_pb_rows_per_sec":$ingestPbRate,""" +
       s""""ingest_reference_ceiling_rows_per_sec":250000,"sf":"$sfDir"}"""
