@@ -313,6 +313,67 @@ object StreamCorpus {
     (sc, docs)
   }
 
+  /**
+   * Streaming twin of the q263 embedding decontamination gate (the
+   * 20th batch≡stream twin) — the ingest-time form production runs:
+   * a corpus release shouldn't discover benchmark leakage in a
+   * nightly batch sweep when the leak was knowable the moment the
+   * document ARRIVED. Every micro-batch scores ONLY its own train
+   * vectors against the static benchmark suite (the bounded broadcast
+   * side — [[graft.operators.VectorSearch.decontaminateByEmbedding]]'s
+   * map-side-combinable argmax runs unchanged per batch; per-train-row
+   * independence is what makes the batch operator streamable with NO
+   * cross-batch state) and lands the flagged rows under a
+   * deterministic `batch_id=<epoch>` partition, so a foreachBatch
+   * retry overwrites instead of double-reporting (the
+   * [[maintainShingleIndex]] effectively-once shape; same `_lineage`
+   * checkpoint binding). Standing documents are never re-scored —
+   * maintenance cost is O(delta)·|bench|.
+   *
+   * The flagged landing is repartition(1)-ed: a clean batch (zero
+   * flags — the NORMAL case in production) must still land a
+   * schema-bearing part file, or the read-side fold would fail to
+   * infer a schema over all-clean history.
+   */
+  def maintainDecontamState(arrivals: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, tau: Double, dir: String,
+      checkpointDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    arrivals
+      .select(col(idCol), col(vecCol))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        verifyLineage(batch.sparkSession, dir, checkpointDir, batchId,
+          "flagged")
+        graft.operators.VectorSearch.decontaminateByEmbedding(
+            batch, bench, idCol, vecCol, tau)
+          .repartition(1)
+          .write.mode("overwrite")
+          .parquet(s"$dir/flagged/batch_id=$batchId")
+        ()
+      }
+
+  /** Fold the stream-maintained decontamination report (and an
+    * optional standing dir in the same `flagged` layout — plain OR
+    * `batch_id=N`-partitioned; reads are projected to the report
+    * columns first) into the exact (train_id, bench_id, cosine) frame
+    * the batch q263 operator emits. The fold is a DISTINCT, not a
+    * sum: per-train rows are idempotent facts (a re-delivered train
+    * row carries the identical vector under the at-least-once
+    * contract, so its re-scored row is bit-identical — two landed
+    * copies collapse; a same-id row with a DIFFERENT vector is an
+    * upstream key violation, not a fold case). */
+  def readDecontamState(spark: org.apache.spark.sql.SparkSession,
+      streamDir: String, standingDir: Option[String]): DataFrame = {
+    val parts = spark.read.parquet(s"$streamDir/flagged")
+      .select(col("train_id"), col("bench_id"), col("cosine"))
+    standingDir.map(sd => spark.read.parquet(s"$sd/flagged")
+        .select(col("train_id"), col("bench_id"), col("cosine"))
+        .unionByName(parts)).getOrElse(parts)
+      .distinct()
+  }
+
   private def verifyLineage(spark: org.apache.spark.sql.SparkSession,
       dir: String, checkpointDir: String, batchId: Long,
       partsSubdir: String): Unit = {
