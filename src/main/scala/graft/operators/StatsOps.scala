@@ -3110,4 +3110,668 @@ object StatsOps {
         col("d.t").as("n_dec"), col("d.s_t").as("s_dec"),
         col("d.llr").as("llr_dec_q20"), lit(up).as("bound_q20"))
   }
+
+  /**
+   * Friedman blocked-rank test — the repeated-measures complement of
+   * [[kruskalWallis]]: KW asks "did any group's distribution shift"
+   * across INDEPENDENT samples; Friedman asks it across MATCHED blocks
+   * (the k systems ranked per query, the k treatments per subject —
+   * the multi-system eval table every ranking comparison produces),
+   * removing between-block variation that would drown the effect in
+   * KW. Ranks are per-block doubled mid-ranks (rank2 = 2·below +
+   * ties + 1, the [[kruskalWallis]] lattice partitioned by block);
+   * with per-group doubled-rank sums R2ⱼ over n complete blocks,
+   *   Q_milli = max(0, ⌊3000·ΣR2ⱼ² / (n·k·(k+1))⌋ − 3000·n·(k+1))
+   * (the doubled lattice folds the classic 12/(nk(k+1)) into 3), and
+   * the tie-corrected statistic rescales by the block-tie mass T =
+   * Σ_blocks Σ_v (t³−t):  Q_tie = Q·nk(k²−1) div (nk(k²−1) − T),
+   * null when every block is all-ties (denominator ≤ 0).
+   *
+   * COMPLETE blocks only — the classic design requirement: a block
+   * missing a treatment is DROPPED and counted (n_dropped emitted,
+   * never silently), where k is the cell-wide distinct group count.
+   * Callers with one-row-per-(block,group) data pass it directly;
+   * multi-observation data pre-aggregates to one value first (which
+   * statistic — mean, sum, median — is the caller's design choice,
+   * not this operator's).
+   *
+   * Output: (cell, k, n_blocks, n_dropped, tie_t, q_milli,
+   * q_tie_milli).
+   *
+   * Scale shape: one corpus aggregate to (cell, block, grp) grain;
+   * rank windows run inside (cell, block) partitions — k rows each,
+   * never a cell-wide sort; the cell-distinct group count and the
+   * final rollup are |cells|-bounded broadcasts.
+   */
+  def friedman(df: DataFrame, cellCol: String, blockCol: String,
+      grpCol: String, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(blockCol).as("block"),
+        col(grpCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+    val kPerCell = base.groupBy(col("cell"))
+      .agg(countDistinct(col("grp")).as("k"))
+    val blockStat = base.groupBy(col("cell"), col("block"))
+      .agg(count(lit(1)).as("nb"), countDistinct(col("grp")).as("gb"))
+      .join(broadcast(kPerCell), Seq("cell"))
+      .withColumn("ok", col("nb") === col("k") && col("gb") === col("k"))
+    val dropped = blockStat.groupBy(col("cell"))
+      .agg(sum(when(col("ok"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_blocks"))
+    val kept = base.join(
+      blockStat.filter(col("ok")).select(col("cell"), col("block")),
+      Seq("cell", "block"))
+    val wB = Window.partitionBy("cell", "block").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bv = kept.groupBy(col("cell"), col("block"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .withColumn("cb", coalesce(sum(col("t")).over(wB), lit(0L)))
+      .localCheckpoint(true)
+    val r2 = kept
+      .join(bv, Seq("cell", "block", "v"))
+      .withColumn("rank2", col("cb") * 2 + col("t") + 1)
+      .groupBy(col("cell"), col("grp"))
+      .agg(sum(dec(col("rank2"))).as("r2j"))
+    val ties = bv.groupBy(col("cell"))
+      .agg(sum(dec(col("t")) * col("t") * col("t") - col("t"))
+        .as("tie_t"))
+    val r2agg = r2
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("k"), sum(col("r2j") * col("r2j")).as("ss"))
+    // dropped drives: a cell whose every block was incomplete still
+    // reports (n_blocks = 0, n_dropped, null statistics) — the design
+    // failure is data the caller must see
+    dropped
+      .join(r2agg, Seq("cell"), "left")
+      .join(ties, Seq("cell"), "left")
+      .withColumn("q_milli",
+        when(col("n_blocks") > 0, greatest(lit(0L), expr(
+          """cast((3000 * ss) div
+               (cast(n_blocks as decimal(38,0)) * k * (k + 1)) -
+             3000 * n_blocks * (k + 1) as bigint)"""))))
+      .withColumn("q_tie_milli",
+        when(col("q_milli").isNotNull &&
+          dec(col("n_blocks")) * col("k") *
+            (dec(col("k")) * col("k") - 1) - col("tie_t") > 0, expr(
+          """cast((cast(q_milli as decimal(38,0)) *
+               (cast(n_blocks as decimal(38,0)) * k *
+                 (cast(k as decimal(38,0)) * k - 1))) div
+             (cast(n_blocks as decimal(38,0)) * k *
+               (cast(k as decimal(38,0)) * k - 1) - tie_t)
+             as bigint)""")))
+      .select(col("cell"), col("k"), col("n_blocks"), col("n_dropped"),
+        col("tie_t").cast("long").as("tie_t"), col("q_milli"),
+        col("q_tie_milli"))
+  }
+
+  /**
+   * Wilcoxon signed-rank test — the PAIRED complement of
+   * [[mannWhitneyU]]: MWU compares two independent samples; this
+   * tests whether paired differences (before/after per subject, model
+   * A − model B per prompt) center on zero, on the exact doubled
+   * mid-rank lattice over |d|. Zero differences are dropped per the
+   * classic treatment and COUNTED (n_zero — a mostly-zero diff column
+   * should be read, not hidden). With S2⁺ = Σ rank2(|d|) over d > 0
+   * and n nonzero pairs, the centered numerator is
+   *   num4 = 2·S2⁺ − n(n+1)   (= 4·(W⁺ − μ), doubled lattice ×2)
+   * and with tie mass T = Σ(t³−t) over |d| values,
+   *   z² = 3·num4² / (2n(n+1)(2n+1) − T),
+   * emitted as z_milli = sign(num4)·⌊√(10⁶·z²)⌋ under the welchT
+   * radicand guard (null at ≥ 2⁵³ rather than silently
+   * double-rounded).
+   *
+   * Output: (cell, n_pairs, n_zero, n, s2_plus, tie_t, z_milli).
+   *
+   * Scale shape: one corpus aggregate to (cell, |d|) counts with the
+   * positive mass alongside; one prefix window over the bounded
+   * distinct-|d| frame; one cell rollup. Null when n = 0 or the
+   * variance term is ≤ 0 (all differences tie at one magnitude).
+   */
+  def wilcoxonSignedRank(df: DataFrame, cellCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d0 = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        (col(aCol).cast("long") - col(bCol).cast("long")).as("d"))
+    val zeros = d0.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val vc = d0.filter(col("d") =!= 0L)
+      .groupBy(col("cell"), abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("pos"))
+    val wB = Window.partitionBy("cell").orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = vc
+      .withColumn("cb", coalesce(sum(col("t")).over(wB), lit(0L)))
+      .groupBy(col("cell"))
+      .agg(sum(col("t")).as("n"),
+        sum(dec(col("pos")) * (dec(col("cb")) * 2 + col("t") + 1))
+          .as("s2_plus"),
+        sum(dec(col("t")) * col("t") * col("t") - col("t")).as("tie_t"))
+    zeros.join(agg, Seq("cell"), "left")
+      .withColumn("num4",
+        when(col("n").isNotNull,
+          dec(col("s2_plus")) * 2 - dec(col("n")) * (col("n") + 1)))
+      .withColumn("den",
+        when(col("n").isNotNull,
+          dec(col("n")) * (col("n") + 1) * (col("n") * 2 + 1) * 2 -
+            col("tie_t")))
+      .withColumn("rad",
+        when(col("den").isNotNull && col("den") > 0,
+          expr("(3000000 * num4 * num4) div den")))
+      .withColumn("z_milli",
+        when(col("rad").isNotNull && col("rad") < lit(9007199254740992L),
+          expr("""cast(sign(num4) as bigint) *
+            cast(floor(sqrt(cast(rad as double))) as bigint)""")))
+      .select(col("cell"), col("n_pairs"), col("n_zero"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("s2_plus").cast("long").as("s2_plus"),
+        col("tie_t").cast("long").as("tie_t"), col("z_milli"))
+  }
+
+  /**
+   * McNemar paired-binary test — did a model CHANGE more answers for
+   * the better than for the worse: on paired outcome bits (x = before
+   * correct, y = after correct), only the DISCORDANT pairs carry
+   * signal — b = #(1→0), c = #(0→1) — and
+   *   χ²_milli = ⌊1000·(b−c)² / (b+c)⌋,
+   *   χ²cc_milli = ⌊1000·max(|b−c|−1, 0)² / (b+c)⌋ (Edwards
+   * continuity correction — the guard against the ±1 discreteness at
+   * small discordant counts; emitting BOTH makes the correction's
+   * bite readable). Null when b+c = 0 (no discordant pairs — the
+   * test is undefined, not zero). The concordant counts ride along
+   * so the readout shows how much of the sample the test ignored.
+   *
+   * Output: (cell, n_pairs, n_both, n_neither, b, c, chi2_milli,
+   * chi2_cc_milli).
+   *
+   * Scale shape: ONE map-side-combined aggregate to four counts per
+   * cell — nothing else shuffles.
+   */
+  def mcnemar(df: DataFrame, cellCol: String, xCol: String,
+      yCol: String): DataFrame =
+    df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("x") === 1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("x") === 0L && col("y") === 0L, 1L).otherwise(0L))
+          .as("n_neither"),
+        sum(when(col("x") === 1L && col("y") === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("x") === 0L && col("y") === 1L, 1L).otherwise(0L))
+          .as("c"))
+      .withColumn("chi2_milli",
+        when(col("b") + col("c") > 0, expr(
+          "cast((1000 * cast(b - c as decimal(38,0)) * (b - c)) div " +
+            "(b + c) as bigint)")))
+      .withColumn("chi2_cc_milli",
+        when(col("b") + col("c") > 0, expr(
+          """cast((1000 * cast(greatest(abs(b - c) - 1, 0) as
+               decimal(38,0)) * greatest(abs(b - c) - 1, 0)) div
+             (b + c) as bigint)""")))
+      .select(col("cell"), col("n_pairs"), col("n_both"),
+        col("n_neither"), col("b"), col("c"), col("chi2_milli"),
+        col("chi2_cc_milli"))
+
+  /**
+   * Cochran–Armitage trend test — is a success RATE monotone in an
+   * ordered exposure (does quality-gate pass rate fall with document
+   * length bucket; does defect rate rise with batch size): the 2×k
+   * contingency test with the k levels' ORDER built in, which the
+   * omnibus χ² ([[chiSquareRxC]]'s geometry) deliberately ignores.
+   * With integer level scores sᵢ, per-level totals nᵢ and successes
+   * rᵢ, N = Σnᵢ, R = Σrᵢ:
+   *   num = Σ sᵢ·(rᵢ·N − nᵢ·R)
+   *   z²  = N·num² / (R·(N−R)·(N·Σsᵢ²nᵢ − (Σsᵢnᵢ)²))
+   * — every term integer-exact in decimal128 — emitted as z_milli =
+   * sign(num)·⌊√(10⁶·z²)⌋ under the radicand guard. The sign carries
+   * the trend DIRECTION (positive = rate rises with score). Null when
+   * R = 0, R = N, or the score variance is 0 (one level).
+   *
+   * Output: (cell, k_levels, n, r, t_num, z_milli).
+   *
+   * Scale shape: one map-side-combined aggregate to (cell, score)
+   * totals; a |cells×levels| rollup; nothing else shuffles. Envelope:
+   * 10⁶·N·num² needs |num| ≲ 10¹⁶/√N at decimal128 — callers keep
+   * scores small ordinals (the bin index, not the raw value; the q98
+   * binning discipline).
+   */
+  def cochranArmitage(df: DataFrame, cellCol: String, scoreCol: String,
+      successCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df
+      .filter(col(scoreCol).isNotNull && col(successCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(scoreCol).cast("long").as("s"),
+        col(successCol).cast("long").as("succ"))
+      .groupBy(col("cell"), col("s"))
+      .agg(count(lit(1)).as("ni"), sum(col("succ")).as("ri"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("k_levels"),
+        sum(col("ni")).as("n"), sum(col("ri")).as("r"),
+        sum(dec(col("s")) * col("ni")).as("sn"),
+        sum(dec(col("s")) * col("s") * col("ni")).as("s2n"),
+        sum(dec(col("s")) * col("ri")).as("sr"))
+      .withColumn("t_num",
+        dec(col("sr")) * col("n") - dec(col("sn")) * col("r"))
+      .withColumn("den",
+        dec(col("r")) * (col("n") - col("r")) *
+          (dec(col("s2n")) * col("n") - dec(col("sn")) * col("sn")))
+      .withColumn("rad",
+        when(col("den") > 0,
+          expr("(1000000 * n * t_num * t_num) div den")))
+      .withColumn("z_milli",
+        when(col("rad").isNotNull && col("rad") < lit(9007199254740992L),
+          expr("""cast(sign(t_num) as bigint) *
+            cast(floor(sqrt(cast(rad as double))) as bigint)""")))
+      .select(col("cell"), col("k_levels"), col("n"), col("r"),
+        col("t_num").cast("long").as("t_num"), col("z_milli"))
+  }
+
+  /**
+   * Fleiss' kappa — multi-rater categorical agreement, the k-rater
+   * generalization [[q183's|AnalyticsQueries]] two-rater Cohen κ
+   * cannot provide (label-quality audits run 3+ annotators; pairwise
+   * Cohen over-counts shared marginal bias). On the classic complete
+   * design — exactly `nRaters` ratings per item — with per-(item,
+   * category) counts n_ij, N items, category marginals c_j = Σᵢn_ij,
+   * S2 = ΣΣn_ij², C2 = Σc_j²:
+   *   κ = (N·n·(S2 − N·n) − (n−1)·C2) / ((n−1)·(N²n² − C2))
+   * (the closed rational form of (P̄−P̄ₑ)/(1−P̄ₑ); exact in
+   * decimal128), emitted sign-after-floor in ppm alongside the two
+   * agreement components — p_bar_ppm = 10⁶(S2−Nn)/(Nn(n−1)) and
+   * p_e_ppm = 10⁶·C2/(N²n²) — so the κ denominator's meaning is
+   * READ, not recalled. Items with a rating count ≠ nRaters are
+   * DROPPED and counted (n_dropped): an incomplete panel is a data
+   * fact, not an interpolation license. Null κ when P̄ₑ = 1 (every
+   * rating one category — agreement is undefined, not perfect).
+   *
+   * Output: (cell, n_items, n_raters, n_dropped, p_bar_ppm, p_e_ppm,
+   * kappa_ppm).
+   *
+   * Scale shape: one aggregate to (cell, item, category) counts, one
+   * item-keyed completeness filter, two bounded rollups (item grain,
+   * then cell grain). Category marginals are a |cells×categories|
+   * frame. Nothing driver-side.
+   */
+  def fleissKappa(df: DataFrame, cellCol: String, itemCol: String,
+      categoryCol: String, nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"nRaters >= 2, got $nRaters")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ic = df
+      .filter(col(categoryCol).isNotNull)
+      .groupBy(col(cellCol).as("cell"), col(itemCol).as("item"),
+        col(categoryCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val itemTot = ic.groupBy(col("cell"), col("item"))
+      .agg(sum(col("nij")).as("nr"))
+      .withColumn("ok", col("nr") === nRaters.toLong)
+      .localCheckpoint(true)
+    val dropped = itemTot.groupBy(col("cell"))
+      .agg(sum(when(col("ok"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_items"))
+    val kept = ic.join(itemTot.filter(col("ok"))
+      .select(col("cell"), col("item")), Seq("cell", "item"))
+    val marg = kept.groupBy(col("cell"), col("cat"))
+      .agg(sum(col("nij")).as("cj"))
+      .groupBy(col("cell"))
+      .agg(sum(dec(col("cj")) * col("cj")).as("c2"))
+    val s2 = kept.groupBy(col("cell"))
+      .agg(sum(dec(col("nij")) * col("nij")).as("s2"))
+    dropped
+      .join(s2, Seq("cell"), "left")
+      .join(marg, Seq("cell"), "left")
+      .withColumn("nn", dec(col("n_items")) * nRaters)
+      .withColumn("p_bar_ppm",
+        when(col("n_items") > 0, expr(
+          s"""cast((1000000 * (s2 - nn)) div
+               (nn * ${nRaters - 1}) as bigint)""")))
+      .withColumn("p_e_ppm",
+        when(col("n_items") > 0,
+          expr("cast((1000000 * c2) div (nn * nn) as bigint)")))
+      .withColumn("knum",
+        when(col("n_items") > 0,
+          dec(col("n_items")) * nRaters * (col("s2") - col("nn")) -
+            (col("c2") * (nRaters - 1))))
+      .withColumn("kden",
+        when(col("n_items") > 0,
+          (col("nn") * col("nn") - col("c2")) * (nRaters - 1)))
+      .withColumn("kappa_ppm",
+        when(col("kden").isNotNull && col("kden") > 0, expr(
+          """cast(case when knum < 0 then -1 else 1 end *
+               ((1000000 * abs(knum)) div kden) as bigint)""")))
+      .select(col("cell"), col("n_items"),
+        lit(nRaters.toLong).as("n_raters"), col("n_dropped"),
+        col("p_bar_ppm"), col("p_e_ppm"), col("kappa_ppm"))
+  }
+
+  /**
+   * Dunn's post-hoc pairwise test — the step [[kruskalWallis]]'s
+   * omnibus verdict leaves open: KW says SOME group shifted; Dunn
+   * says WHICH pairs differ, using the cell-wide mid-rank frame KW
+   * already built (not pairwise MWU re-ranks — Dunn's variance is
+   * pooled from ALL groups, the statistically correct follow-up).
+   * With cell-wide doubled-rank sums R2ᵢ, sizes nᵢ, N = Σnᵢ and tie
+   * mass T = Σ(t³−t), for each pair (a, b):
+   *   D = R2ₐ·n_b − R2_b·nₐ      (positive ⇒ a ranks higher)
+   *   z² = 3·(N−1)·D² / (nₐ·n_b·(nₐ+n_b)·(N·(N²−1) − T))
+   * emitted as z_milli = sign(D)·⌊√(10⁶·z²)⌋. The radicand runs as a
+   * TWO-STAGE floor — (3·10⁶·(N−1)·|D| div nₐn_b(nₐ+n_b))·|D| div
+   * (N(N²−1)−T) — keeping every intermediate inside decimal128 at
+   * the ×10 gate scale (the single-expression form overflows near
+   * N ≈ 10⁶); the oracle replays the identical floor sequence. The
+   * Bonferroni-adjusted 5% two-sided line for m = k(k−1)/2
+   * comparisons is the caller's read of |z| (q253's BH machinery
+   * applies downstream when p-ranks are wanted).
+   *
+   * Output: (cell, grp_a, grp_b, n_a, n_b, d_sign, z_milli), one row
+   * per unordered pair, grp_a < grp_b lexically.
+   *
+   * Scale shape: the rank machinery is [[kruskalWallis]]'s — one
+   * (cell, grp, v) aggregate, windows over bounded distinct-value
+   * frames; the pair join runs on the |cells×k| per-group frame
+   * (broadcast), never on facts.
+   */
+  def dunnTest(df: DataFrame, cellCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gvc = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("cell"), col("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wB = Window.partitionBy("cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cv = gvc.groupBy(col("cell"), col("v"))
+      .agg(sum(col("cnt")).as("t"))
+      .withColumn("cb", coalesce(sum(col("t")).over(wB), lit(0L)))
+    val gs = gvc
+      .join(cv, Seq("cell", "v"))
+      .groupBy(col("cell"), col("grp"))
+      .agg(sum(col("cnt")).as("ni"),
+        sum(dec(col("cnt")) * (dec(col("cb")) * 2 + col("t") + 1))
+          .as("r2"))
+    val cellTot = cv.groupBy(col("cell"))
+      .agg(sum(col("t")).as("nn"),
+        sum(dec(col("t")) * col("t") * col("t") - col("t")).as("tie_t"))
+    gs.as("a")
+      .join(gs.as("b"),
+        col("a.cell") === col("b.cell") && col("a.grp") < col("b.grp"))
+      .select(col("a.cell").as("cell"),
+        col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        col("a.ni").as("n_a"), col("b.ni").as("n_b"),
+        (col("a.r2") * col("b.ni") - col("b.r2") * col("a.ni")).as("d"))
+      .join(broadcast(cellTot), Seq("cell"))
+      .withColumn("den2",
+        dec(col("nn")) * (dec(col("nn")) * col("nn") - 1) - col("tie_t"))
+      .withColumn("rad",
+        when(col("den2") > 0 && col("n_a") > 0 && col("n_b") > 0, expr(
+          """((3000000 * cast(nn - 1 as decimal(38,0)) * abs(d)) div
+               (cast(n_a as decimal(38,0)) * n_b * (n_a + n_b))) *
+             abs(d) div den2""")))
+      .withColumn("z_milli",
+        when(col("rad").isNotNull && col("rad") < lit(9007199254740992L),
+          expr("""cast(sign(d) as bigint) *
+            cast(floor(sqrt(cast(rad as double))) as bigint)""")))
+      .select(col("cell"), col("grp_a"), col("grp_b"), col("n_a"),
+        col("n_b"), expr("cast(sign(d) as bigint)").as("d_sign"),
+        col("z_milli"))
+  }
+
+  /**
+   * Mantel–Haenszel pooled odds ratio over stratified 2×2 tables —
+   * the confounding-proof effect estimate, with the crude (pooled-
+   * first) odds ratio alongside and a SIMPSON FLIP flag when the two
+   * disagree in direction: the textbook audit for any "model B wins"
+   * claim that ignores a stratifying variable (prompt length, source,
+   * difficulty). Per stratum i with cells a (exposed·success),
+   * b (exposed·failure), c (unexposed·success), d (unexposed·
+   * failure), nᵢ = a+b+c+d, the estimator is Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ);
+   * ON THE LATTICE each stratum term floors once to ppm —
+   * r6ᵢ = (10⁶·aᵢ·dᵢ) div nᵢ, s6ᵢ = (10⁶·bᵢ·cᵢ) div nᵢ — and
+   * or_mh_ppm = (10⁶·Σr6) div Σs6 (the per-stratum floor is the
+   * DEFINED estimator both engines replay; error < |strata|·10⁻⁶
+   * relative). Crude: or_ppm = (10⁶·A·D) div (B·C) on the pooled
+   * margins. flip = the two sit on strictly opposite sides of 1.
+   * Nulls where a denominator is 0 (no discordant product — the OR
+   * is undefined, not infinite; flip needs both defined).
+   *
+   * Output: (cell, n_strata, n, or_crude_ppm, or_mh_ppm,
+   * simpson_flip).
+   *
+   * Scale shape: one map-side-combined aggregate to (cell, stratum)
+   * 2×2 counts, one cell rollup. Nothing else shuffles.
+   */
+  def mantelHaenszel(df: DataFrame, cellCol: String, stratumCol: String,
+      exposedCol: String, outcomeCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df
+      .filter(col(exposedCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(stratumCol).as("stratum"),
+        col(exposedCol).cast("long").as("e"),
+        col(outcomeCol).cast("long").as("o"))
+      .groupBy(col("cell"), col("stratum"))
+      .agg(sum(when(col("e") === 1L && col("o") === 1L, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("e") === 1L && col("o") === 0L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("e") === 0L && col("o") === 1L, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("e") === 0L && col("o") === 0L, 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("ni", col("a") + col("b") + col("c") + col("d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("ni")).as("n"),
+        sum(col("a")).as("aa"), sum(col("b")).as("bb"),
+        sum(col("c")).as("cc"), sum(col("d")).as("dd"),
+        sum(expr("(1000000 * cast(a as decimal(38,0)) * d) div ni"))
+          .as("r6"),
+        sum(expr("(1000000 * cast(b as decimal(38,0)) * c) div ni"))
+          .as("s6"))
+      .withColumn("or_crude_ppm",
+        when(dec(col("bb")) * col("cc") > 0, expr(
+          "cast((1000000 * cast(aa as decimal(38,0)) * dd) div " +
+            "(cast(bb as decimal(38,0)) * cc) as bigint)")))
+      .withColumn("or_mh_ppm",
+        when(col("s6") > 0,
+          expr("cast((1000000 * r6) div s6 as bigint)")))
+      .withColumn("simpson_flip",
+        when(col("or_crude_ppm").isNotNull && col("or_mh_ppm").isNotNull,
+          (col("or_crude_ppm") > 1000000L && col("or_mh_ppm") < 1000000L) ||
+            (col("or_crude_ppm") < 1000000L && col("or_mh_ppm") > 1000000L)))
+      .select(col("cell"), col("n_strata"), col("n"),
+        col("or_crude_ppm"), col("or_mh_ppm"), col("simpson_flip"))
+  }
+
+  /**
+   * Restricted mean survival time — the scalar the [[kmSurvival]]
+   * curve and the q250 log-rank verdict both stop short of: "how much
+   * lifetime does a subject get, on average, within the first τ
+   * units" — the area under the KM step function on [0, τ], the
+   * effect-SIZE companion to log-rank's significance (medians fail
+   * when S never crosses ½; RMST always exists). Computed from the
+   * kmSurvival lattice directly: the segment before the first death
+   * carries S = 10⁶, each step t_k carries its floored surv_ppm until
+   * the next step or τ, and a cohort with NO observed deaths reads
+   * the full τ·10⁶ — driven from subject totals, so all-censored
+   * cohorts emit rather than vanish.
+   *   rmst_ppm = 10⁶·min(t₁, τ) + Σ s_k·max(0, min(t_{k+1}, τ) − t_k)
+   * in ppm·duration units (divide by 10⁶ for duration units; exact,
+   * since every input is the already-floored curve).
+   *
+   * Output: (cohort, tau, n_subjects, n_events, n_steps, rmst_ppm).
+   *
+   * Scale shape: [[kmSurvival]]'s — subjects collapse to duration
+   * counts; the segment fold is a lead window over the bounded step
+   * frame plus a cohort rollup.
+   */
+  def rmst(subjects: DataFrame, cohortCol: String, durCol: String,
+      eventCol: String, tau: Long): DataFrame = {
+    require(tau > 0, s"tau > 0, got $tau")
+    val curve = kmSurvival(subjects, cohortCol, durCol, eventCol)
+    val w = Window.partitionBy("cohort").orderBy("t")
+    val seg = curve
+      .withColumn("next_t", coalesce(lead(col("t"), 1).over(w), lit(tau)))
+      .withColumn("contrib",
+        col("surv_ppm") * greatest(lit(0L),
+          least(col("next_t"), lit(tau)) - least(col("t"), lit(tau))))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_steps"), min(col("t")).as("first_t"),
+        sum(col("contrib")).as("tail_area"))
+    subjects
+      .groupBy(col(cohortCol).as("cohort"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col(eventCol).cast("long")).as("n_events"))
+      .join(seg, Seq("cohort"), "left")
+      .select(col("cohort"), lit(tau).as("tau"), col("n_subjects"),
+        col("n_events"),
+        coalesce(col("n_steps"), lit(0L)).as("n_steps"),
+        (lit(1000000L) *
+          least(coalesce(col("first_t"), lit(tau)), lit(tau)) +
+          coalesce(col("tail_area"), lit(0L))).as("rmst_ppm"))
+  }
+
+  /**
+   * Wilson score interval — the per-cell success-rate confidence
+   * band that stays honest at extreme rates and small n, where the
+   * Wald ±z√(p̂(1−p̂)/n) band collapses to zero width at p̂ ∈ {0,1}
+   * and escapes [0,1]: the correct readout for eval dashboards and
+   * quality-gate pass rates. At z = 1.96 (95% two-sided), on the 10⁴
+   * lattice (z·10⁴ = 19600, z²·10⁴ = 38416), with n4 = 10⁴n + 38416:
+   *   center_ppm = (10⁶·(10⁴·r + 19208)) div n4
+   *   rad        = (10¹²·38416·(4·10⁴·r·(n−r) + 38416·n))
+   *                  div (4·n·n4²)          (= half-width² in ppm²)
+   *   half_ppm   = ⌊√rad⌋  (guarded < 2⁵³)
+   * and the band clamps to [0, 10⁶], with the r = 0 / r = n edges
+   * pinned to their analytic 0 / 10⁶ identities (the closed form
+   * collapses there; two separate floors would read 1 ppm short).
+   * The numerator stays < 1.4·10³⁴ at n = 10⁷ — inside
+   * decimal128/HUGEINT at the ×10 gate.
+   *
+   * Output: (cell, n, r, p_ppm, center_ppm, lo_ppm, hi_ppm).
+   *
+   * Scale shape: one map-side-combined aggregate to (n, r) per cell;
+   * everything after is per-cell scalar arithmetic.
+   */
+  def wilsonInterval(df: DataFrame, cellCol: String,
+      successCol: String): DataFrame =
+    df
+      .filter(col(successCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(successCol).cast("long").as("succ"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("succ")).as("r"))
+      .withColumn("n4",
+        (col("n").cast("decimal(38,0)") * 10000) + 38416)
+      .withColumn("center_ppm", expr(
+        "cast((1000000 * (10000 * cast(r as decimal(38,0)) + 19208)) " +
+          "div n4 as bigint)"))
+      .withColumn("rad", expr(
+        """(1000000000000 * 38416 *
+             (40000 * cast(r as decimal(38,0)) * (n - r) + 38416 * n))
+           div (4 * cast(n as decimal(38,0)) * n4 * n4)"""))
+      .withColumn("half_ppm",
+        when(col("rad") < lit(9007199254740992L),
+          expr("cast(floor(sqrt(cast(rad as double))) as bigint)")))
+      .select(col("cell"), col("n"), col("r"),
+        expr("(1000000 * r) div n").as("p_ppm"), col("center_ppm"),
+        // explicit null-through: Spark's greatest/least SKIP nulls, so
+        // an unguarded clamp would turn a guarded-out half-width into
+        // a fake 0/10⁶ band. The r = 0 / r = n edges are ANALYTIC
+        // identities (lo = 0, hi = 1 exactly — the closed form
+        // collapses); pinning them beats the ±1 ppm residue two
+        // separate floors would leave
+        when(col("half_ppm").isNotNull,
+          when(col("r") === 0L, 0L).otherwise(
+            greatest(lit(0L), col("center_ppm") - col("half_ppm"))))
+          .as("lo_ppm"),
+        when(col("half_ppm").isNotNull,
+          when(col("r") === col("n"), 1000000L).otherwise(
+            least(lit(1000000L), col("center_ppm") + col("half_ppm"))))
+          .as("hi_ppm"))
+
+  /**
+   * Mood's median test — the k-sample location test that asks ONLY
+   * "does each group put the expected mass above the pooled median",
+   * trading [[kruskalWallis]]'s rank power for total outlier
+   * immunity (a group's values beyond the median can move arbitrarily
+   * without changing the statistic — the right gate when heavy tails
+   * are the data's nature, not its defect). The pooled cell median is
+   * the exact lower median ([[madScale]] rule: min v with 2·cum ≥ N);
+   * per group the above/not-above counts form a 2×k table and
+   *   χ²_milli = Σᵢ ⌊1000·(aᵢN − nᵢA)²/(N·nᵢ·A)⌋
+   *            + ⌊1000·(bᵢN − nᵢB)²/(N·nᵢ·B)⌋
+   * (A = Σaᵢ above-mass, B = N−A; per-term floors, the q103/q254
+   * lattice). Null when A = 0 or B = 0 (a median at the domain edge
+   * leaves one row of the table empty — the test is undefined).
+   *
+   * Output: (cell, k, n, med, n_above, chi2_milli, dof).
+   *
+   * Scale shape: one (cell, grp, v) aggregate feeds both the pooled
+   * median (prefix window over the bounded (cell, v) frame) and the
+   * above-split rollup; the median joins back broadcast.
+   */
+  def moodsMedian(df: DataFrame, cellCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val gvc = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("cell"), col("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wCum = Window.partitionBy("cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy("cell")
+    val med = gvc.groupBy(col("cell"), col("v"))
+      .agg(sum(col("cnt")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("ntot", sum(col("t")).over(wTot))
+      .filter(col("cum") * 2 >= col("ntot"))
+      .groupBy(col("cell"))
+      .agg(min(col("v")).as("med"))
+    val grp = gvc
+      .join(broadcast(med), Seq("cell"))
+      .groupBy(col("cell"), col("grp"))
+      .agg(max(col("med")).as("med"), sum(col("cnt")).as("ni"),
+        sum(when(col("v") > col("med"), col("cnt")).otherwise(0L))
+          .as("ai"))
+    val tot = grp.groupBy(col("cell"))
+      .agg(count(lit(1)).as("k"), sum(col("ni")).as("nn"),
+        sum(col("ai")).as("aTot"))
+    grp
+      .join(broadcast(tot), Seq("cell"))
+      .withColumn("term",
+        when(col("aTot") > 0 && col("aTot") < col("nn"),
+          expr("""(1000 * (cast(ai as decimal(38,0)) * nn -
+                     cast(ni as decimal(38,0)) * aTot) *
+                   (cast(ai as decimal(38,0)) * nn -
+                     cast(ni as decimal(38,0)) * aTot)) div
+                 (cast(nn as decimal(38,0)) * ni * aTot)""") +
+            expr("""(1000 * (cast(ni - ai as decimal(38,0)) * nn -
+                       cast(ni as decimal(38,0)) * (nn - aTot)) *
+                     (cast(ni - ai as decimal(38,0)) * nn -
+                       cast(ni as decimal(38,0)) * (nn - aTot))) div
+                   (cast(nn as decimal(38,0)) * ni * (nn - aTot))""")))
+      .groupBy(col("cell"))
+      .agg(max(col("k")).as("k"), max(col("nn")).as("n"),
+        max(col("med")).as("med"), max(col("aTot")).as("n_above"),
+        sum(col("term")).as("chi2_d"))
+      .select(col("cell"), col("k"), col("n"), col("med"),
+        col("n_above"),
+        col("chi2_d").cast("long").as("chi2_milli"),
+        (col("k") - 1L).as("dof"))
+  }
 }

@@ -939,4 +939,63 @@ object TextAnalysis {
         col("w_ppm"), col("thr_ppm"),
         (col("w_ppm") >= col("thr_ppm")).cast("int").as("sel"))
   }
+
+  /**
+   * Vocabulary richness / coverage ESTIMATOR panel — the three
+   * classic what-haven't-we-seen readouts [[hapaxProfile]]'s raw
+   * counts stop short of, per source, on the same whitespace-token
+   * frequency frame:
+   *  - Good–Turing missing mass P₀ = N₁/N in ppm — the probability
+   *    the NEXT token drawn from this source is a never-seen type:
+   *    the direct "has this source more to give" acquisition signal
+   *    (coverage_ppm = 10⁶ − missing is its complement);
+   *  - Chao1 richness V + N₁²/(2N₂) — the lower-bound estimate of
+   *    the TRUE type count including unseen types (the bias-corrected
+   *    V + N₁(N₁−1)/2 form when N₂ = 0, per Chao 1984), emitted with
+   *    unseen_types_est = chao1 − V so the gap is read directly;
+   *  - Yule's K = 10⁴·(Σf² − N)/N² (milli lattice: (10⁷·(S₂−N)) div
+   *    N²) — vocabulary CONCENTRATION, length-invariant where raw TTR
+   *    is not: a templated/boilerplate source reads high K at any
+   *    sample size, the repetitiveness complement to the coverage
+   *    estimators' novelty.
+   * All integer-exact: N, V, N₁, N₂, S₂ are counts; every derived
+   * stat is one flooring division on decimal128.
+   *
+   * Output: (g, n_tokens, v_types, n1_hapax, n2_dis,
+   * missing_mass_ppm, coverage_ppm, chao1_est, unseen_types_est,
+   * yule_k_milli).
+   *
+   * Scale shape: one token explode into a map-side-combined
+   * (g, term) count, one per-source rollup — [[hapaxProfile]]'s
+   * exact plan with a wider aggregate row. S₂ ≤ N·max f keeps
+   * decimal128 at any corpus this engine targets.
+   */
+  def vocabRichness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), tokens(col(textCol)).as("__t"))
+      .select(col("g"), explode(col("__t")).as("term"))
+      .groupBy(col("g"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2_dis"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+      .select(col("g"), col("n_tokens"), col("v_types"),
+        col("n1_hapax"), col("n2_dis"),
+        expr("(1000000 * n1_hapax) div n_tokens").as("missing_mass_ppm"),
+        (lit(1000000L) - expr("(1000000 * n1_hapax) div n_tokens"))
+          .as("coverage_ppm"),
+        when(col("n2_dis") > 0, expr(
+          "v_types + (n1_hapax * n1_hapax) div (2 * n2_dis)"))
+          .otherwise(expr(
+            "v_types + (n1_hapax * (n1_hapax - 1)) div 2"))
+          .as("chao1_est"),
+        when(col("n2_dis") > 0, expr(
+          "(n1_hapax * n1_hapax) div (2 * n2_dis)"))
+          .otherwise(expr("(n1_hapax * (n1_hapax - 1)) div 2"))
+          .as("unseen_types_est"),
+        expr("""cast((10000000 * (s2 - n_tokens)) div
+             (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)""")
+          .as("yule_k_milli"))
 }

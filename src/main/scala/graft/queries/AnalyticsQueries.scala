@@ -98,6 +98,11 @@ object AnalyticsQueries {
   val KmHourUs = 3600000000L
   val KmCohortMod = 3L
 
+  /** q274 restriction horizon: RMST over the first 1000 hours —
+    * inside every cohort's observed span, so the τ-tail path (last
+    * segment carried at the final surv_ppm) is genuinely exercised. */
+  val RmstTauH = 1000L
+
   /** q121 domain gate: event values live in [0, 500] dollars. */
   val AuditValueLo = 0L; val AuditValueHi = 500L
 
@@ -5533,5 +5538,728 @@ object AnalyticsQueries {
               THEN 'decreasing'
             ELSE 'flat' END AS trend
         FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q267 — Friedman blocked-rank test (StatsOps.friedman): the
+    // repeated-measures complement of q258's KW — per customer-bucket
+    // block, the five order priorities' spend totals ranked WITHIN the
+    // block, so between-customer spend variation (which would drown
+    // the effect in KW) cancels. The fixture warps cell 0's URGENT
+    // totals +300 ($100k-bucket units): cell 0 reads Q far beyond the
+    // χ²₄ 5% line, cells 1/2 sit near it. Coarse $100k value buckets
+    // put real mass in tie_t; at sf0.001 (~2.5 orders per block-
+    // priority) incomplete blocks genuinely occur and are counted in
+    // n_dropped, not silently interpolated.
+    // ------------------------------------------------------------------
+    "q267_friedman" -> GraftQuery(
+      build = (s, d) => {
+        val bg = orders(s, d)
+          .select(expr("o_custkey % 3").as("cell"),
+            expr("(o_custkey div 3) % 40").as("block"),
+            col("o_orderpriority").as("grp"),
+            expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 " +
+              "as bigint)").as("cents"))
+          .groupBy("cell", "block", "grp")
+          .agg(expr("cast(sum(cents) as bigint) div 1000000000")
+            .as("v0"))
+          .withColumn("v", col("v0") +
+            when(col("cell") === 0L && col("grp") === "1-URGENT", 300L)
+              .otherwise(0L))
+        graft.operators.StatsOps.friedman(bg, "cell", "block", "grp",
+            "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH bg AS (SELECT o_custkey % 3 AS cell,
+            (o_custkey // 3) % 40 AS block, o_orderpriority AS grp,
+            sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) // 1000000000 +
+              CASE WHEN o_custkey % 3 = 0 AND o_orderpriority = '1-URGENT'
+                THEN 300 ELSE 0 END AS v
+          FROM orders GROUP BY 1, 2, 3),
+        kc AS (SELECT cell, CAST(count(DISTINCT grp) AS BIGINT) AS k
+          FROM bg GROUP BY 1),
+        bs AS (SELECT bg.cell, bg.block, count(*) AS nb,
+            count(DISTINCT bg.grp) AS gb, max(kc.k) AS k
+          FROM bg JOIN kc ON bg.cell = kc.cell GROUP BY 1, 2),
+        drp AS (SELECT cell,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_dropped,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_blocks
+          FROM bs GROUP BY 1),
+        kept AS (SELECT bg.cell, bg.block, bg.grp, bg.v FROM bg
+          JOIN bs ON bg.cell = bs.cell AND bg.block = bs.block
+          WHERE bs.nb = bs.k AND bs.gb = bs.k),
+        bv AS (SELECT cell, block, v, CAST(count(*) AS BIGINT) AS t,
+            coalesce(sum(count(*)) OVER (PARTITION BY cell, block
+              ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+              1 PRECEDING), 0) AS cb
+          FROM kept GROUP BY 1, 2, 3),
+        r2 AS (SELECT kept.cell, kept.grp,
+            sum(CAST(2 * bv.cb + bv.t + 1 AS HUGEINT)) AS r2j
+          FROM kept JOIN bv ON kept.cell = bv.cell
+            AND kept.block = bv.block AND kept.v = bv.v
+          GROUP BY 1, 2),
+        ties AS (SELECT cell, sum(CAST(t AS HUGEINT) * t * t - t)
+            AS tie_t
+          FROM bv GROUP BY 1),
+        ra AS (SELECT cell, CAST(count(*) AS BIGINT) AS k,
+            sum(r2j * r2j) AS ss
+          FROM r2 GROUP BY 1),
+        qm AS (SELECT drp.cell, ra.k, drp.n_blocks, drp.n_dropped,
+            CAST(ties.tie_t AS BIGINT) AS tie_t,
+            CASE WHEN drp.n_blocks > 0 THEN greatest(0,
+              CAST((3000 * ra.ss) // (CAST(drp.n_blocks AS HUGEINT) *
+                  ra.k * (ra.k + 1)) -
+                3000 * drp.n_blocks * (ra.k + 1) AS BIGINT)) END
+              AS q_milli,
+            CAST(drp.n_blocks AS HUGEINT) * ra.k *
+              (CAST(ra.k AS HUGEINT) * ra.k - 1) AS tden
+          FROM drp
+          LEFT JOIN ra ON drp.cell = ra.cell
+          LEFT JOIN ties ON drp.cell = ties.cell)
+        SELECT cell, k, n_blocks, n_dropped, tie_t, q_milli,
+          CASE WHEN q_milli IS NOT NULL AND tden - tie_t > 0 THEN
+            CAST((CAST(q_milli AS HUGEINT) * tden) // (tden - tie_t)
+              AS BIGINT) END AS q_tie_milli
+        FROM qm ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q268 — Wilcoxon signed-rank test (StatsOps.wilcoxonSignedRank):
+    // the PAIRED complement of q195's MWU, per event-type cell, on
+    // planted before/after pairs — after = before + hash noise in
+    // {−2..2} (+3 extra for clicks). The click cell reads a strong
+    // negative z (d = before − after centers on −3); the other four
+    // sit near 0 on symmetric noise; noise = 0 pairs land in n_zero
+    // (~20% of every cell — the zero-drop path is exercised, counted,
+    // and read).
+    // ------------------------------------------------------------------
+    "q268_wilcoxon_signed_rank" -> GraftQuery(
+      build = (s, d) => {
+        val h = (tag: String) => graft.operators.TextDedup.hash64(
+          concat(lit(tag), col("event_id").cast("string"))) % 1000000L
+        val pr = events(s, d)
+          .withColumn("a",
+            expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)" +
+              " div 100"))
+          .withColumn("b", col("a") + (h("wsr") % 5L) - 2L +
+            when(col("event_type") === "click", 3L).otherwise(0L))
+        graft.operators.StatsOps.wilcoxonSignedRank(pr, "event_type",
+            "a", "b")
+          .withColumnRenamed("cell", "etype")
+          .orderBy("etype")
+      },
+      oracle = Some("""
+        WITH pr AS (SELECT event_type AS cell,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) // 100
+              AS a,
+            (CAST(('0x' || substr(md5('wsr' || CAST(event_id AS
+              VARCHAR)), 1, 15)) AS BIGINT) % 1000000) % 5 - 2 +
+              CASE WHEN event_type = 'click' THEN 3 ELSE 0 END AS shft
+          FROM events WHERE value IS NOT NULL),
+        dd AS (SELECT cell, -shft AS d FROM pr),
+        zs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_zero
+          FROM dd GROUP BY 1),
+        vc AS (SELECT cell, abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+            CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS pos
+          FROM dd WHERE d <> 0 GROUP BY 1, 2),
+        wv AS (SELECT cell, ad, t, pos,
+            coalesce(sum(t) OVER (PARTITION BY cell ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cb
+          FROM vc),
+        ag AS (SELECT cell, CAST(sum(t) AS BIGINT) AS n,
+            sum(CAST(pos AS HUGEINT) * (2 * cb + t + 1)) AS s2_plus,
+            sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+          FROM wv GROUP BY 1),
+        st AS (SELECT zs.cell, zs.n_pairs, zs.n_zero,
+            coalesce(ag.n, 0) AS n,
+            CAST(ag.s2_plus AS BIGINT) AS s2_plus,
+            CAST(ag.tie_t AS BIGINT) AS tie_t,
+            2 * ag.s2_plus - CAST(ag.n AS HUGEINT) * (ag.n + 1)
+              AS num4,
+            2 * CAST(ag.n AS HUGEINT) * (ag.n + 1) * (2 * ag.n + 1) -
+              ag.tie_t AS den
+          FROM zs LEFT JOIN ag ON zs.cell = ag.cell),
+        rd AS (SELECT st.*, CASE WHEN den > 0 THEN
+            (3000000 * num4 * num4) // den END AS rad FROM st)
+        SELECT cell AS etype, n_pairs, n_zero, n, s2_plus, tie_t,
+          CASE WHEN rad IS NOT NULL AND rad < 9007199254740992 THEN
+            CAST(sign(num4) AS BIGINT) *
+              CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) END
+            AS z_milli
+        FROM rd ORDER BY etype""")),
+
+    // ------------------------------------------------------------------
+    // q269 — McNemar paired-binary test (StatsOps.mcnemar): did the
+    // "after" model change answers for the better — per event-type
+    // cell, planted paired bits where the null cells flip 1→0 at 5%
+    // of the 60% positive mass and 0→1 at 7.5% of the 40% negative
+    // mass (discordance balanced in expectation — sampled χ² reads
+    // 0.3–5.4 at sf0.01, hash noise honestly included) while purchase
+    // flips 0→1 at 30% (c ≫ b, χ² ≈ 79, twenty times the χ²₁ 5% line).
+    // Both the raw and the Edwards continuity-corrected statistic are
+    // emitted so the correction's bite at these counts is READ.
+    // ------------------------------------------------------------------
+    "q269_mcnemar" -> GraftQuery(
+      build = (s, d) => {
+        val h = (tag: String) => graft.operators.TextDedup.hash64(
+          concat(lit(tag), col("event_id").cast("string"))) % 1000000L
+        val pr = events(s, d)
+          .withColumn("x", when(h("mcx") < 600000L, 1L).otherwise(0L))
+          .withColumn("hy", h("mcy"))
+          .withColumn("y",
+            when(col("x") === 1L,
+              when(col("hy") < 50000L, 0L).otherwise(1L))
+              .otherwise(when(col("hy") <
+                when(col("event_type") === "purchase", 300000L)
+                  .otherwise(75000L), 1L).otherwise(0L)))
+        graft.operators.StatsOps.mcnemar(pr, "event_type", "x", "y")
+          .withColumnRenamed("cell", "etype")
+          .orderBy("etype")
+      },
+      oracle = Some("""
+        WITH pr AS (SELECT event_type AS cell,
+            CASE WHEN CAST(('0x' || substr(md5('mcx' ||
+                CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000 < 600000 THEN 1 ELSE 0 END AS x,
+            CAST(('0x' || substr(md5('mcy' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 AS hy
+          FROM events),
+        xy AS (SELECT cell, x,
+            CASE WHEN x = 1 THEN
+                CASE WHEN hy < 50000 THEN 0 ELSE 1 END
+              ELSE CASE WHEN hy < CASE WHEN cell = 'purchase'
+                THEN 300000 ELSE 75000 END THEN 1 ELSE 0 END END AS y
+          FROM pr),
+        ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both,
+            CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_neither,
+            CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+            CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+          FROM xy GROUP BY 1)
+        SELECT cell AS etype, n_pairs, n_both, n_neither, b, c,
+          CASE WHEN b + c > 0 THEN
+            CAST((1000 * CAST(b - c AS HUGEINT) * (b - c)) // (b + c)
+              AS BIGINT) END AS chi2_milli,
+          CASE WHEN b + c > 0 THEN
+            CAST((1000 * CAST(greatest(abs(b - c) - 1, 0) AS HUGEINT) *
+              greatest(abs(b - c) - 1, 0)) // (b + c) AS BIGINT) END
+            AS chi2_cc_milli
+        FROM ag ORDER BY etype""")),
+
+    // ------------------------------------------------------------------
+    // q270 — Cochran–Armitage trend test (StatsOps.cochranArmitage):
+    // is the success rate MONOTONE in the ordered price bucket — the
+    // 2×k trend question q254's omnibus χ² cannot answer (it ignores
+    // level order). Success bits are hash-planted at 30% + 10% per
+    // bucket for status O (a real rising trend, z ≫ 0) and flat 50%
+    // for F/P (z near 0, either sign). Scores are the bucket ordinals
+    // 0..4 (the q98 small-ordinal discipline keeps the decimal128
+    // envelope at any N).
+    // ------------------------------------------------------------------
+    "q270_cochran_armitage" -> GraftQuery(
+      build = (s, d) => {
+        val h = graft.operators.TextDedup.hash64(
+          concat(lit("ca"), col("o_orderkey").cast("string"))) % 1000L
+        val pr = orders(s, d)
+          .withColumn("score",
+            least(expr("cast(cast(o_totalprice as decimal(18,4)) * " +
+              "10000 as bigint) div 1000000000"), lit(4L)))
+          .withColumn("succ",
+            when(h < when(col("o_orderstatus") === "O",
+              lit(300L) + col("score") * 100L).otherwise(500L), 1L)
+              .otherwise(0L))
+        graft.operators.StatsOps.cochranArmitage(pr, "o_orderstatus",
+            "score", "succ")
+          .withColumnRenamed("cell", "status")
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH pr AS (SELECT o_orderstatus AS cell,
+            least(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT) // 1000000000, 4) AS s,
+            CASE WHEN CAST(('0x' || substr(md5('ca' ||
+                CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000 <
+              CASE WHEN o_orderstatus = 'O' THEN 300 +
+                100 * least(CAST(CAST(o_totalprice AS DECIMAL(18,4)) *
+                  10000 AS BIGINT) // 1000000000, 4)
+                ELSE 500 END
+              THEN 1 ELSE 0 END AS succ
+          FROM orders),
+        lv AS (SELECT cell, s, CAST(count(*) AS BIGINT) AS ni,
+            CAST(sum(succ) AS BIGINT) AS ri
+          FROM pr GROUP BY 1, 2),
+        ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS k_levels,
+            CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ri) AS BIGINT) AS r,
+            sum(CAST(s AS HUGEINT) * ni) AS sn,
+            sum(CAST(s AS HUGEINT) * s * ni) AS s2n,
+            sum(CAST(s AS HUGEINT) * ri) AS sr
+          FROM lv GROUP BY 1),
+        tn AS (SELECT cell, k_levels, n, r,
+            sr * n - sn * r AS t_num,
+            CAST(r AS HUGEINT) * (n - r) * (s2n * n - sn * sn) AS den
+          FROM ag),
+        rd AS (SELECT tn.*, CASE WHEN den > 0 THEN
+            (1000000 * n * t_num * t_num) // den END AS rad FROM tn)
+        SELECT cell AS status, k_levels, n, r,
+          CAST(t_num AS BIGINT) AS t_num,
+          CASE WHEN rad IS NOT NULL AND rad < 9007199254740992 THEN
+            CAST(sign(t_num) AS BIGINT) *
+              CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) END
+            AS z_milli
+        FROM rd ORDER BY status""")),
+
+    // ------------------------------------------------------------------
+    // q271 — Fleiss' kappa (StatsOps.fleissKappa): 3-annotator
+    // agreement per source — the k-rater generalization of q183's
+    // two-rater Cohen κ. Three hash-stream raters label each document
+    // with its length quartile, corrupted to a random category at 6%
+    // (even-numbered sources) or 40% (odd): even sources read κ near
+    // 0.9, odd near 0.3 — the readout GRADES agreement rather than
+    // hash-matching it. Docs with doc_id % 17 = 0 lose rater 3: the
+    // incomplete-panel rows land in n_dropped (counted, never
+    // interpolated).
+    // ------------------------------------------------------------------
+    "q271_fleiss_kappa" -> GraftQuery(
+      build = (s, d) => {
+        val base = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            least(expr("n_chars div 150"), lit(3L)).as("truecat"),
+            expr("cast(substring(source, 4, 10) as bigint)")
+              .as("srcnum"))
+          .select(col("*"), explode(expr("array(1L, 2L, 3L)")).as("r"))
+          .filter(!(col("r") === 3L && col("doc_id") % 17 === 0))
+        val h = (tag: String) => graft.operators.TextDedup.hash64(
+          concat(lit(tag), col("r").cast("string"), lit("_"),
+            col("doc_id").cast("string"))) % 1000L
+        val rated = base
+          .withColumn("noise",
+            when(col("srcnum") % 2 === 0, 60L).otherwise(400L))
+          .withColumn("cat",
+            when(h("flk") < col("noise"), h("flc") % 4L)
+              .otherwise(col("truecat")))
+        graft.operators.StatsOps.fleissKappa(rated, "source",
+            "doc_id", "cat", 3)
+          .withColumnRenamed("cell", "source")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH docs AS (SELECT doc_id, source,
+            least(n_chars // 150, 3) AS truecat,
+            CAST(substring(source, 4) AS BIGINT) AS srcnum
+          FROM documents),
+        rt AS (SELECT doc_id, source, truecat, srcnum, r
+          FROM docs, (SELECT unnest([1, 2, 3]) AS r)
+          WHERE NOT (r = 3 AND doc_id % 17 = 0)),
+        lab AS (SELECT source AS cell, doc_id AS item,
+            CASE WHEN CAST(('0x' || substr(md5('flk' ||
+                CAST(r AS VARCHAR) || '_' ||
+                CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 <
+              CASE WHEN srcnum % 2 = 0 THEN 60 ELSE 400 END
+              THEN CAST(('0x' || substr(md5('flc' ||
+                CAST(r AS VARCHAR) || '_' ||
+                CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+              ELSE truecat END AS cat
+          FROM rt),
+        ic AS (SELECT cell, item, cat, CAST(count(*) AS BIGINT) AS nij
+          FROM lab GROUP BY 1, 2, 3),
+        it AS (SELECT cell, item, sum(nij) AS nr FROM ic GROUP BY 1, 2),
+        drp AS (SELECT cell,
+            CAST(sum(CASE WHEN nr = 3 THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_dropped,
+            CAST(sum(CASE WHEN nr = 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_items
+          FROM it GROUP BY 1),
+        kept AS (SELECT ic.cell, ic.item, ic.cat, ic.nij FROM ic
+          JOIN it ON ic.cell = it.cell AND ic.item = it.item
+          WHERE it.nr = 3),
+        mg AS (SELECT cell, sum(CAST(cj AS HUGEINT) * cj) AS c2 FROM
+          (SELECT cell, cat, CAST(sum(nij) AS BIGINT) AS cj
+           FROM kept GROUP BY 1, 2) GROUP BY 1),
+        sq AS (SELECT cell, sum(CAST(nij AS HUGEINT) * nij) AS s2
+          FROM kept GROUP BY 1),
+        km AS (SELECT drp.cell, drp.n_items, drp.n_dropped,
+            CAST(drp.n_items AS HUGEINT) * 3 AS nn, sq.s2, mg.c2
+          FROM drp
+          LEFT JOIN sq ON drp.cell = sq.cell
+          LEFT JOIN mg ON drp.cell = mg.cell),
+        kk AS (SELECT cell, n_items, n_dropped,
+            CASE WHEN n_items > 0 THEN
+              CAST((1000000 * (s2 - nn)) // (nn * 2) AS BIGINT) END
+              AS p_bar_ppm,
+            CASE WHEN n_items > 0 THEN
+              CAST((1000000 * c2) // (nn * nn) AS BIGINT) END
+              AS p_e_ppm,
+            CASE WHEN n_items > 0 THEN
+              CAST(n_items AS HUGEINT) * 3 * (s2 - nn) - c2 * 2 END
+              AS knum,
+            CASE WHEN n_items > 0 THEN (nn * nn - c2) * 2 END AS kden
+          FROM km)
+        SELECT cell AS source, n_items, CAST(3 AS BIGINT) AS n_raters,
+          n_dropped, p_bar_ppm, p_e_ppm,
+          CASE WHEN kden IS NOT NULL AND kden > 0 THEN
+            CAST(CASE WHEN knum < 0 THEN -1 ELSE 1 END *
+              ((1000000 * abs(knum)) // kden) AS BIGINT) END
+            AS kappa_ppm
+        FROM kk ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q272 — Dunn's post-hoc pairwise test (StatsOps.dunnTest) on
+    // q258's exact fixture: KW's omnibus verdict said dow=6 shifted —
+    // Dunn names the pairs, from the SAME cell-wide rank frame with
+    // pooled variance (not pairwise MWU re-ranks). The four
+    // purchase-vs-other pairs in dow=6 read |z| far beyond the
+    // Bonferroni 5% line for 10 comparisons (≈ 2.81); every other
+    // pair in every cell sits inside it. The two-stage radicand floor
+    // is mirrored verbatim so the engines walk one lattice.
+    // ------------------------------------------------------------------
+    "q272_dunn_posthoc" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .withColumn("dow", expr("((ts div 86400000000000) + 4) % 7"))
+          .withColumn("cents",
+            expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)" +
+              " div 100") +
+              when(col("event_type") === "purchase" && col("dow") === 6L,
+                5000L).otherwise(0L))
+        graft.operators.StatsOps.dunnTest(ev, "dow", "event_type",
+            "cents")
+          .orderBy("cell", "grp_a", "grp_b")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT
+            ((epoch_us(ts) // 86400000000) + 4) % 7 AS cell,
+            event_type AS grp,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) // 100 +
+              CASE WHEN event_type = 'purchase'
+                AND ((epoch_us(ts) // 86400000000) + 4) % 7 = 6
+                THEN 5000 ELSE 0 END AS v
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        gvc AS (SELECT cell, grp, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY 1, 2, 3),
+        cv AS (SELECT cell, v, CAST(sum(cnt) AS BIGINT) AS t,
+            coalesce(sum(sum(cnt)) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cb
+          FROM gvc GROUP BY cell, v),
+        gs AS (SELECT gvc.cell, gvc.grp, CAST(sum(cnt) AS BIGINT) AS ni,
+            sum(CAST(cnt AS HUGEINT) * (2 * cb + t + 1)) AS r2
+          FROM gvc JOIN cv ON gvc.cell = cv.cell AND gvc.v = cv.v
+          GROUP BY 1, 2),
+        ct AS (SELECT cell, CAST(sum(t) AS BIGINT) AS nn,
+            sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+          FROM cv GROUP BY 1),
+        pr AS (SELECT a.cell, a.grp AS grp_a, b.grp AS grp_b,
+            a.ni AS n_a, b.ni AS n_b,
+            a.r2 * b.ni - b.r2 * a.ni AS d
+          FROM gs a JOIN gs b ON a.cell = b.cell AND a.grp < b.grp),
+        wd AS (SELECT pr.*, ct.nn,
+            CAST(ct.nn AS HUGEINT) *
+              (CAST(ct.nn AS HUGEINT) * ct.nn - 1) - ct.tie_t AS den2
+          FROM pr JOIN ct ON pr.cell = ct.cell),
+        rd AS (SELECT cell, grp_a, grp_b, n_a, n_b, d,
+            CASE WHEN den2 > 0 AND n_a > 0 AND n_b > 0 THEN
+              ((3000000 * CAST(nn - 1 AS HUGEINT) * abs(d)) //
+                (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b))) *
+                abs(d) // den2 END AS rad
+          FROM wd)
+        SELECT cell, grp_a, grp_b, n_a, n_b,
+          CAST(sign(d) AS BIGINT) AS d_sign,
+          CASE WHEN rad IS NOT NULL AND rad < 9007199254740992 THEN
+            CAST(sign(d) AS BIGINT) *
+              CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) END
+            AS z_milli
+        FROM rd ORDER BY cell, grp_a, grp_b""")),
+
+    // ------------------------------------------------------------------
+    // q273 — Mantel–Haenszel pooled odds ratio with Simpson flag
+    // (StatsOps.mantelHaenszel): the confounding audit — per event
+    // type, exposure and outcome are hash-planted with a stratum
+    // confounder (stratum 0: 80% exposed, 70% base rate; stratum 1:
+    // 20% exposed, 20% base rate). For purchase the within-stratum
+    // exposure effect is NEGATIVE (−5 points) yet the crude OR reads
+    // ≈ 2.9 because exposure concentrates where the base rate is high
+    // — the planted Simpson reversal flips the flag; the other four
+    // cells carry a +10-point effect and agree in both readouts.
+    // ------------------------------------------------------------------
+    "q273_mantel_haenszel" -> GraftQuery(
+      build = (s, d) => {
+        val h = (tag: String) => graft.operators.TextDedup.hash64(
+          concat(lit(tag), col("event_id").cast("string"))) % 1000000L
+        val pr = events(s, d)
+          .withColumn("st", when(h("mhs") < 500000L, 0L).otherwise(1L))
+          .withColumn("e",
+            when(h("mhe") < when(col("st") === 0L, 800000L)
+              .otherwise(200000L), 1L).otherwise(0L))
+          .withColumn("rate",
+            when(col("st") === 0L, 700000L).otherwise(200000L) +
+              col("e") * when(col("event_type") === "purchase",
+                -50000L).otherwise(100000L))
+          .withColumn("o", when(h("mho") < col("rate"), 1L)
+            .otherwise(0L))
+        graft.operators.StatsOps.mantelHaenszel(pr, "event_type", "st",
+            "e", "o")
+          .withColumnRenamed("cell", "etype")
+          .orderBy("etype")
+      },
+      oracle = Some("""
+        WITH hx AS (SELECT event_type AS cell,
+            CASE WHEN CAST(('0x' || substr(md5('mhs' ||
+                CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000 < 500000 THEN 0 ELSE 1 END AS st,
+            CAST(('0x' || substr(md5('mhe' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 AS he,
+            CAST(('0x' || substr(md5('mho' ||
+              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 AS ho
+          FROM events),
+        eo AS (SELECT cell, st,
+            CASE WHEN he < CASE WHEN st = 0 THEN 800000 ELSE 200000 END
+              THEN 1 ELSE 0 END AS e, ho
+          FROM hx),
+        xy AS (SELECT cell, st, e,
+            CASE WHEN ho < (CASE WHEN st = 0 THEN 700000 ELSE 200000
+              END) + e * (CASE WHEN cell = 'purchase' THEN -50000
+              ELSE 100000 END) THEN 1 ELSE 0 END AS o
+          FROM eo),
+        tb AS (SELECT cell, st,
+            CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+            CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+            CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+            CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+          FROM xy GROUP BY 1, 2),
+        ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_strata,
+            CAST(sum(a + b + c + d) AS BIGINT) AS n,
+            CAST(sum(a) AS BIGINT) AS aa, CAST(sum(b) AS BIGINT) AS bb,
+            CAST(sum(c) AS BIGINT) AS cc, CAST(sum(d) AS BIGINT) AS dd,
+            sum((1000000 * CAST(a AS HUGEINT) * d) // (a + b + c + d))
+              AS r6,
+            sum((1000000 * CAST(b AS HUGEINT) * c) // (a + b + c + d))
+              AS s6
+          FROM tb GROUP BY 1),
+        orr AS (SELECT cell, n_strata, n,
+            CASE WHEN CAST(bb AS HUGEINT) * cc > 0 THEN
+              CAST((1000000 * CAST(aa AS HUGEINT) * dd) //
+                (CAST(bb AS HUGEINT) * cc) AS BIGINT) END
+              AS or_crude_ppm,
+            CASE WHEN s6 > 0 THEN
+              CAST((1000000 * r6) // s6 AS BIGINT) END AS or_mh_ppm
+          FROM ag)
+        SELECT cell AS etype, n_strata, n, or_crude_ppm, or_mh_ppm,
+          CASE WHEN or_crude_ppm IS NOT NULL AND or_mh_ppm IS NOT NULL
+            THEN (or_crude_ppm > 1000000 AND or_mh_ppm < 1000000) OR
+              (or_crude_ppm < 1000000 AND or_mh_ppm > 1000000) END
+            AS simpson_flip
+        FROM orr ORDER BY etype""")),
+
+    // ------------------------------------------------------------------
+    // q274 — restricted mean survival time (StatsOps.rmst) on q120's
+    // exact cohort geometry: the scalar the KM curve (q120) and the
+    // log-rank verdict (q250) both stop short of — average survived
+    // hours within the first RmstTauH = 1000, the area under the
+    // already-floored KM lattice (the q120 recurrence IS the input,
+    // so the integral is exact, not re-estimated). Driven from
+    // subject totals: an all-censored cohort would read the full
+    // τ·10⁶ rather than vanish.
+    // ------------------------------------------------------------------
+    "q274_rmst" -> GraftQuery(
+      build = (s, d) => {
+        val subj = events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("t_us"))
+          .groupBy("user_id")
+          .agg(min("t_us").as("first_us"), max("t_us").as("last_us"))
+          .select(
+            (col("user_id") % KmCohortMod).as("cohort"),
+            expr(s"(last_us - first_us) div $KmHourUs").as("dur_h"),
+            when(col("last_us") < KmStudyEndUs - KmChurnHorizonUs, 1L)
+              .otherwise(0L).as("ev"))
+        graft.operators.StatsOps.rmst(subj, "cohort", "dur_h", "ev",
+            RmstTauH)
+          .orderBy("cohort")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE subj AS (
+          SELECT user_id % $KmCohortMod AS cohort,
+            (max(epoch_us(ts)) - min(epoch_us(ts))) // $KmHourUs AS t,
+            CASE WHEN max(epoch_us(ts)) < ${KmStudyEndUs - KmChurnHorizonUs}
+              THEN 1 ELSE 0 END AS ev
+          FROM events GROUP BY user_id),
+        byd AS (SELECT cohort, t, count(*) AS n_all, sum(ev) AS d
+          FROM subj GROUP BY cohort, t),
+        r0 AS (SELECT cohort, t, d,
+            sum(n_all) OVER (PARTITION BY cohort) -
+              coalesce(sum(n_all) OVER (PARTITION BY cohort ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+          FROM byd),
+        deaths AS (SELECT cohort, t, r, d,
+            row_number() OVER (PARTITION BY cohort ORDER BY t) AS rk
+          FROM r0 WHERE d > 0),
+        km(cohort, rk, t, r, d, s) AS (
+          SELECT cohort, rk, t, r, d, (1000000 * (r - d)) // r
+          FROM deaths WHERE rk = 1
+          UNION ALL
+          SELECT x.cohort, x.rk, x.t, x.r, x.d, (km.s * (x.r - x.d)) // x.r
+          FROM km JOIN deaths x
+            ON x.cohort = km.cohort AND x.rk = km.rk + 1),
+        seg AS (SELECT cohort, t, s,
+            coalesce(lead(t) OVER (PARTITION BY cohort ORDER BY t),
+              $RmstTauH) AS next_t
+          FROM km),
+        sa AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_steps,
+            min(t) AS first_t,
+            sum(CAST(s AS HUGEINT) * greatest(0,
+              least(next_t, $RmstTauH) - least(t, $RmstTauH))) AS tail
+          FROM seg GROUP BY 1),
+        tot AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_subjects,
+            CAST(sum(ev) AS BIGINT) AS n_events
+          FROM subj GROUP BY 1)
+        SELECT tot.cohort, CAST($RmstTauH AS BIGINT) AS tau,
+          n_subjects, n_events,
+          coalesce(sa.n_steps, 0) AS n_steps,
+          CAST(1000000 * least(coalesce(sa.first_t, $RmstTauH),
+            $RmstTauH) + coalesce(sa.tail, 0) AS BIGINT) AS rmst_ppm
+        FROM tot LEFT JOIN sa ON tot.cohort = sa.cohort
+        ORDER BY tot.cohort""")),
+
+    // ------------------------------------------------------------------
+    // q276 — Wilson score intervals (StatsOps.wilsonInterval): the
+    // success-rate confidence band per (event type × $250 value band)
+    // cell for the "value ≥ $50" success bit. The upper band is
+    // DEGENERATE by construction (every $250+ value is ≥ $50 — rate
+    // exactly 1), which is precisely the case the Wald band collapses
+    // on and Wilson handles: hi clamps at 10⁶, lo stays honestly
+    // below it. The 19600/38416 constants are z = 1.96 on the 10⁴
+    // lattice, interpolated identically into both engines.
+    // ------------------------------------------------------------------
+    "q276_wilson_interval" -> GraftQuery(
+      build = (s, d) => {
+        val pr = events(s, d)
+          .withColumn("cents",
+            expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)"))
+          .withColumn("cell",
+            concat(col("event_type"), lit("_"),
+              least(expr("cents div 2500000"), lit(1L))
+                .cast("string")))
+          .withColumn("succ",
+            when(col("cents") >= 500000L, 1L).otherwise(0L))
+        graft.operators.StatsOps.wilsonInterval(pr, "cell", "succ")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH pr AS (SELECT event_type || '_' ||
+            CAST(least(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+              AS BIGINT) // 2500000, 1) AS VARCHAR) AS cell,
+            CASE WHEN CAST(CAST(value AS DECIMAL(18,4)) * 10000
+              AS BIGINT) >= 500000 THEN 1 ELSE 0 END AS succ
+          FROM events WHERE value IS NOT NULL),
+        ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(succ) AS BIGINT) AS r
+          FROM pr GROUP BY 1),
+        wi AS (SELECT cell, n, r,
+            CAST(n AS HUGEINT) * 10000 + 38416 AS n4
+          FROM ag),
+        cc AS (SELECT cell, n, r, n4,
+            CAST((1000000 * (10000 * CAST(r AS HUGEINT) + 19208)) // n4
+              AS BIGINT) AS center_ppm,
+            (1000000000000 * 38416 *
+              (40000 * CAST(r AS HUGEINT) * (n - r) + 38416 * n)) //
+              (4 * CAST(n AS HUGEINT) * n4 * n4) AS rad
+          FROM wi),
+        hh AS (SELECT cell, n, r, center_ppm,
+            CASE WHEN rad < 9007199254740992 THEN
+              CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) END
+              AS half_ppm
+          FROM cc)
+        SELECT cell, n, r, (1000000 * r) // n AS p_ppm, center_ppm,
+          CASE WHEN half_ppm IS NOT NULL THEN
+            CASE WHEN r = 0 THEN 0
+              ELSE greatest(0, center_ppm - half_ppm) END END AS lo_ppm,
+          CASE WHEN half_ppm IS NOT NULL THEN
+            CASE WHEN r = n THEN 1000000
+              ELSE least(1000000, center_ppm + half_ppm) END END
+            AS hi_ppm
+        FROM hh ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q277 — Mood's median test (StatsOps.moodsMedian): the outlier-
+    // immune k-sample location gate — per line-number cell, does each
+    // return flag put the expected mass above the pooled quantity
+    // median. Cell 0's 'A' quantities are shifted +15 (half the
+    // domain): cell 0 reads χ² far past the χ²₂ 5% line (≈ 5.99),
+    // cells 1/2 sit near 0. Integer quantities 1..50 make the pooled
+    // median genuinely tie-heavy — the mass AT the median counts as
+    // not-above, the convention both engines spell identically.
+    // ------------------------------------------------------------------
+    "q277_moods_median" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d)
+          .select(expr("cast(l_linenumber % 3 as bigint)").as("cell"),
+            col("l_returnflag").as("grp"),
+            (col("l_quantity").cast("long") +
+              when(expr("l_linenumber % 3 = 0") &&
+                col("l_returnflag") === "A", 15L).otherwise(0L))
+              .as("v"))
+        graft.operators.StatsOps.moodsMedian(li, "cell", "grp", "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH li AS (SELECT CAST(l_linenumber % 3 AS BIGINT) AS cell,
+            l_returnflag AS grp,
+            CAST(l_quantity AS BIGINT) +
+              CASE WHEN l_linenumber % 3 = 0 AND l_returnflag = 'A'
+                THEN 15 ELSE 0 END AS v
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        gvc AS (SELECT cell, grp, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM li GROUP BY 1, 2, 3),
+        cva AS (SELECT cell, v, CAST(sum(cnt) AS BIGINT) AS t,
+            sum(sum(cnt)) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(sum(cnt)) OVER (PARTITION BY cell) AS ntot
+          FROM gvc GROUP BY cell, v),
+        med AS (SELECT cell, min(v) AS med FROM cva
+          WHERE cum * 2 >= ntot GROUP BY 1),
+        gr AS (SELECT gvc.cell, gvc.grp, max(med.med) AS med,
+            CAST(sum(cnt) AS BIGINT) AS ni,
+            CAST(sum(CASE WHEN gvc.v > med.med THEN cnt ELSE 0 END)
+              AS BIGINT) AS ai
+          FROM gvc JOIN med ON gvc.cell = med.cell GROUP BY 1, 2),
+        tot AS (SELECT cell, CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(ni) AS BIGINT) AS nn,
+            CAST(sum(ai) AS BIGINT) AS atot
+          FROM gr GROUP BY 1),
+        tm AS (SELECT gr.cell, gr.med, tot.k, tot.nn, tot.atot,
+            CASE WHEN atot > 0 AND atot < nn THEN
+              (1000 * (CAST(ai AS HUGEINT) * nn -
+                  CAST(ni AS HUGEINT) * atot) *
+                (CAST(ai AS HUGEINT) * nn -
+                  CAST(ni AS HUGEINT) * atot)) //
+                (CAST(nn AS HUGEINT) * ni * atot) +
+              (1000 * (CAST(ni - ai AS HUGEINT) * nn -
+                  CAST(ni AS HUGEINT) * (nn - atot)) *
+                (CAST(ni - ai AS HUGEINT) * nn -
+                  CAST(ni AS HUGEINT) * (nn - atot))) //
+                (CAST(nn AS HUGEINT) * ni * (nn - atot)) END AS term
+          FROM gr JOIN tot ON gr.cell = tot.cell)
+        SELECT cell, max(k) AS k, max(nn) AS n, max(med) AS med,
+          max(atot) AS n_above, CAST(sum(term) AS BIGINT) AS chi2_milli,
+          max(k) - 1 AS dof
+        FROM tm GROUP BY cell ORDER BY cell""")),
   )
 }

@@ -1827,5 +1827,53 @@ object TextQueries {
         SELECT src, w, avail_tok, target_tok, epochs_milli, at_cap,
           planned_tok, target_tok - planned_tok AS unmet_tok
         FROM p2 ORDER BY src""")),
+
+    // ------------------------------------------------------------------
+    // q275 — vocabulary richness / coverage estimator panel
+    // (TextAnalysis.vocabRichness): the three what-haven't-we-seen
+    // readouts q224's raw hapax counts stop short of, per source —
+    // Good–Turing missing mass N₁/N (the probability the NEXT token
+    // is a never-seen type: the acquisition signal), Chao1 richness
+    // V + N₁²/(2N₂) (lower-bound TRUE type count, with the
+    // bias-corrected N₂ = 0 form), and Yule's K (Σf² − N)·10⁴/N²
+    // (length-invariant repetitiveness, where raw TTR is not). All
+    // counts integer; each derived stat is one flooring division.
+    // ------------------------------------------------------------------
+    "q275_vocab_richness" -> GraftQuery(
+      build = (s, d) => {
+        TextAnalysis.vocabRichness(
+          documents(s, d).select(col("source"), col("text")),
+          "source", "text")
+          .withColumnRenamed("g", "source")
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH tk AS (SELECT source, unnest(${sqlTokens("text")}) AS term
+          FROM documents),
+        tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM tk GROUP BY 1, 2),
+        ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS v_types,
+            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1_hapax,
+            CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2_dis,
+            sum(CAST(c AS HUGEINT) * c) AS s2
+          FROM tf GROUP BY 1)
+        SELECT source, n_tokens, v_types, n1_hapax, n2_dis,
+          (1000000 * n1_hapax) // n_tokens AS missing_mass_ppm,
+          1000000 - (1000000 * n1_hapax) // n_tokens AS coverage_ppm,
+          CASE WHEN n2_dis > 0 THEN
+            v_types + (n1_hapax * n1_hapax) // (2 * n2_dis)
+            ELSE v_types + (n1_hapax * (n1_hapax - 1)) // 2 END
+            AS chao1_est,
+          CASE WHEN n2_dis > 0 THEN
+            (n1_hapax * n1_hapax) // (2 * n2_dis)
+            ELSE (n1_hapax * (n1_hapax - 1)) // 2 END
+            AS unseen_types_est,
+          CAST((10000000 * (s2 - n_tokens)) //
+            (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+            AS yule_k_milli
+        FROM ag ORDER BY source""")),
   )
 }
