@@ -3146,37 +3146,8 @@ object StatsOps {
   def friedman(df: DataFrame, cellCol: String, blockCol: String,
       grpCol: String, valueCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val base = df
-      .filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(cellCol).as("cell"), col(blockCol).as("block"),
-        col(grpCol).cast("string").as("grp"),
-        col(valueCol).cast("long").as("v"))
-    val kPerCell = base.groupBy(col("cell"))
-      .agg(countDistinct(col("grp")).as("k"))
-    val blockStat = base.groupBy(col("cell"), col("block"))
-      .agg(count(lit(1)).as("nb"), countDistinct(col("grp")).as("gb"))
-      .join(broadcast(kPerCell), Seq("cell"))
-      .withColumn("ok", col("nb") === col("k") && col("gb") === col("k"))
-    val dropped = blockStat.groupBy(col("cell"))
-      .agg(sum(when(col("ok"), 0L).otherwise(1L)).as("n_dropped"),
-        sum(when(col("ok"), 1L).otherwise(0L)).as("n_blocks"))
-    val kept = base.join(
-      blockStat.filter(col("ok")).select(col("cell"), col("block")),
-      Seq("cell", "block"))
-    val wB = Window.partitionBy("cell", "block").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bv = kept.groupBy(col("cell"), col("block"), col("v"))
-      .agg(count(lit(1)).as("t"))
-      .withColumn("cb", coalesce(sum(col("t")).over(wB), lit(0L)))
-      .localCheckpoint(true)
-    val r2 = kept
-      .join(bv, Seq("cell", "block", "v"))
-      .withColumn("rank2", col("cb") * 2 + col("t") + 1)
-      .groupBy(col("cell"), col("grp"))
-      .agg(sum(dec(col("rank2"))).as("r2j"))
-    val ties = bv.groupBy(col("cell"))
-      .agg(sum(dec(col("t")) * col("t") * col("t") - col("t"))
-        .as("tie_t"))
+    val (dropped, r2, ties) =
+      blockedRanks(df, cellCol, blockCol, grpCol, valueCol)
     val r2agg = r2
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("k"), sum(col("r2j") * col("r2j")).as("ss"))
@@ -3773,5 +3744,506 @@ object StatsOps {
         col("n_above"),
         col("chi2_d").cast("long").as("chi2_milli"),
         (col("k") - 1L).as("dof"))
+  }
+
+  /** Shared complete-block doubled-rank core of [[friedman]],
+    * [[pageTrend]] and [[kendallW]]: enforce block completeness (every
+    * block holds exactly one observation of each of the cell's k
+    * groups; incomplete blocks drop AND count — a silent drop would
+    * bias every downstream rank sum), double mid-ranks within block so
+    * ties stay on the integer lattice, and return the three bounded
+    * frames every blocked-rank statistic consumes: per-cell drop
+    * accounting (n_blocks, n_dropped), per-(cell, grp) doubled-rank
+    * sums r2j, and the per-cell block-tie mass Σ(t³−t). Rank windows
+    * run inside (cell, block) partitions — k rows each, never a
+    * cell-wide sort. */
+  private def blockedRanks(df: DataFrame, cellCol: String,
+      blockCol: String, grpCol: String, valueCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(blockCol).as("block"),
+        col(grpCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+    val kPerCell = base.groupBy(col("cell"))
+      .agg(countDistinct(col("grp")).as("k"))
+    val blockStat = base.groupBy(col("cell"), col("block"))
+      .agg(count(lit(1)).as("nb"), countDistinct(col("grp")).as("gb"))
+      .join(broadcast(kPerCell), Seq("cell"))
+      .withColumn("ok", col("nb") === col("k") && col("gb") === col("k"))
+    val dropped = blockStat.groupBy(col("cell"))
+      .agg(sum(when(col("ok"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_blocks"))
+    val kept = base.join(
+      blockStat.filter(col("ok")).select(col("cell"), col("block")),
+      Seq("cell", "block"))
+    val wB = Window.partitionBy("cell", "block").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bv = kept.groupBy(col("cell"), col("block"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .withColumn("cb", coalesce(sum(col("t")).over(wB), lit(0L)))
+      .localCheckpoint(true)
+    val r2 = kept
+      .join(bv, Seq("cell", "block", "v"))
+      .withColumn("rank2", col("cb") * 2 + col("t") + 1)
+      .groupBy(col("cell"), col("grp"))
+      .agg(sum(dec(col("rank2"))).as("r2j"))
+    val ties = bv.groupBy(col("cell"))
+      .agg(sum(dec(col("t")) * col("t") * col("t") - col("t"))
+        .as("tie_t"))
+    (dropped, r2, ties)
+  }
+
+  /**
+   * Cochran's Q — the k-treatment generalization of McNemar (q269):
+   * did ANY of k matched binary treatments change the success rate,
+   * across blocks (subjects) that saw every treatment. The closed
+   * rational form off complete blocks only ([[friedman]] discipline —
+   * incomplete blocks drop AND count):
+   *   Q = (k−1)·(k·ΣGⱼ² − N²) / (k·N − ΣLᵢ²)
+   * with Gⱼ = per-treatment success sums, Lᵢ = per-block success
+   * sums, N = ΣGⱼ = ΣLᵢ — every term an exact integer, so
+   * q_milli = ⌊1000·(k−1)·(k·ΣGⱼ² − N²) / (k·N − ΣLᵢ²)⌋ hash-gates.
+   * The numerator is ≥ 0 by Cauchy–Schwarz; the denominator is 0
+   * exactly when every block answered all-0 or all-k (no discordance
+   * anywhere — the statistic is undefined, emitted null, the McNemar
+   * zero-discordance convention).
+   *
+   * Output: (cell, k, n_blocks, n_dropped, n_succ, q_milli, dof).
+   *
+   * Scale shape: one corpus aggregate to (cell, block) grain feeds
+   * both the completeness gate and the Lᵢ² sum; the Gⱼ aggregate and
+   * the final rollup run on bounded frames; nothing re-sorts.
+   */
+  def cochranQ(df: DataFrame, cellCol: String, blockCol: String,
+      grpCol: String, outcomeCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(grpCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(blockCol).as("block"),
+        col(grpCol).cast("string").as("grp"),
+        when(col(outcomeCol).cast("long") > 0, 1L).otherwise(0L)
+          .as("y"))
+    val kPerCell = base.groupBy(col("cell"))
+      .agg(countDistinct(col("grp")).as("k"))
+    val blockStat = base.groupBy(col("cell"), col("block"))
+      .agg(count(lit(1)).as("nb"), countDistinct(col("grp")).as("gb"),
+        sum(col("y")).as("li"))
+      .join(broadcast(kPerCell), Seq("cell"))
+      .withColumn("ok", col("nb") === col("k") && col("gb") === col("k"))
+    val perCell = blockStat.groupBy(col("cell"))
+      .agg(max(col("k")).as("k"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_blocks"),
+        sum(when(col("ok"), col("li")).otherwise(0L)).as("n_succ"),
+        sum(when(col("ok"), dec(col("li")) * col("li"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sum_l2"))
+    val gj = base.join(
+        blockStat.filter(col("ok")).select(col("cell"), col("block")),
+        Seq("cell", "block"))
+      .groupBy(col("cell"), col("grp"))
+      .agg(sum(col("y")).as("gjs"))
+      .groupBy(col("cell"))
+      .agg(sum(dec(col("gjs")) * col("gjs")).as("sum_g2"))
+    perCell
+      .join(gj, Seq("cell"), "left")
+      .withColumn("den",
+        dec(col("k")) * col("n_succ") - col("sum_l2"))
+      .withColumn("q_milli",
+        when(col("n_blocks") > 0 && col("den") > 0, expr(
+          """cast((1000 * (k - 1) *
+               (cast(k as decimal(38,0)) * sum_g2 -
+                cast(n_succ as decimal(38,0)) * n_succ)) div den
+             as bigint)""")))
+      .select(col("cell"), col("k"), col("n_blocks"), col("n_dropped"),
+        col("n_succ"), col("q_milli"), (col("k") - 1L).as("dof"))
+  }
+
+  /**
+   * Wald–Wolfowitz runs test — is a time-ordered binary sequence
+   * exchangeable, or do like outcomes clump (regime switches, sticky
+   * failures, batched spam)? With n₁ ones, n₀ zeros and R observed
+   * runs, E[R] = 1 + 2n₁n₀/n and Var(R) = 2n₁n₀(2n₁n₀−n)/(n²(n−1)),
+   * so z² = (Rn − n − 2n₁n₀)²·(n−1) / (2n₁n₀·(2n₁n₀−n)) is exact in
+   * integers; z_milli = sign·⌊√(10⁶·z²)⌋ (isqrt on a ≤10¹⁰ value —
+   * exact in doubles), null when 2n₁n₀ ≤ n (one class too thin for
+   * the normal approximation to be defined).
+   *
+   * Scale shape — the reason this isn't one big lag window: runs are
+   * counted HIERARCHICALLY ([[bucketPrefixOffsets]] discipline). Rows
+   * bucket by ⌊order/bucketWidth⌋; within-bucket transitions count in
+   * (cell, bucket)-partitioned windows (bounded, parallel), each
+   * bucket emits its first/last flag, and cross-bucket boundary
+   * transitions resolve on the |buckets|-bounded frame — a cell's
+   * whole series never lands in one partition.
+   *
+   * Output: (cell, n, n1, n0, r_runs, z_milli).
+   */
+  def runsTest(df: DataFrame, cellCol: String, orderCol: String,
+      flagCol: String, bucketWidth: Long = 65536L): DataFrame = {
+    val base = df
+      .filter(col(orderCol).isNotNull && col(flagCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(orderCol).cast("long").as("o"),
+        when(col(flagCol).cast("long") > 0, 1L).otherwise(0L).as("b"))
+      .withColumn("bkt", expr(s"o div ${bucketWidth}L"))
+    val wIn = Window.partitionBy("cell", "bkt").orderBy("o")
+    val perBucket = base
+      .withColumn("chg",
+        when(lag(col("b"), 1).over(wIn).isNull, 0L)
+          .when(lag(col("b"), 1).over(wIn) =!= col("b"), 1L)
+          .otherwise(0L))
+      .groupBy(col("cell"), col("bkt"))
+      .agg(count(lit(1)).as("nb"), sum(col("b")).as("n1b"),
+        sum(col("chg")).as("chg"),
+        min(struct(col("o"), col("b"))).as("fst"),
+        max(struct(col("o"), col("b"))).as("lst"))
+    val wBk = Window.partitionBy("cell").orderBy("bkt")
+    val joined = perBucket
+      .withColumn("prev_last", lag(col("lst.b"), 1).over(wBk))
+      .withColumn("bchg",
+        when(col("prev_last").isNotNull &&
+          col("prev_last") =!= col("fst.b"), 1L).otherwise(0L))
+      .groupBy(col("cell"))
+      .agg(sum(col("nb")).as("n"), sum(col("n1b")).as("n1"),
+        (sum(col("chg")) + sum(col("bchg")) + 1L).as("r_runs"))
+    joined
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("m2", expr(
+        "2 * cast(n1 as decimal(38,0)) * n0"))
+      .withColumn("dnum", expr(
+        "cast(r_runs as decimal(38,0)) * n - n - m2"))
+      .withColumn("z_milli",
+        when(col("n") > 1L && col("m2") > dec38(col("n")), expr(
+          """cast(sign(dnum) as bigint) * cast(floor(sqrt(cast(
+               (1000000 * dnum * dnum * (n - 1)) div (m2 * (m2 - n))
+               as double))) as bigint)""")))
+      .select(col("cell"), col("n"), col("n1"), col("n0"),
+        col("r_runs"), col("z_milli"))
+  }
+
+  private def dec38(c: Column): Column = c.cast("decimal(38,0)")
+
+  /**
+   * Page's L trend test — [[friedman]]'s ORDERED-alternative cousin:
+   * where Friedman asks "did any treatment shift", Page asks "do the
+   * treatments shift MONOTONICALLY in their a-priori order" (model
+   * sizes, dosage levels, retrieval depths), which against an ordered
+   * alternative is far more powerful than the omnibus. On the doubled
+   * mid-rank lattice over m complete blocks: L2 = Σⱼ j·R2ⱼ with j the
+   * per-cell ordinal rank of the treatment key, E[L2] = m·k·(k+1)²/2
+   * (always an integer: k·(k+1)² is even for every k), Var(L2) =
+   * m·k²·(k+1)·(k²−1)/36, so
+   *   z_milli = sign·⌊√(36·10⁶·(L2−E[L2])² / (m·k²·(k+1)·(k²−1)))⌋
+   * — the no-tie normal approximation (ties enter L2 exactly via the
+   * mid-ranks; the variance keeps the classic form, stated here so
+   * the reader knows which convention hashes). Null when k < 3 or
+   * m = 0.
+   *
+   * The group column must be NUMERIC — its value order IS the tested
+   * order (the caller encodes the hypothesis in the ordinals).
+   *
+   * Output: (cell, k, n_blocks, n_dropped, l2, e2, z_milli).
+   */
+  def pageTrend(df: DataFrame, cellCol: String, blockCol: String,
+      ordCol: String, valueCol: String): DataFrame = {
+    val (dropped, r2, _) =
+      blockedRanks(df, cellCol, blockCol, ordCol, valueCol)
+    // j = dense ordinal rank within cell, computed on the bounded
+    // (cell, grp) frame — grp is the stringified numeric ordinal, so
+    // rank by its numeric value, never its lexicographic shadow
+    val wOrd = Window.partitionBy("cell").orderBy(col("grp").cast("long"))
+    val lagg = r2
+      .withColumn("j", row_number().over(wOrd).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("k"),
+        sum(dec38(col("j")) * col("r2j")).as("l2"))
+    dropped
+      .join(lagg, Seq("cell"), "left")
+      .withColumn("e2", expr(
+        """(cast(n_blocks as decimal(38,0)) * k * (k + 1) * (k + 1))
+           div 2"""))
+      .withColumn("dn", col("l2") - col("e2"))
+      .withColumn("z_milli",
+        when(col("n_blocks") > 0 && col("k") >= 3, expr(
+          """cast(sign(dn) as bigint) * cast(floor(sqrt(cast(
+               (36000000 * dn * dn) div
+               (cast(n_blocks as decimal(38,0)) * k * k * (k + 1) *
+                (cast(k as decimal(38,0)) * k - 1))
+               as double))) as bigint)""")))
+      .select(col("cell"), col("k"), col("n_blocks"), col("n_dropped"),
+        col("l2").cast("long").as("l2"),
+        col("e2").cast("long").as("e2"), col("z_milli"))
+  }
+
+  /**
+   * Kendall's W (coefficient of concordance) — how much do m raters
+   * AGREE on the ranking of k objects, the inter-annotator gate for
+   * ranked eval panels ([[friedman]] answers "is any object rated
+   * differently"; W answers "how coherent is the panel", and the two
+   * are one identity apart: Q = m·(k−1)·W). On the doubled mid-rank
+   * lattice the column-sum deviation mass is S2 = ΣR2ⱼ² − k·m²·(k+1)²
+   * (ΣR2ⱼ = m·k·(k+1) exactly, so the cross term folds), and
+   *   w_milli     = ⌊3000·S2 / (m²·k·(k²−1))⌋
+   *   w_tie_milli = ⌊3000·S2 / (m²·k·(k²−1) − m·T)⌋, T = Σ(t³−t)
+   * (the classic tie-corrected denominator; null when every block is
+   * all-ties). W ∈ [0, 1] keeps every stage in decimal128 range.
+   *
+   * Output: (cell, k, n_blocks, n_dropped, tie_t, w_milli,
+   * w_tie_milli).
+   */
+  def kendallW(df: DataFrame, cellCol: String, blockCol: String,
+      grpCol: String, valueCol: String): DataFrame = {
+    val (dropped, r2, ties) =
+      blockedRanks(df, cellCol, blockCol, grpCol, valueCol)
+    val agg = r2.groupBy(col("cell"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("r2j") * col("r2j")).as("ss"))
+    dropped
+      .join(agg, Seq("cell"), "left")
+      .join(ties, Seq("cell"), "left")
+      .withColumn("s2", expr(
+        """ss - cast(k as decimal(38,0)) *
+             (cast(n_blocks as decimal(38,0)) * n_blocks) *
+             ((k + 1) * (k + 1))"""))
+      .withColumn("den0", expr(
+        """cast(n_blocks as decimal(38,0)) * n_blocks * k *
+           (cast(k as decimal(38,0)) * k - 1)"""))
+      .withColumn("w_milli",
+        when(col("n_blocks") > 0 && col("k") >= 2 && col("den0") > 0,
+          expr("cast((3000 * s2) div den0 as bigint)")))
+      .withColumn("w_tie_milli",
+        when(col("n_blocks") > 0 && col("k") >= 2 &&
+          col("den0") - dec38(col("n_blocks")) * col("tie_t") > 0,
+          expr("""cast((3000 * s2) div
+                    (den0 - cast(n_blocks as decimal(38,0)) * tie_t)
+                  as bigint)""")))
+      .select(col("cell"), col("k"), col("n_blocks"), col("n_dropped"),
+        col("tie_t").cast("long").as("tie_t"), col("w_milli"),
+        col("w_tie_milli"))
+  }
+
+  /**
+   * Ordinal association pair — Goodman–Kruskal γ and both Somers' D
+   * asymmetries, the [[kendallTauB]] family members that answer
+   * different questions off the SAME concordance counts: γ ignores
+   * ties entirely ((C−D)/(C+D) — "among pairs that order, how
+   * aligned"), Somers' D_y|x conditions on x ((C−D)/(n₀−T_x) — the
+   * effect-size companion of a y-on-x ordinal regression, and the
+   * statistic behind the c-index identity c = (D+1)/2). All three are
+   * single-stage exact divisions on the [[contingencyPairs]] dense-
+   * grid double-prefix — no isqrt, no pairwise scan; the in-plan grid
+   * guard applies (callers bin, the q195/q196 discipline).
+   *
+   * Output: (cell, n, conc, disc, gamma_milli, d_yx_milli,
+   * d_xy_milli) — gamma null when C+D = 0, each D null when its
+   * conditioning margin is all-ties.
+   */
+  def ordinalAssociation(df: DataFrame, cellCol: String, xCol: String,
+      yCol: String, maxGridCells: Long = 4000000L): DataFrame = {
+    val (cxy, pair) = contingencyPairs(df, cellCol, xCol, yCol,
+      maxGridCells, "ordinalAssociation")
+    val tx = cxy.groupBy(col("cell"), col("x"))
+      .agg(sum(col("nxy")).as("nx"))
+      .groupBy(col("cell"))
+      .agg(expr("cast(sum(cast(nx as decimal(38,0)) * (nx - 1)) div 2" +
+        " as decimal(38,0))").as("tx"))
+    val ty = cxy.groupBy(col("cell"), col("y"))
+      .agg(sum(col("nxy")).as("ny"))
+      .groupBy(col("cell"))
+      .agg(expr("cast(sum(cast(ny as decimal(38,0)) * (ny - 1)) div 2" +
+        " as decimal(38,0))").as("ty"))
+    pair.join(tx, Seq("cell")).join(ty, Seq("cell"))
+      .withColumn("n0", expr("cast((n * (n - 1)) div 2 as decimal(38,0))"))
+      .withColumn("num", col("conc") - col("disc"))
+      .withColumn("gamma_milli",
+        when(col("conc") + col("disc") > 0, expr(
+          """cast(sign(num) as bigint) *
+             cast((1000 * abs(num)) div (conc + disc) as bigint)""")))
+      .withColumn("d_yx_milli",
+        when(col("n0") - col("tx") > 0, expr(
+          """cast(sign(num) as bigint) *
+             cast((1000 * abs(num)) div (n0 - tx) as bigint)""")))
+      .withColumn("d_xy_milli",
+        when(col("n0") - col("ty") > 0, expr(
+          """cast(sign(num) as bigint) *
+             cast((1000 * abs(num)) div (n0 - ty) as bigint)""")))
+      .select(col("cell"), col("n").cast("long").as("n"),
+        col("conc").cast("long").as("conc"),
+        col("disc").cast("long").as("disc"),
+        col("gamma_milli"), col("d_yx_milli"), col("d_xy_milli"))
+  }
+
+  /**
+   * Ljung–Box portmanteau test — is a series white noise, or does ANY
+   * of the first `maxLag` autocorrelations carry signal (the residual
+   * sanity check after every seasonal/trend fit, and the "is this
+   * metric actually iid" gate before a control chart is trusted).
+   * Exact on the centered-by-n lattice: c_t = n·y_t − Σy (integer
+   * centering with NO division), r_k_ppm = sign·⌊10⁶·|Σc_t·c_{t+k}| /
+   * Σc_t²⌋ (the classic sample ACF: full-series denominator, n−k
+   * cross products), term_k = ⌊r_k_ppm² / (n−k)⌋, and
+   *   lb_milli = ⌊n·(n+2)·Σterm_k / 10⁹⌋
+   * (the 1000·Q with r² in ppm² folding 10¹²). Per-stage floors are
+   * the statistic's DEFINITION here — both engines spell them
+   * identically. Null when the series is constant (Σc² = 0) or
+   * shorter than maxLag+2.
+   *
+   * Input contract ([[lagCorrelation]]'s): the caller passes a series
+   * already aggregated to bounded per-cell length (daily grain etc.)
+   * — the per-cell order window is a |periods|-bounded frame, never a
+   * corpus sort.
+   *
+   * Output: (cell, n, max_lag, lb_milli).
+   */
+  def ljungBox(df: DataFrame, cellCol: String, orderCol: String,
+      valueCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12)
+    val base = df
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(orderCol).cast("long").as("o"),
+        col(valueCol).cast("long").as("v"))
+    val st = base.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(dec38(col("v"))).as("sv"))
+    val w = Window.partitionBy("cell").orderBy("o")
+    val withC = base
+      .join(broadcast(st), Seq("cell"))
+      .withColumn("c", dec38(col("v")) * col("n") - col("sv"))
+    val led = withC.select(
+      col("cell") +: col("n") +: col("c") +:
+        (1 to maxLag).map(k => lead(col("c"), k).over(w).as(s"c$k")): _*)
+    val perCell = led.groupBy(col("cell"))
+      .agg(max(col("n")).as("n"),
+        sum(col("c") * col("c")).as("d") +:
+          (1 to maxLag).map(k =>
+            sum(when(col(s"c$k").isNotNull, col("c") * col(s"c$k"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as(s"nk$k")): _*)
+    val terms = (1 to maxLag).map { k =>
+      when(col("n") > k.toLong && col("d") > 0, expr(
+        s"""(((1000000 * abs(nk$k)) div d) * ((1000000 * abs(nk$k)) div d))
+            div (n - $k)""")).otherwise(lit(0).cast("decimal(38,0)"))
+    }.reduce(_ + _)
+    perCell
+      .withColumn("tsum", terms)
+      .withColumn("lb_milli",
+        when(col("d") > 0 && col("n") > (maxLag + 1).toLong, expr(
+          """cast((cast(n as decimal(38,0)) * (n + 2) * tsum)
+               div 1000000000 as bigint)""")))
+      .select(col("cell"), col("n"), lit(maxLag.toLong).as("max_lag"),
+        col("lb_milli"))
+  }
+
+  /**
+   * Durbin–Watson statistic — first-order serial correlation in the
+   * residuals of the per-cell least-squares line (the q98 linear-fit
+   * family's diagnostic: a trend fit whose residuals autocorrelate is
+   * under-modeled, and its confidence claims are fiction). Exact to
+   * the milli lattice: with integer moment sums, S0 = n·Σx²−(Σx)² and
+   * S1 = n·Σxy−ΣxΣy, the scaled residual n·S0·e_t = n·S0·y_t −
+   * S0·Σy + S1·Σx − n·S1·x_t is an EXACT integer; e_milli =
+   * sign·⌊1000·|·|/(n·S0)⌋ is the defined lattice, and
+   *   dw_milli = ⌊1000·Σ(e_t−e_{t−1})² / Σe_t²⌋
+   * (≈2000 = no autocorrelation, →0 positive, →4000 negative). Null
+   * for constant x (S0 = 0) or zero residual mass (perfect fit).
+   *
+   * Input contract ([[ljungBox]]'s): a bounded per-cell series; the
+   * order window runs on |periods| rows per cell.
+   *
+   * Output: (cell, n, dw_milli).
+   */
+  def durbinWatson(df: DataFrame, cellCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    val st = base.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(dec38(col("x"))).as("sx"),
+        sum(dec38(col("y"))).as("sy"),
+        sum(dec38(col("x")) * col("x")).as("sxx"),
+        sum(dec38(col("x")) * col("y")).as("sxy"))
+      .withColumn("s0", dec38(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("s1", dec38(col("n")) * col("sxy") - col("sx") * col("sy"))
+    val w = Window.partitionBy("cell").orderBy("x")
+    val resid = base
+      .join(broadcast(st), Seq("cell"))
+      .filter(col("s0") > 0)
+      .withColumn("rnum",
+        dec38(col("n")) * col("s0") * col("y") - col("s0") * col("sy") +
+          col("s1") * col("sx") - dec38(col("n")) * col("s1") * col("x"))
+      .withColumn("e", expr(
+        """cast(sign(rnum) as bigint) *
+           cast((1000 * abs(rnum)) div (cast(n as decimal(38,0)) * s0)
+             as bigint)"""))
+      .withColumn("ep", lag(col("e"), 1).over(w))
+    resid.groupBy(col("cell"))
+      .agg(max(col("n")).as("n"),
+        sum(dec38(col("e")) * col("e")).as("se2"),
+        sum(when(col("ep").isNotNull,
+          dec38(col("e") - col("ep")) * (col("e") - col("ep")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("sd2"))
+      .withColumn("dw_milli",
+        when(col("se2") > 0,
+          expr("cast((1000 * sd2) div se2 as bigint)")))
+      .select(col("cell"), col("n"), col("dw_milli"))
+  }
+
+  /**
+   * Hampel outlier audit — the robust location/scale gate ([[madScale]]
+   * family): flag values beyond kMad MAD units of the cell median,
+   * immune to the outliers it hunts (a z-score's mean and σ are
+   * dragged by the very points under test; median and MAD are not).
+   * Both medians are the exact lower median (min v with 2·cum ≥ N —
+   * the [[moodsMedian]] convention) on count-aggregated frames; the
+   * flag is the strict integer inequality |v − med| > kMad·mad (MAD
+   * units by design — the 1.4826 σ-equivalence constant is a float
+   * and stays out of the lattice; at mad = 0, any deviation from the
+   * median flags, stated so the constant-heavy edge is readable).
+   *
+   * Output: (cell, n, med, mad, n_out, out_ppm).
+   *
+   * Scale shape: ONE corpus aggregate to (cell, v, cnt) grain serves
+   * the median prefix, the deviation re-aggregate and the final count
+   * (localCheckpointed — the q189/contingencyPairs rule); medians
+   * join back broadcast.
+   */
+  def hampelOutliers(df: DataFrame, cellCol: String, valueCol: String,
+      kMad: Int = 3): DataFrame = {
+    val gvc = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("cell"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    def lowerMedian(f: DataFrame, vCol: String): DataFrame = {
+      val wCum = Window.partitionBy("cell").orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("cell")
+      f.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("ntot", sum(col("cnt")).over(wTot))
+        .filter(col("cum") * 2 >= col("ntot"))
+        .groupBy(col("cell"))
+        .agg(min(col(vCol)).as("m"))
+    }
+    val med = lowerMedian(gvc, "v").withColumnRenamed("m", "med")
+    val dev = gvc
+      .join(broadcast(med), Seq("cell"))
+      .groupBy(col("cell"), abs(col("v") - col("med")).as("dv"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = lowerMedian(dev, "dv").withColumnRenamed("m", "mad")
+    gvc
+      .join(broadcast(med), Seq("cell"))
+      .join(broadcast(mad), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(col("cnt")).as("n"),
+        sum(when(abs(col("v") - col("med")) >
+          lit(kMad.toLong) * col("mad"), col("cnt")).otherwise(0L))
+          .as("n_out"))
+      .withColumn("out_ppm",
+        expr("cast((1000000 * cast(n_out as decimal(38,0))) div n" +
+          " as bigint)"))
+      .select(col("cell"), col("n"), col("med"), col("mad"),
+        col("n_out"), col("out_ppm"))
   }
 }

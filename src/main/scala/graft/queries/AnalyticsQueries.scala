@@ -6261,5 +6261,565 @@ object AnalyticsQueries {
           max(atot) AS n_above, CAST(sum(term) AS BIGINT) AS chi2_milli,
           max(k) - 1 AS dof
         FROM tm GROUP BY cell ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q278 — Cochran's Q (StatsOps.cochranQ): k-treatment matched
+    // binary test, the McNemar (q269) generalization. Blocks = orders,
+    // treatments = line numbers 1..3, outcome = quantity > 25; orders
+    // with fewer than 3 lines drop AND count (the Friedman complete-
+    // block discipline exercised on real data — most orders are
+    // incomplete, so n_dropped dominates n_blocks). Cell 0 plants +20
+    // quantity on treatment 3: its Q reads far past the χ²₂ 5% line;
+    // cells 1/2 sit at noise.
+    // ------------------------------------------------------------------
+    "q278_cochran_q" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_linenumber") <= 3)
+          .select(expr("l_orderkey % 3").as("cell"),
+            col("l_orderkey").as("block"),
+            col("l_linenumber").cast("long").as("grp"),
+            when(col("l_quantity").cast("long") +
+              when(expr("l_orderkey % 3 = 0") && col("l_linenumber") === 3,
+                20L).otherwise(0L) > 25L, 1L).otherwise(0L).as("y"))
+        graft.operators.StatsOps.cochranQ(li, "cell", "block", "grp",
+            "y")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT l_orderkey % 3 AS cell,
+            l_orderkey AS block, CAST(l_linenumber AS BIGINT) AS grp,
+            CASE WHEN CAST(l_quantity AS BIGINT) +
+                CASE WHEN l_orderkey % 3 = 0 AND l_linenumber = 3
+                  THEN 20 ELSE 0 END > 25 THEN 1 ELSE 0 END AS y
+          FROM lineitem WHERE l_linenumber <= 3),
+        kc AS (SELECT cell, CAST(count(DISTINCT grp) AS BIGINT) AS k
+          FROM base GROUP BY 1),
+        bs AS (SELECT base.cell, base.block, count(*) AS nb,
+            count(DISTINCT grp) AS gb, CAST(sum(y) AS BIGINT) AS lsum,
+            max(kc.k) AS k
+          FROM base JOIN kc ON base.cell = kc.cell GROUP BY 1, 2),
+        pc AS (SELECT cell, max(k) AS k,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_dropped,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_blocks,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN lsum ELSE 0 END)
+              AS BIGINT) AS n_succ,
+            sum(CASE WHEN nb = k AND gb = k
+              THEN CAST(lsum AS HUGEINT) * lsum ELSE 0 END) AS sum_l2
+          FROM bs GROUP BY 1),
+        gj AS (SELECT base.cell, base.grp,
+            CAST(sum(base.y) AS HUGEINT) AS gjs
+          FROM base JOIN bs ON bs.cell = base.cell
+            AND bs.block = base.block
+          WHERE bs.nb = bs.k AND bs.gb = bs.k
+          GROUP BY 1, 2),
+        g2 AS (SELECT cell, sum(gjs * gjs) AS sum_g2 FROM gj
+          GROUP BY 1)
+        SELECT pc.cell, pc.k, pc.n_blocks, pc.n_dropped, pc.n_succ,
+          CASE WHEN pc.n_blocks > 0
+              AND CAST(pc.k AS HUGEINT) * pc.n_succ - pc.sum_l2 > 0
+            THEN CAST((1000 * (pc.k - 1) *
+                (CAST(pc.k AS HUGEINT) * g2.sum_g2 -
+                 CAST(pc.n_succ AS HUGEINT) * pc.n_succ)) //
+              (CAST(pc.k AS HUGEINT) * pc.n_succ - pc.sum_l2)
+              AS BIGINT) END AS q_milli,
+          pc.k - 1 AS dof
+        FROM pc LEFT JOIN g2 ON g2.cell = pc.cell
+        ORDER BY pc.cell""")),
+
+    // ------------------------------------------------------------------
+    // q279 — Wald–Wolfowitz runs test (StatsOps.runsTest): is the
+    // per-type flag sequence exchangeable over event order. The click
+    // cell's flag is planted as (event_id div 64) % 2 — 64-long runs,
+    // z_milli strongly negative (far fewer runs than exchangeable);
+    // the other four flag on value ≥ 50 (cents lattice), reading near
+    // 0. The operator counts runs HIERARCHICALLY (4096-wide order
+    // buckets, within-bucket windows + a bounded boundary pass — the
+    // bucketPrefixOffsets discipline); the oracle counts them with one
+    // flat lag window — two independent decompositions, one integer
+    // answer.
+    // ------------------------------------------------------------------
+    "q279_runs_test" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type").as("cell"), col("event_id").as("o"),
+            when(col("event_type") === "click",
+              (expr("(event_id div 64) % 2") === 0L).cast("long"))
+              .otherwise(when(col("value").isNotNull,
+                (cents(col("value")) >= 500000L).cast("long")))
+              .as("b"))
+        graft.operators.StatsOps.runsTest(ev, "cell", "o", "b", 4096L)
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH f AS (SELECT event_type AS cell, event_id AS o,
+            CASE WHEN event_type = 'click' THEN
+                CASE WHEN (event_id // 64) % 2 = 0 THEN 1 ELSE 0 END
+              WHEN value IS NOT NULL THEN
+                CASE WHEN CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                  AS BIGINT) >= 500000 THEN 1 ELSE 0 END
+              END AS b
+          FROM events WHERE event_id IS NOT NULL),
+        fb AS (SELECT cell, o, b FROM f WHERE b IS NOT NULL),
+        r AS (SELECT cell, b,
+            CASE WHEN lag(b) OVER (PARTITION BY cell ORDER BY o)
+                IS NULL THEN 0
+              WHEN lag(b) OVER (PARTITION BY cell ORDER BY o) <> b
+                THEN 1 ELSE 0 END AS chg
+          FROM fb),
+        ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(b) AS BIGINT) AS n1,
+            CAST(sum(chg) + 1 AS BIGINT) AS r_runs
+          FROM r GROUP BY 1),
+        z AS (SELECT cell, n, n1, n - n1 AS n0, r_runs,
+            2 * CAST(n1 AS HUGEINT) * (n - n1) AS m2,
+            CAST(r_runs AS HUGEINT) * n - n -
+              2 * CAST(n1 AS HUGEINT) * (n - n1) AS dnum
+          FROM ag)
+        SELECT cell, n, n1, n0, r_runs,
+          CASE WHEN n > 1 AND m2 > n THEN
+            CAST(CASE WHEN dnum < 0 THEN -1
+                WHEN dnum = 0 THEN 0 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (1000000 * dnum * dnum * (n - 1)) // (m2 * (m2 - n))
+                AS DOUBLE))) AS BIGINT) AS BIGINT) END AS z_milli
+        FROM z ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q280 — Page's L trend test (StatsOps.pageTrend): the ORDERED
+    // alternative Friedman (q267) can't see. Blocks = users, ordered
+    // treatments = event_id % 4 quarters, value = spend cents rollup;
+    // cell 0 (even users) plants +10⁷·ordinal — a dose response larger
+    // than any block's natural spend spread, so every cell-0 block
+    // ranks the quarters monotonically and z_milli pins at the m-block
+    // maximum, while cell 1 sits at noise. A user missing a quarter
+    // drops AND counts.
+    // ------------------------------------------------------------------
+    "q280_page_trend" -> GraftQuery(
+      build = (s, d) => {
+        val pre = events(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy(expr("user_id % 2").as("cell"),
+            col("user_id").as("block"),
+            expr("cast(event_id % 4 as bigint)").as("ord"))
+          .agg(sum(cents(col("value"))).as("sc"))
+          .select(col("cell"), col("block"), col("ord"),
+            (col("sc") + when(col("cell") === 0L,
+              col("ord") * 10000000L).otherwise(0L)).as("v"))
+        graft.operators.StatsOps.pageTrend(pre, "cell", "block", "ord",
+            "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH bg AS (SELECT user_id % 2 AS cell, user_id AS block,
+            CAST(event_id % 4 AS BIGINT) AS ord,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) +
+              CASE WHEN user_id % 2 = 0 THEN (event_id % 4) * 10000000
+                ELSE 0 END AS v
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2, event_id % 4),
+        kc AS (SELECT cell, CAST(count(DISTINCT ord) AS BIGINT) AS k
+          FROM bg GROUP BY 1),
+        bs AS (SELECT bg.cell, bg.block, count(*) AS nb,
+            count(DISTINCT bg.ord) AS gb, max(kc.k) AS k
+          FROM bg JOIN kc ON bg.cell = kc.cell GROUP BY 1, 2),
+        drp AS (SELECT cell,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_dropped,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_blocks
+          FROM bs GROUP BY 1),
+        kept AS (SELECT bg.cell, bg.block, bg.ord, bg.v FROM bg
+          JOIN bs ON bg.cell = bs.cell AND bg.block = bs.block
+          WHERE bs.nb = bs.k AND bs.gb = bs.k),
+        bv AS (SELECT cell, block, v, CAST(count(*) AS BIGINT) AS t,
+            coalesce(sum(count(*)) OVER (PARTITION BY cell, block
+              ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+              1 PRECEDING), 0) AS cb
+          FROM kept GROUP BY 1, 2, 3),
+        r2 AS (SELECT kept.cell, kept.ord,
+            sum(CAST(2 * bv.cb + bv.t + 1 AS HUGEINT)) AS r2j
+          FROM kept JOIN bv ON kept.cell = bv.cell
+            AND kept.block = bv.block AND kept.v = bv.v
+          GROUP BY 1, 2),
+        lr AS (SELECT cell, ord, r2j,
+            CAST(row_number() OVER (PARTITION BY cell ORDER BY ord)
+              AS HUGEINT) AS j
+          FROM r2),
+        la AS (SELECT cell, CAST(count(*) AS BIGINT) AS k,
+            sum(j * r2j) AS l2
+          FROM lr GROUP BY 1),
+        fin AS (SELECT drp.cell, la.k, drp.n_blocks, drp.n_dropped,
+            la.l2,
+            (CAST(drp.n_blocks AS HUGEINT) * la.k * (la.k + 1) *
+              (la.k + 1)) // 2 AS e2
+          FROM drp LEFT JOIN la ON drp.cell = la.cell)
+        SELECT cell, k, n_blocks, n_dropped,
+          CAST(l2 AS BIGINT) AS l2, CAST(e2 AS BIGINT) AS e2,
+          CASE WHEN n_blocks > 0 AND k >= 3 THEN
+            CAST(CASE WHEN l2 - e2 < 0 THEN -1
+                WHEN l2 - e2 = 0 THEN 0 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (36000000 * (l2 - e2) * (l2 - e2)) //
+                (CAST(n_blocks AS HUGEINT) * k * k * (k + 1) *
+                 (CAST(k AS HUGEINT) * k - 1)) AS DOUBLE)))
+                AS BIGINT) AS BIGINT) END AS z_milli
+        FROM fin ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q281 — Kendall's W (StatsOps.kendallW): panel concordance over
+    // raters = orders, objects = line numbers 1..3, score = quantity.
+    // Cell 0 plants +60·linenumber — gaps larger than the 1..50
+    // quantity noise, so every complete order ranks the objects
+    // identically and W reads 1000 exactly; cell 1's natural
+    // quantities read the noise floor. Incomplete orders drop AND
+    // count; the q267 identity Q = m·(k−1)·W is pinned in the spec.
+    // ------------------------------------------------------------------
+    "q281_kendall_w" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d)
+          .filter(col("l_linenumber") <= 3)
+          .select(expr("l_orderkey % 2").as("cell"),
+            col("l_orderkey").as("block"),
+            col("l_linenumber").cast("long").as("grp"),
+            (col("l_quantity").cast("long") +
+              when(expr("l_orderkey % 2 = 0"),
+                col("l_linenumber").cast("long") * 60L).otherwise(0L))
+              .as("v"))
+        graft.operators.StatsOps.kendallW(li, "cell", "block", "grp",
+            "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH bg AS (SELECT l_orderkey % 2 AS cell, l_orderkey AS block,
+            CAST(l_linenumber AS BIGINT) AS grp,
+            CAST(l_quantity AS BIGINT) +
+              CASE WHEN l_orderkey % 2 = 0 THEN l_linenumber * 60
+                ELSE 0 END AS v
+          FROM lineitem WHERE l_linenumber <= 3),
+        kc AS (SELECT cell, CAST(count(DISTINCT grp) AS BIGINT) AS k
+          FROM bg GROUP BY 1),
+        bs AS (SELECT bg.cell, bg.block, count(*) AS nb,
+            count(DISTINCT bg.grp) AS gb, max(kc.k) AS k
+          FROM bg JOIN kc ON bg.cell = kc.cell GROUP BY 1, 2),
+        drp AS (SELECT cell,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_dropped,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_blocks
+          FROM bs GROUP BY 1),
+        kept AS (SELECT bg.cell, bg.block, bg.grp, bg.v FROM bg
+          JOIN bs ON bg.cell = bs.cell AND bg.block = bs.block
+          WHERE bs.nb = bs.k AND bs.gb = bs.k),
+        bv AS (SELECT cell, block, v, CAST(count(*) AS BIGINT) AS t,
+            coalesce(sum(count(*)) OVER (PARTITION BY cell, block
+              ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+              1 PRECEDING), 0) AS cb
+          FROM kept GROUP BY 1, 2, 3),
+        r2 AS (SELECT kept.cell, kept.grp,
+            sum(CAST(2 * bv.cb + bv.t + 1 AS HUGEINT)) AS r2j
+          FROM kept JOIN bv ON kept.cell = bv.cell
+            AND kept.block = bv.block AND kept.v = bv.v
+          GROUP BY 1, 2),
+        ties AS (SELECT cell, sum(CAST(t AS HUGEINT) * t * t - t)
+            AS tie_t
+          FROM bv GROUP BY 1),
+        ra AS (SELECT cell, CAST(count(*) AS BIGINT) AS k,
+            sum(r2j * r2j) AS ss
+          FROM r2 GROUP BY 1),
+        fin AS (SELECT drp.cell, ra.k, drp.n_blocks, drp.n_dropped,
+            CAST(ties.tie_t AS BIGINT) AS tie_t,
+            ra.ss - CAST(ra.k AS HUGEINT) *
+              (CAST(drp.n_blocks AS HUGEINT) * drp.n_blocks) *
+              ((ra.k + 1) * (ra.k + 1)) AS s2,
+            CAST(drp.n_blocks AS HUGEINT) * drp.n_blocks * ra.k *
+              (CAST(ra.k AS HUGEINT) * ra.k - 1) AS den0,
+            ties.tie_t AS tt
+          FROM drp
+          LEFT JOIN ra ON drp.cell = ra.cell
+          LEFT JOIN ties ON drp.cell = ties.cell)
+        SELECT cell, k, n_blocks, n_dropped, tie_t,
+          CASE WHEN n_blocks > 0 AND k >= 2 AND den0 > 0 THEN
+            CAST((3000 * s2) // den0 AS BIGINT) END AS w_milli,
+          CASE WHEN n_blocks > 0 AND k >= 2
+              AND den0 - CAST(n_blocks AS HUGEINT) * tt > 0 THEN
+            CAST((3000 * s2) //
+              (den0 - CAST(n_blocks AS HUGEINT) * tt) AS BIGINT) END
+            AS w_tie_milli
+        FROM fin ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q282 — ordinal association pair (StatsOps.ordinalAssociation):
+    // Goodman–Kruskal γ and both Somers' D asymmetries off the q205
+    // contingency grid (quantity buckets × price bins per return
+    // flag) — the tie-blind and tie-conditioned readouts of the SAME
+    // concordance counts τ-b folds into one number. The q205 plant is
+    // replayed (flag 'R' couples the price bin to quantity): 'R' reads
+    // all three strongly positive with γ ≥ D_yx > D_xy (each D pays
+    // for the tie mass on its conditioning margin; γ pays for
+    // neither); A/N sit at the independence floor.
+    // ------------------------------------------------------------------
+    "q282_ordinal_assoc" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d).select(col("l_returnflag"),
+          expr("cast(cast(l_quantity as decimal(18,4)) * 10000 " +
+            "as bigint) div 100000").as("qty_bin"),
+          (expr("cast(cast(l_extendedprice as decimal(18,4)) * 10000 " +
+            "as bigint) div 1000000") +
+            when(col("l_returnflag") === "R",
+              expr("cast(cast(l_quantity as decimal(18,4)) * 10000 " +
+                "as bigint) div 100000") * 160L).otherwise(0L))
+            .as("price_bin"))
+        graft.operators.StatsOps.ordinalAssociation(li, "l_returnflag",
+            "qty_bin", "price_bin")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT l_returnflag AS cell,
+            CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              // 100000 AS x,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+              AS BIGINT) // 1000000 +
+            CASE WHEN l_returnflag = 'R' THEN
+              (CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
+                AS BIGINT) // 100000) * 160 ELSE 0 END AS y
+          FROM lineitem),
+        cxy AS (SELECT cell, x, y, count(*) AS nxy
+          FROM base GROUP BY 1, 2, 3),
+        dx AS (SELECT DISTINCT cell, x FROM cxy),
+        dy AS (SELECT DISTINCT cell, y FROM cxy),
+        grid AS (SELECT dx.cell, dx.x, dy.y,
+            coalesce(nxy, 0) AS nc
+          FROM dx JOIN dy ON dx.cell = dy.cell
+          LEFT JOIN cxy ON cxy.cell = dx.cell AND cxy.x = dx.x
+            AND cxy.y = dy.y),
+        h AS (SELECT cell, x, y, nc,
+            coalesce(sum(nc) OVER (PARTITION BY cell, x ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS hlt,
+            coalesce(sum(nc) OVER (PARTITION BY cell, x ORDER BY y
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+              AS hgt
+          FROM grid),
+        g AS (SELECT cell, x, y, nc,
+            coalesce(sum(hlt) OVER (PARTITION BY cell, y ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS glt,
+            coalesce(sum(hgt) OVER (PARTITION BY cell, y ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS ggt
+          FROM h),
+        pr AS (SELECT cell, sum(CAST(nc AS HUGEINT)) AS n,
+            sum(CAST(nc AS HUGEINT) * glt) AS conc,
+            sum(CAST(nc AS HUGEINT) * ggt) AS disc
+          FROM g GROUP BY cell),
+        tx AS (SELECT cell,
+            sum(CAST(nx AS HUGEINT) * (nx - 1)) // 2 AS tx
+          FROM (SELECT cell, x, sum(nxy) AS nx FROM cxy GROUP BY 1, 2)
+          GROUP BY cell),
+        ty AS (SELECT cell,
+            sum(CAST(ny AS HUGEINT) * (ny - 1)) // 2 AS ty
+          FROM (SELECT cell, y, sum(nxy) AS ny FROM cxy GROUP BY 1, 2)
+          GROUP BY cell),
+        fin AS (SELECT pr.cell, pr.n, pr.conc, pr.disc,
+            pr.conc - pr.disc AS num,
+            (pr.n * (pr.n - 1)) // 2 AS n0, tx.tx, ty.ty
+          FROM pr JOIN tx ON pr.cell = tx.cell
+          JOIN ty ON pr.cell = ty.cell)
+        SELECT cell, CAST(n AS BIGINT) AS n,
+          CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+          CASE WHEN conc + disc > 0 THEN
+            CAST(CASE WHEN num < 0 THEN -1 WHEN num = 0 THEN 0
+                ELSE 1 END *
+              CAST((1000 * abs(num)) // (conc + disc) AS BIGINT)
+              AS BIGINT) END AS gamma_milli,
+          CASE WHEN n0 - tx > 0 THEN
+            CAST(CASE WHEN num < 0 THEN -1 WHEN num = 0 THEN 0
+                ELSE 1 END *
+              CAST((1000 * abs(num)) // (n0 - tx) AS BIGINT)
+              AS BIGINT) END AS d_yx_milli,
+          CASE WHEN n0 - ty > 0 THEN
+            CAST(CASE WHEN num < 0 THEN -1 WHEN num = 0 THEN 0
+                ELSE 1 END *
+              CAST((1000 * abs(num)) // (n0 - ty) AS BIGINT)
+              AS BIGINT) END AS d_xy_milli
+        FROM fin ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q283 — Ljung–Box portmanteau test (StatsOps.ljungBox): is the
+    // per-type daily-revenue series white noise across the first 3
+    // autocorrelations — the q150 ACF family's omnibus readout, on the
+    // same centered-by-n lattice (c_t = n·y_t − Σy: exact centering
+    // with no division). Per-stage floors are the statistic's spelled
+    // definition; both engines replay them identically.
+    // ------------------------------------------------------------------
+    "q283_ljung_box" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            expr(s"(ts div 1000) div $DayUs").as("period"))
+          .agg(sum(cents(col("value"))).as("vc"))
+          .select(col("grp"), col("period"),
+            expr("vc div 10000").as("v"))
+        graft.operators.StatsOps.ljungBox(daily, "grp", "period", "v",
+            3)
+          .orderBy("cell")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type AS grp,
+            epoch_us(ts) // $DayUs AS period,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) // 10000 AS v
+          FROM events GROUP BY 1, 2),
+        st AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+            sum(CAST(v AS HUGEINT)) AS sv
+          FROM daily GROUP BY 1),
+        c AS (SELECT daily.grp, daily.period,
+            CAST(daily.v AS HUGEINT) * st.n - st.sv AS c, st.n
+          FROM daily JOIN st ON daily.grp = st.grp),
+        led AS (SELECT grp, n, c,
+            lead(c, 1) OVER w AS c1, lead(c, 2) OVER w AS c2,
+            lead(c, 3) OVER w AS c3
+          FROM c WINDOW w AS (PARTITION BY grp ORDER BY period)),
+        agg AS (SELECT grp, max(n) AS n, sum(c * c) AS d,
+            sum(CASE WHEN c1 IS NOT NULL THEN c * c1 ELSE 0 END) AS nk1,
+            sum(CASE WHEN c2 IS NOT NULL THEN c * c2 ELSE 0 END) AS nk2,
+            sum(CASE WHEN c3 IS NOT NULL THEN c * c3 ELSE 0 END) AS nk3
+          FROM led GROUP BY 1),
+        t AS (SELECT grp, n, d,
+            (CASE WHEN n > 1 AND d > 0 THEN
+              (((1000000 * abs(nk1)) // d) * ((1000000 * abs(nk1)) // d))
+                // (n - 1) ELSE 0 END) +
+            (CASE WHEN n > 2 AND d > 0 THEN
+              (((1000000 * abs(nk2)) // d) * ((1000000 * abs(nk2)) // d))
+                // (n - 2) ELSE 0 END) +
+            (CASE WHEN n > 3 AND d > 0 THEN
+              (((1000000 * abs(nk3)) // d) * ((1000000 * abs(nk3)) // d))
+                // (n - 3) ELSE 0 END) AS tsum
+          FROM agg)
+        SELECT grp AS cell, CAST(n AS BIGINT) AS n,
+          CAST(3 AS BIGINT) AS max_lag,
+          CASE WHEN d > 0 AND n > 4 THEN
+            CAST((n * (n + 2) * tsum) // 1000000000 AS BIGINT) END
+            AS lb_milli
+        FROM t ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q284 — Durbin–Watson (StatsOps.durbinWatson): first-order serial
+    // correlation in the residuals of each type's daily-revenue-on-
+    // time least-squares line — the q98 linear-fit family's diagnostic
+    // on the exact milli-residual lattice (n·S0·e_t is an exact
+    // integer before the one defined floor). DW ≈ 2000 ⇒ residuals
+    // look iid; the generator's daily series are near-iid so every
+    // cell reads near 2000, and the EXACTNESS is what's gated.
+    // ------------------------------------------------------------------
+    "q284_durbin_watson" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            expr(s"(ts div 1000) div $DayUs").as("period"))
+          .agg(sum(cents(col("value"))).as("vc"))
+          .select(col("grp"), col("period"),
+            expr("vc div 10000").as("v"))
+        graft.operators.StatsOps.durbinWatson(daily, "grp", "period",
+            "v")
+          .orderBy("cell")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type AS grp,
+            epoch_us(ts) // $DayUs AS period,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) // 10000 AS v
+          FROM events GROUP BY 1, 2),
+        st AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+            sum(CAST(period AS HUGEINT)) AS sx,
+            sum(CAST(v AS HUGEINT)) AS sy,
+            sum(CAST(period AS HUGEINT) * period) AS sxx,
+            sum(CAST(period AS HUGEINT) * v) AS sxy
+          FROM daily GROUP BY 1),
+        s01 AS (SELECT grp, n, sx, sy,
+            n * sxx - sx * sx AS s0, n * sxy - sx * sy AS s1
+          FROM st),
+        resid AS (SELECT daily.grp, daily.period, s01.n,
+            s01.n * s01.s0 * daily.v - s01.s0 * s01.sy +
+              s01.s1 * s01.sx - s01.n * s01.s1 * daily.period AS rnum,
+            s01.n * s01.s0 AS rden
+          FROM daily JOIN s01 ON daily.grp = s01.grp
+          WHERE s01.s0 > 0),
+        e AS (SELECT grp, period, n,
+            CASE WHEN rnum < 0 THEN -1 WHEN rnum = 0 THEN 0 ELSE 1 END
+              * ((1000 * abs(rnum)) // rden) AS e
+          FROM resid),
+        lagd AS (SELECT grp, n, e,
+            lag(e) OVER (PARTITION BY grp ORDER BY period) AS ep
+          FROM e)
+        SELECT grp AS cell, CAST(max(n) AS BIGINT) AS n,
+          CASE WHEN sum(e * e) > 0 THEN
+            CAST((1000 * sum(CASE WHEN ep IS NOT NULL
+                THEN (e - ep) * (e - ep) ELSE 0 END)) // sum(e * e)
+              AS BIGINT) END AS dw_milli
+        FROM lagd GROUP BY grp ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q285 — Hampel outlier audit (StatsOps.hampelOutliers): robust
+    // |v − median| > 3·MAD flags per event type on the cents lattice.
+    // The generator's value tail is heavy, so each cell reads a real
+    // ~12% tail mass at 3 MAD — the honest readout of THIS
+    // distribution (a Gaussian would read ~0.3%); the planted +10⁷ on
+    // every 97th event rides far beyond any natural value and
+    // guarantees a ≥10309 ppm floor, against medians the outliers
+    // cannot drag (the property a z-score gate lacks). Both medians
+    // are the exact lower median on count-aggregated frames; one
+    // corpus aggregate serves all three passes.
+    // ------------------------------------------------------------------
+    "q285_hampel_outliers" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type").as("cell"),
+            (cents(col("value")) +
+              when(expr("event_id % 97 = 0"), 10000000L).otherwise(0L))
+              .as("v"))
+        graft.operators.StatsOps.hampelOutliers(ev, "cell", "v", 3)
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT event_type AS cell,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) +
+              CASE WHEN event_id % 97 = 0 THEN 10000000 ELSE 0 END AS v
+          FROM events WHERE value IS NOT NULL),
+        gvc AS (SELECT cell, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM base GROUP BY 1, 2),
+        m1 AS (SELECT cell, min(v) AS med FROM (
+            SELECT cell, v,
+              sum(cnt) OVER (PARTITION BY cell ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum,
+              sum(cnt) OVER (PARTITION BY cell) AS ntot
+            FROM gvc) WHERE cum * 2 >= ntot GROUP BY 1),
+        dev AS (SELECT gvc.cell, abs(gvc.v - m1.med) AS dv,
+            CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM gvc JOIN m1 ON gvc.cell = m1.cell GROUP BY 1, 2),
+        m2 AS (SELECT cell, min(dv) AS mad FROM (
+            SELECT cell, dv,
+              sum(cnt) OVER (PARTITION BY cell ORDER BY dv
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum,
+              sum(cnt) OVER (PARTITION BY cell) AS ntot
+            FROM dev) WHERE cum * 2 >= ntot GROUP BY 1)
+        SELECT gvc.cell, CAST(sum(cnt) AS BIGINT) AS n,
+          max(m1.med) AS med, max(m2.mad) AS mad,
+          CAST(sum(CASE WHEN abs(gvc.v - m1.med) > 3 * m2.mad
+            THEN cnt ELSE 0 END) AS BIGINT) AS n_out,
+          CAST((1000000 * CAST(sum(CASE WHEN abs(gvc.v - m1.med) >
+              3 * m2.mad THEN cnt ELSE 0 END) AS HUGEINT)) //
+            sum(cnt) AS BIGINT) AS out_ppm
+        FROM gvc
+        JOIN m1 ON gvc.cell = m1.cell
+        JOIN m2 ON gvc.cell = m2.cell
+        GROUP BY 1 ORDER BY 1""")),
   )
 }
