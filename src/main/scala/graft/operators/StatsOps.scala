@@ -4246,4 +4246,302 @@ object StatsOps {
       .select(col("cell"), col("n"), col("med"), col("mad"),
         col("n_out"), col("out_ppm"))
   }
+
+  /** Shared two-sample value-count spine of [[cramerVonMises]],
+    * [[andersonDarling2]] and [[ansariBradley]]: per (cell, v), the
+    * two groups' counts plus inclusive cumulative counts, and the
+    * per-cell (m, n) totals — ONE corpus aggregate, prefix windows on
+    * the bounded distinct-value frame, totals joined back broadcast.
+    * The group column must take exactly 2 distinct values per cell;
+    * group A is the lexicographically smaller name (deterministic,
+    * stated — orientation flips sign-free statistics not at all and
+    * signed ones symmetrically). */
+  private def twoSampleCums(df: DataFrame, cellCol: String,
+      grpCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(grpCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+    val ab = base.groupBy(col("cell"))
+      .agg(min(col("grp")).as("ga"))
+    val gvc = base
+      .join(broadcast(ab), Seq("cell"))
+      .groupBy(col("cell"), col("v"))
+      .agg(sum(when(col("grp") === col("ga"), 1L).otherwise(0L))
+          .as("ca"),
+        sum(when(col("grp") =!= col("ga"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = gvc.groupBy(col("cell"))
+      .agg(sum(col("ca")).as("m"), sum(col("cb")).as("nn"))
+    gvc
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .join(broadcast(tot), Seq("cell"))
+  }
+
+  /**
+   * Cramér–von Mises two-sample test — "are these two distributions
+   * the SAME", weighting every quantile equally where q197's KS reads
+   * only the single worst gap (KS misses broad small shifts; CvM
+   * integrates them). Exact on the count lattice: at every distinct
+   * value, the ecdf gap is the integer d = cumA·n − cumB·m (over the
+   * common denominator mn), and the classic T = mn/N²·Σ_obs(F_A−F_B)²
+   * becomes
+   *   t_ppm = ⌊10⁶·Σ_v (ca+cb)·d² / (N²·m·n)⌋
+   * — ONE floor at the end, everything before it an exact integer.
+   * Null when either sample is empty. T ranges ~(1/6N → small) under
+   * H₀; ≫ 1/6 under shift.
+   *
+   * Scale shape: one (cell, v) count aggregate is the only corpus
+   * shuffle; prefix windows run on the bounded distinct-value frame.
+   *
+   * Output: (cell, m, n, t_ppm).
+   */
+  def cramerVonMises(df: DataFrame, cellCol: String, grpCol: String,
+      valueCol: String): DataFrame = {
+    twoSampleCums(df, cellCol, grpCol, valueCol)
+      .withColumn("d", dec38(col("cuma")) * col("nn") -
+        dec38(col("cumb")) * col("m"))
+      .groupBy(col("cell"))
+      .agg(max(col("m")).as("m"), max(col("nn")).as("n"),
+        sum((dec38(col("ca")) + col("cb")) * col("d") * col("d"))
+          .as("s"))
+      .withColumn("t_ppm",
+        when(col("m") > 0 && col("n") > 0, expr(
+          """cast((1000000 * s) div
+               (cast(m + n as decimal(38,0)) * (m + n) * m * n)
+             as bigint)""")))
+      .select(col("cell"), col("m"), col("n"), col("t_ppm"))
+  }
+
+  /**
+   * Anderson–Darling two-sample test (Pettitt / Scholz–Stephens k=2
+   * with ties) — the tail-sensitive member of the two-sample family:
+   * KS (q197) reads the worst gap, CvM (q286) the mean square, AD
+   * re-weights the square by 1/(H(1−H)) so discrepancies in the
+   * TAILS — where a heavy-tailed corpus hides its trouble — count
+   * most. The discrete tie form over distinct values j with pooled
+   * cum Bⱼ < N:
+   *   term_ppm(j) = ⌊10⁶·lⱼ·|dⱼ| / (Bⱼ·(N−Bⱼ))⌋ · |dⱼ|,
+   *                 dⱼ = N·Mⱼ − m·Bⱼ
+   *   ad_milli   = ⌊(m+n)·Σ term_ppm / (m·n·N·1000)⌋
+   * (with N = m+n the leading factor cancels to Σterm/(mn·1000); the
+   * unreduced form is kept so both engines spell the same
+   * expression). The d² split is LOAD-BEARING, not cosmetic: Spark's
+   * `div` is IntegralDivide returning LONG, and the one-shot quotient
+   * 10⁶·l·d²/(B(N−B)) tops 6·10²¹ at ×10 scale — it WRAPS (caught by
+   * the ×10 gate, Spark read a negative AD). Staged, the quotient
+   * stays ≤ ~10¹¹ and the outer product returns to decimal128.
+   * (lⱼ = pooled count at j, Mⱼ = A-sample cum; the B-sample term is
+   * the SAME square — m·Bⱼ−N·Mⱼ negated — so the (1/m+1/n) factor
+   * folds analytically). Per-term floors are the spelled lattice (the
+   * logRank discipline). Null when either sample is empty.
+   *
+   * Output: (cell, m, n, ad_milli).
+   */
+  def andersonDarling2(df: DataFrame, cellCol: String, grpCol: String,
+      valueCol: String): DataFrame = {
+    twoSampleCums(df, cellCol, grpCol, valueCol)
+      .withColumn("bj", col("cuma") + col("cumb"))
+      .withColumn("ntot", col("m") + col("nn"))
+      .withColumn("dj",
+        abs(dec38(col("ntot")) * col("cuma") -
+          dec38(col("m")) * col("bj")))
+      .withColumn("term",
+        when(col("bj") < col("ntot"), expr(
+          """cast((1000000 * (ca + cb) * dj) div
+               (cast(bj as decimal(38,0)) * (ntot - bj))
+             as decimal(38,0)) * dj"""))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+      .groupBy(col("cell"))
+      .agg(max(col("m")).as("m"), max(col("nn")).as("n"),
+        sum(col("term")).as("s"))
+      .withColumn("ad_milli",
+        when(col("m") > 0 && col("n") > 0, expr(
+          """cast((cast(m + n as decimal(38,0)) * s) div
+               (cast(m as decimal(38,0)) * n * (m + n) * 1000)
+             as bigint)""")))
+      .select(col("cell"), col("m"), col("n"), col("ad_milli"))
+  }
+
+  /**
+   * Ansari–Bradley scale test — same center, different SPREAD: the
+   * dispersion alternative the location tests (q195 MWU, q277 Mood)
+   * are blind to (two feeds with equal medians, one 4× noisier —
+   * AB fires, MWU reads nothing). Scores rank from BOTH ends inward
+   * on the doubled mid-rank lattice: s2 = min(r2, 2(N+1) − r2), so
+   * extreme values score LOW and a low A-sum means A is the wide
+   * sample. The z is EXACT under ties because it uses the
+   * permutation (sampling-without-replacement) moments of the
+   * realized score multiset — no tabulated even/odd constants:
+   *   z² = (N·AB2 − m·S1)²·(N−1) / (m·n·(N·S2 − S1²))
+   * (S1 = Σs2·cnt, S2 = Σs2²·cnt over the pooled frame), staged as
+   *   z_milli = sign·⌊√( ⌊⌊10⁶·|znum|/(m·n)⌋·|znum| / V⌋·(N−1) )⌋
+   * (V = N·S2 − S1²) — the [[kendallTauB]] staged-division lattice:
+   * the naive 10⁶·znum²·(N−1) radicand tops 10³⁹ at ×10 scale and
+   * would overflow decimal128 in BOTH engines; each stage here stays
+   * under ~10²⁵. Null for a constant pooled sample (score variance 0)
+   * or an empty side.
+   *
+   * Output: (cell, m, n, ab2, z_milli).
+   */
+  def ansariBradley(df: DataFrame, cellCol: String, grpCol: String,
+      valueCol: String): DataFrame = {
+    twoSampleCums(df, cellCol, grpCol, valueCol)
+      .withColumn("ntot", col("m") + col("nn"))
+      .withColumn("r2",
+        (col("cuma") + col("cumb") - col("ca") - col("cb")) * 2 +
+          (col("ca") + col("cb")) + 1)
+      .withColumn("s2",
+        least(col("r2"), (col("ntot") + 1) * 2 - col("r2")))
+      .groupBy(col("cell"))
+      .agg(max(col("m")).as("m"), max(col("nn")).as("n"),
+        max(col("ntot")).as("nt"),
+        sum(dec38(col("s2")) * col("ca")).as("ab2"),
+        sum(dec38(col("s2")) * (col("ca") + col("cb"))).as("s1"),
+        sum(dec38(col("s2")) * col("s2") * (col("ca") + col("cb")))
+          .as("s2sum"))
+      .withColumn("znum",
+        dec38(col("nt")) * col("ab2") - dec38(col("m")) * col("s1"))
+      .withColumn("vvar",
+        dec38(col("nt")) * col("s2sum") - col("s1") * col("s1"))
+      .withColumn("z_milli",
+        when(col("m") > 0 && col("n") > 0 && col("vvar") > 0, expr(
+          """cast(sign(znum) as bigint) * cast(floor(sqrt(cast(
+               ((((1000000 * abs(znum)) div
+                   (cast(m as decimal(38,0)) * n)) * abs(znum))
+                 div vvar) * (nt - 1)
+               as double))) as bigint)""")))
+      .select(col("cell"), col("m"), col("n"),
+        col("ab2").cast("long").as("ab2"), col("z_milli"))
+  }
+
+  /**
+   * Cronbach's α — internal-consistency reliability of a k-item
+   * score panel (do the k judge prompts / quality signals measure ONE
+   * underlying thing, or k unrelated things — the scale-construction
+   * gate before anyone averages item scores into "the" quality
+   * score). Exact as a ratio of variance NUMERATORS (the n² common
+   * denominator of D = n·Σx² − (Σx)² cancels analytically):
+   *   α_milli = ⌊1000·k·(D_total − ΣD_item) / ((k−1)·D_total)⌋
+   * over COMPLETE subjects only (the [[friedman]] discipline —
+   * incomplete panels drop AND count). Null when k < 2 or the total
+   * score is constant (D_total = 0). Negative α is real data (items
+   * anti-correlate) and passes through on the sign·floor lattice.
+   *
+   * Output: (cell, k, n_subjects, n_dropped, alpha_milli).
+   *
+   * Scale shape: one (cell, subject, item) aggregate feeds the
+   * completeness gate; item moments and subject-total moments are two
+   * map-side-combined aggregates over the kept grain; the final
+   * assembly is |cells|-bounded.
+   */
+  def cronbachAlpha(df: DataFrame, cellCol: String, subjectCol: String,
+      itemCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(itemCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(subjectCol).as("subj"),
+        col(itemCol).cast("string").as("item"),
+        col(valueCol).cast("long").as("v"))
+    val kPerCell = base.groupBy(col("cell"))
+      .agg(countDistinct(col("item")).as("k"))
+    val subjStat = base.groupBy(col("cell"), col("subj"))
+      .agg(count(lit(1)).as("nb"), countDistinct(col("item")).as("gb"),
+        sum(col("v")).as("tot"))
+      .join(broadcast(kPerCell), Seq("cell"))
+      .withColumn("ok", col("nb") === col("k") && col("gb") === col("k"))
+    val dropped = subjStat.groupBy(col("cell"))
+      .agg(max(col("k")).as("k"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_subjects"),
+        sum(when(col("ok"), col("tot")).otherwise(0L)).as("st"),
+        sum(when(col("ok"), dec38(col("tot")) * col("tot"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("stt"))
+      .withColumn("dtot", dec38(col("n_subjects")) * col("stt") -
+        dec38(col("st")) * col("st"))
+    val items = base.join(
+        subjStat.filter(col("ok")).select(col("cell"), col("subj")),
+        Seq("cell", "subj"))
+      .groupBy(col("cell"), col("item"))
+      .agg(count(lit(1)).as("ni"), sum(col("v")).as("si"),
+        sum(dec38(col("v")) * col("v")).as("sii"))
+      .groupBy(col("cell"))
+      .agg(sum(dec38(col("ni")) * col("sii") -
+        dec38(col("si")) * col("si")).as("ditems"))
+    dropped
+      .join(items, Seq("cell"), "left")
+      .withColumn("anum", col("dtot") - col("ditems"))
+      .withColumn("alpha_milli",
+        when(col("n_subjects") > 0 && col("k") >= 2 && col("dtot") > 0,
+          expr("""cast(sign(anum) as bigint) *
+                  cast((1000 * k * abs(anum)) div ((k - 1) * dtot)
+                    as bigint)""")))
+      .select(col("cell"), col("k"), col("n_subjects"),
+        col("n_dropped"), col("alpha_milli"))
+  }
+
+  /**
+   * Hodges–Lehmann shift estimator — the EFFECT SIZE the two-sample
+   * tests only gate: the median of all m·n pairwise differences
+   * A − B, the robust "how far apart are these two feeds" readout
+   * (q195 says THAT they differ, HL says BY HOW MUCH, in the
+   * column's own units, 50%-breakdown-robust). Never materializes
+   * the m·n pairs: differences and their multiplicities come from
+   * the two distinct-value count frames joined per cell (|V_A|·|V_B|
+   * grid rows — the [[kendallTauB]] grid guard applies and fails
+   * loudly on unbinned callers), and the estimate is the exact lower
+   * weighted median ([[moodsMedian]] rule) of that weighted diff
+   * frame.
+   *
+   * Output: (cell, m, n, n_pairs, hl_shift) — shift oriented A − B
+   * with A the lexicographically smaller group name.
+   */
+  def hodgesLehmann(df: DataFrame, cellCol: String, grpCol: String,
+      valueCol: String, maxGridCells: Long = 4000000L): DataFrame = {
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(grpCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+    val ab = base.groupBy(col("cell")).agg(min(col("grp")).as("ga"))
+    val gvc = base
+      .join(broadcast(ab), Seq("cell"))
+      .groupBy(col("cell"), (col("grp") === col("ga")).as("isa"),
+        col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val da = gvc.filter(col("isa")).select(col("cell"),
+      col("v").as("va"), col("cnt").as("cna"))
+    val db = gvc.filter(!col("isa")).select(col("cell"),
+      col("v").as("vb"), col("cnt").as("cnb"))
+    val worst = da.groupBy(col("cell")).agg(count(lit(1)).as("na"))
+      .join(db.groupBy(col("cell")).agg(count(lit(1)).as("nb")),
+        Seq("cell"))
+      .agg(max(col("na") * col("nb"))).head()
+    val worstCells = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(worstCells <= maxGridCells,
+      s"hodgesLehmann: a cell's diff grid would hold $worstCells " +
+        s"(> maxGridCells = $maxGridCells) value pairs - bin the " +
+        "inputs first (the q195/q196 discipline)")
+    val diffs = da.join(db, Seq("cell"))
+      .groupBy(col("cell"), (col("va") - col("vb")).as("d"))
+      .agg(sum(col("cna") * col("cnb")).as("w"))
+    val wCum = Window.partitionBy("cell").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy("cell")
+    val med = diffs
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("ntot", sum(col("w")).over(wTot))
+      .filter(col("cum") * 2 >= col("ntot"))
+      .groupBy(col("cell"))
+      .agg(min(col("d")).as("hl_shift"), max(col("ntot")).as("n_pairs"))
+    val tot = gvc.groupBy(col("cell"))
+      .agg(sum(when(col("isa"), col("cnt")).otherwise(0L)).as("m"),
+        sum(when(!col("isa"), col("cnt")).otherwise(0L)).as("n"))
+    tot.join(med, Seq("cell"), "left")
+      .select(col("cell"), col("m"), col("n"), col("n_pairs"),
+        col("hl_shift"))
+  }
 }

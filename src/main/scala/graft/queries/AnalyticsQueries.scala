@@ -6821,5 +6821,323 @@ object AnalyticsQueries {
         JOIN m1 ON gvc.cell = m1.cell
         JOIN m2 ON gvc.cell = m2.cell
         GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // q286 — Cramér–von Mises two-sample (StatsOps.cramerVonMises):
+    // the whole-distribution complement of q197's KS — every quantile
+    // weighted, not just the worst gap. Even vs odd users per event
+    // type on the cents lattice; signup's odd users are planted +2·10⁵
+    // cents (a broad shift KS sees once but CvM integrates): signup
+    // reads t_ppm ≫ the other cells' H₀ floor (≈ 1/(6N)).
+    // ------------------------------------------------------------------
+    "q286_cramer_von_mises" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type").as("cell"),
+            expr("user_id % 2").as("grp"),
+            (cents(col("value")) +
+              when(col("event_type") === "signup" &&
+                expr("user_id % 2 = 1"), 200000L).otherwise(0L))
+              .as("v"))
+        graft.operators.StatsOps.cramerVonMises(ev, "cell", "grp", "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT event_type AS cell,
+            CAST(user_id % 2 AS VARCHAR) AS grp,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) +
+              CASE WHEN event_type = 'signup' AND user_id % 2 = 1
+                THEN 200000 ELSE 0 END AS v
+          FROM events WHERE value IS NOT NULL),
+        ga AS (SELECT cell, min(grp) AS ga FROM base GROUP BY 1),
+        gvc AS (SELECT base.cell, v,
+            CAST(sum(CASE WHEN grp = ga THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(sum(CASE WHEN grp <> ga THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+          FROM base JOIN ga ON base.cell = ga.cell GROUP BY 1, 2),
+        cm AS (SELECT cell, v, ca, cb,
+            sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+            sum(ca) OVER (PARTITION BY cell) AS m,
+            sum(cb) OVER (PARTITION BY cell) AS n
+          FROM gvc WINDOW w AS (PARTITION BY cell ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        ag AS (SELECT cell, max(m) AS m, max(n) AS n,
+            sum(CAST(ca + cb AS HUGEINT) *
+              (CAST(cuma AS HUGEINT) * n - CAST(cumb AS HUGEINT) * m) *
+              (CAST(cuma AS HUGEINT) * n - CAST(cumb AS HUGEINT) * m))
+              AS s
+          FROM cm GROUP BY 1)
+        SELECT cell, CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n,
+          CASE WHEN m > 0 AND n > 0 THEN
+            CAST((1000000 * s) //
+              (CAST(m + n AS HUGEINT) * (m + n) * m * n) AS BIGINT)
+            END AS t_ppm
+        FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q287 — Anderson–Darling two-sample (StatsOps.andersonDarling2):
+    // the TAIL-sensitive member of the q197/q286 family — the
+    // 1/(H(1−H)) weight makes tail discrepancies count most, where a
+    // heavy-tailed corpus hides its trouble. Odd vs even line numbers
+    // per return flag on quantities; flag 'R' odd lines planted +15:
+    // 'R' reads ad_milli far above A/N's H₀ noise.
+    // ------------------------------------------------------------------
+    "q287_anderson_darling" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_returnflag").as("cell"),
+            expr("l_linenumber % 2").as("grp"),
+            (col("l_quantity").cast("long") +
+              when(col("l_returnflag") === "R" &&
+                expr("l_linenumber % 2 = 1"), 15L).otherwise(0L))
+              .as("v"))
+        graft.operators.StatsOps.andersonDarling2(li, "cell", "grp",
+            "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT l_returnflag AS cell,
+            CAST(l_linenumber % 2 AS VARCHAR) AS grp,
+            CAST(l_quantity AS BIGINT) +
+              CASE WHEN l_returnflag = 'R' AND l_linenumber % 2 = 1
+                THEN 15 ELSE 0 END AS v
+          FROM lineitem),
+        ga AS (SELECT cell, min(grp) AS ga FROM base GROUP BY 1),
+        gvc AS (SELECT base.cell, v,
+            CAST(sum(CASE WHEN grp = ga THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(sum(CASE WHEN grp <> ga THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+          FROM base JOIN ga ON base.cell = ga.cell GROUP BY 1, 2),
+        cm AS (SELECT cell, v, ca, cb,
+            sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+            sum(ca) OVER (PARTITION BY cell) AS m,
+            sum(cb) OVER (PARTITION BY cell) AS n
+          FROM gvc WINDOW w AS (PARTITION BY cell ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        dd AS (SELECT cell, m, n, ca, cb, cuma, cumb,
+            abs(CAST(m + n AS HUGEINT) * cuma -
+                CAST(m AS HUGEINT) * (cuma + cumb)) AS dj
+          FROM cm),
+        t AS (SELECT cell, m, n,
+            CASE WHEN cuma + cumb < m + n THEN
+              ((1000000 * CAST(ca + cb AS HUGEINT) * dj) //
+               (CAST(cuma + cumb AS HUGEINT) * (m + n - cuma - cumb)))
+                * dj
+              ELSE 0 END AS term
+          FROM dd),
+        ag AS (SELECT cell, max(m) AS m, max(n) AS n, sum(term) AS s
+          FROM t GROUP BY 1)
+        SELECT cell, CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n,
+          CASE WHEN m > 0 AND n > 0 THEN
+            CAST((CAST(m + n AS HUGEINT) * s) //
+              (CAST(m AS HUGEINT) * n * (m + n) * 1000) AS BIGINT)
+            END AS ad_milli
+        FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q288 — Ansari–Bradley scale test (StatsOps.ansariBradley): same
+    // center, different SPREAD — the dispersion alternative the
+    // location tests are blind to. Odd users' click values are planted
+    // 4× the deviation around the cents grand center (equal medians,
+    // one side 4× wider): the wide odd sample scores LOW from both
+    // ends inward, so group A (even users, the narrow side) scores
+    // high and click reads z_milli strongly POSITIVE (+26205 at
+    // sf0.01) while other cells sit at noise. The z uses the exact
+    // permutation moments of the realized score multiset — tie-exact,
+    // no tabulated constants.
+    // ------------------------------------------------------------------
+    "q288_ansari_bradley" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type").as("cell"),
+            expr("user_id % 2").as("grp"),
+            when(col("event_type") === "click" &&
+              expr("user_id % 2 = 1"),
+              cents(col("value")) * 4L - 1050000L)
+              .otherwise(cents(col("value"))).as("v"))
+        graft.operators.StatsOps.ansariBradley(ev, "cell", "grp", "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT event_type AS cell,
+            CAST(user_id % 2 AS VARCHAR) AS grp,
+            CASE WHEN event_type = 'click' AND user_id % 2 = 1 THEN
+              CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) * 4
+                - 1050000
+              ELSE CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              END AS v
+          FROM events WHERE value IS NOT NULL),
+        ga AS (SELECT cell, min(grp) AS ga FROM base GROUP BY 1),
+        gvc AS (SELECT base.cell, v,
+            CAST(sum(CASE WHEN grp = ga THEN 1 ELSE 0 END) AS BIGINT)
+              AS ca,
+            CAST(sum(CASE WHEN grp <> ga THEN 1 ELSE 0 END) AS BIGINT)
+              AS cb
+          FROM base JOIN ga ON base.cell = ga.cell GROUP BY 1, 2),
+        cm AS (SELECT cell, v, ca, cb,
+            sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+            sum(ca) OVER (PARTITION BY cell) AS m,
+            sum(cb) OVER (PARTITION BY cell) AS n
+          FROM gvc WINDOW w AS (PARTITION BY cell ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        sc AS (SELECT cell, m, n, m + n AS nt, ca, cb,
+            (cuma + cumb - ca - cb) * 2 + (ca + cb) + 1 AS r2
+          FROM cm),
+        s2f AS (SELECT cell, m, n, nt, ca, cb,
+            least(r2, (nt + 1) * 2 - r2) AS s2 FROM sc),
+        ag AS (SELECT cell, max(m) AS m, max(n) AS n, max(nt) AS nt,
+            sum(CAST(s2 AS HUGEINT) * ca) AS ab2,
+            sum(CAST(s2 AS HUGEINT) * (ca + cb)) AS s1,
+            sum(CAST(s2 AS HUGEINT) * s2 * (ca + cb)) AS s2sum
+          FROM s2f GROUP BY 1),
+        z AS (SELECT cell, m, n, ab2,
+            CAST(nt AS HUGEINT) * ab2 - CAST(m AS HUGEINT) * s1
+              AS znum,
+            CAST(nt AS HUGEINT) * s2sum - s1 * s1 AS vvar,
+            nt
+          FROM ag)
+        SELECT cell, CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n,
+          CAST(ab2 AS BIGINT) AS ab2,
+          CASE WHEN m > 0 AND n > 0 AND vvar > 0 THEN
+            CAST(CASE WHEN znum < 0 THEN -1 WHEN znum = 0 THEN 0
+                ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                ((((1000000 * abs(znum)) //
+                    (CAST(m AS HUGEINT) * n)) * abs(znum))
+                  // vvar) * (nt - 1)
+                AS DOUBLE))) AS BIGINT) AS BIGINT) END AS z_milli
+        FROM z ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q289 — Cronbach's α (StatsOps.cronbachAlpha): do the k item
+    // scores measure ONE underlying thing — the scale-construction
+    // gate before item scores are averaged into "the" quality score.
+    // Subjects = users, items = event_id % 3 score rollups; cell 0
+    // plants a shared per-user component on every item (inter-item
+    // correlation → α = 618); cell 1's natural panel reads the
+    // shared-activity floor (α = 243 — per-user event counts already
+    // correlate the item sums; the plant nearly triples it, the
+    // separation that matters). Incomplete panels drop AND count.
+    // ------------------------------------------------------------------
+    "q289_cronbach_alpha" -> GraftQuery(
+      build = (s, d) => {
+        val pre = events(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy(expr("user_id % 2").as("cell"),
+            col("user_id").as("subj"),
+            expr("cast(event_id % 3 as bigint)").as("item"))
+          .agg(sum(cents(col("value"))).as("sc"))
+          .select(col("cell"), col("subj"), col("item"),
+            (col("sc") + when(col("cell") === 0L,
+              (col("subj") % 1000L) * 50000L).otherwise(0L)).as("v"))
+        graft.operators.StatsOps.cronbachAlpha(pre, "cell", "subj",
+            "item", "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH bg AS (SELECT user_id % 2 AS cell, user_id AS subj,
+            CAST(event_id % 3 AS BIGINT) AS item,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) +
+              CASE WHEN user_id % 2 = 0 THEN (user_id % 1000) * 50000
+                ELSE 0 END AS v
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2, event_id % 3),
+        kc AS (SELECT cell, CAST(count(DISTINCT item) AS BIGINT) AS k
+          FROM bg GROUP BY 1),
+        ss AS (SELECT bg.cell, bg.subj, count(*) AS nb,
+            count(DISTINCT item) AS gb, max(kc.k) AS k,
+            CAST(sum(v) AS BIGINT) AS tot
+          FROM bg JOIN kc ON bg.cell = kc.cell GROUP BY 1, 2),
+        drp AS (SELECT cell, max(k) AS k,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_dropped,
+            CAST(sum(CASE WHEN nb = k AND gb = k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_subjects,
+            sum(CASE WHEN nb = k AND gb = k
+              THEN CAST(tot AS HUGEINT) ELSE 0 END) AS st,
+            sum(CASE WHEN nb = k AND gb = k
+              THEN CAST(tot AS HUGEINT) * tot ELSE 0 END) AS stt
+          FROM ss GROUP BY 1),
+        dt AS (SELECT cell, k, n_dropped, n_subjects,
+            n_subjects * stt - st * st AS dtot FROM drp),
+        items AS (SELECT bg.cell, bg.item,
+            CAST(count(*) AS HUGEINT) AS ni,
+            sum(CAST(bg.v AS HUGEINT)) AS si,
+            sum(CAST(bg.v AS HUGEINT) * bg.v) AS sii
+          FROM bg JOIN ss ON bg.cell = ss.cell AND bg.subj = ss.subj
+          WHERE ss.nb = ss.k AND ss.gb = ss.k
+          GROUP BY 1, 2),
+        di AS (SELECT cell, sum(ni * sii - si * si) AS ditems
+          FROM items GROUP BY 1)
+        SELECT dt.cell, dt.k, dt.n_subjects, dt.n_dropped,
+          CASE WHEN dt.n_subjects > 0 AND dt.k >= 2 AND dt.dtot > 0
+            THEN CAST(
+              CASE WHEN dt.dtot - di.ditems < 0 THEN -1
+                WHEN dt.dtot - di.ditems = 0 THEN 0 ELSE 1 END *
+              ((1000 * dt.k * abs(dt.dtot - di.ditems)) //
+                ((dt.k - 1) * dt.dtot)) AS BIGINT) END AS alpha_milli
+        FROM dt LEFT JOIN di ON dt.cell = di.cell
+        ORDER BY dt.cell""")),
+
+    // ------------------------------------------------------------------
+    // q290 — Hodges–Lehmann shift (StatsOps.hodgesLehmann): the
+    // robust EFFECT SIZE the two-sample tests only gate — the median
+    // of all m·n pairwise differences, in the column's own units,
+    // computed from the two value-count frames (never materializing
+    // pairs; the grid guard applies). Flag 'A' odd lines planted +7
+    // quantity: 'A' reads hl_shift −7 exactly (A − B orientation,
+    // group "0" is A); N/R read 0.
+    // ------------------------------------------------------------------
+    "q290_hodges_lehmann" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_returnflag").as("cell"),
+            expr("l_linenumber % 2").as("grp"),
+            (col("l_quantity").cast("long") +
+              when(col("l_returnflag") === "A" &&
+                expr("l_linenumber % 2 = 1"), 7L).otherwise(0L))
+              .as("v"))
+        graft.operators.StatsOps.hodgesLehmann(li, "cell", "grp", "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT l_returnflag AS cell,
+            CAST(l_linenumber % 2 AS VARCHAR) AS grp,
+            CAST(l_quantity AS BIGINT) +
+              CASE WHEN l_returnflag = 'A' AND l_linenumber % 2 = 1
+                THEN 7 ELSE 0 END AS v
+          FROM lineitem),
+        ga AS (SELECT cell, min(grp) AS ga FROM base GROUP BY 1),
+        gvc AS (SELECT base.cell, grp = ga AS isa, v,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM base JOIN ga ON base.cell = ga.cell GROUP BY 1, 2, 3),
+        da AS (SELECT cell, v AS va, cnt AS cna FROM gvc WHERE isa),
+        db AS (SELECT cell, v AS vb, cnt AS cnb FROM gvc
+          WHERE NOT isa),
+        diffs AS (SELECT da.cell, va - vb AS d,
+            CAST(sum(CAST(cna AS HUGEINT) * cnb) AS BIGINT) AS w
+          FROM da JOIN db ON da.cell = db.cell GROUP BY 1, 2),
+        med AS (SELECT cell, min(d) AS hl_shift,
+            CAST(max(ntot) AS BIGINT) AS n_pairs FROM (
+            SELECT cell, d,
+              sum(w) OVER (PARTITION BY cell ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum,
+              sum(w) OVER (PARTITION BY cell) AS ntot
+            FROM diffs) WHERE cum * 2 >= ntot GROUP BY 1),
+        tot AS (SELECT cell,
+            CAST(sum(CASE WHEN isa THEN cnt ELSE 0 END) AS BIGINT)
+              AS m,
+            CAST(sum(CASE WHEN NOT isa THEN cnt ELSE 0 END) AS BIGINT)
+              AS n
+          FROM gvc GROUP BY 1)
+        SELECT tot.cell, tot.m, tot.n, med.n_pairs, med.hl_shift
+        FROM tot LEFT JOIN med ON tot.cell = med.cell
+        ORDER BY tot.cell""")),
   )
 }

@@ -1257,4 +1257,69 @@ object StatefulOps {
       .transformWithState(new SprtProcessor(a, b, up, lo),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class RunsIn(k: String, t: Long, b: Long)
+  final case class RunsSt(n: Long, n1: Long, chg: Long, lastB: Long)
+  final case class RunsOut(k: String, t: Long, n: Long, n1: Long,
+    n0: Long, rRuns: Long, zMilli: Option[Long])
+
+  /**
+   * Streaming twin of `StatsOps.runsTest` (q279) — the live
+   * exchangeability monitor: is the arriving per-cell flag sequence
+   * still iid, or has it started clumping (a regime switch, a sticky
+   * failure, a batched spam burst — conditions a mean-level monitor
+   * like CUSUM can miss entirely when the rate doesn't move). The
+   * stream IS the batch operator's hierarchical decomposition taken
+   * to its limit: the batch counts runs per order-bucket and resolves
+   * boundaries on a bounded frame; here each micro-batch is a bucket
+   * and the carried last flag IS the boundary term, so four longs of
+   * state per cell replay the exact batch counts. Every row emits
+   * the running (n, n1, n0, R) and the z on the batch operator's own
+   * lattice — rad = ⌊10⁶·dnum²·(n−1)/(m2·(m2−n))⌋ in exact BigInt,
+   * z = sign·⌊√rad⌋ (None while 2n₁n₀ ≤ n, the batch guard) — so the
+   * final row per cell is bit-equal to the batch summary across
+   * checkpointed restarts (StreamRunsSpec). Requires time-ordered
+   * batch arrival per cell, the [[SprtProcessor]] contract.
+   */
+  class RunsProcessor extends StatefulProcessor[String, RunsIn, RunsOut] {
+    @transient private var st: ValueState[RunsSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RunsSt]("runs",
+        Encoders.product[RunsSt], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[RunsIn],
+        timers: TimerValues): Iterator[RunsOut] = {
+      val sorted = rows.toArray.sortBy(_.t)
+      var s = if (st.exists()) st.get() else RunsSt(0L, 0L, 0L, -1L)
+      val out = sorted.map { r =>
+        val flag = if (r.b > 0L) 1L else 0L
+        val chg =
+          if (s.n > 0L && flag != s.lastB) s.chg + 1L else s.chg
+        s = RunsSt(s.n + 1L, s.n1 + flag, chg, flag)
+        val n0 = s.n - s.n1
+        val m2 = BigInt(2) * s.n1 * n0
+        val z = if (s.n > 1L && m2 > s.n) {
+          val dnum = BigInt(s.chg + 1L) * s.n - s.n - m2
+          val rad = (BigInt(1000000) * dnum * dnum * (s.n - 1)) /
+            (m2 * (m2 - s.n))
+          val mag = math.floor(math.sqrt(rad.toDouble)).toLong
+          Some(dnum.signum * mag)
+        } else None
+        RunsOut(r.k, r.t, s.n, s.n1, n0, s.chg + 1L, z)
+      }
+      if (sorted.nonEmpty) st.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[RunsProcessor]] over a (k, t, b) frame. */
+  def runsStream(rows: DataFrame): Dataset[RunsOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("t"), col("b"))
+      .as[RunsIn]
+      .groupByKey(_.k)
+      .transformWithState(new RunsProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
