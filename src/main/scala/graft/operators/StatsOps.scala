@@ -4544,4 +4544,166 @@ object StatsOps {
       .select(col("cell"), col("m"), col("n"), col("n_pairs"),
         col("hl_shift"))
   }
+
+  /**
+   * Sign test — the assumption-free paired location gate: of the
+   * nonzero paired differences a − b, are positives and negatives
+   * balanced? Where [[wilcoxonSignedRank]] needs symmetric
+   * differences to mean what it says, the sign test needs NOTHING —
+   * the coarse but unbreakable fallback (and the one-sample median
+   * test when b is a hypothesized constant). Zeros are dropped AND
+   * counted (n_zero — the q268 convention made visible). The
+   * continuity-corrected normal readout is exact on the lattice:
+   *   z_milli = sign(p−q)·⌊√(10⁶·(|p−q|−1)²/(p+q))⌋
+   * when |p−q| > 1 and p+q > 0; 0 when |p−q| ≤ 1 (the correction
+   * cannot cross zero); null on an all-zero cell.
+   *
+   * Output: (cell, n_pairs, n_pos, n_neg, n_zero, z_milli).
+   * One map-side-combined aggregate; nothing else touches the facts.
+   */
+  def signTest(df: DataFrame, cellCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        (col(aCol).cast("long") - col(bCol).cast("long")).as("d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("z_milli",
+        when(col("n_pos") + col("n_neg") === 0L, lit(null).cast("long"))
+          .when(abs(col("n_pos") - col("n_neg")) <= 1L, lit(0L))
+          .otherwise(expr(
+            """cast(sign(n_pos - n_neg) as bigint) *
+               cast(floor(sqrt(cast(
+                 (1000000 * (abs(n_pos - n_neg) - 1) *
+                   (abs(n_pos - n_neg) - 1)) div (n_pos + n_neg)
+                 as double))) as bigint)""")))
+      .select(col("cell"), col("n_pairs"), col("n_pos"), col("n_neg"),
+        col("n_zero"), col("z_milli"))
+  }
+
+  /**
+   * Cox–Stuart trend test — the distribution-free "is this series
+   * drifting" gate: pair each first-half observation with its
+   * second-half counterpart (odd-length series drop the middle
+   * point, the classic construction) and run the [[signTest]] on
+   * later − earlier. Complements [[mannKendall]]'s all-pairs
+   * concordance with an O(n) pairing that a quick monitoring sweep
+   * can afford, and reads the SAME sign convention (positive z =
+   * increasing). Pairing runs on the [[ljungBox]] bounded-series
+   * contract: row numbers inside |periods|-bounded cell windows, the
+   * halves equi-joined on the pair index — never a corpus sort.
+   *
+   * Output: (cell, n, n_pairs, n_pos, n_neg, n_zero, z_milli).
+   */
+  def coxStuart(df: DataFrame, cellCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"), col(orderCol).cast("long").as("o"),
+        col(valueCol).cast("long").as("v"))
+    val w = Window.partitionBy("cell").orderBy("o")
+    val idx = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("half", expr("n div 2"))
+    val first = idx.filter(col("rn") <= col("half"))
+      .select(col("cell"), col("rn").as("i"), col("v").as("va"),
+        col("n"))
+    val second = idx.filter(col("rn") > col("n") - col("half"))
+      .select(col("cell"),
+        (col("rn") - (col("n") - col("half"))).as("i"),
+        col("v").as("vb"))
+    val paired = first.join(second, Seq("cell", "i"))
+      .select(col("cell"), col("n"), col("vb").as("later"),
+        col("va").as("earlier"))
+    val z = signTest(paired, "cell", "later", "earlier")
+    paired.groupBy(col("cell")).agg(max(col("n")).as("n"))
+      .join(z, Seq("cell"))
+      .select(col("cell"), col("n"), col("n_pairs"), col("n_pos"),
+        col("n_neg"), col("n_zero"), col("z_milli"))
+  }
+
+  /**
+   * Standardized effect-size panel — Cohen's d, Hedges' g and
+   * Glass's Δ for two groups: the "HOW BIG is the difference, in
+   * noise units" readout that q220's Welch t only gates (a 10⁹-row
+   * A/B test makes a 0.001-SD effect "significant"; d is what tells
+   * you it's nothing). Exact off one moment aggregate per group:
+   * with Δ = n₂S₁ − n₁S₂ and D'ᵢ = nᵢΣx²ᵢ − Sᵢ²,
+   *   d² = Δ²·(n₁+n₂−2) / (n₁n₂·(n₂D'₁ + n₁D'₂))
+   * staged on the [[kendallTauB]] lattice (two floors, each quotient
+   * long-safe), sign = sign(Δ), orientation A − B with A the
+   * lexicographically smaller group; Hedges' g applies the exact
+   * small-sample rational J = (4df−4)/(4df−1) to d_milli; Glass's Δ
+   * standardizes by the B-group (control) SD alone:
+   *   Δ²_glass = Δ²·(n₂−1) / (n₁²n₂·D'₂).
+   * Null when the pooled (resp. control) variance is zero or a group
+   * is empty/singleton. Both radicands saturate at 10¹² (d = 1000
+   * SD) via least() — beyond that the statistic is "the groups don't
+   * overlap" however it's spelled, and an unclamped radicand would
+   * cross the 2⁵³ line where DuckDB's HUGEINT→DOUBLE cast stops
+   * rounding correctly (the r11 q98 lesson).
+   *
+   * Output: (cell, n1, n2, d_milli, g_milli, glass_milli).
+   */
+  def effectSizes(df: DataFrame, cellCol: String, grpCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(cellCol).as("cell"),
+        col(grpCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+    val ab = base.groupBy(col("cell")).agg(min(col("grp")).as("ga"))
+    val st = base
+      .join(broadcast(ab), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("grp") === col("ga"), 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("grp") =!= col("ga"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("grp") === col("ga"), dec38(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("s1"),
+        sum(when(col("grp") =!= col("ga"), dec38(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("s2"),
+        sum(when(col("grp") === col("ga"), dec38(col("v")) * col("v"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when(col("grp") =!= col("ga"), dec38(col("v")) * col("v"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q2"))
+      .withColumn("dl", dec38(col("n2")) * col("s1") -
+        dec38(col("n1")) * col("s2"))
+      .withColumn("d1", dec38(col("n1")) * col("q1") -
+        col("s1") * col("s1"))
+      .withColumn("d2", dec38(col("n2")) * col("q2") -
+        col("s2") * col("s2"))
+      .withColumn("pool",
+        dec38(col("n2")) * col("d1") + dec38(col("n1")) * col("d2"))
+    st
+      .withColumn("d_milli",
+        when(col("n1") > 0 && col("n2") > 0 &&
+          col("n1") + col("n2") > 2 && col("pool") > 0, expr(
+          """cast(sign(dl) as bigint) * cast(floor(sqrt(cast(
+               least(((((1000000 * abs(dl)) div
+                   (cast(n1 as decimal(38,0)) * n2)) *
+                 (abs(dl) * (n1 + n2 - 2))) div pool),
+                 1000000000000)
+               as double))) as bigint)""")))
+      .withColumn("g_milli",
+        when(col("d_milli").isNotNull, expr(
+          """cast(sign(d_milli) as bigint) *
+             cast((abs(d_milli) * (4 * (n1 + n2 - 2) - 4)) div
+               (4 * (n1 + n2 - 2) - 1) as bigint)""")))
+      .withColumn("glass_milli",
+        when(col("n1") > 0 && col("n2") > 1 && col("d2") > 0, expr(
+          """cast(sign(dl) as bigint) * cast(floor(sqrt(cast(
+               least(((((1000000 * abs(dl)) div
+                   (cast(n1 as decimal(38,0)) * n1 * n2)) *
+                 (abs(dl) * (n2 - 1))) div d2),
+                 1000000000000)
+               as double))) as bigint)""")))
+      .select(col("cell"), col("n1"), col("n2"), col("d_milli"),
+        col("g_milli"), col("glass_milli"))
+  }
 }

@@ -7139,5 +7139,199 @@ object AnalyticsQueries {
         SELECT tot.cell, tot.m, tot.n, med.n_pairs, med.hl_shift
         FROM tot LEFT JOIN med ON tot.cell = med.cell
         ORDER BY tot.cell""")),
+
+    // ------------------------------------------------------------------
+    // q291 — sign test (StatsOps.signTest): the assumption-free paired
+    // gate, here in its one-sample-median form — is each type's value
+    // distribution centered at the hypothesized 35.00 (cents 350000)?
+    // The error cell is planted +40000, pushing its mass above the
+    // hypothesis: it alone reads past the 5% line (z = 3164 at
+    // sf0.01) while the other four straddle zero inside ±2 — the
+    // generator's actual median sits near the hypothesis. Exact ties
+    // with the hypothesis land in n_zero — dropped AND counted.
+    // ------------------------------------------------------------------
+    "q291_sign_test" -> GraftQuery(
+      build = (s, d) => {
+        val ev = events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type").as("cell"),
+            (cents(col("value")) +
+              when(col("event_type") === "error", 40000L)
+                .otherwise(0L)).as("a"),
+            lit(350000L).as("b"))
+        graft.operators.StatsOps.signTest(ev, "cell", "a", "b")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT event_type AS cell,
+            CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) +
+              CASE WHEN event_type = 'error' THEN 40000 ELSE 0 END
+              - 350000 AS d
+          FROM events WHERE value IS NOT NULL),
+        ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_neg,
+            CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_zero
+          FROM base GROUP BY 1)
+        SELECT cell, n_pairs, n_pos, n_neg, n_zero,
+          CASE WHEN n_pos + n_neg = 0 THEN NULL
+            WHEN abs(n_pos - n_neg) <= 1 THEN 0
+            ELSE CAST(CASE WHEN n_pos < n_neg THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (1000000 * (abs(n_pos - n_neg) - 1) *
+                  (abs(n_pos - n_neg) - 1)) // (n_pos + n_neg)
+                AS DOUBLE))) AS BIGINT) AS BIGINT) END AS z_milli
+        FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q292 — Cox–Stuart trend test (StatsOps.coxStuart): pair each
+    // first-half day with its second-half counterpart and sign-test
+    // later − earlier — the O(n) distribution-free drift gate
+    // complementing q247's all-pairs Mann–Kendall. The view cell's
+    // daily revenue is planted a +50-per-day linear drift (≈ 750
+    // between paired days, comparable to the daily noise): it reads
+    // 13/2 increasing pairs, z = 2581 — the only cell past the 5%
+    // line; the others read 5–8 of 15 either way, |z| ≤ 1.1. 30
+    // daily periods → 15 pairs, middle day dropped if odd.
+    // ------------------------------------------------------------------
+    "q292_cox_stuart" -> GraftQuery(
+      build = (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type").as("grp"),
+            expr(s"(ts div 1000) div $DayUs").as("period"))
+          .agg(sum(cents(col("value"))).as("vc"))
+          .select(col("grp"), col("period"),
+            (expr("vc div 10000") +
+              when(col("grp") === "view",
+                (col("period") - 20000L) * 50L).otherwise(0L)).as("v"))
+        graft.operators.StatsOps.coxStuart(daily, "grp", "period", "v")
+          .orderBy("cell")
+      },
+      oracle = Some(s"""
+        WITH daily AS (SELECT event_type AS grp,
+            epoch_us(ts) // $DayUs AS period,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+              AS BIGINT)) AS BIGINT) // 10000 +
+              CASE WHEN event_type = 'view'
+                THEN (epoch_us(ts) // $DayUs - 20000) * 50 ELSE 0 END
+              AS v
+          FROM events GROUP BY 1, 2),
+        idx AS (SELECT grp, period, v,
+            CAST(row_number() OVER (PARTITION BY grp ORDER BY period)
+              AS BIGINT) AS rn,
+            CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+          FROM daily),
+        firsth AS (SELECT grp, rn AS i, v AS va, n FROM idx
+          WHERE rn <= n // 2),
+        secondh AS (SELECT grp, rn - (n - n // 2) AS i, v AS vb
+          FROM idx WHERE rn > n - n // 2),
+        paired AS (SELECT firsth.grp AS cell, firsth.n,
+            vb - va AS d
+          FROM firsth JOIN secondh ON firsth.grp = secondh.grp
+            AND firsth.i = secondh.i),
+        ag AS (SELECT cell, max(n) AS n,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_neg,
+            CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_zero
+          FROM paired GROUP BY 1)
+        SELECT cell, n, n_pairs, n_pos, n_neg, n_zero,
+          CASE WHEN n_pos + n_neg = 0 THEN NULL
+            WHEN abs(n_pos - n_neg) <= 1 THEN 0
+            ELSE CAST(CASE WHEN n_pos < n_neg THEN -1 ELSE 1 END *
+              CAST(floor(sqrt(CAST(
+                (1000000 * (abs(n_pos - n_neg) - 1) *
+                  (abs(n_pos - n_neg) - 1)) // (n_pos + n_neg)
+                AS DOUBLE))) AS BIGINT) AS BIGINT) END AS z_milli
+        FROM ag ORDER BY cell""")),
+
+    // ------------------------------------------------------------------
+    // q293 — standardized effect sizes (StatsOps.effectSizes): Cohen's
+    // d, Hedges' g and Glass's Δ per return flag over the q287 group
+    // split — the "how big, in noise units" companion q220's Welch t
+    // only gates. Flag 'N' odd lines planted +10 quantity ⇒ d ≈
+    // −10/14.4 ≈ −0.69 (A = even lines, orientation A − B); A/R read
+    // the independence floor; g shrinks d by the exact rational
+    // (4df−4)/(4df−1).
+    // ------------------------------------------------------------------
+    "q293_effect_sizes" -> GraftQuery(
+      build = (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_returnflag").as("cell"),
+            expr("l_linenumber % 2").as("grp"),
+            (col("l_quantity").cast("long") +
+              when(col("l_returnflag") === "N" &&
+                expr("l_linenumber % 2 = 1"), 10L).otherwise(0L))
+              .as("v"))
+        graft.operators.StatsOps.effectSizes(li, "cell", "grp", "v")
+          .orderBy("cell")
+      },
+      oracle = Some("""
+        WITH base AS (SELECT l_returnflag AS cell,
+            CAST(l_linenumber % 2 AS VARCHAR) AS grp,
+            CAST(l_quantity AS BIGINT) +
+              CASE WHEN l_returnflag = 'N' AND l_linenumber % 2 = 1
+                THEN 10 ELSE 0 END AS v
+          FROM lineitem),
+        ga AS (SELECT cell, min(grp) AS ga FROM base GROUP BY 1),
+        st AS (SELECT base.cell,
+            CAST(sum(CASE WHEN grp = ga THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(sum(CASE WHEN grp <> ga THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            sum(CASE WHEN grp = ga THEN CAST(v AS HUGEINT)
+              ELSE 0 END) AS s1,
+            sum(CASE WHEN grp <> ga THEN CAST(v AS HUGEINT)
+              ELSE 0 END) AS s2,
+            sum(CASE WHEN grp = ga THEN CAST(v AS HUGEINT) * v
+              ELSE 0 END) AS q1,
+            sum(CASE WHEN grp <> ga THEN CAST(v AS HUGEINT) * v
+              ELSE 0 END) AS q2
+          FROM base JOIN ga ON base.cell = ga.cell GROUP BY 1),
+        dd AS (SELECT cell, n1, n2,
+            CAST(n2 AS HUGEINT) * s1 - CAST(n1 AS HUGEINT) * s2
+              AS dl,
+            CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS d1,
+            CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS d2
+          FROM st),
+        pp AS (SELECT cell, n1, n2, dl, d1, d2,
+            CAST(n2 AS HUGEINT) * d1 + CAST(n1 AS HUGEINT) * d2
+              AS pool
+          FROM dd),
+        fin AS (SELECT cell, n1, n2,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 AND pool > 0
+              THEN CAST(CASE WHEN dl < 0 THEN -1 WHEN dl = 0 THEN 0
+                  ELSE 1 END *
+                CAST(floor(sqrt(CAST(
+                  least(((((1000000 * abs(dl)) //
+                      (CAST(n1 AS HUGEINT) * n2)) *
+                    (abs(dl) * (n1 + n2 - 2))) // pool),
+                    1000000000000)
+                  AS DOUBLE))) AS BIGINT) AS BIGINT) END AS d_milli,
+            CASE WHEN n1 > 0 AND n2 > 1 AND d2 > 0 THEN
+              CAST(CASE WHEN dl < 0 THEN -1 WHEN dl = 0 THEN 0
+                  ELSE 1 END *
+                CAST(floor(sqrt(CAST(
+                  least(((((1000000 * abs(dl)) //
+                      (CAST(n1 AS HUGEINT) * n1 * n2)) *
+                    (abs(dl) * (n2 - 1))) // d2),
+                    1000000000000)
+                  AS DOUBLE))) AS BIGINT) AS BIGINT) END
+              AS glass_milli
+          FROM pp)
+        SELECT cell, n1, n2, d_milli,
+          CASE WHEN d_milli IS NOT NULL THEN
+            CAST(CASE WHEN d_milli < 0 THEN -1 WHEN d_milli = 0 THEN 0
+                ELSE 1 END *
+              ((abs(d_milli) * (4 * (n1 + n2 - 2) - 4)) //
+                (4 * (n1 + n2 - 2) - 1)) AS BIGINT) END AS g_milli,
+          glass_milli
+        FROM fin ORDER BY cell""")),
   )
 }
