@@ -55,27 +55,22 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
   /** Previous committed bench to adjudicate >2× movers against: the
-    * SPARK_GRAFT_PREV_BENCH path when set, else the lexicographically
-    * newest bench_local_r*_full.json in the working directory (round
-    * numbers sort correctly up to r9→r10; the padded compare below
-    * handles the rollover). Returns (path, name → median). */
-  private def prevBench(): Option[(String, Map[String, Double])] = {
-    val path = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
-      val dir = new java.io.File(".")
-      val cand = Option(dir.listFiles()).getOrElse(Array.empty)
-        .map(_.getName)
-        .filter(n => n.startsWith("bench_local_r") && n.endsWith("_full.json"))
-      // order by the numeric round, not the raw string (r9 < r10)
-      def round(n: String): Int =
-        n.stripPrefix("bench_local_r").takeWhile(_.isDigit) match {
-          case "" => -1; case d => d.toInt
-        }
-      cand.sortBy(n => (round(n), n)).lastOption
-    }
-    path.flatMap { p =>
+    * SPARK_GRAFT_PREV_BENCH path when set (no fallback — an explicit
+    * choice should fail visibly), else the newest PARSEABLE
+    * bench_local_r*_full.json in `dir` by numeric round. The
+    * parse-fallback is load-bearing: close_gate's shell redirect
+    * creates the CURRENT round's (empty) output file before the JVM
+    * starts, so the newest name on disk is the zero-byte file being
+    * written — taking it verbatim silently disabled the retry pass in
+    * every close-gate run (caught in r14); unparseable candidates now
+    * fall through to the next newest. */
+  private[graft] def prevBench(dir: java.io.File = new java.io.File("."))
+      : Option[(String, Map[String, Double])] = {
+    def parse(f: java.io.File, label: String)
+        : Option[(String, Map[String, Double])] =
       try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.readTree(new java.io.File(p))
+        val root = om.readTree(f)
         val qs = root.get("queries")
         if (qs == null || !qs.isObject) None
         else {
@@ -85,12 +80,27 @@ object Bench {
             val e = it.next()
             if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
           }
-          Some((p, b.result()))
+          Some((label, b.result()))
         }
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] prev bench unreadable ($p): ${e.getMessage}")
+        System.err.println(s"[bench] prev bench unreadable ($label): " +
+          e.getMessage)
         None
       }
+    sys.env.get("SPARK_GRAFT_PREV_BENCH") match {
+      case Some(p) => parse(new java.io.File(p), p)
+      case None =>
+        val cand = Option(dir.listFiles()).getOrElse(Array.empty)
+          .map(_.getName)
+          .filter(n => n.startsWith("bench_local_r") && n.endsWith("_full.json"))
+        // order by the numeric round, not the raw string (r9 < r10)
+        def round(n: String): Int =
+          n.stripPrefix("bench_local_r").takeWhile(_.isDigit) match {
+            case "" => -1; case d => d.toInt
+          }
+        cand.sortBy(n => (round(n), n)).reverseIterator
+          .map(n => parse(new java.io.File(dir, n), n))
+          .collectFirst { case Some(hit) => hit }
     }
   }
 
