@@ -58,6 +58,17 @@ else
 fi
 
 echo "[$(STAMP)] 5/5 full bench sf0.1 → bench_local_r${ROUND}_full.json"
+# Pin the retry pass's comparison set EXPLICITLY to the newest committed
+# bench of a round strictly below this one (r14 verdict advisory #2: the
+# in-dir fallback is for the driver's run; the close gate states its
+# previous round so the comparison can never self-shadow).
+PREV_BENCH=$(ls bench_local_r*_full.json 2>/dev/null \
+  | awk -v r="$ROUND" 'match($0, /_r([0-9]+)/, m) { if (m[1]+0 < r+0) print m[1]+0, $0 }' \
+  | sort -n | tail -1 | cut -d' ' -f2)
+if [ -n "${PREV_BENCH:-}" ]; then
+  echo "[$(STAMP)]   retry-pass prev bench: $PREV_BENCH"
+  export SPARK_GRAFT_PREV_BENCH="$PREV_BENCH"
+fi
 # grep -o: sbt may prefix the line with [info], so anchor on the payload
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" < /dev/null \
   | grep -o '{"metric".*' | tail -1 > "bench_local_r${ROUND}_full.json"

@@ -3866,9 +3866,19 @@ object StatsOps {
    * failures, batched spam)? With n₁ ones, n₀ zeros and R observed
    * runs, E[R] = 1 + 2n₁n₀/n and Var(R) = 2n₁n₀(2n₁n₀−n)/(n²(n−1)),
    * so z² = (Rn − n − 2n₁n₀)²·(n−1) / (2n₁n₀·(2n₁n₀−n)) is exact in
-   * integers; z_milli = sign·⌊√(10⁶·z²)⌋ (isqrt on a ≤10¹⁰ value —
-   * exact in doubles), null when 2n₁n₀ ≤ n (one class too thin for
-   * the normal approximation to be defined).
+   * integers. The readout is STAGED on the [[kendallTauB]] /
+   * [[ansariBradley]] lattice (r14 advice: the one-shot decimal128
+   * numerator 10⁶·dnum²·(n−1) silently nulls past ~3·10⁶ rows per
+   * cell under heavy clumping) — with dnum = Rn − n − m2, m2 = 2n₁n₀:
+   *   z_milli = sign(dnum)·⌊√(min(⌊⌊10⁶|dnum|/m2⌋·|dnum|·(n−1)
+   *             /(m2−n)⌋, 10¹²))⌋
+   * — every LONG quotient bounded (first ≤ 10⁶·n, second clamped at
+   * 10¹², which also keeps the radicand under the 2⁵³ double-isqrt
+   * line; z saturates at 1000σ, far beyond any interpretable value),
+   * and the decimal products stay ≤ ~10⁶·n⁴ — per-cell ceiling
+   * ~1.7·10⁸ rows, 60× the one-shot form's. Null when 2n₁n₀ ≤ n (one
+   * class too thin for the normal approximation to be defined); both
+   * engines spell the identical staged expression.
    *
    * Scale shape — the reason this isn't one big lag window: runs are
    * counted HIERARCHICALLY ([[bucketPrefixOffsets]] discipline). Rows
@@ -3916,7 +3926,9 @@ object StatsOps {
       .withColumn("z_milli",
         when(col("n") > 1L && col("m2") > dec38(col("n")), expr(
           """cast(sign(dnum) as bigint) * cast(floor(sqrt(cast(
-               (1000000 * dnum * dnum * (n - 1)) div (m2 * (m2 - n))
+               least((((1000000 * abs(dnum)) div m2) *
+                   abs(dnum) * (n - 1)) div (m2 - n),
+                 1000000000000)
                as double))) as bigint)""")))
       .select(col("cell"), col("n"), col("n1"), col("n0"),
         col("r_runs"), col("z_milli"))
@@ -4247,15 +4259,37 @@ object StatsOps {
         col("n_out"), col("out_ppm"))
   }
 
+  /** Loud two-group guard shared by the two-sample operators
+    * ([[twoSampleCums]] consumers, [[hodgesLehmann]],
+    * [[effectSizes]]): a 3+-group caller would have every
+    * non-minimum group silently lumped into sample B, producing a
+    * plausible-looking but WRONG statistic — so probe max
+    * countDistinct(grp) per cell and require()-fail, matching the
+    * existing scalar-probe discipline (contingencyPairs grid probe,
+    * mannKendall unique-times probe, hodgesLehmann grid probe).
+    * Expects the caller's normalized frame with `cell`/`grp` cols. */
+  private def requireTwoGroups(base: DataFrame, op: String): Unit = {
+    val worst = base.groupBy(col("cell"))
+      .agg(countDistinct(col("grp")).as("g"))
+      .agg(max(col("g"))).head()
+    require(worst.isNullAt(0) || worst.getLong(0) <= 2L,
+      s"$op: a cell has ${if (worst.isNullAt(0)) 0L else worst.getLong(0)} " +
+        "distinct groups - the two-sample lattice needs exactly 2 per " +
+        "cell (every non-minimum group would silently lump into sample " +
+        "B); pre-filter or pre-bucket the group column")
+  }
+
   /** Shared two-sample value-count spine of [[cramerVonMises]],
     * [[andersonDarling2]] and [[ansariBradley]]: per (cell, v), the
     * two groups' counts plus inclusive cumulative counts, and the
     * per-cell (m, n) totals — ONE corpus aggregate, prefix windows on
     * the bounded distinct-value frame, totals joined back broadcast.
-    * The group column must take exactly 2 distinct values per cell;
-    * group A is the lexicographically smaller name (deterministic,
-    * stated — orientation flips sign-free statistics not at all and
-    * signed ones symmetrically). */
+    * The group column must take exactly 2 distinct values per cell —
+    * ENFORCED by the [[requireTwoGroups]] probe (r14 advice: the
+    * documented contract used to be silent); group A is the
+    * lexicographically smaller name (deterministic, stated —
+    * orientation flips sign-free statistics not at all and signed
+    * ones symmetrically). */
   private def twoSampleCums(df: DataFrame, cellCol: String,
       grpCol: String, valueCol: String): DataFrame = {
     val base = df
@@ -4263,6 +4297,7 @@ object StatsOps {
       .select(col(cellCol).as("cell"),
         col(grpCol).cast("string").as("grp"),
         col(valueCol).cast("long").as("v"))
+    requireTwoGroups(base, "twoSampleCums")
     val ab = base.groupBy(col("cell"))
       .agg(min(col("grp")).as("ga"))
     val gvc = base
@@ -4505,6 +4540,7 @@ object StatsOps {
       .select(col(cellCol).as("cell"),
         col(grpCol).cast("string").as("grp"),
         col(valueCol).cast("long").as("v"))
+    requireTwoGroups(base, "hodgesLehmann")
     val ab = base.groupBy(col("cell")).agg(min(col("grp")).as("ga"))
     val gvc = base
       .join(broadcast(ab), Seq("cell"))
@@ -4646,7 +4682,14 @@ object StatsOps {
    * SD) via least() — beyond that the statistic is "the groups don't
    * overlap" however it's spelled, and an unclamped radicand would
    * cross the 2⁵³ line where DuckDB's HUGEINT→DOUBLE cast stops
-   * rounding correctly (the r11 q98 lesson).
+   * rounding correctly (the r11 q98 lesson). The clamp is applied to
+   * the DECIMAL numerator (capped at pool·10¹² / d2·10¹²) BEFORE the
+   * long-typed `div` (r14 advice): for a near-degenerate pool the
+   * one-shot LONG quotient would wrap past 2⁶³ before an after-the-
+   * fact least() could see it, while DuckDB's HUGEINT divides
+   * cleanly — an engine divergence. When pool > ~10²⁶ the clamp
+   * product overflows decimal128 to null and least() skips it — safe,
+   * because in that region the quotient is far below the wrap line.
    *
    * Output: (cell, n1, n2, d_milli, g_milli, glass_milli).
    */
@@ -4657,6 +4700,7 @@ object StatsOps {
       .select(col(cellCol).as("cell"),
         col(grpCol).cast("string").as("grp"),
         col(valueCol).cast("long").as("v"))
+    requireTwoGroups(base, "effectSizes")
     val ab = base.groupBy(col("cell")).agg(min(col("grp")).as("ga"))
     val st = base
       .join(broadcast(ab), Seq("cell"))
@@ -4685,9 +4729,12 @@ object StatsOps {
         when(col("n1") > 0 && col("n2") > 0 &&
           col("n1") + col("n2") > 2 && col("pool") > 0, expr(
           """cast(sign(dl) as bigint) * cast(floor(sqrt(cast(
-               least(((((1000000 * abs(dl)) div
-                   (cast(n1 as decimal(38,0)) * n2)) *
-                 (abs(dl) * (n1 + n2 - 2))) div pool),
+               least((least(
+                   ((1000000 * abs(dl)) div
+                     (cast(n1 as decimal(38,0)) * n2)) *
+                     (abs(dl) * (n1 + n2 - 2)),
+                   pool * cast(1000000000000 as decimal(38,0)))
+                 div pool),
                  1000000000000)
                as double))) as bigint)""")))
       .withColumn("g_milli",
@@ -4698,9 +4745,12 @@ object StatsOps {
       .withColumn("glass_milli",
         when(col("n1") > 0 && col("n2") > 1 && col("d2") > 0, expr(
           """cast(sign(dl) as bigint) * cast(floor(sqrt(cast(
-               least(((((1000000 * abs(dl)) div
-                   (cast(n1 as decimal(38,0)) * n1 * n2)) *
-                 (abs(dl) * (n2 - 1))) div d2),
+               least((least(
+                   ((1000000 * abs(dl)) div
+                     (cast(n1 as decimal(38,0)) * n1 * n2)) *
+                     (abs(dl) * (n2 - 1)),
+                   d2 * cast(1000000000000 as decimal(38,0)))
+                 div d2),
                  1000000000000)
                as double))) as bigint)""")))
       .select(col("cell"), col("n1"), col("n2"), col("d_milli"),

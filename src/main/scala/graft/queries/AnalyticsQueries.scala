@@ -6383,7 +6383,9 @@ object AnalyticsQueries {
             CAST(CASE WHEN dnum < 0 THEN -1
                 WHEN dnum = 0 THEN 0 ELSE 1 END *
               CAST(floor(sqrt(CAST(
-                (1000000 * dnum * dnum * (n - 1)) // (m2 * (m2 - n))
+                least((((1000000 * abs(dnum)) // m2) *
+                    abs(dnum) * (n - 1)) // (m2 - n),
+                  1000000000000)
                 AS DOUBLE))) AS BIGINT) AS BIGINT) END AS z_milli
         FROM z ORDER BY cell""")),
 

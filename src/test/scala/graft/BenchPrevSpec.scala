@@ -29,6 +29,36 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(got.map(_._2) === Some(Map("q01" -> 1.5, "q02" -> 0.4)))
   }
 
+  test("prevBench prefers the newest round STRICTLY BELOW the highest " +
+      "round on disk even when the highest round parses (r14 verdict " +
+      "advisory #2: the driver's run must not self-shadow on the same " +
+      "round's close-gate bench)") {
+    val dir = Files.createTempDirectory("benchprev_").toFile
+    write(dir, "bench_local_r15_full.json",
+      """{"queries":{"q01":0.9}}""")                   // this round's close
+    write(dir, "bench_local_r14_full.json",
+      """{"queries":{"q01":1.1}}""")                   // previous round
+    write(dir, "bench_local_r13_full.json",
+      """{"queries":{"q01":1.5}}""")
+    val got = Bench.prevBench(dir)
+    assert(got.map(_._1) === Some("bench_local_r14_full.json"))
+  }
+
+  test("prevBench falls back to the highest round's own file when no " +
+      "lower round parses (single-round directory)") {
+    val dir = Files.createTempDirectory("benchprev_").toFile
+    write(dir, "bench_local_r15_full.json",
+      """{"queries":{"q01":0.9}}""")
+    assert(Bench.prevBench(dir).map(_._1) ===
+      Some("bench_local_r15_full.json"))
+    val dir2 = Files.createTempDirectory("benchprev_").toFile
+    write(dir2, "bench_local_r15_full.json",
+      """{"queries":{"q01":0.9}}""")
+    write(dir2, "bench_local_r14_full.json", "")       // lower, unparseable
+    assert(Bench.prevBench(dir2).map(_._1) ===
+      Some("bench_local_r15_full.json"))
+  }
+
   test("prevBench reads None when no candidate parses, and skips " +
       "files whose queries field is missing or non-object") {
     val dir = Files.createTempDirectory("benchprev_").toFile

@@ -87,6 +87,27 @@ class Round14WaveDSpec extends SparkSuite {
     assert(k.isNullAt(3) && k.isNullAt(4) && k.isNullAt(5))
   }
 
+  test("two-sample operators fail LOUDLY on a 3-group cell instead " +
+      "of silently lumping non-minimum groups into sample B (r14 " +
+      "advice: the twoSampleCums contract was documented but " +
+      "unenforced)") {
+    val rows = Seq(("c", "a", 1L), ("c", "b", 2L), ("c", "c", 3L),
+      ("k", "a", 1L), ("k", "b", 2L))
+    val df = rows.toDF("cell", "grp", "v")
+    for (op <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        StatsOps.effectSizes(_, "cell", "grp", "v"),
+        StatsOps.hodgesLehmann(_, "cell", "grp", "v"),
+        StatsOps.cramerVonMises(_, "cell", "grp", "v"),
+        StatsOps.andersonDarling2(_, "cell", "grp", "v"),
+        StatsOps.ansariBradley(_, "cell", "grp", "v"))) {
+      val e = intercept[IllegalArgumentException] { op(df) }
+      assert(e.getMessage.contains("distinct groups"))
+    }
+    // exactly-2-group frames still build fine
+    assert(StatsOps.effectSizes(rows.filter(_._1 == "k")
+      .toDF("cell", "grp", "v"), "cell", "grp", "v").count() === 1L)
+  }
+
   test("effectSizes: the radicand saturates at d = 1000 SD instead " +
       "of crossing the 2^53 double-precision line") {
     // two far-apart near-constant groups: unclamped d ≈ 346k SD
