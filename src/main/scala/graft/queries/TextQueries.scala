@@ -189,6 +189,145 @@ object TextQueries {
   val BoilBlockWords = 8
   val BoilMinDf = 20
 
+  /** q294/q295 unigram-LM geometry: top-200 training words (the q86
+    * vocabulary discipline), 150 seeded multi-char candidates, 80 kept
+    * after the EM prune (+ every corpus character for coverage). */
+  val UniVocab = 200
+  val UniSeed = 150
+  val UniKeep = 80
+
+  /** The landed unigram-LM model (train once per process per sf dir —
+    * the q86/q90 artifact rule); q294 inspects it, q295 encodes with
+    * it. Trained over the SAME word stream as the BPE pair (lowercase
+    * alpha runs, length 3–12) so the two tokenizer families are
+    * directly comparable. */
+  private def uniModelDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    Landings.landedPath(s"unigram_model:$d") { dir =>
+      graft.operators.UnigramLM.landModel(
+        s, bpeWords(s, d).select("w"), "w", UniVocab, UniSeed, UniKeep,
+        dir)
+    }
+
+  /** DuckDB twin of the FixedLog.log2q20 lattice over a (piece, m)
+    * source — the q180 20-step LINEAR recursive CTE, factored so the
+    * unigram oracle can instantiate it twice (seed scores, pruned
+    * scores). Emits `$name`(piece, lg). */
+  private def uniLgSql(name: String, src: String): String = s"""
+        ${name}_m AS (SELECT piece, m, length(bin(m)) - 1 AS hb
+          FROM $src ${name}_s),
+        ${name}_x AS (SELECT piece, hb,
+            CASE WHEN hb >= 30 THEN m >> (hb - 30)
+              ELSE m << (30 - hb) END AS x
+          FROM ${name}_m),
+        ${name}_it AS (
+          SELECT piece, hb, x, 0 AS i, CAST(0 AS BIGINT) AS frac
+          FROM ${name}_x
+          UNION ALL
+          SELECT piece, hb,
+            CASE WHEN x * x >= 2305843009213693952 THEN (x * x) >> 31
+              ELSE (x * x) >> 30 END,
+            i + 1,
+            frac * 2 + CASE WHEN x * x >= 2305843009213693952
+              THEN 1 ELSE 0 END
+          FROM ${name}_it WHERE i < 20),
+        $name AS MATERIALIZED (SELECT piece, (hb << 20) + frac AS lg
+          FROM ${name}_it WHERE i = 20)"""
+
+  /** DuckDB twin of UnigramLM.viterbi: the DP unrolled to
+    * WordMaxLen=12 MATERIALIZED level CTEs (levels i−1..i−4 feed level
+    * i — unmaterialized, DuckDB would re-inline the shared levels into
+    * ~4^12 paths, the same blow-up localCheckpoint pins on the Spark
+    * side), arg-min per word via row_number ORDER BY (cost, np, seg) —
+    * the struct-min order. Emits `${tag}_v`(word, cost, np, seg). */
+  private def uniViterbiSql(tag: String, wordsSrc: String,
+      costSrc: String): String = {
+    val pMax = graft.operators.UnigramLM.PieceMaxLen
+    val maxLen = graft.operators.UnigramLM.WordMaxLen
+    val lvls = (1 to maxLen).map { i =>
+      val cands = (1 to math.min(pMax, i)).map { k =>
+        s"""SELECT b.word, b.cost + p.pcost AS cost, b.np + 1 AS np,
+              b.seg || '|' || p.piece AS seg
+            FROM ${tag}_l${i - k} b JOIN $costSrc p
+              ON length(p.piece) = $k
+              AND p.piece = substr(b.word, ${i - k + 1}, $k)
+            WHERE length(b.word) >= $i"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""${tag}_l$i AS MATERIALIZED (
+          SELECT word, cost, np, seg FROM (
+            SELECT word, cost, np, seg, row_number() OVER (
+                PARTITION BY word ORDER BY cost, np, seg) AS rn
+            FROM ($cands) ${tag}_c$i) ${tag}_r$i
+          WHERE rn = 1)"""
+    }
+    val fin = (1 to maxLen)
+      .map(i =>
+        s"SELECT word, cost, np, seg FROM ${tag}_l$i WHERE length(word) = $i")
+      .mkString("\n          UNION ALL ")
+    s"""${tag}_l0 AS (SELECT word, CAST(0 AS BIGINT) AS cost,
+          CAST(0 AS BIGINT) AS np, '' AS seg FROM $wordsSrc ${tag}_w),
+        ${lvls.mkString(",\n        ")},
+        ${tag}_v AS MATERIALIZED ($fin)"""
+  }
+
+  /** The shared unigram-LM training prolog both q294 and q295 extend —
+    * word stream → char/substring seeds → Q20 seed costs → E-step 1 →
+    * prune → Q20 pruned costs (`ucost1`), every stage generated from
+    * the SAME constants as the Spark trainer. '¤' keys the total row
+    * inside the log CTEs (outside the lowercase-alpha piece space). */
+  private def uniPrologSql: String = s"""
+        WITH RECURSIVE uws AS MATERIALIZED (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents) uws_r
+          WHERE length(w) BETWEEN 3 AND 12),
+        uchars AS (SELECT piece, CAST(count(*) AS BIGINT) AS seed_w
+          FROM (SELECT unnest(string_split(w, '')) AS piece FROM uws) uc_r
+          WHERE length(piece) = 1 GROUP BY piece),
+        uvoc AS MATERIALIZED (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+          FROM uws GROUP BY w ORDER BY cnt DESC, word LIMIT $UniVocab),
+        umulti AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS seed_w
+          FROM (SELECT cnt, unnest(flatten(list_transform(
+                range(2, ${graft.operators.UnigramLM.PieceMaxLen + 1}),
+                k -> list_filter(
+                  list_transform(range(1, length(word) + 1),
+                    i -> substr(word, i, k)),
+                  p -> length(p) = k)))) AS piece
+            FROM uvoc) um_r
+          GROUP BY piece ORDER BY seed_w DESC, piece LIMIT $UniSeed),
+        umodel0 AS MATERIALIZED (SELECT piece, seed_w FROM uchars
+          UNION ALL SELECT piece, seed_w FROM umulti),
+        ulg0src AS (SELECT piece, seed_w AS m FROM umodel0
+          UNION ALL SELECT '¤',
+            CAST((SELECT sum(seed_w) FROM umodel0) AS BIGINT)),
+        ${uniLgSql("ulg0", "ulg0src")},
+        ucost0 AS MATERIALIZED (SELECT mm.piece,
+            (SELECT lg FROM ulg0 WHERE piece = '¤') - l.lg AS pcost
+          FROM umodel0 mm JOIN ulg0 l ON mm.piece = l.piece),
+        ${uniViterbiSql("ue1", "(SELECT word FROM uvoc)", "ucost0")},
+        uuse1 AS MATERIALIZED (
+          SELECT piece, CAST(sum(cnt) AS BIGINT) AS u_cnt FROM (
+            SELECT v.word, unnest(string_split(v.seg, '|')) AS piece
+            FROM ue1_v v) sp JOIN uvoc ON sp.word = uvoc.word
+          WHERE length(piece) >= 1 GROUP BY piece),
+        ukept AS MATERIALIZED (
+          SELECT piece, u_cnt, u_cnt + 1 AS b FROM (
+            SELECT c.piece, coalesce(u.u_cnt, 0) AS u_cnt
+            FROM uchars c LEFT JOIN uuse1 u ON c.piece = u.piece
+            UNION ALL
+            SELECT piece, u_cnt FROM (
+              SELECT piece, u_cnt FROM uuse1 WHERE length(piece) >= 2
+              ORDER BY u_cnt DESC, piece LIMIT $UniKeep) ukm) uk_r),
+        ulg1src AS (SELECT piece, b AS m FROM ukept
+          UNION ALL SELECT '¤',
+            CAST((SELECT sum(b) FROM ukept) AS BIGINT)),
+        ${uniLgSql("ulg1", "ulg1src")},
+        ucost1 AS MATERIALIZED (SELECT k.piece,
+            (SELECT lg FROM ulg1 WHERE piece = '¤') - l.lg AS pcost
+          FROM ukept k JOIN ulg1 l ON k.piece = l.piece)"""
+
   val all: Map[String, GraftQuery] = Map(
 
     // ------------------------------------------------------------------
@@ -1875,5 +2014,62 @@ object TextQueries {
             (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
             AS yule_k_milli
         FROM ag ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q294 — unigram-LM tokenizer TRAINING (UnigramLM.train): the
+    // SentencePiece-family counterpart of q86's BPE — over-complete
+    // substring seeds pruned by Viterbi-EM on the Q20 fixed-point
+    // log2 lattice (FixedLog / the q180 recursive-CTE twin). The
+    // oracle replays the whole chain: corpus char weights + top-200
+    // word vocab → 150 seeded substrings → seed costs → unrolled
+    // 12-level Viterbi DP (MATERIALIZED per level) → usage → prune to
+    // 80 + chars → add-one re-score → final E-step — and must
+    // reproduce the landed model bit-for-bit, costs included.
+    // ------------------------------------------------------------------
+    "q294_unigram_train" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.UnigramLM.readModel(s, uniModelDir(s, d))
+          .orderBy(col("cost_q20"), col("piece")),
+      oracle = Some(s"""
+        $uniPrologSql,
+        ${uniViterbiSql("ue2", "(SELECT word FROM uvoc)", "ucost1")},
+        uuse2 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u_cnt
+          FROM (SELECT v.word, unnest(string_split(v.seg, '|')) AS piece
+            FROM ue2_v v) sp JOIN uvoc ON sp.word = uvoc.word
+          WHERE length(piece) >= 1 GROUP BY piece)
+        SELECT k.piece, CAST(length(k.piece) AS BIGINT) AS plen,
+          m.seed_w, k.u_cnt AS usage_em,
+          coalesce(u2.u_cnt, 0) AS usage_final, c.pcost AS cost_q20
+        FROM ukept k JOIN umodel0 m ON k.piece = m.piece
+          JOIN ucost1 c ON k.piece = c.piece
+          LEFT JOIN uuse2 u2 ON k.piece = u2.piece
+        ORDER BY cost_q20, k.piece""")),
+
+    // ------------------------------------------------------------------
+    // q295 — unigram-LM ENCODE (UnigramLM.encodeStats): Viterbi-
+    // segment the corpus under the q294-landed model — the train→apply
+    // loop, tokenizer family #2. Viterbi runs on the DISTINCT-word
+    // frame only (vocabulary-scale, Heaps' law) and joins back to the
+    // occurrence stream; per-doc output carries the char-token
+    // baseline, the unigram token count and the total Q20 encoding
+    // cost (the corpus log-likelihood numerator under the piece LM).
+    // The oracle re-trains the chain and re-encodes end to end.
+    // ------------------------------------------------------------------
+    "q295_unigram_encode" -> GraftQuery(
+      build = (s, d) =>
+        graft.operators.UnigramLM.encodeStats(
+          bpeWords(s, d), "doc_id", "w",
+          graft.operators.UnigramLM.readModel(s, uniModelDir(s, d)))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        $uniPrologSql,
+        udw AS MATERIALIZED (SELECT DISTINCT w AS word FROM uws),
+        ${uniViterbiSql("uen", "udw", "ucost1")}
+        SELECT uws.doc_id, count(*) AS n_words,
+          CAST(sum(length(uws.w)) AS BIGINT) AS n_char_tokens,
+          CAST(sum(v.np) AS BIGINT) AS n_uni_tokens,
+          CAST(sum(v.cost) AS BIGINT) AS cost_q20_total
+        FROM uws JOIN uen_v v ON uws.w = v.word
+        GROUP BY uws.doc_id ORDER BY doc_id""")),
   )
 }
