@@ -1275,8 +1275,10 @@ object StatefulOps {
    * and the carried last flag IS the boundary term, so four longs of
    * state per cell replay the exact batch counts. Every row emits
    * the running (n, n1, n0, R) and the z on the batch operator's own
-   * lattice — rad = ⌊10⁶·dnum²·(n−1)/(m2·(m2−n))⌋ in exact BigInt,
-   * z = sign·⌊√rad⌋ (None while 2n₁n₀ ≤ n, the batch guard) — so the
+   * STAGED lattice (restaged with the batch form per the r14 advice)
+   * — rad = min(⌊⌊10⁶·|dnum|/m2⌋·|dnum|·(n−1)/(m2−n)⌋, 10¹²) in exact
+   * BigInt, z = sign·⌊√rad⌋ (None while 2n₁n₀ ≤ n, the batch guard)
+   * — so the
    * final row per cell is bit-equal to the batch summary across
    * checkpointed restarts (StreamRunsSpec). Requires time-ordered
    * batch arrival per cell, the [[SprtProcessor]] contract.
@@ -1301,8 +1303,9 @@ object StatefulOps {
         val m2 = BigInt(2) * s.n1 * n0
         val z = if (s.n > 1L && m2 > s.n) {
           val dnum = BigInt(s.chg + 1L) * s.n - s.n - m2
-          val rad = (BigInt(1000000) * dnum * dnum * (s.n - 1)) /
-            (m2 * (m2 - s.n))
+          val t1 = (BigInt(1000000) * dnum.abs) / m2
+          val rad = ((t1 * dnum.abs * (s.n - 1)) / (m2 - s.n))
+            .min(BigInt(1000000000000L))
           val mag = math.floor(math.sqrt(rad.toDouble)).toLong
           Some(dnum.signum * mag)
         } else None
@@ -1320,6 +1323,90 @@ object StatefulOps {
       .as[RunsIn]
       .groupByKey(_.k)
       .transformWithState(new RunsProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class HampelIn(k: String, t: Long, v: Long)
+  final case class HampelOut(k: String, t: Long, n: Long, med: Long,
+    mad: Long, nOut: Long, outPpm: Long)
+
+  /**
+   * Streaming twin of `StatsOps.hampelOutliers` (q285) — the 22nd
+   * batch≡stream pair: ingest-time ROBUST outlier alerting. The batch
+   * operator audits a landed table for values beyond k·MAD of the
+   * median; live, the same question is "is this feed spiking right
+   * now" — and mean/σ monitors are exactly what a spike corrupts
+   * (the outliers inflate σ and hide themselves), which is why the
+   * robust median/MAD pair is the production form.
+   *
+   * State is the batch operator's own (cell, value)-count spine as a
+   * [[MapState]] histogram — bounded by per-cell VALUE CARDINALITY
+   * (quantized domains: cents, bucketed latencies), never by stream
+   * length; per-row work is one RocksDB point update. Each
+   * micro-batch folds its arrivals in and emits ONE summary row per
+   * touched cell (the alert cadence), recomputing the lower median,
+   * the MAD and the k·MAD exceedance count from the histogram with
+   * the batch operator's exact conventions (lower medians — smallest
+   * value with 2·cum ≥ n; out_ppm = ⌊10⁶·n_out/n⌋) — so the last
+   * emitted row per cell is bit-equal to the batch summary across
+   * checkpointed restarts, even when a restart splits a planted spike
+   * cluster mid-series (StreamHampelSpec).
+   */
+  class HampelProcessor(kMad: Long)
+      extends StatefulProcessor[String, HampelIn, HampelOut] {
+    @transient private var hist:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[Long, Long]("hist",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    /** Lower median of a (value, count) histogram sorted by value:
+      * the smallest value whose inclusive cum count reaches n/2 —
+      * the batch operator's convention, both calls. */
+    private def lowerMedian(sorted: Array[(Long, Long)], n: Long): Long = {
+      var cum = 0L
+      sorted.iterator
+        .map { case (v, c) => cum += c; (v, cum) }
+        .collectFirst { case (v, cm) if 2L * cm >= n => v }
+        .get
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[HampelIn],
+        timers: TimerValues): Iterator[HampelOut] = {
+      var tMax = Long.MinValue
+      var any = false
+      rows.foreach { r =>
+        any = true
+        if (r.t > tMax) tMax = r.t
+        val c = if (hist.containsKey(r.v)) hist.getValue(r.v) else 0L
+        hist.updateValue(r.v, c + 1L)
+      }
+      if (!any) Iterator.empty
+      else {
+        val h = hist.iterator().toArray.sortBy(_._1)
+        val n = h.iterator.map(_._2).sum
+        val med = lowerMedian(h, n)
+        val dev = h.groupBy { case (v, _) => math.abs(v - med) }
+          .iterator.map { case (d, cs) => (d, cs.iterator.map(_._2).sum) }
+          .toArray.sortBy(_._1)
+        val mad = lowerMedian(dev, n)
+        val nOut = h.iterator
+          .collect { case (v, c) if math.abs(v - med) > kMad * mad => c }
+          .sum
+        val outPpm = ((BigInt(1000000) * nOut) / n).toLong
+        Iterator.single(HampelOut(key, tMax, n, med, mad, nOut, outPpm))
+      }
+    }
+  }
+
+  /** [[HampelProcessor]] over a (k, t, v) frame. */
+  def hampelStream(rows: DataFrame, kMad: Long = 3L): Dataset[HampelOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("t"), col("v"))
+      .as[HampelIn]
+      .groupByKey(_.k)
+      .transformWithState(new HampelProcessor(kMad),
         TimeMode.None(), OutputMode.Append())
   }
 }
