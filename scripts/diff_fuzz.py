@@ -44,6 +44,17 @@ def main() -> int:
                     help="comma-separated query-name prefixes")
     ap.add_argument("--keep", action="store_true",
                     help="keep the subsampled tables on disk")
+    ap.add_argument("--ts-mode", choices=["none", "dst"], default="none",
+                    help="dst: globally shift events.ts (seeded jitter) so "
+                         "the series straddles a Europe/Helsinki DST "
+                         "transition instant - even seeds the spring-forward "
+                         "(2024-03-31 01:00 UTC), odd seeds the fall-back "
+                         "(2024-10-27 01:00 UTC). Gaps/sessions/windows keep "
+                         "their relative structure; the run verifies no "
+                         "query sneaks in local-time semantics the two "
+                         "engines could disagree on around the boundary "
+                         "(r14 verdict item 8: the one input dimension the "
+                         "fuzz corpus had not stressed)")
     args = ap.parse_args()
 
     rnd = random.Random(args.seed)
@@ -67,6 +78,27 @@ def main() -> int:
             f"(FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"[fuzz] {t}: {pct}% -> {n} rows")
+
+    if args.ts_mode == "dst":
+        ev = fuzz_dir / "events.parquet"
+        med = con.execute(
+            f"SELECT epoch_us(median(ts)) FROM read_parquet('{ev}')"
+        ).fetchone()[0]
+        boundary = ("2024-03-31 01:00:00" if args.seed % 2 == 0
+                    else "2024-10-27 01:00:00")
+        tgt = con.execute(
+            f"SELECT epoch_us(TIMESTAMP '{boundary}')").fetchone()[0]
+        jitter_us = rnd.randrange(-12 * 3600, 12 * 3600) * 1_000_000
+        delta_us = int(tgt) + jitter_us - int(med)
+        shifted = fuzz_dir / "events_dst.parquet"
+        con.execute(
+            f"COPY (SELECT * REPLACE (ts + INTERVAL ({delta_us}) "
+            f"MICROSECONDS AS ts) FROM read_parquet('{ev}')) TO "
+            f"'{shifted}' (FORMAT PARQUET)")
+        shifted.replace(ev)
+        print(f"[fuzz] events.ts shifted {delta_us}us -> median lands "
+              f"{jitter_us // 1_000_000}s from the {boundary}Z DST "
+              f"transition")
 
     verify_args = f"/runMain graft.Verify {fuzz_dir} {out_dir}".replace("/runMain", "runMain")
     if args.only:

@@ -51,6 +51,36 @@ class ParsersSpec extends SparkSuite {
     assert(one[Long](P.tryLong($"v"), "9999999999999999999999").isEmpty)
   }
 
+  test("tst parse honors STAMPED offsets across the Helsinki DST " +
+      "boundaries — instants, not zone rules (r14 item 8: the HFP " +
+      "domain's classic failure, pinned at the parser)") {
+    def epochS(input: String): Option[Long] =
+      one[Long](unix_micros(P.tryTimestamp($"v")), input).map(_ / 1000000L)
+    // spring-forward 2024-03-31 01:00Z: +03:00 is the post-transition
+    // offset; 03:30+02:00 names a wall time that never existed in
+    // Helsinki, but an offset-stamped ISO string is SELF-CONTAINED —
+    // the parse must do offset arithmetic, never zone-rule lookup
+    assert(epochS("2024-03-31T03:30:00+03:00").contains(1711845000L))
+    assert(epochS("2024-03-31T03:30:00+02:00").contains(1711848600L))
+    // fall-back 2024-10-27 01:00Z: the repeated 03:30 wall hour is two
+    // REAL instants an hour apart, disambiguated only by the offset;
+    // first pass (+03:00) sorts before the second (+02:00)
+    val first = epochS("2024-10-27T03:30:00+03:00")
+    val second = epochS("2024-10-27T03:30:00+02:00")
+    assert(first.contains(1729989000L) && second.contains(1729992600L))
+    assert(first.get < second.get)
+    // Zulu and offset spellings of one instant agree exactly
+    assert(epochS("2024-03-31T00:30:00Z") === epochS("2024-03-31T03:30:00+03:00"))
+    // strict variant parses the same strings (no false batch failures
+    // on legitimate offset-stamped instants)
+    assert(one[Long](unix_micros(P.strictTimestamp($"v")),
+      "2024-10-27T03:30:00+02:00").contains(1729992600000000L))
+    // oday/start stay zone-free on the transition dates: a date is a
+    // date, seconds-since-midnight is an operating-day offset
+    assert(one[java.sql.Date](P.tryDate($"v"), "2024-03-31").nonEmpty)
+    assert(one[Int](P.parseTimeOfDay($"v"), "03:30").contains(12600))
+  }
+
   test("tryBool: HFP drst semantics 0/1, null on '2' (F3)") {
     assert(one[Boolean](P.tryBool($"v"), "1").contains(true))
     assert(one[Boolean](P.tryBool($"v"), "0").contains(false))
