@@ -62,9 +62,11 @@ echo "[$(STAMP)] 5/5 full bench sf0.1 → bench_local_r${ROUND}_full.json"
 # bench of a round strictly below this one (r14 verdict advisory #2: the
 # in-dir fallback is for the driver's run; the close gate states its
 # previous round so the comparison can never self-shadow).
+# (sed+awk kept POSIX: gawk's 3-arg match() is absent on this box, and
+# under set -e a failing substitution kills the whole gate — r15 lesson)
 PREV_BENCH=$(ls bench_local_r*_full.json 2>/dev/null \
-  | awk -v r="$ROUND" 'match($0, /_r([0-9]+)/, m) { if (m[1]+0 < r+0) print m[1]+0, $0 }' \
-  | sort -n | tail -1 | cut -d' ' -f2)
+  | sed -n 's/^bench_local_r\([0-9][0-9]*\).*_full\.json$/\1 &/p' \
+  | awk -v r="$ROUND" '$1 + 0 < r + 0' | sort -n | tail -1 | cut -d' ' -f2; true)
 if [ -n "${PREV_BENCH:-}" ]; then
   echo "[$(STAMP)]   retry-pass prev bench: $PREV_BENCH"
   export SPARK_GRAFT_PREV_BENCH="$PREV_BENCH"
