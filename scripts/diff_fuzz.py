@@ -81,14 +81,23 @@ def main() -> int:
 
     if args.ts_mode == "dst":
         ev = fuzz_dir / "events.parquet"
-        med = con.execute(
-            f"SELECT epoch_us(median(ts)) FROM read_parquet('{ev}')"
-        ).fetchone()[0]
+        med, lo, hi = con.execute(
+            f"SELECT epoch_us(median(ts)), epoch_us(min(ts)), "
+            f"epoch_us(max(ts)) FROM read_parquet('{ev}')"
+        ).fetchone()
         boundary = ("2024-03-31 01:00:00" if args.seed % 2 == 0
                     else "2024-10-27 01:00:00")
         tgt = con.execute(
             f"SELECT epoch_us(TIMESTAMP '{boundary}')").fetchone()[0]
-        jitter_us = rnd.randrange(-12 * 3600, 12 * 3600) * 1_000_000
+        # clamp the jitter so the shifted series is GUARANTEED to
+        # straddle the boundary: the median lands at tgt+jitter, so
+        # keep |jitter| well inside each side's span around the median
+        # (90% margin), capped at the advertised +-12h. Without the
+        # clamp a heavily subsampled slice could land entirely on one
+        # side and the run would silently test nothing.
+        jit_lo = -min(12 * 3600 * 1_000_000, int((int(med) - int(lo)) * 0.9))
+        jit_hi = min(12 * 3600 * 1_000_000, int((int(hi) - int(med)) * 0.9))
+        jitter_us = rnd.randrange(jit_lo, jit_hi + 1)
         delta_us = int(tgt) + jitter_us - int(med)
         shifted = fuzz_dir / "events_dst.parquet"
         con.execute(
@@ -96,9 +105,16 @@ def main() -> int:
             f"MICROSECONDS AS ts) FROM read_parquet('{ev}')) TO "
             f"'{shifted}' (FORMAT PARQUET)")
         shifted.replace(ev)
+        new_lo, new_hi = con.execute(
+            f"SELECT epoch_us(min(ts)), epoch_us(max(ts)) "
+            f"FROM read_parquet('{ev}')").fetchone()
+        assert int(new_lo) < int(tgt) < int(new_hi), (
+            f"shifted series does not straddle the {boundary}Z DST "
+            f"transition (min={new_lo}, boundary={tgt}, max={new_hi})")
         print(f"[fuzz] events.ts shifted {delta_us}us -> median lands "
               f"{jitter_us // 1_000_000}s from the {boundary}Z DST "
-              f"transition")
+              f"transition; straddle asserted "
+              f"(min<boundary<max over {int(new_hi) - int(new_lo)}us)")
 
     verify_args = f"/runMain graft.Verify {fuzz_dir} {out_dir}".replace("/runMain", "runMain")
     if args.only:

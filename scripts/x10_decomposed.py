@@ -205,13 +205,17 @@ def main() -> int:
         touched = False
         for name, entry in results.items():
             if name in doc.get("queries", {}):
-                prev = doc["queries"][name]
                 doc["queries"][name] = entry
-                if prev.get("status") == "err" and entry["status"] == "pass":
-                    doc["n_err"] = max(0, doc.get("n_err", 0) - 1)
-                    doc["n_pass"] = doc.get("n_pass", 0) + 1
                 touched = True
         if touched:
+            # recompute the summary counters from the patched queries
+            # map wholesale — incremental adjustment only covered the
+            # err->pass transition and left any other rewrite (fail->
+            # pass, pass->fail) inconsistent with the per-query entries
+            for s in ("pass", "fail", "err"):
+                doc[f"n_{s}"] = sum(
+                    1 for e in doc["queries"].values()
+                    if e.get("status") == s)
             with open(path, "w") as f:
                 json.dump(doc, f, indent=1, sort_keys=True)
             print(f"patched {path}")

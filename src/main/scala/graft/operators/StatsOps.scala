@@ -4267,6 +4267,15 @@ object StatsOps {
     * countDistinct(grp) per cell and require()-fail, matching the
     * existing scalar-probe discipline (contingencyPairs grid probe,
     * mannKendall unique-times probe, hodgesLehmann grid probe).
+    *
+    * The bound is AT MOST 2, deliberately not exactly 2: a 1-group
+    * cell (a sparse cell that lost one parity under subsampling) is a
+    * WELL-DEFINED degenerate, not a silent lumping — sample B is
+    * empty (n=0), every m·n-denominated statistic hits its operator's
+    * own zero guard, and the SQL oracle computes the identical
+    * degenerate row, so cross-engine agreement holds. Failing on it
+    * would make legitimately sparse inputs (the diff-fuzz subsamples)
+    * throw where both engines agree on the answer.
     * Expects the caller's normalized frame with `cell`/`grp` cols. */
   private def requireTwoGroups(base: DataFrame, op: String): Unit = {
     val worst = base.groupBy(col("cell"))
@@ -4274,9 +4283,11 @@ object StatsOps {
       .agg(max(col("g"))).head()
     require(worst.isNullAt(0) || worst.getLong(0) <= 2L,
       s"$op: a cell has ${if (worst.isNullAt(0)) 0L else worst.getLong(0)} " +
-        "distinct groups - the two-sample lattice needs exactly 2 per " +
+        "distinct groups - the two-sample lattice allows at most 2 per " +
         "cell (every non-minimum group would silently lump into sample " +
-        "B); pre-filter or pre-bucket the group column")
+        "B); pre-filter or pre-bucket the group column. 1-group cells " +
+        "are accepted and yield the documented empty-sample-B " +
+        "degenerate")
   }
 
   /** Shared two-sample value-count spine of [[cramerVonMises]],

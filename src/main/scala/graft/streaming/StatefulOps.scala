@@ -1350,16 +1350,31 @@ object StatefulOps {
    * value with 2·cum ≥ n; out_ppm = ⌊10⁶·n_out/n⌋) — so the last
    * emitted row per cell is bit-equal to the batch summary across
    * checkpointed restarts, even when a restart splits a planted spike
-   * cluster mid-series (StreamHampelSpec).
+   * cluster mid-series (StreamHampelSpec). The emitted `t` is the
+   * RUNNING max event time (one extra ValueState long), not the
+   * current micro-batch's max — so "last row per cell = max t" stays
+   * correct even under out-of-order batch arrival, with no
+   * time-ordered-arrival contract required (unlike RunsProcessor,
+   * whose sequence statistic inherently needs ordered arrival).
    */
   class HampelProcessor(kMad: Long)
       extends StatefulProcessor[String, HampelIn, HampelOut] {
     @transient private var hist:
       org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    // running max event time across ALL batches seen, not just the
+    // current one — under out-of-order batch arrival a later
+    // (larger-n) summary would otherwise carry a smaller t and the
+    // documented "last emitted row per cell = max t" selection would
+    // pick a stale row (r15 advice)
+    @transient private var tMaxSt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       hist = getHandle.getMapState[Long, Long]("hist",
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      tMaxSt = getHandle.getValueState[Long]("tmax",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     /** Lower median of a (value, count) histogram sorted by value:
       * the smallest value whose inclusive cum count reaches n/2 —
@@ -1374,7 +1389,7 @@ object StatefulOps {
 
     override def handleInputRows(key: String, rows: Iterator[HampelIn],
         timers: TimerValues): Iterator[HampelOut] = {
-      var tMax = Long.MinValue
+      var tMax = if (tMaxSt.exists()) tMaxSt.get() else Long.MinValue
       var any = false
       rows.foreach { r =>
         any = true
@@ -1384,6 +1399,7 @@ object StatefulOps {
       }
       if (!any) Iterator.empty
       else {
+        tMaxSt.update(tMax)
         val h = hist.iterator().toArray.sortBy(_._1)
         val n = h.iterator.map(_._2).sum
         val med = lowerMedian(h, n)

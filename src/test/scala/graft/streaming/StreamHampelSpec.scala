@@ -37,8 +37,14 @@ class StreamHampelSpec extends SparkSuite {
   test("streaming Hampel monitor ≡ batch audit bit-for-bit across " +
       "checkpointed restarts that split the planted spikes") {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // save + restore the shared-session provider in a finally block
+    // (the other streaming specs' hygiene) — leaking RocksDB into
+    // later suites sharing the session would silently change their
+    // state-store behavior
+    val prevProvider = spark.conf.getOption(key)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
+    try {
     val in = tmp("hampel_in_"); val out = tmp("hampel_out_")
     val ck = tmp("hampel_ck_")
     val frame = values.localCheckpoint(true)
@@ -78,5 +84,11 @@ class StreamHampelSpec extends SparkSuite {
     // the monitor actually monitors: the planted 10^7-cent spikes are
     // flagged in every cell
     assert(finals.values.forall(_._5 > 0L))
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
