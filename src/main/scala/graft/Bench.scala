@@ -213,7 +213,12 @@ object Bench {
     val movers = prev.map { case (_, pm) =>
       results.collect { case (name, reps, _, _) if reps.nonEmpty =>
         (name, median(reps.map(_._2).sorted), pm.getOrElse(name, -1.0))
-      }.filter { case (_, med, p) => p > 0.0 && med > 0.3 && med > 1.5 * p }
+      }.filter { case (_, med, p) => p > 0.0 &&
+        // r15 verdict #5: two 1.3-1.45× movers with medians just above
+        // 0.4 s sat below the 1.5× trigger unadjudicated — for queries
+        // slow enough that 1.3× is signal (median > 0.4 s), retry at
+        // 1.3×; the 0.3-0.4 s band keeps the original 1.5× bar
+        ((med > 0.4 && med > 1.3 * p) || (med > 0.3 && med > 1.5 * p)) }
     }.getOrElse(Seq.empty)
     val retryJson = movers.map { case (name, _, p) =>
       val loadPre = loadAvg1m()
@@ -237,10 +242,19 @@ object Bench {
       s""""ingest_reference_ceiling_rows_per_sec":250000,"sf":"$sfDir"}"""
     println(line)
     // self-persist the record: BENCH_r04 lost q01-q29 to a driver-side
-    // stdout `tail` truncation — the file copy survives any pipe capture
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    // stdout `tail` truncation — the file copy survives any pipe capture.
+    // bench_out.json in the working directory IS the canonical
+    // machine-readable artifact (r15 verdict #6: the driver's tail
+    // scrape produced parsed:null; a consumer should read this file,
+    // not the sbt-prefixed stdout). Written atomically (temp + move)
+    // so a concurrent reader never sees a half-written record.
+    try {
+      val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
+      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("bench_out.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
     spark.stop()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, AsofQueries, DedupQueries, EventTimeQueries, GraftQuery, HfpPipelineQueries, MultimodalQueries, RelationalQueries, RetrievalQueries, TextQueries, TpchQueries, VectorQueries, WarehouseQueries}
+import graft.queries.{AnalyticsQueries, AsofQueries, CurationQueries, DedupQueries, EventTimeQueries, GraftQuery, HfpPipelineQueries, MultimodalQueries, RelationalQueries, RetrievalQueries, TextQueries, TpchQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -30,7 +30,8 @@ object SparkEntry {
     RelationalQueries.all ++ HfpPipelineQueries.all ++ DedupQueries.all ++
       VectorQueries.all ++ TextQueries.all ++ EventTimeQueries.all ++
       AsofQueries.all ++ MultimodalQueries.all ++ WarehouseQueries.all ++
-      RetrievalQueries.all ++ AnalyticsQueries.all ++ TpchQueries.all
+      RetrievalQueries.all ++ AnalyticsQueries.all ++ TpchQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

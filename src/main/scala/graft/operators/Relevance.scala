@@ -207,6 +207,107 @@ object Relevance {
         lit((tauBp.toLong * tauBp).toDouble) * col("n2a") * col("n2b"))
   }
 
+  /** Shared spine of [[tfidfCosinePairsCapped]] and
+    * [[tfidfCapAccounting]]: the df-capped weighted postings (term,
+    * doc_id, w, df, rn) with rn = per-term rank (w desc, doc_id asc —
+    * deterministic; within a term idf is constant so this is tf-desc,
+    * strongest entries first). */
+  private def cappedKept(docs: DataFrame, idCol: String, textCol: String,
+      dfCapPermille: Long, idfScale: Long): DataFrame = {
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = tokenStream(docs, idCol, textCol)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(corpus))
+      .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
+      .withColumn("w",
+        col("tf").cast("decimal(38,0)") *
+          expr(s"(cast(n_docs as decimal(38,0)) * $idfScale) div df")
+            .cast("decimal(38,0)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy(col("w").desc, col("doc_id"))))
+      .select(col("term"), col("doc_id"), col("w"), col("df"), col("rn"))
+  }
+
+  /**
+   * Posting-capped tf-idf cosine pairs — [[tfidfCosinePairs]] with the
+   * in-plan candidate cap the r15 scale adjudication called for:
+   * CANDIDATE pairs come only from each term's `postingCap` strongest
+   * postings (w desc, doc_id asc — deterministic), so candidate volume
+   * is ≤ vocab·K²/2 — LINEAR in vocabulary growth — instead of
+   * Σ_t df_t², which grows ~quadratically whenever per-term df grows
+   * with the corpus (real corpora under a corpus-relative df cap; see
+   * the q97 scale adjudication in SURVEY §2.3 — at ×10 the fixture's
+   * constant-df copies pushed the uncapped candidate frame to 4.78 G).
+   * The dot/norms for surviving candidates are then EXACT over the
+   * FULL capped-df vectors (candidate generation capped, verification
+   * exact — the standard LSH/IVF discipline, same as q26/q43): a pair
+   * this operator emits carries the identical dot/n2a/n2b the uncapped
+   * operator would, only RECALL is traded, and [[tfidfCapAccounting]]
+   * measures exactly how much was truncated. Per-candidate exact-dot
+   * cost is bounded by document length; nothing in the plan exceeds
+   * O(vocab·K² · doclen).
+   */
+  def tfidfCosinePairsCapped(docs: DataFrame, idCol: String,
+      textCol: String, dfCapPermille: Long, idfScale: Long, tauBp: Int,
+      postingCap: Int): DataFrame = {
+    require(dfCapPermille >= 1 && dfCapPermille <= 1000 &&
+      idfScale > 0 && tauBp >= 0 && tauBp <= 100 && postingCap >= 2)
+    val kept = cappedKept(docs, idCol, textCol, dfCapPermille, idfScale)
+    val cand = kept.filter(col("rn") <= postingCap)
+      .select(col("term"), col("doc_id"))
+    val candPairs = cand.as("a")
+      .join(cand.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val vec = kept.select(col("term"), col("doc_id"), col("w"))
+    val norms = vec.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val pairs = candPairs
+      .join(vec.select(col("doc_id").as("doc_a"), col("term"),
+        col("w").as("wa")), Seq("doc_a"))
+      .join(vec.select(col("doc_id").as("doc_b"), col("term"),
+        col("w").as("wb")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"),
+        count(lit(1)).as("n_shared"))
+    pairs
+      .join(norms.select(
+        col("doc_id").as("doc_a"), col("n2").as("n2a")), "doc_a")
+      .join(norms.select(
+        col("doc_id").as("doc_b"), col("n2").as("n2b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        col("dot").cast("double").as("dot"), col("n_shared"),
+        col("n2a").cast("double").as("n2a"),
+        col("n2b").cast("double").as("n2b"))
+      .filter(col("dot") * col("dot") * lit(10000.0) >=
+        lit((tauBp.toLong * tauBp).toDouble) * col("n2a") * col("n2b"))
+  }
+
+  /**
+   * Honest truncation accounting for [[tfidfCosinePairsCapped]] — one
+   * summary row: how many admitted terms were truncated by the posting
+   * cap, how many postings entered candidate generation vs were
+   * dropped, and the resulting candidate-pair bound Σ_t min(df,K)² vs
+   * the uncapped Σ_t df² — so the recall trade is a MEASURED number in
+   * the artifact, never a silent one (the q72/q297 discipline).
+   */
+  def tfidfCapAccounting(docs: DataFrame, idCol: String, textCol: String,
+      dfCapPermille: Long, idfScale: Long, postingCap: Int): DataFrame =
+    cappedKept(docs, idCol, textCol, dfCapPermille, idfScale)
+      .groupBy("term")
+      .agg(max(col("df")).as("df"),
+        sum(when(col("rn") <= postingCap, 1L).otherwise(0L)).as("kept"))
+      .agg(count(lit(1)).as("n_terms_admitted"),
+        sum(when(col("df") > postingCap, 1L).otherwise(0L))
+          .as("n_terms_truncated"),
+        sum(col("kept")).as("postings_in_candidates"),
+        sum(col("df") - col("kept")).as("postings_dropped"),
+        sum(col("kept") * col("kept")).as("cand_pair_bound2"),
+        sum(col("df") * col("df")).as("uncapped_pair_bound2"))
+
   /**
    * Positional postings (doc_id, pos, term): the token stream WITH its
    * in-document position — the index layout that makes phrase and

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+import graft.operators.UrlCuration
+
+/**
+ * URL/domain curation queries (r15 verdict item 4) — the standard
+ * CommonCrawl/CCNet curation steps: canonical-URL normalization,
+ * registered-domain grouping, and per-domain document caps with honest
+ * truncation accounting.
+ *
+ * The documents table carries no URL column, so both engines synthesize
+ * the SAME deterministic messy URL per document from (doc_id, source)
+ * — the established planting discipline (q286's shifts, q97's dup
+ * slice): scheme/host case noise, www and subdomain prefixes, default
+ * and non-default ports (including the tricky :443-on-http, which must
+ * be KEPT), tracking params, unsorted params, trailing slashes and
+ * fragments. The synthesis template is one Scala string rendered for
+ * each engine's cast/intdiv spelling, so the inputs cannot drift.
+ */
+object CurationQueries {
+
+  /** q297 per-domain cap (quality-first: n_chars DESC, doc_id ASC). */
+  val DomainCapK = 5
+
+  /** Messy-URL synthesis shared by Spark (`STRING`/`div`) and DuckDB
+    * (`VARCHAR`/`//`). Every CASE arm is keyed on a different modulus
+    * so the canonicalization rules compose in many combinations. */
+  private def urlSynth(strT: String, intDiv: String): String = s"""
+    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'HTTPS'
+       WHEN 1 THEN 'http' ELSE 'Https' END)
+    || '://' ||
+    (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'WWW.'
+       WHEN 1 THEN 'www.' WHEN 2 THEN 'media.' ELSE '' END)
+    || source ||
+    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '.COM'
+       WHEN 1 THEN '.com' WHEN 2 THEN '.CO.UK' ELSE '.io' END)
+    ||
+    (CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN ':443'
+       WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END)
+    || '/p/' || CAST(doc_id $intDiv 7 AS $strT) ||
+    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+    ||
+    (CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS $strT)
+         || '&utm_campaign=x'
+       WHEN 1 THEN '?id=' || CAST(doc_id % 50 AS $strT)
+         || '&ref=abc&gclid=zzz'
+       WHEN 2 THEN '?b=2&a=1' ELSE '' END)
+    ||
+    (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END)"""
+
+  /** DuckDB replay of the UrlCuration.canonicalParts +
+    * registeredDomain pipeline as a CTE chain ending in relation `rd`
+    * with (doc_id, canonical_url, host, registered_domain). */
+  private val oracleCanonChain: String = {
+    val rdChain = (UrlCuration.PublicSuffixes2 ++
+      UrlCuration.PublicSuffixes1).map { s =>
+      val esc = s.replace(".", "\\.")
+      s"nullif(regexp_extract(host, '([^.]+\\.$esc)$$', 1), '')"
+    }.mkString(", ")
+    val drop = UrlCuration.TrackingTokenPrefixes
+      .map(p => s"starts_with(p, '$p')").mkString(" OR ")
+    s"""
+    u AS (SELECT doc_id, ${urlSynth("VARCHAR", "//")} AS url
+      FROM documents),
+    s1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
+    s2 AS (SELECT doc_id, nofrag,
+      lower(split_part(nofrag, '://', 1)) AS scheme,
+      substr(nofrag, length(split_part(nofrag, '://', 1)) + 4) AS rest
+      FROM s1),
+    s3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+      substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+      FROM s2),
+    s4 AS (SELECT *,
+      regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
+        '^www\\.', '') AS host,
+      regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM s3),
+    s5 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
+      CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2)
+        ELSE '' END AS q FROM s4),
+    s6 AS (SELECT *,
+      CASE WHEN path0 = '' THEN '/'
+        WHEN length(path0) > 1 AND ends_with(path0, '/')
+          THEN substr(path0, 1, length(path0) - 1)
+        ELSE path0 END AS path1,
+      list_sort(list_filter(string_split(q, '&'),
+        p -> p <> '' AND NOT ($drop))) AS params FROM s5),
+    rd AS (SELECT doc_id,
+      scheme || '://' || host ||
+      CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+          OR (scheme = 'https' AND port = '443'))
+        THEN ':' || port ELSE '' END
+      || path1 ||
+      CASE WHEN len(params) > 0
+        THEN '?' || array_to_string(params, '&') ELSE '' END
+        AS canonical_url,
+      host,
+      coalesce($rdChain, host) AS registered_domain FROM s6)"""
+  }
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // ------------------------------------------------------------------
+    // q296 — canonical-URL normalization + registered-domain grouping
+    // (UrlCuration.canonicalizeDocs): per document, the six-rule
+    // canonical form, the canonical host and its registered domain
+    // under the fixed public-suffix subset. Expression-only map-side
+    // plan; the oracle replays every rule as a CTE chain on the
+    // identical synthesized URL.
+    // ------------------------------------------------------------------
+    "q296_url_canonicalize" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("url", expr(urlSynth("STRING", "div")))
+        UrlCuration.canonicalizeDocs(docs, "doc_id", "url")
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $oracleCanonChain
+        SELECT doc_id, canonical_url, host, registered_domain
+        FROM rd ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q297 — per-domain document cap with truncation accounting
+    // (UrlCuration.capPerDomain): keep at most K docs per registered
+    // domain, quality-first (n_chars DESC, doc_id ASC), and report per
+    // domain the totals before/after, the kept-id checksum and the
+    // kept/dropped weight — truncation as an auditable measurement.
+    // The rn <= K filter rides WindowGroupLimit (partial top-k before
+    // the shuffle); dropped rows never leave the executors.
+    // ------------------------------------------------------------------
+    "q297_domain_cap" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("url", expr(urlSynth("STRING", "div")))
+        val rd = UrlCuration.canonicalizeDocs(docs, "doc_id", "url")
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        UrlCuration.capPerDomain(rd, "registered_domain", "doc_id",
+          "n_chars", DomainCapK)
+          .orderBy("registered_domain")
+      },
+      oracle = Some(s"""
+        WITH $oracleCanonChain,
+        d AS (SELECT rd.doc_id, registered_domain, n_chars
+          FROM rd JOIN documents ON rd.doc_id = documents.doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY registered_domain
+            ORDER BY n_chars DESC, doc_id) AS rn FROM d),
+        kept AS (SELECT registered_domain,
+            CAST(count(*) AS BIGINT) AS n_kept,
+            CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+            CAST(sum(n_chars) AS BIGINT) AS kept_weight
+          FROM r WHERE rn <= $DomainCapK GROUP BY 1),
+        tot AS (SELECT registered_domain,
+            CAST(count(*) AS BIGINT) AS n_total,
+            CAST(sum(n_chars) AS BIGINT) AS total_weight
+          FROM d GROUP BY 1)
+        SELECT tot.registered_domain, n_total, n_kept,
+          n_total - n_kept AS n_dropped, kept_id_sum, kept_weight,
+          total_weight - kept_weight AS dropped_weight
+        FROM tot JOIN kept ON tot.registered_domain = kept.registered_domain
+        ORDER BY tot.registered_domain"""))
+  )
+}

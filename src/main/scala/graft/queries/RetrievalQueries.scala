@@ -120,6 +120,11 @@ object RetrievalQueries {
   val TfidfTauBp = 60
   val TfidfDupMod = 20L; val TfidfDupShift = 700000L
 
+  /** q298/q299 posting cap: candidates only from each term's K
+    * strongest postings — candidate volume ≤ vocab·K², the linear
+    * scale path beside q97's exact (but Σdf²-growing) join. */
+  val TfidfPostingCap = 8
+
   /** q142 phrase-search query set (adjacent word pairs present in the
     * synthetic vocabulary) and result depth per phrase. */
   val PhraseList = Seq(("table", "part"), ("fast", "scan"), ("agg", "row"))
@@ -335,6 +340,125 @@ object RetrievalQueries {
         WHERE dot * dot * 10000.0 >=
           ${(TfidfTauBp.toLong * TfidfTauBp).toDouble} * n2a * n2b
         ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q298 — posting-capped tf-idf cosine pairs (Relevance.
+    // tfidfCosinePairsCapped): q97 with the in-plan candidate cap the
+    // r16 scale adjudication calls for — candidates only from each
+    // term's 8 strongest postings (w desc, doc_id asc), so candidate
+    // volume is ≤ vocab·K² (linear in vocabulary) instead of Σdf²
+    // (quadratic when df grows with the corpus); the dot/norms of the
+    // surviving candidates are EXACT over the full capped-df vectors.
+    // Same dup-slice input as q97 so the two are directly comparable;
+    // q299 measures the recall trade.
+    // ------------------------------------------------------------------
+    "q298_tfidf_capped_pairs" -> GraftQuery(
+      build = (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = base.filter(col("doc_id") % TfidfDupMod === 0)
+          .select((col("doc_id") + TfidfDupShift).as("doc_id"),
+            concat(col("text"), lit(" zqx")).as("text"))
+        Relevance.tfidfCosinePairsCapped(
+          ScanOps.spreadSmallInput(base.unionByName(dup), col("doc_id")),
+          "doc_id", "text", TfidfDfCapPm, TfidfIdfScale, TfidfTauBp,
+          TfidfPostingCap)
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $TfidfDupShift, text || ' zqx' FROM documents
+          WHERE doc_id % $TfidfDupMod = 0),
+        tok AS (SELECT doc_id, lower(t) AS term FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM base)
+          WHERE length(t) >= ${Relevance.DefaultMinTermLen}),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+          GROUP BY term, doc_id),
+        n AS (SELECT count(*) AS n_docs FROM base),
+        kept AS (SELECT term, doc_id, tf,
+            count(*) OVER (PARTITION BY term) AS df
+          FROM tf, n QUALIFY df * 1000 <= n.n_docs * $TfidfDfCapPm),
+        w AS (SELECT term, doc_id, df,
+            CAST(tf AS HUGEINT) *
+              ((CAST(n.n_docs AS HUGEINT) * $TfidfIdfScale) // df) AS w
+          FROM kept, n),
+        r AS (SELECT term, doc_id, w,
+            row_number() OVER (PARTITION BY term
+              ORDER BY w DESC, doc_id) AS rn FROM w),
+        cand AS (SELECT term, doc_id FROM r WHERE rn <= $TfidfPostingCap),
+        cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM cand a JOIN cand b
+            ON a.term = b.term AND a.doc_id < b.doc_id),
+        norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+        p AS (SELECT doc_a, doc_b, sum(wa.w * wb.w) AS dot,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM cp JOIN w wa ON wa.doc_id = cp.doc_a
+            JOIN w wb ON wb.doc_id = cp.doc_b AND wb.term = wa.term
+          GROUP BY 1, 2),
+        j AS (SELECT doc_a, doc_b, CAST(dot AS DOUBLE) AS dot, n_shared,
+            CAST(na.n2 AS DOUBLE) AS n2a, CAST(nb.n2 AS DOUBLE) AS n2b
+          FROM p JOIN norms na ON p.doc_a = na.doc_id
+            JOIN norms nb ON p.doc_b = nb.doc_id)
+        SELECT doc_a, doc_b, dot, n_shared, n2a, n2b FROM j
+        WHERE dot * dot * 10000.0 >=
+          ${(TfidfTauBp.toLong * TfidfTauBp).toDouble} * n2a * n2b
+        ORDER BY doc_a, doc_b""")),
+
+    // ------------------------------------------------------------------
+    // q299 — posting-cap truncation accounting (Relevance.
+    // tfidfCapAccounting): one summary row measuring q298's recall
+    // trade — admitted vs truncated terms, postings in/out of candidate
+    // generation, and the candidate-pair bound Σmin(df,K)² vs the
+    // uncapped Σdf² — truncation as an auditable number (the q72/q297
+    // discipline), never a silent drop.
+    // ------------------------------------------------------------------
+    "q299_tfidf_cap_accounting" -> GraftQuery(
+      build = (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = base.filter(col("doc_id") % TfidfDupMod === 0)
+          .select((col("doc_id") + TfidfDupShift).as("doc_id"),
+            concat(col("text"), lit(" zqx")).as("text"))
+        Relevance.tfidfCapAccounting(
+          ScanOps.spreadSmallInput(base.unionByName(dup), col("doc_id")),
+          "doc_id", "text", TfidfDfCapPm, TfidfIdfScale, TfidfPostingCap)
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $TfidfDupShift, text || ' zqx' FROM documents
+          WHERE doc_id % $TfidfDupMod = 0),
+        tok AS (SELECT doc_id, lower(t) AS term FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM base)
+          WHERE length(t) >= ${Relevance.DefaultMinTermLen}),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+          GROUP BY term, doc_id),
+        n AS (SELECT count(*) AS n_docs FROM base),
+        kept AS (SELECT term, doc_id, tf,
+            count(*) OVER (PARTITION BY term) AS df
+          FROM tf, n QUALIFY df * 1000 <= n.n_docs * $TfidfDfCapPm),
+        w AS (SELECT term, doc_id, df,
+            CAST(tf AS HUGEINT) *
+              ((CAST(n.n_docs AS HUGEINT) * $TfidfIdfScale) // df) AS w
+          FROM kept, n),
+        r AS (SELECT term, df, row_number() OVER (PARTITION BY term
+            ORDER BY w DESC, doc_id) AS rn FROM w),
+        t AS (SELECT term, max(df) AS df,
+            sum(CASE WHEN rn <= $TfidfPostingCap THEN 1 ELSE 0 END) AS kept
+          FROM r GROUP BY term)
+        SELECT CAST(count(*) AS BIGINT) AS n_terms_admitted,
+          CAST(sum(CASE WHEN df > $TfidfPostingCap THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_terms_truncated,
+          CAST(sum(kept) AS BIGINT) AS postings_in_candidates,
+          CAST(sum(df - kept) AS BIGINT) AS postings_dropped,
+          CAST(sum(kept * kept) AS BIGINT) AS cand_pair_bound2,
+          CAST(sum(df * df) AS BIGINT) AS uncapped_pair_bound2
+        FROM t""")),
 
     // ------------------------------------------------------------------
     // q142 — exact phrase search over positional postings
