@@ -1425,4 +1425,107 @@ object StatefulOps {
       .transformWithState(new HampelProcessor(kMad),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class UniTokIn(k: String, w: String)
+  final case class UniTokOut(k: String, nWords: Long, nCharTokens: Long,
+    nUniTokens: Long, costQ20: Long)
+  final case class UniTokState(nWords: Long, nChars: Long, nPieces: Long,
+    cost: Long)
+
+  /**
+   * Streaming twin of `UnigramLM.encodeStats` (q295) — the 23rd
+   * batch≡stream pair: ingest-time unigram tokenization against the
+   * LANDED q294 model, the statistic an LLM ingest pipeline actually
+   * runs live (token counts and encoding cost per document as the
+   * corpus arrives, not after it lands). The piece-cost table is a
+   * capped model artifact, so it rides along as a plain literal map
+   * (the batch side's own collected-to-literals discipline) and the
+   * per-word Viterbi is a bounded O(WordMaxLen·PieceMaxLen) in-memory
+   * DP — the cheapest per-row work of any twin. The DP replays the
+   * batch lattice EXACTLY: integer Q20 costs, arg-min by
+   * (cost, n_pieces, seg) with the same ASCII-bytewise seg tie-break
+   * `least(struct…)` applies, words with out-of-model characters (or
+   * longer than WordMaxLen) dropped from ALL stats, batch-identically.
+   *
+   * State is FOUR longs per document (the running encodeStats sums) —
+   * O(1) per key, not per word. Each micro-batch emits the updated
+   * running summary per touched doc; n_words is monotone, so the
+   * max-n_words row per doc is the final one and equals the batch
+   * encodeStats row bit-for-bit across checkpointed restarts that
+   * split a document's words over micro-batches (StreamUnigramSpec).
+   */
+  class UnigramTokenizeProcessor(pieces: Map[String, Long])
+      extends StatefulProcessor[String, UniTokIn, UniTokOut] {
+    import graft.operators.UnigramLM.{PieceMaxLen, WordMaxLen}
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[UniTokState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UniTokState]("uni",
+        Encoders.product[UniTokState], TTLConfig.NONE)
+
+    /** The batch viterbi's (cost, n_pieces, seg) arg-min as a plain
+      * array DP; None when the word is unencodable or over-length (the
+      * batch drops both). Seg strings are lowercase-ASCII, so Scala's
+      * code-unit compare equals Spark's UTF8 bytewise order. */
+    private[streaming] def segment(word: String): Option[(Long, Long)] = {
+      val n = word.length
+      if (n < 1 || n > WordMaxLen) return None
+      val ord = Ordering.Tuple3[Long, Long, String]
+      val best = new Array[(Long, Long, String)](n + 1)
+      best(0) = (0L, 0L, "")
+      var i = 1
+      while (i <= n) {
+        var bi: (Long, Long, String) = null
+        var k = 1
+        while (k <= math.min(PieceMaxLen, i)) {
+          val prev = best(i - k)
+          if (prev != null) {
+            pieces.get(word.substring(i - k, i)) match {
+              case Some(c) =>
+                val cand = (prev._1 + c, prev._2 + 1L,
+                  prev._3 + "|" + word.substring(i - k, i))
+                if (bi == null || ord.lt(cand, bi)) bi = cand
+              case None =>
+            }
+          }
+          k += 1
+        }
+        best(i) = bi
+        i += 1
+      }
+      Option(best(n)).map(b => (b._2, b._1))
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[UniTokIn],
+        timers: TimerValues): Iterator[UniTokOut] = {
+      var s = if (st.exists()) st.get() else UniTokState(0L, 0L, 0L, 0L)
+      var touched = false
+      rows.foreach { r =>
+        segment(r.w).foreach { case (np, c) =>
+          touched = true
+          s = UniTokState(s.nWords + 1L, s.nChars + r.w.length,
+            s.nPieces + np, s.cost + c)
+        }
+      }
+      if (!touched) Iterator.empty
+      else {
+        st.update(s)
+        Iterator.single(
+          UniTokOut(key, s.nWords, s.nChars, s.nPieces, s.cost))
+      }
+    }
+  }
+
+  /** [[UnigramTokenizeProcessor]] over a (k, w) frame; `pieces` is the
+    * landed model's (piece → cost_q20) map. */
+  def unigramTokenizeStream(rows: DataFrame,
+      pieces: Map[String, Long]): Dataset[UniTokOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("k"), col("w"))
+      .as[UniTokIn]
+      .groupByKey(_.k)
+      .transformWithState(new UnigramTokenizeProcessor(pieces),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
