@@ -44,7 +44,8 @@ def main() -> int:
                     help="comma-separated query-name prefixes")
     ap.add_argument("--keep", action="store_true",
                     help="keep the subsampled tables on disk")
-    ap.add_argument("--ts-mode", choices=["none", "dst"], default="none",
+    ap.add_argument("--ts-mode", choices=["none", "dst", "dst-gap"],
+                    default="none",
                     help="dst: globally shift events.ts (seeded jitter) so "
                          "the series straddles a Europe/Helsinki DST "
                          "transition instant - even seeds the spring-forward "
@@ -54,7 +55,14 @@ def main() -> int:
                          "query sneaks in local-time semantics the two "
                          "engines could disagree on around the boundary "
                          "(r14 verdict item 8: the one input dimension the "
-                         "fuzz corpus had not stressed)")
+                         "fuzz corpus had not stressed). "
+                         "dst-gap: shift so the series' LARGEST inter-event "
+                         "gap (middle 80%% of the series) brackets the "
+                         "transition instant - session/island gap arithmetic "
+                         "(the q20/q116/q151 class) then evaluates its "
+                         "gap-threshold comparisons exactly astride the "
+                         "1-hour wall-clock discontinuity (r15 verdict "
+                         "item 7: stress the gap math, not just the parse)")
     args = ap.parse_args()
 
     rnd = random.Random(args.seed)
@@ -78,6 +86,51 @@ def main() -> int:
             f"(FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"[fuzz] {t}: {pct}% -> {n} rows")
+
+    if args.ts_mode == "dst-gap":
+        ev = fuzz_dir / "events.parquet"
+        boundary = ("2024-03-31 01:00:00" if args.seed % 2 == 0
+                    else "2024-10-27 01:00:00")
+        tgt = con.execute(
+            f"SELECT epoch_us(TIMESTAMP '{boundary}')").fetchone()[0]
+        # the largest inter-event gap in the middle 80% of the series:
+        # the pair most likely to be a session-splitting gap in every
+        # gap-threshold query
+        ga, gb = con.execute(f"""
+            WITH o AS (SELECT epoch_us(ts) AS t,
+                lead(epoch_us(ts)) OVER (ORDER BY ts, event_id) AS nxt,
+                percent_rank() OVER (ORDER BY ts, event_id) AS pr
+              FROM read_parquet('{ev}'))
+            SELECT t, nxt FROM o
+            WHERE nxt IS NOT NULL AND nxt > t AND pr BETWEEN 0.1 AND 0.9
+            ORDER BY nxt - t DESC, t LIMIT 1""").fetchone()
+        gap = int(gb) - int(ga)
+        # seeded jitter bounded to the gap's middle half keeps the
+        # boundary STRICTLY inside the chosen gap
+        jitter_us = rnd.randrange(-(gap // 4), gap // 4 + 1)
+        delta_us = int(tgt) + jitter_us - (int(ga) + gap // 2)
+        shifted = fuzz_dir / "events_dstgap.parquet"
+        con.execute(
+            f"COPY (SELECT * REPLACE (ts + INTERVAL ({delta_us}) "
+            f"MICROSECONDS AS ts) FROM read_parquet('{ev}')) TO "
+            f"'{shifted}' (FORMAT PARQUET)")
+        shifted.replace(ev)
+        # assert the transition lands inside an EMPTY inter-event
+        # stretch: the nearest events bracket it at the shifted gap
+        # endpoints, so every session/window comparison around the
+        # boundary exercises the discontinuity
+        below, above = con.execute(f"""
+            SELECT max(CASE WHEN epoch_us(ts) < {tgt} THEN epoch_us(ts) END),
+                   min(CASE WHEN epoch_us(ts) > {tgt} THEN epoch_us(ts) END)
+            FROM read_parquet('{ev}')""").fetchone()
+        assert below is not None and above is not None, "no straddle"
+        assert int(below) == int(ga) + delta_us, (below, ga, delta_us)
+        assert int(above) == int(gb) + delta_us, (above, gb, delta_us)
+        print(f"[fuzz] events.ts shifted {delta_us}us -> the largest "
+              f"mid-series gap ({gap}us) brackets the {boundary}Z DST "
+              f"transition; bracket asserted "
+              f"({int(tgt) - int(below)}us below, "
+              f"{int(above) - int(tgt)}us above)")
 
     if args.ts_mode == "dst":
         ev = fuzz_dir / "events.parquet"
