@@ -80,4 +80,14 @@ class UrlCurationSpec extends SparkSuite {
       ("X", 7L, 3L, 4L, 3L + 5L + 6L, 9L + 7L + 7L, 36L - 23L),
       ("Y", 2L, 2L, 0L, 21L, 12L, 0L)))
   }
+
+  test("plan pin: the cap's rn <= K filter rides WindowGroupLimit " +
+      "(partial top-K before the shuffle)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"d${i % 7}", i.toLong, (i * 13 % 50).toLong))
+      .toDF("dom", "id", "w")
+    val plan = UrlCuration.capPerDomain(df, "dom", "id", "w", 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
 }
