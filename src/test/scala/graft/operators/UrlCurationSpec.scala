@@ -81,6 +81,42 @@ class UrlCurationSpec extends SparkSuite {
       ("Y", 2L, 2L, 0L, 21L, 12L, 0L)))
   }
 
+  test("canonicalization is idempotent over the full synthesized " +
+      "URL space") {
+    import spark.implicits._
+    // every CASE-arm combination the q296 synthesis can produce:
+    // drive all moduli through 0..max via one id range
+    val df = spark.range(0, 2520) // lcm(3,5,4,7,2,9) covers all arms
+      .select(col("id"),
+        expr("""concat(
+          CASE CAST(id % 3 AS INT) WHEN 0 THEN 'HTTPS'
+            WHEN 1 THEN 'http' ELSE 'Https' END, '://',
+          CASE CAST(id % 5 AS INT) WHEN 0 THEN 'WWW.'
+            WHEN 1 THEN 'www.' WHEN 2 THEN 'media.' ELSE '' END,
+          'src', CAST(id % 20 AS STRING),
+          CASE CAST(id % 4 AS INT) WHEN 0 THEN '.COM'
+            WHEN 1 THEN '.com' WHEN 2 THEN '.CO.UK' ELSE '.io' END,
+          CASE CAST(id % 7 AS INT) WHEN 0 THEN ':443'
+            WHEN 1 THEN ':80' WHEN 2 THEN ':8080' ELSE '' END,
+          '/p/', CAST(id div 7 AS STRING),
+          CASE WHEN id % 2 = 0 THEN '/' ELSE '' END,
+          CASE CAST(id % 4 AS INT)
+            WHEN 0 THEN concat('?utm_source=feed&id=',
+              CAST(id % 50 AS STRING), '&utm_campaign=x')
+            WHEN 1 THEN concat('?id=', CAST(id % 50 AS STRING),
+              '&ref=abc&gclid=zzz')
+            WHEN 2 THEN '?b=2&a=1' ELSE '' END,
+          CASE WHEN id % 9 = 0 THEN '#sec' ELSE '' END)""").as("url"))
+    val once = UrlCuration.canonicalizeDocs(df, "id", "url")
+      .select(col("id"), col("canonical_url").as("url"))
+    val twice = UrlCuration.canonicalizeDocs(once, "id", "url")
+    val diff = once
+      .join(twice.select(col("id"),
+        col("canonical_url").as("url2")), Seq("id"))
+      .filter(col("url") =!= col("url2"))
+    assert(diff.count() === 0L)
+  }
+
   test("plan pin: the cap's rn <= K filter rides WindowGroupLimit " +
       "(partial top-K before the shuffle)") {
     import spark.implicits._
