@@ -30,6 +30,9 @@ class PlanAuditSpec extends SparkSuite {
       "q66_int8_quantized_knn", "q71_bm25", "q80_column_profile",
       "q87_pq_adc_topk", "q90_pq_trained_adc",
       "q94_mixture_weights", "q97_tfidf_cosine_join",
+      // q298/q299 reuse q97's 1-row corpus-count broadcast under the
+      // corpus-relative df cap — the same deliberate shape
+      "q298_tfidf_capped_pairs", "q299_tfidf_cap_accounting",
       "q105_contrastive_pairs", "q113_collocation_lift",
       "q129_ivm_quantile",
       // q136 embeds q25's knnBrute as its EXACT reference side — the
