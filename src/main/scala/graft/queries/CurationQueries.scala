@@ -134,10 +134,15 @@ object CurationQueries {
     // ------------------------------------------------------------------
     "q297_domain_cap" -> GraftQuery(
       build = (s, d) => {
+        // one projection carries n_chars beside the domain — a
+        // re-join of documents for the weight column would scan and
+        // shuffle the corpus twice for no reason
         val docs = documents(s, d)
           .withColumn("url", expr(urlSynth("STRING", "div")))
-        val rd = UrlCuration.canonicalizeDocs(docs, "doc_id", "url")
-          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        val (_, host) = UrlCuration.canonicalParts(col("url"))
+        val rd = docs.select(col("doc_id"),
+          UrlCuration.registeredDomain(host).as("registered_domain"),
+          col("n_chars"))
         UrlCuration.capPerDomain(rd, "registered_domain", "doc_id",
           "n_chars", DomainCapK)
           .orderBy("registered_domain")
