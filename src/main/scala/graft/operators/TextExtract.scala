@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * HTML/markup → text extraction — the step a web-corpus pipeline runs
+ * BEFORE every operator that reads `text` (CCNet/RefinedWeb extract
+ * from crawled HTML; trafilatura-class heavy extraction is a library
+ * concern, but the deterministic core — drop non-content blocks, strip
+ * tags, decode entities, measure markup/link density — is engine work
+ * and belongs beside [[UrlCuration]] in the curation family).
+ *
+ * Extraction contract (each rule replayed verbatim by the DuckDB
+ * oracle, CurationQueries q300/q301):
+ *  1. comments (`<!-- … -->`), `<script>` and `<style>` blocks vanish
+ *     INCLUDING their content (dotall non-greedy, case-insensitive);
+ *  2. every remaining tag `<…>` is replaced by a space (block
+ *     boundaries must separate words, never glue them);
+ *  3. the five core entities decode (`&lt; &gt; &quot; &#39; &nbsp;`),
+ *     `&amp;` LAST — decoding it first would double-decode
+ *     `&amp;lt;`;
+ *  4. whitespace collapses to single spaces, ends trimmed.
+ *
+ * All four stages are regexp_replace / replace chains — per-row,
+ * map-side, codegen'd, shuffle-free: the 100-TB shape is one
+ * projection over the raw-HTML scan, exactly like the URL
+ * canonicalizer. ASCII-scope entities (named Unicode entities and
+ * numeric references beyond &#39; are out of scope, stated).
+ */
+object TextExtract {
+
+  /** Rule-1 block patterns: content-bearing non-content blocks. */
+  private val BlockPatterns = Seq(
+    "(?s)<!--.*?-->",
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>")
+
+  /** Rule-3 entity table in decode order (`&amp;` strictly last). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Rules 1–4 as one Column pipeline. */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = BlockPatterns.foldLeft(html)(
+      (c, p) => regexp_replace(c, p, " "))
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Entities.foldLeft(noTags) {
+      case (c, (e, ch)) => replace(c, lit(e), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Anchor inner-HTML occurrences, document order. */
+  def anchorTexts(html: Column): Column =
+    regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
+
+  /** href attribute values of double-quoted anchors, document order —
+    * the outlink feed for [[UrlCuration]]. */
+  def hrefs(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a[^>]+href=\"([^\"]*)\"[^>]*>"), lit(1))
+
+  /**
+   * Per-document extraction metrics: raw/extracted sizes, markup
+   * ratio, link count, link-text share — the quality gates a crawl
+   * pipeline filters on (boilerplate-heavy and link-farm pages score
+   * high here), plus the md5 of the extracted text so the oracle
+   * verifies the EXACT extraction, not just its lengths. One narrow
+   * map-side projection; ratios are integer ppm floors (Spark `div` ≡
+   * DuckDB `//` on non-negative operands).
+   */
+  def markupStats(docs: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val text = stripMarkup(col(htmlCol))
+    val linkText = stripMarkup(
+      array_join(anchorTexts(col(htmlCol)), " "))
+    docs.select(col(idCol),
+      length(col(htmlCol)).cast("long").as("n_raw_chars"),
+      length(text).cast("long").as("n_text_chars"),
+      md5(text).as("text_md5"),
+      size(anchorTexts(col(htmlCol))).cast("long").as("n_links"),
+      length(linkText).cast("long").as("link_text_chars"))
+      .withColumn("markup_ratio_ppm",
+        expr("(1000000 * (n_raw_chars - n_text_chars)) div n_raw_chars"))
+      .withColumn("link_density_ppm",
+        when(col("n_text_chars") > 0,
+          expr("(1000000 * link_text_chars) div n_text_chars")))
+  }
+
+  /**
+   * Domain-level outlink graph: explode each document's hrefs,
+   * canonicalize ([[UrlCuration]] rules), group by the target's
+   * registered domain — the standard web-graph aggregation behind
+   * link-spam scoring and per-domain crawl budgeting. Scale shape:
+   * one Generate over the scan, the canonicalization chain per link
+   * (map-side), ONE shuffle on the registered domain for the
+   * count/distinct aggregate — link rows never carry document bodies.
+   */
+  def outlinkDomains(docs: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val (_, host) = UrlCuration.canonicalParts(col("url"))
+    docs
+      .select(col(idCol).as("src_doc"),
+        explode(hrefs(col(htmlCol))).as("url"))
+      .select(col("src_doc"),
+        UrlCuration.registeredDomain(host).as("registered_domain"))
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src_doc")).as("n_src_docs"))
+  }
+}

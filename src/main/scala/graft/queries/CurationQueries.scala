@@ -54,8 +54,9 @@ object CurationQueries {
 
   /** DuckDB replay of the UrlCuration.canonicalParts +
     * registeredDomain pipeline as a CTE chain ending in relation `rd`
-    * with (doc_id, canonical_url, host, registered_domain). */
-  private val oracleCanonChain: String = {
+    * with (doc_id, canonical_url, host, registered_domain); `uBody`
+    * is the SELECT producing the (doc_id, url) input relation. */
+  private def canonChain(uBody: String): String = {
     val rdChain = (UrlCuration.PublicSuffixes2 ++
       UrlCuration.PublicSuffixes1).map { s =>
       val esc = s.replace(".", "\\.")
@@ -64,8 +65,7 @@ object CurationQueries {
     val drop = UrlCuration.TrackingTokenPrefixes
       .map(p => s"starts_with(p, '$p')").mkString(" OR ")
     s"""
-    u AS (SELECT doc_id, ${urlSynth("VARCHAR", "//")} AS url
-      FROM documents),
+    u AS ($uBody),
     s1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
     s2 AS (SELECT doc_id, nofrag,
       lower(split_part(nofrag, '://', 1)) AS scheme,
@@ -100,6 +100,57 @@ object CurationQueries {
       host,
       coalesce($rdChain, host) AS registered_domain FROM s6)"""
   }
+
+  /** The q296/q297 instance: synthesized URLs over documents. */
+  private def oracleCanonChain: String = canonChain(
+    s"""SELECT doc_id, ${urlSynth("VARCHAR", "//")} AS url
+      FROM documents""")
+
+  /** q300/q301 deterministic messy-HTML synthesis (one template, both
+    * engines): each document's text wrapped in a page with doc_id-keyed
+    * style/script/comment blocks (content must VANISH), entity-bearing
+    * headers, an unconditional tracking-parameterized anchor splitting
+    * the text mid-body, and a second anchor on even ids. */
+  private def htmlSynth(strT: String): String = s"""
+    '<!DOCTYPE html><html><head><title>D' || CAST(doc_id AS $strT)
+    || '</title>'
+    || (CASE WHEN doc_id % 3 = 0
+        THEN '<style type="text/css">p.x { color: red; }</style>'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+        THEN '<script>var j = 1 < 2 && "s";</script>' ELSE '' END)
+    || '</head><body>'
+    || (CASE WHEN doc_id % 5 = 0
+        THEN '<!-- hidden comment words -->' ELSE '' END)
+    || '<h1 class="t">T &amp; U &lt;h&gt;</h1><P>'
+    || substr(text, 1, 120)
+    || ' <a href="HTTPS://WWW.Out' || CAST(doc_id % 13 AS $strT)
+    || '.COM:443/p/' || CAST(doc_id % 9 AS $strT)
+    || '/?utm_source=z&id=' || CAST(doc_id % 4 AS $strT)
+    || '">anchor ' || CAST(doc_id % 5 AS $strT) || '</a> '
+    || (CASE WHEN doc_id % 2 = 0
+        THEN '<a class="x" href="http://media.out'
+          || CAST(doc_id % 7 AS $strT)
+          || '.CO.UK:80/q">second&nbsp;link</a>' ELSE '' END)
+    || substr(text, 121)
+    || '</p><br/></body></html>'"""
+
+  /** DuckDB twin of TextExtract.stripMarkup around any expression:
+    * comment/script/style blocks vanish with content, tags become
+    * spaces, the five entities decode with &amp; last, whitespace
+    * collapses. */
+  private def stripSql(in: String): String = s"""
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          $in,
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g'))"""
 
   val all: Map[String, GraftQuery] = Map(
 
@@ -166,6 +217,73 @@ object CurationQueries {
           n_total - n_kept AS n_dropped, kept_id_sum, kept_weight,
           total_weight - kept_weight AS dropped_weight
         FROM tot JOIN kept ON tot.registered_domain = kept.registered_domain
-        ORDER BY tot.registered_domain"""))
+        ORDER BY tot.registered_domain""")),
+
+    // ------------------------------------------------------------------
+    // q300 — HTML -> text extraction metrics (TextExtract.markupStats):
+    // per document over the synthesized messy page — raw/extracted
+    // sizes, the md5 of the EXACT extracted text (the oracle verifies
+    // the extraction itself, not just lengths), anchor count, link-text
+    // share and the markup/link-density ppm gates a crawl pipeline
+    // filters on. One narrow map-side projection; the oracle replays
+    // the synthesis and all four strip rules.
+    // ------------------------------------------------------------------
+    "q300_html_extract" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("html", expr(htmlSynth("STRING")))
+        graft.operators.TextExtract.markupStats(docs, "doc_id", "html")
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH h AS (SELECT doc_id, ${htmlSynth("VARCHAR")} AS html
+          FROM documents),
+        t AS (SELECT doc_id, html,
+          ${stripSql("html")} AS txt,
+          regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1)
+            AS anchors FROM h),
+        m AS (SELECT doc_id,
+          CAST(length(html) AS BIGINT) AS n_raw_chars,
+          CAST(length(txt) AS BIGINT) AS n_text_chars,
+          md5(txt) AS text_md5,
+          CAST(len(anchors) AS BIGINT) AS n_links,
+          CAST(length(${stripSql("array_to_string(anchors, ' ')")})
+            AS BIGINT) AS link_text_chars
+          FROM t)
+        SELECT doc_id, n_raw_chars, n_text_chars, text_md5, n_links,
+          link_text_chars,
+          (1000000 * (n_raw_chars - n_text_chars)) // n_raw_chars
+            AS markup_ratio_ppm,
+          CASE WHEN n_text_chars > 0
+            THEN (1000000 * link_text_chars) // n_text_chars END
+            AS link_density_ppm
+        FROM m ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q301 — domain-level outlink graph (TextExtract.outlinkDomains):
+    // hrefs exploded from the synthesized pages, canonicalized with the
+    // FULL q296 rule chain (case, www, default ports, tracking params),
+    // grouped by the target registered domain — link counts + distinct
+    // linking docs, the web-graph aggregation behind link-spam scoring
+    // and per-domain crawl budgets. One Generate + map-side
+    // canonicalization + ONE shuffle on the domain.
+    // ------------------------------------------------------------------
+    "q301_outlink_domains" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("html", expr(htmlSynth("STRING")))
+        graft.operators.TextExtract
+          .outlinkDomains(docs, "doc_id", "html")
+          .orderBy("registered_domain")
+      },
+      oracle = Some(s"""
+        WITH h AS (SELECT doc_id, ${htmlSynth("VARCHAR")} AS html
+          FROM documents),
+        ${canonChain("""SELECT src_doc AS doc_id, url FROM (
+          SELECT h.doc_id AS src_doc, unnest(regexp_extract_all(html,
+            '(?is)<a[^>]+href="([^"]*)"[^>]*>', 1)) AS url FROM h) x""")}
+        SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_links,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+        FROM rd GROUP BY registered_domain ORDER BY registered_domain"""))
   )
 }

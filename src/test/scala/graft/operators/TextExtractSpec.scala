@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * Hand-derived cases for the HTML extraction family (q300/q301): each
+ * strip rule alone and composed, the entity decode order trap, link
+ * metrics, and the outlink domain grouping through the full URL
+ * canonicalization chain.
+ */
+class TextExtractSpec extends SparkSuite {
+
+  private def strip(htmls: String*): Seq[String] = {
+    import spark.implicits._
+    htmls.toDF("h").select(TextExtract.stripMarkup(col("h")))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("strip rules, hand-derived") {
+    assert(strip(
+      // tags become spaces, entities decode, whitespace collapses
+      "<p>a&amp;b</p>  <b>c</b>",
+      // script/style/comment content VANISHES, including the <, &&
+      // and quote characters inside
+      "<script>var j = 1 < 2 && \"s\";</script>keep<style>p{}</style>",
+      "x<!-- dropped words -->y",
+      // decode order: &amp;lt; is the ESCAPED literal '&lt;' and must
+      // surface as '&lt;', never double-decode to '<'
+      "&amp;lt; &lt;i&gt;",
+      // decoded '<h>' is TEXT (decode happens after tag strip)
+      "<h1>T &amp; U &lt;h&gt;</h1>",
+      // uppercase tags strip; nbsp becomes a plain space
+      "<P>one&nbsp;two</P>") === Seq(
+      "a&b c",
+      "keep",
+      "x y",
+      "&lt; <i>",
+      "T & U <h>",
+      "one two"))
+  }
+
+  test("markup stats: counts, md5 target and ppm floors by hand") {
+    import spark.implicits._
+    // raw: '<p>ab</p><a href="u">xy z</a>' -> text 'ab xy z' (7),
+    // raw length 29, links 1, link text 'xy z' (4)
+    val df = Seq((1L, "<p>ab</p><a href=\"u\">xy z</a>")).toDF("id", "h")
+    val r = TextExtract.markupStats(df, "id", "h").head()
+    assert(r.getLong(1) === 29L)
+    assert(r.getLong(2) === 7L)
+    assert(r.getString(3) === java.security.MessageDigest
+      .getInstance("MD5").digest("ab xy z".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    assert(r.getLong(4) === 1L)
+    assert(r.getLong(5) === 4L)
+    // markup ppm = floor(1e6 * 22/29); link density = floor(1e6 * 4/7)
+    assert(r.getLong(6) === 1000000L * 22L / 29L)
+    assert(r.getLong(7) === 1000000L * 4L / 7L)
+  }
+
+  test("outlink domains: canonicalization + registered-domain grouping") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<a href=\"HTTPS://WWW.T.COM:443/a\">x</a>" +
+        "<a class=\"k\" href=\"http://sub.t.com/b?utm_source=z\">y</a>"),
+      (2L, "<a href=\"http://media.u.co.uk:80/c\">z</a>" +
+        "<a href=\"https://t.com/d\">w</a>"))
+      .toDF("id", "h")
+    val got = TextExtract.outlinkDomains(df, "id", "h")
+      .orderBy("registered_domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // t.com: three links (doc1 x2, doc2 x1) from two docs;
+    // u.co.uk: one link from one doc
+    assert(got === Seq(("t.com", 3L, 2L), ("u.co.uk", 1L, 1L)))
+  }
+}
