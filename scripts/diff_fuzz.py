@@ -96,7 +96,7 @@ def main() -> int:
         # the largest inter-event gap in the middle 80% of the series:
         # the pair most likely to be a session-splitting gap in every
         # gap-threshold query
-        ga, gb = con.execute(f"""
+        gap_row = con.execute(f"""
             WITH o AS (SELECT epoch_us(ts) AS t,
                 lead(epoch_us(ts)) OVER (ORDER BY ts, event_id) AS nxt,
                 percent_rank() OVER (ORDER BY ts, event_id) AS pr
@@ -104,6 +104,19 @@ def main() -> int:
             SELECT t, nxt FROM o
             WHERE nxt IS NOT NULL AND nxt > t AND pr BETWEEN 0.1 AND 0.9
             ORDER BY nxt - t DESC, t LIMIT 1""").fetchone()
+        # a heavily subsampled events table can lack any qualifying
+        # mid-series gap (fetchone -> None), and a 1-microsecond gap
+        # would land the boundary exactly ON an event and trip the
+        # bracket assert below — fall back to the plain dst shift,
+        # which only needs a non-empty series (r16 advice #1)
+        if gap_row is None or gap_row[1] is None or \
+                int(gap_row[1]) - int(gap_row[0]) < 2:
+            print("[fuzz] dst-gap: no usable mid-series gap (need an "
+                  "inter-event gap >= 2us in the middle 80%); falling "
+                  "back to plain dst mode")
+            args.ts_mode = "dst"
+    if args.ts_mode == "dst-gap":
+        ga, gb = gap_row
         gap = int(gb) - int(ga)
         # seeded jitter bounded to the gap's middle half keeps the
         # boundary STRICTLY inside the chosen gap

@@ -248,14 +248,26 @@ object Bench {
     // scrape produced parsed:null; a consumer should read this file,
     // not the sbt-prefixed stdout). Written atomically (temp + move)
     // so a concurrent reader never sees a half-written record.
+    val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
     try {
-      val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
       java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("bench_out.json"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val dst = java.nio.file.Paths.get("bench_out.json")
+      try
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a filesystem without atomic-move support must still get the
+        // file — the pre-r16 direct write always produced it (r16
+        // advice #4); non-atomic REPLACE_EXISTING is the fallback
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+      try java.nio.file.Files.deleteIfExists(tmp)
+      catch { case _: Throwable => () }
     }
     spark.stop()
   }

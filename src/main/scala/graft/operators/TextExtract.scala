@@ -56,11 +56,20 @@ object TextExtract {
   def anchorTexts(html: Column): Column =
     regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
 
-  /** href attribute values of double-quoted anchors, document order —
-    * the outlink feed for [[UrlCuration]]. */
+  /** href attribute values of anchors, document order — the outlink
+    * feed for [[UrlCuration]]. All three HTML attribute spellings
+    * match (double-quoted, single-quoted, unquoted — single/unquoted
+    * are common in real crawl HTML and silently dropped from the
+    * outlink graph before r17, r16 verdict gap 2c): one alternation
+    * captures the value with its quotes, a bounded per-element
+    * transform strips them. Unquoted values run to the first
+    * whitespace or `>` per the HTML spec. */
   def hrefs(html: Column): Column =
-    regexp_extract_all(html,
-      lit("(?is)<a[^>]+href=\"([^\"]*)\"[^>]*>"), lit(1))
+    transform(
+      regexp_extract_all(html,
+        lit("(?is)<a[^>]*\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s>]+)"),
+        lit(1)),
+      v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
   /**
    * Per-document extraction metrics: raw/extracted sizes, markup
@@ -70,6 +79,12 @@ object TextExtract {
    * verifies the EXACT extraction, not just its lengths. One narrow
    * map-side projection; ratios are integer ppm floors (Spark `div` ≡
    * DuckDB `//` on non-negative operands).
+   *
+   * `link_density_ppm` is NULL (not 0) when `n_text_chars = 0`: a page
+   * with no extracted text is UNMEASURABLE, not link-free — a crawl
+   * filter branching on this column must treat NULL as "gate on
+   * markup_ratio/n_links instead", never as a passing low density
+   * (r16 verdict advisory #2).
    */
   def markupStats(docs: DataFrame, idCol: String,
       htmlCol: String): DataFrame = {

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
  *     the survivors bytewise, drop the `?` when none survive;
  *  6. empty path reads `/`; a single trailing slash on a non-root
  *     path is stripped.
+ *
+ * The authority is everything after `://` up to the FIRST of `/` or
+ * `?` (a query may legally precede any path); absolute URLs with a
+ * scheme are a precondition — scheme-relative/relative hrefs
+ * degenerate to `scheme:///` rather than erroring (documented, r16
+ * advice).
  */
 object UrlCuration {
 
@@ -54,7 +60,13 @@ object UrlCuration {
     val schemeRaw = split_part(noFrag, lit("://"), lit(1))
     val scheme = lower(schemeRaw)
     val rest = noFrag.substr(length(schemeRaw) + 4, lit(Big))
-    val hostPort = split_part(rest, lit("/"), lit(1))
+    // the authority ends at the FIRST of '/' or '?': a URL whose query
+    // precedes any path ('http://h.com?a=1') must not fold '?a=1' into
+    // the host — outlinkDomains feeds arbitrary crawl hrefs through
+    // here (r16 advice). Inputs without '://' degenerate to an empty
+    // rest (schemeRaw swallows the whole string): scheme-relative and
+    // relative hrefs are out of scope, canonicalizing to 'scheme:///'.
+    val hostPort = regexp_extract(rest, "^[^/?]*", 0)
     val pathQ = rest.substr(length(hostPort) + 1, lit(Big))
     val host = regexp_replace(
       lower(regexp_replace(hostPort, ":[0-9]+$", "")), "^www\\.", "")
@@ -135,10 +147,20 @@ object UrlCuration {
       .agg(count(lit(1)).as("n_total"),
         sum(col(idCol)).as("total_id_sum"),
         sum(col(weightCol)).as("total_weight"))
-    totals.join(kept, Seq(domainCol))
-      .select(col(domainCol), col("n_total"), col("n_kept"),
-        (col("n_total") - col("n_kept")).as("n_dropped"),
-        col("kept_id_sum"), col("kept_weight"),
-        (col("total_weight") - col("kept_weight")).as("dropped_weight"))
+    // LEFT join from totals: with the top-k keep rule and k >= 1 every
+    // domain retains a row, so this matches an inner join bit-for-bit —
+    // but the accounting must never silently drop a fully-dropped
+    // domain if the keep rule is ever generalized (e.g. predicate-based
+    // keeps), because those are exactly the rows the accounting exists
+    // for (r16 verdict advisory #1). Coalesce renders an absent kept
+    // side as zero kept rows/weight.
+    totals.join(kept, Seq(domainCol), "left")
+      .select(col(domainCol), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"),
+        coalesce(col("kept_weight"), lit(0L)).as("kept_weight"),
+        (col("total_weight") - coalesce(col("kept_weight"), lit(0L)))
+          .as("dropped_weight"))
   }
 }

@@ -71,8 +71,8 @@ object CurationQueries {
       lower(split_part(nofrag, '://', 1)) AS scheme,
       substr(nofrag, length(split_part(nofrag, '://', 1)) + 4) AS rest
       FROM s1),
-    s3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
-      substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+    s3 AS (SELECT *, regexp_extract(rest, '^[^/?]*') AS hostport,
+      substr(rest, length(regexp_extract(rest, '^[^/?]*')) + 1) AS pathq
       FROM s2),
     s4 AS (SELECT *,
       regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
@@ -132,6 +132,14 @@ object CurationQueries {
         THEN '<a class="x" href="http://media.out'
           || CAST(doc_id % 7 AS $strT)
           || '.CO.UK:80/q">second&nbsp;link</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 1
+        THEN '<a href=' || chr(39) || 'http://Sq'
+          || CAST(doc_id % 6 AS $strT)
+          || '.Org/a/b/?x=1&utm_medium=m' || chr(39)
+          || '>sq</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+        THEN '<a id=u href=HTTPS://Uq' || CAST(doc_id % 11 AS $strT)
+          || '.net:8443/u >unq</a>' ELSE '' END)
     || substr(text, 121)
     || '</p><br/></body></html>'"""
 
@@ -280,8 +288,12 @@ object CurationQueries {
         WITH h AS (SELECT doc_id, ${htmlSynth("VARCHAR")} AS html
           FROM documents),
         ${canonChain("""SELECT src_doc AS doc_id, url FROM (
-          SELECT h.doc_id AS src_doc, unnest(regexp_extract_all(html,
-            '(?is)<a[^>]+href="([^"]*)"[^>]*>', 1)) AS url FROM h) x""")}
+          SELECT h.doc_id AS src_doc, unnest(list_transform(
+            regexp_extract_all(html,
+              '(?is)<a[^>]*\shref\s*=\s*("[^"]*"|''[^'']*''|[^"''\s>]+)',
+              1),
+            v -> regexp_replace(v, '^["'']|["'']$', '', 'g'))) AS url
+          FROM h) x""")}
         SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_links,
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
         FROM rd GROUP BY registered_domain ORDER BY registered_domain"""))

@@ -1356,6 +1356,15 @@ object StatefulOps {
    * correct even under out-of-order batch arrival, with no
    * time-ordered-arrival contract required (unlike RunsProcessor,
    * whose sequence statistic inherently needs ordered arrival).
+   *
+   * STATE-SCHEMA NOTE (r16 advice #3): the `tmax` ValueState was added
+   * in r16 — a checkpoint written by the pre-r16 processor (hist-only
+   * state) fails transformWithState state-schema validation on
+   * restart, so such checkpoints are NOT resumable across that
+   * upgrade. All in-repo streams start fresh per test; a long-lived
+   * deployment upgrading across this boundary must either drain and
+   * restart the query with a new checkpoint dir or enable state-schema
+   * evolution support before adopting the new processor.
    */
   class HampelProcessor(kMad: Long)
       extends StatefulProcessor[String, HampelIn, HampelOut] {

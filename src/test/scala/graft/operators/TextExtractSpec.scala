@@ -59,6 +59,23 @@ class TextExtractSpec extends SparkSuite {
     assert(r.getLong(7) === 1000000L * 4L / 7L)
   }
 
+  test("hrefs: double-quoted, single-quoted and unquoted attribute " +
+      "spellings all extract (r16 verdict gap 2c)") {
+    import spark.implicits._
+    val html =
+      "<a href=\"http://dq.com/a\">d</a> " +
+        "<a class='k' href='http://sq.org/b?x=1'>s</a> " +
+        "<a id=u href=HTTPS://Uq.net:8443/u >u</a> " +
+        "<a href = 'spaced.io/x'>ws around =</a> " +
+        // no href at all, and an href in a non-anchor tag: neither emits
+        "<a name=\"plain\">none</a> <link href=\"http://css.com/s\">"
+    val got = Seq((1L, html)).toDF("id", "h")
+      .select(TextExtract.hrefs(col("h")))
+      .head().getSeq[String](0)
+    assert(got === Seq("http://dq.com/a", "http://sq.org/b?x=1",
+      "HTTPS://Uq.net:8443/u", "spaced.io/x"))
+  }
+
   test("outlink domains: canonicalization + registered-domain grouping") {
     import spark.implicits._
     val df = Seq(

@@ -39,7 +39,11 @@ class UrlCurationSpec extends SparkSuite {
       // empty path reads '/'
       "http://A.com",
       // only tracking params -> the '?' goes away entirely
-      "https://WWW.a.CO.UK/p/?id=3&ref=abc&gclid=zzz")
+      "https://WWW.a.CO.UK/p/?id=3&ref=abc&gclid=zzz",
+      // a query BEFORE any path must not fold into the host (r16
+      // advice #2): authority ends at the first of '/' or '?'
+      "http://H.com?a=1",
+      "https://www.Q.io?b=2&utm_source=x&a=1#frag")
     assert(got === Seq(
       ("https://src1.com/p/3?id=7", "src1.com", "src1.com"),
       ("http://media.srcx.co.uk:443/p/10", "media.srcx.co.uk",
@@ -48,7 +52,9 @@ class UrlCurationSpec extends SparkSuite {
       ("http://example.org/x", "example.org", "example.org"),
       ("https://localhost/a", "localhost", "localhost"),
       ("http://a.com/", "a.com", "a.com"),
-      ("https://a.co.uk/p?id=3", "a.co.uk", "a.co.uk")))
+      ("https://a.co.uk/p?id=3", "a.co.uk", "a.co.uk"),
+      ("http://h.com/?a=1", "h.com", "h.com"),
+      ("https://q.io/?a=1&b=2", "q.io", "q.io")))
   }
 
   test("registered domain: longest suffix wins, one label kept") {
