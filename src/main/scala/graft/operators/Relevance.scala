@@ -328,6 +328,69 @@ object Relevance {
         sum(col("df") * col("df")).as("uncapped_pair_bound2"))
 
   /**
+   * Recall audit of [[tfidfCosinePairsCapped]] against the exact
+   * [[tfidfCosinePairs]] — the q136 ANN-recall-audit discipline
+   * applied to the capped tf-idf path (r16 verdict gap 3: the cap's
+   * candidate-bound REDUCTION was accounted by [[tfidfCapAccounting]],
+   * but what fraction of the exact above-threshold pairs survives the
+   * cap was never a measured artifact). One summary row:
+   *
+   *  - `n_exact_pairs` / `n_capped_pairs` — above-threshold pairs from
+   *    the exact and the capped operator;
+   *  - `n_retained` / `n_missed` — exact pairs the cap kept / lost;
+   *  - `n_phantom` — capped pairs ABSENT from the exact set: the
+   *    containment property ("every emitted pair carries the exact
+   *    dot/norms, so capped ⊆ exact") as an oracle-gated ZERO, not
+   *    just a spec pin;
+   *  - `recall_ppm` — ⌊10⁶·retained/exact⌋ (integer floor, both
+   *    engines' `div`);
+   *  - `max_missed_cos2_ppm` — ⌊10⁶·dot²/(n2a·n2b)⌋ maximized over
+   *    the MISSED pairs (how close the worst loss sits to the
+   *    threshold; NULL when nothing is missed). Identical IEEE double
+   *    ops in a fixed expression shape on exact-decimal-cast operands,
+   *    like the threshold itself.
+   *
+   * Scale shape: the audit necessarily PAYS the uncapped Σdf² cost —
+   * it exists to measure the cap against exact truth, so it is an
+   * offline/sampled-slice diagnostic (run it on a bounded sample of
+   * the corpus, the way q136 audits the IVF path), never the 100-TB
+   * production path; the production pair join is the capped operator
+   * alone. Both pipelines share one tokenization contract; the
+   * full-outer join on the pair key feeds a single map-side-combined
+   * aggregate.
+   */
+  def tfidfCapRecallAudit(docs: DataFrame, idCol: String,
+      textCol: String, dfCapPermille: Long, idfScale: Long, tauBp: Int,
+      postingCap: Int): DataFrame = {
+    val exact = tfidfCosinePairs(
+      docs, idCol, textCol, dfCapPermille, idfScale, tauBp)
+      .withColumn("in_e", lit(1L))
+    val capped = tfidfCosinePairsCapped(
+      docs, idCol, textCol, dfCapPermille, idfScale, tauBp, postingCap)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_c"))
+    val cos2ppm = floor(
+      col("dot") * col("dot") * lit(1000000.0) /
+        (col("n2a") * col("n2b")))
+    exact.join(capped, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_e"), lit(0L))).as("n_exact_pairs"),
+        sum(coalesce(col("in_c"), lit(0L))).as("n_capped_pairs"),
+        sum(when(col("in_e") === 1L && col("in_c") === 1L, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("in_e") === 1L && col("in_c").isNull, 1L)
+          .otherwise(0L)).as("n_missed"),
+        sum(when(col("in_e").isNull && col("in_c") === 1L, 1L)
+          .otherwise(0L)).as("n_phantom"),
+        max(when(col("in_e") === 1L && col("in_c").isNull, cos2ppm)
+          .cast("long")).as("max_missed_cos2_ppm"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * n_retained) div n_exact_pairs"))
+      .select(col("n_exact_pairs"), col("n_capped_pairs"),
+        col("n_retained"), col("n_missed"), col("n_phantom"),
+        col("recall_ppm"), col("max_missed_cos2_ppm"))
+  }
+
+  /**
    * Positional postings (doc_id, pos, term): the token stream WITH its
    * in-document position — the index layout that makes phrase and
    * proximity queries joins instead of re-scans. Positions index the

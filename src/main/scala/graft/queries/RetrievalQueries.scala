@@ -461,6 +461,97 @@ object RetrievalQueries {
         FROM t""")),
 
     // ------------------------------------------------------------------
+    // q302 — posting-cap RECALL audit (Relevance.tfidfCapRecallAudit):
+    // the q136 ANN-recall-audit discipline applied to the capped
+    // tf-idf path (r16 verdict gap 3) — one summary row with the exact
+    // vs capped pair counts, retained/missed/phantom splits, the
+    // recall ppm at K=8, and the worst missed pair's cos² ppm.
+    // n_phantom doubles as the containment property (capped ⊆ exact)
+    // measured as an oracle-gated ZERO. Offline/sampled-slice
+    // diagnostic by design: it pays the exact join's Σdf² cost to have
+    // truth to compare against — the production path stays q298.
+    // ------------------------------------------------------------------
+    "q302_tfidf_cap_recall_audit" -> GraftQuery(
+      build = (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val dup = base.filter(col("doc_id") % TfidfDupMod === 0)
+          .select((col("doc_id") + TfidfDupShift).as("doc_id"),
+            concat(col("text"), lit(" zqx")).as("text"))
+        Relevance.tfidfCapRecallAudit(
+          ScanOps.spreadSmallInput(base.unionByName(dup), col("doc_id")),
+          "doc_id", "text", TfidfDfCapPm, TfidfIdfScale, TfidfTauBp,
+          TfidfPostingCap)
+      },
+      oracle = Some(s"""
+        WITH base(doc_id, text) AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + $TfidfDupShift, text || ' zqx' FROM documents
+          WHERE doc_id % $TfidfDupMod = 0),
+        tok AS (SELECT doc_id, lower(t) AS term FROM (
+            SELECT doc_id,
+              unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t
+            FROM base)
+          WHERE length(t) >= ${Relevance.DefaultMinTermLen}),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+          GROUP BY term, doc_id),
+        n AS (SELECT count(*) AS n_docs FROM base),
+        kept AS (SELECT term, doc_id, tf,
+            count(*) OVER (PARTITION BY term) AS df
+          FROM tf, n QUALIFY df * 1000 <= n.n_docs * $TfidfDfCapPm),
+        w AS (SELECT term, doc_id,
+            CAST(tf AS HUGEINT) *
+              ((CAST(n.n_docs AS HUGEINT) * $TfidfIdfScale) // df) AS w
+          FROM kept, n),
+        norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+        pe AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            sum(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        je AS (SELECT doc_a, doc_b, CAST(dot AS DOUBLE) AS dot,
+            CAST(na.n2 AS DOUBLE) AS n2a, CAST(nb.n2 AS DOUBLE) AS n2b
+          FROM pe JOIN norms na ON pe.doc_a = na.doc_id
+            JOIN norms nb ON pe.doc_b = nb.doc_id),
+        e AS (SELECT doc_a, doc_b, dot, n2a, n2b, 1 AS in_e FROM je
+          WHERE dot * dot * 10000.0 >=
+            ${(TfidfTauBp.toLong * TfidfTauBp).toDouble} * n2a * n2b),
+        r AS (SELECT term, doc_id, w,
+            row_number() OVER (PARTITION BY term
+              ORDER BY w DESC, doc_id) AS rn FROM w),
+        cand AS (SELECT term, doc_id FROM r WHERE rn <= $TfidfPostingCap),
+        cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM cand a JOIN cand b
+            ON a.term = b.term AND a.doc_id < b.doc_id),
+        pc AS (SELECT doc_a, doc_b, sum(wa.w * wb.w) AS dot
+          FROM cp JOIN w wa ON wa.doc_id = cp.doc_a
+            JOIN w wb ON wb.doc_id = cp.doc_b AND wb.term = wa.term
+          GROUP BY 1, 2),
+        jc AS (SELECT doc_a, doc_b, CAST(dot AS DOUBLE) AS dot,
+            CAST(na.n2 AS DOUBLE) AS n2a, CAST(nb.n2 AS DOUBLE) AS n2b
+          FROM pc JOIN norms na ON pc.doc_a = na.doc_id
+            JOIN norms nb ON pc.doc_b = nb.doc_id),
+        c AS (SELECT doc_a, doc_b, 1 AS in_c FROM jc
+          WHERE dot * dot * 10000.0 >=
+            ${(TfidfTauBp.toLong * TfidfTauBp).toDouble} * n2a * n2b),
+        fo AS (SELECT dot, n2a, n2b, in_e, in_c
+          FROM e FULL JOIN c USING (doc_a, doc_b))
+        SELECT CAST(sum(coalesce(in_e, 0)) AS BIGINT) AS n_exact_pairs,
+          CAST(sum(coalesce(in_c, 0)) AS BIGINT) AS n_capped_pairs,
+          CAST(sum(CASE WHEN in_e = 1 AND in_c = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+          CAST(sum(CASE WHEN in_e = 1 AND in_c IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missed,
+          CAST(sum(CASE WHEN in_e IS NULL AND in_c = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_phantom,
+          (1000000 * CAST(sum(CASE WHEN in_e = 1 AND in_c = 1
+              THEN 1 ELSE 0 END) AS BIGINT))
+            // CAST(sum(coalesce(in_e, 0)) AS BIGINT) AS recall_ppm,
+          CAST(max(CASE WHEN in_e = 1 AND in_c IS NULL THEN
+            floor(dot * dot * 1000000.0 / (n2a * n2b)) END) AS BIGINT)
+            AS max_missed_cos2_ppm
+        FROM fo""")),
+
+    // ------------------------------------------------------------------
     // q142 — exact phrase search over positional postings
     // (Relevance.phraseSearch): occurrences of each two-word phrase per
     // document, top-10 docs per phrase. The adjacency test is a pure

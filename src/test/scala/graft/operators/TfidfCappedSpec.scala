@@ -47,6 +47,43 @@ class TfidfCappedSpec extends SparkSuite {
       r.getLong(4), r.getLong(5)) === ((3L, 2L, 6L, 2L, 12L, 22L)))
   }
 
+  test("recall audit: counts, recall ppm and worst missed cos² by hand") {
+    // uncapped at tau=0 admits every co-occurring pair: (1,2) (1,3)
+    // (1,4) (2,3) (2,4) (3,4) = 6; capped keeps {(1,2),(3,4)} = 2.
+    // recall = ⌊1e6·2/6⌋ = 333333. Missed cos²·1e6 floors:
+    // (1,3) 1²/(2·5)→100000, (1,4) 1²/(2·17)→29411,
+    // (2,3) 2²/(5·5)→160000, (2,4) 1²/(5·17)→11764 ⇒ max 160000.
+    val r = Relevance
+      .tfidfCapRecallAudit(docs, "doc_id", "text", 1000L, 1L, 0, 2)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((6L, 2L, 2L, 4L, 0L, 333333L, 160000L)))
+  }
+
+  test("recall audit agrees with the set algebra of the two operators " +
+      "on the real corpus; containment reads as n_phantom = 0") {
+    val base = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Relevance
+      .tfidfCosinePairs(base, "doc_id", "text", 100L, 100L, 60))
+    val capped = pairs(Relevance
+      .tfidfCosinePairsCapped(base, "doc_id", "text", 100L, 100L, 60, 8))
+    val r = Relevance
+      .tfidfCapRecallAudit(base, "doc_id", "text", 100L, 100L, 60, 8)
+      .head()
+    assert(r.getLong(0) === exact.size.toLong)
+    assert(r.getLong(1) === capped.size.toLong)
+    assert(r.getLong(2) === (exact & capped).size.toLong)
+    assert(r.getLong(3) === (exact -- capped).size.toLong)
+    assert(r.getLong(4) === 0L, "containment: capped ⊆ exact")
+    assert(r.getLong(5) ===
+      1000000L * (exact & capped).size / exact.size)
+  }
+
   test("containment: capped ⊆ uncapped with identical exact values " +
       "on the real corpus") {
     val base = Tables.documents(spark, sf())
