@@ -46,8 +46,11 @@ object UrlCuration {
 
   /** Minimal public-suffix subset for registered-domain extraction —
     * two-label suffixes FIRST (longest match wins, the PSL rule). The
-    * full PSL would land as a broadcast lookup table; the fixed chain
-    * keeps the gate corpus expression-only and codegen'd. */
+    * fixed chain keeps the gate corpus expression-only and codegen'd;
+    * the PRODUCTION shape — the full rule list with wildcard and
+    * exception forms as a broadcast lookup, O(1) hash probes per
+    * level instead of one regex per rule — is [[PublicSuffix.resolve]]
+    * (q303, r17). */
   val PublicSuffixes2: Seq[String] = Seq("co.uk", "ac.uk")
   val PublicSuffixes1: Seq[String] = Seq("com", "org", "net", "io", "dev")
 

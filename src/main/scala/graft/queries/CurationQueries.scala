@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import Tables._
-import graft.operators.UrlCuration
+import graft.operators.{PublicSuffix, UrlCuration}
 
 /**
  * URL/domain curation queries (r15 verdict item 4) — the standard
@@ -142,6 +142,30 @@ object CurationQueries {
           || '.net:8443/u >unq</a>' ELSE '' END)
     || substr(text, 121)
     || '</p><br/></body></html>'"""
+
+  /** q303 host synthesis: every PSL rule form — deep subdomains under
+    * 1/2/3-label plain rules, wildcard suffixes (host-as-suffix and
+    * one-deeper), exception rules at two depths, an unknown TLD
+    * (default rule), a private 3-label suffix, and a bare TLD. One
+    * template, both engines. */
+  private def hostSynth(strT: String): String = s"""
+    (CASE CAST(doc_id % 13 AS INT)
+      WHEN 0 THEN 'a' || CAST(doc_id % 7 AS $strT) || '.github.io'
+      WHEN 1 THEN 'www.site' || CAST(doc_id % 5 AS $strT) || '.co.uk'
+      WHEN 2 THEN 'x.y.site' || CAST(doc_id % 5 AS $strT) || '.com'
+      WHEN 3 THEN 'shop' || CAST(doc_id % 3 AS $strT) || '.ck'
+      WHEN 4 THEN 'b.shop' || CAST(doc_id % 3 AS $strT) || '.ck'
+      WHEN 5 THEN 'www.ck'
+      WHEN 6 THEN 'sub.www.ck'
+      WHEN 7 THEN 'node' || CAST(doc_id % 4 AS $strT) || '.example'
+      WHEN 8 THEN 'bucket' || CAST(doc_id % 3 AS $strT)
+        || '.s3.amazonaws.com'
+      WHEN 9 THEN 'vm' || CAST(doc_id % 3 AS $strT)
+        || '.zone1.compute.amazonaws.com'
+      WHEN 10 THEN 'city.kobe.jp'
+      WHEN 11 THEN 'blog' || CAST(doc_id % 4 AS $strT)
+        || '.blogspot.co.uk'
+      ELSE 'io' END)"""
 
   /** DuckDB twin of TextExtract.stripMarkup around any expression:
     * comment/script/style blocks vanish with content, tags become
@@ -296,6 +320,62 @@ object CurationQueries {
           FROM h) x""")}
         SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_links,
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
-        FROM rd GROUP BY registered_domain ORDER BY registered_domain"""))
+        FROM rd GROUP BY registered_domain ORDER BY registered_domain""")),
+
+    // ------------------------------------------------------------------
+    // q303 — full-PSL registered-domain resolution (PublicSuffix.
+    // resolve): the production shape of q296's fixed-chain extraction
+    // (r16 verdict gap 2b) — plain/wildcard/exception rules as a
+    // broadcast lookup table, one broadcast hash probe per suffix
+    // level, exception-beats-longest-match winner pick, NULL when the
+    // host IS a public suffix. The oracle consumes the identical
+    // normalized rule table (PublicSuffix.rulesValuesSql) and replays
+    // the match/pick/slice chain.
+    // ------------------------------------------------------------------
+    "q303_psl_registered_domain" -> GraftQuery(
+      build = (s, d) => {
+        val hosts = documents(s, d)
+          .select(col("doc_id"), expr(hostSynth("STRING")).as("host"))
+        PublicSuffix.resolve(hosts, "host")
+          .select(col("doc_id"), col("host"), col("public_suffix"),
+            col("registered_domain"), col("ps_labels"), col("rule_kind"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH rules(key, lvl, d, w, e) AS (
+          VALUES ${PublicSuffix.rulesValuesSql}),
+        h AS (SELECT doc_id, ${hostSynth("VARCHAR")} AS host
+          FROM documents),
+        hx AS (SELECT doc_id, host,
+          len(string_split(host, '.')) AS nl FROM h),
+        m AS (SELECT hx.doc_id, hx.host, hx.nl, r.lvl, r.d, r.w, r.e
+          FROM hx LEFT JOIN rules r
+          ON hx.nl >= r.lvl AND r.key = array_to_string(
+            list_slice(string_split(hx.host, '.'),
+              hx.nl - r.lvl + 1, hx.nl), '.')),
+        a AS (SELECT doc_id, host, nl,
+            max(e) AS exc_ps,
+            max(d) AS best_d,
+            max(CASE WHEN nl > lvl THEN w END) AS best_w
+          FROM m GROUP BY 1, 2, 3),
+        p AS (SELECT doc_id, host, nl,
+            coalesce(exc_ps,
+              CASE WHEN best_d IS NULL AND best_w IS NULL THEN 1
+                ELSE greatest(coalesce(best_d, 0), coalesce(best_w, 0))
+                END) AS ps,
+            CASE WHEN exc_ps IS NOT NULL THEN 'exception'
+              WHEN best_w IS NOT NULL
+                AND (best_d IS NULL OR best_w > best_d) THEN 'wildcard'
+              WHEN best_d IS NOT NULL THEN 'plain'
+              ELSE 'default' END AS rule_kind
+          FROM a)
+        SELECT doc_id, host,
+          array_to_string(list_slice(string_split(host, '.'),
+            nl - ps + 1, nl), '.') AS public_suffix,
+          CASE WHEN nl > ps THEN array_to_string(
+            list_slice(string_split(host, '.'), nl - ps, nl), '.') END
+            AS registered_domain,
+          CAST(ps AS BIGINT) AS ps_labels, rule_kind
+        FROM p ORDER BY doc_id"""))
   )
 }
