@@ -13,9 +13,20 @@ within-copy structure identical while making cross-copy tokens/grams/
 names disjoint — without this, F identical text copies would manufacture
 a massive cross-copy duplicate workload the original data doesn't have.
 
-Usage: python3 scripts/make_scale.py <factor> [outDir]
+Usage: python3 scripts/make_scale.py <factor> [outDir] [--shared-vocab]
 Writes /tmp/scale_x<factor>/ by default. Key shifts are clean powers of
 10 above each key's max, so copies can't collide at any factor <= 10^k.
+
+--shared-vocab (r17, the q97 binding-regime fixture the r16 verdict
+called for): documents copies keep their text VERBATIM — no per-copy
+alphabet rotation — so the vocabulary stays CONSTANT and every term's
+df grows proportionally to N. This is the real-corpus regime for
+corpus-relative df caps (df/N stays fixed, the cap's binding set is
+scale-invariant), the exact opposite of the default disjoint-vocab
+mode (df constant, the cap un-binds once N/10 passes max df). Expect
+pair-join candidate volume Sigma df^2 to grow ~N^2 here — that is the
+law under test, not an artifact. Non-document tables are built
+exactly as in the default mode.
 """
 import pathlib
 import shutil
@@ -41,8 +52,10 @@ def caesar_expr(col: str, c: int) -> str:
 
 
 def main() -> int:
-    factor = int(sys.argv[1])
-    out = pathlib.Path(sys.argv[2] if len(sys.argv) > 2
+    shared_vocab = "--shared-vocab" in sys.argv
+    argv = [a for a in sys.argv if a != "--shared-vocab"]
+    factor = int(argv[1])
+    out = pathlib.Path(argv[2] if len(argv) > 2
                        else f"/tmp/scale_x{factor}")
     assert 1 <= factor <= 10
     shutil.rmtree(out, ignore_errors=True)
@@ -92,10 +105,14 @@ def main() -> int:
         FROM read_parquet('{SF}/customer.parquet')''')})
         TO '{out}/customer.parquet' (FORMAT PARQUET)""")
 
-    # documents: q107's gram universe — full text rotation per copy
+    # documents: q107's gram universe — full text rotation per copy in
+    # the default (disjoint-vocab) mode; verbatim text in shared-vocab
+    # mode so per-term df grows with N (see module doc)
+    def doc_text(c: int) -> str:
+        return "text" if shared_vocab else caesar_expr("text", c)
     con.execute(f"""COPY ({copies(lambda c: f'''
         SELECT * REPLACE (doc_id + {c}*{sd} AS doc_id,
-          {caesar_expr('text', c)} AS text)
+          {doc_text(c)} AS text)
         FROM read_parquet('{SF}/documents.parquet')''')})
         TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 

@@ -140,25 +140,36 @@ object Relevance {
    * Scale shape: candidates come from the postings self-join on term —
    * and the df cap IS the hot-bucket cap (a stopword's O(corpus)
    * posting list would contribute df² pairs; capped terms bound the
-   * join at dfCap·Σdf). GROWTH LAW (r16 adjudication, measured on the
-   * make_scale fixtures): candidate volume is Σ_t df_t² over admitted
-   * terms — while the corpus-relative cap BINDS (per-term df/N stable,
-   * the real-corpus regime) the admitted-posting fraction is constant
-   * and wall time scales sublinearly (measured exp 0.37–0.51 at
-   * ×2/×4, admitted fraction 0.4% at every binding factor); when per-
-   * term df does NOT grow with N (the disjoint-vocabulary scale
-   * fixture) the relative cap eventually exceeds max df and stops
-   * binding — at ×10 it admits 100% of postings, Σdf² = 4.78·10⁹ and
-   * the measured exponents jump to 2.55 wall / 3.03 output rows
-   * (66,750 → 71,478,720 pairs). That ×10 regime is the fixture
-   * artifact the r15 verdict flagged, but the law it exposes is real:
-   * any corpus whose admitted df's grow ∝ N pays Σdf² ∝ N². The
-   * 100-TB answer is [[tfidfCosinePairsCapped]] — per-term posting cap
-   * K, candidates ≤ vocab·K² (at ×10: 19,264 vs 4.78·10⁹, a 248,000×
-   * reduction measured by [[tfidfCapAccounting]]), identical exact
-   * values on every emitted pair, recall traded and ACCOUNTED. This
-   * uncapped operator remains the exact-recall form for corpora where
-   * the df cap is known to bind.
+   * join at dfCap·Σdf). GROWTH LAW — candidate volume is Σ_t df_t²
+   * over admitted terms, and BOTH scale regimes are now measured
+   * (r16 disjoint-vocab + r17 shared-vocab fixtures, the binding-
+   * regime test the r16 verdict called for):
+   *
+   *  - df ∝ N (shared-vocab ×1–×8, the real-corpus regime): the
+   *    corpus-relative cap binds IDENTICALLY at every factor
+   *    (admitted posting fraction constant at 0.44%, max admitted
+   *    df/N fixed) and yet admitted Σdf² grows as pure N² (134,324 →
+   *    8,596,736) with output pairs exactly quadratic (66,750 →
+   *    4,286,000; per-doubling ratios 4.007/4.004/4.002). The r16
+   *    claim "while the cap binds, wall is sublinear" was a fixture
+   *    artifact of constant-df copies: the cap controls the CONSTANT
+   *    (it keeps stopword mass out) but not the GROWTH LAW. Wall at
+   *    ×1–×8 (1.41 → 4.50 s) shows the quadratic term overtaking the
+   *    linear tokenize/tf cost, marginal exponent 0.16 → 0.57 → 0.94.
+   *  - df constant (disjoint-vocab ×1–×10): the relative cap stops
+   *    binding once N/10 exceeds max df; ×10 admits 100% of postings,
+   *    Σdf² = 4.78·10⁹, wall 551.9 s, output-rows exp 3.03.
+   *
+   * Either way the conclusion is the same and now fixture-proven from
+   * both sides: an uncapped pairwise join has NO sub-quadratic regime
+   * at scale — the 100-TB path is [[tfidfCosinePairsCapped]] (per-term
+   * posting cap K, candidates ≤ vocab·K²: constant across the shared-
+   * vocab sweep, wall exp 0.07 — 1.71 → 1.97 s over ×8 — and 141×
+   * faster at the disjoint ×10), with the trade MEASURED by
+   * [[tfidfCapAccounting]] (bound reduction) and
+   * [[tfidfCapRecallAudit]] (recall, q302). This uncapped operator is
+   * the exact-recall form for bounded/sampled slices — the truth side
+   * of the audit — not a production pair join.
    * Both join sides are the same aggregate subtree
    * shuffled on the same key, so the exchange is planned once and
    * reused; the df filter is a count-window on term, riding the very
