@@ -1537,4 +1537,78 @@ object StatefulOps {
       .transformWithState(new UnigramTokenizeProcessor(pieces),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class DomCapIn(dom: String, id: Long, w: Long)
+  final case class DomCapSt(nTotal: Long, totalW: Long,
+    keptW: Array[Long], keptId: Array[Long])
+  final case class DomCapOut(dom: String, n_total: Long, n_kept: Long,
+    n_dropped: Long, kept_id_sum: Long, kept_weight: Long,
+    dropped_weight: Long)
+
+  /**
+   * Streaming twin of `UrlCuration.capPerDomain` (q297) — the 24th
+   * batch≡stream pair: INGEST-TIME per-domain document caps with the
+   * same honest truncation accounting. A crawl pipeline applies the
+   * domain cap while landing, not in a nightly batch — the monster
+   * domain the cap exists for is exactly the one whose full tail you
+   * never want on disk.
+   *
+   * State per domain is the running top-K (weight desc, id asc — the
+   * batch operator's exact keep rule) plus two totals longs: O(K)
+   * state per key, bounded by the CAP, never by stream length — the
+   * stream-side analogue of the WindowGroupLimit partial top-K the
+   * batch plan runs before its shuffle. Unlike the recurrence twins
+   * (CUSUM/runs), the running top-K and the totals are COMMUTATIVE in
+   * the input set, so no time-ordered-arrival contract is needed:
+   * any batch split, any within-batch order, same final state. Each
+   * micro-batch emits ONE accounting row per touched domain; the last
+   * emitted row per domain (largest n_total — strictly monotone per
+   * touch) is bit-equal to the batch operator's row on the
+   * concatenated input across checkpointed restarts
+   * (StreamDomainCapSpec). Document ids must be unique across the
+   * stream (the q22/q33 ingest-dedup contract upstream); a redelivered
+   * id would double-count in both engines alike.
+   */
+  class DomainCapProcessor(k: Int)
+      extends StatefulProcessor[String, DomCapIn, DomCapOut] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    @transient private var st: ValueState[DomCapSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DomCapSt]("domcap",
+        Encoders.product[DomCapSt], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DomCapIn],
+        timers: TimerValues): Iterator[DomCapOut] = {
+      val incoming = rows.toArray
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val s = if (st.exists()) st.get()
+          else DomCapSt(0L, 0L, Array.empty, Array.empty)
+        val nTotal = s.nTotal + incoming.length
+        val totalW = s.totalW + incoming.iterator.map(_.w).sum
+        val merged = (s.keptW.indices.map(i => (s.keptW(i), s.keptId(i)))
+            ++ incoming.iterator.map(r => (r.w, r.id)))
+          .sortBy { case (w, id) => (-w, id) }
+          .take(k)
+        st.update(DomCapSt(nTotal, totalW,
+          merged.map(_._1).toArray, merged.map(_._2).toArray))
+        val keptW = merged.iterator.map(_._1).sum
+        val keptIdSum = merged.iterator.map(_._2).sum
+        Iterator.single(DomCapOut(key, nTotal, merged.length.toLong,
+          nTotal - merged.length.toLong, keptIdSum, keptW,
+          totalW - keptW))
+      }
+    }
+  }
+
+  /** [[DomainCapProcessor]] over a (dom, id, w) frame. */
+  def domainCapStream(rows: DataFrame, k: Int): Dataset[DomCapOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("dom"), col("id"), col("w"))
+      .as[DomCapIn]
+      .groupByKey(_.dom)
+      .transformWithState(new DomainCapProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }
