@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -102,6 +103,67 @@ object TextExtract {
       .withColumn("link_density_ppm",
         when(col("n_text_chars") > 0,
           expr("(1000000 * link_text_chars) div n_text_chars")))
+  }
+
+  /** Whole `<a href=…>…</a>` elements, document order — keeps each
+    * href ALIGNED with its own anchor text (separate [[hrefs]] /
+    * [[anchorTexts]] extractions lose the pairing when some anchors
+    * lack an href). Same three attribute-quoting spellings as
+    * [[hrefs]]; a quoted href value containing a literal `>` is out
+    * of scope (stated — it would end the element early). */
+  def anchorElements(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a[^>]*\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s>]+)" +
+        "[^>]*>.*?</a>"), lit(0))
+
+  /**
+   * Anchor-term profile per TARGET registered domain — the classic
+   * web-graph retrieval/quality signal: what the rest of the web
+   * CALLS a domain (anchor text is the strongest off-page evidence in
+   * BM25F-class rankers, and a skewed profile flags link farms). Per
+   * target domain, the top-`k` anchor terms by occurrence count
+   * (count desc, term asc — deterministic): each linking element's
+   * href resolves through the full [[UrlCuration]] canonical-host +
+   * registered-domain chain, its OWN anchor text (alignment via
+   * [[anchorElements]]) is entity-decoded/tag-stripped and tokenized
+   * lowercase with the corpus tokenizer's 3-char minimum.
+   *
+   * Scale shape: one Generate over the scan, per-row href/text
+   * extraction and canonicalization (map-side), then TWO keyed
+   * exchanges — the (domain, term) count aggregate (map-side combined)
+   * and the per-domain top-k window whose `rank <= k` filter rides
+   * WindowGroupLimit, so a mega-domain's ranked term tail never
+   * materializes (the q297 discipline). Anchor bodies never shuffle —
+   * only (domain, term) pairs do.
+   */
+  def anchorTermProfile(docs: DataFrame, idCol: String,
+      htmlCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = docs
+      .select(explode(anchorElements(col(htmlCol))).as("elem"))
+      .select(
+        regexp_replace(regexp_extract(col("elem"),
+            "(?is)\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\"'\\s>]+)", 1),
+          "^[\"']|[\"']$", "").as("url"),
+        regexp_extract(col("elem"), "(?is)<a[^>]*>(.*)</a>", 1)
+          .as("inner"))
+    val (_, host) = UrlCuration.canonicalParts(col("url"))
+    val terms = pairs.select(
+      UrlCuration.registeredDomain(host).as("registered_domain"),
+      explode(filter(
+        split(lower(stripMarkup(col("inner"))), "[^a-z]+"),
+        t => length(t) >= 3)).as("term"))
+    terms
+      .groupBy(col("registered_domain"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      // filter on the raw row_number so the rank <= k rewrite to
+      // WindowGroupLimit stays visible to the optimizer; widen to
+      // long only afterwards (oracle type parity)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("registered_domain"))
+          .orderBy(col("n").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /**

@@ -25,6 +25,9 @@ object CurationQueries {
   /** q297 per-domain cap (quality-first: n_chars DESC, doc_id ASC). */
   val DomainCapK = 5
 
+  /** q304 anchor-term profile depth per target domain. */
+  val AnchorTopK = 3
+
   /** Messy-URL synthesis shared by Spark (`STRING`/`div`) and DuckDB
     * (`VARCHAR`/`//`). Every CASE arm is keyed on a different modulus
     * so the canonicalization rules compose in many combinations. */
@@ -51,6 +54,17 @@ object CurationQueries {
        WHEN 2 THEN '?b=2&a=1' ELSE '' END)
     ||
     (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END)"""
+
+  /** DuckDB replay of UrlCuration.registeredDomain over a `host`
+    * column: longest-suffix coalesce chain, host itself as fallback. */
+  private def rdCoalesce: String = {
+    val chain = (UrlCuration.PublicSuffixes2 ++
+      UrlCuration.PublicSuffixes1).map { s =>
+      val esc = s.replace(".", "\\.")
+      s"nullif(regexp_extract(host, '([^.]+\\.$esc)$$', 1), '')"
+    }.mkString(", ")
+    s"coalesce($chain, host)"
+  }
 
   /** DuckDB replay of the UrlCuration.canonicalParts +
     * registeredDomain pipeline as a CTE chain ending in relation `rd`
@@ -376,6 +390,56 @@ object CurationQueries {
             list_slice(string_split(host, '.'), nl - ps, nl), '.') END
             AS registered_domain,
           CAST(ps AS BIGINT) AS ps_labels, rule_kind
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q304 — anchor-term profile per target domain (TextExtract.
+    // anchorTermProfile): what the web CALLS each domain — per target
+    // registered domain, the top-3 anchor-text terms by occurrence
+    // (count desc, term asc), hrefs kept ALIGNED with their own anchor
+    // text via whole-element extraction, resolved through the full
+    // canonical-host chain, tokenized with the corpus 3-char minimum.
+    // Two keyed exchanges; the rank filter rides WindowGroupLimit.
+    // ------------------------------------------------------------------
+    "q304_anchor_term_profile" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("html", expr(htmlSynth("STRING")))
+        graft.operators.TextExtract
+          .anchorTermProfile(docs, "doc_id", "html", AnchorTopK)
+          .orderBy("registered_domain", "rank")
+      },
+      oracle = Some(s"""
+        WITH h AS (SELECT doc_id, ${htmlSynth("VARCHAR")} AS html
+          FROM documents),
+        el AS (SELECT unnest(regexp_extract_all(html,
+            '(?is)<a[^>]*\\shref\\s*=\\s*("[^"]*"|''[^'']*''|[^"''\\s>]+)[^>]*>.*?</a>',
+            0)) AS elem FROM h),
+        pr AS (SELECT
+          regexp_replace(regexp_extract(elem,
+            '(?is)\\shref\\s*=\\s*("[^"]*"|''[^'']*''|[^"''\\s>]+)', 1),
+            '^["'']|["'']$$', '', 'g') AS url,
+          regexp_extract(elem, '(?is)<a[^>]*>(.*)</a>', 1) AS atext
+          FROM el),
+        hp AS (SELECT atext, regexp_extract(
+            substr(split_part(url, '#', 1),
+              length(split_part(split_part(url, '#', 1), '://', 1)) + 4),
+            '^[^/?]*') AS hostport FROM pr),
+        ho AS (SELECT atext,
+          regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
+            '^www\\.', '') AS host FROM hp),
+        rd AS (SELECT $rdCoalesce AS registered_domain, atext FROM ho),
+        tm AS (SELECT registered_domain,
+          unnest(list_filter(regexp_split_to_array(
+            lower(${stripSql("atext")}), '[^a-z]+'),
+            t -> length(t) >= 3)) AS term FROM rd),
+        c AS (SELECT registered_domain, term,
+          CAST(count(*) AS BIGINT) AS n FROM tm GROUP BY 1, 2),
+        r AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY registered_domain
+            ORDER BY n DESC, term) AS BIGINT) AS rank FROM c)
+        SELECT registered_domain, term, n, rank FROM r
+        WHERE rank <= $AnchorTopK
+        ORDER BY registered_domain, rank"""))
   )
 }

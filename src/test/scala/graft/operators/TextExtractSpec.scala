@@ -76,6 +76,40 @@ class TextExtractSpec extends SparkSuite {
       "HTTPS://Uq.net:8443/u", "spaced.io/x"))
   }
 
+  test("anchor-term profile: href↔text alignment, tokenization, " +
+      "top-k tie-breaks") {
+    import spark.implicits._
+    val df = Seq(
+      // doc 1: two anchors to t.com ('great docs', 'great stuff'), one
+      // to u.co.uk; an href-less anchor contributes nothing
+      (1L, "<a href=\"http://t.com/a\">Great docs</a>" +
+        "<a href='https://WWW.T.com/b'>great&nbsp;stuff</a>" +
+        "<a name=\"x\">ignored words</a>" +
+        "<a href=\"http://u.co.uk/\">tiny</a>"),
+      // doc 2: unquoted href; short tokens (< 3 chars) drop
+      (2L, "<a href=http://t.com/c >great at it</a>"))
+      .toDF("id", "h")
+    val got = TextExtract.anchorTermProfile(df, "id", "h", 2)
+      .orderBy("registered_domain", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // t.com terms: great×3, docs×1, stuff×1 → top-2 (count desc, term
+    // asc): great(3), docs(1); u.co.uk: tiny(1)
+    assert(got === Seq(
+      ("t.com", "great", 3L, 1L), ("t.com", "docs", 1L, 2L),
+      ("u.co.uk", "tiny", 1L, 1L)))
+  }
+
+  test("anchor-term profile plan pin: rank <= k rides WindowGroupLimit") {
+    import spark.implicits._
+    val df = (1 to 40).map(i =>
+      (i.toLong, s"<a href=" + "\"http://d" + (i % 3) +
+        s".com/x\">word$i common</a>")).toDF("id", "h")
+    val plan = TextExtract.anchorTermProfile(df, "id", "h", 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("outlink domains: canonicalization + registered-domain grouping") {
     import spark.implicits._
     val df = Seq(
