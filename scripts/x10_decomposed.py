@@ -33,10 +33,11 @@ import pandas as pd
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
 import oracle_check  # noqa: E402  (shared compare / norm)
 
-# q97 constants — RetrievalQueries.scala (TfidfDupMod/Shift, DfCapPm,
-# IdfScale, TauBp) and Relevance.DefaultMinTermLen
+# q97/q298/q302 constants — RetrievalQueries.scala (TfidfDupMod/Shift,
+# DfCapPm, IdfScale, TauBp, PostingCap) and Relevance.DefaultMinTermLen
 DUP_MOD, DUP_SHIFT = 20, 700000
 DF_CAP_PM, IDF_SCALE, TAU_BP, MIN_TERM = 100, 100, 60, 3
+POSTING_CAP = 8
 
 
 def run_q115(con, buckets: int) -> pd.DataFrame:
@@ -95,7 +96,21 @@ def run_q115(con, buckets: int) -> pd.DataFrame:
       ORDER BY node""").fetchdf()
 
 
-def run_q97(con, buckets: int) -> pd.DataFrame:
+_q97_spine_done = False
+
+
+def ensure_q97_spine(con, buckets: int) -> None:
+    """Materialize the shared q97 spine (x97_base/x97_w/x97_norms) and
+    the bucketed above-threshold exact pair set x97_res — shared by the
+    q97 compare and the q302 recall audit, built once per process."""
+    global _q97_spine_done
+    if _q97_spine_done:
+        return
+    _build_q97_spine(con, buckets)
+    _q97_spine_done = True
+
+
+def _build_q97_spine(con, buckets: int) -> None:
     con.execute(f"""
       CREATE OR REPLACE TABLE x97_base AS
       SELECT doc_id, text FROM documents
@@ -148,13 +163,71 @@ def run_q97(con, buckets: int) -> pd.DataFrame:
             {TAU_BP * TAU_BP}.0 * CAST(na.n2 AS DOUBLE)
               * CAST(nb.n2 AS DOUBLE)""")
         print(f"  q97 bucket {i + 1}/{buckets} done", flush=True)
+
+
+def run_q97(con, buckets: int) -> pd.DataFrame:
+    ensure_q97_spine(con, buckets)
     return con.execute("""
       SELECT doc_a, doc_b, dot, n_shared, n2a, n2b FROM x97_res
       ORDER BY doc_a, doc_b""").fetchdf()
 
 
-SPARK_OUT = {"q115": "q115_triangle_count", "q97": "q97_tfidf_cosine_join"}
-RUNNERS = {"q115": run_q115, "q97": run_q97}
+def run_q302(con, buckets: int) -> pd.DataFrame:
+    """q302 recall audit at x10: the exact side is the decomposed q97
+    pair set (x97_res — already above-threshold, with exact-cast
+    dot/norms); the capped side replays the q298 flat oracle off the
+    same x97_w spine (candidates <= vocab*K^2 — never explosive); the
+    full-outer aggregate mirrors the committed oracle verbatim."""
+    ensure_q97_spine(con, buckets)
+    con.execute(f"""
+      CREATE OR REPLACE TABLE x302_cand AS
+      SELECT term, doc_id FROM (
+        SELECT term, doc_id, row_number() OVER (PARTITION BY term
+          ORDER BY w DESC, doc_id) AS rn FROM x97_w)
+      WHERE rn <= {POSTING_CAP}""")
+    con.execute("""
+      CREATE OR REPLACE TABLE x302_cp AS
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM x302_cand a JOIN x302_cand b
+        ON a.term = b.term AND a.doc_id < b.doc_id""")
+    con.execute(f"""
+      CREATE OR REPLACE TABLE x302_c AS
+      SELECT doc_a, doc_b FROM (
+        SELECT p.doc_a, p.doc_b, CAST(p.dot AS DOUBLE) AS dot,
+          CAST(na.n2 AS DOUBLE) AS n2a, CAST(nb.n2 AS DOUBLE) AS n2b
+        FROM (SELECT cp.doc_a, cp.doc_b, sum(wa.w * wb.w) AS dot
+          FROM x302_cp cp JOIN x97_w wa ON wa.doc_id = cp.doc_a
+            JOIN x97_w wb ON wb.doc_id = cp.doc_b AND wb.term = wa.term
+          GROUP BY 1, 2) p
+        JOIN x97_norms na ON p.doc_a = na.doc_id
+        JOIN x97_norms nb ON p.doc_b = nb.doc_id)
+      WHERE dot * dot * 10000.0 >= {TAU_BP * TAU_BP}.0 * n2a * n2b""")
+    return con.execute("""
+      WITH e AS (SELECT doc_a, doc_b, dot, n2a, n2b, 1 AS in_e
+          FROM x97_res),
+        c AS (SELECT doc_a, doc_b, 1 AS in_c FROM x302_c),
+        fo AS (SELECT dot, n2a, n2b, in_e, in_c
+          FROM e FULL JOIN c USING (doc_a, doc_b))
+      SELECT CAST(sum(coalesce(in_e, 0)) AS BIGINT) AS n_exact_pairs,
+        CAST(sum(coalesce(in_c, 0)) AS BIGINT) AS n_capped_pairs,
+        CAST(sum(CASE WHEN in_e = 1 AND in_c = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_retained,
+        CAST(sum(CASE WHEN in_e = 1 AND in_c IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_missed,
+        CAST(sum(CASE WHEN in_e IS NULL AND in_c = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_phantom,
+        (1000000 * CAST(sum(CASE WHEN in_e = 1 AND in_c = 1
+            THEN 1 ELSE 0 END) AS BIGINT))
+          // CAST(sum(coalesce(in_e, 0)) AS BIGINT) AS recall_ppm,
+        CAST(max(CASE WHEN in_e = 1 AND in_c IS NULL THEN
+          floor(dot * dot * 1000000.0 / (n2a * n2b)) END) AS BIGINT)
+          AS max_missed_cos2_ppm
+      FROM fo""").fetchdf()
+
+
+SPARK_OUT = {"q115": "q115_triangle_count", "q97": "q97_tfidf_cosine_join",
+             "q302": "q302_tfidf_cap_recall_audit"}
+RUNNERS = {"q115": run_q115, "q97": run_q97, "q302": run_q302}
 
 
 def main() -> int:
@@ -204,9 +277,10 @@ def main() -> int:
             doc = json.load(f)
         touched = False
         for name, entry in results.items():
-            if name in doc.get("queries", {}):
-                doc["queries"][name] = entry
-                touched = True
+            # add-or-replace: a NEW decomposed query (q302, r17) must
+            # merge into the artifact, not silently skip it
+            doc.setdefault("queries", {})[name] = entry
+            touched = True
         if touched:
             # recompute the summary counters from the patched queries
             # map wholesale — incremental adjustment only covered the

@@ -33,6 +33,11 @@ class PlanAuditSpec extends SparkSuite {
       // q298/q299 reuse q97's 1-row corpus-count broadcast under the
       // corpus-relative df cap — the same deliberate shape
       "q298_tfidf_capped_pairs", "q299_tfidf_cap_accounting",
+      // q302 embeds BOTH q97 (its exact truth side) and q298 (the
+      // audited side), so it carries their 1-row corpus-count
+      // broadcasts twice — the audit's definitional cost, the q136
+      // precedent exactly
+      "q302_tfidf_cap_recall_audit",
       "q105_contrastive_pairs", "q113_collocation_lift",
       "q129_ivm_quantile",
       // q136 embeds q25's knnBrute as its EXACT reference side — the
