@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import Tables._
-import graft.operators.{PublicSuffix, UrlCuration}
+import graft.operators.{CrawlPolicy, PublicSuffix, UrlCuration}
 
 /**
  * URL/domain curation queries (r15 verdict item 4) — the standard
@@ -54,6 +54,78 @@ object CurationQueries {
        WHEN 2 THEN '?b=2&a=1' ELSE '' END)
     ||
     (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END)"""
+
+  /** q305/q306 robots.txt synthesis, keyed DETERMINISTICALLY off the
+    * domain string itself (length + first-char code — both engines):
+    * five arms covering a star group with prefix shadowing + delay, a
+    * specific group that must ECLIPSE the star group entirely, an
+    * allow-all with comments/preamble, a group for someone else
+    * (default-allow), and an EMPTY Disallow (restricts nothing) with
+    * a specific crawl delay. */
+  private def robotsSynth: String = """
+    (CASE CAST((length(domain) * 7 + ascii(substr(domain, 1, 1))) % 5
+        AS INT)
+      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /p'
+        || chr(10) || 'Allow: /p/1' || chr(10) || 'Crawl-delay: 2'
+      WHEN 1 THEN 'User-agent: graftbot' || chr(10)
+        || 'Disallow: /p/3' || chr(10) || 'User-agent: *' || chr(10)
+        || 'Disallow: /'
+      WHEN 2 THEN '# banner' || chr(10) || 'User-agent: *' || chr(10)
+        || 'Allow: /   # trailing comment'
+      WHEN 3 THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /'
+      ELSE 'User-agent: graftbot' || chr(10) || 'Disallow:'
+        || chr(10) || 'Crawl-delay: 5' END)"""
+
+  /** DuckDB CTE chain from the q296 canonical frame `rd` to the gated
+    * frontier `g`: frontier paths, synthesized robots per distinct
+    * domain, segment-split parse, group choice, longest-prefix
+    * decision (row_number twin of Spark's max-struct). */
+  private def robotsGateChain: String = s"""
+    f AS (SELECT doc_id, registered_domain,
+      split_part(regexp_replace(canonical_url, '^[a-z]+://[^/]*', ''),
+        '?', 1) AS path FROM rd),
+    doms AS (SELECT DISTINCT registered_domain AS domain FROM f),
+    rb AS (SELECT domain, $robotsSynth AS robots FROM doms),
+    sg AS (SELECT domain, unnest(string_split(robots, 'User-agent:'))
+      AS seg FROM rb),
+    rl AS (SELECT domain,
+      trim(string_split(seg, chr(10))[1]) AS agent,
+      unnest(list_slice(string_split(seg, chr(10)), 2,
+        len(string_split(seg, chr(10))))) AS line0 FROM sg),
+    pr AS (SELECT domain, agent,
+      lower(trim(regexp_extract(trim(regexp_replace(line0, '#.*$$', '')),
+        '^([A-Za-z-]+)\\s*:', 1))) AS kind,
+      trim(regexp_extract(trim(regexp_replace(line0, '#.*$$', '')),
+        '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1)) AS prefix FROM rl),
+    rls AS (SELECT * FROM pr
+      WHERE kind IN ('allow', 'disallow', 'crawl-delay')
+        AND prefix <> ''),
+    pths AS (SELECT * FROM rls WHERE kind IN ('allow', 'disallow')),
+    hs AS (SELECT DISTINCT domain FROM pths WHERE agent = 'graftbot'),
+    chosen AS (
+      SELECT domain, kind, prefix, 'specific' AS grp FROM pths
+      WHERE agent = 'graftbot'
+      UNION ALL
+      SELECT p.domain, kind, prefix, 'star' FROM pths p
+      WHERE agent = '*'
+        AND p.domain NOT IN (SELECT domain FROM hs)),
+    candr AS (SELECT f.doc_id, length(c.prefix) AS len,
+        CASE WHEN c.kind = 'allow' THEN 1 ELSE 0 END AS allow,
+        c.prefix, c.grp,
+        row_number() OVER (PARTITION BY f.doc_id
+          ORDER BY length(c.prefix) DESC,
+            CASE WHEN c.kind = 'allow' THEN 1 ELSE 0 END DESC,
+            c.prefix DESC, c.grp DESC) AS rn
+      FROM f JOIN chosen c ON f.registered_domain = c.domain
+        AND starts_with(f.path, c.prefix)),
+    bst AS (SELECT doc_id, len, allow, prefix, grp FROM candr
+      WHERE rn = 1),
+    g AS (SELECT f.doc_id, f.registered_domain, f.path,
+      coalesce(bst.allow = 1, TRUE) AS allowed,
+      bst.prefix AS matched_prefix,
+      CAST(coalesce(bst.len, 0) AS BIGINT) AS matched_len,
+      coalesce(bst.grp, 'none') AS agent_group
+      FROM f LEFT JOIN bst USING (doc_id))"""
 
   /** DuckDB replay of UrlCuration.registeredDomain over a `host`
     * column: longest-suffix coalesce chain, host itself as fallback. */
@@ -440,6 +512,94 @@ object CurationQueries {
             ORDER BY n DESC, term) AS BIGINT) AS rank FROM c)
         SELECT registered_domain, term, n, rank FROM r
         WHERE rank <= $AnchorTopK
-        ORDER BY registered_domain, rank"""))
+        ORDER BY registered_domain, rank""")),
+
+    // ------------------------------------------------------------------
+    // q305 — robots.txt fetch gate (CrawlPolicy.parseRobots +
+    // fetchGate): the decision a crawler makes before EVERY fetch —
+    // segment-split parse (comments/blank lines stripped, empty rule
+    // values dropped), REP group choice (a specific-agent group
+    // ECLIPSES the star group entirely), longest-prefix wins with
+    // Allow beating Disallow on ties, default allow. The five
+    // synthesized policy arms exercise prefix shadowing (Allow /p/1
+    // inside Disallow /p), group eclipse, comment handling,
+    // someone-else's-group default-allow, and the empty-Disallow
+    // restricts-nothing rule. Equi-join on domain (AQE-sized), one
+    // max-struct aggregate per URL — no window over candidates.
+    // ------------------------------------------------------------------
+    "q305_robots_fetch_gate" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("url", expr(urlSynth("STRING", "div")))
+        val canon = UrlCuration.canonicalizeDocs(docs, "doc_id", "url")
+        val frontier = canon.select(col("doc_id"),
+          col("registered_domain"),
+          split_part(regexp_replace(col("canonical_url"),
+            "^[a-z]+://[^/]*", ""), lit("?"), lit(1)).as("path"))
+        val doms = frontier
+          .select(col("registered_domain").as("domain")).distinct()
+        val rules = CrawlPolicy.parseRobots(
+          doms.withColumn("robots", expr(robotsSynth)),
+          "domain", "robots")
+        CrawlPolicy.fetchGate(frontier, "doc_id", "registered_domain",
+          "path", rules, "graftbot")
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $oracleCanonChain,
+        $robotsGateChain
+        SELECT doc_id, registered_domain, path, allowed,
+          matched_prefix, matched_len, agent_group
+        FROM g ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q306 — per-domain crawl-policy accounting (CrawlPolicy.
+    // policySummary): frontier outcomes per domain (urls, allowed,
+    // blocked, blocked ppm) plus the chosen group's crawl delay
+    // (specific beats star, NULL when neither sets one) — the
+    // politeness budget as an auditable row (the q297/q299
+    // accounting discipline).
+    // ------------------------------------------------------------------
+    "q306_robots_policy_summary" -> GraftQuery(
+      build = (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("url", expr(urlSynth("STRING", "div")))
+        val canon = UrlCuration.canonicalizeDocs(docs, "doc_id", "url")
+        val frontier = canon.select(col("doc_id"),
+          col("registered_domain"),
+          split_part(regexp_replace(col("canonical_url"),
+            "^[a-z]+://[^/]*", ""), lit("?"), lit(1)).as("path"))
+        val doms = frontier
+          .select(col("registered_domain").as("domain")).distinct()
+        val rules = CrawlPolicy.parseRobots(
+          doms.withColumn("robots", expr(robotsSynth)),
+          "domain", "robots")
+        val gated = CrawlPolicy.fetchGate(frontier, "doc_id",
+          "registered_domain", "path", rules, "graftbot")
+        CrawlPolicy.policySummary(gated, "registered_domain", rules,
+          "graftbot")
+          .orderBy("registered_domain")
+      },
+      oracle = Some(s"""
+        WITH $oracleCanonChain,
+        $robotsGateChain,
+        dl AS (SELECT domain,
+            max(CASE WHEN agent = 'graftbot'
+              THEN CAST(prefix AS BIGINT) END) AS ds,
+            max(CASE WHEN agent = '*'
+              THEN CAST(prefix AS BIGINT) END) AS dw
+          FROM rls WHERE kind = 'crawl-delay' GROUP BY 1),
+        ag AS (SELECT registered_domain,
+            CAST(count(*) AS BIGINT) AS n_urls,
+            CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_allowed,
+            CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+              AS n_blocked
+          FROM g GROUP BY 1)
+        SELECT registered_domain, n_urls, n_allowed, n_blocked,
+          (1000000 * n_blocked) // n_urls AS blocked_ppm,
+          coalesce(ds, dw) AS crawl_delay_s
+        FROM ag LEFT JOIN dl ON ag.registered_domain = dl.domain
+        ORDER BY registered_domain"""))
   )
 }
