@@ -87,21 +87,31 @@ object CrawlPolicy {
       .unionByName(
         star.join(hasSpecific.select("domain"), Seq("domain"),
           "left_anti").withColumn("grp", lit("star")))
-    val cand = frontier
+    // r17 OPTIMIZATION (guide §2.4 — remove shuffles outright): ONE
+    // pass over the frontier. The previous shape built an id-keyed
+    // candidate aggregate from an INNER join and then re-joined the
+    // frontier to restore unmatched rows — evaluating the frontier
+    // subtree (its whole upstream canonicalization chain) twice and
+    // paying an extra id-keyed Exchange. A LEFT join + one max-struct
+    // aggregate keyed on the frontier row is the same decision: a row
+    // with no matching rule survives as a single all-null candidate
+    // whose max-struct has null fields (the `when` chain below leaves
+    // `allow` null for it, never 0), so the default-allow coalesce
+    // reads exactly what the re-join's null struct used to produce.
+    // (len, allow-beats-disallow, prefix, grp): longest prefix wins,
+    // Allow wins ties, prefix/grp ride along deterministically.
+    frontier
       .join(chosen,
         frontier(domainCol) === chosen("domain") &&
           col(pathCol).startsWith(col("prefix")),
-        "inner")
-      .groupBy(col(idCol))
-      // (len, allow-beats-disallow, prefix, grp): longest prefix wins,
-      // Allow wins ties, prefix/grp ride along deterministically
+        "left")
+      .groupBy(col(idCol), col(domainCol), col(pathCol))
       .agg(max(struct(
         length(col("prefix")).as("len"),
-        when(col("kind") === "allow", 1).otherwise(0).as("allow"),
+        when(col("kind") === "allow", 1)
+          .when(col("kind").isNotNull, 0).as("allow"),
         col("prefix").as("prefix"),
         col("grp").as("grp"))).as("best"))
-    frontier
-      .join(cand, Seq(idCol), "left")
       .select(col(idCol), col(domainCol), col(pathCol),
         coalesce(col("best.allow") === 1, lit(true)).as("allowed"),
         col("best.prefix").as("matched_prefix"),

@@ -248,7 +248,13 @@ object GraphOps {
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
-        dist = dist.union(next).localCheckpoint(true)
+        // r17 OPTIMIZATION (guide §1.2): `next` is already materialized
+        // above; re-checkpointing the ACCUMULATED set re-wrote every
+        // previously-materialized hop per round (O(rounds²) copies).
+        // A lazy union of the per-round checkpoints recomputes nothing
+        // — the anti-join and the final left join just scan ≤ maxHops
+        // materialized pieces.
+        dist = dist.union(next)
         frontier = next.select("node")
       }
       h += 1
@@ -282,17 +288,17 @@ object GraphOps {
    *
    * Scale shape: each iteration is one equality join (ranks ⋈ edges on
    * src) + one sum-aggregate on dst — the same (key, long) shuffle
-   * width as [[connectedComponents]], AQE-reusable partitioning. The
-   * whole K-iteration chain stays ONE pure-lazy plan, deliberately
-   * uncached: `iterations` is capped at 20 (the require below) so plan
-   * depth is bounded, the repeated edge/node subtrees dedupe through
-   * ReusedExchange at the caller's single action, and every
-   * alternative measured slower on q67 (0.75 s pure-lazy vs ~2.9 s
-   * with e/nodes cached — InMemoryTableScan replaces the reusable
-   * exchange and adds the cache build — vs 3.4 s eager-checkpointed:
-   * any checkpoint is an RDD boundary severing codegen and exchange
-   * reuse). An unbounded-iteration variant would need the CC loop's
-   * per-round action + checkpoint discipline instead.
+   * width as [[connectedComponents]]. The K-iteration rank chain stays
+   * lazy (`iterations` capped at 20, so plan depth is bounded), but the
+   * three loop-invariant frames (edges, out-degrees, the node universe)
+   * are materialized ONCE up front — r17 measurement: the pure-lazy
+   * form planned four structurally-distinct copies of the edge
+   * distinct's exchange that ReusedExchange did not canonicalize away,
+   * re-shuffling the edge list once per consumer (q67 4.8 s pure-lazy
+   * vs 2.0 s with the invariants pinned, this box; the older 0.75 s
+   * pure-lazy reading predates the fwd+rev edge doubling and the
+   * current Spark version). An unbounded-iteration variant would need
+   * the CC loop's per-round action + checkpoint discipline instead.
    *
    * Input: directed edge frame (srcCol, dstCol). Output: (id, rank_fp)
    * for every node appearing as a src or dst.
@@ -303,12 +309,26 @@ object GraphOps {
       s"iterations must be in [1, 20], got $iterations")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must be a proper fraction, got $dampNum/$dampDen")
+    // r17 OPTIMIZATION (guide §1.2/§2.4): measured on q67, the pure-lazy
+    // form planned FOUR structurally-distinct copies of the edge
+    // scan+union+distinct exchange (1.18 M rows shuffled four times,
+    // ~0.6 s each — exchange reuse did not canonicalize them), and
+    // `nodes`/`deg` re-aggregated per iteration. Materializing the three
+    // loop-invariant frames once is the CC/BFS loop discipline; each
+    // iteration then only joins materialized inputs against the rank
+    // chain. (The round-14 scaladoc measurement that preferred pure-lazy
+    // predates the fwd+rev edge doubling and the current Spark version;
+    // re-measured this round: checkpointed is faster — see
+    // OPTIMIZATION_r17.md.)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
     val base = (dampDen - dampNum) * PageRankScale / dampDen
     var ranks = nodes.withColumn("rank_fp", lit(PageRankScale))
     for (_ <- 1 to iterations) {
@@ -355,22 +375,40 @@ object GraphOps {
       iterations: Int = 2): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"iterations must be in [1, 20], got $iterations")
+    // r17 OPTIMIZATION (guide §2.4/§7.2 — plan shape): the original
+    // pure-lazy form nested every renorm's raw aggregate TWICE (once
+    // under the max probe, once under the scaling join) and re-joined
+    // the dense `nodes` universe per renorm, so the physical plan grew
+    // ~2^(2·iterations) — 9,396 formatted-plan lines / 662 Exchange
+    // nodes at q193's 2 iterations, and planning+codegen dominated the
+    // wall clock (6.7 s at sf0.1). Now: `e` is materialized once and
+    // reused by every iteration (the CC/BFS loop discipline); each
+    // iteration's raw contribution frame — node-sized, two columns — is
+    // materialized once and consumed by both the max probe and the
+    // scaling projection; and the iterations stay SPARSE (ids whose
+    // contribution sum is absent read 0 anyway, so the dense join is
+    // deferred to one final left join + coalesce). Values are
+    // bit-identical: an absent id's dense renorm emitted
+    // (0 · scale) div mx = 0, exactly what the final coalesce reads.
+    // Measured: q193 6.7 s → see OPTIMIZATION_r17.md; plan 9,396 →
+    // O(100) lines.
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    def renorm(raw: DataFrame, outName: String): DataFrame = {
+    def renorm(raw0: DataFrame, outName: String): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
       val mx = raw.agg(max(col("raw")).as("mx"))
-      nodes.join(raw, Seq("id"), "left")
-        .crossJoin(broadcast(mx))
+      raw.crossJoin(broadcast(mx))
         .select(col("id"),
           when(col("mx") > 0,
             expr(s"(cast(coalesce(raw, 0) as decimal(38,0)) * $HitsScale) div mx"))
             .otherwise(lit(0L)).as(outName))
     }
     var hub = nodes.withColumn("hub_fp", lit(HitsScale))
-    var auth = nodes.withColumn("auth_fp", lit(0L))
+    var auth = hub.select(col("id"), lit(0L).as("auth_fp"))
     for (_ <- 1 to iterations) {
       auth = renorm(
         e.join(hub.select(col("id").as("src"), col("hub_fp")), Seq("src"))
@@ -383,8 +421,9 @@ object GraphOps {
           .agg(sum(col("auth_fp").cast(DecimalType(38, 0))).as("raw")),
         "hub_fp")
     }
-    nodes.join(hub, Seq("id")).join(auth, Seq("id"))
-      .select(col("id"), col("hub_fp"), col("auth_fp"))
+    nodes.join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+        coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
   }
 
   /**
@@ -429,7 +468,16 @@ object GraphOps {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      // r17 OPTIMIZATION (guide §1.2/§2.4): the degree aggregate was
+      // computed TWICE per round — once under the convergence probe's
+      // collect and again under the next round's semi-join filters
+      // (both actions re-ran the groupBy over the whole edge frame).
+      // Materializing the (node, degree) frame once per round halves
+      // the per-round aggregate work; the probe then runs on the tiny
+      // materialized frame. Results are unchanged — same aggregate,
+      // evaluated once instead of twice.
       val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
       val probe = deg.agg(count(lit(1)).as("nodes"),
         coalesce(sum(when(col("d") >= k, 1L).otherwise(0L)), lit(0L))
           .as("survivors"))

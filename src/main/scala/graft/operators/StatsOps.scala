@@ -1697,7 +1697,12 @@ object StatsOps {
         expr("cast((cast(n as decimal(38,0)) * 1000000) div n_out " +
           "as bigint)").as("t_ppm"))
       .localCheckpoint(true)
+    // r17 OPTIMIZATION (guide §1.2): `states` (≤ a handful of rows) is
+    // consumed twice — the uniform-start vector and the final dense
+    // join — and each consumption replayed the corpus-sized windowed
+    // subtree feeding `df`. Materialize the distinct-state frame once.
     val states = df.select(col(stateCol).as("state")).distinct()
+      .localCheckpoint(true)
     val nS = Window.orderBy("state")
     val cnt = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
@@ -1827,15 +1832,36 @@ object StatsOps {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     // one materialization serves the guard probe, both marginal
     // re-aggregates and the grid join (the q189 rule — without it the
-    // corpus-sized contingency aggregate recomputes five times)
+    // corpus-sized contingency aggregate recomputes five times).
+    // r17 OPTIMIZATION (guide §2.5 — stragglers): the checkpoint used
+    // to materialize with whatever partition count AQE's coalescing
+    // left on the aggregate (ONE partition at bench scale), and a
+    // single-partition RDD satisfies every downstream distribution
+    // requirement — so no exchange was ever inserted and the dense
+    // grid + both window passes ran SERIALLY in one task (measured:
+    // a 2.15 s single-task stage inside q205's 4.5 s). Repartitioning
+    // to the session default parallelism before the checkpoint keeps
+    // the downstream grid/window work parallel; the frame is bounded
+    // by the maxGridCells guard below, so defaultParallelism-sized
+    // partitions are right at any scale, and the count comes from the
+    // session (local[N] / cluster), never a constant.
     val cxy = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(cellCol).as("cell"), col(xCol).cast("long").as("x"),
         col(yCol).cast("long").as("y"))
       .groupBy(col("cell"), col("x"), col("y"))
       .agg(count(lit(1)).as("nxy"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("cell"), col("x"))
       .localCheckpoint(true)
-    val dx = cxy.select(col("cell"), col("x")).distinct()
+    // dx is the STREAM side of the dense-grid build below; routing its
+    // distinct through an explicit repartition-by-num pins the grid
+    // build's parallelism (see the grid comment below — an
+    // ENSURE_REQUIREMENTS exchange here gets byte-coalesced to one
+    // task and serializes the whole grid+window pipeline).
+    val np0 = df.sparkSession.sparkContext.defaultParallelism
+    val dx = cxy.select(col("cell"), col("x"))
+      .repartition(np0, col("cell"), col("x")).distinct()
     val dy = cxy.select(col("cell"), col("y")).distinct()
     val worst = dx.groupBy(col("cell")).agg(count(lit(1)).as("ndx"))
       .join(dy.groupBy(col("cell")).agg(count(lit(1)).as("ndy")),
@@ -1846,8 +1872,19 @@ object StatsOps {
       s"$opName: a cell's dense grid would hold $worstCells " +
         s"(> maxGridCells = $maxGridCells) (x, y) combinations - bin " +
         "the inputs first (the q195/q196 discipline)")
+    // r17 OPTIMIZATION (guide §2.5): the two window passes carry the
+    // grid's per-row CPU (two sorts + four running sums), but AQE's
+    // byte-size coalescing folded their EnsureRequirements exchanges to
+    // ONE partition (grid bytes ≪ the 1 MB floor while grid CPU is
+    // seconds) — the whole double-prefix ran serially in one task. The
+    // exchanges the windows need anyway are pinned as explicit
+    // repartition-by-key with the SESSION's default parallelism
+    // (REPARTITION_BY_NUM is exempt from AQE coalescing): same shuffle
+    // count, restored parallelism, and the count is right at any scale
+    // because the grid is bounded by the maxGridCells guard above.
+    val np = df.sparkSession.sparkContext.defaultParallelism
     val grid = dx
-      .join(dy, Seq("cell"))
+      .join(broadcast(dy), Seq("cell"))
       .join(cxy, Seq("cell", "x", "y"), "left")
       .withColumn("nc", coalesce(col("nxy"), lit(0L)))
     val wyLt = Window.partitionBy("cell", "x").orderBy("y")
@@ -1859,6 +1896,7 @@ object StatsOps {
     val g = grid
       .withColumn("hlt", coalesce(sum(col("nc")).over(wyLt), lit(0L)))
       .withColumn("hgt", coalesce(sum(col("nc")).over(wyGt), lit(0L)))
+      .repartition(np, col("cell"), col("y"))
       .withColumn("glt", coalesce(sum(col("hlt")).over(wxLt), lit(0L)))
       .withColumn("ggt", coalesce(sum(col("hgt")).over(wxLt), lit(0L)))
     val pair = g.groupBy(col("cell"))

@@ -532,10 +532,15 @@ object CurationQueries {
         val docs = documents(s, d)
           .withColumn("url", expr(urlSynth("STRING", "div")))
         val canon = UrlCuration.canonicalizeDocs(docs, "doc_id", "url")
+        // r17 OPTIMIZATION (guide §1.2): the frontier feeds BOTH the
+        // domain-distinct (robots side) and the gate join — without the
+        // pin the canonicalization chain over the corpus evaluates once
+        // per consumer. One materialization, both consumers read it.
         val frontier = canon.select(col("doc_id"),
           col("registered_domain"),
           split_part(regexp_replace(col("canonical_url"),
             "^[a-z]+://[^/]*", ""), lit("?"), lit(1)).as("path"))
+          .localCheckpoint(true)
         val doms = frontier
           .select(col("registered_domain").as("domain")).distinct()
         val rules = CrawlPolicy.parseRobots(
@@ -565,15 +570,22 @@ object CurationQueries {
         val docs = documents(s, d)
           .withColumn("url", expr(urlSynth("STRING", "div")))
         val canon = UrlCuration.canonicalizeDocs(docs, "doc_id", "url")
+        // r17 OPTIMIZATION (guide §1.2), the q305 pin plus one more:
+        // `rules` is consumed twice here (the gate's group choice AND
+        // policySummary's crawl-delay side), and its own subtree
+        // contains the frontier-derived domain distinct — materialize
+        // both shared frames once.
         val frontier = canon.select(col("doc_id"),
           col("registered_domain"),
           split_part(regexp_replace(col("canonical_url"),
             "^[a-z]+://[^/]*", ""), lit("?"), lit(1)).as("path"))
+          .localCheckpoint(true)
         val doms = frontier
           .select(col("registered_domain").as("domain")).distinct()
         val rules = CrawlPolicy.parseRobots(
           doms.withColumn("robots", expr(robotsSynth)),
           "domain", "robots")
+          .localCheckpoint(true)
         val gated = CrawlPolicy.fetchGate(frontier, "doc_id",
           "registered_domain", "path", rules, "graftbot")
         CrawlPolicy.policySummary(gated, "registered_domain", rules,

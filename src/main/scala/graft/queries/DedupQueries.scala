@@ -440,8 +440,15 @@ object DedupQueries {
     // ------------------------------------------------------------------
     "q84_edit_distance_join" -> GraftQuery(
       build = (s, d) =>
+        // r17 OPTIMIZATION (guide §2.5): the deletion-variant Generate
+        // + three joins ran at the customer parquet's split count
+        // (3 tasks, 2.5 s of a 3.9 s wall); spread first (q23/q100
+        // discipline) so the variant fan-out runs at session
+        // parallelism.
         graft.operators.StringSimilarity.editDistanceOnePairs(
-          Tables.customer(s, d), "c_custkey", "c_name")
+          graft.operators.ScanOps.spreadSmallInput(
+            Tables.customer(s, d), col("c_custkey")),
+          "c_custkey", "c_name")
           .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
             col("str_a").as("name_a"), col("str_b").as("name_b"),
             col("dist").cast("long").as("dist"))
@@ -532,7 +539,15 @@ object DedupQueries {
         val docs = documents(s, d).select(col("doc_id"), col("text"))
         val dup = docs.filter(col("doc_id") % 15 === 0)
           .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-        TextDedup.dupNgramCoverage(docs.union(dup), "doc_id", "text",
+        // r17 OPTIMIZATION (guide §2.5 — input parallelism): the
+        // shingle Generate is the CPU of this query and ran at the
+        // parquet split count (2 tasks, 2.7 s of a 3.3 s wall);
+        // spreading the small input first runs it at session
+        // parallelism — the q23/q100 discipline.
+        TextDedup.dupNgramCoverage(
+          graft.operators.ScanOps.spreadSmallInput(
+            docs.union(dup), col("doc_id")),
+          "doc_id", "text",
           shingleN = DupCoverageN, flagPpm = DupCoverageFlagPpm)
           .orderBy("doc_id")
       },

@@ -267,13 +267,23 @@ class PlanAuditSpec extends SparkSuite {
     val plan = SparkEntry.queries("q107_dup_ngram_coverage")(spark, sf())
       .queryExecution.executedPlan.toString
     // the count-window form replaces a groupBy(h)+join-back; a Join node
-    // here means that regression, a second corpus-keyed Exchange means
-    // the window and the rollup stopped sharing the gram-hash shuffle
+    // here means that regression, a second corpus-keyed ENSURE_
+    // REQUIREMENTS Exchange means the window and the rollup stopped
+    // sharing the gram-hash shuffle. The r17 input spread
+    // (spreadSmallInput before the shingle Generate — the Generate is
+    // this query's CPU and ran at the parquet split count) adds exactly
+    // one REPARTITION_BY_NUM routing Exchange of the RAW doc rows,
+    // pinned separately so it can't silently multiply.
     assert(!plan.contains("Join"), s"q107 grew a join:\n$plan")
     val hashExchanges = plan.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toList
-    assert(hashExchanges.size == 2,
-      s"expected 2 hash Exchanges (h window, doc_id rollup):\n" +
+    val (spread, keyed) = hashExchanges
+      .partition(_.contains("REPARTITION_BY_NUM"))
+    assert(spread.size == 1,
+      s"expected 1 input-spread Exchange (REPARTITION_BY_NUM):\n" +
+        hashExchanges.mkString("\n"))
+    assert(keyed.size == 2,
+      s"expected 2 keyed hash Exchanges (h window, doc_id rollup):\n" +
         hashExchanges.mkString("\n"))
   }
 
