@@ -45,6 +45,12 @@ object AssociationRules {
   def basketRules(df: DataFrame, basketCol: String, itemCol: String,
       minItemSupPpm: Long, minPairSupPpm: Long): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // r17 note (guide §1.2, measured and kept AS-IS): `bi` has three
+    // consumers, but they all read the SAME hash(b, i) distinct
+    // exchange, which AQE's exchange reuse computes once; an eager
+    // localCheckpoint was tried and REGRESSED (2.4 → 3.4 s at sf0.1) —
+    // it serialized the overlapping broadcast-build jobs behind a
+    // blocking materialization without removing any work.
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .distinct()
     val totals = bi.agg(count_distinct(col("b")).as("n_baskets"))

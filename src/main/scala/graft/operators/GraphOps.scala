@@ -534,11 +534,24 @@ object GraphOps {
     require(topK >= 1 && degCap >= 2)
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.types.LongType
-    val e = edges
+    // r17 OPTIMIZATION (guide §2.4 — share one exchange): `e` has THREE
+    // consumers (the degree aggregate and both sides of the postings
+    // self-join), every one of which needs hash(p) clustering. Routing
+    // the distinct through ONE explicit hash(p) repartition lets AQE's
+    // exchange reuse compute the subtree once and serve all three —
+    // the degree aggregate and both join sides then need no further
+    // exchange at all. (An eager localCheckpoint was tried first and
+    // REGRESSED — it serialized the overlapping jobs behind a blocking
+    // materialization; the shared exchange keeps the pipelining.)
+    // spreadSmallInput keeps the distinct's map side off the tiny scan
+    // split; the repartition count follows the session's parallelism.
+    val e = ScanOps.spreadSmallInput(edges
       .select(col(leftCol).cast("long").as("u"),
         col(rightCol).cast("long").as("p"))
-      .filter(col("u").isNotNull && col("p").isNotNull)
+      .filter(col("u").isNotNull && col("p").isNotNull), col("u"))
       .distinct()
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("p"))
     val lg = Bridge.column(graft.functions.Log2Q20(Bridge.expression(
       col("d").cast(LongType))))
     val deg = e.groupBy(col("p"))

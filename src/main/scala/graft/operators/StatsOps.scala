@@ -2173,10 +2173,16 @@ object StatsOps {
   def spearmanRho(df: DataFrame, cellCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val base = df
+    // r17 OPTIMIZATION (guide §1.2): `base` has FOUR consumers (both
+    // drank lookups, the per-cell count and the final fact pass) and
+    // each re-ran the scan + projection; one eager localCheckpoint
+    // (spread first — the fact scan is a single small parquet split)
+    // materializes it once and parallelizes every downstream pass.
+    val base = graft.operators.ScanOps.spreadSmallInput(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(cellCol).as("cell"), col(xCol).cast("long").as("x"),
-        col(yCol).cast("long").as("y"))
+        col(yCol).cast("long").as("y")), col("cell"), col("x"))
+      .localCheckpoint(true)
     def dranks(vCol: String, out: String): DataFrame = {
       val w = Window.partitionBy("cell").orderBy(vCol)
         .rowsBetween(Window.unboundedPreceding, -1)

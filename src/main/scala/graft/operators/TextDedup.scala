@@ -711,7 +711,13 @@ object TextDedup {
         .filter(col("bucket_size") > maxBandBucket)
         .select(col("band_key"))),
       Seq("band_key"), "left_anti")
+    // r17 OPTIMIZATION (guide §2.5): the bucket collect + C(bucket,2)
+    // pair Generate carry seconds of CPU over ~1 MB of shuffle bytes;
+    // AQE byte-coalescing folded the band_key exchange to one task (the
+    // q62 block-probe finding). Pin it at session parallelism.
     kept
+      .repartition(bands.sparkSession.sparkContext.defaultParallelism,
+        col("band_key"))
       .groupBy(col("band_key"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -728,7 +734,9 @@ object TextDedup {
       maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     require(maxBandBucket >= 2 && maxBandBucket <= 10000,
       s"maxBandBucket must be in [2, 10000], got $maxBandBucket")
-    val sigs = signaturesFromHashRows(hashRows)
+    // r17 OPTIMIZATION (guide §1.2): same three-consumer shape as
+    // [[minhashCalibration]] — materialize the signature aggregate once.
+    val sigs = signaturesFromHashRows(hashRows).localCheckpoint(true)
     val cand = bandCandidatePairs(bandRows(sigs), maxBandBucket)
     val estimated = cand
       .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
@@ -822,7 +830,10 @@ object TextDedup {
    */
   def minhashCalibration(hashRows: DataFrame, texts: DataFrame,
       maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
-    val sigs = signaturesFromHashRows(hashRows)
+    // r17 OPTIMIZATION (guide §1.2): `sigs` has three consumers (band
+    // rows + both pair-side joins) and the K-min signature aggregate re-
+    // ran for each; materialize it once (the q189 self-join rule).
+    val sigs = signaturesFromHashRows(hashRows).localCheckpoint(true)
     val cand = bandCandidatePairs(bandRows(sigs), maxBandBucket)
     cand
       .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
@@ -994,7 +1005,11 @@ object TextDedup {
       s"maxBlockBucket must be in [2, 10000], got $maxBlockBucket")
     val blockBits = bits / blocks
     val mask = (1L << blockBits) - 1
-    val fps = simhashFingerprint(df, textCol, idCol, bits)
+    // r17 OPTIMIZATION (guide §2.5): the tokenize + 32-bit-sum
+    // fingerprint aggregate ran at the parquet split count (2 tasks at
+    // bench scale); spread the scan to session parallelism first.
+    val fps = simhashFingerprint(
+      ScanOps.spreadSmallInput(df, col(idCol)), textCol, idCol, bits)
       .select(col("doc_id"), col("simhash"))
     // literal-array explode with the key assembled ABOVE the Generate —
     // same inlining discipline as [[bandRows]]; the fingerprint sits
@@ -1019,8 +1034,17 @@ object TextDedup {
     // aggregation groups by: one shuffle serves both (vs the
     // count-aggregate + broadcast anti-join form, which scans the
     // fingerprint subtree a second time to build the cap side)
+    // r17 OPTIMIZATION (guide §2.5): the count-window + bucket
+    // aggregation + C(bucket,2) pair Generate all sit downstream of ONE
+    // hash(block_key) exchange whose bytes are tiny while its CPU is
+    // seconds — AQE's byte-coalescing folded it to a single task and the
+    // whole candidate pipeline ran serially (measured: a 1.8 s one-task
+    // stage inside q62). REPARTITION_BY_NUM is exempt from coalescing;
+    // the count follows the session's parallelism, never a constant.
     val keptW = org.apache.spark.sql.expressions.Window.partitionBy("block_key")
+    val np = df.sparkSession.sparkContext.defaultParallelism
     val kept = blockRows
+      .repartition(np, col("block_key"))
       .withColumn("__bucket_size", count(lit(1)).over(keptW))
       .filter(col("__bucket_size") <= maxBlockBucket)
     val cand = kept

@@ -24,9 +24,14 @@ object AnalyticsQueries {
     * duplicates it by the standalone-oracle contract). Bounded at
     * C(max order size, 2) pairs per order. */
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    // r17 OPTIMIZATION (guide §2.5): the pair fan-out (a broadcast
+    // self-join at bench scale) ran at the parquet split count — a
+    // 3-task, seconds-long stage. Spreading the probe side first keeps
+    // the C(order,2) expansion at session parallelism; the build side
+    // stays unspread (it is broadcast/shuffled anyway).
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("x")
+    graft.operators.ScanOps.spreadSmallInput(li.as("x"), col("ok"))
       .join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("u"), col("y.pk").as("v"))

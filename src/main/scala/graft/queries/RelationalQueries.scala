@@ -599,13 +599,40 @@ object RelationalQueries {
     // ------------------------------------------------------------------
     "q39_cube_approx_distinct" -> GraftQuery(
       build = (s, d) => {
-        orders(s, d)
+        // r17 OPTIMIZATION (guide §2.3 — shuffle fewer bytes): mixing
+        // countDistinct with approx_count_distinct in ONE cube aggregate
+        // routes the HLL sketch through the distinct-rewrite's expanded
+        // (grouping-set, custkey) grain — one multi-KB HLL buffer per
+        // partial group (232 k of them at bench scale) serialized through
+        // the shuffle. Splitting the sketch into its own cube aggregate
+        // keeps HLL buffers at the FINAL group grain (≤ 24 rows) and the
+        // exact path's partials at two longs; the two 24-row cubes join
+        // back null-safely on the grouping-id + keys. Same aggregates
+        // over the same rows — HLL registers are duplicate-insensitive,
+        // so the estimate is bit-identical. spreadSmallInput keeps the
+        // expand + partial aggregate off the single parquet split.
+        val o = graft.operators.ScanOps.spreadSmallInput(
+          orders(s, d).select(col("o_orderpriority"), col("o_orderstatus"),
+            col("o_custkey"), col("o_totalprice")), col("o_custkey"))
+          .localCheckpoint(true)
+        val exact = o
           .cube(col("o_orderpriority"), col("o_orderstatus"))
           .agg(
             count(lit(1)).as("n_orders"),
             sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_total"),
             countDistinct(col("o_custkey")).as("n_cust_exact"),
-            approx_count_distinct(col("o_custkey"), 0.02).as("apx"))
+            grouping_id().as("gid"))
+        val apx = o
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("apx"),
+            grouping_id().as("gid"))
+          .select(col("o_orderpriority").as("p2"),
+            col("o_orderstatus").as("s2"), col("gid").as("gid2"), col("apx"))
+        exact
+          .join(broadcast(apx),
+            col("gid") === col("gid2") &&
+              col("o_orderpriority") <=> col("p2") &&
+              col("o_orderstatus") <=> col("s2"))
           .select(
             coalesce(col("o_orderpriority"), lit("ALL")).as("order_priority"),
             coalesce(col("o_orderstatus"), lit("ALL")).as("order_status"),
