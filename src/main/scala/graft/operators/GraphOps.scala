@@ -63,6 +63,14 @@ object GraphOps {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
+    // r17 note (tried and REVERTED): batching two propagation steps per
+    // convergence probe is result-invariant (labels only decrease, the
+    // fixpoint is unique) but measured SLOWER both ways it can be built —
+    // composing the steps lazily re-executes the inner step's subtree
+    // from the outer step's two consumers (q61 2.5 → 2.9 s), and pinning
+    // the mid-frame with persist/unpersist pays CacheManager churn every
+    // round (q61 2.5 → 4.8 s). The single-step loop is the measured
+    // optimum at this round-latency/row-volume trade.
     while (!converged && iter < maxIterations) {
       iter += 1
       val msgs = edges.join(labels, edges("u") === labels("node"))

@@ -740,8 +740,14 @@ object TextAnalysis {
       .select(col("g").as("g1c"), col("cnt").as("c1c"))
     val n = lm.filter(col("level") === 0)
       .select(col("cnt").as("n_tok"))
-    trigramStream(df.select(col(idCol).as("doc"),
-        col(textCol).as("__text")), "__text")
+    // r17 OPTIMIZATION (guide §2.5): the tokenize + trigram Generate +
+    // five broadcast probes + partial rollup all run BEFORE the first
+    // exchange, i.e. at the parquet split count (one task on a small
+    // corpus file). Spread the scan to session parallelism first
+    // (streaming inputs pass through untouched).
+    trigramStream(ScanOps.spreadSmallInput(
+        df.select(col(idCol).as("doc"), col(textCol).as("__text")),
+        col("doc")), "__text")
       .join(broadcast(lm3), Seq("g3"), "left")
       .join(broadcast(lm2p), Seq("g2p"), "left")
       .join(broadcast(lm2c), Seq("g2c"), "left")
@@ -902,11 +908,54 @@ object TextAnalysis {
       lmTarget: DataFrame, lmRaw: DataFrame,
       nBuckets: Int = 256): DataFrame = {
     val docs = df.select(col(idCol).as("doc"), col(textCol).as("__text"))
-    val st = backoffScore(docs, "doc", "__text", lmTarget)
-      .select(col("doc"), col("mean_score_ppm").as("s_target_ppm"))
-    val sr = backoffScore(docs, "doc", "__text", lmRaw)
-      .select(col("doc"), col("mean_score_ppm").as("s_raw_ppm"))
-    val w = st.join(sr, Seq("doc"))
+    // r17 OPTIMIZATION (guide §1.2 — don't do two passes where one
+    // suffices): both models score the SAME trigram occurrence stream,
+    // and the tokenize + Generate dominates the scoring cost; one pass
+    // probes both models' broadcast tables (ten left joins instead of
+    // two× five) and rolls both sums up in a single per-doc aggregate.
+    // Arithmetic per occurrence is byte-identical to two backoffScore
+    // passes joined on doc (same rules, same lattice, and n_tri is the
+    // same stream both ways), so the oracle is untouched.
+    def lmSides(lm: DataFrame, sfx: String) = Seq(
+      lm.filter(col("level") === 3)
+        .select(col("g").as("g3"), col("cnt").as(s"c3$sfx")),
+      lm.filter(col("level") === 2)
+        .select(col("g").as("g2p"), col("cnt").as(s"c2p$sfx")),
+      lm.filter(col("level") === 2)
+        .select(col("g").as("g2c"), col("cnt").as(s"c2c$sfx")),
+      lm.filter(col("level") === 1)
+        .select(col("g").as("g1p"), col("cnt").as(s"c1p$sfx")),
+      lm.filter(col("level") === 1)
+        .select(col("g").as("g1c"), col("cnt").as(s"c1c$sfx")))
+    def sPpm(sfx: String, nTok: String) =
+      when(col(s"c3$sfx").isNotNull && col(s"c2p$sfx").isNotNull,
+        expr(s"(1000000 * c3$sfx) div c2p$sfx"))
+        .when(col(s"c2c$sfx").isNotNull && col(s"c1p$sfx").isNotNull,
+          expr(s"(2000000 * c2c$sfx) div (5 * c1p$sfx)"))
+        .when(col(s"c1c$sfx").isNotNull,
+          expr(s"(4000000 * c1c$sfx) div (25 * $nTok)"))
+        .otherwise(0L)
+    val nT = lmTarget.filter(col("level") === 0)
+      .select(col("cnt").as("n_tok_t"))
+    val nR = lmRaw.filter(col("level") === 0)
+      .select(col("cnt").as("n_tok_r"))
+    val joinKeys = Seq("g3", "g2p", "g2c", "g1p", "g1c")
+    val stream = (lmSides(lmTarget, "_t") ++ lmSides(lmRaw, "_r"))
+      .zip(joinKeys ++ joinKeys)
+      .foldLeft(trigramStream(ScanOps.spreadSmallInput(docs, col("doc")),
+        "__text")) { case (acc, (side, key)) =>
+        acc.join(broadcast(side), Seq(key), "left")
+      }
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+    val w = stream
+      .select(col("doc"), sPpm("_t", "n_tok_t").as("s_t"),
+        sPpm("_r", "n_tok_r").as("s_r"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("s_t")).as("ssum_t"),
+        sum(col("s_r")).as("ssum_r"))
+      .select(col("doc"),
+        expr("ssum_t div n_tri").as("s_target_ppm"),
+        expr("ssum_r div n_tri").as("s_raw_ppm"))
       .withColumn("w_ppm", expr(
         "(1000000 * (s_target_ppm + 1)) div (s_raw_ppm + 1)"))
       .localCheckpoint(true)

@@ -549,7 +549,18 @@ object TextDedup {
       shingleN: Int = 3, w: Int = 4): DataFrame = {
     require(w >= 2, s"winnow window must be >= 2, got $w")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    // r17 OPTIMIZATION (guide §2.4/§2.5): the explode + per-position
+    // gram hash is the operator's CPU and has TWO consumers (the
+    // window-minima pass and the final key join) — and it used to run
+    // at the parquet split count. spreadSmallInput parallelizes the
+    // scan; ONE explicit hash(doc_id) repartition then serves the
+    // window, the distinct and both join sides via exchange reuse
+    // (hash(doc_id) satisfies the (doc_id, k) join's clustering as a
+    // key subset), so the gram stream is hashed once and shuffled once.
+    val toks = ScanOps.spreadSmallInput(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("nt", size(col("t")))
     val grams = toks
       .select(col("doc_id"), col("nt"), col("t"),
@@ -560,6 +571,8 @@ object TextDedup {
         hash64(concat_ws(" ", slice(col("t"), col("p"), lit(shingleN)))).as("h"))
       .withColumn("k", col("h").cast(DecimalType(38, 0)) *
         lit(1L << WinnowPosBits) + col("p"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
     val headWin = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.currentRow, w - 1)
     // valid window heads: s <= maxp - w + 1 (every full window), plus

@@ -2959,7 +2959,11 @@ object AnalyticsQueries {
     // ------------------------------------------------------------------
     "q171_abc_xyz" -> GraftQuery(
       build = (s, d) => {
-        val buckets = lineitem(s, d)
+        // r17 OPTIMIZATION (guide §2.5): the decimal partial aggregate
+        // over 600 k rows ran at the 3-split scan count; spread first.
+        val buckets = graft.operators.ScanOps.spreadSmallInput(
+            lineitem(s, d).select(col("l_partkey"), col("l_shipdate"),
+              col("l_extendedprice")), col("l_partkey"))
           .groupBy(col("l_partkey"),
             TemporalOps.floorDiv(datediff(col("l_shipdate").cast("date"),
               lit(EpochDay0).cast("date")).cast("long"), lit(30L))
