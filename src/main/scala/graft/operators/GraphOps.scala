@@ -180,8 +180,17 @@ object GraphOps {
                              // orientation joins — without the pin the
                              // pair-distinct shuffle re-runs for the
                              // final zero-fill universe join too
+    // r17 OPTIMIZATION (guide §1.2): deg has THREE consumers (both
+    // orientation broadcasts and the zero-fill universe) and each re-ran
+    // the union + count over the edge checkpoint; materialize the small
+    // (node, degree) frame once.
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // r17 OPTIMIZATION (guide §2.4): oriented is checkpointed ALREADY
+    // hash(s)-partitioned (localCheckpoint preserves partitioning), so
+    // the adjacency aggregate and the first closure join read it with
+    // no further exchange; only the t-keyed join still shuffles.
     val oriented = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
@@ -190,6 +199,8 @@ object GraphOps {
           col("u")).otherwise(col("v")).as("s"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("t"))
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col("s"))
       .localCheckpoint(true)
     val adj = oriented.groupBy(col("s"))
       .agg(sort_array(collect_list(col("t"))).as("ns"))
@@ -199,7 +210,13 @@ object GraphOps {
       .join(adj.select(col("s").as("as2"), col("ns").as("out_t")),
         col("t") === col("as2")) // inner: a sink target closes nothing
       .select(col("s"), col("t"),
-        explode(array_intersect(col("out_s"), col("out_t"))).as("w"))
+        // r17 OPTIMIZATION (guide §1.2 per-task work): array_intersect
+        // builds a boxed hash set PER EDGE ROW (~60 s executor CPU in
+        // this stage at sf0.1); both adjacency arrays are sort_array
+        // products, so the codegen'd two-pointer merge is exact and
+        // allocation-free per element (see LongSortedIntersect scaladoc)
+        explode(graft.functions.LongSortedIntersect.sortedIntersect(
+          col("out_s"), col("out_t"))).as("w"))
     val perNode = tri
       .select(explode(array(col("s"), col("t"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))

@@ -139,8 +139,13 @@ object TextDedup {
       tauPm: Long, shingleN: Int = 2): DataFrame = {
     require(tauPm >= 1 && tauPm <= 1000, s"tauPm in [1,1000], got $tauPm")
     import org.apache.spark.sql.expressions.Window
+    // r17 OPTIMIZATION (guide §1.2): the tokenize + shingle Generate has
+    // THREE consumers (the sizing windows and both exact-rerank join
+    // sides) and profiled as three ~1 s stages each re-running the
+    // explode; one materialization serves all three.
     val sets = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("g"))
+      .localCheckpoint(true)
     val sized = sets
       .withColumn("gdf", count(lit(1)).over(Window.partitionBy("g")))
       .withColumn("ssize", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -212,6 +217,13 @@ object TextDedup {
     require(dfCapPermille >= 1 && dfCapPermille <= 1000,
       s"dfCapPermille in [1,1000], got $dfCapPermille")
     import org.apache.spark.sql.expressions.Window
+    // r17 note: the jaccardPrefixJoin sets-checkpoint was tried here too
+    // (same three-consumer Generate shape) and measured a ~0.1 s
+    // REGRESSION at sf0.1 — in this operator the duplicated cost is the
+    // sizing-window pipeline (two lazy consumers: prefix and the capped
+    // postings), which a sets-level checkpoint does not deduplicate,
+    // while its blocking materialization still serializes the plan.
+    // Kept lazy; the A/B numbers live in OPTIMIZATION_r17.md.
     val sets = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), shingleN))).as("g"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
