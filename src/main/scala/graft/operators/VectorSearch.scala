@@ -743,16 +743,35 @@ object VectorSearch {
    */
   def pqTrainCodebooks(base: DataFrame, idCol: String, vecCol: String,
       codebookIds: Column, iters: Int = 2): DataFrame = {
-    var books = pqCodebooks(base, idCol, vecCol, codebookIds)
+    import base.sparkSession.implicits._
+    // r18 OPTIMIZATION (guide §1.2 — VERDICT r17 item 3, the seededCents
+    // discipline): land the ≤ PqSubspaces×PqCodes codebook as a LOCAL
+    // frame once per iteration (the BPE-trainer collect shape — it is a
+    // model artifact). The lazy books_{i} chain referenced books_{i-1}
+    // TWICE (the keep-old coalesce side and inside the next assignment),
+    // so executing the final plan re-ran every earlier iteration's
+    // corpus assignment pass ~2^i times; landed, each iteration's corpus
+    // pass runs exactly once and the broadcast build costs no job.
+    def land(df: DataFrame): DataFrame = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq.toDF("sub", "code", "cv")
+    var books = land(pqCodebooks(base, idCol, vecCol, codebookIds))
     val subRows = pqSubRows(base, idCol, vecCol)
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col(idCol), col("sub"))
-        .orderBy(col("d2"), col("code"))
+      // r18 OPTIMIZATION (guide §2.3 — the q43 keep-1 argmax shape): the
+      // per-(vector, subspace) argmin over the ×PqCodes broadcast
+      // fan-out is a map-side-combined min_by instead of a row_number
+      // window — the fan-out collapses to one row per (id, sub) BEFORE
+      // any exchange and nothing sorts on shuffle. The min_by key
+      // struct(d2, code) is the window's orderBy exactly, and code is
+      // unique per group, so the argmin is total and identical.
       val assigned = subRows.join(broadcast(books), Seq("sub"))
         .withColumn("d2", sqDist(col("sv"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("sub"), col("code"), col("sv"))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min_by(struct(col("code"), col("sv")),
+          struct(col("d2"), col("code"))).as("best"))
+        .select(col("sub"), col("best.code").as("code"),
+          col("best.sv").as("sv"))
       // exact integer element sums (floored fixed-point values are
       // integer-valued doubles — sums below 2^53 are order-exact)
       val dimSums = (0 until PqSubDim).map(j =>
@@ -763,20 +782,15 @@ object VectorSearch {
           array((0 until PqSubDim).map(j =>
             col(s"s$j").cast(DoubleType) / (col("n") * KmeansScale)): _*)
             .as("ncv"))
-      books = books.as("b").join(updated.as("u"), Seq("sub", "code"), "left")
+      books = land(books.as("b")
+        .join(updated.as("u"), Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
-          coalesce(col("ncv"), col("b.cv")).as("cv"))
+          coalesce(col("ncv"), col("b.cv")).as("cv")))
     }
-    // materialize the trained codebook ONCE (PqSubspaces × PqCodes = 64
-    // rows — a model artifact, the thing production lands in a model
-    // store): the lazy lineage re-runs the whole training chain per
-    // consumer (encode join + query table = 2×, and the round's
-    // self-join doubles it again per iteration — measured 4 s at sf0.1
-    // vs 1 s materialized)
-    import base.sparkSession.implicits._
-    books.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
-      .toSeq.toDF("sub", "code", "cv")
+    // books is already a landed local frame (one land per iteration) —
+    // downstream consumers (encode join + query table) broadcast it at
+    // zero recompute cost, same as the old single tail collect.
+    books
   }
 
   /** Encode the corpus: nearest codeword per (vector, subspace) —
