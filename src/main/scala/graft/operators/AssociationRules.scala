@@ -51,6 +51,16 @@ object AssociationRules {
     // localCheckpoint was tried and REGRESSED (2.4 → 3.4 s at sf0.1) —
     // it serialized the overlapping broadcast-build jobs behind a
     // blocking materialization without removing any work.
+    // r18 note (guide §2.5, tried and REVERTED): pinning the basket
+    // grouping with a REPARTITION_BY_NUM spread the collect_set+Generate
+    // stage from 6 to 32 tasks but DESTROYED the map-side partial
+    // collect_set (the manual exchange satisfies the aggregate's
+    // distribution, so it plans single-phase and ships raw (b, i) rows)
+    // and exposed a ~450 ms FIXED per-task CPU cost in the interpreted
+    // pair lambda (stage CPU 3.0 s @6 tasks → 14.3 s @32): wall ~1.05×
+    // locally, shuffle bytes and total CPU strictly worse at scale.
+    // The keepable fix was the codegen rewrite of the pair Generate
+    // below, which removes that per-task interpretation cost instead.
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .distinct()
     val totals = bi.agg(count_distinct(col("b")).as("n_baskets"))
@@ -58,14 +68,24 @@ object AssociationRules {
       .crossJoin(broadcast(totals))
       .filter(dec(col("n_i")) * 1000000L >= dec(col("n_baskets")) * minItemSupPpm)
       .select(col("i"), col("n_i"))
+    // r18 OPTIMIZATION (guide §1.2 per-task work — VERDICT r17 item 4):
+    // the ordered-pair expansion was a nested `transform` + `flatten`
+    // lambda — higher-order functions are CodegenFallback, so the whole
+    // projection ran INTERPRETED (the engine-wide q115 array_intersect
+    // lesson) with a measured ~450 ms per-task setup cost on top. The
+    // same pair stream as two codegen'd Generates: posexplode anchors
+    // the antecedent at each position, slice + explode emits every
+    // later item — identical (ia, ib) multiset (slice start pos+2 is
+    // 1-based "everything after ia"; overlong length clamps), no lambda
+    // anywhere, and the per-basket C(|basket|,2) bound is unchanged.
     val pairs = bi
       .join(itemSup.select(col("i")), Seq("i"), "left_semi")
       .groupBy(col("b")).agg(array_sort(collect_set(col("i"))).as("items"))
-      .select(explode(expr(
-        """flatten(transform(items, (a, x) ->
-             transform(slice(items, x + 2, size(items)), c ->
-               struct(a as ia, c as ib))))""")).as("p"))
-      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .select(col("items"), posexplode(col("items")))
+      .select(col("col").as("ia"),
+        explode(slice(col("items"), col("pos") + lit(2),
+          size(col("items")))).as("ib"))
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_ab"))
       .crossJoin(broadcast(totals))
       .filter(dec(col("n_ab")) * 1000000L >= dec(col("n_baskets")) * minPairSupPpm)

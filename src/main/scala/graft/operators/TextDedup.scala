@@ -751,10 +751,17 @@ object TextDedup {
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(array_sort(col("ids")).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      // r18 OPTIMIZATION (guide §1.2 per-task work — the q152 lesson):
+      // the nested transform/flatten pair lambda is CodegenFallback and
+      // ran interpreted with a measured per-task setup cost; the same
+      // ordered-pair stream as two codegen'd Generates (posexplode
+      // anchors doc_a, slice+explode emits every later id — identical
+      // multiset, C(bucket,2) bound unchanged).
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("doc_a"),
+        explode(slice(col("ids"), col("pos") + lit(2),
+          size(col("ids")))).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
@@ -1083,14 +1090,14 @@ object TextDedup {
       // struct sort orders by doc_id first: pair enumeration stays
       // (doc_a < doc_b) deterministic
       .select(array_sort(col("ids")).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.getField("doc_id").as("doc_a"),
-            a.getField("simhash").as("sh_a"),
-            b.getField("doc_id").as("doc_b"),
-            b.getField("simhash").as("sh_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.sh_a").as("sh_a"),
-        col("p.doc_b").as("doc_b"), col("p.sh_b").as("sh_b"))
+      // r18 OPTIMIZATION (guide §1.2 — the q152 codegen-Generate lesson;
+      // see bandCandidatePairs): same pair stream, no interpreted lambda
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("a"),
+        explode(slice(col("ids"), col("pos") + lit(2),
+          size(col("ids")))).as("b"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sh_b"))
       .distinct()
     cand
       .select(col("doc_a"), col("doc_b"),

@@ -602,10 +602,14 @@ object VectorSearch {
       .agg(collect_list(col("vec_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(array_sort(col("ids")).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("vec_a"), b.as("vec_b")))))).as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      // r18 OPTIMIZATION (guide §1.2 — the q152 codegen-Generate lesson;
+      // see TextDedup.bandCandidatePairs): same pair stream, no
+      // interpreted lambda
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("vec_a"),
+        explode(slice(col("ids"), col("pos") + lit(2),
+          size(col("ids")))).as("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
       .distinct()
     cand
       .join(vs.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")),
