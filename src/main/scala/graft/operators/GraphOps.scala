@@ -441,8 +441,18 @@ object GraphOps {
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+    // r18 OPTIMIZATION (guide §1.2 — VERDICT r17 item 2's probe-fusion
+    // pattern): `raw` is a LAZY localCheckpoint materialized by the mx
+    // broadcast build itself, so the per-renorm eager-checkpoint job
+    // disappears (4 jobs per 2-iteration run). The mx value stays a
+    // BROADCAST COLUMN rather than a collected driver literal — an
+    // embedded per-renorm literal was tried and REVERTED: it makes every
+    // renorm's generated code textually unique, so the whole-stage
+    // codegen cache misses on every renorm of every run and the
+    // serialized driver/executor compiles cost more than the broadcast
+    // machinery they replaced (q193 ~6.4 s vs ~5.5 s profiled).
     def renorm(raw0: DataFrame, outName: String): DataFrame = {
-      val raw = raw0.localCheckpoint(true)
+      val raw = raw0.localCheckpoint(false)
       val mx = raw.agg(max(col("raw")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("id"),
