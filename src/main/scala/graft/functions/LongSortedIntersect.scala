@@ -24,18 +24,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  * allocation per element is the right kernel, and it compiles into the
  * enclosing whole-stage-codegen body.
  *
- * Semantics — IDENTICAL to `array_intersect(a, b)` for its inputs
- * (sorted ascending, distinct elements, no null elements; the type
- * check REQUIRES containsNull = false so a misuse fails analysis, not
- * silently):
- *  - result holds the common elements in ascending order, which equals
- *    array_intersect's left-order-preserving dedup on sorted distinct
- *    input;
+ * Semantics — IDENTICAL to `array_intersect(a, b)` for ANY inputs
+ * sorted ascending with no null elements (the type check REQUIRES
+ * containsNull = false so a misuse fails analysis, not silently;
+ * duplicates are allowed since r18 — the merge skips equal runs after
+ * emitting a match, so the result is the DISTINCT common elements in
+ * ascending order, exactly array_intersect's left-order-preserving
+ * dedup on sorted input):
  *  - null array → null (BinaryExpression default).
  *
- * The SORTED-input precondition is the caller's contract (the only
- * call site feeds sort_array products); the spec pins equality against
- * array_intersect on randomized sorted-distinct frames.
+ * Only SORTEDNESS remains the caller's contract (the only call site
+ * feeds sort_array products; unsorted input silently returns a wrong
+ * subset); the spec pins equality against array_intersect on
+ * randomized sorted frames with and without duplicates, plus the
+ * null-in → null-out path.
  */
 case class LongSortedIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -64,7 +66,18 @@ case class LongSortedIntersect(left: Expression, right: Expression)
     while (i < x.length && j < y.length) {
       if (x(i) < y(j)) i += 1
       else if (x(i) > y(j)) j += 1
-      else { out(k) = x(i); k += 1; i += 1; j += 1 }
+      else {
+        // r18 (ADVICE r17 #1): emit once, then skip the whole equal RUN
+        // on both sides — on sorted-distinct input this advances exactly
+        // one element (bit-identical to before), and on sorted input
+        // with duplicates it makes the result equal array_intersect
+        // (distinct common elements) instead of silently emitting one
+        // row per matching occurrence pair.
+        val v = x(i)
+        out(k) = v; k += 1
+        while (i < x.length && x(i) == v) i += 1
+        while (j < y.length && y(j) == v) j += 1
+      }
     }
     ArrayData.toArrayData(java.util.Arrays.copyOf(out, k))
   }
@@ -89,7 +102,11 @@ case class LongSortedIntersect(left: Expression, right: Expression)
          |  final long $yj = $b.getLong($j);
          |  if ($xi < $yj) { $i++; }
          |  else if ($xi > $yj) { $j++; }
-         |  else { $buf[$k++] = $xi; $i++; $j++; }
+         |  else {
+         |    $buf[$k++] = $xi;
+         |    while ($i < $n && $a.getLong($i) == $xi) { $i++; }
+         |    while ($j < $m && $b.getLong($j) == $xi) { $j++; }
+         |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData
          |  .toArrayData(java.util.Arrays.copyOf($buf, $k));

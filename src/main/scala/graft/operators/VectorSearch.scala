@@ -135,7 +135,16 @@ object VectorSearch {
   /** Seed centroids (every `centroidEvery`-th id), fixed-point trained
     * for `kmeansIters` rounds over the prepped corpus `b` — the shared
     * training setup of [[ivfTopK]] and [[kmeansAssign]]
-    * (`kmeansIters <= 0` returns the raw modulo sample). */
+    * (`kmeansIters <= 0` returns the raw modulo sample).
+    *
+    * CONTRACT NOTE (ADVICE r17 #3): this wrapper is the designated
+    * EAGER boundary of the vector family — the localCheckpoint below
+    * runs the whole k-means training job at PLAN-CONSTRUCTION time, so
+    * merely building an ivfTopK/kmeansAssign/semanticDedup frame costs
+    * the training pass even if the caller never executes it.
+    * [[trainCentroids]] itself stays lazy (its spec-pinned r4
+    * contract); callers needing a lazy end-to-end build should call it
+    * directly. */
   private def seededCents(base: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, centroidEvery: Int, kmeansIters: Int,
       dims: Int): DataFrame = {

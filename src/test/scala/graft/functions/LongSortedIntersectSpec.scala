@@ -60,6 +60,68 @@ class LongSortedIntersectSpec extends SparkSuite {
     }
   }
 
+  test("equals array_intersect on sorted frames WITH duplicates, " +
+      "codegen and interpreted (r18 dedup-robust merge)") {
+    // ADVICE r17 #1: the merge must dedup equal runs so a future caller
+    // passing sorted-but-non-distinct arrays still gets exactly
+    // array_intersect's distinct common elements.
+    val rnd = new scala.util.Random(20260821L)
+    val rows = (1 to 2000).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(40) + 1)(rnd.nextInt(20).toLong)
+      (i.toLong, arr(), arr())
+    }
+    val raw = rows.toDF("id", "a", "b")
+    // route through aggregation so elements carry containsNull = false;
+    // NO distinct anywhere — duplicates survive into the sorted arrays
+    val base = raw
+      .select(col("id"), explode(col("a").cast("array<long>")).as("x"),
+        col("b"))
+    val aAgg = base.groupBy(col("id"), col("b"))
+      .agg(sort_array(collect_list(col("x"))).as("a"))
+      .select(col("id"), col("a"),
+        explode(col("b").cast("array<long>")).as("y"))
+      .groupBy(col("id"), col("a"))
+      .agg(sort_array(collect_list(col("y"))).as("b"))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val diff = aAgg.select(
+          LongSortedIntersect.sortedIntersect(col("a"), col("b")).as("native"),
+          array_intersect(col("a"), col("b")).as("builtin"))
+          .filter(!(col("native") <=> col("builtin")))
+          .count()
+        assert(diff === 0L, s"dup-input mismatch under codegen=$codegen")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("null array in -> null out, directly exercised in both modes") {
+    // ADVICE r17 #2: the old 'null array' row went through
+    // posexplode_outer + collect_list, which turns a null array into an
+    // EMPTY one — the BinaryExpression null path was never hit. Build a
+    // genuinely-null array<long> (containsNull = false) via a when()
+    // with no otherwise over an aggregated array.
+    val df = Seq((1L, 5L), (2L, 6L)).toDF("id", "x")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("x"))).as("arr"))
+      .select(col("id"),
+        when(col("id") === 1L, col("arr")).as("a"), // null for id = 2
+        col("arr").as("b"))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val got = df.select(col("id"),
+          LongSortedIntersect.sortedIntersect(col("a"), col("b")).as("r"))
+          .orderBy("id").collect()
+        assert(got(0).getSeq[Long](1) === Seq(5L),
+          s"non-null row wrong under codegen=$codegen")
+        assert(got(1).isNullAt(1),
+          s"null array must yield null, not ${got(1).get(1)} " +
+            s"(codegen=$codegen)")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("edge shapes: empty sides, disjoint, identical, null array") {
     val df = Seq(
       (1L, Some(Seq(1L, 3L, 7L)), Some(Seq(3L, 7L, 9L))),  // [3, 7]
