@@ -186,17 +186,19 @@ object GraphOps {
       .select(least(a, b).as("u"), greatest(a, b).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
-      .localCheckpoint(true) // 3 consumers: deg (itself read 3×), both
-                             // orientation joins — without the pin the
-                             // pair-distinct shuffle re-runs for the
-                             // final zero-fill universe join too
+      .localCheckpoint(false) // 3 consumers: deg (itself read 3×), both
+                              // orientation joins — without the pin the
+                              // pair-distinct shuffle re-runs for the
+                              // final zero-fill universe join too.
+                              // r18: LAZY — materialized by the first
+                              // consuming job, blocking pin job removed
     // r17 OPTIMIZATION (guide §1.2): deg has THREE consumers (both
     // orientation broadcasts and the zero-fill universe) and each re-ran
     // the union + count over the edge checkpoint; materialize the small
     // (node, degree) frame once.
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // r17 OPTIMIZATION (guide §2.4): oriented is checkpointed ALREADY
     // hash(s)-partitioned (localCheckpoint preserves partitioning), so
     // the adjacency aggregate and the first closure join read it with
@@ -211,7 +213,7 @@ object GraphOps {
           col("v")).otherwise(col("u")).as("t"))
       .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
         col("s"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val adj = oriented.groupBy(col("s"))
       .agg(sort_array(collect_list(col("t"))).as("ns"))
     val tri = oriented
@@ -363,15 +365,19 @@ object GraphOps {
     // predates the fwd+rev edge doubling and the current Spark version;
     // re-measured this round: checkpointed is faster — see
     // OPTIMIZATION_r17.md.)
+    // r18: the three invariant checkpoints are LAZY — same LogicalRDD
+    // plan (identical shape, consumers still share one materialization),
+    // but the three blocking pin jobs fold into the first consuming job
+    // (the VERDICT r17 item-2 probe-fusion discipline).
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val base = (dampDen - dampNum) * PageRankScale / dampDen
     var ranks = nodes.withColumn("rank_fp", lit(PageRankScale))
     for (_ <- 1 to iterations) {
@@ -438,7 +444,8 @@ object GraphOps {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // r18: lazy — materialized by iteration 1's
+                              // first renorm-probe job, one job saved
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     // r18 OPTIMIZATION (guide §1.2 — VERDICT r17 item 2's probe-fusion

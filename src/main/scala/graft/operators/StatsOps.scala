@@ -1695,7 +1695,13 @@ object StatsOps {
     // derives from the tiny checkpointed frame.
     val trans = pairs.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // EAGER deliberately (r18 A/B: lazy 0.88x) —
+                             // the downstream consumers are independent
+                             // broadcast-build JOBS that race on an
+                             // unpersisted frame and each recompute the
+                             // corpus window; the lazy fusion only pays
+                             // when one job deterministically
+                             // materializes the frame first
     val outTot = trans.groupBy(col("prev")).agg(sum(col("n")).as("n_out"))
     // the matrix is read 16+ times (every power step + the self-loop
     // projection) — materialize once so the corpus-windowed subtree
